@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory used by specs and standalone runs.
+  *
+  * Scale posture: shuffle partitions match local cores here; on a real
+  * cluster the same code relies on AQE (enabled) to coalesce/split
+  * post-shuffle partitions, so no operator hard-codes partition counts.
+  */
+object GraftSession {
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,117 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query is deterministic and totally ordered; every oracle is the
+  * same computation in DuckDB SQL with bit-stable arithmetic (decimal
+  * sums, md5 hashing, rounded similarity scores). Column names are
+  * aligned pairwise.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ol_pricing" -> (Relational.pricing _),
+    "ol_topcustomers" -> (Relational.topCustomers _),
+    "ol_regionrev" -> (Relational.regionRevenue _),
+    "ol_window" -> (Relational.windowTop _),
+    "ol_sessionize" -> (Relational.sessionize _),
+    "ol_json" -> (Relational.jsonProps _),
+    "ol_rollup" -> (Relational.rollupOrders _),
+    "ol_percentile" -> (Relational.percentiles _),
+    "ol_asof" -> (Relational.asofJoin _),
+    "ol_range" -> (Relational.rangeJoin _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ol_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+        | (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base_price,
+        | (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS sum_disc_price,
+        | (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "ol_topcustomers" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        | (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "ol_regionrev" ->
+      """SELECT n_name,
+        | (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))))::DOUBLE AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "ol_window" ->
+      """SELECT o_custkey, o_orderkey, rnk, run_total FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |  (SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS run_total
+        | FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "ol_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id, ts,
+        |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 21600000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id::BIGINT AS session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS t_start, MAX(ts) AS t_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "ol_json" ->
+      """SELECT event_type,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | COUNT(*) AS n, (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+        |FROM events GROUP BY event_type, k_mod ORDER BY event_type, k_mod""".stripMargin,
+    "ol_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n, (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "ol_percentile" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.25), 6) AS p25,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.75), 6) AS p75,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ol_asof" ->
+      """SELECT e.event_id, e.user_id, m.o_orderkey, m.o_orderdate
+        |FROM events e, LATERAL (
+        | SELECT o_orderkey, o_orderdate FROM orders o
+        | WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        | ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) m
+        |ORDER BY e.event_id""".stripMargin,
+    "ol_range" ->
+      """SELECT e.event_id, e.user_id, (
+        |  SELECT COUNT(*) FROM events c
+        |  WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |    AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts) AS n_clicks
+        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+  )
 }

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated corpus tables (see TESTDATA.md).
+  *
+  * Reading happens through the parquet datasource so Catalyst can push
+  * filters and prune columns into the scan — every operator in this
+  * library selects/filters *before* wide transforms so the pushdown
+  * reaches the file reader (checked in specs via `.explain`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by every
+    // session in this library). Truncate to micros, matching DuckDB's
+    // nanos->TIMESTAMP truncation so oracles agree.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** OLAP query library — the relational engine underneath the vector
+  * store (the reference keeps its metadata in pandas frames and filters
+  * them per-search, vector_db.py:673-696; here the same predicates are
+  * declarative Spark plans that Catalyst pushes into the scans).
+  *
+  * Determinism-for-oracle rules used throughout:
+  *  - money aggregates go through DECIMAL(18,2) (exact, order-independent,
+  *    bit-stable across engines) and surface as DOUBLE;
+  *  - every result ends with a total ORDER BY on (mostly) integer keys;
+  *  - ratio outputs are double divisions of exact quantities.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def one: Column = lit(1).cast("decimal(18,2)")
+  /** revenue term: exact decimal l_extendedprice * (1 - l_discount). */
+  private def rev(price: Column, disc: Column): Column = dec(price) * (one - dec(disc))
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate. Filter + 6-column
+    * projection push into the parquet scan; single hash-agg shuffle of
+    * 4-ish groups — at 100 TB the partial (map-side) agg reduces each
+    * partition to a handful of rows before the exchange. */
+  def pricing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(rev($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+        (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: fact-fact shuffle join (orders⋈lineitem) with the
+    * small filtered dim (customer) broadcast. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-06-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1998-06-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(rev($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join — all dims broadcast, the only shuffle
+    * is the orders⋈lineitem co-shuffle on the order key. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val supp = Tables.load(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(rev($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Window functions: top-3 orders per customer by price with an exact
+    * running total (decimal cumsum — order-stable across engines). */
+  def windowTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).cast("long").as("rnk"),
+        sum(dec($"o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_total"))
+      .filter($"rnk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rnk", $"run_total")
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  /** Event sessionization: gap > 6h starts a new session. One shuffle on
+    * user_id, then lag + cumulative flag-sum inside the partition — the
+    * canonical scale-out shape (no driver loops, no per-user collect). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser))).as("gap_us"))
+      .withColumn("new_sess",
+        when($"gap_us".isNull || $"gap_us" > lit(6L * 3600 * 1000000), 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("t_start"), max($"ts").as("t_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Semi-structured: JSON prop extraction + aggregation. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_type",
+        pmod(get_json_object($"props", "$.k").cast("long"), lit(10L)).as("k_mod"),
+        $"value")
+      .groupBy($"event_type", $"k_mod")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"event_type", $"k_mod")
+  }
+
+  /** Hierarchical ROLLUP aggregate (subtotals + grand total). */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).cast("double").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Exact interpolated percentiles per group (not approx — the oracle
+    * must match bit-for-bit modulo 6dp rounding). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** As-of join: each event matched to the latest order of the same
+    * customer at-or-before the event time (ties → max order key).
+    *
+    * Spark has no as-of join; rather than a fat inequality join this is
+    * the scalable union-and-running-max encoding: tag both sides, sort
+    * once within the key partition, and carry the best match forward
+    * with a cumulative struct-max — one shuffle, linear work, no
+    * per-row probing. (Reference analog: newest-content-wins lookups
+    * over the store, vector_db.py:431-434.)
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.load(spark, dir, "orders")
+      .select($"o_custkey".as("key"), $"o_orderdate".as("t"),
+        struct($"o_orderdate", $"o_orderkey").as("ord"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_event"))
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id".as("key"), $"ts".as("t"),
+        lit(null).cast("struct<o_orderdate:timestamp,o_orderkey:bigint>").as("ord"),
+        $"event_id", lit(1).as("is_event"))
+    val w = Window.partitionBy($"key").orderBy($"t", $"is_event")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("m", max($"ord").over(w))
+      .filter($"is_event" === 1 && $"m".isNotNull)
+      .select($"event_id", $"key".as("user_id"),
+        $"m.o_orderkey".as("o_orderkey"), $"m.o_orderdate".as("o_orderdate"))
+      .orderBy($"event_id")
+  }
+
+  /** Range join: for each error event, count clicks by the same user in
+    * the trailing hour. Implemented as an equi-join on (user, hour
+    * bucket) — each click is exploded into the two buckets it can serve
+    * — then the exact range predicate. Turns an O(n·m) inequality join
+    * into a co-partitioned hash join, which is the 100 TB shape. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000
+    val ev = Tables.load(spark, dir, "events")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts",
+        expr(s"unix_micros(ts) div $hourUs").as("bucket"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withColumn("bucket",
+        explode(array(expr(s"unix_micros(c_ts) div $hourUs"),
+          expr(s"unix_micros(c_ts) div $hourUs") + 1)))
+    errors.join(clicks,
+        errors("user_id") === clicks("c_user") && errors("bucket") === clicks("bucket") &&
+          clicks("c_ts") > errors("ts") - expr("INTERVAL 1 HOUR") &&
+          clicks("c_ts") <= errors("ts"),
+        "left_outer")
+      .groupBy($"event_id", $"user_id")
+      .agg(count($"c_ts").as("n_clicks"))
+      .orderBy($"event_id")
+  }
+}
