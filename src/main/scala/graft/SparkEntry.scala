@@ -26,8 +26,26 @@ object SparkEntry {
     "ol_rollup" -> (Relational.rollupOrders _),
     "ol_percentile" -> (Relational.percentiles _),
     "ol_asof" -> (Relational.asofJoin _),
-    "ol_range" -> (Relational.rangeJoin _)
+    "ol_range" -> (Relational.rangeJoin _),
+    "vs_chunk" -> (VectorStore.chunk _),
+    "vs_file_hash" -> (VectorStore.fileHash _),
+    "vs_dedup_ingest" -> (VectorStore.dedupIngest _),
+    "vs_tokenize" -> (VectorStore.tokenize _),
+    "vs_embed" -> (VectorStore.embed _),
+    "vs_knn" -> (KnnSearch.knn _),
+    "vs_knn_filtered" -> (KnnSearch.knnFiltered _),
+    "vs_search_multi" -> (KnnSearch.searchMulti _),
+    "vs_sources" -> (KnnSearch.sources _),
+    "ann_brute" -> (KnnSearch.annBrute _)
   )
+
+  /** Shared oracle fragment: double vectors + norms over embeddings. */
+  private val normCte =
+    """n AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      | FROM embeddings)""".stripMargin
+  private val dotExpr =
+    "list_sum(list_transform(range(1, 65), i -> q.v[i::INT] * c.v[i::INT]))"
 
   def oracleSql: Map[String, String] = Map(
     "ol_pricing" ->
@@ -112,6 +130,82 @@ object SparkEntry {
         |  SELECT COUNT(*) FROM events c
         |  WHERE c.user_id = e.user_id AND c.event_type = 'click'
         |    AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts) AS n_clicks
-        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+        |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+    "vs_chunk" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents)
+        |SELECT doc_id, i::BIGINT AS chunk_id,
+        | substr(text, (i*200 + 1)::INT, 256) AS chunk_text,
+        | length(substr(text, (i*200 + 1)::INT, 256))::BIGINT AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "vs_file_hash" ->
+      """SELECT doc_id, file_hash,
+        | row_number() OVER (PARTITION BY file_hash ORDER BY doc_id) > 1 AS is_dup
+        |FROM (SELECT doc_id, md5(text) AS file_hash FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "vs_dedup_ingest" ->
+      """SELECT md5(text) AS file_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "vs_tokenize" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        | len(list_distinct(toks))::BIGINT AS n_distinct,
+        | toks[1] AS first_token, toks[-1] AS last_token
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "vs_embed" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |bs AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM toks),
+        |cnt AS (SELECT doc_id, list_transform(range(0, 64), i -> len(list_filter(b, x -> x = i))::DOUBLE) v FROM bs),
+        |nrm AS (SELECT doc_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) n FROM cnt)
+        |SELECT doc_id, i::BIGINT AS dim, round(v[(i+1)::INT] / n, 6) AS val
+        |FROM nrm, range(0, 64) t(i)
+        |ORDER BY doc_id, dim""".stripMargin,
+    "vs_knn" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "vs_knn_filtered" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10 AND c.label = 3),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "vs_search_multi" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  CASE WHEN c.label < 5 THEN 'text' ELSE 'image' END channel,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, channel, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id, channel ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, channel, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 3
+        |ORDER BY q_id, channel, rnk""".stripMargin,
+    "vs_sources" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT r.q_id, r.rnk::BIGINT AS rnk, r.n_id, d.source, d.lang
+        |FROM r JOIN documents d ON d.doc_id = r.n_id WHERE r.rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "ann_brute" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE c.vec_id != q.vec_id),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin
   )
 }

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float|double>` columns using
+  * higher-order functions (`zip_with`/`aggregate`/`transform`) — these
+  * evaluate inside whole-stage codegen with no serialization, unlike a
+  * Scala UDF taking Seq[Float].
+  *
+  * Replaces the reference's sklearn cosine_similarity matrix call
+  * (vector_db.py:684-696) with a per-pair expression Catalyst can
+  * pipeline into joins and window operators.
+  *
+  * All math is double-precision (floats are upcast exactly), and the
+  * left-fold in `dot` is sequential, so scores are deterministic.
+  */
+object VectorFunctions {
+
+  /** Exact float→double upcast of an embedding column. */
+  def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; pass precomputed norms to amortize over many
+    * pairs (the kNN operators precompute one norm per row). */
+  def cosine(a: Column, b: Column, aNorm: Column, bNorm: Column): Column =
+    dot(a, b) / (aNorm * bNorm)
+
+  /** L2-normalize, rounded to 6dp for cross-engine stability. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => round(x / n, 6))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** The reference's VectorDatabase ingest pipeline, batch-native.
+  *
+  * The reference walks files one at a time, appending pandas rows
+  * (vector_db.py:163-229); here ingestion is a single declarative plan
+  * over the corpus table: chunk → hash → dedup → tokenize → embed.
+  * Every step is a narrow per-row transform (no shuffle) except the
+  * dedup groupBy, so the pipeline scans 100 TB exactly once.
+  */
+object VectorStore {
+
+  val ChunkSize = 256
+  val ChunkStride = 200
+  val EmbedDim = 64
+
+  /** Fixed-size overlapping chunking — the analog of the reference's
+    * per-page text blocks (embed_pdf, vector_db.py:254-280). The chunk
+    * count derives from the text itself, so the operator composes with
+    * any upstream source. */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), expr(s"int((length(text) - 1) div $ChunkStride)")),
+          i => substr($"text", i * lit(ChunkStride) + lit(1), lit(ChunkSize)))))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        $"chunk_text", length($"chunk_text").cast("long").as("chunk_len"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Content hash + duplicate flag (get_file_hash /
+    * file_already_processed, vector_db.py:420-434). */
+  def fileHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"file_hash").orderBy($"doc_id")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", md5($"text").as("file_hash"))
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .orderBy($"doc_id")
+  }
+
+  /** Ingest-time exact dedup: first doc per content hash wins —
+    * the set-semantics version of the reference's skip-if-processed
+    * loop (vector_db.py:187-193). */
+  def dedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5($"text").as("file_hash"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  /** Tokenization stats — the embedding preprocessor. */
+  def tokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        element_at($"toks", 1).as("first_token"),
+        element_at($"toks", -1).as("last_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic hashing-trick embedding, dim=64, L2-normalized —
+    * the batch stand-in for the reference's model embedders
+    * (bge_text_embedder, vector_db.py:464-471: encode + normalize).
+    * Per-row, shuffle-free, codegen'd; and md5-reproducible so the
+    * oracle can recompute it exactly. */
+  def embedText(text: Column): Column = {
+    val bs = transform(tokens(text), t => hashBucket(t, EmbedDim))
+    val counts = transform(sequence(lit(0L), lit(EmbedDim - 1L)),
+      i => size(filter(bs, b => b === i)).cast("double"))
+    l2Normalize(counts)
+  }
+
+  /** Embeddings exploded to (doc_id, dim, val) rows — scalar columns
+    * hash-compare across engines more robustly than list columns. */
+  def embed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", posexplode(embedText($"text")))
+      .toDF("doc_id", "dim", "val")
+      .select($"doc_id", $"dim".cast("long").as("dim"), $"val")
+      .orderBy($"doc_id", $"dim")
+  }
+}
