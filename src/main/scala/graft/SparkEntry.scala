@@ -36,8 +36,21 @@ object SparkEntry {
     "vs_knn_filtered" -> (KnnSearch.knnFiltered _),
     "vs_search_multi" -> (KnnSearch.searchMulti _),
     "vs_sources" -> (KnnSearch.sources _),
-    "ann_brute" -> (KnnSearch.annBrute _)
+    "ann_brute" -> (KnnSearch.annBrute _),
+    "dd_exact" -> (Dedup.exact _),
+    "dd_jaccard" -> (Dedup.jaccardPairs _),
+    "dd_minhash" -> (Dedup.minhashLsh _),
+    "dd_simhash" -> (Dedup.simhashPairs _),
+    "dd_embed" -> (Dedup.embedPairs _)
   )
+
+  /** Shared oracle fragment: distinct word-bigram shingle sets. */
+  private val bigramCte =
+    """bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+      |   i -> w[i::INT] || ' ' || w[(i+1)::INT])) s
+      | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents))""".stripMargin
+  private val jaccardExpr =
+    "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4)"
 
   /** Shared oracle fragment: double vectors + norms over embeddings. */
   private val normCte =
@@ -206,6 +219,43 @@ object SparkEntry {
         |r AS (SELECT q_id, n_id, sim_r,
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
         |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 3
-        |ORDER BY q_id, rnk""".stripMargin
+        |ORDER BY q_id, rnk""".stripMargin,
+    "dd_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash,
+        | min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "dd_jaccard" ->
+      s"""WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bg AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)),
+        |   i -> w[i::INT] || ' ' || w[(i+1)::INT])) s FROM w0)
+        |SELECT a.doc_id a_id, b.doc_id b_id, $jaccardExpr AS j_r
+        |FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.05
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_minhash" ->
+      s"""WITH $bigramCte
+        |SELECT a.doc_id a_id, b.doc_id b_id, $jaccardExpr AS j_r
+        |FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |hs AS (SELECT doc_id, list_transform(tk, t -> substr(md5(t), 1, 15)) h FROM toks),
+        |ds AS (SELECT doc_id, list_transform(h, x -> list_transform(range(1, 16),
+        |   p -> strpos('0123456789abcdef', substr(x, p::INT, 1))::BIGINT - 1)) d FROM hs),
+        |votes AS (SELECT doc_id, list_transform(range(0, 60),
+        |   i -> list_sum(list_transform(d, dd -> ((dd[(i//4+1)::INT] >> ((3 - (i % 4)))::INT) & 1) * 2 - 1))) v FROM ds),
+        |fp AS (SELECT doc_id, list_sum(list_transform(range(0, 60),
+        |   i -> CASE WHEN v[(i+1)::INT] > 0 THEN (1::BIGINT << ((59-i))::INT) ELSE 0 END))::BIGINT f FROM votes)
+        |SELECT a.doc_id a_id, b.doc_id b_id, bit_count(xor(a.f, b.f))::BIGINT AS hamming
+        |FROM fp a, fp b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_embed" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+        | FROM embeddings),
+        |p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 4) sim_r
+        | FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, sim_r FROM p WHERE sim_r >= 0.35 ORDER BY a_id, b_id""".stripMargin
   )
 }

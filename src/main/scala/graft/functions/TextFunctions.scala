@@ -38,8 +38,12 @@ object TextFunctions {
   def hashBucket(c: Column, buckets: Int): Column =
     pmod(conv(substring(md5(c), 1, 2), 16, 10).cast("long"), lit(buckets.toLong))
 
-  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"]. */
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
+    * Guarded: fewer than n tokens → empty (Spark's sequence(1,0) would
+    * otherwise count *down*). */
   def shingles(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - lit(n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Corpus deduplication — the pipeline-scale generalization of the
+  * reference's skip-if-hash-seen ingest check (vector_db.py:420-434).
+  *
+  * Strategy ladder, all shuffle-bounded:
+  *  - exact: one groupBy on a content hash (map-side combine shrinks
+  *    each partition to distinct hashes before the exchange);
+  *  - MinHash+LSH: near-dup candidates from band-bucket equi-joins —
+  *    the corpus is never self-crossed; only hash-collision pairs
+  *    reach the exact-Jaccard verifier;
+  *  - SimHash: 60-bit fingerprints, pigeonhole-banded (4 bands of 15
+  *    bits — hamming ≤ 3 guarantees ≥ 1 identical band) so candidate
+  *    generation is again an equi-join, then exact hamming;
+  *  - embedding-cosine: the semantic variant (ann_lsh is its scale
+  *    path; the query here is the exact small-side verifier).
+  */
+object Dedup {
+
+  /** Seeds for the MinHash signature: 30 hashes = 10 bands × rows of 3.
+    * With the corpus's bimodal bigram-Jaccard distribution (near-dups
+    * ≥ 0.9, background ≤ 0.14) the per-pair miss probability at j=0.9
+    * is (1-0.9³)^10 ≈ 9e-7 — effectively exact — while background
+    * pairs collide on a band with p ≈ 0.12³, keeping candidates ~1% of
+    * the cross product. */
+  val MinHashSeeds = 30
+  val BandRows = 3
+  val JaccardThreshold = 0.5
+  val SimHashBits = 60
+  val HammingMax = 3
+
+  /** Exact near-dup clusters on canonicalized text. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(normText($"text")).as("norm_hash"))
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_doc_id")
+  }
+
+  /** (doc_id, s): distinct word-bigram shingle sets. */
+  private def bigramSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", array_distinct(shingles(tokens($"text"), 2)).as("s"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+
+  /** Exact n-gram Jaccard audit over a deterministic 10% sample —
+    * the ground-truth twin of the LSH path (all-pairs is O(n²): it
+    * exists to audit, not to scale; minhashLsh is the scale path). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = bigramSets(spark, dir).filter($"doc_id" % 10 === 0)
+    val a = t.select($"doc_id".as("a_id"), $"s".as("sa"))
+    val b = t.select($"doc_id".as("b_id"), $"s".as("sb"))
+    a.crossJoin(b).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", jaccard($"sa", $"sb").as("j_r"))
+      .filter($"j_r" >= 0.05)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash signatures → LSH band buckets → candidate pairs →
+    * exact-Jaccard verification at [[JaccardThreshold]]. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = bigramSets(spark, dir)
+    val sig = sets.select($"doc_id",
+      array((0 until MinHashSeeds).map(k =>
+        array_min(transform($"s", x => hash32Seeded(x, k)))): _*).as("sig"))
+    // band key: the r minhashes of the band, joined textually — avoids
+    // 64-bit packing overflow and hashes uniformly into the shuffle.
+    val bands = sig.select($"doc_id",
+        posexplode(transform(sequence(lit(0), lit(MinHashSeeds / BandRows - 1)),
+          j => concat_ws(":",
+            (0 until BandRows).map(r => element_at($"sig", j * BandRows + r + 1)): _*))))
+      .toDF("doc_id", "band", "bkey")
+    val l = bands.select($"band", $"bkey", $"doc_id".as("a_id"))
+    val r = bands.select($"band", $"bkey", $"doc_id".as("b_id"))
+    val cand = l.join(r, Seq("band", "bkey")).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"s".as("sa")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"s".as("sb")), "b_id")
+      .select($"a_id", $"b_id", jaccard($"sa", $"sb").as("j_r"))
+      .filter($"j_r" >= JaccardThreshold)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private def idiv(a: Column, b: Long): Column = (a / lit(b)).cast("long")
+
+  /** 60-bit SimHash fingerprint of the token multiset, md5-derived so
+    * the oracle recomputes it bit-identically. */
+  def simhashFingerprint(text: Column): Column = {
+    // per-token 15 hex digits (60 bits) of md5, parsed once
+    val ds = transform(tokens(text), t =>
+      transform(sequence(lit(1), lit(15)),
+        p => conv(substr(md5(t), p, lit(1)), 16, 10).cast("long")))
+    // per-bit votes: +1 where the token's bit is set, -1 otherwise
+    val divisors = array(lit(8L), lit(4L), lit(2L), lit(1L))
+    val votes = transform(sequence(lit(0L), lit(SimHashBits - 1L)), i =>
+      aggregate(ds, lit(0L), (acc, dd) =>
+        acc + pmod((element_at(dd, (idiv(i, 4) + 1).cast("int")) /
+          element_at(divisors, (pmod(i, lit(4)) + 1).cast("int"))).cast("long"),
+          lit(2L)) * 2 - 1))
+    // pack sign bits MSB-first: fold acc*2 + (vote>0)
+    aggregate(votes, lit(0L), (acc, v) =>
+      acc * 2 + when(v > 0, 1L).otherwise(0L))
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ [[HammingMax]] via pigeonhole
+    * banding: 4 bands of 15 bits; ≤3 differing bits leave at least one
+    * band untouched, so the banded equi-join has perfect recall. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Tables.load(spark, dir, "documents")
+      .select($"doc_id", simhashFingerprint($"text").as("f"))
+    val mask = lit((1L << 15) - 1)
+    val banded = fp.select($"doc_id", $"f",
+        posexplode(array($"f".bitwiseAND(mask),
+          shiftright($"f", 15).bitwiseAND(mask),
+          shiftright($"f", 30).bitwiseAND(mask),
+          shiftright($"f", 45).bitwiseAND(mask))))
+      .toDF("doc_id", "f", "band", "bkey")
+    val l = banded.select($"band", $"bkey", $"doc_id".as("a_id"), $"f".as("fa"))
+    val r = banded.select($"band", $"bkey", $"doc_id".as("b_id"), $"f".as("fb"))
+    l.join(r, Seq("band", "bkey")).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        bit_count($"fa".bitwiseXOR($"fb")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= HammingMax)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (threshold tuned to this corpus's
+    * unclustered vectors; see SURVEY §2). */
+  def embedPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val a = v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+    val b = v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
+    a.crossJoin(b).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
+      .filter($"sim_r" >= 0.35)
+      .orderBy($"a_id", $"b_id")
+  }
+}
