@@ -41,7 +41,20 @@ object SparkEntry {
     "dd_jaccard" -> (Dedup.jaccardPairs _),
     "dd_minhash" -> (Dedup.minhashLsh _),
     "dd_simhash" -> (Dedup.simhashPairs _),
-    "dd_embed" -> (Dedup.embedPairs _)
+    "dd_embed" -> (Dedup.embedPairs _),
+    "tx_langid" -> (TextAnalysis.langId _),
+    "tx_quality" -> (TextAnalysis.quality _),
+    "tx_tokens" -> (TextAnalysis.tokenCounts _),
+    "tx_fingerprint" -> (TextAnalysis.fingerprint _),
+    "tx_ngrams" -> (TextAnalysis.ngrams _),
+    "mm_meta" -> (Multimodal.meta _),
+    "mm_frames" -> (Multimodal.frames _),
+    "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
+    "st_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
+    // [rows-only]: approximate ANN has no SQL ground truth; recall vs
+    // ann_brute is asserted in AnnIndexSpec instead.
+    "ann_ivf" -> (AnnIndex.ivf _),
+    "ann_lsh" -> (AnnIndex.lsh _)
   )
 
   /** Shared oracle fragment: distinct word-bigram shingle sets. */
@@ -256,6 +269,76 @@ object SparkEntry {
         |p AS (SELECT a.vec_id a_id, b.vec_id b_id,
         |  round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 4) sim_r
         | FROM n a, n b WHERE a.vec_id < b.vec_id)
-        |SELECT a_id, b_id, sim_r FROM p WHERE sim_r >= 0.35 ORDER BY a_id, b_id""".stripMargin
+        |SELECT a_id, b_id, sim_r FROM p WHERE sim_r >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+    "tx_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
+        |s AS (SELECT doc_id,
+        | len(list_filter(toks, t -> t IN ('data','table','row')))::BIGINT s_de,
+        | len(list_filter(toks, t -> t IN ('the','fast','slow')))::BIGINT s_en,
+        | len(list_filter(toks, t -> t IN ('query','column','line')))::BIGINT s_es,
+        | len(list_filter(toks, t -> t IN ('join','merge','sort')))::BIGINT s_fr,
+        | len(list_filter(toks, t -> t IN ('hash','vector','stream')))::BIGINT s_zh
+        | FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        | CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |      WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "tx_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') toks FROM documents)
+        |SELECT doc_id, length(text)::BIGINT n_chars_c, len(toks)::BIGINT n_tokens,
+        | round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks), 4) mean_tok_len,
+        | round(len(list_filter(toks, t -> t IN ('the','a','of','and')))::DOUBLE / len(toks), 4) stop_ratio,
+        | round(0.4 * round(len(list_filter(toks, t -> t IN ('the','a','of','and')))::DOUBLE / len(toks), 4)
+        |     + 0.6 * least(1.0, len(toks)::DOUBLE / 100), 4) quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "tx_tokens" ->
+      """SELECT doc_id, n_chars,
+        | len(string_split_regex(trim(text), '\s+'))::BIGINT n_ws,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT n_bpe,
+        | round(n_chars::DOUBLE / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 4) chars_per_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') w FROM documents),
+        |sh AS (SELECT doc_id, text, list_transform(range(1, len(w)-1),
+        |  i -> w[i::INT] || ' ' || w[(i+1)::INT] || ' ' || w[(i+2)::INT]) s FROM t)
+        |SELECT doc_id,
+        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) fp_md5,
+        | coalesce(list_min(list_transform(s, x -> ('0x' || substr(md5(x),1,8))::BIGINT)),
+        |   ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')),1,8))::BIGINT) min_shingle_hash
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "tx_ngrams" ->
+      """WITH b AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i::INT] || ' ' || w[(i+1)::INT])) bigram
+        | FROM (SELECT string_split_regex(trim(text), '\s+') w FROM documents))
+        |SELECT bigram, count(*) n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id,
+        | octet_length(text::BLOB)::BIGINT byte_len,
+        | lower(hex(substr(text, 1, 4)::BLOB)) magic,
+        | md5(text) content_md5,
+        | CASE octet_length(text::BLOB) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+        | 64 + ('0x' || substr(md5(text),1,8))::BIGINT % 1856 width,
+        | 64 + ('0x' || substr(md5(reverse(text)),1,8))::BIGINT % 1056 height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//32)::BIGINT + 1, 4)) frame_no FROM documents)
+        |SELECT doc_id, frame_no::BIGINT frame_no,
+        | md5(substr(text, (frame_no*32+1)::INT, 32)) frame_md5,
+        | length(substr(text, (frame_no*32+1)::INT, 32))::BIGINT frame_len
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "st_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) n,
+        | (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st_dedup" ->
+      """SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+        | min(event_id) first_event, count(*) n_dups
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, minute""".stripMargin
   )
 }

@@ -24,4 +24,15 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Streaming variant of the events loader (same nanos handling).
+    * `dir` must be a directory holding only events parquet files — the
+    * file-stream source treats the path as its base directory. */
+  def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val df = spark.readStream.schema(raw).parquet(dir)
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Multimodal-column plumbing: payloads as opaque `binary` columns with
+  * typed metadata, mirroring the reference's base64 image blobs riding
+  * next to text rows (vector_db.py:283-308). The real image/audio
+  * decoders aren't in this environment, so the decode step is a
+  * clearly-marked deterministic stub (hash-derived dimensions); the
+  * Spark-side contract — binary schema, per-row metadata extraction,
+  * strided frame sampling — is real and oracle-verified.
+  */
+object Multimodal {
+
+  val FrameBytes = 32
+  val FrameStride = 4
+
+  /** Typed metadata over binary payloads: byte length, magic prefix,
+    * content digest, modality tag, and STUBBED decoded dimensions
+    * (deterministic hash-derived fakes standing in for a real decoder
+    * running under mapInPandas/mapPartitions at the same schema). */
+  def meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("payload"), $"text")
+      .select($"doc_id",
+        length($"payload").cast("long").as("byte_len"),
+        lower(hex(expr("substring(payload, 1, 4)"))).as("magic"),
+        md5($"payload").as("content_md5"),
+        // modality router (kind) + stub decode: dimensions derived from
+        // the content hash — NOT a real decoder, but schema-faithful.
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(length($"payload").cast("long"), lit(3L)) + 1).cast("int")).as("kind"),
+        (lit(64L) + pmod(hash32($"text"), lit(1856L))).as("width"),
+        (lit(64L) + pmod(hash32(reverse($"text")), lit(1056L))).as("height"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic strided frame sampling: fixed-size frames, every
+    * [[FrameStride]]-th sampled and digested — the shape of video
+    * frame extraction over binary columns (batch size = frame count,
+    * pure per-row expansion, no shuffle). */
+  def frames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        explode(sequence(lit(0), expr(s"int((length(text) - 1) div $FrameBytes)"),
+          lit(FrameStride))).as("frame_no"),
+        $"text")
+      .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
+        md5(substr($"text", $"frame_no" * FrameBytes + 1, lit(FrameBytes))).as("frame_md5"),
+        length(substr($"text", $"frame_no" * FrameBytes + 1, lit(FrameBytes)))
+          .cast("long").as("frame_len"))
+      .orderBy($"doc_id", $"frame_no")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language
+  * scoring, quality metrics, token accounting, fingerprints, corpus
+  * n-gram statistics. All per-row narrow transforms (zero shuffle)
+  * except the corpus n-gram aggregation, which is a single partial-agg
+  * groupBy — the shapes that stream a 100 TB corpus once.
+  */
+object TextAnalysis {
+
+  /** Marker token sets per language. The corpus vocabulary is synthetic
+    * (~31 SQL-ish words), so markers are drawn from it; the operator
+    * shape — per-language occurrence scoring with a deterministic
+    * argmax — is the real deliverable. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("data", "table", "row"),
+    "en" -> Seq("the", "fast", "slow"),
+    "es" -> Seq("query", "column", "line"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("hash", "vector", "stream"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  private def occurrences(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Language ID by marker scoring; ties resolve to the alphabetically
+    * first language via the CASE evaluation order. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.load(spark, dir, "documents")
+      .select($"doc_id" +: Markers.map { case (l, ws) =>
+        occurrences(toks, ws).as(s"s_$l") }: _*)
+    val langs = Markers.map(_._1)
+    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val rest = langs.drop(i + 1).map(r => col(s"s_$r"))
+        val maxRest = if (rest.size == 1) rest.head else greatest(rest: _*)
+        when(col(s"s_$l") >= maxRest, l).otherwise(elseCol)
+    }
+    scored.withColumn("predicted", predicted).orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length, and a weighted composite. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        length($"text").cast("long").as("n_chars_c"),
+        size(toks).cast("long").as("n_tokens"),
+        toks.as("toks"))
+      .withColumn("mean_tok_len",
+        round(length(regexp_replace($"text", "\\s+", ""))
+          .cast("double") / $"n_tokens", 4))
+      .withColumn("stop_ratio",
+        round(occurrences($"toks", Stopwords).cast("double") / $"n_tokens", 4))
+      .withColumn("quality",
+        round(lit(0.4) * $"stop_ratio"
+          + lit(0.6) * least(lit(1.0), $"n_tokens".cast("double") / 100), 4))
+      .select($"doc_id", $"n_chars_c", $"n_tokens", $"mean_tok_len",
+        $"stop_ratio", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** Token accounting: whitespace tokens vs a BPE-ish regex
+    * segmentation (letter runs / digit runs / single symbols). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        size(tokens($"text")).cast("long").as("n_ws"),
+        size(regexp_extract_all($"text",
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+      .withColumn("chars_per_bpe",
+        round($"n_chars".cast("double") / $"n_bpe", 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: canonical-text md5 plus the minimum
+    * 3-shingle rolling hash (the MinHash primitive, exposed as a
+    * single-value fingerprint). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        md5(normText($"text")).as("fp_md5"),
+        coalesce(array_min(transform(shingles(toks, 3), s => hash32(s))),
+          hash32(normText($"text"))).as("min_shingle_hash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
+    * break on the bigram text. */
+  def ngrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(shingles(tokens($"text"), 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndex, KnnSearch}
+
+/** Recall of the approximate indexes against the exact brute-force
+  * top-k on the same query/corpus split (the correctness story for the
+  * [rows-only] inventory entries). */
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def hitSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+
+  lazy val exact = hitSet(KnnSearch.knn(spark, sf))
+
+  test("ann_ivf recall@5 >= 0.5 vs brute force") {
+    val ivf = hitSet(AnnIndex.ivf(spark, sf))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(s"ivf recall@5 = $recall")
+    assert(recall >= 0.5)
+  }
+
+  test("ann_lsh returns plausible neighbors (all from corpus, ranked)") {
+    val lsh = AnnIndex.lsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(_.getAs[Long]("n_id") >= 10))
+    val recall = (hitSet(AnnIndex.lsh(spark, sf)) & exact).size.toDouble / exact.size
+    info(s"lsh recall@5 = $recall")
+    assert(recall > 0.0)
+  }
+}
