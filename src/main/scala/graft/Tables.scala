@@ -14,6 +14,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Repartition for compute-heavy per-row operators. The local corpus
+    * files are single parquet splits → one task; real 100 TB inputs
+    * arrive in thousands of splits, so this only reproduces the
+    * parallelism a cluster gets for free. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a

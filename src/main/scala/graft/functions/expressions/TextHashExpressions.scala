@@ -1,0 +1,149 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass native forms of the md5-derived text hashes.
+  *
+  * The Column-API formulations (`transform(sequence(0,63), i ->
+  * size(filter(bs, b = i)))`, per-bit vote folds, per-seed minhash
+  * transforms) are semantically right but evaluate interpreted AND
+  * re-evaluate their array inputs per outer element — Catalyst's
+  * CollapseProject inlines a once-referenced alias regardless of how
+  * many times the runtime lambda loop will evaluate it, turning O(n)
+  * into O(dim·n) with an interpreted md5 in the middle. These
+  * expressions do one pass per row in plain Java.
+  *
+  * Bit-compatibility contract (checked by the DuckDB oracles):
+  *  - bucket(t)   = first md5 byte unsigned  % dim
+  *                  == conv(substr(md5(t),1,2),16,10) % dim
+  *  - hash32(s)   = first 4 md5 bytes as big-endian unsigned
+  *                  == conv(substr(md5(s),1,8),16,10)
+  *  - simhash bit i reads hex digit i/4, bit (3 - i%4), over the
+  *    first 15 hex digits (60 bits) of md5(token).
+  */
+private[expressions] object Md5 {
+  def digest(s: UTF8String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes)
+}
+
+/** tokens: array<string> → array<double> of length `dim`: per-bucket
+  * token counts (the hashing-trick embedder's raw vector). */
+case class HashingCounts(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val b0 = Md5.digest(t)(0) & 0xFF
+        counts(b0 % dim) += 1.0
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashingCounts =
+    copy(child = c)
+}
+
+object HashingCounts {
+  def apply(tokens: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(HashingCounts(org.apache.spark.sql.graft.ColumnBridge.expression(tokens), dim))
+}
+
+/** tokens: array<string> → 60-bit SimHash fingerprint as long. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val d = Md5.digest(t)
+        var bit = 0
+        while (bit < 60) {
+          val digit = bit / 4 // hex digit index 0..14
+          val byte0 = d(digit / 2) & 0xFF
+          val nibble = if (digit % 2 == 0) byte0 >>> 4 else byte0 & 0xF
+          votes(bit) += (((nibble >>> (3 - bit % 4)) & 1) * 2) - 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var f = 0L
+    var bit = 0
+    while (bit < 60) { // MSB-first: acc*2 + sign(vote)
+      f = f * 2 + (if (votes(bit) > 0) 1L else 0L)
+      bit += 1
+    }
+    f
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
+object SimHash60 {
+  def apply(tokens: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(SimHash60(org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
+}
+
+/** shingles: array<string> → array<long> of `seeds` minhash values:
+  * sig[k] = min over shingles of hash32(s"$k:" + shingle). */
+case class MinHashSignature(child: Expression, seeds: Int)
+    extends UnaryExpression with CodegenFallback {
+
+
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill[Long](seeds)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        var k = 0
+        while (k < seeds) {
+          val d = Md5.digest(UTF8String.fromString(k + ":" + s.toString))
+          val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+object MinHashSignature {
+  def apply(shingles: Column, seeds: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      MinHashSignature(org.apache.spark.sql.graft.ColumnBridge.expression(shingles), seeds))
+}

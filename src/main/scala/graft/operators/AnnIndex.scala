@@ -67,12 +67,9 @@ object AnnIndex {
     // scan only the probed cells (partition-pruned at scale)
     val cand = assigned.filter($"vec_id" >= 10)
       .join(qCells, "cell")
-    cand.select($"q_id", $"vec_id".as("n_id"),
-        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"sim_r".desc, $"n_id")).cast("long"))
-      .filter($"rnk" <= TopK)
-      .select($"q_id", $"rnk", $"n_id", $"sim_r")
+    KnnSearch.rankTopK(
+      cand.select($"q_id", $"vec_id".as("n_id"),
+        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), TopK)
       .orderBy($"q_id", $"rnk")
   }
 
@@ -101,12 +98,9 @@ object AnnIndex {
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"), $"sig")
     val cand = v.filter($"vec_id" >= 10).join(q, "sig")
-    cand.select($"q_id", $"vec_id".as("n_id"),
-        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"sim_r".desc, $"n_id")).cast("long"))
-      .filter($"rnk" <= TopK)
-      .select($"q_id", $"rnk", $"n_id", $"sim_r")
+    KnnSearch.rankTopK(
+      cand.select($"q_id", $"vec_id".as("n_id"),
+        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), TopK)
       .orderBy($"q_id", $"rnk")
   }
 }

@@ -47,7 +47,7 @@ object Dedup {
   /** (doc_id, s): distinct word-bigram shingle sets. */
   private def bigramSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", array_distinct(shingles(tokens($"text"), 2)).as("s"))
   }
 
@@ -73,9 +73,11 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sets = bigramSets(spark, dir)
+    // native single-pass signature (one digest per (seed, shingle));
+    // the per-seed transform() form re-walked the shingle set 30×
+    // through interpreted md5+conv.
     val sig = sets.select($"doc_id",
-      array((0 until MinHashSeeds).map(k =>
-        array_min(transform($"s", x => hash32Seeded(x, k)))): _*).as("sig"))
+      graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"))
     // band key: the r minhashes of the band, joined textually — avoids
     // 64-bit packing overflow and hashes uniformly into the shuffle.
     val bands = sig.select($"doc_id",
@@ -95,33 +97,20 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  private def idiv(a: Column, b: Long): Column = (a / lit(b)).cast("long")
-
-  /** 60-bit SimHash fingerprint of the token multiset, md5-derived so
-    * the oracle recomputes it bit-identically. */
-  def simhashFingerprint(text: Column): Column = {
-    // per-token 15 hex digits (60 bits) of md5, parsed once
-    val ds = transform(tokens(text), t =>
-      transform(sequence(lit(1), lit(15)),
-        p => conv(substr(md5(t), p, lit(1)), 16, 10).cast("long")))
-    // per-bit votes: +1 where the token's bit is set, -1 otherwise
-    val divisors = array(lit(8L), lit(4L), lit(2L), lit(1L))
-    val votes = transform(sequence(lit(0L), lit(SimHashBits - 1L)), i =>
-      aggregate(ds, lit(0L), (acc, dd) =>
-        acc + pmod((element_at(dd, (idiv(i, 4) + 1).cast("int")) /
-          element_at(divisors, (pmod(i, lit(4)) + 1).cast("int"))).cast("long"),
-          lit(2L)) * 2 - 1))
-    // pack sign bits MSB-first: fold acc*2 + (vote>0)
-    aggregate(votes, lit(0L), (acc, v) =>
-      acc * 2 + when(v > 0, 1L).otherwise(0L))
-  }
+  /** 60-bit SimHash fingerprint of the token multiset — a native
+    * single-pass Expression ([[graft.functions.expressions.SimHash60]];
+    * the Column-HOF formulation re-parsed every token's digest once
+    * per bit, 60×). md5-derived so the oracle recomputes it
+    * bit-identically. */
+  def simhashFingerprint(text: Column): Column =
+    graft.functions.expressions.SimHash60(tokens(text))
 
   /** SimHash near-dup pairs at hamming ≤ [[HammingMax]] via pigeonhole
     * banding: 4 bands of 15 bits; ≤3 differing bits leave at least one
     * band untouched, so the banded equi-join has perfect recall. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = Tables.load(spark, dir, "documents")
+    val fp = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", simhashFingerprint($"text").as("f"))
     val mask = lit((1L << 15) - 1)
     val banded = fp.select($"doc_id", $"f",

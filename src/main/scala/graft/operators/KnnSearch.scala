@@ -30,15 +30,23 @@ object KnnSearch {
       .withColumn("nrm", l2Norm($"v"))
   }
 
-  private def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val pairs = corpus.crossJoin(broadcast(queries))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 4).as("sim_r"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim_r").desc, col("n_id"))
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("n_id"), col("sim_r"))
-  }
+  /** Rank pairs into per-query top-k via the partial aggregate
+    * ([[graft.functions.expressions.TopKByScore]]) — each partition
+    * contributes at most k candidates per query to the shuffle,
+    * instead of the window-ranking form that exchanges every pair. */
+  private[operators] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("q_id"))
+      .agg(graft.functions.expressions.TopKByScore(col("sim_r"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("n_id"), col("col.score").as("sim_r"))
+
+  private def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm")), 4).as("sim_r")),
+      k)
 
   private def queriesOf(v: DataFrame, n: Int): DataFrame =
     v.filter(col("vec_id") < n)
@@ -101,10 +109,6 @@ object KnnSearch {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
-    val w = Window.partitionBy($"q_id").orderBy($"sim_r".desc, $"n_id")
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter($"rnk" <= 3)
-      .select($"q_id", $"rnk", $"n_id", $"sim_r")
-      .orderBy($"q_id", $"rnk")
+    rankTopK(pairs, 3).orderBy($"q_id", $"rnk")
   }
 }

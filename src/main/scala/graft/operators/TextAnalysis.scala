@@ -102,7 +102,7 @@ object TextAnalysis {
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
+    Tables.spread(Tables.load(spark, dir, "documents"))
       .select(explode(shingles(tokens($"text"), 2)).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))

@@ -76,12 +76,12 @@ object VectorStore {
   /** Deterministic hashing-trick embedding, dim=64, L2-normalized —
     * the batch stand-in for the reference's model embedders
     * (bge_text_embedder, vector_db.py:464-471: encode + normalize).
-    * Per-row, shuffle-free, codegen'd; and md5-reproducible so the
-    * oracle can recompute it exactly. */
+    * Bucket counting is a native single-pass Expression
+    * ([[graft.functions.expressions.HashingCounts]]); the Column-HOF
+    * formulation re-evaluated the md5 bucket array once per output
+    * dim. md5-reproducible, so the oracle recomputes it exactly. */
   def embedText(text: Column): Column = {
-    val bs = transform(tokens(text), t => hashBucket(t, EmbedDim))
-    val counts = transform(sequence(lit(0L), lit(EmbedDim - 1L)),
-      i => size(filter(bs, b => b === i)).cast("double"))
+    val counts = graft.functions.expressions.HashingCounts(tokens(text), EmbedDim)
     l2Normalize(counts)
   }
 
@@ -89,8 +89,11 @@ object VectorStore {
     * hash-compare across engines more robustly than list columns. */
   def embed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", posexplode(embedText($"text")))
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        graft.functions.expressions.HashingCounts(tokens($"text"), EmbedDim).as("counts"))
+      .withColumn("nrm", l2Norm($"counts"))
+      .select($"doc_id", posexplode(transform($"counts", x => round(x / $"nrm", 6))))
       .toDF("doc_id", "dim", "val")
       .select($"doc_id", $"dim".cast("long").as("dim"), $"val")
       .orderBy($"doc_id", $"dim")
