@@ -32,6 +32,14 @@ object SparkEntry {
     "vs_dedup_ingest" -> (VectorStore.dedupIngest _),
     "vs_tokenize" -> (VectorStore.tokenize _),
     "vs_embed" -> (VectorStore.embed _),
+    "vs_pipeline" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      GraftVectorDB.pipeline(Tables.load(s, dir, "documents"))
+        .select(col("doc_name"), col("doc_type"), col("page_num"),
+          col("content_type"), col("content_id"), col("content_raw"),
+          col("file_hash"), col("ts"))
+        .orderBy(col("doc_name"), col("page_num"))
+    }),
     "vs_knn" -> (KnnSearch.knn _),
     "vs_knn_filtered" -> (KnnSearch.knnFiltered _),
     "vs_search_multi" -> (KnnSearch.searchMulti _),
@@ -186,6 +194,14 @@ object SparkEntry {
         |SELECT doc_id, i::BIGINT AS dim, round(v[(i+1)::INT] / n, 6) AS val
         |FROM nrm, range(0, 64) t(i)
         |ORDER BY doc_id, dim""".stripMargin,
+    "vs_pipeline" ->
+      """WITH c AS (SELECT doc_id, source, text, md5(text) AS file_hash,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents)
+        |SELECT 'corpus/' || source || '/doc_' || doc_id || '.txt' AS doc_name,
+        | 'txt' AS doc_type, i::BIGINT AS page_num, 'text_chunk' AS content_type,
+        | i::VARCHAR AS content_id, substr(text, (i*200+1)::INT, 256) AS content_raw,
+        | file_hash, make_timestamp(doc_id * 1000000) AS ts
+        |FROM c ORDER BY doc_name, page_num""".stripMargin,
     "vs_knn" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

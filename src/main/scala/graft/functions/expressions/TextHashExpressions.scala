@@ -34,10 +34,12 @@ private[expressions] object Md5 {
 }
 
 /** tokens: array<string> → array<double> of length `dim`: per-bucket
-  * token counts (the hashing-trick embedder's raw vector). */
-case class HashingCounts(child: Expression, dim: Int)
+  * token counts (the hashing-trick embedder's raw vector). With
+  * `normalized=true`, L2-normalizes and rounds to 6dp in the same
+  * pass — equivalent to round(x/sqrt(Σx²),6) but without the Column
+  * formulation's per-element norm re-evaluation. */
+case class HashingCounts(child: Expression, dim: Int, normalized: Boolean = false)
     extends UnaryExpression with CodegenFallback {
-
 
   override def dataType: DataType = ArrayType(DoubleType)
 
@@ -53,6 +55,19 @@ case class HashingCounts(child: Expression, dim: Int)
       }
       i += 1
     }
+    if (normalized) {
+      var sq = 0.0
+      var j = 0
+      while (j < dim) { sq += counts(j) * counts(j); j += 1 }
+      val nrm = math.sqrt(sq)
+      j = 0
+      while (j < dim) {
+        // identical to Spark's round(double, 6): HALF_UP on BigDecimal
+        counts(j) = BigDecimal(counts(j) / nrm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        j += 1
+      }
+    }
     new GenericArrayData(counts)
   }
 
@@ -63,6 +78,9 @@ case class HashingCounts(child: Expression, dim: Int)
 object HashingCounts {
   def apply(tokens: Column, dim: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(HashingCounts(org.apache.spark.sql.graft.ColumnBridge.expression(tokens), dim))
+  def normalized(tokens: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(HashingCounts(
+      org.apache.spark.sql.graft.ColumnBridge.expression(tokens), dim, normalized = true))
 }
 
 /** tokens: array<string> → 60-bit SimHash fingerprint as long. */

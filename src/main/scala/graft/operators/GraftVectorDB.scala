@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.model.ContentTypes
+
+/** The user-facing vector database — the reference's `VectorDatabase`
+  * class surface (vector_db.py:27-229, 615-759), batch-native:
+  *
+  *  - `ingest` = vectorize_folder: corpus → chunk → embed → store,
+  *    skipping docs whose content hash is already present
+  *    (file_already_processed, :431-434). One declarative plan; the
+  *    dedup check is a broadcast anti-join against the store's hash
+  *    set, not a per-file loop.
+  *  - the store persists as parquet partitioned by content_type
+  *    (_save_vector_db/_load_pickle, :160-238) — at 100 TB that is
+  *    the layout that lets a text-only search prune the image
+  *    partitions at the scan.
+  *  - `search` = run_search text mode; `searchMultimodal` = text_image
+  *    mode (both channels, unioned, channel-tagged);
+  *    `searchIn` = get_search_range's location filter (:673-682).
+  *    Results are the source manifest (generate_source_list, :903-916).
+  *  - image rows carry a deterministic caption row into the text
+  *    channel — the shape of blip/openai captioning (:547-596) with
+  *    the model call stubbed (no image models in this environment).
+  */
+class GraftVectorDB(spark: SparkSession, storeDir: String) {
+  import spark.implicits._
+
+  def storePath: String = s"$storeDir/vector_store"
+
+  def store: DataFrame = spark.read.parquet(storePath)
+
+  private def storeHashes: DataFrame =
+    try store.select($"file_hash").distinct()
+    catch { case _: Exception => Seq.empty[String].toDF("file_hash") }
+
+  /** Ingest a documents-shaped frame (doc_id, text, lang, source).
+    * Appends only not-yet-seen content hashes. Returns rows appended. */
+  def ingest(docs: DataFrame): Long = {
+    val records = GraftVectorDB.pipeline(docs)
+    val fresh = records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti")
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
+    n
+  }
+
+  /** Text search over the text channel (text_chunk + image_caption —
+    * exactly run_text_search's text-vs-text scope). */
+  def search(queryText: String, topN: Int = 5, location: Option[String] = None): DataFrame =
+    searchChannel(queryText,
+      store.filter($"content_type" =!= ContentTypes.Image), topN, location)
+      .withColumn("channel", lit("text"))
+
+  /** Combined text+image search — run_search's text_image mode: the
+    * query hits both stores, results union channel-tagged. */
+  def searchMultimodal(queryText: String, topN: Int = 5,
+      location: Option[String] = None): DataFrame = {
+    val text = search(queryText, topN, location)
+    val image = searchChannel(queryText,
+      store.filter($"content_type" === ContentTypes.Image), topN, location)
+      .withColumn("channel", lit("image"))
+    text.unionByName(image).orderBy($"channel", $"rnk")
+  }
+
+  private def searchChannel(queryText: String, channel: DataFrame,
+      topN: Int, location: Option[String]): DataFrame = {
+    val q = spark.range(1).select(
+      VectorStore.embedText(lit(queryText)).as("qv"))
+      .withColumn("qnrm", l2Norm($"qv"))
+    val scoped = location.fold(channel)(loc =>
+      channel.filter($"doc_name".startsWith(loc)))
+    val pairs = scoped.crossJoin(broadcast(q))
+      .select(lit(0L).as("q_id"),
+        round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
+        $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw",
+        xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"))
+    // source manifest: top-n rows with their metadata (the tiny top-k
+    // result broadcasts back onto the scoped store to pick up fields)
+    val top = KnnSearch.rankTopK(
+        pairs.select($"q_id", $"sim_r", $"row_id".as("n_id")), topN)
+      .select($"rnk", $"n_id", $"sim_r")
+    pairs.drop("sim_r").join(broadcast(top), pairs("row_id") === top("n_id"))
+      .select($"rnk", $"sim_r", $"doc_name", $"page_num",
+        $"content_type", $"content_id", $"content_raw")
+      .orderBy($"rnk")
+  }
+}
+
+object GraftVectorDB {
+
+  /** documents-shaped frame → VectorRecord rows (chunk + embed + hash
+    * + caption stub), shuffle-free except the final write. */
+  def pipeline(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = Tables.spread(docs).select(
+      $"doc_id",
+      concat(lit("corpus/"), $"source", lit("/doc_"), $"doc_id", lit(".txt")).as("doc_name"),
+      lit("txt").as("doc_type"),
+      md5($"text").as("file_hash"),
+      timestamp_micros($"doc_id" * 1000000L).as("ts"),
+      $"text")
+    val chunks = base.select($"doc_id", $"doc_name", $"doc_type", $"file_hash", $"ts",
+        posexplode(transform(
+          sequence(lit(0), expr(s"int((length(text) - 1) div ${VectorStore.ChunkStride})")),
+          i => substr($"text", i * lit(VectorStore.ChunkStride) + lit(1),
+            lit(VectorStore.ChunkSize)))))
+      .toDF("doc_id", "doc_name", "doc_type", "file_hash", "ts", "page_num", "content_raw")
+    chunks.select(
+      $"doc_name", $"doc_type", $"page_num".cast("long").as("page_num"),
+      lit(graft.model.ContentTypes.TextChunk).as("content_type"),
+      $"page_num".cast("string").as("content_id"),
+      $"content_raw",
+      VectorStore.embedText($"content_raw").as("embedding"),
+      $"file_hash", $"ts",
+      array(lit(0.0), ($"page_num" * VectorStore.ChunkStride).cast("double"),
+        lit(0.0), ($"page_num" * VectorStore.ChunkStride + length($"content_raw"))
+          .cast("double")).as("bbox"))
+  }
+
+  /** Deterministic caption stub for binary/image rows — stands in for
+    * the blip/gpt caption call (vector_db.py:547-596); real deployments
+    * swap `captionText` for a model UDF with the same row contract. */
+  def captionRows(imageRows: DataFrame): DataFrame = {
+    val spark = imageRows.sparkSession
+    import spark.implicits._
+    val captionText = concat(lit("captioned content "),
+      substring($"file_hash", 1, 8))
+    imageRows.select(
+      $"doc_name", $"doc_type", $"page_num",
+      lit(graft.model.ContentTypes.ImageCaption).as("content_type"),
+      $"content_id", captionText.as("content_raw"),
+      VectorStore.embedText(captionText).as("embedding"),
+      $"file_hash", $"ts", $"bbox")
+  }
+}

@@ -80,20 +80,15 @@ object VectorStore {
     * ([[graft.functions.expressions.HashingCounts]]); the Column-HOF
     * formulation re-evaluated the md5 bucket array once per output
     * dim. md5-reproducible, so the oracle recomputes it exactly. */
-  def embedText(text: Column): Column = {
-    val counts = graft.functions.expressions.HashingCounts(tokens(text), EmbedDim)
-    l2Normalize(counts)
-  }
+  def embedText(text: Column): Column =
+    graft.functions.expressions.HashingCounts.normalized(tokens(text), EmbedDim)
 
   /** Embeddings exploded to (doc_id, dim, val) rows — scalar columns
     * hash-compare across engines more robustly than list columns. */
   def embed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.load(spark, dir, "documents"))
-      .select($"doc_id",
-        graft.functions.expressions.HashingCounts(tokens($"text"), EmbedDim).as("counts"))
-      .withColumn("nrm", l2Norm($"counts"))
-      .select($"doc_id", posexplode(transform($"counts", x => round(x / $"nrm", 6))))
+      .select($"doc_id", posexplode(embedText($"text")))
       .toDF("doc_id", "dim", "val")
       .select($"doc_id", $"dim".cast("long").as("dim"), $"val")
       .orderBy($"doc_id", $"dim")

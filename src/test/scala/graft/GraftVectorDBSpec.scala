@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraftVectorDB
+
+/** End-to-end store lifecycle: ingest → persist → dedup-skip →
+  * search → filtered search (the reference's VectorDatabase usage
+  * pattern: vectorize_folder then run_search). */
+class GraftVectorDBSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dbDir = "target/vdb_spec"
+  private lazy val db = {
+    val d = new GraftVectorDB(spark, dbDir)
+    val path = new java.io.File(d.storePath)
+    if (path.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(path)
+    }
+    d
+  }
+  private lazy val firstIngest: Long =
+    db.ingest(Tables.load(spark, sf, "documents"))
+
+  test("ingest writes chunk records; re-ingest of same corpus appends nothing") {
+    assert(firstIngest > 0)
+    val again = db.ingest(Tables.load(spark, sf, "documents"))
+    assert(again == 0, "already-processed docs must be skipped")
+    assert(db.store.count() == firstIngest)
+  }
+
+  test("store schema carries the full record shape") {
+    assert(firstIngest > 0)
+    val cols = db.store.columns.toSet
+    assert(Set("doc_name", "doc_type", "page_num", "content_type", "content_id",
+      "content_raw", "embedding", "file_hash", "ts", "bbox").subsetOf(cols))
+  }
+
+  test("search returns a ranked source manifest") {
+    assert(firstIngest > 0)
+    val hits = db.search("fast query join table", topN = 5).collect()
+    assert(hits.length == 5)
+    assert(hits.map(_.getAs[Long]("rnk")).toSeq == (1L to 5L))
+    val sims = hits.map(_.getAs[Double]("sim_r"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("location filter restricts the search scope (get_search_range)") {
+    assert(firstIngest > 0)
+    val hits = db.search("fast query join table", 5, Some("corpus/src1/")).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("doc_name").startsWith("corpus/src1/")))
+  }
+
+  test("multimodal search unions channel-tagged results") {
+    assert(firstIngest > 0)
+    val hits = db.searchMultimodal("fast query join table", topN = 3).collect()
+    // no image rows ingested in this corpus → only the text channel
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("channel") == "text"))
+  }
+}
