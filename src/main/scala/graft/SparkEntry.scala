@@ -27,6 +27,11 @@ object SparkEntry {
     "ol_percentile" -> (Relational.percentiles _),
     "ol_asof" -> (Relational.asofJoin _),
     "ol_range" -> (Relational.rangeJoin _),
+    "ol_exists" -> (Relational.noOrders _),
+    "ol_cube" -> (Relational.cubeOrders _),
+    "ol_distinct" -> (Relational.distinctCounts _),
+    "ol_setops" -> (Relational.setOps _),
+    "ol_topk_group" -> (Relational.topPerBrand _),
     "vs_chunk" -> (VectorStore.chunk _),
     "vs_file_hash" -> (VectorStore.fileHash _),
     "vs_dedup_ingest" -> (VectorStore.dedupIngest _),
@@ -165,6 +170,34 @@ object SparkEntry {
         |  WHERE c.user_id = e.user_id AND c.event_type = 'click'
         |    AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts) AS n_clicks
         |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+    "ol_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "ol_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n, (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "ol_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ol_setops" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        |  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        |ORDER BY n_nationkey""".stripMargin,
+    "ol_topk_group" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        | FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
     "vs_chunk" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents)

@@ -189,6 +189,73 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NOT EXISTS as a left-anti join: customers with no 1997 order.
+    * Anti-joins broadcast the filtered build side; no correlated
+    * per-row subquery execution. */
+  def noOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer").select($"c_custkey", $"c_name")
+    val ord97 = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.join(ord97, cust("c_custkey") === ord97("o_custkey"), "left_anti")
+      .orderBy($"c_custkey")
+  }
+
+  /** CUBE aggregate (all grouping-set combinations). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).cast("double").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Exact distinct counts per group (partial-agg distinct expansion). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  /** Set operations: nations that have customers but no suppliers
+    * (EXCEPT over distinct key sets, then a broadcast dim join). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cn = Tables.load(spark, dir, "customer")
+      .select($"c_nationkey".cast("int").as("nk")).distinct()
+    val sn = Tables.load(spark, dir, "supplier")
+      .select($"s_nationkey".cast("int").as("nk")).distinct()
+    val nation = Tables.load(spark, dir, "nation")
+    cn.except(sn)
+      .join(broadcast(nation), $"nk" === $"n_nationkey")
+      .select($"n_nationkey", $"n_name")
+      .orderBy($"n_nationkey")
+  }
+
+  /** Top-3 parts per brand via the bounded partial top-k aggregate
+    * ([[graft.functions.expressions.TopKByScore]]) — the relational
+    * use of the same operator that ranks vector search. */
+  def topPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .groupBy($"p_brand")
+      .agg(graft.functions.expressions.TopKByScore(
+        $"p_retailprice", $"p_partkey", 3).as("top"))
+      .select($"p_brand", posexplode($"top"))
+      .select($"p_brand", (col("pos") + 1).cast("long").as("rnk"),
+        $"col.id".as("p_partkey"), $"col.score".as("p_retailprice"))
+      .orderBy($"p_brand", $"rnk")
+  }
+
   /** Range join: for each error event, count clicks by the same user in
     * the trailing hour. Implemented as an equi-join on (user, hour
     * bucket) — each click is exploded into the two buckets it can serve

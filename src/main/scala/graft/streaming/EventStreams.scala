@@ -1,8 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
+
+case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+case class UserSession(user_id: Long, t_start: Timestamp, t_end: Timestamp, n_events: Long)
 
 /** Structured-Streaming event operators, each with a batch-parity
   * form. The batch form is the oracle-checked query; the streaming
@@ -44,6 +50,61 @@ object EventStreams {
         date_trunc("minute", $"ts").as("minute"))
       .agg(min($"event_id").as("first_event"), count(lit(1)).as("n_dups"))
       .orderBy($"user_id", $"event_type", $"minute")
+  }
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState —
+    * the custom-state twin of [[graft.operators.Relational.sessionize]].
+    * Each user's state holds the open session; a gap > `gapHours`
+    * closes it (emitted on the next event or on event-time timeout).
+    * State is per-key and bounded: one open session per user,
+    * expiring at watermark + gap. */
+  def sessionizeStream(events: DataFrame, gapHours: Int = 6): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapHours * 3600L * 1000000L
+
+    def micros(t: Timestamp): Long = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
+    events.select($"user_id", $"ts", $"event_id").as[SessionEvent]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator.single(UserSession(uid, toTs(s), toTs(e), n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var open: Option[(Long, Long, Long)] = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { ev =>
+              val t = micros(ev.ts)
+              open match {
+                case Some((s, e, n)) if t - e <= gapUs =>
+                  open = Some((s, t, n + 1))
+                case Some((s, e, n)) =>
+                  closed += UserSession(uid, toTs(s), toTs(e), n)
+                  open = Some((t, t, 1L))
+                case None =>
+                  open = Some((t, t, 1L))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st._2 / 1000 + gapUs / 1000,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
   }
 
   /** Streaming twin of [[dedupBatch]]'s keep-one semantics:
