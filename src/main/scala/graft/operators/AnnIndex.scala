@@ -47,7 +47,7 @@ object AnnIndex {
     import spark.implicits._
     val v = vecs(spark, dir)
     val feat = v.withColumn("features", array_to_vector($"v"))
-    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
       .select($"vec_id", $"v", $"nrm", $"prediction".as("cell"))

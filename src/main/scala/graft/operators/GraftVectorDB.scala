@@ -40,8 +40,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   /** Ingest a documents-shaped frame (doc_id, text, lang, source).
     * Appends only not-yet-seen content hashes. Returns rows appended. */
-  def ingest(docs: DataFrame): Long = {
-    val records = GraftVectorDB.pipeline(docs)
+  def ingest(docs: DataFrame): Long =
+    ingestRecords(GraftVectorDB.pipeline(docs))
+
+  /** Append pre-built VectorRecord rows (image channels, captions, or
+    * external pipelines), skipping already-seen content hashes. */
+  def ingestRecords(records: DataFrame): Long = {
     val fresh = records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti")
     val n = fresh.count()
     if (n > 0)

@@ -11,13 +11,26 @@ object Demo {
     val dir = if (args.length > 1) args(1) else "target/demo_store"
     val spark = GraftSession.local(4, "graft-demo")
     val db = new GraftVectorDB(spark, dir)
+    import org.apache.spark.sql.functions.{col, lit}
     val docs = Tables.load(spark, sf, "documents")
-    println(s"[demo] ingested ${db.ingest(docs)} records")
-    println(s"[demo] re-ingest appended ${db.ingest(docs)} (expect 0)")
+    // text channel from most files; the tail is reserved for the
+    // image-batch demo below (file-level dedup would otherwise skip
+    // it — same semantics as the reference's file_already_processed)
+    val textDocs = docs.filter(col("doc_id") < 450)
+    println(s"[demo] ingested ${db.ingest(textDocs)} records")
+    println(s"[demo] re-ingest appended ${db.ingest(textDocs)} (expect 0)")
     println("[demo] search('fast query join table'):")
     db.search("fast query join table", topN = 5).show(20, 60)
     println("[demo] multimodal search:")
     db.searchMultimodal("fast query join table", topN = 3).show(20, 60)
+    // image channel: fabricate an image batch + caption rows
+    val img = GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 450))
+      .filter(col("page_num") === 0)
+      .withColumn("content_type", lit(graft.model.ContentTypes.Image))
+    val n = db.ingestRecords(img.unionByName(GraftVectorDB.captionRows(img)))
+    println(s"[demo] appended $n image+caption records")
+    println("[demo] multimodal search with image channel:")
+    db.searchMultimodal("captioned content", topN = 3).show(20, 60)
     spark.stop()
   }
 }

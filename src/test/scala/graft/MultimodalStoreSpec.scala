@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.ContentTypes
+import graft.operators.GraftVectorDB
+
+/** The image channel end-to-end: image records + their caption rows
+  * ingest together; multimodal search hits the image store and the
+  * captions surface through the text channel — the reference's
+  * caption-into-text-store flow (vector_db.py:310-341). */
+class MultimodalStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("image + caption rows flow through multimodal search") {
+    val dir = "target/vdb_mm"
+    val f = new java.io.File(s"$dir/vector_store")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+
+    val db = new GraftVectorDB(spark, dir)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(db.ingest(docs.filter(col("doc_id") < 100)) > 0)
+
+    // fabricate an image batch from disjoint docs: same record schema,
+    // content_type=image; captions ride along in the same append so
+    // the shared file_hash isn't seen as already-processed
+    val img = GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 400))
+      .filter(col("page_num") === 0)
+      .withColumn("content_type", lit(ContentTypes.Image))
+    val appended = db.ingestRecords(img.unionByName(GraftVectorDB.captionRows(img)))
+    assert(appended > 0)
+
+    val multi = db.searchMultimodal("captioned content", topN = 3).collect()
+    assert(multi.exists(_.getAs[String]("channel") == "image"),
+      "image channel must return hits")
+    val text = db.search("captioned content", topN = 5).collect()
+    assert(text.exists(_.getAs[String]("content_type") == ContentTypes.ImageCaption),
+      "caption rows must be searchable in the text channel")
+  }
+}
