@@ -16,8 +16,10 @@ import graft.functions.expressions._
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectResolutionRule(_ => new graft.plans.ResolveKnnJoin)
+  }
 }
 
 object GraftExtensions {

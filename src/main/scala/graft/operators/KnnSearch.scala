@@ -41,6 +41,16 @@ object KnnSearch {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("n_id"), col("col.score").as("sim_r"))
 
+  /** KNN join through the logical operator ([[graft.plans.KnnJoinPlan]]
+    * + the ResolveKnnJoin expansion rule) — requires a session built
+    * `withExtensions(new GraftExtensions)`. Same contract and output
+    * as the Column-API path. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.ofRows(corpus.sparkSession,
+      graft.plans.KnnJoinPlan(ColumnBridge.plan(corpus), ColumnBridge.plan(queries), k))
+  }
+
   private def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(
       corpus.crossJoin(broadcast(queries))

@@ -13,6 +13,37 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Logical plan of a DataFrame / DataFrame from a logical plan —
+    * both `private[sql]` in Spark 4. */
+  def plan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], p)
+
+  /** A sibling session on the same SparkContext WITH the given
+    * extensions applied — for exercising injected rules/strategies
+    * when the default session predates them. Builder extensions only
+    * apply when a NEW session is created, so the default/active
+    * session registrations are cleared around the build and restored
+    * after. */
+  def sessionWithExtensions(
+      spark: org.apache.spark.sql.SparkSession,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    import org.apache.spark.sql.SparkSession
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder().withExtensions(f).getOrCreate()
+    finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   /** Register function builders into a LIVE session (extensions only
     * apply at session construction; specs share one session). */
   def register(
