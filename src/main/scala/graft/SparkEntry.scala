@@ -64,10 +64,11 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frames _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
     "st_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
-    // [rows-only]: approximate ANN has no SQL ground truth; recall vs
-    // ann_brute is asserted in AnnIndexSpec instead.
+    // [rows-only]: approximate operators have no SQL ground truth;
+    // recall/error bounds are asserted in specs instead.
     "ann_ivf" -> (AnnIndex.ivf _),
-    "ann_lsh" -> (AnnIndex.lsh _)
+    "ann_lsh" -> (AnnIndex.lsh _),
+    "ol_approx" -> (Relational.approxStats _)
   )
 
   /** Shared oracle fragment: distinct word-bigram shingle sets. */

@@ -71,6 +71,26 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     text.unionByName(image).orderBy($"channel", $"rnk")
   }
 
+  /** run_search's full return shape: a response plus the source
+    * manifest (vector_db.py:615-671). The reference calls an LLM to
+    * summarize retrieved content (generate_gpt_response, :838-901);
+    * here the response is a deterministic extractive stub — the top
+    * hit's content with a provenance suffix — with the same contract,
+    * so a real model call can be swapped in per row at the same seam. */
+  def answer(queryText: String, topN: Int = 5,
+      location: Option[String] = None): (String, DataFrame) = {
+    val hits = search(queryText, topN, location)
+    val top = hits.limit(1).collect()
+    val response =
+      if (top.isEmpty) "no relevant content found"
+      else {
+        val h = top.head
+        s"[extractive] ${h.getAs[String]("content_raw").take(200)} " +
+          s"(from ${h.getAs[String]("doc_name")} p${h.getAs[Long]("page_num")})"
+      }
+    (response, hits)
+  }
+
   private def searchChannel(queryText: String, channel: DataFrame,
       topN: Int, location: Option[String]): DataFrame = {
     val q = spark.range(1).select(

@@ -256,6 +256,22 @@ object Relational {
       .orderBy($"p_brand", $"rnk")
   }
 
+  /** Approximate sketches: HLL distinct counts + approx percentiles
+    * per group — [rows-only] in the oracle (sketch values are
+    * implementation-specific); the spec bounds their error against the
+    * exact forms. At 100 TB these replace exact distinct/percentile
+    * whenever the 1-2% error is acceptable: no distinct expansion, a
+    * fixed-size mergeable sketch per partition. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   /** Range join: for each error event, count clicks by the same user in
     * the trailing hour. Implemented as an equi-join on (user, hour
     * bucket) — each click is exploded into the two buckets it can serve

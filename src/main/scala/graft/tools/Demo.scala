@@ -23,6 +23,8 @@ object Demo {
     db.search("fast query join table", topN = 5).show(20, 60)
     println("[demo] multimodal search:")
     db.searchMultimodal("fast query join table", topN = 3).show(20, 60)
+    val (response, _) = db.answer("fast query join table")
+    println(s"[demo] answer: $response")
     // image channel: fabricate an image batch + caption rows
     val img = GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 450))
       .filter(col("page_num") === 0)

@@ -55,6 +55,14 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(hits.forall(_.getAs[String]("doc_name").startsWith("corpus/src1/")))
   }
 
+  test("answer returns the run_search contract: response + sources") {
+    assert(firstIngest > 0)
+    val (response, sources) = db.answer("fast query join table", topN = 3)
+    assert(response.startsWith("[extractive] "))
+    assert(response.contains("corpus/"))
+    assert(sources.count() == 3)
+  }
+
   test("multimodal search unions channel-tagged results") {
     assert(firstIngest > 0)
     val hits = db.searchMultimodal("fast query join table", topN = 3).collect()
