@@ -64,6 +64,7 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frames _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
     "st_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
+    "st_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     // [rows-only]: approximate operators have no SQL ground truth;
     // recall/error bounds are asserted in specs instead.
     "ann_ivf" -> (AnnIndex.ivf _),
@@ -385,6 +386,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) n,
         | (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st_enrich" ->
+      """SELECT c_mktsegment, date_trunc('day', ts) AS day, COUNT(*) AS n,
+        | (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, day""".stripMargin,
     "st_dedup" ->
       """SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
         | min(event_id) first_event, count(*) n_dups

@@ -36,7 +36,7 @@ object AnnIndex {
 
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "embeddings")
+    Tables.spread(Tables.load(spark, dir, "embeddings"))
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", l2Norm($"v"))
   }

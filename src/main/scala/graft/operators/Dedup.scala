@@ -133,7 +133,7 @@ object Dedup {
     * unclustered vectors; see SURVEY §2). */
   def embedPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables.load(spark, dir, "embeddings")
+    val v = Tables.spread(Tables.load(spark, dir, "embeddings"))
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", l2Norm($"v"))
     val a = v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))

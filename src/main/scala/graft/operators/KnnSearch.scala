@@ -25,7 +25,7 @@ object KnnSearch {
   /** (vec_id, v, nrm) with double vectors + precomputed norms. */
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "embeddings")
+    Tables.spread(Tables.load(spark, dir, "embeddings"))
       .select($"vec_id", $"label", toDouble($"embedding").as("v"))
       .withColumn("nrm", l2Norm($"v"))
   }

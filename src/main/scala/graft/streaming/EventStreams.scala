@@ -19,6 +19,35 @@ case class UserSession(user_id: Long, t_start: Timestamp, t_end: Timestamp, n_ev
   */
 object EventStreams {
 
+  /** Stream-static enrichment (batch parity): events joined to the
+    * customer dim, aggregated per segment/day. The dim broadcasts; in
+    * the streaming form the same join is a stream-static join re-read
+    * per micro-batch. */
+  def enrichBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    Tables.load(spark, dir, "events")
+      .join(broadcast(cust), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy($"c_mktsegment", $"day")
+  }
+
+  /** Streaming twin of [[enrichBatch]]: stream-static join + windowed
+    * aggregation. */
+  def enrichStream(events: DataFrame, customer: DataFrame): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_mktsegment"))
+    events
+      .join(cust, col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("c_mktsegment"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("c_mktsegment"), col("w.start").as("day"), col("n"), col("sum_value"))
+  }
+
   /** Tumbling 1h windowed aggregation (batch parity). */
   def windowAggBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -34,6 +34,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: streaming == batch") {
+    val q = EventStreams.enrichStream(
+        Tables.loadEventsStream(spark, streamDir),
+        Tables.load(spark, sf, "customer"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("st_enrich_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("st_enrich_test")
+        .select("c_mktsegment", "day", "n", "sum_value")
+      val want = EventStreams.enrichBatch(spark, sf)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits one row per (user, type, minute)") {
     val q = EventStreams.dedupStream(Tables.loadEventsStream(spark, streamDir))
       .writeStream.outputMode("append")
