@@ -60,6 +60,8 @@ object SparkEntry {
     "tx_tokens" -> (TextAnalysis.tokenCounts _),
     "tx_fingerprint" -> (TextAnalysis.fingerprint _),
     "tx_ngrams" -> (TextAnalysis.ngrams _),
+    "tx_scrub" -> (TextAnalysis.scrub _),
+    "tx_vocab" -> (TextAnalysis.vocab _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_frames" -> (Multimodal.frames _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
@@ -366,6 +368,16 @@ object SparkEntry {
         | FROM (SELECT string_split_regex(trim(text), '\s+') w FROM documents))
         |SELECT bigram, count(*) n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "tx_scrub" ->
+      """SELECT event_id,
+        | len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_redacted,
+        | md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM events ORDER BY event_id""".stripMargin,
+    "tx_vocab" ->
+      """SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY df DESC, token""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         | octet_length(text::BLOB)::BIGINT byte_len,

@@ -98,6 +98,33 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Redaction / scrubbing — the shape of PII removal in a curation
+    * pipeline: numeric runs in the raw payload are replaced with a
+    * placeholder, and the operator reports what it touched. Run over
+    * events.props (which actually contains digits); the same column
+    * expressions scrub emails/phones with richer patterns. */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        size(regexp_extract_all($"props", lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_redacted"),
+        md5(regexp_replace($"props", "[0-9]+", "<NUM>")).as("scrubbed_md5"))
+      .orderBy($"event_id")
+  }
+
+  /** Corpus vocabulary stats: per-token document frequency and total
+    * occurrences — the df/idf precursor (one explode + one partial-agg
+    * groupBy; at 100 TB this is the canonical vocabulary-build job). */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+      .orderBy($"df".desc, $"token")
+  }
+
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {

@@ -21,6 +21,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fail = 0
+for name in sorted(only - set(oracle)):
+    print(f"[MISS] {name}: not in oracle_sql.json")
+    fail += 1
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
