@@ -46,11 +46,14 @@ object AnnIndex {
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, dir)
-    val feat = v.withColumn("features", array_to_vector($"v"))
+    // persist across KMeans iterations: the lineage includes a
+    // repartition + parquet scan that would otherwise re-run per pass
+    val feat = v.withColumn("features", array_to_vector($"v")).persist()
     val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(feat)
     val assigned = model.transform(feat)
       .select($"vec_id", $"v", $"nrm", $"prediction".as("cell"))
+    feat.unpersist(blocking = false)
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }.toSeq.toDF("cell", "cv")

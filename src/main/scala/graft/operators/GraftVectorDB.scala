@@ -49,7 +49,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val fresh = records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti")
     val n = fresh.count()
     if (n > 0)
-      fresh.write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
+      // sort within partitions so parquet row-group min/max stats on
+      // doc_name support location-filtered search skipping
+      fresh.sortWithinPartitions("doc_name", "page_num")
+        .write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
     n
   }
 

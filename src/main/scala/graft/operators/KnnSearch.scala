@@ -47,8 +47,18 @@ object KnnSearch {
     * as the Column-API path. */
   def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.ofRows(corpus.sparkSession,
-      graft.plans.KnnJoinPlan(ColumnBridge.plan(corpus), ColumnBridge.plan(queries), k))
+    try {
+      val df = ColumnBridge.ofRows(corpus.sparkSession,
+        graft.plans.KnnJoinPlan(ColumnBridge.plan(corpus), ColumnBridge.plan(queries), k))
+      df.queryExecution.analyzed // force analysis so a missing extension fails HERE
+      df
+    } catch {
+      case e: Throwable if String.valueOf(e.getMessage).contains("KnnJoinPlan") =>
+        throw new IllegalStateException(
+          "knnJoin needs the graft extensions: build the session with " +
+            ".withExtensions(new graft.GraftExtensions) or " +
+            "spark.sql.extensions=graft.GraftExtensions", e)
+    }
   }
 
   private def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =

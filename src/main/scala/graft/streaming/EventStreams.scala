@@ -81,6 +81,27 @@ object EventStreams {
       .orderBy($"user_id", $"event_type", $"minute")
   }
 
+  /** Stream-stream join: error events matched to same-user click
+    * events in the trailing hour. Both sides carry watermarks and the
+    * join has two-sided time bounds, so each side's buffered state is
+    * evicted once the other's watermark passes — bounded memory on an
+    * unbounded stream, the canonical streaming range-join shape
+    * (streaming twin of [[graft.operators.Relational.rangeJoin]]'s
+    * pair generation). */
+  def rangeJoinStream(errorsSrc: DataFrame, clicksSrc: DataFrame): DataFrame = {
+    val errors = errorsSrc.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+    val clicks = clicksSrc.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    errors.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("ts"))
+      .select(col("error_id"), col("user_id"), col("ts"), col("click_ts"))
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState —
     * the custom-state twin of [[graft.operators.Relational.sessionize]].
     * Each user's state holds the open session; a gap > `gapHours`
