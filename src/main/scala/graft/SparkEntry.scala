@@ -32,6 +32,7 @@ object SparkEntry {
     "ol_distinct" -> (Relational.distinctCounts _),
     "ol_setops" -> (Relational.setOps _),
     "ol_topk_group" -> (Relational.topPerBrand _),
+    "ol_pivot" -> (Relational.pivotEvents _),
     "vs_chunk" -> (VectorStore.chunk _),
     "vs_file_hash" -> (VectorStore.fileHash _),
     "vs_dedup_ingest" -> (VectorStore.dedupIngest _),
@@ -195,6 +196,14 @@ object SparkEntry {
         |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
         |  AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
         |ORDER BY n_nationkey""".stripMargin,
+    "ol_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+        | COUNT(*) FILTER (event_type = 'click') AS click,
+        | COUNT(*) FILTER (event_type = 'error') AS error,
+        | COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin,
     "ol_topk_group" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_retailprice,

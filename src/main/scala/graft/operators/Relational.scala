@@ -256,6 +256,21 @@ object Relational {
       .orderBy($"p_brand", $"rnk")
   }
 
+  /** PIVOT: event counts per user decile, one column per event type.
+    * Explicit pivot values keep the schema static (no extra pass to
+    * discover them — required for both determinism and planning at
+    * scale). */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select(($"user_id" % 10).as("user_decile"), $"event_type")
+      .groupBy($"user_decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy($"user_decile")
+  }
+
   /** Approximate sketches: HLL distinct counts + approx percentiles
     * per group — [rows-only] in the oracle (sketch values are
     * implementation-specific); the spec bounds their error against the
