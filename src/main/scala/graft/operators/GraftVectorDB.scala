@@ -60,16 +60,22 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * exactly run_text_search's text-vs-text scope). */
   def search(queryText: String, topN: Int = 5, location: Option[String] = None): DataFrame =
     searchChannel(queryText,
-      store.filter($"content_type" =!= ContentTypes.Image), topN, location)
+      store.filter($"content_type" =!= ContentTypes.Image), topN, location,
+      VectorStore.embedText)
       .withColumn("channel", lit("text"))
 
   /** Combined text+image search — run_search's text_image mode: the
-    * query hits both stores, results union channel-tagged. */
+    * query hits both stores, results union channel-tagged. The image
+    * channel lives in its OWN embedding space: its rows were embedded
+    * with [[VectorStore.embedImage]], so the query is projected into
+    * that space with the same encoder (the CLIP-text-encoder seam,
+    * vector_db.py:738-759). */
   def searchMultimodal(queryText: String, topN: Int = 5,
       location: Option[String] = None): DataFrame = {
     val text = search(queryText, topN, location)
     val image = searchChannel(queryText,
-      store.filter($"content_type" === ContentTypes.Image), topN, location)
+      store.filter($"content_type" === ContentTypes.Image), topN, location,
+      VectorStore.embedImage)
       .withColumn("channel", lit("image"))
     text.unionByName(image).orderBy($"channel", $"rnk")
   }
@@ -94,24 +100,31 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     (response, hits)
   }
 
+  /** One query = ONE corpus scan: scoring and metadata ride the same
+    * pass, ranked by `ORDER BY sim LIMIT n` — Spark plans that as
+    * TakeOrderedAndProject, which keeps only topN rows per partition
+    * map-side (the single-query twin of the TopKByScore aggregate).
+    * The round-1 form scored the scan once for top-k ids and re-scanned
+    * to re-attach metadata (2× corpus reads per search at 100 TB);
+    * GraftVectorDBSpec now pins the scan count to 1. */
   private def searchChannel(queryText: String, channel: DataFrame,
-      topN: Int, location: Option[String]): DataFrame = {
-    val q = spark.range(1).select(
-      VectorStore.embedText(lit(queryText)).as("qv"))
+      topN: Int, location: Option[String],
+      encoder: Column => Column): DataFrame = {
+    val q = spark.range(1).select(encoder(lit(queryText)).as("qv"))
       .withColumn("qnrm", l2Norm($"qv"))
     val scoped = location.fold(channel)(loc =>
       channel.filter($"doc_name".startsWith(loc)))
-    val pairs = scoped.crossJoin(broadcast(q))
-      .select(lit(0L).as("q_id"),
+    val top = scoped.crossJoin(broadcast(q))
+      .select(
         round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
         $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw",
         xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"))
-    // source manifest: top-n rows with their metadata (the tiny top-k
-    // result broadcasts back onto the scoped store to pick up fields)
-    val top = KnnSearch.rankTopK(
-        pairs.select($"q_id", $"sim_r", $"row_id".as("n_id")), topN)
-      .select($"rnk", $"n_id", $"sim_r")
-    pairs.drop("sim_r").join(broadcast(top), pairs("row_id") === top("n_id"))
+      .orderBy($"sim_r".desc, $"row_id")
+      .limit(topN)
+    // rank numbering runs over the already-limited ≤ topN rows — the
+    // unpartitioned window is a driver-sized frame, not a corpus sort
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sim_r".desc, $"row_id")).cast("long"))
       .select($"rnk", $"sim_r", $"doc_name", $"page_num",
         $"content_type", $"content_id", $"content_raw")
       .orderBy($"rnk")
@@ -148,6 +161,18 @@ object GraftVectorDB {
       array(lit(0.0), ($"page_num" * VectorStore.ChunkStride).cast("double"),
         lit(0.0), ($"page_num" * VectorStore.ChunkStride + length($"content_raw"))
           .cast("double")).as("bbox"))
+  }
+
+  /** Re-key records into the image channel: content_type=image and the
+    * embedding recomputed in the IMAGE space ([[VectorStore.embedImage]]
+    * — the stand-in for the CLIP image encoder, vector_db.py:473-490).
+    * Callers fabricating image batches must come through here so the
+    * store never mixes spaces within a channel. */
+  def toImageChannel(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    records
+      .withColumn("content_type", lit(graft.model.ContentTypes.Image))
+      .withColumn("embedding", VectorStore.embedImage(col("content_raw")))
   }
 
   /** Deterministic caption stub for binary/image rows — stands in for

@@ -20,6 +20,9 @@ object VectorStore {
   val ChunkSize = 256
   val ChunkStride = 200
   val EmbedDim = 64
+  /** The image channel's own space is deliberately a DIFFERENT dim so
+    * cross-space cosine is a type error, not a silent wrong answer. */
+  val ImageEmbedDim = 48
 
   /** Fixed-size overlapping chunking — the analog of the reference's
     * per-page text blocks (embed_pdf, vector_db.py:254-280). The chunk
@@ -82,6 +85,17 @@ object VectorStore {
     * dim. md5-reproducible, so the oracle recomputes it exactly. */
   def embedText(text: Column): Column =
     graft.functions.expressions.HashingCounts.normalized(tokens(text), EmbedDim)
+
+  /** The image-space embedder — a second, independent hash family
+    * (salted tokens, [[ImageEmbedDim]] dims) standing in for the
+    * reference's CLIP image space (clip_base_image_embedder,
+    * vector_db.py:473-490). Image-channel content embeds with THIS,
+    * and text queries against the image store go through it too — the
+    * analog of the CLIP *text* encoder that projects a text query into
+    * the image space (clip_base_text_embedder, :492-508). */
+  def embedImage(content: Column): Column =
+    graft.functions.expressions.HashingCounts.normalized(
+      transform(tokens(content), t => concat(lit("img:"), t)), ImageEmbedDim)
 
   /** Embeddings exploded to (doc_id, dim, val) rows — scalar columns
     * hash-compare across engines more robustly than list columns. */

@@ -25,10 +25,11 @@ object Demo {
     db.searchMultimodal("fast query join table", topN = 3).show(20, 60)
     val (response, _) = db.answer("fast query join table")
     println(s"[demo] answer: $response")
-    // image channel: fabricate an image batch + caption rows
-    val img = GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 450))
-      .filter(col("page_num") === 0)
-      .withColumn("content_type", lit(graft.model.ContentTypes.Image))
+    // image channel: fabricate an image batch + caption rows,
+    // re-embedded into the image space via toImageChannel
+    val img = GraftVectorDB.toImageChannel(
+      GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 450))
+        .filter(col("page_num") === 0))
     val n = db.ingestRecords(img.unionByName(GraftVectorDB.captionRows(img)))
     println(s"[demo] appended $n image+caption records")
     println("[demo] multimodal search with image channel:")

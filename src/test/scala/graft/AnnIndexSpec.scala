@@ -14,19 +14,20 @@ class AnnIndexSpec extends AnyFunSuite {
 
   lazy val exact = hitSet(KnnSearch.knn(spark, sf))
 
-  test("ann_ivf recall@5 >= 0.5 vs brute force") {
+  test("ann_ivf recall@5 >= 0.9 vs brute force") {
     val ivf = hitSet(AnnIndex.ivf(spark, sf))
     val recall = (ivf & exact).size.toDouble / exact.size
     info(s"ivf recall@5 = $recall")
-    assert(recall >= 0.5)
+    assert(recall >= 0.9) // measured 0.94 (tools/RecallProbe)
   }
 
-  test("ann_lsh returns plausible neighbors (all from corpus, ranked)") {
-    val lsh = AnnIndex.lsh(spark, sf).collect()
-    assert(lsh.nonEmpty)
-    assert(lsh.forall(_.getAs[Long]("n_id") >= 10))
-    val recall = (hitSet(AnnIndex.lsh(spark, sf)) & exact).size.toDouble / exact.size
+  test("ann_lsh recall@5 >= 0.9 vs brute force, neighbors from corpus") {
+    val rows = AnnIndex.lsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_id") >= 10))
+    val recall = (rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet & exact).size.toDouble / exact.size
     info(s"lsh recall@5 = $recall")
-    assert(recall > 0.0)
+    assert(recall >= 0.9) // measured 0.94, fully deterministic (md5 planes)
   }
 }

@@ -48,6 +48,22 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("search reads the store exactly once (single-scan plan)") {
+    assert(firstIngest > 0)
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = db.search("fast query join table", topN = 5)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("vector_store")) => f
+      }
+      assert(scans.size == 1,
+        s"one search must scan the store once, found ${scans.size}:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("location filter restricts the search scope (get_search_range)") {
     assert(firstIngest > 0)
     val hits = db.search("fast query join table", 5, Some("corpus/src1/")).collect()

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+import graft.operators.AnnIndex
+
+/** The IVF layout claim, demonstrated: a corpus written partitioned by
+  * cell id turns a probe into a partition-PRUNED scan — the `cell IN
+  * (probes)` predicate reaches the file index, and only the probed
+  * cells' files are listed. This is what makes IVF a 100 TB design:
+  * the non-probed (cells - nProbe)/cells of the corpus is never read. */
+class IvfStoreSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val storeDir = "target/ivf_store_spec"
+
+  test("probe of a cell-partitioned store is partition-pruned at the scan") {
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val centroids = AnnIndex.buildIvfStore(spark, sf, storeDir)
+      val q = Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" === 0)
+        .select($"vec_id".as("q_id"), toDouble($"embedding").as("qv"))
+        .withColumn("qnrm", l2Norm($"qv"))
+      val nProbe = 4
+      val res = AnnIndex.probeIvfStore(spark, storeDir, centroids, q, nProbe, k = 5)
+      val rows = res.orderBy($"rnk").collect()
+      assert(rows.length == 5)
+      // the query's own cell is among its top-dot probes → finds itself
+      assert(rows.head.getAs[Long]("n_id") == 0L)
+      assert(rows.head.getAs[Double]("sim_r") == 1.0)
+
+      val scan = res.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(storeDir)) => f
+      }.head
+      assert(scan.partitionFilters.nonEmpty,
+        s"cell predicate must prune partitions:\n${res.queryExecution.executedPlan}")
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+      val cellsRead = selected.map(_.values.getInt(0)).toSet
+      assert(cellsRead.size == nProbe,
+        s"expected $nProbe probed cells, scan reads $cellsRead")
+      val allFiles = spark.read.parquet(storeDir).inputFiles.length
+      val readFiles = selected.map(_.files.size).sum
+      assert(readFiles < allFiles,
+        s"pruned scan must read fewer files ($readFiles) than the store holds ($allFiles)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+}

@@ -26,11 +26,11 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(db.ingest(docs.filter(col("doc_id") < 100)) > 0)
 
     // fabricate an image batch from disjoint docs: same record schema,
-    // content_type=image; captions ride along in the same append so
-    // the shared file_hash isn't seen as already-processed
-    val img = GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 400))
-      .filter(col("page_num") === 0)
-      .withColumn("content_type", lit(ContentTypes.Image))
+    // re-embedded into the image space; captions ride along in the same
+    // append so the shared file_hash isn't seen as already-processed
+    val img = GraftVectorDB.toImageChannel(
+      GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 400))
+        .filter(col("page_num") === 0))
     val appended = db.ingestRecords(img.unionByName(GraftVectorDB.captionRows(img)))
     assert(appended > 0)
 
