@@ -49,6 +49,8 @@ object SparkEntry {
     "vs_knn" -> (KnnSearch.knn _),
     "vs_knn_filtered" -> (KnnSearch.knnFiltered _),
     "vs_search_multi" -> (KnnSearch.searchMulti _),
+    "vs_xmodal" -> (KnnSearch.xmodal _),
+    "vs_parse" -> (DocParse.parse _),
     "vs_sources" -> (KnnSearch.sources _),
     "ann_brute" -> (KnnSearch.annBrute _),
     "dd_exact" -> (Dedup.exact _),
@@ -276,6 +278,42 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id, channel ORDER BY sim_r DESC, n_id) rnk FROM p)
         |SELECT q_id, channel, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 3
         |ORDER BY q_id, channel, rnk""".stripMargin,
+    "vs_xmodal" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |tb AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM toks),
+        |tc AS (SELECT doc_id, list_transform(range(0, 64), i -> len(list_filter(b, x -> x = i))::DOUBLE) v FROM tb),
+        |tn AS (SELECT doc_id, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM tc),
+        |te AS (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM tn),
+        |ib AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5('img:' || t),1,2))::BIGINT % 48) b FROM toks),
+        |ic AS (SELECT doc_id, list_transform(range(0, 48), i -> len(list_filter(b, x -> x = i))::DOUBLE) v FROM ib),
+        |inn AS (SELECT doc_id, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM ic),
+        |ie AS (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM inn),
+        |pt AS (SELECT q.doc_id q_id, c.doc_id n_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> q.rv[i::INT] * c.rv[i::INT])) / (q.nrm * c.nrm), 4) sim_r
+        | FROM te q, te c WHERE q.doc_id < 10 AND c.doc_id >= 10 AND c.doc_id % 2 = 0),
+        |rt AS (SELECT q_id, n_id, sim_r, row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM pt),
+        |pi AS (SELECT q.doc_id q_id, c.doc_id n_id,
+        |  round(list_sum(list_transform(range(1, 49), i -> q.rv[i::INT] * c.rv[i::INT])) / (q.nrm * c.nrm), 4) sim_r
+        | FROM ie q, ie c WHERE q.doc_id < 10 AND c.doc_id >= 10 AND c.doc_id % 2 = 1),
+        |ri AS (SELECT q_id, n_id, sim_r, row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM pi)
+        |SELECT q_id, 'text' AS channel, rnk::BIGINT AS rnk, n_id, sim_r FROM rt WHERE rnk <= 3
+        |UNION ALL
+        |SELECT q_id, 'image', rnk::BIGINT, n_id, sim_r FROM ri WHERE rnk <= 3
+        |ORDER BY q_id, channel, rnk""".stripMargin,
+    "vs_parse" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, i::BIGINT AS page_num, 'text_block' AS content_type,
+        | i::VARCHAR AS content_id, pg AS content_raw,
+        | 0.0 AS x0, (i*200)::DOUBLE AS y0, 0.0 AS x1, (i*200 + length(pg))::DOUBLE AS y1
+        |FROM ch
+        |UNION ALL
+        |SELECT doc_id, i::BIGINT, 'image', substr(md5(pg),1,8), substr(md5(pg),1,8),
+        | ((i*37)%500)::DOUBLE, ((i*53)%700)::DOUBLE,
+        | ((i*37)%500 + 100 + (i*7)%200)::DOUBLE, ((i*53)%700 + 80 + (i*11)%160)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |ORDER BY doc_id, page_num, content_type""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

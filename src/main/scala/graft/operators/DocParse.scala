@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.expressions.ParseGft
+
+/** Binary-payload ingestion — the reference's one ingest shape this
+  * library was missing: a single binary document (PDF/PPTX there)
+  * parsed into per-page text blocks plus positioned image records
+  * (embed_pdf vector_db.py:247-343, embed_pptx :344-418).
+  *
+  * The container here is GFT (see [[graft.functions.expressions.ParseGft]]):
+  * this environment has no PDF parser, so payloads are synthesized
+  * deterministically from the documents table — but the PARSE side is
+  * real: [[ParseGft]] walks the byte stream and reads every length,
+  * image id, and bbox out of the payload. Swapping GFT for PDF means
+  * swapping that one expression; the plumbing (explode into records,
+  * per-channel embedding, store append) is format-agnostic.
+  *
+  * Scale shape: synth+parse+explode are narrow per-row transforms —
+  * the corpus is scanned once, no shuffle until a downstream sink.
+  */
+object DocParse {
+
+  val PageSize = 200
+
+  /** Deterministic GFT payload for a text column: non-overlapping
+    * [[PageSize]]-char pages, and every third page carries an image
+    * record whose id is the page's md5 prefix and whose bbox derives
+    * from the page index (the stand-in for real figure positions). */
+  def synthPayload(text: Column): Column = {
+    val nPages = floor((length(text) - 1) / PageSize).cast("int")
+    concat_ws("", transform(sequence(lit(0), nPages), { i =>
+      val pg = substr(text, i * lit(PageSize) + lit(1), lit(PageSize))
+      val coords = concat(
+        lpad(((i * 37) % 500).cast("string"), 4, "0"),
+        lpad(((i * 53) % 700).cast("string"), 4, "0"),
+        lpad(((i * 37) % 500 + 100 + (i * 7) % 200).cast("string"), 4, "0"),
+        lpad(((i * 53) % 700 + 80 + (i * 11) % 160).cast("string"), 4, "0"))
+      concat(
+        lit("PG"), lpad(length(pg).cast("string"), 4, "0"), pg,
+        when(i % 3 === 0,
+          concat(lit("IM"), substring(md5(pg), 1, 8), coords))
+          .otherwise(lit("")))
+    }))
+  }
+
+  /** The vs_parse query: synthesize payloads, parse them back, one row
+    * per parsed record with its positional bbox as scalar columns. */
+  def parse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(ParseGft(synthPayload($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"page_num", $"content_type")
+  }
+
+  /** Payloads → VectorRecord rows for [[GraftVectorDB.ingestRecords]]:
+    * text blocks embed in the text space, image records in the image
+    * space, bbox carried from the payload. `payloads` needs
+    * (doc_name, payload); doc_type tags the container format. */
+  def records(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select($"doc_name", md5($"payload").as("file_hash"),
+        timestamp_micros(lit(0L)).as("ts"),
+        explode(ParseGft($"payload")).as("r"))
+      .select(
+        $"doc_name", lit("gft").as("doc_type"), $"r.page_num",
+        when($"r.content_type" === "image", lit(graft.model.ContentTypes.Image))
+          .otherwise(lit(graft.model.ContentTypes.TextChunk)).as("content_type"),
+        $"r.content_id", $"r.content_raw",
+        when($"r.content_type" === "image", VectorStore.embedImage($"r.content_raw"))
+          .otherwise(VectorStore.embedText($"r.content_raw")).as("embedding"),
+        $"file_hash", $"ts",
+        array($"r.x0", $"r.y0", $"r.x1", $"r.y1").as("bbox"))
+  }
+}

@@ -106,6 +106,41 @@ object KnnSearch {
       .orderBy(col("q_id"), col("channel"), col("rnk"))
   }
 
+  /** Cross-modal search with genuinely DISTINCT embedding spaces — the
+    * reference's text→image search embeds the query with a CLIP *text*
+    * encoder into the *image* space (run_image_search,
+    * vector_db.py:738-759; clip_base_text_embedder :492-508). Here the
+    * text channel lives in the 64-dim [[VectorStore.embedText]] space
+    * and the image channel in the independent 48-dim
+    * [[VectorStore.embedImage]] hash family; each query is encoded
+    * once per channel. Corpus split: even doc_ids are text assets, odd
+    * are image assets. Per-channel top-3, channel-tagged union. */
+  def xmodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    def corpus(embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        parity: Int) =
+      docs.filter($"doc_id" >= 10 && $"doc_id" % 2 === parity)
+        .select($"doc_id".as("vec_id"), embed($"text").as("v"))
+        .withColumn("nrm", l2Norm($"v"))
+    def queries(embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      docs.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), embed($"text").as("qv"))
+        .withColumn("qnrm", l2Norm($"qv"))
+    def channel(name: String,
+        embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        parity: Int) =
+      rankTopK(
+        corpus(embed, parity).crossJoin(broadcast(queries(embed)))
+          .select($"q_id", $"vec_id".as("n_id"),
+            round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), 3)
+        .withColumn("channel", lit(name))
+    channel("text", VectorStore.embedText, 0)
+      .unionByName(channel("image", VectorStore.embedImage, 1))
+      .select($"q_id", $"channel", $"rnk", $"n_id", $"sim_r")
+      .orderBy($"q_id", $"channel", $"rnk")
+  }
+
   /** Source manifest for hits: join hit ids back to document metadata —
     * generate_source_list (vector_db.py:903-916). The top-k result is
     * tiny, so it broadcasts into the documents join. */
