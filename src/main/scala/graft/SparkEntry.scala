@@ -33,6 +33,8 @@ object SparkEntry {
     "ol_setops" -> (Relational.setOps _),
     "ol_topk_group" -> (Relational.topPerBrand _),
     "ol_pivot" -> (Relational.pivotEvents _),
+    "ol_gsets" -> (Relational.groupingSetsOrders _),
+    "ol_orderdist" -> (Relational.orderCountDist _),
     "vs_chunk" -> (VectorStore.chunk _),
     "vs_file_hash" -> (VectorStore.fileHash _),
     "vs_dedup_ingest" -> (VectorStore.dedupIngest _),
@@ -56,6 +58,7 @@ object SparkEntry {
     "dd_exact" -> (Dedup.exact _),
     "dd_jaccard" -> (Dedup.jaccardPairs _),
     "dd_minhash" -> (Dedup.minhashLsh _),
+    "dd_cluster" -> (Dedup.cluster _),
     "dd_simhash" -> (Dedup.simhashPairs _),
     "dd_embed" -> (Dedup.embedPairs _),
     "tx_langid" -> (TextAnalysis.langId _),
@@ -65,8 +68,10 @@ object SparkEntry {
     "tx_ngrams" -> (TextAnalysis.ngrams _),
     "tx_scrub" -> (TextAnalysis.scrub _),
     "tx_vocab" -> (TextAnalysis.vocab _),
+    "tx_tfidf" -> (TextAnalysis.tfidf _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_frames" -> (Multimodal.frames _),
+    "mm_resize" -> (Multimodal.resize _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
     "st_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
     "st_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
@@ -206,6 +211,18 @@ object SparkEntry {
         | COUNT(*) FILTER (event_type = 'signup') AS signup,
         | COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin,
+    "ol_gsets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n, (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "ol_orderdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "ol_topk_group" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_retailprice,
@@ -350,6 +367,17 @@ object SparkEntry {
         |SELECT a.doc_id a_id, b.doc_id b_id, $jaccardExpr AS j_r
         |FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "dd_cluster" ->
+      s"""WITH RECURSIVE $bigramCte,
+        |p AS (SELECT a.doc_id a_id, b.doc_id b_id
+        | FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5),
+        |e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+        |reach(u, r) AS (
+        | SELECT u, u FROM e
+        | UNION
+        | SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u)
+        |SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+        |ORDER BY doc_id""".stripMargin,
     "dd_simhash" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
         |hs AS (SELECT doc_id, list_transform(tk, t -> substr(md5(t), 1, 15)) h FROM toks),
@@ -425,6 +453,17 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY df DESC, token""".stripMargin,
+    "tx_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) nd FROM documents),
+        |s AS (SELECT doc_id, tf.token, round(tf * ln(nd::DOUBLE / df), 6) tfidf_r
+        | FROM tf, df, n WHERE tf.token = df.token),
+        |r AS (SELECT doc_id, token, tfidf_r,
+        | row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, token) rnk FROM s)
+        |SELECT doc_id, rnk::BIGINT AS rnk, token, tfidf_r FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         | octet_length(text::BLOB)::BIGINT byte_len,
@@ -441,6 +480,20 @@ object SparkEntry {
         | md5(substr(text, (frame_no*32+1)::INT, 32)) frame_md5,
         | length(substr(text, (frame_no*32+1)::INT, 32))::BIGINT frame_len
         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  64 + ('0x' || substr(md5(text),1,8))::BIGINT % 1856 width,
+        |  64 + ('0x' || substr(md5(reverse(text)),1,8))::BIGINT % 1056 height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CASE WHEN width <= 512 AND height <= 512 THEN width
+        |  WHEN width >= height THEN 512
+        |  ELSE (width * 512) // height END AS new_width,
+        | CASE WHEN width <= 512 AND height <= 512 THEN height
+        |  WHEN width >= height THEN (height * 512) // width
+        |  ELSE 512 END AS new_height,
+        | (width > 512 OR height > 512) AS downscaled
+        |FROM m ORDER BY doc_id""".stripMargin,
     "st_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) n,
         | (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE sum_value

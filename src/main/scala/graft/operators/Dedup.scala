@@ -138,6 +138,38 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Near-dup CLUSTERS: connected components over the [[minhashLsh]]
+    * pair graph by min-label propagation — the step that turns pairwise
+    * matches into keep/drop decisions for a dedup pipeline. Each pass
+    * is one shuffle (neighbor-min aggregate + join); passes = component
+    * diameter, tiny for dup clusters (2–5 docs). The fixpoint check is
+    * a driver-side changed-count, not a data collect. At 100 TB the
+    * pair graph holds only near-dup edges — orders of magnitude smaller
+    * than the corpus — so the loop runs on a residue, not the data. */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir).select($"a_id", $"b_id")
+    val edges = pairs.union(pairs.select($"b_id", $"a_id")).toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("lbl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy($"src").agg(min($"lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter($"lbl" < $"prev").count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (threshold tuned to this corpus's
     * unclustered vectors; see SURVEY §2). */
   def embedPairs(spark: SparkSession, dir: String): DataFrame = {

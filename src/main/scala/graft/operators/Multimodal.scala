@@ -39,6 +39,30 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Target bounding box for [[resize]]. */
+  val ResizeBox = 512L
+
+  /** Aspect-preserving resize planning over the decoded dimensions —
+    * the transform step of an image-normalization pipeline. All math
+    * is integer (floor division), so the plan is bit-identical across
+    * engines; the actual pixel resample is the same stubbed decoder
+    * seam as [[meta]] (a mapPartitions batch op in a real deployment,
+    * same schema either way). */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    meta(spark, dir).select($"doc_id", $"width", $"height")
+      .withColumn("new_width", expr(
+        s"""CASE WHEN width <= $ResizeBox AND height <= $ResizeBox THEN width
+           | WHEN width >= height THEN $ResizeBox
+           | ELSE (width * $ResizeBox) div height END""".stripMargin))
+      .withColumn("new_height", expr(
+        s"""CASE WHEN width <= $ResizeBox AND height <= $ResizeBox THEN height
+           | WHEN width >= height THEN (height * $ResizeBox) div width
+           | ELSE $ResizeBox END""".stripMargin))
+      .withColumn("downscaled", $"width" > ResizeBox || $"height" > ResizeBox)
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic strided frame sampling: fixed-size frames, every
     * [[FrameStride]]-th sampled and digested — the shape of video
     * frame extraction over binary columns (batch size = frame count,

@@ -216,6 +216,37 @@ object Relational {
       .orderBy($"status", $"priority")
   }
 
+  /** Explicit GROUPING SETS — grouping shapes rollup/cube can't
+    * express (two independent one-column sets here). Same single
+    * expand+shuffle plan as cube, restricted to the named sets. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec($"o_totalprice")).cast("double").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Order-count distribution (TPC-H Q13's shape): customer LEFT JOIN
+    * orders so zero-order customers survive, count per customer, then
+    * histogram the counts. Both aggregates are partial-agg shuffles on
+    * their keys; the join co-shuffles fact-to-fact on custkey. */
+  def orderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer").select($"c_custkey")
+    val ord = Tables.load(spark, dir, "orders").select($"o_custkey", $"o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   /** Exact distinct counts per group (partial-agg distinct expansion). */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

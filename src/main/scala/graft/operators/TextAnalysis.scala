@@ -125,6 +125,32 @@ object TextAnalysis {
       .orderBy($"df".desc, $"token")
   }
 
+  /** Top-3 TF-IDF terms per document — the keyword extractor a
+    * training-data pipeline runs for topic routing. Shape: one explode
+    * + (doc, token) partial-agg; document frequencies are a vocab-sized
+    * frame so they BROADCAST back onto the term counts (no second
+    * corpus shuffle); the per-doc window ranks ≤ |vocab| rows per doc.
+    * Scores round to 6dp before ranking with token tie-break, so
+    * ordering is oracle-stable. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val tf = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"token",
+        round($"tf" * log($"nd".cast("double") / $"df"), 6).as("tfidf_r"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tfidf_r".desc, $"token")).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"token", $"tfidf_r")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {
