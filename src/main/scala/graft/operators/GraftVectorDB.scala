@@ -56,6 +56,22 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     n
   }
 
+  /** Streaming ingest: an unbounded documents source flows into the
+    * store via foreachBatch — every micro-batch runs the SAME
+    * chunk/embed pipeline and content-hash anti-join as batch
+    * [[ingest]], so replayed files or a restart cannot double-ingest
+    * (idempotent by content hash, not by offset). AvailableNow drains
+    * the backlog and stops — the batch-job-over-a-stream-source shape
+    * a nightly corpus refresh uses. */
+  def ingestStream(docs: DataFrame, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => { ingest(batch.toDF()); () })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Text search over the text channel (text_chunk + image_caption —
     * exactly run_text_search's text-vs-text scope). */
   def search(queryText: String, topN: Int = 5, location: Option[String] = None): DataFrame =

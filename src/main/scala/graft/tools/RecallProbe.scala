@@ -16,14 +16,9 @@ object RecallProbe {
       val exact = hits(KnnSearch.knn(spark, sf))
       val lsh = hits(AnnIndex.lsh(spark, sf))
       println(f"$sf lsh=${(lsh & exact).size.toDouble / exact.size}%.3f")
-      for {
-        cells <- Seq(16, 32, 64)
-        nProbe <- Seq(cells / 4, cells * 3 / 8, cells / 2, cells * 5 / 8, cells * 3 / 4)
-      } {
-        val ivf = hits(AnnIndex.ivf(spark, sf, cells, nProbe))
-        println(f"$sf ivf cells=$cells nProbe=$nProbe (${nProbe.toDouble/cells}%.2f) " +
-          f"recall=${(ivf & exact).size.toDouble / exact.size}%.3f")
-      }
+      val ivf = hits(AnnIndex.ivf(spark, sf))
+      println(f"$sf ivf cells=${AnnIndex.IvfCells} nProbe=${AnnIndex.NProbe} " +
+        f"recall=${(ivf & exact).size.toDouble / exact.size}%.3f")
     }
     spark.stop()
   }
