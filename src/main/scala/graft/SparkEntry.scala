@@ -69,6 +69,8 @@ object SparkEntry {
     "tx_scrub" -> (TextAnalysis.scrub _),
     "tx_vocab" -> (TextAnalysis.vocab _),
     "tx_tfidf" -> (TextAnalysis.tfidf _),
+    "tx_curate" -> (TextAnalysis.curate _),
+    "tx_shard" -> (TextAnalysis.shard _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
@@ -453,6 +455,43 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY df DESC, token""".stripMargin,
+    "tx_curate" ->
+      s"""WITH $bigramCte,
+        |losers AS (SELECT DISTINCT b.doc_id
+        | FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
+        |s AS (SELECT doc_id,
+        | len(list_filter(toks, t -> t IN ('data','table','row')))::BIGINT s_de,
+        | len(list_filter(toks, t -> t IN ('the','fast','slow')))::BIGINT s_en,
+        | len(list_filter(toks, t -> t IN ('query','column','line')))::BIGINT s_es,
+        | len(list_filter(toks, t -> t IN ('join','merge','sort')))::BIGINT s_fr,
+        | len(list_filter(toks, t -> t IN ('hash','vector','stream')))::BIGINT s_zh,
+        | len(toks)::BIGINT n_tokens,
+        | round(len(list_filter(toks, t -> t IN ('the','a','of','and')))::DOUBLE / len(toks), 4) stop_ratio
+        | FROM t),
+        |q AS (SELECT doc_id,
+        | CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |      WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS lang_pred,
+        | n_tokens,
+        | round(0.4 * stop_ratio + 0.6 * least(1.0, n_tokens::DOUBLE / 100), 4) quality_r
+        | FROM s)
+        |SELECT doc_id, lang_pred, n_tokens, quality_r FROM q
+        |WHERE lang_pred IN ('en', 'es') AND quality_r >= 0.25
+        |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "tx_shard" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tokens
+        | FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens,
+        | (cum_tokens - n_tokens) // 2000 AS shard_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "tx_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) tf FROM t GROUP BY 1, 2),

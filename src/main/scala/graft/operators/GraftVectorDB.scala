@@ -96,6 +96,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     text.unionByName(image).orderBy($"channel", $"rnk")
   }
 
+  /** Image-vs-image search: the query arrives as image content and is
+    * encoded directly into the image space — run_image_search's
+    * image-query mode (vector_db.py:738-759), with the pixel encoder
+    * stubbed by the same deterministic image-space hash family the
+    * store rows use. */
+  def searchImage(queryContent: String, topN: Int = 5,
+      location: Option[String] = None): DataFrame =
+    searchChannel(queryContent,
+      store.filter($"content_type" === ContentTypes.Image), topN, location,
+      VectorStore.embedImage)
+      .withColumn("channel", lit("image"))
+
   /** run_search's full return shape: a response plus the source
     * manifest (vector_db.py:615-671). The reference calls an LLM to
     * summarize retrieved content (generate_gpt_response, :838-901);

@@ -29,22 +29,28 @@ object TextAnalysis {
   private def occurrences(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")
 
-  /** Language ID by marker scoring; ties resolve to the alphabetically
-    * first language via the CASE evaluation order. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = tokens($"text")
-    val scored = Tables.load(spark, dir, "documents")
-      .select($"doc_id" +: Markers.map { case (l, ws) =>
-        occurrences(toks, ws).as(s"s_$l") }: _*)
+  /** Argmax over the s_<lang> score columns; ties resolve to the
+    * alphabetically first language via the CASE evaluation order.
+    * Requires the s_* columns of [[Markers]] in scope. */
+  private def predictedLang: Column = {
     val langs = Markers.map(_._1)
-    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+    langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((l, i), elseCol) =>
         val rest = langs.drop(i + 1).map(r => col(s"s_$r"))
         val maxRest = if (rest.size == 1) rest.head else greatest(rest: _*)
         when(col(s"s_$l") >= maxRest, l).otherwise(elseCol)
     }
-    scored.withColumn("predicted", predicted).orderBy($"doc_id")
+  }
+
+  /** Language ID by marker scoring. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id" +: Markers.map { case (l, ws) =>
+        occurrences(toks, ws).as(s"s_$l") }: _*)
+      .withColumn("predicted", predictedLang)
+      .orderBy($"doc_id")
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
@@ -123,6 +129,53 @@ object TextAnalysis {
       .groupBy($"token")
       .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
       .orderBy($"df".desc, $"token")
+  }
+
+  /** The end-to-end curation gate — what a training-data pipeline
+    * actually runs: language filter + quality floor + near-dup removal
+    * in ONE pass over the corpus (signals share a single tokenize) plus
+    * an anti-join against the LSH near-dup losers. Shapes: narrow scan
+    * for scoring; the loser set is near-dup pairs only (≪ corpus) so
+    * the anti-join broadcasts at any scale. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select(($"doc_id" +: Markers.map { case (l, ws) =>
+          occurrences(toks, ws).as(s"s_$l") }) :+
+        size(toks).cast("long").as("n_tokens") :+
+        round(occurrences(toks, Stopwords).cast("double") / size(toks), 4)
+          .as("stop_ratio"): _*)
+      .withColumn("quality_r",
+        round(lit(0.4) * $"stop_ratio"
+          + lit(0.6) * least(lit(1.0), $"n_tokens".cast("double") / 100), 4))
+      .withColumn("lang_pred", predictedLang)
+    // drop the non-keeper side of every verified near-dup pair
+    val losers = Dedup.minhashLsh(spark, dir)
+      .select($"b_id".as("doc_id")).distinct()
+    scored
+      .filter($"lang_pred".isin("en", "es") && $"quality_r" >= 0.25)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang_pred", $"n_tokens", $"quality_r")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget shard packing — how a curated corpus becomes training
+    * shards: running token totals within each source partition, shard
+    * id = start-offset div budget. The window partitions by `source`,
+    * so packing parallelizes across sources instead of forcing a
+    * global total order (the 100 TB-safe formulation). */
+  val ShardBudget = 2000L
+  def shard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $ShardBudget"))
+      .orderBy($"source", $"doc_id")
   }
 
   /** Top-3 TF-IDF terms per document — the keyword extractor a

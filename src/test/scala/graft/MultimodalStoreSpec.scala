@@ -40,5 +40,15 @@ class MultimodalStoreSpec extends AnyFunSuite {
     val text = db.search("captioned content", topN = 5).collect()
     assert(text.exists(_.getAs[String]("content_type") == ContentTypes.ImageCaption),
       "caption rows must be searchable in the text channel")
+
+    // image-vs-image mode: the query encodes straight into the image
+    // space, so an image row's own content ranks first with sim 1.0
+    val probe = db.store.filter(col("content_type") === ContentTypes.Image)
+      .select("content_raw").head().getString(0)
+    val byImage = db.searchImage(probe, topN = 3).collect()
+    assert(byImage.nonEmpty)
+    assert(byImage.forall(_.getAs[String]("content_type") == ContentTypes.Image))
+    assert(byImage.head.getAs[Double]("sim_r") == 1.0,
+      "self-query must rank first at sim 1.0")
   }
 }
