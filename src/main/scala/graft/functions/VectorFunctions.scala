@@ -39,4 +39,17 @@ object VectorFunctions {
     val n = l2Norm(a)
     transform(a, x => round(x / n, 6))
   }
+
+  /** 32-bit Z-value: interleaves the low 16 bits of two non-negative
+    * int columns (a in even positions, b in odd). Sorting a write by
+    * this key clusters BOTH dimensions into each output file, so
+    * min/max file stats prune range queries on either column — the
+    * multi-dimensional layout a single-column sort can't give
+    * (ZOrderSpec measures the skipping). Pure bit-op Columns: stays
+    * in whole-stage codegen. */
+  def zValue16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
 }

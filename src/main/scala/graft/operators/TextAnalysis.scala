@@ -188,11 +188,15 @@ object TextAnalysis {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
-    val tf = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+    // tf feeds both the scored branch and the df aggregation — persist
+    // so the corpus explode+agg runs once (plan audit showed 2×)
+    val tf = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    // count on the raw scan — no repartition pass just to count rows
+    val nDocs = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("nd"))
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"token",

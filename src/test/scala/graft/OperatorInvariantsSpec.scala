@@ -46,6 +46,35 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
   }
 
+  test("tx_curate output respects every gate") {
+    val curated = TextAnalysis.curate(spark, sf)
+    val rows = curated.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("en", "es")(r.getAs[String]("lang_pred"))))
+    assert(rows.forall(_.getAs[Double]("quality_r") >= 0.25))
+    val losers = Dedup.minhashLsh(spark, sf)
+      .select(col("b_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !losers(r.getAs[Long]("doc_id"))),
+      "near-dup losers must not survive curation")
+  }
+
+  test("tx_shard packs within budget given max doc size") {
+    val rows = TextAnalysis.shard(spark, sf).collect()
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    val byShard = rows.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("shard_id")))
+    byShard.foreach { case ((src, sid), docs) =>
+      val total = docs.map(_.getAs[Long]("n_tokens")).sum
+      assert(total < TextAnalysis.ShardBudget + maxDoc,
+        s"shard $src/$sid holds $total tokens")
+    }
+    // shards fill in order: ids are dense from 0 per source
+    byShard.keys.groupBy(_._1).foreach { case (_, keys) =>
+      val ids = keys.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.length))
+    }
+  }
+
   test("sessionize covers every event exactly once") {
     val total = Relational.sessionize(spark, sf).agg(sum("n_events")).head().getLong(0)
     val events = Tables.load(spark, sf, "events").count()
