@@ -98,12 +98,18 @@ object Dedup {
     val r = bands.select($"band", $"bkey", $"doc_id".as("b_id"))
     val cand = l.join(r, Seq("band", "bkey")).filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    cand
+    val verified = cand
       .join(sets.select($"doc_id".as("a_id"), $"s".as("sa")), "a_id")
       .join(sets.select($"doc_id".as("b_id"), $"s".as("sb")), "b_id")
       .select($"a_id", $"b_id", jaccard($"sa", $"sb").as("j_r"))
       .filter($"j_r" >= JaccardThreshold)
-      .orderBy($"a_id", $"b_id")
+    // Materialize the (tiny) verified-pair result, then RELEASE the
+    // working caches — a long-lived session must not accumulate pinned
+    // frames (the returned frame no longer references them).
+    val out = Tables.materialize(verified)
+    sets.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+    out.orderBy($"a_id", $"b_id")
   }
 
   /** 60-bit SimHash fingerprint of the token multiset — a native
@@ -139,34 +145,44 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS: connected components over the [[minhashLsh]]
-    * pair graph by min-label propagation — the step that turns pairwise
-    * matches into keep/drop decisions for a dedup pipeline. Each pass
-    * is one shuffle (neighbor-min aggregate + join); passes = component
-    * diameter, tiny for dup clusters (2–5 docs). The fixpoint check is
-    * a driver-side changed-count, not a data collect. At 100 TB the
-    * pair graph holds only near-dup edges — orders of magnitude smaller
-    * than the corpus — so the loop runs on a residue, not the data. */
+    * pair graph — the step that turns pairwise matches into keep/drop
+    * decisions for a dedup pipeline. Each pass does min-label
+    * propagation through the EDGES and then a pointer-jump through the
+    * LABELS (lbl := lbl(lbl)), halving remaining path lengths, so
+    * passes are O(log diameter) — chained near-dup clusters at corpus
+    * scale can be long paths, and one-hop propagation alone would need
+    * diameter passes. The fixpoint check reads a did-it-shrink flag off
+    * the already-materialized frame (no extra join), and intermediates
+    * are checkpointed per pass (truncated lineage, nothing left pinned).
+    * At 100 TB the pair graph holds only near-dup edges — orders of
+    * magnitude smaller than the corpus — so the loop runs on a residue,
+    * not the data. */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashLsh(spark, dir).select($"a_id", $"b_id")
-    val edges = pairs.union(pairs.select($"b_id", $"a_id")).toDF("src", "dst")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("lbl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Tables.materialize(
+      pairs.union(pairs.select($"b_id", $"a_id")).toDF("src", "dst"))
+    var labels = Tables.materialize(
+      edges.select($"src".as("id")).distinct().select($"id", $"id".as("lbl")))
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy($"src").agg(min($"lbl").as("nbr_lbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter($"lbl" < $"prev").count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"), $"lbl".as("prev"),
+          least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("mid"))
+      // pointer jump: follow the freshly-stepped label one more hop
+      // (labels always point at a node of the same component, so the
+      // jump stays within it and only ever lowers the label)
+      val hop = stepped.select($"id".as("jid"), $"mid".as("jlbl"))
+      val next = Tables.materialize(
+        stepped.join(hop, stepped("mid") === hop("jid"), "left")
+          .select(stepped("id"),
+            least($"mid", coalesce($"jlbl", $"mid")).as("lbl"),
+            (least($"mid", coalesce($"jlbl", $"mid")) < $"prev").as("chg")))
+      changed = next.filter($"chg").count()
+      labels = next.select($"id", $"lbl")
     }
-    edges.unpersist(blocking = false)
     labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
   }
 

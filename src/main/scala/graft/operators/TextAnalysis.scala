@@ -150,7 +150,13 @@ object TextAnalysis {
         round(lit(0.4) * $"stop_ratio"
           + lit(0.6) * least(lit(1.0), $"n_tokens".cast("double") / 100), 4))
       .withColumn("lang_pred", predictedLang)
-    // drop the non-keeper side of every verified near-dup pair
+    // Drop the non-keeper side of every verified near-dup pair.
+    // ORACLE COUPLING: the tx_curate oracle derives losers from exact
+    // all-pairs Jaccard, so parity holds only while the LSH banding has
+    // full recall on the corpus — which DedupExactnessSpec asserts
+    // in-Spark; a seeds/band-geometry change that loses recall would
+    // trip that spec (and the dd_minhash gate) before it silently
+    // altered curate output.
     val losers = Dedup.minhashLsh(spark, dir)
       .select($"b_id".as("doc_id")).distinct()
     scored
@@ -201,11 +207,15 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"token",
         round($"tf" * log($"nd".cast("double") / $"df"), 6).as("tfidf_r"))
-    scored.withColumn("rnk", row_number().over(
+    val ranked = scored.withColumn("rnk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"tfidf_r".desc, $"token")).cast("long"))
       .filter($"rnk" <= 3)
       .select($"doc_id", $"rnk", $"token", $"tfidf_r")
-      .orderBy($"doc_id", $"rnk")
+    // materialize the top-3-per-doc result, then release the tf cache
+    // (long-lived sessions must not accumulate pinned intermediates)
+    val out = Tables.materialize(ranked)
+    tf.unpersist(blocking = false)
+    out.orderBy($"doc_id", $"rnk")
   }
 
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties

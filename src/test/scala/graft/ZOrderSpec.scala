@@ -15,11 +15,16 @@ class ZOrderSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  /** Range-partition on the layout key with an explicit partition count:
+    * AQE coalesces plain orderBy shuffles at toy scale to ONE partition
+    * (= one output file, where no layout can show pruning), but leaves
+    * user-specified repartition counts alone — so each of the 16 files
+    * covers a contiguous key range regardless of data size. */
   private def writeSorted(df: DataFrame, sort: Seq[org.apache.spark.sql.Column],
       path: String): Unit =
-    df.orderBy(sort: _*)
+    df.repartitionByRange(16, sort: _*)
+      .sortWithinPartitions(sort: _*)
       .write.mode("overwrite")
-      .option("maxRecordsPerFile", 1000)
       .parquet(path)
 
   /** Fraction of files whose [min,max] value-bucket box overlaps
