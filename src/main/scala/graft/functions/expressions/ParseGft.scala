@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * bboxes are READ from the payload, not recomputed — and emits one
   * struct per record:
   *   (page_num, content_type, content_id, content_raw, x0, y0, x1, y1)
-  * Text rows carry the page's character range as (0, off, 0, off+len),
+  * Text rows carry the page's byte range as (0, off, 0, off+len),
   * tracking the cumulative parsed offset. Malformed input fails loudly
   * (truncated record / unknown tag) rather than yielding partial rows.
   */
@@ -45,33 +45,40 @@ case class ParseGft(child: Expression)
   private val Image = UTF8String.fromString("image")
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    // true BYTE offsets: the container is a byte stream and the PG
+    // length field counts octets, so walking UTF-16 code units would
+    // desync the framing on any supplementary character. Tags, length
+    // digits, ids, and coords are ASCII by format definition.
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
     val out = ArrayBuffer.empty[Any]
     var pos = 0
     var page = -1L
     var off = 0L
     def fail(what: String) =
       throw new IllegalArgumentException(s"GFT parse: $what at byte $pos")
-    while (pos < s.length) {
-      if (pos + 2 > s.length) fail("truncated tag")
-      s.substring(pos, pos + 2) match {
+    def ascii(start: Int, len: Int): String =
+      new String(bytes, start, len, java.nio.charset.StandardCharsets.US_ASCII)
+    while (pos < n) {
+      if (pos + 2 > n) fail("truncated tag")
+      ascii(pos, 2) match {
         case "PG" =>
-          if (pos + 6 > s.length) fail("truncated page length")
-          val len = s.substring(pos + 2, pos + 6).toInt
-          if (pos + 6 + len > s.length) fail(s"truncated page body ($len bytes)")
-          val content = s.substring(pos + 6, pos + 6 + len)
+          if (pos + 6 > n) fail("truncated page length")
+          val len = ascii(pos + 2, 4).toInt
+          if (pos + 6 + len > n) fail(s"truncated page body ($len bytes)")
+          val content = UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(bytes, pos + 6, pos + 6 + len))
           page += 1
           out += InternalRow(page, TextBlock,
-            UTF8String.fromString(page.toString), UTF8String.fromString(content),
+            UTF8String.fromString(page.toString), content,
             0.0, off.toDouble, 0.0, (off + len).toDouble)
           off += len
           pos += 6 + len
         case "IM" =>
-          if (pos + 26 > s.length) fail("truncated image record")
+          if (pos + 26 > n) fail("truncated image record")
           if (page < 0) fail("image record before any page")
-          val id = UTF8String.fromString(s.substring(pos + 2, pos + 10))
-          def coord(i: Int): Double =
-            s.substring(pos + 10 + 4 * i, pos + 14 + 4 * i).toDouble
+          val id = UTF8String.fromString(ascii(pos + 2, 8))
+          def coord(i: Int): Double = ascii(pos + 10 + 4 * i, 4).toDouble
           out += InternalRow(page, Image, id, id,
             coord(0), coord(1), coord(2), coord(3))
           pos += 26

@@ -121,13 +121,25 @@ object AnnIndex {
   }
 
   /** Materialize the IVF layout: corpus written partitioned by cell id,
-    * so probes become partition-pruned scans. Returns the centroid
-    * frame needed to route queries. */
+    * so probes become partition-pruned scans, PLUS the centroid routing
+    * table persisted at `path/_centroids` — an index that exists only
+    * in the building session's memory cannot be reopened, so the store
+    * carries everything a fresh session needs. The underscore prefix
+    * keeps corpus reads from listing the routing table as data (Spark's
+    * file index hides `_`/`.`-prefixed paths). Returns the centroid
+    * frame for immediate use. */
   def buildIvfStore(spark: SparkSession, dir: String, path: String): DataFrame = {
     val (assigned, centroids) = fitAssign(spark, dir)
     assigned.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(path)
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$path/_centroids")
     centroids
   }
+
+  /** Reopen a persisted IVF store's routing table: build in one
+    * session/JVM, probe from any other (IvfStoreSpec proves results
+    * identical to probing with the build-time frame). */
+  def openIvfStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_centroids")
 
   /** Search against a cell-partitioned store: the `cell isin probes`
     * filter prunes store partitions at the scan (no non-probed cell is

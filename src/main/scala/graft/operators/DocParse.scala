@@ -28,10 +28,16 @@ object DocParse {
   /** Deterministic GFT payload for a text column: non-overlapping
     * [[PageSize]]-char pages, and every third page carries an image
     * record whose id is the page's md5 prefix and whose bbox derives
-    * from the page index (the stand-in for real figure positions). */
+    * from the page index (the stand-in for real figure positions).
+    * The PG length field is the page's OCTET length — the container is
+    * a byte stream and [[ParseGft]] walks bytes, so the framing stays
+    * correct for non-ASCII text too. Empty text yields an empty payload
+    * (zero records, matching the oracle's range(0, 0)); without the
+    * guard, `sequence(0, -1)` is a DESCENDING [0, -1] whose i = -1
+    * page produces unparseable negative coordinates. */
   def synthPayload(text: Column): Column = {
     val nPages = floor((length(text) - 1) / PageSize).cast("int")
-    concat_ws("", transform(sequence(lit(0), nPages), { i =>
+    val body = concat_ws("", transform(sequence(lit(0), nPages), { i =>
       val pg = substr(text, i * lit(PageSize) + lit(1), lit(PageSize))
       val coords = concat(
         lpad(((i * 37) % 500).cast("string"), 4, "0"),
@@ -39,11 +45,12 @@ object DocParse {
         lpad(((i * 37) % 500 + 100 + (i * 7) % 200).cast("string"), 4, "0"),
         lpad(((i * 53) % 700 + 80 + (i * 11) % 160).cast("string"), 4, "0"))
       concat(
-        lit("PG"), lpad(length(pg).cast("string"), 4, "0"), pg,
+        lit("PG"), lpad(octet_length(pg).cast("string"), 4, "0"), pg,
         when(i % 3 === 0,
           concat(lit("IM"), substring(md5(pg), 1, 8), coords))
           .otherwise(lit("")))
     }))
+    when(length(text) > 0, body).otherwise(lit(""))
   }
 
   /** The vs_parse query: synthesize payloads, parse them back, one row

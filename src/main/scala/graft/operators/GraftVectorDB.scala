@@ -34,9 +34,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   def store: DataFrame = spark.read.parquet(storePath)
 
+  /** The store's seen-hash set; empty ONLY when the store genuinely
+    * does not exist yet. Any other read failure (corrupt footer,
+    * permissions, transient FS error) must propagate — swallowing it
+    * would silently disable ingest dedup and double-ingest the batch. */
   private def storeHashes: DataFrame =
     try store.select($"file_hash").distinct()
-    catch { case _: Exception => Seq.empty[String].toDF("file_hash") }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        Seq.empty[String].toDF("file_hash")
+    }
 
   /** Ingest a documents-shaped frame (doc_id, text, lang, source).
     * Appends only not-yet-seen content hashes. Returns rows appended. */
@@ -126,6 +134,42 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           s"(from ${h.getAs[String]("doc_name")} p${h.getAs[Long]("page_num")})"
       }
     (response, hits)
+  }
+
+  /** Store maintenance: streaming ingest appends a file per micro-batch
+    * — at 100 TB the accumulating small-file count is the operational
+    * killer (file-listing latency + one task per tiny file). Rewrites
+    * one content_type partition into `targetFiles` range-partitioned
+    * files sorted by (doc_name, page_num), so parquet row-group min/max
+    * stats keep supporting location-filtered skipping; `zOrdered=true`
+    * interleaves (doc_name-hash, page_num) bits instead, bounding BOTH
+    * dimensions per file (the layout ZOrderSpec proves prunes). The
+    * rewrite lands in a dot-prefixed temp dir (invisible to concurrent
+    * reads) and swaps in via rename; rows and search results are
+    * invariant (GraftVectorDBSpec). Returns the rows rewritten. */
+  def compact(contentType: String, targetFiles: Int = 1,
+      zOrdered: Boolean = false): Long = {
+    val partDir = s"$storePath/content_type=$contentType"
+    val tmpDir = s"$storePath/.compact_tmp_$contentType"
+    // reading the partition dir directly excludes the content_type
+    // column — exactly what the rewritten files must contain
+    val cur = spark.read.parquet(partDir)
+    val n = cur.count()
+    val keys =
+      if (zOrdered) Seq(zValue16(
+        pmod(xxhash64($"doc_name"), lit(65536)).cast("int"),
+        pmod($"page_num", lit(65536)).cast("int")))
+      else Seq($"doc_name", $"page_num")
+    cur.withColumn("__k", keys.head)
+      .repartitionByRange(targetFiles, (col("__k") +: keys.tail): _*)
+      .sortWithinPartitions((col("__k") +: keys.tail): _*)
+      .drop("__k")
+      .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(partDir)
+    fs.delete(part, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), part)
+    n
   }
 
   /** One query = ONE corpus scan: scoring and metadata ride the same

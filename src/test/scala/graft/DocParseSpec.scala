@@ -35,6 +35,29 @@ class DocParseSpec extends AnyFunSuite {
     assert(bad == 0, "bbox extents must match the synthesized figure geometry")
   }
 
+  test("empty text yields an empty payload and zero records") {
+    val rows = Seq(("", 0L), ("short page", 1L)).toDF("text", "doc_id")
+    val parsed = rows.select($"doc_id",
+      DocParse.synthPayload($"text").as("p"))
+      .select($"doc_id", $"p",
+        size(graft.functions.expressions.ParseGft($"p")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(parsed(0L) == ("", 0), "empty doc must parse to zero records")
+    assert(parsed(1L)._2 == 2, "one page + its page-0 image record")
+  }
+
+  test("byte-true framing survives non-BMP characters") {
+    // U+1F600 is 4 UTF-8 bytes / 2 UTF-16 code units: a code-unit
+    // walker desyncs on it, a byte walker must round-trip it
+    val text = "emoji 😀 page body"
+    val parsed = Seq(text).toDF("text")
+      .select(explode(graft.functions.expressions.ParseGft(
+        DocParse.synthPayload($"text"))).as("r"))
+      .filter($"r.content_type" === "text_block")
+      .select($"r.content_raw").as[String].collect()
+    assert(parsed.mkString("") == text)
+  }
+
   test("GFT payloads ingest as store records and search end-to-end") {
     val dir = "target/vdb_parse"
     val f = new java.io.File(s"$dir/vector_store")

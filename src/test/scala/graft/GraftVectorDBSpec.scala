@@ -86,4 +86,55 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(hits.nonEmpty)
     assert(hits.forall(_.getAs[String]("channel") == "text"))
   }
+
+  test("compact rewrites a partition to fewer files; rows + search invariant") {
+    assert(firstIngest > 0)
+    // append a second batch of fresh docs so the partition holds the
+    // multi-file residue a streaming ingest accumulates
+    val extra = Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 100000)
+      .withColumn("text", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(" appended batch")))
+    assert(db.ingest(extra) > 0)
+    def partFiles: Int = new java.io.File(s"${db.storePath}/content_type=text_chunk")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = db.search("fast query join table", topN = 5).collect().toSeq
+    val rowsBefore = db.store.count()
+    val filesBefore = partFiles
+    assert(filesBefore > 1, s"need a fragmented partition to compact, got $filesBefore files")
+    val rewritten = db.compact("text_chunk", targetFiles = 1)
+    assert(rewritten > 0)
+    assert(partFiles == 1, "compaction must collapse the partition to targetFiles")
+    assert(db.store.count() == rowsBefore, "compaction must not change rows")
+    assert(db.search("fast query join table", topN = 5).collect().toSeq == before,
+      "search results must be invariant under compaction")
+    // the single-scan property survives the rewrite
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = db.search("fast query join table", topN = 5)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("vector_store")) => f
+      }
+      assert(scans.size == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
+  test("a corrupt store fails ingest loudly instead of double-ingesting") {
+    val dir = "target/vdb_corrupt_spec"
+    val d = new GraftVectorDB(spark, dir)
+    val f = new java.io.File(s"${d.storePath}/content_type=text_chunk")
+    f.mkdirs()
+    val junk = new java.io.FileOutputStream(
+      new java.io.File(f, "part-00000.parquet"))
+    junk.write("not a parquet file".getBytes("UTF-8"))
+    junk.close()
+    // PATH exists but is unreadable → the error must propagate (a
+    // swallowed failure would return an empty hash set and re-ingest)
+    intercept[Exception] {
+      d.ingest(Tables.load(spark, sf, "documents"))
+    }
+  }
 }

@@ -51,4 +51,20 @@ class IvfStoreSpec extends AnyFunSuite {
         s"pruned scan must read fewer files ($readFiles) than the store holds ($allFiles)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
+
+  test("a persisted store reopens: fresh-read centroids probe identically") {
+    val built = AnnIndex.buildIvfStore(spark, sf, storeDir)
+    val reopened = AnnIndex.openIvfStore(spark, storeDir)
+    // the routing table is invisible to corpus reads (underscore path)
+    assert(!spark.read.parquet(storeDir).columns.contains("cv"))
+    val q = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), toDouble($"embedding").as("qv"))
+      .withColumn("qnrm", l2Norm($"qv"))
+    def run(c: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      AnnIndex.probeIvfStore(spark, storeDir, c, q, nProbe = 8, k = 5)
+        .select($"q_id", $"rnk", $"n_id", $"sim_r")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(run(reopened) == run(built))
+  }
 }
