@@ -92,6 +92,24 @@ object SparkEntry {
   private val jaccardExpr =
     "round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 4)"
 
+  /** Scalable oracle fragment: near-dup pairs (Jaccard >= threshold on distinct
+   *  word-bigram shingles) via a shingle co-occurrence equi-join instead of the
+   *  O(n^2) all-pairs cross join. Exact for any threshold > 0: a qualifying pair
+   *  must share at least one shingle, and |A u B| = |A| + |B| - |A n B|, so the
+   *  join enumerates every candidate and computes the identical rounded Jaccard.
+   *  This keeps the DuckDB oracle runnable at bench scale (sf0.1+). */
+  private def shinglePairsCte(threshold: String): String =
+    s"""sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+      |   i -> w[i::INT] || ' ' || w[(i+1)::INT]))) s
+      | FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents)),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+      | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT a_id, b_id, round(i::DOUBLE / (sa.n + sb.n - i), 4) j_r
+      | FROM inter JOIN sz sa ON sa.doc_id = inter.a_id
+      |            JOIN sz sb ON sb.doc_id = inter.b_id
+      | WHERE round(i::DOUBLE / (sa.n + sb.n - i), 4) >= $threshold)""".stripMargin
+
   /** Shared oracle fragment: double vectors + norms over embeddings. */
   private val normCte =
     """n AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v,
@@ -365,15 +383,12 @@ object SparkEntry {
         |FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.05
         |ORDER BY a_id, b_id""".stripMargin,
     "dd_minhash" ->
-      s"""WITH $bigramCte
-        |SELECT a.doc_id a_id, b.doc_id b_id, $jaccardExpr AS j_r
-        |FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5
+      s"""WITH ${shinglePairsCte("0.5")}
+        |SELECT a_id, b_id, j_r FROM pr
         |ORDER BY a_id, b_id""".stripMargin,
     "dd_cluster" ->
-      s"""WITH RECURSIVE $bigramCte,
-        |p AS (SELECT a.doc_id a_id, b.doc_id b_id
-        | FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5),
-        |e AS (SELECT a_id u, b_id v FROM p UNION ALL SELECT b_id u, a_id v FROM p),
+      s"""WITH RECURSIVE ${shinglePairsCte("0.5")},
+        |e AS (SELECT a_id u, b_id v FROM pr UNION ALL SELECT b_id u, a_id v FROM pr),
         |reach(u, r) AS (
         | SELECT u, u FROM e
         | UNION
@@ -456,9 +471,8 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY token ORDER BY df DESC, token""".stripMargin,
     "tx_curate" ->
-      s"""WITH $bigramCte,
-        |losers AS (SELECT DISTINCT b.doc_id
-        | FROM bg a, bg b WHERE a.doc_id < b.doc_id AND $jaccardExpr >= 0.5),
+      s"""WITH ${shinglePairsCte("0.5")},
+        |losers AS (SELECT DISTINCT b_id AS doc_id FROM pr),
         |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks FROM documents),
         |s AS (SELECT doc_id,
         | len(list_filter(toks, t -> t IN ('data','table','row')))::BIGINT s_de,
