@@ -71,9 +71,13 @@ object SparkEntry {
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
     "tx_shard" -> (TextAnalysis.shard _),
+    "tx_contam" -> (TextAnalysis.contam _),
+    "tx_mix" -> (TextAnalysis.mix _),
+    "tx_ppl" -> (TextAnalysis.ppl _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
+    "mm_phash" -> (Multimodal.phash _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
     "st_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
     "st_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
@@ -81,6 +85,7 @@ object SparkEntry {
     // recall/error bounds are asserted in specs instead.
     "ann_ivf" -> (AnnIndex.ivf _),
     "ann_lsh" -> (AnnIndex.lsh _),
+    "ann_pq" -> (AnnIndex.pq _),
     "ol_approx" -> (Relational.approxStats _)
   )
 
@@ -506,6 +511,39 @@ object SparkEntry {
         |SELECT source, doc_id, n_tokens, cum_tokens,
         | (cum_tokens - n_tokens) // 2000 AS shard_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "tx_contam" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i::INT] || ' ' || w[(i+1)::INT] || ' ' || w[(i+2)::INT]))) AS sh
+        |       FROM t WHERE len(w) >= 3)
+        |SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_contam,
+        | count(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM sh tr JOIN sh b ON tr.sh = b.sh AND b.doc_id % 17 = 0 AND tr.doc_id % 17 <> 0
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "tx_mix" ->
+      """WITH k AS (SELECT source,
+        |  100 + ('0x' || substr(md5('rate:' || source),1,8))::BIGINT % 900 AS target_permille,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  ('0x' || substr(md5('mix:' || source || ':' || doc_id),1,8))::BIGINT % 1000
+        |    < 100 + ('0x' || substr(md5('rate:' || source),1,8))::BIGINT % 900 AS kept
+        | FROM documents)
+        |SELECT source, target_permille, count(*) AS n_in,
+        | SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        | SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens,
+        | round(SUM(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS realized_rate
+        |FROM k GROUP BY source, target_permille ORDER BY source""".stripMargin,
+    "tx_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |  i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS bg FROM t WHERE len(w) >= 2),
+        |bgc AS (SELECT bg, count(*) c_bg FROM bg GROUP BY 1),
+        |unic AS (SELECT w1, count(*) c_w1 FROM (SELECT unnest(w) w1 FROM t) GROUP BY 1),
+        |v AS (SELECT count(*) v FROM unic)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        | round(SUM(round(-ln((c_bg + 1)::DOUBLE / (c_w1 + v)), 6)), 6) AS nll
+        |FROM bg b JOIN bgc USING (bg) JOIN unic ON split_part(b.bg, ' ', 1) = unic.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "tx_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) tf FROM t GROUP BY 1, 2),
@@ -547,6 +585,17 @@ object SparkEntry {
         |  ELSE 512 END AS new_height,
         | (width > 512 OR height > 512) AS downscaled
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_phash" ->
+      """WITH ph AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 16),
+        |    i -> (('0x' || substr(md5(substr(text, (i*16+1)::INT, 16)),1,8))::BIGINT % 2)
+        |      * (1::BIGINT << i::INT)))::BIGINT AS ph
+        | FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "st_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) n,
         | (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE sum_value

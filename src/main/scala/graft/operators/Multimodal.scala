@@ -63,6 +63,49 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Perceptual-hash near-duplicate detection over the payload — the
+    * image-dedup step of a multimodal pipeline. A [[PhashBits]]-bit
+    * block hash is computed from fixed spatial blocks of the payload
+    * (one bit per block; the real deployment swaps the block digest for
+    * a DCT of decoded pixels at the same seam), and near-dup candidate
+    * pairs come from a pigeonhole band join: [[PhashBands]] bands of
+    * [[PhashBits]]/[[PhashBands]] bits, so any pair within hamming
+    * distance [[PhashMaxHamming]] (≤ bands - 1) shares at least one
+    * exact band — candidate generation is an equi-join on (band, key),
+    * never an all-pairs cross. */
+  val PhashBits = 16
+  val PhashBands = 4
+  val PhashMaxHamming = 3
+  val PhashBlock = 16
+
+  /** Packed [[PhashBits]]-bit perceptual hash: bit i = parity of the
+    * md5-derived digest of spatial block i. Pure codegen'd bit math. */
+  private def phashValue(text: org.apache.spark.sql.Column) =
+    (0 until PhashBits).map { i =>
+      pmod(hash32(substr(text, lit(i * PhashBlock + 1), lit(PhashBlock))), lit(2L)) *
+        lit(1L << i)
+    }.reduce(_ + _)
+
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bitsPerBand = PhashBits / PhashBands
+    val mask = (1L << bitsPerBand) - 1
+    val hashed = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", phashValue($"text").as("ph"))
+    val banded = hashed.select($"doc_id", $"ph",
+      posexplode(array((0 until PhashBands).map { b =>
+        shiftright($"ph", b * bitsPerBand).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bkey")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        bit_count($"a.ph".bitwiseXOR($"b.ph")).cast("long").as("hamming"))
+      .distinct() // a pair can collide in several bands
+      .filter($"hamming" <= PhashMaxHamming)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Deterministic strided frame sampling: fixed-size frames, every
     * [[FrameStride]]-th sampled and digested — the shape of video
     * frame extraction over binary columns (batch size = frame count,

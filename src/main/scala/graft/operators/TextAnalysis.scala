@@ -218,6 +218,83 @@ object TextAnalysis {
     out.orderBy($"doc_id", $"rnk")
   }
 
+  /** Benchmark decontamination — the eval-leak scan every training-data
+    * pipeline runs before a model sees the corpus: flag training docs
+    * sharing a word-trigram with the held-out benchmark slice. Shapes
+    * for 100 TB: the benchmark side is tiny (a fixed eval suite, here
+    * the deterministic doc_id % [[ContamBenchMod]] == 0 slice), so its
+    * distinct-shingle set BROADCASTS and contamination is one
+    * hash-join over the training corpus's exploded shingles — the
+    * corpus is scanned once and never self-joined. */
+  val ContamBenchMod = 17
+  def contam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(array_distinct(shingles(tokens($"text"), 3))).as("sh"))
+    val bench = sh.filter(pmod($"doc_id", lit(ContamBenchMod)) === 0)
+      .select($"sh", $"doc_id".as("bench_id")).distinct()
+    sh.filter(pmod($"doc_id", lit(ContamBenchMod)) =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("n_contam"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
+  /** Weighted source mixing — the domain-reweighting step that turns a
+    * curated pool into a training mixture: each source gets a target
+    * keep-rate and docs are kept by a deterministic content-free coin
+    * (md5 of source:doc_id), so the sample is reproducible, resumable,
+    * and embarrassingly parallel (no shuffle before the per-source
+    * manifest agg). Target rates are md5-derived per source here; a
+    * real pipeline passes a rate map — the operator shape is the same. */
+  def mix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = lit(100L) + pmod(hash32(concat(lit("rate:"), $"source")), lit(900L))
+    val coin = pmod(hash32(concat_ws(":", lit("mix"), $"source", $"doc_id")), lit(1000L))
+    Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tokens"),
+        rate.as("target_permille"), (coin < rate).as("kept"))
+      .groupBy($"source", $"target_permille")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("kept_tokens"))
+      .withColumn("realized_rate",
+        round($"n_kept".cast("double") / $"n_in", 4))
+      .orderBy($"source")
+  }
+
+  /** Bigram-LM quality scoring (the CCNet-style perplexity filter): an
+    * add-one-smoothed bigram language model is "trained" as corpus count
+    * frames, then every doc is scored by mean negative log-likelihood.
+    * Shapes for 100 TB: the LM is vocabulary-sized (counts, not
+    * parameters) so both count frames BROADCAST back onto the exploded
+    * corpus — two partial-agg shuffles to train, one to score, no
+    * self-join. Parity: each -ln term rounds to 6dp BEFORE the sum, so
+    * the doc total is a sum over the 1e-6 grid — engine-independent
+    * regardless of float accumulation order (an unrounded avg can land
+    * within fp-noise of a rounding midpoint). */
+  def ppl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docsBg = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+    val bgCounts = docsBg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+    val uniCounts = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select(explode(tokens($"text")).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c_w1"))
+    val vocabSize = uniCounts.agg(count(lit(1)).as("v"))
+    docsBg.join(broadcast(bgCounts), "bg")
+      .join(broadcast(uniCounts), "w1")
+      .crossJoin(broadcast(vocabSize))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(-log(($"c_bg" + 1).cast("double") / ($"c_w1" + $"v")), 6)), 6)
+          .as("nll"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {

@@ -30,4 +30,12 @@ class AnnIndexSpec extends AnyFunSuite {
     info(s"lsh recall@5 = $recall")
     assert(recall >= 0.9) // measured 0.94, fully deterministic (md5 planes)
   }
+
+  test("ann_pq recall@5 >= 0.9 vs brute force") {
+    val pq = hitSet(AnnIndex.pq(spark, sf))
+    val recall = (pq & exact).size.toDouble / exact.size
+    info(s"pq recall@5 = $recall")
+    // grid-probed: 0.96 at sf0.001, 0.98 at sf0.01 (M=16, K=16, shortlist=100)
+    assert(recall >= 0.9)
+  }
 }

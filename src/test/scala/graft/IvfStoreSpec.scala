@@ -67,4 +67,43 @@ class IvfStoreSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(run(reopened) == run(built))
   }
+
+  test("incremental append: O(|new|) ingest, old files untouched, routed cells") {
+    val appendDir = "target/ivf_store_append_spec"
+    val all = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    // fit a routing table (buildIvfStore's own), then lay out a store
+    // holding only the first 400 vectors with that table
+    val centroids = AnnIndex.buildIvfStore(spark, sf, "target/ivf_append_fit")
+    AnnIndex.assignWithCentroids(all.filter($"vec_id" < 400), centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(appendDir)
+    centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$appendDir/_centroids")
+    val filesBefore = spark.read.parquet(appendDir).inputFiles.toSet
+    assert(spark.read.parquet(appendDir).count() == 400L)
+
+    AnnIndex.appendIvfStore(spark, appendDir, all.filter($"vec_id" >= 400))
+
+    // every pre-append file survives in place (no rewrite), rows add up
+    val filesAfter = spark.read.parquet(appendDir).inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter), "append must not rewrite existing files")
+    assert(spark.read.parquet(appendDir).count() == all.count())
+
+    // appended rows landed in the cells the store's routing table assigns
+    val expected = AnnIndex.assignWithCentroids(all, AnnIndex.openIvfStore(spark, appendDir))
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toMap
+    val stored = spark.read.parquet(appendDir).select($"vec_id", $"cell").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).toMap
+    assert(stored == expected, "appended rows must land in the routed cells")
+
+    // and the appended store probes end-to-end
+    val q = all.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val got = AnnIndex.probeIvfStore(spark, appendDir,
+      AnnIndex.openIvfStore(spark, appendDir), q, nProbe = 8, k = 5).collect()
+    assert(got.length == 15)
+  }
 }
