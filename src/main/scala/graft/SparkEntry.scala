@@ -74,6 +74,8 @@ object SparkEntry {
     "tx_contam" -> (TextAnalysis.contam _),
     "tx_mix" -> (TextAnalysis.mix _),
     "tx_ppl" -> (TextAnalysis.ppl _),
+    "tx_selfrep" -> (TextAnalysis.selfrep _),
+    "tx_dsir" -> (TextAnalysis.dsir _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
@@ -544,6 +546,28 @@ object SparkEntry {
         |FROM bg b JOIN bgc USING (bg) JOIN unic ON split_part(b.bg, ' ', 1) = unic.w1
         |CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "tx_selfrep" ->
+      """WITH s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+        |   i -> w[i::INT] || ' ' || w[(i+1)::INT] || ' ' || w[(i+2)::INT]) ELSE [] END sh
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents))
+        |SELECT doc_id, len(sh)::BIGINT AS n_ngrams,
+        | (len(sh) - len(list_distinct(sh)))::BIGINT AS n_repeated,
+        | round((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 4) AS rep_ratio
+        |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+    "tx_dsir" ->
+      """WITH tb AS (SELECT doc_id, ('0x' || substr(md5(tok),1,2))::BIGINT % 64 AS b
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok FROM documents)),
+        |tgt AS (SELECT b, count(*) c_t FROM tb WHERE doc_id % 17 = 0 GROUP BY 1),
+        |src AS (SELECT b, count(*) c_s FROM tb WHERE doc_id % 17 <> 0 GROUP BY 1),
+        |tt AS (SELECT sum(c_t)::BIGINT t_t FROM tgt),
+        |ts AS (SELECT sum(c_s)::BIGINT t_s FROM src),
+        |lr AS (SELECT src.b,
+        |  round(ln(((coalesce(c_t, 0) + 1)::DOUBLE / (t_t + 64))
+        |    / ((c_s + 1)::DOUBLE / (t_s + 64))), 6) lr
+        |  FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN tt CROSS JOIN ts)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens, round(SUM(lr), 6) AS dsir_w
+        |FROM tb JOIN lr USING (b) WHERE doc_id % 17 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) tf FROM t GROUP BY 1, 2),

@@ -295,6 +295,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Intra-document repetition score — the self-repetition signal from
+    * the dedup literature (docs that repeat their own n-grams are
+    * boilerplate/spam-like): repeated trigram instances / total
+    * trigram instances, computed entirely with array functions inside
+    * one narrow projection — zero shuffle at any corpus size. */
+  def selfrep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(tokens($"text"), 3)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(sh).cast("long").as("n_ngrams"),
+        (size(sh) - size(array_distinct(sh))).cast("long").as("n_repeated"))
+      .filter($"n_ngrams" > 0)
+      .withColumn("rep_ratio", round($"n_repeated".cast("double") / $"n_ngrams", 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Hashed-feature importance weights against a target slice (the
+    * data-selection-by-importance-resampling shape): token features
+    * hash into [[DsirBuckets]] buckets; add-one-smoothed bucket
+    * distributions are estimated for the target (benchmark slice) and
+    * the source (everything else); each candidate doc scores the sum
+    * of per-token log probability ratios. Shapes for 100 TB: both
+    * distributions are bucket-sized frames (≤ 64 rows) so the
+    * log-ratio table BROADCASTS onto one exploded corpus pass; parity:
+    * per-bucket log-ratios round to 6dp before the per-doc sum. */
+  val DsirBuckets = 64
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .withColumn("b", hashBucket($"tok", DsirBuckets))
+    val isBench = pmod($"doc_id", lit(TextAnalysis.ContamBenchMod)) === 0
+    val tgt = toks.filter(isBench).groupBy($"b").agg(count(lit(1)).as("c_t"))
+    val src = toks.filter(!isBench).groupBy($"b").agg(count(lit(1)).as("c_s"))
+    val totals = tgt.agg(sum($"c_t").as("t_t")).crossJoin(src.agg(sum($"c_s").as("t_s")))
+    val lr = src.join(tgt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select($"b", round(log(
+        ((coalesce($"c_t", lit(0L)) + 1).cast("double") / ($"t_t" + DsirBuckets)) /
+          (($"c_s" + 1).cast("double") / ($"t_s" + DsirBuckets))), 6).as("lr"))
+    toks.filter(!isBench).join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(sum($"lr"), 6).as("dsir_w"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {
