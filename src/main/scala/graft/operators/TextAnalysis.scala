@@ -327,18 +327,26 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .withColumn("b", hashBucket($"tok", DsirBuckets))
     val isBench = pmod($"doc_id", lit(TextAnalysis.ContamBenchMod)) === 0
-    val tgt = toks.filter(isBench).groupBy($"b").agg(count(lit(1)).as("c_t"))
-    val src = toks.filter(!isBench).groupBy($"b").agg(count(lit(1)).as("c_s"))
-    val totals = tgt.agg(sum($"c_t").as("t_t")).crossJoin(src.agg(sum($"c_s").as("t_s")))
-    val lr = src.join(tgt, Seq("b"), "left_outer")
-      .crossJoin(broadcast(totals))
+    // BOTH distributions from one conditional-aggregation pass (a
+    // second corpus explode just to split target/source would double
+    // the dominant cost); buckets absent from the source never score.
+    val counts = toks.groupBy($"b").agg(
+        sum(when(isBench, 1L).otherwise(0L)).as("c_t"),
+        sum(when(isBench, 0L).otherwise(1L)).as("c_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // totals over ALL buckets (smoothing denominators), THEN restrict
+    // the ratio table to buckets the source actually uses
+    val totals = counts.agg(sum($"c_t").as("t_t"), sum($"c_s").as("t_s"))
+    val lr = counts.filter($"c_s" > 0).crossJoin(broadcast(totals))
       .select($"b", round(log(
-        ((coalesce($"c_t", lit(0L)) + 1).cast("double") / ($"t_t" + DsirBuckets)) /
+        (($"c_t" + 1).cast("double") / ($"t_t" + DsirBuckets)) /
           (($"c_s" + 1).cast("double") / ($"t_s" + DsirBuckets))), 6).as("lr"))
-    toks.filter(!isBench).join(broadcast(lr), "b")
+    val scored = toks.filter(!isBench).join(broadcast(lr), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(sum($"lr"), 6).as("dsir_w"))
-      .orderBy($"doc_id")
+    val out = Tables.materialize(scored)
+    counts.unpersist(blocking = false)
+    out.orderBy($"doc_id")
   }
 
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
