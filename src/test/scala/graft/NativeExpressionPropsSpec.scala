@@ -1,0 +1,160 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expressions._
+
+/** Property-based checks of the native Catalyst expressions against
+  * independent plain-Scala models (the models recompute md5 etc. from
+  * the documented contracts, sharing no code with the expressions).
+  * The oracle gate proves these on the corpus; the properties prove
+  * them on arbitrary inputs — empty arrays, unicode, ties, duplicate
+  * scores — where corpus data never treads. */
+class NativeExpressionPropsSpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def md5(s: String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+  private def hash32(s: String): Long = {
+    val d = md5(s)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  private val token: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(12)), Gen.oneOf("", "a", "π", "句", ""))
+  private val tokens: Gen[List[String]] = Gen.listOfN(40, token).map(_.take(40))
+  private def utf8Array(ts: Seq[String]): GenericArrayData =
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  test("HashingCounts matches the first-md5-byte-mod-dim model (and normalized variant)") {
+    val dim = 64
+    check(Prop.forAll(tokens) { ts =>
+      val got = HashingCounts(Literal(null), dim)
+        .nullSafeEval(utf8Array(ts)).asInstanceOf[GenericArrayData].toDoubleArray()
+      val exp = new Array[Double](dim)
+      ts.foreach(t => exp((md5(t)(0) & 0xFF) % dim) += 1.0)
+      val gotN = HashingCounts(Literal(null), dim, normalized = true)
+        .nullSafeEval(utf8Array(ts)).asInstanceOf[GenericArrayData].toDoubleArray()
+      val nrm = math.sqrt(exp.map(x => x * x).sum)
+      val expN = exp.map(x => BigDecimal(x / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      got.sameElements(exp) && (ts.isEmpty || gotN.sameElements(expN))
+    })
+  }
+
+  test("SimHash60 matches the hex-digit vote model") {
+    check(Prop.forAll(tokens) { ts =>
+      val got = SimHash60(Literal(null)).nullSafeEval(utf8Array(ts)).asInstanceOf[Long]
+      val votes = new Array[Int](60)
+      ts.foreach { t =>
+        val d = md5(t)
+        for (bit <- 0 until 60) {
+          val digit = bit / 4
+          val b0 = d(digit / 2) & 0xFF
+          val nibble = if (digit % 2 == 0) b0 >>> 4 else b0 & 0xF
+          votes(bit) += (((nibble >>> (3 - bit % 4)) & 1) * 2) - 1
+        }
+      }
+      got == votes.foldLeft(0L)((acc, v) => acc * 2 + (if (v > 0) 1L else 0L))
+    })
+  }
+
+  test("MinHashSignature matches the affine-permutation model") {
+    val seeds = 16
+    val P = 4294967311L
+    val as = (0 until seeds).map(k => 1L + hash32(s"mha:$k") % ((1L << 31) - 1))
+    val bs = (0 until seeds).map(k => hash32(s"mhb:$k") % P)
+    check(Prop.forAll(tokens) { ts =>
+      val got = MinHashSignature(Literal(null), seeds)
+        .nullSafeEval(utf8Array(ts)).asInstanceOf[GenericArrayData].toLongArray()
+      val exp = (0 until seeds).map { k =>
+        if (ts.isEmpty) Long.MaxValue
+        else ts.map(t => (as(k) * hash32(t) + bs(k)) % P).min
+      }.toArray
+      got.sameElements(exp)
+    })
+  }
+
+  test("DotProduct eval matches a left-fold model bit-for-bit, shorter-prefix lengths") {
+    val arr = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3)).map(_.toArray)
+    check(Prop.forAll(arr, arr, Gen.chooseNum(0, 16)) { (a, b, cut) =>
+      val bc = b.take(cut)
+      val got = DotProduct(Literal(null), Literal(null))
+        .nullSafeEval(new GenericArrayData(a), new GenericArrayData(bc))
+        .asInstanceOf[Double]
+      var exp = 0.0
+      for (i <- 0 until math.min(a.length, bc.length)) exp += a(i) * bc(i)
+      java.lang.Double.compare(got, exp) == 0
+    })
+  }
+
+  test("TopKBuffer: arbitrary insert orders and split-merges equal sort-take-k, with ties") {
+    val pair = for {
+      s <- Gen.oneOf(0.0, 0.5, 0.5, 1.0, -1.0, 2.5) // duplicates force ties
+      id <- Gen.chooseNum(0L, 30L)
+    } yield (s, id)
+    val pairs = Gen.listOf(pair)
+    check(Prop.forAll(pairs, Gen.chooseNum(1, 8), Gen.chooseNum(0, 100)) { (ps, k, splitSeed) =>
+      val exp = ps.sortBy { case (s, id) => (-s, id) }.take(k)
+      val single = new TopKBuffer(k)
+      ps.foreach { case (s, id) => single.insert(s, id) }
+      // split into two buffers at an arbitrary point, merge
+      val cut = if (ps.isEmpty) 0 else splitSeed % (ps.size + 1)
+      val (l, r) = ps.splitAt(cut)
+      val bl = new TopKBuffer(k); l.foreach { case (s, id) => bl.insert(s, id) }
+      val br = new TopKBuffer(k); r.foreach { case (s, id) => br.insert(s, id) }
+      bl.merge(br)
+      def contents(buf: TopKBuffer) =
+        (0 until buf.n).map(i => (buf.scores(i), buf.ids(i))).toList
+      contents(single) == exp && contents(bl) == exp
+    })
+  }
+
+  test("TopKByScore codegen/exec path agrees with the buffer model on a generated frame") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(3000) { i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(5) / 2.0, i.toLong) // few groups, tied scores
+    }
+    val df = rows.toDF("g", "s", "id").repartition(8)
+    val got = df.groupBy($"g")
+      .agg(TopKByScore($"s", $"id", 4).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", $"col.score", $"col.id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val exp = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, s, id) => (s, id) }.sortBy { case (s, id) => (-s, id) }
+        .take(4).map { case (s, id) => (g, s, id) }
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("zValue16 interleaves the low 16 bits of both columns (model parity on a frame)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(500)((rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
+    val got = pts.toDF("a", "b")
+      .select(graft.functions.VectorFunctions.zValue16($"a", $"b").as("z"))
+      .collect().map(_.getLong(0))
+    val exp = pts.map { case (a, b) =>
+      (0 until 16).map { i =>
+        (((a >> i) & 1).toLong << (2 * i)) | (((b >> i) & 1).toLong << (2 * i + 1))
+      }.sum
+    }
+    assert(got.sameElements(exp))
+  }
+}
