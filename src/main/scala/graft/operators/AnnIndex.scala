@@ -172,21 +172,49 @@ object AnnIndex {
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
   }
 
-  /** Assign cells using an existing routing table — argmin L2 as
-    * `argmax(<v,c> - |c|²/2)` over the (driver-tiny) centroid set,
-    * evaluated as one narrow projection: no shuffle, no ML model, so
-    * appends and re-assignments never touch the fit path. */
-  private[graft] def assignWithCentroids(vecsDf: DataFrame, centroids: DataFrame): DataFrame = {
-    val books = centroids.orderBy(col("cell")).collect()
+  /** A routing table collected to the driver: (cell, centroid) pairs,
+    * cell-ordered. Bounded by the cell count — driver-tiny by design. */
+  private[graft] def routingBooks(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.orderBy(col("cell")).collect()
       .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("cv").toArray))
+
+  /** Cell id for the vector column `v` — argmin L2 as
+    * `argmax(<v,c> - |c|²/2)` over the routing table, one narrow
+    * codegen'd projection: no shuffle, no ML model, so appends and
+    * re-assignments never touch the fit path. Ties resolve to the
+    * lowest cell id (array_position: first match). */
+  private[graft] def cellOf(books: Array[(Int, Array[Double])], v: Column): Column = {
     val scores = books.map { case (_, c) =>
-      dot(col("v"), typedLit(c.toSeq)) - lit(c.map(x => x * x).sum / 2)
+      dot(v, typedLit(c.toSeq)) - lit(c.map(x => x * x).sum / 2)
     }
-    val arr = array(scores: _*)
-    // ties resolve to the lowest cell id (array_position: first match)
-    val cellOf = element_at(typedLit(books.map(_._1).toSeq),
+    val arr = array(scores.toSeq: _*)
+    element_at(typedLit(books.map(_._1).toSeq),
       array_position(arr, array_max(arr)).cast("int"))
-    vecsDf.select(col("vec_id"), col("v"), col("nrm"), cellOf.as("cell"))
+  }
+
+  /** Assign cells using an existing routing table. */
+  private[graft] def assignWithCentroids(vecsDf: DataFrame, centroids: DataFrame): DataFrame =
+    vecsDf.select(col("vec_id"), col("v"), col("nrm"),
+      cellOf(routingBooks(centroids), col("v")).as("cell"))
+
+  /** Fit a routing table driver-locally from a bounded deterministic
+    * sample of ANY (sortKey, v) frame — the fit path for indexing
+    * frames that are not the embeddings table (e.g. a store channel).
+    * The sample is every step-th row by `pmod(sortKey, step)`, capped
+    * at [[SampleTarget]] rows, collected once; Lloyd iterations are
+    * driver arithmetic. Returns a (cell, cv) routing frame. */
+  private[graft] def fitCentroids(vecsDf: DataFrame, sortKey: Column,
+      cells: Int = IvfCells): DataFrame = {
+    val spark = vecsDf.sparkSession
+    import spark.implicits._
+    val n = vecsDf.count()
+    val step = math.max(1L, n / SampleTarget)
+    val sample = vecsDf.filter(pmod(sortKey, lit(step)) === 0)
+      .select(sortKey.as("k"), col("v")).collect()
+      .sortBy(_.getAs[Long]("k")) // collect order is not a contract
+      .map(_.getAs[Seq[Double]]("v").toArray)
+    lloyd(sample, cells, iters = 5).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
   }
 
   /** Product quantization: [[PqSub]] subspaces of [[PqSubDim]] dims,

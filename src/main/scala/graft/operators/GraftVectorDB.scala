@@ -136,6 +136,64 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     (response, hits)
   }
 
+  def annPath: String = s"$storeDir/ann_index"
+
+  /** Build (or rebuild) the store's IVF ANN index over the text
+    * channel: rows are routed to cells with a driver-local sample-fit
+    * routing table (AnnIndex.fitCentroids — one bounded collect, no
+    * MLlib job chain) and rewritten cell-partitioned WITH their search
+    * metadata, so an approximate search never joins back to the store.
+    * The routing table persists at `_centroids`, reopenable from any
+    * session. At 100 TB this is the batch index build: one full pass
+    * to route + write. Returns rows indexed. */
+  def buildAnnIndex(cells: Int = AnnIndex.IvfCells): Long = {
+    val chan = store.filter($"content_type" =!= ContentTypes.Image)
+      .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
+      .withColumn("v", toDouble($"embedding"))
+    val centroids = AnnIndex.fitCentroids(chan.select($"row_id", $"v"), $"row_id", cells)
+    val books = AnnIndex.routingBooks(centroids)
+    val indexed = chan.select($"doc_name", $"page_num", $"content_type",
+        $"content_id", $"content_raw", $"row_id", $"v",
+        l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"))
+    indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(annPath)
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$annPath/_centroids")
+    spark.read.parquet(annPath).count()
+  }
+
+  /** Approximate text search against the ANN index: the query routes
+    * to its `nProbe` nearest cells (a centroid-table-sized driver
+    * computation) and ONLY those cells' files are scanned — the
+    * partition-pruned twin of [[search]]'s full-channel scan, the path
+    * that keeps p99 search latency flat while the store grows to
+    * 100 TB. Same output contract as [[search]]. */
+  def searchAnn(queryText: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe): DataFrame = {
+    val books = AnnIndex.routingBooks(spark.read.parquet(s"$annPath/_centroids"))
+    val q = spark.range(1).select(VectorStore.embedText(lit(queryText)).as("qv"))
+      .withColumn("qnrm", l2Norm($"qv"))
+    // nProbe nearest centroids: |cells| dot products on a 1-row frame
+    val probed = q.select(explode(array(books.map { case (cell, c) =>
+        struct(lit(cell).as("cell"), dot($"qv", typedLit(c.toSeq)).as("cdist"))
+      }.toSeq: _*)).as("p"))
+      .select($"p.cell", $"p.cdist")
+      .orderBy($"cdist".desc, $"cell").limit(nProbe)
+      .collect().map(_.getAs[Int]("cell")).toSeq
+    val top = spark.read.parquet(annPath)
+      .filter($"cell".isin(probed: _*)) // prunes partitions at the scan
+      .crossJoin(broadcast(q))
+      .select(round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"),
+        $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw",
+        $"row_id")
+      .orderBy($"sim_r".desc, $"row_id")
+      .limit(topN)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"sim_r".desc, $"row_id")).cast("long"))
+      .select($"rnk", $"sim_r", $"doc_name", $"page_num",
+        $"content_type", $"content_id", $"content_raw")
+      .withColumn("channel", lit("text"))
+      .orderBy($"rnk")
+  }
+
   /** Store maintenance: streaming ingest appends a file per micro-batch
     * — at 100 TB the accumulating small-file count is the operational
     * killer (file-listing latency + one task per tiny file). Rewrites

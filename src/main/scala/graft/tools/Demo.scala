@@ -34,6 +34,8 @@ object Demo {
     println(s"[demo] appended $n image+caption records")
     println("[demo] multimodal search with image channel:")
     db.searchMultimodal("captioned content", topN = 3).show(20, 60)
+    println(s"[demo] ANN index over ${db.buildAnnIndex()} rows; probe search:")
+    db.searchAnn("fast query join table", topN = 5).show(20, 60)
     spark.stop()
   }
 }

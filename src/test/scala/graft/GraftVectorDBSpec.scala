@@ -122,6 +122,39 @@ class GraftVectorDBSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
 
+  test("ANN index: partition-pruned probe search agrees with the exact scan") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    val indexed = db.buildAnnIndex(cells = 8)
+    assert(indexed == db.store.filter($"content_type" =!= graft.model.ContentTypes.Image).count())
+
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // probing EVERY cell must reproduce the exact search verbatim
+      val exact = db.search("fast query join table", topN = 5).collect()
+        .map(r => (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"), r.getAs[String]("doc_name")))
+      val full = db.searchAnn("fast query join table", topN = 5, nProbe = 8).collect()
+        .map(r => (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"), r.getAs[String]("doc_name")))
+      assert(full.toSeq == exact.toSeq)
+
+      // a partial probe reads strictly fewer partitions at the scan
+      val df = db.searchAnn("fast query join table", topN = 5, nProbe = 3)
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
+      }.head
+      assert(scan.partitionFilters.nonEmpty, "cell probe must prune partitions")
+      val cellsRead = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.values.getInt(0)).toSet
+      assert(cellsRead.size == 3, s"expected 3 probed cells, scan reads $cellsRead")
+      // and the pruned search still finds the exact top hit
+      val top = df.collect().head
+      assert(top.getAs[Double]("sim_r") == exact.head._2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("a corrupt store fails ingest loudly instead of double-ingesting") {
     val dir = "target/vdb_corrupt_spec"
     val d = new GraftVectorDB(spark, dir)
