@@ -137,19 +137,28 @@ object TextAnalysis {
     * an anti-join against the LSH near-dup losers. Shapes: narrow scan
     * for scoring; the loser set is near-dup pairs only (≪ corpus) so
     * the anti-join broadcasts at any scale. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The stateless scoring half of the curation gate (lang-id markers,
+    * token count, stop ratio, composite quality) — one narrow pass, so
+    * it applies unchanged to a STREAMING documents frame
+    * ([[graft.streaming.DocStreams]]). Keeps every input column. */
+  private[graft] def scoreDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val toks = tokens($"text")
-    val scored = Tables.spread(Tables.load(spark, dir, "documents"))
-      .select(($"doc_id" +: Markers.map { case (l, ws) =>
-          occurrences(toks, ws).as(s"s_$l") }) :+
-        size(toks).cast("long").as("n_tokens") :+
-        round(occurrences(toks, Stopwords).cast("double") / size(toks), 4)
-          .as("stop_ratio"): _*)
+    docs
+      .withColumns(Markers.map { case (l, ws) =>
+        s"s_$l" -> occurrences(toks, ws) }.toMap)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_ratio",
+        round(occurrences(toks, Stopwords).cast("double") / size(toks), 4))
       .withColumn("quality_r",
         round(lit(0.4) * $"stop_ratio"
           + lit(0.6) * least(lit(1.0), $"n_tokens".cast("double") / 100), 4))
       .withColumn("lang_pred", predictedLang)
+  }
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
     // Drop the non-keeper side of every verified near-dup pair.
     // ORACLE COUPLING: the tx_curate oracle derives losers from exact
     // all-pairs Jaccard, so parity holds only while the LSH banding has

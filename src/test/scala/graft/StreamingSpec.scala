@@ -21,6 +21,35 @@ class StreamingSpec extends AnyFunSuite {
     dir.toAbsolutePath.toString
   }
 
+  private lazy val docStreamDir: String = {
+    val dir = java.nio.file.Paths.get("target", "doc_stream_src")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toAbsolutePath.toString
+  }
+
+  test("streaming curation gate == batch gate (shared scoring, first-wins dedup)") {
+    import graft.streaming.DocStreams
+    val q = DocStreams.curateGate(DocStreams.loadDocumentsStream(spark, docStreamDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_curate_test").start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Double)] =
+        df.select("file_hash", "lang_pred", "n_tokens", "quality_r").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = rows(spark.table("st_curate_test"))
+      val want = rows(DocStreams.curateBatch(spark, sf))
+      assert(got.nonEmpty)
+      assert(got == want)
+      // the gate actually gated: fewer rows than the corpus
+      assert(got.size < Tables.load(spark, sf, "documents").count())
+    } finally q.stop()
+  }
+
   test("windowed aggregation: streaming == batch") {
     val q = EventStreams.windowAggStream(Tables.loadEventsStream(spark, streamDir))
       .writeStream.outputMode("complete")
