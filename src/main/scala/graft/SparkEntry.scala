@@ -552,8 +552,9 @@ object SparkEntry {
         | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents))
         |SELECT doc_id, len(sh)::BIGINT AS n_ngrams,
         | (len(sh) - len(list_distinct(sh)))::BIGINT AS n_repeated,
-        | round((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 4) AS rep_ratio
-        |FROM s WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin,
+        | CASE WHEN len(sh) = 0 THEN 0.0
+        |  ELSE round((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 4) END AS rep_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
     "tx_dsir" ->
       """WITH tb AS (SELECT doc_id, ('0x' || substr(md5(tok),1,2))::BIGINT % 64 AS b
         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok FROM documents)),
