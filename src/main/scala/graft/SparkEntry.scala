@@ -88,6 +88,12 @@ object SparkEntry {
     "ann_ivf" -> (AnnIndex.ivf _),
     "ann_lsh" -> (AnnIndex.lsh _),
     "ann_pq" -> (AnnIndex.pq _),
+    // exhaustive-probe IVF: nProbe = cells makes the index path exact,
+    // so the whole routing/probe/rank machinery hash-checks against
+    // the brute-force oracle (the approximation, not the machinery,
+    // is what [rows-only] ann_ivf leaves to its recall spec)
+    "ann_ivf_exh" -> ((s: SparkSession, dir: String) =>
+      AnnIndex.ivf(s, dir, AnnIndex.IvfCells, AnnIndex.IvfCells)),
     "ol_approx" -> (Relational.approxStats _)
   )
 
@@ -295,6 +301,16 @@ object SparkEntry {
         | file_hash, make_timestamp(doc_id * 1000000) AS ts
         |FROM c ORDER BY doc_name, page_num""".stripMargin,
     "vs_knn" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // probing every cell makes IVF exact: same ground truth as vs_knn
+    "ann_ivf_exh" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
         |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r

@@ -286,22 +286,30 @@ object TextAnalysis {
     * within fp-noise of a rounding midpoint). */
   def ppl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // docsBg feeds both the LM-count aggregation and the scoring join;
+    // uniCounts feeds the vocab size and the join — persist each so
+    // the corpus explodes run once, release after materializing
     val docsBg = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
       .withColumn("w1", substring_index($"bg", " ", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bgCounts = docsBg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
     val uniCounts = Tables.spread(Tables.load(spark, dir, "documents"))
       .select(explode(tokens($"text")).as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("c_w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabSize = uniCounts.agg(count(lit(1)).as("v"))
-    docsBg.join(broadcast(bgCounts), "bg")
+    val scored = docsBg.join(broadcast(bgCounts), "bg")
       .join(broadcast(uniCounts), "w1")
       .crossJoin(broadcast(vocabSize))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(round(-log(($"c_bg" + 1).cast("double") / ($"c_w1" + $"v")), 6)), 6)
           .as("nll"))
-      .orderBy($"doc_id")
+    val out = Tables.materialize(scored)
+    docsBg.unpersist(blocking = false)
+    uniCounts.unpersist(blocking = false)
+    out.orderBy($"doc_id")
   }
 
   /** Intra-document repetition score — the self-repetition signal from
