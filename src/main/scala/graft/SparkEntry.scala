@@ -54,6 +54,7 @@ object SparkEntry {
     "vs_xmodal" -> (KnnSearch.xmodal _),
     "vs_parse" -> (DocParse.parse _),
     "vs_sources" -> (KnnSearch.sources _),
+    "vs_rerank" -> (KnnSearch.mmr _),
     "ann_brute" -> (KnnSearch.annBrute _),
     "dd_exact" -> (Dedup.exact _),
     "dd_jaccard" -> (Dedup.jaccardPairs _),
@@ -308,6 +309,67 @@ object SparkEntry {
         |r AS (SELECT q_id, n_id, sim_r,
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
         |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // greedy MMR unrolled into 5 argmax steps (no recursion): each
+    // step's score table joins the candidate pool against the
+    // already-selected ids' pairwise sims
+    "vs_rerank" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |cand AS (SELECT q_id, n_id, sim_r FROM (SELECT p.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rr FROM p)
+        | WHERE rr <= 20),
+        |ps AS (SELECT a.q_id, a.n_id aa, b.n_id bb,
+        |  round(list_sum(list_transform(range(1, 65), i -> x.v[i::INT] * y.v[i::INT]))
+        |    / (x.nrm * y.nrm), 4) s
+        | FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+        | JOIN n x ON x.vec_id = a.n_id JOIN n y ON y.vec_id = b.n_id),
+        |s1 AS (SELECT q_id, n_id, m FROM (SELECT q_id, n_id, round(0.6*sim_r, 4) m,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY round(0.6*sim_r, 4) DESC, n_id) rr
+        |  FROM cand) WHERE rr = 1),
+        |sc2 AS (SELECT c.q_id, c.n_id, round(0.6*c.sim_r - 0.4*max(p.s), 4) m
+        | FROM cand c JOIN s1 ON s1.q_id = c.q_id AND c.n_id <> s1.n_id
+        | JOIN ps p ON p.q_id = c.q_id AND p.aa = c.n_id AND p.bb = s1.n_id
+        | GROUP BY c.q_id, c.n_id, c.sim_r),
+        |s2 AS (SELECT q_id, n_id, m FROM (SELECT sc2.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY m DESC, n_id) rr FROM sc2)
+        | WHERE rr = 1),
+        |sc3 AS (SELECT c.q_id, c.n_id, round(0.6*c.sim_r - 0.4*max(p.s), 4) m
+        | FROM cand c JOIN s1 ON s1.q_id = c.q_id JOIN s2 ON s2.q_id = c.q_id
+        | JOIN ps p ON p.q_id = c.q_id AND p.aa = c.n_id
+        |   AND p.bb IN (s1.n_id, s2.n_id)
+        | WHERE c.n_id NOT IN (s1.n_id, s2.n_id)
+        | GROUP BY c.q_id, c.n_id, c.sim_r),
+        |s3 AS (SELECT q_id, n_id, m FROM (SELECT sc3.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY m DESC, n_id) rr FROM sc3)
+        | WHERE rr = 1),
+        |sc4 AS (SELECT c.q_id, c.n_id, round(0.6*c.sim_r - 0.4*max(p.s), 4) m
+        | FROM cand c JOIN s1 ON s1.q_id = c.q_id JOIN s2 ON s2.q_id = c.q_id
+        | JOIN s3 ON s3.q_id = c.q_id
+        | JOIN ps p ON p.q_id = c.q_id AND p.aa = c.n_id
+        |   AND p.bb IN (s1.n_id, s2.n_id, s3.n_id)
+        | WHERE c.n_id NOT IN (s1.n_id, s2.n_id, s3.n_id)
+        | GROUP BY c.q_id, c.n_id, c.sim_r),
+        |s4 AS (SELECT q_id, n_id, m FROM (SELECT sc4.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY m DESC, n_id) rr FROM sc4)
+        | WHERE rr = 1),
+        |sc5 AS (SELECT c.q_id, c.n_id, round(0.6*c.sim_r - 0.4*max(p.s), 4) m
+        | FROM cand c JOIN s1 ON s1.q_id = c.q_id JOIN s2 ON s2.q_id = c.q_id
+        | JOIN s3 ON s3.q_id = c.q_id JOIN s4 ON s4.q_id = c.q_id
+        | JOIN ps p ON p.q_id = c.q_id AND p.aa = c.n_id
+        |   AND p.bb IN (s1.n_id, s2.n_id, s3.n_id, s4.n_id)
+        | WHERE c.n_id NOT IN (s1.n_id, s2.n_id, s3.n_id, s4.n_id)
+        | GROUP BY c.q_id, c.n_id, c.sim_r),
+        |s5 AS (SELECT q_id, n_id, m FROM (SELECT sc5.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY m DESC, n_id) rr FROM sc5)
+        | WHERE rr = 1)
+        |SELECT q_id, 1::BIGINT rnk, n_id, m mmr_r FROM s1
+        |UNION ALL SELECT q_id, 2::BIGINT, n_id, m FROM s2
+        |UNION ALL SELECT q_id, 3::BIGINT, n_id, m FROM s3
+        |UNION ALL SELECT q_id, 4::BIGINT, n_id, m FROM s4
+        |UNION ALL SELECT q_id, 5::BIGINT, n_id, m FROM s5
         |ORDER BY q_id, rnk""".stripMargin,
     // probing every cell makes IVF exact: same ground truth as vs_knn
     "ann_ivf_exh" ->

@@ -154,6 +154,66 @@ object KnnSearch {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** MMR diversity re-rank — the result-diversification pass a RAG
+    * retrieval layer runs so five near-identical chunks don't crowd
+    * out coverage: greedy maximal marginal relevance over each query's
+    * exact top-[[MmrPool]], score = round(0.6·sim(q,d) −
+    * 0.4·max_{s∈S} sim(d,s), 4), ties to the lower n_id.
+    *
+    * Shapes for 100 TB: candidate generation is the bounded brute
+    * top-k (broadcast queries, TopKByScore partial agg — ≤ pool rows
+    * per query reach the shuffle); the greedy selection is inherently
+    * sequential per query over ≤ pool² pairwise sims, so it runs as
+    * `mapGroups` over bounded groups — the documented legitimate
+    * imperative seam (typed Dataset, ~pool·k dot products per query,
+    * no driver involvement). Weights 0.6/0.4 keep the 5th decimal
+    * even, so the 4dp round never lands on a cross-engine half-tie
+    * (oracle-parity rule). */
+  val MmrPool = 20
+  val MmrK = 5
+
+  def mmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, dir)
+    val corpus = v.filter($"vec_id" >= 10)
+    val pool = rankTopK(
+      corpus.crossJoin(broadcast(queriesOf(v, 10)))
+        .select($"q_id", $"vec_id".as("n_id"),
+          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), MmrPool)
+      .join(broadcast(corpus.select($"vec_id".as("n_id"), $"v", $"nrm")), "n_id")
+    pool.select($"q_id", $"n_id", $"sim_r", $"v", $"nrm")
+      .as[(Long, Long, Double, Seq[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qId, it) =>
+        def r4(x: Double) =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val cand = it.toArray.sortBy { case (_, nId, simR, _, _) => (-simR, nId) }
+        val vs = cand.map(_._4.toArray)
+        def cos(i: Int, j: Int): Double = {
+          var acc = 0.0; var d = 0
+          val a = vs(i); val b = vs(j)
+          while (d < math.min(a.length, b.length)) { acc += a(d) * b(d); d += 1 }
+          r4(acc / (cand(i)._5 * cand(j)._5))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        (1 to math.min(MmrK, cand.length)).map { step =>
+          val best = cand.indices.filterNot(selected.contains).minBy { i =>
+            val m =
+              if (selected.isEmpty) r4(0.6 * cand(i)._3)
+              else r4(0.6 * cand(i)._3 - 0.4 * selected.map(cos(i, _)).max)
+            (-m, cand(i)._2)
+          }
+          val m =
+            if (selected.isEmpty) r4(0.6 * cand(best)._3)
+            else r4(0.6 * cand(best)._3 - 0.4 * selected.map(cos(best, _)).max)
+          selected += best
+          (qId, step.toLong, cand(best)._2, m)
+        }
+      }
+      .toDF("q_id", "rnk", "n_id", "mmr_r")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Exact all-pairs cosine top-3 (self-excluded) — the brute-force ANN
     * baseline and the heavyweight bench workload. */
   def annBrute(spark: SparkSession, dir: String): DataFrame = {

@@ -35,6 +35,25 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("vs_rerank diversifies: first pick is the top hit, pool membership holds, sets diverge") {
+    val mmr = KnnSearch.mmr(spark, sf).collect()
+    val knn = KnnSearch.knn(spark, sf).collect()
+    val mmrByQ = mmr.groupBy(_.getAs[Long]("q_id"))
+    val knnByQ = knn.groupBy(_.getAs[Long]("q_id"))
+    assert(mmrByQ.size == 10)
+    mmrByQ.foreach { case (q, hits) =>
+      val first = hits.minBy(_.getAs[Long]("rnk")).getAs[Long]("n_id")
+      val top1 = knnByQ(q).minBy(_.getAs[Long]("rnk")).getAs[Long]("n_id")
+      assert(first == top1, s"q$q: MMR step 1 must be the exact top hit")
+      assert(hits.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 5L))
+    }
+    // the re-rank is not a no-op: at least one query's set differs from plain top-5
+    val differs = mmrByQ.exists { case (q, hits) =>
+      hits.map(_.getAs[Long]("n_id")).toSet != knnByQ(q).map(_.getAs[Long]("n_id")).toSet
+    }
+    assert(differs, "MMR must trade some relevance for diversity on this corpus")
+  }
+
   test("dd_minhash results all meet the jaccard threshold") {
     val mins = Dedup.minhashLsh(spark, sf).agg(min("j_r")).head().getDouble(0)
     assert(mins >= Dedup.JaccardThreshold)
