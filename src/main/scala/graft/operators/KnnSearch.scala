@@ -176,11 +176,13 @@ object KnnSearch {
     import spark.implicits._
     val v = vecs(spark, dir)
     val corpus = v.filter($"vec_id" >= 10)
-    val pool = rankTopK(
-      corpus.crossJoin(broadcast(queriesOf(v, 10)))
-        .select($"q_id", $"vec_id".as("n_id"),
-          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), MmrPool)
-      .join(broadcast(corpus.select($"vec_id".as("n_id"), $"v", $"nrm")), "n_id")
+    // re-attach candidate vectors: the POOL side (≤ queries·pool rows)
+    // broadcasts into the corpus scan, never the reverse
+    val pool = corpus.select($"vec_id".as("n_id"), $"v", $"nrm")
+      .join(broadcast(rankTopK(
+        corpus.crossJoin(broadcast(queriesOf(v, 10)))
+          .select($"q_id", $"vec_id".as("n_id"),
+            round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), MmrPool)), "n_id")
     pool.select($"q_id", $"n_id", $"sim_r", $"v", $"nrm")
       .as[(Long, Long, Double, Seq[Double], Double)]
       .groupByKey(_._1)
