@@ -691,7 +691,7 @@ object SparkEntry {
     "mm_phash" ->
       """WITH ph AS (SELECT doc_id,
         |  list_sum(list_transform(range(0, 32),
-        |    i -> (('0x' || substr(md5(substr(text, (i*8+1)::INT, 8)),1,8))::BIGINT % 2)
+        |    i -> (('0x' || substr(md5(substr(text, ((i*8) % length(text) + 1)::INT, 8)),1,8))::BIGINT % 2)
         |      * (1::BIGINT << i::INT)))::BIGINT AS ph
         | FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,

@@ -258,6 +258,8 @@ object AnnIndex {
     * deterministic spread init (every n/k-th sample point) — no RNG
     * state, bit-reproducible across runs and sessions. */
   private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty,
+      "k-means fit got an empty sample — the frame being indexed has no vectors")
     val d = points.head.length
     var centers = Array.tabulate(k)(i => points((i.toLong * points.length / k).toInt).clone())
     for (_ <- 0 until iters) {
@@ -310,12 +312,16 @@ object AnnIndex {
           array(books(m).map(c =>
             dot(slice($"v", m * PqSubDim + 1, PqSubDim), typedLit(c.toSeq))).toSeq: _*)
         }: _*).as("dt"))
-    val adc = corpus.select($"vec_id".as("n_id"), $"codes")
+    // ADC score normalized by the candidate's true norm: the shortlist
+    // metric must agree with the exact cosine re-rank, or small-norm /
+    // high-cosine neighbors get crowded out by large-norm candidates
+    // (masked on unit-norm corpora, real on anything else)
+    val adc = corpus.select($"vec_id".as("n_id"), $"codes", $"nrm")
       .crossJoin(broadcast(q.select($"q_id", $"dt")))
       .select($"q_id", $"n_id",
-        (0 until PqSub).map(m =>
+        ((0 until PqSub).map(m =>
           element_at(element_at($"dt", m + 1), element_at($"codes", m + 1) + 1))
-          .reduce(_ + _).as("sim_r"))
+          .reduce(_ + _) / $"nrm").as("sim_r"))
     val shortlist = KnnSearch.rankTopK(adc, PqShortlist).select($"q_id", $"n_id")
     val exact = corpus.select($"vec_id".as("n_id"), $"v", $"nrm")
       .join(broadcast(shortlist), "n_id")

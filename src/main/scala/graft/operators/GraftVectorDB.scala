@@ -155,9 +155,19 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val indexed = chan.select($"doc_name", $"page_num", $"content_type",
         $"content_id", $"content_raw", $"row_id", $"v",
         l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"))
-    indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(annPath)
-    centroids.write.mode(SaveMode.Overwrite).parquet(s"$annPath/_centroids")
-    spark.read.parquet(annPath).count()
+    // build into a dot-prefixed temp dir and swap via rename (the
+    // compact() pattern): a plain Overwrite would delete the live
+    // index — including its routing table — before the replacement is
+    // complete, so a concurrent or post-crash searchAnn would find a
+    // cell store with no _centroids
+    val tmp = s"$storeDir/.ann_build_tmp"
+    indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(annPath)
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    spark.read.parquet(annPath).count() // footer-stats count, no data scan
   }
 
   /** Approximate text search against the ANN index: the query routes
@@ -169,15 +179,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def searchAnn(queryText: String, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe): DataFrame = {
     val books = AnnIndex.routingBooks(spark.read.parquet(s"$annPath/_centroids"))
-    val q = spark.range(1).select(VectorStore.embedText(lit(queryText)).as("qv"))
-      .withColumn("qnrm", l2Norm($"qv"))
-    // nProbe nearest centroids: |cells| dot products on a 1-row frame
-    val probed = q.select(explode(array(books.map { case (cell, c) =>
-        struct(lit(cell).as("cell"), dot($"qv", typedLit(c.toSeq)).as("cdist"))
-      }.toSeq: _*)).as("p"))
-      .select($"p.cell", $"p.cdist")
-      .orderBy($"cdist".desc, $"cell").limit(nProbe)
-      .collect().map(_.getAs[Int]("cell")).toSeq
+    // embed the query ONCE: one 1-row job; probe selection is then
+    // plain driver arithmetic over the ≤|cells| routing entries (no
+    // extra Spark job on the per-query latency path)
+    val qRow = spark.range(1)
+      .select(VectorStore.embedText(lit(queryText)).as("qv"))
+      .withColumn("qnrm", l2Norm($"qv")).collect()(0)
+    val qv = qRow.getSeq[Double](qRow.fieldIndex("qv")).toVector
+    val probed = books
+      .map { case (cell, c) => (cell, qv.lazyZip(c).map(_ * _).sum) }
+      .sortBy { case (cell, d) => (-d, cell) }
+      .take(nProbe).map(_._1).toSeq
+    val q = Seq((qv, qRow.getAs[Double]("qnrm"))).toDF("qv", "qnrm")
     val top = spark.read.parquet(annPath)
       .filter($"cell".isin(probed: _*)) // prunes partitions at the scan
       .crossJoin(broadcast(q))

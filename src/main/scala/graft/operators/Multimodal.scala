@@ -76,21 +76,27 @@ object Multimodal {
     * equi-join on (band, key), never an all-pairs cross. 8-bit band
     * keys give 256 buckets per band, so bucket population — and the
     * join's quadratic term — shrinks 16× vs a 4-bit-key design at any
-    * corpus size. Blocks are FIXED offsets (not length-proportional):
-    * a fixed grid is stable under small edits to the payload, which is
-    * what makes the hash perceptual; for real fixed-size pixel
-    * payloads every block is populated. */
+    * corpus size. Block offsets are a FIXED grid wrapped cyclically
+    * over the payload: fixed (not length-proportional) because a fixed
+    * grid is stable under small same-length edits — what makes the
+    * hash perceptual — and wrapped so every bit is content-derived for
+    * payloads shorter than the grid (unwrapped trailing blocks would
+    * hash '' and hand all short payloads 20+ identical constant bits:
+    * confirmed false near-dup pairs plus one degenerate band bucket
+    * holding every short row). Real fixed-size pixel payloads populate
+    * the grid directly. */
   val PhashBits = 32
   val PhashBands = 4
   val PhashMaxHamming = 3
   val PhashBlock = 8
 
   /** Packed [[PhashBits]]-bit perceptual hash: bit i = parity of the
-    * md5-derived digest of the fixed [[PhashBlock]]-byte block i.
-    * Pure codegen'd bit math. */
+    * md5-derived digest of the [[PhashBlock]]-byte block at grid
+    * offset i·[[PhashBlock]] mod len. Pure codegen'd bit math. */
   private def phashValue(text: org.apache.spark.sql.Column) =
     (0 until PhashBits).map { i =>
-      pmod(hash32(substr(text, lit(i * PhashBlock + 1), lit(PhashBlock))), lit(2L)) *
+      val start = pmod(lit(i * PhashBlock), length(text)) + 1
+      pmod(hash32(substr(text, start.cast("int"), lit(PhashBlock))), lit(2L)) *
         lit(1L << i)
     }.reduce(_ + _)
 

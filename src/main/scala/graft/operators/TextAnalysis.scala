@@ -131,12 +131,6 @@ object TextAnalysis {
       .orderBy($"df".desc, $"token")
   }
 
-  /** The end-to-end curation gate — what a training-data pipeline
-    * actually runs: language filter + quality floor + near-dup removal
-    * in ONE pass over the corpus (signals share a single tokenize) plus
-    * an anti-join against the LSH near-dup losers. Shapes: narrow scan
-    * for scoring; the loser set is near-dup pairs only (≪ corpus) so
-    * the anti-join broadcasts at any scale. */
   /** The stateless scoring half of the curation gate (lang-id markers,
     * token count, stop ratio, composite quality) — one narrow pass, so
     * it applies unchanged to a STREAMING documents frame
@@ -156,6 +150,12 @@ object TextAnalysis {
       .withColumn("lang_pred", predictedLang)
   }
 
+  /** The end-to-end curation gate — what a training-data pipeline
+    * actually runs: language filter + quality floor + near-dup removal
+    * in ONE pass over the corpus (signals share a single tokenize) plus
+    * an anti-join against the LSH near-dup losers. Shapes: narrow scan
+    * for scoring; the loser set is near-dup pairs only (≪ corpus) so
+    * the anti-join broadcasts at any scale. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
@@ -234,15 +234,21 @@ object TextAnalysis {
     * the deterministic doc_id % [[ContamBenchMod]] == 0 slice), so its
     * distinct-shingle set BROADCASTS and contamination is one
     * hash-join over the training corpus's exploded shingles — the
-    * corpus is scanned once and never self-joined. */
+    * corpus is never self-joined. The bench side re-derives its
+    * shingles in a second (filter-pruned, 1/17th) pass rather than
+    * persisting the exploded corpus: at 100 TB caching a
+    * shingles-times-corpus frame costs far more than the extra
+    * filtered scan. */
   val ContamBenchMod = 17
   def contam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id",
         explode(array_distinct(shingles(tokens($"text"), 3))).as("sh"))
+    // (sh, doc_id) pairs are already unique per doc after
+    // explode(array_distinct(...)) — no distinct needed
     val bench = sh.filter(pmod($"doc_id", lit(ContamBenchMod)) === 0)
-      .select($"sh", $"doc_id".as("bench_id")).distinct()
+      .select($"sh", $"doc_id".as("bench_id"))
     sh.filter(pmod($"doc_id", lit(ContamBenchMod)) =!= 0)
       .join(broadcast(bench), "sh")
       .groupBy($"doc_id")

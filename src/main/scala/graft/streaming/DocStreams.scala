@@ -33,17 +33,47 @@ object DocStreams {
   /** The curation gate as a stream transform: score (shared with
     * batch), language + quality floor, first-wins content-hash dedup.
     * Works unchanged on a batch frame — [[curateBatch]] IS this
-    * function applied to a static read (the parity the spec pins). */
+    * function applied to a static read (the parity the spec pins).
+    *
+    * STATE CONTRACT: `dropDuplicates` without a watermark keys state
+    * on every hash ever seen — global exact dedup inherently holds the
+    * distinct-hash set somewhere, and on a months-long query that
+    * somewhere must not be the state store. Production bounds it by
+    * splitting the horizon: [[curateGateBounded]] dedups in-state only
+    * within a watermark window, and anything older is caught by the
+    * store's content-hash anti-join at ingest
+    * (GraftVectorDB.ingestRecords / StreamingIngestSpec). */
   def curateGate(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    TextAnalysis.scoreDocs(docs)
-      .withColumn("file_hash", md5($"text"))
-      .filter($"lang_pred".isin("en", "es") && $"quality_r" >= 0.25)
+    scoredGated(docs)
       // project BEFORE the stateful dedup: the state store then keys
       // and carries exactly the output row (and the streaming planner
       // requires the dedup child schema to be the final one)
       .select($"file_hash", $"lang_pred", $"n_tokens", $"quality_r")
       .dropDuplicates("file_hash")
+  }
+
+  /** Bounded-state variant: `arrivalCol` (an event-time timestamp on
+    * the incoming frame) is watermarked to `horizon`, and
+    * `dropDuplicatesWithinWatermark` evicts dedup state older than the
+    * horizon — the long-running-query shape; cross-horizon duplicates
+    * are the store anti-join's job. */
+  def curateGateBounded(docs: DataFrame, arrivalCol: String,
+      horizon: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    scoredGated(docs)
+      .select($"file_hash", $"lang_pred", $"n_tokens", $"quality_r",
+        col(arrivalCol).as("arrival"))
+      .withWatermark("arrival", horizon)
+      .dropDuplicatesWithinWatermark("file_hash")
+      .select($"file_hash", $"lang_pred", $"n_tokens", $"quality_r")
+  }
+
+  private def scoredGated(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    TextAnalysis.scoreDocs(docs)
+      .withColumn("file_hash", md5($"text"))
+      .filter($"lang_pred".isin("en", "es") && $"quality_r" >= 0.25)
   }
 
   /** Batch twin on the same table, for stream-parity checks. */

@@ -42,9 +42,14 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     val knnByQ = knn.groupBy(_.getAs[Long]("q_id"))
     assert(mmrByQ.size == 10)
     mmrByQ.foreach { case (q, hits) =>
-      val first = hits.minBy(_.getAs[Long]("rnk")).getAs[Long]("n_id")
-      val top1 = knnByQ(q).minBy(_.getAs[Long]("rnk")).getAs[Long]("n_id")
-      assert(first == top1, s"q$q: MMR step 1 must be the exact top hit")
+      // score-level invariant (id equality would be brittle: the 4dp
+      // round of 0.6·sim can merge two sims and flip the id tie-break)
+      val firstScore = hits.minBy(_.getAs[Long]("rnk")).getAs[Double]("mmr_r")
+      val top1Score = BigDecimal(
+          0.6 * knnByQ(q).minBy(_.getAs[Long]("rnk")).getAs[Double]("sim_r"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(firstScore == top1Score,
+        s"q$q: MMR step 1 must carry the relevance-only top score")
       assert(hits.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to 5L))
     }
     // the re-rank is not a no-op: at least one query's set differs from plain top-5

@@ -50,6 +50,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded-state curation gate: watermarked dedup matches within the horizon") {
+    import graft.streaming.DocStreams
+    import org.apache.spark.sql.functions._
+    // synthesize arrival times spread over minutes, all inside the horizon
+    val stream = DocStreams.loadDocumentsStream(spark, docStreamDir)
+      .withColumn("arrival",
+        expr("timestamp_micros(1700000000000000 + doc_id * 60000000)"))
+    val q = DocStreams.curateGateBounded(stream, "arrival", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_curate_bounded_test").start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Double)] =
+        df.select("file_hash", "lang_pred", "n_tokens", "quality_r").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // within one watermark horizon the bounded gate equals the global one
+      assert(rows(spark.table("st_curate_bounded_test")) ==
+        rows(DocStreams.curateBatch(spark, sf)))
+    } finally q.stop()
+  }
+
   test("windowed aggregation: streaming == batch") {
     val q = EventStreams.windowAggStream(Tables.loadEventsStream(spark, streamDir))
       .writeStream.outputMode("complete")
