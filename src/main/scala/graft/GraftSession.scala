@@ -17,6 +17,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable-checkpoint files (Tables.materialize on a session
+      // with a checkpoint dir) are only GC-reclaimed with this on;
+      // the default (false) leaks them for the session's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

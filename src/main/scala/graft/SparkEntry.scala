@@ -425,11 +425,15 @@ object SparkEntry {
     "vs_parse" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
-        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
+        |cho AS (SELECT doc_id, i, pg,
+        |  COALESCE(SUM(octet_length(pg::BLOB)) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        | FROM ch)
         |SELECT doc_id, i::BIGINT AS page_num, 'text_block' AS content_type,
         | i::VARCHAR AS content_id, pg AS content_raw,
-        | 0.0 AS x0, (i*200)::DOUBLE AS y0, 0.0 AS x1, (i*200 + length(pg))::DOUBLE AS y1
-        |FROM ch
+        | 0.0 AS x0, off::DOUBLE AS y0, 0.0 AS x1, (off + octet_length(pg::BLOB))::DOUBLE AS y1
+        |FROM cho
         |UNION ALL
         |SELECT doc_id, i::BIGINT, 'image', substr(md5(pg),1,8), substr(md5(pg),1,8),
         | ((i*37)%500)::DOUBLE, ((i*53)%700)::DOUBLE,

@@ -181,9 +181,17 @@ object Dedup {
             least($"mid", coalesce($"jlbl", $"mid")).as("lbl"),
             (least($"mid", coalesce($"jlbl", $"mid")) < $"prev").as("chg")))
       changed = next.filter($"chg").count()
+      // the superseded pass's checkpoint blocks are dead the moment
+      // `next` is materialized — free them so the loop pins at most
+      // two passes, not every pass until GC
+      Tables.release(labels)
       labels = next.select($"id", $"lbl")
     }
-    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")).orderBy($"doc_id")
+    val out = Tables.materialize(
+      labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")))
+    Tables.release(labels)
+    Tables.release(edges)
+    out.orderBy($"doc_id")
   }
 
   /** Embedding-cosine near-dup pairs (threshold tuned to this corpus's

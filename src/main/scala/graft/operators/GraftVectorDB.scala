@@ -41,8 +41,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def storeHashes: DataFrame =
     try store.select($"file_hash").distinct()
     catch {
+      // PATH_NOT_FOUND: store never created. UNABLE_TO_INFER_SCHEMA:
+      // the path exists but holds no data files — the state a crashed
+      // first ingest leaves behind ("_temporary" only); both are the
+      // genuinely-empty store. Anything else (corrupt footer,
+      // permissions, transient FS) propagates.
       case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" =>
+          if e.getCondition == "PATH_NOT_FOUND" ||
+             e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         Seq.empty[String].toDF("file_hash")
     }
 
@@ -163,10 +169,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val tmp = s"$storeDir/.ann_build_tmp"
     indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(annPath)
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true) // false == did not exist: fine on first build
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
+      throw new java.io.IOException(s"buildAnnIndex: rename $tmp -> $annPath failed")
     spark.read.parquet(annPath).count() // footer-stats count, no data scan
   }
 
@@ -236,10 +243,19 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .sortWithinPartitions((col("__k") +: keys.tail): _*)
       .drop("__k")
       .write.mode(SaveMode.Overwrite).parquet(tmpDir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // the store path's OWN filesystem (a store on s3a/hdfs with a
+    // different fs.defaultFS would otherwise delete/rename nothing and
+    // report success), and checked results so a failed swap is loud.
+    // CONCURRENCY CONTRACT: maintenance assumes a single writer — run
+    // compact() with streaming ingest stopped (an append landing
+    // between delete and rename would be lost); readers in that window
+    // see the partition briefly absent, not corrupt.
     val part = new org.apache.hadoop.fs.Path(partDir)
-    fs.delete(part, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpDir), part)
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.delete(part, true))
+      throw new java.io.IOException(s"compact: could not remove $partDir")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), part))
+      throw new java.io.IOException(s"compact: rename $tmpDir -> $partDir failed")
     n
   }
 

@@ -44,6 +44,19 @@ object ColumnBridge {
     }
   }
 
+  /** Free the storage blocks behind a checkpointed/materialized frame
+    * (Tables.materialize): localCheckpoint persists the underlying RDD
+    * OUTSIDE the CacheManager, so `Dataset.unpersist` cannot release
+    * it — only unpersisting the `LogicalRDD`-wrapped RDD does.
+    * Iterative operators call this on superseded passes so a loop pins
+    * at most two passes' blocks instead of all of them. */
+  def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register function builders into a LIVE session (extensions only
     * apply at session construction; specs share one session). */
   def register(
