@@ -29,3 +29,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The materialize/release lifecycle actually frees storage: a loop
+  * that materializes passes and releases the superseded ones must not
+  * accumulate persisted RDDs (the leak dd_cluster had before
+  * Tables.release — localCheckpoint blocks live outside the
+  * CacheManager, so Dataset.unpersist can't touch them). */
+class MaterializeReleaseSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("release frees a materialized frame's blocks; loops stay bounded") {
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val before = persisted
+    var frame = Tables.materialize((1 to 100).toDF("x"))
+    assert(persisted > before, "materialize must pin blocks")
+    for (_ <- 1 to 5) {
+      val next = Tables.materialize(frame.withColumn("x", $"x" + 1))
+      Tables.release(frame)
+      frame = next
+      assert(persisted <= before + 2,
+        s"loop must pin at most current+next, saw ${persisted - before}")
+    }
+    assert(frame.agg(org.apache.spark.sql.functions.sum($"x")).head.getLong(0)
+      == (1 to 100).map(_ + 5L).sum)
+    Tables.release(frame)
+    assert(persisted == before, "all materialized blocks must be freed")
+  }
+}
