@@ -142,6 +142,50 @@ class NativeExpressionPropsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("ParseGft round-trips arbitrary well-formed containers (unicode bodies, byte offsets)") {
+    val pageBody: Gen[String] = for {
+      n <- Gen.chooseNum(0, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.const(' '), Gen.const('π'), Gen.const('句')))
+    } yield cs.mkString
+    val image: Gen[(String, Array[Double])] = for {
+      id <- Gen.listOfN(8, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+      c <- Gen.listOfN(4, Gen.chooseNum(0, 9999))
+    } yield (id, c.map(_.toDouble).toArray)
+    val doc: Gen[List[(String, List[(String, Array[Double])])]] =
+      Gen.listOfN(4, Gen.zip(pageBody, Gen.listOfN(2, image))).map(_.map {
+        case (p, is) => (p, is)
+      })
+    check(Prop.forAll(doc) { pages =>
+      val payload = pages.map { case (body, images) =>
+        val len = body.getBytes("UTF-8").length
+        f"PG$len%04d$body" + images.map { case (id, c) =>
+          s"IM$id" + c.map(x => f"${x.toInt}%04d").mkString
+        }.mkString
+      }.mkString
+      val rows = ParseGft(Literal(null))
+        .nullSafeEval(UTF8String.fromString(payload))
+        .asInstanceOf[GenericArrayData].array.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.InternalRow])
+      val textRows = rows.filter(_.getUTF8String(1).toString == "text_block")
+      val imgRows = rows.filter(_.getUTF8String(1).toString == "image")
+      val bodiesOk = textRows.map(_.getUTF8String(3).toString).toSeq ==
+        pages.map(_._1)
+      // byte offsets: y0 of page i == cumulative octet length of 0..i-1
+      val offs = pages.map(_._1.getBytes("UTF-8").length.toDouble)
+        .scanLeft(0.0)(_ + _)
+      val offsOk = textRows.zipWithIndex.forall { case (r, i) =>
+        r.getDouble(5) == offs(i) && r.getDouble(7) == offs(i + 1)
+      }
+      val imgsOk = imgRows.length == pages.map(_._2.size).sum &&
+        imgRows.zip(pages.flatMap(_._2)).forall { case (r, (id, c)) =>
+          r.getUTF8String(2).toString == id &&
+            (0 until 4).forall(k => r.getDouble(4 + k) == c(k))
+        }
+      bodiesOk && offsOk && imgsOk
+    }, n = 100)
+  }
+
   test("zValue16 interleaves the low 16 bits of both columns (model parity on a frame)") {
     val spark = SparkTestSession.spark
     import spark.implicits._
