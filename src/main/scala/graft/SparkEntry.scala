@@ -95,6 +95,9 @@ object SparkEntry {
     // is what [rows-only] ann_ivf leaves to its recall spec)
     "ann_ivf_exh" -> ((s: SparkSession, dir: String) =>
       AnnIndex.ivf(s, dir, AnnIndex.IvfCells, AnnIndex.IvfCells)),
+    // exhaustive-shortlist PQ: same exact-by-construction trick
+    "ann_pq_exh" -> ((s: SparkSession, dir: String) =>
+      AnnIndex.pq(s, dir, Tables.load(s, dir, "embeddings").count().toInt)),
     "ol_approx" -> (Relational.approxStats _)
   )
 
@@ -373,6 +376,16 @@ object SparkEntry {
         |ORDER BY q_id, rnk""".stripMargin,
     // probing every cell makes IVF exact: same ground truth as vs_knn
     "ann_ivf_exh" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // a corpus-sized shortlist makes PQ exact: same ground truth
+    "ann_pq_exh" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
         |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r

@@ -297,7 +297,14 @@ object AnnIndex {
 
   /** PQ-ADC search: encode the corpus once, broadcast per-query lookup
     * tables, shortlist by table-lookup score, exact re-rank. */
-  def pq(spark: SparkSession, dir: String): DataFrame = {
+  def pq(spark: SparkSession, dir: String): DataFrame = pq(spark, dir, PqShortlist)
+
+  /** `shortlist` ≥ the corpus size makes the search EXACT (the ADC pass
+    * degenerates to candidate enumeration and the re-rank is the brute
+    * cosine) — [[graft.SparkEntry]] hash-checks that configuration as
+    * `ann_pq_exh`, proving the encode/ADC/shortlist/re-rank machinery;
+    * only the shortlist approximation stays spec-bounded. */
+  def pq(spark: SparkSession, dir: String, shortlist: Int): DataFrame = {
     import spark.implicits._
     val books = pqCodebooks(spark, dir)
     val v = vecs(spark, dir)
@@ -322,9 +329,9 @@ object AnnIndex {
         ((0 until PqSub).map(m =>
           element_at(element_at($"dt", m + 1), element_at($"codes", m + 1) + 1))
           .reduce(_ + _) / $"nrm").as("sim_r"))
-    val shortlist = KnnSearch.rankTopK(adc, PqShortlist).select($"q_id", $"n_id")
+    val shortlisted = KnnSearch.rankTopK(adc, shortlist).select($"q_id", $"n_id")
     val exact = corpus.select($"vec_id".as("n_id"), $"v", $"nrm")
-      .join(broadcast(shortlist), "n_id")
+      .join(if (shortlist <= 10000) broadcast(shortlisted) else shortlisted, "n_id")
       .join(broadcast(q.select($"q_id", $"qv", $"qnrm")), "q_id")
       .select($"q_id", $"n_id",
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
