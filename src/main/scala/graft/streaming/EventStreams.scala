@@ -150,7 +150,7 @@ object EventStreams {
               state.update(st)
               state.setTimeoutTimestamp(
                 math.max(st._2 / 1000 + gapUs / 1000,
-                  state.getCurrentWatermarkMs + 1))
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -59,6 +59,60 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(differs, "MMR must trade some relevance for diversity on this corpus")
   }
 
+  test("tx_contam flags only non-benchmark docs, each with a real hit") {
+    val rows = TextAnalysis.contam(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % TextAnalysis.ContamBenchMod != 0),
+      "benchmark docs must never appear as contaminated training docs")
+    assert(rows.forall(r => r.getAs[Long]("n_contam") >= 1 &&
+      r.getAs[Long]("n_bench_docs") >= 1))
+  }
+
+  test("tx_mix keeps a deterministic subset within the target machinery") {
+    val rows = TextAnalysis.mix(spark, sf).collect()
+    assert(rows.length == 20) // one manifest row per source
+    rows.foreach { r =>
+      val (in, kept) = (r.getAs[Long]("n_in"), r.getAs[Long]("n_kept"))
+      assert(kept >= 0 && kept <= in)
+      val t = r.getAs[Long]("target_permille")
+      assert(t >= 100 && t < 1000)
+    }
+    // reproducible: a second run yields the identical manifest
+    assert(TextAnalysis.mix(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
+  test("tx_ppl scores are positive, finite, and bigram-backed") {
+    val rows = TextAnalysis.ppl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("n_bigrams") > 0 &&
+      r.getAs[Double]("nll") > 0 && !r.getAs[Double]("nll").isInfinite))
+  }
+
+  test("tx_selfrep ratios are consistent fractions") {
+    val rows = TextAnalysis.selfrep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, rep) = (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_repeated"))
+      val ratio = r.getAs[Double]("rep_ratio")
+      rep >= 0 && rep <= n && ratio >= 0.0 && ratio <= 1.0
+    })
+  }
+
+  test("tx_dsir scores only the training pool with finite weights") {
+    val rows = TextAnalysis.dsir(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % TextAnalysis.ContamBenchMod != 0))
+    assert(rows.forall(r => !r.getAs[Double]("dsir_w").isNaN &&
+      !r.getAs[Double]("dsir_w").isInfinite))
+  }
+
+  test("mm_phash pairs are ordered and hamming-bounded") {
+    val rows = Multimodal.phash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id") &&
+      r.getAs[Long]("hamming") <= Multimodal.PhashMaxHamming))
+  }
+
   test("dd_minhash results all meet the jaccard threshold") {
     val mins = Dedup.minhashLsh(spark, sf).agg(min("j_r")).head().getDouble(0)
     assert(mins >= Dedup.JaccardThreshold)
