@@ -19,6 +19,10 @@ object RecallProbe {
       val ivf = hits(AnnIndex.ivf(spark, sf))
       println(f"$sf ivf cells=${AnnIndex.IvfCells} nProbe=${AnnIndex.NProbe} " +
         f"recall=${(ivf & exact).size.toDouble / exact.size}%.3f")
+      val pq = hits(AnnIndex.pq(spark, sf))
+      println(f"$sf pq M=${AnnIndex.PqSub} K=${AnnIndex.PqK} " +
+        f"shortlist=${AnnIndex.PqShortlist} " +
+        f"recall=${(pq & exact).size.toDouble / exact.size}%.3f")
     }
     spark.stop()
   }
