@@ -142,18 +142,22 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     (response, hits)
   }
 
-  def annPath: String = s"$storeDir/ann_index"
+  def annPath: String = annPath("text")
+  def annPath(channel: String): String = s"$storeDir/ann_index_$channel"
 
-  /** Build (or rebuild) the store's IVF ANN index over the text
-    * channel: rows are routed to cells with a driver-local sample-fit
-    * routing table (AnnIndex.fitCentroids — one bounded collect, no
-    * MLlib job chain) and rewritten cell-partitioned WITH their search
-    * metadata, so an approximate search never joins back to the store.
-    * The routing table persists at `_centroids`, reopenable from any
-    * session. At 100 TB this is the batch index build: one full pass
-    * to route + write. Returns rows indexed. */
-  def buildAnnIndex(cells: Int = AnnIndex.IvfCells): Long = {
-    val chan = store.filter($"content_type" =!= ContentTypes.Image)
+  /** Build (or rebuild) the store's IVF ANN index over one channel
+    * ("text" = text chunks + captions, the run_text_search scope;
+    * "image" = the 48-dim image space): rows are routed to cells with
+    * a driver-local sample-fit routing table (AnnIndex.fitCentroids —
+    * one bounded collect, no MLlib job chain) and rewritten
+    * cell-partitioned WITH their search metadata, so an approximate
+    * search never joins back to the store. The routing table persists
+    * at `_centroids`, reopenable from any session. At 100 TB this is
+    * the batch index build: one full pass to route + write. Returns
+    * rows indexed. */
+  def buildAnnIndex(cells: Int = AnnIndex.IvfCells,
+      channel: String = "text"): Long = {
+    val chan = channelRows(channel)
       .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
       .withColumn("v", toDouble($"embedding"))
     val centroids = AnnIndex.fitCentroids(chan.select($"row_id", $"v"), $"row_id", cells)
@@ -166,15 +170,23 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // index — including its routing table — before the replacement is
     // complete, so a concurrent or post-crash searchAnn would find a
     // cell store with no _centroids
-    val tmp = s"$storeDir/.ann_build_tmp"
+    val tmp = s"$storeDir/.ann_build_tmp_$channel"
     indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
-    val live = new org.apache.hadoop.fs.Path(annPath)
+    val live = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(live, true) // false == did not exist: fine on first build
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
-      throw new java.io.IOException(s"buildAnnIndex: rename $tmp -> $annPath failed")
-    spark.read.parquet(annPath).count() // footer-stats count, no data scan
+      throw new java.io.IOException(
+        s"buildAnnIndex: rename $tmp -> ${annPath(channel)} failed")
+    spark.read.parquet(annPath(channel)).count() // footer-stats count, no data scan
+  }
+
+  private def channelRows(channel: String): DataFrame = channel match {
+    case "text" => store.filter($"content_type" =!= ContentTypes.Image)
+    case "image" => store.filter($"content_type" === ContentTypes.Image)
+    case other => throw new IllegalArgumentException(
+      s"unknown ANN channel '$other' (text | image)")
   }
 
   /** Approximate text search against the ANN index: the query routes
@@ -184,13 +196,26 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * that keeps p99 search latency flat while the store grows to
     * 100 TB. Same output contract as [[search]]. */
   def searchAnn(queryText: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe): DataFrame = {
-    val books = AnnIndex.routingBooks(spark.read.parquet(s"$annPath/_centroids"))
+      nProbe: Int = AnnIndex.NProbe): DataFrame =
+    searchAnnChannel(queryText, "text", VectorStore.embedText, topN, nProbe)
+
+  /** Image-space twin of [[searchAnn]] over the `image`-channel index
+    * (build with `buildAnnIndex(channel = "image")`): the query content
+    * encodes with the image-space hash family, mirroring
+    * [[searchImage]]'s exact scan. */
+  def searchAnnImage(queryContent: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe): DataFrame =
+    searchAnnChannel(queryContent, "image", VectorStore.embedImage, topN, nProbe)
+
+  private def searchAnnChannel(query: String, channel: String,
+      encoder: Column => Column, topN: Int, nProbe: Int): DataFrame = {
+    val books = AnnIndex.routingBooks(
+      spark.read.parquet(s"${annPath(channel)}/_centroids"))
     // embed the query ONCE: one 1-row job; probe selection is then
     // plain driver arithmetic over the ≤|cells| routing entries (no
     // extra Spark job on the per-query latency path)
     val qRow = spark.range(1)
-      .select(VectorStore.embedText(lit(queryText)).as("qv"))
+      .select(encoder(lit(query)).as("qv"))
       .withColumn("qnrm", l2Norm($"qv")).collect()(0)
     val qv = qRow.getSeq[Double](qRow.fieldIndex("qv")).toVector
     val probed = books
@@ -198,7 +223,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .sortBy { case (cell, d) => (-d, cell) }
       .take(nProbe).map(_._1).toSeq
     val q = Seq((qv, qRow.getAs[Double]("qnrm"))).toDF("qv", "qnrm")
-    val top = spark.read.parquet(annPath)
+    val top = spark.read.parquet(annPath(channel))
       .filter($"cell".isin(probed: _*)) // prunes partitions at the scan
       .crossJoin(broadcast(q))
       .select(round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"),
@@ -210,7 +235,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         org.apache.spark.sql.expressions.Window.orderBy($"sim_r".desc, $"row_id")).cast("long"))
       .select($"rnk", $"sim_r", $"doc_name", $"page_num",
         $"content_type", $"content_id", $"content_raw")
-      .withColumn("channel", lit("text"))
+      .withColumn("channel", lit(channel))
       .orderBy($"rnk")
   }
 

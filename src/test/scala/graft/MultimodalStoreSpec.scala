@@ -50,5 +50,19 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(byImage.forall(_.getAs[String]("content_type") == ContentTypes.Image))
     assert(byImage.head.getAs[Double]("sim_r") == 1.0,
       "self-query must rank first at sim 1.0")
+
+    // image-channel ANN index: full probe reproduces the exact image
+    // scan verbatim (the text-channel twin is covered in
+    // GraftVectorDBSpec); partial probe still finds the self-hit
+    val cells = 4
+    assert(db.buildAnnIndex(cells, channel = "image") ==
+      db.store.filter(col("content_type") === ContentTypes.Image).count())
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"), r.getAs[String]("doc_name")))
+    assert(key(db.searchAnnImage(probe, topN = 3, nProbe = cells).collect())
+      .sameElements(key(byImage)))
+    val pruned = db.searchAnnImage(probe, topN = 3, nProbe = 1).collect()
+    assert(pruned.head.getAs[Double]("sim_r") == 1.0,
+      "the self-hit's cell is the query's own nearest cell")
   }
 }
