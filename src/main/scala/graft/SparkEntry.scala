@@ -95,9 +95,15 @@ object SparkEntry {
     // is what [rows-only] ann_ivf leaves to its recall spec)
     "ann_ivf_exh" -> ((s: SparkSession, dir: String) =>
       AnnIndex.ivf(s, dir, AnnIndex.IvfCells, AnnIndex.IvfCells)),
-    // exhaustive-shortlist PQ: same exact-by-construction trick
-    "ann_pq_exh" -> ((s: SparkSession, dir: String) =>
-      AnnIndex.pq(s, dir, Tables.load(s, dir, "embeddings").count().toInt)),
+    // exhaustive-shortlist PQ: same exact-by-construction trick. This
+    // is a TEST-SCALE correctness harness: a corpus-sized k turns the
+    // TopKByScore insertion buffer quadratic (and toInt would overflow
+    // past 2^31), so the guard keeps it off production-sized inputs.
+    "ann_pq_exh" -> ((s: SparkSession, dir: String) => {
+      val n = Tables.load(s, dir, "embeddings").count()
+      require(n <= 1000000, s"ann_pq_exh is a test-scale harness (corpus $n)")
+      AnnIndex.pq(s, dir, n.toInt)
+    }),
     "ol_approx" -> (Relational.approxStats _)
   )
 

@@ -44,10 +44,12 @@ object Tables {
       out
     } else df.localCheckpoint(eager = true)
 
-  /** Free the blocks behind a frame previously returned by
-    * [[materialize]] (no-op on other frames). Call only when nothing
-    * lazy still reads it — the lineage was truncated, so Spark cannot
-    * recompute a released frame. */
+  /** Free the blocks behind EVERY materialized ancestor in the frame's
+    * plan (it unpersists each `LogicalRDD` leaf, not just a frame
+    * returned by [[materialize]] directly). Call only when the caller
+    * owns the frame's entire materialized lineage and nothing lazy
+    * still reads any of it — lineage was truncated at those leaves, so
+    * Spark cannot recompute a released block. */
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.graft.ColumnBridge.releaseMaterialized(df)
 

@@ -89,11 +89,17 @@ object AnnIndex {
     (assigned, centroids)
   }
 
-  /** Probed cells per query: the nProbe nearest centroids. */
+  /** Probed cells per query: the nProbe nearest centroids by the SAME
+    * metric the assignment uses — L2 argmin as `argmax(<q,c> −
+    * |c|²/2)`. Ranking by raw dot instead can exclude the query's own
+    * cell whenever centroid norms differ (a small-norm centroid loses
+    * the dot ranking even when it is the L2-nearest). */
   private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     import q.sparkSession.implicits._
-    q.crossJoin(broadcast(centroids))
-      .select($"q_id", $"qv", $"qnrm", $"cell", dot($"qv", $"cv").as("cdist"))
+    q.crossJoin(broadcast(centroids.select($"cell", $"cv",
+        (dot($"cv", $"cv") / 2).as("chalf"))))
+      .select($"q_id", $"qv", $"qnrm", $"cell",
+        (dot($"qv", $"cv") - $"chalf").as("cdist"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cdist".desc, $"cell")))
       .filter($"crnk" <= nProbe)

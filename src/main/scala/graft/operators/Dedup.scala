@@ -162,6 +162,10 @@ object Dedup {
     val pairs = minhashLsh(spark, dir).select($"a_id", $"b_id")
     val edges = Tables.materialize(
       pairs.union(pairs.select($"b_id", $"a_id")).toDF("src", "dst"))
+    // the verified-pairs frame minhashLsh materialized is dead once
+    // edges holds its own copy — free it (cluster owns it here;
+    // callers like curate that keep using the frame must not release)
+    Tables.release(pairs)
     var labels = Tables.materialize(
       edges.select($"src".as("id")).distinct().select($"id", $"id".as("lbl")))
     var changed = 1L

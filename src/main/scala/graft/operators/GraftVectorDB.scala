@@ -166,10 +166,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"content_id", $"content_raw", $"row_id", $"v",
         l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"))
     // build into a dot-prefixed temp dir and swap via rename (the
-    // compact() pattern): a plain Overwrite would delete the live
-    // index — including its routing table — before the replacement is
-    // complete, so a concurrent or post-crash searchAnn would find a
-    // cell store with no _centroids
+    // compact() pattern): a plain Overwrite would expose a HALF-BUILT
+    // index (cells without a routing table) for the whole build. The
+    // delete+rename pair still leaves a brief no-index window — a
+    // concurrent search there fails loudly with PATH_NOT_FOUND, never
+    // reads a corrupt index; same single-writer contract as compact()
     val tmp = s"$storeDir/.ann_build_tmp_$channel"
     indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
@@ -218,8 +219,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .select(encoder(lit(query)).as("qv"))
       .withColumn("qnrm", l2Norm($"qv")).collect()(0)
     val qv = qRow.getSeq[Double](qRow.fieldIndex("qv")).toVector
+    // probe ranking uses the ASSIGNMENT metric (L2 argmin as
+    // dot − |c|²/2), so a query's own cell always ranks first
     val probed = books
-      .map { case (cell, c) => (cell, qv.lazyZip(c).map(_ * _).sum) }
+      .map { case (cell, c) =>
+        (cell, qv.lazyZip(c).map(_ * _).sum - c.map(x => x * x).sum / 2) }
       .sortBy { case (cell, d) => (-d, cell) }
       .take(nProbe).map(_._1).toSeq
     val q = Seq((qv, qRow.getAs[Double]("qnrm"))).toDF("qv", "qnrm")

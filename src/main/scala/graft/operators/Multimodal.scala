@@ -65,11 +65,10 @@ object Multimodal {
 
   /** Perceptual-hash near-duplicate detection over the payload — the
     * image-dedup step of a multimodal pipeline. A [[PhashBits]]-bit
-    * block hash is computed from PROPORTIONAL spatial blocks of the
-    * payload (block i covers the i-th 1/32nd — every payload fills all
-    * 32 bits, no dead bits on short rows; the real deployment swaps
-    * the block digest for a DCT of decoded pixels at the same seam),
-    * and near-dup candidate pairs come from a pigeonhole band join:
+    * block hash is computed from a fixed spatial grid wrapped
+    * cyclically over the payload (the real deployment swaps the block
+    * digest for a DCT of decoded pixels at the same seam), and
+    * near-dup candidate pairs come from a pigeonhole band join:
     * [[PhashBands]] bands of [[PhashBits]]/[[PhashBands]] bits, so any
     * pair within hamming distance [[PhashMaxHamming]] (≤ bands - 1)
     * shares at least one exact band — candidate generation is an

@@ -36,6 +36,8 @@ object Demo {
     db.searchMultimodal("captioned content", topN = 3).show(20, 60)
     println(s"[demo] ANN index over ${db.buildAnnIndex()} rows; probe search:")
     db.searchAnn("fast query join table", topN = 5).show(20, 60)
+    println(s"[demo] image ANN index over ${db.buildAnnIndex(channel = "image")} rows:")
+    db.searchAnnImage("captioned content", topN = 3).show(20, 60)
     spark.stop()
   }
 }

@@ -18,7 +18,10 @@ class AnnIndexSpec extends AnyFunSuite {
     val ivf = hitSet(AnnIndex.ivf(spark, sf))
     val recall = (ivf & exact).size.toDouble / exact.size
     info(s"ivf recall@5 = $recall")
-    assert(recall >= 0.9) // measured 0.94 (tools/RecallProbe)
+    // measured 0.92–0.98 (tools/RecallProbe): MLlib KMeans' seeded
+    // random init samples per-partition, so centroids — and recall —
+    // vary slightly with core count; the bound holds across configs
+    assert(recall >= 0.9)
   }
 
   test("ann_lsh recall@5 >= 0.9 vs brute force, neighbors from corpus") {

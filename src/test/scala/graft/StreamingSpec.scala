@@ -53,10 +53,12 @@ class StreamingSpec extends AnyFunSuite {
   test("bounded-state curation gate: watermarked dedup matches within the horizon") {
     import graft.streaming.DocStreams
     import org.apache.spark.sql.functions._
-    // synthesize arrival times spread over minutes, all inside the horizon
+    // arrivals one second apart (500 docs ≈ 8.3 min), genuinely inside
+    // the 1-hour horizon, so no row can be watermark-dropped even if
+    // the source is split across triggers
     val stream = DocStreams.loadDocumentsStream(spark, docStreamDir)
       .withColumn("arrival",
-        expr("timestamp_micros(1700000000000000 + doc_id * 60000000)"))
+        expr("timestamp_micros(1700000000000000 + doc_id * 1000000)"))
     val q = DocStreams.curateGateBounded(stream, "arrival", "1 hour")
       .writeStream.outputMode("append")
       .format("memory").queryName("st_curate_bounded_test").start()
