@@ -97,6 +97,48 @@ object VectorStore {
     graft.functions.expressions.HashingCounts.normalized(
       transform(tokens(content), t => concat(lit("img:"), t)), ImageEmbedDim)
 
+  /** Driver-local twins of [[embedText]]/[[embedImage]] for the ANN
+    * serving path: the same tokens → first-md5-byte bucket → count →
+    * L2-normalize-round(6) arithmetic in plain Scala, bit-identical to
+    * the HashingCounts Expression (HALF_UP BigDecimal rounding, UTF-8
+    * md5 bytes), so embedding ONE query costs zero Spark jobs.
+    * Parity with the distributed form is pinned in
+    * NativeExpressionPropsSpec. */
+  def embedTextLocal(text: String): Array[Double] =
+    hashEmbedLocal(text, identity, EmbedDim)
+
+  def embedImageLocal(content: String): Array[Double] =
+    hashEmbedLocal(content, "img:" + _, ImageEmbedDim)
+
+  private def hashEmbedLocal(text: String, salt: String => String, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Double](dim)
+    // same tokenization as TextFunctions.tokens = split(trim(c), "\s+"):
+    // SQL trim strips SPACES only (not Java trim's ≤U+0020 range) and
+    // SQL split keeps trailing empty strings (Java limit -1)
+    val trimmed = {
+      var a = 0; var b = text.length
+      while (a < b && text.charAt(a) == ' ') a += 1
+      while (b > a && text.charAt(b - 1) == ' ') b -= 1
+      text.substring(a, b)
+    }
+    trimmed.split("\\s+", -1).foreach { t =>
+      val b0 = md.digest(salt(t).getBytes("UTF-8"))(0) & 0xFF
+      counts(b0 % dim) += 1.0
+    }
+    var sq = 0.0
+    var j = 0
+    while (j < dim) { sq += counts(j) * counts(j); j += 1 }
+    val nrm = math.sqrt(sq)
+    j = 0
+    while (j < dim) {
+      counts(j) = BigDecimal(counts(j) / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      j += 1
+    }
+    counts
+  }
+
   /** Embeddings exploded to (doc_id, dim, val) rows — scalar columns
     * hash-compare across engines more robustly than list columns. */
   def embed(spark: SparkSession, dir: String): DataFrame = {

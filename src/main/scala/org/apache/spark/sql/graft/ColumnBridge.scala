@@ -50,6 +50,11 @@ object ColumnBridge {
     * it — only unpersisting the `LogicalRDD`-wrapped RDD does.
     * Iterative operators call this on superseded passes so a loop pins
     * at most two passes' blocks instead of all of them. */
+  /** Drain the listener bus — lets specs count jobs deterministically
+    * (the bus delivers SparkListener events asynchronously). */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

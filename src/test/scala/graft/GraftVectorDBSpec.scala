@@ -139,7 +139,8 @@ class GraftVectorDBSpec extends AnyFunSuite {
       assert(full.toSeq == exact.toSeq)
 
       // a partial probe reads strictly fewer partitions at the scan
-      val df = db.searchAnn("fast query join table", topN = 5, nProbe = 3)
+      // (searchAnn itself is eager now — assert on the lazy scan plan)
+      val df = db.annScanPlan("fast query join table", "text", 5, 3)
       val scan = df.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
@@ -150,9 +151,51 @@ class GraftVectorDBSpec extends AnyFunSuite {
         .map(_.values.getInt(0)).toSet
       assert(cellsRead.size == 3, s"expected 3 probed cells, scan reads $cellsRead")
       // and the pruned search still finds the exact top hit
-      val top = df.collect().head
+      val top = db.searchAnn("fast query join table", topN = 5, nProbe = 3).collect().head
       assert(top.getAs[Double]("sim_r") == exact.head._2)
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
+  /** Count Spark jobs submitted while `body` runs. */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    n.get()
+  }
+
+  test("warm searchAnn runs exactly ONE Spark job (serving-path cache)") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    // first search warms the generation cache (routing table read +
+    // file listing may each cost a job); the warm path must not
+    db.searchAnn("fast query join table", topN = 5, nProbe = 3).collect()
+    val jobs = countJobs {
+      db.searchAnn("slow merge sort line", topN = 5, nProbe = 3).collect()
+    }
+    assert(jobs == 1, s"warm searchAnn must cost one pruned-scan job, ran $jobs")
+  }
+
+  test("index build samples in one job, with no pre-count pass") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    val chan = db.store
+      .filter($"content_type" =!= graft.model.ContentTypes.Image)
+      .withColumn("row_id", org.apache.spark.sql.functions.xxhash64(
+        $"doc_name", $"content_type", $"content_id"))
+      .withColumn("v", graft.functions.VectorFunctions.toDouble($"embedding"))
+    val jobs = countJobs {
+      graft.operators.AnnIndex.fitCentroids(
+        chan.select($"row_id", $"v"), $"row_id", cells = 8).collect()
+    }
+    // one sample job + the driver-local toDF collect of 8 centroid rows
+    // (≤ 1 trivial local job); the old form paid an extra full count()
+    assert(jobs <= 2, s"fitCentroids must not pre-count the corpus, ran $jobs jobs")
   }
 
   test("a corrupt store fails ingest loudly instead of double-ingesting") {

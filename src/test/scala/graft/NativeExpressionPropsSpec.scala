@@ -54,6 +54,28 @@ class NativeExpressionPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("embedTextLocal/embedImageLocal match the distributed embedders bit-for-bit") {
+    // the serving path embeds queries driver-side; any drift from the
+    // tokens()+HashingCounts pipeline would silently skew every ANN
+    // probe — so compare against the actual SQL expressions, including
+    // SQL trim/split edge semantics (tabs, newlines, edge spaces)
+    val sep: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val text: Gen[String] = for {
+      ts <- Gen.listOfN(10, token)
+      ss <- Gen.listOfN(11, sep)
+      pad <- Gen.oneOf("", " ", "\t", "  ")
+    } yield pad + ts.zip(ss).map { case (t, s) => t + s }.mkString + pad
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    check(Prop.forAll(text) { s =>
+      val row = Seq(Tuple1(s)).toDF("t").select(
+        graft.operators.VectorStore.embedText($"t").as("te"),
+        graft.operators.VectorStore.embedImage($"t").as("ie")).collect()(0)
+      row.getSeq[Double](0) == graft.operators.VectorStore.embedTextLocal(s).toSeq &&
+        row.getSeq[Double](1) == graft.operators.VectorStore.embedImageLocal(s).toSeq
+    }, n = 60)
+  }
+
   test("SimHash60 matches the hex-digit vote model") {
     check(Prop.forAll(tokens) { ts =>
       val got = SimHash60(Literal(null)).nullSafeEval(utf8Array(ts)).asInstanceOf[Long]
