@@ -104,6 +104,17 @@ object SparkEntry {
       require(n <= 1000000, s"ann_pq_exh is a test-scale harness (corpus $n)")
       AnnIndex.pq(s, dir, n.toInt)
     }),
+    // IVF+PQ composed (the 100 TB architecture: pruned cells → ADC
+    // shortlist → exact re-rank); approximate config is [rows-only]
+    // with a recall spec, the exhaustive config (every cell probed,
+    // corpus-sized shortlist) is exact and hash-checked like the other
+    // _exh harnesses
+    "ann_ivfpq" -> (AnnIndex.ivfpq _),
+    "ann_ivfpq_exh" -> ((s: SparkSession, dir: String) => {
+      val n = Tables.load(s, dir, "embeddings").count()
+      require(n <= 1000000, s"ann_ivfpq_exh is a test-scale harness (corpus $n)")
+      AnnIndex.ivfpq(s, dir, AnnIndex.IvfCells, AnnIndex.IvfCells, n.toInt)
+    }),
     "ol_approx" -> (Relational.approxStats _)
   )
 
@@ -382,6 +393,17 @@ object SparkEntry {
         |ORDER BY q_id, rnk""".stripMargin,
     // probing every cell makes IVF exact: same ground truth as vs_knn
     "ann_ivf_exh" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // probing every cell AND a corpus-sized shortlist make the
+    // composed IVF+PQ path exact: same ground truth as vs_knn
+    "ann_ivfpq_exh" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
         |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r

@@ -96,14 +96,16 @@ object AnnIndex {
     * the dot ranking even when it is the L2-nearest). */
   private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     import q.sparkSession.implicits._
+    // every input column of q rides through (ivfpq threads its ADC
+    // tables this way), plus the probed `cell`
+    val qCols = q.columns.map(col).toSeq
     q.crossJoin(broadcast(centroids.select($"cell", $"cv",
         (dot($"cv", $"cv") / 2).as("chalf"))))
-      .select($"q_id", $"qv", $"qnrm", $"cell",
-        (dot($"qv", $"cv") - $"chalf").as("cdist"))
+      .select(qCols :+ $"cell" :+ (dot($"qv", $"cv") - $"chalf").as("cdist"): _*)
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cdist".desc, $"cell")))
       .filter($"crnk" <= nProbe)
-      .select($"q_id", $"qv", $"qnrm", $"cell")
+      .select(qCols :+ $"cell": _*)
   }
 
   /** IVF search: sample-fit centroids, one assign pass, probe the
@@ -222,18 +224,53 @@ object AnnIndex {
       .sortBy(_.getAs[Long]("k"))
       .map(_.getAs[Seq[Double]]("v").toArray)
 
+  /** Driver-local Lloyd fit of an already-collected sample into a
+    * (cell, cv) routing frame — lets one [[sampleVectors]] job feed
+    * BOTH the IVF routing fit and the PQ codebook fit. */
+  private[graft] def centroidsFromSample(spark: SparkSession,
+      sample: Array[Array[Double]], cells: Int): DataFrame = {
+    import spark.implicits._
+    lloyd(sample, cells, iters = 5).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+  }
+
   /** Fit a routing table driver-locally from a bounded deterministic
     * sample of ANY (sortKey, v) frame — the fit path for indexing
     * frames that are not the embeddings table (e.g. a store channel).
     * One Spark job ([[sampleVectors]]); Lloyd iterations are driver
     * arithmetic. Returns a (cell, cv) routing frame. */
   private[graft] def fitCentroids(vecsDf: DataFrame, sortKey: Column,
-      cells: Int = IvfCells): DataFrame = {
-    val spark = vecsDf.sparkSession
+      cells: Int = IvfCells): DataFrame =
+    centroidsFromSample(vecsDf.sparkSession, sampleVectors(vecsDf, sortKey), cells)
+
+  /** Persist / reopen PQ codebooks as a (m, k, cv) frame — the PQ twin
+    * of the `_centroids` routing table: an index that only exists in
+    * the building session's memory cannot serve a fresh session. */
+  private[graft] def writeCodebooks(spark: SparkSession,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
     import spark.implicits._
-    lloyd(sampleVectors(vecsDf, sortKey), cells, iters = 5).zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+    books.zipWithIndex.flatMap { case (bk, m) =>
+      bk.zipWithIndex.map { case (c, k) => (m, k, c.toSeq) }
+    }.toSeq.toDF("m", "k", "cv").write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  private[graft] def readCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Seq[Double]]("cv").toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Driver-local ADC tables for one query vector: dt[m][k] =
+    * <q_m, c_{m,k}> — plain arithmetic over the (tiny) codebooks. */
+  private[graft] def adcTablesLocal(books: Array[Array[Array[Double]]],
+      qv: Array[Double]): Array[Array[Double]] =
+    books.zipWithIndex.map { case (bk, m) =>
+      bk.map { c =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { d += qv(m * PqSubDim + i) * c(i); i += 1 }
+        d
+      }
+    }
 
   /** Product quantization: [[PqSub]] subspaces of [[PqSubDim]] dims,
     * each quantized against a [[PqK]]-entry codebook fit on the same
@@ -267,9 +304,7 @@ object AnnIndex {
       .select($"vec_id", $"v").collect()
       .sortBy(_.getAs[Long]("vec_id")) // collect order is not a contract
       .map(_.getAs[Seq[Double]]("v").toArray)
-    (0 until PqSub).map { m =>
-      lloyd(sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)), PqK, iters = 5)
-    }.toArray
+    pqCodebooksFromSample(sample)
   }
 
   /** Plain Lloyd's k-means on a driver-resident point set with a
@@ -304,13 +339,47 @@ object AnnIndex {
 
   /** Code for subspace m: argmin L2 to the codebook as
     * `argmax(<sub,c> - |c|²/2)`; ties to the lowest code. */
-  private def encodeSub(m: Int, book: Array[Array[Double]]): Column = {
+  private[operators] def encodeSub(m: Int, book: Array[Array[Double]]): Column = {
     val sub = slice(col("v"), m * PqSubDim + 1, PqSubDim)
     val scores = book.map { c =>
       dot(sub, typedLit(c.toSeq)) - lit(c.map(x => x * x).sum / 2)
     }
     val arr = array(scores.toSeq: _*)
     (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** All subspace codes as one array column over vector column `v`. */
+  private[operators] def encodeCodes(books: Array[Array[Array[Double]]]): Column =
+    array(books.indices.map(m => encodeSub(m, books(m))): _*)
+
+  /** Per-query ADC lookup tables over vector column `v`:
+    * dt[m][k] = <v_m, c_{m,k}>. */
+  private def adcTables(books: Array[Array[Array[Double]]], v: Column): Column =
+    array(books.indices.map { m =>
+      array(books(m).map(c =>
+        dot(slice(v, m * PqSubDim + 1, PqSubDim), typedLit(c.toSeq))).toSeq: _*)
+    }: _*)
+
+  /** ADC score normalized by the candidate's true norm: the shortlist
+    * metric must agree with the exact cosine re-rank, or small-norm /
+    * high-cosine neighbors get crowded out by large-norm candidates
+    * (masked on unit-norm corpora, real on anything else). */
+  private def adcScore(m: Int, dt: Column, codes: Column, nrm: Column): Column =
+    ((0 until m).map(i =>
+      element_at(element_at(dt, i + 1), element_at(codes, i + 1) + 1))
+      .reduce(_ + _) / nrm)
+
+  /** PQ codebooks fit driver-locally from an already-collected sample —
+    * all sub-quantizers from ONE bounded collect (16 MLlib fits would
+    * cost 16× the fixed job overhead; measured 11.5 s → ~1 s). The
+    * subspace count adapts to the vector dim (dim / [[PqSubDim]]), so
+    * the 48-dim image channel quantizes too. */
+  private[operators] def pqCodebooksFromSample(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "PQ codebook fit got an empty sample")
+    val m = sample.head.length / PqSubDim
+    (0 until m).map { i =>
+      lloyd(sample.map(_.slice(i * PqSubDim, (i + 1) * PqSubDim)), PqK, iters = 5)
+    }.toArray
   }
 
   /** PQ-ADC search: encode the corpus once, broadcast per-query lookup
@@ -327,26 +396,60 @@ object AnnIndex {
     val books = pqCodebooks(spark, dir)
     val v = vecs(spark, dir)
     val corpus = v.filter($"vec_id" >= 10)
-      .select($"vec_id", $"v", $"nrm",
-        array((0 until PqSub).map(m => encodeSub(m, books(m))): _*).as("codes"))
+      .select($"vec_id", $"v", $"nrm", encodeCodes(books).as("codes"))
       .persist() // scanned twice: ADC pass + exact re-rank of the shortlist
     // per-query ADC tables: dt[m][k] = <q_m, c_{m,k}>
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
-        array((0 until PqSub).map { m =>
-          array(books(m).map(c =>
-            dot(slice($"v", m * PqSubDim + 1, PqSubDim), typedLit(c.toSeq))).toSeq: _*)
-        }: _*).as("dt"))
-    // ADC score normalized by the candidate's true norm: the shortlist
-    // metric must agree with the exact cosine re-rank, or small-norm /
-    // high-cosine neighbors get crowded out by large-norm candidates
-    // (masked on unit-norm corpora, real on anything else)
+        adcTables(books, $"v").as("dt"))
     val adc = corpus.select($"vec_id".as("n_id"), $"codes", $"nrm")
       .crossJoin(broadcast(q.select($"q_id", $"dt")))
       .select($"q_id", $"n_id",
-        ((0 until PqSub).map(m =>
-          element_at(element_at($"dt", m + 1), element_at($"codes", m + 1) + 1))
-          .reduce(_ + _) / $"nrm").as("sim_r"))
+        adcScore(books.length, $"dt", $"codes", $"nrm").as("sim_r"))
+    val shortlisted = KnnSearch.rankTopK(adc, shortlist).select($"q_id", $"n_id")
+    val exact = corpus.select($"vec_id".as("n_id"), $"v", $"nrm")
+      .join(if (shortlist <= 10000) broadcast(shortlisted) else shortlisted, "n_id")
+      .join(broadcast(q.select($"q_id", $"qv", $"qnrm")), "q_id")
+      .select($"q_id", $"n_id",
+        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
+    val out = Tables.materialize(KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk"))
+    corpus.unpersist(blocking = false)
+    out
+  }
+
+  /** IVF+PQ composed — the 100 TB ANN architecture (the scale form of
+    * the reference's return_similar scan, vector_db.py:684-696): cell
+    * routing bounds the SCAN (only nProbe cells' rows are candidates —
+    * on the persisted store this is partition pruning), PQ codes bound
+    * the MEMORY and per-candidate cost (16-byte codes + ADC table
+    * lookups instead of full-dim dots), and the exact re-rank bounds
+    * the approximation to the shortlist boundary.
+    *
+    * `nProbe = cells` AND `shortlist ≥ corpus` make the whole path
+    * EXACT by construction — hash-checked against the brute oracle as
+    * `ann_ivfpq_exh`, proving the route/encode/ADC/re-rank machinery;
+    * the approximate config's recall is measured in AnnIndexSpec. */
+  def ivfpq(spark: SparkSession, dir: String): DataFrame =
+    ivfpq(spark, dir, IvfCells, NProbe, PqShortlist)
+
+  def ivfpq(spark: SparkSession, dir: String, cells: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    import spark.implicits._
+    val books = pqCodebooks(spark, dir)
+    val (assigned, centroids) = fitAssign(spark, dir, cells)
+    val corpus = assigned.filter($"vec_id" >= 10)
+      .select($"vec_id", $"v", $"nrm", $"cell", encodeCodes(books).as("codes"))
+      .persist() // ADC pass over probed cells + exact re-rank of the shortlist
+    // queries carry their ADC tables through the probe ranking
+    val q = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        adcTables(books, $"v").as("dt"))
+    val qCells = probeCells(q, centroids, nProbe)
+    // candidate set = probed cells only (equi-join on cell, query side
+    // broadcast) — the in-memory twin of the store's pruned scan
+    val adc = corpus.join(broadcast(qCells.select($"q_id", $"dt", $"cell")), "cell")
+      .select($"q_id", $"vec_id".as("n_id"),
+        adcScore(books.length, $"dt", $"codes", $"nrm").as("sim_r"))
     val shortlisted = KnnSearch.rankTopK(adc, shortlist).select($"q_id", $"n_id")
     val exact = corpus.select($"vec_id".as("n_id"), $"v", $"nrm")
       .join(if (shortlist <= 10000) broadcast(shortlisted) else shortlisted, "n_id")

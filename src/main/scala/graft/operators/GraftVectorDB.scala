@@ -160,11 +160,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val chan = channelRows(channel)
       .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
       .withColumn("v", toDouble($"embedding"))
-    val centroids = AnnIndex.fitCentroids(chan.select($"row_id", $"v"), $"row_id", cells)
+    // ONE bounded sample job feeds BOTH fits (IVF routing + PQ
+    // codebooks); routing + encoding are then narrow projections on
+    // the single full build pass
+    val sample = AnnIndex.sampleVectors(chan.select($"row_id", $"v"), $"row_id")
+    val centroids = AnnIndex.centroidsFromSample(spark, sample, cells)
+    val pqBooks = AnnIndex.pqCodebooksFromSample(sample)
     val books = AnnIndex.routingBooks(centroids)
     val indexed = chan.select($"doc_name", $"page_num", $"content_type",
         $"content_id", $"content_raw", $"row_id", $"v",
-        l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"))
+        l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"),
+        AnnIndex.encodeCodes(pqBooks).as("codes"))
     // build into a dot-prefixed temp dir and swap via rename (the
     // compact() pattern): a plain Overwrite would expose a HALF-BUILT
     // index (cells without a routing table) for the whole build. The
@@ -174,6 +180,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val tmp = s"$storeDir/.ann_build_tmp_$channel"
     indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
+    AnnIndex.writeCodebooks(spark, pqBooks, s"$tmp/_codebooks")
     val live = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(live, true) // false == did not exist: fine on first build
@@ -221,32 +228,29 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * buildAnnIndex swaps the whole index in via rename, so a rebuild
     * always moves it. The staleness check is one driver FS metadata
     * call — no Spark job, no parquet read on the warm path. */
-  private def cachedIndex(channel: String): (Array[(Int, Array[Double])], DataFrame) = {
+  private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = fs.getFileStatus(cDir).getModificationTime
     val key = cDir.toString
     Option(GraftVectorDB.routingCache.get(key)) match {
-      case Some((g, books, idx)) if g == gen && (idx.sparkSession eq spark) =>
-        (books, idx)
+      case Some(c) if c.gen == gen && (c.index.sparkSession eq spark) => c
       case _ =>
         val books = AnnIndex.routingBooks(spark.read.parquet(cDir.toString))
+        val pqBooks = AnnIndex.readCodebooks(spark, s"${annPath(channel)}/_codebooks")
         // resolve the index frame once: schema inference + file listing
         // happen here, not per search
         val idx = spark.read.parquet(annPath(channel))
-        GraftVectorDB.routingCache.put(key, (gen, books, idx))
-        (books, idx)
+        val c = GraftVectorDB.CachedAnnIndex(gen, books, pqBooks, idx)
+        GraftVectorDB.routingCache.put(key, c)
+        c
     }
   }
 
-  /** The lazy pruned-scan top-k frame behind [[searchAnn]] — exposed
-    * package-private so specs can assert the partition pruning on the
-    * un-executed plan. */
-  private[graft] def annScanPlan(query: String, channel: String,
-      topN: Int, nProbe: Int): DataFrame = {
-    val (books, index) = cachedIndex(channel)
-    // query embedding + probe selection are plain driver arithmetic
-    // over the ≤|cells| routing entries — zero Spark jobs
+  /** Embed the query and rank probe cells — all driver arithmetic. */
+  private def annProbe(query: String, channel: String, nProbe: Int)
+      : (GraftVectorDB.CachedAnnIndex, Array[Double], Double, Seq[Int]) = {
+    val ci = cachedIndex(channel)
     val qv = channel match {
       case "image" => VectorStore.embedImageLocal(query)
       case _ => VectorStore.embedTextLocal(query)
@@ -254,17 +258,26 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val qnrm = math.sqrt(qv.map(x => x * x).sum)
     // probe ranking uses the ASSIGNMENT metric (L2 argmin as
     // dot − |c|²/2), so a query's own cell always ranks first
-    val probed = books
+    val probed = ci.books
       .map { case (cell, c) =>
         var d = 0.0; var i = 0
         while (i < c.length) { d += qv(i) * c(i); i += 1 }
         (cell, d - c.map(x => x * x).sum / 2) }
       .sortBy { case (cell, d) => (-d, cell) }
       .take(nProbe).map(_._1).toSeq
+    (ci, qv, qnrm, probed)
+  }
+
+  /** The lazy pruned-scan top-k frame behind [[searchAnn]] — exposed
+    * package-private so specs can assert the partition pruning on the
+    * un-executed plan. */
+  private[graft] def annScanPlan(query: String, channel: String,
+      topN: Int, nProbe: Int): DataFrame = {
+    val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
     // the query vector inlines as a LITERAL into the scan projection —
     // no join side, no broadcast stage: the whole search is one
     // pruned-scan job even under AQE
-    index
+    ci.index
       .filter($"cell".isin(probed: _*)) // prunes partitions at the scan
       .select(round(cosine(typedLit(qv.toSeq), $"v", lit(qnrm), $"nrm"), 4).as("sim_r"),
         $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw",
@@ -285,6 +298,79 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
     }.toSeq.toDF("rnk", "sim_r", "doc_name", "page_num",
       "content_type", "content_id", "content_raw", "channel")
+  }
+
+  /** IVF+PQ search against the store index — the composition that
+    * holds up at 100 TB: the shortlist pass reads ONLY the narrow
+    * columns (row_id, nrm, 16-byte codes) of the probed cells — the
+    * partition-pruned, column-pruned scan whose bytes-per-row stay
+    * constant no matter how fat the records get — and the exact
+    * re-rank fetches just the ≤ `shortlist` winners' vectors+metadata
+    * by row_id. Matches the reference's return_similar ranking
+    * (vector_db.py:684-696) with [[searchAnn]]'s output contract.
+    * Exactness: `nProbe = cells` + `shortlist ≥ channel rows`
+    * reproduces [[search]] verbatim (GraftVectorDBSpec). Two Spark
+    * jobs per warm search (ADC shortlist + fetch), spec-pinned. */
+  def searchAnnPq(queryText: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe,
+      shortlist: Int = AnnIndex.PqShortlist): DataFrame =
+    searchAnnPqChannel(queryText, "text", topN, nProbe, shortlist)
+
+  /** Image-space twin of [[searchAnnPq]]. */
+  def searchAnnPqImage(queryContent: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe,
+      shortlist: Int = AnnIndex.PqShortlist): DataFrame =
+    searchAnnPqChannel(queryContent, "image", topN, nProbe, shortlist)
+
+  /** The lazy ADC-shortlist frame behind [[searchAnnPq]] — exposed so
+    * specs can assert partition pruning AND column pruning (the scan
+    * must not read `v` or `content_raw`). */
+  private[graft] def annPqShortlistPlan(query: String, channel: String,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    val (ci, qv, _, probed) = annProbe(query, channel, nProbe)
+    val dts = AnnIndex.adcTablesLocal(ci.pqBooks, qv)
+    // ADC score = Σ_m dt[m][codes[m]] / nrm, with the per-query tables
+    // inlined as literals — a narrow codegen'd projection over the
+    // pruned scan, no join
+    val score = dts.toSeq.zipWithIndex.map { case (dt, m) =>
+      element_at(typedLit(dt.toSeq), element_at($"codes", m + 1) + 1)
+    }.reduce(_ + _) / $"nrm"
+    ci.index
+      .filter($"cell".isin(probed: _*))
+      .select($"row_id", score.as("adc"))
+      .orderBy($"adc".desc, $"row_id")
+      .limit(shortlist)
+  }
+
+  private def searchAnnPqChannel(query: String, channel: String,
+      topN: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
+    // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
+    val ids = annPqShortlistPlan(query, channel, nProbe, shortlist)
+      .collect().map(_.getAs[Long]("row_id"))
+    // job 2: fetch ONLY the shortlisted rows' vectors + metadata (same
+    // cell pruning, row_id pushed into the parquet filters)
+    val fetched = ci.index
+      .filter($"cell".isin(probed: _*) && $"row_id".isin(ids.toSeq: _*))
+      .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
+        $"content_type", $"content_id", $"content_raw")
+      .collect()
+    // exact re-rank of ≤ shortlist rows is driver arithmetic, same
+    // rounded-cosine metric as the distributed path
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    fetched.map { r =>
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      var d = 0.0; var i = 0
+      while (i < qv.length) { d += qv(i) * v(i); i += 1 }
+      (r4(d / (qnrm * r.getAs[Double]("nrm"))), r)
+    }.sortBy { case (s, r) => (-s, r.getAs[Long]("row_id")) }
+      .take(topN).zipWithIndex.map { case ((s, r), i) =>
+        ((i + 1).toLong, s, r.getAs[String]("doc_name"),
+          r.getAs[Long]("page_num"), r.getAs[String]("content_type"),
+          r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
+      }.toSeq.toDF("rnk", "sim_r", "doc_name", "page_num",
+        "content_type", "content_id", "content_raw", "channel")
   }
 
   /** Store maintenance: streaming ingest appends a file per micro-batch
@@ -365,14 +451,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
 object GraftVectorDB {
 
-  /** Serving-path cache: per index path, the (generation, routing
-    * table, resolved index frame) triple. Generation is the
+  /** One ANN index generation's serving state: routing table, PQ
+    * codebooks, resolved index frame. */
+  private[operators] final case class CachedAnnIndex(gen: Long,
+      books: Array[(Int, Array[Double])],
+      pqBooks: Array[Array[Array[Double]]],
+      index: DataFrame)
+
+  /** Serving-path cache keyed by index path. Generation is the
     * `_centroids` mtime, so a rebuild (rename swap) invalidates
-    * naturally; entries are tiny (≤ cells routing rows + a lazy
-    * frame). Keyed by absolute path — safe across db instances. */
+    * naturally; entries are tiny (≤ cells routing rows + codebooks +
+    * a lazy frame). Keyed by absolute path — safe across db
+    * instances. */
   private val routingCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Array[(Int, Array[Double])], DataFrame)]
+    new java.util.concurrent.ConcurrentHashMap[String, CachedAnnIndex]
 
   /** documents-shaped frame → VectorRecord rows (chunk + embed + hash
     * + caption stub), shuffle-free except the final write. */

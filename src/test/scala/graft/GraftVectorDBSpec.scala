@@ -198,6 +198,65 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(jobs <= 2, s"fitCentroids must not pre-count the corpus, ran $jobs jobs")
   }
 
+  test("IVF+PQ store search: exhaustive config reproduces the exact search") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    val exact = db.search("fast query join table", topN = 5).collect().map(key)
+    // every cell probed + channel-sized shortlist → the ADC pass
+    // degenerates to enumeration and the re-rank is the exact cosine
+    val full = db.searchAnnPq("fast query join table", topN = 5,
+      nProbe = 8, shortlist = rows).collect().map(key)
+    assert(full.toSeq == exact.toSeq)
+    // approximate config: contract shape only (recall on the synthetic
+    // worst-case corpus is AnnIndexSpec's measured story — a 3-of-8
+    // cell probe may legitimately miss the global top hit here)
+    val approx = db.searchAnnPq("fast query join table", topN = 5,
+      nProbe = 3, shortlist = 50).collect()
+    assert(approx.map(_.getAs[Long]("rnk")).toSeq == (1L to 5L))
+    val sims = approx.map(_.getAs[Double]("sim_r"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("PQ shortlist scan is partition-pruned AND column-pruned (no v, no content)") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = db.annPqShortlistPlan("fast query join table", "text", 3, 50)
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
+      }.head
+      assert(scan.partitionFilters.nonEmpty, "ADC pass must prune partitions")
+      val cellsRead = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.values.getInt(0)).toSet
+      assert(cellsRead.size == 3, s"expected 3 probed cells, scan reads $cellsRead")
+      // the 100 TB property: the shortlist pass reads only the narrow
+      // columns — 16 1-byte-ish codes + a norm per row, never the full
+      // vector or the raw content
+      val readCols = scan.requiredSchema.fieldNames.toSet
+      assert(readCols == Set("row_id", "nrm", "codes"),
+        s"ADC scan must read only (row_id, nrm, codes), reads $readCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
+  test("warm searchAnnPq costs two jobs (ADC shortlist + shortlist fetch)") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    db.searchAnnPq("fast query join table", topN = 5, nProbe = 3).collect()
+    val jobs = countJobs {
+      db.searchAnnPq("slow merge sort line", topN = 5, nProbe = 3).collect()
+    }
+    assert(jobs == 2, s"warm searchAnnPq = ADC job + fetch job, ran $jobs")
+  }
+
   test("a corrupt store fails ingest loudly instead of double-ingesting") {
     val dir = "target/vdb_corrupt_spec"
     val d = new GraftVectorDB(spark, dir)
