@@ -61,7 +61,17 @@ object SparkEntry {
     "dd_minhash" -> (Dedup.minhashLsh _),
     "dd_cluster" -> (Dedup.cluster _),
     "dd_simhash" -> (Dedup.simhashPairs _),
-    "dd_embed" -> (Dedup.embedPairs _),
+    // dd_embed is the EXACT audit config (all-pairs verifier, flagged
+    // audit=true, test-scale guarded like ann_pq_exh); dd_embed_lsh is
+    // the default scale path — RP-LSH candidates + exact verify —
+    // whose oracle mirrors the signature machinery, so the plan a user
+    // actually runs at corpus scale is itself hash-checked
+    "dd_embed" -> ((s: SparkSession, dir: String) => {
+      val n = Tables.load(s, dir, "embeddings").count()
+      require(n <= 1000000, s"dd_embed audit=true is a test-scale harness (corpus $n)")
+      Dedup.embedPairs(s, dir, audit = true)
+    }),
+    "dd_embed_lsh" -> ((s: SparkSession, dir: String) => Dedup.embedPairs(s, dir)),
     "tx_langid" -> (TextAnalysis.langId _),
     "tx_quality" -> (TextAnalysis.quality _),
     "tx_tokens" -> (TextAnalysis.tokenCounts _),
@@ -545,6 +555,39 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 4) sim_r
         | FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT a_id, b_id, sim_r FROM p WHERE sim_r >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+    // mirrors the RP-LSH machinery exactly: md5-derived hyperplanes
+    // (signed first-4-bytes / Int.MaxValue), 12 sign-bits × 8 tables,
+    // candidates = pairs within hamming ≤ 1 of a table signature (the
+    // semantic spec of the 1-bit multiprobe bucket join), then the
+    // same rounded-cosine verify — so rows hash-match the Spark plan
+    "dd_embed_lsh" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+        | FROM embeddings),
+        |pw AS (SELECT t.range::INT t, p.range::INT p,
+        |  list_transform(range(0, 64), d ->
+        |   (CASE WHEN ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT >= 2147483648
+        |     THEN ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT - 4294967296
+        |     ELSE ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT END)::DOUBLE
+        |    / 2147483647) w
+        | FROM range(0, 8) t, range(0, 12) p),
+        |bits AS (SELECT n.vec_id, pw.t, pw.p,
+        |  CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i::INT] * pw.w[i::INT])) >= 0
+        |   THEN 1 ELSE 0 END b
+        | FROM n, pw),
+        |sg AS (SELECT vec_id, t, string_agg(b::VARCHAR, '' ORDER BY p) s
+        | FROM bits GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT a.vec_id a_id, b.vec_id b_id
+        | FROM sg a JOIN sg b ON a.t = b.t AND a.vec_id < b.vec_id
+        | WHERE list_sum(list_transform(range(1, 13), i ->
+        |    CASE WHEN substr(a.s, i::INT, 1) = substr(b.s, i::INT, 1) THEN 0 ELSE 1 END)) <= 1)
+        |SELECT c.a_id, c.b_id,
+        | round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
+        |   / (a.nrm * b.nrm), 4) AS sim_r
+        |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
+        |WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
+        |   / (a.nrm * b.nrm), 4) >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
     "tx_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
         |s AS (SELECT doc_id,

@@ -470,8 +470,11 @@ object AnnIndex {
     (x.toDouble / Int.MaxValue.toDouble)
   }
 
-  /** Sign bit of <v, plane(t,p)> via the codegen'd DotProduct. */
-  private def bit(t: Int, p: Int): Column = {
+  /** Sign bit of <v, plane(t,p)> via the codegen'd DotProduct —
+    * shared hash family between ann_lsh (5-bit keys) and the
+    * embedding-dedup pair path (12-bit signatures): plane (t,p) is
+    * the same vector regardless of how many bits a caller uses. */
+  private[operators] def bit(t: Int, p: Int): Column = {
     val plane = (0 until 64).map(d => planeComponent(t, p, d)).toArray.toSeq
     when(dot(col("v"), typedLit(plane)) >= 0, lit(1)).otherwise(lit(0))
   }

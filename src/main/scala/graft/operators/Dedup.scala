@@ -198,19 +198,87 @@ object Dedup {
     out.orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs (threshold tuned to this corpus's
-    * unclustered vectors; see SURVEY §2). */
-  def embedPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Embedding-dedup signature geometry: 8 tables of 12 sign-bits with
+    * 1-bit multiprobe. At the real dedup operating point (near-dup
+    * cos ≥ 0.9 → per-plane agreement 0.857) a pair collides in ≥ 1
+    * table with p ≈ 0.994, while background pairs (cos ≈ 0) reach the
+    * verifier at only ~2.5% of the cross product — the contrast that
+    * makes the plan sub-quadratic. This corpus's 0.35 threshold sits
+    * BELOW sign-LSH's effective range (per-plane gap 0.61 vs 0.54 —
+    * the deliberately-unclustered worst case), so threshold recall
+    * here is spec-MEASURED, not assumed, and the exact verifier stays
+    * available behind `audit = true` (DedupExactnessSpec). */
+  val EmbedLshPlanes = 12
+  val EmbedLshTables = 8
+  val EmbedThreshold = 0.35
+
+  /** Embedding-cosine near-dup pairs — the minhashLsh shape in the
+    * embedding domain: RP-LSH signature buckets generate candidates
+    * (equi-join, never all-pairs), the exact rounded cosine verifies
+    * each candidate at [[EmbedThreshold]], so precision is exact by
+    * construction and only recall is approximate. `audit = true`
+    * switches to the exact all-pairs verifier — O(n²), the
+    * ground-truth harness for test-scale audits, NOT a plan to run at
+    * corpus scale. */
+  def embedPairs(spark: SparkSession, dir: String): DataFrame =
+    embedPairs(spark, dir, audit = false)
+
+  def embedPairs(spark: SparkSession, dir: String, audit: Boolean): DataFrame = {
     import spark.implicits._
     val v = Tables.spread(Tables.load(spark, dir, "embeddings"))
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", l2Norm($"v"))
-    val a = v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
-    val b = v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
-    a.crossJoin(b).filter($"a_id" < $"b_id")
+    if (audit) {
+      val a = v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+      val b = v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
+      a.crossJoin(b).filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
+        .filter($"sim_r" >= EmbedThreshold)
+        .orderBy($"a_id", $"b_id")
+    } else embedPairsOf(v)
+  }
+
+  /** The scale path over any (vec_id, v, nrm) frame. Signatures are
+    * computed ONCE per vector (96 codegen'd plane dots) and persisted
+    * as 12-char strings; multiprobe keys derive from the STRINGS
+    * (substring surgery), so no plane dot is ever re-evaluated — the
+    * CollapseProject re-derivation trap documented in
+    * TextHashExpressions. The persisted frame is (id + 8 short
+    * strings): corpus-bounded and tiny next to the vectors. */
+  private[graft] def embedPairsOf(v: DataFrame): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val sigCols = (0 until EmbedLshTables).map(t =>
+      concat_ws("", (0 until EmbedLshPlanes).map(p =>
+        AnnIndex.bit(t, p).cast("string")): _*))
+    val sigs = v.select($"vec_id", array(sigCols: _*).as("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = sigs.select($"vec_id", posexplode($"sg")).toDF("vec_id", "t", "sig")
+      .select($"vec_id", concat($"t".cast("string"), lit(":"), $"sig").as("bkey"))
+    // probe side: own signature + every 1-bit flip, so the equi-join
+    // reaches all pairs within hamming ≤ 1 of a table's signature
+    val flips = sigs.select($"vec_id", posexplode($"sg")).toDF("vec_id", "t", "sig")
+      .select($"vec_id", explode(array((-1 until EmbedLshPlanes).map { f =>
+        val s =
+          if (f < 0) $"sig"
+          else concat(substring($"sig", 1, f),
+            (lit(1) - substring($"sig", f + 1, 1).cast("int")).cast("string"),
+            substring($"sig", f + 2, EmbedLshPlanes))
+        concat($"t".cast("string"), lit(":"), s)
+      }: _*)).as("bkey"))
+    val cand = flips.select($"vec_id".as("a_id"), $"bkey")
+      .join(base.select($"vec_id".as("b_id"), $"bkey"), "bkey")
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val verified = cand
+      .join(v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na")), "a_id")
+      .join(v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "b_id")
       .select($"a_id", $"b_id",
         round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
-      .filter($"sim_r" >= 0.35)
-      .orderBy($"a_id", $"b_id")
+      .filter($"sim_r" >= EmbedThreshold)
+    val out = Tables.materialize(verified)
+    sigs.unpersist(blocking = false)
+    out.orderBy($"a_id", $"b_id")
   }
 }
