@@ -94,6 +94,41 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       VectorStore.embedText)
       .withColumn("channel", lit("text"))
 
+  /** Batch query-set search: N queries against the text channel in ONE
+    * corpus scan — the shape a search front-end needs under load
+    * (N × [[search]] would scan the store N times). The query batch
+    * (q_id, q_text) embeds in-plan and broadcasts into the scan; the
+    * per-query top-k is the payload-carrying partial aggregate
+    * ([[graft.functions.expressions.TopKRows]]), so each partition
+    * contributes ≤ topN rows per query to the shuffle WITH their
+    * metadata — no second scan to re-attach doc names/content.
+    * Per-query results are identical to [[search]] (spec-pinned). */
+  def searchAll(queries: DataFrame, topN: Int = 5,
+      location: Option[String] = None): DataFrame = {
+    val q = queries.select(col("q_id"),
+        VectorStore.embedText(col("q_text")).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val channel = store.filter($"content_type" =!= ContentTypes.Image)
+    val scoped = location.fold(channel)(loc =>
+      channel.filter($"doc_name".startsWith(loc)))
+    val pairs = scoped.crossJoin(broadcast(q))
+      .select($"q_id",
+        round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
+        xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
+        struct($"doc_name", $"page_num", $"content_type", $"content_id",
+          $"content_raw").as("meta"))
+    pairs.groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKRows(
+        $"sim_r", $"row_id", $"meta", topN).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rnk"),
+        $"col.score".as("sim_r"),
+        $"col.payload.doc_name", $"col.payload.page_num",
+        $"col.payload.content_type", $"col.payload.content_id",
+        $"col.payload.content_raw")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Combined text+image search — run_search's text_image mode: the
     * query hits both stores, results union channel-tagged. The image
     * channel lives in its OWN embedding space: its rows were embedded

@@ -257,6 +257,36 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(jobs == 2, s"warm searchAnnPq = ADC job + fetch job, ran $jobs")
   }
 
+  test("searchAll: N queries, one store scan, per-query results == N search calls") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    val texts = Seq("fast query join table", "slow merge sort line", "hash vector stream")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    val batch = db.searchAll(queries, topN = 5)
+    val byQ = batch.collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val single = db.search(t, topN = 5).collect().map(key).toSeq
+      assert(byQ(i.toLong).map(key).toSeq == single,
+        s"batch results for query '$t' must match the single-query search")
+    }
+    // ONE scan for the whole batch
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = db.searchAll(queries, topN = 5)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("vector_store")) => f
+        }
+      assert(scans.size == 1,
+        s"batch search must scan the store once, found ${scans.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("a corrupt store fails ingest loudly instead of double-ingesting") {
     val dir = "target/vdb_corrupt_spec"
     val d = new GraftVectorDB(spark, dir)
