@@ -13,6 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietCheckpointNoise()
+    // 1-minute load average BEFORE the warmup: a contended box inflates
+    // every timing (round-3 driver file read 70 s where a quiet box
+    // measures 42 s) — recording it lets round logs separate real
+    // regressions from neighbors
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     // absorb one-time JVM/session costs (codegen compiler, parquet
     // footer reader, shuffle machinery) so per-query timings measure
     // the queries, not startup
@@ -27,12 +36,21 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val p1 = pass().toMap
-    val results = pass().map { case (name, t) => name -> math.min(t, p1(name)) }
+    // SPARK_GRAFT_PASSES=1 for long scaling-curve runs (sf1+), where a
+    // second pass doubles an already-long wall time for little signal
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val first = pass()
+    val results =
+      if (passes <= 1) first
+      else {
+        val p1 = first.toMap
+        pass().map { case (name, t) => name -> math.min(t, p1(name)) }
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""load":{"start":$loadStart,"end":${loadAvg()}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

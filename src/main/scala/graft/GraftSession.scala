@@ -24,6 +24,16 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietCheckpointNoise()
     spark
   }
+
+  /** The bounded-loop release pattern (Tables.materialize + release)
+    * makes Spark WARN once per freed local-checkpoint RDD ("lineage
+    * has been truncated and cannot be recomputed") — expected and
+    * harmless here, but dozens per run bury real warnings. RDD-class
+    * loggers go to ERROR; everything else stays at WARN. */
+  def quietCheckpointNoise(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 }
