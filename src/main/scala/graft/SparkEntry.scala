@@ -54,6 +54,7 @@ object SparkEntry {
     "vs_xmodal" -> (KnnSearch.xmodal _),
     "vs_parse" -> (DocParse.parse _),
     "vs_sources" -> (KnnSearch.sources _),
+    "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
     "ann_brute" -> (KnnSearch.annBrute _),
     "dd_exact" -> (Dedup.exact _),
@@ -473,6 +474,61 @@ object SparkEntry {
         |UNION ALL
         |SELECT q_id, 'image', rnk::BIGINT, n_id, sim_r FROM ri WHERE rnk <= 3
         |ORDER BY q_id, channel, rnk""".stripMargin,
+    // the full multimodal flow replayed in SQL: chunk -> caption ->
+    // dual-channel embed (64-dim text / 48-dim img-salted) -> per-channel
+    // cosine top-5 with lexicographic tie-breaks
+    "vs_mm_pipeline" ->
+      """WITH c AS (SELECT doc_id, source, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT 'corpus/' || source || '/doc_' || doc_id || '.txt' doc_name,
+        |  i::BIGINT page_num, 'text_chunk' content_type, i::VARCHAR content_id,
+        |  substr(text, (i*200+1)::INT, 256) content_raw FROM c),
+        |cap AS (SELECT 'corpus/' || source || '/doc_' || doc_id || '.txt' doc_name,
+        |  0::BIGINT page_num, 'image_caption' content_type,
+        |  substr(md5(text),1,8) content_id,
+        |  'captioned content ' || substr(md5(text),1,8) content_raw
+        | FROM documents WHERE doc_id % 3 = 0),
+        |img AS (SELECT 'corpus/' || source || '/doc_' || doc_id || '.txt' doc_name,
+        |  0::BIGINT page_num, 'image' content_type,
+        |  substr(md5(text),1,8) content_id, text content_raw
+        | FROM documents WHERE doc_id % 3 = 0),
+        |txt AS (SELECT * FROM ch UNION ALL SELECT * FROM cap),
+        |ten AS (SELECT doc_name, page_num, content_type, content_id, content_raw,
+        |  rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM (
+        |  SELECT *, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM (
+        |   SELECT *, list_transform(range(0, 64), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM (
+        |    SELECT *, list_transform(string_split_regex(trim(content_raw), '\s+'),
+        |      t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM txt)))),
+        |ien AS (SELECT doc_name, page_num, content_type, content_id, content_raw,
+        |  rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM (
+        |  SELECT *, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM (
+        |   SELECT *, list_transform(range(0, 48), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM (
+        |    SELECT *, list_transform(string_split_regex(trim(content_raw), '\s+'),
+        |      t -> ('0x' || substr(md5('img:' || t),1,2))::BIGINT % 48) b FROM img)))),
+        |qt AS (SELECT rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM (
+        |  SELECT list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM (
+        |   SELECT list_transform(range(0, 64), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM (
+        |    SELECT list_transform(string_split_regex('fast query join table', '\s+'),
+        |      t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b)))),
+        |qi AS (SELECT rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM (
+        |  SELECT list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM (
+        |   SELECT list_transform(range(0, 48), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM (
+        |    SELECT list_transform(string_split_regex('fast query join table', '\s+'),
+        |      t -> ('0x' || substr(md5('img:' || t),1,2))::BIGINT % 48) b)))),
+        |rt AS (SELECT t.doc_name, t.page_num, t.content_type, t.content_id, t.content_raw,
+        |  round(list_sum(list_transform(range(1, 65), i -> q.rv[i::INT] * t.rv[i::INT])) / (q.nrm * t.nrm), 4) sim_r
+        | FROM ten t CROSS JOIN qt q),
+        |rkt AS (SELECT *, row_number() OVER (ORDER BY sim_r DESC, doc_name, content_type, content_id) rnk FROM rt),
+        |ri AS (SELECT t.doc_name, t.page_num, t.content_type, t.content_id, t.content_raw,
+        |  round(list_sum(list_transform(range(1, 49), i -> q.rv[i::INT] * t.rv[i::INT])) / (q.nrm * t.nrm), 4) sim_r
+        | FROM ien t CROSS JOIN qi q),
+        |rki AS (SELECT *, row_number() OVER (ORDER BY sim_r DESC, doc_name, content_type, content_id) rnk FROM ri)
+        |SELECT 'text' AS channel, rnk::BIGINT AS rnk, sim_r, doc_name, page_num,
+        | content_type, content_id, content_raw FROM rkt WHERE rnk <= 5
+        |UNION ALL
+        |SELECT 'image', rnk::BIGINT, sim_r, doc_name, page_num,
+        | content_type, content_id, content_raw FROM rki WHERE rnk <= 5
+        |ORDER BY channel, rnk""".stripMargin,
     "vs_parse" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),

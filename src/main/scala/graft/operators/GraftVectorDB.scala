@@ -543,6 +543,61 @@ object GraftVectorDB {
       .withColumn("embedding", VectorStore.embedImage(col("content_raw")))
   }
 
+  /** End-to-end multimodal ingest+search as ONE oracle-checkable plan —
+    * the whole reference flow (vectorize_folder → caption images →
+    * dual-channel store → run_search text_image, vector_db.py:163-229,
+    * 547-596, 656-671) composed hermetically: text chunks from
+    * [[pipeline]], every third doc doubles as an image asset embedded
+    * in the IMAGE space, captions ride into the text channel, and a
+    * fixed query hits both channels top-5. Ties break on
+    * (doc_name, content_type, content_id) — SQL-reproducible, unlike
+    * the store paths' xxhash64 row ids, so DuckDB can replay the whole
+    * flow. One corpus pass per channel; query embeds broadcast. */
+  val MmQuery = "fast query join table"
+
+  def mmPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = pipeline(docs)
+    val images = Tables.spread(docs).filter($"doc_id" % 3 === 0).select(
+      concat(lit("corpus/"), $"source", lit("/doc_"), $"doc_id", lit(".txt")).as("doc_name"),
+      lit("txt").as("doc_type"),
+      lit(0L).as("page_num"),
+      lit(graft.model.ContentTypes.Image).as("content_type"),
+      substring(md5($"text"), 1, 8).as("content_id"),
+      $"text".as("content_raw"),
+      VectorStore.embedImage($"text").as("embedding"),
+      md5($"text").as("file_hash"),
+      timestamp_micros($"doc_id" * 1000000L).as("ts"),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)).as("bbox"))
+    val captions = captionRows(images)
+    val cols = Seq($"doc_name", $"page_num", $"content_type", $"content_id",
+      $"content_raw", $"embedding")
+    val textChannel = chunks.select(cols: _*)
+      .unionByName(captions.select(cols: _*))
+    val imageChannel = images.select(cols: _*)
+    def top5(channel: DataFrame, qEmbed: Column, tag: String): DataFrame = {
+      val q = spark.range(1).select(qEmbed.as("qv"))
+        .withColumn("qnrm", l2Norm($"qv"))
+      val hits = channel.crossJoin(broadcast(q))
+        .select(
+          round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
+          $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw")
+        .orderBy($"sim_r".desc, $"doc_name", $"content_type", $"content_id")
+        .limit(5)
+      hits.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"sim_r".desc, $"doc_name", $"content_type", $"content_id"))
+          .cast("long"))
+        .withColumn("channel", lit(tag))
+    }
+    top5(textChannel, VectorStore.embedText(lit(MmQuery)), "text")
+      .unionByName(top5(imageChannel, VectorStore.embedImage(lit(MmQuery)), "image"))
+      .select($"channel", $"rnk", $"sim_r", $"doc_name", $"page_num",
+        $"content_type", $"content_id", $"content_raw")
+      .orderBy($"channel", $"rnk")
+  }
+
   /** Deterministic caption stub for binary/image rows — stands in for
     * the blip/gpt caption call (vector_db.py:547-596); real deployments
     * swap `captionText` for a model UDF with the same row contract. */
