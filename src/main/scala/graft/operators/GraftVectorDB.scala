@@ -225,6 +225,37 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     spark.read.parquet(annPath(channel)).count() // footer-stats count, no data scan
   }
 
+  /** Incrementally extend the channel's ANN index with newly-ingested
+    * VectorRecord rows: cells come from the PERSISTED routing table
+    * and codes from the persisted codebooks (no refit — re-clustering
+    * belongs to a rebuild), appended as new cell-partitioned files
+    * with existing files untouched, so the job is O(|new rows|) no
+    * matter how large the index is — the ingest path that keeps a
+    * 100 TB index maintainable between rebuilds (the store twin of
+    * [[AnnIndex.appendIvfStore]]). Bumps the index generation stamp so
+    * cached serving frames re-list files. Single-writer contract, same
+    * as compact(). Returns rows appended. */
+  def appendAnnIndex(records: DataFrame, channel: String = "text"): Long = {
+    val ci = cachedIndex(channel)
+    val chan = records
+      .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
+      .withColumn("v", toDouble($"embedding"))
+    val indexed = chan.select($"doc_name", $"page_num", $"content_type",
+      $"content_id", $"content_raw", $"row_id", $"v",
+      l2Norm($"v").as("nrm"), AnnIndex.cellOf(ci.books, $"v").as("cell"),
+      AnnIndex.encodeCodes(ci.pqBooks).as("codes"))
+    // count the BATCH (bounded by the new rows), never the index
+    val n = indexed.count()
+    if (n > 0) {
+      indexed.write.mode(SaveMode.Append).partitionBy("cell").parquet(annPath(channel))
+      val stamp = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/_STAMP")
+      val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(stamp, true)
+      out.close()
+    }
+    n
+  }
+
   private def channelRows(channel: String): DataFrame = channel match {
     case "text" => store.filter($"content_type" =!= ContentTypes.Image)
     case "image" => store.filter($"content_type" === ContentTypes.Image)
@@ -266,7 +297,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = fs.getFileStatus(cDir).getModificationTime
+    // generation = build mtime, bumped past it by the append stamp:
+    // appends add files inside existing cell dirs (root mtime does not
+    // move), so appendAnnIndex touches _STAMP to force cached file
+    // listings to refresh
+    val stamp = new org.apache.hadoop.fs.Path(cDir, "_STAMP")
+    val gen = math.max(fs.getFileStatus(cDir).getModificationTime,
+      if (fs.exists(stamp)) fs.getFileStatus(stamp).getModificationTime else 0L)
     val key = cDir.toString
     Option(GraftVectorDB.routingCache.get(key)) match {
       case Some(c) if c.gen == gen && (c.index.sparkSession eq spark) => c

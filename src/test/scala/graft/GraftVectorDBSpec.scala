@@ -287,6 +287,36 @@ class GraftVectorDBSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
 
+  test("appendAnnIndex: O(|new|) append with persisted routing+codebooks, immediately searchable") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    val idxDir = new java.io.File(db.annPath("text"))
+    def dataFiles: Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(idxDir).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = dataFiles.map(f => f.getPath -> f.lastModified).toMap
+    val docs = Seq((999999L, "zyzzyva quixotic jackdaw waltz", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val n = db.appendAnnIndex(GraftVectorDB.pipeline(docs))
+    assert(n == 1)
+    // existing index files are untouched — the append is O(|new|)
+    dataFiles.filter(f => before.contains(f.getPath)).foreach(f =>
+      assert(f.lastModified == before(f.getPath), s"rewrote ${f.getPath}"))
+    assert(dataFiles.size > before.size, "append must add new files")
+    // the appended row is immediately servable on BOTH probe paths
+    // (the generation stamp invalidates cached file listings)
+    val hit = db.searchAnn("zyzzyva quixotic jackdaw waltz", topN = 1, nProbe = 8)
+      .collect().head
+    assert(hit.getAs[String]("doc_name") == "corpus/srcA/doc_999999.txt")
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    val pqHit = db.searchAnnPq("zyzzyva quixotic jackdaw waltz", 1, 8, rows)
+      .collect().head
+    assert(pqHit.getAs[String]("doc_name") == "corpus/srcA/doc_999999.txt")
+  }
+
   test("a corrupt store fails ingest loudly instead of double-ingesting") {
     val dir = "target/vdb_corrupt_spec"
     val d = new GraftVectorDB(spark, dir)
