@@ -435,8 +435,16 @@ object AnnIndex {
   def ivfpq(spark: SparkSession, dir: String, cells: Int, nProbe: Int,
       shortlist: Int): DataFrame = {
     import spark.implicits._
-    val books = pqCodebooks(spark, dir)
-    val (assigned, centroids) = fitAssign(spark, dir, cells)
+    // ONE bounded sample job feeds BOTH fits, like the store build:
+    // routing centroids AND the 16 sub-codebooks are driver Lloyd —
+    // the MLlib fit chain (sample persist + init + 5 iteration jobs)
+    // plus a second sample collect cost ~2.5 s of fixed overhead per
+    // build (measured sf0.1; recall unchanged, see AnnIndexSpec)
+    val v = vecs(spark, dir)
+    val sample = sampleVectors(v, $"vec_id")
+    val books = pqCodebooksFromSample(sample)
+    val centroids = centroidsFromSample(spark, sample, cells)
+    val assigned = assignWithCentroids(v, centroids)
     val corpus = assigned.filter($"vec_id" >= 10)
       .select($"vec_id", $"v", $"nrm", $"cell", encodeCodes(books).as("codes"))
       .persist() // ADC pass over probed cells + exact re-rank of the shortlist
