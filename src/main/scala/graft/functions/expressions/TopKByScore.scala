@@ -207,7 +207,11 @@ case class TopKRows(
     var total = 8 + b.n * 20
     var i = 0
     while (i < b.n) {
-      rowBytes(i) = toUnsafe(b.rows(i)).getBytes
+      // clone: UnsafeRow.getBytes may return the projection's REUSED
+      // backing buffer (no copy when sizeInBytes == buffer length), and
+      // this loop projects row i+1 before row i's bytes are written out
+      // — aliasing would silently ship row i with row i+1's payload
+      rowBytes(i) = toUnsafe(b.rows(i)).getBytes.clone()
       total += rowBytes(i).length
       i += 1
     }

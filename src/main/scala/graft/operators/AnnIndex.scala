@@ -96,16 +96,18 @@ object AnnIndex {
     * the dot ranking even when it is the L2-nearest). */
   private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     import q.sparkSession.implicits._
-    // every input column of q rides through (ivfpq threads its ADC
-    // tables this way), plus the probed `cell`
-    val qCols = q.columns.map(col).toSeq
+    // fixed output projection: callers' extra columns are dropped, so
+    // a queries frame still carrying its original v/vec_id can never
+    // make the downstream store join ambiguous (ivfpq re-joins its ADC
+    // tables by q_id instead of threading them through here)
     q.crossJoin(broadcast(centroids.select($"cell", $"cv",
         (dot($"cv", $"cv") / 2).as("chalf"))))
-      .select(qCols :+ $"cell" :+ (dot($"qv", $"cv") - $"chalf").as("cdist"): _*)
+      .select($"q_id", $"qv", $"qnrm", $"cell",
+        (dot($"qv", $"cv") - $"chalf").as("cdist"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy($"q_id").orderBy($"cdist".desc, $"cell")))
       .filter($"crnk" <= nProbe)
-      .select(qCols :+ $"cell": _*)
+      .select($"q_id", $"qv", $"qnrm", $"cell")
   }
 
   /** IVF search: sample-fit centroids, one assign pass, probe the
@@ -448,11 +450,13 @@ object AnnIndex {
     val corpus = assigned.filter($"vec_id" >= 10)
       .select($"vec_id", $"v", $"nrm", $"cell", encodeCodes(books).as("codes"))
       .persist() // ADC pass over probed cells + exact re-rank of the shortlist
-    // queries carry their ADC tables through the probe ranking
     val q = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         adcTables(books, $"v").as("dt"))
-    val qCells = probeCells(q, centroids, nProbe)
+    // probe on the contract columns, then re-attach the ADC tables by
+    // q_id (a ≤|queries|-row broadcast join)
+    val qCells = probeCells(q.select($"q_id", $"qv", $"qnrm"), centroids, nProbe)
+      .join(broadcast(q.select($"q_id", $"dt")), "q_id")
     // candidate set = probed cells only (equi-join on cell, query side
     // broadcast) — the in-memory twin of the store's pruned scan
     val adc = corpus.join(broadcast(qCells.select($"q_id", $"dt", $"cell")), "cell")

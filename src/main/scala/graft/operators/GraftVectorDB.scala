@@ -126,6 +126,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"col.payload.doc_name", $"col.payload.page_num",
         $"col.payload.content_type", $"col.payload.content_id",
         $"col.payload.content_raw")
+      .withColumn("channel", lit("text")) // same contract as search()
       .orderBy($"q_id", $"rnk")
   }
 
@@ -237,7 +238,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * as compact(). Returns rows appended. */
   def appendAnnIndex(records: DataFrame, channel: String = "text"): Long = {
     val ci = cachedIndex(channel)
-    val chan = records
+    // scope to the channel like buildAnnIndex's channelRows: a mixed
+    // batch (the shape ingestRecords accepts) must not leak 48-dim
+    // image vectors into the 64-dim text index — DotProduct truncates
+    // silently, so the rows would route on garbage scores
+    val scoped = channel match {
+      case "text" => records.filter($"content_type" =!= ContentTypes.Image)
+      case "image" => records.filter($"content_type" === ContentTypes.Image)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN channel '$other' (text | image)")
+    }
+    val chan = scoped
       .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
       .withColumn("v", toDouble($"embedding"))
     val indexed = chan.select($"doc_name", $"page_num", $"content_type",
@@ -248,9 +259,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val n = indexed.count()
     if (n > 0) {
       indexed.write.mode(SaveMode.Append).partitionBy("cell").parquet(annPath(channel))
+      // stamp CONTENT (not mtime) is the generation tag — see cachedIndex
       val stamp = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/_STAMP")
       val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(stamp, true)
+      out.write(System.nanoTime().toString.getBytes("UTF-8"))
       out.close()
     }
     n
@@ -297,19 +310,35 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // generation = build mtime, bumped past it by the append stamp:
-    // appends add files inside existing cell dirs (root mtime does not
-    // move), so appendAnnIndex touches _STAMP to force cached file
-    // listings to refresh
+    // generation = build-swap mtime + the append stamp's CONTENT (a
+    // nanotime string): appends add files inside existing cell dirs
+    // (root mtime does not move) and stamp mtime alone has filesystem
+    // tick granularity — two appends in one tick would leave cached
+    // file listings stale, silently dropping the second batch
     val stamp = new org.apache.hadoop.fs.Path(cDir, "_STAMP")
-    val gen = math.max(fs.getFileStatus(cDir).getModificationTime,
-      if (fs.exists(stamp)) fs.getFileStatus(stamp).getModificationTime else 0L)
+    val stampTag =
+      if (!fs.exists(stamp)) ""
+      else {
+        val in = fs.open(stamp)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+      }
+    val gen = s"${fs.getFileStatus(cDir).getModificationTime}:$stampTag"
     val key = cDir.toString
     Option(GraftVectorDB.routingCache.get(key)) match {
       case Some(c) if c.gen == gen && (c.index.sparkSession eq spark) => c
       case _ =>
         val books = AnnIndex.routingBooks(spark.read.parquet(cDir.toString))
-        val pqBooks = AnnIndex.readCodebooks(spark, s"${annPath(channel)}/_codebooks")
+        // an index persisted before PQ landed has no _codebooks —
+        // it stays servable on the plain probe path; only searchAnnPq
+        // demands a rebuild
+        val cbPath = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_codebooks")
+        val pqBooks =
+          if (fs.exists(cbPath)) AnnIndex.readCodebooks(spark, cbPath.toString)
+          else Array.empty[Array[Array[Double]]]
         // resolve the index frame once: schema inference + file listing
         // happen here, not per search
         val idx = spark.read.parquet(annPath(channel))
@@ -400,6 +429,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private[graft] def annPqShortlistPlan(query: String, channel: String,
       nProbe: Int, shortlist: Int): DataFrame = {
     val (ci, qv, _, probed) = annProbe(query, channel, nProbe)
+    annPqShortlistOf(ci, qv, probed, shortlist)
+  }
+
+  private def annPqShortlistOf(ci: GraftVectorDB.CachedAnnIndex,
+      qv: Array[Double], probed: Seq[Int], shortlist: Int): DataFrame = {
+    require(ci.pqBooks.nonEmpty,
+      "this ANN index predates PQ codes (no _codebooks) — rebuild with " +
+        "buildAnnIndex, or use searchAnn (which needs none)")
     val dts = AnnIndex.adcTablesLocal(ci.pqBooks, qv)
     // ADC score = Σ_m dt[m][codes[m]] / nrm, with the per-query tables
     // inlined as literals — a narrow codegen'd projection over the
@@ -416,9 +453,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   private def searchAnnPqChannel(query: String, channel: String,
       topN: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    // ONE probe computation (cache check, embed, cell ranking) shared
+    // by both phases — annProbe twice could even straddle a generation
     val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
     // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
-    val ids = annPqShortlistPlan(query, channel, nProbe, shortlist)
+    val ids = annPqShortlistOf(ci, qv, probed, shortlist)
       .collect().map(_.getAs[Long]("row_id"))
     // job 2: fetch ONLY the shortlisted rows' vectors + metadata (same
     // cell pruning, row_id pushed into the parquet filters)
@@ -525,7 +564,7 @@ object GraftVectorDB {
 
   /** One ANN index generation's serving state: routing table, PQ
     * codebooks, resolved index frame. */
-  private[operators] final case class CachedAnnIndex(gen: Long,
+  private[operators] final case class CachedAnnIndex(gen: String,
       books: Array[(Int, Array[Double])],
       pqBooks: Array[Array[Array[Double]]],
       index: DataFrame)

@@ -44,17 +44,17 @@ object ColumnBridge {
     }
   }
 
+  /** Drain the listener bus — lets specs count jobs deterministically
+    * (the bus delivers SparkListener events asynchronously). */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Free the storage blocks behind a checkpointed/materialized frame
     * (Tables.materialize): localCheckpoint persists the underlying RDD
     * OUTSIDE the CacheManager, so `Dataset.unpersist` cannot release
     * it — only unpersisting the `LogicalRDD`-wrapped RDD does.
     * Iterative operators call this on superseded passes so a loop pins
     * at most two passes' blocks instead of all of them. */
-  /** Drain the listener bus — lets specs count jobs deterministically
-    * (the bus delivers SparkListener events asynchronously). */
-  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
-
   def releaseMaterialized(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

@@ -265,7 +265,8 @@ class GraftVectorDBSpec extends AnyFunSuite {
       .toDF("q_id", "q_text")
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
-        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"),
+        r.getAs[String]("channel"))
     val batch = db.searchAll(queries, topN = 5)
     val byQ = batch.collect().groupBy(_.getAs[Long]("q_id"))
     texts.zipWithIndex.foreach { case (t, i) =>
