@@ -93,6 +93,8 @@ object SparkEntry {
     "mm_resize" -> (Multimodal.resize _),
     "mm_phash" -> (Multimodal.phash _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
+    "st_topk" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.EventStreams.topkBatch(s, dir)),
     "st_dedup" -> (graft.streaming.EventStreams.dedupBatch _),
     "st_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     // [rows-only]: approximate operators have no SQL ground truth;
@@ -843,6 +845,13 @@ object SparkEntry {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    "st_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) n
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour, event_type, n,
+        |  row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) rnk FROM c)
+        |SELECT hour, rnk::BIGINT AS rnk, event_type, n FROM r WHERE rnk <= 3
+        |ORDER BY hour, rnk""".stripMargin,
     "st_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) n,
         | (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE sum_value

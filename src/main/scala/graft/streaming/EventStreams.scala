@@ -9,6 +9,8 @@ import graft.Tables
 
 case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
 case class UserSession(user_id: Long, t_start: Timestamp, t_end: Timestamp, n_events: Long)
+case class HourEvent(hour: Timestamp, event_type: String)
+case class HourTopK(hour: Timestamp, rnk: Long, event_type: String, n: Long)
 
 /** Structured-Streaming event operators, each with a batch-parity
   * form. The batch form is the oracle-checked query; the streaming
@@ -153,6 +155,61 @@ object EventStreams {
                   state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Per-hour top-k event types by count (batch parity form). */
+  def topkBatch(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"hour").orderBy($"n".desc, $"event_type")).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"hour", $"rnk", $"event_type", $"n")
+      .orderBy($"hour", $"rnk")
+  }
+
+  /** Streaming top-k per window — the shape Structured Streaming
+    * cannot express declaratively (count-per-type then rank-per-window
+    * is two STACKED stateful aggregations, unsupported). Custom state
+    * sidesteps the limitation: each open hour's per-type counts live
+    * in a `flatMapGroupsWithState` map keyed by the hour, and the
+    * ranked top-k is emitted EXACTLY ONCE, when the event-time timeout
+    * fires (the watermark has passed the hour, so counts are final).
+    * State is bounded by open-windows × event-type cardinality and
+    * removed at emission — the memory contract an unbounded stream
+    * needs. Batch parity with [[topkBatch]] is spec-verified. */
+  def topkStream(events: DataFrame, k: Int = 3): Dataset[HourTopK] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .as[HourEvent]
+      .withWatermark("hour", "1 hour")
+      .groupByKey(_.hour)
+      .flatMapGroupsWithState[Map[String, Long], HourTopK](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hour: Timestamp, evs: Iterator[HourEvent], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.map { case ((t, n), i) =>
+                HourTopK(hour, (i + 1).toLong, t, n)
+              }.iterator
+          } else {
+            val counts = evs.foldLeft(
+              state.getOption.getOrElse(Map.empty[String, Long])) { (acc, e) =>
+              acc + (e.event_type -> (acc.getOrElse(e.event_type, 0L) + 1L))
+            }
+            state.update(counts)
+            // fire once the watermark clears this hour's window end
+            state.setTimeoutTimestamp(math.max(hour.getTime + 3600L * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
       }
   }
