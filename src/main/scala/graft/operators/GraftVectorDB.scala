@@ -53,21 +53,48 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     }
 
   /** Ingest a documents-shaped frame (doc_id, text, lang, source).
-    * Appends only not-yet-seen content hashes. Returns rows appended. */
-  def ingest(docs: DataFrame): Long =
-    ingestRecords(GraftVectorDB.pipeline(docs))
+    * Appends only not-yet-seen content hashes; `indexChannels` keeps
+    * the named ANN indexes current with the same rows. Returns rows
+    * appended. */
+  def ingest(docs: DataFrame, indexChannels: Seq[String] = Nil): Long =
+    ingestRecords(GraftVectorDB.pipeline(docs), indexChannels)
 
   /** Append pre-built VectorRecord rows (image channels, captions, or
-    * external pipelines), skipping already-seen content hashes. */
-  def ingestRecords(records: DataFrame): Long = {
-    val fresh = records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti")
+    * external pipelines), skipping already-seen content hashes.
+    * `indexChannels` additionally routes the SAME fresh rows into the
+    * named ANN indexes via [[appendAnnIndex]] — the ingest path that
+    * keeps approximate search current between index rebuilds. Channels
+    * whose index does not exist yet are skipped (the first
+    * buildAnnIndex picks those rows up from the store). */
+  def ingestRecords(records: DataFrame,
+      indexChannels: Seq[String] = Nil): Long = {
+    // MATERIALIZED (lineage truncated), not merely persisted: the
+    // anti-join's plan READS storePath, and the store write below
+    // triggers recacheByPath(storePath) — a persisted frame would be
+    // recomputed against the post-write store, where the batch's own
+    // hashes now exist, silently emptying it before the index append.
+    // Materializing pins the ROWS with no storePath dependency, and
+    // also computes the chunk/embed pipeline exactly once for the
+    // count + write + append consumers.
+    val fresh = Tables.materialize(
+      records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti"))
     val n = fresh.count()
-    if (n > 0)
+    if (n > 0) {
       // sort within partitions so parquet row-group min/max stats on
       // doc_name support location-filtered search skipping
       fresh.sortWithinPartitions("doc_name", "page_num")
         .write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
+      indexChannels.filter(annIndexExists).foreach(ch => appendAnnIndex(fresh, ch))
+    }
+    Tables.release(fresh)
     n
+  }
+
+  /** Whether a channel's ANN index has been built (and can take
+    * appends). */
+  def annIndexExists(channel: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Streaming ingest: an unbounded documents source flows into the
@@ -77,12 +104,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * (idempotent by content hash, not by offset). AvailableNow drains
     * the backlog and stops — the batch-job-over-a-stream-source shape
     * a nightly corpus refresh uses. */
-  def ingestStream(docs: DataFrame, checkpoint: String)
+  def ingestStream(docs: DataFrame, checkpoint: String,
+      indexChannels: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) => { ingest(batch.toDF()); () })
+          _: Long) => { ingest(batch.toDF(), indexChannels); () })
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 

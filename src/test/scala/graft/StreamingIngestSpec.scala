@@ -42,4 +42,45 @@ class StreamingIngestSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(db.store.count() == expected, "replay must not double-ingest")
   }
+
+  test("streaming ingest keeps the ANN index fresh (indexChannels)") {
+    import spark.implicits._
+    val base = "target/stream_ingest_idx"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    rm(new java.io.File(base))
+    val srcDir = Paths.get(s"$base/src")
+    Files.createDirectories(srcDir)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val db = new GraftVectorDB(spark, s"$base/db")
+
+    // bootstrap: batch-ingest the corpus and build the index
+    db.ingest(Tables.load(spark, sf, "documents"))
+    db.buildAnnIndex(cells = 8)
+    val indexedBefore = spark.read.parquet(db.annPath("text")).count()
+
+    // stream a NEW doc with indexChannels — it must land in store AND
+    // index. The file-stream source lists FLAT files (no recursion),
+    // so the batch is staged as a directory and its part file moved in.
+    val staged = Paths.get(s"$base/staged")
+    Seq((777777L, "xylophone quibble zephyr minutiae", "en", "srcB", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(staged.toString)
+    val part = new java.io.File(staged.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, srcDir.resolve("batch1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = db.ingestStream(
+      spark.readStream.schema(schema).parquet(srcDir.toString),
+      s"$base/ckpt", indexChannels = Seq("text"))
+    q.awaitTermination()
+
+    assert(spark.read.parquet(db.annPath("text")).count() == indexedBefore + 1)
+    // servable through the warm ANN path without a rebuild
+    val hit = db.searchAnn("xylophone quibble zephyr minutiae", topN = 1, nProbe = 8)
+      .collect().head
+    assert(hit.getAs[String]("doc_name") == "corpus/srcB/doc_777777.txt")
+  }
 }
