@@ -64,5 +64,15 @@ class MultimodalStoreSpec extends AnyFunSuite {
     val pruned = db.searchAnnImage(probe, topN = 3, nProbe = 1).collect()
     assert(pruned.head.getAs[Double]("sim_r") == 1.0,
       "the self-hit's cell is the query's own nearest cell")
+
+    // IVF+PQ on the 48-dim image space: the codebooks adapt to the
+    // channel dim (12 subspaces of 4), and the exhaustive config
+    // (every cell probed, channel-sized shortlist) reproduces the
+    // exact image scan verbatim — the dim-generic twin of
+    // GraftVectorDBSpec's 64-dim text-channel proof
+    val imgRows = spark.read.parquet(db.annPath("image")).count().toInt
+    assert(key(db.searchAnnPqImage(probe, topN = 3, nProbe = cells,
+        shortlist = imgRows).collect())
+      .sameElements(key(byImage)))
   }
 }
