@@ -79,22 +79,26 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val fresh = Tables.materialize(
       records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti"))
     val n = fresh.count()
-    if (n > 0) {
-      // sort within partitions so parquet row-group min/max stats on
-      // doc_name support location-filtered search skipping
-      fresh.sortWithinPartitions("doc_name", "page_num")
-        .write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
-      indexChannels.filter(annIndexExists).foreach(ch => appendAnnIndex(fresh, ch))
-    }
-    Tables.release(fresh)
+    try {
+      if (n > 0) {
+        // sort within partitions so parquet row-group min/max stats on
+        // doc_name support location-filtered search skipping
+        fresh.sortWithinPartitions("doc_name", "page_num")
+          .write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
+        indexChannels.filter(annIndexExists).foreach(ch => appendAnnIndex(fresh, ch))
+      }
+    } finally Tables.release(fresh) // a failed write must not pin the batch
     n
   }
 
-  /** Whether a channel's ANN index has been built (and can take
-    * appends). */
+  /** Whether a channel's ANN index has been built AND can take appends
+    * (a pre-PQ index without `_codebooks` serves searches but cannot
+    * encode appended rows — it needs a rebuild first). */
   def annIndexExists(channel: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val c = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
+    val fs = c.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(c) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_codebooks"))
   }
 
   /** Streaming ingest: an unbounded documents source flows into the
@@ -266,17 +270,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * as compact(). Returns rows appended. */
   def appendAnnIndex(records: DataFrame, channel: String = "text"): Long = {
     val ci = cachedIndex(channel)
-    // scope to the channel like buildAnnIndex's channelRows: a mixed
-    // batch (the shape ingestRecords accepts) must not leak 48-dim
-    // image vectors into the 64-dim text index — DotProduct truncates
-    // silently, so the rows would route on garbage scores
-    val scoped = channel match {
-      case "text" => records.filter($"content_type" =!= ContentTypes.Image)
-      case "image" => records.filter($"content_type" === ContentTypes.Image)
-      case other => throw new IllegalArgumentException(
-        s"unknown ANN channel '$other' (text | image)")
-    }
-    val chan = scoped
+    // fail BEFORE any write: an empty-codebook encode would produce an
+    // unwritable array<void> codes column, and failing mid-append
+    // would strand store rows outside the index
+    require(ci.pqBooks.nonEmpty,
+      s"ANN index '$channel' predates PQ codes (no _codebooks) — " +
+        "rebuild with buildAnnIndex before appending")
+    // scope to the channel like buildAnnIndex: a mixed batch (the
+    // shape ingestRecords accepts) must not leak 48-dim image vectors
+    // into the 64-dim text index — DotProduct truncates silently, so
+    // the rows would route on garbage scores
+    val chan = channelFilter(records, channel)
       .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
       .withColumn("v", toDouble($"embedding"))
     val indexed = chan.select($"doc_name", $"page_num", $"content_type",
@@ -293,16 +297,23 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val out = fs.create(stamp, true)
       out.write(System.nanoTime().toString.getBytes("UTF-8"))
       out.close()
+      // the writer's own JVM refreshes unconditionally
+      GraftVectorDB.routingCache.remove(
+        new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids").toString)
     }
     n
   }
 
-  private def channelRows(channel: String): DataFrame = channel match {
-    case "text" => store.filter($"content_type" =!= ContentTypes.Image)
-    case "image" => store.filter($"content_type" === ContentTypes.Image)
+  /** The one channel→predicate mapping, shared by build and append so
+    * appended rows can never route differently from built rows. */
+  private def channelFilter(df: DataFrame, channel: String): DataFrame = channel match {
+    case "text" => df.filter($"content_type" =!= ContentTypes.Image)
+    case "image" => df.filter($"content_type" === ContentTypes.Image)
     case other => throw new IllegalArgumentException(
       s"unknown ANN channel '$other' (text | image)")
   }
+
+  private def channelRows(channel: String): DataFrame = channelFilter(store, channel)
 
   /** Approximate text search against the ANN index: the query routes
     * to its `nProbe` nearest cells (a centroid-table-sized driver
@@ -331,10 +342,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     searchAnnChannel(queryContent, "image", topN, nProbe)
 
   /** The channel's routing table + resolved index frame, cached per
-    * build generation. Generation = the `_centroids` directory mtime:
-    * buildAnnIndex swaps the whole index in via rename, so a rebuild
-    * always moves it. The staleness check is one driver FS metadata
-    * call — no Spark job, no parquet read on the warm path. */
+    * build generation. Generation = the `_centroids` mtime (rebuilds
+    * swap via rename, which always moves it) plus the append stamp's
+    * content. The staleness check is 2–3 driver FS metadata calls and
+    * a ≤64-byte stamp read — no Spark job, no parquet read on the
+    * warm path; appendAnnIndex additionally drops this JVM's entry
+    * directly, so a same-session writer never even waits on the tag. */
   private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -345,15 +358,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // file listings stale, silently dropping the second batch
     val stamp = new org.apache.hadoop.fs.Path(cDir, "_STAMP")
     val stampTag =
-      if (!fs.exists(stamp)) ""
-      else {
+      try {
+        // readFully against the file's length: a bare read() may
+        // legally return a prefix, and two nanotime tags share long
+        // prefixes — a short read would compare equal and reproduce
+        // the stale-cache bug the content tag exists to prevent
+        val len = fs.getFileStatus(stamp).getLen.toInt
+        val buf = new Array[Byte](len)
         val in = fs.open(stamp)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0), "UTF-8")
-        } finally in.close()
-      }
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8")
+      } catch { case _: java.io.FileNotFoundException => "" }
     val gen = s"${fs.getFileStatus(cDir).getModificationTime}:$stampTag"
     val key = cDir.toString
     Option(GraftVectorDB.routingCache.get(key)) match {
@@ -597,11 +612,11 @@ object GraftVectorDB {
       pqBooks: Array[Array[Array[Double]]],
       index: DataFrame)
 
-  /** Serving-path cache keyed by index path. Generation is the
-    * `_centroids` mtime, so a rebuild (rename swap) invalidates
-    * naturally; entries are tiny (≤ cells routing rows + codebooks +
-    * a lazy frame). Keyed by absolute path — safe across db
-    * instances. */
+  /** Serving-path cache keyed by index path. Generation couples the
+    * `_centroids` mtime (a rebuild's rename swap always moves it) with
+    * the append stamp's content, so rebuilds AND appends invalidate;
+    * entries are tiny (≤ cells routing rows + codebooks + a lazy
+    * frame). Keyed by absolute path — safe across db instances. */
   private val routingCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedAnnIndex]
 
