@@ -12,6 +12,9 @@ import org.apache.spark.sql.types._
 /** Bounded top-k aggregation buffer: keeps the k best (score, id)
   * pairs, score-descending with ascending id tie-break. */
 final class TopKBuffer(val k: Int) {
+  // k = 0 would make insert() index slot -1 in executors — fail at
+  // construction (driver-side for the aggregate) with a clear message
+  require(k > 0, s"top-k aggregate needs k > 0, got $k")
   // simple insertion into a sorted array — k is small (≤ 100s), and
   // the dominant cost is the scan feeding it, not the insert
   var n = 0
@@ -57,6 +60,8 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"TopKByScore needs k > 0, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
@@ -122,6 +127,7 @@ object TopKByScore {
 /** [[TopKBuffer]]'s payload-carrying twin: the k best
   * (score, id, payload-row) triples, same ordering contract. */
 final class TopKRowsBuffer(val k: Int) {
+  require(k > 0, s"top-k aggregate needs k > 0, got $k")
   var n = 0
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -166,6 +172,8 @@ case class TopKRows(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKRowsBuffer] {
+
+  require(k > 0, s"TopKRows needs k > 0, got $k")
 
   private lazy val payloadType = payload.dataType.asInstanceOf[StructType]
   @transient private lazy val toUnsafe =

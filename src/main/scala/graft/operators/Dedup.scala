@@ -212,6 +212,35 @@ object Dedup {
   val EmbedLshTables = 8
   val EmbedThreshold = 0.35
 
+  private val log = org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
+
+  /** Analytic candidate-recall floor of the [[EmbedLshTables]] ×
+    * [[EmbedLshPlanes]]-bit 1-bit-multiprobe geometry for a pair at
+    * EXACTLY `cosine` (pairs above the threshold recall higher, so
+    * this is the worst case the operator serves): per-plane sign
+    * agreement for random hyperplanes is 1 − θ/π (the
+    * Goemans–Williamson bound), a table collides when ≤ 1 of its
+    * planes disagrees (the 1-bit multiprobe), tables are independent.
+    * At the cos ≥ 0.9 dedup operating point this evaluates to 0.994 —
+    * the figure DedupExactnessSpec measures; at this corpus's
+    * adversarial 0.35 threshold it evaluates to 0.18 (measured 0.25:
+    * real pairs sit above the floor). Pure driver arithmetic. */
+  def signatureRecallBound(cosine: Double): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    val table = math.pow(p, EmbedLshPlanes) +
+      EmbedLshPlanes * math.pow(p, EmbedLshPlanes - 1) * (1.0 - p)
+    1.0 - math.pow(1.0 - table, EmbedLshTables)
+  }
+
+  /** Whether a threshold sits below the range the signature geometry
+    * serves with high recall — the guard [[embedPairsOf]] logs on:
+    * sign-LSH recall decays continuously with the threshold, so a
+    * caller passing 0.3 would otherwise get confidently-incomplete
+    * pairs with no signal that the plan's GEOMETRY (not a bug) is what
+    * cannot serve it. */
+  def belowLshRange(threshold: Double): Boolean =
+    signatureRecallBound(threshold) < 0.9
+
   /** Embedding-cosine near-dup pairs — the minhashLsh shape in the
     * embedding domain: RP-LSH signature buckets generate candidates
     * (equi-join, never all-pairs), the exact rounded cosine verifies
@@ -246,9 +275,18 @@ object Dedup {
     * CollapseProject re-derivation trap documented in
     * TextHashExpressions. The persisted frame is (id + 8 short
     * strings): corpus-bounded and tiny next to the vectors. */
-  private[graft] def embedPairsOf(v: DataFrame): DataFrame = {
+  private[graft] def embedPairsOf(v: DataFrame): DataFrame =
+    embedPairsOf(v, EmbedThreshold)
+
+  private[graft] def embedPairsOf(v: DataFrame, threshold: Double): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
+    if (belowLshRange(threshold))
+      log.warn(f"embedPairs: threshold $threshold%.2f is below the " +
+        f"${EmbedLshTables}x$EmbedLshPlanes-bit signature geometry's effective range " +
+        f"(analytic recall floor ${signatureRecallBound(threshold)}%.2f < 0.9) - " +
+        "pairs returned will be incomplete; use audit = true (exact, test-scale) " +
+        "or raise EmbedLshTables / lower EmbedLshPlanes for low-threshold recall")
     val sigCols = (0 until EmbedLshTables).map(t =>
       concat_ws("", (0 until EmbedLshPlanes).map(p =>
         AnnIndex.bit(t, p).cast("string")): _*))
@@ -276,7 +314,7 @@ object Dedup {
       .join(v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "b_id")
       .select($"a_id", $"b_id",
         round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
-      .filter($"sim_r" >= EmbedThreshold)
+      .filter($"sim_r" >= threshold)
     val out = Tables.materialize(verified)
     sigs.unpersist(blocking = false)
     out.orderBy($"a_id", $"b_id")

@@ -30,6 +30,8 @@ import graft.model.ContentTypes
 class GraftVectorDB(spark: SparkSession, storeDir: String) {
   import spark.implicits._
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftVectorDB])
+
   def storePath: String = s"$storeDir/vector_store"
 
   def store: DataFrame = spark.read.parquet(storePath)
@@ -68,6 +70,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * buildAnnIndex picks those rows up from the store). */
   def ingestRecords(records: DataFrame,
       indexChannels: Seq[String] = Nil): Long = {
+    // validate channel names EAGERLY, before any write: the append
+    // loop below skips channels without an appendable index, so a
+    // typo'd name ('txt') would be silently dropped forever and the
+    // caller would serve stale ANN results until the next rebuild
+    indexChannels.foreach(ch => channelFilter(records.limit(0), ch))
     // MATERIALIZED (lineage truncated), not merely persisted: the
     // anti-join's plan READS storePath, and the store write below
     // triggers recacheByPath(storePath) — a persisted frame would be
@@ -85,7 +92,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         // doc_name support location-filtered search skipping
         fresh.sortWithinPartitions("doc_name", "page_num")
           .write.mode(SaveMode.Append).partitionBy("content_type").parquet(storePath)
-        indexChannels.filter(annIndexExists).foreach(ch => appendAnnIndex(fresh, ch))
+        indexChannels.foreach { ch =>
+          if (annIndexExists(ch)) appendAnnIndex(fresh, ch)
+          else if (annIndexBuilt(ch))
+            // centroids exist but no codebooks: a pre-PQ index keeps
+            // SERVING but cannot encode appends — without this warning
+            // the caller believes the index is fresh while searchAnn
+            // silently misses every ingested batch until a rebuild
+            log.warn(s"ingest: ANN index '$ch' predates PQ codes — " +
+              s"skipping index append; rebuild with buildAnnIndex(channel = \"$ch\")")
+          // no index at all is the normal pre-build state: the first
+          // buildAnnIndex picks these rows up from the store
+        }
       }
     } finally Tables.release(fresh) // a failed write must not pin the batch
     n
@@ -94,12 +112,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   /** Whether a channel's ANN index has been built AND can take appends
     * (a pre-PQ index without `_codebooks` serves searches but cannot
     * encode appended rows — it needs a rebuild first). */
-  def annIndexExists(channel: String): Boolean = {
-    val c = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
-    val fs = c.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(c) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_codebooks"))
-  }
+  def annIndexExists(channel: String): Boolean =
+    annIndexBuilt(channel) &&
+      existsPath(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_codebooks"))
+
+  /** Whether a channel's ANN index has been built at all (it may still
+    * predate PQ codes — see [[annIndexExists]] for appendability). */
+  def annIndexBuilt(channel: String): Boolean =
+    existsPath(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids"))
+
+  private def existsPath(p: org.apache.hadoop.fs.Path): Boolean =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
 
   /** Streaming ingest: an unbounded documents source flows into the
     * store via foreachBatch — every micro-batch runs the SAME
@@ -294,8 +317,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       // stamp CONTENT (not mtime) is the generation tag — see cachedIndex
       val stamp = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/_STAMP")
       val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a UUID, not nanoTime: nanoTime is an arbitrary-origin per-JVM
+      // counter, so two appends from DIFFERENT JVMs could in principle
+      // write identical tags and leave another session's cached file
+      // listing stale — the exact bug the content tag exists to prevent
       val out = fs.create(stamp, true)
-      out.write(System.nanoTime().toString.getBytes("UTF-8"))
+      out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
       out.close()
       // the writer's own JVM refreshes unconditionally
       GraftVectorDB.routingCache.remove(
@@ -351,8 +378,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a clear contract error beats the raw FileNotFoundException the
+    // getFileStatus below would surface for a never-built index
+    if (!fs.exists(cDir))
+      throw new IllegalStateException(
+        s"ANN index '$channel' has not been built (no ${annPath(channel)}/_centroids) — " +
+          s"run buildAnnIndex(channel = \"$channel\") first")
     // generation = build-swap mtime + the append stamp's CONTENT (a
-    // nanotime string): appends add files inside existing cell dirs
+    // unique tag string): appends add files inside existing cell dirs
     // (root mtime does not move) and stamp mtime alone has filesystem
     // tick granularity — two appends in one tick would leave cached
     // file listings stale, silently dropping the second batch
@@ -360,9 +393,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val stampTag =
       try {
         // readFully against the file's length: a bare read() may
-        // legally return a prefix, and two nanotime tags share long
-        // prefixes — a short read would compare equal and reproduce
-        // the stale-cache bug the content tag exists to prevent
+        // legally return a prefix, and a truncated tag could compare
+        // equal to a stale one — a short read would reproduce the
+        // stale-cache bug the content tag exists to prevent
         val len = fs.getFileStatus(stamp).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fs.open(stamp)

@@ -67,6 +67,23 @@ class DedupExactnessSpec extends AnyFunSuite {
       s"missed planted near-dups: ${expected -- found}")
   }
 
+  test("threshold-range guard: analytic recall floor tracks the geometry") {
+    // the operating point the geometry was designed for: near-exact
+    assert(Dedup.signatureRecallBound(0.9) >= 0.99,
+      f"cos=0.9 floor ${Dedup.signatureRecallBound(0.9)}%.4f")
+    assert(!Dedup.belowLshRange(0.9))
+    assert(!Dedup.belowLshRange(0.8),
+      f"cos=0.8 floor ${Dedup.signatureRecallBound(0.8)}%.4f")
+    // this corpus's deliberately adversarial threshold: the guard must
+    // classify it below range (the measured 0.25 recall is geometry,
+    // not a bug — the warning tells the caller exactly that)
+    assert(Dedup.belowLshRange(0.35))
+    assert(Dedup.signatureRecallBound(0.35) < 0.5)
+    // monotone in the threshold — no window where the guard flaps
+    val floors = Seq(0.1, 0.3, 0.5, 0.7, 0.9, 0.99).map(Dedup.signatureRecallBound)
+    assert(floors.zip(floors.tail).forall { case (a, b) => a <= b + 1e-12 })
+  }
+
   test("approx sketches within tolerance of exact counterparts") {
     import spark.implicits._
     val approx = Relational.approxStats(spark, sf).collect()

@@ -318,6 +318,28 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(pqHit.getAs[String]("doc_name") == "corpus/srcA/doc_999999.txt")
   }
 
+  test("a never-built ANN index fails with a contract error naming buildAnnIndex") {
+    val d = new GraftVectorDB(spark, "target/vdb_nobuild_spec")
+    val e = intercept[IllegalStateException] { d.searchAnn("any query") }
+    assert(e.getMessage.contains("buildAnnIndex"),
+      s"error must point at the build op, got: ${e.getMessage}")
+  }
+
+  test("a typo'd index channel fails ingest eagerly, not as a silent skip") {
+    assert(firstIngest > 0)
+    val e = intercept[IllegalArgumentException] {
+      db.ingest(Tables.load(spark, sf, "documents"), indexChannels = Seq("txt"))
+    }
+    assert(e.getMessage.contains("txt"))
+  }
+
+  test("searchAll with topN = 0 fails cleanly driver-side (no executor AIOOBE)") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    val queries = Seq((0L, "fast query join table")).toDF("q_id", "q_text")
+    intercept[IllegalArgumentException] { db.searchAll(queries, topN = 0) }
+  }
+
   test("a corrupt store fails ingest loudly instead of double-ingesting") {
     val dir = "target/vdb_corrupt_spec"
     val d = new GraftVectorDB(spark, dir)
