@@ -88,6 +88,7 @@ object SparkEntry {
     "tx_ppl" -> (TextAnalysis.ppl _),
     "tx_selfrep" -> (TextAnalysis.selfrep _),
     "tx_dsir" -> (TextAnalysis.dsir _),
+    "tx_linededup" -> (TextAnalysis.lineDedup _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
@@ -793,6 +794,22 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens, round(SUM(lr), 6) AS dsir_w
         |FROM tb JOIN lr USING (b) WHERE doc_id % 17 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the CCNet repeated-line pass replayed relationally: fixed
+    // 10-token segments as lines, first occurrence (doc_id, line_no)
+    // wins corpus-wide, docs reassemble from survivors
+    "tx_linededup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w,
+        |   unnest(range(0, (len(string_split_regex(trim(text), '\s+'))-1)//10 + 1)) AS i
+        |  FROM documents),
+        |l AS (SELECT doc_id, i::INT AS line_no,
+        |   array_to_string(w[(i*10+1)::INT:(i*10+10)::INT], ' ') AS line FROM t),
+        |r AS (SELECT doc_id, line_no, line,
+        |   row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) rn FROM l)
+        |SELECT doc_id, count(*) AS n_lines,
+        | sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        | md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no), '')) AS kept_md5,
+        | round(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS removed_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) tf FROM t GROUP BY 1, 2),

@@ -379,6 +379,61 @@ object TextAnalysis {
     out.orderBy($"doc_id")
   }
 
+  /** Tokens per "line" for [[lineDedup]]: this corpus has no newlines,
+    * so lines are fixed 10-token segments — the same deterministic
+    * segmentation both engines can replay; real corpora swap the
+    * segmenter for `split(text, '\n')` with the plan unchanged. */
+  val LineTokens = 10
+
+  /** Line-level corpus deduplication (the CCNet/Falcon repeated-line
+    * removal pass): every document splits into lines, each distinct
+    * normalized line keeps only its FIRST occurrence corpus-wide
+    * (ordered by doc_id, then position — intra-doc repeats drop too),
+    * and documents reassemble from their surviving lines with removal
+    * stats and a digest of the cleaned text.
+    *
+    * Scale shape: one tokenize+segment pass → explode to (doc, line)
+    * rows; the keeper per line-hash is ONE partial-agg groupBy
+    * (`min(struct(doc_id, line_no))` combines map-side, so each
+    * partition ships one candidate keeper per distinct hash); the
+    * keep/drop verdict re-joins lines to keepers co-partitioned on the
+    * hash; reassembly is a per-doc groupBy whose state is bounded by
+    * document size. Never an all-pairs comparison, never a broadcast
+    * of the (corpus-sized) line table — at 100 TB this is two
+    * hash-partitioned shuffles of the line residue. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // tokenize STAGED once per row (multi-referenced alias survives
+    // CollapseProject — the tx_selfrep pattern): the lambda below
+    // slices the same array per line instead of re-splitting the text
+    val lines = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), ((size($"toks") - 1) / LineTokens).cast("int")),
+        i => array_join(slice($"toks", i * LineTokens + 1, lit(LineTokens)), " "))))
+      .toDF("doc_id", "line_no", "line")
+      .withColumn("h", md5($"line"))
+    // first occurrence per distinct line, corpus-wide: struct min
+    // orders lexicographically on (doc_id, line_no) — map-side combine
+    // keeps the shuffle at one row per distinct hash per partition
+    val keepers = lines.groupBy($"h")
+      .agg(min(struct($"doc_id", $"line_no")).as("k"))
+    val flagged = lines.join(keepers, "h")
+      .select($"doc_id", $"line_no", $"line",
+        ($"doc_id" === $"k.doc_id" && $"line_no" === $"k.line_no").as("kept"))
+    flagged.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        // deterministic reassembly: surviving lines in document order
+        // (sort_array on (line_no, line) structs), joined and digested
+        md5(array_join(transform(
+          sort_array(collect_list(when($"kept", struct($"line_no", $"line")))),
+          s => s.getField("line")), " ")).as("kept_md5"))
+      .withColumn("removed_ratio",
+        round(($"n_lines" - $"n_kept").cast("double") / $"n_lines", 4))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {
