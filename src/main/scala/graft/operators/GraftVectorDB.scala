@@ -157,16 +157,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * ([[graft.functions.expressions.TopKRows]]), so each partition
     * contributes ≤ topN rows per query to the shuffle WITH their
     * metadata — no second scan to re-attach doc names/content.
-    * Per-query results are identical to [[search]] (spec-pinned). */
+    * Per-query results are identical to [[search]] (spec-pinned);
+    * `channel = "image"` runs the batch against the image space with
+    * its own encoder, matching N × [[searchImage]] — the batch surface
+    * covers both of [[searchMultimodal]]'s channels. */
   def searchAll(queries: DataFrame, topN: Int = 5,
-      location: Option[String] = None): DataFrame = {
-    val q = queries.select(col("q_id"),
-        VectorStore.embedText(col("q_text")).as("qv"))
+      location: Option[String] = None, channel: String = "text"): DataFrame = {
+    val encode: Column => Column = channel match {
+      case "image" => VectorStore.embedImage
+      case _ => VectorStore.embedText
+    }
+    val q = queries.select(col("q_id"), encode(col("q_text")).as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
-    val channel = store.filter($"content_type" =!= ContentTypes.Image)
-    val scoped = location.fold(channel)(loc =>
-      channel.filter($"doc_name".startsWith(loc)))
-    val pairs = scoped.crossJoin(broadcast(q))
+    val chanRows = channelFilter(store, channel)
+    val pairs = locScoped(chanRows, location).crossJoin(broadcast(q))
       .select($"q_id",
         round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
         xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
@@ -181,7 +185,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"col.payload.doc_name", $"col.payload.page_num",
         $"col.payload.content_type", $"col.payload.content_id",
         $"col.payload.content_raw")
-      .withColumn("channel", lit("text")) // same contract as search()
+      .withColumn("channel", lit(channel)) // same contract as search()
       .orderBy($"q_id", $"rnk")
   }
 
@@ -269,7 +273,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // concurrent search there fails loudly with PATH_NOT_FOUND, never
     // reads a corrupt index; same single-writer contract as compact()
     val tmp = s"$storeDir/.ann_build_tmp_$channel"
-    indexed.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+    // sorted by doc_name WITHIN each cell's files: parquet row-group
+    // min/max stats on doc_name then let a location-filtered ANN
+    // search skip row groups instead of sieving rows post-scan
+    indexed.sortWithinPartitions($"cell", $"doc_name")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
     AnnIndex.writeCodebooks(spark, pqBooks, s"$tmp/_codebooks")
     val live = new org.apache.hadoop.fs.Path(annPath(channel))
@@ -278,7 +286,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
       throw new java.io.IOException(
         s"buildAnnIndex: rename $tmp -> ${annPath(channel)} failed")
-    spark.read.parquet(annPath(channel)).count() // footer-stats count, no data scan
+    val n = spark.read.parquet(annPath(channel)).count() // footer-stats count, no data scan
+    // drift baseline: the rename swapped in a fresh _centroids dir, so
+    // _APPENDED is implicitly reset to 0; record the built size the
+    // append-fraction policy divides by
+    writeCounter(channel, "_BUILT", n)
+    n
   }
 
   /** Incrementally extend the channel's ANN index with newly-ingested
@@ -313,22 +326,134 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // count the BATCH (bounded by the new rows), never the index
     val n = indexed.count()
     if (n > 0) {
-      indexed.write.mode(SaveMode.Append).partitionBy("cell").parquet(annPath(channel))
-      // stamp CONTENT (not mtime) is the generation tag — see cachedIndex
-      val stamp = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/_STAMP")
-      val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a UUID, not nanoTime: nanoTime is an arbitrary-origin per-JVM
-      // counter, so two appends from DIFFERENT JVMs could in principle
-      // write identical tags and leave another session's cached file
-      // listing stale — the exact bug the content tag exists to prevent
-      val out = fs.create(stamp, true)
-      out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-      out.close()
-      // the writer's own JVM refreshes unconditionally
-      GraftVectorDB.routingCache.remove(
-        new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids").toString)
+      // same doc_name-sorted layout as the build, so appended files
+      // keep the row-group-skipping property for location filters
+      indexed.sortWithinPartitions($"cell", $"doc_name")
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(annPath(channel))
+      bumpIndexGeneration(channel)
+      // drift accounting: appends route with BUILD-time centroids, so
+      // cell geometry degrades as the appended fraction grows — past
+      // the measured-safe bound (AnnAppendDriftSpec) the caller must
+      // rebuild, and silence here would hide a slow recall leak
+      val appended = readCounter(channel, "_APPENDED") + n
+      writeCounter(channel, "_APPENDED", appended)
+      if (annIndexNeedsRebuild(channel))
+        log.warn(f"appendAnnIndex('$channel'): appended rows now " +
+          f"${annAppendFraction(channel)}%.2fx the built corpus " +
+          f"(> ${GraftVectorDB.AppendRebuildFraction}%.1fx) - cell routing uses " +
+          "build-time centroids, so recall degrades from here; rebuild with " +
+          "buildAnnIndex to re-fit the geometry")
     }
     n
+  }
+
+  /** Invalidate every session's cached serving state for a channel:
+    * rewrite the `_STAMP` content tag (see [[cachedIndex]]) and drop
+    * this JVM's entry directly. A UUID, not nanoTime: nanoTime is an
+    * arbitrary-origin per-JVM counter, so two writers in DIFFERENT
+    * JVMs could in principle write identical tags and leave another
+    * session's cached file listing stale — the exact bug the content
+    * tag exists to prevent. */
+  private def bumpIndexGeneration(channel: String): Unit = {
+    val stamp = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/_STAMP")
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(stamp, true)
+    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    out.close()
+    GraftVectorDB.routingCache.remove(
+      new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids").toString)
+  }
+
+  /** Bookkeeping counters beside the routing table (`_BUILT` = rows at
+    * the last build, `_APPENDED` = rows appended since): tiny text
+    * files, absent == 0. */
+  private def counterPath(channel: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/$name")
+
+  private def readCounter(channel: String, name: String): Long = {
+    val p = counterPath(channel, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLong
+    } catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
+  private def writeCounter(channel: String, name: String, v: Long): Unit = {
+    val p = counterPath(channel, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Appended rows since the last build, as a fraction of the built
+    * corpus (0.0 for a fresh or never-built index). The drift gauge:
+    * appended rows route with build-time centroids, so this is the
+    * knob the rebuild policy reads. */
+  def annAppendFraction(channel: String): Double = {
+    val built = readCounter(channel, "_BUILT")
+    if (built <= 0) 0.0
+    else readCounter(channel, "_APPENDED").toDouble / built
+  }
+
+  /** Rebuild policy: true once the appended fraction exceeds
+    * [[GraftVectorDB.AppendRebuildFraction]] — the bound
+    * AnnAppendDriftSpec measures recall against. [[appendAnnIndex]]
+    * warns when this trips; a scheduled maintenance job should rebuild. */
+  def annIndexNeedsRebuild(channel: String): Boolean =
+    annAppendFraction(channel) > GraftVectorDB.AppendRebuildFraction
+
+  /** ANN-index maintenance — [[compact]]'s twin for the index files:
+    * [[appendAnnIndex]] adds a file-set per touched cell per
+    * micro-batch forever, and at 100 TB the accumulating small files
+    * are the operational killer (listing latency + one task per tiny
+    * file). Rewrites every cell holding more than `targetFiles`
+    * parquet files into `targetFiles` doc_name-sorted files (restoring
+    * the row-group-skipping layout appends fragment) via a dot-prefixed
+    * temp dir + atomic rename — O(touched cells): untouched cells'
+    * files are neither read nor moved. Search results are invariant
+    * and the generation stamp bumps so every session's cached serving
+    * frame re-lists files. Single-writer contract, same as compact().
+    * Returns rows rewritten. */
+  def compactAnnIndex(channel: String, targetFiles: Int = 1): Long = {
+    require(annIndexBuilt(channel),
+      s"no ANN index for '$channel' — run buildAnnIndex first")
+    val root = new org.apache.hadoop.fs.Path(annPath(channel))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var rewritten = 0L
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { st =>
+        val nFiles = fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))
+        if (nFiles > targetFiles) {
+          val cellDir = st.getPath
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            s".compact_tmp_${cellDir.getName}")
+          // reading the cell dir directly excludes the cell partition
+          // column — exactly what the rewritten files must contain
+          val cur = spark.read.parquet(cellDir.toString)
+          val n = cur.count() // footer-stats count, no data scan
+          val laid =
+            if (targetFiles == 1) cur.repartition(1)
+            else cur.repartitionByRange(targetFiles, $"doc_name", $"row_id")
+          laid.sortWithinPartitions("doc_name", "row_id")
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          if (!fs.delete(cellDir, true))
+            throw new java.io.IOException(
+              s"compactAnnIndex: could not remove $cellDir")
+          if (!fs.rename(tmp, cellDir))
+            throw new java.io.IOException(
+              s"compactAnnIndex: rename $tmp -> $cellDir failed")
+          rewritten += n
+        }
+      }
+    if (rewritten > 0) bumpIndexGeneration(channel)
+    rewritten
   }
 
   /** The one channel→predicate mapping, shared by build and append so
@@ -347,7 +472,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * computation) and ONLY those cells' files are scanned — the
     * partition-pruned twin of [[search]]'s full-channel scan, the path
     * that keeps p99 search latency flat while the store grows to
-    * 100 TB. Same output contract as [[search]].
+    * 100 TB. Same output contract as [[search]]; `location` applies
+    * get_search_range's folder-prefix scope (vector_db.py:673-682)
+    * INSIDE the pruned scan — metadata-filtered ANN is the most common
+    * vector-db query shape, and falling back to the exact full-scan
+    * path just to filter would forfeit the index.
     *
     * Serving-path cost: ONE Spark job (the pruned-scan top-k). The
     * routing table, index frame, and parquet schema are cached per
@@ -357,16 +486,16 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * rank numbering attaches to the ≤ topN collected rows on the
     * driver. GraftVectorDBSpec pins the per-search job count. */
   def searchAnn(queryText: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe): DataFrame =
-    searchAnnChannel(queryText, "text", topN, nProbe)
+      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+    searchAnnChannel(queryText, "text", topN, nProbe, location)
 
   /** Image-space twin of [[searchAnn]] over the `image`-channel index
     * (build with `buildAnnIndex(channel = "image")`): the query content
     * encodes with the image-space hash family, mirroring
     * [[searchImage]]'s exact scan. */
   def searchAnnImage(queryContent: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe): DataFrame =
-    searchAnnChannel(queryContent, "image", topN, nProbe)
+      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+    searchAnnChannel(queryContent, "image", topN, nProbe, location)
 
   /** The channel's routing table + resolved index frame, cached per
     * build generation. Generation = the `_centroids` mtime (rebuilds
@@ -424,38 +553,105 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     }
   }
 
-  /** Embed the query and rank probe cells — all driver arithmetic. */
-  private def annProbe(query: String, channel: String, nProbe: Int)
-      : (GraftVectorDB.CachedAnnIndex, Array[Double], Double, Seq[Int]) = {
-    val ci = cachedIndex(channel)
-    val qv = channel match {
+  /** The channel's driver-side query encoder (the embedTextLocal /
+    * embedImageLocal seam — property-tested bit-identical to the
+    * distributed embedders). */
+  private def embedLocal(channel: String, query: String): Array[Double] =
+    channel match {
       case "image" => VectorStore.embedImageLocal(query)
       case _ => VectorStore.embedTextLocal(query)
     }
-    val qnrm = math.sqrt(qv.map(x => x * x).sum)
-    // probe ranking uses the ASSIGNMENT metric (L2 argmin as
-    // dot − |c|²/2), so a query's own cell always ranks first
-    val probed = ci.books
+
+  /** Rank probe cells for one query vector — driver arithmetic over
+    * the routing table. Uses the ASSIGNMENT metric (L2 argmin as
+    * dot − |c|²/2), so a query's own cell always ranks first. */
+  private def rankCells(ci: GraftVectorDB.CachedAnnIndex,
+      qv: Array[Double], nProbe: Int): Seq[Int] =
+    ci.books
       .map { case (cell, c) =>
         var d = 0.0; var i = 0
         while (i < c.length) { d += qv(i) * c(i); i += 1 }
         (cell, d - c.map(x => x * x).sum / 2) }
       .sortBy { case (cell, d) => (-d, cell) }
       .take(nProbe).map(_._1).toSeq
-    (ci, qv, qnrm, probed)
+
+  /** Embed the query and rank probe cells — all driver arithmetic. */
+  private def annProbe(query: String, channel: String, nProbe: Int)
+      : (GraftVectorDB.CachedAnnIndex, Array[Double], Double, Seq[Int]) = {
+    val ci = cachedIndex(channel)
+    val qv = embedLocal(channel, query)
+    val qnrm = math.sqrt(qv.map(x => x * x).sum)
+    (ci, qv, qnrm, rankCells(ci, qv, nProbe))
+  }
+
+  /** Batch ANN search — the batch twin of the one-job serving path:
+    * [[searchAll]] scans the FULL channel for N queries, and N warm
+    * [[searchAnn]] calls run N pruned scans; this unions the N
+    * queries' probe sets into ONE partition-pruned scan. Each query
+    * scores only its own probed cells (a broadcast equi-join of the
+    * driver-computed (q_id, cell, qv) probe list against the scan), so
+    * per-query results are identical to N × [[searchAnn]]
+    * (spec-pinned), while each probed cell's files are read once no
+    * matter how many queries probe them; the per-query top-k is the
+    * payload-carrying [[graft.functions.expressions.TopKRows]]
+    * aggregate keyed by q_id, so ≤ topN rows per query per partition
+    * reach the shuffle WITH their metadata. Output contract =
+    * [[searchAll]]. */
+  def searchAllAnn(queries: DataFrame, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
+      channel: String = "text"): DataFrame = {
+    val ci = cachedIndex(channel)
+    // the query batch is serving-sized: embed + rank cells driver-side,
+    // exactly the per-query annProbe arithmetic
+    val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    val probeRows: Seq[(Long, Seq[Double], Double, Int)] = qs.toSeq.flatMap {
+      case (id, text) =>
+        val qv = embedLocal(channel, text)
+        val qnrm = math.sqrt(qv.map(x => x * x).sum)
+        rankCells(ci, qv, nProbe).map(cell => (id, qv.toSeq, qnrm, cell))
+    }
+    val unionCells = probeRows.map(_._4).distinct
+    val qFrame = probeRows.toDF("q_id", "qv", "qnrm", "cell")
+    // ONE scan of the UNION of probed cells (partition-pruned); the
+    // equi-join on cell scopes each query to its own probe set
+    val pruned = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
+    val pairs = pruned.join(broadcast(qFrame), "cell")
+      .select($"q_id",
+        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"),
+        $"row_id",
+        struct($"doc_name", $"page_num", $"content_type", $"content_id",
+          $"content_raw").as("meta"))
+    pairs.groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKRows(
+        $"sim_r", $"row_id", $"meta", topN).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rnk"),
+        $"col.score".as("sim_r"),
+        $"col.payload.doc_name", $"col.payload.page_num",
+        $"col.payload.content_type", $"col.payload.content_id",
+        $"col.payload.content_raw")
+      .withColumn("channel", lit(channel))
+      .orderBy($"q_id", $"rnk")
   }
 
   /** The lazy pruned-scan top-k frame behind [[searchAnn]] — exposed
     * package-private so specs can assert the partition pruning on the
     * un-executed plan. */
   private[graft] def annScanPlan(query: String, channel: String,
-      topN: Int, nProbe: Int): DataFrame = {
+      topN: Int, nProbe: Int, location: Option[String] = None): DataFrame = {
     val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
     // the query vector inlines as a LITERAL into the scan projection —
     // no join side, no broadcast stage: the whole search is one
-    // pruned-scan job even under AQE
-    ci.index
+    // pruned-scan job even under AQE. The location predicate (the
+    // reference's get_search_range, vector_db.py:673-682) lands INSIDE
+    // the pruned scan: StartsWith pushes to parquet as a >= / <
+    // range filter, and index files are SORTED by doc_name within each
+    // cell (build/append), so row-group min/max stats turn the filter
+    // into a skipping scan rather than a post-scan sieve.
+    val pruned = ci.index
       .filter($"cell".isin(probed: _*)) // prunes partitions at the scan
+    locScoped(pruned, location)
       .select(round(cosine(typedLit(qv.toSeq), $"v", lit(qnrm), $"nrm"), 4).as("sim_r"),
         $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw",
         $"row_id")
@@ -463,11 +659,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .limit(topN)
   }
 
+  /** get_search_range's folder-prefix scope over any frame that
+    * carries `doc_name` — shared by every exact AND approximate path
+    * so a filtered ANN search can never diverge from the filtered
+    * exact scan's scope. */
+  private def locScoped(df: DataFrame, location: Option[String]): DataFrame =
+    location.fold(df)(loc => df.filter($"doc_name".startsWith(loc)))
+
   private def searchAnnChannel(query: String, channel: String,
-      topN: Int, nProbe: Int): DataFrame = {
+      topN: Int, nProbe: Int, location: Option[String] = None): DataFrame = {
     // ONE job: TakeOrderedAndProject over the pruned scan (the local
     // query relation broadcasts driver-side, no extra job)
-    val hits = annScanPlan(query, channel, topN, nProbe).collect()
+    val hits = annScanPlan(query, channel, topN, nProbe, location).collect()
     // rank numbering over the ≤ topN collected rows is driver work
     hits.zipWithIndex.map { case (r, i) =>
       ((i + 1).toLong, r.getAs[Double]("sim_r"), r.getAs[String]("doc_name"),
@@ -490,26 +693,30 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * jobs per warm search (ADC shortlist + fetch), spec-pinned. */
   def searchAnnPq(queryText: String, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe,
-      shortlist: Int = AnnIndex.PqShortlist): DataFrame =
-    searchAnnPqChannel(queryText, "text", topN, nProbe, shortlist)
+      shortlist: Int = AnnIndex.PqShortlist,
+      location: Option[String] = None): DataFrame =
+    searchAnnPqChannel(queryText, "text", topN, nProbe, shortlist, location)
 
   /** Image-space twin of [[searchAnnPq]]. */
   def searchAnnPqImage(queryContent: String, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe,
-      shortlist: Int = AnnIndex.PqShortlist): DataFrame =
-    searchAnnPqChannel(queryContent, "image", topN, nProbe, shortlist)
+      shortlist: Int = AnnIndex.PqShortlist,
+      location: Option[String] = None): DataFrame =
+    searchAnnPqChannel(queryContent, "image", topN, nProbe, shortlist, location)
 
   /** The lazy ADC-shortlist frame behind [[searchAnnPq]] — exposed so
     * specs can assert partition pruning AND column pruning (the scan
     * must not read `v` or `content_raw`). */
   private[graft] def annPqShortlistPlan(query: String, channel: String,
-      nProbe: Int, shortlist: Int): DataFrame = {
+      nProbe: Int, shortlist: Int,
+      location: Option[String] = None): DataFrame = {
     val (ci, qv, _, probed) = annProbe(query, channel, nProbe)
-    annPqShortlistOf(ci, qv, probed, shortlist)
+    annPqShortlistOf(ci, qv, probed, shortlist, location)
   }
 
   private def annPqShortlistOf(ci: GraftVectorDB.CachedAnnIndex,
-      qv: Array[Double], probed: Seq[Int], shortlist: Int): DataFrame = {
+      qv: Array[Double], probed: Seq[Int], shortlist: Int,
+      location: Option[String]): DataFrame = {
     require(ci.pqBooks.nonEmpty,
       "this ANN index predates PQ codes (no _codebooks) — rebuild with " +
         "buildAnnIndex, or use searchAnn (which needs none)")
@@ -520,23 +727,31 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val score = dts.toSeq.zipWithIndex.map { case (dt, m) =>
       element_at(typedLit(dt.toSeq), element_at($"codes", m + 1) + 1)
     }.reduce(_ + _) / $"nrm"
-    ci.index
-      .filter($"cell".isin(probed: _*))
+    // the location filter belongs HERE, not after the shortlist:
+    // post-shortlist filtering would let out-of-scope rows crowd the
+    // bounded shortlist and silently shrink in-scope recall. Cost: the
+    // ADC scan reads doc_name alongside (row_id, nrm, codes) when a
+    // location is set — still none of v/content, and doc_name-sorted
+    // cells make it a row-group-skipping read.
+    locScoped(ci.index.filter($"cell".isin(probed: _*)), location)
       .select($"row_id", score.as("adc"))
       .orderBy($"adc".desc, $"row_id")
       .limit(shortlist)
   }
 
   private def searchAnnPqChannel(query: String, channel: String,
-      topN: Int, nProbe: Int, shortlist: Int): DataFrame = {
+      topN: Int, nProbe: Int, shortlist: Int,
+      location: Option[String] = None): DataFrame = {
     // ONE probe computation (cache check, embed, cell ranking) shared
     // by both phases — annProbe twice could even straddle a generation
     val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
     // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
-    val ids = annPqShortlistOf(ci, qv, probed, shortlist)
+    val ids = annPqShortlistOf(ci, qv, probed, shortlist, location)
       .collect().map(_.getAs[Long]("row_id"))
-    // job 2: fetch ONLY the shortlisted rows' vectors + metadata (same
-    // cell pruning, row_id pushed into the parquet filters)
+    // job 2: fetch ONLY the shortlisted rows' vectors + metadata (the
+    // same cell pruning; the row_id predicate evaluates post-scan for
+    // lists past parquet's in-filter pushdown threshold, which is fine
+    // — cell pruning already bounds the read and rows are narrow)
     val fetched = ci.index
       .filter($"cell".isin(probed: _*) && $"row_id".isin(ids.toSeq: _*))
       .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
@@ -617,9 +832,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       encoder: Column => Column): DataFrame = {
     val q = spark.range(1).select(encoder(lit(queryText)).as("qv"))
       .withColumn("qnrm", l2Norm($"qv"))
-    val scoped = location.fold(channel)(loc =>
-      channel.filter($"doc_name".startsWith(loc)))
-    val top = scoped.crossJoin(broadcast(q))
+    val top = locScoped(channel, location).crossJoin(broadcast(q))
       .select(
         round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
         $"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw",
@@ -637,6 +850,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 }
 
 object GraftVectorDB {
+
+  /** Safe append fraction before an index rebuild: appends route with
+    * build-time centroids, so past ~1× the built corpus the cell
+    * geometry no longer reflects the data and partial-probe recall
+    * drifts. AnnAppendDriftSpec measures recall@5 at 1× and 5×
+    * appended on the worst-case synthetic space and pins this bound;
+    * [[GraftVectorDB.appendAnnIndex]] warns (and
+    * `annIndexNeedsRebuild` trips) past it. */
+  val AppendRebuildFraction = 1.0
 
   /** One ANN index generation's serving state: routing table, PQ
     * codebooks, resolved index frame. */

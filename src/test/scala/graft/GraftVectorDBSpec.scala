@@ -318,6 +318,119 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(pqHit.getAs[String]("doc_name") == "corpus/srcA/doc_999999.txt")
   }
 
+  test("location-filtered ANN == filtered exact search; filter pushed into the pruned scan") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    val loc = Some("corpus/src1/")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    val exact = key(db.search("fast query join table", 5, loc).collect())
+    assert(exact.nonEmpty && exact.forall(_._3.startsWith("corpus/src1/")))
+    // full probe + location must reproduce the filtered exact search
+    // verbatim, on the plain path AND the PQ path (channel-sized
+    // shortlist keeps the scope filter from crowding out hits)
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    assert(key(db.searchAnn("fast query join table", 5, nProbe = 8,
+      location = loc).collect()) == exact)
+    assert(key(db.searchAnnPq("fast query join table", 5, nProbe = 8,
+      shortlist = rows, location = loc).collect()) == exact)
+    // the predicate reaches the scan as a pushed data filter (with the
+    // doc_name-sorted cell layout, row-group min/max stats skip)
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(db.annScanPlan("fast query join table", "text", 5, 3, loc),
+          db.annPqShortlistPlan("fast query join table", "text", 3, 50, loc))
+        .foreach { df =>
+          val scan = df.queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
+          }.head
+          assert(scan.partitionFilters.nonEmpty, "cell pruning must survive the filter")
+          assert(scan.metadata("PushedFilters").contains("StringStartsWith(doc_name"),
+            s"location must push to parquet, got ${scan.metadata("PushedFilters")}")
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
+  test("compactAnnIndex collapses appended file-sets; results invariant, untouched cells unmoved") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    // fragment the index the way streaming ingest does: several small
+    // appends, each landing a file-set in its touched cells
+    (1 to 3).foreach { k =>
+      val docs = Seq((800000L + k, s"drifting appended doc batch $k fast join", "en", "srcA"))
+        .toDF("doc_id", "text", "lang", "source")
+      assert(db.appendAnnIndex(GraftVectorDB.pipeline(docs)) == 1)
+    }
+    val idxDir = new java.io.File(db.annPath("text"))
+    def cellFiles: Map[String, Seq[java.io.File]] = idxDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq)
+      .toMap
+    val before = cellFiles
+    assert(before.values.exists(_.size > 1), "appends must have fragmented some cell")
+    val singleFileCells = before.filter(_._2.size == 1)
+    val mtimes = singleFileCells.map { case (c, fs) => c -> fs.head.lastModified }
+    val q = "drifting appended doc batch 2 fast join"
+    val resBefore = db.searchAnn(q, 5, nProbe = 8).collect().toSeq
+    val rowsTotal = spark.read.parquet(db.annPath("text")).count()
+    val rewritten = db.compactAnnIndex("text", targetFiles = 1)
+    assert(rewritten > 0)
+    val after = cellFiles
+    assert(after.values.forall(_.size <= 1), "every cell must collapse to targetFiles")
+    // O(touched cells): single-file cells were neither read nor moved
+    mtimes.foreach { case (c, t) =>
+      assert(after(c).head.lastModified == t, s"compaction rewrote untouched cell $c")
+    }
+    assert(spark.read.parquet(db.annPath("text")).count() == rowsTotal,
+      "compaction must not change rows")
+    // generation bumped: cached serving frames re-list files, results invariant
+    assert(db.searchAnn(q, 5, nProbe = 8).collect().toSeq == resBefore)
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    assert(db.searchAnnPq(q, 1, 8, rows).collect()
+      .head.getAs[String]("doc_name") == "corpus/srcA/doc_800002.txt")
+  }
+
+  test("searchAllAnn: N queries, ONE pruned scan, per-query parity with searchAnn") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    val texts = Seq("fast query join table", "slow merge sort line", "hash vector stream")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    val batch = db.searchAllAnn(queries, topN = 5, nProbe = 3)
+    val byQ = batch.collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val single = db.searchAnn(t, topN = 5, nProbe = 3).collect().map(key).toSeq
+      assert(byQ(i.toLong).map(key).toSeq == single,
+        s"batch ANN results for '$t' must match searchAnn")
+    }
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = db.searchAllAnn(queries, topN = 5, nProbe = 3)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
+      }
+      assert(scans.size == 1, s"batch ANN must scan the index once, found ${scans.size}")
+      // and the one scan is pruned to the UNION of the probe sets
+      val scan = scans.head
+      assert(scan.partitionFilters.nonEmpty, "batch scan must keep partition pruning")
+      val cellsRead = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.values.getInt(0)).toSet
+      assert(cellsRead.size <= 8 && cellsRead.nonEmpty,
+        s"scan must read only the probed cell union, reads $cellsRead")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("a never-built ANN index fails with a contract error naming buildAnnIndex") {
     val d = new GraftVectorDB(spark, "target/vdb_nobuild_spec")
     val e = intercept[IllegalStateException] { d.searchAnn("any query") }

@@ -74,5 +74,42 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(key(db.searchAnnPqImage(probe, topN = 3, nProbe = cells,
         shortlist = imgRows).collect())
       .sameElements(key(byImage)))
+
+    // location-filtered ANN parity on the IMAGE channel: full probe +
+    // get_search_range scope reproduces the filtered exact image scan
+    // (the text-channel twin lives in GraftVectorDBSpec)
+    val someDoc = db.store.filter(col("content_type") === ContentTypes.Image)
+      .select("doc_name").head().getString(0)
+    val locPrefix = someDoc.substring(0, someDoc.lastIndexOf('/') + 1)
+    val exactLoc = key(db.searchImage(probe, topN = 3,
+      location = Some(locPrefix)).collect())
+    assert(exactLoc.nonEmpty)
+    assert(key(db.searchAnnImage(probe, topN = 3, nProbe = cells,
+        location = Some(locPrefix)).collect()).sameElements(exactLoc))
+    assert(key(db.searchAnnPqImage(probe, topN = 3, nProbe = cells,
+        shortlist = imgRows, location = Some(locPrefix)).collect())
+      .sameElements(exactLoc))
+
+    // batch image search: searchAll on the image channel == N × searchImage,
+    // and searchAllAnn's image twin == N × searchAnnImage
+    import spark.implicits._
+    val probes = db.store.filter(col("content_raw").isNotNull)
+      .filter(col("content_type") === ContentTypes.Image)
+      .select("content_raw").limit(2).collect().map(_.getString(0))
+    val queries = probes.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("q_id", "q_text")
+    def key2(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    val batch = db.searchAll(queries, topN = 3, channel = "image")
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    val batchAnn = db.searchAllAnn(queries, topN = 3, nProbe = cells,
+      channel = "image").collect().groupBy(_.getAs[Long]("q_id"))
+    probes.zipWithIndex.foreach { case (t, i) =>
+      assert(batch(i.toLong).map(key2).toSeq ==
+        db.searchImage(t, topN = 3).collect().map(key2).toSeq)
+      assert(batchAnn(i.toLong).map(key2).toSeq ==
+        db.searchAnnImage(t, topN = 3, nProbe = cells).collect().map(key2).toSeq)
+    }
   }
 }
