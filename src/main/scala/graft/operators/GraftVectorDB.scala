@@ -176,6 +176,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
         struct($"doc_name", $"page_num", $"content_type", $"content_id",
           $"content_raw").as("meta"))
+    batchTopK(pairs, topN, channel)
+  }
+
+  /** Shared result shaping for BOTH batch paths ([[searchAll]] and
+    * [[searchAllAnn]]): per-query `TopKRows` over a (q_id, sim_r,
+    * row_id, meta) pairs frame → the searchAll output contract. One
+    * definition, so the batch-exact and batch-ANN shapes cannot
+    * silently diverge. */
+  private def batchTopK(pairs: DataFrame, topN: Int, channel: String): DataFrame =
     pairs.groupBy($"q_id")
       .agg(graft.functions.expressions.TopKRows(
         $"sim_r", $"row_id", $"meta", topN).as("top"))
@@ -187,7 +196,6 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"col.payload.content_raw")
       .withColumn("channel", lit(channel)) // same contract as search()
       .orderBy($"q_id", $"rnk")
-  }
 
   /** Combined text+image search — run_search's text_image mode: the
     * query hits both stores, results union channel-tagged. The image
@@ -334,15 +342,19 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       // drift accounting: appends route with BUILD-time centroids, so
       // cell geometry degrades as the appended fraction grows — past
       // the measured-safe bound (AnnAppendDriftSpec) the caller must
-      // rebuild, and silence here would hide a slow recall leak
+      // rebuild, and silence here would hide a slow recall leak.
+      // The fraction is computed ONCE from values already in hand —
+      // this is the hot ingest path, and each readCounter is a driver
+      // FS round-trip (an object-store GET at deployment scale)
       val appended = readCounter(channel, "_APPENDED") + n
       writeCounter(channel, "_APPENDED", appended)
-      if (annIndexNeedsRebuild(channel))
-        log.warn(f"appendAnnIndex('$channel'): appended rows now " +
-          f"${annAppendFraction(channel)}%.2fx the built corpus " +
-          f"(> ${GraftVectorDB.AppendRebuildFraction}%.1fx) - cell routing uses " +
-          "build-time centroids, so recall degrades from here; rebuild with " +
-          "buildAnnIndex to re-fit the geometry")
+      val built = readCounter(channel, "_BUILT")
+      val frac = if (built <= 0) 0.0 else appended.toDouble / built
+      if (frac > GraftVectorDB.AppendRebuildFraction)
+        log.warn(f"appendAnnIndex('$channel'): appended rows now $frac%.2fx " +
+          f"the built corpus (> ${GraftVectorDB.AppendRebuildFraction}%.1fx) - " +
+          "cell routing uses build-time centroids, so recall degrades from " +
+          "here; rebuild with buildAnnIndex to re-fit the geometry")
     }
     n
   }
@@ -378,7 +390,16 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val buf = new Array[Byte](len)
       val in = fs.open(p)
       try in.readFully(0, buf) finally in.close()
-      new String(buf, "UTF-8").trim.toLong
+      // a torn write (crash between create-truncate and write, or a
+      // reader racing the truncation) leaves an empty/partial file:
+      // these are BOOKKEEPING values, so degrade to 0 with a warning
+      // rather than poisoning every subsequent append with a
+      // NumberFormatException the caller cannot act on
+      new String(buf, "UTF-8").trim.toLongOption.getOrElse {
+        log.warn(s"ANN index counter $p is unreadable (torn write?) - treating as 0; " +
+          "drift accounting resets at the next buildAnnIndex")
+        0L
+      }
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
@@ -424,6 +445,25 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       s"no ANN index for '$channel' — run buildAnnIndex first")
     val root = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover any prior compaction's crash leftovers FIRST: a
+    // `.compact_old_cell=N` whose live dir is missing means the crash
+    // hit between the two renames — restore it (the data's only
+    // blessed copy), so a cell can never silently vanish from serving;
+    // an old beside a live dir means the crash hit before cleanup —
+    // the swap completed, drop the superseded copy. Stale tmps are
+    // always safe to drop (the rewrite starts over).
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_old_cell="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          st.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"compactAnnIndex: crash recovery rename ${st.getPath} -> $live failed")
+          log.warn(s"compactAnnIndex: restored $live from an interrupted compaction")
+        } else fs.delete(st.getPath, true)
+      }
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_tmp_cell="))
+      .foreach(st => fs.delete(st.getPath, true))
     var rewritten = 0L
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -434,6 +474,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           val cellDir = st.getPath
           val tmp = new org.apache.hadoop.fs.Path(root,
             s".compact_tmp_${cellDir.getName}")
+          val old = new org.apache.hadoop.fs.Path(root,
+            s".compact_old_${cellDir.getName}")
           // reading the cell dir directly excludes the cell partition
           // column — exactly what the rewritten files must contain
           val cur = spark.read.parquet(cellDir.toString)
@@ -443,12 +485,19 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
             else cur.repartitionByRange(targetFiles, $"doc_name", $"row_id")
           laid.sortWithinPartitions("doc_name", "row_id")
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          if (!fs.delete(cellDir, true))
+          // swap via two renames with the superseded copy KEPT until
+          // the new one is live (a delete-then-rename order would make
+          // a crash in between lose the cell's only copy, recoverable
+          // only by a full rebuild — and silently, since a missing
+          // cell just vanishes from results rather than erroring)
+          if (!fs.rename(cellDir, old))
             throw new java.io.IOException(
-              s"compactAnnIndex: could not remove $cellDir")
+              s"compactAnnIndex: rename $cellDir -> $old failed")
           if (!fs.rename(tmp, cellDir))
             throw new java.io.IOException(
-              s"compactAnnIndex: rename $tmp -> $cellDir failed")
+              s"compactAnnIndex: rename $tmp -> $cellDir failed " +
+                s"(original preserved at $old — rerun to recover)")
+          fs.delete(old, true)
           rewritten += n
         }
       }
@@ -622,17 +671,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"row_id",
         struct($"doc_name", $"page_num", $"content_type", $"content_id",
           $"content_raw").as("meta"))
-    pairs.groupBy($"q_id")
-      .agg(graft.functions.expressions.TopKRows(
-        $"sim_r", $"row_id", $"meta", topN).as("top"))
-      .select($"q_id", posexplode($"top"))
-      .select($"q_id", ($"pos" + 1).cast("long").as("rnk"),
-        $"col.score".as("sim_r"),
-        $"col.payload.doc_name", $"col.payload.page_num",
-        $"col.payload.content_type", $"col.payload.content_id",
-        $"col.payload.content_raw")
-      .withColumn("channel", lit(channel))
-      .orderBy($"q_id", $"rnk")
+    batchTopK(pairs, topN, channel)
   }
 
   /** The lazy pruned-scan top-k frame behind [[searchAnn]] — exposed

@@ -394,6 +394,25 @@ class GraftVectorDBSpec extends AnyFunSuite {
       .head.getAs[String]("doc_name") == "corpus/srcA/doc_800002.txt")
   }
 
+  test("compactAnnIndex recovers a cell orphaned by an interrupted compaction") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    val exact = db.searchAnn("fast query join table", 5, nProbe = 8).collect().toSeq
+    val idxDir = new java.io.File(db.annPath("text"))
+    val cellDir = idxDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    // simulate the crash window: live dir renamed aside, new copy
+    // never landed — the state a kill between the two renames leaves
+    val orphan = new java.io.File(idxDir, s".compact_old_${cellDir.getName}")
+    assert(cellDir.renameTo(orphan))
+    db.compactAnnIndex("text", targetFiles = 1) // recovery runs on entry
+    assert(new java.io.File(idxDir, cellDir.getName).exists(),
+      "the orphaned cell must be restored before any rewrite")
+    assert(!orphan.exists())
+    assert(db.searchAnn("fast query join table", 5, nProbe = 8).collect().toSeq == exact,
+      "recovered index must serve the same results")
+  }
+
   test("searchAllAnn: N queries, ONE pruned scan, per-query parity with searchAnn") {
     assert(firstIngest > 0)
     import spark.implicits._
