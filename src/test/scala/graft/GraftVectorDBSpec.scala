@@ -430,6 +430,15 @@ class GraftVectorDBSpec extends AnyFunSuite {
       assert(byQ(i.toLong).map(key).toSeq == single,
         s"batch ANN results for '$t' must match searchAnn")
     }
+    // the location scope composes with the batch path
+    val loc = Some("corpus/src1/")
+    val fb = db.searchAllAnn(queries, topN = 5, nProbe = 8, location = loc)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fb(i.toLong).map(key).toSeq ==
+        db.searchAnn(t, 5, nProbe = 8, location = loc).collect().map(key).toSeq,
+        s"filtered batch ANN results for '$t' must match filtered searchAnn")
+    }
     val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
