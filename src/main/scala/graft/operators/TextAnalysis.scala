@@ -405,7 +405,10 @@ object TextAnalysis {
     import spark.implicits._
     // tokenize STAGED once per row (multi-referenced alias survives
     // CollapseProject — the tx_selfrep pattern): the lambda below
-    // slices the same array per line instead of re-splitting the text
+    // slices the same array per line instead of re-splitting the text.
+    // PERSISTED because the frame feeds both the keeper aggregate and
+    // the verdict join — without the cache the tokenize+segment explode
+    // (the dominant corpus pass) runs twice, the minhashLsh trap.
     val lines = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", posexplode(transform(
@@ -413,6 +416,7 @@ object TextAnalysis {
         i => array_join(slice($"toks", i * LineTokens + 1, lit(LineTokens)), " "))))
       .toDF("doc_id", "line_no", "line")
       .withColumn("h", md5($"line"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence per distinct line, corpus-wide: struct min
     // orders lexicographically on (doc_id, line_no) — map-side combine
     // keeps the shuffle at one row per distinct hash per partition
@@ -421,7 +425,7 @@ object TextAnalysis {
     val flagged = lines.join(keepers, "h")
       .select($"doc_id", $"line_no", $"line",
         ($"doc_id" === $"k.doc_id" && $"line_no" === $"k.line_no").as("kept"))
-    flagged.groupBy($"doc_id")
+    val out = Tables.materialize(flagged.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
         // deterministic reassembly: surviving lines in document order
@@ -430,8 +434,9 @@ object TextAnalysis {
           sort_array(collect_list(when($"kept", struct($"line_no", $"line")))),
           s => s.getField("line")), " ")).as("kept_md5"))
       .withColumn("removed_ratio",
-        round(($"n_lines" - $"n_kept").cast("double") / $"n_lines", 4))
-      .orderBy($"doc_id")
+        round(($"n_lines" - $"n_kept").cast("double") / $"n_lines", 4)))
+    lines.unpersist(blocking = false)
+    out.orderBy($"doc_id")
   }
 
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
