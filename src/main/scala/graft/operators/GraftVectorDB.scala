@@ -179,6 +179,80 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     batchTopK(pairs, topN, channel)
   }
 
+  /** Batch twin of the two-job [[searchAnnPq]] serving path — the
+    * batch surface over the full IVF+PQ architecture: N queries' ADC
+    * shortlists come from ONE partition- AND column-pruned scan of the
+    * unioned probe sets (each query's ADC tables ride a broadcast
+    * equi-join on cell instead of plan literals, so a row only scores
+    * against queries probing its cell), per-query shortlists split via
+    * the bounded [[graft.functions.expressions.TopKByScore]] partial
+    * aggregate, then ONE fetch of the unioned shortlists feeds the
+    * exact driver-side re-rank — two scans for the whole batch instead
+    * of 2N. Per-query results identical to N × [[searchAnnPq]]
+    * (spec-pinned). Output contract = [[searchAll]]. */
+  def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
+      location: Option[String] = None, channel: String = "text"): DataFrame = {
+    val ci = cachedIndex(channel)
+    require(ci.pqBooks.nonEmpty,
+      "this ANN index predates PQ codes (no _codebooks) — rebuild with " +
+        "buildAnnIndex, or use searchAllAnn (which needs none)")
+    val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    // per query: embed, probe ranking, ADC tables — driver arithmetic
+    val qInfo = qs.toSeq.map { case (id, text) =>
+      val qv = embedLocal(channel, text)
+      (id, qv, math.sqrt(qv.map(x => x * x).sum), rankCells(ci, qv, nProbe),
+        AnnIndex.adcTablesLocal(ci.pqBooks, qv))
+    }
+    val unionCells = qInfo.flatMap(_._4).distinct
+    val bFrame = qInfo.flatMap { case (id, _, _, cells, dts) =>
+      cells.map(c => (id, dts.map(_.toSeq).toSeq, c))
+    }.toDF("q_id", "dt", "cell")
+    val score = ci.pqBooks.indices.map(i =>
+      element_at(element_at($"dt", i + 1), element_at($"codes", i + 1) + 1))
+      .reduce(_ + _) / $"nrm"
+    // scan 1: per-query ADC shortlist — same ordering contract as the
+    // single-query path (adc desc, row_id asc), so shortlist sets match
+    val pruned = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
+    val short = pruned.join(broadcast(bFrame), "cell")
+      .select($"q_id", score.as("adc"), $"row_id")
+      .groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKByScore(
+        $"adc", $"row_id", shortlist).as("top"))
+      .select($"q_id", explode($"top").as("t"))
+      .select($"q_id", $"t.id".as("row_id"))
+      .collect()
+    val shortByQ = short.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
+    val allIds = short.map(_.getAs[Long]("row_id")).distinct.toSeq
+    // scan 2: ONE fetch of the unioned shortlists' vectors + metadata
+    val fetched = ci.index
+      .filter($"cell".isin(unionCells: _*) && $"row_id".isin(allIds: _*))
+      .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
+        $"content_type", $"content_id", $"content_raw")
+      .collect()
+    val byId = fetched.map(r => r.getAs[Long]("row_id") -> r).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val outRows = qInfo.flatMap { case (id, qv, qnrm, _, _) =>
+      shortByQ.getOrElse(id, Set.empty[Long]).toSeq.map(byId).map { r =>
+        val v = r.getSeq[Double](r.fieldIndex("v"))
+        var d = 0.0; var i = 0
+        while (i < qv.length) { d += qv(i) * v(i); i += 1 }
+        (r4(d / (qnrm * r.getAs[Double]("nrm"))), r)
+      }.sortBy { case (s, r) => (-s, r.getAs[Long]("row_id")) }
+        .take(topN).zipWithIndex.map { case ((s, r), i) =>
+          (id, (i + 1).toLong, s, r.getAs[String]("doc_name"),
+            r.getAs[Long]("page_num"), r.getAs[String]("content_type"),
+            r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
+        }
+    }
+    outRows.toDF("q_id", "rnk", "sim_r", "doc_name", "page_num",
+      "content_type", "content_id", "content_raw", "channel")
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** Shared result shaping for BOTH batch paths ([[searchAll]] and
     * [[searchAllAnn]]): per-query `TopKRows` over a (q_id, sim_r,
     * row_id, meta) pairs frame → the searchAll output contract. One

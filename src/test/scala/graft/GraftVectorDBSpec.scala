@@ -459,6 +459,44 @@ class GraftVectorDBSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
 
+  test("searchAllAnnPq: batch PQ parity with N x searchAnnPq (approx, exhaustive, filtered)") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    val texts = Seq("fast query join table", "slow merge sort line", "hash vector stream")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    // approximate config: shortlist sets must match the single-query
+    // path exactly (same adc ordering contract), so results are equal
+    val approx = db.searchAllAnnPq(queries, topN = 5, nProbe = 3, shortlist = 50)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(approx(i.toLong).map(key).toSeq ==
+        db.searchAnnPq(t, 5, nProbe = 3, shortlist = 50).collect().map(key).toSeq,
+        s"batch PQ results for '$t' must match searchAnnPq")
+    }
+    // exhaustive config: the batch path reproduces the exact search
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    val exh = db.searchAllAnnPq(queries, topN = 5, nProbe = 8, shortlist = rows)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(exh(i.toLong).map(key).toSeq ==
+        db.search(t, topN = 5).collect().map(key).toSeq,
+        s"exhaustive batch PQ for '$t' must equal the exact search")
+    }
+    // and the location scope composes
+    val loc = Some("corpus/src1/")
+    val fl = db.searchAllAnnPq(queries, topN = 5, nProbe = 8, shortlist = rows,
+      location = loc).collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fl(i.toLong).map(key).toSeq ==
+        db.search(t, topN = 5, location = loc).collect().map(key).toSeq)
+    }
+  }
+
   test("a never-built ANN index fails with a contract error naming buildAnnIndex") {
     val d = new GraftVectorDB(spark, "target/vdb_nobuild_spec")
     val e = intercept[IllegalStateException] { d.searchAnn("any query") }
