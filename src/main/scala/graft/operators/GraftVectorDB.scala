@@ -193,64 +193,108 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
-    val ci = cachedIndex(channel)
-    require(ci.pqBooks.nonEmpty,
-      "this ANN index predates PQ codes (no _codebooks) — rebuild with " +
-        "buildAnnIndex, or use searchAllAnn (which needs none)")
-    val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
-      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
-    // per query: embed, probe ranking, ADC tables — driver arithmetic
-    val qInfo = qs.toSeq.map { case (id, text) =>
-      val qv = embedLocal(channel, text)
-      (id, qv, math.sqrt(qv.map(x => x * x).sum), rankCells(ci, qv, nProbe),
-        AnnIndex.adcTablesLocal(ci.pqBooks, qv))
-    }
+    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
     val unionCells = qInfo.flatMap(_._4).distinct
-    val bFrame = qInfo.flatMap { case (id, _, _, cells, dts) =>
-      cells.map(c => (id, dts.map(_.toSeq).toSeq, c))
-    }.toDF("q_id", "dt", "cell")
-    val score = ci.pqBooks.indices.map(i =>
-      element_at(element_at($"dt", i + 1), element_at($"codes", i + 1) + 1))
-      .reduce(_ + _) / $"nrm"
     // scan 1: per-query ADC shortlist — same ordering contract as the
     // single-query path (adc desc, row_id asc), so shortlist sets match
-    val pruned = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
-    val short = pruned.join(broadcast(bFrame), "cell")
-      .select($"q_id", score.as("adc"), $"row_id")
-      .groupBy($"q_id")
-      .agg(graft.functions.expressions.TopKByScore(
-        $"adc", $"row_id", shortlist).as("top"))
-      .select($"q_id", explode($"top").as("t"))
-      .select($"q_id", $"t.id".as("row_id"))
-      .collect()
+    val short = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
     val shortByQ = short.groupBy(_.getAs[Long]("q_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
     val allIds = short.map(_.getAs[Long]("row_id")).distinct.toSeq
     // scan 2: ONE fetch of the unioned shortlists' vectors + metadata
+    // (the id list is bounded by N × shortlist — serving-sized)
     val fetched = ci.index
       .filter($"cell".isin(unionCells: _*) && $"row_id".isin(allIds: _*))
       .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
         $"content_type", $"content_id", $"content_raw")
       .collect()
     val byId = fetched.map(r => r.getAs[Long]("row_id") -> r).toMap
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val outRows = qInfo.flatMap { case (id, qv, qnrm, _, _) =>
-      shortByQ.getOrElse(id, Set.empty[Long]).toSeq.map(byId).map { r =>
-        val v = r.getSeq[Double](r.fieldIndex("v"))
-        var d = 0.0; var i = 0
-        while (i < qv.length) { d += qv(i) * v(i); i += 1 }
-        (r4(d / (qnrm * r.getAs[Double]("nrm"))), r)
-      }.sortBy { case (s, r) => (-s, r.getAs[Long]("row_id")) }
-        .take(topN).zipWithIndex.map { case ((s, r), i) =>
-          (id, (i + 1).toLong, s, r.getAs[String]("doc_name"),
-            r.getAs[Long]("page_num"), r.getAs[String]("content_type"),
-            r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
-        }
+      val cand = shortByQ.getOrElse(id, Set.empty[Long]).toSeq.map(byId)
+      pqExactReRank(cand, qv, qnrm, topN).zipWithIndex.map { case ((s, r), i) =>
+        (id, (i + 1).toLong, s, r.getAs[String]("doc_name"),
+          r.getAs[Long]("page_num"), r.getAs[String]("content_type"),
+          r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
+      }
     }
     outRows.toDF("q_id", "rnk", "sim_r", "doc_name", "page_num",
       "content_type", "content_id", "content_raw", "channel")
       .orderBy($"q_id", $"rnk")
+  }
+
+  /** Collect + embed + probe-rank a query batch — driver arithmetic.
+    * q_ids must be unique AFTER the long cast: duplicates would merge
+    * two queries' scores into one shortlist group and silently corrupt
+    * both result sets, so the contract fails loudly here instead. */
+  private def batchPqProbe(queries: DataFrame, nProbe: Int, channel: String)
+      : (GraftVectorDB.CachedAnnIndex,
+         Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]])]) = {
+    val ci = cachedIndex(channel)
+    require(ci.pqBooks.nonEmpty,
+      "this ANN index predates PQ codes (no _codebooks) — rebuild with " +
+        "buildAnnIndex, or use searchAllAnn (which needs none)")
+    val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    require(qs.map(_._1).distinct.length == qs.length,
+      "searchAllAnnPq: q_id values must be unique (after cast to long)")
+    val qInfo = qs.toSeq.map { case (id, text) =>
+      val qv = embedLocal(channel, text)
+      (id, qv, math.sqrt(qv.map(x => x * x).sum), rankCells(ci, qv, nProbe),
+        AnnIndex.adcTablesLocal(ci.pqBooks, qv))
+    }
+    (ci, qInfo)
+  }
+
+  /** The lazy batch ADC-shortlist frame (q_id, row_id) — exposed via
+    * [[annAllPqShortlistPlan]] so specs can pin the single pruned scan.
+    * The probe list broadcasts as (q_id, cell) PAIRS and each query's
+    * ADC tables join once by q_id — carrying dt on the pair frame
+    * would ship nProbe redundant copies of every query's tables. */
+  private def batchPqShortlistOf(ci: GraftVectorDB.CachedAnnIndex,
+      qInfo: Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]])],
+      shortlist: Int, location: Option[String]): DataFrame = {
+    val unionCells = qInfo.flatMap(_._4).distinct
+    val cellFrame = qInfo.flatMap { case (id, _, _, cells, _) =>
+      cells.map(c => (id, c)) }.toDF("q_id", "cell")
+    val dtFrame = qInfo.map { case (id, _, _, _, dts) =>
+      (id, dts.map(_.toSeq).toSeq) }.toDF("q_id", "dt")
+    val score = ci.pqBooks.indices.map(i =>
+      element_at(element_at($"dt", i + 1), element_at($"codes", i + 1) + 1))
+      .reduce(_ + _) / $"nrm"
+    locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
+      .join(broadcast(cellFrame), "cell")
+      .join(broadcast(dtFrame), "q_id")
+      .select($"q_id", score.as("adc"), $"row_id")
+      .groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKByScore(
+        $"adc", $"row_id", shortlist).as("top"))
+      .select($"q_id", explode($"top").as("t"))
+      .select($"q_id", $"t.id".as("row_id"))
+  }
+
+  private[graft] def annAllPqShortlistPlan(queries: DataFrame, nProbe: Int,
+      shortlist: Int, location: Option[String] = None,
+      channel: String = "text"): DataFrame = {
+    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
+    batchPqShortlistOf(ci, qInfo, shortlist, location)
+  }
+
+  /** Exact re-rank of fetched shortlist rows against one query — the
+    * ONE definition both the single-query ([[searchAnnPq]]) and batch
+    * ([[searchAllAnnPq]]) paths use, so their rounding and tie-break
+    * contracts cannot silently diverge. Returns the topN
+    * (rounded score, row) pairs, score-desc / row_id-asc. */
+  private def pqExactReRank(fetched: Seq[org.apache.spark.sql.Row],
+      qv: Array[Double], qnrm: Double, topN: Int)
+      : Seq[(Double, org.apache.spark.sql.Row)] = {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    fetched.map { r =>
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      var d = 0.0; var i = 0
+      while (i < qv.length) { d += qv(i) * v(i); i += 1 }
+      (r4(d / (qnrm * r.getAs[Double]("nrm"))), r)
+    }.sortBy { case (s, r) => (-s, r.getAs[Long]("row_id")) }.take(topN)
   }
 
   /** Shared result shaping for BOTH batch paths ([[searchAll]] and
@@ -728,6 +772,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // exactly the per-query annProbe arithmetic
     val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    // duplicate q_ids would merge two queries' scores into one top-k
+    // group and silently corrupt both result sets — fail loudly
+    require(qs.map(_._1).distinct.length == qs.length,
+      "searchAllAnn: q_id values must be unique (after cast to long)")
     val probeRows: Seq[(Long, Seq[Double], Double, Int)] = qs.toSeq.flatMap {
       case (id, text) =>
         val qv = embedLocal(channel, text)
@@ -871,20 +919,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"content_type", $"content_id", $"content_raw")
       .collect()
     // exact re-rank of ≤ shortlist rows is driver arithmetic, same
-    // rounded-cosine metric as the distributed path
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    fetched.map { r =>
-      val v = r.getSeq[Double](r.fieldIndex("v"))
-      var d = 0.0; var i = 0
-      while (i < qv.length) { d += qv(i) * v(i); i += 1 }
-      (r4(d / (qnrm * r.getAs[Double]("nrm"))), r)
-    }.sortBy { case (s, r) => (-s, r.getAs[Long]("row_id")) }
-      .take(topN).zipWithIndex.map { case ((s, r), i) =>
+    // rounded-cosine metric as the distributed path — shared with the
+    // batch twin via pqExactReRank
+    pqExactReRank(fetched.toSeq, qv, qnrm, topN)
+      .zipWithIndex.map { case ((s, r), i) =>
         ((i + 1).toLong, s, r.getAs[String]("doc_name"),
           r.getAs[Long]("page_num"), r.getAs[String]("content_type"),
           r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
-      }.toSeq.toDF("rnk", "sim_r", "doc_name", "page_num",
+      }.toDF("rnk", "sim_r", "doc_name", "page_num",
         "content_type", "content_id", "content_raw", "channel")
   }
 

@@ -495,6 +495,28 @@ class GraftVectorDBSpec extends AnyFunSuite {
       assert(fl(i.toLong).map(key).toSeq ==
         db.search(t, topN = 5, location = loc).collect().map(key).toSeq)
     }
+    // the batch shortlist is ONE pruned, column-pruned scan — the
+    // 2-scans-for-N-queries claim, pinned like searchAllAnn's
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = db.annAllPqShortlistPlan(queries, nProbe = 3, shortlist = 50)
+      val scans = plan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
+      }
+      assert(scans.size == 1,
+        s"batch ADC shortlist must scan the index once, found ${scans.size}")
+      assert(scans.head.partitionFilters.nonEmpty, "batch ADC scan must prune cells")
+      assert(scans.head.requiredSchema.fieldNames.toSet == Set("row_id", "nrm", "codes"),
+        s"batch ADC scan must stay column-pruned, reads " +
+          scans.head.requiredSchema.fieldNames.mkString(","))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+    // duplicate q_ids fail loudly instead of silently merging shortlists
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("q_id", "q_text")
+    intercept[IllegalArgumentException] { db.searchAllAnnPq(dup) }
+    intercept[IllegalArgumentException] { db.searchAllAnn(dup) }
   }
 
   test("a never-built ANN index fails with a contract error naming buildAnnIndex") {
