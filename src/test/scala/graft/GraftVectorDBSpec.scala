@@ -519,6 +519,27 @@ class GraftVectorDBSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { db.searchAllAnn(dup) }
   }
 
+  test("ANN serving reopens from a fresh session: searchAnn/searchAnnPq identical after 'restart'") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    val warm = key(db.searchAnn("fast query join table", 5, nProbe = 8).collect())
+    val warmPq = key(db.searchAnnPq("fast query join table", 5, 8, rows).collect())
+    // a fresh session + fresh instance = the restart path: everything
+    // the serving cache needs (routing table, codebooks, stamp,
+    // counters) must come off the persisted index, and the cache's
+    // session-identity check must refuse the old session's entry
+    val s2 = spark.newSession()
+    val db2 = new GraftVectorDB(s2, dbDir)
+    assert(key(db2.searchAnn("fast query join table", 5, nProbe = 8).collect()) == warm)
+    assert(key(db2.searchAnnPq("fast query join table", 5, 8, rows).collect()) == warmPq)
+    // drift bookkeeping is persisted state, not session state
+    assert(db2.annAppendFraction("text") == db.annAppendFraction("text"))
+  }
+
   test("a never-built ANN index fails with a contract error naming buildAnnIndex") {
     val d = new GraftVectorDB(spark, "target/vdb_nobuild_spec")
     val e = intercept[IllegalStateException] { d.searchAnn("any query") }
