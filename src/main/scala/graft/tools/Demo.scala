@@ -38,6 +38,23 @@ object Demo {
     db.searchAnn("fast query join table", topN = 5).show(20, 60)
     println(s"[demo] image ANN index over ${db.buildAnnIndex(channel = "image")} rows:")
     db.searchAnnImage("captioned content", topN = 3).show(20, 60)
+    println("[demo] location-filtered ANN search (get_search_range over the index):")
+    db.searchAnn("fast query join table", topN = 3,
+      location = Some("corpus/src1/")).show(20, 60)
+    println("[demo] IVF+PQ search (ADC shortlist + exact re-rank):")
+    db.searchAnnPq("fast query join table", topN = 3).show(20, 60)
+    import spark.implicits._
+    val queries = Seq((0L, "fast query join table"), (1L, "slow merge sort line"),
+      (2L, "hash vector stream")).toDF("q_id", "q_text")
+    println("[demo] batch search - 3 queries, ONE store scan:")
+    db.searchAll(queries, topN = 3).show(20, 60)
+    println("[demo] batch ANN - 3 queries, ONE pruned scan:")
+    db.searchAllAnn(queries, topN = 3).show(20, 60)
+    println("[demo] batch IVF+PQ - 3 queries, two scans total:")
+    db.searchAllAnnPq(queries, topN = 3).show(20, 60)
+    println(f"[demo] drift gauge: ${db.annAppendFraction("text")}%.2fx appended, " +
+      s"needsRebuild=${db.annIndexNeedsRebuild("text")}")
+    println(s"[demo] compactAnnIndex rewrote ${db.compactAnnIndex("text")} rows")
     spark.stop()
   }
 }
