@@ -340,8 +340,11 @@ object AnnIndex {
   }
 
   /** Code for subspace m: argmin L2 to the codebook as
-    * `argmax(<sub,c> - |c|²/2)`; ties to the lowest code. */
-  private[operators] def encodeSub(m: Int, book: Array[Array[Double]]): Column = {
+    * `argmax(<sub,c> - |c|²/2)`; ties to the lowest code. This is the
+    * REFERENCE formulation (M×K slice/dot/argmax Column expressions)
+    * kept as the bit-parity model for [[encodeCodes]]'s fused native
+    * expression — NativeExpressionPropsSpec pins them identical. */
+  private[graft] def encodeSubModel(m: Int, book: Array[Array[Double]]): Column = {
     val sub = slice(col("v"), m * PqSubDim + 1, PqSubDim)
     val scores = book.map { c =>
       dot(sub, typedLit(c.toSeq)) - lit(c.map(x => x * x).sum / 2)
@@ -350,9 +353,16 @@ object AnnIndex {
     (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
-  /** All subspace codes as one array column over vector column `v`. */
+  /** All subspace codes as one array column over vector column `v` —
+    * a single fused native expression
+    * ([[graft.functions.expressions.PqEncode]]): the Column form
+    * expanded to M×K (256) slice+dot+argmax expressions per row, each
+    * entry re-slicing the subvector into a fresh array; the fused loop
+    * allocates nothing but the codes and stays in whole-stage codegen
+    * (measured on the sf0.1 bench across every encode consumer:
+    * ann_pq/ann_pq_exh/ann_ivfpq/ann_ivfpq_exh + the store build). */
   private[operators] def encodeCodes(books: Array[Array[Array[Double]]]): Column =
-    array(books.indices.map(m => encodeSub(m, books(m))): _*)
+    graft.functions.expressions.PqEncode(col("v"), books, PqSubDim)
 
   /** Per-query ADC lookup tables over vector column `v`:
     * dt[m][k] = <v_m, c_{m,k}>. */

@@ -164,6 +164,42 @@ class NativeExpressionPropsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("PqEncode: fused encoder == slice/dot/argmax Column reference == plain model (ties, ragged dims)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val subDim = 4
+    val m = 4; val k = 5
+    // quantized values make score TIES common — the first-max
+    // tie-break is the contract most worth pinning
+    val books = Array.tabulate(m, k, subDim)((_, _, _) => (rnd.nextInt(5) - 2) / 2.0)
+    val vecs = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.tabulate(m * subDim)(_ => (rnd.nextInt(5) - 2) / 2.0)))
+    // ragged lengths: shorter than m·subDim (partial + missing
+    // subspaces), empty, and longer (extra dims ignored)
+    val ragged = Seq((1000L, Seq(0.5)), (1001L, Seq.empty[Double]),
+      (1002L, Seq.tabulate(m * subDim + 3)(_ => 0.25)))
+    val df = (vecs ++ ragged).toDF("id", "v").repartition(4)
+    val got = df.select($"id", PqEncode($"v", books, subDim).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val ref = df.select($"id", array((0 until m).map(i =>
+        graft.operators.AnnIndex.encodeSubModel(i, books(i))): _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == ref, "fused encoder must equal the Column reference bit-for-bit")
+    val model = (vecs ++ ragged).map { case (id, v) =>
+      id -> (0 until m).map { mi =>
+        val base = mi * subDim
+        val scores = books(mi).map { c =>
+          (0 until subDim).map(d =>
+            if (base + d < v.length) v(base + d) * c(d) else 0.0).sum -
+            c.map(x => x * x).sum / 2
+        }
+        scores.indexOf(scores.max)
+      }.toList
+    }.toMap
+    assert(got == model, "fused encoder must equal the plain-Scala model")
+  }
+
   test("ParseGft round-trips arbitrary well-formed containers (unicode bodies, byte offsets)") {
     val pageBody: Gen[String] = for {
       n <- Gen.chooseNum(0, 40)
