@@ -192,14 +192,16 @@ object AnnIndex {
     * `argmax(<v,c> - |c|²/2)` over the routing table, one narrow
     * codegen'd projection: no shuffle, no ML model, so appends and
     * re-assignments never touch the fit path. Ties resolve to the
-    * lowest cell id (array_position: first match). */
+    * lowest cell id (first max). Implemented as [[encodeCodes]]'s
+    * fused expression with ONE subspace of the full vector dim (the
+    * routing table IS a 1-subspace codebook): same score arithmetic,
+    * same truncation semantics, same first-argmax tie-break as the
+    * per-centroid Column formulation it replaces — the argmax index
+    * maps to the cell id through the (ordered) routing table. */
   private[graft] def cellOf(books: Array[(Int, Array[Double])], v: Column): Column = {
-    val scores = books.map { case (_, c) =>
-      dot(v, typedLit(c.toSeq)) - lit(c.map(x => x * x).sum / 2)
-    }
-    val arr = array(scores.toSeq: _*)
-    element_at(typedLit(books.map(_._1).toSeq),
-      array_position(arr, array_max(arr)).cast("int"))
+    val enc = graft.functions.expressions.PqEncode(
+      v, Array(books.map(_._2)), books.head._2.length)
+    element_at(typedLit(books.map(_._1).toSeq), element_at(enc, 1) + 1)
   }
 
   /** Assign cells using an existing routing table. */
