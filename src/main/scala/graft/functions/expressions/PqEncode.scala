@@ -28,6 +28,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * first maximal score wins (strict `>` scan ≡ array_position's first
   * occurrence of the max); a vector shorter than `(m+1)·subDim`
   * contributes only its available dims (≡ slice/dot truncation).
+  *
+  * NaN exclusion: the parity contract covers finite inputs only. The
+  * old `array_max`/`array_position` form treats NaN as the maximum
+  * (a NaN score would win its subspace's argmax), while this `s >
+  * best` scan never selects a NaN score — a vector containing NaN can
+  * encode differently between the two forms. Unreachable here (the
+  * deterministic hash embedders never produce NaN, and no finite
+  * vector yields a NaN dot against finite codebooks), and the fused
+  * behavior — ignore NaN-scoring entries rather than crown them — is
+  * the one a real encoder would want if NaN inputs ever became legal.
   */
 case class PqEncode(child: Expression,
     books: Array[Array[Array[Double]]], subDim: Int)

@@ -208,9 +208,16 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
         $"content_type", $"content_id", $"content_raw")
       .collect()
-    val byId = fetched.map(r => r.getAs[Long]("row_id") -> r).toMap
+    // GROUPED by row_id, not a 1:1 map: an xxhash64(doc_name,
+    // content_type, content_id) collision fetches BOTH rows under one
+    // id, and the single-query path re-ranks every fetched row — a
+    // toMap here would silently drop one of the pair, and .map(byId)
+    // would throw on an id the fetch could not find instead of
+    // degrading the way the single-query path does
+    val byId = fetched.groupBy(_.getAs[Long]("row_id"))
     val outRows = qInfo.flatMap { case (id, qv, qnrm, _, _) =>
-      val cand = shortByQ.getOrElse(id, Set.empty[Long]).toSeq.map(byId)
+      val cand = shortByQ.getOrElse(id, Set.empty[Long]).toSeq
+        .flatMap(rid => byId.getOrElse(rid, Array.empty[org.apache.spark.sql.Row]))
       pqExactReRank(cand, qv, qnrm, topN).zipWithIndex.map { case ((s, r), i) =>
         (id, (i + 1).toLong, s, r.getAs[String]("doc_name"),
           r.getAs[Long]("page_num"), r.getAs[String]("content_type"),
@@ -438,6 +445,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     require(ci.pqBooks.nonEmpty,
       s"ANN index '$channel' predates PQ codes (no _codebooks) — " +
         "rebuild with buildAnnIndex before appending")
+    // an index built before the drift counters landed has no _BUILT:
+    // annAppendFraction would read 0.0 forever — indistinguishable
+    // from a fresh build — and the rebuild policy would stay silent on
+    // exactly the indexes most likely to have accumulated drift. Seed
+    // the baseline once from the pre-append index size (footer-stats
+    // count, no data scan; one-time cost for legacy indexes only).
+    if (!counterExists(channel, "_BUILT")) {
+      val seeded = math.max(0L,
+        ci.index.count() - readCounter(channel, "_APPENDED"))
+      writeCounter(channel, "_BUILT", seeded)
+      log.warn(s"appendAnnIndex('$channel'): index predates drift counters — " +
+        s"seeded _BUILT=$seeded from the current index size; the appended " +
+        "fraction is exact from here (and resets at the next buildAnnIndex)")
+    }
     // scope to the channel like buildAnnIndex: a mixed batch (the
     // shape ingestRecords accepts) must not leak 48-dim image vectors
     // into the 64-dim text index — DotProduct truncates silently, so
@@ -499,6 +520,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * files, absent == 0. */
   private def counterPath(channel: String, name: String) =
     new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids/$name")
+
+  private def counterExists(channel: String, name: String): Boolean = {
+    val p = counterPath(channel, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   private def readCounter(channel: String, name: String): Long = {
     val p = counterPath(channel, name)
@@ -570,6 +596,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // an old beside a live dir means the crash hit before cleanup —
     // the swap completed, drop the superseded copy. Stale tmps are
     // always safe to drop (the rewrite starts over).
+    var recovered = false
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_old_cell="))
       .foreach { st =>
         val live = new org.apache.hadoop.fs.Path(root,
@@ -578,6 +605,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
             s"compactAnnIndex: crash recovery rename ${st.getPath} -> $live failed")
           log.warn(s"compactAnnIndex: restored $live from an interrupted compaction")
+          recovered = true
         } else fs.delete(st.getPath, true)
       }
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_tmp_cell="))
@@ -619,7 +647,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           rewritten += n
         }
       }
-    if (rewritten > 0) bumpIndexGeneration(channel)
+    // bump on RECOVERY too, not just rewrites: the crashed compaction
+    // never stamped a new generation, so a session that listed files
+    // during the orphaned window (cell dir absent lists fine) holds a
+    // cache whose key still matches after the restore — without the
+    // bump it would silently serve without the recovered cell forever
+    if (rewritten > 0 || recovered) bumpIndexGeneration(channel)
     rewritten
   }
 
@@ -943,8 +976,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * invariant (GraftVectorDBSpec). Returns the rows rewritten. */
   def compact(contentType: String, targetFiles: Int = 1,
       zOrdered: Boolean = false): Long = {
+    recoverCompact() // restore any prior compaction's crash leftovers first
     val partDir = s"$storePath/content_type=$contentType"
-    val tmpDir = s"$storePath/.compact_tmp_$contentType"
+    val tmpDir = s"$storePath/.compact_tmp_content_type=$contentType"
+    val oldDir = s"$storePath/.compact_old_content_type=$contentType"
     // reading the partition dir directly excludes the content_type
     // column — exactly what the rewritten files must contain
     val cur = spark.read.parquet(partDir)
@@ -962,17 +997,54 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // the store path's OWN filesystem (a store on s3a/hdfs with a
     // different fs.defaultFS would otherwise delete/rename nothing and
     // report success), and checked results so a failed swap is loud.
+    // Swap via TWO renames with the superseded copy KEPT until the new
+    // one is live — the compactAnnIndex pattern: the old delete-then-
+    // rename order made a crash in between lose the partition's only
+    // blessed copy (absent from serving, recoverable only by hand from
+    // the dot-prefixed tmp dir). recoverCompact() on entry restores an
+    // orphaned partition a crash left behind.
     // CONCURRENCY CONTRACT: maintenance assumes a single writer — run
     // compact() with streaming ingest stopped (an append landing
-    // between delete and rename would be lost); readers in that window
+    // between the renames would be lost); readers in the swap window
     // see the partition briefly absent, not corrupt.
     val part = new org.apache.hadoop.fs.Path(partDir)
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.delete(part, true))
-      throw new java.io.IOException(s"compact: could not remove $partDir")
+    val old = new org.apache.hadoop.fs.Path(oldDir)
+    if (!fs.rename(part, old))
+      throw new java.io.IOException(s"compact: rename $partDir -> $oldDir failed")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), part))
-      throw new java.io.IOException(s"compact: rename $tmpDir -> $partDir failed")
+      throw new java.io.IOException(s"compact: rename $tmpDir -> $partDir failed " +
+        s"(original preserved at $oldDir — rerun to recover)")
+    fs.delete(old, true)
     n
+  }
+
+  /** Crash recovery for [[compact]]'s two-rename swap — same protocol
+    * as compactAnnIndex's recovery-on-entry: a `.compact_old_
+    * content_type=T` whose live partition dir is MISSING means the
+    * crash hit between the two renames — restore it (it is the data's
+    * only blessed copy), so a partition can never silently vanish from
+    * serving; an old beside a live dir means the crash hit before
+    * cleanup — the swap completed, drop the superseded copy. Stale tmp
+    * dirs are always safe to drop (the rewrite starts over). */
+  private def recoverCompact(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(".compact_old_content_type="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          st.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"compact: crash recovery rename ${st.getPath} -> $live failed")
+          log.warn(s"compact: restored $live from an interrupted compaction")
+        } else fs.delete(st.getPath, true)
+      }
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(".compact_tmp_content_type="))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** One query = ONE corpus scan: scoring and metadata ride the same

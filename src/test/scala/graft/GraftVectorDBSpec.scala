@@ -122,6 +122,24 @@ class GraftVectorDBSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
 
+  test("compact recovers a partition orphaned by an interrupted compaction") {
+    assert(firstIngest > 0)
+    val before = db.search("fast query join table", topN = 5).collect().toSeq
+    val rowsBefore = db.store.count()
+    val storeRoot = new java.io.File(db.storePath)
+    val partDir = new java.io.File(storeRoot, "content_type=text_chunk")
+    // simulate the crash window: live dir renamed aside, new copy never
+    // landed — the state a kill between the two renames leaves behind
+    val orphan = new java.io.File(storeRoot, ".compact_old_content_type=text_chunk")
+    assert(partDir.renameTo(orphan))
+    db.compact("text_chunk", targetFiles = 1) // recovery runs on entry
+    assert(partDir.exists(), "the orphaned partition must be restored before the rewrite")
+    assert(!orphan.exists())
+    assert(db.store.count() == rowsBefore, "recovery must not lose rows")
+    assert(db.search("fast query join table", topN = 5).collect().toSeq == before,
+      "recovered store must serve the same results")
+  }
+
   test("ANN index: partition-pruned probe search agrees with the exact scan") {
     assert(firstIngest > 0)
     import spark.implicits._
@@ -411,6 +429,58 @@ class GraftVectorDBSpec extends AnyFunSuite {
     assert(!orphan.exists())
     assert(db.searchAnn("fast query join table", 5, nProbe = 8).collect().toSeq == exact,
       "recovered index must serve the same results")
+  }
+
+  test("compactAnnIndex recovery alone bumps the generation (stale cached listings refresh)") {
+    assert(firstIngest > 0)
+    db.buildAnnIndex(cells = 8)
+    val exact = db.searchAnn("fast query join table", 5, nProbe = 8).collect().toSeq
+    val idxDir = new java.io.File(db.annPath("text"))
+    // orphan the cell the top hit lives in, so its absence is observable
+    import org.apache.spark.sql.functions.col
+    val top = exact.head
+    val topCell = spark.read.parquet(db.annPath("text"))
+      .filter(col("doc_name") === top.getAs[String]("doc_name") &&
+        col("content_id") === top.getAs[String]("content_id"))
+      .select("cell").head().getInt(0)
+    val cellDir = new java.io.File(idxDir, s"cell=$topCell")
+    val orphan = new java.io.File(idxDir, s".compact_old_${cellDir.getName}")
+    assert(cellDir.renameTo(orphan))
+    // a FRESH session builds its cached file listing DURING the
+    // orphaned window (an absent dir lists fine — no error), and the
+    // crashed compaction never stamped a new generation, so its cache
+    // key would still match after a recovery that does not bump
+    val s2 = spark.newSession()
+    val db2 = new GraftVectorDB(s2, dbDir)
+    val during = db2.searchAnn("fast query join table", 5, nProbe = 8).collect().toSeq
+    assert(during != exact, "the orphaned cell held top hits — the window must be observable")
+    // recovery with nothing fragmented: rewritten == 0, restore only
+    val rewritten = db.compactAnnIndex("text", targetFiles = 1000)
+    assert(rewritten == 0, "nothing should need a rewrite in this state")
+    assert(new java.io.File(idxDir, cellDir.getName).exists())
+    // without the recovery-path generation bump the cached listing from
+    // the orphaned window would keep serving without the restored cell
+    assert(db2.searchAnn("fast query join table", 5, nProbe = 8).collect().toSeq == exact,
+      "recovery must invalidate cached serving frames built during the orphaned window")
+  }
+
+  test("appendAnnIndex seeds _BUILT for a legacy index missing the drift counters") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    val builtRows = spark.read.parquet(db.annPath("text")).count()
+    // a pre-counter index: _BUILT (and any _APPENDED) absent
+    val cDir = new java.io.File(db.annPath("text"), "_centroids")
+    Seq("_BUILT", "_APPENDED").foreach(n => new java.io.File(cDir, n).delete())
+    assert(db.annAppendFraction("text") == 0.0)
+    val docs = Seq((900001L, "legacy index seeded baseline doc fast join", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(db.appendAnnIndex(GraftVectorDB.pipeline(docs)) == 1)
+    // the baseline was seeded from the pre-append index size, so the
+    // drift gauge is live from this append on instead of stuck at 0.0
+    val frac = db.annAppendFraction("text")
+    assert(math.abs(frac - 1.0 / builtRows) < 1e-12,
+      s"expected seeded fraction ${1.0 / builtRows}, got $frac")
   }
 
   test("searchAllAnn: N queries, ONE pruned scan, per-query parity with searchAnn") {
