@@ -73,6 +73,13 @@ object SparkEntry {
       Dedup.embedPairs(s, dir, audit = true)
     }),
     "dd_embed_lsh" -> ((s: SparkSession, dir: String) => Dedup.embedPairs(s, dir)),
+    // the scale-adaptive config: geometry derived from the corpus row
+    // count (footer stats) so bucket occupancy — and candidate work per
+    // vector — stays bounded as the corpus grows. Rows-only: at the
+    // oracle-checked scales it IS the pinned dd_embed_lsh plan
+    // (DedupExactnessSpec pins result-identity there), and the pinned
+    // entry's oracle hash-checks that shared machinery
+    "dd_embed_lsha" -> ((s: SparkSession, dir: String) => Dedup.embedPairsAdaptive(s, dir)),
     "tx_langid" -> (TextAnalysis.langId _),
     "tx_quality" -> (TextAnalysis.quality _),
     "tx_tokens" -> (TextAnalysis.tokenCounts _),

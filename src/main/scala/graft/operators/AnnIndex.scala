@@ -487,7 +487,7 @@ object AnnIndex {
 
   /** Deterministic pseudo-random hyperplane component: md5-derived in
     * [-1, 1), so index build is reproducible with no RNG state. */
-  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+  private[operators] def planeComponent(t: Int, p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane:$t:$p:$d".getBytes("UTF-8"))
     val x = java.nio.ByteBuffer.wrap(md).getInt(0)
@@ -502,6 +502,14 @@ object AnnIndex {
     val plane = (0 until 64).map(d => planeComponent(t, p, d)).toArray.toSeq
     when(dot(col("v"), typedLit(plane)) >= 0, lit(1)).otherwise(lit(0))
   }
+
+  /** The (tables × planes × 64) hyperplane matrix of the SAME
+    * md5-derived family [[bit]] draws from — the reference-object form
+    * the fused [[graft.functions.expressions.RpSignature]] expression
+    * carries, so signature strings stay bit-identical to the per-plane
+    * Column formulation at any geometry. */
+  private[graft] def planeMatrix(tables: Int, planes: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, planes, 64)(planeComponent)
 
   /** Bucket key for table t, with optional 1-bit flip at `flip`. */
   private def key(t: Int, flip: Int = -1): Column = {

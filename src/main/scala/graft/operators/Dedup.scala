@@ -225,12 +225,56 @@ object Dedup {
     * the figure DedupExactnessSpec measures; at this corpus's
     * adversarial 0.35 threshold it evaluates to 0.18 (measured 0.25:
     * real pairs sit above the floor). Pure driver arithmetic. */
-  def signatureRecallBound(cosine: Double): Double = {
+  def signatureRecallBound(cosine: Double): Double =
+    signatureRecallBound(cosine, EmbedLshPlanes, EmbedLshTables)
+
+  /** The same Goemans–Williamson floor for ANY `tables`×`planes`-bit
+    * 1-bit-multiprobe geometry — the function the adaptive sizing
+    * inverts to keep recall pinned while planes grow with the corpus. */
+  def signatureRecallBound(cosine: Double, planes: Int, tables: Int): Double = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
-    val table = math.pow(p, EmbedLshPlanes) +
-      EmbedLshPlanes * math.pow(p, EmbedLshPlanes - 1) * (1.0 - p)
-    1.0 - math.pow(1.0 - table, EmbedLshTables)
+    val table = math.pow(p, planes) +
+      planes * math.pow(p, planes - 1) * (1.0 - p)
+    1.0 - math.pow(1.0 - table, tables)
   }
+
+  /** Scale-adaptive geometry. The pinned [[EmbedLshTables]] ×
+    * [[EmbedLshPlanes]] above is CALIBRATED (expected bucket occupancy
+    * [[EmbedLshOccupancy]] at the 2k-vector benchmark corpus) but
+    * FIXED — and with fixed planes, per-bucket population grows
+    * linearly with the corpus while in-bucket candidate pairs grow
+    * quadratically in occupancy: the measured 7.7× wall at 10× data
+    * (SURVEY §8 round-5 audit). The fix is the one the geometry note
+    * always promised: raise planes with log₂(n) so occupancy stays
+    * bounded (candidate work stays O(n)), and raise tables with the
+    * analytic recall bound so the cos-0.9 operating point keeps its
+    * floor — tables grow only ~linearly in planes, so signature cost
+    * grows log², not n².
+    *
+    *  - [[adaptivePlanes]]: smallest plane count keeping expected
+    *    occupancy `n / 2^planes` ≤ [[EmbedLshOccupancy]], floored at
+    *    the pinned 12 (a smaller corpus only under-fills buckets).
+    *  - [[adaptiveTables]]: smallest table count whose
+    *    [[signatureRecallBound]] at cos [[EmbedOperatingCosine]]
+    *    clears [[EmbedRecallFloor]] — the pinned geometry's own floor
+    *    (0.994), so growing the corpus never lowers the recall
+    *    contract.
+    *
+    * At the oracle-checked scales (n ≤ 2048) both return the PINNED
+    * geometry — the adaptive path and the hash-checked dd_embed_lsh
+    * entry are the same plan there (spec-pinned); the geometry only
+    * departs once the corpus outgrows the calibration anchor. */
+  val EmbedLshOccupancy = 0.5
+  val EmbedOperatingCosine = 0.9
+  val EmbedRecallFloor = 0.99
+
+  def adaptivePlanes(n: Long): Int =
+    math.max(EmbedLshPlanes, math.ceil(
+      math.log(math.max(1.0, n / EmbedLshOccupancy)) / math.log(2.0)).toInt)
+
+  def adaptiveTables(planes: Int): Int =
+    Iterator.from(1).find(t =>
+      signatureRecallBound(EmbedOperatingCosine, planes, t) >= EmbedRecallFloor).get
 
   /** Whether a threshold sits below the range the signature geometry
     * serves with high recall — the guard [[embedPairsOf]] logs on:
@@ -252,11 +296,40 @@ object Dedup {
   def embedPairs(spark: SparkSession, dir: String): DataFrame =
     embedPairs(spark, dir, audit = false)
 
-  def embedPairs(spark: SparkSession, dir: String, audit: Boolean): DataFrame = {
+  /** (vec_id, v, nrm) over the embeddings table — shared by the
+    * pinned, adaptive, and audit configs. */
+  private def embedVecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables.spread(Tables.load(spark, dir, "embeddings"))
+    Tables.spread(Tables.load(spark, dir, "embeddings"))
       .select($"vec_id", toDouble($"embedding").as("v"))
       .withColumn("nrm", l2Norm($"v"))
+  }
+
+  /** The scale-adaptive config of [[embedPairs]]: same plan, geometry
+    * derived from the corpus row count (parquet footer stats — no data
+    * scan) via [[adaptivePlanes]]/[[adaptiveTables]]. At the
+    * oracle-checked scales this IS the pinned plan (spec-pinned
+    * result-identical); past the calibration anchor it holds bucket
+    * occupancy — and therefore candidate work per vector — constant
+    * where the fixed geometry's grows linearly. */
+  def embedPairsAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // count() on a parquet relation folds to footer statistics — a
+    // driver-side metadata job, not a corpus scan
+    val n = Tables.load(spark, dir, "embeddings").count()
+    val planes = adaptivePlanes(n)
+    val tables = adaptiveTables(planes)
+    if (planes != EmbedLshPlanes || tables != EmbedLshTables)
+      log.info(s"embedPairsAdaptive: corpus $n vectors -> ${tables}x$planes-bit " +
+        f"signatures (pinned ${EmbedLshTables}x$EmbedLshPlanes; analytic recall " +
+        f"floor at cos $EmbedOperatingCosine%.1f = " +
+        f"${signatureRecallBound(EmbedOperatingCosine, planes, tables)}%.3f)")
+    embedPairsOf(embedVecs(spark, dir), EmbedThreshold, tables, planes)
+  }
+
+  def embedPairs(spark: SparkSession, dir: String, audit: Boolean): DataFrame = {
+    import spark.implicits._
+    val v = embedVecs(spark, dir)
     if (audit) {
       val a = v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
       val b = v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
@@ -278,33 +351,69 @@ object Dedup {
   private[graft] def embedPairsOf(v: DataFrame): DataFrame =
     embedPairsOf(v, EmbedThreshold)
 
-  private[graft] def embedPairsOf(v: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def embedPairsOf(v: DataFrame, threshold: Double): DataFrame =
+    embedPairsOf(v, threshold, EmbedLshTables, EmbedLshPlanes)
+
+  /** The persisted (vec_id, sg: array of per-table signature strings)
+    * frame plus its base/probe bucket-key sides — shared by the pair
+    * path and the candidate diagnostic. Signatures come from the fused
+    * [[graft.functions.expressions.RpSignature]] expression: ONE
+    * codegen'd pass over a plane-matrix reference object. The per-plane
+    * Column form (tables × planes `when(dot ≥ 0)` exprs, each with a
+    * 64-double literal) stays inside whole-stage codegen at the pinned
+    * 8×12 geometry but falls out of it as the adaptive geometry grows
+    * — measured 2× worse wall at sf1 despite 5.6× fewer candidates —
+    * while the fused form's generated code is constant-size in the
+    * geometry (and bit-identical: the dd_embed_lsh oracle hash-checks
+    * it end-to-end). */
+  private def signatureSides(v: DataFrame, tables: Int, planes: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = v.sparkSession
     import spark.implicits._
-    if (belowLshRange(threshold))
-      log.warn(f"embedPairs: threshold $threshold%.2f is below the " +
-        f"${EmbedLshTables}x$EmbedLshPlanes-bit signature geometry's effective range " +
-        f"(analytic recall floor ${signatureRecallBound(threshold)}%.2f < 0.9) - " +
-        "pairs returned will be incomplete; use audit = true (exact, test-scale) " +
-        "or raise EmbedLshTables / lower EmbedLshPlanes for low-threshold recall")
-    val sigCols = (0 until EmbedLshTables).map(t =>
-      concat_ws("", (0 until EmbedLshPlanes).map(p =>
-        AnnIndex.bit(t, p).cast("string")): _*))
-    val sigs = v.select($"vec_id", array(sigCols: _*).as("sg"))
+    val sigs = v.select($"vec_id", graft.functions.expressions.RpSignature(
+        $"v", AnnIndex.planeMatrix(tables, planes)).as("sg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = sigs.select($"vec_id", posexplode($"sg")).toDF("vec_id", "t", "sig")
       .select($"vec_id", concat($"t".cast("string"), lit(":"), $"sig").as("bkey"))
     // probe side: own signature + every 1-bit flip, so the equi-join
     // reaches all pairs within hamming ≤ 1 of a table's signature
     val flips = sigs.select($"vec_id", posexplode($"sg")).toDF("vec_id", "t", "sig")
-      .select($"vec_id", explode(array((-1 until EmbedLshPlanes).map { f =>
+      .select($"vec_id", explode(array((-1 until planes).map { f =>
         val s =
           if (f < 0) $"sig"
           else concat(substring($"sig", 1, f),
             (lit(1) - substring($"sig", f + 1, 1).cast("int")).cast("string"),
-            substring($"sig", f + 2, EmbedLshPlanes))
+            substring($"sig", f + 2, planes))
         concat($"t".cast("string"), lit(":"), s)
       }: _*)).as("bkey"))
+    (sigs, base, flips)
+  }
+
+  /** Candidate-pair count a geometry generates on a corpus — the
+    * diagnostic behind the adaptive sizing (tools/GeomProbe). */
+  private[graft] def candidateCount(spark: SparkSession, dir: String,
+      tables: Int, planes: Int): Long = {
+    import spark.implicits._
+    val (sigs, base, flips) = signatureSides(embedVecs(spark, dir), tables, planes)
+    val out = flips.select($"vec_id".as("a_id"), $"bkey")
+      .join(base.select($"vec_id".as("b_id"), $"bkey"), "bkey")
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct().count()
+    sigs.unpersist(blocking = false)
+    out
+  }
+
+  private[graft] def embedPairsOf(v: DataFrame, threshold: Double,
+      tables: Int, planes: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    if (signatureRecallBound(threshold, planes, tables) < 0.9)
+      log.warn(f"embedPairs: threshold $threshold%.2f is below the " +
+        f"${tables}x$planes-bit signature geometry's effective range " +
+        f"(analytic recall floor ${signatureRecallBound(threshold, planes, tables)}%.2f < 0.9) - " +
+        "pairs returned will be incomplete; use audit = true (exact, test-scale) " +
+        "or raise tables / lower planes for low-threshold recall")
+    val (sigs, base, flips) = signatureSides(v, tables, planes)
     val cand = flips.select($"vec_id".as("a_id"), $"bkey")
       .join(base.select($"vec_id".as("b_id"), $"bkey"), "bkey")
       .filter($"a_id" < $"b_id")

@@ -84,6 +84,59 @@ class DedupExactnessSpec extends AnyFunSuite {
     assert(floors.zip(floors.tail).forall { case (a, b) => a <= b + 1e-12 })
   }
 
+  test("adaptive embed-LSH geometry: pinned at check scales, occupancy-bounded past them, floor held") {
+    import spark.implicits._
+    // at the calibration anchor (and below) the adaptive sizing IS the
+    // pinned hash-checked geometry — oracle continuity
+    Seq(1L, 500L, 2000L).foreach(n =>
+      assert(Dedup.adaptivePlanes(n) == Dedup.EmbedLshPlanes, s"n=$n"))
+    assert(Dedup.adaptiveTables(Dedup.EmbedLshPlanes) == Dedup.EmbedLshTables)
+    // growth: 10× the anchor corpus raises planes by ~log₂(10), and
+    // expected bucket occupancy n/2^planes stays at the anchor bound —
+    // the property whose absence made the fixed geometry scale 7.7×
+    val ns = Seq(500L, 2000L, 20000L, 200000L, 2000000L, 100000000000L)
+    ns.foreach { n =>
+      val p = Dedup.adaptivePlanes(n)
+      assert(n.toDouble / math.pow(2.0, p) <= Dedup.EmbedLshOccupancy + 1e-9,
+        s"occupancy unbounded at n=$n (planes=$p)")
+      // every derived geometry keeps the pinned recall floor at the
+      // cos-0.9 operating point — growing the corpus never lowers the
+      // recall contract
+      val t = Dedup.adaptiveTables(p)
+      assert(Dedup.signatureRecallBound(Dedup.EmbedOperatingCosine, p, t)
+        >= Dedup.EmbedRecallFloor, s"floor broken at n=$n ($t x $p)")
+    }
+    val ps = ns.map(Dedup.adaptivePlanes)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "planes must be monotone")
+    assert(Dedup.adaptivePlanes(20000) > Dedup.EmbedLshPlanes,
+      "the sf1-sized corpus must actually grow the geometry")
+    // result identity where the gate checks: the adaptive entry runs
+    // the SAME plan as the hash-checked dd_embed_lsh at this scale
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val pinned = Dedup.embedPairs(spark, sf).collect().map(key).toSet
+    val adaptive = Dedup.embedPairsAdaptive(spark, sf).collect().map(key).toSet
+    assert(adaptive == pinned, "adaptive config must match the pinned plan at check scale")
+    // planted near-dups (cos ≥ 0.99) through a GROWN geometry (the
+    // sf1-sized 13×16): recall stays 1.0 — the floor is analytic, the
+    // planted outcome deterministic (md5 planes)
+    val grownPlanes = Dedup.adaptivePlanes(20000)
+    val grownTables = Dedup.adaptiveTables(grownPlanes)
+    val v = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
+      .limit(100)
+    val planted = v.select(($"vec_id" + 1000000).as("vec_id"),
+      transform($"v", (x, i) =>
+        x + (pmod(xxhash64($"vec_id", i), lit(1000)).cast("double") / 1000 - 0.5) * 0.04).as("v"))
+    val both = v.unionByName(planted)
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm($"v"))
+    val found = Dedup.embedPairsOf(both, Dedup.EmbedThreshold, grownTables, grownPlanes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = v.select($"vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000)).toSet
+    assert((found & expected) == expected,
+      s"grown geometry missed planted near-dups: ${expected -- found}")
+  }
+
   test("approx sketches within tolerance of exact counterparts") {
     import spark.implicits._
     val approx = Relational.approxStats(spark, sf).collect()

@@ -200,6 +200,40 @@ class NativeExpressionPropsSpec extends AnyFunSuite {
     assert(got == model, "fused encoder must equal the plain-Scala model")
   }
 
+  test("RpSignature: fused signatures == per-plane Column reference == plain model (ragged dims)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val tables = 3; val planes = 5
+    val mat = graft.operators.AnnIndex.planeMatrix(tables, planes)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.tabulate(64)(_ => rnd.nextDouble() * 2 - 1)))
+    // ragged lengths: shorter than the 64-dim planes (prefix dot),
+    // empty (all-zero dot -> all '1': 0.0 >= 0), and longer (extra
+    // dims ignored — the min-length contract)
+    val ragged = Seq((1000L, Seq(0.5, -0.25)), (1001L, Seq.empty[Double]),
+      (1002L, Seq.tabulate(70)(_ => -0.1)))
+    val df = (vecs ++ ragged).toDF("id", "v").repartition(4)
+    val got = df.select($"id", RpSignature($"v", mat).as("sg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // the replaced formulation: per-plane when(dot >= 0) literals
+    val refCols = (0 until tables).map(t => concat_ws("", (0 until planes).map(p =>
+      when(DotProduct($"v", typedLit(mat(t)(p).toSeq)) >= 0, lit(1))
+        .otherwise(lit(0)).cast("string")): _*))
+    val ref = df.select($"id", array(refCols: _*).as("sg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == ref, "fused signatures must equal the Column reference bit-for-bit")
+    val model = (vecs ++ ragged).map { case (id, v) =>
+      id -> mat.map(tbl => tbl.map { plane =>
+        val n = math.min(v.length, plane.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += v(i) * plane(i); i += 1 }
+        if (acc >= 0) '1' else '0'
+      }.mkString).toList
+    }.toMap
+    assert(got == model, "fused signatures must equal the plain-Scala model")
+  }
+
   test("ParseGft round-trips arbitrary well-formed containers (unicode bodies, byte offsets)") {
     val pageBody: Gen[String] = for {
       n <- Gen.chooseNum(0, 40)
