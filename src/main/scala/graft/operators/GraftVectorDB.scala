@@ -589,27 +589,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       s"no ANN index for '$channel' — run buildAnnIndex first")
     val root = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover any prior compaction's crash leftovers FIRST: a
-    // `.compact_old_cell=N` whose live dir is missing means the crash
-    // hit between the two renames — restore it (the data's only
-    // blessed copy), so a cell can never silently vanish from serving;
-    // an old beside a live dir means the crash hit before cleanup —
-    // the swap completed, drop the superseded copy. Stale tmps are
-    // always safe to drop (the rewrite starts over).
-    var recovered = false
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_old_cell="))
-      .foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(root,
-          st.getPath.getName.stripPrefix(".compact_old_"))
-        if (!fs.exists(live)) {
-          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
-            s"compactAnnIndex: crash recovery rename ${st.getPath} -> $live failed")
-          log.warn(s"compactAnnIndex: restored $live from an interrupted compaction")
-          recovered = true
-        } else fs.delete(st.getPath, true)
-      }
-    fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_tmp_cell="))
-      .foreach(st => fs.delete(st.getPath, true))
+    val recovered = recoverAnnIndex(fs, root)
     var rewritten = 0L
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -631,19 +611,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
             else cur.repartitionByRange(targetFiles, $"doc_name", $"row_id")
           laid.sortWithinPartitions("doc_name", "row_id")
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          // swap via two renames with the superseded copy KEPT until
-          // the new one is live (a delete-then-rename order would make
-          // a crash in between lose the cell's only copy, recoverable
-          // only by a full rebuild — and silently, since a missing
-          // cell just vanishes from results rather than erroring)
-          if (!fs.rename(cellDir, old))
-            throw new java.io.IOException(
-              s"compactAnnIndex: rename $cellDir -> $old failed")
-          if (!fs.rename(tmp, cellDir))
-            throw new java.io.IOException(
-              s"compactAnnIndex: rename $tmp -> $cellDir failed " +
-                s"(original preserved at $old — rerun to recover)")
-          fs.delete(old, true)
+          swapDir(fs, cellDir, tmp, old, "compactAnnIndex")
           rewritten += n
         }
       }
@@ -651,9 +619,167 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // never stamped a new generation, so a session that listed files
     // during the orphaned window (cell dir absent lists fine) holds a
     // cache whose key still matches after the restore — without the
-    // bump it would silently serve without the recovered cell forever
+    // bump it would silently serve without the restored cell forever
     if (rewritten > 0 || recovered) bumpIndexGeneration(channel)
     rewritten
+  }
+
+  /** Crash recovery for the per-cell two-rename swap — shared by
+    * [[compactAnnIndex]] and [[deleteWhere]]'s index cleanup, which
+    * use the same `.compact_old_cell=` / `.compact_tmp_cell=` protocol:
+    * an old whose live dir is MISSING means the crash hit between the
+    * two renames — restore it (the data's only blessed copy), so a
+    * cell can never silently vanish from serving; an old beside a live
+    * dir means the crash hit before cleanup — the swap completed, drop
+    * the superseded copy. Stale tmps are always safe to drop (the
+    * rewrite starts over). Returns whether any cell was restored. */
+  private def recoverAnnIndex(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    var recovered = false
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_old_cell="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          st.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"ANN index crash recovery: rename ${st.getPath} -> $live failed")
+          log.warn(s"ANN index: restored $live from an interrupted rewrite")
+          recovered = true
+        } else fs.delete(st.getPath, true)
+      }
+    fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_tmp_cell="))
+      .foreach(st => fs.delete(st.getPath, true))
+    recovered
+  }
+
+  /** Two-rename dir swap with the superseded copy KEPT until the
+    * replacement is live (a delete-then-rename order would make a
+    * crash in between lose the dir's only copy — silently, since a
+    * missing partition/cell just vanishes from results rather than
+    * erroring). The matching recovery-on-entry loops restore `old` if
+    * the second rename never ran. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, op: String): Unit = {
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"$op: rename $live -> $old failed")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"$op: rename $tmp -> $live failed " +
+        s"(original preserved at $old — rerun to recover)")
+    fs.delete(old, true)
+  }
+
+  /** Document deletion — the takedown/GDPR lifecycle op a store
+    * operated for years needs, WITHOUT a full rebuild:
+    *
+    *  - store: only the content_type partitions holding matching rows
+    *    are rewritten (per-partition anti-join, `compact()`'s
+    *    two-rename swap and crash-recovery protocol; untouched
+    *    partitions' files are neither read nor moved);
+    *  - every BUILT channel's ANN index drops the same rows —
+    *    O(touched cells), the compactAnnIndex protocol — so
+    *    approximate search can never resurface a deleted document;
+    *  - the content-hash "seen" set IS the store rows, so deleting a
+    *    document frees its hash: a re-ingest of the same content is
+    *    allowed again (file_already_processed follows the store,
+    *    vector_db.py:420-434). Partial deletes (some chunks of a doc)
+    *    keep the doc's hash present — whole-document deletion is the
+    *    unit with re-ingest semantics.
+    *
+    * Removing rows does not degrade index geometry (remaining rows
+    * keep their build-time cells), so the drift gauge is untouched; a
+    * `_DELETED` counter accumulates beside the routing table for
+    * observability, and [[compactAnnIndex]] reclaims now-sparse cells.
+    *
+    * The predicate may reference exactly the columns BOTH the store
+    * and the index carry — doc_name, page_num, content_type,
+    * content_id, content_raw — validated eagerly so the index cleanup
+    * cannot fail half-way. Rows where the predicate is NULL are KEPT
+    * (not silently dropped). The index cleanup runs even when the
+    * store matched nothing, so a crash between the store rewrite and
+    * the index cleanup converges by re-running the same delete.
+    * Single-writer contract, same as compact(). Returns store rows
+    * removed. */
+  def delete(docNames: Seq[String]): Long = {
+    require(docNames.nonEmpty, "delete: empty doc_name list")
+    deleteWhere(col("doc_name").isin(docNames: _*))
+  }
+
+  def deleteWhere(cond: Column): Long = {
+    recoverCompact() // restore any prior rewrite's crash leftovers first
+    // fail fast if the predicate references store-only columns
+    // (file_hash/ts/bbox): it would succeed on the store and then blow
+    // up half-way through the index cleanup
+    store.select("doc_name", "page_num", "content_type", "content_id",
+      "content_raw").limit(0).filter(cond).queryExecution.assertAnalyzed()
+    // NULL-safe forms: a predicate evaluating to NULL must neither
+    // count a row as deleted nor drop it from the rewrite
+    val hit = coalesce(cond, lit(false))
+    val keep = !hit
+    // ONE column-pruned scan finds the touched partitions + counts
+    val touched = store.filter(hit).groupBy($"content_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.keys.toSeq.sorted.foreach { ct =>
+      val partDir = new org.apache.hadoop.fs.Path(s"$storePath/content_type=$ct")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$storePath/.compact_tmp_content_type=$ct")
+      val old = new org.apache.hadoop.fs.Path(
+        s"$storePath/.compact_old_content_type=$ct")
+      val nFiles = math.max(1, fs.listStatus(partDir)
+        .count(_.getPath.getName.endsWith(".parquet")))
+      // the partition read excludes content_type — restore it so the
+      // predicate can reference it, drop it again before the write
+      val remaining = spark.read.parquet(partDir.toString)
+        .withColumn("content_type", lit(ct))
+        .filter(keep).drop("content_type")
+      // preserve the doc_name-sorted layout (and file count) location
+      // filters' row-group skipping depends on
+      remaining.repartitionByRange(nFiles, $"doc_name", $"page_num")
+        .sortWithinPartitions("doc_name", "page_num")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapDir(fs, partDir, tmp, old, "deleteWhere")
+    }
+    // index cleanup ALWAYS runs (see scaladoc: rerun-to-converge after
+    // a crash between the store rewrite and this point)
+    Seq("text", "image").filter(annIndexBuilt)
+      .foreach(ch => deleteFromAnnIndex(ch, hit, keep))
+    touched.values.sum
+  }
+
+  /** Drop matching rows from one channel's ANN index: ONE column-pruned
+    * scan finds the touched cells, each touched cell rewrites via the
+    * compactAnnIndex swap protocol (O(touched cells) — untouched cells'
+    * files are neither read nor moved), generation bumps so every
+    * session's cached serving frame re-lists files. */
+  private def deleteFromAnnIndex(channel: String, hit: Column, keep: Column): Long = {
+    val root = new org.apache.hadoop.fs.Path(annPath(channel))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recovered = recoverAnnIndex(fs, root)
+    val ci = cachedIndex(channel)
+    val touchedCells = ci.index.filter(hit).select($"cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    var removed = 0L
+    touchedCells.foreach { c =>
+      val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_cell=$c")
+      val old = new org.apache.hadoop.fs.Path(root, s".compact_old_cell=$c")
+      val cur = spark.read.parquet(cellDir.toString)
+      val before = cur.count() // footer-stats count, no data scan
+      // single doc_name-sorted file per rewritten cell — the layout
+      // compactAnnIndex restores (a delete is a compaction opportunity)
+      cur.filter(keep).repartition(1)
+        .sortWithinPartitions("doc_name", "row_id")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapDir(fs, cellDir, tmp, old, s"deleteFromAnnIndex($channel)")
+      removed += before - spark.read.parquet(cellDir.toString).count()
+    }
+    if (touchedCells.nonEmpty || recovered) bumpIndexGeneration(channel)
+    if (removed > 0)
+      writeCounter(channel, "_DELETED", readCounter(channel, "_DELETED") + removed)
+    removed
   }
 
   /** The one channel→predicate mapping, shared by build and append so
@@ -1009,13 +1135,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // see the partition briefly absent, not corrupt.
     val part = new org.apache.hadoop.fs.Path(partDir)
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(oldDir)
-    if (!fs.rename(part, old))
-      throw new java.io.IOException(s"compact: rename $partDir -> $oldDir failed")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpDir), part))
-      throw new java.io.IOException(s"compact: rename $tmpDir -> $partDir failed " +
-        s"(original preserved at $oldDir — rerun to recover)")
-    fs.delete(old, true)
+    swapDir(fs, part, new org.apache.hadoop.fs.Path(tmpDir),
+      new org.apache.hadoop.fs.Path(oldDir), "compact")
     n
   }
 

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.ContentTypes
+import graft.operators.GraftVectorDB
+
+/** Document deletion — the takedown/GDPR lifecycle op: deleted docs
+  * vanish from every serving path (exact, ANN, PQ, both channels)
+  * without a rebuild, untouched partitions/cells are not rewritten,
+  * the freed content hash allows re-ingest, and the maintenance
+  * machinery (drift gauge, crash recovery) stays consistent. */
+class DeletionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dbDir = "target/vdb_delete_spec"
+  private lazy val db = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val root = new java.io.File(dbDir)
+    if (root.exists()) rm(root)
+    val d = new GraftVectorDB(spark, dbDir)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(d.ingest(docs.filter(col("doc_id") < 200)) > 0)
+    // an image batch (with captions into the text channel) so both
+    // channels and all three content types are live
+    val img = GraftVectorDB.toImageChannel(
+      GraftVectorDB.pipeline(docs.filter(col("doc_id") >= 400))
+        .filter(col("page_num") === 0))
+    assert(d.ingestRecords(img.unionByName(GraftVectorDB.captionRows(img))) > 0)
+    d.buildAnnIndex(cells = 8, channel = "text")
+    d.buildAnnIndex(cells = 4, channel = "image")
+    d
+  }
+
+  private val q = "fast query join table"
+
+  test("delete removes docs from every serving path on both channels, without a rebuild") {
+    import spark.implicits._
+    // delete the top text hit and the top image hit — absence is then
+    // observable on every path
+    val topText = db.search(q, 1).head().getAs[String]("doc_name")
+    val topImage = db.searchImage(q, 1).head().getAs[String]("doc_name")
+    val victims = Seq(topText, topImage).distinct
+    val expect = db.store.filter($"doc_name".isin(victims: _*)).count()
+    assert(expect > 0)
+    val rowsBefore = db.store.count()
+    val idxTextBefore = spark.read.parquet(db.annPath("text")).count()
+
+    val removed = db.delete(victims)
+    assert(removed == expect, s"expected $expect rows removed, got $removed")
+    assert(db.store.count() == rowsBefore - removed)
+    assert(db.store.filter($"doc_name".isin(victims: _*)).count() == 0)
+
+    // exact paths
+    def names(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[String]("doc_name")).toSet
+    assert(!names(db.search(q, 10).collect()).exists(victims.contains))
+    assert(!names(db.searchImage(q, 10).collect()).exists(victims.contains))
+    assert(!names(db.searchMultimodal(q, 10).collect()).exists(victims.contains))
+    // ANN paths, full probe: must equal the exact search over the
+    // remaining corpus — deletion preserves the index ≡ store contract
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    assert(key(db.searchAnn(q, 5, nProbe = 8).collect()) ==
+      key(db.search(q, 5).collect()))
+    assert(key(db.searchAnnImage(q, 5, nProbe = 4).collect()) ==
+      key(db.searchImage(q, 5).collect()))
+    // PQ path: exhaustive config == exact search
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    assert(key(db.searchAnnPq(q, 5, 8, rows).collect()) ==
+      key(db.search(q, 5).collect()))
+    // index rows dropped, counter recorded
+    assert(spark.read.parquet(db.annPath("text")).count() < idxTextBefore)
+    assert(spark.read.parquet(db.annPath("text"))
+      .filter($"doc_name".isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(db.annPath("image"))
+      .filter($"doc_name".isin(victims: _*)).count() == 0)
+    // drift gauge still sane (deletes do not poison it)
+    assert(db.annAppendFraction("text") >= 0.0)
+  }
+
+  test("delete touches only the cells holding victims; untouched cells' files unmoved") {
+    import spark.implicits._
+    // compact first so every cell is a single file with a stable mtime
+    db.compactAnnIndex("text", targetFiles = 1)
+    val idxDir = new java.io.File(db.annPath("text"))
+    def cellFiles: Map[String, java.io.File] = idxDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).head)
+      .toMap
+    val victim = db.search(q, 1).head().getAs[String]("doc_name")
+    val victimCells = spark.read.parquet(db.annPath("text"))
+      .filter($"doc_name" === victim).select($"cell").distinct()
+      .collect().map(r => s"cell=${r.getInt(0)}").toSet
+    assert(victimCells.nonEmpty)
+    val untouched = cellFiles.filterNot { case (c, _) => victimCells.contains(c) }
+    assert(untouched.nonEmpty, "need untouched cells for the O(touched) assertion")
+    val mtimes = untouched.map { case (c, f) => c -> f.lastModified }
+    assert(db.delete(Seq(victim)) > 0)
+    val after = cellFiles
+    mtimes.foreach { case (c, t) =>
+      assert(after(c).lastModified == t, s"delete rewrote untouched cell $c")
+    }
+    // store partitions not holding victims are untouched too: the
+    // image partition had no rows of a text-chunk doc
+    assert(db.store.filter($"doc_name" === victim).count() == 0)
+  }
+
+  test("deleting a doc frees its content hash: re-ingest is allowed again") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") === 7)
+    val name = GraftVectorDB.pipeline(docs).select($"doc_name").head().getString(0)
+    assert(db.store.filter($"doc_name" === name).count() > 0)
+    // re-ingest while present: skipped (already-processed)
+    assert(db.ingest(docs) == 0)
+    val removed = db.delete(Seq(name))
+    assert(removed > 0)
+    // re-ingest after deletion: the hash is free again
+    val again = db.ingest(docs)
+    assert(again == removed, s"re-ingest appended $again, expected $removed")
+    assert(db.store.filter($"doc_name" === name).count() == removed)
+  }
+
+  test("deleteWhere validates the predicate eagerly and treats NULL as keep") {
+    import spark.implicits._
+    // store-only column: must fail BEFORE any rewrite
+    val e = intercept[Exception](db.deleteWhere($"file_hash" === "xyz"))
+    assert(e.getMessage.toLowerCase.contains("file_hash"))
+    // a predicate that is NULL for every row (null literal comparison)
+    // must delete nothing and keep everything
+    val before = db.store.count()
+    assert(db.deleteWhere($"doc_name" === lit(null).cast("string")) == 0)
+    assert(db.store.count() == before, "NULL predicate must not drop rows")
+    // deleteWhere by page: partial delete keeps the doc's other chunks
+    val victim = db.store.filter($"content_type" === ContentTypes.TextChunk)
+      .groupBy($"doc_name").count().filter($"count" >= 2)
+      .select($"doc_name").head().getString(0)
+    val pages = db.store.filter($"doc_name" === victim).count()
+    val n = db.deleteWhere($"doc_name" === victim && $"page_num" === 0)
+    assert(n == 1)
+    assert(db.store.filter($"doc_name" === victim).count() == pages - 1)
+  }
+
+  test("a crash between the store rewrite and the index cleanup converges by re-running") {
+    import spark.implicits._
+    // fabricate the post-crash state: rows in the INDEX whose store
+    // rows are gone (what a kill between the partition swap and the
+    // index cleanup leaves) — append index rows for a doc the store
+    // never held
+    val ghostDocs = Seq((990001L, "ghost takedown doc fast join table", "en", "srcG"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ghostRecords = GraftVectorDB.pipeline(ghostDocs)
+    val ghostName = ghostRecords.select($"doc_name").head().getString(0)
+    assert(db.appendAnnIndex(ghostRecords) > 0)
+    assert(spark.read.parquet(db.annPath("text"))
+      .filter($"doc_name" === ghostName).count() > 0)
+    assert(db.store.filter($"doc_name" === ghostName).count() == 0)
+    // rerun of the "interrupted" delete: the store matches nothing
+    // (returns 0) but the index must still be cleaned
+    assert(db.delete(Seq(ghostName)) == 0)
+    assert(spark.read.parquet(db.annPath("text"))
+      .filter($"doc_name" === ghostName).count() == 0,
+      "rerun must clean the index even when the store matched nothing")
+  }
+}
