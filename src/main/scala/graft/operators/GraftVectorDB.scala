@@ -202,12 +202,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
     val allIds = short.map(_.getAs[Long]("row_id")).distinct.toSeq
     // scan 2: ONE fetch of the unioned shortlists' vectors + metadata
-    // (the id list is bounded by N × shortlist — serving-sized)
-    val fetched = ci.index
-      .filter($"cell".isin(unionCells: _*) && $"row_id".isin(allIds: _*))
-      .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
-        $"content_type", $"content_id", $"content_raw")
-      .collect()
+    val fetched = fetchShortlist(ci, unionCells, allIds).collect()
     // GROUPED by row_id, not a 1:1 map: an xxhash64(doc_name,
     // content_type, content_id) collision fetches BOTH rows under one
     // id, and the single-query path re-ranks every fetched row — a
@@ -242,6 +237,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         "buildAnnIndex, or use searchAllAnn (which needs none)")
     val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    require(qs.length <= GraftVectorDB.MaxBatchQueries,
+      s"searchAllAnnPq: ${qs.length} queries exceeds the per-call bound " +
+        s"(${GraftVectorDB.MaxBatchQueries}) — the probe-list broadcast and " +
+        "driver re-rank state grow with the batch; chunk the query set " +
+        "and union the results")
     require(qs.map(_._1).distinct.length == qs.length,
       "searchAllAnnPq: q_id values must be unique (after cast to long)")
     val qInfo = qs.toSeq.map { case (id, text) =>
@@ -284,6 +284,39 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       channel: String = "text"): DataFrame = {
     val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
     batchPqShortlistOf(ci, qInfo, shortlist, location)
+  }
+
+  /** The lazy shortlist-FETCH frame of [[searchAllAnnPq]] — exposed so
+    * specs can pin that a large batch's fetch carries no giant In
+    * literal and still reads the index exactly once. */
+  private[graft] def annAllPqFetchPlan(queries: DataFrame, nProbe: Int,
+      shortlist: Int, location: Option[String] = None,
+      channel: String = "text"): DataFrame = {
+    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
+    val short = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
+    fetchShortlist(ci, qInfo.flatMap(_._4).distinct,
+      short.map(_.getAs[Long]("row_id")).distinct.toSeq)
+  }
+
+  /** Fetch index rows by id within the probed cells — the second scan
+    * of every PQ path (single and batch). Serving-sized id lists
+    * inline as an In predicate; past
+    * [[GraftVectorDB.InLiteralMax]] the fetch switches to a broadcast
+    * equi-join on a (row_id) frame: a 1 000-query × 100-shortlist
+    * batch (or an exhaustive-config shortlist at corpus size) would
+    * otherwise inline a 10⁵-literal predicate — analysis/codegen bloat
+    * well before data size matters — while the join is the same single
+    * pruned scan with a constant-size plan. Ids are deduplicated so
+    * the join cannot multiply rows. */
+  private def fetchShortlist(ci: GraftVectorDB.CachedAnnIndex,
+      cells: Seq[Int], ids: Seq[Long]): DataFrame = {
+    val pruned = ci.index.filter($"cell".isin(cells: _*))
+    val byId =
+      if (ids.length <= GraftVectorDB.InLiteralMax)
+        pruned.filter($"row_id".isin(ids: _*))
+      else pruned.join(broadcast(ids.distinct.toDF("row_id")), "row_id")
+    byId.select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
+      $"content_type", $"content_id", $"content_raw")
   }
 
   /** Exact re-rank of fetched shortlist rows against one query — the
@@ -931,6 +964,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // exactly the per-query annProbe arithmetic
     val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    require(qs.length <= GraftVectorDB.MaxBatchQueries,
+      s"searchAllAnn: ${qs.length} queries exceeds the per-call bound " +
+        s"(${GraftVectorDB.MaxBatchQueries}) — the (q_id, cell, qv) probe " +
+        "broadcast grows with the batch; chunk the query set and union the results")
     // duplicate q_ids would merge two queries' scores into one top-k
     // group and silently corrupt both result sets — fail loudly
     require(qs.map(_._1).distinct.length == qs.length,
@@ -1071,12 +1108,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // job 2: fetch ONLY the shortlisted rows' vectors + metadata (the
     // same cell pruning; the row_id predicate evaluates post-scan for
     // lists past parquet's in-filter pushdown threshold, which is fine
-    // — cell pruning already bounds the read and rows are narrow)
-    val fetched = ci.index
-      .filter($"cell".isin(probed: _*) && $"row_id".isin(ids.toSeq: _*))
-      .select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
-        $"content_type", $"content_id", $"content_raw")
-      .collect()
+    // — cell pruning already bounds the read and rows are narrow; an
+    // exhaustive-config shortlist at corpus size switches to the
+    // broadcast-join fetch, same rows, constant-size plan)
+    val fetched = fetchShortlist(ci, probed, ids.toSeq).collect()
     // exact re-rank of ≤ shortlist rows is driver arithmetic, same
     // rounded-cosine metric as the distributed path — shared with the
     // batch twin via pqExactReRank
@@ -1207,6 +1242,19 @@ object GraftVectorDB {
     * [[GraftVectorDB.appendAnnIndex]] warns (and
     * `annIndexNeedsRebuild` trips) past it. */
   val AppendRebuildFraction = 1.0
+
+  /** Largest id list inlined as an In literal by the shortlist fetch;
+    * bigger sets ride a broadcast equi-join instead (same rows, same
+    * single scan, constant-size plan — a 10⁵-literal In bloats
+    * analysis and codegen well before data size matters). */
+  private[operators] val InLiteralMax = 4096
+
+  /** Per-call bound on the batch search surfaces: the probe-list /
+    * ADC-table broadcasts and the driver-side re-rank state all grow
+    * linearly with the batch, so past this the caller should chunk the
+    * query set and union the results (each chunk keeps the
+    * one-scan-per-phase property). */
+  val MaxBatchQueries = 4096
 
   /** One ANN index generation's serving state: routing table, PQ
     * codebooks, resolved index frame. */

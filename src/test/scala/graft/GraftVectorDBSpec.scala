@@ -589,6 +589,60 @@ class GraftVectorDBSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { db.searchAllAnn(dup) }
   }
 
+  test("searchAllAnnPq large-batch: 1000 queries complete with no giant In literal, one fetch scan") {
+    assert(firstIngest > 0)
+    import spark.implicits._
+    db.buildAnnIndex(cells = 8)
+    val base = Seq("fast query join table", "slow merge sort line",
+      "hash vector stream", "drifting appended doc")
+    val texts = (0 until 1000).map(i => s"${base(i % base.size)} v$i")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    // 1000 queries × 30 shortlist pushes the unioned id set well past
+    // the In-literal bound — the batch must complete AND stay
+    // per-query identical to the single-query path (sampled; the full
+    // parity sweep is the 3-query spec above)
+    val batch = db.searchAllAnnPq(queries, topN = 3, nProbe = 4, shortlist = 30)
+    val byQ = batch.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 1000, s"every query must answer, got ${byQ.size}")
+    Seq(0, 341, 999).foreach { i =>
+      assert(byQ(i.toLong).map(key).toSeq ==
+        db.searchAnnPq(texts(i), 3, nProbe = 4, shortlist = 30).collect().map(key).toSeq,
+        s"large-batch results for query $i must match searchAnnPq")
+    }
+    // the fetch plan: a broadcast row_id join, not a >10⁴-literal
+    // predicate, and still exactly ONE pruned index scan
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fetch = db.annAllPqFetchPlan(queries, nProbe = 4, shortlist = 30)
+      val plan = fetch.queryExecution.executedPlan
+      val inSizes = plan.flatMap(_.expressions.flatMap(_.collect {
+        case in: org.apache.spark.sql.catalyst.expressions.In => in.list.size
+        case s: org.apache.spark.sql.catalyst.expressions.InSet => s.hset.size
+      }))
+      assert(inSizes.forall(_ <= 10000),
+        s"fetch plan carries a giant literal list: max ${inSizes.max} entries")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
+      }
+      assert(scans.size == 1, s"large-batch fetch must scan the index once, found ${scans.size}")
+      assert(scans.head.partitionFilters.nonEmpty, "fetch must keep cell pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+    // past the per-call bound the contract fails loudly with the
+    // chunking guidance instead of building an unbounded broadcast
+    val tooMany = (0 until GraftVectorDB.MaxBatchQueries + 1)
+      .map(i => (i.toLong, s"q $i")).toDF("q_id", "q_text")
+    val e = intercept[IllegalArgumentException] { db.searchAllAnn(tooMany) }
+    assert(e.getMessage.contains("chunk"))
+    val e2 = intercept[IllegalArgumentException] { db.searchAllAnnPq(tooMany) }
+    assert(e2.getMessage.contains("chunk"))
+  }
+
   test("ANN serving reopens from a fresh session: searchAnn/searchAnnPq identical after 'restart'") {
     assert(firstIngest > 0)
     db.buildAnnIndex(cells = 8)
