@@ -617,12 +617,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * and the generation stamp bumps so every session's cached serving
     * frame re-lists files. Single-writer contract, same as compact().
     * Returns rows rewritten. */
-  def compactAnnIndex(channel: String, targetFiles: Int = 1): Long = {
+  def compactAnnIndex(channel: String, targetFiles: Int = 1,
+      splitSkewedPast: Double = Double.PositiveInfinity): Long = {
     require(annIndexBuilt(channel),
       s"no ANN index for '$channel' — run buildAnnIndex first")
     val root = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val recovered = recoverAnnIndex(fs, root)
+    // optional occupancy rebalance rides the same maintenance entry:
+    // split FIRST so the freshly-written sub-cells (1 file each) need
+    // no compaction and the superseded hot cell is never rewritten
+    if (!splitSkewedPast.isPosInfinity) splitHotCells(channel, splitSkewedPast)
     var rewritten = 0L
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -655,6 +660,153 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // bump it would silently serve without the restored cell forever
     if (rewritten > 0 || recovered) bumpIndexGeneration(channel)
     rewritten
+  }
+
+  /** Per-cell row counts read from parquet file FOOTERS — driver
+    * metadata I/O only: no Spark job, no data scan, O(files) like the
+    * drift counters. The occupancy gauge for routing-skew detection:
+    * routing centroids never refit between rebuilds, so a hot key
+    * range concentrates appends into one cell and that cell's probe
+    * scan comes to dominate p99 search latency at scale. */
+  def annCellHistogram(channel: String): Map[Int, Long] = {
+    require(annIndexBuilt(channel),
+      s"no ANN index for '$channel' — run buildAnnIndex first")
+    val root = new org.apache.hadoop.fs.Path(annPath(channel))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val n = fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        st.getPath.getName.stripPrefix("cell=").toInt -> n
+      }.toMap
+  }
+
+  /** Occupancy skew: hottest cell / mean non-empty cell (1.0 =
+    * perfectly balanced; 0.0 = empty index). */
+  def annCellSkew(channel: String): Double = {
+    val occ = annCellHistogram(channel).values.filter(_ > 0)
+    if (occ.isEmpty) 0.0 else occ.max.toDouble * occ.size / occ.sum
+  }
+
+  /** Skew gauge with the warn the maintenance policy reads — the
+    * occupancy twin of [[annIndexNeedsRebuild]]: true once the hottest
+    * cell exceeds [[GraftVectorDB.CellSkewRatio]] × the mean, the
+    * point where one probe scan dominates latency and
+    * [[splitHotCells]] should run. */
+  def annIndexSkewed(channel: String): Boolean = {
+    val s = annCellSkew(channel)
+    val skewed = s > GraftVectorDB.CellSkewRatio
+    if (skewed)
+      log.warn(f"ANN index '$channel': hottest cell is $s%.1fx the mean occupancy " +
+        f"(> ${GraftVectorDB.CellSkewRatio}%.1fx) - one probe scan dominates " +
+        "search latency; run splitHotCells (or compactAnnIndex with " +
+        "splitSkewedPast) to rebalance without a rebuild")
+    skewed
+  }
+
+  /** Split every cell hotter than `ratio` × the mean occupancy into
+    * two sub-cells — O(touched cells), no rebuild: the hot cell's rows
+    * (and ONLY its rows) are re-fit into 2 sub-centroids (bounded
+    * sample + driver Lloyd, the buildAnnIndex fit machinery), rewritten
+    * into two fresh cell dirs, and the routing table amendment commits
+    * as ONE atomic file rename (`_centroids/_splits.vN` — remove the
+    * hot cell's centroid, append the two sub-centroids). Probes of
+    * other cells are unchanged; full-probe searches remain exhaustive
+    * because the routing table always references exactly the live
+    * cells.
+    *
+    * Crash contract (single-writer, like all maintenance): before the
+    * commit rename the staged sub-cell dirs are UNREFERENCED by the
+    * routing table — invisible to every probe (`cell.isin(routing)`)
+    * — and the source cell still serves; after it, the source dir is
+    * unreferenced and the sub-cells serve. Either way results are
+    * complete at every instant, and [[dropUnreferencedCells]] (run on
+    * every maintenance entry) reclaims the dead side. Returns the cell
+    * ids that were split. */
+  def splitHotCells(channel: String,
+      ratio: Double = GraftVectorDB.CellSkewRatio): Seq[Int] = {
+    require(annIndexBuilt(channel),
+      s"no ANN index for '$channel' — run buildAnnIndex first")
+    val root = new org.apache.hadoop.fs.Path(annPath(channel))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAnnIndex(fs, root)
+    dropUnreferencedCells(channel, fs, root)
+    val occ = annCellHistogram(channel).filter(_._2 > 0)
+    if (occ.isEmpty) return Nil
+    val mean = occ.values.sum.toDouble / occ.size
+    // a cell needs at least 4 rows for a meaningful 2-means refit
+    val hot = occ.filter { case (_, n) => n > ratio * mean && n >= 4 }
+      .keys.toSeq.sorted
+    hot.foreach(h => splitCell(channel, h, fs, root))
+    if (hot.nonEmpty) {
+      bumpIndexGeneration(channel)
+      log.info(s"splitHotCells('$channel'): split cells ${hot.mkString(",")} " +
+        s"(occupancy was ${hot.map(occ).mkString(",")} vs mean $mean)")
+    }
+    hot
+  }
+
+  /** One cell's split: stage two sub-cell dirs, commit the routing
+    * amendment atomically, roll the superseded source dir forward. */
+  private def splitCell(channel: String, h: Int,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val ci = cachedIndex(channel)
+    val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$h")
+    val cur = spark.read.parquet(cellDir.toString)
+    // bounded deterministic sample of THIS cell only + driver 2-means
+    val sample = AnnIndex.sampleVectors(cur.select($"row_id", $"v"), $"row_id")
+    val subs = AnnIndex.routingBooks(
+      AnnIndex.centroidsFromSample(spark, sample, 2))
+    // fresh ids: the amendment history only ever appends new ids, so
+    // max+1/max+2 can never collide with a live or superseded cell
+    val maxId = ci.books.map(_._1).max
+    val books2 = Array((maxId + 1, subs(0)._2), (maxId + 2, subs(1)._2))
+    val assigned = cur.withColumn("cell2", AnnIndex.cellOf(books2, $"v"))
+    books2.foreach { case (id, _) =>
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_cell=$id")
+      assigned.filter($"cell2" === id).drop("cell2")
+        .repartition(1).sortWithinPartitions("doc_name", "row_id")
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"cell=$id")))
+        throw new java.io.IOException(
+          s"splitCell: rename $tmp -> cell=$id failed")
+    }
+    // COMMIT: one atomic rename of the amendment file
+    val prior = GraftVectorDB.readSplits(fs,
+      new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids"))._2
+    GraftVectorDB.writeSplits(fs,
+      new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids"),
+      prior ++ Seq(GraftVectorDB.SplitOp("R", h, Array.empty[Double])) ++
+        books2.map { case (id, v) => GraftVectorDB.SplitOp("A", id, v) })
+    // roll forward: the source cell is now unreferenced — reclaim it
+    fs.delete(cellDir, true)
+  }
+
+  /** Reclaim cell dirs the CURRENT routing table does not reference —
+    * they are invisible to every probe (partition scans filter on the
+    * routing table's cell ids): either a committed split's superseded
+    * source cell or an uncommitted split's staged outputs. Never
+    * touches a referenced dir, so it can never delete serving data. */
+  private def dropUnreferencedCells(channel: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val live = cachedIndex(channel).books.map(_._1).toSet
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filterNot(st => live.contains(st.getPath.getName.stripPrefix("cell=").toInt))
+      .foreach { st =>
+        log.warn(s"ANN index '$channel': reclaiming unreferenced ${st.getPath} " +
+          "(leftover of an interrupted split)")
+        fs.delete(st.getPath, true)
+      }
   }
 
   /** Crash recovery for the per-cell two-rename swap — shared by
@@ -890,12 +1042,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         try in.readFully(0, buf) finally in.close()
         new String(buf, "UTF-8")
       } catch { case _: java.io.FileNotFoundException => "" }
-    val gen = s"${fs.getFileStatus(cDir).getModificationTime}:$stampTag"
+    // the split-amendment version rides the generation key: a split's
+    // atomic commit (a new _splits.vN) must invalidate cached routing
+    // just like a rebuild or append does
+    val (splitsTag, splitOps) = GraftVectorDB.readSplits(fs, cDir)
+    val gen = s"${fs.getFileStatus(cDir).getModificationTime}:$stampTag:$splitsTag"
     val key = cDir.toString
     Option(GraftVectorDB.routingCache.get(key)) match {
       case Some(c) if c.gen == gen && (c.index.sparkSession eq spark) => c
       case _ =>
-        val books = AnnIndex.routingBooks(spark.read.parquet(cDir.toString))
+        val books = GraftVectorDB.applySplits(
+          AnnIndex.routingBooks(spark.read.parquet(cDir.toString)), splitOps)
         // an index persisted before PQ landed has no _codebooks —
         // it stays servable on the plain probe path; only searchAnnPq
         // demands a rebuild
@@ -1255,6 +1412,83 @@ object GraftVectorDB {
     * query set and union the results (each chunk keeps the
     * one-scan-per-phase property). */
   val MaxBatchQueries = 4096
+
+  /** Occupancy ratio (hottest cell / mean) past which the skew gauge
+    * warns and [[GraftVectorDB.splitHotCells]] splits: beyond ~4× one
+    * cell's probe scan dominates p99 while the routing table still
+    * charges every probe the same nProbe budget. */
+  val CellSkewRatio = 4.0
+
+  /** One routing-table amendment: op "R" removes a cell's centroid,
+    * op "A" appends one — the split log persisted at
+    * `_centroids/_splits.vN` (text; one atomic rename per version, so
+    * a reader sees either the old amendment history or the new one,
+    * never a torn mix). */
+  private[operators] final case class SplitOp(op: String, cell: Int,
+      cv: Array[Double])
+
+  /** Highest-version amendment file in the routing dir: (version tag
+    * for the cache generation, parsed ops). ("", Nil) when no split
+    * has ever committed. */
+  private[operators] def readSplits(fs: org.apache.hadoop.fs.FileSystem,
+      cDir: org.apache.hadoop.fs.Path): (String, Seq[SplitOp]) = {
+    val vs = fs.listStatus(cDir).map(_.getPath.getName)
+      .filter(_.startsWith("_splits.v"))
+      .flatMap(n => n.stripPrefix("_splits.v").toIntOption.map(n -> _))
+    if (vs.isEmpty) return ("", Seq.empty)
+    val (name, _) = vs.maxBy(_._2)
+    val p = new org.apache.hadoop.fs.Path(cDir, name)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val ops = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).map { line =>
+      val parts = line.split(",", 3)
+      SplitOp(parts(0), parts(1).toInt,
+        if (parts.length < 3 || parts(2).isEmpty) Array.empty[Double]
+        else parts(2).split(" ").map(java.lang.Double.parseDouble))
+    }.toSeq
+    (name, ops)
+  }
+
+  /** Commit a new amendment history as version N+1 — write-to-temp +
+    * rename, the dest name never exists, so the commit is one atomic
+    * metadata op. Doubles serialize via Double.toString (exact
+    * round-trip through parseDouble). */
+  private[operators] def writeSplits(fs: org.apache.hadoop.fs.FileSystem,
+      cDir: org.apache.hadoop.fs.Path, ops: Seq[SplitOp]): Unit = {
+    val curV = fs.listStatus(cDir).map(_.getPath.getName)
+      .filter(_.startsWith("_splits.v"))
+      .flatMap(_.stripPrefix("_splits.v").toIntOption)
+      .maxOption.getOrElse(0)
+    val tmp = new org.apache.hadoop.fs.Path(cDir,
+      s".splits_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(ops.map(o =>
+        s"${o.op},${o.cell},${o.cv.map(_.toString).mkString(" ")}")
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val dest = new org.apache.hadoop.fs.Path(cDir, s"_splits.v${curV + 1}")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"writeSplits: rename $tmp -> $dest failed")
+    // superseded versions are dead the moment the new one is live
+    (1 to curV).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(cDir, s"_splits.v$v"), false))
+  }
+
+  /** The base routing table with the amendment history applied, in
+    * cell-id order (deterministic probe tie-breaks). */
+  private[operators] def applySplits(base: Array[(Int, Array[Double])],
+      ops: Seq[SplitOp]): Array[(Int, Array[Double])] = {
+    val m = scala.collection.mutable.LinkedHashMap(base.toSeq: _*)
+    ops.foreach {
+      case SplitOp("R", cell, _) => m.remove(cell)
+      case SplitOp("A", cell, cv) => m.put(cell, cv)
+      case SplitOp(op, cell, _) => throw new IllegalStateException(
+        s"unknown _splits op '$op' for cell $cell")
+    }
+    m.toArray.sortBy(_._1)
+  }
 
   /** One ANN index generation's serving state: routing table, PQ
     * codebooks, resolved index frame. */

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraftVectorDB
+
+/** Cell-occupancy skew: routing centroids never refit between
+  * rebuilds, so a hot key range concentrates appends into one cell and
+  * its probe scan comes to dominate p99. The gauge must trip on a
+  * planted hot cell, the split must rebalance it WITHOUT a rebuild,
+  * and search results must be invariant through the whole lifecycle. */
+class AnnSkewSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dbDir = "target/vdb_skew_spec"
+  private val q = "fast query join table"
+
+  private lazy val db = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val root = new java.io.File(dbDir)
+    if (root.exists()) rm(root)
+    val d = new GraftVectorDB(spark, dbDir)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(d.ingest(docs.filter(col("doc_id") < 50)) > 0)
+    d.buildAnnIndex(cells = 8)
+    d
+  }
+
+  private def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+    (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+      r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+
+  test("planted hot cell trips the gauge; split rebalances; results invariant") {
+    import spark.implicits._
+    assert(!db.annIndexSkewed("text"), "fresh build must start balanced")
+    // plant: two distinct sub-populations, both a small perturbation of
+    // one EXISTING row's embedding, so they route into that row's cell
+    // (the hot key range an append-heavy workload creates) while being
+    // separable by the 2-means refit
+    val base = db.store.select($"embedding").head().getSeq[Double](0).toArray
+    def variant(d0: Double): Seq[Double] = {
+      val v = base.clone(); v(0) = v(0) + d0; v.toSeq
+    }
+    val hotDocs = (0 until 600).map(i =>
+      (800000L + i, s"hot range doc $i", "en", "srcH")).toSeq
+      .toDF("doc_id", "text", "lang", "source")
+    val hot = GraftVectorDB.pipeline(hotDocs).filter($"page_num" === 0)
+      .withColumn("embedding",
+        when(xxhash64($"doc_name") % 2 === 0, typedLit(variant(0.02)))
+          .otherwise(typedLit(variant(-0.02))))
+    // through the real ingest path (store + index append), so the
+    // store ≡ index contract holds and exact-vs-ANN parity is sound
+    assert(db.ingestRecords(hot, indexChannels = Seq("text")) == 600)
+    // the plant landed in ONE cell (else it is not a skew test)
+    val hotCells = spark.read.parquet(db.annPath("text"))
+      .filter($"doc_name".startsWith("corpus/srcH/"))
+      .select($"cell").distinct().collect().map(_.getInt(0))
+    assert(hotCells.length == 1, s"plant scattered across ${hotCells.toSeq}")
+    // gauge trips: footer-stats histogram, no data scan
+    val histBefore = db.annCellHistogram("text")
+    val skewBefore = db.annCellSkew("text")
+    assert(skewBefore > GraftVectorDB.CellSkewRatio,
+      s"planted skew $skewBefore must exceed ${GraftVectorDB.CellSkewRatio}")
+    assert(db.annIndexSkewed("text"))
+    assert(histBefore.values.sum ==
+      spark.read.parquet(db.annPath("text")).count(),
+      "histogram must account for every row")
+    // full-probe ANN == exact search, before and after the split
+    val probeAll = 32 // >= live cell count throughout
+    val exactBefore = key(db.search(q, 5).collect())
+    assert(key(db.searchAnn(q, 5, nProbe = probeAll).collect()) == exactBefore)
+    val split = db.splitHotCells("text")
+    assert(split == hotCells.toSeq, s"must split exactly the hot cell, got $split")
+    // rebalanced: the two sub-populations separate, so the hottest
+    // cell drops to ~half the plant
+    val skewAfter = db.annCellSkew("text")
+    assert(skewAfter < skewBefore / 1.5,
+      s"split must rebalance: $skewBefore -> $skewAfter")
+    // the routing table dropped the hot cell and gained two fresh ids
+    val hist = db.annCellHistogram("text")
+    assert(!hist.contains(hotCells.head), "source cell dir must be reclaimed")
+    assert(hist.keys.count(_ > histBefore.keys.max) == 2,
+      "two fresh sub-cells must exist")
+    // results invariant through the split (both serving channels)
+    assert(key(db.searchAnn(q, 5, nProbe = probeAll).collect()) ==
+      key(db.search(q, 5).collect()))
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    assert(key(db.searchAnnPq(q, 5, probeAll, rows).collect()) ==
+      key(db.search(q, 5).collect()))
+    // a hot-range query probes its own sub-cells: top hits are the
+    // planted docs, identical to the exact scan
+    val hotQ = db.store.filter($"doc_name".startsWith("corpus/srcH/"))
+      .select($"content_raw").head().getString(0)
+    assert(key(db.searchAnn(hotQ, 5, nProbe = probeAll).collect()) ==
+      key(db.search(hotQ, 5).collect()))
+    // appends keep routing correctly with the amended table
+    val fresh = Seq((900000L, "post split appended doc fast join", "en", "srcP"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(db.appendAnnIndex(GraftVectorDB.pipeline(fresh)) > 0)
+    assert(db.searchAnn("post split appended doc fast join", 3,
+      nProbe = probeAll).collect()
+      .exists(_.getAs[String]("doc_name") == "corpus/srcP/doc_900000.txt"))
+    // and a fresh session resolves the amended routing from disk
+    val db2 = new GraftVectorDB(spark.newSession(), dbDir)
+    assert(key(db2.searchAnn(q, 5, nProbe = probeAll).collect()) ==
+      key(db.search(q, 5).collect()))
+  }
+
+  test("maintenance entry reclaims an interrupted split's staged dirs") {
+    import spark.implicits._
+    val idxDir = new java.io.File(db.annPath("text"))
+    // fabricate the pre-commit crash state: a staged cell dir whose id
+    // the routing table does not reference
+    val donor = idxDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val staged = new java.io.File(idxDir, "cell=777")
+    staged.mkdir()
+    donor.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(staged, f.getName).toPath)
+    }
+    val before = key(db.searchAnn(q, 5, nProbe = 32).collect())
+    // the unreferenced dir is invisible to probes even before reclaim
+    assert(before == key(db.search(q, 5).collect()))
+    db.splitHotCells("text") // entry runs recovery + reclaim
+    assert(!staged.exists(), "staged dir of an interrupted split must be reclaimed")
+    assert(key(db.searchAnn(q, 5, nProbe = 32).collect()) == before)
+  }
+}
