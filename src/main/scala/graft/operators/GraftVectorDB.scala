@@ -132,14 +132,53 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * the backlog and stops — the batch-job-over-a-stream-source shape
     * a nightly corpus refresh uses. */
   def ingestStream(docs: DataFrame, checkpoint: String,
-      indexChannels: Seq[String] = Nil)
+      indexChannels: Seq[String] = Nil,
+      autoRebuildAt: Double = Double.PositiveInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) => { ingest(batch.toDF(), indexChannels); () })
+          _: Long) => {
+        ingest(batch.toDF(), indexChannels)
+        // the drift policy's ACTION seam: appendAnnIndex warns past the
+        // bound, but a stream that runs for months must also act —
+        // foreachBatch already owns the single-writer slot, so the
+        // rebuild is safe here and serving flips atomically with the
+        // build's rename swap (old index serves until then)
+        if (!autoRebuildAt.isPosInfinity)
+          indexChannels.filter(ch =>
+              annIndexBuilt(ch) && annAppendFraction(ch) > autoRebuildAt)
+            .foreach(rebuildAnnIndexInPlace)
+        ()
+      })
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Rebuild a channel's index at its CURRENT routing-table size —
+    * the refit the drift/skew gauges call for: the corpus is re-routed
+    * with freshly-fit centroids (and codebooks), `_APPENDED` resets,
+    * and the rename swap keeps the old index serving until the new one
+    * is live. */
+  private def rebuildAnnIndexInPlace(channel: String): Unit = {
+    val cells = cachedIndex(channel).books.length
+    log.info(s"auto-rebuild: ANN index '$channel' appended fraction " +
+      f"${annAppendFraction(channel)}%.2f tripped the policy - rebuilding " +
+      s"at $cells cells")
+    buildAnnIndex(cells, channel)
+  }
+
+  /** The scheduled-maintenance entrypoint a production store runs per
+    * channel: rebuild-if-drifted (which subsumes compaction — the
+    * whole index rewrites), else compact-if-fragmented with hot-cell
+    * splitting. Single-writer contract, like every maintenance op.
+    * Returns (rows compacted, whether a rebuild ran). */
+  def maintain(channel: String, targetFiles: Int = 1,
+      splitSkewedPast: Double = GraftVectorDB.CellSkewRatio,
+      rebuildAt: Double = GraftVectorDB.AppendRebuildFraction): (Long, Boolean) =
+    if (annAppendFraction(channel) > rebuildAt) {
+      rebuildAnnIndexInPlace(channel)
+      (0L, true)
+    } else (compactAnnIndex(channel, targetFiles, splitSkewedPast), false)
 
   /** Text search over the text channel (text_chunk + image_caption —
     * exactly run_text_search's text-vs-text scope). */
@@ -354,6 +393,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"col.payload.content_raw")
       .withColumn("channel", lit(channel)) // same contract as search()
       .orderBy($"q_id", $"rnk")
+
+  /** Batch twin of [[searchMultimodal]] — run_search's text_image mode
+    * for N queries in TWO store scans (one per channel, each a
+    * [[searchAll]] batch: broadcast embedded queries + per-query
+    * `TopKRows`), where N × searchMultimodal would scan 2N times.
+    * Each query encodes once per channel with that channel's encoder
+    * (the dual-space contract); results union channel-tagged with
+    * searchMultimodal's ordering. Per-query results are identical to
+    * N × [[searchMultimodal]] (spec-pinned). */
+  def searchAllMultimodal(queries: DataFrame, topN: Int = 5,
+      location: Option[String] = None): DataFrame =
+    searchAll(queries, topN, location, channel = "text")
+      .unionByName(searchAll(queries, topN, location, channel = "image"))
+      .orderBy($"q_id", $"channel", $"rnk")
 
   /** Combined text+image search — run_search's text_image mode: the
     * query hits both stores, results union channel-tagged. The image

@@ -129,4 +129,30 @@ class AnnSkewSpec extends AnyFunSuite {
     assert(!staged.exists(), "staged dir of an interrupted split must be reclaimed")
     assert(key(db.searchAnn(q, 5, nProbe = 32).collect()) == before)
   }
+
+  test("maintain(): rebuild-if-drifted, else compact-if-fragmented with the split knob") {
+    // the suite's plant appended ~6× the built corpus, so the drift
+    // policy has tripped — maintain must act on it
+    assert(db.annIndexNeedsRebuild("text"))
+    val (compacted, rebuilt) = db.maintain("text")
+    assert(rebuilt, "a drifted index must rebuild")
+    assert(compacted == 0, "a rebuild subsumes compaction")
+    assert(db.annAppendFraction("text") == 0.0, "_APPENDED must reset")
+    // the rebuilt index covers the whole store (empty cells of the
+    // refit simply write no dir — the histogram counts rows, not slots)
+    assert(db.annCellHistogram("text").values.sum == db.store.count())
+    // serving stays exact through the rebuild
+    assert(key(db.searchAnn(q, 5, nProbe = 32).collect()) ==
+      key(db.search(q, 5).collect()))
+    // a second maintain has nothing to rebuild: the compaction path
+    // runs instead (the rebuild's shuffle wrote several files per
+    // cell, so there IS fragmentation to collapse) — and once it has,
+    // a third pass is a no-op
+    val (_, r2) = db.maintain("text")
+    assert(!r2, "a fresh rebuild must not re-trigger")
+    val (c3, r3) = db.maintain("text")
+    assert(!r3 && c3 == 0, "a compacted index needs no further rewrite")
+    assert(key(db.searchAnn(q, 5, nProbe = 32).collect()) ==
+      key(db.search(q, 5).collect()))
+  }
 }

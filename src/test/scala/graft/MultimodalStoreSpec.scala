@@ -112,4 +112,46 @@ class MultimodalStoreSpec extends AnyFunSuite {
         db.searchAnnImage(t, topN = 3, nProbe = cells).collect().map(key2).toSeq)
     }
   }
+
+  test("searchAllMultimodal: N queries, both channels, 2 scans, parity with N x searchMultimodal") {
+    import spark.implicits._
+    val db = new GraftVectorDB(spark, "target/vdb_mm") // store from the suite's first test
+    val texts = Seq("captioned content", "fast query join table", "hash vector stream")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("channel"), r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))
+    val batch = db.searchAllMultimodal(queries, topN = 3)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(batch(i.toLong).map(key).toSeq ==
+        db.searchMultimodal(t, topN = 3).collect().map(key).toSeq,
+        s"batch multimodal results for '$t' must match searchMultimodal")
+    }
+    // both channels actually answered
+    assert(batch.values.flatten.map(_.getAs[String]("channel")).toSet ==
+      Set("text", "image"))
+    // exactly TWO store scans for the whole batch (one per channel) —
+    // N × searchMultimodal would run 2N
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = db.searchAllMultimodal(queries, topN = 3)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("vector_store")) => f
+      }
+      assert(scans.size == 2,
+        s"batch multimodal must scan the store twice (once per channel), found ${scans.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+    // the location scope composes across both channels
+    val loc = Some("corpus/src1/")
+    val fb = db.searchAllMultimodal(queries, topN = 3, location = loc)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(fb.getOrElse(i.toLong, Array.empty).map(key).toSeq ==
+        db.searchMultimodal(t, topN = 3, location = loc).collect().map(key).toSeq)
+    }
+  }
 }

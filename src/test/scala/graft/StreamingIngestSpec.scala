@@ -83,4 +83,64 @@ class StreamingIngestSpec extends AnyFunSuite {
       .collect().head
     assert(hit.getAs[String]("doc_name") == "corpus/srcB/doc_777777.txt")
   }
+
+  test("ingestStream autoRebuildAt: drift past the bound triggers an in-stream rebuild") {
+    import spark.implicits._
+    val base = "target/stream_ingest_rebuild"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    rm(new java.io.File(base))
+    val srcDir = Paths.get(s"$base/src")
+    Files.createDirectories(srcDir)
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val db = new GraftVectorDB(spark, s"$base/db")
+    val docs = Tables.load(spark, sf, "documents")
+
+    // bootstrap with a SMALL corpus so a single streamed batch can
+    // exceed the appended-fraction bound
+    db.ingest(docs.filter($"doc_id" < 20))
+    db.buildAnnIndex(cells = 4)
+    assert(db.annAppendFraction("text") == 0.0)
+    val builtRows = spark.read.parquet(db.annPath("text")).count()
+
+    // stream a batch LARGER than the built corpus with the policy armed
+    val staged = Paths.get(s"$base/staged")
+    docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+      .coalesce(1).write.parquet(staged.toString)
+    val part = new java.io.File(staged.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, srcDir.resolve("batch1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = db.ingestStream(
+      spark.readStream.schema(schema).parquet(srcDir.toString),
+      s"$base/ckpt", indexChannels = Seq("text"), autoRebuildAt = 1.0)
+    q.awaitTermination()
+
+    // the rebuild ran inside the stream: the appended fraction reset
+    // and the index re-routed at its previous cell count
+    assert(db.annAppendFraction("text") == 0.0,
+      "_APPENDED must reset through the auto-rebuild")
+    val idxRows = spark.read.parquet(db.annPath("text")).count()
+    assert(idxRows > builtRows, "streamed rows must be in the rebuilt index")
+    assert(idxRows == db.store.count(), "rebuilt index must cover the whole store")
+    // recall recovered: the streamed docs route with FRESHLY-FIT cells,
+    // so the warm partial-probe path finds them, and full probe equals
+    // the exact scan — serving keeps working from the same session
+    // (the rename swap + generation bump refresh the cached frame)
+    val streamed = db.store
+      .filter($"doc_name".rlike("doc_3[0-9][0-9]\\.txt") && $"page_num" === 0)
+      .select($"doc_name", $"content_raw").head()
+    val streamedText = streamed.getString(1)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    assert(key(db.searchAnn(streamedText, 5, nProbe = 4).collect()) ==
+      key(db.search(streamedText, 5).collect()),
+      "full probe must equal the exact scan after the auto-rebuild")
+    assert(db.searchAnn(streamedText, 1, nProbe = 1).collect()
+      .head.getAs[String]("doc_name") == streamed.getString(0),
+      "the streamed doc's own cell must rank first at nProbe = 1 post-refit")
+  }
 }
