@@ -52,9 +52,22 @@ object Demo {
     db.searchAllAnn(queries, topN = 3).show(20, 60)
     println("[demo] batch IVF+PQ - 3 queries, two scans total:")
     db.searchAllAnnPq(queries, topN = 3).show(20, 60)
+    println("[demo] batch multimodal - 3 queries, both channels, two scans:")
+    db.searchAllMultimodal(queries, topN = 2).show(20, 60)
     println(f"[demo] drift gauge: ${db.annAppendFraction("text")}%.2fx appended, " +
       s"needsRebuild=${db.annIndexNeedsRebuild("text")}")
+    println(f"[demo] occupancy gauge: skew ${db.annCellSkew("text")}%.1fx, " +
+      s"skewed=${db.annIndexSkewed("text")}; splitHotCells -> " +
+      s"${db.splitHotCells("text")}")
     println(s"[demo] compactAnnIndex rewrote ${db.compactAnnIndex("text")} rows")
+    println(s"[demo] maintain('text') -> ${db.maintain("text")} (compacted, rebuilt)")
+    // takedown: delete the current top hit, show it vanish from serving
+    val victim = db.search("fast query join table", 1)
+      .head().getAs[String]("doc_name")
+    println(s"[demo] delete('$victim') removed ${db.delete(Seq(victim))} rows")
+    println("[demo] post-delete search (victim absent from exact AND ANN paths):")
+    db.search("fast query join table", topN = 3).show(20, 60)
+    db.searchAnn("fast query join table", topN = 3).show(20, 60)
     spark.stop()
   }
 }

@@ -17,7 +17,11 @@ only = set(sys.argv[3:])
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    # driver testdata ships single files; ScaleGen's sf1 tables are
+    # spark-written DIRECTORIES of part files — glob those
+    path = f"{sf_dir}/{t}.parquet"
+    pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.sql(f"CREATE VIEW {t} AS FROM '{pat}'")
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fail = 0
