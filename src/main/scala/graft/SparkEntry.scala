@@ -75,10 +75,10 @@ object SparkEntry {
     "dd_embed_lsh" -> ((s: SparkSession, dir: String) => Dedup.embedPairs(s, dir)),
     // the scale-adaptive config: geometry derived from the corpus row
     // count (footer stats) so bucket occupancy — and candidate work per
-    // vector — stays bounded as the corpus grows. Rows-only: at the
-    // oracle-checked scales it IS the pinned dd_embed_lsh plan
-    // (DedupExactnessSpec pins result-identity there), and the pinned
-    // entry's oracle hash-checks that shared machinery
+    // vector — stays bounded as the corpus grows. Hash-checked against
+    // the shared embedLshOracle: at the oracle-checked scales the
+    // adaptive sizing returns EXACTLY the pinned geometry
+    // (DedupExactnessSpec pins result-identity there)
     "dd_embed_lsha" -> ((s: SparkSession, dir: String) => Dedup.embedPairsAdaptive(s, dir)),
     "tx_langid" -> (TextAnalysis.langId _),
     "tx_quality" -> (TextAnalysis.quality _),
@@ -172,6 +172,38 @@ object SparkEntry {
       | FROM embeddings)""".stripMargin
   private val dotExpr =
     "list_sum(list_transform(range(1, 65), i -> q.v[i::INT] * c.v[i::INT]))"
+
+  /** The RP-LSH pair oracle — shared by `dd_embed_lsh` (pinned 8×12
+    * geometry) and `dd_embed_lsha` (adaptive; identical to pinned at
+    * every gate scale, see the map entries' comments). */
+  private val embedLshOracle: String =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      | FROM embeddings),
+      |pw AS (SELECT t.range::INT t, p.range::INT p,
+      |  list_transform(range(0, 64), d ->
+      |   (CASE WHEN ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT >= 2147483648
+      |     THEN ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT - 4294967296
+      |     ELSE ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT END)::DOUBLE
+      |    / 2147483647) w
+      | FROM range(0, 8) t, range(0, 12) p),
+      |bits AS (SELECT n.vec_id, pw.t, pw.p,
+      |  CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i::INT] * pw.w[i::INT])) >= 0
+      |   THEN 1 ELSE 0 END b
+      | FROM n, pw),
+      |sg AS (SELECT vec_id, t, string_agg(b::VARCHAR, '' ORDER BY p) s
+      | FROM bits GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id a_id, b.vec_id b_id
+      | FROM sg a JOIN sg b ON a.t = b.t AND a.vec_id < b.vec_id
+      | WHERE list_sum(list_transform(range(1, 13), i ->
+      |    CASE WHEN substr(a.s, i::INT, 1) = substr(b.s, i::INT, 1) THEN 0 ELSE 1 END)) <= 1)
+      |SELECT c.a_id, c.b_id,
+      | round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
+      |   / (a.nrm * b.nrm), 4) AS sim_r
+      |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
+      |WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
+      |   / (a.nrm * b.nrm), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ol_pricing" ->
@@ -626,34 +658,13 @@ object SparkEntry {
     // candidates = pairs within hamming ≤ 1 of a table signature (the
     // semantic spec of the 1-bit multiprobe bucket join), then the
     // same rounded-cosine verify — so rows hash-match the Spark plan
-    "dd_embed_lsh" ->
-      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
-        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
-        | FROM embeddings),
-        |pw AS (SELECT t.range::INT t, p.range::INT p,
-        |  list_transform(range(0, 64), d ->
-        |   (CASE WHEN ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT >= 2147483648
-        |     THEN ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT - 4294967296
-        |     ELSE ('0x' || substr(md5('plane:' || t.range || ':' || p.range || ':' || d),1,8))::BIGINT END)::DOUBLE
-        |    / 2147483647) w
-        | FROM range(0, 8) t, range(0, 12) p),
-        |bits AS (SELECT n.vec_id, pw.t, pw.p,
-        |  CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i::INT] * pw.w[i::INT])) >= 0
-        |   THEN 1 ELSE 0 END b
-        | FROM n, pw),
-        |sg AS (SELECT vec_id, t, string_agg(b::VARCHAR, '' ORDER BY p) s
-        | FROM bits GROUP BY vec_id, t),
-        |cand AS (SELECT DISTINCT a.vec_id a_id, b.vec_id b_id
-        | FROM sg a JOIN sg b ON a.t = b.t AND a.vec_id < b.vec_id
-        | WHERE list_sum(list_transform(range(1, 13), i ->
-        |    CASE WHEN substr(a.s, i::INT, 1) = substr(b.s, i::INT, 1) THEN 0 ELSE 1 END)) <= 1)
-        |SELECT c.a_id, c.b_id,
-        | round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
-        |   / (a.nrm * b.nrm), 4) AS sim_r
-        |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
-        |WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
-        |   / (a.nrm * b.nrm), 4) >= 0.35
-        |ORDER BY a_id, b_id""".stripMargin,
+    "dd_embed_lsh" -> embedLshOracle,
+    // the adaptive config shares the oracle: at every gate scale
+    // (n ≤ 2048) adaptivePlanes/adaptiveTables return EXACTLY the
+    // pinned 8×12 geometry (DedupExactnessSpec pins result-identity),
+    // so the same SQL hash-checks it; at a scale where the geometries
+    // diverge the oracle would rightly fail loudly, not mask it
+    "dd_embed_lsha" -> embedLshOracle,
     "tx_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
         |s AS (SELECT doc_id,

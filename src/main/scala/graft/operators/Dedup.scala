@@ -246,10 +246,14 @@ object Dedup {
     * quadratically in occupancy: the measured 7.7× wall at 10× data
     * (SURVEY §8 round-5 audit). The fix is the one the geometry note
     * always promised: raise planes with log₂(n) so occupancy stays
-    * bounded (candidate work stays O(n)), and raise tables with the
-    * analytic recall bound so the cos-0.9 operating point keeps its
-    * floor — tables grow only ~linearly in planes, so signature cost
-    * grows log², not n².
+    * bounded (candidate work per vector stays O(tables)), and raise
+    * tables with the analytic recall bound so the cos-0.9 operating
+    * point keeps its floor. Tables grow geometrically per plane
+    * (×1/p(0.9) ≈ 1.17, partially offset by the 1-bit multiprobe) —
+    * ~n^0.22 in the corpus size, so total work is ~n^1.22: the
+    * standard sign-LSH recall/cost curve, vs the fixed geometry's
+    * occupancy-QUADRATIC candidate blowup (measured 8 → 13 tables for
+    * 12 → 16 planes at the sf1 corpus).
     *
     *  - [[adaptivePlanes]]: smallest plane count keeping expected
     *    occupancy `n / 2^planes` ≤ [[EmbedLshOccupancy]], floored at
@@ -395,12 +399,11 @@ object Dedup {
       tables: Int, planes: Int): Long = {
     import spark.implicits._
     val (sigs, base, flips) = signatureSides(embedVecs(spark, dir), tables, planes)
-    val out = flips.select($"vec_id".as("a_id"), $"bkey")
+    try flips.select($"vec_id".as("a_id"), $"bkey")
       .join(base.select($"vec_id".as("b_id"), $"bkey"), "bkey")
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct().count()
-    sigs.unpersist(blocking = false)
-    out
+    finally sigs.unpersist(blocking = false) // a failed job must not pin the frame
   }
 
   private[graft] def embedPairsOf(v: DataFrame, threshold: Double,

@@ -1064,8 +1064,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   /** The channel's routing table + resolved index frame, cached per
     * build generation. Generation = the `_centroids` mtime (rebuilds
     * swap via rename, which always moves it) plus the append stamp's
-    * content. The staleness check is 2–3 driver FS metadata calls and
-    * a ≤64-byte stamp read — no Spark job, no parquet read on the
+    * content plus the split-amendment version. The staleness check is
+    * a handful of driver FS metadata calls and two tiny file reads
+    * (stamp + amendment log) — no Spark job, no parquet read on the
     * warm path; appendAnnIndex additionally drops this JVM's entry
     * directly, so a same-session writer never even waits on the tag. */
   private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
@@ -1491,17 +1492,24 @@ object GraftVectorDB {
     if (vs.isEmpty) return ("", Seq.empty)
     val (name, _) = vs.maxBy(_._2)
     val p = new org.apache.hadoop.fs.Path(cDir, name)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val ops = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).map { line =>
-      val parts = line.split(",", 3)
-      SplitOp(parts(0), parts(1).toInt,
-        if (parts.length < 3 || parts(2).isEmpty) Array.empty[Double]
-        else parts(2).split(" ").map(java.lang.Double.parseDouble))
-    }.toSeq
-    (name, ops)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val ops = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty).map { line =>
+        val parts = line.split(",", 3)
+        SplitOp(parts(0), parts(1).toInt,
+          if (parts.length < 3 || parts(2).isEmpty) Array.empty[Double]
+          else parts(2).split(" ").map(java.lang.Double.parseDouble))
+      }.toSeq
+      (name, ops)
+    } catch {
+      // a reader can list version N just as the (single) writer commits
+      // N+1 and reclaims N — re-list and read the fresh version rather
+      // than failing a search on maintenance timing
+      case _: java.io.FileNotFoundException => readSplits(fs, cDir)
+    }
   }
 
   /** Commit a new amendment history as version N+1 — write-to-temp +

@@ -232,6 +232,15 @@ class NativeExpressionPropsSpec extends AnyFunSuite {
       }.mkString).toList
     }.toMap
     assert(got == model, "fused signatures must equal the plain-Scala model")
+    // the INTERPRETED eval path too (codegen fallback): the frame runs
+    // above exercise only the generated code
+    (vecs ++ ragged).foreach { case (id, v) =>
+      val arr = RpSignature(Literal(null), mat)
+        .nullSafeEval(new GenericArrayData(v.toArray[Any]))
+        .asInstanceOf[GenericArrayData]
+      val sigs = (0 until arr.numElements()).map(arr.getUTF8String(_).toString).toList
+      assert(sigs == model(id), s"interpreted eval diverges for id=$id")
+    }
   }
 
   test("ParseGft round-trips arbitrary well-formed containers (unicode bodies, byte offsets)") {
