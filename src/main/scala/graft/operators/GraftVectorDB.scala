@@ -887,6 +887,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       }
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_tmp_cell="))
       .foreach(st => fs.delete(st.getPath, true))
+    // per-FILE swap leftovers (the file-granular delete) live INSIDE
+    // the cell dirs
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach(st => recoverFileSwaps(fs, st.getPath))
     recovered
   }
 
@@ -910,13 +915,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   /** Document deletion — the takedown/GDPR lifecycle op a store
     * operated for years needs, WITHOUT a full rebuild:
     *
-    *  - store: only the content_type partitions holding matching rows
-    *    are rewritten (per-partition anti-join, `compact()`'s
-    *    two-rename swap and crash-recovery protocol; untouched
-    *    partitions' files are neither read nor moved);
+    *  - [[delete]] (by name, the common takedown shape) is
+    *    FILE-granular: parquet footers identify exactly which
+    *    doc_name-sorted files can hold a victim, and only those files
+    *    rewrite (per-file rename-aside swap, [[recoverFileSwaps]]) —
+    *    O(touched files) regardless of store size; untouched files are
+    *    neither read nor moved.
+    *  - [[deleteWhere]] (arbitrary predicate) rewrites the touched
+    *    content_type partitions (per-partition anti-join, `compact()`'s
+    *    two-rename swap and crash-recovery protocol) — general but
+    *    partition-granular; prefer [[delete]] for name lists.
     *  - every BUILT channel's ANN index drops the same rows —
-    *    O(touched cells), the compactAnnIndex protocol — so
-    *    approximate search can never resurface a deleted document;
+    *    O(touched cells) for predicates, O(touched files) for name
+    *    lists — so approximate search can never resurface a deleted
+    *    document;
     *  - the content-hash "seen" set IS the store rows, so deleting a
     *    document frees its hash: a re-ingest of the same content is
     *    allowed again (file_already_processed follows the store,
@@ -940,7 +952,132 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * removed. */
   def delete(docNames: Seq[String]): Long = {
     require(docNames.nonEmpty, "delete: empty doc_name list")
-    deleteWhere(col("doc_name").isin(docNames: _*))
+    require(docNames.length <= GraftVectorDB.InLiteralMax,
+      s"delete: ${docNames.length} names exceeds the per-call bound " +
+        s"(${GraftVectorDB.InLiteralMax}) — chunk the takedown batch")
+    val names = docNames.distinct.sorted
+    recoverCompact()
+    // ONE pruned scan finds the touched partitions + counts: doc_name
+    // pushes to parquet, and the sorted layout makes it row-group-skipping
+    val touched = store.filter($"doc_name".isin(names: _*))
+      .groupBy($"content_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.keys.toSeq.sorted.foreach { ct =>
+      deleteNamesFromDir(fs,
+        new org.apache.hadoop.fs.Path(s"$storePath/content_type=$ct"), names)
+    }
+    // stale FileStatus entries (same path, new length) must not serve
+    if (touched.nonEmpty) spark.catalog.refreshByPath(storePath)
+    // index cleanup ALWAYS runs — a crash between the store pass and
+    // this point converges by re-running the same delete
+    Seq("text", "image").filter(annIndexBuilt)
+      .foreach(ch => deleteNamesFromAnnIndex(ch, names))
+    touched.values.sum
+  }
+
+  /** FILE-granular delete within one sorted parquet dir (a store
+    * content_type partition or an index cell): the dir's files are
+    * doc_name-sorted with row-group min/max stats, so the footers —
+    * driver metadata I/O — identify exactly which files can hold a
+    * victim; only THOSE files rewrite. At 100 TB this is the difference
+    * between a takedown costing O(touched files) and rewriting the
+    * whole partition (≈ the corpus for the text channel). Each touched
+    * file swaps via rename-aside with the same recovery rule as the
+    * dir-level protocol (`.delete_old_<name>` beside a missing live
+    * file ⇒ restore; beside a live one ⇒ superseded, drop) — and an
+    * all-rows-deleted file is replaced by a ZERO-ROW file rather than
+    * removed, so a missing live file is always unambiguous crash
+    * state, never a completed delete. Returns rows removed. */
+  private def deleteNamesFromDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, names: Seq[String]): Long = {
+    recoverFileSwaps(fs, dir)
+    val sortedNames = names.sorted.toArray
+    var removed = 0L
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .filter(f => GraftVectorDB.fileTouchesNames(
+        f, sortedNames, spark.sparkContext.hadoopConfiguration))
+      .foreach { f =>
+        val live = f.getPath
+        val before = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".delete_tmp_${live.getName}")
+        // one small job: read THIS file, drop victims, keep row order
+        // (the file is already doc_name-sorted; filter preserves it)
+        val kept = spark.read.parquet(live.toString)
+          .filter(!$"doc_name".isin(names: _*)).coalesce(1)
+        kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val replacement = fs.listStatus(tmp)
+          .find(_.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new java.io.IOException(
+            s"deleteNamesFromDir: no replacement part file under $tmp"))
+          .getPath
+        val after = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            replacement, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+        val aside = new org.apache.hadoop.fs.Path(dir,
+          s".delete_old_${live.getName}")
+        if (!fs.rename(live, aside))
+          throw new java.io.IOException(s"delete: rename $live -> $aside failed")
+        if (!fs.rename(replacement, live))
+          throw new java.io.IOException(s"delete: rename $replacement -> $live " +
+            s"failed (original preserved at $aside — rerun to recover)")
+        fs.delete(aside, false)
+        fs.delete(tmp, true)
+        removed += before - after
+      }
+    removed
+  }
+
+  /** Per-file crash recovery for [[deleteNamesFromDir]]'s swaps: a
+    * `.delete_old_<file>` whose live file is missing means the crash
+    * hit between the two renames — restore it; beside a live file the
+    * swap completed — drop it. Stale tmp dirs always drop. */
+  private def recoverFileSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith(".delete_old_"))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(dir,
+          st.getPath.getName.stripPrefix(".delete_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"delete: crash recovery rename ${st.getPath} -> $live failed")
+          log.warn(s"delete: restored $live from an interrupted file swap")
+        } else fs.delete(st.getPath, false)
+      }
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith(".delete_tmp_"))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Name-list index cleanup, file-granular: the touched CELLS come
+    * from one column-pruned, row-group-skipping scan; within each,
+    * only footer-intersecting files rewrite. */
+  private def deleteNamesFromAnnIndex(channel: String, names: Seq[String]): Long = {
+    val root = new org.apache.hadoop.fs.Path(annPath(channel))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recovered = recoverAnnIndex(fs, root)
+    val ci = cachedIndex(channel)
+    val touchedCells = ci.index.filter($"doc_name".isin(names: _*))
+      .select($"cell").distinct().collect().map(_.getInt(0)).sorted
+    var removed = 0L
+    touchedCells.foreach { c =>
+      removed += deleteNamesFromDir(fs,
+        new org.apache.hadoop.fs.Path(root, s"cell=$c"), names)
+    }
+    if (touchedCells.nonEmpty || recovered) bumpIndexGeneration(channel)
+    if (removed > 0)
+      writeCounter(channel, "_DELETED", readCounter(channel, "_DELETED") + removed)
+    removed
   }
 
   def deleteWhere(cond: Column): Long = {
@@ -1412,6 +1549,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     fs.listStatus(root)
       .filter(_.getPath.getName.startsWith(".compact_tmp_content_type="))
       .foreach(st => fs.delete(st.getPath, true))
+    // per-FILE swap leftovers (the file-granular delete) live INSIDE
+    // the partition dirs
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("content_type="))
+      .foreach(st => recoverFileSwaps(fs, st.getPath))
   }
 
   /** One query = ONE corpus scan: scoring and metadata ride the same
@@ -1472,6 +1614,33 @@ object GraftVectorDB {
     * cell's probe scan dominates p99 while the routing table still
     * charges every probe the same nProbe budget. */
   val CellSkewRatio = 4.0
+
+  /** Whether a sorted parquet file can hold any of the (sorted) victim
+    * names — per row group, the doc_name column chunk's min/max stats
+    * (parquet truncates stats to BOUNDS, so containment stays safe);
+    * missing stats degrade to "touched" (rewrite, never skip). Driver
+    * metadata I/O only. */
+  private[operators] def fileTouchesNames(f: org.apache.hadoop.fs.FileStatus,
+      sortedNames: Array[String], conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val nameBytes = sortedNames.map(_.getBytes("UTF-8"))
+    def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.exists { block =>
+      block.getColumns.asScala.find(_.getPath.toDotString == "doc_name") match {
+        case Some(c) =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) true // no stats: must rewrite
+          else {
+            val mn = st.getMinBytes
+            val mx = st.getMaxBytes
+            nameBytes.exists(v => cmp(mn, v) <= 0 && cmp(v, mx) <= 0)
+          }
+        case None => true // column absent from footer: must rewrite
+      }
+    } finally r.close()
+  }
 
   /** One routing-table amendment: op "R" removes a cell's centroid,
     * op "A" appends one — the split log persisted at

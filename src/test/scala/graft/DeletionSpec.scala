@@ -145,6 +145,63 @@ class DeletionSpec extends AnyFunSuite {
     assert(db.store.filter($"doc_name" === victim).count() == pages - 1)
   }
 
+  test("delete is FILE-granular: only footer-intersecting files rewrite; names preserved") {
+    import spark.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir2 = "target/vdb_delete_files_spec"
+    rm(new java.io.File(dir2))
+    val db2 = new GraftVectorDB(spark, dir2)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(db2.ingest(docs.filter(col("doc_id") < 50)) > 0)
+    // a second batch in a DISJOINT doc_name range ("corpus/zz/...")
+    // lands in separate files whose row-group [min,max] can never
+    // contain a "corpus/srcN/..." victim
+    assert(db2.ingest(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+      .withColumn("source", lit("zz"))) > 0)
+    db2.buildAnnIndex(cells = 4)
+    val part = new java.io.File(s"${db2.storePath}/content_type=text_chunk")
+    def files: Map[String, Long] = part.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val before = files
+    assert(before.size > 1, "need a multi-file partition")
+    val victim = db2.store.filter($"doc_name".startsWith("corpus/src"))
+      .select($"doc_name").head().getString(0)
+    val removed = db2.delete(Seq(victim))
+    assert(removed > 0)
+    val after = files
+    assert(after.keySet == before.keySet,
+      "the per-file swap must preserve file names")
+    val untouched = before.filter { case (n, t) => after(n) == t }
+    assert(untouched.nonEmpty,
+      "footer pruning must leave range-disjoint files unmoved")
+    assert(untouched.size < before.size, "the victim's file must have rewritten")
+    // correctness through the granular path
+    assert(db2.store.filter($"doc_name" === victim).count() == 0)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    assert(key(db2.searchAnn(q, 5, nProbe = 4).collect()) ==
+      key(db2.search(q, 5).collect()),
+      "full-probe ANN must equal exact search after a file-granular delete")
+    assert(spark.read.parquet(db2.annPath("text"))
+      .filter($"doc_name" === victim).count() == 0)
+
+    // crash recovery: a live file renamed aside with no replacement is
+    // the mid-swap state — the next delete's entry must restore it
+    val f = part.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val aside = new java.io.File(part, s".delete_old_${f.getName}")
+    val rowsNow = db2.store.count()
+    assert(f.renameTo(aside))
+    assert(db2.delete(Seq("corpus/zz/doc_100.txt")) >= 0) // entry runs recovery
+    assert(new java.io.File(part, f.getName).exists(), "mid-swap file must be restored")
+    assert(!aside.exists())
+    assert(db2.store.filter($"doc_name" === "corpus/zz/doc_100.txt").count() == 0)
+    assert(db2.store.count() < rowsNow, "the zz delete itself must also have applied")
+  }
+
   test("a crash between the store rewrite and the index cleanup converges by re-running") {
     import spark.implicits._
     // fabricate the post-crash state: rows in the INDEX whose store
