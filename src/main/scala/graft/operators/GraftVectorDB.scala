@@ -791,26 +791,44 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAnnIndex(fs, root)
     dropUnreferencedCells(channel, fs, root)
-    val occ = annCellHistogram(channel).filter(_._2 > 0)
-    if (occ.isEmpty) return Nil
-    val mean = occ.values.sum.toDouble / occ.size
-    // a cell needs at least 4 rows for a meaningful 2-means refit
-    val hot = occ.filter { case (_, n) => n > ratio * mean && n >= 4 }
-      .keys.toSeq.sorted
-    hot.foreach(h => splitCell(channel, h, fs, root))
-    if (hot.nonEmpty) {
-      bumpIndexGeneration(channel)
-      log.info(s"splitHotCells('$channel'): split cells ${hot.mkString(",")} " +
-        s"(occupancy was ${hot.map(occ).mkString(",")} vs mean $mean)")
+    // iterate: a bisected hot cell's halves can still sit above the
+    // ratio (a 16× cell needs two rounds) — loop until balanced, with
+    // a bound so a pathological distribution (all rows one point, thus
+    // unsplittable) cannot spin
+    val all = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var rounds = 0
+    var progressed = true
+    while (progressed && rounds < GraftVectorDB.MaxSplitRounds) {
+      val occ = annCellHistogram(channel).filter(_._2 > 0)
+      if (occ.isEmpty) return all.toSeq
+      val mean = occ.values.sum.toDouble / occ.size
+      // a cell needs at least 4 rows for a meaningful 2-means refit
+      val hot = occ.filter { case (_, n) => n > ratio * mean && n >= 4 }
+        .keys.toSeq.sorted
+      val didSplit = hot.map { h =>
+        val (a, b) = splitCell(channel, h, fs, root)
+        // progress = the bisection actually separated rows: a cell of
+        // coincident vectors re-emerges at full size under one new id
+        math.max(a, b) < occ(h)
+      }
+      all ++= hot
+      progressed = hot.nonEmpty && didSplit.exists(identity)
+      rounds += 1
+      if (hot.nonEmpty)
+        log.info(s"splitHotCells('$channel') round $rounds: split cells " +
+          s"${hot.mkString(",")} (occupancy ${hot.map(occ).mkString(",")} " +
+          f"vs mean $mean%.1f)")
     }
-    hot
+    if (all.nonEmpty) bumpIndexGeneration(channel)
+    all.toSeq
   }
 
   /** One cell's split: stage two sub-cell dirs, commit the routing
-    * amendment atomically, roll the superseded source dir forward. */
+    * amendment atomically, roll the superseded source dir forward.
+    * Returns the two sub-cells' row counts (footer stats). */
   private def splitCell(channel: String, h: Int,
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
+      root: org.apache.hadoop.fs.Path): (Long, Long) = {
     val ci = cachedIndex(channel)
     val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$h")
     val cur = spark.read.parquet(cellDir.toString)
@@ -841,6 +859,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         books2.map { case (id, v) => GraftVectorDB.SplitOp("A", id, v) })
     // roll forward: the source cell is now unreferenced — reclaim it
     fs.delete(cellDir, true)
+    val Seq(na, nb) = books2.toSeq.map { case (id, _) =>
+      spark.read.parquet(
+        new org.apache.hadoop.fs.Path(root, s"cell=$id").toString).count()
+    }
+    (na, nb)
   }
 
   /** Reclaim cell dirs the CURRENT routing table does not reference —
@@ -1614,6 +1637,12 @@ object GraftVectorDB {
     * cell's probe scan dominates p99 while the routing table still
     * charges every probe the same nProbe budget. */
   val CellSkewRatio = 4.0
+
+  /** Bound on split iterations per [[GraftVectorDB.splitHotCells]]
+    * call: each round halves a hot cell, so 6 rounds rebalance up to a
+    * 2⁶× outlier; the bound exists for the pathological coincident-
+    * vector cell that 2-means cannot separate. */
+  val MaxSplitRounds = 6
 
   /** Whether a sorted parquet file can hold any of the (sorted) victim
     * names — per row group, the doc_name column chunk's min/max stats

@@ -41,16 +41,23 @@ class AnnSkewSpec extends AnyFunSuite {
     // (the hot key range an append-heavy workload creates) while being
     // separable by the 2-means refit
     val base = db.store.select($"embedding").head().getSeq[Double](0).toArray
-    def variant(d0: Double): Seq[Double] = {
-      val v = base.clone(); v(0) = v(0) + d0; v.toSeq
-    }
     val hotDocs = (0 until 600).map(i =>
       (800000L + i, s"hot range doc $i", "en", "srcH")).toSeq
       .toDF("doc_id", "text", "lang", "source")
+    // a tight but SPREAD cluster (two lobes ±0.02 on dim 0, per-doc
+    // jitter on dim 1): distinct vectors, so recursive bisection can
+    // actually rebalance — coincident points cannot be separated by
+    // any split and would pin the floor at the duplicate-group size
     val hot = GraftVectorDB.pipeline(hotDocs).filter($"page_num" === 0)
-      .withColumn("embedding",
-        when(xxhash64($"doc_name") % 2 === 0, typedLit(variant(0.02)))
-          .otherwise(typedLit(variant(-0.02))))
+      .withColumn("embedding", {
+        val sign = when(xxhash64($"doc_name") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        val jitter = (pmod(xxhash64($"doc_name", lit(7)), lit(1000)).cast("double")
+          / 1000 - 0.5) * 0.01
+        transform(typedLit(base.toSeq), (x, i) =>
+          when(i === 0, x + sign * 0.02)
+            .when(i === 1, x + jitter)
+            .otherwise(x))
+      })
     // through the real ingest path (store + index append), so the
     // store ≡ index contract holds and exact-vs-ANN parity is sound
     assert(db.ingestRecords(hot, indexChannels = Seq("text")) == 600)
@@ -73,7 +80,8 @@ class AnnSkewSpec extends AnyFunSuite {
     val exactBefore = key(db.search(q, 5).collect())
     assert(key(db.searchAnn(q, 5, nProbe = probeAll).collect()) == exactBefore)
     val split = db.splitHotCells("text")
-    assert(split == hotCells.toSeq, s"must split exactly the hot cell, got $split")
+    assert(split.contains(hotCells.head),
+      s"must split the planted hot cell ${hotCells.head}, got $split")
     // rebalanced: the two sub-populations separate, so the hottest
     // cell drops to ~half the plant
     val skewAfter = db.annCellSkew("text")
@@ -82,8 +90,8 @@ class AnnSkewSpec extends AnyFunSuite {
     // the routing table dropped the hot cell and gained two fresh ids
     val hist = db.annCellHistogram("text")
     assert(!hist.contains(hotCells.head), "source cell dir must be reclaimed")
-    assert(hist.keys.count(_ > histBefore.keys.max) == 2,
-      "two fresh sub-cells must exist")
+    assert(hist.keys.count(_ > histBefore.keys.max) >= 2,
+      "fresh sub-cells must exist (2 per split round)")
     // results invariant through the split (both serving channels)
     assert(key(db.searchAnn(q, 5, nProbe = probeAll).collect()) ==
       key(db.search(q, 5).collect()))

@@ -200,6 +200,18 @@ class DeletionSpec extends AnyFunSuite {
     assert(!aside.exists())
     assert(db2.store.filter($"doc_name" === "corpus/zz/doc_100.txt").count() == 0)
     assert(db2.store.count() < rowsNow, "the zz delete itself must also have applied")
+
+    // ALL rows of a file deleted: the replacement is a ZERO-ROW file
+    // (a missing live file must stay unambiguous crash state), and the
+    // partition keeps reading cleanly
+    val zzNames = db2.store.filter($"doc_name".startsWith("corpus/zz/"))
+      .select($"doc_name").distinct().collect().map(_.getString(0)).toSeq
+    assert(zzNames.nonEmpty)
+    assert(db2.delete(zzNames) > 0)
+    assert(db2.store.filter($"doc_name".startsWith("corpus/zz/")).count() == 0)
+    assert(files.keySet == before.keySet,
+      "all-rows-deleted files must be replaced by zero-row files, not removed")
+    assert(db2.search(q, 3).collect().nonEmpty, "the partition must keep serving")
   }
 
   test("a crash between the store rewrite and the index cleanup converges by re-running") {
