@@ -494,50 +494,51 @@ object AnnIndex {
     (x.toDouble / Int.MaxValue.toDouble)
   }
 
-  /** Sign bit of <v, plane(t,p)> via the codegen'd DotProduct —
-    * shared hash family between ann_lsh (5-bit keys) and the
-    * embedding-dedup pair path (12-bit signatures): plane (t,p) is
-    * the same vector regardless of how many bits a caller uses. */
-  private[operators] def bit(t: Int, p: Int): Column = {
-    val plane = (0 until 64).map(d => planeComponent(t, p, d)).toArray.toSeq
-    when(dot(col("v"), typedLit(plane)) >= 0, lit(1)).otherwise(lit(0))
-  }
-
-  /** The (tables × planes × 64) hyperplane matrix of the SAME
-    * md5-derived family [[bit]] draws from — the reference-object form
-    * the fused [[graft.functions.expressions.RpSignature]] expression
-    * carries, so signature strings stay bit-identical to the per-plane
-    * Column formulation at any geometry. */
+  /** The (tables × planes × 64) hyperplane matrix — the shared
+    * md5-derived hash family between ann_lsh (5-bit keys) and the
+    * embedding-dedup pair path (12-bit+ signatures): plane (t,p) is
+    * the same vector regardless of how many bits a caller uses. This
+    * is the reference-object form the fused
+    * [[graft.functions.expressions.RpSignature]] expression carries;
+    * NativeExpressionPropsSpec pins its signatures bit-identical to
+    * the per-plane `when(DotProduct(v, plane) >= 0)` Column
+    * formulation it replaced. */
   private[graft] def planeMatrix(tables: Int, planes: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables, planes, 64)(planeComponent)
 
-  /** Bucket key for table t, with optional 1-bit flip at `flip`. */
-  private def key(t: Int, flip: Int = -1): Column = {
-    val bits = (0 until LshPlanes).map { p =>
-      val b = bit(t, p)
-      if (p == flip) lit(1) - b else b
-    }
-    concat_ws("", (lit(s"$t:") +: bits.map(_.cast("string"))): _*)
-  }
-
   /** RP-LSH search: multi-table sign-signature buckets, query-side
     * multi-probe (own bucket + each 1-bit neighbor), in-bucket brute
-    * force over the deduplicated candidate set. */
+    * force over the deduplicated candidate set. Signatures come from
+    * the fused [[graft.functions.expressions.RpSignature]] pass (one
+    * codegen'd loop; the per-plane Column form expanded every key to
+    * its own plane-dot exprs — ~180 on the probe side); flip keys
+    * derive from the signature STRINGS, so no plane dot re-evaluates.
+    * Buckets are bit-identical to the per-plane [[key]] form (same
+    * plane family, same sign rule — RpSignature's pinned parity). */
   def lsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, dir)
+    val sg = graft.functions.expressions.RpSignature(
+      $"v", planeMatrix(LshTables, LshPlanes)).as("sg")
     // corpus: one bucket per table (L keys per vector)
-    val corpusKeys = array((0 until LshTables).map(t => key(t)): _*)
     val corpus = v.filter($"vec_id" >= 10)
-      .select($"vec_id", $"v", $"nrm", explode(corpusKeys).as("bkey"))
-    // queries: per table, own bucket + every 1-bit-flip bucket
-    val probeKeys = array((for {
-      t <- 0 until LshTables
-      f <- -1 until LshPlanes
-    } yield key(t, f)): _*)
+      .select($"vec_id", $"v", $"nrm", posexplode(sg))
+      .select($"vec_id", $"v", $"nrm",
+        concat($"pos".cast("string"), lit(":"), $"col").as("bkey"))
+    // queries: per table, own bucket + every 1-bit-flip bucket — the
+    // flips are substring surgery on the signature string
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
-        explode(probeKeys).as("bkey"))
+        posexplode(sg))
+      .select($"q_id", $"qv", $"qnrm",
+        explode(array((-1 until LshPlanes).map { f =>
+          val s =
+            if (f < 0) $"col"
+            else concat(substring($"col", 1, f),
+              (lit(1) - substring($"col", f + 1, 1).cast("int")).cast("string"),
+              substring($"col", f + 2, LshPlanes))
+          concat($"pos".cast("string"), lit(":"), s)
+        }: _*)).as("bkey"))
     val cand = corpus.join(q, "bkey")
       .select($"q_id", $"vec_id".as("n_id"),
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))

@@ -180,6 +180,37 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       (0L, true)
     } else (compactAnnIndex(channel, targetFiles, splitSkewedPast), false)
 
+  /** The STORE-side maintenance sweep — [[maintain]]'s twin for the
+    * data partitions: streaming ingest lands a file-set per micro-batch
+    * and file-granular deletes leave zero-row residue, so each
+    * content_type partition fragments over time. Compacts every
+    * partition holding more than `targetFiles` parquet files down to
+    * `targetFiles` (the `compact()` swap + recovery protocol);
+    * partitions at or under the bound are untouched — their files are
+    * neither read nor moved. Single-writer contract. Returns
+    * (partitions compacted, rows rewritten). */
+  def maintainStore(targetFiles: Int = 32): (Int, Long) = {
+    recoverCompact()
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0L)
+    var parts = 0
+    var rows = 0L
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("content_type="))
+      .map(_.getPath).sortBy(_.getName)
+      .foreach { dir =>
+        val nFiles = fs.listStatus(dir)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        if (nFiles > targetFiles) {
+          rows += compact(dir.getName.stripPrefix("content_type="), targetFiles)
+          parts += 1
+        }
+      }
+    if (parts > 0) spark.catalog.refreshByPath(storePath)
+    (parts, rows)
+  }
+
   /** Text search over the text channel (text_chunk + image_caption —
     * exactly run_text_search's text-vs-text scope). */
   def search(queryText: String, topN: Int = 5, location: Option[String] = None): DataFrame =
@@ -1649,7 +1680,7 @@ object GraftVectorDB {
     * (parquet truncates stats to BOUNDS, so containment stays safe);
     * missing stats degrade to "touched" (rewrite, never skip). Driver
     * metadata I/O only. */
-  private[operators] def fileTouchesNames(f: org.apache.hadoop.fs.FileStatus,
+  private[graft] def fileTouchesNames(f: org.apache.hadoop.fs.FileStatus,
       sortedNames: Array[String], conf: org.apache.hadoop.conf.Configuration): Boolean = {
     import scala.jdk.CollectionConverters._
     val nameBytes = sortedNames.map(_.getBytes("UTF-8"))

@@ -214,6 +214,60 @@ class DeletionSpec extends AnyFunSuite {
     assert(db2.search(q, 3).collect().nonEmpty, "the partition must keep serving")
   }
 
+  test("maintainStore compacts only fragmented partitions; results invariant") {
+    import spark.implicits._
+    // the suite's db: text_chunk has accumulated several ingest batches
+    val part = new java.io.File(s"${db.storePath}/content_type=text_chunk")
+    def nFiles(d: java.io.File) = d.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles(part) > 1, "need fragmentation to exercise the sweep")
+    val imgPart = new java.io.File(s"${db.storePath}/content_type=image")
+    val imgMtimes = imgPart.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = db.search(q, 5).collect().toSeq
+    val rowsBefore = db.store.count()
+    // image partition is single-file → at/under the bound → untouched
+    val (parts, rows) = db.maintainStore(targetFiles = 1)
+    assert(parts >= 1 && rows > 0)
+    assert(nFiles(part) == 1, "fragmented partition must collapse")
+    if (imgMtimes.size <= 1)
+      imgPart.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        assert(imgMtimes.get(f.getName).contains(f.lastModified),
+          "an unfragmented partition's files must not move")
+      }
+    assert(db.store.count() == rowsBefore)
+    assert(db.search(q, 5).collect().toSeq == before, "serving invariant")
+    // a second sweep is a no-op
+    assert(db.maintainStore(targetFiles = 1) == ((0, 0L)))
+  }
+
+  test("fileTouchesNames: footer-stat pruning is conservative at every boundary") {
+    import spark.implicits._
+    val dir = new java.io.File("target/vdb_footer_spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    // one sorted file spanning doc_name b..d (c deliberately absent:
+    // stats say it COULD be there — pruning must stay conservative)
+    Seq("b", "bb", "d").map(n => (n, 1)).toDF("doc_name", "x")
+      .coalesce(1).sortWithinPartitions("doc_name")
+      .write.parquet(dir.toString)
+    val f = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      .getFileStatus(new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+    def touches(names: String*): Boolean =
+      GraftVectorDB.fileTouchesNames(st, names.sorted.toArray, conf)
+    assert(touches("b"), "min boundary must touch")
+    assert(touches("d"), "max boundary must touch")
+    assert(touches("c"), "an absent name inside the range must stay touched (conservative)")
+    assert(!touches("a"), "below min must prune")
+    assert(!touches("e"), "above max must prune")
+    assert(!touches("a", "e") && touches("a", "c", "e"),
+      "multi-name lists follow any-intersection")
+  }
+
   test("a crash between the store rewrite and the index cleanup converges by re-running") {
     import spark.implicits._
     // fabricate the post-crash state: rows in the INDEX whose store
