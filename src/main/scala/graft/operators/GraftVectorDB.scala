@@ -439,6 +439,28 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .unionByName(searchAll(queries, topN, location, channel = "image"))
       .orderBy($"q_id", $"channel", $"rnk")
 
+  /** Approximate twin of [[searchMultimodal]] — both channels served
+    * from their ANN indexes (each a partition-pruned probe scan,
+    * [[searchAnn]]/[[searchAnnImage]]) instead of two full channel
+    * scans: the multimodal serving shape once both indexes are built.
+    * Full probe on both channels reproduces [[searchMultimodal]]
+    * verbatim (spec-pinned). */
+  def searchMultimodalAnn(queryText: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+    searchAnn(queryText, topN, nProbe, location)
+      .unionByName(searchAnnImage(queryText, topN, nProbe, location))
+      .orderBy($"channel", $"rnk")
+
+  /** Batch twin of [[searchMultimodalAnn]]: N queries against both
+    * channels' indexes in TWO pruned scans ([[searchAllAnn]] per
+    * channel — each query's probe set unions into its channel's single
+    * scan). Output contract = [[searchAllMultimodal]]. */
+  def searchAllMultimodalAnn(queries: DataFrame, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+    searchAllAnn(queries, topN, nProbe, location, channel = "text")
+      .unionByName(searchAllAnn(queries, topN, nProbe, location, channel = "image"))
+      .orderBy($"q_id", $"channel", $"rnk")
+
   /** Combined text+image search — run_search's text_image mode: the
     * query hits both stores, results union channel-tagged. The image
     * channel lives in its OWN embedding space: its rows were embedded

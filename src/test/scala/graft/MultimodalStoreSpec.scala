@@ -153,5 +153,23 @@ class MultimodalStoreSpec extends AnyFunSuite {
       assert(fb.getOrElse(i.toLong, Array.empty).map(key).toSeq ==
         db.searchMultimodal(t, topN = 3, location = loc).collect().map(key).toSeq)
     }
+    // ANN twins: full probe on both channels reproduces the exact
+    // multimodal results
+    db.buildAnnIndex(cells = 8, channel = "text")
+    db.buildAnnIndex(cells = 4, channel = "image")
+    val probeAll = 32
+    texts.take(2).foreach { t =>
+      assert(db.searchMultimodalAnn(t, topN = 3, nProbe = probeAll)
+        .collect().map(key).toSeq ==
+        db.searchMultimodal(t, topN = 3).collect().map(key).toSeq,
+        s"full-probe multimodal ANN must equal the exact union for '$t'")
+    }
+    val ba = db.searchAllMultimodalAnn(queries, topN = 3, nProbe = probeAll)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(ba(i.toLong).map(key).toSeq ==
+        db.searchMultimodal(t, topN = 3).collect().map(key).toSeq,
+        s"batch multimodal ANN (full probe) must equal the exact union for '$t'")
+    }
   }
 }
