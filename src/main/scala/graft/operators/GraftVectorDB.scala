@@ -117,9 +117,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       existsPath(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_codebooks"))
 
   /** Whether a channel's ANN index has been built at all (it may still
-    * predate PQ codes — see [[annIndexExists]] for appendability). */
+    * predate PQ codes — see [[annIndexExists]] for appendability).
+    * A missing index first attempts [[recoverAnnBuild]]: during a
+    * crashed rebuild's between-renames window the only copy sits aside,
+    * and a false here would make [[delete]]/[[maintain]] silently skip
+    * the channel — for a takedown that is silent retention. */
   def annIndexBuilt(channel: String): Boolean =
-    existsPath(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids"))
+    existsPath(new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")) ||
+      recoverAnnBuild(channel)
 
   private def existsPath(p: org.apache.hadoop.fs.Path): Boolean =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -538,12 +543,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         $"content_id", $"content_raw", $"row_id", $"v",
         l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"),
         AnnIndex.encodeCodes(pqBooks).as("codes"))
-    // build into a dot-prefixed temp dir and swap via rename (the
-    // compact() pattern): a plain Overwrite would expose a HALF-BUILT
-    // index (cells without a routing table) for the whole build. The
-    // delete+rename pair still leaves a brief no-index window — a
-    // concurrent search there fails loudly with PATH_NOT_FOUND, never
-    // reads a corrupt index; same single-writer contract as compact()
+    // build into a dot-prefixed temp dir and swap via the keep-old
+    // two-rename protocol (swapDir — the compact()/compactAnnIndex
+    // pattern): a plain Overwrite would expose a HALF-BUILT index
+    // (cells without a routing table) for the whole build, and the
+    // previous delete-then-rename order left a no-index window where a
+    // crash stranded the channel with NO index at all — every search
+    // and a streaming auto-rebuild's next appendAnnIndex would fail
+    // until a manual rebuild. Now the old index serves until the new
+    // one is live, and recoverAnnBuild (run on entry here AND from
+    // cachedIndex's missing-index path) rolls a between-renames crash
+    // forward, so serving self-heals. Single-writer contract as ever.
+    recoverAnnBuild(channel)
     val tmp = s"$storeDir/.ann_build_tmp_$channel"
     // sorted by doc_name WITHIN each cell's files: parquet row-group
     // min/max stats on doc_name then let a location-filtered ANN
@@ -554,8 +565,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     AnnIndex.writeCodebooks(spark, pqBooks, s"$tmp/_codebooks")
     val live = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(live, true) // false == did not exist: fine on first build
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(live))
+      swapDir(fs, live, tmpPath,
+        new org.apache.hadoop.fs.Path(s"$storeDir/.ann_build_old_$channel"),
+        "buildAnnIndex")
+    else if (!fs.rename(tmpPath, live))
       throw new java.io.IOException(
         s"buildAnnIndex: rename $tmp -> ${annPath(channel)} failed")
     val n = spark.read.parquet(annPath(channel)).count() // footer-stats count, no data scan
@@ -564,6 +579,34 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // append-fraction policy divides by
     writeCounter(channel, "_BUILT", n)
     n
+  }
+
+  /** Crash recovery for [[buildAnnIndex]]'s whole-index swap — the
+    * index-level twin of [[recoverCompact]]: a `.ann_build_old_<ch>`
+    * whose live index dir is MISSING means the crash hit between the
+    * two renames — restore it (the channel's only serving copy), so a
+    * rebuild crash can never leave the channel index-less; an old
+    * beside a live dir means the swap completed — drop the superseded
+    * index. A stale build tmp is always safe to drop (the build starts
+    * over). Runs on buildAnnIndex entry AND from [[cachedIndex]]'s
+    * missing-index path, so serving self-heals without waiting for the
+    * next maintenance run. Returns whether the live index was
+    * restored. */
+  private def recoverAnnBuild(channel: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(annPath(channel))
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/.ann_build_old_$channel")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var restored = false
+    if (fs.exists(old)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(old, live)) throw new java.io.IOException(
+          s"buildAnnIndex: crash recovery rename $old -> $live failed")
+        log.warn(s"buildAnnIndex: restored $live from an interrupted rebuild swap")
+        restored = true
+      } else fs.delete(old, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/.ann_build_tmp_$channel"), true)
+    restored
   }
 
   /** Incrementally extend the channel's ANN index with newly-ingested
@@ -849,6 +892,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // a bound so a pathological distribution (all rows one point, thus
     // unsplittable) cannot spin
     val all = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // cells whose bisection could not separate rows THIS call (all
+    // coincident vectors): re-attempting them every round would restage
+    // and abort the same full-size rewrite up to MaxSplitRounds times
+    val unsplittable = scala.collection.mutable.Set.empty[Int]
     var rounds = 0
     var progressed = true
     while (progressed && rounds < GraftVectorDB.MaxSplitRounds) {
@@ -856,21 +903,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       if (occ.isEmpty) return all.toSeq
       val mean = occ.values.sum.toDouble / occ.size
       // a cell needs at least 4 rows for a meaningful 2-means refit
-      val hot = occ.filter { case (_, n) => n > ratio * mean && n >= 4 }
+      val hot = occ.filter { case (c, n) =>
+          n > ratio * mean && n >= 4 && !unsplittable.contains(c) }
         .keys.toSeq.sorted
-      val didSplit = hot.map { h =>
-        val (a, b) = splitCell(channel, h, fs, root)
-        // progress = the bisection actually separated rows: a cell of
-        // coincident vectors re-emerges at full size under one new id
-        math.max(a, b) < occ(h)
+      // a split either COMMITS (sub-cells strictly smaller — progress
+      // by construction) or aborts with nothing staged or amended: a
+      // coincident-vector cell can no longer commit a permanent empty
+      // twin centroid into the routing table on every maintenance run
+      val results = hot.map(h => h -> splitCell(channel, h, fs, root))
+      results.foreach {
+        case (h, Some(_)) => all += h
+        case (h, None) =>
+          unsplittable += h
+          log.warn(s"splitHotCells('$channel'): cell $h cannot be split " +
+            s"(occupancy ${occ(h)} but <2 distinct vectors) — skipping")
       }
-      all ++= hot
-      progressed = hot.nonEmpty && didSplit.exists(identity)
+      progressed = results.exists(_._2.isDefined)
       rounds += 1
-      if (hot.nonEmpty)
+      if (progressed)
         log.info(s"splitHotCells('$channel') round $rounds: split cells " +
-          s"${hot.mkString(",")} (occupancy ${hot.map(occ).mkString(",")} " +
-          f"vs mean $mean%.1f)")
+          s"${results.collect { case (h, Some(_)) => h }.mkString(",")} " +
+          s"(occupancy ${hot.map(occ).mkString(",")} vs mean $mean%.1f)")
     }
     if (all.nonEmpty) bumpIndexGeneration(channel)
     all.toSeq
@@ -878,15 +931,25 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   /** One cell's split: stage two sub-cell dirs, commit the routing
     * amendment atomically, roll the superseded source dir forward.
-    * Returns the two sub-cells' row counts (footer stats). */
+    * Returns the two sub-cells' row counts (footer stats) — or None
+    * WITHOUT committing (or leaving) anything when the cell cannot
+    * make progress: a coincident-vector cell (all rows one point)
+    * would otherwise re-emerge at full size under a fresh id plus a
+    * permanently EMPTY twin centroid in the routing table — repeated
+    * scheduled maintenance would accumulate empty cells without bound,
+    * growing the amendment log and displacing useful cells from probe
+    * sets. */
   private def splitCell(channel: String, h: Int,
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): (Long, Long) = {
+      root: org.apache.hadoop.fs.Path): Option[(Long, Long)] = {
     val ci = cachedIndex(channel)
     val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$h")
     val cur = spark.read.parquet(cellDir.toString)
     // bounded deterministic sample of THIS cell only + driver 2-means
     val sample = AnnIndex.sampleVectors(cur.select($"row_id", $"v"), $"row_id")
+    // pre-check before ANY write: 2-means over <2 distinct points
+    // yields a duplicate centroid and a one-sided assignment
+    if (sample.map(_.toSeq).distinct.lengthCompare(2) < 0) return None
     val subs = AnnIndex.routingBooks(
       AnnIndex.centroidsFromSample(spark, sample, 2))
     // fresh ids: the amendment history only ever appends new ids, so
@@ -903,6 +966,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         throw new java.io.IOException(
           s"splitCell: rename $tmp -> cell=$id failed")
     }
+    // the staged dirs are UNREFERENCED (invisible to every probe) until
+    // the amendment commits — so an abort here leaves no trace beyond
+    // dirs dropUnreferencedCells reclaims, and we reclaim them eagerly
+    val Seq(na, nb) = books2.toSeq.map { case (id, _) =>
+      spark.read.parquet(
+        new org.apache.hadoop.fs.Path(root, s"cell=$id").toString).count()
+    }
+    if (na == 0L || nb == 0L) {
+      // the sample looked separable but the full cell was not (e.g.
+      // duplicates dominating beyond the sample) — ABORT: committing
+      // would put a permanent empty cell in the routing table
+      books2.foreach { case (id, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$id"), true) }
+      return None
+    }
     // COMMIT: one atomic rename of the amendment file
     val prior = GraftVectorDB.readSplits(fs,
       new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids"))._2
@@ -912,11 +990,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         books2.map { case (id, v) => GraftVectorDB.SplitOp("A", id, v) })
     // roll forward: the source cell is now unreferenced — reclaim it
     fs.delete(cellDir, true)
-    val Seq(na, nb) = books2.toSeq.map { case (id, _) =>
-      spark.read.parquet(
-        new org.apache.hadoop.fs.Path(root, s"cell=$id").toString).count()
-    }
-    (na, nb)
+    Some((na, nb))
   }
 
   /** Reclaim cell dirs the CURRENT routing table does not reference —
@@ -963,6 +1037,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       }
     fs.listStatus(root).filter(_.getPath.getName.startsWith(".compact_tmp_cell="))
       .foreach(st => fs.delete(st.getPath, true))
+    // a writeSplits crash between create and rename strands a
+    // .splits_tmp_<uuid> in _centroids — no other protocol reclaims
+    // that prefix (the amendment itself is intact: the rename never ran,
+    // so the prior version still serves)
+    val cDir = new org.apache.hadoop.fs.Path(root, "_centroids")
+    if (fs.exists(cDir))
+      fs.listStatus(cDir).filter(_.getPath.getName.startsWith(".splits_tmp_"))
+        .foreach(st => fs.delete(st.getPath, false))
     // per-FILE swap leftovers (the file-granular delete) live INSIDE
     // the cell dirs
     fs.listStatus(root)
@@ -1286,8 +1368,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a clear contract error beats the raw FileNotFoundException the
-    // getFileStatus below would surface for a never-built index
-    if (!fs.exists(cDir))
+    // getFileStatus below would surface for a never-built index — but
+    // first try rolling forward a rebuild that crashed between its two
+    // swap renames (the live dir is missing, the only copy sits aside
+    // as .ann_build_old_<ch>): serving self-heals instead of failing
+    // until a manual rebuild
+    if (!fs.exists(cDir) && !recoverAnnBuild(channel))
       throw new IllegalStateException(
         s"ANN index '$channel' has not been built (no ${annPath(channel)}/_centroids) — " +
           s"run buildAnnIndex(channel = \"$channel\") first")
@@ -1625,6 +1711,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     fs.listStatus(root)
       .filter(_.getPath.getName.startsWith(".compact_tmp_content_type="))
       .foreach(st => fs.delete(st.getPath, true))
+    // LEGACY naming (pre-r6: .compact_tmp_<ct> / .compact_old_<ct>,
+    // no content_type= segment): a crash under the old naming left
+    // dirs the current-prefix scans above never match, so they would
+    // sit in the store root forever — same recovery semantics, the
+    // partition path mapped explicitly from the bare <ct> suffix
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith(".compact_old_") &&
+        !st.getPath.getName.startsWith(".compact_old_content_type="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          s"content_type=${st.getPath.getName.stripPrefix(".compact_old_")}")
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live)) throw new java.io.IOException(
+            s"compact: legacy crash recovery rename ${st.getPath} -> $live failed")
+          log.warn(s"compact: restored $live from a legacy-named interrupted compaction")
+        } else fs.delete(st.getPath, true)
+      }
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith(".compact_tmp_") &&
+        !st.getPath.getName.startsWith(".compact_tmp_content_type="))
+      .foreach(st => fs.delete(st.getPath, true))
     // per-FILE swap leftovers (the file-granular delete) live INSIDE
     // the partition dirs
     fs.listStatus(root)
@@ -1736,7 +1843,11 @@ object GraftVectorDB {
     * for the cache generation, parsed ops). ("", Nil) when no split
     * has ever committed. */
   private[operators] def readSplits(fs: org.apache.hadoop.fs.FileSystem,
-      cDir: org.apache.hadoop.fs.Path): (String, Seq[SplitOp]) = {
+      cDir: org.apache.hadoop.fs.Path): (String, Seq[SplitOp]) =
+    readSplits(fs, cDir, attempts = 3)
+
+  private def readSplits(fs: org.apache.hadoop.fs.FileSystem,
+      cDir: org.apache.hadoop.fs.Path, attempts: Int): (String, Seq[SplitOp]) = {
     val vs = fs.listStatus(cDir).map(_.getPath.getName)
       .filter(_.startsWith("_splits.v"))
       .flatMap(n => n.stripPrefix("_splits.v").toIntOption.map(n -> _))
@@ -1758,8 +1869,17 @@ object GraftVectorDB {
     } catch {
       // a reader can list version N just as the (single) writer commits
       // N+1 and reclaims N — re-list and read the fresh version rather
-      // than failing a search on maintenance timing
-      case _: java.io.FileNotFoundException => readSplits(fs, cDir)
+      // than failing a search on maintenance timing. BOUNDED: on an
+      // eventually-consistent store (or a version file removed
+      // externally with no successor) unbounded recursion would spin
+      // to StackOverflowError instead of a diagnosable failure.
+      case e: java.io.FileNotFoundException =>
+        if (attempts > 1) readSplits(fs, cDir, attempts - 1)
+        else throw new IllegalStateException(
+          s"readSplits: a _splits.vN amendment file under $cDir kept vanishing " +
+            "across 3 list/read attempts — either the listing is eventually " +
+            "consistent (retry the search) or a version file was removed " +
+            "without a successor (restore it or rebuild the index)", e)
     }
   }
 
