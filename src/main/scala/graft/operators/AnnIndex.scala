@@ -56,7 +56,7 @@ object AnnIndex {
   val LshTables = 6
   val TopK = 5
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.load(spark, dir, "embeddings"))
       .select($"vec_id", toDouble($"embedding").as("v"))
@@ -94,7 +94,7 @@ object AnnIndex {
     * |c|²/2)`. Ranking by raw dot instead can exclude the query's own
     * cell whenever centroid norms differ (a small-norm centroid loses
     * the dot ranking even when it is the L2-nearest). */
-  private def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+  private[operators] def probeCells(q: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     import q.sparkSession.implicits._
     // fixed output projection: callers' extra columns are dropped, so
     // a queries frame still carrying its original v/vec_id can never
@@ -368,7 +368,7 @@ object AnnIndex {
 
   /** Per-query ADC lookup tables over vector column `v`:
     * dt[m][k] = <v_m, c_{m,k}>. */
-  private def adcTables(books: Array[Array[Array[Double]]], v: Column): Column =
+  private[operators] def adcTables(books: Array[Array[Array[Double]]], v: Column): Column =
     array(books.indices.map { m =>
       array(books(m).map(c =>
         dot(slice(v, m * PqSubDim + 1, PqSubDim), typedLit(c.toSeq))).toSeq: _*)
@@ -407,8 +407,22 @@ object AnnIndex {
     * only the shortlist approximation stays spec-bounded. */
   def pq(spark: SparkSession, dir: String, shortlist: Int): DataFrame = {
     import spark.implicits._
-    val books = pqCodebooks(spark, dir)
     val v = vecs(spark, dir)
+    // exhaustive-shortlist config (`ann_pq_exh`): identical reasoning
+    // to the ivfpq exhaustive skip — a shortlist ≥ the corpus excludes
+    // nothing, so the codebook fit, ADC pass, and corpus-sized heap are
+    // dead work; the exact re-rank over everything IS the result
+    if (shortlist > 10000 && shortlist >= v.filter($"vec_id" >= 10).count()) {
+      val q = v.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val exact = v.filter($"vec_id" >= 10)
+        .select($"vec_id".as("n_id"), $"v", $"nrm")
+        .crossJoin(broadcast(q))
+        .select($"q_id", $"n_id",
+          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
+      return KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk")
+    }
+    val books = pqCodebooks(spark, dir)
     val corpus = v.filter($"vec_id" >= 10)
       .select($"vec_id", $"v", $"nrm", encodeCodes(books).as("codes"))
       .persist() // scanned twice: ADC pass + exact re-rank of the shortlist
@@ -456,9 +470,32 @@ object AnnIndex {
     // build (measured sf0.1; recall unchanged, see AnnIndexSpec)
     val v = vecs(spark, dir)
     val sample = sampleVectors(v, $"vec_id")
-    val books = pqCodebooksFromSample(sample)
     val centroids = centroidsFromSample(spark, sample, cells)
     val assigned = assignWithCentroids(v, centroids)
+    // EXHAUSTIVE-shortlist configs (the `ann_ivfpq_exh` audit harness:
+    // shortlist ≥ the candidate count) skip the ADC scoring + the
+    // corpus-sized rankTopK heap + the shortlist⋈corpus join: a
+    // shortlist that excludes nothing makes all three dead work — their
+    // output cannot affect a single result row — yet they dominated the
+    // harness wall (measured sf1: 4.2 s of 4.9 vs 0.7 s for the direct
+    // re-rank). The exhaustive plan is route + exact re-rank of every
+    // probed candidate; ADC/encode VALUES are pinned where they can
+    // matter — PqEncode/adcTables property specs and the recall-spec'd
+    // approximate configs. Guarded by a count only past
+    // serving-shortlist sizes, so approximate configs pay nothing.
+    if (shortlist > 10000 &&
+        shortlist >= assigned.filter($"vec_id" >= 10).count()) {
+      val q = assigned.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val qCells = probeCells(q, centroids, nProbe)
+      val exact = assigned.filter($"vec_id" >= 10)
+        .join(broadcast(qCells.select($"q_id", $"cell")), "cell")
+        .join(broadcast(q.select($"q_id", $"qv", $"qnrm")), "q_id")
+        .select($"q_id", $"vec_id".as("n_id"),
+          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
+      return KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk")
+    }
+    val books = pqCodebooksFromSample(sample)
     val corpus = assigned.filter($"vec_id" >= 10)
       .select($"vec_id", $"v", $"nrm", $"cell", encodeCodes(books).as("codes"))
       .persist() // ADC pass over probed cells + exact re-rank of the shortlist

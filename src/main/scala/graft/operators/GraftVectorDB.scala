@@ -159,17 +159,43 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Rebuild a channel's index at its CURRENT routing-table size —
+  /** Rebuild a channel's index at the SCALE-ADAPTIVE cell count —
     * the refit the drift/skew gauges call for: the corpus is re-routed
     * with freshly-fit centroids (and codebooks), `_APPENDED` resets,
     * and the rename swap keeps the old index serving until the new one
     * is live. */
   private def rebuildAnnIndexInPlace(channel: String): Unit = {
-    val cells = cachedIndex(channel).books.length
+    val cells = adaptiveCells(channel)
     log.info(s"auto-rebuild: ANN index '$channel' appended fraction " +
       f"${annAppendFraction(channel)}%.2f tripped the policy - rebuilding " +
-      s"at $cells cells")
+      s"at $cells cells (was ${cachedIndex(channel).books.length})")
     buildAnnIndex(cells, channel)
+  }
+
+  /** Cell count for a drift-triggered rebuild, derived from the LIVE
+    * index size — the IVF twin of the adaptive embed-LSH geometry
+    * ([[Dedup.adaptivePlanes]]): rebuilding at the built cell count
+    * forever means a store that grows 10× under streaming ingest keeps
+    * its original cells, per-cell occupancy grows 10×, and every probe
+    * scan with it — and UNIFORM growth never trips the 4× skew gauge
+    * (all cells grow together), so hot-cell splitting cannot catch it.
+    * Holds per-cell occupancy at the build-time anchor instead:
+    * `cells = builtCells × liveRows / builtRows`, floored at the
+    * current routing-table size (an index never shrinks its geometry
+    * on rebuild — probe budgets are tuned against it) and capped at
+    * [[GraftVectorDB.MaxAdaptiveCells]] (the driver-Lloyd fit reads a
+    * ≤ [[AnnIndex.SampleTarget]]-row sample; past ~SampleTarget/4
+    * cells the 2-means init is point-starved — deployments growing
+    * beyond the cap raise SampleTarget with it). Live rows come from
+    * the cell histogram (parquet footer stats — driver metadata I/O,
+    * no job), so appends AND deletes both count. */
+  def adaptiveCells(channel: String): Int = {
+    val liveCells = cachedIndex(channel).books.length
+    val built = readCounter(channel, "_BUILT")
+    if (built <= 0) return liveCells // legacy index: no anchor to scale from
+    val live = annCellHistogram(channel).values.sum
+    val scaled = math.ceil(live.toDouble * liveCells / built).toInt
+    math.max(liveCells, math.min(scaled, GraftVectorDB.MaxAdaptiveCells))
   }
 
   /** The scheduled-maintenance entrypoint a production store runs per
@@ -213,16 +239,77 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         }
       }
     if (parts > 0) spark.catalog.refreshByPath(storePath)
+    // maintenance exit = a consistent point: stamp the live file set so
+    // an external copier has a manifest that cannot straddle a rewrite
+    snapshot()
     (parts, rows)
+  }
+
+  /** Versioned snapshot manifest — the consistent-copy contract for a
+    * store operated across systems: one atomically-committed file
+    * (`_snapshots/manifest.vN`, the `_splits` write-to-temp + rename
+    * protocol) listing every LIVE data/metadata file of the store and
+    * every channel's ANN index with its byte length. Dot-prefixed
+    * crash/staging residue (`.compact_*`, `.delete_*`, `.ann_build_*`,
+    * `.splits_tmp_*`) is NEVER listed — a copy made by replaying the
+    * manifest reproduces exactly the serving state, mid-ingest
+    * leftovers excluded, and serves identically (SnapshotSpec).
+    * Written at [[maintainStore]] exit (the single-writer quiescent
+    * point) and callable directly; driver metadata I/O only, O(files),
+    * no Spark job. Returns the committed manifest path. */
+  def snapshot(): String = {
+    val rootP = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedRoot = fs.makeQualified(rootP).toString
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.getPath.getName.startsWith(".")) Nil // staging/crash residue
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
+      }
+    val files = fs.listStatus(rootP)
+      .filter(st => st.isDirectory && (st.getPath.getName == "vector_store" ||
+        st.getPath.getName.startsWith("ann_index_")))
+      .flatMap(st => walk(st.getPath))
+      .map(st => (fs.makeQualified(st.getPath).toString
+        .stripPrefix(qualifiedRoot).stripPrefix("/"), st.getLen))
+      .sortBy(_._1)
+    val snapDir = new org.apache.hadoop.fs.Path(rootP, "_snapshots")
+    fs.mkdirs(snapDir)
+    val curV = fs.listStatus(snapDir).map(_.getPath.getName)
+      .filter(_.startsWith("manifest.v"))
+      .flatMap(_.stripPrefix("manifest.v").toIntOption)
+      .maxOption.getOrElse(0)
+    val tmp = new org.apache.hadoop.fs.Path(snapDir,
+      s".manifest_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(files.map { case (p, len) => s"$p\t$len" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val dest = new org.apache.hadoop.fs.Path(snapDir, s"manifest.v${curV + 1}")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"snapshot: rename $tmp -> $dest failed")
+    // superseded versions (and any crashed write's tmp) are dead now
+    (1 to curV).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir, s"manifest.v$v"), false))
+    fs.listStatus(snapDir).filter(_.getPath.getName.startsWith(".manifest_tmp_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    dest.toString
   }
 
   /** Text search over the text channel (text_chunk + image_caption —
     * exactly run_text_search's text-vs-text scope). */
   def search(queryText: String, topN: Int = 5, location: Option[String] = None): DataFrame =
-    searchChannel(queryText,
-      store.filter($"content_type" =!= ContentTypes.Image), topN, location,
-      VectorStore.embedText)
-      .withColumn("channel", lit("text"))
+    searchIn("text", queryText, topN, location)
+
+  /** Exact scan search over ANY registered channel — the generic form
+    * of [[search]]/[[searchImage]]: the query encodes with the
+    * channel's own encoder and scores only the channel's rows. */
+  def searchIn(channel: String, query: String, topN: Int = 5,
+      location: Option[String] = None): DataFrame =
+    searchChannel(query, channelRows(channel), topN, location,
+      channelDef(channel).encode)
+      .withColumn("channel", lit(channel))
 
   /** Batch query-set search: N queries against the text channel in ONE
     * corpus scan — the shape a search front-end needs under load
@@ -238,10 +325,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * covers both of [[searchMultimodal]]'s channels. */
   def searchAll(queries: DataFrame, topN: Int = 5,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
-    val encode: Column => Column = channel match {
-      case "image" => VectorStore.embedImage
-      case _ => VectorStore.embedText
-    }
+    val encode: Column => Column = channelDef(channel).encode
     val q = queries.select(col("q_id"), encode(col("q_text")).as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
     val chanRows = channelFilter(store, channel)
@@ -264,7 +348,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * aggregate, then ONE fetch of the unioned shortlists feeds the
     * exact driver-side re-rank — two scans for the whole batch instead
     * of 2N. Per-query results identical to N × [[searchAnnPq]]
-    * (spec-pinned). Output contract = [[searchAll]]. */
+    * (spec-pinned; like [[searchAllAnn]], no per-query probe
+    * escalation — re-issue an under-filled query via [[searchAnnPq]]).
+    * Output contract = [[searchAll]]. */
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
@@ -276,8 +362,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val shortByQ = short.groupBy(_.getAs[Long]("q_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
     val allIds = short.map(_.getAs[Long]("row_id")).distinct.toSeq
-    // scan 2: ONE fetch of the unioned shortlists' vectors + metadata
-    val fetched = fetchShortlist(ci, unionCells, allIds).collect()
+    // scan 2: ONE fetch of the unioned shortlists' vectors + metadata.
+    // If EVERY query's shortlist is untruncated, every row any query
+    // scanned is in the union (its scanning query kept it), so the id
+    // filter is a no-op — skip it (per-query scoping happens in the
+    // shortByQ lookup below either way)
+    val coverScan = shortByQ.values.forall(_.size < shortlist)
+    val fetched = fetchShortlist(ci, unionCells, allIds, location, coverScan).collect()
     // GROUPED by row_id, not a 1:1 map: an xxhash64(doc_name,
     // content_type, content_id) collision fetches BOTH rows under one
     // id, and the single-query path re-ranks every fetched row — a
@@ -369,8 +460,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       channel: String = "text"): DataFrame = {
     val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
     val short = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
+    val coverScan = short.groupBy(_.getAs[Long]("q_id"))
+      .values.forall(_.length < shortlist)
     fetchShortlist(ci, qInfo.flatMap(_._4).distinct,
-      short.map(_.getAs[Long]("row_id")).distinct.toSeq)
+      short.map(_.getAs[Long]("row_id")).distinct.toSeq, location, coverScan)
   }
 
   /** Fetch index rows by id within the probed cells — the second scan
@@ -384,10 +477,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * pruned scan with a constant-size plan. Ids are deduplicated so
     * the join cannot multiply rows. */
   private def fetchShortlist(ci: GraftVectorDB.CachedAnnIndex,
-      cells: Seq[Int], ids: Seq[Long]): DataFrame = {
+      cells: Seq[Int], ids: Seq[Long], location: Option[String],
+      idsCoverScan: Boolean): DataFrame = {
     val pruned = ci.index.filter($"cell".isin(cells: _*))
+    // an UNTRUNCATED shortlist (the exhaustive-config audit shape —
+    // every scanned row made the list) filters nothing: skip the id
+    // predicate entirely instead of broadcasting a corpus-sized id
+    // frame into a join that cannot exclude a row (the round-6 sf1
+    // regression). The location scope must then re-apply here — in the
+    // id-filtered paths the ids already encode it.
     val byId =
-      if (ids.length <= GraftVectorDB.InLiteralMax)
+      if (idsCoverScan) locScoped(pruned, location)
+      else if (ids.length <= GraftVectorDB.InLiteralMax)
         pruned.filter($"row_id".isin(ids: _*))
       else pruned.join(broadcast(ids.distinct.toDF("row_id")), "row_id")
     byId.select($"row_id", $"v", $"nrm", $"doc_name", $"page_num",
@@ -473,14 +574,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * that space with the same encoder (the CLIP-text-encoder seam,
     * vector_db.py:738-759). */
   def searchMultimodal(queryText: String, topN: Int = 5,
-      location: Option[String] = None): DataFrame = {
-    val text = search(queryText, topN, location)
-    val image = searchChannel(queryText,
-      store.filter($"content_type" === ContentTypes.Image), topN, location,
-      VectorStore.embedImage)
-      .withColumn("channel", lit("image"))
-    text.unionByName(image).orderBy($"channel", $"rnk")
-  }
+      location: Option[String] = None): DataFrame =
+    search(queryText, topN, location)
+      .unionByName(searchIn("image", queryText, topN, location))
+      .orderBy($"channel", $"rnk")
 
   /** Image-vs-image search: the query arrives as image content and is
     * encoded directly into the image space — run_image_search's
@@ -489,10 +586,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * store rows use. */
   def searchImage(queryContent: String, topN: Int = 5,
       location: Option[String] = None): DataFrame =
-    searchChannel(queryContent,
-      store.filter($"content_type" === ContentTypes.Image), topN, location,
-      VectorStore.embedImage)
-      .withColumn("channel", lit("image"))
+    searchIn("image", queryContent, topN, location)
 
   /** run_search's full return shape: a response plus the source
     * manifest (vector_db.py:615-671). The reference calls an LLM to
@@ -1124,13 +1218,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.keys.toSeq.sorted.foreach { ct =>
       deleteNamesFromDir(fs,
-        new org.apache.hadoop.fs.Path(s"$storePath/content_type=$ct"), names)
+        new org.apache.hadoop.fs.Path(s"$storePath/content_type=$ct"), names,
+        sortCols = Seq("doc_name", "page_num"))
     }
     // stale FileStatus entries (same path, new length) must not serve
     if (touched.nonEmpty) spark.catalog.refreshByPath(storePath)
-    // index cleanup ALWAYS runs — a crash between the store pass and
-    // this point converges by re-running the same delete
-    Seq("text", "image").filter(annIndexBuilt)
+    // index cleanup ALWAYS runs for EVERY registered channel — a crash
+    // between the store pass and this point converges by re-running
+    channelNames.filter(annIndexBuilt)
       .foreach(ch => deleteNamesFromAnnIndex(ch, names))
     touched.values.sum
   }
@@ -1141,58 +1236,87 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * driver metadata I/O — identify exactly which files can hold a
     * victim; only THOSE files rewrite. At 100 TB this is the difference
     * between a takedown costing O(touched files) and rewriting the
-    * whole partition (≈ the corpus for the text channel). Each touched
-    * file swaps via rename-aside with the same recovery rule as the
-    * dir-level protocol (`.delete_old_<name>` beside a missing live
-    * file ⇒ restore; beside a live one ⇒ superseded, drop) — and an
-    * all-rows-deleted file is replaced by a ZERO-ROW file rather than
-    * removed, so a missing live file is always unambiguous crash
-    * state, never a completed delete. Returns rows removed. */
+    * whole partition (≈ the corpus for the text channel).
+    *
+    * The rewrite is ONE Spark job for ALL touched files of the dir
+    * (rows tagged with their source file via `input_file_name`, one
+    * output file per source via a partitioned write) — a takedown
+    * touching hundreds of files costs one cluster-parallel job, not
+    * hundreds of sequential driver-paced single-file jobs (the round-6
+    * serialization). Each output then swaps in via the same per-file
+    * rename-aside protocol as before (`.delete_old_<name>` beside a
+    * missing live file ⇒ restore; beside a live one ⇒ superseded,
+    * drop — [[recoverFileSwaps]]), and an all-rows-deleted file is
+    * replaced by a ZERO-ROW file rather than removed, so a missing
+    * live file is always unambiguous crash state, never a completed
+    * delete. `sortCols` restores the dir's sorted layout (store
+    * partitions: doc_name+page_num; index cells: doc_name+row_id) —
+    * the batched read does not preserve per-file row order the way the
+    * old single-file read did. Returns rows removed. */
   private def deleteNamesFromDir(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, names: Seq[String]): Long = {
+      dir: org.apache.hadoop.fs.Path, names: Seq[String],
+      sortCols: Seq[String]): Long = {
     recoverFileSwaps(fs, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
     val sortedNames = names.sorted.toArray
-    var removed = 0L
-    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
-      .filter(f => GraftVectorDB.fileTouchesNames(
-        f, sortedNames, spark.sparkContext.hadoopConfiguration))
-      .foreach { f =>
-        val live = f.getPath
-        val before = {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(f, spark.sparkContext.hadoopConfiguration)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
+    def footerRows(p: org.apache.hadoop.fs.Path): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    val touched = fs.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .filter(f => GraftVectorDB.fileTouchesNames(f, sortedNames, conf))
+      .map(_.getPath).sortBy(_.getName)
+    if (touched.isEmpty) return 0L
+    val before = touched.map(footerRows).sum
+    // one job: every touched file's survivors, tagged by source file
+    // (file NAMES are unique within the dir — input_file_name returns
+    // the full URI, whose encoding is not worth depending on) and laid
+    // out one output file per source (repartition on the tag puts each
+    // source's rows in one task; the partitioned write splits by tag)
+    val fileIdx = touched.map(_.getName).zipWithIndex.toMap
+    val tmp = new org.apache.hadoop.fs.Path(dir, ".delete_tmp_batch")
+    spark.read.parquet(touched.map(_.toString): _*)
+      .withColumn("__f", element_at(typedLit(fileIdx),
+        substring_index(input_file_name(), "/", -1)))
+      .filter(!$"doc_name".isin(names: _*))
+      .repartition($"__f")
+      .sortWithinPartitions(($"__f" +: sortCols.map(col)): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy("__f").parquet(tmp.toString)
+    var removed = before
+    touched.foreach { live =>
+      val k = fileIdx(live.getName)
+      val outDir = new org.apache.hadoop.fs.Path(tmp, s"__f=$k")
+      val replacement =
+        if (fs.exists(outDir))
+          fs.listStatus(outDir).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new java.io.IOException(
+              s"deleteNamesFromDir: no replacement part file under $outDir"))
+        else {
+          // every row of this file was a victim: stage a ZERO-ROW
+          // replacement (schema from the original's footer — one tiny
+          // limit(0) job) so the live file never goes missing
+          val empty = new org.apache.hadoop.fs.Path(tmp, s"__empty_$k")
+          spark.read.parquet(live.toString).limit(0).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(empty.toString)
+          fs.listStatus(empty).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new java.io.IOException(
+              s"deleteNamesFromDir: no zero-row part file under $empty"))
         }
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s".delete_tmp_${live.getName}")
-        // one small job: read THIS file, drop victims, keep row order
-        // (the file is already doc_name-sorted; filter preserves it)
-        val kept = spark.read.parquet(live.toString)
-          .filter(!$"doc_name".isin(names: _*)).coalesce(1)
-        kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val replacement = fs.listStatus(tmp)
-          .find(_.getPath.getName.endsWith(".parquet"))
-          .getOrElse(throw new java.io.IOException(
-            s"deleteNamesFromDir: no replacement part file under $tmp"))
-          .getPath
-        val after = {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            replacement, spark.sparkContext.hadoopConfiguration)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }
-        val aside = new org.apache.hadoop.fs.Path(dir,
-          s".delete_old_${live.getName}")
-        if (!fs.rename(live, aside))
-          throw new java.io.IOException(s"delete: rename $live -> $aside failed")
-        if (!fs.rename(replacement, live))
-          throw new java.io.IOException(s"delete: rename $replacement -> $live " +
-            s"failed (original preserved at $aside — rerun to recover)")
-        fs.delete(aside, false)
-        fs.delete(tmp, true)
-        removed += before - after
-      }
+      removed -= footerRows(replacement)
+      val aside = new org.apache.hadoop.fs.Path(dir,
+        s".delete_old_${live.getName}")
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"delete: rename $live -> $aside failed")
+      if (!fs.rename(replacement, live))
+        throw new java.io.IOException(s"delete: rename $replacement -> $live " +
+          s"failed (original preserved at $aside — rerun to recover)")
+      fs.delete(aside, false)
+    }
+    fs.delete(tmp, true)
     removed
   }
 
@@ -1230,7 +1354,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     var removed = 0L
     touchedCells.foreach { c =>
       removed += deleteNamesFromDir(fs,
-        new org.apache.hadoop.fs.Path(root, s"cell=$c"), names)
+        new org.apache.hadoop.fs.Path(root, s"cell=$c"), names,
+        sortCols = Seq("doc_name", "row_id"))
     }
     if (touchedCells.nonEmpty || recovered) bumpIndexGeneration(channel)
     if (removed > 0)
@@ -1275,9 +1400,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       swapDir(fs, partDir, tmp, old, "deleteWhere")
     }
-    // index cleanup ALWAYS runs (see scaladoc: rerun-to-converge after
-    // a crash between the store rewrite and this point)
-    Seq("text", "image").filter(annIndexBuilt)
+    // index cleanup ALWAYS runs for EVERY registered channel (see
+    // scaladoc: rerun-to-converge after a crash between the store
+    // rewrite and this point)
+    channelNames.filter(annIndexBuilt)
       .foreach(ch => deleteFromAnnIndex(ch, hit, keep))
     touched.values.sum
   }
@@ -1315,14 +1441,48 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     removed
   }
 
+  /** The channel REGISTRY — a training-data store has N embedding
+    * spaces (text, image, audio, video, code…), not a hardcoded two:
+    * every lifecycle op (build/append/search/delete/maintain) resolves
+    * channels here, so a registered space gets the whole surface for
+    * free. The built-in entries are the reference's dual text/image
+    * spaces (run_text_search / run_image_search,
+    * vector_db.py:698-759). Insertion-ordered: delete/maintain sweeps
+    * iterate deterministically. */
+  private val channels = scala.collection.mutable.LinkedHashMap(
+    GraftVectorDB.builtinChannels.map(c => c.name -> c): _*)
+
+  /** Registered channel names, registration order. */
+  def channelNames: Seq[String] = channels.keys.toSeq
+
+  /** Declare a new embedding space. The content-type claim must be
+    * disjoint from every registered channel's — one store row belongs
+    * to at most one space, or a mixed-dim index would route on garbage
+    * scores ([[graft.functions.expressions.DotProduct]] truncates
+    * silently). The local encoder must agree with the declared dim
+    * (checked here with a probe string — the serving path embeds
+    * driver-side and a mismatch would fail deep inside a search). */
+  def registerChannel(c: GraftVectorDB.ChannelDef): Unit = {
+    require(!channels.contains(c.name), s"channel '${c.name}' already registered")
+    require(c.contentTypes.nonEmpty, s"channel '${c.name}' claims no content types")
+    val claimed = channels.values.flatMap(_.contentTypes).toSet
+    val overlap = c.contentTypes.filter(claimed)
+    require(overlap.isEmpty,
+      s"channel '${c.name}' claims content types already owned: ${overlap.mkString(",")}")
+    require(c.encodeLocal("dim probe").length == c.dim,
+      s"channel '${c.name}': encodeLocal produces ${c.encodeLocal("dim probe").length} " +
+        s"dims, declared ${c.dim}")
+    channels.put(c.name, c)
+  }
+
+  private def channelDef(channel: String): GraftVectorDB.ChannelDef =
+    channels.getOrElse(channel, throw new IllegalArgumentException(
+      s"unknown ANN channel '$channel' (${channels.keys.mkString(" | ")})"))
+
   /** The one channel→predicate mapping, shared by build and append so
     * appended rows can never route differently from built rows. */
-  private def channelFilter(df: DataFrame, channel: String): DataFrame = channel match {
-    case "text" => df.filter($"content_type" =!= ContentTypes.Image)
-    case "image" => df.filter($"content_type" === ContentTypes.Image)
-    case other => throw new IllegalArgumentException(
-      s"unknown ANN channel '$other' (text | image)")
-  }
+  private def channelFilter(df: DataFrame, channel: String): DataFrame =
+    df.filter($"content_type".isin(channelDef(channel).contentTypes: _*))
 
   private def channelRows(channel: String): DataFrame = channelFilter(store, channel)
 
@@ -1356,6 +1516,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
     searchAnnChannel(queryContent, "image", topN, nProbe, location)
 
+  /** ANN search over ANY registered channel — the generic form of
+    * [[searchAnn]]/[[searchAnnImage]] (same pruned-scan serving path,
+    * same probe escalation). */
+  def searchAnnIn(channel: String, query: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+    searchAnnChannel(query, channel, topN, nProbe, location)
+
+  /** IVF+PQ search over ANY registered channel — the generic form of
+    * [[searchAnnPq]]/[[searchAnnPqImage]]. */
+  def searchAnnPqIn(channel: String, query: String, topN: Int = 5,
+      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
+      location: Option[String] = None): DataFrame =
+    searchAnnPqChannel(query, channel, topN, nProbe, shortlist, location)
+
   /** The channel's routing table + resolved index frame, cached per
     * build generation. Generation = the `_centroids` mtime (rebuilds
     * swap via rename, which always moves it) plus the append stamp's
@@ -1365,6 +1539,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * warm path; appendAnnIndex additionally drops this JVM's entry
     * directly, so a same-session writer never even waits on the tag. */
   private def cachedIndex(channel: String): GraftVectorDB.CachedAnnIndex = {
+    channelDef(channel) // unknown names fail with the registry's error, not a path error
     val cDir = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
     val fs = cDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a clear contract error beats the raw FileNotFoundException the
@@ -1424,12 +1599,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   /** The channel's driver-side query encoder (the embedTextLocal /
     * embedImageLocal seam — property-tested bit-identical to the
-    * distributed embedders). */
+    * distributed embedders), resolved through the registry. */
   private def embedLocal(channel: String, query: String): Array[Double] =
-    channel match {
-      case "image" => VectorStore.embedImageLocal(query)
-      case _ => VectorStore.embedTextLocal(query)
-    }
+    channelDef(channel).encodeLocal(query)
 
   /** Rank probe cells for one query vector — driver arithmetic over
     * the routing table. Uses the ASSIGNMENT metric (L2 argmin as
@@ -1465,7 +1637,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * payload-carrying [[graft.functions.expressions.TopKRows]]
     * aggregate keyed by q_id, so ≤ topN rows per query per partition
     * reach the shuffle WITH their metadata. Output contract =
-    * [[searchAll]]. */
+    * [[searchAll]].
+    *
+    * No per-query probe escalation (unlike [[searchAnn]]): one query's
+    * sparse scope must not re-scan for the whole batch — a caller
+    * seeing an under-filled query re-issues it through [[searchAnn]],
+    * which escalates. */
   def searchAllAnn(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
@@ -1537,7 +1714,25 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       topN: Int, nProbe: Int, location: Option[String] = None): DataFrame = {
     // ONE job: TakeOrderedAndProject over the pruned scan (the local
     // query relation broadcasts driver-side, no extra job)
-    val hits = annScanPlan(query, channel, topN, nProbe, location).collect()
+    val first = annScanPlan(query, channel, topN, nProbe, location).collect()
+    // PROBE ESCALATION — the sparse-scope guard: a location filter
+    // (get_search_range's exact-file case, vector_db.py:673-682) can
+    // concentrate the whole scope in cells the query's nProbe ranking
+    // never probes, under-filling the top-k even though in-scope rows
+    // exist; an under-filled UNFILTERED search means the probed cells
+    // genuinely hold fewer than topN rows while others may hold more.
+    // Either way one full-probe pass (still partition-pruned serving
+    // machinery, now over every cell) returns exactly the filtered
+    // exact scan's answer — escalation ≡ exact is the spec'd contract
+    // (AnnSparseScopeSpec). Dense scopes never pay it: the warm path
+    // stays one job (spec-pinned).
+    val hits =
+      if (first.length >= topN) first
+      else {
+        val cells = cachedIndex(channel).books.length
+        if (nProbe >= cells) first
+        else annScanPlan(query, channel, topN, cells, location).collect()
+      }
     // rank numbering over the ≤ topN collected rows is driver work
     hits.zipWithIndex.map { case (r, i) =>
       ((i + 1).toLong, r.getAs[Double]("sim_r"), r.getAs[String]("doc_name"),
@@ -1611,17 +1806,31 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       location: Option[String] = None): DataFrame = {
     // ONE probe computation (cache check, embed, cell ranking) shared
     // by both phases — annProbe twice could even straddle a generation
-    val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
+    val (ci, qv, qnrm, probed0) = annProbe(query, channel, nProbe)
     // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
-    val ids = annPqShortlistOf(ci, qv, probed, shortlist, location)
+    val ids0 = annPqShortlistOf(ci, qv, probed0, shortlist, location)
       .collect().map(_.getAs[Long]("row_id"))
+    // PROBE ESCALATION, as in [[searchAnnChannel]]: fewer than topN
+    // shortlisted rows means the probed cells cannot fill the result —
+    // a location scope concentrated in unprobed cells (the sparse-scope
+    // case), or genuinely tiny probed cells. Re-probe everything: the
+    // ADC scan stays location-scoped, so the escalated result equals
+    // the exact filtered search's top-k (spec-pinned). The filled path
+    // never pays it — warm searchAnnPq stays two jobs (spec-pinned).
+    val escalate = ids0.length < topN && nProbe < ci.books.length
+    val probed = if (escalate) ci.books.map(_._1).toSeq else probed0
+    val ids =
+      if (escalate) annPqShortlistOf(ci, qv, probed, shortlist, location)
+        .collect().map(_.getAs[Long]("row_id"))
+      else ids0
     // job 2: fetch ONLY the shortlisted rows' vectors + metadata (the
     // same cell pruning; the row_id predicate evaluates post-scan for
     // lists past parquet's in-filter pushdown threshold, which is fine
     // — cell pruning already bounds the read and rows are narrow; an
-    // exhaustive-config shortlist at corpus size switches to the
-    // broadcast-join fetch, same rows, constant-size plan)
-    val fetched = fetchShortlist(ci, probed, ids.toSeq).collect()
+    // UNTRUNCATED shortlist — the exhaustive audit config — covers the
+    // whole scan, so the id filter is skipped as a no-op)
+    val fetched = fetchShortlist(ci, probed, ids.toSeq, location,
+      ids.length < shortlist).collect()
     // exact re-rank of ≤ shortlist rows is driver arithmetic, same
     // rounded-cosine metric as the distributed path — shared with the
     // batch twin via pqExactReRank
@@ -1770,6 +1979,24 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
 object GraftVectorDB {
 
+  /** One embedding space: the store rows that belong to it (a disjoint
+    * content_type claim), how a query is encoded into it — the Column
+    * form for in-plan embedding (ingest pipelines, batch search) and
+    * the local form for the one-job driver-side serving path (the two
+    * are property-tested bit-identical for the built-ins; a real model
+    * encoder drops in at the same seam) — and its dimensionality. */
+  final case class ChannelDef(name: String, contentTypes: Seq[String],
+      encode: Column => Column, encodeLocal: String => Array[Double], dim: Int)
+
+  /** The built-in dual-space registry — the reference's text channel
+    * (chunks + captions, run_text_search's scope) and its image space
+    * (clip_*_embedder seam, vector_db.py:464-545). */
+  private[operators] val builtinChannels: Seq[ChannelDef] = Seq(
+    ChannelDef("text", Seq(ContentTypes.TextChunk, ContentTypes.ImageCaption),
+      VectorStore.embedText, VectorStore.embedTextLocal, VectorStore.EmbedDim),
+    ChannelDef("image", Seq(ContentTypes.Image),
+      VectorStore.embedImage, VectorStore.embedImageLocal, VectorStore.ImageEmbedDim))
+
   /** Safe append fraction before an index rebuild: appends route with
     * build-time centroids, so past ~1× the built corpus the cell
     * geometry no longer reflects the data and partial-probe recall
@@ -1791,6 +2018,14 @@ object GraftVectorDB {
     * query set and union the results (each chunk keeps the
     * one-scan-per-phase property). */
   val MaxBatchQueries = 4096
+
+  /** Cap on the scale-adaptive rebuild cell count: the routing fit is
+    * driver Lloyd over a ≤ [[AnnIndex.SampleTarget]]-row sample, and
+    * past ~SampleTarget/4 cells the init is point-starved (< 4 sample
+    * points per centroid on average). A deployment growing past this
+    * raises SampleTarget together with the cap — the fit stays ONE
+    * bounded sample job either way. */
+  val MaxAdaptiveCells: Int = (AnnIndex.SampleTarget / 4).toInt
 
   /** Occupancy ratio (hottest cell / mean) past which the skew gauge
     * warns and [[GraftVectorDB.splitHotCells]] splits: beyond ~4× one

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraftVectorDB
+
+/** Sparse-scope probe escalation (round-7): a location filter
+  * (get_search_range's exact-file case, vector_db.py:673-682) can
+  * concentrate the whole scope in cells the query's nProbe ranking
+  * never probes — the filtered top-k under-fills even though in-scope
+  * docs exist. `searchAnn`/`searchAnnPq` now escalate to a full probe
+  * when the first pass cannot fill topN, and the escalated result
+  * equals the exact filtered scan. */
+class AnnSparseScopeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dbDir = "target/vdb_sparse_scope"
+  private val q = "fast query join table"
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete()
+  }
+
+  private lazy val db = {
+    rmRf(new java.io.File(dbDir))
+    val d = new GraftVectorDB(spark, dbDir)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(d.ingest(docs.filter(col("doc_id") < 60)) > 0)
+    d.buildAnnIndex(cells = 8)
+    d
+  }
+
+  private def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+    (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+      r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+
+  private def resKey(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+    (r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSet
+
+  /** Single-doc folder scopes, each a genuinely sparse location. */
+  private lazy val docLocations: Seq[String] = {
+    import spark.implicits._
+    db.store.select($"doc_name").distinct().orderBy($"doc_name")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("a sparse location that under-fills the raw probe escalates to exact parity") {
+    // find a scope the nProbe=1 raw scan genuinely LOSES rows on —
+    // proof the planted case exists and escalation has work to do
+    val planted = docLocations.find { loc =>
+      val raw = db.annScanPlan(q, "text", 5, nProbe = 1, Some(loc)).collect()
+      val exact = db.search(q, 5, Some(loc)).collect()
+      raw.length < exact.length
+    }
+    assert(planted.nonEmpty,
+      "no single-doc scope concentrates outside the nProbe=1 probe set — " +
+        "the plant premise broke (did cell geometry change?)")
+    val loc = planted.get
+    val exact = key(db.search(q, 5, Some(loc)).collect())
+    assert(key(db.searchAnn(q, 5, nProbe = 1, location = Some(loc)).collect()) == exact,
+      s"escalated searchAnn must equal the exact filtered scan for $loc")
+    assert(key(db.searchAnnPq(q, 5, nProbe = 1, shortlist = 100,
+      location = Some(loc)).collect()) == exact,
+      s"escalated searchAnnPq must equal the exact filtered scan for $loc")
+  }
+
+  test("filtered recall@topN at default nProbe holds >= 0.9 across sparse scopes") {
+    val sample = docLocations.take(12)
+    val recalls = sample.map { loc =>
+      val exact = resKey(db.search(q, 5, Some(loc)).collect())
+      if (exact.isEmpty) 1.0
+      else {
+        val ann = resKey(db.searchAnn(q, 5, location = Some(loc)).collect())
+        (ann & exact).size.toDouble / exact.size
+      }
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"mean filtered recall $mean%.2f across ${sample.size} scopes")
+    // and the PQ path (bounded shortlist) holds the same floor
+    val pqRecalls = sample.take(6).map { loc =>
+      val exact = resKey(db.search(q, 5, Some(loc)).collect())
+      if (exact.isEmpty) 1.0
+      else {
+        val ann = resKey(db.searchAnnPq(q, 5, location = Some(loc)).collect())
+        (ann & exact).size.toDouble / exact.size
+      }
+    }
+    assert(pqRecalls.sum / pqRecalls.size >= 0.9)
+  }
+
+  test("a filled first pass never escalates: the warm dense path stays one job") {
+    // warm the serving cache, then count: a dense (unfiltered) search
+    // fills topN from its probed cells and must not pay a second scan
+    db.searchAnn(q, 5, nProbe = 3).collect()
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      db.searchAnn("slow merge sort line", 5, nProbe = 3).collect()
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(n.get() == 1, s"dense warm searchAnn must stay ONE job, ran ${n.get()}")
+  }
+
+  test("a scope smaller than topN returns every in-scope row (exact, no spin)") {
+    val loc = docLocations.head
+    val exact = key(db.search(q, 50, Some(loc)).collect())
+    assert(exact.nonEmpty && exact.size < 50)
+    assert(key(db.searchAnn(q, 50, nProbe = 2, location = Some(loc)).collect()) == exact)
+  }
+}

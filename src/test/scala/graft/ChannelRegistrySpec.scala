@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{GraftVectorDB, VectorStore}
+
+/** The channel registry (round-7): a training-data store has N
+  * embedding spaces, not a hardcoded two. A declared channel (name →
+  * content-type claim + encoder pair + dim) gets the ENTIRE lifecycle
+  * surface — ingest-with-index-append, build, exact + ANN + PQ search,
+  * takedown delete, scheduled maintenance — with no per-channel code.
+  * Driven end-to-end here with a third "audio" space. */
+class ChannelRegistrySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val dbDir = "target/vdb_channel_registry"
+  private val q = "fast query join table"
+
+  // a deterministic third space: the image-space hash family under a
+  // distinct salt — genuinely different vectors from both built-ins,
+  // the same drop-in seam a real audio model encoder would use
+  private val audio = GraftVectorDB.ChannelDef("audio", Seq("audio"),
+    c => VectorStore.embedImage(concat(lit("audio|"), c)),
+    s => VectorStore.embedImageLocal("audio|" + s),
+    VectorStore.ImageEmbedDim)
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete()
+  }
+
+  private def audioRecords(ids: Column => Column): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    GraftVectorDB.pipeline(docs.filter(ids($"doc_id"))).filter($"page_num" === 0)
+      .withColumn("content_type", lit("audio"))
+      .withColumn("embedding", audio.encode($"content_raw"))
+  }
+
+  private lazy val db = {
+    rmRf(new java.io.File(dbDir))
+    val d = new GraftVectorDB(spark, dbDir)
+    val docs = Tables.load(spark, sf, "documents")
+    assert(d.ingest(docs.filter(col("doc_id") < 40)) > 0)
+    d.registerChannel(audio)
+    assert(d.ingestRecords(audioRecords(id => id >= 100 && id < 140)) > 0)
+    d.buildAnnIndex(cells = 8, channel = "text")
+    d.buildAnnIndex(cells = 4, channel = "audio")
+    d
+  }
+
+  private def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+    (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+      r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+
+  test("registry contract: overlap, duplicates, dim mismatch, unknown names fail loudly") {
+    assert(db.channelNames == Seq("text", "image", "audio"))
+    intercept[IllegalArgumentException] { db.registerChannel(audio) }
+    intercept[IllegalArgumentException] {
+      db.registerChannel(audio.copy(name = "video")) // claims "audio" again
+    }
+    intercept[IllegalArgumentException] {
+      db.registerChannel(GraftVectorDB.ChannelDef("video", Seq("video"),
+        audio.encode, audio.encodeLocal, dim = 7)) // encoder yields 48
+    }
+    val e = intercept[IllegalArgumentException] { db.searchAnnIn("vdieo", q) }
+    assert(e.getMessage.contains("audio"), "the error must list registered channels")
+  }
+
+  test("the third channel is searchable: exact scan, full-probe ANN parity, PQ parity") {
+    import spark.implicits._
+    val exact = db.searchIn("audio", q, 5)
+    val rows = exact.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[String]("channel") == "audio"))
+    assert(rows.forall(_.getAs[String]("content_type") == "audio"))
+    // its OWN space: the same query scores differently than text/image
+    assert(key(db.searchAnn(q, 5, nProbe = 8).collect()) != key(rows))
+    // full probe == exact; PQ exhaustive == exact
+    assert(key(db.searchAnnIn("audio", q, 5, nProbe = 4).collect()) == key(rows))
+    val n = spark.read.parquet(db.annPath("audio")).count().toInt
+    assert(key(db.searchAnnPqIn("audio", q, 5, nProbe = 4, shortlist = n)
+      .collect()) == key(rows))
+    // and the text channel does NOT see audio rows (disjoint claims)
+    assert(db.search(q, 50).collect()
+      .forall(_.getAs[String]("content_type") != "audio"))
+  }
+
+  test("ingest routes appends into the third channel's index; drift accounting runs") {
+    assert(db.annAppendFraction("audio") == 0.0)
+    assert(db.ingestRecords(audioRecords(id => id >= 140 && id < 160),
+      indexChannels = Seq("audio")) > 0)
+    assert(db.annAppendFraction("audio") > 0.0, "appends must count against audio")
+    // the appended rows serve from the index without a rebuild
+    assert(key(db.searchAnnIn("audio", q, 5, nProbe = 4).collect()) ==
+      key(db.searchIn("audio", q, 5).collect()))
+  }
+
+  test("takedown delete sweeps the third channel's index; maintain covers it") {
+    import spark.implicits._
+    val victim = spark.read.parquet(db.annPath("audio"))
+      .select($"doc_name").orderBy($"doc_name").head().getString(0)
+    assert(db.delete(Seq(victim)) > 0)
+    assert(db.store.filter($"doc_name" === victim).count() == 0)
+    assert(spark.read.parquet(db.annPath("audio"))
+      .filter($"doc_name" === victim).count() == 0,
+      "the registry sweep must clean the audio index")
+    assert(key(db.searchAnnIn("audio", q, 5, nProbe = 4).collect()) ==
+      key(db.searchIn("audio", q, 5).collect()))
+    // scheduled maintenance on the third channel: the ladder runs and
+    // serving stays exact afterwards
+    val (_, _) = db.maintain("audio")
+    assert(key(db.searchAnnIn("audio", q, 5,
+      nProbe = db.annCellHistogram("audio").size).collect()) ==
+      key(db.searchIn("audio", q, 5).collect()))
+  }
+}

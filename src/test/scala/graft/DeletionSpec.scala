@@ -289,4 +289,69 @@ class DeletionSpec extends AnyFunSuite {
       .filter($"doc_name" === ghostName).count() == 0,
       "rerun must clean the index even when the store matched nothing")
   }
+
+  test("a multi-file takedown's job count does NOT grow with the touched-file count") {
+    import spark.implicits._
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val dir4 = "target/vdb_delete_jobs_spec"
+    rm(new java.io.File(dir4))
+    val db4 = new GraftVectorDB(spark, dir4)
+    val docs = Tables.load(spark, sf, "documents")
+    // victim A's doc_name spans 3 batches' files; victim B's spans 8 —
+    // repeated ingests of the SAME doc_names (fresh hashes) put one
+    // name in one file per batch, and the disjoint id ranges keep the
+    // two victims' footer ranges from touching each other's files
+    (1 to 3).foreach { k =>
+      assert(db4.ingest(docs.filter($"doc_id" < 10)
+        .withColumn("text", concat($"text", lit(s" copy $k")))) > 0)
+    }
+    (1 to 8).foreach { k =>
+      assert(db4.ingest(docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+        .withColumn("text", concat($"text", lit(s" other $k")))) > 0)
+    }
+    val part = new java.io.File(s"${db4.storePath}/content_type=text_chunk")
+    def mtimes: Map[String, Long] = part.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    val vA = db4.store.filter($"doc_name".contains("doc_0.")).select($"doc_name")
+      .head().getString(0)
+    val vB = db4.store.filter($"doc_name".contains("doc_30.")).select($"doc_name")
+      .head().getString(0)
+    val beforeA = mtimes
+    val jobsA = countJobs { assert(db4.delete(Seq(vA)) >= 3) }
+    val afterA = mtimes
+    val touchedA = beforeA.count { case (n, t) => afterA(n) != t }
+    val jobsB = countJobs { assert(db4.delete(Seq(vB)) >= 8) }
+    val touchedB = afterA.count { case (n, t) => mtimes(n) != t }
+    assert(touchedA >= 3 && touchedB >= 8 && touchedB >= touchedA + 4,
+      s"plant broke: touchedA=$touchedA touchedB=$touchedB")
+    // the dir's rewrites batch into ONE Spark job regardless of how
+    // many files a takedown touches (round 6 paid one sequential job
+    // per file: jobsB - jobsA would be >= 5 here); +1 cushion for
+    // AQE/schema-inference job-count variance
+    assert(jobsB <= jobsA + 1,
+      s"delete jobs must not grow with touched files: " +
+        s"$touchedA files -> $jobsA jobs, $touchedB files -> $jobsB jobs")
+    assert(db4.store.filter($"doc_name".isin(vA, vB)).count() == 0)
+    // file identity survives the batched rewrite (the per-file swap
+    // protocol): same names, and the footer predicate still prunes —
+    // the next delete of an absent range must touch nothing
+    assert(mtimes.keySet == beforeA.keySet, "file names must be preserved")
+    val settled = mtimes
+    assert(db4.delete(Seq("corpus/zz/doc_9999.txt")) == 0)
+    assert(mtimes == settled, "a no-victim delete must rewrite nothing")
+  }
 }

@@ -119,12 +119,16 @@ class StreamingIngestSpec extends AnyFunSuite {
     q.awaitTermination()
 
     // the rebuild ran inside the stream: the appended fraction reset
-    // and the index re-routed at its previous cell count
+    // and the index re-routed at the SCALE-ADAPTIVE cell count (the
+    // corpus ~6x'ed, so the geometry must grow with it — round 7)
     assert(db.annAppendFraction("text") == 0.0,
       "_APPENDED must reset through the auto-rebuild")
     val idxRows = spark.read.parquet(db.annPath("text")).count()
     assert(idxRows > builtRows, "streamed rows must be in the rebuilt index")
     assert(idxRows == db.store.count(), "rebuilt index must cover the whole store")
+    val cellsNow = db.annCellHistogram("text").size
+    assert(cellsNow > 4,
+      s"a ~6x-grown corpus must rebuild to more than its 4 built cells (got $cellsNow)")
     // recall recovered: the streamed docs route with FRESHLY-FIT cells,
     // so the warm partial-probe path finds them, and full probe equals
     // the exact scan — serving keeps working from the same session
@@ -136,7 +140,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
       (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
         r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
-    assert(key(db.searchAnn(streamedText, 5, nProbe = 4).collect()) ==
+    assert(key(db.searchAnn(streamedText, 5, nProbe = cellsNow).collect()) ==
       key(db.search(streamedText, 5).collect()),
       "full probe must equal the exact scan after the auto-rebuild")
     assert(db.searchAnn(streamedText, 1, nProbe = 1).collect()
