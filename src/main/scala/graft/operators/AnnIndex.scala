@@ -412,7 +412,9 @@ object AnnIndex {
     // to the ivfpq exhaustive skip — a shortlist ≥ the corpus excludes
     // nothing, so the codebook fit, ADC pass, and corpus-sized heap are
     // dead work; the exact re-rank over everything IS the result
-    if (shortlist > 10000 && shortlist >= v.filter($"vec_id" >= 10).count()) {
+    // footer-stats corpus bound, as in ivfpq's exhaustive check
+    if (shortlist > 10000 &&
+        shortlist >= Tables.load(spark, dir, "embeddings").count() - 10) {
       val q = v.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val exact = v.filter($"vec_id" >= 10)
@@ -483,8 +485,11 @@ object AnnIndex {
     // matter — PqEncode/adcTables property specs and the recall-spec'd
     // approximate configs. Guarded by a count only past
     // serving-shortlist sizes, so approximate configs pay nothing.
+    // the corpus bound comes from the RAW table's footer-stats count
+    // (metadata only — counting through vecs() would pay spread()'s
+    // full vector shuffle); corpus rows = total − the ≤10 query ids
     if (shortlist > 10000 &&
-        shortlist >= assigned.filter($"vec_id" >= 10).count()) {
+        shortlist >= Tables.load(spark, dir, "embeddings").count() - 10) {
       val q = assigned.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
       val qCells = probeCells(q, centroids, nProbe)
