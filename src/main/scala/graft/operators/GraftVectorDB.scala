@@ -260,6 +260,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def snapshot(): String = {
     val rootP = new org.apache.hadoop.fs.Path(storeDir)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootP),
+      s"snapshot: store root $storeDir does not exist — nothing to manifest")
     val qualifiedRoot = fs.makeQualified(rootP).toString
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
