@@ -299,6 +299,58 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     dest.toString
   }
 
+  /** Replay the latest [[snapshot]] manifest into `destRoot` and open
+    * the copy — the other half of the consistent-copy contract: copies
+    * exactly the manifest-listed files (per-file length verified
+    * against the manifest — a listed file is immutable by protocol, so
+    * a missing or resized source means a later maintenance superseded
+    * this manifest and the caller must take a fresh snapshot), refuses
+    * a destination that already holds a store, and stamps the replayed
+    * manifest into the copy so the copy is itself snapshot-consistent.
+    * Driver metadata+byte I/O through the Hadoop FS API, O(files) —
+    * works across filesystem schemes, no Spark job. */
+  def restore(destRoot: String): GraftVectorDB = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRootP = new org.apache.hadoop.fs.Path(storeDir)
+    val srcFs = srcRootP.getFileSystem(conf)
+    val snapDir = new org.apache.hadoop.fs.Path(srcRootP, "_snapshots")
+    val manifest = (if (srcFs.exists(snapDir)) srcFs.listStatus(snapDir).toSeq
+      else Nil)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("manifest.v"))
+      .sortBy(_.getName.stripPrefix("manifest.v").toIntOption.getOrElse(0))
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"restore: no snapshot manifest under $snapDir - call snapshot() first"))
+    val destRootP = new org.apache.hadoop.fs.Path(destRoot)
+    val destFs = destRootP.getFileSystem(conf)
+    require(!destFs.exists(new org.apache.hadoop.fs.Path(destRootP, "vector_store")),
+      s"restore: $destRoot already holds a store - refusing to overwrite")
+    val in = srcFs.open(manifest)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toVector finally in.close()
+    lines.foreach { line =>
+      val Array(rel, lenStr) = line.split("\t")
+      val src = new org.apache.hadoop.fs.Path(srcRootP, rel)
+      val st = try srcFs.getFileStatus(src) catch {
+        case _: java.io.FileNotFoundException => throw new java.io.IOException(
+          s"restore: manifest lists $rel but it is gone - the manifest was " +
+            "superseded by later maintenance; take a fresh snapshot()")
+      }
+      if (st.getLen != lenStr.toLong) throw new java.io.IOException(
+        s"restore: $rel length ${st.getLen} != manifest ${lenStr.toLong} - " +
+          "stale manifest; take a fresh snapshot()")
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, destFs,
+          new org.apache.hadoop.fs.Path(destRootP, rel), false, conf))
+        throw new java.io.IOException(s"restore: copy of $rel failed")
+    }
+    val destSnap = new org.apache.hadoop.fs.Path(destRootP, "_snapshots")
+    destFs.mkdirs(destSnap)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, manifest, destFs,
+      new org.apache.hadoop.fs.Path(destSnap, manifest.getName), false, conf)
+    new GraftVectorDB(spark, destRoot)
+  }
+
   /** Text search over the text channel (text_chunk + image_caption —
     * exactly run_text_search's text-vs-text scope). */
   def search(queryText: String, topN: Int = 5, location: Option[String] = None): DataFrame =

@@ -87,6 +87,44 @@ class SnapshotSpec extends AnyFunSuite {
     assert(copy.annAppendFraction("text") == db.annAppendFraction("text"))
   }
 
+  test("restore() replays the manifest and the copy serves identically") {
+    db.snapshot()
+    val copyDir = "target/vdb_snapshot_restore"
+    rmRf(new java.io.File(copyDir))
+    val copy = db.restore(copyDir)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    assert(key(copy.search(q, 5).collect()) == key(db.search(q, 5).collect()))
+    assert(key(copy.searchAnn(q, 5, nProbe = 4).collect()) ==
+      key(db.searchAnn(q, 5, nProbe = 4).collect()))
+    assert(copy.annAppendFraction("text") == db.annAppendFraction("text"))
+    // the copy is itself snapshot-consistent (manifest rode along) and
+    // refuses to be restored over
+    assert(new java.io.File(copyDir, "_snapshots").listFiles()
+      .exists(_.getName.startsWith("manifest.v")))
+    intercept[IllegalArgumentException] { db.restore(copyDir) }
+    rmRf(new java.io.File(copyDir))
+  }
+
+  test("restore() fails loudly on a stale manifest instead of a silent partial copy") {
+    val mPath = db.snapshot()
+    // simulate later maintenance reclaiming a listed file after the
+    // manifest was taken: restore must say 'take a fresh snapshot', not
+    // produce a copy missing data
+    val victimRel = manifestLines(mPath)
+      .collectFirst { case (p, _) if p.endsWith(".parquet") => p }.get
+    val victim = new java.io.File(dbDir, victimRel)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    victim.delete()
+    val copyDir = "target/vdb_snapshot_stale"
+    rmRf(new java.io.File(copyDir))
+    val e = intercept[java.io.IOException] { db.restore(copyDir) }
+    assert(e.getMessage.contains("fresh snapshot"))
+    java.nio.file.Files.write(victim.toPath, bytes)
+    rmRf(new java.io.File(copyDir))
+  }
+
   test("versions supersede: a second snapshot leaves exactly one manifest") {
     val p1 = db.snapshot()
     val p2 = db.snapshot()
