@@ -55,23 +55,37 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by every
-    // session in this library). Truncate to micros, matching DuckDB's
-    // nanos->TIMESTAMP truncation so oracles agree.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** events.ts arrives in one of two physical forms depending on the
+    * corpus generation: TIMESTAMP(NANOS), which Spark only reads as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true — set by every
+    * session in this library) and is truncated to micros here, matching
+    * DuckDB's nanos->TIMESTAMP truncation; or TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ — cast
+    * to the session-zoned TIMESTAMP type (every session pins
+    * spark.sql.session.timeZone=UTC, so the wall-clock values are
+    * unchanged and agree with DuckDB's naive reading). Downstream
+    * operators can then rely on one ts type (`unix_micros`, watermarks,
+    * window()). */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Streaming variant of the events loader (same nanos handling).
     * `dir` must be a directory holding only events parquet files — the
     * file-stream source treats the path as its base directory. */
   def loadEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet").schema
-    val df = spark.readStream.schema(raw).parquet(dir)
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    normalizeTs(spark.readStream.schema(raw).parquet(dir))
   }
 }
