@@ -402,20 +402,45 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * aggregate, then ONE fetch of the unioned shortlists feeds the
     * exact driver-side re-rank — two scans for the whole batch instead
     * of 2N. Per-query results identical to N × [[searchAnnPq]]
-    * (spec-pinned; like [[searchAllAnn]], no per-query probe
-    * escalation — re-issue an under-filled query via [[searchAnnPq]]).
+    * (spec-pinned). Per-query probe escalation matches
+    * [[searchAnnPq]]'s: queries whose ADC shortlist under-fills topN
+    * while unprobed cells remain re-shortlist over EVERY cell in ONE
+    * extra batch pass scoped to just that subset, before the (single)
+    * fetch — a dense batch stays two scans (spec-pinned).
     * Output contract = [[searchAll]]. */
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
     val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
-    val unionCells = qInfo.flatMap(_._4).distinct
     // scan 1: per-query ADC shortlist — same ordering contract as the
     // single-query path (adc desc, row_id asc), so shortlist sets match
-    val short = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
-    val shortByQ = short.groupBy(_.getAs[Long]("q_id"))
+    val short0 = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
+    val shortByQ0 = short0.groupBy(_.getAs[Long]("q_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
-    val allIds = short.map(_.getAs[Long]("row_id")).distinct.toSeq
+    // ESCALATION, batched (the searchAnnPq contract): an under-filled
+    // shortlist re-probes every cell — only for the under-filled
+    // subset, in one extra shortlist pass; filled queries' shortlists
+    // stand and the fetch below stays single
+    val cells = ci.books.map(_._1).toSeq
+    val under =
+      if (nProbe >= cells.length) Seq.empty
+      else qInfo.filter { case (id, _, _, _, _) =>
+        shortByQ0.get(id).forall(_.size < topN) }
+    val (shortByQ, unionCells) =
+      if (under.isEmpty) (shortByQ0, qInfo.flatMap(_._4).distinct)
+      else {
+        val escInfo = under.map { case (id, qv, qnrm, _, dts) =>
+          (id, qv, qnrm, cells, dts) }
+        val escByQ = batchPqShortlistOf(ci, escInfo, shortlist, location)
+          .collect().groupBy(_.getAs[Long]("q_id"))
+          .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
+        // an escalated query that STILL has no rows keeps an empty set
+        val underIds = under.map(_._1)
+        ((shortByQ0 -- underIds) ++
+          underIds.map(id => id -> escByQ.getOrElse(id, Set.empty[Long])),
+          cells)
+      }
+    val allIds = shortByQ.values.flatten.toSeq.distinct
     // scan 2: ONE fetch of the unioned shortlists' vectors + metadata.
     // If EVERY query's shortlist is untruncated, every row any query
     // scanned is in the union (its scanning query kept it), so the id
@@ -439,9 +464,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           r.getAs[String]("content_id"), r.getAs[String]("content_raw"), channel)
       }
     }
-    outRows.toDF("q_id", "rnk", "sim_r", "doc_name", "page_num",
-      "content_type", "content_id", "content_raw", "channel")
-      .orderBy($"q_id", $"rnk")
+    // driver-side (q_id, rnk) sort: the frame is local, a Spark
+    // orderBy would add range-exchange sampling jobs to the serving path
+    outRows.sortBy(t => (t._1, t._2))
+      .toDF("q_id", "rnk", "sim_r", "doc_name", "page_num",
+        "content_type", "content_id", "content_raw", "channel")
   }
 
   /** Collect + embed + probe-rank a query batch — driver arithmetic.
@@ -1693,36 +1720,87 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * reach the shuffle WITH their metadata. Output contract =
     * [[searchAll]].
     *
-    * No per-query probe escalation (unlike [[searchAnn]]): one query's
-    * sparse scope must not re-scan for the whole batch — a caller
-    * seeing an under-filled query re-issues it through [[searchAnn]],
-    * which escalates. */
+    * Per-query probe escalation matches [[searchAnn]]'s: queries whose
+    * top-k under-fills while unprobed cells remain (the sparse-scope
+    * case) re-probe EVERY cell in ONE second batch pass scoped to just
+    * that subset — one query's sparse scope never re-scans for the
+    * whole batch, and a dense batch stays one job (spec-pinned,
+    * AnnSparseScopeSpec). Escalated per-query results equal the
+    * escalated [[searchAnn]] singles. */
   def searchAllAnn(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
+    val (ci, qs) = batchAnnQueries(queries, "searchAllAnn", channel)
+    val first = batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel),
+      topN, location, channel).collect()
+    val cells = ci.books.length
+    val rows =
+      if (nProbe >= cells) first
+      else {
+        val filled = first.groupBy(_.getAs[Long]("q_id"))
+        val under = qs.filter { case (id, _) =>
+          filled.get(id).forall(_.length < topN) }
+        if (under.isEmpty) first
+        else {
+          // ESCALATION, batched: the under-filled subset re-probes all
+          // cells in ONE extra pruned-scan job; every other query's
+          // first-pass rows stand untouched
+          val underIds = under.map(_._1).toSet
+          first.filterNot(r => underIds(r.getAs[Long]("q_id"))) ++
+            batchAnnTopKOf(ci, batchProbeRows(ci, under, cells, channel),
+              topN, location, channel).collect()
+        }
+      }
+    // (q_id, rnk) ordering is driver work over ≤ N×topN rows — a Spark
+    // orderBy on this local frame would pay a range-exchange's sampling
+    // jobs for nothing
+    rows.map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"), r.getAs[Double]("sim_r"),
+        r.getAs[String]("doc_name"), r.getAs[Long]("page_num"),
+        r.getAs[String]("content_type"), r.getAs[String]("content_id"),
+        r.getAs[String]("content_raw"), r.getAs[String]("channel"))
+    }.toSeq.sortBy(t => (t._1, t._2))
+      .toDF("q_id", "rnk", "sim_r", "doc_name", "page_num",
+        "content_type", "content_id", "content_raw", "channel")
+  }
+
+  /** Collect + validate a batch-ANN query frame — shared by
+    * [[searchAllAnn]] and the spec-facing [[annAllScanPlan]]. */
+  private def batchAnnQueries(queries: DataFrame, op: String,
+      channel: String): (GraftVectorDB.CachedAnnIndex, Seq[(Long, String)]) = {
     val ci = cachedIndex(channel)
     // the query batch is serving-sized: embed + rank cells driver-side,
     // exactly the per-query annProbe arithmetic
     val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
-      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text"))).toSeq
     require(qs.length <= GraftVectorDB.MaxBatchQueries,
-      s"searchAllAnn: ${qs.length} queries exceeds the per-call bound " +
+      s"$op: ${qs.length} queries exceeds the per-call bound " +
         s"(${GraftVectorDB.MaxBatchQueries}) — the (q_id, cell, qv) probe " +
         "broadcast grows with the batch; chunk the query set and union the results")
     // duplicate q_ids would merge two queries' scores into one top-k
     // group and silently corrupt both result sets — fail loudly
     require(qs.map(_._1).distinct.length == qs.length,
-      "searchAllAnn: q_id values must be unique (after cast to long)")
-    val probeRows: Seq[(Long, Seq[Double], Double, Int)] = qs.toSeq.flatMap {
-      case (id, text) =>
-        val qv = embedLocal(channel, text)
-        val qnrm = math.sqrt(qv.map(x => x * x).sum)
-        rankCells(ci, qv, nProbe).map(cell => (id, qv.toSeq, qnrm, cell))
+      s"$op: q_id values must be unique (after cast to long)")
+    (ci, qs)
+  }
+
+  private def batchProbeRows(ci: GraftVectorDB.CachedAnnIndex,
+      qs: Seq[(Long, String)], nProbe: Int, channel: String)
+      : Seq[(Long, Seq[Double], Double, Int)] =
+    qs.flatMap { case (id, text) =>
+      val qv = embedLocal(channel, text)
+      val qnrm = math.sqrt(qv.map(x => x * x).sum)
+      rankCells(ci, qv, nProbe).map(cell => (id, qv.toSeq, qnrm, cell))
     }
+
+  /** The lazy batch top-k frame behind [[searchAllAnn]] — ONE scan of
+    * the UNION of probed cells (partition-pruned); the equi-join on
+    * cell scopes each query to its own probe set. */
+  private def batchAnnTopKOf(ci: GraftVectorDB.CachedAnnIndex,
+      probeRows: Seq[(Long, Seq[Double], Double, Int)], topN: Int,
+      location: Option[String], channel: String): DataFrame = {
     val unionCells = probeRows.map(_._4).distinct
     val qFrame = probeRows.toDF("q_id", "qv", "qnrm", "cell")
-    // ONE scan of the UNION of probed cells (partition-pruned); the
-    // equi-join on cell scopes each query to its own probe set
     val pruned = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
     val pairs = pruned.join(broadcast(qFrame), "cell")
       .select($"q_id",
@@ -1731,6 +1809,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         struct($"doc_name", $"page_num", $"content_type", $"content_id",
           $"content_raw").as("meta"))
     batchTopK(pairs, topN, channel)
+  }
+
+  /** The lazy batch-ANN plan (first pass, no escalation) — exposed so
+    * specs can assert the single pruned scan and the probe-set union,
+    * the batch twin of [[annScanPlan]]. */
+  private[graft] def annAllScanPlan(queries: DataFrame, topN: Int,
+      nProbe: Int, location: Option[String] = None,
+      channel: String = "text"): DataFrame = {
+    val (ci, qs) = batchAnnQueries(queries, "annAllScanPlan", channel)
+    batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel),
+      topN, location, channel)
   }
 
   /** The lazy pruned-scan top-k frame behind [[searchAnn]] — exposed

@@ -112,4 +112,59 @@ class AnnSparseScopeSpec extends AnyFunSuite {
     assert(exact.nonEmpty && exact.size < 50)
     assert(key(db.searchAnn(q, 50, nProbe = 2, location = Some(loc)).collect()) == exact)
   }
+
+  test("batch twins escalate under-filled queries: parity with escalated singles") {
+    import spark.implicits._
+    // a scope the nProbe=1 raw batch pass genuinely under-fills on
+    val planted = docLocations.find { loc =>
+      db.annScanPlan(q, "text", 5, nProbe = 1, Some(loc)).collect().length <
+        db.search(q, 5, Some(loc)).collect().length
+    }
+    assert(planted.nonEmpty, "no sparse scope found — plant premise broke")
+    val loc = planted
+    val texts = Seq(q, "slow merge sort line", "hash vector stream")
+    val queries = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    val batch = db.searchAllAnn(queries, 5, nProbe = 1, location = loc)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(key(batch.getOrElse(i.toLong, Array.empty)) ==
+        key(db.searchAnn(t, 5, nProbe = 1, location = loc).collect()),
+        s"escalated batch ANN for '$t' must equal the escalated single")
+    }
+    val batchPq = db.searchAllAnnPq(queries, 5, nProbe = 1, shortlist = 100,
+      location = loc).collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(key(batchPq.getOrElse(i.toLong, Array.empty)) ==
+        key(db.searchAnnPq(t, 5, nProbe = 1, shortlist = 100,
+          location = loc).collect()),
+        s"escalated batch PQ for '$t' must equal the escalated single")
+    }
+  }
+
+  test("a filled dense batch never escalates: no jobs beyond the first-pass plan") {
+    import spark.implicits._
+    val queries = Seq((0L, q), (1L, "slow merge sort line"))
+      .toDF("q_id", "q_text")
+    db.searchAllAnn(queries, 5, nProbe = 3).collect() // warm the serving cache
+    def jobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    // the no-escalation baseline: the lazy first-pass plan alone (the
+    // batch agg pipeline is several jobs under AQE — the pin is that
+    // the public method adds NONE of its own for a filled batch)
+    val baseline = jobs(db.annAllScanPlan(queries, 5, nProbe = 3).collect())
+    val dense = jobs(db.searchAllAnn(queries, 5, nProbe = 3).collect())
+    assert(dense == baseline,
+      s"dense warm searchAllAnn must run exactly the first-pass plan's " +
+        s"jobs ($baseline), ran $dense — a filled batch must not pay escalation")
+  }
 }

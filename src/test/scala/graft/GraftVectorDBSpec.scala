@@ -512,7 +512,10 @@ class GraftVectorDBSpec extends AnyFunSuite {
     val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val df = db.searchAllAnn(queries, topN = 5, nProbe = 3)
+      // the lazy first-pass plan (annAllScanPlan): the public method
+      // evaluates it to apply per-query escalation, so the scan-shape
+      // pin lives on the plan the batch actually runs
+      val df = db.annAllScanPlan(queries, topN = 5, nProbe = 3)
       val scans = df.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
             if f.relation.location.rootPaths.exists(_.toString.contains("ann_index")) => f
