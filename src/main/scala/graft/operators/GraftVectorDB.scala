@@ -376,14 +376,28 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * Per-query results are identical to [[search]] (spec-pinned);
     * `channel = "image"` runs the batch against the image space with
     * its own encoder, matching N × [[searchImage]] — the batch surface
-    * covers both of [[searchMultimodal]]'s channels. */
+    * covers both of [[searchMultimodal]]'s channels.
+    *
+    * PER-QUERY scope: an optional `q_loc` string column on the query
+    * frame scopes each query to its own folder prefix
+    * (get_search_range per tenant/query — a multi-tenant front-end
+    * batches queries with different scopes); null rows fall back to
+    * the call-level `location`. The shared `location` still pushes
+    * into the scan as a parquet filter; per-query prefixes evaluate in
+    * the same codegen'd stage as the cosine, before the top-k. */
   def searchAll(queries: DataFrame, topN: Int = 5,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
     val encode: Column => Column = channelDef(channel).encode
-    val q = queries.select(col("q_id"), encode(col("q_text")).as("qv"))
+    val hasLoc = queries.columns.contains("q_loc")
+    val q = queries.select(col("q_id") +: encode(col("q_text")).as("qv") +:
+        (if (hasLoc) Seq(col("q_loc")) else Nil): _*)
       .withColumn("qnrm", l2Norm(col("qv")))
     val chanRows = channelFilter(store, channel)
-    val pairs = locScoped(chanRows, location).crossJoin(broadcast(q))
+    val joined = locScoped(chanRows, location).crossJoin(broadcast(q))
+    val scoped =
+      if (hasLoc) joined.filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
+      else joined
+    val pairs = scoped
       .select($"q_id",
         round(cosine($"qv", $"embedding", $"qnrm", l2Norm($"embedding")), 4).as("sim_r"),
         xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
@@ -407,6 +421,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * while unprobed cells remain re-shortlist over EVERY cell in ONE
     * extra batch pass scoped to just that subset, before the (single)
     * fetch — a dense batch stays two scans (spec-pinned).
+    * PER-QUERY scope: an optional `q_loc` column behaves exactly as
+    * [[searchAll]]'s — the prefix filters INSIDE the ADC stage before
+    * the bounded shortlist (never after, where out-of-scope rows would
+    * crowd it), and only a batch that carries a scope pays the
+    * doc_name column in the ADC scan.
     * Output contract = [[searchAll]]. */
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
@@ -424,13 +443,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val cells = ci.books.map(_._1).toSeq
     val under =
       if (nProbe >= cells.length) Seq.empty
-      else qInfo.filter { case (id, _, _, _, _) =>
+      else qInfo.filter { case (id, _, _, _, _, _) =>
         shortByQ0.get(id).forall(_.size < topN) }
     val (shortByQ, unionCells) =
       if (under.isEmpty) (shortByQ0, qInfo.flatMap(_._4).distinct)
       else {
-        val escInfo = under.map { case (id, qv, qnrm, _, dts) =>
-          (id, qv, qnrm, cells, dts) }
+        val escInfo = under.map { case (id, qv, qnrm, _, dts, loc) =>
+          (id, qv, qnrm, cells, dts, loc) }
         val escByQ = batchPqShortlistOf(ci, escInfo, shortlist, location)
           .collect().groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
@@ -455,7 +474,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // would throw on an id the fetch could not find instead of
     // degrading the way the single-query path does
     val byId = fetched.groupBy(_.getAs[Long]("row_id"))
-    val outRows = qInfo.flatMap { case (id, qv, qnrm, _, _) =>
+    val outRows = qInfo.flatMap { case (id, qv, qnrm, _, _, _) =>
       val cand = shortByQ.getOrElse(id, Set.empty[Long]).toSeq
         .flatMap(rid => byId.getOrElse(rid, Array.empty[org.apache.spark.sql.Row]))
       pqExactReRank(cand, qv, qnrm, topN).zipWithIndex.map { case ((s, r), i) =>
@@ -474,16 +493,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   /** Collect + embed + probe-rank a query batch — driver arithmetic.
     * q_ids must be unique AFTER the long cast: duplicates would merge
     * two queries' scores into one shortlist group and silently corrupt
-    * both result sets, so the contract fails loudly here instead. */
+    * both result sets, so the contract fails loudly here instead.
+    * The last element of each entry is the per-query scope from an
+    * optional `q_loc` column (None when absent/null). */
   private def batchPqProbe(queries: DataFrame, nProbe: Int, channel: String)
       : (GraftVectorDB.CachedAnnIndex,
-         Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]])]) = {
+         Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]], Option[String])]) = {
     val ci = cachedIndex(channel)
     require(ci.pqBooks.nonEmpty,
       "this ANN index predates PQ codes (no _codebooks) — rebuild with " +
         "buildAnnIndex, or use searchAllAnn (which needs none)")
-    val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
-      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text")))
+    val hasLoc = queries.columns.contains("q_loc")
+    val qs = queries.select(col("q_id").cast("long").as("q_id") +: col("q_text") +:
+        (if (hasLoc) Seq(col("q_loc").cast("string")) else Nil): _*)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text"),
+        if (hasLoc) Option(r.getAs[String]("q_loc")) else None))
     require(qs.length <= GraftVectorDB.MaxBatchQueries,
       s"searchAllAnnPq: ${qs.length} queries exceeds the per-call bound " +
         s"(${GraftVectorDB.MaxBatchQueries}) — the probe-list broadcast and " +
@@ -491,10 +515,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         "and union the results")
     require(qs.map(_._1).distinct.length == qs.length,
       "searchAllAnnPq: q_id values must be unique (after cast to long)")
-    val qInfo = qs.toSeq.map { case (id, text) =>
+    val qInfo = qs.toSeq.map { case (id, text, loc) =>
       val qv = embedLocal(channel, text)
       (id, qv, math.sqrt(qv.map(x => x * x).sum), rankCells(ci, qv, nProbe),
-        AnnIndex.adcTablesLocal(ci.pqBooks, qv))
+        AnnIndex.adcTablesLocal(ci.pqBooks, qv), loc)
     }
     (ci, qInfo)
   }
@@ -505,18 +529,29 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * ADC tables join once by q_id — carrying dt on the pair frame
     * would ship nProbe redundant copies of every query's tables. */
   private def batchPqShortlistOf(ci: GraftVectorDB.CachedAnnIndex,
-      qInfo: Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]])],
+      qInfo: Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]], Option[String])],
       shortlist: Int, location: Option[String]): DataFrame = {
     val unionCells = qInfo.flatMap(_._4).distinct
-    val cellFrame = qInfo.flatMap { case (id, _, _, cells, _) =>
-      cells.map(c => (id, c)) }.toDF("q_id", "cell")
-    val dtFrame = qInfo.map { case (id, _, _, _, dts) =>
+    // per-query scope rides the (q_id, cell) pair frame; the prefix
+    // filter must run BEFORE the shortlist top-k — post-shortlist
+    // filtering would let out-of-scope rows crowd the bounded list and
+    // silently shrink in-scope recall (the single-query locScoped
+    // placement, per query). Only a batch that actually carries a
+    // scope pays the doc_name column in the ADC scan.
+    val anyLoc = qInfo.exists(_._6.isDefined)
+    val cellFrame = qInfo.flatMap { case (id, _, _, cells, _, loc) =>
+      cells.map(c => (id, c, loc.orNull)) }.toDF("q_id", "cell", "q_loc")
+    val dtFrame = qInfo.map { case (id, _, _, _, dts, _) =>
       (id, dts.map(_.toSeq).toSeq) }.toDF("q_id", "dt")
     val score = ci.pqBooks.indices.map(i =>
       element_at(element_at($"dt", i + 1), element_at($"codes", i + 1) + 1))
       .reduce(_ + _) / $"nrm"
-    locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
+    val joined = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
       .join(broadcast(cellFrame), "cell")
+    val scoped =
+      if (anyLoc) joined.filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
+      else joined
+    scoped
       .join(broadcast(dtFrame), "q_id")
       .select($"q_id", score.as("adc"), $"row_id")
       .groupBy($"q_id")
@@ -1726,7 +1761,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * that subset — one query's sparse scope never re-scans for the
     * whole batch, and a dense batch stays one job (spec-pinned,
     * AnnSparseScopeSpec). Escalated per-query results equal the
-    * escalated [[searchAnn]] singles. */
+    * escalated [[searchAnn]] singles.
+    *
+    * PER-QUERY scope: an optional `q_loc` column on the query frame
+    * scopes each query to its own folder prefix (null rows fall back
+    * to the call-level `location`), exactly as [[searchAll]] — each
+    * query's results equal the single-query [[searchAnn]] at its
+    * effective scope, escalation included. */
   def searchAllAnn(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
@@ -1738,7 +1779,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       if (nProbe >= cells) first
       else {
         val filled = first.groupBy(_.getAs[Long]("q_id"))
-        val under = qs.filter { case (id, _) =>
+        val under = qs.filter { case (id, _, _) =>
           filled.get(id).forall(_.length < topN) }
         if (under.isEmpty) first
         else {
@@ -1765,14 +1806,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   }
 
   /** Collect + validate a batch-ANN query frame — shared by
-    * [[searchAllAnn]] and the spec-facing [[annAllScanPlan]]. */
+    * [[searchAllAnn]] and the spec-facing [[annAllScanPlan]]. Each
+    * entry is (q_id, q_text, per-query scope) — the scope comes from
+    * an optional `q_loc` column (None when the column is absent or the
+    * row is null). */
   private def batchAnnQueries(queries: DataFrame, op: String,
-      channel: String): (GraftVectorDB.CachedAnnIndex, Seq[(Long, String)]) = {
+      channel: String): (GraftVectorDB.CachedAnnIndex, Seq[(Long, String, Option[String])]) = {
     val ci = cachedIndex(channel)
+    val hasLoc = queries.columns.contains("q_loc")
     // the query batch is serving-sized: embed + rank cells driver-side,
     // exactly the per-query annProbe arithmetic
-    val qs = queries.select(col("q_id").cast("long").as("q_id"), col("q_text"))
-      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text"))).toSeq
+    val qs = queries.select(col("q_id").cast("long").as("q_id") +: col("q_text") +:
+        (if (hasLoc) Seq(col("q_loc").cast("string")) else Nil): _*)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[String]("q_text"),
+        if (hasLoc) Option(r.getAs[String]("q_loc")) else None)).toSeq
     require(qs.length <= GraftVectorDB.MaxBatchQueries,
       s"$op: ${qs.length} queries exceeds the per-call bound " +
         s"(${GraftVectorDB.MaxBatchQueries}) — the (q_id, cell, qv) probe " +
@@ -1785,24 +1832,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   }
 
   private def batchProbeRows(ci: GraftVectorDB.CachedAnnIndex,
-      qs: Seq[(Long, String)], nProbe: Int, channel: String)
-      : Seq[(Long, Seq[Double], Double, Int)] =
-    qs.flatMap { case (id, text) =>
+      qs: Seq[(Long, String, Option[String])], nProbe: Int, channel: String)
+      : Seq[(Long, Seq[Double], Double, Int, String)] =
+    qs.flatMap { case (id, text, loc) =>
       val qv = embedLocal(channel, text)
       val qnrm = math.sqrt(qv.map(x => x * x).sum)
-      rankCells(ci, qv, nProbe).map(cell => (id, qv.toSeq, qnrm, cell))
+      rankCells(ci, qv, nProbe).map(cell => (id, qv.toSeq, qnrm, cell, loc.orNull))
     }
 
   /** The lazy batch top-k frame behind [[searchAllAnn]] — ONE scan of
     * the UNION of probed cells (partition-pruned); the equi-join on
-    * cell scopes each query to its own probe set. */
+    * cell scopes each query to its own probe set, and a non-null
+    * per-query `q_loc` prefix filters in the same codegen'd stage
+    * (before the top-k, so a scope can never be crowded out). */
   private def batchAnnTopKOf(ci: GraftVectorDB.CachedAnnIndex,
-      probeRows: Seq[(Long, Seq[Double], Double, Int)], topN: Int,
+      probeRows: Seq[(Long, Seq[Double], Double, Int, String)], topN: Int,
       location: Option[String], channel: String): DataFrame = {
     val unionCells = probeRows.map(_._4).distinct
-    val qFrame = probeRows.toDF("q_id", "qv", "qnrm", "cell")
+    val qFrame = probeRows.toDF("q_id", "qv", "qnrm", "cell", "q_loc")
     val pruned = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
     val pairs = pruned.join(broadcast(qFrame), "cell")
+      .filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
       .select($"q_id",
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"),
         $"row_id",

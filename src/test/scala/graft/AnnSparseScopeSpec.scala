@@ -142,6 +142,61 @@ class AnnSparseScopeSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query q_loc scopes: each batch query matches its own-scope single, escalation included") {
+    import spark.implicits._
+    // a sparse scope (forces that query's escalation) + a dense scope
+    // + an unscoped null row, all in ONE batch — the multi-tenant shape
+    val sparse = docLocations.find { loc =>
+      db.annScanPlan(q, "text", 5, nProbe = 1, Some(loc)).collect().length <
+        db.search(q, 5, Some(loc)).collect().length
+    }
+    assert(sparse.nonEmpty)
+    val dense = docLocations.last
+    val texts = Seq(q, "slow merge sort line", "hash vector stream")
+    val locs = Seq(sparse, Some(dense), None)
+    val queries = texts.zip(locs).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l.orNull) }
+      .toDF("q_id", "q_text", "q_loc")
+    val batch = db.searchAllAnn(queries, 5, nProbe = 1)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zip(locs).zipWithIndex.foreach { case ((t, l), i) =>
+      assert(key(batch.getOrElse(i.toLong, Array.empty)) ==
+        key(db.searchAnn(t, 5, nProbe = 1, location = l).collect()),
+        s"q_loc batch ANN for '$t' @ $l must equal its own-scope single")
+    }
+    val batchPq = db.searchAllAnnPq(queries, 5, nProbe = 1, shortlist = 100)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zip(locs).zipWithIndex.foreach { case ((t, l), i) =>
+      assert(key(batchPq.getOrElse(i.toLong, Array.empty)) ==
+        key(db.searchAnnPq(t, 5, nProbe = 1, shortlist = 100,
+          location = l).collect()),
+        s"q_loc batch PQ for '$t' @ $l must equal its own-scope single")
+    }
+    // the exact batch honors q_loc too
+    val batchEx = db.searchAll(queries, 5)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    texts.zip(locs).zipWithIndex.foreach { case ((t, l), i) =>
+      assert(key(batchEx.getOrElse(i.toLong, Array.empty)) ==
+        key(db.search(t, 5, location = l).collect()),
+        s"q_loc exact batch for '$t' @ $l must equal its own-scope single")
+    }
+    // a loc-free batch keeps the column-pruned ADC scan: doc_name only
+    // enters the scan when a scope is actually carried
+    val noLoc = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("q_id", "q_text")
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val adc = db.annAllPqShortlistPlan(noLoc, nProbe = 3, shortlist = 50)
+      val scans = adc.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty &&
+        scans.forall(!_.requiredSchema.fieldNames.contains("doc_name")),
+        "a scope-free batch must not read doc_name in the ADC scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("a filled dense batch never escalates: no jobs beyond the first-pass plan") {
     import spark.implicits._
     val queries = Seq((0L, q), (1L, "slow merge sort line"))
