@@ -54,6 +54,15 @@ object Demo {
     db.searchAllAnnPq(queries, topN = 3).show(20, 60)
     println("[demo] batch multimodal - 3 queries, both channels, two scans:")
     db.searchAllMultimodal(queries, topN = 2).show(20, 60)
+    // per-query scope: each query carries its own folder prefix (null =
+    // unscoped) - get_search_range per tenant in one batch
+    val someDoc = db.store.select($"doc_name").head().getString(0)
+    val folder = someDoc.substring(0, someDoc.lastIndexOf('/') + 1)
+    val scoped = Seq((0L, "fast query join table", folder),
+      (1L, "slow merge sort line", null.asInstanceOf[String]))
+      .toDF("q_id", "q_text", "q_loc")
+    println(s"[demo] per-query q_loc batch (q0 scoped to $folder, q1 unscoped):")
+    db.searchAllAnn(scoped, topN = 3).show(20, 60)
     println(f"[demo] drift gauge: ${db.annAppendFraction("text")}%.2fx appended, " +
       s"needsRebuild=${db.annIndexNeedsRebuild("text")}")
     println(f"[demo] occupancy gauge: skew ${db.annCellSkew("text")}%.1fx, " +
@@ -68,6 +77,19 @@ object Demo {
     println("[demo] post-delete search (victim absent from exact AND ANN paths):")
     db.search("fast query join table", topN = 3).show(20, 60)
     db.searchAnn("fast query join table", topN = 3).show(20, 60)
+    // consistent copy: snapshot the live files, restore into a fresh
+    // root, and serve from the copy
+    val manifest = db.snapshot()
+    println(s"[demo] snapshot manifest: $manifest")
+    val copyDir = dir + "_copy"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(copyDir))
+    val copy = db.restore(copyDir)
+    println("[demo] restored copy serves identically:")
+    copy.searchAnn("fast query join table", topN = 3).show(20, 60)
     spark.stop()
   }
 }
