@@ -464,8 +464,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // If EVERY query's shortlist is untruncated, every row any query
     // scanned is in the union (its scanning query kept it), so the id
     // filter is a no-op — skip it (per-query scoping happens in the
-    // shortByQ lookup below either way)
-    val coverScan = shortByQ.values.forall(_.size < shortlist)
+    // shortByQ lookup below either way). A per-query q_loc breaks that
+    // cover argument in the dangerous direction: the shortlist pass
+    // FILTERED rows the fetch would not, so "every shortlist
+    // untruncated" no longer bounds the uncovered fetch — an
+    // all-narrow-scopes batch (the multi-tenant shape) would collect
+    // the whole probed index. Keep the id filter whenever any scope is
+    // carried: ids ≤ N × shortlist bounds the fetch regardless.
+    val coverScan = qInfo.forall(_._6.isEmpty) &&
+      shortByQ.values.forall(_.size < shortlist)
     val fetched = fetchShortlist(ci, unionCells, allIds, location, coverScan).collect()
     // GROUPED by row_id, not a 1:1 map: an xxhash64(doc_name,
     // content_type, content_id) collision fetches BOTH rows under one
@@ -576,8 +583,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       channel: String = "text"): DataFrame = {
     val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
     val short = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
-    val coverScan = short.groupBy(_.getAs[Long]("q_id"))
-      .values.forall(_.length < shortlist)
+    // same cover rule as searchAllAnnPq: a per-query scope voids the
+    // untruncated-covers-the-scan argument
+    val coverScan = qInfo.forall(_._6.isEmpty) &&
+      short.groupBy(_.getAs[Long]("q_id")).values.forall(_.length < shortlist)
     fetchShortlist(ci, qInfo.flatMap(_._4).distinct,
       short.map(_.getAs[Long]("row_id")).distinct.toSeq, location, coverScan)
   }

@@ -194,6 +194,19 @@ class AnnSparseScopeSpec extends AnyFunSuite {
       assert(scans.nonEmpty &&
         scans.forall(!_.requiredSchema.fieldNames.contains("doc_name")),
         "a scope-free batch must not read doc_name in the ADC scan")
+      // and a SCOPED batch's fetch must keep its row_id bound: q_loc
+      // voids the untruncated-shortlist-covers-the-scan argument, so
+      // skipping the id filter there would collect the whole probed
+      // index for an all-narrow-scopes (multi-tenant) batch
+      val fetch = db.annAllPqFetchPlan(queries, nProbe = 1, shortlist = 100)
+      val idBound = fetch.queryExecution.executedPlan.flatMap(_.expressions.flatMap(_.collect {
+        case in: org.apache.spark.sql.catalyst.expressions.In
+            if in.value.references.exists(_.name == "row_id") => in
+        case s: org.apache.spark.sql.catalyst.expressions.InSet
+            if s.child.references.exists(_.name == "row_id") => s
+      }))
+      assert(idBound.nonEmpty,
+        "a q_loc batch's shortlist fetch must keep the row_id filter (no cover scan)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
 
