@@ -381,10 +381,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * PER-QUERY scope: an optional `q_loc` string column on the query
     * frame scopes each query to its own folder prefix
     * (get_search_range per tenant/query — a multi-tenant front-end
-    * batches queries with different scopes); null rows fall back to
-    * the call-level `location`. The shared `location` still pushes
-    * into the scan as a parquet filter; per-query prefixes evaluate in
-    * the same codegen'd stage as the cosine, before the top-k. */
+    * batches queries with different scopes). The call-level `location`
+    * always applies (it pushes into the scan as a parquet filter) and
+    * a non-null `q_loc` NARROWS that scope per query — both predicates
+    * hold, so a null `q_loc` row serves the call-level scope and a
+    * tenant prefix can never widen past it; per-query prefixes
+    * evaluate in the same codegen'd stage as the cosine, before the
+    * top-k. */
   def searchAll(queries: DataFrame, topN: Int = 5,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
     val encode: Column => Column = channelDef(channel).encode
@@ -1773,10 +1776,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * escalated [[searchAnn]] singles.
     *
     * PER-QUERY scope: an optional `q_loc` column on the query frame
-    * scopes each query to its own folder prefix (null rows fall back
-    * to the call-level `location`), exactly as [[searchAll]] — each
-    * query's results equal the single-query [[searchAnn]] at its
-    * effective scope, escalation included. */
+    * scopes each query to its own folder prefix, exactly as
+    * [[searchAll]] (the call-level `location` always applies; a
+    * non-null `q_loc` narrows it per query) — each query's results
+    * equal the single-query [[searchAnn]] at its effective scope,
+    * escalation included. */
   def searchAllAnn(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
