@@ -210,6 +210,37 @@ class AnnSparseScopeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
   }
 
+  test("q_loc composes with the call-level location by intersection") {
+    import spark.implicits._
+    val global = Some("corpus/src1/")
+    // a single-doc prefix INSIDE the call scope, and one OUTSIDE it
+    val narrow = docLocations.find(_.startsWith(global.get)).get
+    val outside = docLocations.find(!_.startsWith(global.get)).get
+    val queries = Seq((0L, q, narrow), (1L, q, outside),
+      (2L, q, null.asInstanceOf[String])).toDF("q_id", "q_text", "q_loc")
+    val res = db.searchAllAnn(queries, 5, nProbe = 2, location = global)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    // narrowing: equals the single at the narrower prefix
+    assert(key(res.getOrElse(0L, Array.empty)) ==
+      key(db.searchAnn(q, 5, nProbe = 2, location = Some(narrow)).collect()),
+      "an in-scope q_loc must narrow to its own prefix")
+    // a q_loc outside the call scope cannot WIDEN it: intersection empty
+    // (this query under-fills and escalates — to a still-empty result)
+    assert(res.getOrElse(1L, Array.empty).isEmpty,
+      "a q_loc outside the call-level scope must return nothing")
+    // a null q_loc serves the call-level scope
+    assert(key(res.getOrElse(2L, Array.empty)) ==
+      key(db.searchAnn(q, 5, nProbe = 2, location = global).collect()),
+      "a null q_loc row must serve the call-level scope")
+    // and the PQ twin composes identically
+    val pq = db.searchAllAnnPq(queries, 5, nProbe = 2, shortlist = 100,
+      location = global).collect().groupBy(_.getAs[Long]("q_id"))
+    assert(key(pq.getOrElse(0L, Array.empty)) ==
+      key(db.searchAnnPq(q, 5, nProbe = 2, shortlist = 100,
+        location = Some(narrow)).collect()))
+    assert(pq.getOrElse(1L, Array.empty).isEmpty)
+  }
+
   test("a filled dense batch never escalates: no jobs beyond the first-pass plan") {
     import spark.implicits._
     val queries = Seq((0L, q), (1L, "slow merge sort line"))
