@@ -146,56 +146,99 @@ object Dedup {
 
   /** Near-dup CLUSTERS: connected components over the [[minhashLsh]]
     * pair graph — the step that turns pairwise matches into keep/drop
-    * decisions for a dedup pipeline. Each pass does min-label
-    * propagation through the EDGES and then a pointer-jump through the
-    * LABELS (lbl := lbl(lbl)), halving remaining path lengths, so
-    * passes are O(log diameter) — chained near-dup clusters at corpus
-    * scale can be long paths, and one-hop propagation alone would need
-    * diameter passes. The fixpoint check reads a did-it-shrink flag off
-    * the already-materialized frame (no extra join), and intermediates
-    * are checkpointed per pass (truncated lineage, nothing left pinned).
-    * At 100 TB the pair graph holds only near-dup edges — orders of
-    * magnitude smaller than the corpus — so the loop runs on a residue,
-    * not the data. */
+    * decisions for a dedup pipeline. Delegates to
+    * [[connectedComponents]] (alternating large-star / small-star
+    * contraction); cluster ids are component minima, matching the
+    * recursive-CTE oracle. At 100 TB the pair graph holds only
+    * near-dup edges — orders of magnitude smaller than the corpus —
+    * so the loop runs on a residue, not the data. */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = minhashLsh(spark, dir).select($"a_id", $"b_id")
-    val edges = Tables.materialize(
-      pairs.union(pairs.select($"b_id", $"a_id")).toDF("src", "dst"))
+    val (cc, _) = connectedComponents(pairs)
     // the verified-pairs frame minhashLsh materialized is dead once
-    // edges holds its own copy — free it (cluster owns it here;
-    // callers like curate that keep using the frame must not release)
+    // connectedComponents has built its own canonical edge copy —
+    // free it (cluster owns it here; callers like curate that keep
+    // using the frame must not release)
     Tables.release(pairs)
-    var labels = Tables.materialize(
-      edges.select($"src".as("id")).distinct().select($"id", $"id".as("lbl")))
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy($"src").agg(min($"lbl").as("nbr_lbl"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"), $"lbl".as("prev"),
-          least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("mid"))
-      // pointer jump: follow the freshly-stepped label one more hop
-      // (labels always point at a node of the same component, so the
-      // jump stays within it and only ever lowers the label)
-      val hop = stepped.select($"id".as("jid"), $"mid".as("jlbl"))
+    cc.orderBy($"doc_id")
+  }
+
+  /** Connected components over an undirected pair graph (columns
+    * `a_id`, `b_id`) via alternating large-star / small-star edge
+    * contraction — the Kiveris et al. "Connected Components in
+    * MapReduce and Beyond" algorithm (public). Round count is
+    * O(log n) independent of component DIAMETER, where the previous
+    * min-label + pointer-jump loop paid O(log diameter) passes over
+    * both an edge and a label frame; here each round is two
+    * groupBy-min + equi-join contractions over the edge residue
+    * alone, and the residue collapses toward the star forest (every
+    * node attached directly to its component minimum), so late
+    * rounds run on nearly-final stars. groupBy + join rather than a
+    * window so AQE can split a hot star center across tasks (a giant
+    * duplicate cluster is one key; a window would pin it to one
+    * task). Intermediates are checkpointed per round and released as
+    * superseded — at most two rounds of residue stay pinned.
+    *
+    * Returns the (doc_id, cluster_id = component-minimum id) frame —
+    * exactly the min-label semantics the recursive-CTE oracle pins —
+    * plus the round count (DedupExactnessSpec asserts the log bound
+    * on a planted long chain, the adversarial diameter case). */
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = Tables.materialize(
+      pairs.select(greatest($"a_id", $"b_id").as("hi"),
+          least($"a_id", $"b_id").as("lo"))
+        .filter($"hi" =!= $"lo").distinct())
+    var prevCount = edges.count()
+    var rounds = 0
+    var converged = prevCount == 0L
+    while (!converged) {
+      rounds += 1
+      // LARGE-STAR: every center u re-attaches its strictly-larger
+      // neighbors to m = min(N(u) ∪ {u}). m ≤ u < v keeps the
+      // canonical (hi > lo) orientation; connectivity is preserved
+      // because each dropped edge (v, u) is replaced by (v, m) with
+      // m adjacent to u.
+      val sym = edges.select($"hi".as("u"), $"lo".as("v"))
+        .union(edges.select($"lo".as("u"), $"hi".as("v")))
+      val minsL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      val ls = sym.join(minsL, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("hi"), $"m".as("lo"))
+        .filter($"hi" =!= $"lo")
+        .distinct()
+      // SMALL-STAR: every center hi re-attaches its smaller neighbors
+      // (and itself) to m = min of them — one hop of path compression
+      // for everything under hi.
+      val minsS = ls.groupBy($"hi").agg(min($"lo").as("m"))
+      val joinedS = ls.join(minsS, "hi")
       val next = Tables.materialize(
-        stepped.join(hop, stepped("mid") === hop("jid"), "left")
-          .select(stepped("id"),
-            least($"mid", coalesce($"jlbl", $"mid")).as("lbl"),
-            (least($"mid", coalesce($"jlbl", $"mid")) < $"prev").as("chg")))
-      changed = next.filter($"chg").count()
-      // the superseded pass's checkpoint blocks are dead the moment
-      // `next` is materialized — free them so the loop pins at most
-      // two passes, not every pass until GC
-      Tables.release(labels)
-      labels = next.select($"id", $"lbl")
+        joinedS.select($"lo".as("hi"), $"m".as("lo")).filter($"hi" =!= $"lo")
+          .union(joinedS.select($"hi", $"m".as("lo")))
+          .distinct())
+      val nc = next.count()
+      // fixpoint = identical edge set (both sides are distinct
+      // canonical pairs, so equal count + empty anti-join ⇔ equal)
+      converged = nc == prevCount &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      Tables.release(edges)
+      edges = next
+      prevCount = nc
     }
+    // The alternating algorithm's fixpoints are exactly the star
+    // forests (no node is both a child and a parent). Loud guard —
+    // never expected to fire, but an infinite-loop bug upstream must
+    // fail here, not return wrong clusters.
+    require(edges.join(edges.select($"lo".as("hi")).distinct(),
+        Seq("hi"), "left_semi").isEmpty,
+      "connectedComponents: converged edge set is not a star forest")
     val out = Tables.materialize(
-      labels.select($"id".as("doc_id"), $"lbl".as("cluster_id")))
-    Tables.release(labels)
+      edges.select($"hi".as("doc_id"), $"lo".as("cluster_id"))
+        .union(edges.select($"lo".as("doc_id"), $"lo".as("cluster_id")).distinct()))
     Tables.release(edges)
-    out.orderBy($"doc_id")
+    (out, rounds)
   }
 
   /** Embedding-dedup signature geometry: 8 tables of 12 sign-bits with

@@ -307,9 +307,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * this manifest and the caller must take a fresh snapshot), refuses
     * a destination that already holds a store, and stamps the replayed
     * manifest into the copy so the copy is itself snapshot-consistent.
-    * Driver metadata+byte I/O through the Hadoop FS API, O(files) —
-    * works across filesystem schemes, no Spark job. */
-  def restore(destRoot: String): GraftVectorDB = {
+    *
+    * The stale-manifest VERIFY pass is driver metadata I/O (one
+    * `getFileStatus` per file — cheap, and it keeps the loud
+    * IOException semantics). The BYTE copy is one Spark job over the
+    * manifest lines (each task re-verifies its file's length and
+    * copies through the Hadoop FS API, so the replay streams at
+    * cluster width — a 100 TB store restores at N-executor speed, not
+    * single-stream driver speed). Manifests smaller than
+    * `serialThreshold` files skip the job-scheduling overhead and
+    * copy driver-side as before. */
+  def restore(destRoot: String): GraftVectorDB =
+    restore(destRoot, GraftVectorDB.RestoreSerialThreshold)
+
+  private[graft] def restore(destRoot: String, serialThreshold: Int): GraftVectorDB = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcRootP = new org.apache.hadoop.fs.Path(storeDir)
     val srcFs = srcRootP.getFileSystem(conf)
@@ -329,10 +340,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val in = srcFs.open(manifest)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toVector finally in.close()
+    // verify FIRST, driver-side, metadata-only: a stale manifest must
+    // fail loudly before any bytes move, and from the driver (not
+    // wrapped in a task failure)
     lines.foreach { line =>
       val Array(rel, lenStr) = line.split("\t")
-      val src = new org.apache.hadoop.fs.Path(srcRootP, rel)
-      val st = try srcFs.getFileStatus(src) catch {
+      val st = try srcFs.getFileStatus(new org.apache.hadoop.fs.Path(srcRootP, rel)) catch {
         case _: java.io.FileNotFoundException => throw new java.io.IOException(
           s"restore: manifest lists $rel but it is gone - the manifest was " +
             "superseded by later maintenance; take a fresh snapshot()")
@@ -340,9 +353,23 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       if (st.getLen != lenStr.toLong) throw new java.io.IOException(
         s"restore: $rel length ${st.getLen} != manifest ${lenStr.toLong} - " +
           "stale manifest; take a fresh snapshot()")
-      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, destFs,
-          new org.apache.hadoop.fs.Path(destRootP, rel), false, conf))
-        throw new java.io.IOException(s"restore: copy of $rel failed")
+    }
+    val srcRootQ = srcFs.makeQualified(srcRootP).toString
+    val destRootQ = destFs.makeQualified(destRootP).toString
+    val parsed = lines.map { line =>
+      val Array(rel, lenStr) = line.split("\t"); (rel, lenStr.toLong)
+    }
+    if (parsed.length < serialThreshold)
+      parsed.foreach { case (rel, len) =>
+        GraftVectorDB.restoreCopyOne(srcRootQ, destRootQ, rel, len, conf) }
+    else {
+      // ONE job, manifest-line granularity: each task opens its own FS
+      // handles from the shipped conf and streams its file
+      val serConf = new graft.util.SerializableHadoopConf(conf)
+      val par = math.min(parsed.length, spark.sparkContext.defaultParallelism)
+      val (sq, dq) = (srcRootQ, destRootQ)
+      spark.sparkContext.parallelize(parsed, par).foreach { case (rel, len) =>
+        GraftVectorDB.restoreCopyOne(sq, dq, rel, len, serConf.value) }
     }
     val destSnap = new org.apache.hadoop.fs.Path(destRootP, "_snapshots")
     destFs.mkdirs(destSnap)
@@ -393,7 +420,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val encode: Column => Column = channelDef(channel).encode
     val hasLoc = queries.columns.contains("q_loc")
     val q = queries.select(col("q_id") +: encode(col("q_text")).as("qv") +:
-        (if (hasLoc) Seq(col("q_loc")) else Nil): _*)
+        (if (hasLoc) Seq(col("q_loc").cast("string")) else Nil): _*)
       .withColumn("qnrm", l2Norm(col("qv")))
     val chanRows = channelFilter(store, channel)
     val joined = locScoped(chanRows, location).crossJoin(broadcast(q))
@@ -433,26 +460,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
-    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
+    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel, location)
     // scan 1: per-query ADC shortlist — same ordering contract as the
     // single-query path (adc desc, row_id asc), so shortlist sets match
     val short0 = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
     val shortByQ0 = short0.groupBy(_.getAs[Long]("q_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
     // ESCALATION, batched (the searchAnnPq contract): an under-filled
-    // shortlist re-probes every cell — only for the under-filled
-    // subset, in one extra shortlist pass; filled queries' shortlists
-    // stand and the fetch below stays single
+    // shortlist re-probes its SCOPE-ELIGIBLE cells (routing sidecar) —
+    // only for the under-filled subset, in one extra shortlist pass;
+    // filled queries' shortlists stand and the fetch below stays single
     val cells = ci.books.map(_._1).toSeq
     val under =
       if (nProbe >= cells.length) Seq.empty
-      else qInfo.filter { case (id, _, _, _, _, _) =>
-        shortByQ0.get(id).forall(_.size < topN) }
+      else qInfo.filter { case (id, _, _, probedCells, _, loc) =>
+        shortByQ0.get(id).forall(_.size < topN) &&
+          probedCells.length < eligibleCells(ci, location.toSeq ++ loc.toSeq).length }
     val (shortByQ, unionCells) =
       if (under.isEmpty) (shortByQ0, qInfo.flatMap(_._4).distinct)
       else {
         val escInfo = under.map { case (id, qv, qnrm, _, dts, loc) =>
-          (id, qv, qnrm, cells, dts, loc) }
+          (id, qv, qnrm, eligibleCells(ci, location.toSeq ++ loc.toSeq), dts, loc) }
         val escByQ = batchPqShortlistOf(ci, escInfo, shortlist, location)
           .collect().groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
@@ -460,7 +488,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         val underIds = under.map(_._1)
         ((shortByQ0 -- underIds) ++
           underIds.map(id => id -> escByQ.getOrElse(id, Set.empty[Long])),
-          cells)
+          // the fetch prunes to the union of BOTH passes' probe sets —
+          // under a narrow scope that is far smaller than all cells
+          (qInfo.flatMap(_._4) ++ escInfo.flatMap(_._4)).distinct)
       }
     val allIds = shortByQ.values.flatten.toSeq.distinct
     // scan 2: ONE fetch of the unioned shortlists' vectors + metadata.
@@ -506,7 +536,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * both result sets, so the contract fails loudly here instead.
     * The last element of each entry is the per-query scope from an
     * optional `q_loc` column (None when absent/null). */
-  private def batchPqProbe(queries: DataFrame, nProbe: Int, channel: String)
+  private def batchPqProbe(queries: DataFrame, nProbe: Int, channel: String,
+      location: Option[String])
       : (GraftVectorDB.CachedAnnIndex,
          Seq[(Long, Array[Double], Double, Seq[Int], Array[Array[Double]], Option[String])]) = {
     val ci = cachedIndex(channel)
@@ -527,7 +558,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       "searchAllAnnPq: q_id values must be unique (after cast to long)")
     val qInfo = qs.toSeq.map { case (id, text, loc) =>
       val qv = embedLocal(channel, text)
-      (id, qv, math.sqrt(qv.map(x => x * x).sum), rankCells(ci, qv, nProbe),
+      (id, qv, math.sqrt(qv.map(x => x * x).sum),
+        rankCellsScoped(ci, qv, nProbe, location.toSeq ++ loc.toSeq),
         AnnIndex.adcTablesLocal(ci.pqBooks, qv), loc)
     }
     (ci, qInfo)
@@ -574,7 +606,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private[graft] def annAllPqShortlistPlan(queries: DataFrame, nProbe: Int,
       shortlist: Int, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
-    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
+    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel, location)
     batchPqShortlistOf(ci, qInfo, shortlist, location)
   }
 
@@ -584,7 +616,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private[graft] def annAllPqFetchPlan(queries: DataFrame, nProbe: Int,
       shortlist: Int, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
-    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel)
+    val (ci, qInfo) = batchPqProbe(queries, nProbe, channel, location)
     val short = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
     // same cover rule as searchAllAnnPq: a per-query scope voids the
     // untruncated-covers-the-scan argument
@@ -787,6 +819,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     AnnIndex.writeCodebooks(spark, pqBooks, s"$tmp/_codebooks")
     val live = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // prefix→cell routing sidecar: per-cell doc_name [min, max] from
+    // the just-written files (a column-pruned scan of doc_name + the
+    // cell partition column), staged INSIDE the build dir so it swaps
+    // in atomically with the index it describes. Scoped searches use
+    // it to skip cells whose range excludes their prefix — probe
+    // ranking AND escalation (see rankCellsScoped / eligibleCells).
+    val builtRanges = spark.read.parquet(tmp).groupBy($"cell")
+      .agg(min($"doc_name").as("mn"), max($"doc_name").as("mx"))
+      .collect().map(r => r.getAs[Int]("cell") ->
+        (r.getAs[String]("mn"), r.getAs[String]("mx"))).toMap
+    GraftVectorDB.writeDocRanges(fs,
+      new org.apache.hadoop.fs.Path(s"$tmp/_centroids"), builtRanges)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(live))
       swapDir(fs, live, tmpPath,
@@ -874,9 +918,33 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       $"content_id", $"content_raw", $"row_id", $"v",
       l2Norm($"v").as("nrm"), AnnIndex.cellOf(ci.books, $"v").as("cell"),
       AnnIndex.encodeCodes(ci.pqBooks).as("codes"))
-    // count the BATCH (bounded by the new rows), never the index
-    val n = indexed.count()
+    // count the BATCH (bounded by the new rows), never the index —
+    // the same pass also yields the per-cell doc_name stats the
+    // routing sidecar needs, so this stays ONE job
+    val cellStats = indexed.groupBy($"cell")
+      .agg(count(lit(1)).as("n"), min($"doc_name").as("mn"),
+        max($"doc_name").as("mx"))
+      .collect()
+    val n = cellStats.map(_.getAs[Long]("n")).sum
     if (n > 0) {
+      // WIDEN the routing sidecar BEFORE the data lands: a crash
+      // between the two steps leaves ranges wider than the data
+      // (harmless); the reverse order could prune cells that already
+      // hold the new rows. Only existing entries widen — a cell with
+      // no entry is unknown-contents (always eligible) and must stay
+      // that way.
+      val cDirP = new org.apache.hadoop.fs.Path(s"${annPath(channel)}/_centroids")
+      val fsA = cDirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = GraftVectorDB.readDocRanges(fsA, cDirP)
+      if (cur.nonEmpty) {
+        val widened = cur ++ cellStats.flatMap { r =>
+          val c = r.getAs[Int]("cell")
+          cur.get(c).map { case (mn, mx) =>
+            c -> (GraftVectorDB.minU8(mn, r.getAs[String]("mn")),
+              GraftVectorDB.maxU8(mx, r.getAs[String]("mx"))) }
+        }
+        if (widened != cur) GraftVectorDB.writeDocRanges(fsA, cDirP, widened)
+      }
       // same doc_name-sorted layout as the build, so appended files
       // keep the row-group-skipping property for location filters
       indexed.sortWithinPartitions($"cell", $"doc_name")
@@ -1719,7 +1787,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         // resolve the index frame once: schema inference + file listing
         // happen here, not per search
         val idx = spark.read.parquet(annPath(channel))
-        val c = GraftVectorDB.CachedAnnIndex(gen, books, pqBooks, idx)
+        // prefix→cell routing sidecar (may be absent: legacy index) —
+        // split-removed parents linger harmlessly (never queried) and
+        // split children are absent (always eligible)
+        val docRanges = GraftVectorDB.readDocRanges(fs, cDir)
+        val c = GraftVectorDB.CachedAnnIndex(gen, books, pqBooks, idx, docRanges)
         GraftVectorDB.routingCache.put(key, c)
         c
     }
@@ -1736,7 +1808,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * dot − |c|²/2), so a query's own cell always ranks first. */
   private def rankCells(ci: GraftVectorDB.CachedAnnIndex,
       qv: Array[Double], nProbe: Int): Seq[Int] =
-    ci.books
+    rankAmong(ci.books, qv, nProbe)
+
+  private def rankAmong(books: Array[(Int, Array[Double])],
+      qv: Array[Double], nProbe: Int): Seq[Int] =
+    books
       .map { case (cell, c) =>
         var d = 0.0; var i = 0
         while (i < c.length) { d += qv(i) * c(i); i += 1 }
@@ -1744,13 +1820,49 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .sortBy { case (cell, d) => (-d, cell) }
       .take(nProbe).map(_._1).toSeq
 
-  /** Embed the query and rank probe cells — all driver arithmetic. */
-  private def annProbe(query: String, channel: String, nProbe: Int)
+  /** Can this cell hold a row matching EVERY prefix in scope? The
+    * sidecar's [min, max] is a superset of the cell's live doc_names
+    * (build exact, appends widen-first, deletes only shrink content),
+    * so `false` is a proof — skipping the cell cannot lose a row. */
+  private def cellEligible(ci: GraftVectorDB.CachedAnnIndex, cell: Int,
+      prefixes: Seq[String]): Boolean =
+    prefixes.forall(p => ci.docRanges.get(cell).forall {
+      case (mn, mx) => GraftVectorDB.rangeMayContainPrefix(mn, mx, p) })
+
+  /** The scope-eligible cell set — what escalation probes instead of
+    * ALL cells: a multi-tenant narrow scope re-probes only the cells
+    * whose doc_name range can intersect it. */
+  private[graft] def eligibleCells(ci: GraftVectorDB.CachedAnnIndex,
+      prefixes: Seq[String]): Seq[Int] =
+    if (prefixes.isEmpty || ci.docRanges.isEmpty) ci.books.map(_._1).toSeq
+    else ci.books.map(_._1).filter(c => cellEligible(ci, c, prefixes)).toSeq
+
+  /** Spec hook: the eligible set for a channel + scope without running
+    * a search. */
+  private[graft] def eligibleCellsOf(channel: String,
+      prefixes: Seq[String]): Seq[Int] =
+    eligibleCells(cachedIndex(channel), prefixes)
+
+  /** [[rankCells]] restricted to scope-eligible cells: a scoped query
+    * spends its nProbe budget on cells that can actually hold in-scope
+    * rows, so a narrow tenant scope resolves in its first pass instead
+    * of under-filling and paying a full re-probe. */
+  private def rankCellsScoped(ci: GraftVectorDB.CachedAnnIndex,
+      qv: Array[Double], nProbe: Int, prefixes: Seq[String]): Seq[Int] =
+    if (prefixes.isEmpty || ci.docRanges.isEmpty) rankAmong(ci.books, qv, nProbe)
+    else rankAmong(ci.books.filter(b => cellEligible(ci, b._1, prefixes)),
+      qv, nProbe)
+
+  /** Embed the query and rank probe cells — all driver arithmetic.
+    * A `location` scope restricts the ranking to scope-eligible cells
+    * (see [[rankCellsScoped]]). */
+  private def annProbe(query: String, channel: String, nProbe: Int,
+      location: Option[String] = None)
       : (GraftVectorDB.CachedAnnIndex, Array[Double], Double, Seq[Int]) = {
     val ci = cachedIndex(channel)
     val qv = embedLocal(channel, query)
     val qnrm = math.sqrt(qv.map(x => x * x).sum)
-    (ci, qv, qnrm, rankCells(ci, qv, nProbe))
+    (ci, qv, qnrm, rankCellsScoped(ci, qv, nProbe, location.toSeq))
   }
 
   /** Batch ANN search — the batch twin of the one-job serving path:
@@ -1785,23 +1897,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
     val (ci, qs) = batchAnnQueries(queries, "searchAllAnn", channel)
-    val first = batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel),
+    val first = batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel, location),
       topN, location, channel).collect()
     val cells = ci.books.length
     val rows =
       if (nProbe >= cells) first
       else {
         val filled = first.groupBy(_.getAs[Long]("q_id"))
-        val under = qs.filter { case (id, _, _) =>
-          filled.get(id).forall(_.length < topN) }
+        // under-filled AND with eligible cells left unprobed: a query
+        // whose first pass already covered its scope-eligible set
+        // (routing sidecar) has nothing more to probe
+        val under = qs.filter { case (id, _, loc) =>
+          filled.get(id).forall(_.length < topN) &&
+            nProbe < eligibleCells(ci, location.toSeq ++ loc.toSeq).length }
         if (under.isEmpty) first
         else {
-          // ESCALATION, batched: the under-filled subset re-probes all
-          // cells in ONE extra pruned-scan job; every other query's
-          // first-pass rows stand untouched
+          // ESCALATION, batched: the under-filled subset re-probes its
+          // scope-eligible cells in ONE extra pruned-scan job; every
+          // other query's first-pass rows stand untouched
           val underIds = under.map(_._1).toSet
           first.filterNot(r => underIds(r.getAs[Long]("q_id"))) ++
-            batchAnnTopKOf(ci, batchProbeRows(ci, under, cells, channel),
+            batchAnnTopKOf(ci, batchProbeRows(ci, under, cells, channel, location),
               topN, location, channel).collect()
         }
       }
@@ -1845,12 +1961,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   }
 
   private def batchProbeRows(ci: GraftVectorDB.CachedAnnIndex,
-      qs: Seq[(Long, String, Option[String])], nProbe: Int, channel: String)
+      qs: Seq[(Long, String, Option[String])], nProbe: Int, channel: String,
+      location: Option[String])
       : Seq[(Long, Seq[Double], Double, Int, String)] =
     qs.flatMap { case (id, text, loc) =>
       val qv = embedLocal(channel, text)
       val qnrm = math.sqrt(qv.map(x => x * x).sum)
-      rankCells(ci, qv, nProbe).map(cell => (id, qv.toSeq, qnrm, cell, loc.orNull))
+      // each query's probe budget is spent on ITS scope-eligible cells
+      // (call-level location ∩ per-query q_loc) — the multi-tenant
+      // batch shape probes each tenant's cells, not the union of all
+      rankCellsScoped(ci, qv, nProbe, location.toSeq ++ loc.toSeq)
+        .map(cell => (id, qv.toSeq, qnrm, cell, loc.orNull))
     }
 
   /** The lazy batch top-k frame behind [[searchAllAnn]] — ONE scan of
@@ -1862,10 +1983,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       probeRows: Seq[(Long, Seq[Double], Double, Int, String)], topN: Int,
       location: Option[String], channel: String): DataFrame = {
     val unionCells = probeRows.map(_._4).distinct
+    val anyLoc = probeRows.exists(_._5 != null)
     val qFrame = probeRows.toDF("q_id", "qv", "qnrm", "cell", "q_loc")
     val pruned = locScoped(ci.index.filter($"cell".isin(unionCells: _*)), location)
-    val pairs = pruned.join(broadcast(qFrame), "cell")
-      .filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
+    val joined0 = pruned.join(broadcast(qFrame), "cell")
+    val pairs = (if (anyLoc)
+        joined0.filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
+      else joined0)
       .select($"q_id",
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"),
         $"row_id",
@@ -1881,7 +2005,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       nProbe: Int, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
     val (ci, qs) = batchAnnQueries(queries, "annAllScanPlan", channel)
-    batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel),
+    batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel, location),
       topN, location, channel)
   }
 
@@ -1890,7 +2014,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * un-executed plan. */
   private[graft] def annScanPlan(query: String, channel: String,
       topN: Int, nProbe: Int, location: Option[String] = None): DataFrame = {
-    val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe)
+    val (ci, qv, qnrm, probed) = annProbe(query, channel, nProbe, location)
     // the query vector inlines as a LITERAL into the scan projection —
     // no join side, no broadcast stage: the whole search is one
     // pruned-scan job even under AQE. The location predicate (the
@@ -1935,9 +2059,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val hits =
       if (first.length >= topN) first
       else {
-        val cells = cachedIndex(channel).books.length
-        if (nProbe >= cells) first
-        else annScanPlan(query, channel, topN, cells, location).collect()
+        // escalation probes only the SCOPE-ELIGIBLE cells: the routing
+        // sidecar proves no other cell can hold an in-scope row, so a
+        // narrow tenant scope re-probes its own cells, not the world —
+        // and a scope outside every cell's range escalates to nothing
+        // (zero extra work), still ≡ the (empty) exact filtered scan
+        val eligible = eligibleCells(cachedIndex(channel), location.toSeq).length
+        if (nProbe >= eligible) first
+        else annScanPlan(query, channel, topN, eligible, location).collect()
       }
     // rank numbering over the ≤ topN collected rows is driver work
     hits.zipWithIndex.map { case (r, i) =>
@@ -1978,7 +2107,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private[graft] def annPqShortlistPlan(query: String, channel: String,
       nProbe: Int, shortlist: Int,
       location: Option[String] = None): DataFrame = {
-    val (ci, qv, _, probed) = annProbe(query, channel, nProbe)
+    val (ci, qv, _, probed) = annProbe(query, channel, nProbe, location)
     annPqShortlistOf(ci, qv, probed, shortlist, location)
   }
 
@@ -2012,7 +2141,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       location: Option[String] = None): DataFrame = {
     // ONE probe computation (cache check, embed, cell ranking) shared
     // by both phases — annProbe twice could even straddle a generation
-    val (ci, qv, qnrm, probed0) = annProbe(query, channel, nProbe)
+    val (ci, qv, qnrm, probed0) = annProbe(query, channel, nProbe, location)
     // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
     val ids0 = annPqShortlistOf(ci, qv, probed0, shortlist, location)
       .collect().map(_.getAs[Long]("row_id"))
@@ -2023,8 +2152,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // ADC scan stays location-scoped, so the escalated result equals
     // the exact filtered search's top-k (spec-pinned). The filled path
     // never pays it — warm searchAnnPq stays two jobs (spec-pinned).
-    val escalate = ids0.length < topN && nProbe < ci.books.length
-    val probed = if (escalate) ci.books.map(_._1).toSeq else probed0
+    // scope-eligible cells only (routing sidecar): a narrow scope's
+    // escalation is a targeted probe, not a full re-probe
+    val eligible = eligibleCells(ci, location.toSeq)
+    val escalate = ids0.length < topN && probed0.length < eligible.length
+    val probed = if (escalate) eligible else probed0
     val ids =
       if (escalate) annPqShortlistOf(ci, qv, probed, shortlist, location)
         .collect().map(_.getAs[Long]("row_id"))
@@ -2184,6 +2316,29 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 }
 
 object GraftVectorDB {
+
+  /** Below this many manifest files [[GraftVectorDB!.restore]] copies
+    * driver-side — job-scheduling overhead beats parallelism for a
+    * handful of files; at or above it the replay runs as ONE Spark
+    * job at cluster width. */
+  val RestoreSerialThreshold = 32
+
+  /** Per-task manifest replay: verify the listed length still holds
+    * (manifest-listed files are immutable by protocol; a mismatch
+    * means a concurrent maintenance won a race) and stream the bytes
+    * through the Hadoop FS API. Static so the task closure ships only
+    * the two root URIs and the conf. */
+  private[operators] def restoreCopyOne(srcRootQ: String, destRootQ: String,
+      rel: String, len: Long, c: org.apache.hadoop.conf.Configuration): Unit = {
+    val src = new org.apache.hadoop.fs.Path(srcRootQ, rel)
+    val sfs = src.getFileSystem(c)
+    val dst = new org.apache.hadoop.fs.Path(destRootQ, rel)
+    val dfs = dst.getFileSystem(c)
+    if (sfs.getFileStatus(src).getLen != len) throw new java.io.IOException(
+      s"restore: $rel changed length mid-restore - take a fresh snapshot()")
+    if (!org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, c))
+      throw new java.io.IOException(s"restore: copy of $rel failed")
+  }
 
   /** One embedding space: the store rows that belong to it (a disjoint
     * content_type claim), how a query is encoded into it — the Column
@@ -2364,11 +2519,119 @@ object GraftVectorDB {
   }
 
   /** One ANN index generation's serving state: routing table, PQ
-    * codebooks, resolved index frame. */
+    * codebooks, resolved index frame, and the prefix→cell routing
+    * sidecar (per-cell doc_name [min, max]; empty = no sidecar, every
+    * cell eligible for every scope). */
   private[operators] final case class CachedAnnIndex(gen: String,
       books: Array[(Int, Array[Double])],
       pqBooks: Array[Array[Array[Double]]],
-      index: DataFrame)
+      index: DataFrame,
+      docRanges: Map[Int, (String, String)] = Map.empty)
+
+  // ---- prefix→cell routing sidecar ------------------------------------
+  // `_centroids/_docranges.vN`: one line per cell, `cell\tb64(min)\tb64(max)`
+  // of the cell's doc_name range. Written whole at build (inside the
+  // staged dir, so it swaps in atomically with the index) and WIDENED
+  // before every append's data commit — widening first means a crash
+  // between the two steps leaves ranges wider than the data, which can
+  // never prune a live row. Cells without an entry (legacy index,
+  // split children) are always treated as eligible. All comparisons
+  // are unsigned UTF-8 byte order — the ordering Spark's string
+  // min/max and StartsWith use — so the pruning proof matches the
+  // filter the scan actually runs.
+
+  private def u8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def cmpU8(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The unsigned-byte-order smaller / larger of two strings — the
+    * merge operation append-widening uses, consistent with Spark's
+    * own min/max on strings. */
+  private[operators] def minU8(a: String, b: String): String =
+    if (cmpU8(u8(a), u8(b)) <= 0) a else b
+  private[operators] def maxU8(a: String, b: String): String =
+    if (cmpU8(u8(a), u8(b)) >= 0) a else b
+
+  /** Can a doc_name inside [mn, mx] (byte order) start with `prefix`?
+    * Strings with the prefix occupy [p, upper(p)) where upper
+    * increments p's last non-0xFF byte — the cell is skippable iff
+    * its whole range falls outside that window. */
+  private[operators] def rangeMayContainPrefix(mn: String, mx: String,
+      prefix: String): Boolean = {
+    val p = u8(prefix)
+    if (cmpU8(u8(mx), p) < 0) return false
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) true // prefix is all 0xFF bytes: no finite upper bound
+    else {
+      val upper = java.util.Arrays.copyOf(p, i + 1)
+      upper(i) = (upper(i) + 1).toByte
+      cmpU8(u8(mn), upper) < 0
+    }
+  }
+
+  private[operators] def readDocRanges(fs: org.apache.hadoop.fs.FileSystem,
+      cDir: org.apache.hadoop.fs.Path): Map[Int, (String, String)] = {
+    val latest = (try fs.listStatus(cDir).toSeq catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).map(_.getPath)
+      .filter(_.getName.startsWith("_docranges.v"))
+      .sortBy(_.getName.stripPrefix("_docranges.v").toIntOption.getOrElse(0))
+      .lastOption
+    latest match {
+      case None => Map.empty
+      case Some(p) =>
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toVector finally in.close()
+        val dec = java.util.Base64.getDecoder
+        lines.flatMap { l =>
+          l.split("\t") match {
+            case Array(c, mn, mx) => c.toIntOption.map(_ ->
+              (new String(dec.decode(mn), "UTF-8"),
+                new String(dec.decode(mx), "UTF-8")))
+            case _ => None
+          }
+        }.toMap
+    }
+  }
+
+  private[operators] def writeDocRanges(fs: org.apache.hadoop.fs.FileSystem,
+      cDir: org.apache.hadoop.fs.Path,
+      ranges: Map[Int, (String, String)]): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val body = ranges.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"$c\t${enc.encodeToString(u8(mn))}\t${enc.encodeToString(u8(mx))}"
+    }.mkString("\n")
+    val curV = (try fs.listStatus(cDir).toSeq catch {
+      case _: java.io.FileNotFoundException => Nil
+    }).map(_.getPath.getName)
+      .filter(_.startsWith("_docranges.v"))
+      .flatMap(_.stripPrefix("_docranges.v").toIntOption)
+      .maxOption.getOrElse(0)
+    val tmp = new org.apache.hadoop.fs.Path(cDir,
+      s".docranges_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    val dest = new org.apache.hadoop.fs.Path(cDir, s"_docranges.v${curV + 1}")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"writeDocRanges: rename $tmp -> $dest failed")
+    (1 to curV).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(cDir, s"_docranges.v$v"), false))
+    fs.listStatus(cDir).filter(_.getPath.getName.startsWith(".docranges_tmp_"))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
 
   /** Serving-path cache keyed by index path. Generation couples the
     * `_centroids` mtime (a rebuild's rename swap always moves it) with

@@ -241,6 +241,123 @@ class AnnSparseScopeSpec extends AnyFunSuite {
     assert(pq.getOrElse(1L, Array.empty).isEmpty)
   }
 
+  // ---- round-8: prefix→cell routing sidecar ---------------------------
+
+  private def jobCount(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try { body; org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    n.get()
+  }
+
+  /** The cell ids a plan's partition filters pin (In / InSet on the
+    * `cell` partition column). */
+  private def scanCells(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    scans.flatMap(_.partitionFilters.flatMap(_.collect {
+      case in: org.apache.spark.sql.catalyst.expressions.In =>
+        in.list.collect {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v }
+      case s: org.apache.spark.sql.catalyst.expressions.InSet =>
+        s.hset.toSeq.collect { case i: Int => i }
+      // a single-cell probe set folds In -> EqualTo
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(_,
+          org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => Seq(v)
+    }.flatten)).toSet
+  }
+
+  test("sidecar proof: every cell actually holding a prefix's rows is eligible") {
+    import spark.implicits._
+    db // force the build
+    val all = db.eligibleCellsOf("text", Nil).toSet
+    docLocations.take(8).foreach { loc =>
+      val actual = spark.read.parquet(db.annPath("text"))
+        .filter($"doc_name".startsWith(loc)).select($"cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val elig = db.eligibleCellsOf("text", Seq(loc)).toSet
+      assert(actual.subsetOf(elig),
+        s"cells $actual hold rows for $loc but eligible is only $elig — " +
+          "the sidecar pruned live data")
+      assert(elig.subsetOf(all))
+    }
+  }
+
+  test("a scope outside every cell's range resolves with zero probed cells, <= 1 job") {
+    db.searchAnn(q, 5, nProbe = 2).collect() // warm the serving cache
+    assert(db.eligibleCellsOf("text", Seq("zzz/nowhere/")).isEmpty,
+      "an out-of-universe prefix must be eligible nowhere")
+    val jobs = jobCount {
+      val r = db.searchAnn(q, 5, nProbe = 2, location = Some("zzz/nowhere/")).collect()
+      assert(r.isEmpty)
+    }
+    // empty probe set folds to an empty scan — at most the one
+    // first-pass job, and NEVER a full-index escalation pass
+    assert(jobs <= 1, s"an impossible scope must not escalate, ran $jobs jobs")
+  }
+
+  test("a narrow tenant scope probes only its own cells, end to end") {
+    import spark.implicits._
+    db // force the build fixture before mutating
+    val tenantDocs = (0 until 4).map(i =>
+      (980000L + i, s"tenant acme confidential ledger $i fast join table", "en", "acme"))
+      .toSeq.toDF("doc_id", "text", "lang", "source")
+    val recs = GraftVectorDB.pipeline(tenantDocs)
+      .withColumn("doc_name", regexp_replace($"doc_name", "^corpus/", "tenants/"))
+    assert(db.ingestRecords(recs, indexChannels = Seq("text")) > 0)
+    val touched = spark.read.parquet(db.annPath("text"))
+      .filter($"doc_name".startsWith("tenants/")).select($"cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val all = db.eligibleCellsOf("text", Nil).toSet
+    val elig = db.eligibleCellsOf("text", Seq("tenants/acme/")).toSet
+    // widen-first append: every touched cell must be eligible (a miss
+    // here would prune live tenant rows)
+    assert(touched.subsetOf(elig), s"touched $touched vs eligible $elig")
+    assert(elig.size < all.size,
+      s"a 4-doc tenant must not make every cell eligible ($elig of $all)")
+    // serving parity at the narrow scope — first pass spends its probe
+    // budget inside the tenant's cells, escalation (if any) stays there
+    val tq = "tenant acme confidential ledger"
+    val exact = key(db.search(tq, 5, Some("tenants/acme/")).collect())
+    assert(exact.nonEmpty)
+    assert(key(db.searchAnn(tq, 5, nProbe = 2,
+      location = Some("tenants/acme/")).collect()) == exact)
+    assert(key(db.searchAnnPq(tq, 5, nProbe = 2, shortlist = 100,
+      location = Some("tenants/acme/")).collect()) == exact)
+    // the full-eligible plan (nProbe >= cells) scans ONLY tenant cells:
+    // the escalation pass a multi-tenant workload pays is targeted now
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planned = scanCells(db.annScanPlan(tq, "text", 5,
+        nProbe = all.size, Some("tenants/acme/")))
+      assert(planned.nonEmpty && planned.subsetOf(elig),
+        s"scoped full-probe plan scans $planned, beyond eligible $elig")
+      // batch twin: an all-narrow q_loc batch prunes the same way
+      val queries = Seq((0L, tq, "tenants/acme/"), (1L, q, "tenants/acme/"))
+        .toDF("q_id", "q_text", "q_loc")
+      val plannedBatch = scanCells(
+        db.annAllScanPlan(queries, 5, nProbe = all.size))
+      assert(plannedBatch.nonEmpty && plannedBatch.subsetOf(elig),
+        s"all-narrow q_loc batch scans $plannedBatch, beyond eligible $elig")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+    // batch parity at the tenant scope (escalation included)
+    val queries = Seq((0L, tq, "tenants/acme/"), (1L, q, null.asInstanceOf[String]))
+      .toDF("q_id", "q_text", "q_loc")
+    val batch = db.searchAllAnn(queries, 5, nProbe = 2)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+    assert(key(batch.getOrElse(0L, Array.empty)) ==
+      key(db.searchAnn(tq, 5, nProbe = 2, location = Some("tenants/acme/")).collect()))
+    assert(key(batch.getOrElse(1L, Array.empty)) ==
+      key(db.searchAnn(q, 5, nProbe = 2).collect()))
+  }
+
   test("a filled dense batch never escalates: no jobs beyond the first-pass plan") {
     import spark.implicits._
     val queries = Seq((0L, q), (1L, "slow merge sort line"))

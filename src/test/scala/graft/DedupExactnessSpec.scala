@@ -27,6 +27,42 @@ class DedupExactnessSpec extends AnyFunSuite {
       s"missed: ${exact -- lsh}; spurious: ${lsh -- exact}")
   }
 
+  test("connectedComponents: min-label parity with driver union-find; O(log) rounds on a long chain") {
+    import spark.implicits._
+    // adversarial diameter: a 1024-node chain (one-hop propagation
+    // would pay ~diameter rounds here) plus a random sparse graph
+    // with many components — both through the one star-contraction
+    // loop dd_cluster runs in production
+    val rnd = new scala.util.Random(42)
+    val chain = (0 until 1023).map(i => (i.toLong + 5000L, i.toLong + 5001L))
+    val rand = (0 until 400)
+      .map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = (chain ++ rand).toDF("a_id", "b_id")
+    val (cc, rounds) = Dedup.connectedComponents(pairs)
+    // ground truth: driver union-find with union-by-min (root of every
+    // component ends at the component minimum — the oracle semantics)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ rand).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (chain ++ rand).flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => (v, find(v))).toSet
+    val got = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing: ${expected -- got take 5}; spurious: ${got -- expected take 5}")
+    // the round bound this rewrite exists for: star contraction is
+    // O(log n) in the component DIAMETER's worst case; a regression
+    // to one-hop propagation would need ~1023 rounds here
+    assert(rounds <= 15, s"expected O(log n) convergence, got $rounds rounds")
+    info(s"converged in $rounds rounds (1023-edge chain + 400 random edges)")
+  }
+
   test("embed-dedup scale path: exact precision; recall 1.0 at the dedup operating point") {
     import spark.implicits._
     // (1) precision is exact by construction: every emitted pair also

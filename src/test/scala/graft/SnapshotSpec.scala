@@ -107,6 +107,35 @@ class SnapshotSpec extends AnyFunSuite {
     rmRf(new java.io.File(copyDir))
   }
 
+  test("restore() replays the manifest as ONE Spark job on the distributed path") {
+    db.snapshot()
+    val copyDir = "target/vdb_snapshot_restore_dist"
+    rmRf(new java.io.File(copyDir))
+    // force the distributed path (the spec store is under the serial
+    // threshold) and pin the job count: the whole byte replay is one
+    // parallelize().foreach, NOT a per-file driver loop
+    var jobs = 0
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val copy = try {
+      val c = db.restore(copyDir, serialThreshold = 1)
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
+      jobs = n.get()
+      c
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 1, s"distributed restore must be ONE job, saw $jobs")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("doc_name"), r.getAs[Long]("content_id"))).toSeq
+    assert(key(copy.search(q, 5).collect()) == key(db.search(q, 5).collect()))
+    assert(key(copy.searchAnn(q, 5, nProbe = 4).collect()) ==
+      key(db.searchAnn(q, 5, nProbe = 4).collect()))
+    rmRf(new java.io.File(copyDir))
+  }
+
   test("restore() fails loudly on a stale manifest instead of a silent partial copy") {
     val mPath = db.snapshot()
     // simulate later maintenance reclaiming a listed file after the
