@@ -22,6 +22,32 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
+    // corpus fingerprint: per-table row count (footer stats, no data
+    // scan) + an md5 over the parquet file names/lengths. Bench
+    // artifacts self-describe the corpus they ran on, so cross-round
+    // diffs on a REGENERATED corpus (the round-7 sf1 ambiguity) are
+    // visible instead of read as regressions.
+    val corpus = {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.flatMap { t =>
+        val p = new java.io.File(s"$sfDir/$t.parquet")
+        if (!p.exists) None
+        else {
+          val rows =
+            try spark.read.parquet(p.getPath).count()
+            catch { case _: Throwable => -1L }
+          val files =
+            if (p.isDirectory)
+              p.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            else Array(p)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          files.foreach(f => md.update(s"${f.getName}:${f.length}".getBytes("UTF-8")))
+          val h = md.digest().map("%02x".format(_)).mkString.take(12)
+          Some(s""""$t":{"rows":$rows,"md5":"$h"}""")
+        }
+      }.mkString("{", ",", "}")
+    }
     // absorb one-time JVM/session costs (codegen compiler, parquet
     // footer reader, shuffle machinery) so per-query timings measure
     // the queries, not startup
@@ -76,7 +102,8 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cold":{"dd_embed_lsha":$coldLsha},""" +
-      s""""load":{"start":$loadStart,"end":${loadAvg()}},"sf":"$sfDir"}""")
+      s""""load":{"start":$loadStart,"end":${loadAvg()}},""" +
+      s""""corpus":$corpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,95 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   def storePath: String = s"$storeDir/vector_store"
 
+  // ---- single-writer lease --------------------------------------------
+  // The store's mutation protocols (rename swaps, stamp bumps, sidecar
+  // widening) assume ONE writer; until round 8 that was convention
+  // only — two sessions calling maintain() concurrently would
+  // interleave rename protocols undetected. Every mutating entrypoint
+  // now runs under a `_LOCK` lease: `uuid\theartbeatMillis`, created
+  // exclusively (no overwrite); a second writer fails loudly instead
+  // of corrupting, and a CRASHED holder's lease (heartbeat older than
+  // [[GraftVectorDB.LeaseStaleMs]]) is reclaimed. Nested mutations
+  // (ingest → appendAnnIndex, maintainStore → compact/rebuild) share
+  // this writer's lease via a hold count, and every nested entry
+  // refreshes the heartbeat so a long maintenance run is not "stale".
+  // The reclaim has the usual lock-file caveat: two writers racing a
+  // stale lease within one create round-trip can both win — the lease
+  // is a loud-failure guard for the supported single-writer contract,
+  // not a distributed lock manager.
+
+  private val writerId = java.util.UUID.randomUUID().toString
+  private var leaseDepth = 0
+  // serializes same-instance writers across threads (a streaming
+  // foreachBatch ingest vs a manual maintain): in-process writers
+  // queue, cross-process writers fail loudly. Intrinsic locks are
+  // re-entrant, so nested mutations on one thread pass through.
+  private val leaseMonitor = new Object
+
+  private def leasePath = new org.apache.hadoop.fs.Path(storeDir, "_LOCK")
+
+  private def writeLease(fs: org.apache.hadoop.fs.FileSystem,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(leasePath, overwrite)
+    out.write(s"$writerId\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem): Option[(String, Long)] =
+    try {
+      val st = fs.getFileStatus(leasePath)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(leasePath)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").split("\t") match {
+        case Array(id, ts) => Some((id, ts.toLong))
+        case _ => None // unreadable lease: treat as foreign, age 0 via mtime
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Run `body` holding the store's writer lease (re-entrant for this
+    * instance). Fails loudly if another LIVE writer holds it. */
+  private def withWriterLease[T](op: String)(body: => T): T = leaseMonitor.synchronized {
+    val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (leaseDepth == 0) {
+      new org.apache.hadoop.fs.Path(storeDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).mkdirs(
+        new org.apache.hadoop.fs.Path(storeDir))
+      readLease(fs) match {
+        case Some((id, _)) if id == writerId =>
+          writeLease(fs, overwrite = true) // our crash residue: re-own
+        case Some((id, ts)) =>
+          val age = System.currentTimeMillis() - ts
+          if (age < GraftVectorDB.LeaseStaleMs)
+            throw new IllegalStateException(
+              s"$op: another writer ($id, heartbeat ${age}ms ago) holds the " +
+                s"lease on $storeDir — the store is single-writer; retry after " +
+                "it finishes, or remove _LOCK if that writer is known dead")
+          else {
+            log.warn(s"$op: reclaiming stale writer lease from $id " +
+              s"(heartbeat ${age}ms > ${GraftVectorDB.LeaseStaleMs}ms)")
+            writeLease(fs, overwrite = true)
+          }
+        case None =>
+          try writeLease(fs, overwrite = false)
+          catch {
+            case _: java.io.IOException | _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              // lost the creation race to a concurrent writer
+              val holder = readLease(fs).map(_._1).getOrElse("unknown")
+              throw new IllegalStateException(
+                s"$op: another writer ($holder) acquired the lease on " +
+                  s"$storeDir concurrently — the store is single-writer")
+          }
+      }
+    } else writeLease(fs, overwrite = true) // nested entry: heartbeat refresh
+    leaseDepth += 1
+    try body
+    finally {
+      leaseDepth -= 1
+      if (leaseDepth == 0) fs.delete(leasePath, false)
+    }
+  }
+
   def store: DataFrame = spark.read.parquet(storePath)
 
   /** The store's seen-hash set; empty ONLY when the store genuinely
@@ -69,7 +158,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * whose index does not exist yet are skipped (the first
     * buildAnnIndex picks those rows up from the store). */
   def ingestRecords(records: DataFrame,
-      indexChannels: Seq[String] = Nil): Long = {
+      indexChannels: Seq[String] = Nil): Long = withWriterLease("ingestRecords") {
     // validate channel names EAGERLY, before any write: the append
     // loop below skips channels without an appendable index, so a
     // typo'd name ('txt') would be silently dropped forever and the
@@ -206,10 +295,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def maintain(channel: String, targetFiles: Int = 1,
       splitSkewedPast: Double = GraftVectorDB.CellSkewRatio,
       rebuildAt: Double = GraftVectorDB.AppendRebuildFraction): (Long, Boolean) =
-    if (annAppendFraction(channel) > rebuildAt) {
-      rebuildAnnIndexInPlace(channel)
-      (0L, true)
-    } else (compactAnnIndex(channel, targetFiles, splitSkewedPast), false)
+    withWriterLease("maintain") {
+      if (annAppendFraction(channel) > rebuildAt) {
+        rebuildAnnIndexInPlace(channel)
+        (0L, true)
+      } else (compactAnnIndex(channel, targetFiles, splitSkewedPast), false)
+    }
 
   /** The STORE-side maintenance sweep — [[maintain]]'s twin for the
     * data partitions: streaming ingest lands a file-set per micro-batch
@@ -220,7 +311,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * partitions at or under the bound are untouched — their files are
     * neither read nor moved. Single-writer contract. Returns
     * (partitions compacted, rows rewritten). */
-  def maintainStore(targetFiles: Int = 32): (Int, Long) = {
+  def maintainStore(targetFiles: Int = 32): (Int, Long) = withWriterLease("maintainStore") {
     recoverCompact()
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -257,10 +348,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * Written at [[maintainStore]] exit (the single-writer quiescent
     * point) and callable directly; driver metadata I/O only, O(files),
     * no Spark job. Returns the committed manifest path. */
-  def snapshot(): String = {
+  def snapshot(): String = withWriterLease("snapshot") {
     val rootP = new org.apache.hadoop.fs.Path(storeDir)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(rootP),
+    // check the actual store dir, not the root: lease acquisition
+    // creates the (empty) root, which holds nothing to manifest
+    require(fs.exists(new org.apache.hadoop.fs.Path(storePath)),
       s"snapshot: store root $storeDir does not exist — nothing to manifest")
     val qualifiedRoot = fs.makeQualified(rootP).toString
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -782,7 +875,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * the batch index build: one full pass to route + write. Returns
     * rows indexed. */
   def buildAnnIndex(cells: Int = AnnIndex.IvfCells,
-      channel: String = "text"): Long = {
+      channel: String = "text"): Long = withWriterLease("buildAnnIndex") {
     val chan = channelRows(channel)
       .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
       .withColumn("v", toDouble($"embedding"))
@@ -885,7 +978,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * [[AnnIndex.appendIvfStore]]). Bumps the index generation stamp so
     * cached serving frames re-list files. Single-writer contract, same
     * as compact(). Returns rows appended. */
-  def appendAnnIndex(records: DataFrame, channel: String = "text"): Long = {
+  def appendAnnIndex(records: DataFrame, channel: String = "text"): Long = withWriterLease("appendAnnIndex") {
     val ci = cachedIndex(channel)
     // fail BEFORE any write: an empty-codebook encode would produce an
     // unwritable array<void> codes column, and failing mid-append
@@ -1057,7 +1150,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * frame re-lists files. Single-writer contract, same as compact().
     * Returns rows rewritten. */
   def compactAnnIndex(channel: String, targetFiles: Int = 1,
-      splitSkewedPast: Double = Double.PositiveInfinity): Long = {
+      splitSkewedPast: Double = Double.PositiveInfinity): Long = withWriterLease("compactAnnIndex") {
     require(annIndexBuilt(channel),
       s"no ANN index for '$channel' — run buildAnnIndex first")
     val root = new org.apache.hadoop.fs.Path(annPath(channel))
@@ -1170,7 +1263,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * every maintenance entry) reclaims the dead side. Returns the cell
     * ids that were split. */
   def splitHotCells(channel: String,
-      ratio: Double = GraftVectorDB.CellSkewRatio): Seq[Int] = {
+      ratio: Double = GraftVectorDB.CellSkewRatio): Seq[Int] = withWriterLease("splitHotCells") {
     require(annIndexBuilt(channel),
       s"no ANN index for '$channel' — run buildAnnIndex first")
     val root = new org.apache.hadoop.fs.Path(annPath(channel))
@@ -1398,7 +1491,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * the index cleanup converges by re-running the same delete.
     * Single-writer contract, same as compact(). Returns store rows
     * removed. */
-  def delete(docNames: Seq[String]): Long = {
+  def delete(docNames: Seq[String]): Long = withWriterLease("delete") {
     require(docNames.nonEmpty, "delete: empty doc_name list")
     require(docNames.length <= GraftVectorDB.InLiteralMax,
       s"delete: ${docNames.length} names exceeds the per-call bound " +
@@ -1559,7 +1652,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     removed
   }
 
-  def deleteWhere(cond: Column): Long = {
+  def deleteWhere(cond: Column): Long = withWriterLease("deleteWhere") {
     recoverCompact() // restore any prior rewrite's crash leftovers first
     // fail fast if the predicate references store-only columns
     // (file_hash/ts/bbox): it would succeed on the store and then blow
@@ -2193,7 +2286,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * reads) and swaps in via rename; rows and search results are
     * invariant (GraftVectorDBSpec). Returns the rows rewritten. */
   def compact(contentType: String, targetFiles: Int = 1,
-      zOrdered: Boolean = false): Long = {
+      zOrdered: Boolean = false): Long = withWriterLease("compact") {
     recoverCompact() // restore any prior compaction's crash leftovers first
     val partDir = s"$storePath/content_type=$contentType"
     val tmpDir = s"$storePath/.compact_tmp_content_type=$contentType"
@@ -2316,6 +2409,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 }
 
 object GraftVectorDB {
+
+  /** A writer lease whose heartbeat is older than this is presumed
+    * crashed and may be reclaimed. Nested mutations (a maintenance
+    * sweep's compact/rebuild steps) refresh the heartbeat on entry;
+    * one FLAT operation outrunning the window is reclaimable by a
+    * second writer — size the window above the longest single
+    * mutation a deployment runs. */
+  val LeaseStaleMs: Long = 10 * 60 * 1000L
 
   /** Below this many manifest files [[GraftVectorDB!.restore]] copies
     * driver-side — job-scheduling overhead beats parallelism for a

@@ -54,6 +54,53 @@ object ServeProbe {
       .toDF("q_id", "q_text")
     timeMin("searchAllAnn x64", 2)(db.searchAllAnn(batch, 5).collect())
     timeMin("searchAllAnnPq x64", 2)(db.searchAllAnnPq(batch, 5).collect())
+    // recall@5 vs the exact scan at DEFAULT nProbe — the adaptive-cells
+    // claim ("occupancy at the anchor ⇒ recall holds") measured at this
+    // corpus size, not extrapolated from the sf0.001 spec (round-8).
+    // The exact side is ONE batch scan (searchAll), not 64 single scans.
+    def resKey(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id")).map { case (q, rs) =>
+        q -> rs.map(r => (r.getAs[String]("doc_name"),
+          r.getAs[String]("content_id"))).toSet }
+    val exact = resKey(time("exact searchAll x64")(db.searchAll(batch, 5).collect()))
+    def recall(approx: Map[Long, Set[(String, String)]]): Double = {
+      val per = exact.toSeq.map { case (q, ex) =>
+        if (ex.isEmpty) 1.0
+        else (approx.getOrElse(q, Set.empty[(String, String)]) & ex).size.toDouble / ex.size }
+      if (per.isEmpty) 1.0 else per.sum / per.size
+    }
+    val rAnn = recall(resKey(db.searchAllAnn(batch, 5).collect()))
+    val rPq = recall(resKey(db.searchAllAnnPq(batch, 5).collect()))
+    println(f"[serveprobe] recall@5 searchAnn=$rAnn%.3f searchAnnPq=$rPq%.3f " +
+      "(64 queries, default nProbe, vs exact scan)")
+    // streaming freshness: micro-batch arrival → warm searchAnn
+    // visibility through ingestStream + appendAnnIndex, at THIS corpus
+    // size. StreamingIngestSpec proves the correctness ("streamed docs
+    // are servable with no rebuild"); this measures the latency.
+    val freshBase = s"$dbDir-stream"
+    rm(new java.io.File(freshBase))
+    val srcDir = new java.io.File(s"$freshBase/src")
+    srcDir.mkdirs()
+    val planted = Seq((999999901L,
+      "freshness probe zanzibar quux marker doc fast join", "en", "probe"))
+      .toDF("doc_id", "text", "lang", "source")
+    planted.write.mode("append").parquet(srcDir.toString)
+    db.searchAnn("freshness probe zanzibar quux marker", 5).collect() // warm
+    val tf0 = System.nanoTime()
+    val sq = db.ingestStream(
+      spark.readStream.schema(planted.schema).parquet(srcDir.toString),
+      s"$freshBase/ckpt", indexChannels = Seq("text"))
+    sq.awaitTermination()
+    val tDrain = (System.nanoTime() - tf0) / 1e9
+    var visible = false
+    var tVis = 0.0
+    while (!visible && (System.nanoTime() - tf0) / 1e9 < 300) {
+      visible = db.searchAnn("freshness probe zanzibar quux marker", 5).collect()
+        .exists(_.getAs[String]("doc_name").contains("/probe/"))
+      tVis = (System.nanoTime() - tf0) / 1e9
+    }
+    println(f"[serveprobe] stream freshness: batch drained $tDrain%.2f s, " +
+      f"searchable $tVis%.2f s (visible=$visible, no rebuild)")
     spark.stop()
   }
 }
