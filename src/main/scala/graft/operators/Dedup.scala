@@ -184,7 +184,20 @@ object Dedup {
     * exactly the min-label semantics the recursive-CTE oracle pins —
     * plus the round count (DedupExactnessSpec asserts the log bound
     * on a planted long chain, the adversarial diameter case). */
-  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+  /** Once the edge residue fits under this bound it is CHEAPER to
+    * finish on the driver (one collect + union-find) than to schedule
+    * more distributed rounds — ≤ 2M (hi, lo) pairs is ~32 MB of
+    * driver memory, far under any fit-sample collect already in the
+    * library. At corpus scale the contraction rounds do the real
+    * work; the driver finish only absorbs the tail (and at test
+    * scales, the whole graph). */
+  val LocalFinishEdges: Long = 2000000L
+
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) =
+    connectedComponents(pairs, LocalFinishEdges)
+
+  private[graft] def connectedComponents(pairs: DataFrame,
+      localFinish: Long): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     var edges = Tables.materialize(
@@ -194,7 +207,7 @@ object Dedup {
     var prevCount = edges.count()
     var rounds = 0
     var converged = prevCount == 0L
-    while (!converged) {
+    while (!converged && prevCount > localFinish) {
       rounds += 1
       // LARGE-STAR: every center u re-attaches its strictly-larger
       // neighbors to m = min(N(u) ∪ {u}). m ≤ u < v keeps the
@@ -204,11 +217,14 @@ object Dedup {
       val sym = edges.select($"hi".as("u"), $"lo".as("v"))
         .union(edges.select($"lo".as("u"), $"hi".as("v")))
       val minsL = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      // persisted: small-star reads it twice (groupBy + join), and
+      // recomputing would re-run the large-star shuffle join
       val ls = sym.join(minsL, "u")
         .filter($"v" > $"u")
         .select($"v".as("hi"), $"m".as("lo"))
         .filter($"hi" =!= $"lo")
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // SMALL-STAR: every center hi re-attaches its smaller neighbors
       // (and itself) to m = min of them — one hop of path compression
       // for everything under hi.
@@ -223,21 +239,52 @@ object Dedup {
       // canonical pairs, so equal count + empty anti-join ⇔ equal)
       converged = nc == prevCount &&
         next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      ls.unpersist(blocking = false)
       Tables.release(edges)
       edges = next
       prevCount = nc
     }
-    // The alternating algorithm's fixpoints are exactly the star
-    // forests (no node is both a child and a parent). Loud guard —
-    // never expected to fire, but an infinite-loop bug upstream must
-    // fail here, not return wrong clusters.
-    require(edges.join(edges.select($"lo".as("hi")).distinct(),
-        Seq("hi"), "left_semi").isEmpty,
-      "connectedComponents: converged edge set is not a star forest")
-    val out = Tables.materialize(
-      edges.select($"hi".as("doc_id"), $"lo".as("cluster_id"))
-        .union(edges.select($"lo".as("doc_id"), $"lo".as("cluster_id")).distinct()))
-    Tables.release(edges)
+    val out =
+      if (!converged) {
+        // residue fits the driver: one collect + union-find (iterative
+        // find, path-compressed, union-by-min so every root IS the
+        // component minimum — the oracle's min-label contract)
+        val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        Tables.release(edges)
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          while ({ val p = parent.get(x); p != null && p.longValue != x })
+            x = parent.get(x).longValue
+          var y = x0
+          while ({ val p = parent.get(y); p != null && p.longValue != y }) {
+            val p = parent.get(y).longValue; parent.put(y, x); y = p
+          }
+          x
+        }
+        local.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val labels = local.iterator.flatMap(p => Iterator(p._1, p._2))
+          .toArray.distinct.map(v => (v, find(v)))
+        Tables.materialize(
+          spark.createDataset(labels.toSeq).toDF("doc_id", "cluster_id"))
+      } else {
+        // The alternating algorithm's fixpoints are exactly the star
+        // forests (no node is both a child and a parent). Loud guard —
+        // never expected to fire, but an infinite-loop bug upstream
+        // must fail here, not return wrong clusters.
+        require(edges.join(edges.select($"lo".as("hi")).distinct(),
+            Seq("hi"), "left_semi").isEmpty,
+          "connectedComponents: converged edge set is not a star forest")
+        val o = Tables.materialize(
+          edges.select($"hi".as("doc_id"), $"lo".as("cluster_id"))
+            .union(edges.select($"lo".as("doc_id"), $"lo".as("cluster_id")).distinct()))
+        Tables.release(edges)
+        o
+      }
     (out, rounds)
   }
 

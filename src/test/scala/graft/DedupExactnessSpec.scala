@@ -39,7 +39,9 @@ class DedupExactnessSpec extends AnyFunSuite {
       .map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
       .filter(p => p._1 != p._2)
     val pairs = (chain ++ rand).toDF("a_id", "b_id")
-    val (cc, rounds) = Dedup.connectedComponents(pairs)
+    // localFinish = 0 forces the DISTRIBUTED contraction loop (the
+    // 100 TB path); the default driver-finish path is checked below
+    val (cc, rounds) = Dedup.connectedComponents(pairs, localFinish = 0L)
     // ground truth: driver union-find with union-by-min (root of every
     // component ends at the component minimum — the oracle semantics)
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -61,6 +63,11 @@ class DedupExactnessSpec extends AnyFunSuite {
     // to one-hop propagation would need ~1023 rounds here
     assert(rounds <= 15, s"expected O(log n) convergence, got $rounds rounds")
     info(s"converged in $rounds rounds (1023-edge chain + 400 random edges)")
+    // the driver-finish path (residue fits) must produce the identical
+    // labels with zero distributed rounds
+    val (ccLocal, roundsLocal) = Dedup.connectedComponents(pairs)
+    assert(roundsLocal == 0)
+    assert(ccLocal.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
   }
 
   test("embed-dedup scale path: exact precision; recall 1.0 at the dedup operating point") {
