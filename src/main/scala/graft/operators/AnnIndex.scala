@@ -291,6 +291,41 @@ object AnnIndex {
   val PqSub = 16
   val PqSubDim = 4
   val PqK = 16
+
+  /** Sub-quantizer codebook size for the STORE index
+    * ([[GraftVectorDB]] `buildAnnIndex`) — 8-bit codes, the standard
+    * PQ operating point (Jégou et al.): the 4-bit `PqK` grid that the
+    * hash-checked operator entries pin is too coarse once the probed
+    * row count reaches serving scale (measured recall@5 0.46 at sf1,
+    * 123 k rows, default shortlist). 256-entry codebooks cost 16× at
+    * ENCODE time (one-off, build/append) and nothing at ADC time (the
+    * same per-row table lookups); codes stay 16 ints. The sample fit
+    * (≤ 2048 rows per subspace for 256 centroids) is thin but lawful
+    * — empty clusters keep their seed — and the serving recall is
+    * measured per-corpus by ServeProbe. */
+  val PqStoreK = 256
+
+  /** Sentinel default for the STORE PQ search surfaces: resolve the
+    * shortlist from the index size at call time via [[autoShortlist]].
+    * A fixed 100-row shortlist that is generous at sf0.001 is 0.2% of
+    * the ADC-scanned rows at sf10 (measured recall@5 0.82 there) — the
+    * bound has to scale with what the shortlist is selecting FROM. */
+  val AutoShortlist = 0
+
+  /** One shortlist slot per ~64 ADC-scanned rows, floored at
+    * [[PqShortlist]]: the exact re-rank stays a bounded fetch (a few
+    * hundred rows) while the ADC pass's quantization noise gets
+    * proportional headroom — as the shortlist grows, PQ recall
+    * converges to the PROBE-SET recall (the re-rank is exact over
+    * whatever the ADC pass keeps), so this knob buys recall almost
+    * for free until the probe bound; past that, raise nProbe.
+    * Measured on the worst-case synthetic corpus: recall@5 0.96 at
+    * sf1, 0.87 at sf10 vs a 0.903 probe-set ceiling (ANN recall at
+    * the same nProbe). */
+  def autoShortlist(rows: Long, cells: Int, nProbe: Int): Int =
+    math.max(PqShortlist,
+      (rows.toDouble * math.min(nProbe, math.max(cells, 1)) /
+        math.max(cells, 1) / 64.0).toInt)
   val PqShortlist = 100
 
   /** All [[PqSub]] sub-quantizers fit from ONE bounded sample collect:
@@ -388,11 +423,12 @@ object AnnIndex {
     * cost 16× the fixed job overhead; measured 11.5 s → ~1 s). The
     * subspace count adapts to the vector dim (dim / [[PqSubDim]]), so
     * the 48-dim image channel quantizes too. */
-  private[operators] def pqCodebooksFromSample(sample: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+  private[operators] def pqCodebooksFromSample(sample: Array[Array[Double]],
+      k: Int = PqK): Array[Array[Array[Double]]] = {
     require(sample.nonEmpty, "PQ codebook fit got an empty sample")
     val m = sample.head.length / PqSubDim
     (0 until m).map { i =>
-      lloyd(sample.map(_.slice(i * PqSubDim, (i + 1) * PqSubDim)), PqK, iters = 5)
+      lloyd(sample.map(_.slice(i * PqSubDim, (i + 1) * PqSubDim)), k, iters = 5)
     }.toArray
   }
 

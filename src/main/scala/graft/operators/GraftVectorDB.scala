@@ -551,12 +551,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * doc_name column in the ADC scan.
     * Output contract = [[searchAll]]. */
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
+      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
     val (ci, qInfo) = batchPqProbe(queries, nProbe, channel, location)
+    // AutoShortlist default resolves against the index size, exactly
+    // as the single-query path
+    val effShortlist =
+      if (shortlist > 0) shortlist
+      else AnnIndex.autoShortlist(ci.rows, ci.books.length, nProbe)
     // scan 1: per-query ADC shortlist — same ordering contract as the
     // single-query path (adc desc, row_id asc), so shortlist sets match
-    val short0 = batchPqShortlistOf(ci, qInfo, shortlist, location).collect()
+    val short0 = batchPqShortlistOf(ci, qInfo, effShortlist, location).collect()
     val shortByQ0 = short0.groupBy(_.getAs[Long]("q_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
     // ESCALATION, batched (the searchAnnPq contract): an under-filled
@@ -574,7 +579,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       else {
         val escInfo = under.map { case (id, qv, qnrm, _, dts, loc) =>
           (id, qv, qnrm, eligibleCells(ci, location.toSeq ++ loc.toSeq), dts, loc) }
-        val escByQ = batchPqShortlistOf(ci, escInfo, shortlist, location)
+        val escByQ = batchPqShortlistOf(ci, escInfo, effShortlist, location)
           .collect().groupBy(_.getAs[Long]("q_id"))
           .map { case (q, rs) => q -> rs.map(_.getAs[Long]("row_id")).toSet }
         // an escalated query that STILL has no rows keeps an empty set
@@ -598,7 +603,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // the whole probed index. Keep the id filter whenever any scope is
     // carried: ids ≤ N × shortlist bounds the fetch regardless.
     val coverScan = qInfo.forall(_._6.isEmpty) &&
-      shortByQ.values.forall(_.size < shortlist)
+      shortByQ.values.forall(_.size < effShortlist)
     val fetched = fetchShortlist(ci, unionCells, allIds, location, coverScan).collect()
     // GROUPED by row_id, not a 1:1 map: an xxhash64(doc_name,
     // content_type, content_id) collision fetches BOTH rows under one
@@ -884,7 +889,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // the single full build pass
     val sample = AnnIndex.sampleVectors(chan.select($"row_id", $"v"), $"row_id")
     val centroids = AnnIndex.centroidsFromSample(spark, sample, cells)
-    val pqBooks = AnnIndex.pqCodebooksFromSample(sample)
+    val pqBooks = AnnIndex.pqCodebooksFromSample(sample, AnnIndex.PqStoreK)
     val books = AnnIndex.routingBooks(centroids)
     val indexed = chan.select($"doc_name", $"page_num", $"content_type",
         $"content_id", $"content_raw", $"row_id", $"v",
@@ -1815,7 +1820,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   /** IVF+PQ search over ANY registered channel — the generic form of
     * [[searchAnnPq]]/[[searchAnnPqImage]]. */
   def searchAnnPqIn(channel: String, query: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.PqShortlist,
+      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None): DataFrame =
     searchAnnPqChannel(query, channel, topN, nProbe, shortlist, location)
 
@@ -1884,7 +1889,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         // split-removed parents linger harmlessly (never queried) and
         // split children are absent (always eligible)
         val docRanges = GraftVectorDB.readDocRanges(fs, cDir)
-        val c = GraftVectorDB.CachedAnnIndex(gen, books, pqBooks, idx, docRanges)
+        // footer-stats count, once per generation: sizes the adaptive
+        // PQ shortlist (and nothing else) — no data scan
+        val nRows = idx.count()
+        val c = GraftVectorDB.CachedAnnIndex(gen, books, pqBooks, idx,
+          docRanges, nRows)
         GraftVectorDB.routingCache.put(key, c)
         c
     }
@@ -2183,14 +2192,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * jobs per warm search (ADC shortlist + fetch), spec-pinned. */
   def searchAnnPq(queryText: String, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe,
-      shortlist: Int = AnnIndex.PqShortlist,
+      shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None): DataFrame =
     searchAnnPqChannel(queryText, "text", topN, nProbe, shortlist, location)
 
   /** Image-space twin of [[searchAnnPq]]. */
   def searchAnnPqImage(queryContent: String, topN: Int = 5,
       nProbe: Int = AnnIndex.NProbe,
-      shortlist: Int = AnnIndex.PqShortlist,
+      shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None): DataFrame =
     searchAnnPqChannel(queryContent, "image", topN, nProbe, shortlist, location)
 
@@ -2230,11 +2239,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   }
 
   private def searchAnnPqChannel(query: String, channel: String,
-      topN: Int, nProbe: Int, shortlist: Int,
+      topN: Int, nProbe: Int, shortlist0: Int,
       location: Option[String] = None): DataFrame = {
     // ONE probe computation (cache check, embed, cell ranking) shared
     // by both phases — annProbe twice could even straddle a generation
     val (ci, qv, qnrm, probed0) = annProbe(query, channel, nProbe, location)
+    // AutoShortlist (the default) scales the ADC shortlist with what
+    // it selects FROM — a fixed 100 is 0.2% of the scanned rows at
+    // sf10 and measured recall@5 drops to 0.82 there
+    val shortlist =
+      if (shortlist0 > 0) shortlist0
+      else AnnIndex.autoShortlist(ci.rows, ci.books.length, nProbe)
     // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
     val ids0 = annPqShortlistOf(ci, qv, probed0, shortlist, location)
       .collect().map(_.getAs[Long]("row_id"))
@@ -2627,7 +2642,8 @@ object GraftVectorDB {
       books: Array[(Int, Array[Double])],
       pqBooks: Array[Array[Array[Double]]],
       index: DataFrame,
-      docRanges: Map[Int, (String, String)] = Map.empty)
+      docRanges: Map[Int, (String, String)] = Map.empty,
+      rows: Long = 0L)
 
   // ---- prefix→cell routing sidecar ------------------------------------
   // `_centroids/_docranges.vN`: one line per cell, `cell\tb64(min)\tb64(max)`

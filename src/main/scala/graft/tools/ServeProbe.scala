@@ -92,15 +92,22 @@ object ServeProbe {
       s"$freshBase/ckpt", indexChannels = Seq("text"))
     sq.awaitTermination()
     val tDrain = (System.nanoTime() - tf0) / 1e9
+    // visibility = the tenant-scoped ANN search (get_search_range's
+    // folder case) returns the streamed doc — the scope rides the
+    // round-8 prefix→cell routing sidecar, whose widen-before-commit
+    // append is exactly what makes the fresh rows reachable here. An
+    // UNSCOPED default-nProbe poll would measure single-query ANN
+    // recall at this cell count, not index freshness.
     var visible = false
     var tVis = 0.0
-    while (!visible && (System.nanoTime() - tf0) / 1e9 < 300) {
-      visible = db.searchAnn("freshness probe zanzibar quux marker", 5).collect()
+    while (!visible && (System.nanoTime() - tf0) / 1e9 < 120) {
+      visible = db.searchAnn("freshness probe zanzibar quux marker doc fast join",
+          5, location = Some("corpus/probe/")).collect()
         .exists(_.getAs[String]("doc_name").contains("/probe/"))
       tVis = (System.nanoTime() - tf0) / 1e9
     }
     println(f"[serveprobe] stream freshness: batch drained $tDrain%.2f s, " +
-      f"searchable $tVis%.2f s (visible=$visible, no rebuild)")
+      f"searchable (tenant-scoped ANN) $tVis%.2f s (visible=$visible, no rebuild)")
     spark.stop()
   }
 }

@@ -97,6 +97,45 @@ class ChannelRegistrySpec extends AnyFunSuite {
       key(db.searchIn("audio", q, 5).collect()))
   }
 
+  test("a corpus-FITTED (non-hash) encoder channel serves end to end") {
+    import spark.implicits._
+    db // build the fixture (and its registry) first
+    // FIT a real learned model from data: vocabulary + idf weights are
+    // parameters estimated from the corpus, not a hash family — the
+    // round-8 proof that the ChannelDef seam carries a genuine encoder
+    val fitCorpus = Tables.load(spark, sf, "documents").filter($"doc_id" < 200)
+    val tfidf = graft.operators.TfidfEncoder.fit(
+      fitCorpus, "text", "tfidf", Seq("tfidf_doc"), dim = 24)
+    // encode/encodeLocal parity on raw corpus text (the property the
+    // one-job warm serving path depends on)
+    val samples = fitCorpus.limit(20).select($"text").collect().map(_.getString(0))
+    samples.foreach { s =>
+      val inPlan = Seq(s).toDF("t").select(tfidf.encode($"t").as("v"))
+        .head().getSeq[Double](0).toArray
+      assert(inPlan.sameElements(tfidf.encodeLocal(s)),
+        s"encode/encodeLocal diverge on: ${s.take(40)}")
+    }
+    // a fitted vector is NOT the hash-family embedding of either
+    // built-in space: genuinely new geometry
+    assert(!tfidf.encodeLocal(q).sameElements(VectorStore.embedTextLocal(q).take(24)))
+    db.registerChannel(tfidf)
+    val recs = GraftVectorDB.pipeline(
+      Tables.load(spark, sf, "documents")
+        .filter($"doc_id" >= 200 && $"doc_id" < 240))
+      .filter($"page_num" === 0)
+      .withColumn("content_type", lit("tfidf_doc"))
+      .withColumn("embedding", tfidf.encode($"content_raw"))
+    assert(db.ingestRecords(recs) > 0)
+    db.buildAnnIndex(cells = 4, channel = "tfidf")
+    val exact = db.searchIn("tfidf", q, 5).collect()
+    assert(exact.length == 5 && exact.forall(_.getAs[String]("channel") == "tfidf"))
+    assert(key(db.searchAnnIn("tfidf", q, 5, nProbe = 4).collect()) == key(exact),
+      "full-probe ANN over the fitted space must equal its exact scan")
+    val n = spark.read.parquet(db.annPath("tfidf")).count().toInt
+    assert(key(db.searchAnnPqIn("tfidf", q, 5, nProbe = 4, shortlist = n)
+      .collect()) == key(exact))
+  }
+
   test("takedown delete sweeps the third channel's index; maintain covers it") {
     import spark.implicits._
     val victim = spark.read.parquet(db.annPath("audio"))
