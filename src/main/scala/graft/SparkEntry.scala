@@ -60,6 +60,7 @@ object SparkEntry {
     "dd_exact" -> (Dedup.exact _),
     "dd_jaccard" -> (Dedup.jaccardPairs _),
     "dd_minhash" -> (Dedup.minhashLsh _),
+    "dd_incr" -> (Dedup.incrementalPairs _),
     "dd_cluster" -> (Dedup.cluster _),
     "dd_simhash" -> (Dedup.simhashPairs _),
     // dd_embed is the EXACT audit config (all-pairs verifier, flagged
@@ -624,6 +625,23 @@ object SparkEntry {
       s"""WITH ${shinglePairsCte("0.5")}
         |SELECT a_id, b_id, j_r FROM pr
         |ORDER BY a_id, b_id""".stripMargin,
+    // incremental new-batch-vs-corpus check: the oracle is the exact
+    // shingle join between the two disjoint subsets — every (new, base)
+    // pair at the threshold, which the band-join path must reproduce
+    "dd_incr" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)),
+        |   i -> w[i::INT] || ' ' || w[(i+1)::INT]))) s
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents)),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id new_id, b.doc_id base_id, count(*) i
+        | FROM sh a JOIN sh b ON a.s = b.s
+        | WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2),
+        |pr AS (SELECT new_id, base_id, round(i::DOUBLE / (sa.n + sb.n - i), 4) j_r
+        | FROM inter JOIN sz sa ON sa.doc_id = inter.new_id
+        |            JOIN sz sb ON sb.doc_id = inter.base_id
+        | WHERE round(i::DOUBLE / (sa.n + sb.n - i), 4) >= 0.5)
+        |SELECT new_id, base_id, j_r FROM pr
+        |ORDER BY new_id, base_id""".stripMargin,
     "dd_cluster" ->
       s"""WITH RECURSIVE ${shinglePairsCte("0.5")},
         |e AS (SELECT a_id u, b_id v FROM pr UNION ALL SELECT b_id u, a_id v FROM pr),

@@ -45,6 +45,39 @@ object AnnIndex {
     * so on real clustered embeddings the same design probes 5–10%. */
   val IvfCells = 32
   val NProbe = 20
+
+  /** Sentinel default for the STORE ANN search surfaces
+    * ([[GraftVectorDB]] `searchAnn*`): resolve the probe count from
+    * the LIVE cell count at call time via [[autoNProbe]]. A fixed
+    * `NProbe = 20` that probes 33% of a 61-cell sf1 index is 3.9% of
+    * the 512 adaptive cells a 10×-grown store rebuilds to — measured
+    * recall@5 decayed 0.997 → 0.903 across that decade (ServeProbe)
+    * while the cell GEOMETRY stayed anchored. The probe budget has to
+    * scale with the routing table it ranks over, exactly as
+    * [[AutoShortlist]] scales with the rows the ADC pass selects
+    * from. */
+  val AutoNProbe = 0
+
+  /** One probe per 8 cells, floored at [[NProbe]]: holds the probed
+    * FRACTION at ≥ 12.5% once the adaptive cell count outgrows
+    * `8 × NProbe = 160` cells (below that the floor probes more, up
+    * to everything — small stores keep their exact-equivalent
+    * behavior and every existing job-count pin). IVF recall at a
+    * fixed probed fraction is roughly scale-stable when per-cell
+    * occupancy is anchored (the adaptive-cells invariant), so this
+    * turns the measured decade decay into a flat curve. Honest cost
+    * note: per-query scanned rows grow linearly with the corpus at a
+    * fixed fraction (cells × occupancy × 12.5%) — the knob stays an
+    * explicit parameter, and past ~10⁸ rows/channel the structural
+    * fix is a second routing level (IMI-style), not a bigger probe
+    * budget. */
+  def autoNProbe(cells: Int): Int =
+    math.max(NProbe, math.ceil(cells / 8.0).toInt)
+
+  /** `AutoNProbe`-aware resolution — idempotent on explicit values,
+    * so layered call sites (public surface + probe helper) agree. */
+  def resolveNProbe(nProbe: Int, cells: Int): Int =
+    if (nProbe > 0) nProbe else autoNProbe(cells)
   /** KMeans fit-sample bound: cells × ~128 examples each. */
   val SampleTarget = 2048L
   /** Tables × planes sized for measured recall on this corpus (the

@@ -51,8 +51,25 @@ object Dedup {
       .select($"doc_id", array_distinct(shingles(tokens($"text"), 2)).as("s"))
   }
 
-  private def jaccard(a: Column, b: Column): Column =
+  private[operators] def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+
+  /** (doc_id, band, bkey): the LSH band keys of each doc's shingle
+    * set. The band key is the band's `BandRows` minhashes joined
+    * textually — avoids 64-bit packing overflow and hashes uniformly
+    * into the shuffle. Shared by the whole-corpus self-join
+    * ([[minhashLsh]]) and the incremental new-vs-corpus check
+    * ([[incrementalPairs]]). */
+  private[operators] def bandKeys(spark: SparkSession, sets: DataFrame): DataFrame = {
+    import spark.implicits._
+    sets.select($"doc_id",
+        graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"))
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), lit(MinHashSeeds / BandRows - 1)),
+          j => concat_ws(":",
+            (0 until BandRows).map(r => element_at($"sig", j * BandRows + r + 1)): _*))))
+      .toDF("doc_id", "band", "bkey")
+  }
 
   /** Exact n-gram Jaccard audit over a deterministic 10% sample —
     * the ground-truth twin of the LSH path (all-pairs is O(n²): it
@@ -84,15 +101,7 @@ object Dedup {
     // native single-pass signature: one digest per shingle + affine
     // mixes; the per-seed transform() form re-walked the shingle set
     // 30× through interpreted md5+conv.
-    val sig = sets.select($"doc_id",
-      graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"))
-    // band key: the r minhashes of the band, joined textually — avoids
-    // 64-bit packing overflow and hashes uniformly into the shuffle.
-    val bands = sig.select($"doc_id",
-        posexplode(transform(sequence(lit(0), lit(MinHashSeeds / BandRows - 1)),
-          j => concat_ws(":",
-            (0 until BandRows).map(r => element_at($"sig", j * BandRows + r + 1)): _*))))
-      .toDF("doc_id", "band", "bkey")
+    val bands = bandKeys(spark, sets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select($"band", $"bkey", $"doc_id".as("a_id"))
     val r = bands.select($"band", $"bkey", $"doc_id".as("b_id"))
@@ -110,6 +119,45 @@ object Dedup {
     sets.unpersist(blocking = false)
     bands.unpersist(blocking = false)
     out.orderBy($"a_id", $"b_id")
+  }
+
+  /** Incremental near-dup check — a NEW batch against an EXISTING
+    * corpus, the continuous-ingestion shape a 100 TB pipeline actually
+    * runs (nightly crawl vs the accumulated corpus): candidates come
+    * from a band equi-join of the new batch's MinHash band keys
+    * against the corpus band table — in production a PERSISTED sidecar
+    * ([[GraftVectorDB.ingestNearDup]] is the store-integrated form) —
+    * so the per-batch work is O(new) signature compute + one
+    * broadcast-hash pass over the (narrow) corpus bands + exact
+    * verification of the collision residue. The corpus is NEVER
+    * re-paired against itself, and the new batch never crosses the
+    * corpus: only band-identical pairs reach the verifier, with the
+    * same ~1e-6 per-pair miss bound as [[minhashLsh]].
+    *
+    * Here base = `doc_id % 10 != 0` (90% of the corpus), new =
+    * `doc_id % 10 == 0` (the 10% "tonight's batch"); output is every
+    * (new, base) pair at ≥ [[JaccardThreshold]]. */
+  def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = bigramSets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseSets = sets.filter($"doc_id" % 10 =!= 0)
+    val freshSets = sets.filter($"doc_id" % 10 === 0)
+    // the NEW side broadcasts: an ingest batch is small next to the
+    // corpus, so the band join is map-side against the corpus band
+    // scan — no shuffle of the corpus bands, ever
+    val cand = bandKeys(spark, baseSets)
+      .join(broadcast(bandKeys(spark, freshSets)
+        .withColumnRenamed("doc_id", "new_id")), Seq("band", "bkey"))
+      .select($"new_id", $"doc_id".as("base_id")).distinct()
+    val verified = cand
+      .join(freshSets.select($"doc_id".as("new_id"), $"s".as("sa")), "new_id")
+      .join(baseSets.select($"doc_id".as("base_id"), $"s".as("sb")), "base_id")
+      .select($"new_id", $"base_id", jaccard($"sa", $"sb").as("j_r"))
+      .filter($"j_r" >= JaccardThreshold)
+    val out = Tables.materialize(verified)
+    sets.unpersist(blocking = false)
+    out.orderBy($"new_id", $"base_id")
   }
 
   /** 60-bit SimHash fingerprint of the token multiset — a native

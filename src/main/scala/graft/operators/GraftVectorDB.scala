@@ -551,14 +551,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * doc_name column in the ADC scan.
     * Output contract = [[searchAll]]. */
   def searchAllAnnPq(queries: DataFrame, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.AutoShortlist,
+      nProbe: Int = AnnIndex.AutoNProbe, shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None, channel: String = "text"): DataFrame = {
     val (ci, qInfo) = batchPqProbe(queries, nProbe, channel, location)
-    // AutoShortlist default resolves against the index size, exactly
-    // as the single-query path
+    // AutoNProbe/AutoShortlist defaults resolve against the live index
+    // geometry, exactly as the single-query path
+    val np = AnnIndex.resolveNProbe(nProbe, ci.books.length)
     val effShortlist =
       if (shortlist > 0) shortlist
-      else AnnIndex.autoShortlist(ci.rows, ci.books.length, nProbe)
+      else AnnIndex.autoShortlist(ci.rows, ci.books.length, np)
     // scan 1: per-query ADC shortlist — same ordering contract as the
     // single-query path (adc desc, row_id asc), so shortlist sets match
     val short0 = batchPqShortlistOf(ci, qInfo, effShortlist, location).collect()
@@ -570,7 +571,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // filled queries' shortlists stand and the fetch below stays single
     val cells = ci.books.map(_._1).toSeq
     val under =
-      if (nProbe >= cells.length) Seq.empty
+      if (np >= cells.length) Seq.empty
       else qInfo.filter { case (id, _, _, probedCells, _, loc) =>
         shortByQ0.get(id).forall(_.size < topN) &&
           probedCells.length < eligibleCells(ci, location.toSeq ++ loc.toSeq).length }
@@ -657,7 +658,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val qInfo = qs.toSeq.map { case (id, text, loc) =>
       val qv = embedLocal(channel, text)
       (id, qv, math.sqrt(qv.map(x => x * x).sum),
-        rankCellsScoped(ci, qv, nProbe, location.toSeq ++ loc.toSeq),
+        rankCellsScoped(ci, qv, AnnIndex.resolveNProbe(nProbe, ci.books.length),
+          location.toSeq ++ loc.toSeq),
         AnnIndex.adcTablesLocal(ci.pqBooks, qv), loc)
     }
     (ci, qInfo)
@@ -810,7 +812,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * Full probe on both channels reproduces [[searchMultimodal]]
     * verbatim (spec-pinned). */
   def searchMultimodalAnn(queryText: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+      nProbe: Int = AnnIndex.AutoNProbe, location: Option[String] = None): DataFrame =
     searchAnn(queryText, topN, nProbe, location)
       .unionByName(searchAnnImage(queryText, topN, nProbe, location))
       .orderBy($"channel", $"rnk")
@@ -820,7 +822,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * channel — each query's probe set unions into its channel's single
     * scan). Output contract = [[searchAllMultimodal]]. */
   def searchAllMultimodalAnn(queries: DataFrame, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+      nProbe: Int = AnnIndex.AutoNProbe, location: Option[String] = None): DataFrame =
     searchAllAnn(queries, topN, nProbe, location, channel = "text")
       .unionByName(searchAllAnn(queries, topN, nProbe, location, channel = "image"))
       .orderBy($"q_id", $"channel", $"rnk")
@@ -1799,7 +1801,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * rank numbering attaches to the ≤ topN collected rows on the
     * driver. GraftVectorDBSpec pins the per-search job count. */
   def searchAnn(queryText: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+      nProbe: Int = AnnIndex.AutoNProbe, location: Option[String] = None): DataFrame =
     searchAnnChannel(queryText, "text", topN, nProbe, location)
 
   /** Image-space twin of [[searchAnn]] over the `image`-channel index
@@ -1807,20 +1809,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * encodes with the image-space hash family, mirroring
     * [[searchImage]]'s exact scan. */
   def searchAnnImage(queryContent: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+      nProbe: Int = AnnIndex.AutoNProbe, location: Option[String] = None): DataFrame =
     searchAnnChannel(queryContent, "image", topN, nProbe, location)
 
   /** ANN search over ANY registered channel — the generic form of
     * [[searchAnn]]/[[searchAnnImage]] (same pruned-scan serving path,
     * same probe escalation). */
   def searchAnnIn(channel: String, query: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None): DataFrame =
+      nProbe: Int = AnnIndex.AutoNProbe, location: Option[String] = None): DataFrame =
     searchAnnChannel(query, channel, topN, nProbe, location)
 
   /** IVF+PQ search over ANY registered channel — the generic form of
     * [[searchAnnPq]]/[[searchAnnPqImage]]. */
   def searchAnnPqIn(channel: String, query: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, shortlist: Int = AnnIndex.AutoShortlist,
+      nProbe: Int = AnnIndex.AutoNProbe, shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None): DataFrame =
     searchAnnPqChannel(query, channel, topN, nProbe, shortlist, location)
 
@@ -1964,7 +1966,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val ci = cachedIndex(channel)
     val qv = embedLocal(channel, query)
     val qnrm = math.sqrt(qv.map(x => x * x).sum)
-    (ci, qv, qnrm, rankCellsScoped(ci, qv, nProbe, location.toSeq))
+    // AutoNProbe (the default) resolves against the LIVE cell count —
+    // the probe budget scales with the routing table it ranks over
+    // (see AnnIndex.autoNProbe for the measured decade decay it fixes)
+    val np = AnnIndex.resolveNProbe(nProbe, ci.books.length)
+    (ci, qv, qnrm, rankCellsScoped(ci, qv, np, location.toSeq))
   }
 
   /** Batch ANN search — the batch twin of the one-job serving path:
@@ -1996,14 +2002,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * equal the single-query [[searchAnn]] at its effective scope,
     * escalation included. */
   def searchAllAnn(queries: DataFrame, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe, location: Option[String] = None,
+      nProbe: Int = AnnIndex.AutoNProbe, location: Option[String] = None,
       channel: String = "text"): DataFrame = {
     val (ci, qs) = batchAnnQueries(queries, "searchAllAnn", channel)
-    val first = batchAnnTopKOf(ci, batchProbeRows(ci, qs, nProbe, channel, location),
+    val np = AnnIndex.resolveNProbe(nProbe, ci.books.length)
+    val first = batchAnnTopKOf(ci, batchProbeRows(ci, qs, np, channel, location),
       topN, location, channel).collect()
     val cells = ci.books.length
     val rows =
-      if (nProbe >= cells) first
+      if (np >= cells) first
       else {
         val filled = first.groupBy(_.getAs[Long]("q_id"))
         // under-filled AND with eligible cells left unprobed: a query
@@ -2011,7 +2018,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         // (routing sidecar) has nothing more to probe
         val under = qs.filter { case (id, _, loc) =>
           filled.get(id).forall(_.length < topN) &&
-            nProbe < eligibleCells(ci, location.toSeq ++ loc.toSeq).length }
+            np < eligibleCells(ci, location.toSeq ++ loc.toSeq).length }
         if (under.isEmpty) first
         else {
           // ESCALATION, batched: the under-filled subset re-probes its
@@ -2065,16 +2072,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def batchProbeRows(ci: GraftVectorDB.CachedAnnIndex,
       qs: Seq[(Long, String, Option[String])], nProbe: Int, channel: String,
       location: Option[String])
-      : Seq[(Long, Seq[Double], Double, Int, String)] =
+      : Seq[(Long, Seq[Double], Double, Int, String)] = {
+    val np = AnnIndex.resolveNProbe(nProbe, ci.books.length)
     qs.flatMap { case (id, text, loc) =>
       val qv = embedLocal(channel, text)
       val qnrm = math.sqrt(qv.map(x => x * x).sum)
       // each query's probe budget is spent on ITS scope-eligible cells
       // (call-level location ∩ per-query q_loc) — the multi-tenant
       // batch shape probes each tenant's cells, not the union of all
-      rankCellsScoped(ci, qv, nProbe, location.toSeq ++ loc.toSeq)
+      rankCellsScoped(ci, qv, np, location.toSeq ++ loc.toSeq)
         .map(cell => (id, qv.toSeq, qnrm, cell, loc.orNull))
     }
+  }
 
   /** The lazy batch top-k frame behind [[searchAllAnn]] — ONE scan of
     * the UNION of probed cells (partition-pruned); the equi-join on
@@ -2166,8 +2175,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         // narrow tenant scope re-probes its own cells, not the world —
         // and a scope outside every cell's range escalates to nothing
         // (zero extra work), still ≡ the (empty) exact filtered scan
-        val eligible = eligibleCells(cachedIndex(channel), location.toSeq).length
-        if (nProbe >= eligible) first
+        val ciL = cachedIndex(channel)
+        val eligible = eligibleCells(ciL, location.toSeq).length
+        if (AnnIndex.resolveNProbe(nProbe, ciL.books.length) >= eligible) first
         else annScanPlan(query, channel, topN, eligible, location).collect()
       }
     // rank numbering over the ≤ topN collected rows is driver work
@@ -2191,14 +2201,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * reproduces [[search]] verbatim (GraftVectorDBSpec). Two Spark
     * jobs per warm search (ADC shortlist + fetch), spec-pinned. */
   def searchAnnPq(queryText: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe,
+      nProbe: Int = AnnIndex.AutoNProbe,
       shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None): DataFrame =
     searchAnnPqChannel(queryText, "text", topN, nProbe, shortlist, location)
 
   /** Image-space twin of [[searchAnnPq]]. */
   def searchAnnPqImage(queryContent: String, topN: Int = 5,
-      nProbe: Int = AnnIndex.NProbe,
+      nProbe: Int = AnnIndex.AutoNProbe,
       shortlist: Int = AnnIndex.AutoShortlist,
       location: Option[String] = None): DataFrame =
     searchAnnPqChannel(queryContent, "image", topN, nProbe, shortlist, location)
@@ -2249,7 +2259,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // sf10 and measured recall@5 drops to 0.82 there
     val shortlist =
       if (shortlist0 > 0) shortlist0
-      else AnnIndex.autoShortlist(ci.rows, ci.books.length, nProbe)
+      else AnnIndex.autoShortlist(ci.rows, ci.books.length,
+        AnnIndex.resolveNProbe(nProbe, ci.books.length))
     // job 1: ADC shortlist over (row_id, nrm, codes) of probed cells
     val ids0 = annPqShortlistOf(ci, qv, probed0, shortlist, location)
       .collect().map(_.getAs[Long]("row_id"))

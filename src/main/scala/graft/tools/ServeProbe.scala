@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import graft.operators.GraftVectorDB
+import graft.operators.{AnnIndex, GraftVectorDB}
 
 /** Serving-path scaling probe (round-7 sf10 spot check): builds the
   * store + text ANN index from a ScaleGen corpus and times the paths a
@@ -72,7 +72,8 @@ object ServeProbe {
     val rAnn = recall(resKey(db.searchAllAnn(batch, 5).collect()))
     val rPq = recall(resKey(db.searchAllAnnPq(batch, 5).collect()))
     println(f"[serveprobe] recall@5 searchAnn=$rAnn%.3f searchAnnPq=$rPq%.3f " +
-      "(64 queries, default nProbe, vs exact scan)")
+      s"(64 queries, default nProbe=${AnnIndex.autoNProbe(cells)} " +
+      s"of $cells cells, vs exact scan)")
     // streaming freshness: micro-batch arrival → warm searchAnn
     // visibility through ingestStream + appendAnnIndex, at THIS corpus
     // size. StreamingIngestSpec proves the correctness ("streamed docs
