@@ -227,13 +227,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * a nightly corpus refresh uses. */
   def ingestStream(docs: DataFrame, checkpoint: String,
       indexChannels: Seq[String] = Nil,
-      autoRebuildAt: Double = Double.PositiveInfinity)
+      autoRebuildAt: Double = Double.PositiveInfinity,
+      nearDupGate: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) => {
-        ingest(batch.toDF(), indexChannels)
+        // nearDupGate: every micro-batch dedups against the sidecar
+        // (and itself) before landing — the continuous-crawl shape;
+        // foreachBatch owns the single-writer slot either way
+        if (nearDupGate) {
+          val (_, skipped) = ingestNearDup(batch.toDF(), indexChannels)
+          val nSkip = skipped.count()
+          if (nSkip > 0) log.info(s"ingestStream: near-dup gate dropped $nSkip docs")
+        } else ingest(batch.toDF(), indexChannels)
         // the drift policy's ACTION seam: appendAnnIndex warns past the
         // bound, but a stream that runs for months must also act —
         // foreachBatch already owns the single-writer slot, so the
@@ -247,6 +255,243 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       })
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  // ─────────── near-dup ingest gate (persisted MinHash sidecar) ───────────
+
+  /** Root of the near-dup sidecar — the store-integrated form of
+    * [[Dedup.incrementalPairs]]: `bands` (doc_name, band, bkey) routes
+    * an incoming batch to candidate docs via the MinHash band
+    * equi-join, `sets` (doc_name, shh) holds each indexed doc's
+    * xxhash64-compressed shingle set for exact verification of the
+    * collision residue, `tombstones` (doc_name) marks deleted docs
+    * until [[maintainNearDup]] compacts them out. The reference's
+    * skip-if-hash-seen ingest check (vector_db.py:420-434) generalized
+    * from exact to NEAR duplicates, at O(new) per batch. */
+  def nearDupPath: String = s"$storeDir/neardup"
+  private def ndBandsPath = s"$nearDupPath/bands"
+  private def ndSetsPath = s"$nearDupPath/sets"
+  private def ndTombPath = s"$nearDupPath/tombstones"
+
+  /** Whether the near-dup sidecar exists ([[ingestNearDup]] creates it
+    * on first use; a plain [[ingest]] never does). */
+  def nearDupIndexed: Boolean =
+    existsPath(new org.apache.hadoop.fs.Path(ndBandsPath))
+
+  /** (doc_id, doc_name, sh, shh) for a documents-shaped frame: the
+    * word-bigram shingle sets the Dedup operators use, the store's
+    * doc_name derivation (must match [[GraftVectorDB.pipeline]]'s so
+    * sidecar keys align with store rows), and xxhash64-compressed
+    * shingles for the sidecar — verification compares hashed sets,
+    * exact up to 64-bit collisions (~0 at any real shingle count). */
+  private def nearDupSets(docs: DataFrame): DataFrame =
+    Tables.spread(docs).select($"doc_id",
+        concat(lit("corpus/"), $"source", lit("/doc_"), $"doc_id",
+          lit(".txt")).as("doc_name"),
+        array_distinct(shingles(tokens($"text"), 2)).as("sh"))
+      .withColumn("shh", transform($"sh", x => xxhash64(x)))
+
+  /** Near-dup-gated ingest: drop incoming docs that near-duplicate an
+    * already-indexed doc (or an earlier doc of the same batch) at
+    * bigram-Jaccard ≥ `threshold`, ingest the survivors, and append
+    * the survivors' signatures to the sidecar — the continuous-
+    * ingestion dedup loop ([[Dedup.incrementalPairs]] is the
+    * operator-level twin with a DuckDB oracle; this is the store
+    * lifecycle form). Work per batch: O(batch) shingle/signature
+    * compute, one broadcast-hash pass of the batch's band keys over
+    * the (narrow) corpus band sidecar, exact verification of the
+    * band-collision residue only — the corpus is NEVER re-paired
+    * against itself, and candidate shingle sets are fetched by a
+    * pushed In filter when the candidate list is small (the
+    * batched-delete pattern).
+    *
+    * Crash-safety is FAIL-OPEN by construction: the sidecar append
+    * runs after the store write, so any crash window leaves sidecar
+    * entries missing (a future dup may be admitted) — never phantom
+    * entries that would silently REJECT genuinely new content.
+    * Deleted docs' sidecar entries are tombstoned by [[delete]]/
+    * [[deleteWhere]] (written before the data rewrite — same fail-open
+    * direction) and compacted out by [[maintainNearDup]].
+    *
+    * Returns (rows appended, skipped docs as (doc_id, dup_of, j_r,
+    * reason)) where reason is "corpus" or "batch". The intra-batch
+    * sweep keeps the smallest doc_id of each dup group (collected
+    * driver-side, bounded by [[GraftVectorDB.MaxIntraPairs]] verified
+    * pairs — the gate is for operational increments; run the corpus-
+    * scale [[Dedup]] operators for an initial load). */
+  def ingestNearDup(docs: DataFrame, indexChannels: Seq[String] = Nil,
+      threshold: Double = Dedup.JaccardThreshold): (Long, DataFrame) =
+    withWriterLease("ingestNearDup") {
+    recoverNearDup()
+    val sets = Tables.materialize(nearDupSets(docs))
+    val newBands = Dedup.bandKeys(spark, sets.select($"doc_id", $"sh".as("s")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 1) corpus check: candidates from the persisted band sidecar,
+      // minus tombstoned (deleted) docs
+      val corpusMatches: Seq[(Long, String, Double)] =
+        if (!nearDupIndexed) Seq.empty
+        else {
+          val cand0 = spark.read.parquet(ndBandsPath)
+            .join(broadcast(newBands), Seq("band", "bkey"))
+            .select($"doc_id", $"doc_name").distinct()
+          val cand =
+            if (!existsPath(new org.apache.hadoop.fs.Path(ndTombPath))) cand0
+            else cand0.join(spark.read.parquet(ndTombPath),
+              Seq("doc_name"), "left_anti")
+          val names = cand.select($"doc_name").distinct()
+            .limit(GraftVectorDB.InLiteralMax + 1).collect().map(_.getString(0))
+          val stored0 = spark.read.parquet(ndSetsPath)
+          val stored =
+            if (names.length <= GraftVectorDB.InLiteralMax)
+              stored0.filter($"doc_name".isin(names.toIndexedSeq: _*))
+            else stored0
+          cand.join(stored, "doc_name")
+            .join(broadcast(sets.select($"doc_id", $"shh".as("shn"))), "doc_id")
+            .select($"doc_id", $"doc_name", Dedup.jaccard($"shn", $"shh").as("j_r"))
+            .filter($"j_r" >= threshold)
+            .groupBy($"doc_id").agg(max(struct($"j_r", $"doc_name")).as("m"))
+            .select($"doc_id", $"m.doc_name", $"m.j_r")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+            .toSeq
+        }
+      val corpusSkip = corpusMatches.map(_._1).toSet
+      // 2) intra-batch: band self-join of the batch (batch-sized),
+      // exact verify, then a greedy keep-smallest sweep driver-side —
+      // corpus-skipped docs neither survive nor anchor a batch drop
+      val l = newBands.select($"band", $"bkey", $"doc_id".as("a_id"))
+      val r = newBands.select($"band", $"bkey", $"doc_id".as("b_id"))
+      val intraPairs = l.join(r, Seq("band", "bkey")).filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+        .join(sets.select($"doc_id".as("a_id"), $"shh".as("sa")), "a_id")
+        .join(sets.select($"doc_id".as("b_id"), $"shh".as("sb")), "b_id")
+        .select($"a_id", $"b_id", Dedup.jaccard($"sa", $"sb").as("j_r"))
+        .filter($"j_r" >= threshold)
+        .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+      require(intraPairs.length <= GraftVectorDB.MaxIntraPairs,
+        s"ingestNearDup: ${intraPairs.length} intra-batch near-dup pairs " +
+          s"exceed the gate bound (${GraftVectorDB.MaxIntraPairs}) — this " +
+          "batch is a corpus-scale dedup job; run Dedup.minhashLsh/cluster " +
+          "on it first, then ingest the keepers")
+      val byB = intraPairs.groupBy(_._2)
+      val keptAnchors = scala.collection.mutable.Set[Long]()
+      val intraSkip = scala.collection.mutable.LinkedHashMap[Long, (Long, Double)]()
+      intraPairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.foreach { id =>
+        if (!corpusSkip(id)) {
+          val anchored = byB.getOrElse(id, Array.empty)
+            .filter(p => keptAnchors(p._1))
+          if (anchored.nonEmpty) {
+            val best = anchored.maxBy(_._3)
+            intraSkip(id) = (best._1, best._3)
+          } else keptAnchors += id
+        }
+      }
+      // 3) ingest the survivors; freshIds (hash-new rows) materialize
+      // BEFORE the store write so the sidecar appends exactly the rows
+      // this batch actually added
+      val skipIds = corpusSkip ++ intraSkip.keySet
+      val survivors =
+        if (skipIds.isEmpty) docs
+        else docs.join(broadcast(skipIds.toSeq.toDF("doc_id")),
+          Seq("doc_id"), "left_anti")
+      val freshIds = Tables.materialize(
+        Tables.spread(survivors).select($"doc_id", md5($"text").as("file_hash"))
+          .join(broadcast(storeHashes), Seq("file_hash"), "left_anti")
+          .select($"doc_id"))
+      try {
+        val n = ingest(survivors, indexChannels)
+        if (freshIds.count() > 0) {
+          // fail-open ordering: sets before bands — a crash between the
+          // two leaves names with sets but no routing entry (no
+          // candidates, dup admitted later), never the reverse rejection
+          sets.join(broadcast(freshIds), "doc_id")
+            .select($"doc_name", $"shh").sortWithinPartitions($"doc_name")
+            .write.mode(SaveMode.Append).parquet(ndSetsPath)
+          newBands.join(broadcast(freshIds), "doc_id")
+            .join(sets.select($"doc_id", $"doc_name"), "doc_id")
+            .select($"doc_name", $"band", $"bkey")
+            .write.mode(SaveMode.Append).parquet(ndBandsPath)
+        }
+        // names only for the batch-drop anchors (bounded by the pair
+        // guard), not the whole batch
+        val anchorIds = intraSkip.values.map(_._1).toSet
+        val nameOf =
+          if (anchorIds.isEmpty) Map.empty[Long, String]
+          else sets.join(broadcast(anchorIds.toSeq.toDF("doc_id")), "doc_id")
+            .select($"doc_id", $"doc_name").collect()
+            .map(r0 => r0.getLong(0) -> r0.getString(1)).toMap
+        val skipped = (corpusMatches.map { case (id, nm, j) => (id, nm, j, "corpus") } ++
+            intraSkip.toSeq.map { case (b, (a, j)) =>
+              (b, nameOf.getOrElse(a, a.toString), j, "batch") })
+          .sortBy(_._1).toDF("doc_id", "dup_of", "j_r", "reason")
+        (n, skipped)
+      } finally Tables.release(freshIds)
+    } finally {
+      newBands.unpersist(blocking = false)
+      Tables.release(sets)
+    }
+  }
+
+  /** Compact the near-dup sidecar: drop tombstoned docs from both
+    * tables, rewrite each as `targetFiles` files (streaming-gate use
+    * appends a file-set per batch), swap via rename, and clear the
+    * tombstones LAST — a crash anywhere re-converges on the next
+    * [[recoverNearDup]] and reads stay correct throughout (tombstone
+    * filtering applies at read time until the clear). */
+  def maintainNearDup(targetFiles: Int = 4): Unit =
+    if (nearDupIndexed) withWriterLease("maintainNearDup") {
+      recoverNearDup()
+      val fs = new org.apache.hadoop.fs.Path(nearDupPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasTomb = existsPath(new org.apache.hadoop.fs.Path(ndTombPath))
+      Seq(ndBandsPath -> Seq("band", "bkey"), ndSetsPath -> Seq("doc_name"))
+        .foreach { case (dir, sortCols) =>
+          val live = new org.apache.hadoop.fs.Path(dir)
+          val tmp = new org.apache.hadoop.fs.Path(s"$nearDupPath/.tmp_${live.getName}")
+          val old = new org.apache.hadoop.fs.Path(s"$nearDupPath/.old_${live.getName}")
+          val df0 = spark.read.parquet(dir)
+          val df =
+            if (!hasTomb) df0
+            else df0.join(spark.read.parquet(ndTombPath), Seq("doc_name"), "left_anti")
+          df.repartition(targetFiles)
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          swapDir(fs, live, tmp, old, "maintainNearDup")
+        }
+      if (hasTomb) fs.delete(new org.apache.hadoop.fs.Path(ndTombPath), true)
+      spark.catalog.refreshByPath(nearDupPath)
+    }
+
+  /** Restore the sidecar from a crashed [[maintainNearDup]] window:
+    * a live dir missing beside its `.old_` twin rolls back; stale
+    * `.tmp_`/`.old_` residue clears. Called by every gate entrypoint. */
+  private def recoverNearDup(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(nearDupPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    Seq(ndBandsPath, ndSetsPath).foreach { dir =>
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val old = new org.apache.hadoop.fs.Path(s"$nearDupPath/.old_${live.getName}")
+      if (!fs.exists(live) && fs.exists(old)) {
+        require(fs.rename(old, live),
+          s"recoverNearDup: could not restore $old -> $live")
+        log.warn(s"recoverNearDup: restored $live from a crashed maintainNearDup")
+      }
+      val tmp = new org.apache.hadoop.fs.Path(s"$nearDupPath/.tmp_${live.getName}")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+    }
+  }
+
+  /** Tombstone doc_names in the near-dup sidecar (no-op without one).
+    * Written BEFORE the store rewrite by both delete paths: a crash
+    * between the two leaves content deleted from the sidecar's view
+    * but still in the store — re-running the delete converges; the
+    * reverse order would leave ghost sidecar entries silently
+    * rejecting re-ingest of taken-down-then-relicensed content. */
+  private def tombstoneNearDup(names: DataFrame): Unit =
+    if (nearDupIndexed)
+      names.select($"doc_name").distinct()
+        .write.mode(SaveMode.Append).parquet(ndTombPath)
 
   /** Rebuild a channel's index at the SCALE-ADAPTIVE cell count —
     * the refit the drift/skew gauges call for: the corpus is re-routed
@@ -1505,6 +1750,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         s"(${GraftVectorDB.InLiteralMax}) — chunk the takedown batch")
     val names = docNames.distinct.sorted
     recoverCompact()
+    // near-dup sidecar tombstones FIRST (fail-open — see tombstoneNearDup)
+    tombstoneNearDup(names.toDF("doc_name"))
     // ONE pruned scan finds the touched partitions + counts: doc_name
     // pushes to parquet, and the sorted layout makes it row-group-skipping
     val touched = store.filter($"doc_name".isin(names: _*))
@@ -1674,6 +1921,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val touched = store.filter(hit).groupBy($"content_type")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // near-dup sidecar tombstones FIRST (fail-open; distributed write —
+    // a predicate can hit unboundedly many docs)
+    if (touched.nonEmpty) tombstoneNearDup(store.filter(hit).select($"doc_name"))
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.keys.toSeq.sorted.foreach { ct =>
@@ -2499,6 +2749,12 @@ object GraftVectorDB {
     * single scan, constant-size plan — a 10⁵-literal In bloats
     * analysis and codegen well before data size matters). */
   private[operators] val InLiteralMax = 4096
+
+  /** Intra-batch verified-pair bound for [[GraftVectorDB.ingestNearDup]]'s
+    * driver-side keep-smallest sweep (~32 MB of pair tuples — the same
+    * budget as the connected-components hybrid finish). A batch past
+    * it is a corpus-scale dedup job, not an operational increment. */
+  private[operators] val MaxIntraPairs = 2000000
 
   /** Per-call bound on the batch search surfaces: the probe-list /
     * ADC-table broadcasts and the driver-side re-rank state all grow
