@@ -60,11 +60,17 @@ object Dedup {
     * into the shuffle. Shared by the whole-corpus self-join
     * ([[minhashLsh]]) and the incremental new-vs-corpus check
     * ([[incrementalPairs]]). */
-  private[operators] def bandKeys(spark: SparkSession, sets: DataFrame): DataFrame = {
+  private[operators] def bandKeys(spark: SparkSession, sets: DataFrame): DataFrame =
+    bandKeysOfSig(spark, sets.select(col("doc_id"),
+      graft.functions.expressions.MinHashSignature(col("s"), MinHashSeeds).as("sig")))
+
+  /** (doc_id, sig) → (doc_id, band, bkey) — the explode half of
+    * [[bandKeys]], split out so callers that CACHE the signature
+    * (minhashLsh, incrementalPairs) don't recompute the per-shingle
+    * digests through the explode. */
+  private[operators] def bandKeysOfSig(spark: SparkSession, sig: DataFrame): DataFrame = {
     import spark.implicits._
-    sets.select($"doc_id",
-        graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"))
-      .select($"doc_id",
+    sig.select($"doc_id",
         posexplode(transform(sequence(lit(0), lit(MinHashSeeds / BandRows - 1)),
           j => concat_ws(":",
             (0 until BandRows).map(r => element_at($"sig", j * BandRows + r + 1)): _*))))
@@ -89,34 +95,40 @@ object Dedup {
     * exact-Jaccard verification at [[JaccardThreshold]]. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Persisted because each frame feeds ≥2 plan branches: `sets` backs
-    // both verify joins (and the signature), `bands` both sides of the
-    // band self-join. Without the cache the tokenize+shingle pass runs
-    // ~4× and the signature 2× — measured 9.9 s vs 1.5 s at sf0.1.
-    // Both frames are (id + shingle set | band key) — tiny next to the
-    // corpus, so the cache is cluster-safe; CacheManager dedups by plan
-    // so repeated calls reuse one copy.
-    val sets = bigramSets(spark, dir)
+    // ONE corpus pass computes the signature (native single-pass
+    // expression: one digest per shingle + affine mixes; the per-seed
+    // transform() form re-walked the shingle set 30×) AND the
+    // xxhash64-compressed shingle set, and THAT narrow frame is what
+    // caches and feeds every downstream branch — the raw string
+    // shingles (~4× the bytes) are never cached or shuffled. The
+    // verify compares hashed sets: identical to string-Jaccard unless
+    // two distinct shingles of the same pair collide in 64 bits
+    // (≈ |s|²·2⁻⁶⁴ per pair — immaterial at any corpus size; the
+    // oracle agreement is itself the regression check). `base` backs
+    // both verify joins, `bands` both sides of the band self-join —
+    // without the caches the tokenize+shingle pass runs ~4× (measured
+    // 9.9 s vs 1.5 s at sf0.1).
+    val base = bigramSets(spark, dir)
+      .select($"doc_id",
+        graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"),
+        transform($"s", x => xxhash64(x)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // native single-pass signature: one digest per shingle + affine
-    // mixes; the per-seed transform() form re-walked the shingle set
-    // 30× through interpreted md5+conv.
-    val bands = bandKeys(spark, sets)
+    val bands = bandKeysOfSig(spark, base.select($"doc_id", $"sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select($"band", $"bkey", $"doc_id".as("a_id"))
     val r = bands.select($"band", $"bkey", $"doc_id".as("b_id"))
     val cand = l.join(r, Seq("band", "bkey")).filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
     val verified = cand
-      .join(sets.select($"doc_id".as("a_id"), $"s".as("sa")), "a_id")
-      .join(sets.select($"doc_id".as("b_id"), $"s".as("sb")), "b_id")
-      .select($"a_id", $"b_id", jaccard($"sa", $"sb").as("j_r"))
+      .join(base.select($"doc_id".as("a_id"), $"h".as("ha")), "a_id")
+      .join(base.select($"doc_id".as("b_id"), $"h".as("hb")), "b_id")
+      .select($"a_id", $"b_id", jaccard($"ha", $"hb").as("j_r"))
       .filter($"j_r" >= JaccardThreshold)
     // Materialize the (tiny) verified-pair result, then RELEASE the
     // working caches — a long-lived session must not accumulate pinned
     // frames (the returned frame no longer references them).
     val out = Tables.materialize(verified)
-    sets.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     bands.unpersist(blocking = false)
     out.orderBy($"a_id", $"b_id")
   }
@@ -139,24 +151,29 @@ object Dedup {
     * (new, base) pair at ≥ [[JaccardThreshold]]. */
   def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sets = bigramSets(spark, dir)
+    // same narrow cached frame as [[minhashLsh]]: signature + hashed
+    // shingles in one corpus pass; strings never cached or shuffled
+    val base = bigramSets(spark, dir)
+      .select($"doc_id",
+        graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"),
+        transform($"s", x => xxhash64(x)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val baseSets = sets.filter($"doc_id" % 10 =!= 0)
-    val freshSets = sets.filter($"doc_id" % 10 === 0)
+    val corpus = base.filter($"doc_id" % 10 =!= 0)
+    val fresh = base.filter($"doc_id" % 10 === 0)
     // the NEW side broadcasts: an ingest batch is small next to the
     // corpus, so the band join is map-side against the corpus band
     // scan — no shuffle of the corpus bands, ever
-    val cand = bandKeys(spark, baseSets)
-      .join(broadcast(bandKeys(spark, freshSets)
+    val cand = bandKeysOfSig(spark, corpus.select($"doc_id", $"sig"))
+      .join(broadcast(bandKeysOfSig(spark, fresh.select($"doc_id", $"sig"))
         .withColumnRenamed("doc_id", "new_id")), Seq("band", "bkey"))
       .select($"new_id", $"doc_id".as("base_id")).distinct()
     val verified = cand
-      .join(freshSets.select($"doc_id".as("new_id"), $"s".as("sa")), "new_id")
-      .join(baseSets.select($"doc_id".as("base_id"), $"s".as("sb")), "base_id")
-      .select($"new_id", $"base_id", jaccard($"sa", $"sb").as("j_r"))
+      .join(fresh.select($"doc_id".as("new_id"), $"h".as("ha")), "new_id")
+      .join(corpus.select($"doc_id".as("base_id"), $"h".as("hb")), "base_id")
+      .select($"new_id", $"base_id", jaccard($"ha", $"hb").as("j_r"))
       .filter($"j_r" >= JaccardThreshold)
     val out = Tables.materialize(verified)
-    sets.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     out.orderBy($"new_id", $"base_id")
   }
 

@@ -323,7 +323,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     withWriterLease("ingestNearDup") {
     recoverNearDup()
     val sets = Tables.materialize(nearDupSets(docs))
-    val newBands = Dedup.bandKeys(spark, sets.select($"doc_id", $"sh".as("s")))
+    // shingle-less docs (< 2 tokens) never enter the band space: their
+    // empty-set signatures are all identical, so they would band-collide
+    // with every other such doc (here and in the sidecar) for a verify
+    // that can never pass (jaccard ∅,∅ = null)
+    val newBands = Dedup.bandKeys(spark,
+        sets.filter(size($"sh") > 0).select($"doc_id", $"sh".as("s")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 1) corpus check: candidates from the persisted band sidecar,
@@ -429,6 +434,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       newBands.unpersist(blocking = false)
       Tables.release(sets)
     }
+  }
+
+  /** Adopt the gate on an EXISTING store: index `docs`' signatures
+    * into the sidecar WITHOUT ingesting them (they are assumed already
+    * stored — the caller supplies the original documents frame, since
+    * chunked store rows don't reconstruct doc text). One corpus pass,
+    * no joins (band keys re-key by doc_name directly); after it every
+    * [[ingestNearDup]] batch checks against the full corpus. */
+  def indexNearDup(docs: DataFrame): Long = withWriterLease("indexNearDup") {
+    recoverNearDup()
+    val sets = Tables.materialize(nearDupSets(docs))
+    try {
+      sets.select($"doc_name", $"shh").sortWithinPartitions($"doc_name")
+        .write.mode(SaveMode.Append).parquet(ndSetsPath)
+      // shingle-less docs stay out of the band space (see ingestNearDup)
+      Dedup.bandKeys(spark, sets.filter(size($"sh") > 0)
+          .select($"doc_name".as("doc_id"), $"sh".as("s")))
+        .toDF("doc_name", "band", "bkey")
+        .write.mode(SaveMode.Append).parquet(ndBandsPath)
+      sets.count()
+    } finally Tables.release(sets)
   }
 
   /** Compact the near-dup sidecar: drop tombstoned docs from both

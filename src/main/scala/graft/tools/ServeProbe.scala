@@ -109,6 +109,30 @@ object ServeProbe {
     }
     println(f"[serveprobe] stream freshness: batch drained $tDrain%.2f s, " +
       f"searchable (tenant-scoped ANN) $tVis%.2f s (visible=$visible, no rebuild)")
+    // near-dup gate at corpus scale: one-time sidecar backfill over the
+    // full corpus, then the PER-BATCH gate cost — the O(new) claim
+    // measured (band keys of 64 docs broadcast against the corpus band
+    // sidecar; candidate sets fetched by pushed In filter)
+    time("nearDup sidecar backfill (one-time)")(db.indexNearDup(docs))
+    def gateBatch(tag: String, shift: Long) = {
+      val nd = docs.limit(32).select(($"doc_id" + shift).as("doc_id"),
+        concat($"text", lit(s" $tag")).as("text"), $"lang", $"source")
+      // each fresh doc gets DISTINCT token content (id-derived words) —
+      // near-identical texts would correctly intra-batch-dedup away
+      val fr = spark.range(32).select(($"id" + shift + 500000).as("doc_id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          concat(lit(s"w${tag}_"), ($"id" * 31 + j * 7) % 997,
+            lit("_"), ($"id" * 13 + j * 11) % 991)): _*).as("text"),
+        lit("en").as("lang"), lit("gateprobe").as("source"))
+      nd.unionByName(fr)
+    }
+    Seq(("g1", 20000000L), ("g2", 30000000L)).foreach { case (tag, shift) =>
+      val t0 = System.nanoTime()
+      val (nIn, skipped) = db.ingestNearDup(gateBatch(tag, shift))
+      val nSkip = skipped.count()
+      println(f"[serveprobe] gate batch $tag (32 near-dup + 32 fresh): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, $nIn rows in, $nSkip docs dropped")
+    }
     spark.stop()
   }
 }
