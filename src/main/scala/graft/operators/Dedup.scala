@@ -153,11 +153,30 @@ object Dedup {
     import spark.implicits._
     // same narrow cached frame as [[minhashLsh]]: signature + hashed
     // shingles in one corpus pass; strings never cached or shuffled
-    val base = bigramSets(spark, dir)
-      .select($"doc_id",
-        graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"),
-        transform($"s", x => xxhash64(x)).as("h"))
+    val base = sigAndHashes(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = Tables.materialize(incrementalVerified(spark, base))
+    base.unpersist(blocking = false)
+    out.orderBy($"new_id", $"base_id")
+  }
+
+  /** The lazy verified-pairs plan behind [[incrementalPairs]] (no
+    * caching or materialization) — exposed so specs can pin the plan
+    * shape: broadcast band join, no cartesian product. */
+  private[graft] def incrementalPairsPlan(spark: SparkSession, dir: String): DataFrame =
+    incrementalVerified(spark, sigAndHashes(spark, dir))
+
+  /** (doc_id, sig, h): MinHash signature + xxhash64-compressed shingle
+    * set, one corpus pass. */
+  private def sigAndHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bigramSets(spark, dir).select($"doc_id",
+      graft.functions.expressions.MinHashSignature($"s", MinHashSeeds).as("sig"),
+      transform($"s", x => xxhash64(x)).as("h"))
+  }
+
+  private def incrementalVerified(spark: SparkSession, base: DataFrame): DataFrame = {
+    import spark.implicits._
     val corpus = base.filter($"doc_id" % 10 =!= 0)
     val fresh = base.filter($"doc_id" % 10 === 0)
     // the NEW side broadcasts: an ingest batch is small next to the
@@ -167,14 +186,11 @@ object Dedup {
       .join(broadcast(bandKeysOfSig(spark, fresh.select($"doc_id", $"sig"))
         .withColumnRenamed("doc_id", "new_id")), Seq("band", "bkey"))
       .select($"new_id", $"doc_id".as("base_id")).distinct()
-    val verified = cand
+    cand
       .join(fresh.select($"doc_id".as("new_id"), $"h".as("ha")), "new_id")
       .join(corpus.select($"doc_id".as("base_id"), $"h".as("hb")), "base_id")
       .select($"new_id", $"base_id", jaccard($"ha", $"hb").as("j_r"))
       .filter($"j_r" >= JaccardThreshold)
-    val out = Tables.materialize(verified)
-    base.unpersist(blocking = false)
-    out.orderBy($"new_id", $"base_id")
   }
 
   /** 60-bit SimHash fingerprint of the token multiset — a native

@@ -118,6 +118,25 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(mins >= Dedup.JaccardThreshold)
   }
 
+  test("dd_incr plan: broadcast band join, no cartesian, subsets disjoint, threshold met") {
+    // the incremental check must never cross the corpus with the batch
+    // (or itself): candidates come from a band equi-join whose NEW side
+    // broadcasts — the O(new)-per-batch shape is the operator's point.
+    // Pinned on the LAZY plan (the public entry materializes, which
+    // truncates lineage)
+    val plan = Dedup.incrementalPairsPlan(spark, sf)
+      .queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "the band join must broadcast the new batch's band keys")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "no all-pairs cross product anywhere in the incremental check")
+    val rows = Dedup.incrementalPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("new_id") % 10 == 0 &&
+      r.getAs[Long]("base_id") % 10 != 0))
+    assert(rows.forall(_.getAs[Double]("j_r") >= Dedup.JaccardThreshold))
+  }
+
   test("dd_simhash hamming bounded and symmetric-free (a < b)") {
     val rows = Dedup.simhashPairs(spark, sf).collect()
     assert(rows.forall(r => r.getAs[Long]("hamming") <= Dedup.HammingMax))
