@@ -56,6 +56,7 @@ object SparkEntry {
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
+    "vs_hybrid" -> (HybridSearch.hybrid _),
     "ann_brute" -> (KnnSearch.annBrute _),
     "dd_exact" -> (Dedup.exact _),
     "dd_jaccard" -> (Dedup.jaccardPairs _),
@@ -111,6 +112,13 @@ object SparkEntry {
     "ann_ivf" -> (AnnIndex.ivf _),
     "ann_lsh" -> (AnnIndex.lsh _),
     "ann_pq" -> (AnnIndex.pq _),
+    // inverted multi-index: K² cells routed by 2·K half-space
+    // centroids — the second routing level for ≥10⁸-row channels;
+    // approximate config [rows-only] (recall spec), exhaustive config
+    // hash-checked like the other _exh machinery harnesses
+    "ann_imi" -> (AnnIndex.imi _),
+    "ann_imi_exh" -> ((s: SparkSession, dir: String) =>
+      AnnIndex.imi(s, dir, AnnIndex.ImiK, AnnIndex.ImiK * AnnIndex.ImiK)),
     // exhaustive-probe IVF: nProbe = cells makes the index path exact,
     // so the whole routing/probe/rank machinery hash-checks against
     // the brute-force oracle (the approximation, not the machinery,
@@ -444,6 +452,54 @@ object SparkEntry {
         |UNION ALL SELECT q_id, 3::BIGINT, n_id, m FROM s3
         |UNION ALL SELECT q_id, 4::BIGINT, n_id, m FROM s4
         |UNION ALL SELECT q_id, 5::BIGINT, n_id, m FROM s5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // hybrid BM25 + embedding-cosine channels fused by RRF: BM25
+    // inputs are exact ints, avgdl an exact int/int division, per-term
+    // contributions 6dp-rounded before the per-doc sum (tx_ppl grid
+    // trick); the vector channel replays the vs_xmodal text CTE
+    "vs_hybrid" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |co AS (SELECT doc_id, tk, len(tk)::BIGINT dl FROM d WHERE doc_id >= 10),
+        |tfc AS (SELECT doc_id, term, any_value(dl) dl, count(*)::BIGINT tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) term FROM co) GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT df FROM tfc GROUP BY term),
+        |st AS (SELECT count(*)::BIGINT n, sum(dl)::BIGINT sdl
+        |  FROM (SELECT doc_id, any_value(dl) dl FROM tfc GROUP BY doc_id)),
+        |qt AS (SELECT doc_id q_id, unnest(list_distinct(tk)) term FROM d WHERE doc_id < 10),
+        |ctr AS (SELECT q.q_id, t.doc_id n_id,
+        |  round(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2
+        |    / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sdl::DOUBLE / s.n))), 6) c
+        | FROM tfc t JOIN qt q ON t.term = q.term JOIN dfq f ON t.term = f.term, st s),
+        |lex AS (SELECT q_id, n_id, round(sum(c), 6) sc FROM ctr GROUP BY q_id, n_id),
+        |lexr AS (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, n_id) rl FROM lex),
+        |tb AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM d),
+        |tc AS (SELECT doc_id, list_transform(range(0, 64), i -> len(list_filter(b, x -> x = i))::DOUBLE) v FROM tb),
+        |tn AS (SELECT doc_id, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM tc),
+        |te AS (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM tn),
+        |pv AS (SELECT q.doc_id q_id, c.doc_id n_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> q.rv[i::INT] * c.rv[i::INT])) / (q.nrm * c.nrm), 4) sim_r
+        | FROM te q, te c WHERE q.doc_id < 10 AND c.doc_id >= 10),
+        |vecr AS (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rv FROM pv),
+        |fu AS (SELECT coalesce(l.q_id, v.q_id) q_id, coalesce(l.n_id, v.n_id) n_id,
+        |  round(coalesce(1.0::DOUBLE/(60 + l.rl), 0) + coalesce(1.0::DOUBLE/(60 + v.rv), 0), 6) rrf_r
+        | FROM (SELECT * FROM lexr WHERE rl <= 20) l
+        | FULL JOIN (SELECT * FROM vecr WHERE rv <= 20) v
+        |   ON l.q_id = v.q_id AND l.n_id = v.n_id),
+        |fr AS (SELECT q_id, n_id, rrf_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_r DESC, n_id) rnk FROM fu)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, rrf_r FROM fr WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // probing every cell makes the IMI exact: same ground truth as vs_knn
+    "ann_imi_exh" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
     // probing every cell makes IVF exact: same ground truth as vs_knn
     "ann_ivf_exh" ->

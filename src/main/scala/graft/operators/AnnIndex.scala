@@ -656,4 +656,88 @@ object AnnIndex {
       .distinct() // a pair can collide in several tables/probes
     KnnSearch.rankTopK(cand, TopK).orderBy($"q_id", $"rnk")
   }
+
+  // ---- Inverted multi-index (IMI): the second routing level ----
+
+  /** Per-half codebook size: [[ImiK]]² cells from 2·[[ImiK]] centroids.
+    * 8 here gives 64 cells at the operator scale; the production sizing
+    * is thousands per half (2·2¹² centroids → 16.7M cells). */
+  val ImiK = 8
+  /** Default probed cells — same ~62% probe fraction the flat-IVF
+    * operator needs for recall ≥ 0.9 on this deliberately unclustered
+    * worst-case corpus (see [[IvfCells]] note; AnnIndexSpec measures). */
+  val ImiNProbe = 40
+  private val ImiHalf = 32
+
+  /** The inverted multi-index (Babenko & Lempitsky, CVPR 2012) — the
+    * structural fix the [[autoNProbe]] Scaladoc flags for ≥ ~10⁸
+    * rows/channel: a PRODUCT of two half-space codebooks. The vector
+    * splits into halves; each half quantizes against its own
+    * [[ImiK]]-entry codebook; a cell is the PAIR (c₁, c₂) — K² cells
+    * from 2·K centroids. Why it scales where flat IVF stalls: holding
+    * per-cell occupancy at the adaptive-cells anchor (~2k rows), 10⁹
+    * rows need ~500k cells — a flat routing table costs 500k
+    * 64-dim distance evaluations per query and a 500k-row broadcast;
+    * the IMI reaches the same cell count with 2·√500k ≈ 1.4k
+    * half-dim evaluations, and corpus assignment drops by the same
+    * √cells factor. Probe ranking enumerates pair sums — SCALAR
+    * additions over the two precomputed half-score lists, not vector
+    * distances (s₁[i]+s₂[j] = <q,(c₁|c₂)> − |(c₁|c₂)|²/2, so ranking
+    * pairs by descending sum IS ranking concatenated centroids by
+    * ascending L2, the [[probeCells]] metric exactly); past K ~ 2¹⁰
+    * the multi-sequence traversal from the paper replaces full
+    * enumeration driver-side, trading k1² scalar work for a heap walk.
+    *
+    * The fit is the PQ machinery verbatim — an IMI is a 2-subspace
+    * product quantizer used for ROUTING instead of compression: one
+    * bounded [[sampleVectors]] collect, two driver-local [[lloyd]]
+    * fits, assignment via the fused codegen [[encodeCodes]] expression
+    * ([[graft.functions.expressions.PqEncode]] with subDim =
+    * [[ImiHalf]]).
+    *
+    * `ann_imi` is [rows-only] (recall spec in AnnIndexSpec);
+    * `ann_imi_exh` probes every cell, which makes the
+    * route/assign/probe machinery exact and hash-checks it against the
+    * brute-force oracle — the `_exh` pattern of the other indexes. */
+  def imi(spark: SparkSession, dir: String): DataFrame =
+    imi(spark, dir, ImiK, ImiNProbe)
+
+  def imi(spark: SparkSession, dir: String, k1: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val v = vecs(spark, dir)
+    val sample = sampleVectors(v, $"vec_id")
+    val books = Array(
+      lloyd(sample.map(_.slice(0, ImiHalf)), k1, iters = 5),
+      lloyd(sample.map(_.slice(ImiHalf, 2 * ImiHalf)), k1, iters = 5))
+    val enc = graft.functions.expressions.PqEncode($"v", books, ImiHalf)
+    val assigned = v.select($"vec_id", $"v", $"nrm",
+      (element_at(enc, 1) * k1 + element_at(enc, 2)).as("cell"))
+    // 2·k1 half-space routing scores per query...
+    def halfScores(h: Int) = {
+      val cf = books(h).zipWithIndex.map { case (c, i) =>
+        (i, c.toSeq, c.map(x => x * x).sum / 2)
+      }.toSeq.toDF(s"i$h", "cv", "chalf")
+      v.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+        .crossJoin(broadcast(cf))
+        .select($"q_id", col(s"i$h"),
+          (dot(slice($"qv", h * ImiHalf + 1, ImiHalf), $"cv") - $"chalf").as(s"s$h"))
+    }
+    // ...then pair enumeration is scalar: k1² additions per query
+    val qCells = halfScores(0).join(halfScores(1), "q_id")
+      .select($"q_id", ($"i0" * k1 + $"i1").as("cell"), ($"s0" + $"s1").as("cdist"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"cdist".desc, $"cell")))
+      .filter($"crnk" <= nProbe)
+      .select($"q_id", $"cell")
+    val queries = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val cand = assigned.filter($"vec_id" >= 10)
+      .join(broadcast(qCells), "cell")
+      .join(broadcast(queries), "q_id")
+    KnnSearch.rankTopK(
+      cand.select($"q_id", $"vec_id".as("n_id"),
+        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), TopK)
+      .orderBy($"q_id", $"rnk")
+  }
 }

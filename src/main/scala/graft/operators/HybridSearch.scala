@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.functions.VectorFunctions._
+
+/** Hybrid lexical + vector retrieval — the fusion query every
+  * production vector DB serves alongside pure similarity search: an
+  * Okapi BM25 keyword channel and a cosine embedding channel, merged
+  * by reciprocal-rank fusion (RRF, Cormack et al. 2009 — the
+  * score-free combiner that needs no per-channel calibration). The
+  * reference's `run_search` (vector_db.py:615-671) is the vector
+  * half of this contract; the lexical half is what its RAG layer
+  * would add for exact-keyword recall (rare identifiers, names) that
+  * embeddings miss.
+  *
+  * Shapes for 100 TB:
+  *  - The corpus term-frequency table is ONE explode + partial-agg
+  *    groupBy (the tx_tfidf shuffle), with per-doc length riding the
+  *    same shuffle via `first(dl)` — no second corpus pass for doc
+  *    stats; N and avgdl come from a vocab-residue agg on that frame.
+  *  - The query term set is tiny (a search batch) and BROADCASTS into
+  *    the term table — the corpus is never self-joined, exactly the
+  *    tx_contam decontamination shape.
+  *  - Document frequencies are vocab-sized and broadcast back onto
+  *    the matched contributions (the tx_tfidf df pattern).
+  *  - The vector channel is the brute top-k (broadcast queries,
+  *    TopKByScore partial agg); at index scale it swaps for the
+  *    [[GraftVectorDB]] ANN surfaces — fusion only needs ranks.
+  *  - Fusion joins two ≤ |queries|·pool frames — driver-scale resi-
+  *    due, ranked by a per-query window over ≤ 2·pool rows.
+  *
+  * Oracle parity: BM25 inputs are exact integers (tf, df, dl, N) and
+  * avgdl is computed as an exact int/int division (sum(dl)/N, not a
+  * float `avg`), so both engines evaluate the identical expression
+  * tree; per-term contributions round to 6dp BEFORE the per-doc sum
+  * (the tx_ppl 1e-6-grid trick, immune to accumulation order), and
+  * RRF scores are sums of two exact-rational reciprocals rounded to
+  * 6dp. Ranks tie-break on n_id everywhere.
+  */
+object HybridSearch {
+
+  /** Okapi BM25 constants (the standard operating point). */
+  val K1 = 1.2
+  val B = 0.75
+  /** RRF dampening constant (the value from the original paper). */
+  val RrfK = 60
+  /** Per-channel candidate pool depth feeding the fusion. */
+  val PoolK = 20
+  val TopK = 5
+  val NQueries = 10
+
+  /** Hybrid top-[[TopK]]: per-query fused ranking over the union of
+    * the BM25 top-[[PoolK]] and cosine top-[[PoolK]] pools.
+    * Output: (q_id, rnk, n_id, rrf_r). */
+  def hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, tf) = hybridRanked(spark, dir)
+    val out = Tables.materialize(ranked)
+    tf.unpersist(blocking = false)
+    out.orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The un-materialized fused ranking plus the persisted tf frame the
+    * caller must release — split out so the spec can pin the PLAN
+    * shape (a materialized frame's executed plan is just the
+    * checkpoint scan). */
+  private[graft] def hybridRanked(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val corpus = docs.filter($"doc_id" >= NQueries)
+    val queries = docs.filter($"doc_id" < NQueries)
+
+    // ---- lexical channel: Okapi BM25 ----
+    // (doc, term) counts with the doc length riding the same shuffle;
+    // persisted because df and the corpus stats both derive from it
+    // (one corpus explode total, the tx_tfidf lifecycle)
+    val tf = corpus
+      .select($"doc_id", size(tokens($"text")).cast("long").as("dl"),
+        explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+    val qterms = queries
+      .select($"doc_id".as("q_id"),
+        explode(array_distinct(tokens($"text"))).as("term"))
+    // idf uses the +1 form (always positive); expression nesting
+    // mirrors the oracle SQL so pre-round doubles are bit-identical
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select($"q_id", $"doc_id".as("n_id"),
+        // constants appear as the literals 2.2/1.2/0.25/0.75 (not
+        // K1+1 etc.): a Scala-side `1.2 + 1` rounds differently from
+        // the literal 2.2 in the last ulp, which is enough to flip a
+        // 6dp round against the oracle's literal
+        round(
+          log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) * $"tf" * lit(2.2)
+            / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sdl".cast("double") / $"n"))),
+          6).as("c"))
+    val lex = KnnSearch.rankTopK(
+      contrib.groupBy($"q_id", $"n_id")
+        .agg(round(sum($"c"), 6).as("sim_r")), PoolK)
+      .select($"q_id", $"n_id", $"rnk".as("rl"))
+
+    // ---- vector channel: hash-embedding cosine (vs_knn shape) ----
+    val cEmb = corpus.select($"doc_id".as("n_id"),
+        VectorStore.embedText($"text").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val qEmb = queries.select($"doc_id".as("q_id"),
+        VectorStore.embedText($"text").as("qv"))
+      .withColumn("qnrm", l2Norm($"qv"))
+    val vec = KnnSearch.rankTopK(
+      cEmb.crossJoin(broadcast(qEmb))
+        .select($"q_id", $"n_id",
+          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), PoolK)
+      .select($"q_id", $"n_id", $"rnk".as("rv"))
+
+    // ---- reciprocal-rank fusion over the pool union ----
+    val fused = lex.join(vec, Seq("q_id", "n_id"), "full_outer")
+      .select($"q_id", $"n_id",
+        round(coalesce(lit(1.0) / (lit(RrfK) + $"rl"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + $"rv"), lit(0.0)), 6).as("rrf_r"))
+    val ranked = fused.withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"rrf_r".desc, $"n_id")).cast("long"))
+      .filter($"rnk" <= TopK)
+      .select($"q_id", $"rnk", $"n_id", $"rrf_r")
+    (ranked, tf)
+  }
+}
