@@ -193,6 +193,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           // no index at all is the normal pre-build state: the first
           // buildAnnIndex picks these rows up from the store
         }
+        // lexical sidecar rides every ingest once built (fail-open:
+        // after the store write — see appendLexical)
+        if (lexicalIndexed) appendLexical(fresh)
       }
     } finally Tables.release(fresh) // a failed write must not pin the batch
     n
@@ -518,6 +521,292 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     if (nearDupIndexed)
       names.select($"doc_name").distinct()
         .write.mode(SaveMode.Append).parquet(ndTombPath)
+
+  // ─────────── lexical (BM25) sidecar + hybrid serving ───────────
+
+  /** Root of the lexical sidecar — a persisted inverted index over the
+    * text channel's chunks, the keyword half of [[searchHybrid]]:
+    * `postings` (bucket=…/ term, tf, dl, doc_name, page_num,
+    * content_type, content_id) partitioned by a 1-byte md5 bucket of
+    * the term and term-sorted within files, so a query's terms resolve
+    * as a partition-PRUNED, stats-skipped scan; `tombstones`
+    * (doc_name) marks deleted docs until [[maintainLexical]] compacts
+    * them out (the [[nearDupPath]] protocol). Corpus stats (`_NDOCS`
+    * chunk count, `_SUMDL` total tokens) live as counter files and
+    * feed BM25's N/avgdl. */
+  def lexicalPath: String = s"$storeDir/lexical"
+  private def lexPostingsPath = s"$lexicalPath/postings"
+  private def lexTombPath = s"$lexicalPath/tombstones"
+  private def lexCounter(name: String) =
+    new org.apache.hadoop.fs.Path(lexicalPath, name)
+
+  /** Whether the lexical sidecar exists ([[indexLexical]] creates it;
+    * once it does, [[ingestRecords]] keeps it current). */
+  def lexicalIndexed: Boolean =
+    existsPath(new org.apache.hadoop.fs.Path(lexPostingsPath)) || {
+      // crashed-maintainLexical window: the only copy sits at .old_
+      recoverLexical()
+      existsPath(new org.apache.hadoop.fs.Path(lexPostingsPath))
+    }
+
+  /** (bucket, term, tf, dl, + the store row key) for a records-shaped
+    * frame: one explode of the chunk text, tf and chunk length riding
+    * the same shuffle (the vs_hybrid/tx_tfidf shape). The bucket is
+    * the term's first md5 byte mod [[GraftVectorDB.LexBuckets]] —
+    * md5 driver-reproducible, so query-time routing needs no Spark
+    * job (see [[GraftVectorDB.lexBucket]]). */
+  private def lexPostingsOf(records: DataFrame): DataFrame =
+    channelFilter(records, "text")
+      .select($"doc_name", $"page_num", $"content_type", $"content_id",
+        size(tokens($"content_raw")).cast("long").as("dl"),
+        explode(tokens($"content_raw")).as("term"))
+      .groupBy($"doc_name", $"page_num", $"content_type", $"content_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
+      .withColumn("bucket",
+        (conv(substring(md5($"term"), 1, 2), 16, 10).cast("int")
+          % GraftVectorDB.LexBuckets).cast("int"))
+
+  /** (chunk count, total tokens) of a records frame — the corpus-stat
+    * increments the counter files accumulate. */
+  private def lexStatsOf(records: DataFrame): (Long, Long) = {
+    val r = channelFilter(records, "text")
+      .agg(count(lit(1)), coalesce(sum(size(tokens($"content_raw")).cast("long")), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build (or rebuild) the lexical sidecar from the store's live text
+    * channel — one corpus explode + partial-agg groupBy, written
+    * bucket-partitioned and term-sorted (tmp + rename swap, so the old
+    * sidecar serves until the new one is live). Clears tombstones (a
+    * fresh build can't contain deleted rows) and recomputes the corpus
+    * stats exactly. Returns chunks indexed. */
+  def indexLexical(): Long = withWriterLease("indexLexical") {
+    recoverLexical()
+    val fs = new org.apache.hadoop.fs.Path(lexicalPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
+    val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
+    val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
+    lexPostingsOf(store)
+      .repartition(col("bucket"))
+      .sortWithinPartitions($"bucket", $"term", $"doc_name")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
+    if (fs.exists(live)) swapDir(fs, live, tmp, old, "indexLexical")
+    else require(fs.rename(tmp, live), s"indexLexical: rename $tmp -> $live failed")
+    if (existsPath(new org.apache.hadoop.fs.Path(lexTombPath)))
+      fs.delete(new org.apache.hadoop.fs.Path(lexTombPath), true)
+    val (n, sumdl) = lexStatsOf(store)
+    writeLongAt(lexCounter("_NDOCS"), n)
+    writeLongAt(lexCounter("_SUMDL"), sumdl)
+    spark.catalog.refreshByPath(lexicalPath)
+    n
+  }
+
+  /** Keep the sidecar current with an ingested batch — called by
+    * [[ingestRecords]] AFTER the store write (fail-open: a crash
+    * window leaves chunks stored but not lexically findable until the
+    * next [[indexLexical]], never ghost postings for rows that were
+    * never stored — those would surface then fail the metadata fetch).
+    * O(batch): the batch's own explode/groupBy, appended per-bucket. */
+  private def appendLexical(records: DataFrame): Unit = {
+    lexPostingsOf(records)
+      .repartition(col("bucket"))
+      .sortWithinPartitions($"bucket", $"term", $"doc_name")
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lexPostingsPath)
+    val (n, sumdl) = lexStatsOf(records)
+    writeLongAt(lexCounter("_NDOCS"), readLongAt(lexCounter("_NDOCS")) + n)
+    writeLongAt(lexCounter("_SUMDL"), readLongAt(lexCounter("_SUMDL")) + sumdl)
+  }
+
+  /** Tombstone doc_names in the lexical sidecar (no-op without one).
+    * Same fail-open ordering as [[tombstoneNearDup]]: written BEFORE
+    * the store rewrite, so a crash between the two converges by
+    * re-running the delete. Corpus stats are NOT decremented here (the
+    * tombstoned rows' token counts would need a full postings scan);
+    * N/avgdl drift by the deleted fraction until [[maintainLexical]]
+    * recomputes them exactly — BM25 is smooth in both, and the drift
+    * is bounded by the un-compacted delete volume. */
+  private def tombstoneLexical(names: DataFrame): Unit =
+    if (lexicalIndexed)
+      names.select($"doc_name").distinct()
+        .write.mode(SaveMode.Append).parquet(lexTombPath)
+
+  /** Compact the lexical sidecar: drop tombstoned docs, rewrite each
+    * bucket's accumulated per-batch files term-sorted, swap via
+    * rename, recompute corpus stats exactly, clear tombstones LAST —
+    * the [[maintainNearDup]] protocol (reads stay correct throughout:
+    * tombstone filtering applies at query time until the clear). */
+  def maintainLexical(): Unit =
+    if (lexicalIndexed) withWriterLease("maintainLexical") {
+      recoverLexical()
+      val fs = new org.apache.hadoop.fs.Path(lexicalPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasTomb = existsPath(new org.apache.hadoop.fs.Path(lexTombPath))
+      val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
+      val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
+      val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
+      val df0 = spark.read.parquet(lexPostingsPath)
+      val df =
+        if (!hasTomb) df0
+        else df0.join(spark.read.parquet(lexTombPath), Seq("doc_name"), "left_anti")
+      df.repartition(col("bucket"))
+        .sortWithinPartitions($"bucket", $"term", $"doc_name")
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
+      swapDir(fs, live, tmp, old, "maintainLexical")
+      spark.catalog.refreshByPath(lexicalPath)
+      // exact stat refresh from the compacted postings (narrow read:
+      // the per-chunk dl repeats on every posting — fold to one row
+      // per chunk first)
+      val st = spark.read.parquet(lexPostingsPath)
+        .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
+        .agg(first($"dl").as("dl"))
+        .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
+      writeLongAt(lexCounter("_NDOCS"), st.getLong(0))
+      writeLongAt(lexCounter("_SUMDL"), st.getLong(1))
+      if (hasTomb) fs.delete(new org.apache.hadoop.fs.Path(lexTombPath), true)
+    }
+
+  /** Restore the sidecar from a crashed [[indexLexical]]/
+    * [[maintainLexical]] window: live missing beside `.old_` rolls
+    * back, stale `.tmp_`/`.old_` residue clears. */
+  private def recoverLexical(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(lexicalPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
+    val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"recoverLexical: could not restore $old -> $live")
+      log.warn(s"recoverLexical: restored $live from a crashed lexical rewrite")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** The BM25 top-`pool` over the sidecar, driver-collected. df counts
+    * over the MATCHED postings are exact corpus-level document
+    * frequencies (every live posting of a query term is in the scan),
+    * computed pre-location (stats are corpus-global; the scope filters
+    * CANDIDATES only) and post-tombstone (deleted docs neither score
+    * nor count). One Spark job: partition-pruned scan → window df →
+    * per-chunk sum → TakeOrderedAndProject. */
+  private def lexicalTopK(queryText: String, pool: Int,
+      location: Option[String]): Array[org.apache.spark.sql.Row] =
+    lexScanPlan(queryText, pool, location)
+      .map(_.collect()).getOrElse(Array.empty)
+
+  /** The un-collected lexical top-`pool` frame (None when the query
+    * has no terms or the sidecar is empty) — split out so the spec can
+    * pin the scan shape: bucket partition-pruning and the pushed term
+    * filter. */
+  private[graft] def lexScanPlan(queryText: String, pool: Int,
+      location: Option[String]): Option[DataFrame] = {
+    val terms = VectorStore.tokensLocal(queryText).distinct.toSeq
+    val nDocs = readLongAt(lexCounter("_NDOCS"))
+    if (terms.isEmpty || nDocs == 0) return None
+    val sumDl = readLongAt(lexCounter("_SUMDL"))
+    val avgdl = sumDl.toDouble / nDocs
+    val buckets = terms.map(GraftVectorDB.lexBucket).distinct
+    val matched0 = spark.read.parquet(lexPostingsPath)
+      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+    val matched =
+      if (!existsPath(new org.apache.hadoop.fs.Path(lexTombPath))) matched0
+      else matched0.join(spark.read.parquet(lexTombPath), Seq("doc_name"), "left_anti")
+    val withDf = matched.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"term")))
+    val k1 = HybridSearch.K1
+    val b = HybridSearch.B
+    Some(locScoped(withDf, location)
+      .select($"doc_name", $"page_num", $"content_type", $"content_id",
+        (org.apache.spark.sql.functions.log(
+            lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5))
+          * $"tf" * lit(k1 + 1)
+          / ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl))).as("c"))
+      .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
+      .agg(sum($"c").as("score"))
+      .orderBy($"score".desc, $"doc_name", $"content_type", $"content_id")
+      .limit(pool))
+  }
+
+  /** Hybrid lexical + vector retrieval over the store — the fusion
+    * surface a RAG front-end runs beside pure similarity (the
+    * reference's run_search, vector_db.py:615-671, is the vector half;
+    * BM25 recovers the exact-keyword hits — rare identifiers, names —
+    * that embeddings miss). The lexical channel is a BM25 top-`pool`
+    * over the persisted postings sidecar; the vector channel is the
+    * warm [[searchAnn]] path when the text index is built (exact
+    * [[search]] otherwise); the two pools merge by reciprocal-rank
+    * fusion (RRF, Cormack et al. 2009 — score-free, so the channels
+    * need no calibration against each other).
+    *
+    * Warm cost: ONE partition-pruned postings job + searchAnn's one
+    * pruned-scan job + (only when a fused hit came from BM25 alone)
+    * one doc_name-pruned metadata fetch — ≤ 3 bounded jobs
+    * regardless of store size; fusion itself is driver arithmetic
+    * over ≤ 2·pool rows.
+    *
+    * Output: (rnk, rrf_r, lex_rnk, ann_rnk, doc_name, page_num,
+    * content_type, content_id, content_raw) — rank columns are null
+    * for the channel that didn't surface the row. */
+  def searchHybrid(queryText: String, topN: Int = 5,
+      location: Option[String] = None,
+      pool: Int = GraftVectorDB.HybridPool): DataFrame = {
+    require(lexicalIndexed,
+      s"searchHybrid: no lexical sidecar at $lexPostingsPath - " +
+        "run indexLexical() first (ingest keeps it current afterwards)")
+    type Key = (String, Long, String, String)
+    def keyOf(r: org.apache.spark.sql.Row): Key =
+      (r.getAs[String]("doc_name"), r.getAs[Long]("page_num"),
+        r.getAs[String]("content_type"), r.getAs[String]("content_id"))
+    val lexRank: Map[Key, Int] = lexicalTopK(queryText, pool, location)
+      .zipWithIndex.map { case (r, i) => keyOf(r) -> (i + 1) }.toMap
+    val vecRows =
+      (if (annIndexBuilt("text"))
+         searchAnnIn("text", queryText, pool, location = location)
+       else searchIn("text", queryText, pool, location)).collect()
+    val vecRank: Map[Key, Int] =
+      vecRows.map(r => keyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
+    val vecRaw: Map[Key, String] =
+      vecRows.map(r => keyOf(r) -> r.getAs[String]("content_raw")).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = GraftVectorDB.RrfK
+    val fused = (lexRank.keySet ++ vecRank.keySet).toSeq
+      .map { key =>
+        val rrf = lexRank.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+          vecRank.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0)
+        (key, r6(rrf))
+      }
+      .sortBy { case (key, rrf) => (-rrf, key._1, key._3, key._4) }
+      .take(topN)
+    // metadata for BM25-only winners: one doc_name-pruned store fetch
+    val needRaw = fused.map(_._1).filterNot(vecRaw.contains)
+    val fetched: Map[Key, String] =
+      if (needRaw.isEmpty) Map.empty
+      else {
+        val names = needRaw.map(_._1).distinct
+        store.filter($"doc_name".isin(names: _*))
+          .select($"doc_name", $"page_num", $"content_type", $"content_id",
+            $"content_raw")
+          .collect().map(r => keyOf(r) -> r.getAs[String]("content_raw")).toMap
+      }
+    fused.flatMap { case (key, rrf) =>
+        // a just-deleted row can win lexically in the tombstone→rewrite
+        // window; surfacing it with no content would leak the deletion —
+        // drop defensively (one short of topN is the correct result)
+        vecRaw.get(key).orElse(fetched.get(key)).map(raw =>
+          (rrf, lexRank.get(key).map(_.toLong),
+            vecRank.get(key).map(_.toLong), key, raw))
+      }
+      .zipWithIndex.map { case ((rrf, lr, vr, key, raw), i) =>
+        ((i + 1).toLong, rrf, lr, vr, key._1, key._2, key._3, key._4, raw)
+      }
+      .toDF("rnk", "rrf_r", "lex_rnk", "ann_rnk", "doc_name", "page_num",
+        "content_type", "content_id", "content_raw")
+  }
 
   /** Rebuild a channel's index at the SCALE-ADAPTIVE cell count —
     * the refit the drift/skew gauges call for: the corpus is re-routed
@@ -1369,8 +1658,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def readCounter(channel: String, name: String): Long = {
-    val p = counterPath(channel, name)
+  private def readCounter(channel: String, name: String): Long =
+    readLongAt(counterPath(channel, name))
+
+  private def writeCounter(channel: String, name: String, v: Long): Unit =
+    writeLongAt(counterPath(channel, name), v)
+
+  private def readLongAt(p: org.apache.hadoop.fs.Path): Long = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val len = fs.getFileStatus(p).getLen.toInt
@@ -1383,15 +1677,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       // rather than poisoning every subsequent append with a
       // NumberFormatException the caller cannot act on
       new String(buf, "UTF-8").trim.toLongOption.getOrElse {
-        log.warn(s"ANN index counter $p is unreadable (torn write?) - treating as 0; " +
-          "drift accounting resets at the next buildAnnIndex")
+        log.warn(s"counter $p is unreadable (torn write?) - treating as 0; " +
+          "accounting resets at the next rebuild of its sidecar/index")
         0L
       }
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
-  private def writeCounter(channel: String, name: String, v: Long): Unit = {
-    val p = counterPath(channel, name)
+  private def writeLongAt(p: org.apache.hadoop.fs.Path, v: Long): Unit = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     out.write(v.toString.getBytes("UTF-8"))
@@ -1776,8 +2069,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         s"(${GraftVectorDB.InLiteralMax}) — chunk the takedown batch")
     val names = docNames.distinct.sorted
     recoverCompact()
-    // near-dup sidecar tombstones FIRST (fail-open — see tombstoneNearDup)
+    // sidecar tombstones FIRST (fail-open — see tombstoneNearDup)
     tombstoneNearDup(names.toDF("doc_name"))
+    tombstoneLexical(names.toDF("doc_name"))
     // ONE pruned scan finds the touched partitions + counts: doc_name
     // pushes to parquet, and the sorted layout makes it row-group-skipping
     val touched = store.filter($"doc_name".isin(names: _*))
@@ -1947,9 +2241,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val touched = store.filter(hit).groupBy($"content_type")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // near-dup sidecar tombstones FIRST (fail-open; distributed write —
+    // sidecar tombstones FIRST (fail-open; distributed write —
     // a predicate can hit unboundedly many docs)
-    if (touched.nonEmpty) tombstoneNearDup(store.filter(hit).select($"doc_name"))
+    if (touched.nonEmpty) {
+      tombstoneNearDup(store.filter(hit).select($"doc_name"))
+      tombstoneLexical(store.filter(hit).select($"doc_name"))
+    }
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.keys.toSeq.sorted.foreach { ct =>
@@ -2775,6 +3072,30 @@ object GraftVectorDB {
     * single scan, constant-size plan — a 10⁵-literal In bloats
     * analysis and codegen well before data size matters). */
   private[operators] val InLiteralMax = 4096
+
+  /** Lexical postings partition count: terms spread over this many
+    * md5 buckets so a query's postings lookup prunes to its own terms'
+    * partitions. 256 (the md5 first byte unsplit) keeps directory
+    * listings trivial; per-bucket data volume is what grows with the
+    * corpus, and within a bucket term-sorted row-group stats carry the
+    * pruning the rest of the way. */
+  val LexBuckets = 256
+
+  /** Per-channel candidate pool depth feeding [[GraftVectorDB.searchHybrid]]'s
+    * RRF fusion (the [[HybridSearch.PoolK]] operating point). */
+  val HybridPool = 20
+
+  /** RRF dampening constant (Cormack et al. 2009). */
+  val RrfK: Int = HybridSearch.RrfK
+
+  /** The term's postings bucket — first md5 byte mod [[LexBuckets]],
+    * driver-reproducible (query-time routing needs no Spark job) and
+    * identical to the in-plan `conv(substring(md5(term),1,2),16,10)`
+    * form the postings writer uses. */
+  private[operators] def lexBucket(term: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(term.getBytes("UTF-8"))(0) & 0xFF) % LexBuckets
+  }
 
   /** Intra-batch verified-pair bound for [[GraftVectorDB.ingestNearDup]]'s
     * driver-side keep-smallest sweep (~32 MB of pair tuples — the same

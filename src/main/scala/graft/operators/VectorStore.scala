@@ -110,19 +110,26 @@ object VectorStore {
   def embedImageLocal(content: String): Array[Double] =
     hashEmbedLocal(content, "img:" + _, ImageEmbedDim)
 
-  private def hashEmbedLocal(text: String, salt: String => String, dim: Int): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val counts = new Array[Double](dim)
-    // same tokenization as TextFunctions.tokens = split(trim(c), "\s+"):
-    // SQL trim strips SPACES only (not Java trim's ≤U+0020 range) and
-    // SQL split keeps trailing empty strings (Java limit -1)
+  /** Driver-local twin of `TextFunctions.tokens` = `split(trim(c),
+    * "\s+")`: SQL trim strips SPACES only (not Java trim's ≤U+0020
+    * range) and SQL split keeps trailing empty strings (Java limit
+    * -1). Serving paths that tokenize a query driver-side (the lexical
+    * channel of `searchHybrid`) must agree with the distributed
+    * tokenizer exactly or postings lookups silently miss. */
+  private[graft] def tokensLocal(text: String): Array[String] = {
     val trimmed = {
       var a = 0; var b = text.length
       while (a < b && text.charAt(a) == ' ') a += 1
       while (b > a && text.charAt(b - 1) == ' ') b -= 1
       text.substring(a, b)
     }
-    trimmed.split("\\s+", -1).foreach { t =>
+    trimmed.split("\\s+", -1)
+  }
+
+  private def hashEmbedLocal(text: String, salt: String => String, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Double](dim)
+    tokensLocal(text).foreach { t =>
       val b0 = md.digest(salt(t).getBytes("UTF-8"))(0) & 0xFF
       counts(b0 % dim) += 1.0
     }

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{GraftVectorDB, HybridSearch, VectorStore}
+
+/** The lexical (BM25) sidecar + store-level hybrid serving: a
+  * persisted inverted index over the text channel's chunks (bucket-
+  * partitioned postings, the neardup sidecar protocol) fused with the
+  * vector channel by RRF. The value-level ground truth is an
+  * independent plain-Scala BM25/RRF model over the same store rows;
+  * the plan pins hold the scale shape (partition-pruned postings
+  * lookup). The operator-level vs_hybrid entry carries the DuckDB
+  * oracle for the fusion algebra itself. */
+class LexicalHybridSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete()
+  }
+
+  private def docsFrame(rows: Seq[(Long, String)], source: String = "lex") =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit(source))
+
+  // distinct vocabularies so BM25 scores separate cleanly (expected
+  // rankings must not hinge on float summation order)
+  private val corpus = Seq(
+    1L -> "alpha beta gamma delta epsilon alpha beta common",
+    2L -> "alpha alpha alpha zeta eta common filler words here",
+    3L -> "completely unrelated text about sailing ships common",
+    4L -> "beta beta delta theta iota kappa lambda common",
+    5L -> "quantum flux capacitor engages the temporal drive common")
+
+  type Key = (String, Long, String, String)
+
+  /** Plain-Scala BM25 over the store's text-channel chunks — the
+    * independent model the Spark path must reproduce. */
+  private def scalaBm25(rows: Seq[(Key, String)], query: String,
+      loc: Option[String]): Seq[(Key, Double)] = {
+    val toks = rows.map { case (k, raw) => k -> VectorStore.tokensLocal(raw).toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    val qTerms = VectorStore.tokensLocal(query).distinct.toSeq
+    val df = qTerms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    toks.filter { case (k, _) => loc.forall(k._1.startsWith) }
+      .map { case (k, tk) =>
+        val score = qTerms.map { t =>
+          val tf = tk.count(_ == t).toDouble
+          if (tf == 0 || df(t) == 0) 0.0
+          else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+            tf * (HybridSearch.K1 + 1) /
+            (tf + HybridSearch.K1 * (1 - HybridSearch.B +
+              HybridSearch.B * tk.size / avgdl))
+        }.sum
+        k -> score
+      }
+      .filter(_._2 > 0)
+      .sortBy { case (k, s) => (-s, k._1, k._3, k._4) }
+  }
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("tokensLocal is bit-identical to the SQL tokenizer on edge inputs") {
+    val cases = Seq("", " ", "  a  b ", "a\tb\nc", " nbsp stays",
+      "tab\tends ", " unicode ☃ snowman ", "x", "a  ", "  a")
+    val sql = cases.toDF("t")
+      .select(graft.functions.TextFunctions.tokens($"t").as("tk"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    cases.map(VectorStore.tokensLocal(_).toSeq).zip(sql).zipWithIndex.foreach {
+      case ((local, viaSql), i) =>
+        assert(local == viaSql, s"case ${i}: '${cases(i)}'")
+    }
+  }
+
+  test("hybrid lifecycle: BM25 parity, fusion parity, append, delete, compaction") {
+    val dir = "target/vdb_lexical_spec"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus))
+    assert(!db.lexicalIndexed)
+    val err = intercept[IllegalArgumentException](db.searchHybrid("alpha"))
+    assert(err.getMessage.contains("indexLexical"))
+
+    val indexed = db.indexLexical()
+    assert(db.lexicalIndexed)
+    val storeRows: Seq[(Key, String)] = db.store
+      .filter($"content_type".isin("text_chunk", "image_caption"))
+      .select($"doc_name", $"page_num", $"content_type", $"content_id", $"content_raw")
+      .collect().map(r => ((r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)), r.getString(4))).toSeq
+    assert(indexed == storeRows.size)
+
+    // ---- fused result == plain-Scala RRF(scala BM25, exact search) ----
+    val query = "alpha beta common"
+    val lexExp = scalaBm25(storeRows, query, None)
+      .take(GraftVectorDB.HybridPool).map(_._1).zipWithIndex
+      .map { case (k, i) => k -> (i + 1) }.toMap
+    val vecExp = db.searchIn("text", query, GraftVectorDB.HybridPool).collect()
+      .map(r => ((r.getAs[String]("doc_name"), r.getAs[Long]("page_num"),
+        r.getAs[String]("content_type"), r.getAs[String]("content_id")),
+        r.getAs[Long]("rnk").toInt)).toMap
+    val expected = (lexExp.keySet ++ vecExp.keySet).toSeq
+      .map { k =>
+        (k, r6(lexExp.get(k).map(r => 1.0 / (GraftVectorDB.RrfK + r)).getOrElse(0.0) +
+          vecExp.get(k).map(r => 1.0 / (GraftVectorDB.RrfK + r)).getOrElse(0.0)))
+      }
+      .sortBy { case (k, rrf) => (-rrf, k._1, k._3, k._4) }
+      .take(5)
+    val got = db.searchHybrid(query, 5).collect()
+      .map(r => ((r.getAs[String]("doc_name"), r.getAs[Long]("page_num"),
+        r.getAs[String]("content_type"), r.getAs[String]("content_id")),
+        r.getAs[Double]("rrf_r"), r.getAs[Long]("rnk")))
+    assert(got.map(_._3).toSeq == (1L to got.length).toSeq, "contiguous ranks")
+    assert(got.map(g => (g._1, g._2)).toSeq == expected,
+      s"fusion parity:\n got ${got.toSeq}\n exp $expected")
+    // channel attribution: a row in both pools carries both ranks
+    val both = db.searchHybrid(query, 5).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("lex_rnk")) &&
+        !r.isNullAt(r.fieldIndex("ann_rnk")))
+    assert(both.nonEmpty, "some fused hit must combine both channels")
+    // content_raw present on every row (BM25-only hits fetch it)
+    db.searchHybrid(query, 5).collect().foreach(r =>
+      assert(r.getAs[String]("content_raw") != null))
+
+    // ---- plan pin: the postings lookup partition-prunes to the query
+    // terms' buckets and pushes the term filter ----
+    val plan = db.lexScanPlan(query, 5, None).get
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket partition pruning missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"term filter not pushed:\n$plan")
+
+    // ---- location scope filters candidates (stats stay corpus-global) ----
+    val loc = Some(storeRows.head._1._1) // exactly one doc's folder/file
+    val scoped = db.searchHybrid(query, 5, location = loc).collect()
+    assert(scoped.nonEmpty)
+    assert(scoped.forall(_.getAs[String]("doc_name").startsWith(loc.get)))
+
+    // ---- ingest keeps the sidecar current: a unique term becomes
+    // findable with no reindex ----
+    db.ingest(docsFrame(Seq(9L -> "xylophone zymurgy unique signal terms")))
+    val fresh = db.searchHybrid("xylophone zymurgy", 3).collect()
+    assert(fresh.nonEmpty && fresh.head.getAs[String]("doc_name").contains("doc_9"),
+      s"appended doc must surface lexically: ${fresh.toSeq}")
+    // counters advanced with the batch (exactly one new chunk here)
+    assert(db.searchHybrid("alpha beta common", 5).collect().nonEmpty)
+
+    // ---- delete tombstones the sidecar: the victim never surfaces ----
+    val victim = fresh.head.getAs[String]("doc_name")
+    db.delete(Seq(victim))
+    val after = db.searchHybrid("xylophone zymurgy", 3).collect()
+    assert(!after.exists(_.getAs[String]("doc_name") == victim),
+      s"deleted doc resurfaced: ${after.toSeq}")
+
+    // ---- compaction drops tombstoned postings and recomputes stats;
+    // results invariant ----
+    val before = db.searchHybrid(query, 5).collect()
+      .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
+    db.maintainLexical()
+    assert(!new java.io.File(s"$dir/lexical/tombstones").exists)
+    val afterCompact = db.searchHybrid(query, 5).collect()
+      .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
+    assert(afterCompact == before, "compaction must not change results")
+    val postDocs = spark.read.parquet(s"$dir/lexical/postings")
+      .select($"doc_name").distinct().collect().map(_.getString(0))
+    assert(!postDocs.contains(victim), "compaction must drop tombstoned postings")
+  }
+
+  test("indexLexical rebuild converges after deletes and re-ingest") {
+    val dir = "target/vdb_lexical_rebuild"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus.take(3)))
+    db.indexLexical()
+    db.ingest(docsFrame(Seq(7L -> "brand new follow-up content common")))
+    // a full rebuild from the live store equals the incremental state:
+    // same query, same fused result
+    val incr = db.searchHybrid("alpha common", 5).collect()
+      .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
+    db.indexLexical()
+    val rebuilt = db.searchHybrid("alpha common", 5).collect()
+      .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
+    assert(rebuilt == incr, s"rebuild != incremental:\n $rebuilt\n $incr")
+  }
+}
