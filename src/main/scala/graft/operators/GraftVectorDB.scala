@@ -686,49 +686,100 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
   }
 
-  /** The BM25 top-`pool` over the sidecar, driver-collected. df counts
-    * over the MATCHED postings are exact corpus-level document
-    * frequencies (every live posting of a query term is in the scan),
-    * computed pre-location (stats are corpus-global; the scope filters
-    * CANDIDATES only) and post-tombstone (deleted docs neither score
-    * nor count). One Spark job: partition-pruned scan → window df →
-    * per-chunk sum → TakeOrderedAndProject. */
-  private def lexicalTopK(queryText: String, pool: Int,
-      location: Option[String]): Array[org.apache.spark.sql.Row] =
-    lexScanPlan(queryText, pool, location)
-      .map(_.collect()).getOrElse(Array.empty)
+  /** The store-row identity the fusion joins channels on. */
+  private type LexKey = (String, Long, String, String)
+  private def hybridKeyOf(r: org.apache.spark.sql.Row): LexKey =
+    (r.getAs[String]("doc_name"), r.getAs[Long]("page_num"),
+      r.getAs[String]("content_type"), r.getAs[String]("content_id"))
 
-  /** The un-collected lexical top-`pool` frame (None when the query
-    * has no terms or the sidecar is empty) — split out so the spec can
-    * pin the scan shape: bucket partition-pruning and the pushed term
-    * filter. */
-  private[graft] def lexScanPlan(queryText: String, pool: Int,
-      location: Option[String]): Option[DataFrame] = {
-    val terms = VectorStore.tokensLocal(queryText).distinct.toSeq
+  /** The batch BM25 top-`pool` frame — ONE partition-pruned postings
+    * scan serves EVERY query of the batch (single-query serving goes
+    * through it too, so the two paths cannot diverge). df counts over
+    * the MATCHED postings are exact corpus-level document frequencies
+    * (every live posting of a query term is in the scan), computed
+    * pre-scope (stats are corpus-global; location and per-query q_loc
+    * filter CANDIDATES only) and post-tombstone (deleted docs neither
+    * score nor count). The per-query (q_id, term [, q_loc]) frame
+    * broadcasts into the matched residue; the per-query top-`pool` is
+    * the bounded [[graft.functions.expressions.TopKRows]] partial
+    * aggregate with the serving-wide (score desc, row_id) tie-break.
+    * Returns None when no query has terms or the sidecar is empty;
+    * output (q_id, lex_rnk, doc_name, page_num, content_type,
+    * content_id), collect = one Spark job. */
+  private[graft] def lexAllScanPlan(
+      qTerms: Seq[(Long, Seq[String], Option[String])],
+      pool: Int, location: Option[String]): Option[DataFrame] = {
     val nDocs = readLongAt(lexCounter("_NDOCS"))
-    if (terms.isEmpty || nDocs == 0) return None
+    val allTerms = qTerms.flatMap(_._2).distinct
+    if (allTerms.isEmpty || nDocs == 0) return None
     val sumDl = readLongAt(lexCounter("_SUMDL"))
     val avgdl = sumDl.toDouble / nDocs
-    val buckets = terms.map(GraftVectorDB.lexBucket).distinct
+    val buckets = allTerms.map(GraftVectorDB.lexBucket).distinct
     val matched0 = spark.read.parquet(lexPostingsPath)
-      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+      .filter($"bucket".isin(buckets: _*) && $"term".isin(allTerms: _*))
     val matched =
       if (!existsPath(new org.apache.hadoop.fs.Path(lexTombPath))) matched0
       else matched0.join(spark.read.parquet(lexTombPath), Seq("doc_name"), "left_anti")
     val withDf = matched.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy($"term")))
+    val qt = qTerms.flatMap { case (id, ts, loc) =>
+      ts.map(t => (id, t, loc.orNull)) }.toDF("q_id", "term", "q_loc")
+    val joined = locScoped(withDf, location).join(broadcast(qt), "term")
+    // per-query scope narrows the call-level one (both predicates
+    // hold) and filters BEFORE the bounded top-k, the q_loc contract
+    // every batch surface shares; an unscoped batch skips the filter
+    val anyLoc = qTerms.exists(_._3.isDefined)
+    val perQ =
+      if (anyLoc) joined.filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
+      else joined
     val k1 = HybridSearch.K1
     val b = HybridSearch.B
-    Some(locScoped(withDf, location)
-      .select($"doc_name", $"page_num", $"content_type", $"content_id",
+    Some(perQ
+      .select($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id",
         (org.apache.spark.sql.functions.log(
             lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5))
           * $"tf" * lit(k1 + 1)
           / ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl))).as("c"))
-      .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
+      .groupBy($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id")
       .agg(sum($"c").as("score"))
-      .orderBy($"score".desc, $"doc_name", $"content_type", $"content_id")
-      .limit(pool))
+      .select($"q_id", $"score",
+        xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
+        struct($"doc_name", $"page_num", $"content_type", $"content_id").as("meta"))
+      .groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKRows(
+        $"score", $"row_id", $"meta", pool).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("lex_rnk"),
+        $"col.payload.doc_name", $"col.payload.page_num",
+        $"col.payload.content_type", $"col.payload.content_id"))
+  }
+
+  /** Single-query form of [[lexAllScanPlan]] (the spec's plan-pin
+    * handle: bucket partition-pruning + the pushed term filter). */
+  private[graft] def lexScanPlan(queryText: String, pool: Int,
+      location: Option[String]): Option[DataFrame] =
+    lexAllScanPlan(
+      Seq((0L, VectorStore.tokensLocal(queryText).distinct.toSeq, None)),
+      pool, location)
+
+  /** RRF over two rank maps: the ONE fusion definition the single and
+    * batch surfaces share. Returns the fused top-`topN`
+    * (key, 6dp score), rrf-desc with a deterministic key tie-break
+    * (equal scores are common — e.g. two single-channel hits at the
+    * same per-channel rank). */
+  private def fuseRrf(lexRank: Map[LexKey, Int], vecRank: Map[LexKey, Int],
+      topN: Int): Seq[(LexKey, Double)] = {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = GraftVectorDB.RrfK
+    (lexRank.keySet ++ vecRank.keySet).toSeq
+      .map { key =>
+        val rrf = lexRank.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0) +
+          vecRank.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0)
+        (key, r6(rrf))
+      }
+      .sortBy { case (key, rrf) => (-rrf, key._1, key._3, key._4) }
+      .take(topN)
   }
 
   /** Hybrid lexical + vector retrieval over the store — the fusion
@@ -757,42 +808,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     require(lexicalIndexed,
       s"searchHybrid: no lexical sidecar at $lexPostingsPath - " +
         "run indexLexical() first (ingest keeps it current afterwards)")
-    type Key = (String, Long, String, String)
-    def keyOf(r: org.apache.spark.sql.Row): Key =
-      (r.getAs[String]("doc_name"), r.getAs[Long]("page_num"),
-        r.getAs[String]("content_type"), r.getAs[String]("content_id"))
-    val lexRank: Map[Key, Int] = lexicalTopK(queryText, pool, location)
-      .zipWithIndex.map { case (r, i) => keyOf(r) -> (i + 1) }.toMap
+    val lexRank: Map[LexKey, Int] =
+      lexScanPlan(queryText, pool, location).map(_.collect())
+        .getOrElse(Array.empty)
+        .map(r => hybridKeyOf(r) -> r.getAs[Long]("lex_rnk").toInt).toMap
     val vecRows =
       (if (annIndexBuilt("text"))
          searchAnnIn("text", queryText, pool, location = location)
        else searchIn("text", queryText, pool, location)).collect()
-    val vecRank: Map[Key, Int] =
-      vecRows.map(r => keyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
-    val vecRaw: Map[Key, String] =
-      vecRows.map(r => keyOf(r) -> r.getAs[String]("content_raw")).toMap
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val k = GraftVectorDB.RrfK
-    val fused = (lexRank.keySet ++ vecRank.keySet).toSeq
-      .map { key =>
-        val rrf = lexRank.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0) +
-          vecRank.get(key).map(r => 1.0 / (k + r)).getOrElse(0.0)
-        (key, r6(rrf))
-      }
-      .sortBy { case (key, rrf) => (-rrf, key._1, key._3, key._4) }
-      .take(topN)
-    // metadata for BM25-only winners: one doc_name-pruned store fetch
-    val needRaw = fused.map(_._1).filterNot(vecRaw.contains)
-    val fetched: Map[Key, String] =
-      if (needRaw.isEmpty) Map.empty
-      else {
-        val names = needRaw.map(_._1).distinct
-        store.filter($"doc_name".isin(names: _*))
-          .select($"doc_name", $"page_num", $"content_type", $"content_id",
-            $"content_raw")
-          .collect().map(r => keyOf(r) -> r.getAs[String]("content_raw")).toMap
-      }
+    val vecRank: Map[LexKey, Int] =
+      vecRows.map(r => hybridKeyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
+    val vecRaw: Map[LexKey, String] =
+      vecRows.map(r => hybridKeyOf(r) -> r.getAs[String]("content_raw")).toMap
+    val fused = fuseRrf(lexRank, vecRank, topN)
+    val fetched = fetchRaw(fused.map(_._1).filterNot(vecRaw.contains))
     fused.flatMap { case (key, rrf) =>
         // a just-deleted row can win lexically in the tombstone→rewrite
         // window; surfacing it with no content would leak the deletion —
@@ -806,6 +835,86 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       }
       .toDF("rnk", "rrf_r", "lex_rnk", "ann_rnk", "doc_name", "page_num",
         "content_type", "content_id", "content_raw")
+  }
+
+  /** Metadata for BM25-only winners: one doc_name-pruned store fetch
+    * for however many keys the whole call needs (possibly none). */
+  private def fetchRaw(keys: Seq[LexKey]): Map[LexKey, String] =
+    if (keys.isEmpty) Map.empty
+    else {
+      val names = keys.map(_._1).distinct
+      store.filter($"doc_name".isin(names: _*))
+        .select($"doc_name", $"page_num", $"content_type", $"content_id",
+          $"content_raw")
+        .collect().map(r => hybridKeyOf(r) -> r.getAs[String]("content_raw")).toMap
+    }
+
+  /** Batch twin of [[searchHybrid]] — N queries' hybrid results from a
+    * CONSTANT number of scans: ONE pruned postings scan scores every
+    * query's BM25 pool ([[lexAllScanPlan]]: the batch term set unions
+    * into the bucket/term pruning, per-query pools split by the
+    * bounded `TopKRows` aggregate), the vector pools come from the
+    * batch ANN surface ([[searchAllAnn]], 1 scan; exact [[searchAll]]
+    * pre-index), and at most ONE doc_name-pruned fetch covers every
+    * BM25-only winner across the batch. Fusion is driver arithmetic
+    * over ≤ 2·pool rows per query.
+    *
+    * Query frame: (q_id, q_text [, q_loc]) — the optional per-query
+    * `q_loc` scope composes with the call-level `location` exactly as
+    * on every other batch surface (both predicates hold; the prefix
+    * filters before each bounded top-k on BOTH channels). Per-query
+    * results equal [[searchHybrid]] at the query's effective scope
+    * (spec-pinned). Output = [[searchHybrid]]'s columns plus a
+    * leading q_id, (q_id, rnk)-sorted. */
+  def searchAllHybrid(queries: DataFrame, topN: Int = 5,
+      location: Option[String] = None,
+      pool: Int = GraftVectorDB.HybridPool): DataFrame = {
+    require(lexicalIndexed,
+      s"searchAllHybrid: no lexical sidecar at $lexPostingsPath - " +
+        "run indexLexical() first (ingest keeps it current afterwards)")
+    val hasLoc = queries.columns.contains("q_loc")
+    val qRows = queries.select(col("q_id").cast("long") +:
+        col("q_text").cast("string") +:
+        (if (hasLoc) Seq(col("q_loc").cast("string")) else Nil): _*)
+      .collect()
+    require(qRows.length <= GraftVectorDB.MaxBatchQueries,
+      s"searchAllHybrid: ${qRows.length} queries exceed " +
+        s"${GraftVectorDB.MaxBatchQueries} - chunk the query set")
+    val qInfo = qRows.map(r => (r.getLong(0), r.getString(1),
+      if (hasLoc) Option(r.getString(2)) else None)).toSeq
+    val lexByQ: Map[Long, Map[LexKey, Int]] =
+      lexAllScanPlan(qInfo.map { case (id, t, loc) =>
+          (id, VectorStore.tokensLocal(t).distinct.toSeq, loc) }, pool, location)
+        .map(_.collect()).getOrElse(Array.empty)
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (id, rows) => id ->
+          rows.map(r => hybridKeyOf(r) -> r.getAs[Long]("lex_rnk").toInt).toMap }
+    val vecByQ = (if (annIndexBuilt("text"))
+        searchAllAnn(queries, pool, location = location)
+      else searchAll(queries, pool, location)).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val fusedByQ = qInfo.map { case (id, _, _) =>
+      val vq = vecByQ.getOrElse(id, Array.empty)
+      val vecRank = vq.map(r => hybridKeyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
+      val vecRaw = vq.map(r => hybridKeyOf(r) -> r.getAs[String]("content_raw")).toMap
+      (id, fuseRrf(lexByQ.getOrElse(id, Map.empty), vecRank, topN),
+        lexByQ.getOrElse(id, Map.empty), vecRank, vecRaw)
+    }
+    val fetched = fetchRaw(fusedByQ.flatMap { case (_, fused, _, _, vecRaw) =>
+      fused.map(_._1).filterNot(vecRaw.contains) }.distinct)
+    fusedByQ.flatMap { case (id, fused, lexRank, vecRank, vecRaw) =>
+      fused.flatMap { case (key, rrf) =>
+          vecRaw.get(key).orElse(fetched.get(key)).map(raw =>
+            (rrf, lexRank.get(key).map(_.toLong),
+              vecRank.get(key).map(_.toLong), key, raw))
+        }
+        .zipWithIndex.map { case ((rrf, lr, vr, key, raw), i) =>
+          (id, (i + 1).toLong, rrf, lr, vr,
+            key._1, key._2, key._3, key._4, raw)
+        }
+    }.sortBy(t => (t._1, t._2))
+      .toDF("q_id", "rnk", "rrf_r", "lex_rnk", "ann_rnk", "doc_name",
+        "page_num", "content_type", "content_id", "content_raw")
   }
 
   /** Rebuild a channel's index at the SCALE-ADAPTIVE cell count —

@@ -171,6 +171,38 @@ class LexicalHybridSpec extends AnyFunSuite {
     assert(!postDocs.contains(victim), "compaction must drop tombstoned postings")
   }
 
+  test("searchAllHybrid: per-query parity with singles, incl. q_loc scopes") {
+    val dir = "target/vdb_lexical_batch"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus))
+    db.indexLexical()
+    val someDoc = db.store.select($"doc_name").orderBy($"doc_name")
+      .limit(1).collect()(0).getString(0)
+    // three queries: unscoped, term-less overlap, and a q_loc-scoped one
+    val queries = Seq(
+      (1L, "alpha beta common", null),
+      (2L, "sailing ships", null),
+      (3L, "alpha common", someDoc)).toDF("q_id", "q_text", "q_loc")
+    val batch = db.searchAllHybrid(queries, 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("rrf_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"),
+        r.getAs[String]("content_raw"))).toSeq
+    def batchRowsOf(qid: Long) = batch.getOrElse(qid, Array.empty).map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("rrf_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"),
+        r.getAs[String]("content_raw"))).toSeq.sortBy(_._1)
+    assert(batchRowsOf(1L) == rowsOf(db.searchHybrid("alpha beta common", 5)))
+    assert(batchRowsOf(2L) == rowsOf(db.searchHybrid("sailing ships", 5)))
+    // the scoped query equals the single at its own effective scope
+    assert(batchRowsOf(3L) ==
+      rowsOf(db.searchHybrid("alpha common", 5, location = Some(someDoc))))
+    assert(batchRowsOf(3L).nonEmpty &&
+      batchRowsOf(3L).forall(_._3 == someDoc), "q_loc must scope query 3")
+  }
+
   test("indexLexical rebuild converges after deletes and re-ingest") {
     val dir = "target/vdb_lexical_rebuild"
     rmRf(new java.io.File(dir))
