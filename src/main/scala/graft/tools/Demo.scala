@@ -63,6 +63,12 @@ object Demo {
       .toDF("q_id", "q_text", "q_loc")
     println(s"[demo] per-query q_loc batch (q0 scoped to $folder, q1 unscoped):")
     db.searchAllAnn(scoped, topN = 3).show(20, 60)
+    // hybrid retrieval: BM25 postings sidecar + ANN, fused by RRF —
+    // the exact-keyword recall path beside pure similarity
+    println(s"[demo] lexical sidecar over ${db.indexLexical()} chunks; hybrid search:")
+    db.searchHybrid("fast query join table", topN = 5).show(20, 60)
+    println("[demo] batch hybrid - 3 queries, constant scans:")
+    db.searchAllHybrid(queries, topN = 3).show(20, 60)
     println(f"[demo] drift gauge: ${db.annAppendFraction("text")}%.2fx appended, " +
       s"needsRebuild=${db.annIndexNeedsRebuild("text")}")
     println(f"[demo] occupancy gauge: skew ${db.annCellSkew("text")}%.1fx, " +

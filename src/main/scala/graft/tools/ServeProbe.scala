@@ -133,6 +133,16 @@ object ServeProbe {
       println(f"[serveprobe] gate batch $tag (32 near-dup + 32 fresh): " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s, $nIn rows in, $nSkip docs dropped")
     }
+    // hybrid serving (round-8): one-time lexical sidecar build over
+    // the full corpus, then the warm fused paths — searchHybrid = one
+    // pruned postings job + the warm ANN job (+ a bounded fetch only
+    // for BM25-only winners); searchAllHybrid = a CONSTANT number of
+    // scans for the whole 64-query batch. Kept LAST so every timing
+    // above stays comparable with pre-lexical artifacts.
+    time("indexLexical (one-time)")(db.indexLexical())
+    db.searchHybrid(qs.head, 5).collect() // warm the serving cache
+    timeMin("warm searchHybrid", 3)(db.searchHybrid(qs(1), 5).collect())
+    timeMin("searchAllHybrid x64", 2)(db.searchAllHybrid(batch, 5).collect())
     spark.stop()
   }
 }
