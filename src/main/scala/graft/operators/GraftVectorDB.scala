@@ -715,8 +715,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val sumDl = readLongAt(lexCounter("_SUMDL"))
     val avgdl = sumDl.toDouble / nDocs
     val buckets = allTerms.map(GraftVectorDB.lexBucket).distinct
+    // the term In literal is a scan-pruning assist (row-group stats on
+    // the term-sorted files) — the broadcast (q_id, term) join below
+    // filters exactly either way; a huge batch's term union would
+    // bloat the plan as a literal (the InLiteralMax rule), so past it
+    // only the bucket partition pruning narrows the scan
     val matched0 = spark.read.parquet(lexPostingsPath)
-      .filter($"bucket".isin(buckets: _*) && $"term".isin(allTerms: _*))
+      .filter($"bucket".isin(buckets: _*))
+      .transform(df =>
+        if (allTerms.length <= GraftVectorDB.InLiteralMax)
+          df.filter($"term".isin(allTerms: _*))
+        else df)
     val matched =
       if (!existsPath(new org.apache.hadoop.fs.Path(lexTombPath))) matched0
       else matched0.join(spark.read.parquet(lexTombPath), Seq("doc_name"), "left_anti")
