@@ -82,6 +82,11 @@ object SparkEntry {
     // adaptive sizing returns EXACTLY the pinned geometry
     // (DedupExactnessSpec pins result-identity there)
     "dd_embed_lsha" -> ((s: SparkSession, dir: String) => Dedup.embedPairsAdaptive(s, dir)),
+    // SemDeDup: clustering-bucketed embedding dedup — seeded centroids
+    // make the whole plan (argmax assignment included) SQL-replayable,
+    // so the bucketing itself hash-checks; the fitted-centroid
+    // production config swaps only the seed frame
+    "dd_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semdedup(s, dir)),
     "tx_langid" -> (TextAnalysis.langId _),
     "tx_quality" -> (TextAnalysis.quality _),
     "tx_tokens" -> (TextAnalysis.tokenCounts _),
@@ -727,6 +732,26 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 4) sim_r
         | FROM n a, n b WHERE a.vec_id < b.vec_id)
         |SELECT a_id, b_id, sim_r FROM p WHERE sim_r >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+    // SemDeDup replay: seeded centroids (vec_id < 8), 6dp-rounded
+    // argmax assignment with smallest-cluster tie-break, within-cluster
+    // pairs at the same 4dp-cosine threshold as dd_embed — the
+    // clustering prefilter itself is what hash-checks
+    "dd_semdedup" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+        | FROM embeddings),
+        |s AS (SELECT vec_id cl, v cv, nrm cnrm FROM n WHERE vec_id < 8),
+        |a0 AS (SELECT n.vec_id, n.v, n.nrm, s.cl,
+        |  round(list_sum(list_transform(range(1, 65), i -> n.v[i::INT] * s.cv[i::INT])) / (n.nrm * s.cnrm), 6) csim
+        | FROM n, s),
+        |asg AS (SELECT vec_id, v, nrm, cl FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cl) rn
+        |  FROM a0) WHERE rn = 1),
+        |p AS (SELECT a.cl, a.vec_id a_id, b.vec_id b_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT])) / (a.nrm * b.nrm), 4) sim_r
+        | FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+        |SELECT cl, a_id, b_id, sim_r FROM p WHERE sim_r >= 0.35
+        |ORDER BY a_id, b_id""".stripMargin,
     // mirrors the RP-LSH machinery exactly: md5-derived hyperplanes
     // (signed first-4-bytes / Int.MaxValue), 12 sign-bits × 8 tables,
     // candidates = pairs within hamming ≤ 1 of a table signature (the

@@ -602,4 +602,60 @@ object Dedup {
     sigs.unpersist(blocking = false)
     out.orderBy($"a_id", $"b_id")
   }
+
+  // ---- SemDeDup: clustering-bucketed embedding dedup ----
+
+  /** Cluster count for the seeded [[semdedup]] oracle config. A
+    * production run scales k with the corpus (k ≈ n / the occupancy
+    * anchor, the adaptive-cells rule) so cluster sizes — and the
+    * within-cluster quadratic term — stay bounded. */
+  val SemClusters = 8
+
+  /** SemDeDup (Abbas et al., 2023 — public): embedding dedup with a
+    * CLUSTERING prefilter — every vector assigns to its nearest
+    * centroid, pairs verify only WITHIN clusters, so the pair space is
+    * Σ|cluster|² instead of n² and each cluster's pairs shuffle
+    * independently. The k-means-bucketed sibling of [[embedPairs]]'
+    * LSH buckets: both bound the quadratic term, LSH by hash
+    * collision, SemDeDup by semantic locality — which also makes its
+    * misses interpretable (a missed pair straddles a cluster
+    * boundary).
+    *
+    * Centroids are SEEDED deterministically (the first [[SemClusters]]
+    * corpus vectors), so the ENTIRE plan — assignment argmax included
+    * — replays exactly in SQL and hash-checks against the DuckDB
+    * oracle; a production run swaps the seed frame for fitted
+    * centroids (the [[AnnIndex]] driver-Lloyd fit) with an identical
+    * plan shape — the fit is the only non-oracle step. Assignment
+    * rounds the seed cosine to 6dp BEFORE the argmax (both engines
+    * pick the same cluster even in the last ulp); ties break to the
+    * smallest cluster id. Verification is the exact 4dp cosine at
+    * [[EmbedThreshold]] — precision exact, recall bounded by the
+    * cluster partition. Output (cl, a_id, b_id, sim_r). */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    semdedup(spark, dir, SemClusters)
+
+  def semdedup(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val v = embedVecs(spark, dir)
+    val seeds = v.filter($"vec_id" < k)
+      .select($"vec_id".as("cl"), $"v".as("cv"), $"nrm".as("cnrm"))
+    // argmax over the k broadcast seeds via ONE partial-agg
+    // max(struct): the corpus shuffles once on vec_id (map-side
+    // combined k→1), never on anything quadratic
+    val assigned = v.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"v", $"nrm",
+        round(cosine($"v", $"cv", $"nrm", $"cnrm"), 6).as("csim"), $"cl")
+      .groupBy($"vec_id")
+      .agg(max(struct($"csim", (-$"cl").as("ncl"))).as("m"),
+        first($"v").as("v"), first($"nrm").as("nrm"))
+      .select($"vec_id", $"v", $"nrm", (-$"m.ncl").as("cl"))
+    val l = assigned.select($"cl", $"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+    val r = assigned.select($"cl", $"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
+    l.join(r, "cl").filter($"a_id" < $"b_id")
+      .select($"cl", $"a_id", $"b_id",
+        round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
+      .filter($"sim_r" >= EmbedThreshold)
+      .orderBy($"a_id", $"b_id")
+  }
 }

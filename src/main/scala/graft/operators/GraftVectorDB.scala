@@ -1535,16 +1535,24 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def answer(queryText: String, topN: Int = 5,
       location: Option[String] = None): (String, DataFrame) = {
     val hits = search(queryText, topN, location)
-    val top = hits.limit(1).collect()
-    val response =
-      if (top.isEmpty) "no relevant content found"
-      else {
-        val h = top.head
-        s"[extractive] ${h.getAs[String]("content_raw").take(200)} " +
-          s"(from ${h.getAs[String]("doc_name")} p${h.getAs[Long]("page_num")})"
-      }
-    (response, hits)
+    (extractiveResponse(hits.limit(1).collect().headOption), hits)
   }
+
+  /** [[answer]] over [[searchHybrid]] — the retrieval half a RAG
+    * front-end actually wants under the generate seam: exact-keyword
+    * recall fused with semantic similarity. Same extractive stub,
+    * same drop-in-model contract. */
+  def answerHybrid(queryText: String, topN: Int = 5,
+      location: Option[String] = None): (String, DataFrame) = {
+    val hits = searchHybrid(queryText, topN, location)
+    (extractiveResponse(hits.limit(1).collect().headOption), hits)
+  }
+
+  private def extractiveResponse(top: Option[org.apache.spark.sql.Row]): String =
+    top.map { h =>
+      s"[extractive] ${h.getAs[String]("content_raw").take(200)} " +
+        s"(from ${h.getAs[String]("doc_name")} p${h.getAs[Long]("page_num")})"
+    }.getOrElse("no relevant content found")
 
   def annPath: String = annPath("text")
   def annPath(channel: String): String = s"$storeDir/ann_index_$channel"

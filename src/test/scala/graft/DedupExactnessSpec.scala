@@ -27,6 +27,38 @@ class DedupExactnessSpec extends AnyFunSuite {
       s"missed: ${exact -- lsh}; spurious: ${lsh -- exact}")
   }
 
+  test("dd_semdedup: pairs are the exact within-cluster subset under the argmax assignment") {
+    import spark.implicits._
+    val sd = Dedup.semdedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cl"), r.getAs[Long]("a_id"),
+        r.getAs[Long]("b_id"), r.getAs[Double]("sim_r")))
+    assert(sd.nonEmpty, "seeded clustering must surface within-cluster pairs")
+    // 1) precision: every semdedup pair is a global all-pairs match
+    val global = Dedup.embedPairs(spark, sf, audit = true).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim_r"))).toSet
+    assert(sd.map(p => (p._2, p._3, p._4)).toSet.subsetOf(global))
+    // 2) the cluster partition is the 6dp argmax over the seeds, and
+    // the emitted pairs are EXACTLY the global pairs whose members
+    // co-cluster — recomputed independently in plain Scala
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def nrm(a: Array[Double]) = math.sqrt(a.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum / (nrm(a) * nrm(b))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seeds = (0L until Dedup.SemClusters.toLong).map(i => i -> vecs(i))
+    val clOf = vecs.map { case (id, v) =>
+      id -> seeds.map { case (cl, cv) => (-r6(cos(v, cv)), cl) }.min._2 }
+    sd.foreach { case (cl, a, b, _) =>
+      assert(clOf(a) == cl && clOf(b) == cl, s"pair ($a,$b) cluster $cl") }
+    val expected = global.filter { case (a, b, _) => clOf(a) == clOf(b) }
+    assert(sd.map(p => (p._2, p._3, p._4)).toSet == expected,
+      "semdedup must emit exactly the co-clustered global pairs")
+  }
+
   test("connectedComponents: min-label parity with driver union-find; O(log) rounds on a long chain") {
     import spark.implicits._
     // adversarial diameter: a 1024-node chain (one-hop propagation

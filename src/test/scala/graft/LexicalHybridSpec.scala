@@ -203,6 +203,29 @@ class LexicalHybridSpec extends AnyFunSuite {
       batchRowsOf(3L).forall(_._3 == someDoc), "q_loc must scope query 3")
   }
 
+  test("streamed docs become lexically findable; answerHybrid serves the fused top hit") {
+    val dir = "target/vdb_lexical_stream"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus.take(3)))
+    db.indexLexical()
+    // a micro-batch through ingestStream rides the same ingest() ->
+    // appendLexical path as batch ingest: the streamed doc's unique
+    // terms resolve through the sidecar with no reindex
+    val srcDir = new java.io.File(s"$dir/stream_src")
+    srcDir.mkdirs()
+    val planted = docsFrame(Seq(77L -> "wombat quokka freshness sentinel"))
+    planted.write.mode("append").parquet(srcDir.toString)
+    db.ingestStream(
+      spark.readStream.schema(planted.schema).parquet(srcDir.toString),
+      s"$dir/ckpt").awaitTermination()
+    val hits = db.searchHybrid("wombat quokka", 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[String]("doc_name").contains("doc_77"),
+      s"streamed doc must be lexically findable: ${hits.toSeq}")
+    val (resp, _) = db.answerHybrid("wombat quokka")
+    assert(resp.contains("doc_77") && resp.startsWith("[extractive]"), resp)
+  }
+
   test("indexLexical rebuild converges after deletes and re-ingest") {
     val dir = "target/vdb_lexical_rebuild"
     rmRf(new java.io.File(dir))
