@@ -87,6 +87,11 @@ object SparkEntry {
     // so the bucketing itself hash-checks; the fitted-centroid
     // production config swaps only the seed frame
     "dd_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semdedup(s, dir)),
+    // the fitted production config: k scales with the corpus at the
+    // occupancy anchor (linear total pair work); [rows-only] — the
+    // fit is the one non-oracle step, everything else hash-checks
+    // through the seeded twin
+    "dd_semdedupf" -> ((s: SparkSession, dir: String) => Dedup.semdedupFitted(s, dir)),
     "tx_langid" -> (TextAnalysis.langId _),
     "tx_quality" -> (TextAnalysis.quality _),
     "tx_tokens" -> (TextAnalysis.tokenCounts _),

@@ -640,9 +640,45 @@ object Dedup {
     val v = embedVecs(spark, dir)
     val seeds = v.filter($"vec_id" < k)
       .select($"vec_id".as("cl"), $"v".as("cv"), $"nrm".as("cnrm"))
-    // argmax over the k broadcast seeds via ONE partial-agg
-    // max(struct): the corpus shuffles once on vec_id (map-side
-    // combined k→1), never on anything quadratic
+    semdedupPairs(v, seeds)
+  }
+
+  /** Expected cluster occupancy for the FITTED config: k =
+    * n/[[SemOccupancy]] holds cluster sizes constant as the corpus
+    * grows, so within-cluster pair work is ~[[SemOccupancy]]·n —
+    * LINEAR in the corpus (the published method's scaling; the
+    * adaptive-cells rule applied to the dedup prefilter). The seeded
+    * oracle config's fixed k is the test-scale twin. */
+  val SemOccupancy = 256
+
+  /** The production SemDeDup config: centroids FITTED driver-locally
+    * from ONE bounded sample (the IVF routing fit machinery verbatim
+    * — [[AnnIndex.centroidsFromSample]]), k derived from the corpus
+    * row count at the [[SemOccupancy]] anchor. `[rows-only]`:
+    * precision stays exact (identical 4dp verify), recall is bounded
+    * by the cluster partition and measured in DedupExactnessSpec; the
+    * seeded [[semdedup]] is the hash-checked twin of everything but
+    * the fit. */
+  def semdedupFitted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = embedVecs(spark, dir)
+    val n = graft.Tables.load(spark, dir, "embeddings").count() // footer stats
+    val k = math.max(SemClusters, (n / SemOccupancy).toInt)
+    val seeds = AnnIndex.centroidsFromSample(spark,
+        AnnIndex.sampleVectors(v, $"vec_id"), k)
+      .select($"cell".cast("long").as("cl"), $"cv")
+      .withColumn("cnrm", l2Norm($"cv"))
+    semdedupPairs(v, seeds)
+  }
+
+  /** Assignment + within-cluster verify, shared by the seeded and
+    * fitted configs (they differ ONLY in the seeds frame). */
+  private def semdedupPairs(v: DataFrame, seeds: DataFrame): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    // argmax over the broadcast seeds via ONE partial-agg max(struct):
+    // the corpus shuffles once on vec_id (map-side combined k→1),
+    // never on anything quadratic
     val assigned = v.crossJoin(broadcast(seeds))
       .select($"vec_id", $"v", $"nrm",
         round(cosine($"v", $"cv", $"nrm", $"cnrm"), 6).as("csim"), $"cl")

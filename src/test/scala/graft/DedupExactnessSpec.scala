@@ -57,6 +57,16 @@ class DedupExactnessSpec extends AnyFunSuite {
     val expected = global.filter { case (a, b, _) => clOf(a) == clOf(b) }
     assert(sd.map(p => (p._2, p._3, p._4)).toSet == expected,
       "semdedup must emit exactly the co-clustered global pairs")
+    // 4) fitted config: exact precision (same verify), recall bounded
+    // by its own cluster partition — measured, not assumed
+    val fit = Dedup.semdedupFitted(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim_r"))).toSet
+    assert(fit.nonEmpty && fit.subsetOf(global),
+      s"fitted pairs must be global pairs; spurious: ${fit -- global}")
+    info(f"semdedup recall vs global all-pairs: seeded ${
+      sd.length.toDouble / global.size}%.2f, fitted ${
+      fit.size.toDouble / global.size}%.2f (${global.size} global)")
   }
 
   test("connectedComponents: min-label parity with driver union-find; O(log) rounds on a long chain") {
