@@ -102,6 +102,7 @@ object SparkEntry {
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
     "tx_shard" -> (TextAnalysis.shard _),
+    "tx_pack" -> (TextAnalysis.pack _),
     "tx_contam" -> (TextAnalysis.contam _),
     "tx_mix" -> (TextAnalysis.mix _),
     "tx_ppl" -> (TextAnalysis.ppl _),
@@ -859,6 +860,19 @@ object SparkEntry {
         | FROM t)
         |SELECT source, doc_id, n_tokens, cum_tokens,
         | (cum_tokens - n_tokens) // 2000 AS shard_id
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    // sequence packing: same running total, integer-exact span math
+    "tx_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        | FROM t)
+        |SELECT source, doc_id, n_tokens,
+        | (cum - n_tokens) // 512 AS seq_first,
+        | (cum - n_tokens) % 512 AS pos_in_seq,
+        | (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
         |FROM c ORDER BY source, doc_id""".stripMargin,
     "tx_contam" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),

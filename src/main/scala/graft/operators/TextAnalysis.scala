@@ -193,6 +193,37 @@ object TextAnalysis {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Training-sequence length for [[pack]] — the fixed context window
+    * the packed stream is cut into. */
+  val SeqLen = 512L
+
+  /** Exact SEQUENCE packing — the step after [[shard]] in a
+    * pretraining pipeline: the per-source token stream (docs
+    * concatenated in doc_id order) is cut into fixed [[SeqLen]]-token
+    * training sequences, and each doc gets its span coordinates —
+    * first sequence, start position within it, and how many sequences
+    * it crosses (the doc-boundary bookkeeping an attention-mask /
+    * loss-mask builder consumes; a doc with n_seqs > 1 is split across
+    * context windows). Pure integer arithmetic on the same running
+    * total as [[shard]]: one window per source partition, no global
+    * order — at 100 TB the window key widens to (source, shard) so
+    * packing parallelizes inside giant sources too, with shard-local
+    * sequence ids. */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"source", $"doc_id", $"n_tokens",
+        expr(s"(cum - n_tokens) div $SeqLen").as("seq_first"),
+        expr(s"(cum - n_tokens) % $SeqLen").as("pos_in_seq"),
+        expr(s"(cum - 1) div $SeqLen - (cum - n_tokens) div $SeqLen + 1").as("n_seqs"))
+      .orderBy($"source", $"doc_id")
+  }
+
   /** Top-3 TF-IDF terms per document — the keyword extractor a
     * training-data pipeline runs for topic routing. Shape: one explode
     * + (doc, token) partial-agg; document frequencies are a vocab-sized

@@ -172,6 +172,31 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_pack spans tile the per-source token stream exactly") {
+    val rows = TextAnalysis.pack(spark, sf).collect()
+    val L = TextAnalysis.SeqLen
+    rows.foreach { r =>
+      val (n, pos, nSeqs) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pos_in_seq"), r.getAs[Long]("n_seqs"))
+      assert(pos >= 0 && pos < L)
+      // span accounting: crossing count derives from (pos, n) alone
+      assert(nSeqs == (pos + n - 1) / L + 1, s"row $r")
+    }
+    // docs tile each source contiguously: next doc starts exactly
+    // where the previous ended (seq_first·L + pos advances by n_tokens)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, ds) =>
+      val sorted = ds.sortBy(_.getAs[Long]("doc_id"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val endA = a.getAs[Long]("seq_first") * L +
+          a.getAs[Long]("pos_in_seq") + a.getAs[Long]("n_tokens")
+        val startB = b.getAs[Long]("seq_first") * L + b.getAs[Long]("pos_in_seq")
+        assert(endA == startB, s"gap between ${a} and ${b}")
+      }
+      assert(sorted.head.getAs[Long]("seq_first") == 0 &&
+        sorted.head.getAs[Long]("pos_in_seq") == 0)
+    }
+  }
+
   test("sessionize covers every event exactly once") {
     val total = Relational.sessionize(spark, sf).agg(sum("n_events")).head().getLong(0)
     val events = Tables.load(spark, sf, "events").count()
