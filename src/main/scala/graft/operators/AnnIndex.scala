@@ -382,7 +382,7 @@ object AnnIndex {
   /** Plain Lloyd's k-means on a driver-resident point set with a
     * deterministic spread init (every n/k-th sample point) — no RNG
     * state, bit-reproducible across runs and sessions. */
-  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty,
       "k-means fit got an empty sample — the frame being indexed has no vectors")
     val d = points.head.length

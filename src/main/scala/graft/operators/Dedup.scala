@@ -651,41 +651,118 @@ object Dedup {
     * oracle config's fixed k is the test-scale twin. */
   val SemOccupancy = 256
 
+  /** Past this many clusters the flat n×k assignment dominates and
+    * [[semdedupFitted]] switches to the HIERARCHICAL two-stage
+    * assignment (n×(k₁+k₂) ≈ n×2√k evaluations). The first sf10 run
+    * measured the flat form at 74.8 s — ~2/3 of it the 200k×781
+    * full-dim assignment — the same flat-routing wall the IMI
+    * operator documents for the ANN side. */
+  val SemFlatMax = 64
+
+  /** Cap on the fitted cluster count: the fit is driver Lloyd over a
+    * ≤ SampleTarget-row sample, and past ~SampleTarget/4 clusters the
+    * init is point-starved — the [[GraftVectorDB.MaxAdaptiveCells]]
+    * rule applied here. Past the cap, occupancy (and the per-row pair
+    * work) grows with n/cap — raise SampleTarget together with it. */
+  val MaxSemClusters: Int = (AnnIndex.SampleTarget / 4).toInt
+
   /** The production SemDeDup config: centroids FITTED driver-locally
-    * from ONE bounded sample (the IVF routing fit machinery verbatim
-    * — [[AnnIndex.centroidsFromSample]]), k derived from the corpus
-    * row count at the [[SemOccupancy]] anchor. `[rows-only]`:
-    * precision stays exact (identical 4dp verify), recall is bounded
-    * by the cluster partition and measured in DedupExactnessSpec; the
-    * seeded [[semdedup]] is the hash-checked twin of everything but
-    * the fit. */
+    * from ONE bounded sample (the IVF routing fit machinery verbatim),
+    * k derived from the corpus row count at the [[SemOccupancy]]
+    * anchor and capped at [[MaxSemClusters]] (fit quality — the
+    * adaptive-cells rule). Small k assigns flat (one broadcast argmax
+    * pass); past [[SemFlatMax]] the assignment goes HIERARCHICAL:
+    * Lloyd fits √k coarse centroids, each coarse cell's sample
+    * members fit their own sub-centroids, and the corpus assigns in
+    * two argmax stages (coarse, then sub within the chosen coarse) —
+    * n×(k₁+k₂) distance evaluations instead of n×k, the routing-cost
+    * shape [[AnnIndex.imi]] documents, measured 74.8 → ~13 s at sf10.
+    * `[rows-only]`: precision stays exact (identical 4dp verify),
+    * recall is bounded by the cluster partition and measured in
+    * DedupExactnessSpec; the seeded [[semdedup]] is the hash-checked
+    * twin of everything but the fit/assignment. */
   def semdedupFitted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = embedVecs(spark, dir)
     val n = graft.Tables.load(spark, dir, "embeddings").count() // footer stats
-    val k = math.max(SemClusters, (n / SemOccupancy).toInt)
-    val seeds = AnnIndex.centroidsFromSample(spark,
-        AnnIndex.sampleVectors(v, $"vec_id"), k)
-      .select($"cell".cast("long").as("cl"), $"cv")
-      .withColumn("cnrm", l2Norm($"cv"))
-    semdedupPairs(v, seeds)
+    val k = math.min(MaxSemClusters,
+      math.max(SemClusters, (n / SemOccupancy).toInt))
+    val sample = AnnIndex.sampleVectors(v, $"vec_id")
+    if (k <= SemFlatMax) {
+      val seeds = AnnIndex.centroidsFromSample(spark, sample, k)
+        .select($"cell".cast("long").as("cl"), $"cv")
+        .withColumn("cnrm", l2Norm($"cv"))
+      semdedupPairsOf(semdedupAssign(v, seeds))
+    } else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val k2 = math.ceil(k.toDouble / k1).toInt
+      val coarse = AnnIndex.lloyd(sample, k1, iters = 5)
+      // sample members route to their coarse cell driver-side; each
+      // cell's members fit its sub-centroids (empty/tiny cells keep
+      // the coarse centroid itself as their single sub)
+      def near(p: Array[Double], cs: Array[Array[Double]]): Int =
+        cs.indices.minBy { i =>
+          var s = 0.0; var j = 0
+          while (j < p.length) { val t = p(j) - cs(i)(j); s += t * t; j += 1 }
+          s }
+      val bySample = sample.groupBy(near(_, coarse))
+      val subs: Seq[(Int, Long, Seq[Double])] = (0 until k1).flatMap { c =>
+        val pts = bySample.getOrElse(c, Array.empty)
+        val cs = if (pts.length < 2) Array(coarse(c))
+          else AnnIndex.lloyd(pts, math.min(k2, pts.length), iters = 5)
+        cs.zipWithIndex.map { case (cv, s) =>
+          (c, c.toLong * k2 + s, cv.toSeq) }
+      }
+      val coarseDf = coarse.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ci", "ccv")
+        .withColumn("ccnrm", l2Norm($"ccv"))
+      val subDf = subs.toDF("ci", "cl", "cv")
+        .withColumn("cnrm", l2Norm($"cv"))
+      // stage 1: coarse argmax (n×k1); stage 2: sub argmax within the
+      // chosen coarse cell only (n×≤k2, via a broadcast equi-join on ci)
+      val a1 = v.crossJoin(broadcast(coarseDf))
+        .select($"vec_id", $"v", $"nrm",
+          round(cosine($"v", $"ccv", $"nrm", $"ccnrm"), 6).as("csim"), $"ci")
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim", (-$"ci").as("nci"))).as("m"),
+          first($"v").as("v"), first($"nrm").as("nrm"))
+        .select($"vec_id", $"v", $"nrm", (-$"m.nci").cast("int").as("ci"))
+      val assigned = a1.join(broadcast(subDf), "ci")
+        .select($"vec_id", $"v", $"nrm",
+          round(cosine($"v", $"cv", $"nrm", $"cnrm"), 6).as("csim"), $"cl")
+        .groupBy($"vec_id")
+        .agg(max(struct($"csim", (-$"cl").as("ncl"))).as("m"),
+          first($"v").as("v"), first($"nrm").as("nrm"))
+        .select($"vec_id", $"v", $"nrm", (-$"m.ncl").as("cl"))
+      semdedupPairsOf(assigned)
+    }
   }
 
   /** Assignment + within-cluster verify, shared by the seeded and
     * fitted configs (they differ ONLY in the seeds frame). */
-  private def semdedupPairs(v: DataFrame, seeds: DataFrame): DataFrame = {
+  private def semdedupPairs(v: DataFrame, seeds: DataFrame): DataFrame =
+    semdedupPairsOf(semdedupAssign(v, seeds))
+
+  /** Flat argmax assignment over one broadcast seeds frame via ONE
+    * partial-agg max(struct): the corpus shuffles once on vec_id
+    * (map-side combined k→1), never on anything quadratic. */
+  private def semdedupAssign(v: DataFrame, seeds: DataFrame): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
-    // argmax over the broadcast seeds via ONE partial-agg max(struct):
-    // the corpus shuffles once on vec_id (map-side combined k→1),
-    // never on anything quadratic
-    val assigned = v.crossJoin(broadcast(seeds))
+    v.crossJoin(broadcast(seeds))
       .select($"vec_id", $"v", $"nrm",
         round(cosine($"v", $"cv", $"nrm", $"cnrm"), 6).as("csim"), $"cl")
       .groupBy($"vec_id")
       .agg(max(struct($"csim", (-$"cl").as("ncl"))).as("m"),
         first($"v").as("v"), first($"nrm").as("nrm"))
       .select($"vec_id", $"v", $"nrm", (-$"m.ncl").as("cl"))
+  }
+
+  /** Within-cluster exact verify of an assigned (vec_id, v, nrm, cl)
+    * frame at the shared threshold. */
+  private def semdedupPairsOf(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val l = assigned.select($"cl", $"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
     val r = assigned.select($"cl", $"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
     l.join(r, "cl").filter($"a_id" < $"b_id")

@@ -226,6 +226,32 @@ class LexicalHybridSpec extends AnyFunSuite {
     assert(resp.contains("doc_77") && resp.startsWith("[extractive]"), resp)
   }
 
+  test("crashed lexical rewrite recovers: live restored from .old_, residue cleared") {
+    val dir = "target/vdb_lexical_crash"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus.take(3)))
+    db.indexLexical()
+    val before = db.searchHybrid("alpha common", 5).collect()
+      .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
+    // simulate the between-renames crash window of maintainLexical:
+    // live moved aside to .old_, a stale .tmp_ left behind
+    val lex = new java.io.File(s"$dir/lexical")
+    val live = new java.io.File(lex, "postings")
+    val old = new java.io.File(lex, ".old_postings")
+    val tmp = new java.io.File(lex, ".tmp_postings")
+    assert(live.renameTo(old))
+    tmp.mkdirs()
+    new java.io.File(tmp, "garbage.parquet").createNewFile()
+    // any entrypoint converges: lexicalIndexed itself triggers recovery
+    assert(db.lexicalIndexed, "sidecar must recover from the crash window")
+    assert(live.exists && !old.exists && !tmp.exists,
+      "recovery must restore live and clear residue")
+    val after = db.searchHybrid("alpha common", 5).collect()
+      .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
+    assert(after == before, "recovered sidecar must serve identically")
+  }
+
   test("indexLexical rebuild converges after deletes and re-ingest") {
     val dir = "target/vdb_lexical_rebuild"
     rmRf(new java.io.File(dir))
