@@ -1040,9 +1040,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         else if (st.isDirectory) walk(st.getPath)
         else Seq(st)
       }
+    // every serving-state root rides the manifest: the store, each
+    // channel's ANN index, and BOTH sidecars — a copy without the
+    // neardup sidecar would silently re-admit near-dups, one without
+    // lexical/ would lose hybrid search
     val files = fs.listStatus(rootP)
       .filter(st => st.isDirectory && (st.getPath.getName == "vector_store" ||
-        st.getPath.getName.startsWith("ann_index_")))
+        st.getPath.getName.startsWith("ann_index_") ||
+        st.getPath.getName == "neardup" || st.getPath.getName == "lexical"))
       .flatMap(st => walk(st.getPath))
       .map(st => (fs.makeQualified(st.getPath).toString
         .stripPrefix(qualifiedRoot).stripPrefix("/"), st.getLen))

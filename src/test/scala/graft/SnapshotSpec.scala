@@ -88,6 +88,12 @@ class SnapshotSpec extends AnyFunSuite {
   }
 
   test("restore() replays the manifest and the copy serves identically") {
+    // the sidecars are live state too: both must ride the manifest —
+    // a copy without neardup/ silently re-admits near-dups, one
+    // without lexical/ loses hybrid search
+    db.indexLexical()
+    db.indexNearDup(Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 60))
     db.snapshot()
     val copyDir = "target/vdb_snapshot_restore"
     rmRf(new java.io.File(copyDir))
@@ -98,6 +104,12 @@ class SnapshotSpec extends AnyFunSuite {
     assert(key(copy.search(q, 5).collect()) == key(db.search(q, 5).collect()))
     assert(key(copy.searchAnn(q, 5, nProbe = 4).collect()) ==
       key(db.searchAnn(q, 5, nProbe = 4).collect()))
+    def hkey(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Double]("rrf_r"),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    assert(copy.lexicalIndexed && copy.nearDupIndexed)
+    assert(hkey(copy.searchHybrid(q, 5).collect()) ==
+      hkey(db.searchHybrid(q, 5).collect()))
     assert(copy.annAppendFraction("text") == db.annAppendFraction("text"))
     // the copy is itself snapshot-consistent (manifest rode along) and
     // refuses to be restored over
