@@ -1008,6 +1008,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         }
       }
     if (parts > 0) spark.catalog.refreshByPath(storePath)
+    // sidecars with accumulated tombstones compact in the same sweep
+    // (gated on tombstones actually existing — an untombstoned sidecar
+    // would pay a full rewrite for nothing; fragmentation-driven
+    // compaction stays an explicit maintainNearDup/maintainLexical call)
+    if (existsPath(new org.apache.hadoop.fs.Path(ndTombPath))) maintainNearDup()
+    if (existsPath(new org.apache.hadoop.fs.Path(lexTombPath))) maintainLexical()
     // maintenance exit = a consistent point: stamp the live file set so
     // an external copier has a manifest that cannot straddle a rewrite
     snapshot()

@@ -158,10 +158,10 @@ class LexicalHybridSpec extends AnyFunSuite {
       s"deleted doc resurfaced: ${after.toSeq}")
 
     // ---- compaction drops tombstoned postings and recomputes stats;
-    // results invariant ----
+    // results invariant; maintainStore sweeps the tombstoned sidecar ----
     val before = db.searchHybrid(query, 5).collect()
       .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
-    db.maintainLexical()
+    db.maintainStore()
     assert(!new java.io.File(s"$dir/lexical/tombstones").exists)
     val afterCompact = db.searchHybrid(query, 5).collect()
       .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
