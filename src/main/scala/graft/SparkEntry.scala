@@ -86,7 +86,15 @@ object SparkEntry {
     // make the whole plan (argmax assignment included) SQL-replayable,
     // so the bucketing itself hash-checks; the fitted-centroid
     // production config swaps only the seed frame
-    "dd_semdedup" -> ((s: SparkSession, dir: String) => Dedup.semdedup(s, dir)),
+    "dd_semdedup" -> ((s: SparkSession, dir: String) => {
+      // the SEEDED config holds k fixed for SQL replay, so its
+      // within-cluster term is quadratic/k — a test-scale oracle
+      // harness (same bound as dd_embed); production runs the fitted
+      // adaptive-k config below
+      val n = Tables.load(s, dir, "embeddings").count()
+      require(n <= 1000000, s"dd_semdedup (seeded, fixed k) is a test-scale harness (corpus $n)")
+      Dedup.semdedup(s, dir)
+    }),
     // the fitted production config: k scales with the corpus at the
     // occupancy anchor (linear total pair work); [rows-only] — the
     // fit is the one non-oracle step, everything else hash-checks

@@ -69,6 +69,8 @@ object Demo {
     db.searchHybrid("fast query join table", topN = 5).show(20, 60)
     println("[demo] batch hybrid - 3 queries, constant scans:")
     db.searchAllHybrid(queries, topN = 3).show(20, 60)
+    val (hybridResp, _) = db.answerHybrid("fast query join table")
+    println(s"[demo] answerHybrid: $hybridResp")
     println(f"[demo] drift gauge: ${db.annAppendFraction("text")}%.2fx appended, " +
       s"needsRebuild=${db.annIndexNeedsRebuild("text")}")
     println(f"[demo] occupancy gauge: skew ${db.annCellSkew("text")}%.1fx, " +
