@@ -143,6 +143,26 @@ object ServeProbe {
     db.searchHybrid(qs.head, 5).collect() // warm the serving cache
     timeMin("warm searchHybrid", 3)(db.searchHybrid(qs(1), 5).collect())
     timeMin("searchAllHybrid x64", 2)(db.searchAllHybrid(batch, 5).collect())
+    // hybrid freshness: a second streamed doc must be lexically AND
+    // approximately findable through the fused path with no reindex
+    // (ingest appends postings + ANN cells in the same batch)
+    val planted2 = Seq((999999902L,
+      "hybridfresh xylograph quine marker doc fast join", "en", "probe"))
+      .toDF("doc_id", "text", "lang", "source")
+    planted2.write.mode("append").parquet(srcDir.toString)
+    val th0 = System.nanoTime()
+    db.ingestStream(
+      spark.readStream.schema(planted2.schema).parquet(srcDir.toString),
+      s"$freshBase/ckpt", indexChannels = Seq("text")).awaitTermination()
+    var hVisible = false
+    var tHVis = 0.0
+    while (!hVisible && (System.nanoTime() - th0) / 1e9 < 120) {
+      hVisible = db.searchHybrid("hybridfresh xylograph quine", 5).collect()
+        .exists(_.getAs[String]("doc_name").contains("/probe/"))
+      tHVis = (System.nanoTime() - th0) / 1e9
+    }
+    println(f"[serveprobe] hybrid freshness: searchable $tHVis%.2f s " +
+      f"(visible=$hVisible, no reindex)")
     spark.stop()
   }
 }
