@@ -697,14 +697,23 @@ object Dedup {
       val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
       val k2 = math.ceil(k.toDouble / k1).toInt
       val coarse = AnnIndex.lloyd(sample, k1, iters = 5)
-      // sample members route to their coarse cell driver-side; each
-      // cell's members fit its sub-centroids (empty/tiny cells keep
-      // the coarse centroid itself as their single sub)
-      def near(p: Array[Double], cs: Array[Array[Double]]): Int =
-        cs.indices.minBy { i =>
-          var s = 0.0; var j = 0
-          while (j < p.length) { val t = p(j) - cs(i)(j); s += t * t; j += 1 }
-          s }
+      // sample members route to their coarse cell driver-side BY THE
+      // SAME METRIC the corpus assignment uses (cosine argmax) — an
+      // L2 partition here would fit sub-codebooks from points the
+      // cosine routing never sends to that cell, silently costing
+      // recall on unnormalized embeddings; each cell's members fit
+      // its sub-centroids (empty/tiny cells keep the coarse centroid
+      // itself as their single sub)
+      def near(p: Array[Double], cs: Array[Array[Double]]): Int = {
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < a.length) {
+            d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+          }
+          d / math.sqrt(na * nb)
+        }
+        cs.indices.maxBy(i => cos(p, cs(i)))
+      }
       val bySample = sample.groupBy(near(_, coarse))
       val subs: Seq[(Int, Long, Seq[Double])] = (0 until k1).flatMap { c =>
         val pts = bySample.getOrElse(c, Array.empty)

@@ -280,6 +280,36 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   def nearDupIndexed: Boolean =
     existsPath(new org.apache.hadoop.fs.Path(ndBandsPath))
 
+  /** Monotonic append-generation for a sidecar root: every entry is
+    * stamped with the generation of the append that wrote it, and a
+    * tombstone records the generation current AT DELETE — "deleted"
+    * therefore means "no entry NEWER than the tombstone", so
+    * re-ingesting a previously deleted doc just works: its fresh
+    * entries carry a newer generation and serve, while the stale
+    * pre-delete entries stay suppressed until compaction drops them
+    * physically. (A tombstone-REVOKING design would resurrect those
+    * stale entries beside the fresh ones — double-counted BM25 term
+    * frequencies, a gate verifying against superseded shingles.) */
+  private def nextGen(root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, "_GEN")
+    val g = readLongAt(p) + 1
+    writeLongAt(p, g)
+    g
+  }
+  private def curGen(root: String): Long =
+    readLongAt(new org.apache.hadoop.fs.Path(root, "_GEN"))
+
+  /** The entries still live under the generation rule: no tombstone
+    * for the name at-or-after the entry's generation. */
+  private def liveByGen(entries: DataFrame, tombPath: String): DataFrame =
+    if (!existsPath(new org.apache.hadoop.fs.Path(tombPath))) entries
+    else {
+      val t = spark.read.parquet(tombPath)
+        .groupBy($"doc_name").agg(max($"tgen").as("tgen"))
+      entries.join(t, Seq("doc_name"), "left_outer")
+        .filter($"tgen".isNull || $"gen" > $"tgen").drop("tgen")
+    }
+
   /** (doc_id, doc_name, sh, shh) for a documents-shaped frame: the
     * word-bigram shingle sets the Dedup operators use, the store's
     * doc_name derivation (must match [[GraftVectorDB.pipeline]]'s so
@@ -335,20 +365,19 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 1) corpus check: candidates from the persisted band sidecar,
-      // minus tombstoned (deleted) docs
+      // minus generation-dead (deleted, not since re-added) entries
       val corpusMatches: Seq[(Long, String, Double)] =
         if (!nearDupIndexed) Seq.empty
         else {
-          val cand0 = spark.read.parquet(ndBandsPath)
+          val cand = liveByGen(spark.read.parquet(ndBandsPath), ndTombPath)
             .join(broadcast(newBands), Seq("band", "bkey"))
             .select($"doc_id", $"doc_name").distinct()
-          val cand =
-            if (!existsPath(new org.apache.hadoop.fs.Path(ndTombPath))) cand0
-            else cand0.join(spark.read.parquet(ndTombPath),
-              Seq("doc_name"), "left_anti")
           val names = cand.select($"doc_name").distinct()
             .limit(GraftVectorDB.InLiteralMax + 1).collect().map(_.getString(0))
-          val stored0 = spark.read.parquet(ndSetsPath)
+          // the sets fetch must apply the SAME liveness rule: a
+          // re-added name holds both stale and live shingle rows, and
+          // verifying against the superseded content would misfire
+          val stored0 = liveByGen(spark.read.parquet(ndSetsPath), ndTombPath)
           val stored =
             if (names.length <= GraftVectorDB.InLiteralMax)
               stored0.filter($"doc_name".isin(names.toIndexedSeq: _*))
@@ -408,15 +437,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       try {
         val n = ingest(survivors, indexChannels)
         if (freshIds.count() > 0) {
+          // a fresh generation stamp makes re-added docs' entries
+          // NEWER than any tombstone from their deletion — they serve
+          // immediately while the stale rows stay suppressed
+          val g = nextGen(nearDupPath)
           // fail-open ordering: sets before bands — a crash between the
           // two leaves names with sets but no routing entry (no
           // candidates, dup admitted later), never the reverse rejection
           sets.join(broadcast(freshIds), "doc_id")
-            .select($"doc_name", $"shh").sortWithinPartitions($"doc_name")
+            .select($"doc_name", $"shh").withColumn("gen", lit(g))
+            .sortWithinPartitions($"doc_name")
             .write.mode(SaveMode.Append).parquet(ndSetsPath)
           newBands.join(broadcast(freshIds), "doc_id")
             .join(sets.select($"doc_id", $"doc_name"), "doc_id")
-            .select($"doc_name", $"band", $"bkey")
+            .select($"doc_name", $"band", $"bkey").withColumn("gen", lit(g))
             .write.mode(SaveMode.Append).parquet(ndBandsPath)
         }
         // names only for the batch-drop anchors (bounded by the pair
@@ -449,12 +483,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     recoverNearDup()
     val sets = Tables.materialize(nearDupSets(docs))
     try {
-      sets.select($"doc_name", $"shh").sortWithinPartitions($"doc_name")
+      val g = nextGen(nearDupPath)
+      sets.select($"doc_name", $"shh").withColumn("gen", lit(g))
+        .sortWithinPartitions($"doc_name")
         .write.mode(SaveMode.Append).parquet(ndSetsPath)
       // shingle-less docs stay out of the band space (see ingestNearDup)
       Dedup.bandKeys(spark, sets.filter(size($"sh") > 0)
           .select($"doc_name".as("doc_id"), $"sh".as("s")))
-        .toDF("doc_name", "band", "bkey")
+        .toDF("doc_name", "band", "bkey").withColumn("gen", lit(g))
         .write.mode(SaveMode.Append).parquet(ndBandsPath)
       sets.count()
     } finally Tables.release(sets)
@@ -477,10 +513,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           val live = new org.apache.hadoop.fs.Path(dir)
           val tmp = new org.apache.hadoop.fs.Path(s"$nearDupPath/.tmp_${live.getName}")
           val old = new org.apache.hadoop.fs.Path(s"$nearDupPath/.old_${live.getName}")
-          val df0 = spark.read.parquet(dir)
-          val df =
-            if (!hasTomb) df0
-            else df0.join(spark.read.parquet(ndTombPath), Seq("doc_name"), "left_anti")
+          val df = liveByGen(spark.read.parquet(dir), ndTombPath)
           df.repartition(targetFiles)
             .sortWithinPartitions(sortCols.map(col): _*)
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -520,6 +553,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def tombstoneNearDup(names: DataFrame): Unit =
     if (nearDupIndexed)
       names.select($"doc_name").distinct()
+        .withColumn("tgen", lit(curGen(nearDupPath)))
         .write.mode(SaveMode.Append).parquet(ndTombPath)
 
   // ─────────── lexical (BM25) sidecar + hybrid serving ───────────
@@ -588,7 +622,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
     val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
     val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
-    lexPostingsOf(store)
+    lexPostingsOf(store).withColumn("gen", lit(nextGen(lexicalPath)))
       .repartition(col("bucket"))
       .sortWithinPartitions($"bucket", $"term", $"doc_name")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
@@ -596,27 +630,51 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     else require(fs.rename(tmp, live), s"indexLexical: rename $tmp -> $live failed")
     if (existsPath(new org.apache.hadoop.fs.Path(lexTombPath)))
       fs.delete(new org.apache.hadoop.fs.Path(lexTombPath), true)
-    val (n, sumdl) = lexStatsOf(store)
+    spark.catalog.refreshByPath(lexicalPath)
+    // exact stats from the just-written postings (one NARROW sidecar
+    // read, not a second full corpus scan+tokenize)
+    val (n, sumdl) = lexPostingsStats()
     writeLongAt(lexCounter("_NDOCS"), n)
     writeLongAt(lexCounter("_SUMDL"), sumdl)
-    spark.catalog.refreshByPath(lexicalPath)
     n
   }
 
+  /** (chunk count, total tokens) folded from the live postings — the
+    * per-chunk dl repeats on every posting, so fold to one row per
+    * chunk first. Empty-safe: a fully-compacted-away sidecar (every
+    * doc deleted) holds no data files, which must read as (0, 0), not
+    * crash — nDocs = 0 is exactly what makes the serving path return
+    * an empty lexical pool. */
+  private def lexPostingsStats(): (Long, Long) =
+    try {
+      val r = spark.read.parquet(lexPostingsPath)
+        .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
+        .agg(first($"dl").as("dl"))
+        .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => (0L, 0L)
+    }
+
   /** Keep the sidecar current with an ingested batch — called by
-    * [[ingestRecords]] AFTER the store write (fail-open: a crash
-    * window leaves chunks stored but not lexically findable until the
-    * next [[indexLexical]], never ghost postings for rows that were
-    * never stored — those would surface then fail the metadata fetch).
-    * O(batch): the batch's own explode/groupBy, appended per-bucket. */
+    * [[ingestRecords]] AFTER the store write. The fresh generation
+    * stamp makes a re-ingested (previously deleted) doc's postings
+    * NEWER than its tombstone, so they serve immediately with no
+    * tombstone surgery (see [[nextGen]]). Counters advance BEFORE the
+    * postings land — a crash between over-counts N, which only
+    * dampens idf slightly; the reverse order could under-count into
+    * df > N, where the un-clamped idf would NaN. O(batch): the
+    * batch's own explode/groupBy, appended per-bucket. */
   private def appendLexical(records: DataFrame): Unit = {
-    lexPostingsOf(records)
-      .repartition(col("bucket"))
-      .sortWithinPartitions($"bucket", $"term", $"doc_name")
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lexPostingsPath)
+    val g = nextGen(lexicalPath)
     val (n, sumdl) = lexStatsOf(records)
     writeLongAt(lexCounter("_NDOCS"), readLongAt(lexCounter("_NDOCS")) + n)
     writeLongAt(lexCounter("_SUMDL"), readLongAt(lexCounter("_SUMDL")) + sumdl)
+    lexPostingsOf(records).withColumn("gen", lit(g))
+      .repartition(col("bucket"))
+      .sortWithinPartitions($"bucket", $"term", $"doc_name")
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lexPostingsPath)
   }
 
   /** Tombstone doc_names in the lexical sidecar (no-op without one).
@@ -630,6 +688,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def tombstoneLexical(names: DataFrame): Unit =
     if (lexicalIndexed)
       names.select($"doc_name").distinct()
+        .withColumn("tgen", lit(curGen(lexicalPath)))
         .write.mode(SaveMode.Append).parquet(lexTombPath)
 
   /** Compact the lexical sidecar: drop tombstoned docs, rewrite each
@@ -646,24 +705,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
       val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
       val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
-      val df0 = spark.read.parquet(lexPostingsPath)
-      val df =
-        if (!hasTomb) df0
-        else df0.join(spark.read.parquet(lexTombPath), Seq("doc_name"), "left_anti")
+      val df = liveByGen(spark.read.parquet(lexPostingsPath), lexTombPath)
       df.repartition(col("bucket"))
         .sortWithinPartitions($"bucket", $"term", $"doc_name")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
       swapDir(fs, live, tmp, old, "maintainLexical")
       spark.catalog.refreshByPath(lexicalPath)
-      // exact stat refresh from the compacted postings (narrow read:
-      // the per-chunk dl repeats on every posting — fold to one row
-      // per chunk first)
-      val st = spark.read.parquet(lexPostingsPath)
-        .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
-        .agg(first($"dl").as("dl"))
-        .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
-      writeLongAt(lexCounter("_NDOCS"), st.getLong(0))
-      writeLongAt(lexCounter("_SUMDL"), st.getLong(1))
+      // exact stat refresh from the compacted postings (empty-safe:
+      // deleting every doc must leave (0, 0) counters, not a crash)
+      val (n, sumdl) = lexPostingsStats()
+      writeLongAt(lexCounter("_NDOCS"), n)
+      writeLongAt(lexCounter("_SUMDL"), sumdl)
       if (hasTomb) fs.delete(new org.apache.hadoop.fs.Path(lexTombPath), true)
     }
 
@@ -720,15 +772,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // filters exactly either way; a huge batch's term union would
     // bloat the plan as a literal (the InLiteralMax rule), so past it
     // only the bucket partition pruning narrows the scan
-    val matched0 = spark.read.parquet(lexPostingsPath)
-      .filter($"bucket".isin(buckets: _*))
-      .transform(df =>
-        if (allTerms.length <= GraftVectorDB.InLiteralMax)
-          df.filter($"term".isin(allTerms: _*))
-        else df)
-    val matched =
-      if (!existsPath(new org.apache.hadoop.fs.Path(lexTombPath))) matched0
-      else matched0.join(spark.read.parquet(lexTombPath), Seq("doc_name"), "left_anti")
+    val matched = liveByGen(
+      spark.read.parquet(lexPostingsPath)
+        .filter($"bucket".isin(buckets: _*))
+        .transform(df =>
+          if (allTerms.length <= GraftVectorDB.InLiteralMax)
+            df.filter($"term".isin(allTerms: _*))
+          else df),
+      lexTombPath)
     val withDf = matched.withColumn("df", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy($"term")))
     val qt = qTerms.flatMap { case (id, ts, loc) =>
@@ -745,12 +796,19 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val b = HybridSearch.B
     Some(perQ
       .select($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id",
-        (org.apache.spark.sql.functions.log(
-            lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5))
+        // per-term contributions 6dp-rounded BEFORE the per-doc sum
+        // (the operator twin's accumulation-order-immunity grid) so
+        // pool ranks are deterministic across plans and runs; the idf
+        // numerator clamps at 0 — a stale over-appended df can exceed
+        // the counter N in a crash window, and log(≤0) would NaN the
+        // score and silently drop the chunk from the pool
+        round(org.apache.spark.sql.functions.log(
+            lit(1.0) + greatest(lit(0.0), lit(nDocs.toDouble) - $"df" + 0.5)
+              / ($"df" + 0.5))
           * $"tf" * lit(k1 + 1)
-          / ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl))).as("c"))
+          / ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl)), 6).as("c"))
       .groupBy($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id")
-      .agg(sum($"c").as("score"))
+      .agg(round(sum($"c"), 6).as("score"))
       .select($"q_id", $"score",
         xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
         struct($"doc_name", $"page_num", $"content_type", $"content_id").as("meta"))
@@ -851,8 +909,16 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def fetchRaw(keys: Seq[LexKey]): Map[LexKey, String] =
     if (keys.isEmpty) Map.empty
     else {
+      import spark.implicits._
       val names = keys.map(_._1).distinct
-      store.filter($"doc_name".isin(names: _*))
+      // past InLiteralMax the name list rides a broadcast equi-join
+      // instead of an In literal (a 4096-query batch can need ~20k
+      // names — the same plan-bloat rule as the shortlist fetch)
+      val byName =
+        if (names.length <= GraftVectorDB.InLiteralMax)
+          store.filter($"doc_name".isin(names: _*))
+        else store.join(broadcast(names.toDF("doc_name")), "doc_name")
+      byName
         .select($"doc_name", $"page_num", $"content_type", $"content_id",
           $"content_raw")
         .collect().map(r => hybridKeyOf(r) -> r.getAs[String]("content_raw")).toMap
@@ -2379,10 +2445,16 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // sidecar tombstones FIRST (fail-open; distributed write —
-    // a predicate can hit unboundedly many docs)
+    // a predicate can hit unboundedly many docs). ONE predicate scan
+    // feeds both sidecars: the narrow name frame persists across the
+    // two writes, which also pins an identical name set for both
     if (touched.nonEmpty) {
-      tombstoneNearDup(store.filter(hit).select($"doc_name"))
-      tombstoneLexical(store.filter(hit).select($"doc_name"))
+      val victims = store.filter(hit).select($"doc_name")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        tombstoneNearDup(victims)
+        tombstoneLexical(victims)
+      } finally victims.unpersist(blocking = false)
     }
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3229,7 +3301,7 @@ object GraftVectorDB {
     * driver-reproducible (query-time routing needs no Spark job) and
     * identical to the in-plan `conv(substring(md5(term),1,2),16,10)`
     * form the postings writer uses. */
-  private[operators] def lexBucket(term: String): Int = {
+  private[graft] def lexBucket(term: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (md.digest(term.getBytes("UTF-8"))(0) & 0xFF) % LexBuckets
   }

@@ -47,14 +47,16 @@ class LexicalHybridSpec extends AnyFunSuite {
     val df = qTerms.map(t => t -> toks.count(_._2.contains(t))).toMap
     toks.filter { case (k, _) => loc.forall(k._1.startsWith) }
       .map { case (k, tk) =>
-        val score = qTerms.map { t =>
+        // 6dp per-term grid then a 6dp sum — the serving plan's
+        // accumulation-order-immune rounding, mirrored exactly
+        val score = r6(qTerms.map { t =>
           val tf = tk.count(_ == t).toDouble
           if (tf == 0 || df(t) == 0) 0.0
-          else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          else r6(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
             tf * (HybridSearch.K1 + 1) /
             (tf + HybridSearch.K1 * (1 - HybridSearch.B +
-              HybridSearch.B * tk.size / avgdl))
-        }.sum
+              HybridSearch.B * tk.size / avgdl)))
+        }.sum)
         k -> score
       }
       .filter(_._2 > 0)
@@ -74,6 +76,20 @@ class LexicalHybridSpec extends AnyFunSuite {
       case ((local, viaSql), i) =>
         assert(local == viaSql, s"case ${i}: '${cases(i)}'")
     }
+  }
+
+  test("lexBucket: driver md5 routing is bit-identical to the in-plan bucket") {
+    // a mismatch is a SILENT lookup miss (the query prunes to the
+    // wrong partition), so pin the parity on adversarial terms
+    val terms = Seq("", "a", "alpha", "☃", "ümlaut", "日本語",
+      "x" * 1000, "ctl", "mixed☃ascii", "0", "ZZ")
+    val inPlan = terms.toDF("term")
+      .select((conv(substring(md5($"term"), 1, 2), 16, 10).cast("int")
+        % GraftVectorDB.LexBuckets).cast("int").as("b"))
+      .collect().map(_.getInt(0))
+    terms.map(graft.operators.GraftVectorDB.lexBucket).zip(inPlan)
+      .zipWithIndex.foreach { case ((local, plan), i) =>
+        assert(local == plan, s"term '${terms(i)}'") }
   }
 
   test("hybrid lifecycle: BM25 parity, fusion parity, append, delete, compaction") {
@@ -224,6 +240,47 @@ class LexicalHybridSpec extends AnyFunSuite {
       s"streamed doc must be lexically findable: ${hits.toSeq}")
     val (resp, _) = db.answerHybrid("wombat quokka")
     assert(resp.contains("doc_77") && resp.startsWith("[extractive]"), resp)
+  }
+
+  test("re-ingest after delete revokes the tombstone; compaction keeps the doc") {
+    val dir = "target/vdb_lexical_revoke"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus.take(2)))
+    db.indexLexical()
+    db.ingest(docsFrame(Seq(88L -> "quasar nebula sentinel terms")))
+    val name = db.searchHybrid("quasar nebula", 3).collect()
+      .head.getAs[String]("doc_name")
+    db.delete(Seq(name))
+    assert(db.searchHybrid("quasar nebula", 3).collect()
+      .forall(_.getAs[String]("doc_name") != name))
+    // the delete freed the content hash: the SAME doc re-ingests, and
+    // its fresh postings must not stay shadowed by the old tombstone
+    assert(db.ingest(docsFrame(Seq(88L -> "quasar nebula sentinel terms"))) > 0)
+    val back = db.searchHybrid("quasar nebula", 3).collect()
+    assert(back.exists(_.getAs[String]("doc_name") == name),
+      s"re-ingested doc shadowed by its tombstone: ${back.toSeq}")
+    // compaction must not make the shadowing permanent either
+    db.maintainStore()
+    assert(db.searchHybrid("quasar nebula", 3).collect()
+      .exists(_.getAs[String]("doc_name") == name))
+  }
+
+  test("deleting every doc then compacting leaves a servable empty sidecar") {
+    val dir = "target/vdb_lexical_empty"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus.take(2)))
+    db.indexLexical()
+    val names = db.store.select($"doc_name").distinct()
+      .collect().map(_.getString(0))
+    db.delete(names.toSeq)
+    db.maintainStore() // compacts the fully-tombstoned sidecar: must not crash
+    assert(db.searchHybrid("alpha common", 5).collect().isEmpty,
+      "an emptied store serves an empty result, not an error")
+    // the sidecar stays live: a fresh ingest is findable again
+    db.ingest(docsFrame(Seq(99L -> "phoenix rebirth sentinel")))
+    assert(db.searchHybrid("phoenix rebirth", 3).collect().nonEmpty)
   }
 
   test("crashed lexical rewrite recovers: live restored from .old_, residue cleared") {

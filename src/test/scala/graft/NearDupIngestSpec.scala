@@ -100,6 +100,33 @@ class NearDupIngestSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/neardup/bands").exists())
   }
 
+  test("deleted-then-revised doc: the gate verifies against the NEW content only") {
+    val dir = "target/vdb_neardup_regen"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    val (n1, _) = db.ingestNearDup(docsFrame(Seq(10L -> baseText, 30L -> otherText)))
+    assert(n1 > 0)
+    db.delete(Seq("corpus/gate/doc_10.txt"))
+    // same doc_id, completely REVISED content: must land (its old
+    // entries are generation-dead, its hash was freed)
+    val (n2, s2) = db.ingestNearDup(docsFrame(Seq(10L -> thirdText)))
+    assert(n2 > 0 && s2.isEmpty, s"revised doc must land: ${s2.collect().toSeq}")
+    // a near-dup of the doc's OLD (superseded) content must be
+    // ADMITTED — verifying against stale shingles would wrongly drop it
+    val (n3, s3) = db.ingestNearDup(docsFrame(Seq(40L -> (baseText + " tweak"))))
+    assert(n3 > 0 && s3.isEmpty,
+      s"old-content near-dup wrongly gated: ${s3.collect().toSeq}")
+    // while a near-dup of the NEW content drops against the revised doc
+    val (_, s4) = db.ingestNearDup(docsFrame(Seq(50L -> (thirdText + " tweak"))))
+    val drops = s4.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("dup_of")))
+    assert(drops.toSeq == Seq((50L, "corpus/gate/doc_10.txt")), s"got ${drops.toSeq}")
+    // compaction preserves the generation semantics
+    db.maintainNearDup()
+    val (_, s5) = db.ingestNearDup(docsFrame(Seq(60L -> (thirdText + " nudge"))))
+    assert(s5.collect().map(_.getAs[String]("dup_of")).toSeq ==
+      Seq("corpus/gate/doc_10.txt"))
+  }
+
   test("streaming ingest with nearDupGate dedups each micro-batch against the sidecar") {
     val dir = "target/vdb_neardup_stream"
     rmRf(new java.io.File(dir))
