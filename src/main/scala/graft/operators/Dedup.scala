@@ -681,18 +681,26 @@ object Dedup {
     * recall is bounded by the cluster partition and measured in
     * DedupExactnessSpec; the seeded [[semdedup]] is the hash-checked
     * twin of everything but the fit/assignment. */
-  def semdedupFitted(spark: SparkSession, dir: String): DataFrame = {
+  def semdedupFitted(spark: SparkSession, dir: String): DataFrame =
+    semdedupFittedOf(embedVecs(spark, dir),
+      graft.Tables.load(spark, dir, "embeddings").count(), // footer stats
+      SemOccupancy, SemFlatMax)
+
+  /** Parameterized form so the spec can drive BOTH assignment branches
+    * on a planted frame (the hierarchical one needs k > flatMax, which
+    * the gate-scale corpora never reach at the default occupancy). */
+  private[graft] def semdedupFittedOf(v: DataFrame, n: Long,
+      occupancy: Long, flatMax: Int): DataFrame = {
+    val spark = v.sparkSession
     import spark.implicits._
-    val v = embedVecs(spark, dir)
-    val n = graft.Tables.load(spark, dir, "embeddings").count() // footer stats
     val k = math.min(MaxSemClusters,
-      math.max(SemClusters, (n / SemOccupancy).toInt))
+      math.max(SemClusters, (n / occupancy).toInt))
     val sample = AnnIndex.sampleVectors(v, $"vec_id")
-    if (k <= SemFlatMax) {
+    if (k <= flatMax) {
       val seeds = AnnIndex.centroidsFromSample(spark, sample, k)
         .select($"cell".cast("long").as("cl"), $"cv")
         .withColumn("cnrm", l2Norm($"cv"))
-      semdedupPairsOf(semdedupAssign(v, seeds))
+      semdedupPairs(v, seeds)
     } else {
       val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
       val k2 = math.ceil(k.toDouble / k1).toInt
@@ -715,27 +723,24 @@ object Dedup {
         cs.indices.maxBy(i => cos(p, cs(i)))
       }
       val bySample = sample.groupBy(near(_, coarse))
-      val subs: Seq[(Int, Long, Seq[Double])] = (0 until k1).flatMap { c =>
+      val subs: Seq[(Long, Long, Seq[Double])] = (0 until k1).flatMap { c =>
         val pts = bySample.getOrElse(c, Array.empty)
         val cs = if (pts.length < 2) Array(coarse(c))
           else AnnIndex.lloyd(pts, math.min(k2, pts.length), iters = 5)
         cs.zipWithIndex.map { case (cv, s) =>
-          (c, c.toLong * k2 + s, cv.toSeq) }
+          (c.toLong, c.toLong * k2 + s, cv.toSeq) }
       }
       val coarseDf = coarse.zipWithIndex
-        .map { case (cv, i) => (i, cv.toSeq) }.toSeq.toDF("ci", "ccv")
-        .withColumn("ccnrm", l2Norm($"ccv"))
+        .map { case (cv, i) => (i.toLong, cv.toSeq) }.toSeq.toDF("cl", "cv")
+        .withColumn("cnrm", l2Norm($"cv"))
       val subDf = subs.toDF("ci", "cl", "cv")
         .withColumn("cnrm", l2Norm($"cv"))
-      // stage 1: coarse argmax (n×k1); stage 2: sub argmax within the
-      // chosen coarse cell only (n×≤k2, via a broadcast equi-join on ci)
-      val a1 = v.crossJoin(broadcast(coarseDf))
-        .select($"vec_id", $"v", $"nrm",
-          round(cosine($"v", $"ccv", $"nrm", $"ccnrm"), 6).as("csim"), $"ci")
-        .groupBy($"vec_id")
-        .agg(max(struct($"csim", (-$"ci").as("nci"))).as("m"),
-          first($"v").as("v"), first($"nrm").as("nrm"))
-        .select($"vec_id", $"v", $"nrm", (-$"m.nci").cast("int").as("ci"))
+      // stage 1 is the ONE shared argmax helper over the coarse seeds
+      // (n×k1); stage 2 repeats its exact rounding/tie-break contract
+      // but joins each row to ITS coarse cell's sub-seeds only (n×≤k2
+      // via a broadcast equi-join — the shape the helper's crossJoin
+      // cannot express)
+      val a1 = semdedupAssign(v, coarseDf).withColumnRenamed("cl", "ci")
       val assigned = a1.join(broadcast(subDf), "ci")
         .select($"vec_id", $"v", $"nrm",
           round(cosine($"v", $"cv", $"nrm", $"cnrm"), 6).as("csim"), $"cl")

@@ -290,20 +290,75 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * physically. (A tombstone-REVOKING design would resurrect those
     * stale entries beside the fresh ones — double-counted BM25 term
     * frequencies, a gate verifying against superseded shingles.) */
-  private def nextGen(root: String): Long = {
+  private def nextGen(root: String, dirs: Seq[(String, String)]): Long = {
+    val g = curGen(root, dirs) + 1
+    // atomic write (temp + rename): _GEN is CORRECTNESS-critical — a
+    // torn write degrading to 0 would stamp fresh entries BELOW live
+    // tombstones, suppressing correctly-ingested docs and letting the
+    // next compaction delete them permanently
     val p = new org.apache.hadoop.fs.Path(root, "_GEN")
-    val g = readLongAt(p) + 1
-    writeLongAt(p, g)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".gen_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(g.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"nextGen: rename $tmp -> $p failed")
     g
   }
-  private def curGen(root: String): Long =
-    readLongAt(new org.apache.hadoop.fs.Path(root, "_GEN"))
+
+  /** Current generation; a missing/torn `_GEN` SELF-HEALS from the
+    * sidecar data itself (max stamped generation across the listed
+    * (dir, genColumn) pairs) instead of degrading to 0 — the
+    * degrade-to-0 rule is fine for stats counters but would reset the
+    * generation clock here. */
+  private def curGen(root: String, dirs: Seq[(String, String)]): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, "_GEN")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, "UTF-8").trim.toLongOption
+      } catch { case _: java.io.FileNotFoundException => None }
+    stored.getOrElse {
+      val recovered = dirs.flatMap { case (dir, genCol) =>
+        if (!existsPath(new org.apache.hadoop.fs.Path(dir))) None
+        else try {
+          val df = spark.read.parquet(dir)
+          if (!df.columns.contains(genCol)) None // pre-generation rows = gen 0
+          else Option(df.agg(coalesce(max(col(genCol)), lit(0L)))
+            .collect()(0).getLong(0))
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+        }
+      }.foldLeft(0L)(math.max)
+      if (recovered > 0)
+        log.warn(s"$root/_GEN missing or torn - recovered generation $recovered " +
+          "from the sidecar data")
+      recovered
+    }
+  }
+
+  private def lexGenDirs: Seq[(String, String)] =
+    Seq(lexPostingsPath -> "gen", lexTombPath -> "tgen")
+  private def ndGenDirs: Seq[(String, String)] =
+    Seq(ndSetsPath -> "gen", ndBandsPath -> "gen", ndTombPath -> "tgen")
 
   /** The entries still live under the generation rule: no tombstone
-    * for the name at-or-after the entry's generation. */
+    * for the name at-or-after the entry's generation. Loud on a
+    * pre-generation sidecar (no `gen` column): the alternative is an
+    * UNRESOLVED_COLUMN error deep in a serving plan, or silently
+    * filtering every legacy row out. */
   private def liveByGen(entries: DataFrame, tombPath: String): DataFrame =
     if (!existsPath(new org.apache.hadoop.fs.Path(tombPath))) entries
     else {
+      require(entries.columns.contains("gen"),
+        "sidecar predates generation stamps - rebuild it " +
+          "(indexLexical() / indexNearDup()) before deleting against it")
       val t = spark.read.parquet(tombPath)
         .groupBy($"doc_name").agg(max($"tgen").as("tgen"))
       entries.join(t, Seq("doc_name"), "left_outer")
@@ -440,7 +495,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           // a fresh generation stamp makes re-added docs' entries
           // NEWER than any tombstone from their deletion — they serve
           // immediately while the stale rows stay suppressed
-          val g = nextGen(nearDupPath)
+          val g = nextGen(nearDupPath, ndGenDirs)
           // fail-open ordering: sets before bands — a crash between the
           // two leaves names with sets but no routing entry (no
           // candidates, dup admitted later), never the reverse rejection
@@ -483,7 +538,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     recoverNearDup()
     val sets = Tables.materialize(nearDupSets(docs))
     try {
-      val g = nextGen(nearDupPath)
+      val g = nextGen(nearDupPath, ndGenDirs)
       sets.select($"doc_name", $"shh").withColumn("gen", lit(g))
         .sortWithinPartitions($"doc_name")
         .write.mode(SaveMode.Append).parquet(ndSetsPath)
@@ -553,7 +608,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def tombstoneNearDup(names: DataFrame): Unit =
     if (nearDupIndexed)
       names.select($"doc_name").distinct()
-        .withColumn("tgen", lit(curGen(nearDupPath)))
+        .withColumn("tgen", lit(curGen(nearDupPath, ndGenDirs)))
         .write.mode(SaveMode.Append).parquet(ndTombPath)
 
   // ─────────── lexical (BM25) sidecar + hybrid serving ───────────
@@ -600,15 +655,6 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         (conv(substring(md5($"term"), 1, 2), 16, 10).cast("int")
           % GraftVectorDB.LexBuckets).cast("int"))
 
-  /** (chunk count, total tokens) of a records frame — the corpus-stat
-    * increments the counter files accumulate. */
-  private def lexStatsOf(records: DataFrame): (Long, Long) = {
-    val r = channelFilter(records, "text")
-      .agg(count(lit(1)), coalesce(sum(size(tokens($"content_raw")).cast("long")), lit(0L)))
-      .collect()(0)
-    (r.getLong(0), r.getLong(1))
-  }
-
   /** Build (or rebuild) the lexical sidecar from the store's live text
     * channel — one corpus explode + partial-agg groupBy, written
     * bucket-partitioned and term-sorted (tmp + rename swap, so the old
@@ -622,7 +668,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
     val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
     val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
-    lexPostingsOf(store).withColumn("gen", lit(nextGen(lexicalPath)))
+    lexPostingsOf(store).withColumn("gen", lit(nextGen(lexicalPath, lexGenDirs)))
       .repartition(col("bucket"))
       .sortWithinPartitions($"bucket", $"term", $"doc_name")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
@@ -639,20 +685,27 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     n
   }
 
-  /** (chunk count, total tokens) folded from the live postings — the
+  /** (chunk count, total tokens) folded from a postings frame — the
     * per-chunk dl repeats on every posting, so fold to one row per
-    * chunk first. Empty-safe: a fully-compacted-away sidecar (every
-    * doc deleted) holds no data files, which must read as (0, 0), not
-    * crash — nDocs = 0 is exactly what makes the serving path return
-    * an empty lexical pool. */
+    * chunk first. BOTH stats paths (append increments and
+    * rebuild/compaction refresh) derive from postings, so a chunk that
+    * produces no postings (e.g. null text) counts in neither and N
+    * stays invariant across maintenance boundaries. */
+  private def lexStatsOfPostings(posts: DataFrame): (Long, Long) = {
+    val r = posts
+      .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
+      .agg(first($"dl").as("dl"))
+      .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[lexStatsOfPostings]] over the LIVE sidecar. Empty-safe: a
+    * fully-compacted-away sidecar (every doc deleted) holds no data
+    * files, which must read as (0, 0), not crash — nDocs = 0 is
+    * exactly what makes the serving path return an empty pool. */
   private def lexPostingsStats(): (Long, Long) =
-    try {
-      val r = spark.read.parquet(lexPostingsPath)
-        .groupBy($"doc_name", $"page_num", $"content_type", $"content_id")
-        .agg(first($"dl").as("dl"))
-        .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    } catch {
+    try lexStatsOfPostings(spark.read.parquet(lexPostingsPath))
+    catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => (0L, 0L)
     }
@@ -667,14 +720,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * df > N, where the un-clamped idf would NaN. O(batch): the
     * batch's own explode/groupBy, appended per-bucket. */
   private def appendLexical(records: DataFrame): Unit = {
-    val g = nextGen(lexicalPath)
-    val (n, sumdl) = lexStatsOf(records)
-    writeLongAt(lexCounter("_NDOCS"), readLongAt(lexCounter("_NDOCS")) + n)
-    writeLongAt(lexCounter("_SUMDL"), readLongAt(lexCounter("_SUMDL")) + sumdl)
-    lexPostingsOf(records).withColumn("gen", lit(g))
-      .repartition(col("bucket"))
-      .sortWithinPartitions($"bucket", $"term", $"doc_name")
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lexPostingsPath)
+    val g = nextGen(lexicalPath, lexGenDirs)
+    val posts = Tables.materialize(
+      lexPostingsOf(records).withColumn("gen", lit(g)))
+    try {
+      val (n, sumdl) = lexStatsOfPostings(posts)
+      writeLongAt(lexCounter("_NDOCS"), readLongAt(lexCounter("_NDOCS")) + n)
+      writeLongAt(lexCounter("_SUMDL"), readLongAt(lexCounter("_SUMDL")) + sumdl)
+      posts.repartition(col("bucket"))
+        .sortWithinPartitions($"bucket", $"term", $"doc_name")
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lexPostingsPath)
+    } finally Tables.release(posts)
   }
 
   /** Tombstone doc_names in the lexical sidecar (no-op without one).
@@ -688,7 +744,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def tombstoneLexical(names: DataFrame): Unit =
     if (lexicalIndexed)
       names.select($"doc_name").distinct()
-        .withColumn("tgen", lit(curGen(lexicalPath)))
+        .withColumn("tgen", lit(curGen(lexicalPath, lexGenDirs)))
         .write.mode(SaveMode.Append).parquet(lexTombPath)
 
   /** Compact the lexical sidecar: drop tombstoned docs, rewrite each
@@ -2444,12 +2500,22 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val touched = store.filter(hit).groupBy($"content_type")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // sidecar tombstones FIRST (fail-open; distributed write —
-    // a predicate can hit unboundedly many docs). ONE predicate scan
-    // feeds both sidecars: the narrow name frame persists across the
-    // two writes, which also pins an identical name set for both
+    // sidecar tombstones FIRST (fail-open; distributed write — a
+    // predicate can hit unboundedly many docs). Tombstones are
+    // doc_name-granular, so only WHOLLY-deleted docs tombstone: a
+    // sub-document predicate (one content_type of a doc) must not
+    // kill the surviving chunks' postings or the doc's dedup
+    // signature — a partially-deleted doc's dead chunks can still
+    // surface in the BM25 pool, where the metadata fetch finds no
+    // store row and the fused output drops them defensively. ONE
+    // predicate scan feeds both sidecars (persisted name frame, so
+    // the two writes see an identical set).
     if (touched.nonEmpty) {
-      val victims = store.filter(hit).select($"doc_name")
+      val victims = store.groupBy($"doc_name")
+        .agg(max(when(hit, 1).otherwise(0)).as("anyHit"),
+          max(when(keep, 1).otherwise(0)).as("anySurvive"))
+        .filter($"anyHit" === 1 && $"anySurvive" === 0)
+        .select($"doc_name")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         tombstoneNearDup(victims)

@@ -69,6 +69,47 @@ class DedupExactnessSpec extends AnyFunSuite {
       fit.size.toDouble / global.size}%.2f (${global.size} global)")
   }
 
+  test("semdedupFitted hierarchical branch: planted duplicates found, precision exact") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    // corpus vectors + 3 planted exact copies under fresh ids — an
+    // identical vector ALWAYS co-clusters with its original (same
+    // argmax at both stages), so the planted pairs are a recall-1.0
+    // oracle for the hierarchical assignment specifically
+    val base = Tables.spread(Tables.load(spark, sf, "embeddings"))
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val planted = base.filter($"vec_id".isin(3L, 57L, 111L))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"v", $"nrm")
+    val v = base.unionByName(planted)
+    val n = v.count()
+    // occupancy 2 → k ≈ n/2 ≫ flatMax 8 → the hierarchical path runs
+    val pairs = Dedup.semdedupFittedOf(v, n, occupancy = 2L, flatMax = 8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim_r")))
+    Seq(3L, 57L, 111L).foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000L && p._3 == 1.0),
+        s"planted duplicate pair ($id, ${id + 100000L}) missed")
+    }
+    // precision: every emitted pair meets the threshold against the
+    // exact cosine recomputed independently
+    val byId = v.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Double](r.fieldIndex("v")).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    pairs.foreach { case (a, b, s) =>
+      val exact = BigDecimal(cos(byId(a), byId(b)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(exact == s && s >= Dedup.EmbedThreshold, s"pair ($a,$b): $s vs $exact")
+    }
+    // determinism: the whole fit/assign/verify replays identically
+    val again = Dedup.semdedupFittedOf(v, n, occupancy = 2L, flatMax = 8)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(again.toSeq == pairs.map(p => (p._1, p._2)).toSeq)
+  }
+
   test("connectedComponents: min-label parity with driver union-find; O(log) rounds on a long chain") {
     import spark.implicits._
     // adversarial diameter: a 1024-node chain (one-hop propagation
