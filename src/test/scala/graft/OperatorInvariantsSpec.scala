@@ -172,6 +172,16 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_semdedup plan: broadcast seed assignment, equi-join pairs, no shuffled cartesian") {
+    val plan = Dedup.semdedup(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the seed assignment must broadcast the centroid frame")
+    assert(!plan.contains("CartesianProduct"),
+      "the within-cluster pair stage must be an equi-join on cl, " +
+        s"never a shuffled cartesian:\n$plan")
+  }
+
   test("tx_pack spans tile the per-source token stream exactly") {
     val rows = TextAnalysis.pack(spark, sf).collect()
     val L = TextAnalysis.SeqLen
