@@ -27,6 +27,7 @@ object SparkEntry {
     "ol_percentile" -> (Relational.percentiles _),
     "ol_asof" -> (Relational.asofJoin _),
     "ol_range" -> (Relational.rangeJoin _),
+    "ol_retention" -> (Relational.retention _),
     "ol_exists" -> (Relational.noOrders _),
     "ol_cube" -> (Relational.cubeOrders _),
     "ol_distinct" -> (Relational.distinctCounts _),
@@ -317,6 +318,16 @@ object SparkEntry {
         |  WHERE c.user_id = e.user_id AND c.event_type = 'click'
         |    AND c.ts > e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts) AS n_clicks
         |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin,
+    // week-truncated dates differ by exact multiples of 7 days, so the
+    // weeks_since integer is engine-parity-safe by construction
+    "ol_retention" ->
+      """WITH w AS (SELECT user_id, date_trunc('week', ts)::DATE wk FROM events),
+        |c AS (SELECT user_id, min(wk) cohort_week FROM w GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  (date_diff('day', c.cohort_week, w.wk) // 7)::BIGINT AS weeks_since,
+        |  count(DISTINCT w.user_id)::BIGINT AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ol_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
