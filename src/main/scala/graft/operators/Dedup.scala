@@ -700,7 +700,7 @@ object Dedup {
       val seeds = AnnIndex.centroidsFromSample(spark, sample, k)
         .select($"cell".cast("long").as("cl"), $"cv")
         .withColumn("cnrm", l2Norm($"cv"))
-      semdedupPairs(v, seeds)
+      semdedupPairs(v, seeds, occupancy * SemHotFactor)
     } else {
       val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
       val k2 = math.ceil(k.toDouble / k1).toInt
@@ -748,14 +748,23 @@ object Dedup {
         .agg(max(struct($"csim", (-$"cl").as("ncl"))).as("m"),
           first($"v").as("v"), first($"nrm").as("nrm"))
         .select($"vec_id", $"v", $"nrm", (-$"m.ncl").as("cl"))
-      semdedupPairsOf(assigned)
+      semdedupPairsOf(assigned, occupancy * SemHotFactor)
     }
   }
 
+  /** A fitted cluster past `occupancy ×` this factor counts as HOT and
+    * sub-splits before the verify join — the occupancy anchor holds
+    * the MEAN cluster size, but an adversarial near-dup-heavy corpus
+    * concentrates mass in one cluster and re-creates |c|² on a single
+    * join key (the failure mode [[GraftVectorDB.splitHotCells]] guards
+    * against on the ANN side). */
+  val SemHotFactor = 4L
+
   /** Assignment + within-cluster verify, shared by the seeded and
     * fitted configs (they differ ONLY in the seeds frame). */
-  private def semdedupPairs(v: DataFrame, seeds: DataFrame): DataFrame =
-    semdedupPairsOf(semdedupAssign(v, seeds))
+  private def semdedupPairs(v: DataFrame, seeds: DataFrame,
+      hotCap: Long = Long.MaxValue): DataFrame =
+    semdedupPairsOf(semdedupAssign(v, seeds), hotCap)
 
   /** Flat argmax assignment over one broadcast seeds frame via ONE
     * partial-agg max(struct): the corpus shuffles once on vec_id
@@ -773,16 +782,75 @@ object Dedup {
   }
 
   /** Within-cluster exact verify of an assigned (vec_id, v, nrm, cl)
-    * frame at the shared threshold. */
-  private def semdedupPairsOf(assigned: DataFrame): DataFrame = {
+    * frame at the shared threshold. With a finite `hotCap`, clusters
+    * past it SUB-SPLIT first ([[semdedupHotGuard]]) so no single join
+    * key carries a quadratic row count; the seeded oracle config keeps
+    * the default (no guard — its plan is the hash-checked twin). */
+  private def semdedupPairsOf(assigned: DataFrame,
+      hotCap: Long = Long.MaxValue): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val l = assigned.select($"cl", $"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
-    val r = assigned.select($"cl", $"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
-    l.join(r, "cl").filter($"a_id" < $"b_id")
-      .select($"cl", $"a_id", $"b_id",
-        round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
-      .filter($"sim_r" >= EmbedThreshold)
-      .orderBy($"a_id", $"b_id")
+    def verify(a: DataFrame): DataFrame = {
+      val l = a.select($"cl", $"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+      val r = a.select($"cl", $"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
+      l.join(r, "cl").filter($"a_id" < $"b_id")
+        .select($"cl", $"a_id", $"b_id",
+          round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
+        .filter($"sim_r" >= EmbedThreshold)
+    }
+    if (hotCap == Long.MaxValue) verify(assigned).orderBy($"a_id", $"b_id")
+    else {
+      val a0 = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = Tables.materialize(verify(semdedupHotGuard(a0, hotCap)))
+      a0.unpersist(blocking = false)
+      out.orderBy($"a_id", $"b_id")
+    }
+  }
+
+  /** Sub-split clusters past `hotCap` members before the verify join:
+    * each hot cluster's own bounded sample fits sub-centroids (driver
+    * Lloyd — the [[GraftVectorDB.splitHotCells]] machinery applied to
+    * the dedup prefilter), its members re-assign among THOSE subs only
+    * (broadcast equi-join on the old cluster id — the hierarchical
+    * stage-2 shape), and sub-clusters get globally-unique fresh ids.
+    * Per-key join size after the guard is ~occupancy-bounded for any
+    * spatially-splittable mass; a cluster of IDENTICAL vectors cannot
+    * sub-split (its true pair set is itself quadratic — exact-hash
+    * dedup upstream is the right tool for that mass) and is the
+    * documented floor. One level, deterministic end-to-end (hash-order
+    * sample, seeded Lloyd, 6dp argmax with smallest-id ties). */
+  private[graft] def semdedupHotGuard(assigned: DataFrame, hotCap: Long): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val hot = assigned.groupBy($"cl").agg(count(lit(1)).as("n"))
+      .filter($"n" > hotCap).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (hot.isEmpty) return assigned
+    val hotIds = hot.keys.toSeq.sorted
+    val maxCl = assigned.agg(max($"cl")).collect()(0).getLong(0)
+    var base = maxCl + 1
+    val subSeeds = hotIds.flatMap { c =>
+      val sample = AnnIndex.sampleVectors(
+        assigned.filter($"cl" === c).select($"vec_id", $"v"), $"vec_id")
+      // target sub-size = hotCap / SemHotFactor (the occupancy anchor),
+      // capped by the sample (fit quality) and the global cluster cap
+      val subK = math.min(math.min(sample.length.toLong, MaxSemClusters.toLong),
+        (hot(c) * SemHotFactor + hotCap - 1) / hotCap).toInt
+      val cs = AnnIndex.lloyd(sample, math.max(2, subK), iters = 5)
+      val out = cs.zipWithIndex.map { case (cv, s) => (c, base + s, cv.toSeq) }
+      base += cs.length
+      out
+    }.toDF("ci", "cl", "cv").withColumn("cnrm", l2Norm($"cv"))
+    val cold = assigned.filter(!$"cl".isin(hotIds: _*))
+    val reassigned = assigned.filter($"cl".isin(hotIds: _*))
+      .withColumnRenamed("cl", "ci")
+      .join(broadcast(subSeeds), "ci")
+      .select($"vec_id", $"v", $"nrm",
+        round(cosine($"v", $"cv", $"nrm", $"cnrm"), 6).as("csim"), $"cl")
+      .groupBy($"vec_id")
+      .agg(max(struct($"csim", (-$"cl").as("ncl"))).as("m"),
+        first($"v").as("v"), first($"nrm").as("nrm"))
+      .select($"vec_id", $"v", $"nrm", (-$"m.ncl").as("cl"))
+    cold.unionByName(reassigned)
   }
 }

@@ -348,11 +348,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def ndGenDirs: Seq[(String, String)] =
     Seq(ndSetsPath -> "gen", ndBandsPath -> "gen", ndTombPath -> "tgen")
 
+  /** Sidecar entry read — mergeSchema, so a sidecar mixing
+    * pre-generation files with stamped appends deterministically
+    * surfaces `gen` (null on the legacy rows) instead of depending on
+    * which file's footer wins single-schema inference. */
+  private def readSidecar(path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** The entries still live under the generation rule: no tombstone
-    * for the name at-or-after the entry's generation. Loud on a
-    * pre-generation sidecar (no `gen` column): the alternative is an
-    * UNRESOLVED_COLUMN error deep in a serving plan, or silently
-    * filtering every legacy row out. */
+    * for the name at-or-after the entry's generation. Legacy rows
+    * (null `gen` from a pre-generation file under a merged schema)
+    * deterministically behave as the documented gen-0 case: any
+    * tombstone for the doc outranks them. Loud on a sidecar with NO
+    * gen column at all: the alternative is an UNRESOLVED_COLUMN error
+    * deep in a serving plan, or silently filtering every legacy row
+    * out. */
   private def liveByGen(entries: DataFrame, tombPath: String): DataFrame =
     if (!existsPath(new org.apache.hadoop.fs.Path(tombPath))) entries
     else {
@@ -361,7 +371,8 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           "(indexLexical() / indexNearDup()) before deleting against it")
       val t = spark.read.parquet(tombPath)
         .groupBy($"doc_name").agg(max($"tgen").as("tgen"))
-      entries.join(t, Seq("doc_name"), "left_outer")
+      entries.withColumn("gen", coalesce($"gen", lit(0L)))
+        .join(t, Seq("doc_name"), "left_outer")
         .filter($"tgen".isNull || $"gen" > $"tgen").drop("tgen")
     }
 
@@ -424,7 +435,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val corpusMatches: Seq[(Long, String, Double)] =
         if (!nearDupIndexed) Seq.empty
         else {
-          val cand = liveByGen(spark.read.parquet(ndBandsPath), ndTombPath)
+          val cand = liveByGen(readSidecar(ndBandsPath), ndTombPath)
             .join(broadcast(newBands), Seq("band", "bkey"))
             .select($"doc_id", $"doc_name").distinct()
           val names = cand.select($"doc_name").distinct()
@@ -432,7 +443,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           // the sets fetch must apply the SAME liveness rule: a
           // re-added name holds both stale and live shingle rows, and
           // verifying against the superseded content would misfire
-          val stored0 = liveByGen(spark.read.parquet(ndSetsPath), ndTombPath)
+          val stored0 = liveByGen(readSidecar(ndSetsPath), ndTombPath)
           val stored =
             if (names.length <= GraftVectorDB.InLiteralMax)
               stored0.filter($"doc_name".isin(names.toIndexedSeq: _*))
@@ -568,7 +579,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           val live = new org.apache.hadoop.fs.Path(dir)
           val tmp = new org.apache.hadoop.fs.Path(s"$nearDupPath/.tmp_${live.getName}")
           val old = new org.apache.hadoop.fs.Path(s"$nearDupPath/.old_${live.getName}")
-          val df = liveByGen(spark.read.parquet(dir), ndTombPath)
+          val df = liveByGen(readSidecar(dir), ndTombPath)
           df.repartition(targetFiles)
             .sortWithinPartitions(sortCols.map(col): _*)
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -761,7 +772,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
       val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
       val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
-      val df = liveByGen(spark.read.parquet(lexPostingsPath), lexTombPath)
+      val df = liveByGen(readSidecar(lexPostingsPath), lexTombPath)
       df.repartition(col("bucket"))
         .sortWithinPartitions($"bucket", $"term", $"doc_name")
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
@@ -829,7 +840,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // bloat the plan as a literal (the InLiteralMax rule), so past it
     // only the bucket partition pruning narrows the scan
     val matched = liveByGen(
-      spark.read.parquet(lexPostingsPath)
+      readSidecar(lexPostingsPath)
         .filter($"bucket".isin(buckets: _*))
         .transform(df =>
           if (allTerms.length <= GraftVectorDB.InLiteralMax)
@@ -886,12 +897,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       pool, location)
 
   /** RRF over two rank maps: the ONE fusion definition the single and
-    * batch surfaces share. Returns the fused top-`topN`
-    * (key, 6dp score), rrf-desc with a deterministic key tie-break
-    * (equal scores are common — e.g. two single-channel hits at the
-    * same per-channel rank). */
-  private def fuseRrf(lexRank: Map[LexKey, Int], vecRank: Map[LexKey, Int],
-      topN: Int): Seq[(LexKey, Double)] = {
+    * batch surfaces share. Returns EVERY fused candidate (≤ 2·pool —
+    * the two channels' union) as (key, 6dp score), rrf-desc with a
+    * deterministic key tie-break (equal scores are common — e.g. two
+    * single-channel hits at the same per-channel rank); callers take
+    * their topN AFTER the servability check so a defensive drop
+    * backfills from the next candidate. */
+  private def fuseRrf(lexRank: Map[LexKey, Int],
+      vecRank: Map[LexKey, Int]): Seq[(LexKey, Double)] = {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val k = GraftVectorDB.RrfK
@@ -902,8 +915,20 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         (key, r6(rrf))
       }
       .sortBy { case (key, rrf) => (-rrf, key._1, key._3, key._4) }
-      .take(topN)
   }
+
+  /** The servable prefix of a fused candidate list: raws resolve from
+    * the vector channel's rows or the fetched map; a fused winner
+    * whose content cannot be fetched (the tombstone→rewrite window of
+    * a concurrent delete) is dropped and the NEXT candidate backfills,
+    * so a transient delete shrinks the result below topN only when no
+    * servable candidate remains. */
+  private def servableTopN(fused: Seq[(LexKey, Double)], topN: Int,
+      vecRaw: Map[LexKey, String], fetched: Map[LexKey, String])
+      : Seq[(LexKey, Double, String)] =
+    fused.flatMap { case (key, rrf) =>
+      vecRaw.get(key).orElse(fetched.get(key)).map(raw => (key, rrf, raw))
+    }.take(topN)
 
   /** Hybrid lexical + vector retrieval over the store — the fusion
     * surface a RAG front-end runs beside pure similarity (the
@@ -943,18 +968,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       vecRows.map(r => hybridKeyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
     val vecRaw: Map[LexKey, String] =
       vecRows.map(r => hybridKeyOf(r) -> r.getAs[String]("content_raw")).toMap
-    val fused = fuseRrf(lexRank, vecRank, topN)
-    val fetched = fetchRaw(fused.map(_._1).filterNot(vecRaw.contains))
-    fused.flatMap { case (key, rrf) =>
-        // a just-deleted row can win lexically in the tombstone→rewrite
-        // window; surfacing it with no content would leak the deletion —
-        // drop defensively (one short of topN is the correct result)
-        vecRaw.get(key).orElse(fetched.get(key)).map(raw =>
-          (rrf, lexRank.get(key).map(_.toLong),
-            vecRank.get(key).map(_.toLong), key, raw))
-      }
-      .zipWithIndex.map { case ((rrf, lr, vr, key, raw), i) =>
-        ((i + 1).toLong, rrf, lr, vr, key._1, key._2, key._3, key._4, raw)
+    val fused = fuseRrf(lexRank, vecRank)
+    // fetch raws for the leading topN; if a defensive drop (deleted-row
+    // window) shortens the prefix and further candidates exist, ONE
+    // more fetch covers the remainder and the next candidates backfill
+    var fetched = fetchRaw(fused.take(topN).map(_._1).filterNot(vecRaw.contains))
+    var rows = servableTopN(fused.take(topN), topN, vecRaw, fetched)
+    if (rows.length < topN && fused.length > topN) {
+      fetched ++= fetchRaw(fused.drop(topN).map(_._1)
+        .filterNot(k => vecRaw.contains(k) || fetched.contains(k)))
+      rows = servableTopN(fused, topN, vecRaw, fetched)
+    }
+    rows.zipWithIndex.map { case ((key, rrf, raw), i) =>
+        ((i + 1).toLong, rrf, lexRank.get(key).map(_.toLong),
+          vecRank.get(key).map(_.toLong),
+          key._1, key._2, key._3, key._4, raw)
       }
       .toDF("rnk", "rrf_r", "lex_rnk", "ann_rnk", "doc_name", "page_num",
         "content_type", "content_id", "content_raw")
@@ -1011,6 +1039,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     require(qRows.length <= GraftVectorDB.MaxBatchQueries,
       s"searchAllHybrid: ${qRows.length} queries exceed " +
         s"${GraftVectorDB.MaxBatchQueries} - chunk the query set")
+    // duplicate q_ids would silently merge two queries' term pools
+    // into one TopKRows group (the batchAnnQueries contract on every
+    // other batch surface)
+    require(qRows.map(_.getLong(0)).distinct.length == qRows.length,
+      "searchAllHybrid: q_id values must be unique")
     val qInfo = qRows.map(r => (r.getLong(0), r.getString(1),
       if (hasLoc) Option(r.getString(2)) else None)).toSeq
     val lexByQ: Map[Long, Map[LexKey, Int]] =
@@ -1028,19 +1061,26 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val vq = vecByQ.getOrElse(id, Array.empty)
       val vecRank = vq.map(r => hybridKeyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
       val vecRaw = vq.map(r => hybridKeyOf(r) -> r.getAs[String]("content_raw")).toMap
-      (id, fuseRrf(lexByQ.getOrElse(id, Map.empty), vecRank, topN),
+      (id, fuseRrf(lexByQ.getOrElse(id, Map.empty), vecRank),
         lexByQ.getOrElse(id, Map.empty), vecRank, vecRaw)
     }
-    val fetched = fetchRaw(fusedByQ.flatMap { case (_, fused, _, _, vecRaw) =>
-      fused.map(_._1).filterNot(vecRaw.contains) }.distinct)
+    // batched backfill: ONE fetch covers every query's leading topN;
+    // queries a defensive drop left short (and with candidates beyond
+    // topN) share at most ONE more fetch over their remainders
+    var fetched = fetchRaw(fusedByQ.flatMap { case (_, fused, _, _, vecRaw) =>
+      fused.take(topN).map(_._1).filterNot(vecRaw.contains) }.distinct)
+    val short = fusedByQ.filter { case (_, fused, _, _, vecRaw) =>
+      servableTopN(fused.take(topN), topN, vecRaw, fetched).length < topN &&
+        fused.length > topN }
+    if (short.nonEmpty)
+      fetched ++= fetchRaw(short.flatMap { case (_, fused, _, _, vecRaw) =>
+        fused.drop(topN).map(_._1)
+          .filterNot(k => vecRaw.contains(k) || fetched.contains(k)) }.distinct)
     fusedByQ.flatMap { case (id, fused, lexRank, vecRank, vecRaw) =>
-      fused.flatMap { case (key, rrf) =>
-          vecRaw.get(key).orElse(fetched.get(key)).map(raw =>
-            (rrf, lexRank.get(key).map(_.toLong),
-              vecRank.get(key).map(_.toLong), key, raw))
-        }
-        .zipWithIndex.map { case ((rrf, lr, vr, key, raw), i) =>
-          (id, (i + 1).toLong, rrf, lr, vr,
+      servableTopN(fused, topN, vecRaw, fetched)
+        .zipWithIndex.map { case ((key, rrf, raw), i) =>
+          (id, (i + 1).toLong, rrf, lexRank.get(key).map(_.toLong),
+            vecRank.get(key).map(_.toLong),
             key._1, key._2, key._3, key._4, raw)
         }
     }.sortBy(t => (t._1, t._2))

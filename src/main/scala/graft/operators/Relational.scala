@@ -348,17 +348,19 @@ object Relational {
   /** Cohort retention — the classic product-analytics rollup: each
     * user joins the cohort of their first active week, and the matrix
     * counts distinct users per (cohort week, weeks since). Shapes for
-    * scale: per-user cohort is ONE groupBy on user_id; the join back
-    * re-uses that hash partitioning (no extra exchange on the events
-    * side beyond the first); week-truncated dates differ by exact
-    * multiples of 7 days, so weeks_since is integer-exact in both
-    * engines (no timestamp arithmetic parity risk). */
+    * scale: the per-user cohort week is `min(wk) over (partition by
+    * user_id)` — ONE events scan and one user_id shuffle feed both the
+    * cohort and the matrix (the groupBy-then-join-back formulation
+    * read the largest table twice); week-truncated dates differ by
+    * exact multiples of 7 days, so weeks_since is integer-exact in
+    * both engines (no timestamp arithmetic parity risk). */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val weeks = Tables.load(spark, dir, "events")
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "events")
       .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
-    val cohorts = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
-    weeks.join(cohorts, "user_id")
+      .withColumn("cohort_week",
+        min($"wk").over(Window.partitionBy($"user_id")))
       .select($"user_id", $"cohort_week",
         (datediff($"wk", $"cohort_week") / 7).cast("long").as("weeks_since"))
       .groupBy($"cohort_week", $"weeks_since")

@@ -204,24 +204,60 @@ object TextAnalysis {
     * first sequence, start position within it, and how many sequences
     * it crosses (the doc-boundary bookkeeping an attention-mask /
     * loss-mask builder consumes; a doc with n_seqs > 1 is split across
-    * context windows). Pure integer arithmetic on the same running
-    * total as [[shard]]: one window per source partition, no global
-    * order — at 100 TB the window key widens to (source, shard) so
-    * packing parallelizes inside giant sources too, with shard-local
-    * sequence ids. */
+    * context windows).
+    *
+    * The running total is a DISTRIBUTED two-pass prefix sum, not one
+    * window partition per source (which serializes a dominant source's
+    * whole doc list into a single straggler task at 100 TB): the
+    * corpus range-partitions on the packing order (source, doc_id) —
+    * each task holds a contiguous run — pass 1 folds per-(partition,
+    * source) token subtotals (≤ partitions + sources rows, collected),
+    * the driver prefix-sums them into per-partition starting offsets,
+    * and pass 2 adds a PARTITION-LOCAL running sum to the broadcast
+    * offset. cum is the exact global prefix sum — (source, doc_id) is
+    * unique, so the value is independent of where the range boundaries
+    * fall — and the span arithmetic on it is unchanged pure-integer. */
   def pack(spark: SparkSession, dir: String): DataFrame = {
+    val (spans, base) = packFrame(spark, dir)
+    val out = Tables.materialize(spans)
+    base.unpersist(blocking = false)
+    out.orderBy(col("source"), col("doc_id"))
+  }
+
+  /** The un-materialized packing frame plus the persisted range-
+    * partitioned base it rides (the spec's plan-pin handle — the
+    * caller unpersists the base once the frame is consumed). */
+  private[graft] def packFrame(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.spread(Tables.load(spark, dir, "documents"))
+    val np = spark.sparkContext.defaultParallelism
+    // persisted so both passes see the SAME partition ids (two
+    // independently-planned jobs may otherwise repartition differently)
+    val base = Tables.load(spark, dir, "documents")
       .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(w))
+      .repartitionByRange(np, $"source", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offDf = {
+      val subs = base.groupBy($"pid", $"source").agg(sum($"n_tokens").as("t"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      subs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, src, t) =>
+          val off = acc; acc += t; (pid, src, off) }
+      }.toDF("pid", "source", "off")
+    }
+    val w = Window.partitionBy($"pid", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = base
+      .join(broadcast(offDf), Seq("pid", "source"))
+      .withColumn("cum", sum($"n_tokens").over(w) + $"off")
       .select($"source", $"doc_id", $"n_tokens",
         expr(s"(cum - n_tokens) div $SeqLen").as("seq_first"),
         expr(s"(cum - n_tokens) % $SeqLen").as("pos_in_seq"),
         expr(s"(cum - 1) div $SeqLen - (cum - n_tokens) div $SeqLen + 1").as("n_seqs"))
-      .orderBy($"source", $"doc_id")
+    (spans, base)
   }
 
   /** Top-3 TF-IDF terms per document — the keyword extractor a

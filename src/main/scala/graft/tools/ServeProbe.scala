@@ -106,6 +106,9 @@ object ServeProbe {
           5, location = Some("corpus/probe/")).collect()
         .exists(_.getAs[String]("doc_name").contains("/probe/"))
       tVis = (System.nanoTime() - tf0) / 1e9
+      // back-to-back polling launches 2+ Spark jobs per iteration and
+      // skews the reported visibility latency under load
+      if (!visible) Thread.sleep(250)
     }
     println(f"[serveprobe] stream freshness: batch drained $tDrain%.2f s, " +
       f"searchable (tenant-scoped ANN) $tVis%.2f s (visible=$visible, no rebuild)")
@@ -160,6 +163,7 @@ object ServeProbe {
       hVisible = db.searchHybrid("hybridfresh xylograph quine", 5).collect()
         .exists(_.getAs[String]("doc_name").contains("/probe/"))
       tHVis = (System.nanoTime() - th0) / 1e9
+      if (!hVisible) Thread.sleep(250)
     }
     println(f"[serveprobe] hybrid freshness: searchable $tHVis%.2f s " +
       f"(visible=$hVisible, no reindex)")

@@ -110,6 +110,89 @@ class DedupExactnessSpec extends AnyFunSuite {
     assert(again.toSeq == pairs.map(p => (p._1, p._2)).toSeq)
   }
 
+  test("semdedup hot-cluster guard: a planted giant near-dup cluster sub-splits to bounded join keys") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    // a giant near-dup family — 301 perturbed copies of one corpus
+    // vector all carrying ONE cluster id — is the adversarial mass the
+    // occupancy anchor cannot see (it holds the MEAN cluster size, not
+    // the max); without the guard the verify join puts 301² rows on a
+    // single key
+    val base0 = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val fam = base0.filter($"vec_id" === 0L)
+      .crossJoin(spark.range(301).select($"id"))
+      .select(($"id" + 100000L).as("vec_id"),
+        transform($"v", (x, i) =>
+          x + (pmod(xxhash64($"id", i), lit(1000)).cast("double") / 1000 - 0.5) * 0.02).as("v"),
+        lit(0L).as("cl"))
+    val cold = base0.filter($"vec_id" > 0 && $"vec_id" <= 100)
+      .select($"vec_id", $"v", (($"vec_id" % 4) + 1).as("cl"))
+    val assigned = fam.unionByName(cold)
+      .withColumn("nrm", l2Norm($"v"))
+      .select($"vec_id", $"v", $"nrm", $"cl")
+    val hotCap = 32L
+    val guarded = Dedup.semdedupHotGuard(assigned, hotCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // no vector lost or duplicated by the re-assignment
+      val inIds = assigned.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      val outIds = guarded.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(outIds == inIds, "guard must preserve the row multiset")
+      // cold clusters pass through untouched
+      val coldOut = guarded.filter($"vec_id" <= 100)
+        .select($"vec_id", $"cl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cold.collect().foreach(r =>
+        assert(coldOut(r.getLong(0)) == r.getLong(2), s"cold row ${r.getLong(0)} moved"))
+      // THE pin: no post-guard cluster exceeds the cap — the verify
+      // join's per-key row count is bounded
+      val sizes = guarded.groupBy($"cl").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(sizes.forall(_._2 <= hotCap),
+        s"hot cluster survived the guard: ${sizes.filter(_._2 > hotCap).toSeq}")
+      // hot members landed on FRESH globally-unique ids (> the old max)
+      val famCls = guarded.filter($"vec_id" >= 100000L)
+        .select($"cl").distinct().collect().map(_.getLong(0))
+      assert(famCls.forall(_ > 4L) && famCls.length > 1,
+        s"family must sub-split onto fresh ids, got ${famCls.toSeq}")
+      // determinism: the guard replays identically
+      val again = Dedup.semdedupHotGuard(assigned, hotCap)
+        .select($"vec_id", $"cl").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == guarded.select($"vec_id", $"cl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    } finally guarded.unpersist(blocking = false)
+    // end-to-end through the fitted operator on the same mass:
+    // precision stays exact (every pair meets the recomputed 4dp
+    // cosine), recall on the family is REPORTED (sub-splitting trades
+    // cross-sub pairs for the join-size bound, by design)
+    val v = base0.limit(200).unionByName(fam.drop("cl"))
+      .withColumn("nrm", l2Norm($"v"))
+    val n = v.count()
+    val pairs = Dedup.semdedupFittedOf(v, n, occupancy = 64L, flatMax = 1000)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim_r")))
+    val byId = v.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Double](r.fieldIndex("v")).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    pairs.foreach { case (a, b, s) =>
+      assert(r4(cos(byId(a), byId(b))) == s && s >= Dedup.EmbedThreshold,
+        s"pair ($a,$b): $s") }
+    val famIds = byId.keys.filter(_ >= 100000L).toSeq.sorted
+    val famPairs = (for { i <- famIds.indices; j <- i + 1 until famIds.length
+      if r4(cos(byId(famIds(i)), byId(famIds(j)))) >= Dedup.EmbedThreshold }
+      yield (famIds(i), famIds(j))).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    info(f"family recall under the guard: ${
+      (found & famPairs).size.toDouble / math.max(1, famPairs.size)}%.2f " +
+      f"(${famPairs.size} exact family pairs)")
+  }
+
   test("connectedComponents: min-label parity with driver union-find; O(log) rounds on a long chain") {
     import spark.implicits._
     // adversarial diameter: a 1024-node chain (one-hop propagation

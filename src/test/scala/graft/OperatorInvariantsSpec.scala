@@ -207,6 +207,58 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_pack plan: the prefix sum is partition-distributed, never one window task per source") {
+    // the running sum must ride (pid, source) — a Window partitioned
+    // by source alone serializes a dominant source's whole doc list
+    // into a single straggler task at 100 TB
+    val (spans, base) = TextAnalysis.packFrame(spark, sf)
+    try {
+      spans.collect()
+      val plan = spans.queryExecution.executedPlan.toString
+      val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(winSpecs.nonEmpty, s"expected a Window node:\n$plan")
+      winSpecs.foreach(sp =>
+        assert(sp.contains("pid#"),
+          s"window partition spec must include the range-partition id, got: $sp"))
+      // and the distributed form must agree with the one-window oracle
+      // shape row-for-row (the CORRECTNESS gate pins it against DuckDB;
+      // this is the in-suite twin)
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val L = TextAnalysis.SeqLen
+      val oracle = Tables.load(spark, sf, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $L").as("seq_first"),
+          expr(s"(cum - n_tokens) % $L").as("pos_in_seq"),
+          expr(s"(cum - 1) div $L - (cum - n_tokens) div $L + 1").as("n_seqs"))
+        .collect().map(_.toSeq).toSet
+      assert(spans.collect().map(_.toSeq).toSet == oracle,
+        "distributed prefix sum must be value-identical to the single-window form")
+    } finally base.unpersist(blocking = false)
+  }
+
+  test("ol_retention plan: ONE events scan feeds both the cohort and the matrix") {
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Relational.retention(spark, sf)
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("events")) => f
+      }
+      assert(scans.length == 1,
+        s"retention must scan events exactly once, found ${scans.length}:\n" +
+          df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+  }
+
   test("sessionize covers every event exactly once") {
     val total = Relational.sessionize(spark, sf).agg(sum("n_events")).head().getLong(0)
     val events = Tables.load(spark, sf, "events").count()
