@@ -682,7 +682,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     lexPostingsOf(store).withColumn("gen", lit(nextGen(lexicalPath, lexGenDirs)))
       .repartition(col("bucket"))
       .sortWithinPartitions($"bucket", $"term", $"doc_name")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", GraftVectorDB.LexRowGroupBytes.toString)
+      .partitionBy("bucket").parquet(tmp.toString)
     if (fs.exists(live)) swapDir(fs, live, tmp, old, "indexLexical")
     else require(fs.rename(tmp, live), s"indexLexical: rename $tmp -> $live failed")
     if (existsPath(new org.apache.hadoop.fs.Path(lexTombPath)))
@@ -693,6 +695,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val (n, sumdl) = lexPostingsStats()
     writeLongAt(lexCounter("_NDOCS"), n)
     writeLongAt(lexCounter("_SUMDL"), sumdl)
+    refreshLexTermStats()
     n
   }
 
@@ -740,7 +743,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       writeLongAt(lexCounter("_SUMDL"), readLongAt(lexCounter("_SUMDL")) + sumdl)
       posts.repartition(col("bucket"))
         .sortWithinPartitions($"bucket", $"term", $"doc_name")
-        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lexPostingsPath)
+        .write.mode(SaveMode.Append)
+        .option("parquet.block.size", GraftVectorDB.LexRowGroupBytes.toString)
+        .partitionBy("bucket").parquet(lexPostingsPath)
+      // impact stats ride the same materialized frame AFTER the
+      // postings land (a crash between leaves _PCOUNT behind the
+      // footer count — MaxScore gate closed, serving stays exact)
+      appendLexTermStats(posts, posts.count())
     } finally Tables.release(posts)
   }
 
@@ -775,7 +784,9 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val df = liveByGen(readSidecar(lexPostingsPath), lexTombPath)
       df.repartition(col("bucket"))
         .sortWithinPartitions($"bucket", $"term", $"doc_name")
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(tmp.toString)
+        .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", GraftVectorDB.LexRowGroupBytes.toString)
+      .partitionBy("bucket").parquet(tmp.toString)
       swapDir(fs, live, tmp, old, "maintainLexical")
       spark.catalog.refreshByPath(lexicalPath)
       // exact stat refresh from the compacted postings (empty-safe:
@@ -783,6 +794,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val (n, sumdl) = lexPostingsStats()
       writeLongAt(lexCounter("_NDOCS"), n)
       writeLongAt(lexCounter("_SUMDL"), sumdl)
+      refreshLexTermStats()
       if (hasTomb) fs.delete(new org.apache.hadoop.fs.Path(lexTombPath), true)
     }
 
@@ -803,6 +815,122 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  // ─────────── MaxScore early termination (impact-ordered stats) ───────────
+
+  /** Per-term impact stats sidecar — `termstats` (bucket=…/ term, df,
+    * max_tf), the max-impact store MaxScore-style early termination
+    * reads (Turtle & Flood 1995, public): df feeds the exact idf
+    * without a postings scan, max_tf the per-term contribution upper
+    * bound. Rebuilds write it whole; appends add the batch's partial
+    * rows (query-time reads aggregate sum(df)/max(max_tf)). `_PCOUNT`
+    * (total postings rows at last consistent write) is the torn-append
+    * detector: the serving gate ([[lexMaxScoreReady]]) only trusts the
+    * stats when it matches the live postings' footer row count. */
+  private def lexTermStatsPath = s"$lexicalPath/termstats"
+  private def lexPcount = lexCounter("_PCOUNT")
+
+  /** Recompute `termstats` + `_PCOUNT` from the LIVE postings (the
+    * rebuild/compaction path, and the adoption path for a sidecar that
+    * predates the stats). `_PCOUNT` is deleted FIRST, so every crash
+    * window inside leaves the MaxScore gate closed (full-scan serving
+    * stays correct) instead of serving from torn stats. */
+  private def refreshLexTermStats(): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(lexicalPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lexPcount, false)
+    lexGateCache = None
+    val stats =
+      try spark.read.parquet(lexPostingsPath)
+        .groupBy($"bucket", $"term")
+        .agg(count(lit(1)).as("df"), max($"tf").as("max_tf"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+          // fully-compacted-away sidecar: empty stats, zero counter
+          fs.delete(new org.apache.hadoop.fs.Path(lexTermStatsPath), true)
+          writeLongAt(lexPcount, 0L)
+          return
+      }
+    stats.repartition(col("bucket"))
+      .sortWithinPartitions($"bucket", $"term")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(lexTermStatsPath)
+    // total postings rows = Σ df over the stats just written (narrow)
+    val n = spark.read.parquet(lexTermStatsPath)
+      .agg(coalesce(sum($"df"), lit(0L))).collect()(0).getLong(0)
+    writeLongAt(lexPcount, n)
+  }
+
+  /** Append a batch's partial stats (+ advance `_PCOUNT`). Skipped on
+    * a sidecar that predates termstats — partial-only stats would be
+    * wrong, and `_PCOUNT` staying behind keeps the gate closed until
+    * the next [[indexLexical]]/[[maintainLexical]] adopts. Any crash
+    * between the postings append and here leaves `_PCOUNT` ≠ footer
+    * rows — gate closed, serving falls back to the full scan. */
+  private def appendLexTermStats(posts: DataFrame, postRows: Long): Unit =
+    if (existsPath(new org.apache.hadoop.fs.Path(lexTermStatsPath))) {
+      posts.groupBy($"bucket", $"term")
+        .agg(count(lit(1)).as("df"), max($"tf").as("max_tf"))
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("bucket")
+        .parquet(lexTermStatsPath)
+      writeLongAt(lexPcount, readLongAt(lexPcount) + postRows)
+      lexGateCache = None
+    }
+
+  /** Whether MaxScore pruning may serve: stats must be EXACT, which
+    * holds iff (a) termstats exists, (b) no tombstones (un-compacted
+    * deletes shrink live df below the stats — an UNDER-estimated idf
+    * bound could prune a true winner, so the gate closes until
+    * [[maintainLexical]] compacts), and (c) `_PCOUNT` matches the live
+    * postings footer rows (torn appends, legacy sidecars). The footer
+    * walk is cached per sidecar generation; tombstone existence is
+    * re-checked every call (deletes don't advance the generation). */
+  private var lexGateCache: Option[(Long, Boolean)] = None
+  private[graft] def lexMaxScoreReady: Boolean =
+    !existsPath(new org.apache.hadoop.fs.Path(lexTombPath)) &&
+      existsPath(new org.apache.hadoop.fs.Path(lexTermStatsPath)) && {
+        val g = curGen(lexicalPath, lexGenDirs)
+        lexGateCache match {
+          case Some((cg, ok)) if cg == g => ok
+          case _ =>
+            val ok = readLongAt(lexPcount) == parquetRowsUnder(lexPostingsPath)
+            lexGateCache = Some((g, ok))
+            ok
+        }
+      }
+
+  /** Sum of parquet footer record counts under a directory tree — a
+    * driver metadata read, no Spark job. */
+  private def parquetRowsUnder(dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    def walk(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        } else 0L
+      }.sum
+    walk(root)
+  }
+
+  /** (term → (df, max_tf)) for the query's terms: bucket+term-pruned
+    * stats scan, partial rows (base build + appends) folded. Exact
+    * live values under the [[lexMaxScoreReady]] gate. */
+  private def lexTermStats(terms: Seq[String]): Map[String, (Long, Long)] = {
+    val buckets = terms.map(GraftVectorDB.lexBucket).distinct
+    spark.read.parquet(lexTermStatsPath)
+      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+      .groupBy($"term").agg(sum($"df").as("df"), max($"max_tf").as("max_tf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
   /** The store-row identity the fusion joins channels on. */
@@ -827,12 +955,39 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * content_id), collect = one Spark job. */
   private[graft] def lexAllScanPlan(
       qTerms: Seq[(Long, Seq[String], Option[String])],
-      pool: Int, location: Option[String]): Option[DataFrame] = {
+      pool: Int, location: Option[String]): Option[DataFrame] =
+    lexAllScanPlan(qTerms, pool, location, forceFull = false)
+
+  private[graft] def lexAllScanPlan(
+      qTerms: Seq[(Long, Seq[String], Option[String])],
+      pool: Int, location: Option[String],
+      forceFull: Boolean): Option[DataFrame] = {
     val nDocs = readLongAt(lexCounter("_NDOCS"))
     val allTerms = qTerms.flatMap(_._2).distinct
     if (allTerms.isEmpty || nDocs == 0) return None
     val sumDl = readLongAt(lexCounter("_SUMDL"))
     val avgdl = sumDl.toDouble / nDocs
+    // MaxScore early termination serves when its stats are provably
+    // exact AND a query actually carries a common (high-df) term;
+    // every other shape runs the one-scan full plan
+    if (!forceFull && allTerms.length <= GraftVectorDB.InLiteralMax &&
+        lexMaxScoreReady)
+      maxScoreScanPlan(qTerms, pool, location, nDocs, avgdl) match {
+        case Some(df) => return Some(df)
+        case None => ()
+      }
+    Some(lexFullScanPlan(qTerms, pool, location, nDocs, avgdl))
+  }
+
+  /** The one-scan BM25 plan (every matched posting of every query term
+    * is read and scored; df comes from a count window over the matched
+    * scan). Correct for EVERY sidecar state — the MaxScore path's
+    * fallback, and the ground truth its spec pins parity against. */
+  private def lexFullScanPlan(
+      qTerms: Seq[(Long, Seq[String], Option[String])],
+      pool: Int, location: Option[String],
+      nDocs: Long, avgdl: Double): DataFrame = {
+    val allTerms = qTerms.flatMap(_._2).distinct
     val buckets = allTerms.map(GraftVectorDB.lexBucket).distinct
     // the term In literal is a scan-pruning assist (row-group stats on
     // the term-sorted files) — the broadcast (q_id, term) join below
@@ -859,23 +1014,38 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val perQ =
       if (anyLoc) joined.filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
       else joined
-    val k1 = HybridSearch.K1
-    val b = HybridSearch.B
-    Some(perQ
+    perQ
       .select($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id",
-        // per-term contributions 6dp-rounded BEFORE the per-doc sum
-        // (the operator twin's accumulation-order-immunity grid) so
-        // pool ranks are deterministic across plans and runs; the idf
-        // numerator clamps at 0 — a stale over-appended df can exceed
-        // the counter N in a crash window, and log(≤0) would NaN the
-        // score and silently drop the chunk from the pool
-        round(org.apache.spark.sql.functions.log(
-            lit(1.0) + greatest(lit(0.0), lit(nDocs.toDouble) - $"df" + 0.5)
-              / ($"df" + 0.5))
-          * $"tf" * lit(k1 + 1)
-          / ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl)), 6).as("c"))
+        bm25Contribution(nDocs, avgdl).as("c"))
       .groupBy($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id")
       .agg(round(sum($"c"), 6).as("score"))
+      .transform(lexTopPool(pool))
+  }
+
+  /** The per-posting BM25 contribution, 6dp-rounded BEFORE the per-doc
+    * sum (the operator twin's accumulation-order-immunity grid) so
+    * pool ranks are deterministic across plans and runs; the idf
+    * numerator clamps at 0 — a stale over-appended df can exceed the
+    * counter N in a crash window, and log(≤0) would NaN the score and
+    * silently drop the chunk from the pool. Reads (tf, dl, df)
+    * columns; the full plan's df is a count window, the MaxScore
+    * plan's rides the broadcast query frame — same arithmetic. */
+  private def bm25Contribution(nDocs: Long, avgdl: Double): Column = {
+    val k1 = HybridSearch.K1
+    val b = HybridSearch.B
+    round(org.apache.spark.sql.functions.log(
+        lit(1.0) + greatest(lit(0.0), lit(nDocs.toDouble) - $"df" + 0.5)
+          / ($"df" + 0.5))
+      * $"tf" * lit(k1 + 1)
+      / ($"tf" + lit(k1) * (lit(1 - b) + lit(b) * $"dl" / avgdl)), 6)
+  }
+
+  /** Bounded per-query top-`pool` of a scored (q_id, key…, score)
+    * frame → (q_id, lex_rnk, key…) with the serving-wide (score desc,
+    * row_id) tie-break — the one pool definition both lexical plans
+    * share. */
+  private def lexTopPool(pool: Int)(scored: DataFrame): DataFrame =
+    scored
       .select($"q_id", $"score",
         xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
         struct($"doc_name", $"page_num", $"content_type", $"content_id").as("meta"))
@@ -885,7 +1055,157 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .select($"q_id", posexplode($"top"))
       .select($"q_id", ($"pos" + 1).cast("long").as("lex_rnk"),
         $"col.payload.doc_name", $"col.payload.page_num",
-        $"col.payload.content_type", $"col.payload.content_id"))
+        $"col.payload.content_type", $"col.payload.content_id")
+
+  /** MaxScore early termination (Turtle & Flood 1995, public),
+    * re-shaped for a scan engine: a COMMON query term's posting list
+    * is linear in the corpus, so past ~10⁹ chunks scanning it per
+    * query is the serving wall (SURVEY §8 item 14). Per-term impact
+    * bounds from the stats sidecar cap what any posting can
+    * contribute, so:
+    *
+    *  1. job A fully scores the RARE (low-df) terms only — the scan
+    *     the full plan already does, minus the huge lists;
+    *  2. θ_q = the pool-th best partial score is a LOWER bound on the
+    *     pool-th best full score (contributions are non-negative);
+    *  3. a doc matching ONLY common terms scores ≤ Σ U_common; when
+    *     that sits below θ_q, no such doc can enter the pool — the
+    *     common lists need scoring ONLY for the rare-matched
+    *     candidates whose partial + Σ U_common reaches θ_q;
+    *  4. job B reads the common lists with the candidate doc_names
+    *     PUSHED into the scan — the postings files are doc_name-sorted
+    *     within each term run, so parquet row-group stats skip the
+    *     bulk of the list (the layout's block-skip seam, now used).
+    *
+    * Results are EXACTLY the full plan's (same contributions, same 6dp
+    * grid, same tie-break; candidates provably contain every pool
+    * member). Per-query fallbacks keep it total: no rare terms, θ
+    * undefined (fewer than pool rare matches in scope), Σ U_common ≥
+    * θ, or candidate fan-out past the In-literal cap → that query runs
+    * the full plan; returns None when NO query prunes. Cost: the stats
+    * read + job A + (when common terms exist) the name-pruned job B —
+    * each bounded by rare-df/candidate size, never by the common
+    * lists' length. */
+  private def maxScoreScanPlan(
+      qTerms: Seq[(Long, Seq[String], Option[String])],
+      pool: Int, location: Option[String],
+      nDocs: Long, avgdl: Double): Option[DataFrame] = {
+    val k1 = HybridSearch.K1
+    val b = HybridSearch.B
+    val eps = 1e-6
+    val stats = lexTermStats(qTerms.flatMap(_._2).distinct)
+    def idfOf(df: Long): Double =
+      math.log(1.0 + math.max(0.0, nDocs.toDouble - df + 0.5) / (df + 0.5))
+    def ceil6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.CEILING).toDouble
+    // upper bound on ONE rounded contribution of the term: idf exact
+    // (gate-exact df), tf-norm at dl → 0 (avgdl-free) and tf = max_tf
+    // (monotone in tf), rounded UP onto the 6dp grid
+    def uBound(t: String): Double = {
+      val (df, maxTf) = stats(t)
+      ceil6(idfOf(df) * maxTf * (k1 + 1) / (maxTf + k1 * (1 - b)))
+    }
+    val commonCap = nDocs / GraftVectorDB.LexCommonDfFrac
+    val qInfo = qTerms.map { case (id, ts0, loc) =>
+      val ts = ts0.distinct.filter(stats.contains) // absent = no postings
+      val (common, rare) = ts.partition(t => stats(t)._1 > commonCap)
+      (id, rare, common, loc)
+    }
+    // no common term anywhere → the full plan's term-pruned scan is
+    // already bounded by the rare dfs; nothing to terminate early
+    if (!qInfo.exists(_._3.nonEmpty)) return None
+    val aQ = qInfo.filter(_._2.nonEmpty) // queries that can establish θ
+    if (aQ.isEmpty) return None // all-common queries: the answer IS the big scan
+    // ---- job A: full scoring over RARE terms only ----
+    val rareQt = aQ.flatMap { case (id, rs, _, loc) =>
+      rs.map(t => (id, t, stats(t)._1, loc.orNull)) }
+      .toDF("q_id", "term", "df", "q_loc")
+    val rareTerms = aQ.flatMap(_._2).distinct
+    val rBuckets = rareTerms.map(GraftVectorDB.lexBucket).distinct
+    // the gate holds (no tombstones), so the raw read IS the live set
+    val rScan = readSidecar(lexPostingsPath)
+      .filter($"bucket".isin(rBuckets: _*))
+      .filter($"term".isin(rareTerms: _*))
+    val anyLoc = qInfo.exists(_._4.isDefined)
+    def qScoped(df: DataFrame): DataFrame =
+      if (anyLoc) df.filter($"q_loc".isNull || $"doc_name".startsWith($"q_loc"))
+      else df
+    val partials = Tables.materialize(
+      qScoped(locScoped(rScan, location).join(broadcast(rareQt), "term"))
+        .select($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id",
+          bm25Contribution(nDocs, avgdl).as("c"))
+        .groupBy($"q_id", $"doc_name", $"page_num", $"content_type", $"content_id")
+        .agg(sum($"c").as("partial")))
+    val theta: Map[Long, Double] = partials
+      .select($"q_id", round($"partial", 6).as("s"),
+        xxhash64($"doc_name", $"content_type", $"content_id").as("row_id"),
+        struct($"doc_name").as("meta"))
+      .groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKRows(
+        $"s", $"row_id", $"meta", pool).as("top"))
+      .select($"q_id", $"top").collect()
+      .flatMap { r =>
+        val top = r.getSeq[org.apache.spark.sql.Row](1)
+        if (top.length >= pool) Some(r.getLong(0) -> top(pool - 1).getDouble(0))
+        else None // under-filled scope: θ undefined, query falls back
+      }.toMap
+    val pc: Map[Long, Double] =
+      qInfo.map { case (id, _, cs, _) => id -> cs.map(uBound).sum }.toMap
+    // a query prunes iff θ exists and the common bounds sit below it
+    var prunedIds = aQ.map(_._1)
+      .filter(id => theta.contains(id) && pc(id) <= theta(id) - eps).toSet
+    if (prunedIds.isEmpty) { Tables.release(partials); return None }
+    val commonPruned0 = qInfo.filter(q => prunedIds.contains(q._1) && q._3.nonEmpty)
+    val names: Seq[String] =
+      if (commonPruned0.isEmpty) Nil
+      else partials.filter($"q_id".isin(commonPruned0.map(_._1): _*))
+        .join(broadcast(commonPruned0.map(q => (q._1, theta(q._1), pc(q._1)))
+          .toDF("q_id", "th", "pc")), "q_id")
+        .filter($"partial" + $"pc" >= $"th" - eps)
+        .select($"doc_name").distinct()
+        .limit(GraftVectorDB.InLiteralMax + 1).collect().map(_.getString(0)).toSeq
+    val overCap = names.length > GraftVectorDB.InLiteralMax
+    if (overCap) // fan-out too wide for a pushed literal: those queries
+      prunedIds --= commonPruned0.map(_._1) // take the full plan instead
+    if (prunedIds.isEmpty) { Tables.release(partials); return None }
+    val thetaDf = prunedIds.toSeq.sorted
+      .map(id => (id, theta(id), pc(id))).toDF("q_id", "th", "pc")
+    val cands = partials.join(broadcast(thetaDf), "q_id")
+      .filter($"partial" + $"pc" >= $"th" - eps)
+    val commonPruned = if (overCap) Nil else commonPruned0
+    val scored =
+      if (commonPruned.isEmpty)
+        cands.select($"q_id", $"doc_name", $"page_num", $"content_type",
+          $"content_id", round($"partial", 6).as("score"))
+      else {
+        // ---- job B: common lists, candidate-name-pruned ----
+        val cQt = commonPruned.flatMap { case (id, _, cs, loc) =>
+          cs.map(t => (id, t, stats(t)._1, loc.orNull)) }
+          .toDF("q_id", "term", "df", "q_loc")
+        val cTerms = commonPruned.flatMap(_._3).distinct
+        val cBuckets = cTerms.map(GraftVectorDB.lexBucket).distinct
+        val cScan = readSidecar(lexPostingsPath)
+          .filter($"bucket".isin(cBuckets: _*))
+          .filter($"term".isin(cTerms: _*))
+          .filter($"doc_name".isin(names: _*))
+        val cc = qScoped(locScoped(cScan, location).join(broadcast(cQt), "term"))
+          .select($"q_id", $"doc_name", $"page_num", $"content_type",
+            $"content_id", bm25Contribution(nDocs, avgdl).as("c"))
+          .groupBy($"q_id", $"doc_name", $"page_num", $"content_type",
+            $"content_id")
+          .agg(sum($"c").as("cc"))
+        cands.join(cc,
+            Seq("q_id", "doc_name", "page_num", "content_type", "content_id"),
+            "left_outer")
+          .select($"q_id", $"doc_name", $"page_num", $"content_type",
+            $"content_id",
+            round($"partial" + coalesce($"cc", lit(0.0)), 6).as("score"))
+      }
+    val prunedDf = scored.transform(lexTopPool(pool))
+    val fullQ = qTerms.filter(q => !prunedIds.contains(q._1))
+    Some(if (fullQ.isEmpty) prunedDf
+      else prunedDf.unionByName(
+        lexFullScanPlan(fullQ, pool, location, nDocs, avgdl)))
   }
 
   /** Single-query form of [[lexAllScanPlan]] (the spec's plan-pin
@@ -3399,6 +3719,23 @@ object GraftVectorDB {
   /** Per-channel candidate pool depth feeding [[GraftVectorDB.searchHybrid]]'s
     * RRF fusion (the [[HybridSearch.PoolK]] operating point). */
   val HybridPool = 20
+
+  /** Postings row-group size (parquet.block.size): the sidecar is an
+    * INDEX, so skip granularity beats bulk-scan throughput — MaxScore's
+    * job B prunes a common term's doc_name-sorted run via row-group
+    * min/max stats, and 8 MB groups give ~16× finer elimination than
+    * the 128 MB default at a per-group overhead that is noise next to
+    * a postings row's width. */
+  val LexRowGroupBytes: Long = 8L * 1024 * 1024
+
+  /** A query term whose df exceeds nDocs / this fraction counts as
+    * COMMON for MaxScore early termination: its posting list is long
+    * enough that scoring it only for the surviving candidates (job B's
+    * name-pruned scan) beats scanning it whole, and its impact bound
+    * is low enough that θ from the rare terms usually excludes its
+    * solo matches. Terms below the cut just ride the normal
+    * term-pruned scan — their lists are already bounded. */
+  val LexCommonDfFrac = 8L
 
   /** RRF dampening constant (Cormack et al. 2009). */
   val RrfK: Int = HybridSearch.RrfK

@@ -325,4 +325,104 @@ class LexicalHybridSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("doc_name"), r.getAs[Double]("rrf_r"))).toSeq
     assert(rebuilt == incr, s"rebuild != incremental:\n $rebuilt\n $incr")
   }
+
+  test("MaxScore early termination: bounded common-list scan, exact parity, gate lifecycle") {
+    val dir = "target/vdb_lexical_maxscore"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    // 600 docs ALL carrying the stop-word-frequency term; 4 also carry
+    // the rare identifier. An unterminated scan reads all 600
+    // stop-word postings per query; MaxScore must read only the
+    // candidates' slice.
+    val docs = (0 until 600).map { i =>
+      val rare = if (i % 150 == 0) " zanzibarq" else ""
+      (i.toLong, s"filler$i stopzz body unique$i words$rare")
+    }
+    db.ingest(docsFrame(docs, source = "ms"))
+    db.indexLexical()
+    assert(db.lexMaxScoreReady, "fresh consistent sidecar must open the gate")
+
+    val qt = Seq((0L, Seq("zanzibarq", "stopzz"), Option.empty[String]))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("lex_rnk"),
+        r.getAs[String]("doc_name"))).sortBy(t => (t._1, t._2)).toSeq
+
+    // plan/metrics pin under a non-adaptive plan (the established
+    // FileSourceScanExec traversal pattern)
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = db.lexAllScanPlan(qt, 3, None).get
+      val prunedRows = rowsOf(pruned)
+      val fullRows = rowsOf(db.lexAllScanPlan(qt, 3, None, forceFull = true).get)
+      assert(prunedRows == fullRows && prunedRows.size == 3,
+        s"MaxScore must be exact:\n pruned $prunedRows\n full $fullRows")
+
+      // THE pin, two layers: (a) the candidate doc_names are PUSHED
+      // into job B's postings scan (at production row-group counts the
+      // reader's footer stats skip the bulk of the doc_name-sorted
+      // term run; this test corpus fits one row group, where parquet
+      // can only skip whole groups), and (b) the rows that actually
+      // REACH the scorer are candidate-bounded — the common list's
+      // length never reaches the join/aggregate, at any scale
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("postings")) => f
+      }
+      assert(scans.nonEmpty, "job B must scan the postings")
+      scans.foreach { s =>
+        assert(s.dataFilters.mkString(",").contains("doc_name"),
+          s"candidate names must push into the scan: ${s.dataFilters}")
+      }
+      val nameFilters = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("doc_name") &&
+              f.condition.toString.contains(" IN ") => f
+      }
+      assert(nameFilters.nonEmpty, "the candidate-name filter must gate the scan")
+      nameFilters.foreach { f =>
+        assert(f.metrics("numOutputRows").value <= 16,
+          s"rows past the candidate gate must be bounded, got ${
+            f.metrics("numOutputRows").value} (the full list is 600)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+
+    // the single-query serving surface rides the same plan
+    val hyb = db.searchHybrid("zanzibarq stopzz", 3)
+    assert(hyb.collect().length == 3)
+
+    // ---- gate lifecycle ----
+    // (a) un-compacted deletes close it (live df < stats df would
+    // under-bound idf); serving falls back and stays correct
+    db.deleteWhere(col("doc_name").contains("/doc_599"))
+    assert(!db.lexMaxScoreReady, "tombstones must close the gate")
+    val afterDel = rowsOf(db.lexAllScanPlan(qt, 3, None).get)
+    assert(afterDel == rowsOf(
+      db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
+    // (b) compaction clears tombstones + refreshes stats: gate reopens
+    db.maintainStore()
+    assert(db.lexMaxScoreReady, "compaction must reopen the gate")
+    assert(rowsOf(db.lexAllScanPlan(qt, 3, None).get) == rowsOf(
+      db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
+    // (c) a torn append (postings landed, stats didn't — simulated by
+    // breaking _PCOUNT) closes the gate instead of serving torn stats
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lexical/_PCOUNT"), false)
+    db.ingest(docsFrame(Seq(9001L -> "late doc stopzz zanzibarq"), source = "ms"))
+    assert(!db.lexMaxScoreReady, "_PCOUNT mismatch must close the gate")
+    // and a rebuild restores consistency
+    db.indexLexical()
+    assert(db.lexMaxScoreReady)
+    assert(rowsOf(db.lexAllScanPlan(qt, 3, None).get) == rowsOf(
+      db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
+
+    // (d) an appended batch keeps stats exact: the gate stays open and
+    // parity holds with the new doc in the corpus
+    db.ingest(docsFrame(Seq(9002L -> "another late stopzz zanzibarq doc"),
+      source = "ms"))
+    assert(db.lexMaxScoreReady, "a clean append must keep the gate open")
+    assert(rowsOf(db.lexAllScanPlan(qt, 3, None).get) == rowsOf(
+      db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
+  }
 }
