@@ -351,9 +351,25 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   /** Sidecar entry read — mergeSchema, so a sidecar mixing
     * pre-generation files with stamped appends deterministically
     * surfaces `gen` (null on the legacy rows) instead of depending on
-    * which file's footer wins single-schema inference. */
+    * which file's footer wins single-schema inference. Costs a footer
+    * merge job — fine on the ingest-gate paths; the per-query postings
+    * read uses [[readPostings]]' explicit schema instead. */
   private def readSidecar(path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** The postings layout, declared: an EXPLICIT schema makes the
+    * serving read both deterministic on mixed pre/post-generation
+    * sidecars (missing `gen` reads as null → the documented gen-0
+    * case, no footer-inference lottery) and cheaper (no schema-merge
+    * job on the hot path). */
+  private val lexPostingsSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_name", "string").add("page_num", "long")
+    .add("content_type", "string").add("content_id", "string")
+    .add("dl", "long").add("term", "string").add("tf", "long")
+    .add("gen", "long").add("bucket", "int")
+
+  private def readPostings(): DataFrame =
+    spark.read.schema(lexPostingsSchema).parquet(lexPostingsPath)
 
   /** The entries still live under the generation rule: no tombstone
     * for the name at-or-after the entry's generation. Legacy rows
@@ -967,11 +983,13 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     if (allTerms.isEmpty || nDocs == 0) return None
     val sumDl = readLongAt(lexCounter("_SUMDL"))
     val avgdl = sumDl.toDouble / nDocs
-    // MaxScore early termination serves when its stats are provably
-    // exact AND a query actually carries a common (high-df) term;
-    // every other shape runs the one-scan full plan
-    if (!forceFull && allTerms.length <= GraftVectorDB.InLiteralMax &&
-        lexMaxScoreReady)
+    // MaxScore early termination serves when the corpus is big enough
+    // for a "common" list to mean anything, its stats are provably
+    // exact, AND a query actually carries a common (high-df) term;
+    // every other shape runs the one-scan full plan (tiny stores never
+    // pay the stats-read job)
+    if (!forceFull && nDocs >= GraftVectorDB.LexMaxScoreMinDocs &&
+        allTerms.length <= GraftVectorDB.InLiteralMax && lexMaxScoreReady)
       maxScoreScanPlan(qTerms, pool, location, nDocs, avgdl) match {
         case Some(df) => return Some(df)
         case None => ()
@@ -995,7 +1013,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // bloat the plan as a literal (the InLiteralMax rule), so past it
     // only the bucket partition pruning narrows the scan
     val matched = liveByGen(
-      readSidecar(lexPostingsPath)
+      readPostings()
         .filter($"bucket".isin(buckets: _*))
         .transform(df =>
           if (allTerms.length <= GraftVectorDB.InLiteralMax)
@@ -1123,7 +1141,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val rareTerms = aQ.flatMap(_._2).distinct
     val rBuckets = rareTerms.map(GraftVectorDB.lexBucket).distinct
     // the gate holds (no tombstones), so the raw read IS the live set
-    val rScan = readSidecar(lexPostingsPath)
+    val rScan = readPostings()
       .filter($"bucket".isin(rBuckets: _*))
       .filter($"term".isin(rareTerms: _*))
     val anyLoc = qInfo.exists(_._4.isDefined)
@@ -1184,7 +1202,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
           .toDF("q_id", "term", "df", "q_loc")
         val cTerms = commonPruned.flatMap(_._3).distinct
         val cBuckets = cTerms.map(GraftVectorDB.lexBucket).distinct
-        val cScan = readSidecar(lexPostingsPath)
+        val cScan = readPostings()
           .filter($"bucket".isin(cBuckets: _*))
           .filter($"term".isin(cTerms: _*))
           .filter($"doc_name".isin(names: _*))
@@ -1269,10 +1287,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     *
     * Output: (rnk, rrf_r, lex_rnk, ann_rnk, doc_name, page_num,
     * content_type, content_id, content_raw) — rank columns are null
-    * for the channel that didn't surface the row. */
+    * for the channel that didn't surface the row.
+    *
+    * `vector` selects the vector channel's serving path — RRF fuses
+    * RANKS, so any of them drops in without recalibration: "auto"
+    * (warm [[searchAnn]] when the text index is built, exact
+    * [[search]] otherwise), "ann", "pq" ([[searchAnnPq]] — the path
+    * for stores where only the PQ codes are affordable to scan;
+    * `nProbe`/`shortlist` pass through, and the exhaustive setting
+    * reproduces the exact fusion verbatim), or "exact". */
   def searchHybrid(queryText: String, topN: Int = 5,
       location: Option[String] = None,
-      pool: Int = GraftVectorDB.HybridPool): DataFrame = {
+      pool: Int = GraftVectorDB.HybridPool,
+      vector: String = "auto",
+      nProbe: Int = AnnIndex.AutoNProbe,
+      shortlist: Int = AnnIndex.AutoShortlist): DataFrame = {
     require(lexicalIndexed,
       s"searchHybrid: no lexical sidecar at $lexPostingsPath - " +
         "run indexLexical() first (ingest keeps it current afterwards)")
@@ -1280,10 +1309,18 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       lexScanPlan(queryText, pool, location).map(_.collect())
         .getOrElse(Array.empty)
         .map(r => hybridKeyOf(r) -> r.getAs[Long]("lex_rnk").toInt).toMap
-    val vecRows =
-      (if (annIndexBuilt("text"))
-         searchAnnIn("text", queryText, pool, location = location)
-       else searchIn("text", queryText, pool, location)).collect()
+    val vecRows = (vector match {
+      case "auto" =>
+        if (annIndexBuilt("text"))
+          searchAnnIn("text", queryText, pool, nProbe, location)
+        else searchIn("text", queryText, pool, location)
+      case "ann" => searchAnnIn("text", queryText, pool, nProbe, location)
+      case "pq" =>
+        searchAnnPqIn("text", queryText, pool, nProbe, shortlist, location)
+      case "exact" => searchIn("text", queryText, pool, location)
+      case other => throw new IllegalArgumentException(
+        s"searchHybrid: unknown vector path '$other' (auto|ann|pq|exact)")
+    }).collect()
     val vecRank: Map[LexKey, Int] =
       vecRows.map(r => hybridKeyOf(r) -> r.getAs[Long]("rnk").toInt).toMap
     val vecRaw: Map[LexKey, String] =
@@ -1344,10 +1381,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * filters before each bounded top-k on BOTH channels). Per-query
     * results equal [[searchHybrid]] at the query's effective scope
     * (spec-pinned). Output = [[searchHybrid]]'s columns plus a
-    * leading q_id, (q_id, rnk)-sorted. */
+    * leading q_id, (q_id, rnk)-sorted. `vector` routes the batch's
+    * vector channel exactly as on [[searchHybrid]] ("pq" rides
+    * [[searchAllAnnPq]]'s constant-scan batch path). */
   def searchAllHybrid(queries: DataFrame, topN: Int = 5,
       location: Option[String] = None,
-      pool: Int = GraftVectorDB.HybridPool): DataFrame = {
+      pool: Int = GraftVectorDB.HybridPool,
+      vector: String = "auto",
+      nProbe: Int = AnnIndex.AutoNProbe,
+      shortlist: Int = AnnIndex.AutoShortlist): DataFrame = {
     require(lexicalIndexed,
       s"searchAllHybrid: no lexical sidecar at $lexPostingsPath - " +
         "run indexLexical() first (ingest keeps it current afterwards)")
@@ -1373,9 +1415,16 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         .groupBy(_.getAs[Long]("q_id"))
         .map { case (id, rows) => id ->
           rows.map(r => hybridKeyOf(r) -> r.getAs[Long]("lex_rnk").toInt).toMap }
-    val vecByQ = (if (annIndexBuilt("text"))
-        searchAllAnn(queries, pool, location = location)
-      else searchAll(queries, pool, location)).collect()
+    val vecByQ = (vector match {
+      case "auto" =>
+        if (annIndexBuilt("text")) searchAllAnn(queries, pool, nProbe, location)
+        else searchAll(queries, pool, location)
+      case "ann" => searchAllAnn(queries, pool, nProbe, location)
+      case "pq" => searchAllAnnPq(queries, pool, nProbe, shortlist, location)
+      case "exact" => searchAll(queries, pool, location)
+      case other => throw new IllegalArgumentException(
+        s"searchAllHybrid: unknown vector path '$other' (auto|ann|pq|exact)")
+    }).collect()
       .groupBy(_.getAs[Long]("q_id"))
     val fusedByQ = qInfo.map { case (id, _, _) =>
       val vq = vecByQ.getOrElse(id, Array.empty)
@@ -3727,6 +3776,11 @@ object GraftVectorDB {
     * the 128 MB default at a per-group overhead that is noise next to
     * a postings row's width. */
   val LexRowGroupBytes: Long = 8L * 1024 * 1024
+
+  /** Below this many indexed chunks MaxScore never engages: every
+    * posting list is already a bounded scan, so the per-query stats
+    * read would cost more than it prunes. */
+  val LexMaxScoreMinDocs = 512L
 
   /** A query term whose df exceeds nDocs / this fraction counts as
     * COMMON for MaxScore early termination: its posting list is long

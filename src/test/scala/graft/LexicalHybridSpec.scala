@@ -326,6 +326,80 @@ class LexicalHybridSpec extends AnyFunSuite {
     assert(rebuilt == incr, s"rebuild != incremental:\n $rebuilt\n $incr")
   }
 
+  test("hybrid x PQ: exhaustive PQ fusion == exact fusion; scopes compose; warm jobs pinned") {
+    val dir = "target/vdb_lexical_pq"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    db.ingest(docsFrame(corpus))
+    db.indexLexical()
+    db.buildAnnIndex(cells = 4)
+    val rows = spark.read.parquet(db.annPath("text")).count().toInt
+    val q = "alpha beta common"
+    def keyAll(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Double]("rrf_r"),
+        Option(r.getAs[java.lang.Long]("lex_rnk")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("ann_rnk")).map(_.toLong),
+        r.getAs[String]("doc_name"), r.getAs[String]("content_id"))).toSeq
+    // RRF fuses ranks, so the exhaustive PQ config (every cell probed,
+    // channel-sized shortlist → exact cosine re-rank over everything)
+    // must reproduce the exact-vector fusion VERBATIM
+    val exact = keyAll(db.searchHybrid(q, 5, vector = "exact"))
+    val pqFused = keyAll(db.searchHybrid(q, 5, vector = "pq",
+      nProbe = 4, shortlist = rows))
+    assert(pqFused == exact, s"pq-fused != exact-fused:\n $pqFused\n $exact")
+    // scopes compose on the PQ path exactly as on the exact path —
+    // call-level location AND per-query q_loc, both under-filled
+    // scopes included (escalation ≡ exact is the PQ surface's own
+    // contract; fusion must not disturb it)
+    val loc = Some("corpus/lex/doc_1")
+    assert(keyAll(db.searchHybrid(q, 2, loc, vector = "pq",
+        nProbe = 4, shortlist = rows)) ==
+      keyAll(db.searchHybrid(q, 2, loc, vector = "exact")))
+    val batchQ = Seq((1L, q, null), (2L, "quantum flux capacitor", null),
+      (3L, q, "corpus/lex/doc_2")).toDF("q_id", "q_text", "q_loc")
+    val batch = db.searchAllHybrid(batchQ, 5, vector = "pq",
+      nProbe = 4, shortlist = rows).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    Seq((1L, q, None), (2L, "quantum flux capacitor", None),
+      (3L, q, Some("corpus/lex/doc_2"))).foreach { case (id, qt, qloc) =>
+        val single = db.searchHybrid(qt, 5, qloc, vector = "pq",
+          nProbe = 4, shortlist = rows).collect()
+          .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("doc_name"),
+            r.getAs[Double]("rrf_r"))).toSeq
+        val got = batch.getOrElse(id, Array.empty)
+          .map(r => (r.getAs[Long]("rnk"), r.getAs[String]("doc_name"),
+            r.getAs[Double]("rrf_r"))).toSeq
+        assert(got == single, s"batch/single divergence for q$id")
+      }
+    // warm job pin, relative: the PQ fusion must cost exactly the PQ
+    // surface's own pinned 2 scans (ADC shortlist + fetch) where the
+    // exact fusion pays its 1 exact scan — i.e. the lexical half and
+    // the fusion add NOTHING path-dependent (the absolute count
+    // includes the lexical plan's AQE broadcast sub-jobs, identical
+    // in both runs)
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    db.searchHybrid(q, 5, vector = "pq", nProbe = 4, shortlist = rows).collect()
+    db.searchHybrid(q, 5, vector = "exact").collect()
+    val nPq = countJobs(
+      db.searchHybrid(q, 5, vector = "pq", nProbe = 4, shortlist = rows).collect())
+    val nExact = countJobs(db.searchHybrid(q, 5, vector = "exact").collect())
+    assert(nPq <= nExact + 1,
+      s"PQ fusion must add only the PQ surface's own extra scan: $nPq vs $nExact")
+    // unknown path name fails loudly
+    val err = intercept[IllegalArgumentException](db.searchHybrid(q, 5, vector = "hnsw"))
+    assert(err.getMessage.contains("unknown vector path"))
+  }
+
   test("MaxScore early termination: bounded common-list scan, exact parity, gate lifecycle") {
     val dir = "target/vdb_lexical_maxscore"
     rmRf(new java.io.File(dir))
