@@ -940,13 +940,33 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   /** (term → (df, max_tf)) for the query's terms: bucket+term-pruned
     * stats scan, partial rows (base build + appends) folded. Exact
-    * live values under the [[lexMaxScoreReady]] gate. */
+    * live values under the [[lexMaxScoreReady]] gate. Results cache
+    * per sidecar generation (query vocabularies repeat — the common
+    * terms ARE the recurring ones), so a warm query costs no stats
+    * job; zero-df terms cache too (as absent from the returned map)
+    * or every query carrying a typo would re-scan. */
+  @volatile private var lexStatsCache: (Long, Map[String, (Long, Long)]) =
+    (-1L, Map.empty)
   private def lexTermStats(terms: Seq[String]): Map[String, (Long, Long)] = {
-    val buckets = terms.map(GraftVectorDB.lexBucket).distinct
-    spark.read.parquet(lexTermStatsPath)
-      .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
-      .groupBy($"term").agg(sum($"df").as("df"), max($"max_tf").as("max_tf"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val g = curGen(lexicalPath, lexGenDirs)
+    val cached =
+      if (lexStatsCache._1 == g) lexStatsCache._2
+      else Map.empty[String, (Long, Long)]
+    val missing = terms.filterNot(cached.contains)
+    val merged =
+      if (missing.isEmpty) cached
+      else {
+        val buckets = missing.map(GraftVectorDB.lexBucket).distinct
+        val fetched = spark.read.parquet(lexTermStatsPath)
+          .filter($"bucket".isin(buckets: _*) && $"term".isin(missing: _*))
+          .groupBy($"term").agg(sum($"df").as("df"), max($"max_tf").as("max_tf"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val m = cached ++ missing.map(t => t -> fetched.getOrElse(t, (0L, 0L)))
+        // bounded driver state: reset rather than grow past ~64k terms
+        lexStatsCache = (g, if (m.size > 65536) m.view.take(65536).toMap else m)
+        m
+      }
+    terms.flatMap(t => merged.get(t).filter(_._1 > 0).map(t -> _)).toMap
   }
 
   /** The store-row identity the fusion joins channels on. */
@@ -977,20 +997,23 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private[graft] def lexAllScanPlan(
       qTerms: Seq[(Long, Seq[String], Option[String])],
       pool: Int, location: Option[String],
-      forceFull: Boolean): Option[DataFrame] = {
+      forceFull: Boolean, forceMaxScore: Boolean = false): Option[DataFrame] = {
     val nDocs = readLongAt(lexCounter("_NDOCS"))
     val allTerms = qTerms.flatMap(_._2).distinct
     if (allTerms.isEmpty || nDocs == 0) return None
     val sumDl = readLongAt(lexCounter("_SUMDL"))
     val avgdl = sumDl.toDouble / nDocs
     // MaxScore early termination serves when the corpus is big enough
-    // for a "common" list to mean anything, its stats are provably
-    // exact, AND a query actually carries a common (high-df) term;
-    // every other shape runs the one-scan full plan (tiny stores never
-    // pay the stats-read job)
-    if (!forceFull && nDocs >= GraftVectorDB.LexMaxScoreMinDocs &&
-        allTerms.length <= GraftVectorDB.InLiteralMax && lexMaxScoreReady)
-      maxScoreScanPlan(qTerms, pool, location, nDocs, avgdl) match {
+    // for a "common" list to clear the engagement floor, its stats are
+    // provably exact, AND a query actually carries a common term whose
+    // skippable mass beats the pruned plan's fixed overhead; every
+    // other shape runs the one-scan full plan (small stores never even
+    // pay the stats-read job). `forceMaxScore` (specs/probes) bypasses
+    // the ECONOMIC floors only — never the exactness gate.
+    if (!forceFull && allTerms.length <= GraftVectorDB.InLiteralMax &&
+        (forceMaxScore || nDocs >= GraftVectorDB.LexMaxScoreMinDocs) &&
+        lexMaxScoreReady)
+      maxScoreScanPlan(qTerms, pool, location, nDocs, avgdl, forceMaxScore) match {
         case Some(df) => return Some(df)
         case None => ()
       }
@@ -1107,7 +1130,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
   private def maxScoreScanPlan(
       qTerms: Seq[(Long, Seq[String], Option[String])],
       pool: Int, location: Option[String],
-      nDocs: Long, avgdl: Double): Option[DataFrame] = {
+      nDocs: Long, avgdl: Double, force: Boolean): Option[DataFrame] = {
     val k1 = HybridSearch.K1
     val b = HybridSearch.B
     val eps = 1e-6
@@ -1132,6 +1155,10 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // no common term anywhere → the full plan's term-pruned scan is
     // already bounded by the rare dfs; nothing to terminate early
     if (!qInfo.exists(_._3.nonEmpty)) return None
+    // economic floor: the skippable mass must clear the pruned plan's
+    // fixed multi-job overhead (see LexMaxScoreMinCommonRows)
+    if (!force && qInfo.flatMap(_._3).distinct.map(stats(_)._1).sum <
+        GraftVectorDB.LexMaxScoreMinCommonRows) return None
     val aQ = qInfo.filter(_._2.nonEmpty) // queries that can establish θ
     if (aQ.isEmpty) return None // all-common queries: the answer IS the big scan
     // ---- job A: full scoring over RARE terms only ----
@@ -2108,9 +2135,29 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * search never joins back to the store. The routing table persists
     * at `_centroids`, reopenable from any session. At 100 TB this is
     * the batch index build: one full pass to route + write. Returns
-    * rows indexed. */
+    * rows indexed.
+    *
+    * `geometry = "imi"` switches the routing table to the inverted
+    * multi-index PRODUCT form ([[AnnIndex.imi]], Babenko & Lempitsky
+    * 2012): `_centroids` persists 2·⌈√cells⌉ half-space centroids
+    * instead of `cells` full ones, a cell is the code PAIR from the
+    * fused [[graft.functions.expressions.PqEncode]] assignment, and
+    * [[cachedIndex]] expands the product driver-side into the same
+    * flat (cell, concat-centroid) table every serving surface already
+    * consumes — EXACT, because ranking pairs by half-score sums IS
+    * ranking concatenated centroids by L2. The structural win (√cells
+    * routing evaluations, √cells-sized fit/persist) only matters past
+    * ~10⁵ cells where the expansion would give way to the paper's
+    * multi-sequence traversal; below that flat routing is strictly
+    * faster, so "flat" stays the default and the auto-rebuild policy's
+    * sizing — this option proves the wiring (build → persist → reopen
+    * → serve ≡ exact under full probe), deliberately claiming no
+    * performance. */
   def buildAnnIndex(cells: Int = AnnIndex.IvfCells,
-      channel: String = "text"): Long = withWriterLease("buildAnnIndex") {
+      channel: String = "text", geometry: String = "flat"): Long =
+    withWriterLease("buildAnnIndex") {
+    require(geometry == "flat" || geometry == "imi",
+      s"buildAnnIndex: unknown geometry '$geometry' (flat|imi)")
     val chan = channelRows(channel)
       .withColumn("row_id", xxhash64($"doc_name", $"content_type", $"content_id"))
       .withColumn("v", toDouble($"embedding"))
@@ -2118,12 +2165,33 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // codebooks); routing + encoding are then narrow projections on
     // the single full build pass
     val sample = AnnIndex.sampleVectors(chan.select($"row_id", $"v"), $"row_id")
-    val centroids = AnnIndex.centroidsFromSample(spark, sample, cells)
     val pqBooks = AnnIndex.pqCodebooksFromSample(sample, AnnIndex.PqStoreK)
-    val books = AnnIndex.routingBooks(centroids)
+    val (centroids, cellExpr, imiTag) =
+      if (geometry == "flat") {
+        val c = AnnIndex.centroidsFromSample(spark, sample, cells)
+        (c, AnnIndex.cellOf(AnnIndex.routingBooks(c), $"v"), None)
+      } else {
+        val dim = channelDef(channel).dim
+        require(dim % 2 == 0,
+          s"buildAnnIndex(imi): channel '$channel' dim $dim is odd - " +
+            "the two half-space codebooks need an even split")
+        val half = dim / 2
+        val k1 = math.max(1, math.min(sample.length,
+          math.ceil(math.sqrt(cells.toDouble)).toInt))
+        val halfBooks = Array(
+          AnnIndex.lloyd(sample.map(_.slice(0, half)), k1, iters = 5),
+          AnnIndex.lloyd(sample.map(_.slice(half, dim)), k1, iters = 5))
+        val enc = graft.functions.expressions.PqEncode($"v", halfBooks, half)
+        val cdf = halfBooks.zipWithIndex.flatMap { case (bk, m) =>
+          bk.zipWithIndex.map { case (cv, k) => (m, k, cv.toSeq) } }.toSeq
+          .toDF("m", "k", "cv")
+        (cdf,
+          (element_at(enc, 1) * k1 + element_at(enc, 2)).cast("int"),
+          Some(k1))
+      }
     val indexed = chan.select($"doc_name", $"page_num", $"content_type",
         $"content_id", $"content_raw", $"row_id", $"v",
-        l2Norm($"v").as("nrm"), AnnIndex.cellOf(books, $"v").as("cell"),
+        l2Norm($"v").as("nrm"), cellExpr.as("cell"),
         AnnIndex.encodeCodes(pqBooks).as("codes"))
     // build into a dot-prefixed temp dir and swap via the keep-old
     // two-rename protocol (swapDir — the compact()/compactAnnIndex
@@ -2144,6 +2212,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     indexed.sortWithinPartitions($"cell", $"doc_name")
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$tmp/_centroids")
+    // geometry marker rides the swap with the table it describes: a
+    // reader never sees an imi table without the marker or vice versa
+    imiTag.foreach { k1 =>
+      val gp = new org.apache.hadoop.fs.Path(s"$tmp/_centroids/_GEOMETRY")
+      val gfs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = gfs.create(gp, true)
+      out.write(s"imi:$k1".getBytes("UTF-8"))
+      out.close()
+    }
     AnnIndex.writeCodebooks(spark, pqBooks, s"$tmp/_codebooks")
     val live = new org.apache.hadoop.fs.Path(annPath(channel))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3132,8 +3209,35 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     Option(GraftVectorDB.routingCache.get(key)) match {
       case Some(c) if c.gen == gen && (c.index.sparkSession eq spark) => c
       case _ =>
-        val books = GraftVectorDB.applySplits(
-          AnnIndex.routingBooks(spark.read.parquet(cDir.toString)), splitOps)
+        // geometry-aware table read: an imi `_centroids` persists the
+        // two half-space codebooks (m, k, cv) — expand the product
+        // driver-side into the flat (cell = i·K + j, c₁ᵢ ⊕ c₂ⱼ) table
+        // the whole serving machinery consumes. Exact: pair-sum
+        // ranking ≡ concatenated-centroid L2 (AnnIndex.imi), and the
+        // separable argmin keeps append-time assignment consistent
+        // with the build's PqEncode code pairs. Past ~10⁵ cells the
+        // production reader would rank via half-score sums instead of
+        // materializing K² rows — below it this expansion is free.
+        val geomP = new org.apache.hadoop.fs.Path(cDir, "_GEOMETRY")
+        val baseBooks =
+          if (fs.exists(geomP)) {
+            val len = fs.getFileStatus(geomP).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(geomP)
+            try in.readFully(0, buf) finally in.close()
+            val tag = new String(buf, "UTF-8").trim
+            require(tag.startsWith("imi:"),
+              s"unknown ANN geometry marker '$tag' at $geomP")
+            val k1 = tag.stripPrefix("imi:").toInt
+            val hb = spark.read.parquet(cDir.toString).collect()
+              .map(r => (r.getAs[Int]("m"), r.getAs[Int]("k"),
+                r.getAs[Seq[Double]]("cv").toArray))
+              .groupBy(_._1).toArray.sortBy(_._1)
+              .map(_._2.sortBy(_._2).map(_._3))
+            (for (i <- hb(0).indices; j <- hb(1).indices)
+              yield (i * k1 + j, hb(0)(i) ++ hb(1)(j))).toArray
+          } else AnnIndex.routingBooks(spark.read.parquet(cDir.toString))
+        val books = GraftVectorDB.applySplits(baseBooks, splitOps)
         // an index persisted before PQ landed has no _codebooks —
         // it stays servable on the plain probe path; only searchAnnPq
         // demands a rebuild
@@ -3777,19 +3881,36 @@ object GraftVectorDB {
     * a postings row's width. */
   val LexRowGroupBytes: Long = 8L * 1024 * 1024
 
-  /** Below this many indexed chunks MaxScore never engages: every
-    * posting list is already a bounded scan, so the per-query stats
-    * read would cost more than it prunes. */
-  val LexMaxScoreMinDocs = 512L
+  /** MaxScore engages only when the skippable common-list mass clears
+    * the pruned plan's fixed overhead. The pruned path costs ~4 small
+    * scheduling rounds (stats read cold, rare-scan job A, θ/candidate
+    * collects, name-pruned job B) where the full plan is one scan —
+    * ServeProbe measured the constant at sf1: forced-MaxScore 1.14 s
+    * vs full 0.65 s when the "common" list is only 7k rows. At a core-
+    * saturated ~5M postings/s scan rate the crossover sits at a few
+    * million skippable rows, so: engage when the query's common terms
+    * together hold ≥ this many postings (a 3%-df term reaches it at
+    * ~3×10⁷ chunks; a true stop word at ~3×10⁶) — exactly the
+    * corpora whose lists the full plan cannot afford. Below it the
+    * single-scan plan serves, measured-faster. */
+  val LexMaxScoreMinCommonRows = 1L << 20
+
+  /** Below this many indexed chunks no term can reach
+    * [[LexMaxScoreMinCommonRows]] postings (df ≤ nDocs), so the
+    * serving path skips even the stats read. */
+  val LexMaxScoreMinDocs: Long = LexMaxScoreMinCommonRows
 
   /** A query term whose df exceeds nDocs / this fraction counts as
     * COMMON for MaxScore early termination: its posting list is long
     * enough that scoring it only for the surviving candidates (job B's
-    * name-pruned scan) beats scanning it whole, and its impact bound
-    * is low enough that θ from the rare terms usually excludes its
-    * solo matches. Terms below the cut just ride the normal
-    * term-pruned scan — their lists are already bounded. */
-  val LexCommonDfFrac = 8L
+    * name-pruned scan) beats scanning it whole. Terms below the cut
+    * just ride the normal term-pruned scan — their lists are already
+    * bounded. 1/32 ≈ 3% of the corpus: job A's rare-list scans stay a
+    * bounded corpus fraction per term, while a ≥3%-df term's list
+    * (30M+ rows at 10⁹ chunks) is exactly what early termination
+    * exists to skip; whether its impact bound actually clears θ is
+    * decided per query, with the full scan as the fallback. */
+  val LexCommonDfFrac = 32L
 
   /** RRF dampening constant (Cormack et al. 2009). */
   val RrfK: Int = HybridSearch.RrfK

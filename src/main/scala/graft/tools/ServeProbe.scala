@@ -146,6 +146,32 @@ object ServeProbe {
     db.searchHybrid(qs.head, 5).collect() // warm the serving cache
     timeMin("warm searchHybrid", 3)(db.searchHybrid(qs(1), 5).collect())
     timeMin("searchAllHybrid x64", 2)(db.searchAllHybrid(batch, 5).collect())
+    // MaxScore crossover, measured at THIS corpus size: a query
+    // pairing the corpus's most common term with a rare one, the
+    // FORCED pruned plan vs the full scan. Below the engagement floor
+    // (LexMaxScoreMinCommonRows) the default path serves the full
+    // plan — this measures WHY: the pruned machinery's fixed multi-job
+    // overhead vs the list mass it skips. Terms come from the
+    // termstats sidecar so the probe tracks the corpus.
+    val ts = spark.read.parquet(s"$dbDir/lexical/termstats")
+      .groupBy($"term").agg(sum($"df").as("df"))
+    val common = ts.orderBy($"df".desc).first()
+    // rare pick needs ≥ pool matches so θ is establishable
+    val rare = ts.filter($"df".between(GraftVectorDB.HybridPool, 64))
+      .orderBy($"df".desc, $"term").first()
+    println(s"[serveprobe] maxscore terms: common '${common.getString(0)}' " +
+      s"df=${common.getLong(1)}, rare '${rare.getString(0)}' df=${rare.getLong(1)} " +
+      s"(engagement floor ${GraftVectorDB.LexMaxScoreMinCommonRows} common rows)")
+    val msQ = Seq((0L, Seq(rare.getString(0), common.getString(0)),
+      Option.empty[String]))
+    db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None,
+      forceFull = false, forceMaxScore = true).get.collect() // warm
+    timeMin("lexical common+rare (forced MaxScore)", 3)(
+      db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None,
+        forceFull = false, forceMaxScore = true).get.collect())
+    timeMin("lexical common+rare (full scan)", 3)(
+      db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None, forceFull = true)
+        .get.collect())
     // hybrid freshness: a second streamed doc must be lexically AND
     // approximately findable through the fused path with no reindex
     // (ingest appends postings + ANN cells in the same batch)

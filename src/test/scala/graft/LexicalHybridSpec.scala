@@ -426,7 +426,8 @@ class LexicalHybridSpec extends AnyFunSuite {
     val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val pruned = db.lexAllScanPlan(qt, 3, None).get
+      val pruned = db.lexAllScanPlan(qt, 3, None,
+        forceFull = false, forceMaxScore = true).get
       val prunedRows = rowsOf(pruned)
       val fullRows = rowsOf(db.lexAllScanPlan(qt, 3, None, forceFull = true).get)
       assert(prunedRows == fullRows && prunedRows.size == 3,
@@ -470,13 +471,17 @@ class LexicalHybridSpec extends AnyFunSuite {
     // under-bound idf); serving falls back and stays correct
     db.deleteWhere(col("doc_name").contains("/doc_599"))
     assert(!db.lexMaxScoreReady, "tombstones must close the gate")
-    val afterDel = rowsOf(db.lexAllScanPlan(qt, 3, None).get)
+    // even FORCED MaxScore must refuse while the gate is closed (the
+    // force knob bypasses the economic floors, never exactness)
+    val afterDel = rowsOf(db.lexAllScanPlan(qt, 3, None,
+      forceFull = false, forceMaxScore = true).get)
     assert(afterDel == rowsOf(
       db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
     // (b) compaction clears tombstones + refreshes stats: gate reopens
     db.maintainStore()
     assert(db.lexMaxScoreReady, "compaction must reopen the gate")
-    assert(rowsOf(db.lexAllScanPlan(qt, 3, None).get) == rowsOf(
+    assert(rowsOf(db.lexAllScanPlan(qt, 3, None,
+      forceFull = false, forceMaxScore = true).get) == rowsOf(
       db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
     // (c) a torn append (postings landed, stats didn't — simulated by
     // breaking _PCOUNT) closes the gate instead of serving torn stats
@@ -488,7 +493,8 @@ class LexicalHybridSpec extends AnyFunSuite {
     // and a rebuild restores consistency
     db.indexLexical()
     assert(db.lexMaxScoreReady)
-    assert(rowsOf(db.lexAllScanPlan(qt, 3, None).get) == rowsOf(
+    assert(rowsOf(db.lexAllScanPlan(qt, 3, None,
+      forceFull = false, forceMaxScore = true).get) == rowsOf(
       db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
 
     // (d) an appended batch keeps stats exact: the gate stays open and
@@ -496,7 +502,8 @@ class LexicalHybridSpec extends AnyFunSuite {
     db.ingest(docsFrame(Seq(9002L -> "another late stopzz zanzibarq doc"),
       source = "ms"))
     assert(db.lexMaxScoreReady, "a clean append must keep the gate open")
-    assert(rowsOf(db.lexAllScanPlan(qt, 3, None).get) == rowsOf(
+    assert(rowsOf(db.lexAllScanPlan(qt, 3, None,
+      forceFull = false, forceMaxScore = true).get) == rowsOf(
       db.lexAllScanPlan(qt, 3, None, forceFull = true).get))
   }
 }
