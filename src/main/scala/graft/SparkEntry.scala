@@ -54,6 +54,8 @@ object SparkEntry {
     "vs_search_multi" -> (KnnSearch.searchMulti _),
     "vs_xmodal" -> (KnnSearch.xmodal _),
     "vs_parse" -> (DocParse.parse _),
+    "vs_parse_pdf" -> (DocParse.parsePdf _),
+    "vs_parse_pptx" -> (DocParse.parsePptx _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -674,6 +676,47 @@ object SparkEntry {
         |SELECT doc_id, i::BIGINT, 'image', substr(md5(pg),1,8), substr(md5(pg),1,8),
         | ((i*37)%500)::DOUBLE, ((i*53)%700)::DOUBLE,
         | ((i*37)%500 + 100 + (i*7)%200)::DOUBLE, ((i*53)%700 + 80 + (i*11)%160)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |ORDER BY doc_id, page_num, content_type""".stripMargin,
+    // the REAL-format twins: the payload is a valid PDF / PPTX built
+    // from the text, the Spark side parses the actual grammar (Flate,
+    // BT/ET text operators, CTM image placement; OPC zip + DrawingML),
+    // and the oracle recomputes the expected parse output from the
+    // text alone — hash-checking the full bytes round trip
+    "vs_parse_pdf" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
+        |np AS (SELECT doc_id, count(*) AS p FROM ch GROUP BY 1)
+        |SELECT doc_id, i::BIGINT AS page_num, 'text_block' AS content_type,
+        | '0' AS content_id, trim(pg) AS content_raw,
+        | (50 + (i*7)%100)::DOUBLE AS x0, (720 - (i*37)%600)::DOUBLE AS y0,
+        | (50 + (i*7)%100 + 6*length(pg))::DOUBLE AS x1,
+        | (720 - (i*37)%600 + 12)::DOUBLE AS y1
+        |FROM ch WHERE trim(pg) <> ''
+        |UNION ALL
+        |SELECT ch.doc_id, i::BIGINT, 'image', (4 + 2*np.p + i//3)::VARCHAR,
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | ((i*37)%500)::DOUBLE, ((i*53)%700)::DOUBLE,
+        | ((i*37)%500 + 100 + (i*7)%200)::DOUBLE, ((i*53)%700 + 80 + (i*11)%160)::DOUBLE
+        |FROM ch JOIN np USING (doc_id) WHERE i % 3 = 0
+        |ORDER BY doc_id, page_num, content_type""".stripMargin,
+    "vs_parse_pptx" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, i::BIGINT AS page_num, 'text_block' AS content_type,
+        | '2' AS content_id, trim(pg) AS content_raw,
+        | (914400 + 1000*i)::DOUBLE AS x0, (457200 + 2000*i)::DOUBLE AS y0,
+        | (914400 + 1000*i + 6096000)::DOUBLE AS x1,
+        | (457200 + 2000*i + 1143000)::DOUBLE AS y1
+        |FROM ch WHERE trim(pg) <> ''
+        |UNION ALL
+        |SELECT doc_id, i::BIGINT, 'image', '3',
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | ((i*37)%500*9525)::DOUBLE, ((i*53)%700*9525)::DOUBLE,
+        | (((i*37)%500 + 100 + (i*7)%200)*9525)::DOUBLE,
+        | (((i*53)%700 + 80 + (i*11)%160)*9525)::DOUBLE
         |FROM ch WHERE i % 3 = 0
         |ORDER BY doc_id, page_num, content_type""".stripMargin,
     "vs_sources" ->

@@ -1,0 +1,525 @@
+package graft.functions.expressions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass parser for REAL PDF payloads — the production half of
+  * the binary-ingest seam [[ParseGft]] stubs with a synthetic
+  * container (reference: embed_pdf, vector_db.py:247-343, which walks
+  * pages for text blocks with bboxes and embedded images by xref).
+  *
+  * This is a from-scratch reader of the public PDF grammar
+  * (ISO 32000), deliberately scoped to the "simple document" subset a
+  * text-extraction pipeline actually meets, with LOUD failures outside
+  * it:
+  *
+  *  - objects are recovered by a linear `N G obj … endobj` scan (no
+  *    xref table needed — damaged/streamless xrefs are the most common
+  *    real-world breakage; the trailer is still used to FIND the
+  *    catalog when present);
+  *  - streams decode raw or /FlateDecode (java.util.zip — zero new
+  *    dependencies); any other filter fails loudly by name;
+  *  - page order comes from walking /Root → /Pages → /Kids (the
+  *    document's declared order, not file order);
+  *  - content streams are tokenized per the real syntax: literal
+  *    strings with the full escape set (\n \r \t \b \f \( \) \\,
+  *    octal, line continuations), hex strings, names, arrays,
+  *    numbers; text shows via Tj / ' / " / TJ inside BT…ET blocks
+  *    with Tm/Td/TD/T* line tracking, one output row per BT…ET block
+  *    (content_id = per-page block index, PyMuPDF's get_text("blocks")
+  *    numbering); string bytes decode as Latin-1 (standard simple
+  *    fonts; CID/CMap-remapped text is out of scope and documented);
+  *  - the block bbox anchors at the block's first text origin with a
+  *    deterministic Helvetica-ish extent estimate (x1 = x0 +
+  *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
+  *    rasterizer's job, the anchor is exact;
+  *  - images: `/Name Do` resolves through /Resources → /XObject to a
+  *    /Subtype /Image object; content_id is the image's OBJECT NUMBER
+  *    (the reference's xref id), content_raw the base64 of the
+  *    embedded stream bytes (DCT streams ARE the JPEG file), and the
+  *    bbox is the unit square through the current CTM (q/Q stack +
+  *    `cm` composition tracked exactly).
+  *
+  * Output schema = [[ParseGft]]'s:
+  * (page_num, content_type, content_id, content_raw, x0, y0, x1, y1).
+  */
+case class ParsePdf(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("page_num", LongType)
+    .add("content_type", StringType)
+    .add("content_id", StringType)
+    .add("content_raw", StringType)
+    .add("x0", DoubleType).add("y0", DoubleType)
+    .add("x1", DoubleType).add("y1", DoubleType))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ParsePdf needs a binary payload, got ${child.dataType.catalogString}")
+
+  private val TextBlock = UTF8String.fromString("text_block")
+  private val Image = UTF8String.fromString("image")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val doc = ParsePdf.parseObjects(bytes)
+    val pages = ParsePdf.pageOrder(doc)
+    val out = ArrayBuffer.empty[Any]
+    pages.zipWithIndex.foreach { case (pageObj, pageIdx) =>
+      val pageDict = doc(pageObj)._1
+      val content = ParsePdf.contentsOf(doc, pageDict)
+      val xobjects = ParsePdf.xobjectsOf(doc, pageDict)
+      var blockIdx = 0
+      ParsePdf.interpret(content, xobjects, doc,
+        onText = (text, x0, y0, x1, y1) => {
+          val t = text.trim
+          if (t.nonEmpty) {
+            out += InternalRow(pageIdx.toLong, TextBlock,
+              UTF8String.fromString(blockIdx.toString),
+              UTF8String.fromString(t), x0, y0, x1, y1)
+            blockIdx += 1
+          }
+        },
+        onImage = (objNum, raw, x0, y0, x1, y1) => {
+          out += InternalRow(pageIdx.toLong, Image,
+            UTF8String.fromString(objNum.toString),
+            UTF8String.fromString(
+              java.util.Base64.getEncoder.encodeToString(raw)),
+            x0, y0, x1, y1)
+        })
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ParsePdf =
+    copy(child = c)
+}
+
+object ParsePdf {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ParsePdf(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+
+  private def fail(what: String): Nothing =
+    throw new IllegalArgumentException(s"PDF parse: $what")
+
+  /** Latin-1 view of the byte range (PDF's structural tokens are all
+    * Latin-1-safe; string CONTENT decoding also uses Latin-1 per the
+    * simple-font scope note). */
+  private def latin1(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** objNum → (dictionary source, optional raw stream bytes). Linear
+    * recovery scan; stream extents come from /Length when it is a
+    * direct integer, else from the next `endstream`. */
+  private[expressions] def parseObjects(bytes: Array[Byte])
+      : Map[Int, (String, Option[Array[Byte]])] = {
+    val src = latin1(bytes, 0, bytes.length)
+    val objRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
+    val out = scala.collection.mutable.Map.empty[Int, (String, Option[Array[Byte]])]
+    var searchFrom = 0
+    while (searchFrom < src.length) {
+      objRe.findFirstMatchIn(src.substring(searchFrom)) match {
+        case None => searchFrom = src.length
+        case Some(m) =>
+          val objNum = m.group(1).toInt
+          val bodyStart = searchFrom + m.end
+          val streamKw = src.indexOf("stream", bodyStart)
+          val endobj = src.indexOf("endobj", bodyStart)
+          if (endobj < 0) fail(s"object $objNum has no endobj")
+          if (streamKw >= 0 && streamKw < endobj) {
+            val dict = src.substring(bodyStart, streamKw)
+            // data begins after the EOL that must follow `stream`
+            var dataStart = streamKw + "stream".length
+            if (dataStart < src.length && src.charAt(dataStart) == '\r') dataStart += 1
+            if (dataStart < src.length && src.charAt(dataStart) == '\n') dataStart += 1
+            val len = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+              .findFirstMatchIn(dict).map(_.group(1).toInt)
+            val dataEnd = len match {
+              case Some(l) if dataStart + l <= bytes.length => dataStart + l
+              case _ =>
+                val e = src.indexOf("endstream", dataStart)
+                if (e < 0) fail(s"object $objNum stream has no endstream")
+                // strip the EOL preceding endstream
+                var ee = e
+                if (ee > dataStart && src.charAt(ee - 1) == '\n') ee -= 1
+                if (ee > dataStart && src.charAt(ee - 1) == '\r') ee -= 1
+                ee
+            }
+            out(objNum) = (dict,
+              Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
+            searchFrom = math.max(src.indexOf("endobj", dataEnd), dataEnd) + 1
+          } else {
+            out(objNum) = (src.substring(bodyStart, endobj), None)
+            searchFrom = endobj + "endobj".length
+          }
+      }
+    }
+    if (out.isEmpty) fail("no objects found (not a PDF or fully unsupported layout)")
+    out.toMap
+  }
+
+  /** Decoded stream bytes of an object: raw, or inflated when the dict
+    * names /FlateDecode; any other filter fails loudly by name. */
+  private def streamOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      objNum: Int): Array[Byte] = {
+    val (dict, data) = doc.getOrElse(objNum, fail(s"missing object $objNum"))
+    val raw = data.getOrElse(fail(s"object $objNum has no stream"))
+    """/Filter\s*/?(\w+)""".r.findFirstMatchIn(dict).map(_.group(1)) match {
+      case None => raw
+      case Some("FlateDecode") => inflate(raw)
+      case Some(other) => fail(s"unsupported stream filter /$other in object $objNum")
+    }
+  }
+
+  private[expressions] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) fail("truncated Flate stream")
+        out.write(buf, 0, n)
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"corrupt Flate stream: ${e.getMessage}")
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** The raw embedded bytes of an image object (base64'd by the
+    * caller): DCT streams are the JPEG file itself, Flate images
+    * deliver the decoded raster — either way, the reference's
+    * extract-and-base64 shape. */
+  private def imageBytes(doc: Map[Int, (String, Option[Array[Byte]])],
+      objNum: Int): Array[Byte] = {
+    val (dict, data) = doc(objNum)
+    val raw = data.getOrElse(fail(s"image object $objNum has no stream"))
+    if (dict.contains("/FlateDecode")) inflate(raw) else raw
+  }
+
+  private def ref(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + """\s+(\d+)\s+\d+\s+R""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Page objects in the document's declared order: trailer /Root →
+    * /Pages → recursive /Kids walk; a catalog-less file falls back to
+    * /Type /Page objects in object-number order (the recovery rule). */
+  private[expressions] def pageOrder(
+      doc: Map[Int, (String, Option[Array[Byte]])]): Seq[Int] = {
+    def kidsOf(num: Int, depth: Int): Seq[Int] = {
+      if (depth > 64) fail("pages tree too deep (cycle?)")
+      val dict = doc.get(num).map(_._1).getOrElse(fail(s"missing pages object $num"))
+      if (dict.contains("/Type") && dict.contains("/Page") &&
+          !dict.contains("/Pages")) Seq(num)
+      else {
+        val kids = """/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict)
+          .map(_.group(1)).getOrElse(fail(s"pages node $num has no /Kids"))
+        """(\d+)\s+\d+\s+R""".r.findAllMatchIn(kids).map(_.group(1).toInt).toSeq
+          .flatMap(kidsOf(_, depth + 1))
+      }
+    }
+    val root = doc.valuesIterator.map(_._1)
+      .flatMap(d => if (d.contains("/Catalog")) ref(d, "/Pages") else None)
+      .toSeq.headOption
+    root match {
+      case Some(pagesObj) => kidsOf(pagesObj, 0)
+      case None =>
+        val pages = doc.toSeq
+          .filter { case (_, (d, _)) =>
+            d.contains("/Type") && d.contains("/Page") && !d.contains("/Pages") }
+          .map(_._1).sorted
+        if (pages.isEmpty) fail("no /Catalog and no /Type /Page objects")
+        pages
+    }
+  }
+
+  /** Concatenated decoded content of the page's /Contents (single ref
+    * or array of refs — multiple streams form ONE token stream). */
+  private def contentsOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      pageDict: String): Array[Byte] = {
+    val nums = """/Contents\s*\[([^\]]*)\]""".r.findFirstMatchIn(pageDict) match {
+      case Some(m) =>
+        """(\d+)\s+\d+\s+R""".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq
+      case None => ref(pageDict, "/Contents").toSeq
+    }
+    if (nums.isEmpty) Array.emptyByteArray
+    else nums.map(streamOf(doc, _)).reduce(_ ++ Array[Byte]('\n') ++ _)
+  }
+
+  /** /Resources → /XObject name → object-number map (inline dict). */
+  private def xobjectsOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      pageDict: String): Map[String, Int] = {
+    val resSrc = ref(pageDict, "/Resources") match {
+      case Some(n) => doc.get(n).map(_._1).getOrElse("")
+      case None => pageDict
+    }
+    val xo = """/XObject\s*<<([^>]*)>>""".r.findFirstMatchIn(resSrc)
+      .map(_.group(1)).getOrElse("")
+    """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xo)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  /** Minimal content-stream interpreter: tokens per the real grammar,
+    * graphics state = the CTM under a q/Q stack and `cm` composition,
+    * text state = Tm/Td/TD/T* line tracking inside BT…ET. Emits one
+    * text block per BT…ET and one image per `Do` of an /Image
+    * XObject. */
+  private def interpret(content: Array[Byte], xobjects: Map[String, Int],
+      doc: Map[Int, (String, Option[Array[Byte]])],
+      onText: (String, Double, Double, Double, Double) => Unit,
+      onImage: (Int, Array[Byte], Double, Double, Double, Double) => Unit): Unit = {
+    val toks = tokenize(content)
+    // 2D affine as (a, b, c, d, e, f); PDF row-vector convention
+    type Mat = (Double, Double, Double, Double, Double, Double)
+    val id: Mat = (1, 0, 0, 1, 0, 0)
+    def mul(m: Mat, n: Mat): Mat = (
+      m._1 * n._1 + m._2 * n._3, m._1 * n._2 + m._2 * n._4,
+      m._3 * n._1 + m._4 * n._3, m._3 * n._2 + m._4 * n._4,
+      m._5 * n._1 + m._6 * n._3 + n._5, m._5 * n._2 + m._6 * n._4 + n._6)
+    var ctm: Mat = id
+    val gsStack = scala.collection.mutable.Stack.empty[Mat]
+    var inText = false
+    var tm: Mat = id   // text line matrix (leading tracked via TL)
+    var leading = 0.0
+    var fontSize = 12.0
+    var blockText = new StringBuilder
+    var blockChars = 0
+    var blockAnchor: Option[(Double, Double)] = None
+    val operands = ArrayBuffer.empty[PdfTok]
+    def num(t: PdfTok): Double = t match {
+      case PdfNum(v) => v
+      case other => fail(s"expected number operand, got $other")
+    }
+    def show(s: String): Unit = {
+      if (blockAnchor.isEmpty) {
+        val dev = mul(tm, ctm)
+        blockAnchor = Some((dev._5, dev._6))
+      }
+      blockText.append(s)
+      blockChars += s.length
+    }
+    def newline(): Unit = if (blockText.nonEmpty) blockText.append('\n')
+    def flushBlock(): Unit = {
+      val t = blockText.toString
+      if (t.trim.nonEmpty) {
+        val (x0, y0) = blockAnchor.getOrElse((0.0, 0.0))
+        // deterministic extent estimate (see class doc): layout
+        // analysis is out of scope, the anchor is exact
+        onText(t, x0, y0, x0 + 0.5 * fontSize * blockChars, y0 + fontSize)
+      }
+      blockText = new StringBuilder
+      blockChars = 0
+      blockAnchor = None
+    }
+    toks.foreach {
+      case op: PdfOp => op.name match {
+        case "q" => gsStack.push(ctm); operands.clear()
+        case "Q" => if (gsStack.nonEmpty) ctm = gsStack.pop(); operands.clear()
+        case "cm" =>
+          if (operands.length < 6) fail("cm needs 6 operands")
+          val o = operands.takeRight(6).map(num)
+          ctm = mul((o(0), o(1), o(2), o(3), o(4), o(5)), ctm)
+          operands.clear()
+        case "BT" =>
+          inText = true; tm = id; leading = 0.0; operands.clear()
+        case "ET" =>
+          flushBlock(); inText = false; operands.clear()
+        case "Tf" =>
+          if (operands.nonEmpty) fontSize = num(operands.last)
+          operands.clear()
+        case "Tm" =>
+          if (operands.length < 6) fail("Tm needs 6 operands")
+          val o = operands.takeRight(6).map(num)
+          tm = (o(0), o(1), o(2), o(3), o(4), o(5))
+          operands.clear()
+        case "Td" | "TD" =>
+          if (operands.length < 2) fail(s"${op.name} needs 2 operands")
+          val ty = num(operands.last); val tx = num(operands(operands.length - 2))
+          if (op.name == "TD") leading = -ty
+          tm = mul((1, 0, 0, 1, tx, ty), tm)
+          if (inText) newline()
+          operands.clear()
+        case "TL" =>
+          if (operands.nonEmpty) leading = num(operands.last)
+          operands.clear()
+        case "T*" =>
+          tm = mul((1, 0, 0, 1, 0, -leading), tm)
+          if (inText) newline()
+          operands.clear()
+        case "Tj" =>
+          operands.lastOption match {
+            case Some(PdfStr(s)) => show(s)
+            case other => fail(s"Tj needs a string, got $other")
+          }
+          operands.clear()
+        case "'" | "\"" =>
+          tm = mul((1, 0, 0, 1, 0, -leading), tm)
+          newline()
+          operands.lastOption match {
+            case Some(PdfStr(s)) => show(s)
+            case other => fail(s"${op.name} needs a string, got $other")
+          }
+          operands.clear()
+        case "TJ" =>
+          operands.lastOption match {
+            case Some(PdfArr(items)) =>
+              items.foreach { case PdfStr(s) => show(s); case _ => () }
+            case other => fail(s"TJ needs an array, got $other")
+          }
+          operands.clear()
+        case "Do" =>
+          operands.lastOption match {
+            case Some(PdfName(n)) =>
+              xobjects.get(n).foreach { objNum =>
+                val dict = doc.get(objNum).map(_._1).getOrElse("")
+                if (dict.contains("/Image")) {
+                  // unit square through the CTM
+                  val corners = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+                    .map { case (x, y) =>
+                      (x * ctm._1 + y * ctm._3 + ctm._5,
+                        x * ctm._2 + y * ctm._4 + ctm._6) }
+                  onImage(objNum, imageBytes(doc, objNum),
+                    corners.map(_._1).min, corners.map(_._2).min,
+                    corners.map(_._1).max, corners.map(_._2).max)
+                }
+              }
+            case other => fail(s"Do needs a name, got $other")
+          }
+          operands.clear()
+        case _ => operands.clear() // any other operator consumes its operands
+      }
+      case t => operands += t
+    }
+  }
+
+  private sealed trait PdfTok
+  private case class PdfNum(v: Double) extends PdfTok
+  private case class PdfStr(s: String) extends PdfTok
+  private case class PdfName(s: String) extends PdfTok
+  private case class PdfArr(items: Seq[PdfTok]) extends PdfTok
+  private case class PdfOp(name: String) extends PdfTok
+
+  private def tokenize(content: Array[Byte]): Seq[PdfTok] = {
+    val out = ArrayBuffer.empty[PdfTok]
+    val stack = scala.collection.mutable.Stack.empty[ArrayBuffer[PdfTok]]
+    var cur = out
+    val n = content.length
+    var i = 0
+    def c(j: Int): Char = (content(j) & 0xFF).toChar
+    def isWs(ch: Char) = ch == ' ' || ch == '\n' || ch == '\r' ||
+      ch == '\t' || ch == '\f' || ch == 0.toChar
+    def isDelim(ch: Char) = "()<>[]{}/%".contains(ch)
+    while (i < n) {
+      val ch = c(i)
+      if (isWs(ch)) i += 1
+      else if (ch == '%') { while (i < n && c(i) != '\n' && c(i) != '\r') i += 1 }
+      else if (ch == '[') { stack.push(cur); cur = ArrayBuffer.empty; i += 1 }
+      else if (ch == ']') {
+        val items = cur
+        cur = if (stack.nonEmpty) stack.pop() else out
+        cur += PdfArr(items.toSeq)
+        i += 1
+      }
+      else if (ch == '(') {
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val x = c(i)
+          if (x == '\\' && i + 1 < n) {
+            val e = c(i + 1)
+            e match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case '(' => sb.append('('); i += 2
+              case ')' => sb.append(')'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case '\r' => i += 2; if (i < n && c(i) == '\n') i += 1 // continuation
+              case '\n' => i += 2
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < n && c(i) >= '0' && c(i) <= '7') {
+                  v = v * 8 + (c(i) - '0'); i += 1; k += 1
+                }
+                sb.append(v.toChar)
+              case other => sb.append(other); i += 2
+            }
+          } else if (x == '(') { depth += 1; sb.append(x); i += 1 }
+          else if (x == ')') {
+            depth -= 1
+            if (depth > 0) sb.append(x)
+            i += 1
+          }
+          else { sb.append(x); i += 1 }
+        }
+        if (depth != 0) fail("unterminated literal string")
+        cur += PdfStr(sb.toString)
+      }
+      else if (ch == '<' && i + 1 < n && c(i + 1) == '<') {
+        // inline dictionary (e.g. BDC property lists): skip balanced
+        var depth = 1
+        i += 2
+        while (i < n && depth > 0) {
+          if (c(i) == '<' && i + 1 < n && c(i + 1) == '<') { depth += 1; i += 2 }
+          else if (c(i) == '>' && i + 1 < n && c(i + 1) == '>') { depth -= 1; i += 2 }
+          else i += 1
+        }
+      }
+      else if (ch == '<') {
+        val sb = new StringBuilder
+        i += 1
+        val hex = new StringBuilder
+        while (i < n && c(i) != '>') {
+          if (!isWs(c(i))) hex.append(c(i))
+          i += 1
+        }
+        if (i >= n) fail("unterminated hex string")
+        i += 1
+        val h = if (hex.length % 2 == 1) hex.append('0').toString else hex.toString
+        var k = 0
+        while (k + 1 < h.length + 1 && k + 2 <= h.length) {
+          sb.append(Integer.parseInt(h.substring(k, k + 2), 16).toChar)
+          k += 2
+        }
+        cur += PdfStr(sb.toString)
+      }
+      else if (ch == '/') {
+        val start = i + 1
+        i += 1
+        while (i < n && !isWs(c(i)) && !isDelim(c(i))) i += 1
+        cur += PdfName(latin1(content, start, i))
+      }
+      else if (ch == '+' || ch == '-' || ch == '.' || (ch >= '0' && ch <= '9')) {
+        val start = i
+        i += 1
+        while (i < n && (c(i) == '.' || (c(i) >= '0' && c(i) <= '9'))) i += 1
+        cur += PdfNum(latin1(content, start, i).toDouble)
+      }
+      else {
+        val start = i
+        while (i < n && !isWs(c(i)) && !isDelim(c(i))) i += 1
+        if (i == start) fail(s"unexpected byte '${ch}' in content stream")
+        cur += PdfOp(latin1(content, start, i))
+      }
+    }
+    out.toSeq
+  }
+}

@@ -64,19 +64,72 @@ object DocParse {
       .orderBy($"doc_id", $"page_num", $"content_type")
   }
 
+  /** vs_parse_pdf — the REAL-format twin of [[parse]]: synthesize a
+    * structurally valid PDF per document
+    * ([[graft.functions.expressions.SynthPdf]] — catalog/pages tree,
+    * ALTERNATING Flate/raw content streams, image XObjects placed by
+    * `cm`/`Do`, correct xref) and parse it back with the from-scratch
+    * PDF reader ([[graft.functions.expressions.ParsePdf]]): text
+    * blocks with their Tm anchors, images by object number with their
+    * CTM bboxes, Flate decoded through java.util.zip. The oracle
+    * recomputes every output field from the text alone, so the whole
+    * grammar → bytes → grammar round trip is hash-checked. */
+  def parsePdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParsePdf(
+          graft.functions.expressions.SynthPdf($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"page_num", $"content_type")
+  }
+
+  /** vs_parse_pptx — as [[parsePdf]] for the OPC format: a valid PPTX
+    * package per document ([[graft.functions.expressions.SynthPptx]] —
+    * content types, presentation + rels with the declared slide order,
+    * DrawingML slides, media parts) parsed back shape-by-shape
+    * ([[graft.functions.expressions.ParsePptx]]): text shapes with EMU
+    * bboxes, pictures resolved through the slide rels to their media
+    * bytes. Zip + DOM are both JDK-only, so unlike the PDF subset this
+    * covers the real format end-to-end. */
+  def parsePptx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParsePptx(
+          graft.functions.expressions.SynthPptx($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"page_num", $"content_type")
+  }
+
   /** Payloads → VectorRecord rows for [[GraftVectorDB.ingestRecords]]:
     * text blocks embed in the text space, image records in the image
     * space, bbox carried from the payload. `payloads` needs
-    * (doc_name, payload); doc_type tags the container format. */
-  def records(payloads: DataFrame): DataFrame = {
+    * (doc_name, payload); `format` selects the container parser AND
+    * tags doc_type — "gft" (string payloads, the synthetic container),
+    * "pdf" or "pptx" (binary payloads, the real formats). The
+    * downstream plumbing (explode → per-channel embedding → store
+    * append) is format-agnostic, which is the whole point of the
+    * seam. */
+  def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
+    import graft.functions.expressions.{ParsePdf, ParsePptx}
+    val parsed = format match {
+      case "gft" => ParseGft($"payload")
+      case "pdf" => ParsePdf($"payload")
+      case "pptx" => ParsePptx($"payload")
+      case other => throw new IllegalArgumentException(
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx)")
+    }
     payloads
-      .select($"doc_name", md5($"payload").as("file_hash"),
+      .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),
         timestamp_micros(lit(0L)).as("ts"),
-        explode(ParseGft($"payload")).as("r"))
+        explode(parsed).as("r"))
       .select(
-        $"doc_name", lit("gft").as("doc_type"), $"r.page_num",
+        $"doc_name", lit(format).as("doc_type"), $"r.page_num",
         when($"r.content_type" === "image", lit(graft.model.ContentTypes.Image))
           .otherwise(lit(graft.model.ContentTypes.TextChunk)).as("content_type"),
         $"r.content_id", $"r.content_raw",

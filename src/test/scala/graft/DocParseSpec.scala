@@ -84,4 +84,236 @@ class DocParseSpec extends AnyFunSuite {
     assert(multi.exists(_.getAs[String]("channel") == "image"),
       "parsed image records must be searchable through the image space")
   }
+
+  // ───────── real formats: PDF ─────────
+
+  private def parsePdfBytes(bytes: Array[Byte]) =
+    Seq(1).toDF("i")
+      .select(explode(graft.functions.expressions.ParsePdf(lit(bytes))).as("r"))
+      .select($"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .collect()
+
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    val in = s.getBytes("ISO-8859-1")
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Assemble a one-page PDF whose content streams exercise the
+    * grammar edges the synthesized corpus never hits: literal-string
+    * escapes incl. octal, hex strings, TJ arrays, the ' operator,
+    * MULTIPLE content streams for one page, and a Flate-compressed
+    * stream — byte-built here, not via SynthPdf, so the parser is
+    * tested against the format, not against its own writer twin. */
+  private def edgePdf(): Array[Byte] = {
+    val s1 = "BT 1 0 0 1 10 20 Tm (Hel\\)lo) Tj [(wo) (rld) (\\101)] TJ ET\n"
+    val s2raw = "BT 1 0 0 1 30 40 Tm <48692121> Tj (nl)' ET\n" +
+      "q 50 0 0 60 5 7 cm /ImX Do Q\n"
+    val s2 = deflate(s2raw)
+    val sb = new java.io.ByteArrayOutputStream()
+    def emit(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n")
+    emit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] " +
+      "/Resources << /XObject << /ImX 6 0 R >> >> >> endobj\n")
+    emit(s"4 0 obj << /Length ${s1.length} >>\nstream\n$s1\nendstream endobj\n")
+    emit(s"5 0 obj << /Length ${s2.length} /Filter /FlateDecode >>\nstream\n")
+    sb.write(s2)
+    emit("\nendstream endobj\n")
+    emit("6 0 obj << /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+      "/Length 4 >>\nstream\nABCD\nendstream endobj\n")
+    emit("trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  test("PDF: escapes, hex strings, TJ, ', multi-stream pages, Flate — parsed exactly") {
+    val rows = parsePdfBytes(edgePdf())
+    val texts = rows.filter(_.getString(1) == "text_block")
+      .map(r => (r.getString(2), r.getString(3),
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+    // block 0: escapes + octal through Tj and a TJ array, one block
+    assert(texts(0) == ("0", "Hel)loworldA", (10.0, 20.0, 10 + 0.5 * 12 * 12, 32.0)),
+      s"got ${texts(0)}")
+    // block 1 (from the FLATE stream): hex string then ' = newline+show
+    assert(texts(1) == ("1", "Hi!!\nnl", (30.0, 40.0, 30 + 0.5 * 12 * 6, 52.0)),
+      s"got ${texts(1)}")
+    // the image: object number as id, raw bytes base64'd, CTM bbox
+    val imgs = rows.filter(_.getString(1) == "image")
+    assert(imgs.length == 1)
+    val img = imgs(0)
+    assert(img.getString(2) == "6")
+    assert(img.getString(3) ==
+      java.util.Base64.getEncoder.encodeToString("ABCD".getBytes("ISO-8859-1")))
+    assert((img.getDouble(4), img.getDouble(5), img.getDouble(6), img.getDouble(7))
+      == (5.0, 7.0, 55.0, 67.0))
+  }
+
+  test("PDF: unsupported filters, corrupt Flate, and non-PDF bytes fail loudly") {
+    // constant payloads fold locally, so the parse error surfaces
+    // directly; a file-backed plan would wrap it in a SparkException
+    def err(bytes: Array[Byte]): String = {
+      val e = intercept[Exception](parsePdfBytes(bytes))
+      (Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+    }
+    val dct = ("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 3 /Filter /DCTDecode >>\nstream\nabc\nendstream endobj\n")
+      .getBytes("ISO-8859-1")
+    assert(err(dct).contains("unsupported stream filter /DCTDecode"))
+    val corrupt = ("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 4 /Filter /FlateDecode >>\nstream\nXYZW\nendstream endobj\n")
+      .getBytes("ISO-8859-1")
+    val ce = err(corrupt)
+    assert(ce.contains("Flate"), s"wanted a Flate error, got: $ce")
+    assert(err("just some text, definitely not a PDF".getBytes("UTF-8"))
+      .contains("no objects found"))
+  }
+
+  // ───────── real formats: PPTX ─────────
+
+  private def zipOf(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bo)
+    entries.foreach { case (name, bytes) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L)
+      z.putNextEntry(e); z.write(bytes); z.closeEntry()
+    }
+    z.close(); bo.toByteArray
+  }
+
+  private def parsePptxBytes(bytes: Array[Byte]) =
+    Seq(1).toDF("i")
+      .select(explode(graft.functions.expressions.ParsePptx(lit(bytes))).as("r"))
+      .select($"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .collect()
+
+  private val nsA = "http://schemas.openxmlformats.org/drawingml/2006/main"
+  private val nsR = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+  private val nsP = "http://schemas.openxmlformats.org/presentationml/2006/main"
+  private val nsRel = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+  private def slideXml(body: String): Array[Byte] =
+    (s"""<?xml version="1.0"?><p:sld xmlns:a="$nsA" xmlns:r="$nsR" """ +
+      s"""xmlns:p="$nsP"><p:cSld><p:spTree>$body</p:spTree></p:cSld></p:sld>""")
+      .getBytes("UTF-8")
+
+  private def textShape(id: Int, paras: Seq[String], xfrm: Boolean): String = {
+    val geo = if (xfrm)
+      """<a:xfrm><a:off x="100" y="200"/><a:ext cx="300" cy="400"/></a:xfrm>"""
+    else ""
+    s"""<p:sp><p:nvSpPr><p:cNvPr id="$id" name="t"/><p:cNvSpPr/><p:nvPr/></p:nvSpPr>""" +
+      s"""<p:spPr>$geo</p:spPr><p:txBody><a:bodyPr/>""" +
+      paras.map(p => s"""<a:p><a:r><a:t>$p</a:t></a:r></a:p>""").mkString +
+      "</p:txBody></p:sp>"
+  }
+
+  test("PPTX: declared slide order, multi-paragraph text, inherited-geometry shapes") {
+    // sldIdLst declares 3, 1, 2 — the parser must follow the
+    // DECLARATION through the rels, not the part file names
+    val pres = (s"""<?xml version="1.0"?><p:presentation xmlns:p="$nsP" """ +
+      s"""xmlns:r="$nsR"><p:sldIdLst>""" +
+      """<p:sldId id="256" r:id="rA"/><p:sldId id="257" r:id="rB"/>""" +
+      """<p:sldId id="258" r:id="rC"/></p:sldIdLst></p:presentation>""")
+      .getBytes("UTF-8")
+    val presRels = (s"""<?xml version="1.0"?><Relationships xmlns="$nsRel">""" +
+      """<Relationship Id="rA" Type="s" Target="slides/slide3.xml"/>""" +
+      """<Relationship Id="rB" Type="s" Target="slides/slide1.xml"/>""" +
+      """<Relationship Id="rC" Type="s" Target="slides/slide2.xml"/>""" +
+      "</Relationships>").getBytes("UTF-8")
+    val pkg = zipOf(
+      "ppt/presentation.xml" -> pres,
+      "ppt/_rels/presentation.xml.rels" -> presRels,
+      // slide3 declared FIRST: two paragraphs join with a newline
+      "ppt/slides/slide3.xml" -> slideXml(
+        textShape(7, Seq("line one", "line two"), xfrm = true)),
+      // slide1: placeholder-positioned shape (no xfrm) → zero bbox
+      "ppt/slides/slide1.xml" -> slideXml(
+        textShape(4, Seq("first by name"), xfrm = false)),
+      "ppt/slides/slide2.xml" -> slideXml(
+        textShape(5, Seq("second by name"), xfrm = true)))
+    val rows = parsePptxBytes(pkg)
+    assert(rows.map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq((0L, "7", "line one\nline two"), (1L, "4", "first by name"),
+        (2L, "5", "second by name")))
+    assert((rows(0).getDouble(4), rows(0).getDouble(5),
+      rows(0).getDouble(6), rows(0).getDouble(7)) == (100.0, 200.0, 400.0, 600.0))
+    assert((rows(1).getDouble(4), rows(1).getDouble(7)) == (0.0, 0.0),
+      "xfrm-less shape must degrade to a zero bbox, not crash")
+    // a package WITHOUT presentation.xml falls back to numeric order
+    val bare = zipOf(
+      "ppt/slides/slide2.xml" -> slideXml(textShape(2, Seq("b"), xfrm = true)),
+      "ppt/slides/slide1.xml" -> slideXml(textShape(2, Seq("a"), xfrm = true)),
+      "ppt/slides/slide10.xml" -> slideXml(textShape(2, Seq("c"), xfrm = true)))
+    assert(parsePptxBytes(bare).map(_.getString(3)).toSeq == Seq("a", "b", "c"),
+      "fallback order must be numeric (slide10 after slide2), not lexicographic")
+  }
+
+  test("PPTX: pictures resolve through slide rels; missing media and non-zip fail loudly") {
+    val pic =
+      s"""<p:pic><p:nvPicPr><p:cNvPr id="9" name="p"/><p:cNvPicPr/><p:nvPr/></p:nvPicPr>""" +
+        s"""<p:blipFill><a:blip r:embed="rId1"/></p:blipFill>""" +
+        s"""<p:spPr><a:xfrm><a:off x="10" y="20"/><a:ext cx="30" cy="40"/></a:xfrm></p:spPr></p:pic>"""
+    val rels = (s"""<?xml version="1.0"?><Relationships xmlns="$nsRel">""" +
+      """<Relationship Id="rId1" Type="i" Target="../media/pix.bin"/>""" +
+      "</Relationships>").getBytes("UTF-8")
+    val ok = zipOf(
+      "ppt/slides/slide1.xml" -> slideXml(pic),
+      "ppt/slides/_rels/slide1.xml.rels" -> rels,
+      "ppt/media/pix.bin" -> "PIXELS".getBytes("UTF-8"))
+    val rows = parsePptxBytes(ok)
+    assert(rows.length == 1 && rows(0).getString(1) == "image")
+    assert(rows(0).getString(2) == "9")
+    assert(rows(0).getString(3) ==
+      java.util.Base64.getEncoder.encodeToString("PIXELS".getBytes("UTF-8")))
+    assert((rows(0).getDouble(4), rows(0).getDouble(5),
+      rows(0).getDouble(6), rows(0).getDouble(7)) == (10.0, 20.0, 40.0, 60.0))
+    val broken = zipOf(
+      "ppt/slides/slide1.xml" -> slideXml(pic),
+      "ppt/slides/_rels/slide1.xml.rels" -> rels)
+    def perr(bytes: Array[Byte]): String = {
+      val e = intercept[Exception](parsePptxBytes(bytes))
+      (Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+    }
+    assert(perr(broken).contains("missing media part"))
+    assert(perr("PK is not enough".getBytes("UTF-8")).contains("PPTX parse"))
+  }
+
+  test("real-format payloads ingest as store records and serve end-to-end") {
+    val dir = "target/vdb_parse_real"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+      x.delete()
+    }
+    rm(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 40)
+    val pdfs = docs.select(
+      concat(lit("bin/doc_"), $"doc_id", lit(".pdf")).as("doc_name"),
+      graft.functions.expressions.SynthPdf($"text").as("payload"))
+    val pptx = docs.filter($"doc_id" >= 20).select(
+      concat(lit("bin/doc_"), $"doc_id", lit(".pptx")).as("doc_name"),
+      graft.functions.expressions.SynthPptx($"text").as("payload"))
+    val n1 = db.ingestRecords(DocParse.records(pdfs, "pdf"))
+    val n2 = db.ingestRecords(DocParse.records(pptx, "pptx"))
+    assert(n1 > 0 && n2 > 0)
+    val types = db.store.select($"doc_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(types == Set("pdf", "pptx"))
+    assert(db.store.filter($"content_type" === ContentTypes.Image).count() > 0)
+    val hits = db.search("fast query join table", topN = 5).collect()
+    assert(hits.length == 5)
+    val err = intercept[IllegalArgumentException](DocParse.records(pdfs, "docx"))
+    assert(err.getMessage.contains("unknown container format"))
+  }
 }
