@@ -1,0 +1,218 @@
+package graft.tools
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.{DocParse, GraftVectorDB}
+
+/** HTTP serving veneer — the analog of the reference's Flask app
+  * (app.py: POST /initialize, /embed, /search over one global
+  * VectorDatabase), built on the JDK's com.sun.net.httpserver so the
+  * library stays dependency-free. The endpoints keep the reference's
+  * contract shape:
+  *
+  *  - POST /initialize {"save_dir": …} → binds the served store
+  *    (models are library-side here — the deterministic channel
+  *    registry — so the model-selection fields are accepted and
+  *    ignored); 400 with {"error": …} on failure;
+  *  - POST /embed {"path": …, "is_folder": bool} → vectorize_file /
+  *    vectorize_folder: a `.pdf`/`.pptx` path ingests through the
+  *    REAL-format parsers (DocParse.records), a `.parquet` path (file
+  *    or directory) ingests as a documents-shaped corpus frame
+  *    (vectorize_folder's bulk shape at cluster scale); folders sweep
+  *    their supported files, one ingest per format; 400 when the
+  *    store is uninitialized, the path is missing, or no supported
+  *    file is found;
+  *  - POST /search {"query": {"text": …, "image": [b64…]},
+  *    "search_location": …, "top_n": …} → run_search: text results
+  *    from the warm ANN path when the text index is built (exact scan
+  *    otherwise), one result list per base64 image query through the
+  *    image channel; 400 on missing text or undecodable base64 (the
+  *    reference's validation), 500 on execution errors.
+  *
+  * Responses are JSON rows of the serving surfaces' own columns
+  * (rnk, sim_r, doc_name, page_num, content_type, content_id,
+  * content_raw). Mutating endpoints serialize through the store's
+  * writer lease like every other writer; searches are concurrent.
+  * `main` binds the given port (default 8080) and serves until
+  * killed; [[start]] with port 0 is the spec's ephemeral handle. */
+object Serve {
+
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val spark = graft.GraftSession.local(
+      sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4), "graft-serve")
+    val server = start(spark, port)
+    println(s"[serve] listening on :${server.getAddress.getPort} " +
+      "(POST /initialize, /embed, /search)")
+    Thread.currentThread().join()
+  }
+
+  /** Start a server bound to `port` (0 = ephemeral). The returned
+    * handle is live; `stop(0)` shuts it down. */
+  def start(spark: SparkSession, port: Int): HttpServer = {
+    val state = new ServeState(spark)
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/initialize", ex => state.handle(ex, state.initialize))
+    server.createContext("/embed", ex => state.handle(ex, state.embed))
+    server.createContext("/search", ex => state.handle(ex, state.search))
+    server.createContext("/", ex => state.respond(ex, 200,
+      JObject("message" -> JString("graft serve: POST /initialize, /embed, /search"))))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+}
+
+private class ServeState(spark: SparkSession) {
+  import spark.implicits._
+
+  @volatile private var db: Option[GraftVectorDB] = None
+
+  private def str(j: JValue, key: String): Option[String] =
+    j \ key match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+
+  def handle(ex: HttpExchange, body: JValue => (Int, JValue)): Unit =
+    try {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, JObject("error" -> JString("POST only")))
+      else {
+        val in = new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val json = if (in.trim.isEmpty) JObject() else JsonMethods.parse(in)
+        val (code, out) = body(json)
+        respond(ex, code, out)
+      }
+    } catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        respond(ex, 400, JObject("error" -> JString(s"bad JSON: ${e.getMessage}")))
+      case e: Exception =>
+        respond(ex, 500, JObject("error" -> JString(
+          Option(e.getMessage).getOrElse(e.getClass.getName))))
+    }
+
+  def respond(ex: HttpExchange, code: Int, json: JValue): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  def initialize(json: JValue): (Int, JValue) =
+    str(json, "save_dir") match {
+      case None => (400, JObject("error" -> JString("save_dir is required")))
+      case Some(dir) =>
+        db = Some(new GraftVectorDB(spark, dir))
+        (200, JObject("message" ->
+          JString(s"store initialized successfully with save_dir: $dir")))
+    }
+
+  private def uninitialized: (Int, JValue) =
+    (400, JObject("error" -> JString(
+      "store is not initialized. POST /initialize first.")))
+
+  def embed(json: JValue): (Int, JValue) = db match {
+    case None => uninitialized
+    case Some(d) =>
+      str(json, "path") match {
+        case None => (400, JObject("error" -> JString("path is required")))
+        case Some(path) =>
+          val isFolder = (json \ "is_folder") match {
+            case JBool(b) => b
+            case _ => false
+          }
+          val f = new java.io.File(path)
+          if (!f.exists())
+            return (400, JObject("error" -> JString(s"no such path: $path")))
+          def ext(name: String) = name.substring(name.lastIndexOf('.') + 1)
+          val supported = Set("pdf", "pptx")
+          if (!isFolder && ext(f.getName) == "parquet" || f.isDirectory && !isFolder) {
+            // a parquet corpus table (file or directory dataset): the
+            // bulk vectorize_folder shape at cluster scale
+            val n = d.ingest(spark.read.parquet(path))
+            (200, JObject("message" -> JString(s"ingested corpus table $path"),
+              "records" -> JLong(n)))
+          } else {
+            val files =
+              if (isFolder)
+                Option(f.listFiles()).getOrElse(Array.empty)
+                  .filter(x => x.isFile && supported(ext(x.getName))).toSeq
+              else if (supported(ext(f.getName))) Seq(f)
+              else return (400, JObject("error" -> JString(
+                s"unsupported file type .${ext(f.getName)} (pdf|pptx|parquet)")))
+            if (files.isEmpty)
+              return (400, JObject("error" -> JString(
+                s"no supported files (pdf|pptx) under $path")))
+            val n = files.groupBy(x => ext(x.getName)).map { case (fmt, fs) =>
+              val payloads = fs.map(x => (x.getPath,
+                java.nio.file.Files.readAllBytes(x.toPath)))
+                .toDF("doc_name", "payload")
+              d.ingestRecords(DocParse.records(payloads, fmt))
+            }.sum
+            (200, JObject(
+              "message" -> JString(s"successfully embedded " +
+                s"${if (isFolder) "folder" else "file"}: $path"),
+              "records" -> JLong(n)))
+          }
+      }
+  }
+
+  private def rowsJson(rows: Array[org.apache.spark.sql.Row]): JArray =
+    JArray(rows.toList.map { r =>
+      JObject(
+        "rnk" -> JLong(r.getAs[Long]("rnk")),
+        "sim_r" -> JDouble(r.getAs[Double]("sim_r")),
+        "doc_name" -> JString(r.getAs[String]("doc_name")),
+        "page_num" -> JLong(r.getAs[Long]("page_num")),
+        "content_type" -> JString(r.getAs[String]("content_type")),
+        "content_id" -> JString(r.getAs[String]("content_id")),
+        "content_raw" -> JString(r.getAs[String]("content_raw")))
+    })
+
+  def search(json: JValue): (Int, JValue) = db match {
+    case None => uninitialized
+    case Some(d) =>
+      val query = json \ "query"
+      str(query, "text") match {
+        case None | Some("") =>
+          (400, JObject("error" -> JString("search query text is required")))
+        case Some(text) =>
+          val location = str(json, "search_location").filter(_.nonEmpty)
+          val topN = (json \ "top_n") match {
+            case JInt(n) => n.toInt
+            case _ => 5
+          }
+          val images = (json \ "image") match {
+            case JArray(items) => items.collect { case JString(s) => s }
+            case _ => (query \ "image") match {
+              case JArray(items) => items.collect { case JString(s) => s }
+              case _ => Nil
+            }
+          }
+          // the reference validates each base64 image before searching
+          images.foreach { b64 =>
+            try java.util.Base64.getDecoder.decode(b64)
+            catch {
+              case e: IllegalArgumentException =>
+                return (400, JObject("error" ->
+                  JString(s"invalid image format: ${e.getMessage}")))
+            }
+          }
+          val textRows =
+            if (d.annIndexBuilt("text")) d.searchAnn(text, topN, location = location)
+            else d.search(text, topN, location)
+          val imgResults = images.map(b64 =>
+            rowsJson(d.searchIn("image", b64, topN, location).collect()))
+          (200, JObject("results" -> JObject(
+            "text" -> rowsJson(textRows.collect()),
+            "image" -> JArray(imgResults))))
+      }
+  }
+}
