@@ -126,44 +126,49 @@ object ParsePdf {
   private[expressions] def parseObjects(bytes: Array[Byte])
       : Map[Int, (String, Option[Array[Byte]])] = {
     val src = latin1(bytes, 0, bytes.length)
-    val objRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
+    // offset-based Matcher.find — no per-object tail copies (a 10 MB /
+    // 5k-object file would otherwise allocate the remaining file once
+    // PER object)
+    val objM = java.util.regex.Pattern
+      .compile("""(\d+)\s+\d+\s+obj\b""", java.util.regex.Pattern.DOTALL)
+      .matcher(src)
     val out = scala.collection.mutable.Map.empty[Int, (String, Option[Array[Byte]])]
     var searchFrom = 0
-    while (searchFrom < src.length) {
-      objRe.findFirstMatchIn(src.substring(searchFrom)) match {
-        case None => searchFrom = src.length
-        case Some(m) =>
-          val objNum = m.group(1).toInt
-          val bodyStart = searchFrom + m.end
-          val streamKw = src.indexOf("stream", bodyStart)
-          val endobj = src.indexOf("endobj", bodyStart)
-          if (endobj < 0) fail(s"object $objNum has no endobj")
-          if (streamKw >= 0 && streamKw < endobj) {
-            val dict = src.substring(bodyStart, streamKw)
-            // data begins after the EOL that must follow `stream`
-            var dataStart = streamKw + "stream".length
-            if (dataStart < src.length && src.charAt(dataStart) == '\r') dataStart += 1
-            if (dataStart < src.length && src.charAt(dataStart) == '\n') dataStart += 1
-            val len = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
-              .findFirstMatchIn(dict).map(_.group(1).toInt)
-            val dataEnd = len match {
-              case Some(l) if dataStart + l <= bytes.length => dataStart + l
-              case _ =>
-                val e = src.indexOf("endstream", dataStart)
-                if (e < 0) fail(s"object $objNum stream has no endstream")
-                // strip the EOL preceding endstream
-                var ee = e
-                if (ee > dataStart && src.charAt(ee - 1) == '\n') ee -= 1
-                if (ee > dataStart && src.charAt(ee - 1) == '\r') ee -= 1
-                ee
-            }
-            out(objNum) = (dict,
-              Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
-            searchFrom = math.max(src.indexOf("endobj", dataEnd), dataEnd) + 1
-          } else {
-            out(objNum) = (src.substring(bodyStart, endobj), None)
-            searchFrom = endobj + "endobj".length
-          }
+    while (searchFrom < src.length && objM.find(searchFrom)) {
+      val objNum = objM.group(1).toInt
+      val bodyStart = objM.end
+      val streamKw = src.indexOf("stream", bodyStart)
+      val endobj = src.indexOf("endobj", bodyStart)
+      if (endobj < 0) fail(s"object $objNum has no endobj")
+      if (streamKw >= 0 && streamKw < endobj) {
+        val dict = src.substring(bodyStart, streamKw)
+        // data begins after the EOL that must follow `stream`
+        var dataStart = streamKw + "stream".length
+        if (dataStart < src.length && src.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < src.length && src.charAt(dataStart) == '\n') dataStart += 1
+        // possessive (\d++): an INDIRECT length (`/Length 123 0 R`)
+        // must not backtrack into a bogus direct match (123 → 12
+        // would silently truncate the stream); it falls through to
+        // the endstream scan instead
+        val len = """/Length\s+(\d++)(?!\s+\d+\s+R)""".r
+          .findFirstMatchIn(dict).map(_.group(1).toInt)
+        val dataEnd = len match {
+          case Some(l) if dataStart + l <= bytes.length => dataStart + l
+          case _ =>
+            val e = src.indexOf("endstream", dataStart)
+            if (e < 0) fail(s"object $objNum stream has no endstream")
+            // strip the EOL preceding endstream
+            var ee = e
+            if (ee > dataStart && src.charAt(ee - 1) == '\n') ee -= 1
+            if (ee > dataStart && src.charAt(ee - 1) == '\r') ee -= 1
+            ee
+        }
+        out(objNum) = (dict,
+          Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
+        searchFrom = math.max(src.indexOf("endobj", dataEnd), dataEnd) + 1
+      } else {
+        out(objNum) = (src.substring(bodyStart, endobj), None)
+        searchFrom = endobj + "endobj".length
       }
     }
     if (out.isEmpty) fail("no objects found (not a PDF or fully unsupported layout)")

@@ -857,6 +857,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(lexPcount, false)
     lexGateCache = None
+    // the stats CONTENT cache must reset with the gate cache: a
+    // compaction after deletes rewrites termstats WITHOUT advancing
+    // the generation (tombstone writes don't bump _GEN), and serving
+    // stale df here would under-bound idf — the exactness the gate
+    // exists to guarantee
+    lexStatsCache = (-1L, Map.empty)
     val stats =
       try spark.read.parquet(lexPostingsPath)
         .groupBy($"bucket", $"term")
@@ -894,6 +900,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         .parquet(lexTermStatsPath)
       writeLongAt(lexPcount, readLongAt(lexPcount) + postRows)
       lexGateCache = None
+      lexStatsCache = (-1L, Map.empty)
     }
 
   /** Whether MaxScore pruning may serve: stats must be EXACT, which
@@ -1253,6 +1260,17 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         lexFullScanPlan(fullQ, pool, location, nDocs, avgdl)))
   }
 
+  /** Collect a one-shot serving frame and RELEASE any materialized
+    * ancestors in its plan (the MaxScore path's rare-partials
+    * checkpoint would otherwise stay pinned until driver GC — the
+    * library's no-accumulated-intermediates rule; the full-scan plan
+    * has no materialized leaves, so this is a free no-op there). */
+  private def collectAndRelease(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val rows = df.collect()
+    Tables.release(df)
+    rows
+  }
+
   /** Single-query form of [[lexAllScanPlan]] (the spec's plan-pin
     * handle: bucket partition-pruning + the pushed term filter). */
   private[graft] def lexScanPlan(queryText: String, pool: Int,
@@ -1333,7 +1351,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       s"searchHybrid: no lexical sidecar at $lexPostingsPath - " +
         "run indexLexical() first (ingest keeps it current afterwards)")
     val lexRank: Map[LexKey, Int] =
-      lexScanPlan(queryText, pool, location).map(_.collect())
+      lexScanPlan(queryText, pool, location).map(collectAndRelease)
         .getOrElse(Array.empty)
         .map(r => hybridKeyOf(r) -> r.getAs[Long]("lex_rnk").toInt).toMap
     val vecRows = (vector match {
@@ -1438,7 +1456,7 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     val lexByQ: Map[Long, Map[LexKey, Int]] =
       lexAllScanPlan(qInfo.map { case (id, t, loc) =>
           (id, VectorStore.tokensLocal(t).distinct.toSeq, loc) }, pool, location)
-        .map(_.collect()).getOrElse(Array.empty)
+        .map(collectAndRelease).getOrElse(Array.empty)
         .groupBy(_.getAs[Long]("q_id"))
         .map { case (id, rows) => id ->
           rows.map(r => hybridKeyOf(r) -> r.getAs[Long]("lex_rnk").toInt).toMap }

@@ -60,7 +60,11 @@ object Serve {
     server.createContext("/search", ex => state.handle(ex, state.search))
     server.createContext("/", ex => state.respond(ex, 200,
       JObject("message" -> JString("graft serve: POST /initialize, /embed, /search"))))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // daemon workers: HttpServer.stop() does not shut down a
+    // user-supplied executor, and non-daemon threads would leak per
+    // start/stop cycle and pin the JVM open after main exits
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "graft-serve"); t.setDaemon(true); t }))
     server.start()
     server
   }
@@ -131,11 +135,17 @@ private class ServeState(spark: SparkSession) {
           val f = new java.io.File(path)
           if (!f.exists())
             return (400, JObject("error" -> JString(s"no such path: $path")))
+          // real-world file names mix case (REPORT.PDF)
           def ext(name: String) = name.substring(name.lastIndexOf('.') + 1)
+            .toLowerCase(java.util.Locale.ROOT)
           val supported = Set("pdf", "pptx")
-          if (!isFolder && ext(f.getName) == "parquet" || f.isDirectory && !isFolder) {
-            // a parquet corpus table (file or directory dataset): the
-            // bulk vectorize_folder shape at cluster scale
+          // is_folder=false on a .parquet file OR a directory = a
+          // parquet corpus table (a parquet dataset IS a directory —
+          // the bulk vectorize_folder shape at cluster scale);
+          // is_folder=true means "sweep this directory for documents"
+          val isParquetTable =
+            !isFolder && (ext(f.getName) == "parquet" || f.isDirectory)
+          if (isParquetTable) {
             val n = d.ingest(spark.read.parquet(path))
             (200, JObject("message" -> JString(s"ingested corpus table $path"),
               "records" -> JLong(n)))

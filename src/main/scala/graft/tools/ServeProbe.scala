@@ -155,23 +155,29 @@ object ServeProbe {
     // termstats sidecar so the probe tracks the corpus.
     val ts = spark.read.parquet(s"$dbDir/lexical/termstats")
       .groupBy($"term").agg(sum($"df").as("df"))
-    val common = ts.orderBy($"df".desc).first()
+    val common = ts.orderBy($"df".desc).take(1).headOption
     // rare pick needs ≥ pool matches so θ is establishable
     val rare = ts.filter($"df".between(GraftVectorDB.HybridPool, 64))
-      .orderBy($"df".desc, $"term").first()
-    println(s"[serveprobe] maxscore terms: common '${common.getString(0)}' " +
-      s"df=${common.getLong(1)}, rare '${rare.getString(0)}' df=${rare.getLong(1)} " +
-      s"(engagement floor ${GraftVectorDB.LexMaxScoreMinCommonRows} common rows)")
-    val msQ = Seq((0L, Seq(rare.getString(0), common.getString(0)),
-      Option.empty[String]))
-    db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None,
-      forceFull = false, forceMaxScore = true).get.collect() // warm
-    timeMin("lexical common+rare (forced MaxScore)", 3)(
-      db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None,
-        forceFull = false, forceMaxScore = true).get.collect())
-    timeMin("lexical common+rare (full scan)", 3)(
-      db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None, forceFull = true)
-        .get.collect())
+      .orderBy($"df".desc, $"term").take(1).headOption
+    (common, rare) match {
+      case (Some(c), Some(r)) =>
+        println(s"[serveprobe] maxscore terms: common '${c.getString(0)}' " +
+          s"df=${c.getLong(1)}, rare '${r.getString(0)}' df=${r.getLong(1)} " +
+          s"(engagement floor ${GraftVectorDB.LexMaxScoreMinCommonRows} common rows)")
+        val msQ = Seq((0L, Seq(r.getString(0), c.getString(0)),
+          Option.empty[String]))
+        db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None,
+          forceFull = false, forceMaxScore = true).get.collect() // warm
+        timeMin("lexical common+rare (forced MaxScore)", 3)(
+          db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None,
+            forceFull = false, forceMaxScore = true).get.collect())
+        timeMin("lexical common+rare (full scan)", 3)(
+          db.lexAllScanPlan(msQ, GraftVectorDB.HybridPool, None, forceFull = true)
+            .get.collect())
+      case _ =>
+        println("[serveprobe] maxscore crossover skipped: no term pair " +
+          "in range on this corpus")
+    }
     // hybrid freshness: a second streamed doc must be lexically AND
     // approximately findable through the fused path with no reindex
     // (ingest appends postings + ANN cells in the same batch)

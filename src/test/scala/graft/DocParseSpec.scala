@@ -154,6 +154,33 @@ class DocParseSpec extends AnyFunSuite {
       == (5.0, 7.0, 55.0, 67.0))
   }
 
+  test("PDF: an INDIRECT /Length falls through to the endstream scan, never truncates") {
+    // most real writers emit `/Length N 0 R`; a backtracking direct
+    // match (123 0 R read as length 12) silently truncated streams
+    val s1 = "BT 1 0 0 1 10 20 Tm (indirect length body here) Tj ET\n"
+    val pdf = ("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length 123 0 R >>\nstream\n$s1\nendstream endobj\n" +
+      s"123 0 obj ${s1.length} endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val rows = parsePdfBytes(pdf)
+    assert(rows.length == 1 &&
+      rows(0).getString(3) == "indirect length body here", rows.toSeq.toString)
+  }
+
+  test("empty documents synthesize to valid zero-page/zero-slide containers") {
+    val rows = Seq("").toDF("t").select(
+      size(graft.functions.expressions.ParsePdf(
+        graft.functions.expressions.SynthPdf($"t"))).as("npdf"),
+      size(graft.functions.expressions.ParsePptx(
+        graft.functions.expressions.SynthPptx($"t"))).as("npptx"))
+      .collect()(0)
+    assert(rows.getInt(0) == 0, "empty text must parse to a zero-page PDF")
+    assert(rows.getInt(1) == 0,
+      "an empty declared sldIdLst is a zero-slide deck, not a parse failure")
+  }
+
   test("PDF: unsupported filters, corrupt Flate, and non-PDF bytes fail loudly") {
     // constant payloads fold locally, so the parse error surfaces
     // directly; a file-backed plan would wrap it in a SparkException

@@ -400,6 +400,41 @@ class LexicalHybridSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unknown vector path"))
   }
 
+  test("MaxScore stats track deletes through compaction (no stale-cache ranks)") {
+    // deletes don't advance the sidecar generation, so a stats cache
+    // keyed on it alone would serve PRE-delete df after maintainStore
+    // rewrote termstats — constructed so stale df flips the RANK ORDER
+    // between two rare terms, which the rank-only parity checks catch
+    val dir = "target/vdb_lexical_stale"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    val docs = (0 until 600).map { i =>
+      val extra =
+        if (i < 5) " rarealpha"
+        else if (i >= 10 && i < 16) " rarebeta"
+        else ""
+      (i.toLong, s"filler$i stopzz body unique$i words$extra")
+    }
+    db.ingest(docsFrame(docs, source = "st"))
+    db.indexLexical()
+    val qt = Seq((0L, Seq("rarealpha", "rarebeta", "stopzz"), Option.empty[String]))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("lex_rnk"), r.getAs[String]("doc_name"))).toSeq
+    def pruned() = rowsOf(db.lexAllScanPlan(qt, 8, None,
+      forceFull = false, forceMaxScore = true).get)
+    def full() = rowsOf(db.lexAllScanPlan(qt, 8, None, forceFull = true).get)
+    // warm the stats cache at the pre-delete dfs (alpha df 5 < beta 6
+    // → alpha docs outrank beta docs)
+    assert(pruned() == full())
+    // delete 3 beta docs: live df(beta) = 3 < df(alpha) = 5 — the
+    // order between the families flips
+    db.deleteWhere(col("doc_name").rlike("/doc_1[345]\\.txt$"))
+    db.maintainStore() // clears tombstones, rewrites termstats; gen unchanged
+    assert(db.lexMaxScoreReady, "compaction must reopen the gate")
+    assert(pruned() == full(),
+      "post-compaction MaxScore must rank on LIVE stats, not the cached dfs")
+  }
+
   test("MaxScore early termination: bounded common-list scan, exact parity, gate lifecycle") {
     val dir = "target/vdb_lexical_maxscore"
     rmRf(new java.io.File(dir))
