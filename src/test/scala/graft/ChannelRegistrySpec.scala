@@ -136,6 +136,95 @@ class ChannelRegistrySpec extends AnyFunSuite {
       .collect()) == key(exact))
   }
 
+  test("an LSA channel learns DENSE semantics: disjoint-vocab synonyms land close; bit-parity; serves end to end") {
+    import spark.implicits._
+    db // build the fixture (and its registry) first
+    // a co-occurrence corpus: 'car' and 'automobile' never appear
+    // together, but share their context words; 'banana' lives in a
+    // different context. A bag-of-words encoder gives the one-word
+    // docs "car" vs "automobile" cosine EXACTLY 0 (disjoint terms);
+    // LSA must place them close because the fit corpus ties them to
+    // the same latent component — the learned-semantics property that
+    // separates a dense encoder from every hash/tfidf family
+    // four synonym-pair clusters: at dim = 4 the kept eigenbasis is
+    // the four cluster directions, and the within-pair DIFFERENCE
+    // directions (whose retention would keep synonyms apart — LSA
+    // merges by truncation, the projection does not weight by
+    // singular value) fall outside the basis; the occasional doc
+    // carrying both synonyms makes their covariance positive
+    val clusters = Seq(
+      ("car", "automobile", "engine wheel road drive"),
+      ("banana", "mango", "fruit yellow peel sweet"),
+      ("river", "stream", "water bank flow current"),
+      ("piano", "violin", "music note play sound"))
+    val fitDocs = (0 until 120).map { i =>
+      val (a, b, ctx) = clusters(i % 4)
+      val body = ((i / 4) % 3) match {
+        case 0 => s"$a $ctx"
+        case 1 => s"$b $ctx"
+        case _ => s"$a $b $ctx"
+      }
+      (i.toLong, s"$body x$i")
+    }.toDF("doc_id", "text")
+    val lsa = graft.operators.LsaEncoder.fit(
+      fitDocs, "text", "lsa", Seq("lsa_doc"), dim = 4, vocabSize = 24)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.max(1e-12, math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val car = lsa.encodeLocal("car")
+    val auto = lsa.encodeLocal("automobile")
+    val banana = lsa.encodeLocal("banana")
+    assert(cos(car, auto) > 0.8,
+      f"co-occurring synonyms must embed close, got ${cos(car, auto)}%.3f")
+    assert(cos(car, banana) < 0.3,
+      f"cross-context words must embed apart, got ${cos(car, banana)}%.3f")
+    assert(cos(car, auto) > cos(car, banana) + 0.5)
+    // refit determinism (sign canonicalization + LAPACK eigSym)
+    val again = graft.operators.LsaEncoder.fit(
+      fitDocs, "text", "lsa2", Seq("lsa_doc2"), dim = 4, vocabSize = 24)
+    assert(again.encodeLocal("car engine road").sameElements(
+      lsa.encodeLocal("car engine road")), "refit must be bit-stable")
+    // Column/local bit-parity on raw corpus text — the warm serving
+    // path's contract, same grid as every other encoder
+    val samples = Tables.load(spark, sf, "documents").limit(12)
+      .select($"text").collect().map(_.getString(0)) ++
+      Seq("car", "automobile engine", "", " banana  fruit ")
+    samples.foreach { s =>
+      val inPlan = Seq(s).toDF("t").select(lsa.encode($"t").as("v"))
+        .head().getSeq[Double](0).toArray
+      assert(inPlan.sameElements(lsa.encodeLocal(s)),
+        s"encode/encodeLocal diverge on: ${s.take(40)}")
+    }
+    // end to end through the registry: ingest → build → exact/ANN/PQ —
+    // over docs IN the learned space (a doc with no vocab term embeds
+    // to the zero vector, the degenerate case every fitted encoder
+    // shares; production ingest filters those upstream)
+    db.registerChannel(lsa)
+    val recs = GraftVectorDB.pipeline(fitDocs
+        .withColumn("lang", lit("en")).withColumn("source", lit("lsa")))
+      .filter($"page_num" === 0)
+      .withColumn("content_type", lit("lsa_doc"))
+      .withColumn("embedding", lsa.encode($"content_raw"))
+    assert(db.ingestRecords(recs) > 0)
+    db.buildAnnIndex(cells = 4, channel = "lsa")
+    val lq = "car engine road"
+    val exact = db.searchIn("lsa", lq, 5).collect()
+    assert(exact.length == 5 && exact.forall(_.getAs[String]("channel") == "lsa"))
+    // the top hits are car-cluster docs — the learned space RANKS by
+    // semantics, including automobile-only docs for a car query
+    assert(exact.forall(r => clusters.take(1).exists { case (a, b, _) =>
+      r.getAs[String]("content_raw").contains(a) ||
+        r.getAs[String]("content_raw").contains(b) }),
+      s"car-cluster docs must lead: ${exact.map(_.getAs[String]("content_raw")).toSeq}")
+    assert(key(db.searchAnnIn("lsa", lq, 5, nProbe = 4).collect()) == key(exact),
+      "full-probe ANN over the LSA space must equal its exact scan")
+    val n = spark.read.parquet(db.annPath("lsa")).count().toInt
+    assert(key(db.searchAnnPqIn("lsa", lq, 5, nProbe = 4, shortlist = n)
+      .collect()) == key(exact))
+  }
+
   test("takedown delete sweeps the third channel's index; maintain covers it") {
     import spark.implicits._
     val victim = spark.read.parquet(db.annPath("audio"))
