@@ -175,16 +175,28 @@ object ParsePdf {
     out.toMap
   }
 
+  /** The stream's filter NAMES — handles both the direct form
+    * (`/Filter /FlateDecode`) and the ARRAY form
+    * (`/Filter [/FlateDecode]`, which real writers emit even for a
+    * single filter; missing it would return Flate bytes RAW and emit
+    * garbage silently). */
+  private def filtersOf(dict: String): Seq[String] =
+    """/Filter\s*(\[[^\]]*\]|/\w+)""".r.findFirstMatchIn(dict)
+      .map(m => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+
   /** Decoded stream bytes of an object: raw, or inflated when the dict
-    * names /FlateDecode; any other filter fails loudly by name. */
+    * names /FlateDecode; any other filter (or a filter CHAIN) fails
+    * loudly by name. */
   private def streamOf(doc: Map[Int, (String, Option[Array[Byte]])],
       objNum: Int): Array[Byte] = {
     val (dict, data) = doc.getOrElse(objNum, fail(s"missing object $objNum"))
     val raw = data.getOrElse(fail(s"object $objNum has no stream"))
-    """/Filter\s*/?(\w+)""".r.findFirstMatchIn(dict).map(_.group(1)) match {
-      case None => raw
-      case Some("FlateDecode") => inflate(raw)
-      case Some(other) => fail(s"unsupported stream filter /$other in object $objNum")
+    filtersOf(dict) match {
+      case Nil => raw
+      case Seq("FlateDecode") => inflate(raw)
+      case other => fail(
+        s"unsupported stream filter /${other.mkString("/")} in object $objNum")
     }
   }
 
@@ -214,7 +226,14 @@ object ParsePdf {
       objNum: Int): Array[Byte] = {
     val (dict, data) = doc(objNum)
     val raw = data.getOrElse(fail(s"image object $objNum has no stream"))
-    if (dict.contains("/FlateDecode")) inflate(raw) else raw
+    filtersOf(dict) match {
+      case Seq("FlateDecode") => inflate(raw)
+      // DCT/JPX streams ARE the embedded image file — ship them as-is
+      // (the reference's extract-and-base64 contract); unknown chains
+      // also ship raw rather than failing the whole page, since image
+      // bytes are opaque to this pipeline anyway
+      case _ => raw
+    }
   }
 
   private def ref(dict: String, key: String): Option[Int] =

@@ -123,7 +123,9 @@ class DocParseSpec extends AnyFunSuite {
     emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] " +
       "/Resources << /XObject << /ImX 6 0 R >> >> >> endobj\n")
     emit(s"4 0 obj << /Length ${s1.length} >>\nstream\n$s1\nendstream endobj\n")
-    emit(s"5 0 obj << /Length ${s2.length} /Filter /FlateDecode >>\nstream\n")
+    // ARRAY filter form — what real writers emit even for one filter;
+    // missing it once meant silently returning the Flate bytes raw
+    emit(s"5 0 obj << /Length ${s2.length} /Filter [/FlateDecode] >>\nstream\n")
     sb.write(s2)
     emit("\nendstream endobj\n")
     emit("6 0 obj << /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
