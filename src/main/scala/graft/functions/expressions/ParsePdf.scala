@@ -175,15 +175,25 @@ object ParsePdf {
     out.toMap
   }
 
-  /** The stream's filter NAMES — handles both the direct form
-    * (`/Filter /FlateDecode`) and the ARRAY form
-    * (`/Filter [/FlateDecode]`, which real writers emit even for a
-    * single filter; missing it would return Flate bytes RAW and emit
-    * garbage silently). */
-  private def filtersOf(dict: String): Seq[String] =
-    """/Filter\s*(\[[^\]]*\]|/\w+)""".r.findFirstMatchIn(dict)
-      .map(m => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(Nil)
+  /** The stream's filter NAMES — handles the direct form
+    * (`/Filter /FlateDecode`), the ARRAY form
+    * (`/Filter [/FlateDecode]`, what real writers emit even for a
+    * single filter), and an INDIRECT reference (`/Filter 7 0 R`,
+    * spec-legal) resolved through the object map; any shape this
+    * cannot name would otherwise return compressed bytes RAW and emit
+    * garbage silently — the one failure mode worse than failing. */
+  private def filtersOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      dict: String): Seq[String] = {
+    val resolved = """/Filter\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        doc.get(m.group(1).toInt).map(_._1)
+          .getOrElse(fail(s"missing indirect /Filter object ${m.group(1)}"))
+      case None =>
+        """/Filter\s*(\[[^\]]*\]|/\w+)""".r.findFirstMatchIn(dict)
+          .map(_.group(1)).getOrElse("")
+    }
+    """/(\w+)""".r.findAllMatchIn(resolved).map(_.group(1)).toSeq
+  }
 
   /** Decoded stream bytes of an object: raw, or inflated when the dict
     * names /FlateDecode; any other filter (or a filter CHAIN) fails
@@ -192,7 +202,7 @@ object ParsePdf {
       objNum: Int): Array[Byte] = {
     val (dict, data) = doc.getOrElse(objNum, fail(s"missing object $objNum"))
     val raw = data.getOrElse(fail(s"object $objNum has no stream"))
-    filtersOf(dict) match {
+    filtersOf(doc, dict) match {
       case Nil => raw
       case Seq("FlateDecode") => inflate(raw)
       case other => fail(
@@ -226,12 +236,14 @@ object ParsePdf {
       objNum: Int): Array[Byte] = {
     val (dict, data) = doc(objNum)
     val raw = data.getOrElse(fail(s"image object $objNum has no stream"))
-    filtersOf(dict) match {
-      case Seq("FlateDecode") => inflate(raw)
-      // DCT/JPX streams ARE the embedded image file — ship them as-is
-      // (the reference's extract-and-base64 contract); unknown chains
-      // also ship raw rather than failing the whole page, since image
-      // bytes are opaque to this pipeline anyway
+    filtersOf(doc, dict) match {
+      // a LEADING FlateDecode unwraps (real-world Flate-wrapped JPEGs
+      // declare [/FlateDecode /DCTDecode]); the remaining codec stream
+      // IS the embedded image file, shipped as-is (the reference's
+      // extract-and-base64 contract) — image bytes are opaque to this
+      // pipeline, so unknown codecs pass through rather than failing
+      // the whole page
+      case fs if fs.headOption.contains("FlateDecode") => inflate(raw)
       case _ => raw
     }
   }

@@ -17,12 +17,14 @@ import graft.functions.TextFunctions.tokens
   * An ONNX/neural encoder remains the production step when a model
   * runtime exists; it drops into the same two ChannelDef functions.
   *
-  * Fit shape (100 TB-safe): ONE aggregation job picks the V-term
-  * vocabulary by document frequency (deterministic ties), ONE bounded
-  * hash-ordered sample job (≤ [[AnnIndex.SampleTarget]] docs — the
-  * index-build sampling idiom) feeds a driver-local V×V Gram matrix,
-  * and the projection is the Gram's top-k eigenbasis via breeze's
-  * LAPACK `eigSym` — deterministic (no ARPACK restarts), with each
+  * Fit shape (100 TB-safe): a narrow null-filtered text projection is
+  * persisted once and backs the count, the vocabulary aggregation
+  * (the [[TfidfEncoder.fitVocabIdf]] shared definition — deterministic
+  * ties), and ONE bounded hash-ordered sample job
+  * (≤ [[AnnIndex.SampleTarget]] docs — the index-build sampling
+  * idiom); the sample feeds a driver-local V×V Gram matrix, and the
+  * projection is the Gram's top-k eigenbasis via breeze's LAPACK
+  * `eigSym` — deterministic (no ARPACK restarts), with each
   * eigenvector sign-CANONICALIZED (largest-|entry| component made
   * positive, first index on ties) so refits are bit-stable.
   *
@@ -43,23 +45,24 @@ object LsaEncoder {
     import spark.implicits._
     require(dim <= vocabSize,
       s"LsaEncoder.fit: dim $dim exceeds vocabSize $vocabSize")
-    val n = texts.count()
-    val top = texts.select(explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .filter($"t" =!= "")
-      .groupBy($"t").agg(count(lit(1)).as("df"))
-      .orderBy($"df".desc, $"t".asc).limit(vocabSize)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(top.length == vocabSize,
-      s"LsaEncoder.fit: corpus has only ${top.length} distinct tokens (< $vocabSize)")
-    val vocab = top.map(_._1)
+    // one NARROW null-filtered projection backs all three fit passes
+    // (count, vocabulary, sample) — a derived corpus frame must not
+    // re-execute its upstream per pass, and a null text must not NPE
+    // the driver Gram loop
+    val t = texts.select(col(textCol).as("t")).filter($"t".isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (vocab, idf, sample) =
+      try {
+        val (_, v, w) = TfidfEncoder.fitVocabIdf(t, "t", vocabSize, "LsaEncoder.fit")
+        // bounded deterministic sample: the SampleTarget texts with the
+        // smallest xxhash64, re-sorted by key (the sampleVectors contract)
+        val s: Array[String] = t
+          .select(xxhash64($"t").as("k"), $"t")
+          .orderBy($"k", $"t").limit(AnnIndex.SampleTarget.toInt)
+          .collect().map(_.getString(1))
+        (v, w, s)
+      } finally t.unpersist(blocking = false)
     val vIdx = vocab.zipWithIndex.toMap
-    val idf = top.map { case (_, df) => math.log((n + 1.0) / (df + 1.0)) }
-    // bounded deterministic sample: the SampleTarget texts with the
-    // smallest xxhash64, re-sorted by key (the sampleVectors contract)
-    val sample: Array[String] = texts
-      .select(xxhash64(col(textCol)).as("k"), col(textCol).as("t"))
-      .orderBy($"k", $"t").limit(AnnIndex.SampleTarget.toInt)
-      .collect().map(_.getString(1))
     // driver Gram accumulation over the sample's tf-idf vectors
     val gram = Array.ofDim[Double](vocabSize, vocabSize)
     sample.foreach { s =>
@@ -103,10 +106,7 @@ object LsaEncoder {
     val idfLit = typedLit(idf.toSeq)
     val projLit = typedLit(proj.map(_.toSeq).toSeq)
     def encode(c: Column): Column = {
-      val tks = tokens(c)
-      val raw = transform(sequence(lit(0), lit(vocabSize - 1)), i =>
-        size(filter(tks, t => t === element_at(vocabLit, i + 1))).cast("double")
-          * element_at(idfLit, i + 1))
+      val raw = TfidfEncoder.rawTfidf(c, vocabLit, idfLit, vocabSize)
       val lat = transform(sequence(lit(0), lit(dim - 1)), d =>
         aggregate(zip_with(raw, element_at(projLit, d + 1), (x, p) => x * p),
           lit(0.0), (a, x) => a + x))
@@ -141,18 +141,13 @@ object LsaEncoder {
     GraftVectorDB.ChannelDef(name, contentTypes, encode, encodeLocal, dim)
   }
 
-  /** The driver twin of the Column tf-idf vector (TextFunctions.tokens
-    * semantics: SQL trim strips SPACES only, split keeps empties). */
+  /** The driver twin of the Column tf-idf vector — tokenization is
+    * THE shared [[VectorStore.tokensLocal]] (one definition of the
+    * SQL trim/split semantics, not a third hand-maintained copy). */
   private def tfidfLocal(s: String, vocab: Array[String],
       vIdx: Map[String, Int], idf: Array[Double]): Array[Double] = {
-    val trimmed = {
-      var a = 0; var b = s.length
-      while (a < b && s.charAt(a) == ' ') a += 1
-      while (b > a && s.charAt(b - 1) == ' ') b -= 1
-      s.substring(a, b)
-    }
     val raw = new Array[Double](vocab.length)
-    trimmed.split("\\s+", -1).foreach { t =>
+    VectorStore.tokensLocal(s).foreach { t =>
       vIdx.get(t).foreach(i => raw(i) += 1.0)
     }
     var i = 0

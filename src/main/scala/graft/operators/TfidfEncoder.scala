@@ -23,14 +23,14 @@ import graft.functions.TextFunctions.tokens
   * bit-identical over corpus samples. */
 object TfidfEncoder {
 
-  /** Learn a `dim`-term model over `texts(textCol)`: vocabulary = the
+  /** Shared vocabulary/idf fit — ONE aggregation job picking the
     * `dim` highest-document-frequency tokens (ties broken
-    * lexicographically, so the fit is deterministic), weights =
-    * smoothed idf ln((N+1)/(df+1)). One aggregation job over the fit
-    * corpus; the returned ChannelDef embeds the parameters as plan
-    * literals (a ~dim-entry broadcast, not a join). */
-  def fit(texts: DataFrame, textCol: String, name: String,
-      contentTypes: Seq[String], dim: Int = 64): GraftVectorDB.ChannelDef = {
+    * lexicographically, so the fit is deterministic) with smoothed
+    * idf ln((N+1)/(df+1)). The one definition [[TfidfEncoder]] and
+    * [[LsaEncoder]] both fit with — the tie-break/empty-token/idf
+    * semantics must not drift between them. */
+  private[operators] def fitVocabIdf(texts: DataFrame, textCol: String,
+      dim: Int, what: String): (Long, Array[String], Array[Double]) = {
     val spark = texts.sparkSession
     import spark.implicits._
     val n = texts.count()
@@ -40,16 +40,31 @@ object TfidfEncoder {
       .orderBy($"df".desc, $"t".asc).limit(dim)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(top.length == dim,
-      s"TfidfEncoder.fit: corpus has only ${top.length} distinct tokens (< $dim)")
-    val vocab = top.map(_._1)
-    val idf = top.map { case (_, df) => math.log((n + 1.0) / (df + 1.0)) }
+      s"$what: corpus has only ${top.length} distinct tokens (< $dim)")
+    (n, top.map(_._1),
+      top.map { case (_, df) => math.log((n + 1.0) / (df + 1.0)) })
+  }
+
+  /** The raw (pre-normalization) tf-idf vector as a Column HOF — the
+    * in-plan twin both fitted encoders project from. */
+  private[operators] def rawTfidf(c: Column, vocabLit: Column,
+      idfLit: Column, dim: Int): Column = {
+    val tks = tokens(c)
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      size(filter(tks, t => t === element_at(vocabLit, i + 1))).cast("double")
+        * element_at(idfLit, i + 1))
+  }
+
+  /** Learn a `dim`-term model over `texts(textCol)` ([[fitVocabIdf]]);
+    * the returned ChannelDef embeds the parameters as plan literals
+    * (a ~dim-entry broadcast, not a join). */
+  def fit(texts: DataFrame, textCol: String, name: String,
+      contentTypes: Seq[String], dim: Int = 64): GraftVectorDB.ChannelDef = {
+    val (_, vocab, idf) = fitVocabIdf(texts, textCol, dim, "TfidfEncoder.fit")
     val vocabLit = typedLit(vocab.toSeq)
     val idfLit = typedLit(idf.toSeq)
     def encode(c: Column): Column = {
-      val tks = tokens(c)
-      val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
-        size(filter(tks, t => t === element_at(vocabLit, i + 1))).cast("double")
-          * element_at(idfLit, i + 1))
+      val raw = rawTfidf(c, vocabLit, idfLit, dim)
       val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
       transform(raw, x => round(x / greatest(nrm, lit(1e-12)), 6))
     }
