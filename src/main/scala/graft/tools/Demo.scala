@@ -98,6 +98,30 @@ object Demo {
     val copy = db.restore(copyDir)
     println("[demo] restored copy serves identically:")
     copy.searchAnn("fast query join table", topN = 3).show(20, 60)
+    // round 9: REAL document formats through the binary seam — a valid
+    // PDF (Flate streams, xref) and PPTX (OPC zip + DrawingML) built
+    // from corpus text, parsed back by the from-scratch readers, and
+    // ingested as first-class store rows
+    import org.apache.spark.sql.functions.concat
+    import graft.functions.expressions.{SynthPdf, SynthPptx}
+    val binDocs = docs.filter(col("doc_id") >= 480 && col("doc_id") < 490)
+    val pdfPayloads = binDocs.select(
+      concat(lit("bin/doc_"), col("doc_id"), lit(".pdf")).as("doc_name"),
+      SynthPdf(col("text")).as("payload"))
+    val pptxPayloads = binDocs.select(
+      concat(lit("bin/doc_"), col("doc_id"), lit(".pptx")).as("doc_name"),
+      SynthPptx(col("text")).as("payload"))
+    val nPdf = db.ingestRecords(graft.operators.DocParse.records(pdfPayloads, "pdf"))
+    val nPptx = db.ingestRecords(graft.operators.DocParse.records(pptxPayloads, "pptx"))
+    println(s"[demo] real-format ingest: $nPdf rows from 10 PDFs, " +
+      s"$nPptx from 10 PPTX decks")
+    db.store.filter(col("doc_type").isin("pdf", "pptx"))
+      .select("doc_name", "doc_type", "page_num", "content_type")
+      .show(6, 60)
+    // round 9: hybrid serving over the PQ index — RRF fuses ranks, so
+    // the codes-only vector path drops in with no recalibration
+    println("[demo] PQ-fused hybrid search (vector = codes-only path):")
+    db.searchHybrid("fast query join table", topN = 3, vector = "pq").show(20, 60)
     spark.stop()
   }
 }
