@@ -957,16 +957,26 @@ object SparkEntry {
         | SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens,
         | round(SUM(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS realized_rate
         |FROM k GROUP BY source, target_permille ORDER BY source""".stripMargin,
+    // CCNet-style top-V + OOV vocabulary cap: 24 < the 31-term corpus
+    // vocabulary, so the OOV collapse is exercised by this hash check
     "tx_ppl" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
-        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |  i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS bg FROM t WHERE len(w) >= 2),
+        |unir AS (SELECT w1, count(*)::BIGINT c FROM (SELECT unnest(w) w1 FROM t) GROUP BY 1),
+        |topv AS (SELECT w1 FROM unir ORDER BY c DESC, w1 LIMIT 24),
+        |bgr AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> [w[i::INT], w[(i+1)::INT]])) pr
+        |  FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id,
+        |    coalesce(a.w1, '<oov>') w1,
+        |    coalesce(a.w1, '<oov>') || ' ' || coalesce(b.w1, '<oov>') bg
+        |  FROM bgr LEFT JOIN topv a ON pr[1] = a.w1 LEFT JOIN topv b ON pr[2] = b.w1),
         |bgc AS (SELECT bg, count(*) c_bg FROM bg GROUP BY 1),
-        |unic AS (SELECT w1, count(*) c_w1 FROM (SELECT unnest(w) w1 FROM t) GROUP BY 1),
+        |unic AS (SELECT coalesce(tv.w1, '<oov>') w1, sum(c)::BIGINT c_w1
+        |  FROM unir u LEFT JOIN topv tv ON u.w1 = tv.w1 GROUP BY 1),
         |v AS (SELECT count(*) v FROM unic)
         |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
         | round(SUM(round(-ln((c_bg + 1)::DOUBLE / (c_w1 + v)), 6)), 6) AS nll
-        |FROM bg b JOIN bgc USING (bg) JOIN unic ON split_part(b.bg, ' ', 1) = unic.w1
+        |FROM bg b JOIN bgc USING (bg) JOIN unic USING (w1)
         |CROSS JOIN v
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "tx_selfrep" ->

@@ -89,10 +89,17 @@ object HybridSearch {
     val qterms = queries
       .select($"doc_id".as("q_id"),
         explode(array_distinct(tokens($"text"))).as("term"))
+    // dfreq is the FULL corpus vocabulary — unbounded, never broadcast
+    // raw. Only query-term rows can ever contribute, so semi-join it
+    // down to the (query-sized, bounded) term set first; THAT frame
+    // broadcasts at any corpus scale. The serving hybrid path
+    // (GraftVectorDB lexical sidecar) already does the same pruning.
+    val dfq = dfreq.join(
+      broadcast(qterms.select($"term").distinct()), Seq("term"), "left_semi")
     // idf uses the +1 form (always positive); expression nesting
     // mirrors the oracle SQL so pre-round doubles are bit-identical
     val contrib = tf.join(broadcast(qterms), "term")
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
       .select($"q_id", $"doc_id".as("n_id"),
         // constants appear as the literals 2.2/1.2/0.25/0.75 (not

@@ -154,8 +154,11 @@ object TextAnalysis {
     * actually runs: language filter + quality floor + near-dup removal
     * in ONE pass over the corpus (signals share a single tokenize) plus
     * an anti-join against the LSH near-dup losers. Shapes: narrow scan
-    * for scoring; the loser set is near-dup pairs only (≪ corpus) so
-    * the anti-join broadcasts at any scale. */
+    * for scoring; the loser set is UNHINTED — it is a constant fraction
+    * of the corpus (billions of ids at 100 TB), so forcing a broadcast
+    * would pin an unbounded frame into every executor. AQE picks
+    * broadcast when the measured loser set is small and a co-shuffled
+    * anti-join on doc_id when it is not. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
@@ -170,7 +173,7 @@ object TextAnalysis {
       .select($"b_id".as("doc_id")).distinct()
     scored
       .filter($"lang_pred".isin("en", "es") && $"quality_r" >= 0.25)
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(losers, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang_pred", $"n_tokens", $"quality_r")
       .orderBy($"doc_id")
   }
@@ -263,11 +266,29 @@ object TextAnalysis {
   /** Top-3 TF-IDF terms per document — the keyword extractor a
     * training-data pipeline runs for topic routing. Shape: one explode
     * + (doc, token) partial-agg; document frequencies are a vocab-sized
-    * frame so they BROADCAST back onto the term counts (no second
-    * corpus shuffle); the per-doc window ranks ≤ |vocab| rows per doc.
+    * frame joined back onto the term counts UNHINTED — vocabulary grows
+    * (Heaps-sublinearly) with the corpus, so a forced broadcast would
+    * pin an unbounded frame; AQE broadcasts while it measures small and
+    * falls back to a shuffle join on `token` (the key tf already
+    * carries) past the threshold. The per-doc window ranks ≤ |vocab|
+    * rows per doc.
     * Scores round to 6dp before ranking with token tie-break, so
     * ordering is oracle-stable. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ranked, tf) = tfidfRanked(spark, dir)
+    // materialize the top-3-per-doc result, then release the tf cache
+    // (long-lived sessions must not accumulate pinned intermediates)
+    val out = Tables.materialize(ranked)
+    tf.unpersist(blocking = false)
+    out.orderBy($"doc_id", $"rnk")
+  }
+
+  /** The un-materialized ranked frame plus the persisted tf frame the
+    * caller must release — split out so the spec can pin the PLAN
+    * shape (a materialized frame's executed plan is just the
+    * checkpoint scan). */
+  private[graft] def tfidfRanked(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // tf feeds both the scored branch and the df aggregation — persist
@@ -279,7 +300,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     // count on the raw scan — no repartition pass just to count rows
     val nDocs = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("nd"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"token",
         round($"tf" * log($"nd".cast("double") / $"df"), 6).as("tfidf_r"))
@@ -287,11 +308,7 @@ object TextAnalysis {
         Window.partitionBy($"doc_id").orderBy($"tfidf_r".desc, $"token")).cast("long"))
       .filter($"rnk" <= 3)
       .select($"doc_id", $"rnk", $"token", $"tfidf_r")
-    // materialize the top-3-per-doc result, then release the tf cache
-    // (long-lived sessions must not accumulate pinned intermediates)
-    val out = Tables.materialize(ranked)
-    tf.unpersist(blocking = false)
-    out.orderBy($"doc_id", $"rnk")
+    (ranked, tf)
   }
 
   /** Benchmark decontamination — the eval-leak scan every training-data
@@ -347,42 +364,88 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** LM vocabulary cap for [[ppl]] — the top-V unigrams kept before
+    * every out-of-vocabulary token collapses into [[PplOov]]. 24 < the
+    * 31-term synthetic vocabulary, so the OOV path is EXERCISED by the
+    * hash-checked oracle at every test scale; a production corpus would
+    * run V ≈ 10⁵ (the CCNet operating point) — what matters for 100 TB
+    * is that V is a constant, not a function of corpus size. */
+  val PplTopV = 24
+  val PplOov = "<oov>"
+
   /** Bigram-LM quality scoring (the CCNet-style perplexity filter): an
-    * add-one-smoothed bigram language model is "trained" as corpus count
-    * frames, then every doc is scored by mean negative log-likelihood.
-    * Shapes for 100 TB: the LM is vocabulary-sized (counts, not
-    * parameters) so both count frames BROADCAST back onto the exploded
-    * corpus — two partial-agg shuffles to train, one to score, no
-    * self-join. Parity: each -ln term rounds to 6dp BEFORE the sum, so
-    * the doc total is a sum over the 1e-6 grid — engine-independent
-    * regardless of float accumulation order (an unrounded avg can land
-    * within fp-noise of a rounding midpoint). */
-  def ppl(spark: SparkSession, dir: String): DataFrame = {
+    * add-one-smoothed bigram language model is "trained" as corpus
+    * count frames over a top-[[PplTopV]] vocabulary (every rarer token
+    * maps to the [[PplOov]] bucket — the public CCNet formulation),
+    * then every doc is scored by negative log-likelihood. Shapes for
+    * 100 TB: raw bigram TYPE counts grow near-linearly with the corpus
+    * (unlike Heaps-sublinear unigrams), so the UNPRUNED LM must never
+    * be broadcast; after the top-V mapping the LM is bounded —
+    * ≤ (V+1)² bigram rows, ≤ V+1 unigram rows, ≤ V vocab rows — so
+    * every broadcast here is of a constant-size frame regardless of
+    * corpus size. The top-V cut itself is a distributed partial top-K
+    * (TakeOrderedAndProject), not a global window. Parity: the cut
+    * orders by (count desc, token asc) — a total order, so both
+    * engines select the identical vocabulary — and each -ln term
+    * rounds to 6dp BEFORE the sum, so the doc total is a sum over the
+    * 1e-6 grid, engine-independent regardless of float accumulation
+    * order. */
+  def ppl(spark: SparkSession, dir: String): DataFrame =
+    pplTopV(spark, dir, PplTopV)
+
+  /** [[ppl]] with an explicit vocabulary cap — the seam specs use to
+    * drive the OOV machinery at V values the test corpus exercises. */
+  def pplTopV(spark: SparkSession, dir: String, topV: Int): DataFrame = {
     import spark.implicits._
-    // docsBg feeds both the LM-count aggregation and the scoring join;
-    // uniCounts feeds the vocab size and the join — persist each so
-    // the corpus explodes run once, release after materializing
-    val docsBg = Tables.spread(Tables.load(spark, dir, "documents"))
-      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg"))
-      .withColumn("w1", substring_index($"bg", " ", 1))
+    val (scored, persisted) = pplScored(spark, dir, topV)
+    val out = Tables.materialize(scored)
+    persisted.foreach(_.unpersist(blocking = false))
+    out.orderBy($"doc_id")
+  }
+
+  /** The un-materialized scored frame plus the persisted frames the
+    * caller must release — the plan-pin seam (tfidfRanked pattern). */
+  private[graft] def pplScored(spark: SparkSession, dir: String,
+      topV: Int): (DataFrame, Seq[DataFrame]) = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    // raw unigram counts: one corpus pass → a vocab-sized frame that
+    // feeds both the top-V cut and the mapped unigram counts (persist
+    // so the pass runs once; vocab-sized, cheap to pin)
+    val uniRaw = docs.select(explode(tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bgCounts = docsBg.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
-    val uniCounts = Tables.spread(Tables.load(spark, dir, "documents"))
-      .select(explode(tokens($"text")).as("w1"))
-      .groupBy($"w1").agg(count(lit(1)).as("c_w1"))
+    // distributed partial top-K — never a single-task global window
+    val topVocab = uniRaw.orderBy($"c".desc, $"w").limit(topV).select($"w")
+    // bigram stream with both sides mapped through the bounded
+    // vocabulary (two broadcast hash joins, build side ≤ V rows)
+    val mapped = docs
+      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg0"))
+      .join(broadcast(topVocab.select($"w".as("w1r"), $"w".as("w1k"))),
+        substring_index($"bg0", " ", 1) === $"w1r", "left")
+      .join(broadcast(topVocab.select($"w".as("w2r"), $"w".as("w2k"))),
+        substring_index($"bg0", " ", -1) === $"w2r", "left")
+      .select($"doc_id",
+        coalesce($"w1k", lit(PplOov)).as("w1"),
+        concat_ws(" ", coalesce($"w1k", lit(PplOov)),
+          coalesce($"w2k", lit(PplOov))).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bgCounts = mapped.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+    // mapped unigram counts derive from the already-aggregated raw
+    // counts — vocab-frame-sized work, no extra corpus pass
+    val uniCounts = uniRaw
+      .join(broadcast(topVocab.select($"w", $"w".as("wk"))), Seq("w"), "left")
+      .groupBy(coalesce($"wk", lit(PplOov)).as("w1"))
+      .agg(sum($"c").as("c_w1"))
     val vocabSize = uniCounts.agg(count(lit(1)).as("v"))
-    val scored = docsBg.join(broadcast(bgCounts), "bg")
+    val scored = mapped.join(broadcast(bgCounts), "bg")
       .join(broadcast(uniCounts), "w1")
       .crossJoin(broadcast(vocabSize))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(round(-log(($"c_bg" + 1).cast("double") / ($"c_w1" + $"v")), 6)), 6)
           .as("nll"))
-    val out = Tables.materialize(scored)
-    docsBg.unpersist(blocking = false)
-    uniCounts.unpersist(blocking = false)
-    out.orderBy($"doc_id")
+    (scored, Seq(mapped, uniRaw))
   }
 
   /** Intra-document repetition score — the self-repetition signal from

@@ -279,4 +279,74 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     val docs = Tables.load(spark, sf, "documents").count()
     assert(c.filter(col("chunk_id") === 0).count() == docs)
   }
+
+  // ---- broadcast-boundedness pins: no operator may FORCE a broadcast
+  // of a frame that grows with the corpus. A forced hint removes AQE's
+  // freedom to fall back to a shuffle join, which at 100× data is the
+  // difference between a slow join and a driver/executor OOM. ----
+
+  /** Every ResolvedHint subtree in the analyzed plan — the frames the
+    * operator FORCES to broadcast (AQE's own choices don't appear
+    * here, which is exactly the distinction the pins assert). */
+  private def hintSubtrees(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.toString
+    }
+
+  test("tx_curate plan: the near-dup loser anti-join carries no forced broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val df = TextAnalysis.curate(spark, sf)
+    val anti = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }
+    assert(anti.nonEmpty, "curate must anti-join the loser set")
+    anti.foreach(j => assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+      s"loser set is corpus-sized: the anti-join must stay unhinted, got ${j.hint}"))
+  }
+
+  test("tx_tfidf plan: the full-vocabulary df frame is never force-broadcast") {
+    val (ranked, tf) = TextAnalysis.tfidfRanked(spark, sf)
+    try hintSubtrees(ranked).foreach(s =>
+      assert(!s.contains("AS df#"),
+        s"vocabulary grows with the corpus — dfreq must stay unhinted:\n$s"))
+    finally tf.unpersist(blocking = false)
+  }
+
+  test("tx_ppl plan: every forced broadcast derives from the bounded top-V vocabulary") {
+    val (scored, persisted) =
+      TextAnalysis.pplScored(spark, sf, TextAnalysis.PplTopV)
+    try {
+      val hinted = hintSubtrees(scored)
+      assert(hinted.nonEmpty, "ppl should broadcast its bounded LM frames")
+      hinted.foreach(s => assert(s.contains("GlobalLimit"),
+        s"broadcast frame does not derive from the top-V limit (unbounded LM?):\n$s"))
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
+  test("vs_hybrid plan: corpus df broadcasts only after query-term semi-join pruning") {
+    val (ranked, tf) = HybridSearch.hybridRanked(spark, sf)
+    try {
+      val dfreqHinted = hintSubtrees(ranked).filter(_.contains("AS df#"))
+      assert(dfreqHinted.nonEmpty, "the pruned df frame should still broadcast")
+      dfreqHinted.foreach(s => assert(s.contains("LeftSemi"),
+        s"df frame broadcast without query-term pruning (full vocabulary!):\n$s"))
+    } finally tf.unpersist(blocking = false)
+  }
+
+  test("tx_ppl OOV machinery: a tighter cap collapses rarer tokens and changes scores") {
+    // at V=5 most of the 31-term vocabulary funnels through <oov>;
+    // n_bigrams must be unchanged (mapping never drops bigrams) while
+    // scores shift — and V >= |vocab| must reproduce identity mapping
+    val tight = TextAnalysis.pplTopV(spark, sf, 5).collect()
+    val base = TextAnalysis.ppl(spark, sf).collect()
+    assert(tight.length == base.length)
+    val tB = tight.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams")).toMap
+    base.foreach(r =>
+      assert(tB(r.getAs[Long]("doc_id")) == r.getAs[Long]("n_bigrams")))
+    assert(tight.map(_.getAs[Double]("nll")).toSeq !=
+      base.map(_.getAs[Double]("nll")).toSeq,
+      "a 5-term vocabulary must perturb the LM scores")
+  }
 }
