@@ -60,6 +60,7 @@ object SparkEntry {
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
     "vs_hybrid" -> (HybridSearch.hybrid _),
+    "vs_response" -> (ResponseGen.response _),
     "ann_brute" -> (KnnSearch.annBrute _),
     "dd_exact" -> (Dedup.exact _),
     "dd_jaccard" -> (Dedup.jaccardPairs _),
@@ -523,6 +524,36 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_r DESC, n_id) rnk FROM fu)
         |SELECT q_id, rnk::BIGINT AS rnk, n_id, rrf_r FROM fr WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
+    // the response-generation contract: prompt manifest (system
+    // message, query header, query text, retrieved header, hits in
+    // rank order, closing instruction) + fused source manifest, one
+    // row per content element; hits replay the vs_hybrid text-cosine
+    // CTE; header literals carry the reference's exact strings
+    // (chr(10) = the embedded newlines)
+    "vs_response" ->
+      """WITH d AS (SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') tk FROM documents),
+        |tb AS (SELECT doc_id, list_transform(tk, t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM d),
+        |tc AS (SELECT doc_id, list_transform(range(0, 64), i -> len(list_filter(b, x -> x = i))::DOUBLE) v FROM tb),
+        |tn AS (SELECT doc_id, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM tc),
+        |te AS (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM tn),
+        |pv AS (SELECT q.doc_id q_id, c.doc_id n_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> q.rv[i::INT] * c.rv[i::INT])) / (q.nrm * c.nrm), 4) sim_r
+        | FROM te q, te c WHERE q.doc_id < 10 AND c.doc_id >= 10),
+        |hr AS (SELECT q_id, n_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM pv),
+        |hx AS (SELECT h.q_id, h.rnk::BIGINT rnk, d.source, d.doc_id n_id, d.text
+        |  FROM (SELECT * FROM hr WHERE rnk <= 5) h JOIN d ON h.n_id = d.doc_id),
+        |q AS (SELECT doc_id q_id, text FROM d WHERE doc_id < 10),
+        |m AS (
+        | SELECT q_id, 0::BIGINT seq, 'system' "role", 'text' ctype,
+        |  'You are a helpful assistant that is going to summarize the key points from search results, based on a user query and relevant retrieved content.' AS content FROM q
+        | UNION ALL SELECT q_id, 1::BIGINT, 'user', 'text', 'Here is the search query content:' || chr(10) FROM q
+        | UNION ALL SELECT q_id, 2::BIGINT, 'user', 'text', 'Text query: ' || text FROM q
+        | UNION ALL SELECT q_id, 3::BIGINT, 'user', 'text', chr(10) || chr(10) || 'Here is the retreived material:' FROM q
+        | UNION ALL SELECT q_id, rnk + 3, 'user', 'text', text FROM hx
+        | UNION ALL SELECT q_id, 9::BIGINT, 'user', 'text', 'Please generate an appropriate response to the query based on the information available - you can choose what retrieved information is most appropriate to answer the question.' FROM q
+        | UNION ALL SELECT q_id, rnk + 9, 'source', 'text', source || '#' || n_id::VARCHAR || ' rnk=' || rnk::VARCHAR FROM hx)
+        |SELECT q_id, seq, "role", ctype, content FROM m ORDER BY q_id, seq""".stripMargin,
     // probing every cell makes the IMI exact: same ground truth as vs_knn
     "ann_imi_exh" ->
       s"""WITH $normCte,

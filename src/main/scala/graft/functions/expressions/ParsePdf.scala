@@ -269,7 +269,12 @@ object ParsePdf {
           .flatMap(kidsOf(_, depth + 1))
       }
     }
-    val root = doc.valuesIterator.map(_._1)
+    // deterministic catalog choice: an incrementally-updated file can
+    // carry TWO /Catalog objects under different object numbers, and
+    // unordered Map iteration would pick one nondeterministically —
+    // the HIGHEST object number wins (last-update-wins, the same rule
+    // incremental xref updates follow for same-number objects)
+    val root = doc.toSeq.sortBy(-_._1).iterator.map(_._2._1)
       .flatMap(d => if (d.contains("/Catalog")) ref(d, "/Pages") else None)
       .toSeq.headOption
     root match {

@@ -797,7 +797,21 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       val live = new org.apache.hadoop.fs.Path(lexPostingsPath)
       val tmp = new org.apache.hadoop.fs.Path(s"$lexicalPath/.tmp_postings")
       val old = new org.apache.hadoop.fs.Path(s"$lexicalPath/.old_postings")
+      // BUMP the generation: another live instance serving this store
+      // keys its gate/stats caches on _GEN, and a compaction after
+      // deletes rewrites termstats and clears tombstones WITHOUT any
+      // append — same gen, no tombstones, _PCOUNT consistent — so a
+      // pre-delete warm cache over there would serve stale per-term df
+      // and silently diverge MaxScore ranks from the full plan. Bumping
+      // BEFORE the rewrite means a mid-compaction crash costs one
+      // spurious cross-instance cache refresh, never a stale serve.
+      // The compacted rows re-stamp at the new generation so _GEN
+      // self-healing (max stamped gen) stays monotonic through it —
+      // safe, because every surviving row is live and later tombstones
+      // record the generation current at THEIR delete.
+      val g2 = nextGen(lexicalPath, lexGenDirs)
       val df = liveByGen(readSidecar(lexPostingsPath), lexTombPath)
+        .withColumn("gen", lit(g2))
       df.repartition(col("bucket"))
         .sortWithinPartitions($"bucket", $"term", $"doc_name")
         .write.mode(SaveMode.Overwrite)
@@ -911,6 +925,11 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     * postings footer rows (torn appends, legacy sidecars). The footer
     * walk is cached per sidecar generation; tombstone existence is
     * re-checked every call (deletes don't advance the generation). */
+  /** Test seam: shrink the job-B name-literal cap so the greedy
+    * per-query packing is exercisable at spec scale (production uses
+    * [[GraftVectorDB.InLiteralMax]]). */
+  private[graft] var lexNameCapOverride: Option[Int] = None
+
   private var lexGateCache: Option[(Long, Boolean)] = None
   private[graft] def lexMaxScoreReady: Boolean =
     !existsPath(new org.apache.hadoop.fs.Path(lexTombPath)) &&
@@ -1208,23 +1227,44 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       .filter(id => theta.contains(id) && pc(id) <= theta(id) - eps).toSet
     if (prunedIds.isEmpty) { Tables.release(partials); return None }
     val commonPruned0 = qInfo.filter(q => prunedIds.contains(q._1) && q._3.nonEmpty)
-    val names: Seq[String] =
-      if (commonPruned0.isEmpty) Nil
-      else partials.filter($"q_id".isin(commonPruned0.map(_._1): _*))
-        .join(broadcast(commonPruned0.map(q => (q._1, theta(q._1), pc(q._1)))
-          .toDF("q_id", "th", "pc")), "q_id")
-        .filter($"partial" + $"pc" >= $"th" - eps)
-        .select($"doc_name").distinct()
-        .limit(GraftVectorDB.InLiteralMax + 1).collect().map(_.getString(0)).toSeq
-    val overCap = names.length > GraftVectorDB.InLiteralMax
-    if (overCap) // fan-out too wide for a pushed literal: those queries
-      prunedIds --= commonPruned0.map(_._1) // take the full plan instead
+    // candidate-name fan-out cap: job B pushes the name union as an IN
+    // literal, so it must fit InLiteralMax. Never abandon the WHOLE
+    // batch when the union is too wide — keep queries greedily
+    // (smallest per-query fan-out first) while the summed fan-outs fit
+    // the cap (Σ per-query counts ≥ |union|, so the kept union always
+    // fits); only the dropped queries take the full plan.
+    val (names: Seq[String], commonKeptIds: Set[Long]) =
+      if (commonPruned0.isEmpty) (Nil, Set.empty[Long])
+      else {
+        val candFrame = partials
+          .filter($"q_id".isin(commonPruned0.map(_._1): _*))
+          .join(broadcast(commonPruned0.map(q => (q._1, theta(q._1), pc(q._1)))
+            .toDF("q_id", "th", "pc")), "q_id")
+          .filter($"partial" + $"pc" >= $"th" - eps)
+        // one row per pruned query — bounded driver state
+        val fanout = candFrame.groupBy($"q_id")
+          .agg(countDistinct($"doc_name").as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cap = lexNameCapOverride.getOrElse(GraftVectorDB.InLiteralMax).toLong
+        val keptIds = GraftVectorDB.greedyNameBudget(
+          commonPruned0.map(q => q._1 -> fanout.getOrElse(q._1, 0L)), cap)
+        val nm =
+          if (keptIds.isEmpty) Nil
+          else candFrame.filter($"q_id".isin(keptIds.toSeq: _*))
+            .select($"doc_name").distinct()
+            .limit(cap.toInt + 1)
+            .collect().map(_.getString(0)).toSeq
+        if (nm.length > cap) (Nil, Set.empty[Long])
+        else (nm, keptIds)
+      }
+    // over-cap queries fall back to the full plan individually
+    prunedIds --= commonPruned0.map(_._1).filterNot(commonKeptIds)
     if (prunedIds.isEmpty) { Tables.release(partials); return None }
     val thetaDf = prunedIds.toSeq.sorted
       .map(id => (id, theta(id), pc(id))).toDF("q_id", "th", "pc")
     val cands = partials.join(broadcast(thetaDf), "q_id")
       .filter($"partial" + $"pc" >= $"th" - eps)
-    val commonPruned = if (overCap) Nil else commonPruned0
+    val commonPruned = commonPruned0.filter(q => commonKeptIds(q._1))
     val scored =
       if (commonPruned.isEmpty)
         cands.select($"q_id", $"doc_name", $"page_num", $"content_type",
@@ -2140,6 +2180,32 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
       s"[extractive] ${h.getAs[String]("content_raw").take(200)} " +
         s"(from ${h.getAs[String]("doc_name")} p${h.getAs[Long]("page_num")})"
     }.getOrElse("no relevant content found")
+
+  /** run_search's FULL contract (vector_db.py:614-671): text retrieval
+    * (warm ANN when the index is built, exact scan otherwise) plus one
+    * image-channel retrieval per base64 query image, concatenated text
+    * rows first (the reference's concat order); then the deterministic
+    * half of response generation — [[ResponseGen.assemble]] builds the
+    * exact generate_mistral_response prompt (:768-838), the pluggable
+    * `model` turns it into the response text ([[ResponseGen.ExtractiveModel]]
+    * default; a real LLM client drops into the same seam), and
+    * [[ResponseGen.sources]] is generate_source_list (:903-916) fused
+    * over the same rows. Retrieval is the only distributed work; the
+    * assembly walks the collected top-k rows (bounded driver state). */
+  def runSearch(queryText: String, queryImages: Seq[String] = Nil,
+      topN: Int = 5, location: Option[String] = None,
+      model: ResponseGen.ResponseModel = ResponseGen.ExtractiveModel)
+      : ResponseGen.SearchResponse = {
+    val textRows =
+      (if (annIndexBuilt("text")) searchAnn(queryText, topN, location = location)
+       else search(queryText, topN, location)).collect().toSeq
+    val imageRows = queryImages.flatMap(b64 =>
+      searchIn("image", b64, topN, location).collect())
+    val hits = textRows ++ imageRows
+    val messages = ResponseGen.assemble(Some(queryText), queryImages, hits)
+    ResponseGen.SearchResponse(
+      model.generate(messages, hits), messages, ResponseGen.sources(hits))
+  }
 
   def annPath: String = annPath("text")
   def annPath(channel: String): String = s"$storeDir/ann_index_$channel"
@@ -3878,6 +3944,23 @@ object GraftVectorDB {
     * single scan, constant-size plan — a 10⁵-literal In bloats
     * analysis and codegen well before data size matters). */
   private[operators] val InLiteralMax = 4096
+
+  /** Greedy per-query packing for the MaxScore job-B name cap:
+    * smallest fan-out first while the SUMMED counts fit `cap` — the
+    * sum over-counts the union (shared names count once in the
+    * literal), so the kept queries' name union always fits. Never
+    * batch-wide: a query whose own fan-out exceeds the remaining
+    * budget falls back to the full plan alone, the rest keep pruning.
+    * Deterministic: (count, id) order. */
+  private[graft] def greedyNameBudget(fanouts: Seq[(Long, Long)],
+      cap: Long): Set[Long] = {
+    var budget = cap
+    val kept = Set.newBuilder[Long]
+    fanouts.map { case (id, n) => (n, id) }.sorted.foreach { case (n, id) =>
+      if (n <= budget) { kept += id; budget -= n }
+    }
+    kept.result()
+  }
 
   /** Lexical postings partition count: terms spread over this many
     * md5 buckets so a query's postings lookup prunes to its own terms'

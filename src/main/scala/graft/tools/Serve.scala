@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.operators.{DocParse, GraftVectorDB}
+import graft.operators.{DocParse, GraftVectorDB, ResponseGen}
 
 /** HTTP serving veneer — the analog of the reference's Flask app
   * (app.py: POST /initialize, /embed, /search over one global
@@ -30,36 +30,51 @@ import graft.operators.{DocParse, GraftVectorDB}
   *    from the warm ANN path when the text index is built (exact scan
   *    otherwise), one result list per base64 image query through the
   *    image channel; 400 on missing text or undecodable base64 (the
-  *    reference's validation), 500 on execution errors.
+  *    reference's validation), 500 on execution errors. The body
+  *    carries run_search's full return contract: "response" (the
+  *    summary through [[graft.operators.ResponseGen.ExtractiveModel]]
+  *    — the reference's LLM call sits behind the same ResponseModel
+  *    seam) and "sources" (generate_source_list over the combined
+  *    text-then-image rows), plus the per-channel "results" lists;
+  *  - GET / → a minimal static frontend driving the three endpoints
+  *    (the analog of templates/index.html, app.py:12-14).
   *
-  * Responses are JSON rows of the serving surfaces' own columns
+  * Result rows are JSON of the serving surfaces' own columns
   * (rnk, sim_r, doc_name, page_num, content_type, content_id,
   * content_raw). Mutating endpoints serialize through the store's
   * writer lease like every other writer; searches are concurrent.
-  * `main` binds the given port (default 8080) and serves until
-  * killed; [[start]] with port 0 is the spec's ephemeral handle. */
+  * `main` binds host:port (default 127.0.0.1:8080 — loopback like the
+  * reference's flask dev server; pass a host argument for deliberate
+  * exposure) and serves until killed; [[start]] with port 0 is the
+  * spec's ephemeral handle. */
 object Serve {
 
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(8080)
+    // loopback by default (the reference's flask dev binding): the
+    // endpoints create stores and read server-side file paths, so
+    // wildcard exposure must be a deliberate second argument
+    val host = args.drop(1).headOption.getOrElse("127.0.0.1")
     val spark = graft.GraftSession.local(
       sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4), "graft-serve")
-    val server = start(spark, port)
-    println(s"[serve] listening on :${server.getAddress.getPort} " +
-      "(POST /initialize, /embed, /search)")
+    val server = start(spark, port, host)
+    println(s"[serve] listening on $host:${server.getAddress.getPort} " +
+      "(GET /, POST /initialize, /embed, /search)")
     Thread.currentThread().join()
   }
 
-  /** Start a server bound to `port` (0 = ephemeral). The returned
-    * handle is live; `stop(0)` shuts it down. */
-  def start(spark: SparkSession, port: Int): HttpServer = {
+  /** Start a server bound to `host:port` (port 0 = ephemeral). The
+    * returned handle is live; `stop(0)` shuts it down. */
+  def start(spark: SparkSession, port: Int,
+      host: String = "127.0.0.1"): HttpServer = {
     val state = new ServeState(spark)
-    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress(host, port), 0)
     server.createContext("/initialize", ex => state.handle(ex, state.initialize))
     server.createContext("/embed", ex => state.handle(ex, state.embed))
     server.createContext("/search", ex => state.handle(ex, state.search))
-    server.createContext("/", ex => state.respond(ex, 200,
-      JObject("message" -> JString("graft serve: POST /initialize, /embed, /search"))))
+    // the reference serves templates/index.html at "/" (app.py:12-14)
+    server.createContext("/", ex => state.frontend(ex))
     // daemon workers: HttpServer.stop() does not shut down a
     // user-supplied executor, and non-daemon threads would leak per
     // start/stop cycle and pin the JVM open after main exits
@@ -68,6 +83,55 @@ object Serve {
     server.start()
     server
   }
+
+  /** The "/" page — a minimal, dependency-free analog of the
+    * reference's templates/index.html: one form per endpoint, results
+    * and the response/sources rendered from the JSON bodies. */
+  private[tools] val IndexHtml: String =
+    """<!doctype html>
+      |<html lang="en"><head><meta charset="utf-8">
+      |<title>graft vector store</title>
+      |<style>
+      | body{font-family:sans-serif;max-width:52rem;margin:2rem auto;padding:0 1rem}
+      | fieldset{margin-bottom:1rem;border:1px solid #999;border-radius:4px}
+      | input[type=text]{width:24rem} pre{background:#f4f4f4;padding:.5rem;overflow:auto}
+      |</style></head><body>
+      |<h1>graft vector store</h1>
+      |<fieldset><legend>1 — initialize</legend>
+      | <form id="init"><input type="text" name="save_dir" placeholder="store directory" required>
+      | <button>Initialize</button></form></fieldset>
+      |<fieldset><legend>2 — embed</legend>
+      | <form id="embed"><input type="text" name="path" placeholder="file / folder / parquet path" required>
+      | <label><input type="checkbox" name="is_folder"> folder</label>
+      | <button>Embed</button></form></fieldset>
+      |<fieldset><legend>3 — search</legend>
+      | <form id="search"><input type="text" name="text" placeholder="query text" required>
+      | <input type="text" name="search_location" placeholder="location filter (optional)">
+      | <button>Search</button></form></fieldset>
+      |<h2>response</h2><pre id="response"></pre>
+      |<h2>sources</h2><pre id="sources"></pre>
+      |<h2>raw</h2><pre id="out"></pre>
+      |<script>
+      |async function post(url, body) {
+      |  const r = await fetch(url, {method:'POST',
+      |    headers:{'Content-Type':'application/json'}, body:JSON.stringify(body)});
+      |  const j = await r.json();
+      |  document.getElementById('out').textContent = JSON.stringify(j, null, 2);
+      |  return j;
+      |}
+      |document.getElementById('init').onsubmit = e => { e.preventDefault();
+      |  post('/initialize', {save_dir: e.target.save_dir.value}); };
+      |document.getElementById('embed').onsubmit = e => { e.preventDefault();
+      |  post('/embed', {path: e.target.path.value, is_folder: e.target.is_folder.checked}); };
+      |document.getElementById('search').onsubmit = async e => { e.preventDefault();
+      |  const body = {query: {text: e.target.text.value}};
+      |  if (e.target.search_location.value) body.search_location = e.target.search_location.value;
+      |  const j = await post('/search', body);
+      |  document.getElementById('response').textContent = j.response || j.error || '';
+      |  document.getElementById('sources').textContent = JSON.stringify(j.sources || [], null, 2);
+      |};
+      |</script></body></html>
+      |""".stripMargin
 }
 
 private class ServeState(spark: SparkSession) {
@@ -216,13 +280,47 @@ private class ServeState(spark: SparkSession) {
             }
           }
           val textRows =
-            if (d.annIndexBuilt("text")) d.searchAnn(text, topN, location = location)
-            else d.search(text, topN, location)
+            (if (d.annIndexBuilt("text")) d.searchAnn(text, topN, location = location)
+             else d.search(text, topN, location)).collect()
           val imgResults = images.map(b64 =>
-            rowsJson(d.searchIn("image", b64, topN, location).collect()))
-          (200, JObject("results" -> JObject(
-            "text" -> rowsJson(textRows.collect()),
-            "image" -> JArray(imgResults))))
+            d.searchIn("image", b64, topN, location).collect())
+          // run_search's return contract (vector_db.py:666-671):
+          // response + source manifest over the combined rows (text
+          // rows first — the reference's concat order), assembled
+          // from the ALREADY-collected results (no second retrieval)
+          val hits = textRows.toSeq ++ imgResults.flatten
+          val messages = ResponseGen.assemble(Some(text), images, hits)
+          val summary = ResponseGen.ExtractiveModel.generate(messages, hits)
+          (200, JObject(
+            "response" -> JString(summary),
+            "sources" -> JArray(ResponseGen.sources(hits).toList.map(s =>
+              JObject(
+                "doc_name" -> JString(s.docName),
+                "page_num" -> JLong(s.pageNum),
+                "content_type" -> JString(s.contentType),
+                "content_id" -> JString(s.contentId),
+                "content_raw" -> JString(s.contentRaw)))),
+            "results" -> JObject(
+              "text" -> rowsJson(textRows),
+              "image" -> JArray(imgResults.map(rowsJson)))))
       }
   }
+
+  /** GET / — the static frontend (templates/index.html analog): a
+    * self-contained page whose three forms drive the three endpoints.
+    * Anything but GET on "/" (and any unknown path) is a JSON 405/404,
+    * keeping the API surface scriptable. */
+  def frontend(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "GET")
+      respond(ex, 405, JObject("error" -> JString("GET only")))
+    else if (ex.getRequestURI.getPath != "/")
+      respond(ex, 404, JObject("error" -> JString(
+        s"no such path: ${ex.getRequestURI.getPath}")))
+    else {
+      val bytes = Serve.IndexHtml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
 }

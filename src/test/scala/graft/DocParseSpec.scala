@@ -171,6 +171,27 @@ class DocParseSpec extends AnyFunSuite {
       rows(0).getString(3) == "indirect length body here", rows.toSeq.toString)
   }
 
+  test("PDF: two catalogs (incremental update) resolve to the HIGHEST object number") {
+    // an incremental update appends a NEW catalog under a new object
+    // number; unordered Map iteration used to pick whichever /Catalog
+    // it met first — the page tree parsed was nondeterministic
+    val sOld = "BT 1 0 0 1 10 20 Tm (old tree) Tj ET\n"
+    val sNew = "BT 1 0 0 1 10 20 Tm (new tree) Tj ET\n"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${sOld.length} >>\nstream\n$sOld\nendstream endobj\n" +
+      "7 0 obj << /Type /Catalog /Pages 8 0 R >> endobj\n" +
+      "8 0 obj << /Type /Pages /Kids [9 0 R] /Count 1 >> endobj\n" +
+      "9 0 obj << /Type /Page /Parent 8 0 R /Contents 10 0 R >> endobj\n" +
+      s"10 0 obj << /Length ${sNew.length} >>\nstream\n$sNew\nendstream endobj\n" +
+      "trailer << /Size 11 /Root 7 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val rows = parsePdfBytes(pdf)
+    assert(rows.length == 1 && rows(0).getString(3) == "new tree",
+      rows.toSeq.toString)
+  }
+
   test("empty documents synthesize to valid zero-page/zero-slide containers") {
     val rows = Seq("").toDF("t").select(
       size(graft.functions.expressions.ParsePdf(

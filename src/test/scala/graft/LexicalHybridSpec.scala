@@ -429,10 +429,105 @@ class LexicalHybridSpec extends AnyFunSuite {
     // delete 3 beta docs: live df(beta) = 3 < df(alpha) = 5 — the
     // order between the families flips
     db.deleteWhere(col("doc_name").rlike("/doc_1[345]\\.txt$"))
-    db.maintainStore() // clears tombstones, rewrites termstats; gen unchanged
+    db.maintainStore() // clears tombstones, rewrites termstats, bumps gen
     assert(db.lexMaxScoreReady, "compaction must reopen the gate")
     assert(pruned() == full(),
       "post-compaction MaxScore must rank on LIVE stats, not the cached dfs")
+  }
+
+  test("cross-instance MaxScore caches invalidate when the writer compacts (gen bump)") {
+    // a SECOND live instance serving the same store keys its gate and
+    // stats caches on _GEN; deletes alone don't advance it, so
+    // maintainLexical must — otherwise the reader's pre-delete warm
+    // cache sees the gate reopen (no tombstones, _PCOUNT consistent)
+    // and ranks with stale per-term df
+    val dir = "target/vdb_lexical_stale_xinst"
+    rmRf(new java.io.File(dir))
+    val writer = new GraftVectorDB(spark, dir)
+    val docs = (0 until 600).map { i =>
+      val extra =
+        if (i < 5) " rarealpha"
+        else if (i >= 10 && i < 16) " rarebeta"
+        else ""
+      (i.toLong, s"filler$i stopzz body unique$i words$extra")
+    }
+    writer.ingest(docsFrame(docs, source = "xi"))
+    writer.indexLexical()
+    val reader = new GraftVectorDB(spark, dir) // independent caches
+    val qt = Seq((0L, Seq("rarealpha", "rarebeta", "stopzz"), Option.empty[String]))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("lex_rnk"), r.getAs[String]("doc_name"))).toSeq
+    def prunedR() = rowsOf(reader.lexAllScanPlan(qt, 8, None,
+      forceFull = false, forceMaxScore = true).get)
+    def fullR() = rowsOf(reader.lexAllScanPlan(qt, 8, None, forceFull = true).get)
+    // warm the READER's gate + stats caches at the pre-delete dfs
+    assert(reader.lexMaxScoreReady)
+    assert(prunedR() == fullR())
+    // the WRITER deletes 3 beta docs and compacts; the reader never
+    // touched its own caches in between
+    writer.deleteWhere(col("doc_name").rlike("/doc_1[345]\\.txt$"))
+    writer.maintainStore()
+    assert(reader.lexMaxScoreReady, "compaction must reopen the reader's gate")
+    assert(prunedR() == fullR(),
+      "the second instance must rank on live stats after the writer compacts")
+  }
+
+  test("MaxScore name-cap: over-budget queries fall back ALONE, not the whole batch") {
+    // greedy packing is deterministic and individual
+    import graft.operators.GraftVectorDB.greedyNameBudget
+    assert(greedyNameBudget(Seq(0L -> 4L, 1L -> 40L), 8) == Set(0L))
+    assert(greedyNameBudget(Seq(0L -> 4L, 1L -> 40L), 60) == Set(0L, 1L))
+    assert(greedyNameBudget(Seq(2L -> 5L, 3L -> 5L, 4L -> 5L), 11) == Set(2L, 3L))
+    assert(greedyNameBudget(Nil, 8) == Set.empty[Long])
+    // end-to-end: one narrow query (4 candidates) + one wide query
+    // (40 candidates) under a cap of 8 — the wide query must take the
+    // full plan while the narrow one KEEPS MaxScore pruning; both stay
+    // exact. (Pre-fix behavior: the union over-capped and BOTH fell
+    // back — no job B anywhere in the plan.)
+    val dir = "target/vdb_lexical_namecap"
+    rmRf(new java.io.File(dir))
+    val db = new GraftVectorDB(spark, dir)
+    val docs = (0 until 600).map { i =>
+      val rare =
+        if (i % 150 == 1) " zanzibarq"
+        else if (i % 15 == 0) " widefanq"
+        else ""
+      (i.toLong, s"filler$i stopzz body unique$i words$rare")
+    }
+    db.ingest(docsFrame(docs, source = "nc"))
+    db.indexLexical()
+    db.lexNameCapOverride = Some(8)
+    val qt = Seq(
+      (0L, Seq("zanzibarq", "stopzz"), Option.empty[String]),
+      (1L, Seq("widefanq", "stopzz"), Option.empty[String]))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("lex_rnk"),
+        r.getAs[String]("doc_name"))).sortBy(t => (t._1, t._2)).toSeq
+    val restoreAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = db.lexAllScanPlan(qt, 3, None,
+        forceFull = false, forceMaxScore = true).get
+      val prunedRows = rowsOf(pruned)
+      val fullRows = rowsOf(db.lexAllScanPlan(qt, 3, None, forceFull = true).get)
+      assert(prunedRows == fullRows && prunedRows.size == 6,
+        s"capped MaxScore must stay exact:\n pruned $prunedRows\n full $fullRows")
+      // job B survived for the narrow query: a bounded candidate-name
+      // IN filter gates the common-term scan
+      val nameFilters = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("doc_name") &&
+              f.condition.toString.contains(" IN ") => f
+      }
+      assert(nameFilters.nonEmpty,
+        "the narrow query must keep its candidate-pruned common scan")
+      nameFilters.foreach(f => assert(f.metrics("numOutputRows").value <= 8,
+        s"names past the gate must respect the cap, got ${
+          f.metrics("numOutputRows").value}"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", restoreAqe)
+      db.lexNameCapOverride = None
+    }
   }
 
   test("MaxScore early termination: bounded common-list scan, exact parity, gate lifecycle") {

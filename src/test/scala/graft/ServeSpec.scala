@@ -83,4 +83,104 @@ class ServeSpec extends AnyFunSuite {
       assert(c9 == 400 && b9.contains("bad JSON"), b9)
     } finally server.stop(0)
   }
+
+  test("GET / serves the frontend; /search carries run_search's response+sources contract") {
+    val server = graft.tools.Serve.start(spark, 0)
+    val port = server.getAddress.getPort
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String): (Int, String) = {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    def get(path: String): (Int, String, String) = {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body(),
+        resp.headers().firstValue("Content-Type").orElse(""))
+    }
+    try {
+      // the frontend page loads with the three endpoint forms wired
+      val (gc, gb, gt) = get("/")
+      assert(gc == 200 && gt.startsWith("text/html"), s"$gc $gt")
+      assert(gb.contains("<html") && gb.contains("/initialize") &&
+        gb.contains("/embed") && gb.contains("/search"), gb.take(200))
+      // unknown paths are still JSON 404s, POST / is a 405
+      assert(get("/nosuch")._1 == 404)
+      assert(post("/", "{}")._1 == 405)
+      // a scripted search round-trips through the same JSON the page
+      // consumes: response + sources + results
+      val dir = "target/vdb_serve_front"
+      rmRf(new java.io.File(dir))
+      assert(post("/initialize", s"""{"save_dir":"$dir"}""")._1 == 200)
+      assert(post("/embed",
+        s"""{"path":"$sf/documents.parquet","is_folder":false}""")._1 == 200)
+      val (sc, sb) = post("/search",
+        """{"query":{"text":"fast query join table"},"top_n":3}""")
+      assert(sc == 200, sb)
+      val json = org.json4s.jackson.JsonMethods.parse(sb)
+      import org.json4s._
+      val response = (json \ "response").asInstanceOf[JString].s
+      assert(response.startsWith("[extractive] "), response)
+      val sources = (json \ "sources").asInstanceOf[JArray].arr
+      assert(sources.size == 3, s"expected 3 source entries, got $sources")
+      // source manifest rows mirror the top result rows, in order
+      val firstSrc = sources.head.asInstanceOf[JObject].obj.toMap
+      val firstHit = ((json \ "results" \ "text").asInstanceOf[JArray]
+        .arr.head).asInstanceOf[JObject].obj.toMap
+      Seq("doc_name", "page_num", "content_type", "content_id", "content_raw")
+        .foreach(k => assert(firstSrc(k) == firstHit(k), k))
+      // the response text is the extractive model over the top hit
+      val topRaw = firstHit("content_raw").asInstanceOf[JString].s
+      assert(response.contains(topRaw.take(50)), response)
+      // the library-level runSearch returns the same contract the
+      // endpoint serialized: same response, same source order, and
+      // the assembled prompt carries the reference's message shape
+      val db = new graft.operators.GraftVectorDB(spark, dir)
+      val r = db.runSearch("fast query join table", topN = 3)
+      assert(r.response == response)
+      assert(r.sources.map(_.docName) ==
+        sources.map(s => (s \ "doc_name").asInstanceOf[JString].s))
+      assert(r.messages.head.role == "system" &&
+        r.messages.last.content.startsWith("Please generate"))
+      assert(r.messages.count(_.role == "user") == r.messages.size - 1)
+    } finally server.stop(0)
+  }
+
+  test("ResponseGen: prompt assembly byte-parity and clean_json_string behavior") {
+    import graft.operators.ResponseGen
+    val hits = Seq(
+      ("a.pdf", 1L, "text", "t1", "alpha body"),
+      ("b.jpg", 2L, "image", "i1", "QUJD"), // base64 payload rides content_raw
+      ("c.pdf", 3L, "text", "t2", "gamma body"))
+      .toDF("doc_name", "page_num", "content_type", "content_id", "content_raw")
+      .collect().toSeq
+    val parts = ResponseGen.assemble(Some("what is alpha?"), Seq("AA=="), hits)
+    // reference order: system, header, text query, query images,
+    // retrieved header, TEXT hits then IMAGE hits, closing
+    assert(parts.map(p => (p.role, p.ctype)) == Seq(
+      ("system", "text"), ("user", "text"), ("user", "text"),
+      ("user", "image"), ("user", "text"), ("user", "text"),
+      ("user", "text"), ("user", "image"), ("user", "text")))
+    assert(parts(1).content == "Here is the search query content:\n")
+    assert(parts(2).content == "Text query: what is alpha?")
+    assert(parts(3).content == "data:image/jpeg;base64,AA==")
+    assert(parts(4).content == "\n\nHere is the retreived material:")
+    assert(parts(5).content == "alpha body" && parts(6).content == "gamma body")
+    assert(parts(7).content == "data:image/jpeg;base64,QUJD")
+    assert(parts.head.content.startsWith("You are a helpful assistant"))
+    assert(parts.last.content.startsWith("Please generate an appropriate"))
+    // source manifest preserves combined order
+    assert(ResponseGen.sources(hits).map(_.contentId) == Seq("t1", "i1", "t2"))
+    // clean_json_string parity (vector_db.py:599-608)
+    assert(ResponseGen.cleanJsonString("  ```json\n{\"a\": 1}\n```  ") == "{\"a\": 1}")
+    assert(ResponseGen.cleanJsonString("prefix {\"a\":{\"b\":2}} suffix") == "{\"a\":{\"b\":2}}")
+    assert(ResponseGen.cleanJsonString("no braces at all") == "no braces at all")
+  }
 }
