@@ -726,7 +726,7 @@ object SparkEntry {
         | (720 - (i*37)%600 + 12)::DOUBLE AS y1
         |FROM ch WHERE trim(pg) <> ''
         |UNION ALL
-        |SELECT ch.doc_id, i::BIGINT, 'image', (4 + 2*np.p + i//3)::VARCHAR,
+        |SELECT ch.doc_id, i::BIGINT, 'image', (6 + 2*np.p + i//3)::VARCHAR,
         | to_base64(encode(substr(md5(pg),1,8))),
         | ((i*37)%500)::DOUBLE, ((i*53)%700)::DOUBLE,
         | ((i*37)%500 + 100 + (i*7)%200)::DOUBLE, ((i*53)%700 + 80 + (i*11)%160)::DOUBLE

@@ -24,8 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    xref table needed — damaged/streamless xrefs are the most common
   *    real-world breakage; the trailer is still used to FIND the
   *    catalog when present);
-  *  - streams decode raw or /FlateDecode (java.util.zip — zero new
-  *    dependencies); any other filter fails loudly by name;
+  *  - streams decode raw or through a declared filter CHAIN of
+  *    /FlateDecode (java.util.zip), /LZWDecode, /ASCII85Decode,
+  *    /ASCIIHexDecode, /RunLengthDecode — all from-scratch readers of
+  *    the public ISO 32000 §7.4 algorithms, zero new dependencies;
+  *    predictors (/DecodeParms /Predictor > 1) and any other filter
+  *    fail loudly by name;
   *  - page order comes from walking /Root → /Pages → /Kids (the
   *    document's declared order, not file order);
   *  - content streams are tokenized per the real syntax: literal
@@ -34,8 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    numbers; text shows via Tj / ' / " / TJ inside BT…ET blocks
   *    with Tm/Td/TD/T* line tracking, one output row per BT…ET block
   *    (content_id = per-page block index, PyMuPDF's get_text("blocks")
-  *    numbering); string bytes decode as Latin-1 (standard simple
-  *    fonts; CID/CMap-remapped text is out of scope and documented);
+  *    numbering); string bytes decode as Latin-1 for standard simple
+  *    fonts, and composite Identity-H fonts (what real writers emit
+  *    for non-Latin and subset-embedded text) decode their 2-byte
+  *    CIDs through the font's embedded /ToUnicode CMap
+  *    (bfchar/bfrange, §9.10.3) selected per text run via Tf;
+  *    Identity-H WITHOUT /ToUnicode and predefined registry CMaps
+  *    (GBK-EUC-H, UniJIS-…) fail loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
   *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
@@ -80,8 +89,9 @@ case class ParsePdf(child: Expression)
       val pageDict = doc(pageObj)._1
       val content = ParsePdf.contentsOf(doc, pageDict)
       val xobjects = ParsePdf.xobjectsOf(doc, pageDict)
+      val fonts = ParsePdf.fontsOf(doc, pageDict)
       var blockIdx = 0
-      ParsePdf.interpret(content, xobjects, doc,
+      ParsePdf.interpret(content, xobjects, fonts, doc,
         onText = (text, x0, y0, x1, y1) => {
           val t = text.trim
           if (t.nonEmpty) {
@@ -195,19 +205,44 @@ object ParsePdf {
     """/(\w+)""".r.findAllMatchIn(resolved).map(_.group(1)).toSeq
   }
 
-  /** Decoded stream bytes of an object: raw, or inflated when the dict
-    * names /FlateDecode; any other filter (or a filter CHAIN) fails
-    * loudly by name. */
+  /** The decodable filter set: the standard non-image codecs a text
+    * pipeline meets (ISO 32000 §7.4). Image codecs (DCT/JPX/CCITT/JBIG2)
+    * stay opaque by design — their streams ARE the embedded files. */
+  private val Decodable: Set[String] = Set("FlateDecode", "LZWDecode",
+    "ASCII85Decode", "ASCIIHexDecode", "RunLengthDecode")
+
+  /** Apply a filter CHAIN in declaration order. Predictors
+    * (PNG/TIFF row filtering via /DecodeParms /Predictor > 1) change
+    * the byte stream after inflate and are out of scope — they fail
+    * loudly rather than emitting scrambled text. */
+  private def applyFilters(raw: Array[Byte], filters: Seq[String],
+      dict: String, objNum: Int): Array[Byte] = {
+    if (filters.exists(f => f == "FlateDecode" || f == "LZWDecode")) {
+      """/Predictor\s+(\d+)""".r.findFirstMatchIn(dict).foreach { m =>
+        if (m.group(1).toInt > 1)
+          fail(s"unsupported /Predictor ${m.group(1)} in object $objNum")
+      }
+    }
+    filters.foldLeft(raw) { (data, f) =>
+      f match {
+        case "FlateDecode" => inflate(data)
+        case "LZWDecode" => lzwDecode(data)
+        case "ASCII85Decode" => ascii85Decode(data)
+        case "ASCIIHexDecode" => asciiHexDecode(data)
+        case "RunLengthDecode" => runLengthDecode(data)
+        case other => fail(s"unsupported stream filter /$other in object $objNum")
+      }
+    }
+  }
+
+  /** Decoded stream bytes of an object: raw, or through the declared
+    * filter chain ([[Decodable]]); any other filter fails loudly by
+    * name. */
   private def streamOf(doc: Map[Int, (String, Option[Array[Byte]])],
       objNum: Int): Array[Byte] = {
     val (dict, data) = doc.getOrElse(objNum, fail(s"missing object $objNum"))
     val raw = data.getOrElse(fail(s"object $objNum has no stream"))
-    filtersOf(doc, dict) match {
-      case Nil => raw
-      case Seq("FlateDecode") => inflate(raw)
-      case other => fail(
-        s"unsupported stream filter /${other.mkString("/")} in object $objNum")
-    }
+    applyFilters(raw, filtersOf(doc, dict), dict, objNum)
   }
 
   private[expressions] def inflate(data: Array[Byte]): Array[Byte] = {
@@ -228,6 +263,143 @@ object ParsePdf {
     out.toByteArray
   }
 
+  /** PDF LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width codes
+    * (9→12 bits), 256 = clear, 257 = EOD, table grows from 258, with
+    * the spec-default EarlyChange=1 (the width bumps one code early —
+    * at table size 511/1023/2047). */
+  private[expressions] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = ArrayBuffer.tabulate(256)(i => Array(i.toByte))
+    table += Array.emptyByteArray // 256 clear
+    table += Array.emptyByteArray // 257 eod
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var prev: Array[Byte] = null
+    var pos = 0
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xFF); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) {
+        if (prev != null) fail("LZW stream ended without EOD")
+        done = true
+      } else {
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 257) done = true
+        else if (code == 256) {
+          table.remove(258, table.length - 258)
+          width = 9; prev = null
+        } else {
+          val entry =
+            if (code < table.length && code != 256 && code != 257) table(code)
+            else if (code == table.length && prev != null) prev :+ prev(0)
+            else fail(s"corrupt LZW stream: code $code outside table")
+          out.write(entry, 0, entry.length)
+          if (prev != null) table += (prev :+ entry(0))
+          prev = entry
+          // EarlyChange=1: widen one code BEFORE the table fills
+          if (table.length >= (1 << width) - 1 && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars ('!'..'u', offset 33)
+    * → 4 bytes base-85; 'z' = four zero bytes (group start only);
+    * whitespace skipped; `~>` terminates; a partial group of n chars
+    * yields n-1 bytes (padded with 'u'). */
+  private[expressions] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+    val group = new Array[Int](5)
+    var gLen = 0
+    def flush(chars: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < chars) group(k) else 84); k += 1 }
+      val nOut = chars - 1
+      var shift = 24
+      k = 0
+      while (k < nOut) {
+        out.write(((v >>> shift) & 0xFF).toInt); shift -= 8; k += 1
+      }
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val ch = (data(i) & 0xFF).toChar
+      if (ch == '~') done = true // `~>` terminator
+      else if (ch == 'z') {
+        if (gLen != 0) fail("ASCII85: 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (ch >= '!' && ch <= 'u') {
+        group(gLen) = ch - '!'; gLen += 1
+        if (gLen == 5) { flush(5); gLen = 0 }
+      } else if (!(ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t' ||
+          ch == '\f' || ch == 0.toChar))
+        fail(s"ASCII85: invalid character '$ch'")
+      i += 1
+    }
+    if (gLen == 1) fail("ASCII85: a final group of one character is invalid")
+    if (gLen > 1) flush(gLen)
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace skipped,
+    * `>` terminates, an odd final digit pads with 0. */
+  private[expressions] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(32, data.length / 2))
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val ch = (data(i) & 0xFF).toChar
+      val v =
+        if (ch >= '0' && ch <= '9') ch - '0'
+        else if (ch >= 'a' && ch <= 'f') ch - 'a' + 10
+        else if (ch >= 'A' && ch <= 'F') ch - 'A' + 10
+        else if (ch == '>') { done = true; -1 }
+        else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t' ||
+          ch == '\f' || ch == 0.toChar) -1
+        else fail(s"ASCIIHex: invalid character '$ch'")
+      if (v >= 0) {
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L ≤ 127 copies
+    * the next L+1 bytes literally; L ≥ 129 repeats the next byte
+    * 257−L times; 128 = EOD. */
+  private[expressions] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i >= data.length) fail("RunLength stream ended without EOD")
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l <= 127) {
+        if (i + l + 1 > data.length) fail("RunLength literal run truncated")
+        out.write(data, i, l + 1); i += l + 1
+      } else {
+        if (i >= data.length) fail("RunLength repeat run truncated")
+        var k = 257 - l
+        while (k > 0) { out.write(data(i)); k -= 1 }
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
   /** The raw embedded bytes of an image object (base64'd by the
     * caller): DCT streams are the JPEG file itself, Flate images
     * deliver the decoded raster — either way, the reference's
@@ -236,16 +408,14 @@ object ParsePdf {
       objNum: Int): Array[Byte] = {
     val (dict, data) = doc(objNum)
     val raw = data.getOrElse(fail(s"image object $objNum has no stream"))
-    filtersOf(doc, dict) match {
-      // a LEADING FlateDecode unwraps (real-world Flate-wrapped JPEGs
-      // declare [/FlateDecode /DCTDecode]); the remaining codec stream
-      // IS the embedded image file, shipped as-is (the reference's
-      // extract-and-base64 contract) — image bytes are opaque to this
-      // pipeline, so unknown codecs pass through rather than failing
-      // the whole page
-      case fs if fs.headOption.contains("FlateDecode") => inflate(raw)
-      case _ => raw
-    }
+    // every LEADING decodable transport filter unwraps (real-world
+    // Flate- or ASCII-wrapped JPEGs declare e.g. [/ASCII85Decode
+    // /DCTDecode]); the first unknown codec's stream IS the embedded
+    // image file, shipped as-is (the reference's extract-and-base64
+    // contract) — image bytes are opaque to this pipeline, so image
+    // codecs pass through rather than failing the whole page
+    val fs = filtersOf(doc, dict)
+    applyFilters(raw, fs.takeWhile(Decodable), dict, objNum)
   }
 
   private def ref(dict: String, key: String): Option[Int] =
@@ -315,12 +485,97 @@ object ParsePdf {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
+  /** /Resources → /Font name → decode table: `None` = simple font
+    * (Latin-1 string bytes, the historical scope), `Some(cmap)` = a
+    * composite Identity-H font whose 2-byte CIDs decode through its
+    * embedded /ToUnicode CMap. Loud outside that: an Identity-H font
+    * WITHOUT /ToUnicode has no recoverable text, and predefined
+    * ordering CMaps (GBK-EUC-H, UniJIS-…, Identity-V) would need the
+    * Adobe registry files this library deliberately doesn't embed. */
+  private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      pageDict: String): Map[String, Option[Map[Int, String]]] = {
+    val resSrc = ref(pageDict, "/Resources") match {
+      case Some(n) => doc.get(n).map(_._1).getOrElse("")
+      case None => pageDict
+    }
+    val fo = """/Font\s*<<([^>]*)>>""".r.findFirstMatchIn(resSrc)
+      .map(_.group(1)).getOrElse("")
+    """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fo).map { m =>
+      val objNum = m.group(2).toInt
+      val fdict = doc.get(objNum).map(_._1)
+        .getOrElse(fail(s"missing font object $objNum"))
+      m.group(1) -> cidMapOf(doc, fdict, objNum)
+    }.toMap
+  }
+
+  private def cidMapOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      fdict: String, objNum: Int): Option[Map[Int, String]] =
+    """/Encoding\s*/([\w-]+)""".r.findFirstMatchIn(fdict).map(_.group(1)) match {
+      case Some("Identity-H") =>
+        val tu = ref(fdict, "/ToUnicode").getOrElse(fail(
+          s"Identity-H font $objNum has no /ToUnicode CMap (text unrecoverable)"))
+        Some(parseToUnicode(latin1full(streamOf(doc, tu))))
+      case Some(e) if e.contains("-") => // Identity-V, GBK-EUC-H, UniJIS-…
+        fail(s"unsupported composite-font CMap /$e in font $objNum")
+      case _ => None // simple fonts: Latin-1 string bytes
+    }
+
+  private def latin1full(b: Array[Byte]): String = latin1(b, 0, b.length)
+
+  /** A /ToUnicode CMap's code → text mapping (ISO 32000 §9.10.3 /
+    * Adobe CMap grammar, the bfchar/bfrange subset every PDF writer
+    * emits): `beginbfchar <src> <dstUtf16> … endbfchar` and
+    * `beginbfrange <lo> <hi> <dstStart>|[<dst>…] endbfrange`; range
+    * increments apply to the LAST UTF-16 code unit (the spec rule). */
+  private[expressions] def parseToUnicode(src: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def utf16(hex: String): String = {
+      if (hex.length % 4 != 0)
+        fail(s"CMap destination <$hex> is not whole UTF-16 code units")
+      new String(hex.grouped(2).map(h =>
+        Integer.parseInt(h, 16).toByte).toArray, "UTF-16BE")
+    }
+    val hx = """<([0-9A-Fa-f]+)>"""
+    (hx + """\s*""" + hx).r.findAllMatchIn(
+      """beginbfchar([\s\S]*?)endbfchar""".r.findAllMatchIn(src)
+        .map(_.group(1)).mkString("\n")).foreach { m =>
+      out += Integer.parseInt(m.group(1), 16) -> utf16(m.group(2))
+    }
+    (hx + """\s*""" + hx + """\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)""").r
+      .findAllMatchIn(
+        """beginbfrange([\s\S]*?)endbfrange""".r.findAllMatchIn(src)
+          .map(_.group(1)).mkString("\n")).foreach { m =>
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      if (hi < lo) fail(s"CMap bfrange <${m.group(1)}> > <${m.group(2)}>")
+      val dst = m.group(3)
+      if (dst.startsWith("[")) {
+        val items = hx.r.findAllMatchIn(dst).map(_.group(1)).toSeq
+        if (items.length != hi - lo + 1)
+          fail(s"CMap bfrange array has ${items.length} entries for ${hi - lo + 1} codes")
+        items.zipWithIndex.foreach { case (h, k) =>
+          out += (lo + k) -> utf16(h) }
+      } else {
+        val base = utf16(dst.substring(1, dst.length - 1)).toCharArray
+        var code = lo
+        while (code <= hi) {
+          val cs = base.clone()
+          cs(cs.length - 1) = (cs(cs.length - 1) + (code - lo)).toChar
+          out += code -> new String(cs)
+          code += 1
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Minimal content-stream interpreter: tokens per the real grammar,
     * graphics state = the CTM under a q/Q stack and `cm` composition,
     * text state = Tm/Td/TD/T* line tracking inside BT…ET. Emits one
     * text block per BT…ET and one image per `Do` of an /Image
     * XObject. */
   private def interpret(content: Array[Byte], xobjects: Map[String, Int],
+      fonts: Map[String, Option[Map[Int, String]]],
       doc: Map[Int, (String, Option[Array[Byte]])],
       onText: (String, Double, Double, Double, Double) => Unit,
       onImage: (Int, Array[Byte], Double, Double, Double, Double) => Unit): Unit = {
@@ -338,6 +593,8 @@ object ParsePdf {
     var tm: Mat = id   // text line matrix (leading tracked via TL)
     var leading = 0.0
     var fontSize = 12.0
+    // current font's CID decode table (None = simple font, Latin-1)
+    var curCid: Option[Map[Int, String]] = None
     var blockText = new StringBuilder
     var blockChars = 0
     var blockAnchor: Option[(Double, Double)] = None
@@ -346,7 +603,21 @@ object ParsePdf {
       case PdfNum(v) => v
       case other => fail(s"expected number operand, got $other")
     }
-    def show(s: String): Unit = {
+    def show(raw: String): Unit = {
+      // string tokens carry one BYTE per char; composite Identity-H
+      // fonts remap 2-byte CIDs through the font's /ToUnicode CMap,
+      // simple fonts read the bytes as Latin-1 (the token form)
+      val s = curCid match {
+        case None => raw
+        case Some(cmap) =>
+          if (raw.length % 2 != 0)
+            fail("odd-length string shown with a 2-byte CID font")
+          raw.grouped(2).map { p =>
+            val code = ((p(0) & 0xFF) << 8) | (p(1) & 0xFF)
+            cmap.getOrElse(code,
+              fail(f"CID 0x$code%04X has no /ToUnicode mapping"))
+          }.mkString
+      }
       if (blockAnchor.isEmpty) {
         val dev = mul(tm, ctm)
         blockAnchor = Some((dev._5, dev._6))
@@ -382,6 +653,14 @@ object ParsePdf {
           flushBlock(); inText = false; operands.clear()
         case "Tf" =>
           if (operands.nonEmpty) fontSize = num(operands.last)
+          if (operands.length >= 2) operands(operands.length - 2) match {
+            case PdfName(fname) =>
+              // a name the Resources table doesn't carry keeps the
+              // prior decode mode (the recovery rule: damaged
+              // resources shouldn't kill a simple-font page)
+              fonts.get(fname).foreach(curCid = _)
+            case _ => ()
+          }
           operands.clear()
         case "Tm" =>
           if (operands.length < 6) fail("Tm needs 6 operands")

@@ -22,12 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - EVERY SECOND page's content stream is /FlateDecode-compressed
   *    (java.util.zip.Deflater, deterministic), so the driver-gate
   *    query exercises the codec path, not just the grammar;
+  *  - every FIFTH page (i % 5 == 2) shows its chunk through a
+  *    composite /Type0 /Identity-H font: the text rides a hex string
+  *    of 2-byte CIDs (code = char + 0x0100) that [[ParsePdf]] must
+  *    decode through the font's embedded /ToUnicode CMap (one
+  *    bfrange), so the driver gate exercises the CID path with the
+  *    SAME recovered text — the oracle is unchanged by encoding;
   *  - every third page embeds an image XObject: 8 ASCII bytes (the
   *    chunk's md5 prefix — base64 recomputable in SQL), placed by
   *    `q w 0 0 h x y cm /Im0 Do Q` with the GFT coordinate formulas;
   *  - object numbering is closed-form for the oracle: 1 catalog,
-  *    2 pages, 3 font, pages at 4…3+p, contents at 4+p…3+2p, images
-  *    at 4+2p+⌊i/3⌋.
+  *    2 pages, 3 simple font, 4 CID font, 5 its /ToUnicode CMap,
+  *    pages at 6…5+p, contents at 6+p…5+2p, images at 6+2p+⌊i/3⌋.
   * Empty text → a valid zero-page PDF (parse = empty array). */
 case class SynthPdf(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -93,22 +99,39 @@ object SynthPdf {
     }
     emit("%PDF-1.4\n")
     obj(1)(emit("<< /Type /Catalog /Pages 2 0 R >>\n"))
-    val kids = (0 until p).map(i => s"${4 + i} 0 R").mkString(" ")
+    val kids = (0 until p).map(i => s"${6 + i} 0 R").mkString(" ")
     obj(2)(emit(s"<< /Type /Pages /Kids [$kids] /Count $p >>\n"))
     obj(3)(emit("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
+    // the composite font: 2-byte CIDs (code = char + 0x0100) resolved
+    // through the one-bfrange /ToUnicode CMap below — the Identity-H
+    // shape real writers emit for subset-embedded text
+    obj(4)(emit("<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
+      "/Encoding /Identity-H /ToUnicode 5 0 R >>\n"))
+    val cmap = "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "1 beginbfrange\n<0100> <01FF> <0000>\nendbfrange\nendcmap\n" +
+      "CMapName currentdict /CMap defineresource pop\nend\n"
+    obj(5) {
+      emit(s"<< /Length ${cmap.length} >>\nstream\n")
+      emit(cmap)
+      emit("\nendstream\n")
+    }
     chunks.zipWithIndex.foreach { case (_, i) =>
-      val res = new StringBuilder("/Font << /F1 3 0 R >>")
+      val res = new StringBuilder("/Font << /F1 3 0 R /F2 4 0 R >>")
       if (i % 3 == 0)
-        res.append(s" /XObject << /Im0 ${4 + 2 * p + i / 3} 0 R >>")
-      obj(4 + i)(emit(s"<< /Type /Page /Parent 2 0 R " +
+        res.append(s" /XObject << /Im0 ${6 + 2 * p + i / 3} 0 R >>")
+      obj(6 + i)(emit(s"<< /Type /Page /Parent 2 0 R " +
         s"/MediaBox [0 0 612 792] /Resources << ${res} >> " +
-        s"/Contents ${4 + p + i} 0 R >>\n"))
+        s"/Contents ${6 + p + i} 0 R >>\n"))
     }
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val x = 50 + (i * 7) % 100
       val y = 720 - (i * 37) % 600
-      val sb = new StringBuilder(
-        s"BT /F1 12 Tf 1 0 0 1 $x $y Tm (${esc(chunk)}) Tj ET\n")
+      val shown =
+        if (i % 5 == 2) // CID page: hex string of offset 2-byte codes
+          s"/F2 12 Tf 1 0 0 1 $x $y Tm <${
+            chunk.map(c => f"${c.toInt + 0x0100}%04X").mkString}> Tj"
+        else s"/F1 12 Tf 1 0 0 1 $x $y Tm (${esc(chunk)}) Tj"
+      val sb = new StringBuilder(s"BT $shown ET\n")
       if (i % 3 == 0) {
         val w = 100 + (i * 7) % 200
         val h = 80 + (i * 11) % 160
@@ -119,7 +142,7 @@ object SynthPdf {
       val raw = sb.toString.getBytes(latin1)
       val (body, filter) =
         if (i % 2 == 1) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
-      obj(4 + p + i) {
+      obj(6 + p + i) {
         emit(s"<< /Length ${body.length}$filter >>\nstream\n")
         buf.write(body)
         emit("\nendstream\n")
@@ -131,7 +154,7 @@ object SynthPdf {
         .map("%02x".format(_)).mkString.take(8).getBytes(latin1)
       val w = 100 + (i * 7) % 200
       val h = 80 + (i * 11) % 160
-      obj(4 + 2 * p + j) {
+      obj(6 + 2 * p + j) {
         emit(s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
           s"/ColorSpace /DeviceGray /BitsPerComponent 8 " +
           s"/Length ${img.length} >>\nstream\n")
@@ -140,7 +163,7 @@ object SynthPdf {
       }
     }
     val xrefAt = buf.size()
-    val total = 4 + 2 * p + nImages
+    val total = 6 + 2 * p + nImages
     emit(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) =>
       emit(f"$off%010d 00000 n \n")

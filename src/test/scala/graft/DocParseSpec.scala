@@ -192,6 +192,190 @@ class DocParseSpec extends AnyFunSuite {
       rows.toSeq.toString)
   }
 
+  // ── independent spec-side encoders for the transport filters: the
+  // decoder is tested against a second implementation of the public
+  // algorithm, not against itself ──
+
+  private def a85(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      (0 until 4).foreach(k =>
+        v = (v << 8) | (if (k < n) data(i + k) & 0xFF else 0))
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var x = v
+        (4 to 0 by -1).foreach { k => cs(k) = ((x % 85) + 33).toChar; x /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.append("~>").toString.getBytes("ISO-8859-1")
+  }
+
+  private def lzw(data: Array[Byte]): Array[Byte] = {
+    val dict = scala.collection.mutable.Map[Seq[Byte], Int]()
+    (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+    var next = 258
+    var width = 9
+    val out = new java.io.ByteArrayOutputStream
+    var bitBuf = 0L; var bitCnt = 0
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+    }
+    put(256)
+    var w = Seq.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        put(dict(w))
+        dict(wb) = next; next += 1
+        if (next >= (1 << width) - 1 && width < 12) width += 1 // EarlyChange=1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  private def rle(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    data.grouped(128).foreach { g => out.write(g.length - 1); out.write(g, 0, g.length) }
+    out.write(128)
+    out.toByteArray
+  }
+
+  private def hexEnc(data: Array[Byte]): Array[Byte] =
+    (data.map("%02x".format(_)).mkString + ">").getBytes("ISO-8859-1")
+
+  test("PDF: LZW, ASCII85∘Flate, and Hex∘RunLength filter chains decode exactly") {
+    val s1 = "BT 1 0 0 1 10 20 Tm (lzw page text) Tj ET\n"
+    val s2 = "BT 1 0 0 1 10 20 Tm (ascii85 flate page) Tj ET\n"
+    val s3 = "BT 1 0 0 1 10 20 Tm (hex runlength page) Tj ET\n"
+    val b1 = lzw(s1.getBytes("ISO-8859-1"))
+    val b2 = a85(deflate(s2)) // decode order: ASCII85 THEN Flate
+    val b3 = hexEnc(rle(s3.getBytes("ISO-8859-1")))
+    val sb = new java.io.ByteArrayOutputStream()
+    def emit(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n")
+    emit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R 5 0 R] /Count 3 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    emit("4 0 obj << /Type /Page /Parent 2 0 R /Contents 7 0 R >> endobj\n")
+    emit("5 0 obj << /Type /Page /Parent 2 0 R /Contents 8 0 R >> endobj\n")
+    emit(s"6 0 obj << /Length ${b1.length} /Filter /LZWDecode >>\nstream\n")
+    sb.write(b1); emit("\nendstream endobj\n")
+    emit(s"7 0 obj << /Length ${b2.length} /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n")
+    sb.write(b2); emit("\nendstream endobj\n")
+    emit(s"8 0 obj << /Length ${b3.length} /Filter [/ASCIIHexDecode /RunLengthDecode] >>\nstream\n")
+    sb.write(b3); emit("\nendstream endobj\n")
+    emit("trailer << /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(sb.toByteArray)
+    assert(rows.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq(
+      (0L, "lzw page text"), (1L, "ascii85 flate page"),
+      (2L, "hex runlength page")), rows.toSeq.toString)
+  }
+
+  test("PDF: LZW survives a table-width growth round trip (9→12-bit codes)") {
+    // enough distinct digrams to push the table past 511 and 1023 —
+    // the EarlyChange width bumps must stay in sync with the encoder
+    val text = (0 until 1500).map(i => s"w${i % 97}x${(i * 31) % 89}")
+      .mkString(" ")
+    val s = s"BT 1 0 0 1 10 20 Tm (${text}) Tj ET\n"
+    val b = lzw(s.getBytes("ISO-8859-1"))
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${b.length} /Filter /LZWDecode >>\nstream\n")
+    pdf.write(b); emit("\nendstream endobj\n")
+    emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == text)
+  }
+
+  test("PDF: Identity-H CID text decodes through the /ToUnicode CMap, mixed with a simple font") {
+    // bfchar singles (incl. a multi-unit destination), a bfrange
+    // offset run, and a bfrange ARRAY form — all in one CMap; the
+    // page mixes CID and simple-font runs inside one BT block
+    val cmap = "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+      "2 beginbfchar\n<0001> <0048>\n<0002> <00690021>\nendbfchar\n" +
+      "1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n" +
+      "1 beginbfrange\n<0020> <0021> [<0058> <0059005A>]\nendbfrange\n" +
+      "endcmap\nend\n"
+    // codes: 0001→H  0002→i!  0010..0012→a,b,c  0020→X  0021→YZ
+    val s = "BT /F2 12 Tf 1 0 0 1 5 6 Tm " +
+      "<0001000200100011001200200021> Tj /F1 12 Tf ( plain) Tj ET\n"
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font " +
+      "<< /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${s.length} >>\nstream\n$s\nendstream endobj\n")
+    emit("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    emit("6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-CID " +
+      "/Encoding /Identity-H /ToUnicode 7 0 R >> endobj\n")
+    emit(s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n")
+    emit("trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == "Hi!abcXYZ plain",
+      rows.toSeq.toString)
+  }
+
+  test("PDF: CID/predictor scope edges fail loudly") {
+    def err(bytes: Array[Byte]): String = {
+      val e = intercept[Exception](parsePdfBytes(bytes))
+      (Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+    }
+    def onePage(fontDict: String, content: String,
+        extra: String = ""): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F2 5 0 R >> >> /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${content.length} >>\nstream\n" +
+        s"$content\nendstream endobj\n" +
+        s"5 0 obj $fontDict endobj\n" + extra +
+        "trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    // Identity-H with no /ToUnicode: text is unrecoverable — loud
+    assert(err(onePage(
+      "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>",
+      "BT /F2 12 Tf <0001> Tj ET\n")).contains("no /ToUnicode"))
+    // predefined registry CMaps are out of scope — loud
+    assert(err(onePage(
+      "<< /Type /Font /Subtype /Type0 /Encoding /GBK-EUC-H >>",
+      "BT /F2 12 Tf (x) Tj ET\n")).contains("unsupported composite-font CMap"))
+    // a CID without a mapping — loud, names the code
+    val cmapSmall = "1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+    assert(err(onePage(
+      "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 6 0 R >>",
+      "BT /F2 12 Tf <9999> Tj ET\n",
+      extra = s"6 0 obj << /Length ${cmapSmall.length} >>\nstream\n" +
+        s"$cmapSmall\nendstream endobj\n"))
+      .contains("no /ToUnicode mapping"))
+    // Flate + PNG predictor would emit scrambled text — loud
+    val s = "BT (x) Tj ET\n"
+    assert(err(("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${deflate(s).length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n").getBytes("ISO-8859-1") ++
+      deflate(s) ++ ("\nendstream endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1"))
+      .contains("unsupported /Predictor 12"))
+  }
+
   test("empty documents synthesize to valid zero-page/zero-slide containers") {
     val rows = Seq("").toDF("t").select(
       size(graft.functions.expressions.ParsePdf(
