@@ -211,28 +211,99 @@ object ParsePdf {
   private val Decodable: Set[String] = Set("FlateDecode", "LZWDecode",
     "ASCII85Decode", "ASCIIHexDecode", "RunLengthDecode")
 
-  /** Apply a filter CHAIN in declaration order. Predictors
-    * (PNG/TIFF row filtering via /DecodeParms /Predictor > 1) change
-    * the byte stream after inflate and are out of scope — they fail
-    * loudly rather than emitting scrambled text. */
+  /** Apply a filter CHAIN in declaration order. /DecodeParms
+    * /Predictor row filtering (PNG predictors 10-15 and TIFF 2, what
+    * real writers wrap xref streams and rasters in) is undone right
+    * after the Flate/LZW stage it applies to; predictor shapes this
+    * cannot undo fail loudly rather than emitting scrambled text. */
   private def applyFilters(raw: Array[Byte], filters: Seq[String],
       dict: String, objNum: Int): Array[Byte] = {
-    if (filters.exists(f => f == "FlateDecode" || f == "LZWDecode")) {
-      """/Predictor\s+(\d+)""".r.findFirstMatchIn(dict).foreach { m =>
-        if (m.group(1).toInt > 1)
-          fail(s"unsupported /Predictor ${m.group(1)} in object $objNum")
-      }
-    }
+    def parm(key: String, dflt: Int): Int =
+      ("/" + key + """\s+(\d+)""").r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(dflt)
+    val predictor = parm("Predictor", 1)
+    def postPredict(data: Array[Byte]): Array[Byte] =
+      if (predictor <= 1) data
+      else unpredict(data, predictor, parm("Colors", 1),
+        parm("BitsPerComponent", 8), parm("Columns", 1), objNum)
     filters.foldLeft(raw) { (data, f) =>
       f match {
-        case "FlateDecode" => inflate(data)
-        case "LZWDecode" => lzwDecode(data)
+        case "FlateDecode" => postPredict(inflate(data))
+        case "LZWDecode" =>
+          val ec = """/EarlyChange\s+(\d+)""".r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt).getOrElse(1)
+          postPredict(lzwDecode(data, ec))
         case "ASCII85Decode" => ascii85Decode(data)
         case "ASCIIHexDecode" => asciiHexDecode(data)
         case "RunLengthDecode" => runLengthDecode(data)
         case other => fail(s"unsupported stream filter /$other in object $objNum")
       }
     }
+  }
+
+  /** Undo /Predictor row filtering (ISO 32000 §7.4.4.4): 2 = TIFF
+    * horizontal differencing (8-bit components), 10-15 = PNG per-row
+    * filters (RFC 2083 §6 — None/Sub/Up/Average/Paeth; the leading
+    * filter-type byte of each row picks the filter, so all five decode
+    * regardless of the declared predictor number). */
+  private[expressions] def unpredict(data: Array[Byte], predictor: Int,
+      colors: Int, bpc: Int, columns: Int, objNum: Int): Array[Byte] = {
+    if (predictor == 2) {
+      if (bpc != 8)
+        fail(s"TIFF predictor with /BitsPerComponent $bpc in object $objNum")
+      val out = data.clone()
+      val rowLen = colors * columns
+      if (rowLen <= 0 || out.length % rowLen != 0)
+        fail(s"TIFF predictor row shape mismatch in object $objNum")
+      var r = 0
+      while (r * rowLen < out.length) {
+        var i = r * rowLen + colors
+        val end = (r + 1) * rowLen
+        while (i < end) {
+          out(i) = (out(i) + out(i - colors)).toByte; i += 1
+        }
+        r += 1
+      }
+      out
+    } else if (predictor >= 10 && predictor <= 15) {
+      val bpp = math.max(1, (colors * bpc + 7) / 8)
+      val rowLen = (colors.toLong * bpc * columns + 7).toInt / 8
+      if (rowLen <= 0 || data.length % (rowLen + 1) != 0)
+        fail(s"PNG predictor row shape mismatch in object $objNum " +
+          s"(len ${data.length}, row $rowLen+1)")
+      val rows = data.length / (rowLen + 1)
+      val out = new Array[Byte](rows * rowLen)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * (rowLen + 1)) & 0xFF
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + i) & 0xFF
+          val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+          val b = if (r > 0) out(dst + i - rowLen) & 0xFF else 0
+          val c = if (r > 0 && i >= bpp) out(dst + i - rowLen - bpp) & 0xFF else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other =>
+              fail(s"PNG predictor: unknown row filter $other in object $objNum")
+          }
+          out(dst + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else fail(s"unsupported /Predictor $predictor in object $objNum")
   }
 
   /** Decoded stream bytes of an object: raw, or through the declared
@@ -265,9 +336,13 @@ object ParsePdf {
 
   /** PDF LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width codes
     * (9→12 bits), 256 = clear, 257 = EOD, table grows from 258, with
-    * the spec-default EarlyChange=1 (the width bumps one code early —
-    * at table size 511/1023/2047). */
-  private[expressions] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    * the spec-default EarlyChange=1 (the ENCODER bumps the width one
+    * code early — when ITS table reaches 511/1023/2047; the decoder's
+    * table lags the encoder's by exactly one entry, so it must bump at
+    * 510/1022/2046). `earlyChange` comes from /DecodeParms
+    * /EarlyChange (default 1 per §7.4.4.3). */
+  private[expressions] def lzwDecode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
     val table = ArrayBuffer.tabulate(256)(i => Array(i.toByte))
     table += Array.emptyByteArray // 256 clear
@@ -300,8 +375,12 @@ object ParsePdf {
           out.write(entry, 0, entry.length)
           if (prev != null) table += (prev :+ entry(0))
           prev = entry
-          // EarlyChange=1: widen one code BEFORE the table fills
-          if (table.length >= (1 << width) - 1 && width < 12) width += 1
+          // Widen in lockstep with the encoder: the decoder's table is
+          // one entry BEHIND (it adds prev+head(entry) only after
+          // decoding the next code), so the EarlyChange=1 threshold
+          // lands at 2^w-2, not 2^w-1.
+          if (table.length >= (1 << width) - 1 - earlyChange && width < 12)
+            width += 1
         }
       }
     }
@@ -415,7 +494,17 @@ object ParsePdf {
     // contract) — image bytes are opaque to this pipeline, so image
     // codecs pass through rather than failing the whole page
     val fs = filtersOf(doc, dict)
-    applyFilters(raw, fs.takeWhile(Decodable), dict, objNum)
+    try applyFilters(raw, fs.takeWhile(Decodable), dict, objNum)
+    catch {
+      // predictor shapes we can't undo (e.g. 16-bit TIFF differencing)
+      // must not abort the DOCUMENT: the raster is opaque to this
+      // pipeline, so ship the inflated-but-still-predicted bytes —
+      // text/content streams keep the loud failure (applyFilters above)
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.toLowerCase.contains("predictor") =>
+        applyFilters(raw, fs.takeWhile(Decodable),
+          """/Predictor\s+\d+""".r.replaceAllIn(dict, "/Predictor 1"), objNum)
+    }
   }
 
   private def ref(dict: String, key: String): Option[Int] =

@@ -73,6 +73,48 @@ object SynthPdf {
         c.toString
     }
 
+  private val PredictorColumns = 40
+
+  /** PNG-row-predict `data` (RFC 2083 §6, bpp = 1): pad with '\n' to
+    * whole rows (inert whitespace in a content stream), then filter
+    * each row, CYCLING Sub/Up/Average/Paeth/None so the decoder's
+    * per-row dispatch is exercised by every predictor page. */
+  private[graft] def pngPredict(data: Array[Byte],
+      columns: Int): Array[Byte] = {
+    val padded =
+      if (data.length % columns == 0) data
+      else data ++ Array.fill(columns - data.length % columns)('\n'.toByte)
+    val rows = padded.length / columns
+    val out = new Array[Byte](rows * (columns + 1))
+    var r = 0
+    while (r < rows) {
+      val ft = Array(1, 2, 3, 4, 0)(r % 5)
+      out(r * (columns + 1)) = ft.toByte
+      var i = 0
+      while (i < columns) {
+        val x = padded(r * columns + i) & 0xFF
+        val a = if (i >= 1) padded(r * columns + i - 1) & 0xFF else 0
+        val b = if (r > 0) padded((r - 1) * columns + i) & 0xFF else 0
+        val c = if (r > 0 && i >= 1) padded((r - 1) * columns + i - 1) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(r * (columns + 1) + 1 + i) = ((x - pred) & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
@@ -140,8 +182,17 @@ object SynthPdf {
         sb.append(s"q $w 0 0 $h $ix $iy cm /Im0 Do Q\n")
       }
       val raw = sb.toString.getBytes(latin1)
+      // every 4th page routes through a PNG row predictor UNDER the
+      // Flate stage (the /DecodeParms shape real writers emit for xref
+      // streams and rasters) so the parse gate exercises the full
+      // unpredict path; other odd pages stay plain Flate
       val (body, filter) =
-        if (i % 2 == 1) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+        if (i % 4 == 3)
+          (deflate(pngPredict(raw, PredictorColumns)),
+            " /Filter /FlateDecode /DecodeParms << /Predictor 12" +
+              s" /Colors 1 /BitsPerComponent 8 /Columns $PredictorColumns >>")
+        else if (i % 2 == 1) (deflate(raw), " /Filter /FlateDecode")
+        else (raw, "")
       obj(6 + p + i) {
         emit(s"<< /Length ${body.length}$filter >>\nstream\n")
         buf.write(body)

@@ -216,7 +216,11 @@ class DocParseSpec extends AnyFunSuite {
     sb.append("~>").toString.getBytes("ISO-8859-1")
   }
 
-  private def lzw(data: Array[Byte]): Array[Byte] = {
+  /** TIFF6/ISO 32000-conformant LZW encoder. EarlyChange=1 (default)
+    * widens the code width as soon as the table reaches 2^w-1 — one
+    * code earlier than strictly needed; EarlyChange=0 widens only
+    * when the next code would overflow the current width. */
+  private def lzw(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
     val dict = scala.collection.mutable.Map[Seq[Byte], Int]()
     (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
     var next = 258
@@ -237,7 +241,7 @@ class DocParseSpec extends AnyFunSuite {
       else {
         put(dict(w))
         dict(wb) = next; next += 1
-        if (next >= (1 << width) - 1 && width < 12) width += 1 // EarlyChange=1
+        if (next >= (1 << width) - earlyChange && width < 12) width += 1
         w = Seq(b)
       }
     }
@@ -304,6 +308,96 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(3) == text)
   }
 
+  test("PDF: LZW honors /DecodeParms /EarlyChange 0 across the same width growth") {
+    val text = (0 until 1500).map(i => s"u${i % 101}v${(i * 37) % 83}")
+      .mkString(" ")
+    val s = s"BT 1 0 0 1 10 20 Tm (${text}) Tj ET\n"
+    val b = lzw(s.getBytes("ISO-8859-1"), earlyChange = 0)
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${b.length} /Filter /LZWDecode " +
+      "/DecodeParms << /EarlyChange 0 >> >>\nstream\n")
+    pdf.write(b); emit("\nendstream endobj\n")
+    emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == text)
+  }
+
+  test("PDF: PNG predictor rows (Sub/Up/Average/Paeth/None) undo exactly under Flate") {
+    val text = "png predictor page survives every row filter type in one stream"
+    val s = s"BT 1 0 0 1 10 20 Tm (${text}) Tj ET\n"
+    val cols = 7 // small columns → many rows → all five filter types cycle
+    val predicted = graft.functions.expressions.SynthPdf
+      .pngPredict(s.getBytes("ISO-8859-1"), cols)
+    val b = deflate(new String(predicted, "ISO-8859-1"))
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${b.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Colors 1 /BitsPerComponent 8 " +
+      s"/Columns $cols >> >>\nstream\n")
+    pdf.write(b); emit("\nendstream endobj\n")
+    emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == text, rows.toSeq.toString)
+  }
+
+  test("PDF: TIFF predictor 2 (horizontal differencing) undoes exactly under Flate") {
+    val text = "tiff horizontal differencing page"
+    val s = s"BT 1 0 0 1 10 20 Tm (${text}) Tj ET\n"
+    val raw = s.getBytes("ISO-8859-1")
+    val cols = raw.length // one row, Colors 1 → difference the whole line
+    val diffed = raw.clone()
+    var i = diffed.length - 1
+    while (i >= 1) { diffed(i) = (raw(i) - raw(i - 1)).toByte; i -= 1 }
+    val b = deflate(new String(diffed, "ISO-8859-1"))
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${b.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 2 /Colors 1 /BitsPerComponent 8 " +
+      s"/Columns $cols >> >>\nstream\n")
+    pdf.write(b); emit("\nendstream endobj\n")
+    emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == text, rows.toSeq.toString)
+  }
+
+  test("PDF: an un-undoable predictor on an IMAGE stream does not abort the document") {
+    // 16-bit TIFF differencing is out of scope — a text stream fails
+    // loudly, but an image raster ships opaque (decoded minus the
+    // predictor step) instead of killing the page
+    val s = "BT 1 0 0 1 10 20 Tm (text next to a predicted image) Tj ET\n" +
+      "q 10 0 0 10 0 0 cm /Im0 Do Q\n"
+    val img = deflate("rawrasterbytes!!")
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /XObject " +
+      "<< /Im0 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${s.length} >>\nstream\n$s\nendstream endobj\n")
+    emit(s"5 0 obj << /Type /XObject /Subtype /Image /Width 4 /Height 2 " +
+      s"/ColorSpace /DeviceGray /BitsPerComponent 16 " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Colors 1 " +
+      s"/BitsPerComponent 16 /Columns 4 >> /Length ${img.length} >>\nstream\n")
+    pdf.write(img); emit("\nendstream endobj\n")
+    emit("trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    val types = rows.map(_.getString(1)).toSet
+    assert(types == Set("text_block", "image"), rows.toSeq.toString)
+    val imgRow = rows.find(_.getString(1) == "image").get
+    assert(java.util.Base64.getDecoder.decode(imgRow.getString(3))
+      .sameElements("rawrasterbytes!!".getBytes("ISO-8859-1")))
+  }
+
   test("PDF: Identity-H CID text decodes through the /ToUnicode CMap, mixed with a simple font") {
     // bfchar singles (incl. a multi-unit destination), a bfrange
     // offset run, and a bfrange ARRAY form — all in one CMap; the
@@ -364,8 +458,9 @@ class DocParseSpec extends AnyFunSuite {
       extra = s"6 0 obj << /Length ${cmapSmall.length} >>\nstream\n" +
         s"$cmapSmall\nendstream endobj\n"))
       .contains("no /ToUnicode mapping"))
-    // Flate + PNG predictor would emit scrambled text — loud
-    val s = "BT (x) Tj ET\n"
+    // a declared PNG predictor whose row shape doesn't divide the
+    // stream would emit scrambled text — loud, not silent garbage
+    val s = "BT (x) Tj ET\n" // 13 bytes: not a multiple of (4+1)
     assert(err(("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
       "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
@@ -373,7 +468,16 @@ class DocParseSpec extends AnyFunSuite {
       "/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n").getBytes("ISO-8859-1") ++
       deflate(s) ++ ("\nendstream endobj\n" +
       "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1"))
-      .contains("unsupported /Predictor 12"))
+      .contains("PNG predictor row shape mismatch"))
+    // an unknown predictor NUMBER stays loud
+    assert(err(("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${deflate(s).length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 7 /Columns 4 >> >>\nstream\n").getBytes("ISO-8859-1") ++
+      deflate(s) ++ ("\nendstream endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1"))
+      .contains("unsupported /Predictor 7"))
   }
 
   test("empty documents synthesize to valid zero-page/zero-slide containers") {
