@@ -125,12 +125,15 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
 
   def store: DataFrame = spark.read.parquet(storePath)
 
-  /** The store's seen-hash set; empty ONLY when the store genuinely
-    * does not exist yet. Any other read failure (corrupt footer,
-    * permissions, transient FS error) must propagate — swallowing it
-    * would silently disable ingest dedup and double-ingest the batch. */
-  private def storeHashes: DataFrame =
-    try store.select($"file_hash").distinct()
+  /** The store's hash column, one row per record (NOT distinct — a
+    * distinct here would shuffle the full store before the batch
+    * semi-join below can prune it); empty ONLY when the store
+    * genuinely does not exist yet. Any other read failure (corrupt
+    * footer, permissions, transient FS error) must propagate —
+    * swallowing it would silently disable ingest dedup and
+    * double-ingest the batch. */
+  private def storeHashColumn: DataFrame =
+    try store.select($"file_hash")
     catch {
       // PATH_NOT_FOUND: store never created. UNABLE_TO_INFER_SCHEMA:
       // the path exists but holds no data files — the state a crashed
@@ -142,6 +145,23 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
              e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
         Seq.empty[String].toDF("file_hash")
     }
+
+  /** The not-yet-seen subset of a hashed batch frame. The store's hash
+    * set is UNBOUNDED (it grows with every doc ever ingested) while
+    * the batch is bounded, so the boundedness is INVERTED relative to
+    * the naive `batch ⋉̸ broadcast(store)`: the batch's distinct hashes
+    * broadcast into a semi-join that extracts the ≤|batch| COLLISIONS
+    * from the store — one pruned-column scan, no store shuffle, no
+    * store broadcast — and the batch anti-joins that bounded set.
+    * Every forced broadcast here is batch-derived (plan-pinned in
+    * GraftVectorDBSpec). */
+  private[graft] def freshAgainstStore(recs: DataFrame): DataFrame = {
+    val collisions = storeHashColumn
+      .join(broadcast(recs.select($"file_hash").distinct()),
+        Seq("file_hash"), "left_semi")
+      .distinct()
+    recs.join(broadcast(collisions), Seq("file_hash"), "left_anti")
+  }
 
   /** Ingest a documents-shaped frame (doc_id, text, lang, source).
     * Appends only not-yet-seen content hashes; `indexChannels` keeps
@@ -169,11 +189,14 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
     // triggers recacheByPath(storePath) — a persisted frame would be
     // recomputed against the post-write store, where the batch's own
     // hashes now exist, silently emptying it before the index append.
-    // Materializing pins the ROWS with no storePath dependency, and
-    // also computes the chunk/embed pipeline exactly once for the
-    // count + write + append consumers.
-    val fresh = Tables.materialize(
-      records.join(broadcast(storeHashes), Seq("file_hash"), "left_anti"))
+    // Materializing pins the ROWS with no storePath dependency. The
+    // batch itself materializes FIRST so the chunk/embed pipeline runs
+    // exactly once (the collision probe in freshAgainstStore reads the
+    // batch hashes a second time).
+    val recs = Tables.materialize(records)
+    val fresh =
+      try Tables.materialize(freshAgainstStore(recs))
+      finally Tables.release(recs)
     val n = fresh.count()
     try {
       if (n > 0) {
@@ -512,10 +535,12 @@ class GraftVectorDB(spark: SparkSession, storeDir: String) {
         if (skipIds.isEmpty) docs
         else docs.join(broadcast(skipIds.toSeq.toDF("doc_id")),
           Seq("doc_id"), "left_anti")
-      val freshIds = Tables.materialize(
-        Tables.spread(survivors).select($"doc_id", md5($"text").as("file_hash"))
-          .join(broadcast(storeHashes), Seq("file_hash"), "left_anti")
-          .select($"doc_id"))
+      val batchHashes = Tables.materialize(
+        Tables.spread(survivors).select($"doc_id", md5($"text").as("file_hash")))
+      val freshIds =
+        try Tables.materialize(
+          freshAgainstStore(batchHashes).select($"doc_id"))
+        finally Tables.release(batchHashes)
       try {
         val n = ingest(survivors, indexChannels)
         if (freshIds.count() > 0) {
