@@ -225,6 +225,147 @@ class ChannelRegistrySpec extends AnyFunSuite {
       .collect()) == key(exact))
   }
 
+  test("LSA dual fit == primal fit; V=4096 fit never builds a V x V Gram, is bit-stable, and serves") {
+    import spark.implicits._
+    // (1) path equivalence where both run: the dual kernel fit must
+    // reproduce the primal Gram eigenbasis (same truncated SVD, sign-
+    // canonicalized) on the same data — pinned on real corpus text
+    val docs = Tables.load(spark, sf, "documents").filter($"doc_id" < 150)
+    val primal = graft.operators.LsaEncoder.fitPath(
+      docs, "text", "lsap", Seq("p"), dim = 8, vocabSize = 24, forceDual = false)
+    val dual = graft.operators.LsaEncoder.fitPath(
+      docs, "text", "lsad", Seq("d"), dim = 8, vocabSize = 24, forceDual = true)
+    val probes = docs.limit(10).select($"text").collect().map(_.getString(0))
+    probes.foreach { s =>
+      val a = primal.encodeLocal(s); val b = dual.encodeLocal(s)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 2e-6,
+          f"primal/dual diverge past the 6dp grid: $x%.7f vs $y%.7f") }
+    }
+    // (2) the scale path: a 5000-token universe, V=4096 (> DriverGramVocab
+    // → dual; the V² Gram would be 128 MB, the kernel is n² ≤ 32 MB)
+    val big = (0 until 600).map { i =>
+      (i.toLong, (0 until 12).map(j => s"tok${(i * 31 + j * 577) % 5000}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(4096 > graft.operators.LsaEncoder.DriverGramVocab)
+    val lsa = graft.operators.LsaEncoder.fit(
+      big, "text", "lsa4k", Seq("lsa4k_doc"), dim = 16, vocabSize = 4096)
+    val again = graft.operators.LsaEncoder.fit(
+      big, "text", "lsa4k2", Seq("lsa4k_doc2"), dim = 16, vocabSize = 4096)
+    val probe = "tok0 tok577 tok1154 tok31"
+    assert(again.encodeLocal(probe).sameElements(lsa.encodeLocal(probe)),
+      "V=4096 refit must be bit-stable")
+    // in-plan parity at large V rides the fused native expression
+    (probes.take(3) ++ Seq(probe, "")).foreach { s =>
+      val inPlan = Seq(s).toDF("t").select(lsa.encode($"t").as("v"))
+        .head().getSeq[Double](0).toArray
+      assert(inPlan.sameElements(lsa.encodeLocal(s)),
+        s"encode/encodeLocal diverge at V=4096 on: ${s.take(40)}")
+    }
+    // (3) the footer-stat-adaptive rule: Heaps-shaped, clamped to the
+    // corpus's actual distinct-token count
+    assert(graft.operators.LsaEncoder.adaptiveVocab(262144) == 4096)
+    assert(graft.operators.LsaEncoder.adaptiveVocab(10) == 256)
+    assert(graft.operators.LsaEncoder.adaptiveVocab(100000000L) == 65536)
+    val small = (0 until 40).map(i => (i.toLong,
+      s"alpha beta gamma delta w$i")).toDF("doc_id", "text")
+    val ad = graft.operators.LsaEncoder.fitAdaptive(
+      small, "text", "lsaad", Seq("ad"), dim = 4)
+    assert(ad.encodeLocal("alpha beta").length == 4)
+  }
+
+  test("an SGNS channel learns paradigmatic semantics: HELD-OUT synonym pairs beat the LSA bound; bit-parity; serves end to end") {
+    import spark.implicits._
+    db // build the fixture (and its registry) first
+    // the HARDER corpus than the LSA test's: synonym pairs NEVER
+    // co-occur in any fit document (no mixed docs — the pairs are held
+    // out of the fit's co-occurrence evidence entirely); the only tie
+    // is the shared CONTEXT words. LSA's term-document factorization
+    // at serving dim keeps within-pair difference directions, while
+    // SGNS's sliding-window objective ties each synonym to the same
+    // context vectors directly — the word2vec property the reference's
+    // neural encoders inherit
+    val clusters = Seq(
+      ("car", "automobile", "engine wheel road drive"),
+      ("banana", "mango", "fruit yellow peel sweet"),
+      ("river", "stream", "water bank flow current"),
+      ("piano", "violin", "music note play sound"))
+    val fitDocs = (0 until 160).map { i =>
+      val (a, b, ctx) = clusters(i % 4)
+      val w = if ((i / 4) % 2 == 0) a else b
+      (i.toLong, s"$w $ctx x$i")
+    }.toDF("doc_id", "text")
+    val sgns = graft.operators.SgnsEncoder.fit(
+      fitDocs, "text", "sgns", Seq("sgns_doc"),
+      dim = 16, vocabSize = 24, epochs = 40, seed = 7)
+    // the LSA reference fit: SAME corpus, SAME vocab, SAME serving dim
+    val lsaRef = graft.operators.LsaEncoder.fit(
+      fitDocs, "text", "lsaref", Seq("lsaref_doc"), dim = 16, vocabSize = 24)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.max(1e-12, math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val sgnsCos = clusters.map { case (a, b, _) =>
+      cos(sgns.encodeLocal(a), sgns.encodeLocal(b)) }
+    val lsaCos = clusters.map { case (a, b, _) =>
+      cos(lsaRef.encodeLocal(a), lsaRef.encodeLocal(b)) }
+    sgnsCos.zip(clusters).foreach { case (c, (a, b, _)) =>
+      assert(c > 0.8, f"held-out pair ($a,$b) must embed close, got $c%.3f") }
+    assert(sgnsCos.sum / 4 > lsaCos.sum / 4,
+      f"SGNS must beat LSA on the held-out pairs: " +
+        f"sgns=${sgnsCos.sum / 4}%.3f lsa=${lsaCos.sum / 4}%.3f")
+    // cross-context words stay apart — word-vector cosines carry a
+    // positive background (shared negative-sampling geometry), so the
+    // absolute bound is looser than LSA's orthogonal-basis 0.3; the
+    // MARGIN is the discriminative contract
+    val cross = cos(sgns.encodeLocal("car"), sgns.encodeLocal("banana"))
+    assert(cross < 0.5, f"cross-context words must embed apart, got $cross%.3f")
+    assert(sgnsCos.min > cross + 0.5,
+      f"synonym/cross margin collapsed: ${sgnsCos.min}%.3f vs $cross%.3f")
+    // refit determinism (seeded sequential SGD — bit-stable)
+    val again = graft.operators.SgnsEncoder.fit(
+      fitDocs, "text", "sgns2", Seq("sgns_doc2"),
+      dim = 16, vocabSize = 24, epochs = 40, seed = 7)
+    assert(again.encodeLocal("car engine road").sameElements(
+      sgns.encodeLocal("car engine road")), "refit must be bit-stable")
+    // Column/local bit-parity on raw corpus text — the warm serving
+    // path's contract, same grid as every other encoder
+    val samples = Tables.load(spark, sf, "documents").limit(12)
+      .select($"text").collect().map(_.getString(0)) ++
+      Seq("car", "automobile engine", "", " banana  fruit ")
+    samples.foreach { s =>
+      val inPlan = Seq(s).toDF("t").select(sgns.encode($"t").as("v"))
+        .head().getSeq[Double](0).toArray
+      assert(inPlan.sameElements(sgns.encodeLocal(s)),
+        s"encode/encodeLocal diverge on: ${s.take(40)}")
+    }
+    // end to end through the registry: ingest → build → exact/ANN/PQ
+    db.registerChannel(sgns)
+    val recs = GraftVectorDB.pipeline(fitDocs
+        .withColumn("lang", lit("en")).withColumn("source", lit("sgns")))
+      .filter($"page_num" === 0)
+      .withColumn("content_type", lit("sgns_doc"))
+      .withColumn("embedding", sgns.encode($"content_raw"))
+    assert(db.ingestRecords(recs) > 0)
+    db.buildAnnIndex(cells = 4, channel = "sgns")
+    val sq = "car engine road"
+    val exact = db.searchIn("sgns", sq, 5).collect()
+    assert(exact.length == 5 && exact.forall(_.getAs[String]("channel") == "sgns"))
+    // the learned space RANKS by semantics: automobile-only docs
+    // answer a car query even though the words never co-occurred
+    assert(exact.forall(r => clusters.take(1).exists { case (a, b, _) =>
+      r.getAs[String]("content_raw").contains(a) ||
+        r.getAs[String]("content_raw").contains(b) }),
+      s"car-cluster docs must lead: ${exact.map(_.getAs[String]("content_raw")).toSeq}")
+    assert(key(db.searchAnnIn("sgns", sq, 5, nProbe = 4).collect()) == key(exact),
+      "full-probe ANN over the SGNS space must equal its exact scan")
+    val n = spark.read.parquet(db.annPath("sgns")).count().toInt
+    assert(key(db.searchAnnPqIn("sgns", sq, 5, nProbe = 4, shortlist = n)
+      .collect()) == key(exact))
+  }
+
   test("takedown delete sweeps the third channel's index; maintain covers it") {
     import spark.implicits._
     val victim = spark.read.parquet(db.annPath("audio"))
