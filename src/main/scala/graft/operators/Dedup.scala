@@ -51,7 +51,7 @@ object Dedup {
       .select($"doc_id", array_distinct(shingles(tokens($"text"), 2)).as("s"))
   }
 
-  private[operators] def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
 
   /** (doc_id, band, bkey): the LSH band keys of each doc's shingle
@@ -60,7 +60,7 @@ object Dedup {
     * into the shuffle. Shared by the whole-corpus self-join
     * ([[minhashLsh]]) and the incremental new-vs-corpus check
     * ([[incrementalPairs]]). */
-  private[operators] def bandKeys(spark: SparkSession, sets: DataFrame): DataFrame =
+  private[graft] def bandKeys(spark: SparkSession, sets: DataFrame): DataFrame =
     bandKeysOfSig(spark, sets.select(col("doc_id"),
       graft.functions.expressions.MinHashSignature(col("s"), MinHashSeeds).as("sig")))
 

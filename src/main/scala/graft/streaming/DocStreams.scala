@@ -79,4 +79,155 @@ object DocStreams {
   /** Batch twin on the same table, for stream-parity checks. */
   def curateBatch(spark: SparkSession, dir: String): DataFrame =
     curateGate(graft.Tables.load(spark, dir, "documents"))
+
+  // ─────────── in-stream near-dup gate (round 11) ───────────
+  //
+  // The lambda split above deferred LSH near-dup to batch compaction;
+  // this closes it IN-STREAM with Dedup.incrementalPairs' per-batch
+  // shape: the micro-batch's band keys BROADCAST (bounded) against a
+  // persisted band sidecar (scanned, never shuffled, never broadcast),
+  // the collision residue verifies exactly (jaccard over xxhash64'd
+  // shingles), and only survivors land — O(new) per micro-batch.
+  // GraftVectorDB.ingestNearDup is the store-integrated big sibling
+  // (tombstones, generations, index routing); this is the standalone
+  // curation-pipeline form that writes a curated corpus directory.
+
+  /** Curation stream SINK with the near-dup leg closed in-stream:
+    * every micro-batch runs the stateless gate, first-wins exact
+    * dedup (in-batch AND against everything already landed — replay /
+    * restart idempotent by content hash), then the incremental
+    * near-dup check against `outDir`'s band sidecar; survivors land
+    * in `outDir/docs`, their bands + shingle sets append to the
+    * sidecar so they anchor every later batch. AvailableNow drains
+    * and stops — the nightly-crawl shape. */
+  def curateStreamNearDup(docs: DataFrame, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => { curateNearDupBatch(b.toDF(), outDir); () })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Intra-batch verified near-dup pairs past this are a corpus-scale
+    * dedup job, not an ingest batch — fail loudly (the
+    * GraftVectorDB.MaxIntraPairs discipline). */
+  val MaxIntraPairs = 2000000
+
+  /** One micro-batch through the full curation + near-dup gate;
+    * returns rows landed. Also the BATCH twin — running it over a
+    * static frame gives the stream's cumulative output, the parity
+    * DocStreamsSpec pins. */
+  def curateNearDupBatch(batch: DataFrame, outDir: String): Long = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.{tokens, shingles}
+    import graft.operators.Dedup
+    val docsPath = s"$outDir/docs"
+    val bandsPath = s"$outDir/neardup/bands"
+    val setsPath = s"$outDir/neardup/sets"
+    def readOr(path: String, empty: => DataFrame): DataFrame =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
+      }
+    // 1) stateless gate + first-wins exact dedup WITHIN the batch
+    val gated = scoredGated(batch)
+      .select($"doc_id", $"text", $"file_hash", $"lang_pred",
+        $"n_tokens", $"quality_r")
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy($"file_hash").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn")
+    // 2) exact dedup against everything already LANDED — boundedness
+    // inverted exactly like the store ingest (GraftVectorDB
+    // .freshAgainstStore): landed hashes scanned + semi-joined to the
+    // BROADCAST batch hash set, never shuffled or broadcast themselves
+    val collisions = readOr(docsPath, Seq.empty[String].toDF("file_hash"))
+      .select($"file_hash")
+      .join(broadcast(gated.select($"file_hash").distinct()),
+        Seq("file_hash"), "left_semi")
+      .distinct()
+    val fresh = graft.Tables.materialize(
+      gated.join(broadcast(collisions), Seq("file_hash"), "left_anti"))
+    try {
+      // 3) shingle sets + band keys of the fresh batch (shingle-less
+      // docs never enter the band space: empty-set signatures all
+      // collide for a verify that cannot pass)
+      val sets = graft.Tables.materialize(fresh.select($"doc_id",
+          array_distinct(shingles(tokens($"text"), 2)).as("s"))
+        .select($"doc_id", $"s", transform($"s", x => xxhash64(x)).as("h")))
+      try {
+        val bands = Dedup.bandKeys(spark,
+            sets.filter(size($"s") > 0).select($"doc_id", $"s"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // 4) corpus check: sidecar bands scanned, batch bands broadcast
+          val sidecarBands = readOr(bandsPath,
+            Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey"))
+          val corpusDropped: Set[Long] = sidecarBands
+            .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
+              Seq("band", "bkey"))
+            .select($"new_id", $"doc_id".as("base_id")).distinct()
+            .join(broadcast(sets.select($"doc_id".as("new_id"), $"h".as("ha"))),
+              "new_id")
+            .join(readOr(setsPath, Seq.empty[(Long, Seq[Long])].toDF("doc_id", "h"))
+              .select($"doc_id".as("base_id"), $"h".as("hb")), "base_id")
+            .select($"new_id", Dedup.jaccard($"ha", $"hb").as("j_r"))
+            .filter($"j_r" >= Dedup.JaccardThreshold)
+            .select($"new_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          // 5) intra-batch: band self-join (batch-sized), exact verify,
+          // greedy keep-smallest sweep; corpus-dropped docs neither
+          // survive nor anchor a batch drop
+          val l = bands.select($"band", $"bkey", $"doc_id".as("a_id"))
+          val r = bands.select($"band", $"bkey", $"doc_id".as("b_id"))
+          val intraPairs = l.join(r, Seq("band", "bkey")).filter($"a_id" < $"b_id")
+            .select($"a_id", $"b_id").distinct()
+            .join(sets.select($"doc_id".as("a_id"), $"h".as("sa")), "a_id")
+            .join(sets.select($"doc_id".as("b_id"), $"h".as("sb")), "b_id")
+            .select($"a_id", $"b_id", Dedup.jaccard($"sa", $"sb").as("j_r"))
+            .filter($"j_r" >= Dedup.JaccardThreshold)
+            .select($"a_id", $"b_id")
+            .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+          require(intraPairs.length <= MaxIntraPairs,
+            s"curateNearDupBatch: ${intraPairs.length} intra-batch near-dup " +
+              s"pairs exceed the gate bound ($MaxIntraPairs) — run " +
+              "Dedup.minhashLsh/cluster on this corpus first")
+          val neighbors = intraPairs.groupBy(_._2).map { case (b, ps) =>
+            b -> ps.map(_._1).toSet }
+          val kept = scala.collection.mutable.Set.empty[Long]
+          val intraDropped = scala.collection.mutable.Set.empty[Long]
+          (intraPairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted).foreach { id =>
+            if (!corpusDropped(id)) {
+              val anchored = neighbors.getOrElse(id, Set.empty)
+                .exists(a => kept(a))
+              if (anchored) intraDropped += id else kept += id
+            }
+          }
+          val dropped = corpusDropped ++ intraDropped
+          val survivors =
+            if (dropped.isEmpty) fresh
+            else fresh.join(broadcast(dropped.toSeq.toDF("doc_id")),
+              Seq("doc_id"), "left_anti")
+          val n = survivors.count()
+          if (n > 0) {
+            survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(docsPath)
+            // fail-open ordering (the ingestNearDup rule): sets before
+            // bands — a crash between the two leaves docs with sets but
+            // no routing entry (dup admitted later), never a rejection
+            // against half-indexed state
+            val keptIds = survivors.select($"doc_id")
+            sets.join(broadcast(keptIds), "doc_id").select($"doc_id", $"h")
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(setsPath)
+            bands.join(broadcast(keptIds), "doc_id")
+              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(bandsPath)
+          }
+          n
+        } finally bands.unpersist(blocking = false)
+      } finally graft.Tables.release(sets)
+    } finally graft.Tables.release(fresh)
+  }
 }

@@ -50,6 +50,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("in-stream near-dup gate: sidecar catches cross-batch near-dups; replay idempotent; batch parity") {
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete()
+    }
+    val src = "target/doc_nd_src"; val out = "target/doc_nd_out"
+    val out2 = "target/doc_nd_out_batchtwin"
+    Seq(src, out, out2, "target/doc_nd_ckpt", "target/doc_nd_ckpt2")
+      .foreach(p => rmRf(new java.io.File(p)))
+    new java.io.File(src).mkdirs()
+    // gate-passing base docs: the ones the plain curation gate keeps
+    val keptHashes = DocStreams.curateBatch(spark, sf)
+      .select($"file_hash").collect().map(_.getString(0)).toSet
+    val base = Tables.load(spark, sf, "documents")
+      .withColumn("h", md5($"text")).filter($"h".isin(keptHashes.toSeq: _*))
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(30).collect()
+    assert(base.length == 30)
+    val batch1 = base.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text")
+    // batch 2: 10 near-dup variants of batch-1 docs + 2 exact replays
+    val batch2 = (base.take(10).map(r =>
+        (1000L + r.getLong(0), r.getString(1) + " tiny nudge")) ++
+      base.slice(10, 12).map(r => (2000L + r.getLong(0), r.getString(1))))
+      .toSeq.toDF("doc_id", "text")
+    // the file source wants FILES in the dir, not nested write dirs
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"target/doc_nd_tmp_$name"
+      rmRf(new java.io.File(tmp))
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    stage(batch1, "b1")
+    val schema = batch1.schema
+    def run(ckpt: String): Unit =
+      DocStreams.curateStreamNearDup(
+        spark.readStream.schema(schema).parquet(src), out, ckpt)
+        .awaitTermination()
+    run("target/doc_nd_ckpt")
+    val landed1 = spark.read.parquet(s"$out/docs")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed1 == base.map(_.getLong(0)).toSet,
+      s"first batch must land whole: $landed1")
+    // second micro-batch arrives; same checkpoint tracks offsets
+    stage(batch2, "b2")
+    run("target/doc_nd_ckpt")
+    val landed2 = spark.read.parquet(s"$out/docs")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed2 == landed1,
+      s"near-dup + exact-replay docs must all drop, got ${landed2 -- landed1}")
+    // replay from a FRESH checkpoint over the same source: content-hash
+    // guard against the landed output keeps the gate idempotent
+    run("target/doc_nd_ckpt2")
+    assert(spark.read.parquet(s"$out/docs").count() == landed1.size)
+    // batch twin parity: one static pass over everything lands the
+    // same doc set (greedy keep-smallest picks the same winners)
+    DocStreams.curateNearDupBatch(batch1.unionByName(batch2), out2)
+    val twin = spark.read.parquet(s"$out2/docs")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(twin == landed1, s"batch twin diverges: ${twin.diff(landed1)} / ${landed1.diff(twin)}")
+  }
+
   test("bounded-state curation gate: watermarked dedup matches within the horizon") {
     import graft.streaming.DocStreams
     import org.apache.spark.sql.functions._
