@@ -561,15 +561,52 @@ object ParsePdf {
     else nums.map(streamOf(doc, _)).reduce(_ ++ Array[Byte]('\n') ++ _)
   }
 
-  /** /Resources → /XObject name → object-number map (inline dict). */
+  /** The page's effective /Resources source text: inline dict on the
+    * page, an indirect `/Resources N 0 R` ref, or — per the
+    * inheritance rule (ISO 32000 §7.7.3.4) — the nearest ancestor
+    * /Pages node's, found by walking /Parent. A document with no
+    * /Resources anywhere falls back to the page dict itself (the
+    * historical recovery behavior: inline tables still match). */
+  private def resourcesOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      pageDict: String): String = {
+    def own(dict: String): Option[String] =
+      if (!dict.contains("/Resources")) None
+      else Some(ref(dict, "/Resources") match {
+        case Some(n) => doc.get(n).map(_._1)
+          .getOrElse(fail(s"missing indirect /Resources object $n"))
+        case None => dict
+      })
+    var cur = pageDict
+    var res = own(cur)
+    var depth = 0
+    while (res.isEmpty && depth < 64) {
+      ref(cur, "/Parent") match {
+        case Some(p) =>
+          cur = doc.get(p).map(_._1)
+            .getOrElse(fail(s"missing /Parent object $p"))
+          res = own(cur)
+          depth += 1
+        case None => depth = 64
+      }
+    }
+    res.getOrElse(pageDict)
+  }
+
+  /** A named resource SUBDICT's text (`/Font`, `/XObject`): the inline
+    * `<< … >>` form, or an indirect `N 0 R` reference resolved through
+    * the object map (what real writers emit for shared font tables). */
+  private def resourceDict(doc: Map[Int, (String, Option[Array[Byte]])],
+      resSrc: String, key: String): String =
+    (java.util.regex.Pattern.quote(key) + """\s*<<([^>]*)>>""").r
+      .findFirstMatchIn(resSrc).map(_.group(1))
+      .orElse(ref(resSrc, key).map(n => doc.get(n).map(_._1)
+        .getOrElse(fail(s"missing indirect $key object $n"))))
+      .getOrElse("")
+
+  /** /Resources → /XObject name → object-number map. */
   private def xobjectsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String): Map[String, Int] = {
-    val resSrc = ref(pageDict, "/Resources") match {
-      case Some(n) => doc.get(n).map(_._1).getOrElse("")
-      case None => pageDict
-    }
-    val xo = """/XObject\s*<<([^>]*)>>""".r.findFirstMatchIn(resSrc)
-      .map(_.group(1)).getOrElse("")
+    val xo = resourceDict(doc, resourcesOf(doc, pageDict), "/XObject")
     """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xo)
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
@@ -583,12 +620,7 @@ object ParsePdf {
     * Adobe registry files this library deliberately doesn't embed. */
   private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String): Map[String, Option[Map[Int, String]]] = {
-    val resSrc = ref(pageDict, "/Resources") match {
-      case Some(n) => doc.get(n).map(_._1).getOrElse("")
-      case None => pageDict
-    }
-    val fo = """/Font\s*<<([^>]*)>>""".r.findFirstMatchIn(resSrc)
-      .map(_.group(1)).getOrElse("")
+    val fo = resourceDict(doc, resourcesOf(doc, pageDict), "/Font")
     """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fo).map { m =>
       val objNum = m.group(2).toInt
       val fdict = doc.get(objNum).map(_._1)

@@ -38,11 +38,19 @@ object ScaleGen {
     val KC = 1000000L  // custkey / suppkey / partkey / doc / vec stride
     val KO = 10000000L // orderkey / event stride
 
+    // SPARK_GRAFT_TABLES=documents,embeddings emits only those tables
+    // (the MaxScore probe corpus needs documents alone — no point
+    // writing 60M lineitem rows for it)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     def load(n: String) = graft.Tables.load(spark, src, n)
-    def save(df: DataFrame, n: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
-      println(s"[scalegen] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
-    }
+    def save(df: DataFrame, n: String): Unit =
+      if (only.nonEmpty && !only(n)) println(s"[scalegen] $n: skipped")
+      else {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/$n.parquet")
+        println(s"[scalegen] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
+      }
     def reps(f: Int => DataFrame): DataFrame =
       (0 until replicas).map(f).reduce(_ unionByName _)
 
@@ -81,12 +89,39 @@ object ScaleGen {
       ($"user_id" + r * KC).as("user_id"), $"event_type", $"value", $"props")),
       "events")
 
+    // SPARK_GRAFT_STOPWORD_LAYER=1 weaves a Zipfian stop-word layer
+    // into every document: after every 3rd token, one of 24 synthetic
+    // stop words (sw0..sw23) drawn with p ∝ 1/(k+1) — Zipf s=1, the
+    // shape real language gives BM25's common lists. Cross-replica BY
+    // DESIGN (the vocab substitution skips them), so a corpus-wide
+    // common term exists and the MaxScore engagement floor
+    // (LexMaxScoreMinCommonRows) is reachable at sf10 — the probe
+    // corpus real-scale serving measurements need. Deterministic:
+    // draws come from xxhash64(token, position, replica).
+    val stopLayer = sys.env.get("SPARK_GRAFT_STOPWORD_LAYER").contains("1")
+    val zipfCum: Seq[Double] = {
+      val h = (1 to 24).map(1.0 / _)
+      val total = h.sum
+      h.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    }
+    def weave(text: org.apache.spark.sql.Column, r: Int) = {
+      val cumLit = typedLit(zipfCum)
+      concat_ws(" ", flatten(transform(split(trim(text), "\\s+"), (t, i) => {
+        val u = pmod(xxhash64(t, i, lit(r), lit(0x5717L)), lit(1000000L))
+          .cast("double") / 1000000.0
+        val sw = concat(lit("sw"),
+          size(filter(cumLit, c => c < u)).cast("string"))
+        when(i % 3 === 2, array(t, sw)).otherwise(array(t))
+      })))
+    }
+
     val docs = load("documents")
     save(reps { r =>
-      val text =
+      val substituted =
         if (r == 0) $"text"
         else concat_ws(" ", transform(split(trim($"text"), "\\s+"),
           t => concat(t, lit(s"r$r"))))
+      val text = if (stopLayer) weave(substituted, r) else substituted
       docs.select(($"doc_id" + r * KC).as("doc_id"), text.as("text"),
         $"lang", $"source").withColumn("n_chars", length($"text"))
     }, "documents")

@@ -326,6 +326,33 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(3) == text)
   }
 
+  test("PDF: indirect /Font tables and Pages-inherited /Resources resolve (CID decodes, no mojibake)") {
+    // real writers share one font table via '/Resources 8 0 R' on the
+    // PAGES node (inherited) with '/Font 9 0 R' indirect — a reader
+    // that only sees inline dicts would silently decode the CID hex
+    // string as Latin-1 mojibake through the keep-prior-mode recovery
+    val cmap = "1 beginbfchar\n<0001> <0048>\nendbfchar\n" +
+      "1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+    val s = "BT /F2 12 Tf 1 0 0 1 5 6 Tm <0001001000110012> Tj ET\n"
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources 8 0 R >> endobj\n")
+    // the page declares NO /Resources: inheritance must find 8 0 R
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${s.length} >>\nstream\n$s\nendstream endobj\n")
+    emit("6 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-CID " +
+      "/Encoding /Identity-H /ToUnicode 7 0 R >> endobj\n")
+    emit(s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n")
+    emit("8 0 obj << /Font 9 0 R >> endobj\n") // indirect resources...
+    emit("9 0 obj << /F2 6 0 R >> endobj\n")   // ...and indirect font table
+    emit("trailer << /Size 10 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == "Habc",
+      rows.toSeq.toString)
+  }
+
   test("PDF: PNG predictor rows (Sub/Up/Average/Paeth/None) undo exactly under Flate") {
     val text = "png predictor page survives every row filter type in one stream"
     val s = s"BT 1 0 0 1 10 20 Tm (${text}) Tj ET\n"
