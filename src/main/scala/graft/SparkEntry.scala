@@ -117,7 +117,10 @@ object SparkEntry {
     "tx_pack" -> (TextAnalysis.pack _),
     "tx_contam" -> (TextAnalysis.contam _),
     "tx_mix" -> (TextAnalysis.mix _),
-    "tx_ppl" -> (TextAnalysis.ppl _),
+    // the GATE vocabulary cap (24 < the 31-term corpus) so the oracle
+    // exercises the OOV collapse; production `ppl` defaults to the
+    // CCNet-scale PplTopV
+    "tx_ppl" -> ((s, dir) => TextAnalysis.pplTopV(s, dir, TextAnalysis.PplGateV)),
     "tx_selfrep" -> (TextAnalysis.selfrep _),
     "tx_dsir" -> (TextAnalysis.dsir _),
     "tx_linededup" -> (TextAnalysis.lineDedup _),

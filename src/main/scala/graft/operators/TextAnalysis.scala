@@ -364,13 +364,19 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
-  /** LM vocabulary cap for [[ppl]] — the top-V unigrams kept before
-    * every out-of-vocabulary token collapses into [[PplOov]]. 24 < the
-    * 31-term synthetic vocabulary, so the OOV path is EXERCISED by the
-    * hash-checked oracle at every test scale; a production corpus would
-    * run V ≈ 10⁵ (the CCNet operating point) — what matters for 100 TB
-    * is that V is a constant, not a function of corpus size. */
-  val PplTopV = 24
+  /** PRODUCTION LM vocabulary cap for [[ppl]] — the CCNet operating
+    * point (V ≈ 10⁵ in the paper; 2¹⁶ here keeps the bounded-broadcast
+    * bigram frame ≤ (V+1)² rows at a comfortable executor footprint).
+    * What matters for 100 TB is that V is a constant, not a function
+    * of corpus size. */
+  val PplTopV = 65536
+
+  /** GATE vocabulary cap — what the driver query and specs run:
+    * 24 < the 31-term synthetic test vocabulary, so the OOV collapse
+    * is EXERCISED by the hash-checked oracle at every test scale
+    * (a production-V run of the test corpus would never produce an
+    * `<oov>` token and the collapse machinery would go unverified). */
+  val PplGateV = 24
   val PplOov = "<oov>"
 
   /** Bigram-LM quality scoring (the CCNet-style perplexity filter): an

@@ -60,6 +60,13 @@ object Serve {
     val server = start(spark, port, host)
     println(s"[serve] listening on $host:${server.getAddress.getPort} " +
       "(GET /, POST /initialize, /embed, /search)")
+    if (args.length < 2)
+      // upgraders from the pre-round-10 wildcard default land here: the
+      // loopback bind silently refuses external connections, so say how
+      // to get them back where the operator is actually looking
+      println("[serve] loopback bind (default since round 10): external " +
+        "clients cannot connect; pass a host argument — e.g. " +
+        s"`Serve $port 0.0.0.0` — to expose deliberately")
     Thread.currentThread().join()
   }
 

@@ -316,7 +316,7 @@ class OperatorInvariantsSpec extends AnyFunSuite {
 
   test("tx_ppl plan: every forced broadcast derives from the bounded top-V vocabulary") {
     val (scored, persisted) =
-      TextAnalysis.pplScored(spark, sf, TextAnalysis.PplTopV)
+      TextAnalysis.pplScored(spark, sf, TextAnalysis.PplGateV)
     try {
       val hinted = hintSubtrees(scored)
       assert(hinted.nonEmpty, "ppl should broadcast its bounded LM frames")
@@ -348,5 +348,13 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(tight.map(_.getAs[Double]("nll")).toSeq !=
       base.map(_.getAs[Double]("nll")).toSeq,
       "a 5-term vocabulary must perturb the LM scores")
+    // the PRODUCTION default is CCNet-scale, not the test-gate cap: a
+    // real corpus scored with ppl() must not collapse virtually every
+    // token to <oov> (round-10 advice)
+    assert(TextAnalysis.PplTopV >= 10000,
+      s"production PplTopV regressed to a test-scale cap: ${TextAnalysis.PplTopV}")
+    assert(TextAnalysis.PplGateV < 31,
+      "the gate cap must stay below the synthetic vocabulary so the " +
+        "oracle keeps exercising the OOV collapse")
   }
 }
