@@ -25,11 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    real-world breakage; the trailer is still used to FIND the
   *    catalog when present);
   *  - streams decode raw or through a declared filter CHAIN of
-  *    /FlateDecode (java.util.zip), /LZWDecode, /ASCII85Decode,
-  *    /ASCIIHexDecode, /RunLengthDecode — all from-scratch readers of
-  *    the public ISO 32000 §7.4 algorithms, zero new dependencies;
-  *    predictors (/DecodeParms /Predictor > 1) and any other filter
-  *    fail loudly by name;
+  *    /FlateDecode (java.util.zip), /LZWDecode (both /EarlyChange
+  *    timings), /ASCII85Decode, /ASCIIHexDecode, /RunLengthDecode —
+  *    all from-scratch readers of the public ISO 32000 §7.4
+  *    algorithms, zero new dependencies; /DecodeParms /Predictor row
+  *    filtering is undone (PNG 10-15 per RFC 2083, TIFF 2 at 8-bit);
+  *    any other filter or predictor shape fails loudly by name;
+  *  - encrypted documents (standard security handler §7.6.3) decrypt
+  *    when the USER password is empty — the owner-locked shape almost
+  *    every encrypted crawl PDF has: /V 1/2 RC4 40-128, /V 4 with
+  *    /CFM /V2 (RC4) or /AESV2 (AES-128-CBC via javax.crypto); a
+  *    non-empty user password fails loudly against /U rather than
+  *    emitting garbage;
   *  - page order comes from walking /Root → /Pages → /Kids (the
   *    document's declared order, not file order);
   *  - content streams are tokenized per the real syntax: literal
@@ -182,7 +189,203 @@ object ParsePdf {
       }
     }
     if (out.isEmpty) fail("no objects found (not a PDF or fully unsupported layout)")
-    out.toMap
+    decryptIfNeeded(src, out.toMap)
+  }
+
+  // ─────────── standard security handler (ISO 32000 §7.6.3) ───────────
+
+  /** The 32-byte password pad (§7.6.3.3 Table 3). */
+  private val PdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (public stream cipher, symmetric — decrypt == encrypt). */
+  private[expressions] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xFF
+      j = (j + s(i)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xFF)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** A PDF string VALUE's bytes from a dict: hex `<…>` or literal
+    * `(…)` with the escape set — the /O and /U entries arrive in
+    * either form depending on the writer. */
+  private def stringValueOf(dict: String, key: String): Option[Array[Byte]] = {
+    // the first occurrence of `key` NOT a prefix of a longer name
+    // (/O must not match inside /OE) and followed by a string value
+    var at = dict.indexOf(key)
+    while (at >= 0 && at + key.length < dict.length &&
+        (dict.charAt(at + key.length).isLetterOrDigit ||
+          dict.charAt(at + key.length) == '/'))
+      at = dict.indexOf(key, at + 1)
+    if (at < 0) return None
+    var p = at + key.length
+    while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+    if (p >= dict.length) return None
+    dict.charAt(p) match {
+      case '<' =>
+        val e = dict.indexOf('>', p)
+        if (e < 0) fail(s"unterminated hex string after $key")
+        val hex0 = dict.substring(p + 1, e).filterNot(_.isWhitespace)
+        val hex = if (hex0.length % 2 == 1) hex0 + "0" else hex0
+        Some(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+      case '(' =>
+        val out = new java.io.ByteArrayOutputStream()
+        var depth = 1
+        p += 1
+        while (p < dict.length && depth > 0) {
+          dict.charAt(p) match {
+            case '\\' if p + 1 < dict.length =>
+              p += 1
+              dict.charAt(p) match {
+                case 'n' => out.write('\n')
+                case 'r' => out.write('\r')
+                case 't' => out.write('\t')
+                case 'b' => out.write('\b')
+                case 'f' => out.write('\f')
+                case c @ ('(' | ')' | '\\') => out.write(c)
+                case c if c >= '0' && c <= '7' =>
+                  var oct = c - '0'
+                  var n = 1
+                  while (n < 3 && p + 1 < dict.length &&
+                      dict.charAt(p + 1) >= '0' && dict.charAt(p + 1) <= '7') {
+                    p += 1; oct = oct * 8 + (dict.charAt(p) - '0'); n += 1
+                  }
+                  out.write(oct & 0xFF)
+                case c => out.write(c) // spec: lone backslash drops
+              }
+            case '(' => depth += 1; out.write('(')
+            case ')' =>
+              depth -= 1
+              if (depth > 0) out.write(')')
+            case c => out.write(c)
+          }
+          p += 1
+        }
+        if (depth != 0) fail(s"unterminated literal string after $key")
+        Some(out.toByteArray)
+      case _ => None
+    }
+  }
+
+  /** Decrypt every stream in an encrypted document (standard security
+    * handler, EMPTY user password — the owner-locked-but-openable
+    * shape almost every encrypted PDF in a crawl has): /V 1/2 = RC4
+    * (40–128 bit), /V 4 with /CFM /V2 = RC4 or /AESV2 = AES-128-CBC
+    * (javax.crypto, JDK-only). A NON-empty user password fails loudly
+    * against /U (algorithm 4/5) — there is no text to extract without
+    * the password, and guessing silently would emit garbage.
+    * Scope: strings inside object DICTS stay encrypted (this reader
+    * extracts text from content/CMap STREAMS only); object generation
+    * assumed 0 (the linear-recovery scanner's existing rule). */
+  private def decryptIfNeeded(src: String,
+      doc: Map[Int, (String, Option[Array[Byte]])])
+      : Map[Int, (String, Option[Array[Byte]])] = {
+    // last match wins — incremental updates append a newer trailer
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(src)
+      .toSeq.lastOption.map(_.group(1).toInt)
+    if (encRef.isEmpty) return doc
+    val encNum = encRef.get
+    val (enc, _) = doc.getOrElse(encNum, fail(s"missing /Encrypt object $encNum"))
+    """/Filter\s*/(\w+)""".r.findFirstMatchIn(enc).map(_.group(1)) match {
+      case Some("Standard") => ()
+      case f => fail(s"unsupported security handler /${f.getOrElse("?")}")
+    }
+    def intOf(key: String, dflt: Int): Int =
+      (java.util.regex.Pattern.quote(key) + """\s+(-?\d+)""").r
+        .findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(dflt)
+    val v = intOf("/V", 0)
+    val r = intOf("/R", 2)
+    val lengthBits = intOf("/Length", 40)
+    val p = intOf("/P", -1)
+    val aes = v match {
+      case 1 | 2 => false
+      case 4 =>
+        """/CFM\s*/(\w+)""".r.findFirstMatchIn(enc).map(_.group(1)) match {
+          case Some("AESV2") => true
+          case Some("V2") => false
+          case m => fail(s"unsupported crypt filter method /${m.getOrElse("?")}")
+        }
+      case other => fail(s"unsupported encryption version /V $other (R $r)")
+    }
+    val o = stringValueOf(enc, "/O").getOrElse(fail("/Encrypt has no /O"))
+    val u = stringValueOf(enc, "/U").getOrElse(fail("/Encrypt has no /U"))
+    val id = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(src)
+      .map(_.group(1)).map(h => h.grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+      .getOrElse(fail("encrypted PDF without a hex /ID (key underivable)"))
+    val keyLen = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
+    // Algorithm 2 with the EMPTY user password
+    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
+      (p >> 24).toByte)
+    var h = md5(PdfPad, o.take(32), pLe, id)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
+    }
+    val fileKey = h.take(keyLen)
+    // Algorithm 4 (R2) / 5 (R≥3): does the empty password open this?
+    val uOk =
+      if (r == 2) java.util.Arrays.equals(rc4(fileKey, PdfPad), u.take(32))
+      else {
+        var t = md5(PdfPad, id)
+        var i = 0
+        while (i < 20) {
+          t = rc4(fileKey.map(b => (b ^ i).toByte), t)
+          i += 1
+        }
+        java.util.Arrays.equals(t.take(16), u.take(16))
+      }
+    if (!uOk) fail("encrypted PDF: non-empty user password (cannot decrypt)")
+    def objKey(num: Int): Array[Byte] = {
+      val ext = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+        0, 0) // generation 0, low 2 bytes
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+                 else Array.emptyByteArray
+      md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+    }
+    def decryptBytes(num: Int, data: Array[Byte]): Array[Byte] =
+      if (!aes) rc4(objKey(num), data)
+      else {
+        if (data.length < 16 || (data.length - 16) % 16 != 0)
+          fail(s"AES stream in object $num is not IV + whole blocks")
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey(num), "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = c.doFinal(data, 16, data.length - 16)
+        val padN = plain.last & 0xFF
+        if (padN < 1 || padN > 16 || padN > plain.length)
+          fail(s"AES stream in object $num has corrupt padding")
+        plain.dropRight(padN)
+      }
+    doc.map {
+      case (num, (dict, Some(data))) if num != encNum =>
+        num -> (dict, Some(decryptBytes(num, data)))
+      case other => other
+    }
   }
 
   /** The stream's filter NAMES — handles the direct form

@@ -326,6 +326,164 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(3) == text)
   }
 
+  // ── standard security handler fixtures (independent encryptor) ──
+  private val pdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+  private def md5b(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update); d.digest()
+  }
+  private def rc4t(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = (0 until 256).toArray
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    var i = 0; j = 0
+    data.map { b =>
+      i = (i + 1) & 0xFF; j = (j + s(i)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      (b ^ s((s(i) + s(j)) & 0xFF)).toByte
+    }
+  }
+  private def padPw(pw: String): Array[Byte] =
+    (pw.getBytes("ISO-8859-1") ++ pdfPad).take(32)
+  /** Algorithm 3: the /O entry from owner+user passwords. */
+  private def oEntry(owner: String, user: String, keyLen: Int, r: Int): Array[Byte] = {
+    var h = md5b(padPw(owner))
+    if (r >= 3) (0 until 50).foreach(_ => h = md5b(h))
+    val k = h.take(keyLen)
+    var o = rc4t(k, padPw(user))
+    if (r >= 3) (1 to 19).foreach(i => o = rc4t(k.map(b => (b ^ i).toByte), o))
+    o
+  }
+  /** Algorithm 2: the file key from the user password. */
+  private def fileKey(user: String, o: Array[Byte], p: Int, id: Array[Byte],
+      keyLen: Int, r: Int): Array[Byte] = {
+    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    var h = md5b(padPw(user), o, pLe, id)
+    if (r >= 3) (0 until 50).foreach(_ => h = md5b(h.take(keyLen)))
+    h.take(keyLen)
+  }
+  /** Algorithm 5 (R≥3): the /U entry. */
+  private def uEntry(key: Array[Byte], id: Array[Byte]): Array[Byte] = {
+    var t = md5b(pdfPad, id)
+    (0 until 20).foreach(i => t = rc4t(key.map(b => (b ^ i).toByte), t))
+    t.take(16) ++ Array.fill[Byte](16)(0x61)
+  }
+  private def objKeyT(key: Array[Byte], num: Int, aes: Boolean): Array[Byte] = {
+    val ext = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte, 0, 0)
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+    md5b(key, ext, salt).take(math.min(key.length + 5, 16))
+  }
+  private def aesEnc(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val iv = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ c.doFinal(data)
+  }
+  /** Assemble a 2-page encrypted PDF (page 1 raw-stream, page 2 Flate)
+    * whose CMap-less simple text must survive decryption + inflate. */
+  private def encryptedPdf(encDict: Array[Byte] => String,
+      encStream: (Array[Byte], Int) => Array[Byte]): Array[Byte] = {
+    val id = Array.tabulate[Byte](16)(i => (i * 31 + 7).toByte)
+    val encD = encDict(id) // FIRST: derives the file key encStream uses
+    val s1 = "BT 1 0 0 1 10 20 Tm (rc4 secured page one) Tj ET\n"
+    val s2 = "BT 1 0 0 1 10 20 Tm (flate under crypt two) Tj ET\n"
+    val b1 = encStream(s1.getBytes("ISO-8859-1"), 5)
+    val b2 = encStream(deflate(s2), 6)
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n")
+    emit("4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    emit(s"5 0 obj << /Length ${b1.length} >>\nstream\n")
+    pdf.write(b1); emit("\nendstream endobj\n")
+    emit(s"6 0 obj << /Length ${b2.length} /Filter /FlateDecode >>\nstream\n")
+    pdf.write(b2); emit("\nendstream endobj\n")
+    emit(s"7 0 obj $encD endobj\n")
+    val idHex = id.map("%02X".format(_)).mkString
+    emit(s"trailer << /Size 8 /Root 1 0 R /Encrypt 7 0 R " +
+      s"/ID [<$idHex> <$idHex>] >>\n%%EOF\n")
+    pdf.toByteArray
+  }
+  private def hexStr(b: Array[Byte]): String =
+    "<" + b.map("%02X".format(_)).mkString + ">"
+
+  test("PDF: RC4-128 standard security (V2 R3, empty user password) decrypts both raw and Flate streams") {
+    val p = -44
+    var key: Array[Byte] = null
+    val pdf = encryptedPdf(
+      id => {
+        val o = oEntry("hunter2owner", "", 16, 3)
+        key = fileKey("", o, p, id, 16, 3)
+        val u = uEntry(key, id)
+        s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => rc4t(objKeyT(key, num, aes = false), data))
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(r => (r.getLong(0), r.getString(3))).toSeq == Seq(
+      (0L, "rc4 secured page one"), (1L, "flate under crypt two")),
+      rows.toSeq.toString)
+  }
+
+  test("PDF: RC4-40 standard security (V1 R2) decrypts; wrong user password fails loudly") {
+    val p = -1
+    var key: Array[Byte] = null
+    val pdf = encryptedPdf(
+      id => {
+        val o = oEntry("ownerpw", "", 5, 2)
+        key = fileKey("", o, p, id, 5, 2)
+        val u = rc4t(key, pdfPad) // Algorithm 4
+        s"<< /Filter /Standard /V 1 /R 2 /P $p /O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => rc4t(objKeyT(key, num, aes = false), data))
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"))
+    // a NON-empty user password: /U no longer matches the empty-pw
+    // derivation — the reader must refuse, not emit garbage
+    var key2: Array[Byte] = null
+    val locked = encryptedPdf(
+      id => {
+        val o = oEntry("ownerpw", "realuserpw", 5, 2)
+        key2 = fileKey("realuserpw", o, p, id, 5, 2)
+        val u = rc4t(key2, pdfPad)
+        s"<< /Filter /Standard /V 1 /R 2 /P $p /O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => rc4t(objKeyT(key2, num, aes = false), data))
+    val e = intercept[Exception](parsePdfBytes(locked))
+    assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+      .contains("non-empty user password"))
+  }
+
+  test("PDF: AES-128 standard security (V4 /AESV2, empty user password) decrypts") {
+    val p = -3904
+    var key: Array[Byte] = null
+    val pdf = encryptedPdf(
+      id => {
+        val o = oEntry("aesowner", "", 16, 4)
+        key = fileKey("", o, p, id, 16, 4)
+        val u = uEntry(key, id)
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => aesEnc(objKeyT(key, num, aes = true), data))
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"),
+      rows.toSeq.toString)
+  }
+
   test("PDF: indirect /Font tables and Pages-inherited /Resources resolve (CID decodes, no mojibake)") {
     // real writers share one font table via '/Resources 8 0 R' on the
     // PAGES node (inherited) with '/Font 9 0 R' indirect — a reader
