@@ -4422,14 +4422,66 @@ object GraftVectorDB {
       .orderBy($"channel", $"rnk")
   }
 
-  /** Deterministic caption stub for binary/image rows — stands in for
-    * the blip/gpt caption call (vector_db.py:547-596); real deployments
-    * swap `captionText` for a model UDF with the same row contract. */
-  def captionRows(imageRows: DataFrame): DataFrame = {
+  /** The built-in caption models. The reference routes a VALIDATED
+    * captioning_model name to a base64-image → text function
+    * (vector_db.py:33-52 — `captioning_model must be one of …` — and
+    * :86-104); no neural runtime exists in this environment, so the
+    * built-ins are honest NON-neural captioners with the exact row
+    * contract a blip-2 / gpt-4v Column function drops into through
+    * [[registerCaptioner]]:
+    *  - `header-meta` (default): reads the REAL container header
+    *    (PNG/GIF/BMP/JPEG via
+    *    [[graft.functions.expressions.ImageHeaderMeta]] — byte
+    *    parsing, no image libs) and captions "a WxH FMT image";
+    *    opaque payloads fall back to the content-hash stub, so
+    *    synthetic corpora are byte-compatible with the historical
+    *    caption;
+    *  - `content-hash`: the deterministic stub alone. */
+  val ValidCaptionModels: Seq[String] = Seq("header-meta", "content-hash")
+
+  private val customCaptioners =
+    scala.collection.concurrent.TrieMap.empty[String, Column => Column]
+
+  /** Register a caption model: `f` maps the base64-payload column to a
+    * caption text column — the BLIP/GPT-4V seam (a real model runs as
+    * a UDF or mapInPandas stage behind the same signature). */
+  def registerCaptioner(name: String, f: Column => Column): Unit = {
+    require(!ValidCaptionModels.contains(name),
+      s"captioning model '$name' is built in")
+    customCaptioners.put(name, f)
+  }
+
+  /** The caption text column `model` produces over a base64 payload
+    * column; unknown names fail loudly with the valid list (the
+    * reference's constructor validation, vector_db.py:43-52). */
+  def captionColumn(model: String, payloadB64: Column,
+      fileHash: Column): Column = model match {
+    case "content-hash" =>
+      concat(lit("captioned content "), substring(fileHash, 1, 8))
+    case "header-meta" =>
+      val hdr = graft.functions.expressions.ImageHeaderMeta(payloadB64)
+      when(hdr.isNotNull, concat(lit("a "),
+          hdr.getField("width").cast("string"), lit("x"),
+          hdr.getField("height").cast("string"), lit(" "),
+          hdr.getField("format"), lit(" image")))
+        .otherwise(concat(lit("captioned content "), substring(fileHash, 1, 8)))
+    case other if customCaptioners.contains(other) =>
+      customCaptioners(other)(payloadB64)
+    case other => throw new IllegalArgumentException(
+      s"captioning_model must be one of ${
+        (ValidCaptionModels ++ customCaptioners.keys).mkString("[", ", ", "]")
+      }; got '$other'")
+  }
+
+  /** Caption rows for binary/image rows through the routed caption
+    * model (vector_db.py:547-596's pipeline position: one caption row
+    * per image, embedded in the TEXT space so cross-modal text queries
+    * find images through their captions). */
+  def captionRows(imageRows: DataFrame,
+      model: String = "header-meta"): DataFrame = {
     val spark = imageRows.sparkSession
     import spark.implicits._
-    val captionText = concat(lit("captioned content "),
-      substring($"file_hash", 1, 8))
+    val captionText = captionColumn(model, $"content_raw", $"file_hash")
     imageRows.select(
       $"doc_name", $"doc_type", $"page_num",
       lit(graft.model.ContentTypes.ImageCaption).as("content_type"),

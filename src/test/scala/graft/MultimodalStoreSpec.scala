@@ -172,4 +172,82 @@ class MultimodalStoreSpec extends AnyFunSuite {
         s"batch multimodal ANN (full probe) must equal the exact union for '$t'")
     }
   }
+
+  test("ImageHeader reads real PNG/GIF/BMP/JPEG container headers; opaque bytes give None") {
+    import graft.functions.expressions.ImageHeader
+    def be32(v: Long): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def le16(v: Long): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long): Array[Byte] = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    assert(ImageHeader.decode(png).contains(("png", 640L, 480L)))
+    val gif = "GIF89a".getBytes("ISO-8859-1") ++ le16(320) ++ le16(200) ++
+      Array[Byte](0, 0, 0)
+    assert(ImageHeader.decode(gif).contains(("gif", 320L, 200L)))
+    val bmp = "BM".getBytes ++ le32(1000) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(800) ++ le32(-600) // negative = top-down
+    assert(ImageHeader.decode(bmp).contains(("bmp", 800L, 600L)))
+    // JPEG: APP0 segment then SOF0 — the walk must skip to the frame
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16) ++ Array.fill[Byte](14)(0) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8) ++
+      Array[Byte](0x04, 0x38) ++ /* height 1080 */ Array[Byte](0x07, 0x80.toByte) ++
+      Array.fill[Byte](10)(0)
+    assert(ImageHeader.decode(jpeg).contains(("jpeg", 1920L, 1080L)))
+    // opaque bytes (the synthetic corpora's md5 payloads): None, not a
+    // loud failure — unknown containers are the normal case
+    assert(ImageHeader.decode("5b8733c1889f00aa".getBytes).isEmpty)
+    assert(ImageHeader.decode(Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x01)).isEmpty)
+  }
+
+  test("caption models route like the reference: header-meta captions real images, validation is loud, custom registers") {
+    import spark.implicits._
+    val pngB64 = {
+      def be32(v: Long): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(64) ++ be32(48) ++
+        Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+      java.util.Base64.getEncoder.encodeToString(png)
+    }
+    val rows = Seq(
+      ("doc/a", "png", 0L, "img", pngB64, "aabbccddeeff0011"),
+      ("doc/b", "bin", 0L, "img", "5b8733c1889f00aa5b8733c1889f00aa", "ffee00112233aabb"))
+      .toDF("doc_name", "doc_type", "page_num", "content_id", "content_raw", "file_hash")
+      .withColumn("content_type", lit(ContentTypes.Image))
+      .withColumn("ts", timestamp_micros(lit(0L)))
+      .withColumn("bbox", array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)))
+    val caps = GraftVectorDB.captionRows(rows).collect()
+      .map(r => r.getAs[String]("doc_name") -> r.getAs[String]("content_raw")).toMap
+    assert(caps("doc/a") == "a 64x48 png image", caps.toString)
+    assert(caps("doc/b") == "captioned content ffee0011",
+      "opaque payloads must keep the content-hash caption (byte-compat)")
+    // the stub model reproduces the historical caption on ALL rows
+    val stub = GraftVectorDB.captionRows(rows, model = "content-hash").collect()
+      .map(_.getAs[String]("content_raw")).toSet
+    assert(stub == Set("captioned content aabbccdd", "captioned content ffee0011"))
+    // the reference's constructor validation: unknown model fails
+    // loudly naming the valid list (vector_db.py:43-52)
+    val e = intercept[IllegalArgumentException](
+      GraftVectorDB.captionRows(rows, model = "local-blip-3"))
+    assert(e.getMessage.contains("captioning_model must be one of") &&
+      e.getMessage.contains("header-meta"), e.getMessage)
+    // the custom seam: a registered Column function routes by name —
+    // where a real blip/gpt-4v UDF plugs in
+    GraftVectorDB.registerCaptioner("test-upper",
+      p => concat(lit("CAP:"), upper(substring(p, 1, 4))))
+    val custom = GraftVectorDB.captionRows(rows, model = "test-upper")
+      .collect().map(_.getAs[String]("content_raw")).toSet
+    assert(custom.forall(_.startsWith("CAP:")), custom.toString)
+    // caption rows embed in the TEXT channel space (cross-modal bridge)
+    val emb = GraftVectorDB.captionRows(rows).select($"content_raw", $"embedding")
+      .collect()
+    emb.foreach { r =>
+      assert(r.getSeq[Double](1).toArray.sameElements(
+        graft.operators.VectorStore.embedTextLocal(r.getString(0))))
+    }
+  }
 }
