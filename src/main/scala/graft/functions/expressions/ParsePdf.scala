@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - objects are recovered by a linear `N G obj … endobj` scan (no
   *    xref table needed — damaged/streamless xrefs are the most common
   *    real-world breakage; the trailer is still used to FIND the
-  *    catalog when present);
+  *    catalog when present), then /Type /ObjStm object streams expand
+  *    inline — the PDF 1.5+ layout where writers pack the catalog,
+  *    pages and fonts into one compressed container (§7.5.7);
   *  - streams decode raw or through a declared filter CHAIN of
   *    /FlateDecode (java.util.zip), /LZWDecode (both /EarlyChange
   *    timings), /ASCII85Decode, /ASCIIHexDecode, /RunLengthDecode —
@@ -189,7 +191,51 @@ object ParsePdf {
       }
     }
     if (out.isEmpty) fail("no objects found (not a PDF or fully unsupported layout)")
-    decryptIfNeeded(src, out.toMap)
+    expandObjectStreams(decryptIfNeeded(src, out.toMap))
+  }
+
+  /** Inline the objects packed in /Type /ObjStm containers (ISO 32000
+    * §7.5.7 — where PDF 1.5+ writers put most non-stream objects, so a
+    * linear scan alone would miss the catalog, pages, fonts): the
+    * decoded stream holds /N whitespace-separated (objnum, offset)
+    * pairs, then the object bodies from /First on. Contained objects
+    * are dict/array/primitive only (the spec forbids streams inside),
+    * and a top-level object with the same number WINS (incremental
+    * updates supersede packed objects). Runs after decryption —
+    * /ObjStm containers are encrypted like any stream, their contents
+    * are not re-encrypted. */
+  private def expandObjectStreams(
+      doc: Map[Int, (String, Option[Array[Byte]])])
+      : Map[Int, (String, Option[Array[Byte]])] = {
+    val containers = doc.toSeq.filter { case (_, (dict, data)) =>
+      data.isDefined && dict.contains("/ObjStm") &&
+        """/Type\s*/ObjStm""".r.findFirstIn(dict).isDefined
+    }.sortBy(_._1)
+    if (containers.isEmpty) return doc
+    val packed = scala.collection.mutable.Map.empty[Int, (String, Option[Array[Byte]])]
+    containers.foreach { case (num, (dict, _)) =>
+      val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(fail(s"ObjStm $num has no /N"))
+      val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(fail(s"ObjStm $num has no /First"))
+      val body = streamOf(doc, num)
+      val text = latin1(body, 0, body.length)
+      val header = text.take(first)
+      val nums = """\d+""".r.findAllIn(header).map(_.toInt).toSeq
+      if (nums.length < 2 * n)
+        fail(s"ObjStm $num header has ${nums.length} ints for /N $n pairs")
+      val pairs = nums.take(2 * n).grouped(2).map(p => (p(0), p(1))).toSeq
+      pairs.zipWithIndex.foreach { case ((objNum, off), i) =>
+        val start = first + off
+        val end =
+          if (i + 1 < pairs.length) first + pairs(i + 1)._2 else text.length
+        if (start > end || end > text.length)
+          fail(s"ObjStm $num offsets out of order at object $objNum")
+        packed(objNum) = (text.substring(start, end), None)
+      }
+    }
+    // top-level definitions win over packed ones
+    packed.toMap ++ doc
   }
 
   // ─────────── standard security handler (ISO 32000 §7.6.3) ───────────

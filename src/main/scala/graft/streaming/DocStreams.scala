@@ -114,6 +114,40 @@ object DocStreams {
     * GraftVectorDB.MaxIntraPairs discipline). */
   val MaxIntraPairs = 2000000
 
+  private def readOrEmpty(spark: SparkSession, path: String,
+      empty: => DataFrame): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+             e.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
+    }
+
+  /** The lazy corpus-check frame behind [[curateNearDupBatch]]:
+    * sidecar bands scanned against the BROADCAST batch bands, the
+    * collision residue verified exactly against the sidecar sets.
+    * Exposed so the boundedness pin can inspect the analyzed plan —
+    * every forced broadcast must be batch-derived; the sidecar (which
+    * grows with everything ever landed) is scanned, never shuffled
+    * on its own, never broadcast. */
+  private[graft] def sidecarDropPlan(spark: SparkSession, outDir: String,
+      bands: DataFrame, sets: DataFrame): DataFrame = {
+    import spark.implicits._
+    readOrEmpty(spark, s"$outDir/neardup/bands",
+        Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey"))
+      .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
+        Seq("band", "bkey"))
+      .select($"new_id", $"doc_id".as("base_id")).distinct()
+      .join(broadcast(sets.select($"doc_id".as("new_id"), $"h".as("ha"))),
+        "new_id")
+      .join(readOrEmpty(spark, s"$outDir/neardup/sets",
+          Seq.empty[(Long, Seq[Long])].toDF("doc_id", "h"))
+        .select($"doc_id".as("base_id"), $"h".as("hb")), "base_id")
+      .select($"new_id", graft.operators.Dedup.jaccard($"ha", $"hb").as("j_r"))
+      .filter($"j_r" >= graft.operators.Dedup.JaccardThreshold)
+      .select($"new_id").distinct()
+  }
+
   /** One micro-batch through the full curation + near-dup gate;
     * returns rows landed. Also the BATCH twin — running it over a
     * static frame gives the stream's cumulative output, the parity
@@ -164,20 +198,9 @@ object DocStreams {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // 4) corpus check: sidecar bands scanned, batch bands broadcast
-          val sidecarBands = readOr(bandsPath,
-            Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bkey"))
-          val corpusDropped: Set[Long] = sidecarBands
-            .join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
-              Seq("band", "bkey"))
-            .select($"new_id", $"doc_id".as("base_id")).distinct()
-            .join(broadcast(sets.select($"doc_id".as("new_id"), $"h".as("ha"))),
-              "new_id")
-            .join(readOr(setsPath, Seq.empty[(Long, Seq[Long])].toDF("doc_id", "h"))
-              .select($"doc_id".as("base_id"), $"h".as("hb")), "base_id")
-            .select($"new_id", Dedup.jaccard($"ha", $"hb").as("j_r"))
-            .filter($"j_r" >= Dedup.JaccardThreshold)
-            .select($"new_id").distinct()
-            .collect().map(_.getLong(0)).toSet
+          val corpusDropped: Set[Long] =
+            sidecarDropPlan(spark, outDir, bands, sets)
+              .collect().map(_.getLong(0)).toSet
           // 5) intra-batch: band self-join (batch-sized), exact verify,
           // greedy keep-smallest sweep; corpus-dropped docs neither
           // survive nor anchor a batch drop

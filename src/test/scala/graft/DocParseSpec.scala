@@ -326,6 +326,39 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(3) == text)
   }
 
+  test("PDF: /ObjStm object streams expand (the PDF 1.5+ layout where the catalog lives packed)") {
+    // catalog, pages node, page dict and a CID font all packed in ONE
+    // Flate'd object stream — a linear top-level scan finds only the
+    // container and the content stream, the modern-writer layout
+    val cmap = "1 beginbfchar\n<0001> <0051>\nendbfchar\n"
+    val packedObjs = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Resources << /Font " +
+        "<< /F2 6 0 R >> >> /Contents 4 0 R >>"),
+      6 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /Packed-CID " +
+        "/Encoding /Identity-H /ToUnicode 7 0 R >>"))
+    val bodies = packedObjs.map(_._2)
+    val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = packedObjs.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = header + bodies.mkString("\n") + "\n"
+    val objStm = deflate(payload.substring(0, payload.length))
+    val s = "BT /F2 12 Tf 1 0 0 1 5 6 Tm <0001> Tj ET\n"
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.5\n")
+    emit(s"5 0 obj << /Type /ObjStm /N ${packedObjs.length} " +
+      s"/First ${header.length} /Length ${objStm.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    pdf.write(objStm); emit("\nendstream endobj\n")
+    emit(s"4 0 obj << /Length ${s.length} >>\nstream\n$s\nendstream endobj\n")
+    emit(s"7 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n")
+    emit("trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == "Q", rows.toSeq.toString)
+  }
+
   // ── standard security handler fixtures (independent encryptor) ──
   private val pdfPad: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,

@@ -116,6 +116,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(twin == landed1, s"batch twin diverges: ${twin.diff(landed1)} / ${landed1.diff(twin)}")
   }
 
+  test("in-stream near-dup gate plan: the sidecar is never force-broadcast (batch frames only)") {
+    import graft.streaming.DocStreams
+    import spark.implicits._
+    // reuse the sidecar the gate test built (runs in suite order; if
+    // absent the plan still pins — the empty-frame path has the same
+    // hint shape)
+    val out = "target/doc_nd_out"
+    val bands = Seq((1L, 0, "k")).toDF("doc_id", "band", "bkey")
+    val sets = Seq((1L, Seq(1L, 2L))).toDF("doc_id", "h")
+    val plan = DocStreams.sidecarDropPlan(spark, out, bands, sets)
+      .queryExecution.analyzed
+    val hints = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h.child
+    }
+    assert(hints.nonEmpty, "the gate should broadcast its bounded batch frames")
+    hints.foreach { c =>
+      val readsSidecar = c.collectLeaves().exists(_.toString.contains("neardup"))
+      assert(!readsSidecar,
+        s"the sidecar grows with everything ever landed — it must never " +
+          s"be force-broadcast:\n$c")
+    }
+  }
+
   test("bounded-state curation gate: watermarked dedup matches within the horizon") {
     import graft.streaming.DocStreams
     import org.apache.spark.sql.functions._
