@@ -72,20 +72,17 @@ object LsaEncoder {
     * carry a 4096-term vocabulary). */
   def fitAdaptive(texts: DataFrame, textCol: String, name: String,
       contentTypes: Seq[String], dim: Int = 64): GraftVectorDB.ChannelDef = {
-    val spark = texts.sparkSession
-    import spark.implicits._
-    import graft.functions.TextFunctions.tokens
-    val n = texts.count()
-    val distinct = texts.select(col(textCol).as("t")).filter($"t".isNotNull)
-      .select(explode(array_distinct(tokens($"t"))).as("tok"))
-      .filter($"tok" =!= "").agg(count_distinct($"tok")).head().getLong(0)
-    val v = math.max(dim, math.min(adaptiveVocab(n), distinct.toInt))
-    fit(texts, textCol, name, contentTypes, dim, v)
+    // no separate distinct-token pass: the vocabulary aggregation's
+    // own `limit` clamps the target to whatever vocabulary exists
+    // (fitVocabIdf requireFull = false), so the adaptive fit costs the
+    // same corpus passes as the fixed-V fit
+    fitPath(texts, textCol, name, contentTypes, dim,
+      adaptiveVocab(texts.count()), forceDual = false, requireFull = false)
   }
 
   private[graft] def fitPath(texts: DataFrame, textCol: String,
       name: String, contentTypes: Seq[String], dim: Int, vocabSize: Int,
-      forceDual: Boolean): GraftVectorDB.ChannelDef = {
+      forceDual: Boolean, requireFull: Boolean = true): GraftVectorDB.ChannelDef = {
     val spark = texts.sparkSession
     import spark.implicits._
     require(dim <= vocabSize,
@@ -98,7 +95,8 @@ object LsaEncoder {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (vocab, idf, sample) =
       try {
-        val (_, v, w) = TfidfEncoder.fitVocabIdf(t, "t", vocabSize, "LsaEncoder.fit")
+        val (_, v, w) = TfidfEncoder.fitVocabIdf(t, "t", vocabSize,
+          "LsaEncoder.fit", requireFull)
         // bounded deterministic sample: the SampleTarget texts with the
         // smallest xxhash64, re-sorted by key (the sampleVectors contract)
         val s: Array[String] = t
@@ -107,11 +105,15 @@ object LsaEncoder {
           .collect().map(_.getString(1))
         (v, w, s)
       } finally t.unpersist(blocking = false)
+    // the CLAMPED vocabulary (adaptive fits on small-vocab corpora)
+    val vEff = vocab.length
+    require(dim <= vEff,
+      s"LsaEncoder.fit: dim $dim exceeds the corpus's $vEff distinct tokens")
     val vIdx = vocab.zipWithIndex.toMap
     val proj =
-      if (vocabSize <= DriverGramVocab && !forceDual)
-        primalProj(sample, vocab, vIdx, idf, dim, vocabSize)
-      else dualProj(sample, vocab, vIdx, idf, dim, vocabSize)
+      if (vEff <= DriverGramVocab && !forceDual)
+        primalProj(sample, vocab, vIdx, idf, dim, vEff)
+      else dualProj(sample, vocab, vIdx, idf, dim, vEff)
     ProjectionEncoder.channel(name, contentTypes, vocab, idf, proj, dim)
   }
 

@@ -30,7 +30,8 @@ object TfidfEncoder {
     * [[LsaEncoder]] both fit with — the tie-break/empty-token/idf
     * semantics must not drift between them. */
   private[operators] def fitVocabIdf(texts: DataFrame, textCol: String,
-      dim: Int, what: String): (Long, Array[String], Array[Double]) = {
+      dim: Int, what: String,
+      requireFull: Boolean = true): (Long, Array[String], Array[Double]) = {
     val spark = texts.sparkSession
     import spark.implicits._
     val n = texts.count()
@@ -39,7 +40,10 @@ object TfidfEncoder {
       .groupBy($"t").agg(count(lit(1)).as("df"))
       .orderBy($"df".desc, $"t".asc).limit(dim)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(top.length == dim,
+    // requireFull = false (the adaptive fit): the limit ITSELF clamps
+    // to whatever vocabulary exists — no separate corpus-wide distinct
+    // count, no approximate-count overshoot hazard
+    require(!requireFull || top.length == dim,
       s"$what: corpus has only ${top.length} distinct tokens (< $dim)")
     (n, top.map(_._1),
       top.map { case (_, df) => math.log((n + 1.0) / (df + 1.0)) })
