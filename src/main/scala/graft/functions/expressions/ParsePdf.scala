@@ -36,9 +36,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - encrypted documents (standard security handler §7.6.3) decrypt
   *    when the USER password is empty — the owner-locked shape almost
   *    every encrypted crawl PDF has: /V 1/2 RC4 40-128, /V 4 with
-  *    /CFM /V2 (RC4) or /AESV2 (AES-128-CBC via javax.crypto); a
-  *    non-empty user password fails loudly against /U rather than
-  *    emitting garbage;
+  *    /CFM /V2 (RC4) or /AESV2 (AES-128-CBC via javax.crypto), and
+  *    /V 5 AES-256 (/R 5 legacy SHA-256 and /R 6 ISO 32000-2 hardened
+  *    hash, /UE key unwrap, /Perms round-trip check); a non-empty
+  *    user password fails loudly against /U rather than emitting
+  *    garbage;
   *  - page order comes from walking /Root → /Pages → /Kids (the
   *    document's declared order, not file order);
   *  - content streams are tokenized per the real syntax: literal
@@ -252,6 +254,38 @@ object ParsePdf {
     d.digest()
   }
 
+  private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash, specialized to
+    * the EMPTY password and no udata (the user-password form this
+    * reader supports): iterate SHA-256/384/512 over AES-128-CBC
+    * encryptions of 64 repetitions of the running key until ≥ 64
+    * rounds AND the last cipher byte ≤ round − 32. */
+  private def hardenedHash(salt: Array[Byte]): Array[Byte] = {
+    var k = sha(256, salt) // SHA-256(pwd ‖ salt) with pwd empty
+    var round = 0
+    var e: Array[Byte] = Array.emptyByteArray
+    while (round < 64 || (e(e.length - 1) & 0xFF) > round - 32) {
+      val k1 = new Array[Byte](k.length * 64) // (pwd ‖ K ‖ udata) × 64
+      var i = 0
+      while (i < 64) { System.arraycopy(k, 0, k1, i * k.length, k.length); i += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
+      var s = 0; var j = 0
+      while (j < 16) { s += e(j) & 0xFF; j += 1 }
+      k = sha(s % 3 match { case 0 => 256; case 1 => 384; case _ => 512 }, e)
+      round += 1
+    }
+    k.take(32)
+  }
+
   /** RC4 (public stream cipher, symmetric — decrypt == encrypt). */
   private[expressions] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val s = Array.tabulate(256)(identity)
@@ -339,10 +373,12 @@ object ParsePdf {
   /** Decrypt every stream in an encrypted document (standard security
     * handler, EMPTY user password — the owner-locked-but-openable
     * shape almost every encrypted PDF in a crawl has): /V 1/2 = RC4
-    * (40–128 bit), /V 4 with /CFM /V2 = RC4 or /AESV2 = AES-128-CBC
-    * (javax.crypto, JDK-only). A NON-empty user password fails loudly
-    * against /U (algorithm 4/5) — there is no text to extract without
-    * the password, and guessing silently would emit garbage.
+    * (40–128 bit), /V 4 with /CFM /V2 = RC4 or /AESV2 = AES-128-CBC,
+    * /V 5 = AES-256 with /R 5 (SHA-256) or /R 6 (hardened-hash) key
+    * derivation and the /UE unwrap (javax.crypto, JDK-only). A
+    * NON-empty user password fails loudly against /U (algorithm 4/5,
+    * or 11 for /V 5) — there is no text to extract without the
+    * password, and guessing silently would emit garbage.
     * Scope: strings inside object DICTS stay encrypted (this reader
     * extracts text from content/CMap STREAMS only); object generation
     * assumed 0 (the linear-recovery scanner's existing rule). */
@@ -374,44 +410,90 @@ object ParsePdf {
           case Some("V2") => false
           case m => fail(s"unsupported crypt filter method /${m.getOrElse("?")}")
         }
+      case 5 =>
+        """/CFM\s*/(\w+)""".r.findFirstMatchIn(enc).map(_.group(1)) match {
+          case Some("AESV3") | None => true
+          case Some(m) => fail(s"unsupported crypt filter method /$m for /V 5")
+        }
       case other => fail(s"unsupported encryption version /V $other (R $r)")
     }
     val o = stringValueOf(enc, "/O").getOrElse(fail("/Encrypt has no /O"))
     val u = stringValueOf(enc, "/U").getOrElse(fail("/Encrypt has no /U"))
-    val id = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(src)
-      .map(_.group(1)).map(h => h.grouped(2)
-        .map(Integer.parseInt(_, 16).toByte).toArray)
-      .getOrElse(fail("encrypted PDF without a hex /ID (key underivable)"))
-    val keyLen = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
-    // Algorithm 2 with the EMPTY user password
-    val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
-      (p >> 24).toByte)
-    var h = md5(PdfPad, o.take(32), pLe, id)
-    if (r >= 3) {
-      var i = 0
-      while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
-    }
-    val fileKey = h.take(keyLen)
-    // Algorithm 4 (R2) / 5 (R≥3): does the empty password open this?
-    val uOk =
-      if (r == 2) java.util.Arrays.equals(rc4(fileKey, PdfPad), u.take(32))
-      else {
-        var t = md5(PdfPad, id)
-        var i = 0
-        while (i < 20) {
-          t = rc4(fileKey.map(b => (b ^ i).toByte), t)
-          i += 1
-        }
-        java.util.Arrays.equals(t.take(16), u.take(16))
+    val fileKey: Array[Byte] = if (v == 5) {
+      // AES-256 (ISO 32000-2 §7.6.4): /U = hash(32) ‖ validation
+      // salt(8) ‖ key salt(8); Algorithm 11 validates the empty user
+      // password, Algorithm 2.A step f unwraps /UE into the file key.
+      // R5 is the deprecated single-SHA-256 form, R6 the hardened hash.
+      if (r != 5 && r != 6) fail(s"unsupported revision /R $r for /V 5")
+      if (u.length < 48) fail(s"/V 5 /U entry is ${u.length} bytes (need 48)")
+      val vSalt = u.slice(32, 40)
+      val kSalt = u.slice(40, 48)
+      val hash = if (r == 5) sha(256, vSalt) else hardenedHash(vSalt)
+      if (!java.util.Arrays.equals(hash, u.take(32)))
+        fail("encrypted PDF: non-empty user password (cannot decrypt)")
+      val ue = stringValueOf(enc, "/UE").getOrElse(fail("/V 5 /Encrypt has no /UE"))
+      if (ue.length != 32) fail(s"/V 5 /UE entry is ${ue.length} bytes (need 32)")
+      val inter = if (r == 5) sha(256, kSalt) else hardenedHash(kSalt)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(inter, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      val k = c.doFinal(ue)
+      // /Perms proves the unwrapped key end-to-end: AES-ECB plaintext
+      // carries /P little-endian in bytes 0-3 and "adb" in bytes 9-11
+      stringValueOf(enc, "/Perms").foreach { pm =>
+        if (pm.length != 16) fail(s"/V 5 /Perms entry is ${pm.length} bytes (need 16)")
+        val e = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+        e.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k, "AES"))
+        val perms = e.doFinal(pm)
+        if (perms(9) != 'a'.toByte || perms(10) != 'd'.toByte ||
+            perms(11) != 'b'.toByte)
+          fail("/V 5 /Perms does not decrypt to the adb marker (wrong key)")
+        val pGot = (perms(0) & 0xFF) | ((perms(1) & 0xFF) << 8) |
+          ((perms(2) & 0xFF) << 16) | ((perms(3) & 0xFF) << 24)
+        if (pGot != p) fail(s"/V 5 /Perms encodes /P $pGot but the dict says $p")
       }
-    if (!uOk) fail("encrypted PDF: non-empty user password (cannot decrypt)")
-    def objKey(num: Int): Array[Byte] = {
-      val ext = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
-        0, 0) // generation 0, low 2 bytes
-      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
-                 else Array.emptyByteArray
-      md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+      k
+    } else {
+      val id = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(src)
+        .map(_.group(1)).map(h => h.grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray)
+        .getOrElse(fail("encrypted PDF without a hex /ID (key underivable)"))
+      val keyLen = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
+      // Algorithm 2 with the EMPTY user password
+      val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
+        (p >> 24).toByte)
+      var h = md5(PdfPad, o.take(32), pLe, id)
+      if (r >= 3) {
+        var i = 0
+        while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
+      }
+      val key = h.take(keyLen)
+      // Algorithm 4 (R2) / 5 (R≥3): does the empty password open this?
+      val uOk =
+        if (r == 2) java.util.Arrays.equals(rc4(key, PdfPad), u.take(32))
+        else {
+          var t = md5(PdfPad, id)
+          var i = 0
+          while (i < 20) {
+            t = rc4(key.map(b => (b ^ i).toByte), t)
+            i += 1
+          }
+          java.util.Arrays.equals(t.take(16), u.take(16))
+        }
+      if (!uOk) fail("encrypted PDF: non-empty user password (cannot decrypt)")
+      key
     }
+    def objKey(num: Int): Array[Byte] =
+      if (v == 5) fileKey // AES-256 uses the file key directly (§7.6.4)
+      else {
+        val ext = Array[Byte](num.toByte, (num >> 8).toByte, (num >> 16).toByte,
+          0, 0) // generation 0, low 2 bytes
+        val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+                   else Array.emptyByteArray
+        md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+      }
     def decryptBytes(num: Int, data: Array[Byte]): Array[Byte] =
       if (!aes) rc4(objKey(num), data)
       else {
@@ -1207,7 +1289,28 @@ object ParsePdf {
         val start = i
         while (i < n && !isWs(c(i)) && !isDelim(c(i))) i += 1
         if (i == start) fail(s"unexpected byte '${ch}' in content stream")
-        cur += PdfOp(latin1(content, start, i))
+        val op = latin1(content, start, i)
+        if (op == "ID") {
+          // inline image payload (BI <dict> ID <binary> EI, §8.9.7):
+          // raster bytes are opaque to text extraction — skip to the
+          // whitespace-delimited EI terminator (one whitespace byte
+          // separates ID from the data). The BI dict tokens already
+          // emitted are inert names/numbers the interpreter discards;
+          // a payload that happens to contain ws+EI+ws ends the skip
+          // early, and the stray remainder then fails tokenization
+          // LOUDLY rather than polluting extracted text.
+          if (i < n && isWs(c(i))) i += 1
+          var end = -1
+          var j = i
+          while (end < 0 && j + 2 < n) {
+            if (isWs(c(j)) && c(j + 1) == 'E' && c(j + 2) == 'I' &&
+                (j + 3 >= n || isWs(c(j + 3)) || isDelim(c(j + 3))))
+              end = j
+            j += 1
+          }
+          if (end < 0) fail("inline image without an EI terminator")
+          i = end + 3
+        } else cur += PdfOp(op)
       }
     }
     out.toSeq

@@ -517,6 +517,112 @@ class DocParseSpec extends AnyFunSuite {
       rows.toSeq.toString)
   }
 
+  // ── AES-256 (/V 5) forward encryptor — ISO 32000-2 algorithms 2.B/8/9/10 ──
+  private def shaT(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update); d.digest()
+  }
+  /** Algorithm 2.B in its GENERAL form (password + optional udata) —
+    * the decoder only ever runs the empty-password user form, so the
+    * fixtures exercise it from an independent implementation. */
+  private def hash2b(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = shaT(256, pwd, salt, udata)
+    var round = 0
+    var e: Array[Byte] = Array.emptyByteArray
+    while (round < 64 || (e.last & 0xFF) > round - 32) {
+      val one = pwd ++ k ++ udata
+      val k1 = new Array[Byte](one.length * 64)
+      (0 until 64).foreach(i => System.arraycopy(one, 0, k1, i * one.length, one.length))
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xFF).sum % 3
+      k = shaT(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      round += 1
+    }
+    k.take(32)
+  }
+  private def aesCbcZeroIvEnc(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(data)
+  }
+  /** /U /UE /O /OE /Perms for a chosen 32-byte file key (algorithms
+    * 8, 9, 10 forward; r = 5 legacy SHA-256 or 6 hardened). */
+  private def v5Entries(fileKey: Array[Byte], userPw: String, ownerPw: String,
+      p: Int, r: Int): (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    def kdf(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]) =
+      if (r == 5) shaT(256, pwd, salt, udata) else hash2b(pwd, salt, udata)
+    val upw = userPw.getBytes("UTF-8")
+    val opw = ownerPw.getBytes("UTF-8")
+    val uVs = Array.tabulate[Byte](8)(i => (i * 13 + 5).toByte)
+    val uKs = Array.tabulate[Byte](8)(i => (i * 29 + 11).toByte)
+    val uEnt = kdf(upw, uVs, Array.emptyByteArray) ++ uVs ++ uKs
+    val ueEnt = aesCbcZeroIvEnc(kdf(upw, uKs, Array.emptyByteArray), fileKey)
+    val oVs = Array.tabulate[Byte](8)(i => (i * 7 + 3).toByte)
+    val oKs = Array.tabulate[Byte](8)(i => (i * 23 + 17).toByte)
+    val oEnt = kdf(opw, oVs, uEnt) ++ oVs ++ oKs
+    val oeEnt = aesCbcZeroIvEnc(kdf(opw, oKs, uEnt), fileKey)
+    val permsPlain = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
+      (p >> 24).toByte, -1, -1, -1, -1, 'T', 'a', 'd', 'b',
+      0x21, 0x42, 0x63, 0x7E)
+    val ec = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ec.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    (uEnt, ueEnt, oEnt, oeEnt, ec.doFinal(permsPlain))
+  }
+  private def v5Dict(fileKey: Array[Byte], userPw: String, p: Int, r: Int): String = {
+    val (uE, ueE, oE, oeE, pmE) = v5Entries(fileKey, userPw, "aes256owner", p, r)
+    s"<< /Filter /Standard /V 5 /R $r /Length 256 /P $p " +
+      "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> " +
+      "/StmF /StdCF /StrF /StdCF " +
+      s"/O ${hexStr(oE)} /OE ${hexStr(oeE)} /U ${hexStr(uE)} " +
+      s"/UE ${hexStr(ueE)} /Perms ${hexStr(pmE)} >>"
+  }
+
+  test("PDF: AES-256 standard security (V5 R6 hardened hash, empty user password) decrypts; /Perms round-trips") {
+    val key = Array.tabulate[Byte](32)(i => (i * 47 + 9).toByte)
+    val pdf = encryptedPdf(_ => v5Dict(key, "", -4, 6),
+      (data, _) => aesEnc(key, data)) // /V 5: file key directly, no per-object MD5
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"),
+      rows.toSeq.toString)
+  }
+
+  test("PDF: AES-256 legacy R5 (single SHA-256 KDF) decrypts") {
+    val key = Array.tabulate[Byte](32)(i => (i * 31 + 21).toByte)
+    val pdf = encryptedPdf(_ => v5Dict(key, "", -44, 5),
+      (data, _) => aesEnc(key, data))
+    assert(parsePdfBytes(pdf).map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"))
+  }
+
+  test("PDF: AES-256 R6 with a non-empty user password refuses loudly; tampered /P fails the /Perms check") {
+    val key = Array.tabulate[Byte](32)(i => (i * 11 + 6).toByte)
+    val locked = encryptedPdf(_ => v5Dict(key, "realuserpw", -4, 6),
+      (data, _) => aesEnc(key, data))
+    val e = intercept[Exception](parsePdfBytes(locked))
+    assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+      .contains("non-empty user password"))
+    // /P in the dict disagreeing with the signed /Perms plaintext must
+    // fail loudly (tampering / wrong-key detector), not decode anyway
+    val (uE, ueE, oE, oeE, pmE) = v5Entries(key, "", "aes256owner", -4, 6)
+    val tamperDict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -8 " +
+      "/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O ${hexStr(oE)} /OE ${hexStr(oeE)} /U ${hexStr(uE)} " +
+      s"/UE ${hexStr(ueE)} /Perms ${hexStr(pmE)} >>"
+    val tampered = encryptedPdf(_ => tamperDict, (data, _) => aesEnc(key, data))
+    val e2 = intercept[Exception](parsePdfBytes(tampered))
+    assert((Option(e2.getCause).map(_.getMessage).getOrElse("") + e2.getMessage)
+      .contains("/Perms"), e2.toString)
+  }
+
   test("PDF: indirect /Font tables and Pages-inherited /Resources resolve (CID decodes, no mojibake)") {
     // real writers share one font table via '/Resources 8 0 R' on the
     // PAGES node (inherited) with '/Font 9 0 R' indirect — a reader
@@ -541,6 +647,33 @@ class DocParseSpec extends AnyFunSuite {
     emit("trailer << /Size 10 /Root 1 0 R >>\n%%EOF\n")
     val rows = parsePdfBytes(pdf.toByteArray)
     assert(rows.length == 1 && rows(0).getString(3) == "Habc",
+      rows.toSeq.toString)
+  }
+
+  test("PDF: inline image (BI..ID..EI) binary payload is skipped, not tokenized as text") {
+    // the raster bytes deliberately contain '(', unbalanced ')', 'BT',
+    // high bytes, and an EI NOT preceded by whitespace — none of which
+    // may reach the text extractor or break tokenization
+    val nasty = Array[Byte]('(', 'B', 'T', ')', ')', 0xFF.toByte, 0x00,
+      '<', '\\', 'E', 'I', '(', 0x80.toByte)
+    val content = new java.io.ByteArrayOutputStream()
+    content.write("BT 1 0 0 1 10 20 Tm (before raster) Tj ET\n".getBytes("ISO-8859-1"))
+    content.write("q 4 0 0 2 30 40 cm\nBI /W 4 /H 2 /BPC 8 /CS /G ID ".getBytes("ISO-8859-1"))
+    content.write(nasty)
+    content.write("\nEI\nQ\n".getBytes("ISO-8859-1"))
+    content.write("BT 1 0 0 1 10 60 Tm (after raster) Tj ET\n".getBytes("ISO-8859-1"))
+    val s = content.toByteArray
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${s.length} >>\nstream\n")
+    pdf.write(s)
+    emit("\nendstream endobj\n")
+    emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.map(_.getString(3)).toSeq == Seq("before raster", "after raster"),
       rows.toSeq.toString)
   }
 
