@@ -81,10 +81,17 @@ object ImageHeader {
     else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       Some(("gif", le16(6), le16(8)))
-    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      // BITMAPINFOHEADER: int32 width at 18, int32 height at 22
-      // (negative height = top-down row order — magnitude is the size)
-      Some(("bmp", le32(18), math.abs(le32(22).toInt).toLong))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      // The DIB header size at 14 picks the layout: 12 =
+      // BITMAPCOREHEADER (OS/2) with uint16 width/height at 18/20;
+      // >= 40 = BITMAPINFOHEADER+ with int32 width at 18, int32
+      // height at 22 (negative height = top-down row order —
+      // magnitude is the size). Anything else → content-hash stub.
+      val dib = le32(14)
+      if (dib == 12) Some(("bmp", le16(18), le16(20)))
+      else if (dib >= 40) Some(("bmp", le32(18), math.abs(le32(22).toInt).toLong))
+      else None
+    }
     else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk FF-marker segments to the first SOFn frame header
       // (C0-CF except C4 DHT / C8 JPG / CC DAC): len(2) precision(1)

@@ -309,17 +309,61 @@ object ParsePdf {
     out
   }
 
+  /** The dict text with everything below the top nesting level of its
+    * first `<< >>` blanked to spaces — nested subdictionary bodies and
+    * literal/hex string CONTENTS (value-opening delimiters kept) — so
+    * a key lookup can never match bytes inside a string value (e.g. a
+    * '/U' sequence among the /O entry's random bytes) or a
+    * subdictionary entry (e.g. the /CF crypt filter's /Length, which
+    * is a key size in BYTES, not the top-level bits value). Offsets
+    * align with the input, so values are parsed from the original. */
+  private[graft] def topLevelView(s: String): String = {
+    val out = new Array[Char](s.length)
+    java.util.Arrays.fill(out, ' ')
+    var i = 0
+    var depth = 0
+    def keep(p: Int): Unit = if (depth == 1) out(p) = s.charAt(p)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        keep(i); i += 1
+        var d = 1
+        while (i < s.length && d > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\') i += 1
+          else if (ch == '(') d += 1
+          else if (ch == ')') { d -= 1; if (d == 0) keep(i) }
+          i += 1
+        }
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        depth += 1; i += 2
+      } else if (c == '>' && i + 1 < s.length && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+      } else if (c == '<') {
+        keep(i); i += 1
+        while (i < s.length && s.charAt(i) != '>') i += 1
+        if (i < s.length) { keep(i); i += 1 }
+      } else {
+        keep(i); i += 1
+      }
+    }
+    new String(out)
+  }
+
   /** A PDF string VALUE's bytes from a dict: hex `<…>` or literal
     * `(…)` with the escape set — the /O and /U entries arrive in
-    * either form depending on the writer. */
+    * either form depending on the writer. The KEY is located in the
+    * top-level view (never inside another value or a subdict); the
+    * value bytes are parsed from the original text. */
   private def stringValueOf(dict: String, key: String): Option[Array[Byte]] = {
+    val view = topLevelView(dict)
     // the first occurrence of `key` NOT a prefix of a longer name
     // (/O must not match inside /OE) and followed by a string value
-    var at = dict.indexOf(key)
-    while (at >= 0 && at + key.length < dict.length &&
-        (dict.charAt(at + key.length).isLetterOrDigit ||
-          dict.charAt(at + key.length) == '/'))
-      at = dict.indexOf(key, at + 1)
+    var at = view.indexOf(key)
+    while (at >= 0 && at + key.length < view.length &&
+        (view.charAt(at + key.length).isLetterOrDigit ||
+          view.charAt(at + key.length) == '/'))
+      at = view.indexOf(key, at + 1)
     if (at < 0) return None
     var p = at + key.length
     while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
@@ -391,13 +435,17 @@ object ParsePdf {
     if (encRef.isEmpty) return doc
     val encNum = encRef.get
     val (enc, _) = doc.getOrElse(encNum, fail(s"missing /Encrypt object $encNum"))
-    """/Filter\s*/(\w+)""".r.findFirstMatchIn(enc).map(_.group(1)) match {
+    // scalar lookups go through the top-level view: a /CF crypt-filter
+    // subdict carries its own /Length (key BYTES, e.g. 16) that a flat
+    // regex could hit before the top-level bits value (e.g. 128)
+    val encTop = topLevelView(enc)
+    """/Filter\s*/(\w+)""".r.findFirstMatchIn(encTop).map(_.group(1)) match {
       case Some("Standard") => ()
       case f => fail(s"unsupported security handler /${f.getOrElse("?")}")
     }
     def intOf(key: String, dflt: Int): Int =
       (java.util.regex.Pattern.quote(key) + """\s+(-?\d+)""").r
-        .findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(dflt)
+        .findFirstMatchIn(encTop).map(_.group(1).toInt).getOrElse(dflt)
     val v = intOf("/V", 0)
     val r = intOf("/R", 2)
     val lengthBits = intOf("/Length", 40)
@@ -509,8 +557,16 @@ object ParsePdf {
           fail(s"AES stream in object $num has corrupt padding")
         plain.dropRight(padN)
       }
+    // §7.5.8.2: cross-reference streams are NEVER encrypted (the xref
+    // must be readable before the /Encrypt dict is found); likewise
+    // /Metadata streams when /EncryptMetadata is false.
+    val metaPlain =
+      """/EncryptMetadata\s+false""".r.findFirstIn(encTop).isDefined
+    def exempt(dict: String): Boolean =
+      """/Type\s*/XRef\b""".r.findFirstIn(dict).isDefined ||
+        (metaPlain && """/Type\s*/Metadata\b""".r.findFirstIn(dict).isDefined)
     doc.map {
-      case (num, (dict, Some(data))) if num != encNum =>
+      case (num, (dict, Some(data))) if num != encNum && !exempt(dict) =>
         num -> (dict, Some(decryptBytes(num, data)))
       case other => other
     }
@@ -668,11 +724,12 @@ object ParsePdf {
   /** PDF LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width codes
     * (9→12 bits), 256 = clear, 257 = EOD, table grows from 258, with
     * the spec-default EarlyChange=1 (the ENCODER bumps the width one
-    * code early — when ITS table reaches 511/1023/2047; the decoder's
+    * code early — when ITS table reaches 512/1024/2048; the decoder's
     * table lags the encoder's by exactly one entry, so it must bump at
-    * 510/1022/2046). `earlyChange` comes from /DecodeParms
+    * 511/1023/2047 — the `512 - earlyChange` decoder threshold PDFBox
+    * and pdf.js use). `earlyChange` comes from /DecodeParms
     * /EarlyChange (default 1 per §7.4.4.3). */
-  private[expressions] def lzwDecode(data: Array[Byte],
+  private[graft] def lzwDecode(data: Array[Byte],
       earlyChange: Int = 1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
     val table = ArrayBuffer.tabulate(256)(i => Array(i.toByte))
@@ -709,8 +766,8 @@ object ParsePdf {
           // Widen in lockstep with the encoder: the decoder's table is
           // one entry BEHIND (it adds prev+head(entry) only after
           // decoding the next code), so the EarlyChange=1 threshold
-          // lands at 2^w-2, not 2^w-1.
-          if (table.length >= (1 << width) - 1 - earlyChange && width < 12)
+          // lands at 2^w-1 where the encoder's lands at 2^w.
+          if (table.length >= (1 << width) - earlyChange && width < 12)
             width += 1
         }
       }
@@ -900,21 +957,24 @@ object ParsePdf {
     * historical recovery behavior: inline tables still match). */
   private def resourcesOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String): String = {
+    // A DANGLING ref (truncated file, lost incremental update) is
+    // tolerated as "no resources here" rather than aborting the whole
+    // document: simple text still extracts without a font table, and
+    // the CID edges downstream stay loud when 2-byte strings actually
+    // need a font this never found.
     def own(dict: String): Option[String] =
       if (!dict.contains("/Resources")) None
-      else Some(ref(dict, "/Resources") match {
+      else ref(dict, "/Resources") match {
         case Some(n) => doc.get(n).map(_._1)
-          .getOrElse(fail(s"missing indirect /Resources object $n"))
-        case None => dict
-      })
+        case None => Some(dict)
+      }
     var cur = pageDict
     var res = own(cur)
     var depth = 0
     while (res.isEmpty && depth < 64) {
-      ref(cur, "/Parent") match {
-        case Some(p) =>
-          cur = doc.get(p).map(_._1)
-            .getOrElse(fail(s"missing /Parent object $p"))
+      ref(cur, "/Parent").flatMap(p => doc.get(p).map(_._1)) match {
+        case Some(parent) =>
+          cur = parent
           res = own(cur)
           depth += 1
         case None => depth = 64
@@ -930,9 +990,8 @@ object ParsePdf {
       resSrc: String, key: String): String =
     (java.util.regex.Pattern.quote(key) + """\s*<<([^>]*)>>""").r
       .findFirstMatchIn(resSrc).map(_.group(1))
-      .orElse(ref(resSrc, key).map(n => doc.get(n).map(_._1)
-        .getOrElse(fail(s"missing indirect $key object $n"))))
-      .getOrElse("")
+      .orElse(ref(resSrc, key).flatMap(n => doc.get(n).map(_._1)))
+      .getOrElse("") // dangling ref tolerated: see resourcesOf
 
   /** /Resources → /XObject name → object-number map. */
   private def xobjectsOf(doc: Map[Int, (String, Option[Array[Byte]])],

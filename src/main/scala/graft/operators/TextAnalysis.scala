@@ -365,10 +365,10 @@ object TextAnalysis {
   }
 
   /** PRODUCTION LM vocabulary cap for [[ppl]] — the CCNet operating
-    * point (V ≈ 10⁵ in the paper; 2¹⁶ here keeps the bounded-broadcast
-    * bigram frame ≤ (V+1)² rows at a comfortable executor footprint).
-    * What matters for 100 TB is that V is a constant, not a function
-    * of corpus size. */
+    * point (V ≈ 10⁵ in the paper). What matters for 100 TB is that V
+    * is a constant, not a function of corpus size — and that only the
+    * O(V)-row frames are ever force-broadcast (the mapped BIGRAM frame
+    * caps at (V+1)² = 4.3e9, which is a ceiling, not a bound). */
   val PplTopV = 65536
 
   /** GATE vocabulary cap — what the driver query and specs run:
@@ -385,11 +385,11 @@ object TextAnalysis {
     * maps to the [[PplOov]] bucket — the public CCNet formulation),
     * then every doc is scored by negative log-likelihood. Shapes for
     * 100 TB: raw bigram TYPE counts grow near-linearly with the corpus
-    * (unlike Heaps-sublinear unigrams), so the UNPRUNED LM must never
-    * be broadcast; after the top-V mapping the LM is bounded —
-    * ≤ (V+1)² bigram rows, ≤ V+1 unigram rows, ≤ V vocab rows — so
-    * every broadcast here is of a constant-size frame regardless of
-    * corpus size. The top-V cut itself is a distributed partial top-K
+    * (unlike Heaps-sublinear unigrams), so no bigram-keyed frame is
+    * ever force-broadcast — even mapped, its (V+1)² ceiling is 4.3e9
+    * at the production V; it joins unhinted and AQE picks. Only the
+    * O(V)-row frames (≤ V+1 unigram rows, ≤ V vocab rows, the 1-row
+    * vocab size) carry hints. The top-V cut itself is a distributed partial top-K
     * (TakeOrderedAndProject), not a global window. Parity: the cut
     * orders by (count desc, token asc) — a total order, so both
     * engines select the identical vocabulary — and each -ln term
@@ -436,6 +436,10 @@ object TextAnalysis {
         concat_ws(" ", coalesce($"w1k", lit(PplOov)),
           coalesce($"w2k", lit(PplOov))).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bigram-count frame: ≤ (V+1)² distinct keys is NOT a bound at the
+    // production V=65536 (4.3e9) — it grows with the corpus toward it,
+    // so it stays UNHINTED: AQE broadcasts it at gate scales where it
+    // is actually small and shuffles it where it is not
     val bgCounts = mapped.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
     // mapped unigram counts derive from the already-aggregated raw
     // counts — vocab-frame-sized work, no extra corpus pass
@@ -444,7 +448,7 @@ object TextAnalysis {
       .groupBy(coalesce($"wk", lit(PplOov)).as("w1"))
       .agg(sum($"c").as("c_w1"))
     val vocabSize = uniCounts.agg(count(lit(1)).as("v"))
-    val scored = mapped.join(broadcast(bgCounts), "bg")
+    val scored = mapped.join(bgCounts, "bg")
       .join(broadcast(uniCounts), "w1")
       .crossJoin(broadcast(vocabSize))
       .groupBy($"doc_id")

@@ -160,13 +160,6 @@ object DocStreams {
     val docsPath = s"$outDir/docs"
     val bandsPath = s"$outDir/neardup/bands"
     val setsPath = s"$outDir/neardup/sets"
-    def readOr(path: String, empty: => DataFrame): DataFrame =
-      try spark.read.parquet(path)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => empty
-      }
     // 1) stateless gate + first-wins exact dedup WITHIN the batch
     val gated = scoredGated(batch)
       .select($"doc_id", $"text", $"file_hash", $"lang_pred",
@@ -178,7 +171,8 @@ object DocStreams {
     // inverted exactly like the store ingest (GraftVectorDB
     // .freshAgainstStore): landed hashes scanned + semi-joined to the
     // BROADCAST batch hash set, never shuffled or broadcast themselves
-    val collisions = readOr(docsPath, Seq.empty[String].toDF("file_hash"))
+    val collisions = readOrEmpty(spark, docsPath,
+        Seq.empty[String].toDF("file_hash"))
       .select($"file_hash")
       .join(broadcast(gated.select($"file_hash").distinct()),
         Seq("file_hash"), "left_semi")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.ContentTypes
+import graft.functions.expressions.ParsePdf
 import graft.operators.{DocParse, GraftVectorDB}
 
 /** The binary-ingest seam end-to-end: GFT payloads → ParseGft →
@@ -217,9 +218,10 @@ class DocParseSpec extends AnyFunSuite {
   }
 
   /** TIFF6/ISO 32000-conformant LZW encoder. EarlyChange=1 (default)
-    * widens the code width as soon as the table reaches 2^w-1 — one
-    * code earlier than strictly needed; EarlyChange=0 widens only
-    * when the next code would overflow the current width. */
+    * widens the code width as soon as the table reaches 2^w — one
+    * code earlier than strictly needed (the PDFBox `size - 1 >=
+    * 512 - earlyChange` encoder timing); EarlyChange=0 widens only
+    * when the next code (2^w) would overflow the current width. */
   private def lzw(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
     val dict = scala.collection.mutable.Map[Seq[Byte], Int]()
     (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
@@ -241,7 +243,7 @@ class DocParseSpec extends AnyFunSuite {
       else {
         put(dict(w))
         dict(wb) = next; next += 1
-        if (next >= (1 << width) - earlyChange && width < 12) width += 1
+        if (next >= (1 << width) + 1 - earlyChange && width < 12) width += 1
         w = Seq(b)
       }
     }
@@ -306,6 +308,32 @@ class DocParseSpec extends AnyFunSuite {
     emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
     val rows = parsePdfBytes(pdf.toByteArray)
     assert(rows.length == 1 && rows(0).getString(3) == text)
+  }
+
+  test("PDF: LZW decoder matches the ecosystem width timing on a hand-scheduled stream") {
+    // A bitstream assembled code-by-code with the width schedule real
+    // encoders (PDFBox/pdf.js, EarlyChange=1) use — independent of the
+    // `lzw` helper above, so the encoder and decoder can never drift
+    // one-early in lockstep. 256 distinct literals: the encoder emits
+    // codes #1..#254 (literals 0..253) at 9 bits (its next-free index
+    // reaches 512 after adding entry #254), then literals 254 and 255
+    // and the EOD at 10 bits. The decoder, one table entry behind,
+    // must widen for reading code #255 when ITS table size is 511.
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def put(code: Int, width: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+    }
+    put(256, 9)                          // clear
+    (0 until 254).foreach(put(_, 9))     // literals 0..253, 9-bit
+    put(254, 10); put(255, 10)           // next-free hit 512 -> 10-bit
+    put(257, 10)                         // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    val decoded = ParsePdf.lzwDecode(out.toByteArray)
+    assert(decoded.toSeq == (0 until 256).map(_.toByte).toSeq)
   }
 
   test("PDF: LZW honors /DecodeParms /EarlyChange 0 across the same width growth") {
@@ -511,6 +539,72 @@ class DocParseSpec extends AnyFunSuite {
           s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
       },
       (data, num) => aesEnc(objKeyT(key, num, aes = true), data))
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"),
+      rows.toSeq.toString)
+  }
+
+  test("PDF: V4 dict with the crypt-filter /Length FIRST still derives a 128-bit key") {
+    // Acrobat-shaped ordering: /CF << /StdCF << ... /Length 16 >> >>
+    // (key length in BYTES) precedes the top-level /Length 128 (bits).
+    // A flat first-match regex would read 16 bits → a 5-byte key and a
+    // spurious wrong-password refusal; the top-level view must skip it.
+    val p = -3904
+    var key: Array[Byte] = null
+    val pdf = encryptedPdf(
+      id => {
+        val o = oEntry("aesowner", "", 16, 4)
+        key = fileKey("", o, p, id, 16, 4)
+        val u = uEntry(key, id)
+        s"<< /Filter /Standard /V 4 /R 4 " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /Length 128 /P $p " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => aesEnc(objKeyT(key, num, aes = true), data))
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"),
+      rows.toSeq.toString)
+  }
+
+  test("PDF: topLevelView masks subdict keys and string contents, keeps top-level entries") {
+    val view = ParsePdf.topLevelView(
+      "7 0 obj << /O (ab\\)/U (x)c) /U <4142> " +
+        "/CF << /StdCF << /Length 16 >> >> /Length 128 >> endobj")
+    assert(view.contains("/Length 128"), view)
+    assert(!view.contains("16"), view)
+    // the only /U the view exposes is the real top-level key, not the
+    // '/U' byte run inside the /O literal string
+    assert("/U".r.findAllMatchIn(view).length == 1, view)
+    assert(!view.contains("endobj") && !view.contains("7 0 obj"), view)
+    // value-opening delimiters survive so the value parse can anchor
+    assert(view.contains("/O (") && view.contains("/U <"), view)
+  }
+
+  test("PDF: an unencrypted /Type /XRef stream inside an encrypted document is left alone") {
+    // §7.5.8.2: cross-reference streams are never encrypted. Feeding
+    // one through the AES path would fail the IV+whole-blocks check
+    // (15/16 chance) and abort the whole parse.
+    val p = -3904
+    var key: Array[Byte] = null
+    val base = encryptedPdf(
+      id => {
+        val o = oEntry("aesowner", "", 16, 4)
+        key = fileKey("", o, p, id, 16, 4)
+        val u = uEntry(key, id)
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+          "/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => aesEnc(objKeyT(key, num, aes = true), data))
+    // splice a plaintext xref stream object ahead of the trailer
+    val xref = "xref!" // 5 bytes: not IV + whole AES blocks
+    val obj = s"8 0 obj << /Type /XRef /Size 9 /W [1 2 1] " +
+      s"/Length ${xref.length} >>\nstream\n$xref\nendstream endobj\n"
+    val at = new String(base, "ISO-8859-1").indexOf("trailer")
+    val pdf = base.take(at) ++ obj.getBytes("ISO-8859-1") ++ base.drop(at)
     val rows = parsePdfBytes(pdf)
     assert(rows.map(_.getString(3)).toSeq ==
       Seq("rc4 secured page one", "flate under crypt two"),

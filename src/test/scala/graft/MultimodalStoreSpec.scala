@@ -190,6 +190,17 @@ class MultimodalStoreSpec extends AnyFunSuite {
     val bmp = "BM".getBytes ++ le32(1000) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(800) ++ le32(-600) // negative = top-down
     assert(ImageHeader.decode(bmp).contains(("bmp", 800L, 600L)))
+    // BITMAPCOREHEADER (OS/2): DIB size 12 at offset 14, then uint16
+    // width/height — int32 reads would merge adjacent fields
+    val bmpCore = "BM".getBytes ++ le32(1000) ++ le32(0) ++ le32(26) ++
+      le32(12) ++ le16(640) ++ le16(350) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](4)(0)
+    assert(ImageHeader.decode(bmpCore).contains(("bmp", 640L, 350L)))
+    // an unknown DIB layout (size 16, OS/2 v2 truncated): stub, not a
+    // misparse of merged fields
+    val bmpOdd = "BM".getBytes ++ le32(1000) ++ le32(0) ++ le32(30) ++
+      le32(16) ++ le32(640) ++ le32(350) ++ Array.fill[Byte](4)(0)
+    assert(ImageHeader.decode(bmpOdd).isEmpty)
     // JPEG: APP0 segment then SOF0 — the walk must skip to the frame
     val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
       Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16) ++ Array.fill[Byte](14)(0) ++

@@ -322,6 +322,11 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(hinted.nonEmpty, "ppl should broadcast its bounded LM frames")
       hinted.foreach(s => assert(s.contains("GlobalLimit"),
         s"broadcast frame does not derive from the top-V limit (unbounded LM?):\n$s"))
+      // the GlobalLimit test alone is too weak: the BIGRAM count frame
+      // also descends from the top-V join yet has a (V+1)² key space —
+      // it must never carry a hint (it joins unhinted; AQE decides)
+      hinted.foreach(s => assert(!s.contains("AS c_bg#"),
+        s"the bigram-keyed LM frame must stay unhinted ((V+1)² keys):\n$s"))
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
