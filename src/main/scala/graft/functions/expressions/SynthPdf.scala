@@ -19,9 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - [[graft.operators.DocParse.PageSize]]-char pages; page i shows
   *    its chunk as one BT…ET block at Tm origin
   *    (50 + 7i mod 100, 720 − 37i mod 600), font size 12;
-  *  - EVERY SECOND page's content stream is /FlateDecode-compressed
-  *    (java.util.zip.Deflater, deterministic), so the driver-gate
-  *    query exercises the codec path, not just the grammar;
+  *  - content-stream encodings cycle so the driver-gate query
+  *    exercises every codec path, not just the grammar: page i%4==3
+  *    is PNG-row-predicted under Flate, i%4==2 rides /LZWDecode
+  *    (EarlyChange=1), other odd pages are plain /FlateDecode
+  *    (java.util.zip.Deflater, deterministic), i%4==0 stays raw;
+  *  - a deterministic ~quarter of DOCS (text-md5 first byte mod 4)
+  *    ship RC4-128 standard-security encrypted (owner-locked, empty
+  *    user password) — transparent to the parse output, so the
+  *    oracle is unchanged while the gate exercises decryption;
   *  - every FIFTH page (i % 5 == 2) shows its chunk through a
   *    composite /Type0 /Identity-H font: the text rides a hex string
   *    of 2-byte CIDs (code = char + 0x0100) that [[ParsePdf]] must
@@ -115,6 +121,84 @@ object SynthPdf {
     out
   }
 
+  /** TIFF6/ISO 32000 LZW with the spec-default EarlyChange=1 timing
+    * (the encoder widens at table size 2^w — see [[ParsePdf.lzwDecode]]
+    * for the decoder's lagged threshold). Prefix table keyed by
+    * (prefixCode << 8 | byte) so encode stays O(n). */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    put(256)
+    if (data.nonEmpty) {
+      var prefix = data(0) & 0xFF
+      var i = 1
+      while (i < data.length) {
+        val k = (prefix << 8) | (data(i) & 0xFF)
+        val e = dict.get(k)
+        if (e != null) prefix = e.intValue()
+        else {
+          put(prefix)
+          if (next < 4096) {
+            dict.put(k, next); next += 1
+            if (next >= (1 << width) && width < 12) width += 1
+          }
+          prefix = data(i) & 0xFF
+        }
+        i += 1
+      }
+      put(prefix)
+    }
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  // ── standard security handler, forward direction (ISO 32000 §7.6.3):
+  // a deterministic share of synthetic docs ship RC4-128-encrypted
+  // (owner-locked, EMPTY user password — the openable crawl shape) so
+  // the driver's hash gate exercises the decryption path, not just the
+  // specs. All derivations recompute from the text alone.
+  private val PdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5b(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update); d.digest()
+  }
+
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = (0 until 256).toArray
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xFF)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    var i = 0; j = 0
+    data.map { b =>
+      i = (i + 1) & 0xFF; j = (j + s(i)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      (b ^ s((s(i) + s(j)) & 0xFF)).toByte
+    }
+  }
+
+  private val EncP = -44
+
+  /** Does this text's synthetic PDF ship encrypted? Deterministic in
+    * the text (md5 first byte mod 4), so the oracle's view of the
+    * PARSED output is unchanged — encryption is transparent. */
+  private[graft] def encrypts(text: String): Boolean =
+    (md5b(text.getBytes("UTF-8"))(0) & 0xFF) % 4 == 0
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
@@ -125,13 +209,44 @@ object SynthPdf {
     out.toByteArray
   }
 
-  private[expressions] def build(text: String): Array[Byte] = {
+  private[graft] def build(text: String): Array[Byte] = {
     val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val chunks =
       if (text.isEmpty) Seq.empty[String]
       else text.grouped(PageSize).toSeq
     val p = chunks.length
     val nImages = (0 until p).count(_ % 3 == 0)
+    // RC4-128 standard security for the deterministic doc share:
+    // Algorithm 3 (/O from the fixed owner password), Algorithm 2
+    // (file key, empty user password), Algorithm 5 (/U) — /ID = the
+    // text's md5, so everything recomputes from the text.
+    val docId = md5b(text.getBytes("UTF-8"))
+    // (file key, /O entry, /U entry) when this doc ships encrypted
+    val encState: Option[(Array[Byte], Array[Byte], Array[Byte])] =
+      if (!encrypts(text)) None
+      else {
+        val ownerPad = ("graft-owner".getBytes(latin1) ++ PdfPad).take(32)
+        var h = md5b(ownerPad)
+        (0 until 50).foreach(_ => h = md5b(h.take(16)))
+        val oKey = h.take(16)
+        var o = rc4(oKey, PdfPad)
+        (1 to 19).foreach(i => o = rc4(oKey.map(b => (b ^ i).toByte), o))
+        val pLe = Array[Byte](EncP.toByte, (EncP >> 8).toByte,
+          (EncP >> 16).toByte, (EncP >> 24).toByte)
+        var fh = md5b(PdfPad, o, pLe, docId)
+        (0 until 50).foreach(_ => fh = md5b(fh.take(16)))
+        val key = fh.take(16)
+        var t = md5b(PdfPad, docId)
+        (0 until 20).foreach(i => t = rc4(key.map(b => (b ^ i).toByte), t))
+        Some((key, o, t.take(16) ++ Array.fill[Byte](16)(0x61)))
+      }
+    def encBytes(num: Int, data: Array[Byte]): Array[Byte] = encState match {
+      case None => data
+      case Some((k, _, _)) =>
+        val ext = Array[Byte](num.toByte, (num >> 8).toByte,
+          (num >> 16).toByte, 0, 0)
+        rc4(md5b(k, ext).take(math.min(k.length + 5, 16)), data)
+    }
     val buf = new java.io.ByteArrayOutputStream(1024 + text.length * 2)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def emit(s: String): Unit = buf.write(s.getBytes(latin1))
@@ -153,8 +268,9 @@ object SynthPdf {
       "1 beginbfrange\n<0100> <01FF> <0000>\nendbfrange\nendcmap\n" +
       "CMapName currentdict /CMap defineresource pop\nend\n"
     obj(5) {
-      emit(s"<< /Length ${cmap.length} >>\nstream\n")
-      emit(cmap)
+      val cb = encBytes(5, cmap.getBytes(latin1))
+      emit(s"<< /Length ${cb.length} >>\nstream\n")
+      buf.write(cb)
       emit("\nendstream\n")
     }
     chunks.zipWithIndex.foreach { case (_, i) =>
@@ -185,17 +301,20 @@ object SynthPdf {
       // every 4th page routes through a PNG row predictor UNDER the
       // Flate stage (the /DecodeParms shape real writers emit for xref
       // streams and rasters) so the parse gate exercises the full
-      // unpredict path; other odd pages stay plain Flate
+      // unpredict path; pages at i%4==2 ride /LZWDecode (spec-default
+      // EarlyChange=1), other odd pages stay plain Flate
       val (body, filter) =
         if (i % 4 == 3)
           (deflate(pngPredict(raw, PredictorColumns)),
             " /Filter /FlateDecode /DecodeParms << /Predictor 12" +
               s" /Colors 1 /BitsPerComponent 8 /Columns $PredictorColumns >>")
+        else if (i % 4 == 2) (lzwEncode(raw), " /Filter /LZWDecode")
         else if (i % 2 == 1) (deflate(raw), " /Filter /FlateDecode")
         else (raw, "")
+      val enc = encBytes(6 + p + i, body)
       obj(6 + p + i) {
-        emit(s"<< /Length ${body.length}$filter >>\nstream\n")
-        buf.write(body)
+        emit(s"<< /Length ${enc.length}$filter >>\nstream\n")
+        buf.write(enc)
         emit("\nendstream\n")
       }
     }
@@ -206,20 +325,31 @@ object SynthPdf {
       val w = 100 + (i * 7) % 200
       val h = 80 + (i * 11) % 160
       obj(6 + 2 * p + j) {
+        val eimg = encBytes(6 + 2 * p + j, img)
         emit(s"<< /Type /XObject /Subtype /Image /Width $w /Height $h " +
           s"/ColorSpace /DeviceGray /BitsPerComponent 8 " +
-          s"/Length ${img.length} >>\nstream\n")
-        buf.write(img)
+          s"/Length ${eimg.length} >>\nstream\n")
+        buf.write(eimg)
         emit("\nendstream\n")
       }
     }
+    def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    val encNum = 6 + 2 * p + nImages
+    encState.foreach { case (_, o, u) =>
+      obj(encNum)(emit(s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
+        s"/P $EncP /O <${hex(o)}> /U <${hex(u)}> >>\n"))
+    }
     val xrefAt = buf.size()
-    val total = 6 + 2 * p + nImages
+    val total = 6 + 2 * p + nImages + (if (encState.isDefined) 1 else 0)
     emit(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) =>
       emit(f"$off%010d 00000 n \n")
     }
-    emit(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val encEntry = encState.map(_ =>
+      s" /Encrypt $encNum 0 R /ID [<${hex(docId)}> <${hex(docId)}>]")
+      .getOrElse("")
+    emit(s"trailer\n<< /Size $total /Root 1 0 R$encEntry >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
     buf.toByteArray
   }
 }

@@ -925,6 +925,29 @@ class DocParseSpec extends AnyFunSuite {
       .contains("unsupported /Predictor 7"))
   }
 
+  test("SynthPdf: LZW pages and the deterministic encrypted doc share round-trip") {
+    import graft.functions.expressions.{ParsePdf => PP, SynthPdf => SP}
+    // five 200-char pages → page 2 rides /LZWDecode (i%4==2); pick one
+    // text the md5 predicate encrypts and one it does not
+    def mk(tag: String): String =
+      (0 until 1000).map(i => ('a' + (i * 7 + tag.hashCode.abs + i * i) % 26).toChar)
+        .mkString
+    val texts = (0 until 64).map(i => mk(s"doc$i"))
+    val encTxt = texts.find(SP.encrypts).get
+    val plainTxt = texts.find(!SP.encrypts(_)).get
+    Seq(encTxt, plainTxt).foreach { t =>
+      val bytes = SP.build(t)
+      val s = new String(bytes, "ISO-8859-1")
+      assert(s.contains("/Filter /LZWDecode"), "page i%4==2 must ride LZW")
+      assert(s.contains("/Encrypt ") == SP.encrypts(t),
+        s"encryption share predicate mismatch for ${t.take(8)}")
+      val rows = parsePdfBytes(bytes)
+      val rt = rows.filter(_.getString(1) == "text_block")
+        .sortBy(_.getLong(0)).map(_.getString(3)).mkString
+      assert(rt == t, s"round-trip mismatch (encrypted=${SP.encrypts(t)})")
+    }
+  }
+
   test("empty documents synthesize to valid zero-page/zero-slide containers") {
     val rows = Seq("").toDF("t").select(
       size(graft.functions.expressions.ParsePdf(
