@@ -120,7 +120,7 @@ object LsaEncoder {
   /** The small-V fit: accumulate the V×V Gram XᵀX on the driver, take
     * its top-k eigenbasis (LAPACK dsyevd — eigenvalues ascend, so the
     * LAST k columns). */
-  private def primalProj(sample: Array[String], vocab: Array[String],
+  private[operators] def primalProj(sample: Array[String], vocab: Array[String],
       vIdx: Map[String, Int], idf: Array[Double], dim: Int,
       vocabSize: Int): Array[Array[Double]] = {
     val gram = Array.ofDim[Double](vocabSize, vocabSize)
@@ -158,7 +158,7 @@ object LsaEncoder {
     * Gram's eigenvector with the same eigenvalue, never materializing
     * anything V×V. All loops sequential in sample order → bit-stable
     * refits. */
-  private def dualProj(sample: Array[String], vocab: Array[String],
+  private[operators] def dualProj(sample: Array[String], vocab: Array[String],
       vIdx: Map[String, Int], idf: Array[Double], dim: Int,
       vocabSize: Int): Array[Array[Double]] = {
     val n = sample.length
