@@ -53,8 +53,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fonts, and composite Identity-H fonts (what real writers emit
   *    for non-Latin and subset-embedded text) decode their 2-byte
   *    CIDs through the font's embedded /ToUnicode CMap
-  *    (bfchar/bfrange, §9.10.3) selected per text run via Tf;
-  *    Identity-H WITHOUT /ToUnicode and predefined registry CMaps
+  *    (bfchar/bfrange, §9.10.3) selected per text run via Tf, or —
+  *    when no /ToUnicode ships — through the embedded TrueType
+  *    program's own cmap table inverted (CID → GID via /CIDToGIDMap,
+  *    GID → Unicode via [[TrueTypeCmap]]); predefined registry CMaps
   *    (GBK-EUC-H, UniJIS-…) fail loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
@@ -1004,10 +1006,12 @@ object ParsePdf {
   /** /Resources → /Font name → decode table: `None` = simple font
     * (Latin-1 string bytes, the historical scope), `Some(cmap)` = a
     * composite Identity-H font whose 2-byte CIDs decode through its
-    * embedded /ToUnicode CMap. Loud outside that: an Identity-H font
-    * WITHOUT /ToUnicode has no recoverable text, and predefined
-    * ordering CMaps (GBK-EUC-H, UniJIS-…, Identity-V) would need the
-    * Adobe registry files this library deliberately doesn't embed. */
+    * embedded /ToUnicode CMap — or, without one, through the embedded
+    * TrueType program's inverted cmap ([[cidMapFromEmbeddedFont]]).
+    * Loud outside that: an Identity-H font with NEITHER table has no
+    * recoverable text, and predefined ordering CMaps (GBK-EUC-H,
+    * UniJIS-…, Identity-V) would need the Adobe registry files this
+    * library deliberately doesn't embed. */
   private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String): Map[String, Option[Map[Int, String]]] = {
     val fo = resourceDict(doc, resourcesOf(doc, pageDict), "/Font")
@@ -1023,13 +1027,58 @@ object ParsePdf {
       fdict: String, objNum: Int): Option[Map[Int, String]] =
     """/Encoding\s*/([\w-]+)""".r.findFirstMatchIn(fdict).map(_.group(1)) match {
       case Some("Identity-H") =>
-        val tu = ref(fdict, "/ToUnicode").getOrElse(fail(
-          s"Identity-H font $objNum has no /ToUnicode CMap (text unrecoverable)"))
-        Some(parseToUnicode(latin1full(streamOf(doc, tu))))
+        ref(fdict, "/ToUnicode") match {
+          case Some(tu) => Some(parseToUnicode(latin1full(streamOf(doc, tu))))
+          case None => Some(cidMapFromEmbeddedFont(doc, fdict, objNum))
+        }
       case Some(e) if e.contains("-") => // Identity-V, GBK-EUC-H, UniJIS-…
         fail(s"unsupported composite-font CMap /$e in font $objNum")
       case _ => None // simple fonts: Latin-1 string bytes
     }
+
+  /** Identity-H WITHOUT /ToUnicode: the font's own embedded TrueType
+    * program is the remaining Unicode evidence — CID → GID through
+    * /CIDToGIDMap (/Identity, the spec default, or the 2-byte-BE
+    * stream form; ISO 32000 §9.7.4.3) and GID → Unicode through the
+    * font's `cmap` table inverted ([[TrueTypeCmap]]) — the
+    * PyMuPDF-class extractor fallback (reference vector_db.py:247's
+    * scope). Loud when nothing embedded can carry the mapping: silent
+    * recovery here would mojibake every CID run the font feeds. */
+  private def cidMapFromEmbeddedFont(
+      doc: Map[Int, (String, Option[Array[Byte]])], fdict: String,
+      objNum: Int): Map[Int, String] = {
+    def noWay(what: String): Nothing = fail(
+      s"Identity-H font $objNum has no /ToUnicode CMap and $what (text unrecoverable)")
+    val desc = """/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R""".r
+      .findFirstMatchIn(fdict).map(_.group(1).toInt)
+      .orElse(ref(fdict, "/DescendantFonts").flatMap(n => // indirect array
+        doc.get(n).map(_._1).flatMap(a =>
+          """(\d+)\s+\d+\s+R""".r.findFirstMatchIn(a).map(_.group(1).toInt))))
+      .getOrElse(noWay("no /DescendantFonts"))
+    val ddict = doc.get(desc).map(_._1)
+      .getOrElse(fail(s"missing descendant font object $desc"))
+    val fdescDict = ref(ddict, "/FontDescriptor")
+      .flatMap(n => doc.get(n).map(_._1))
+      .getOrElse(noWay(s"descendant font $desc has no /FontDescriptor"))
+    val fontFile = ref(fdescDict, "/FontFile2")
+      .getOrElse(noWay("no embedded /FontFile2"))
+    val g2u = TrueTypeCmap.glyphToUnicode(streamOf(doc, fontFile))
+    """/CIDToGIDMap\s*/(\w+)""".r.findFirstMatchIn(ddict)
+      .map(_.group(1)) match {
+      case Some("Identity") => g2u // CID == GID
+      case Some(other) =>
+        fail(s"unsupported /CIDToGIDMap /$other in descendant font $desc")
+      case None => ref(ddict, "/CIDToGIDMap") match {
+        case Some(mapObj) => // stream form: big-endian uint16 GID per CID
+          val tbl = streamOf(doc, mapObj)
+          (0 until tbl.length / 2).flatMap { cid =>
+            val gid = ((tbl(2 * cid) & 0xFF) << 8) | (tbl(2 * cid + 1) & 0xFF)
+            g2u.get(gid).map(cid -> _)
+          }.toMap
+        case None => g2u // absent → /Identity, the spec default
+      }
+    }
+  }
 
   private def latin1full(b: Array[Byte]): String = latin1(b, 0, b.length)
 

@@ -1122,4 +1122,146 @@ class DocParseSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](DocParse.records(pdfs, "docx"))
     assert(err.getMessage.contains("unknown container format"))
   }
+
+  // ---- Identity-H WITHOUT /ToUnicode: the embedded TrueType cmap ----
+
+  private def ttfU16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def ttfU32(v: Long): Array[Byte] = Array((v >> 24).toByte,
+    (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** A minimal-but-real sfnt with one cmap table. `sub` is the raw
+    * subtable; `platEnc` its (platformID, encodingID) record(s) — the
+    * LAST record points at `sub`, earlier ones at `decoy`. */
+  private def ttfFont(sub: Array[Byte], platEnc: Seq[(Int, Int)],
+      decoy: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val n = platEnc.length
+    val hdrLen = 4 + n * 8
+    val cmap = ttfU16(0) ++ ttfU16(n) ++
+      platEnc.zipWithIndex.flatMap { case ((p, e), i) =>
+        val off = if (i == n - 1) hdrLen + decoy.length else hdrLen
+        ttfU16(p) ++ ttfU16(e) ++ ttfU32(off)
+      } ++ decoy ++ sub
+    ttfU32(0x00010000L) ++ ttfU16(1) ++ ttfU16(0) ++ ttfU16(0) ++ ttfU16(0) ++
+      ttfU32(0x636D6170L) ++ ttfU32(0) ++ ttfU32(28) ++ ttfU32(cmap.length) ++
+      cmap
+  }
+
+  /** Format-4 subtable: H→1, i→2, !→3 via the idDelta arm and
+    * a,b,c→5,6,7 via the glyphIdArray (idRangeOffset) arm. */
+  private def fmt4Sub(): Array[Byte] = {
+    val ends = Seq(0x21, 0x48, 0x63, 0x69, 0xFFFF)
+    val starts = Seq(0x21, 0x48, 0x61, 0x69, 0xFFFF)
+    val deltas = Seq((3 - 0x21) & 0xFFFF, (1 - 0x48) & 0xFFFF, 0,
+      (2 - 0x69) & 0xFFFF, 1)
+    val ranges = Seq(0, 0, 2 * (ends.length - 2), 0, 0) // a..c → glyphIdArray[0..2]
+    val glyphs = Seq(5, 6, 7)
+    val len = 16 + 8 * ends.length + 2 * glyphs.length
+    ttfU16(4) ++ ttfU16(len) ++ ttfU16(0) ++ ttfU16(ends.length * 2) ++
+      ttfU16(0) ++ ttfU16(0) ++ ttfU16(0) ++
+      ends.flatMap(ttfU16).toArray ++ ttfU16(0) ++
+      starts.flatMap(ttfU16).toArray ++ deltas.flatMap(ttfU16).toArray ++
+      ranges.flatMap(ttfU16).toArray ++ glyphs.flatMap(ttfU16).toArray
+  }
+
+  /** An Identity-H page whose font embeds `fontBytes` and carries NO
+    * /ToUnicode; `cidToGid` is the descendant's /CIDToGIDMap entry. */
+  private def embeddedFontPdf(fontBytes: Array[Byte], content: String,
+      cidToGid: String = " /CIDToGIDMap /Identity",
+      gidStream: Option[Array[Byte]] = None): Array[Byte] = {
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font " +
+      "<< /F2 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n")
+    emit("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Emb " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n")
+    emit("6 0 obj << /Type /Font /Subtype /CIDFontType2" + cidToGid +
+      " /FontDescriptor 7 0 R >> endobj\n")
+    emit("7 0 obj << /Type /FontDescriptor /FontName /Emb /FontFile2 8 0 R >> endobj\n")
+    emit(s"8 0 obj << /Length ${fontBytes.length} >>\nstream\n")
+    pdf.write(fontBytes)
+    emit("\nendstream endobj\n")
+    gidStream.foreach { g =>
+      emit(s"9 0 obj << /Length ${g.length} >>\nstream\n")
+      pdf.write(g)
+      emit("\nendstream endobj\n")
+    }
+    emit("trailer << /Size 10 /Root 1 0 R >>\n%%EOF\n")
+    pdf.toByteArray
+  }
+
+  test("PDF: Identity-H without /ToUnicode decodes through the embedded TrueType cmap (format 4, both arms)") {
+    val content = "BT /F2 12 Tf <000100020005000600070003> Tj ET\n"
+    // explicit /CIDToGIDMap /Identity and the spec-default ABSENT form
+    Seq(" /CIDToGIDMap /Identity", "").foreach { c2g =>
+      val rows = parsePdfBytes(embeddedFontPdf(
+        ttfFont(fmt4Sub(), Seq((3, 1))), content, cidToGid = c2g))
+      assert(rows.length == 1 && rows(0).getString(3) == "Hiabc!",
+        s"cidToGid='$c2g': " + rows.toSeq.toString)
+    }
+  }
+
+  test("PDF: the stream /CIDToGIDMap remaps CIDs before the font cmap") {
+    // cid1→gid3(!), cid2→gid1(H), cid3→gid2(i)
+    val gidTable = Array[Byte](0, 0, 0, 3, 0, 1, 0, 2)
+    val rows = parsePdfBytes(embeddedFontPdf(
+      ttfFont(fmt4Sub(), Seq((3, 1))), "BT /F2 12 Tf <000100020003> Tj ET\n",
+      cidToGid = " /CIDToGIDMap 9 0 R", gidStream = Some(gidTable)))
+    assert(rows.length == 1 && rows(0).getString(3) == "!Hi",
+      rows.toSeq.toString)
+  }
+
+  test("PDF: a (3,10) format-12 subtable outranks the BMP table; astral glyphs decode as surrogate pairs") {
+    // decoy (3,1) format 4 maps A→gid1; the preferred (3,10) format 12
+    // maps U+1F600..01 → gid 1..2 — preference decides which wins
+    val decoy = {
+      val ends = Seq(0x41, 0xFFFF)
+      val starts = Seq(0x41, 0xFFFF)
+      val deltas = Seq((1 - 0x41) & 0xFFFF, 1)
+      ttfU16(4) ++ ttfU16(16 + 8 * 2) ++ ttfU16(0) ++ ttfU16(4) ++
+        ttfU16(0) ++ ttfU16(0) ++ ttfU16(0) ++
+        ends.flatMap(ttfU16).toArray ++ ttfU16(0) ++
+        starts.flatMap(ttfU16).toArray ++ deltas.flatMap(ttfU16).toArray ++
+        ttfU16(0) ++ ttfU16(0)
+    }
+    val fmt12 = ttfU16(12) ++ ttfU16(0) ++ ttfU32(16 + 12) ++ ttfU32(0) ++
+      ttfU32(1) ++ ttfU32(0x1F600L) ++ ttfU32(0x1F601L) ++ ttfU32(1)
+    val rows = parsePdfBytes(embeddedFontPdf(
+      ttfFont(fmt12, Seq((3, 1), (3, 10)), decoy = decoy),
+      "BT /F2 12 Tf <00010002> Tj ET\n"))
+    assert(rows.length == 1 && rows(0).getString(3) == "😀😁",
+      rows.toSeq.toString)
+  }
+
+  test("PDF: embedded-font cmap scope edges fail loudly") {
+    def err(bytes: Array[Byte]): String = {
+      val e = intercept[Exception](parsePdfBytes(bytes))
+      (Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+    }
+    val content = "BT /F2 12 Tf <0001> Tj ET\n"
+    // descendant chain present but no /FontFile2
+    val noFile = ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font " +
+      "<< /F2 5 0 R >> >> /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/DescendantFonts [6 0 R] >> endobj\n" +
+      "6 0 obj << /Type /Font /Subtype /CIDFontType2 /FontDescriptor 7 0 R >> endobj\n" +
+      "7 0 obj << /Type /FontDescriptor /FontName /Bare >> endobj\n" +
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(err(noFile).contains("no embedded /FontFile2"))
+    // a cmap subtable format the reader doesn't speak
+    val fmt6 = ttfU16(6) ++ ttfU16(14) ++ ttfU16(0) ++ ttfU16(0x41) ++
+      ttfU16(1) ++ ttfU16(1)
+    assert(err(embeddedFontPdf(ttfFont(fmt6, Seq((3, 1))), content))
+      .contains("unsupported cmap subtable format 6"))
+    // a font with no cmap table at all
+    val bare = ttfU32(0x00010000L) ++ ttfU16(1) ++ ttfU16(0) ++ ttfU16(0) ++
+      ttfU16(0) ++ ttfU32(0x676C7966L /* 'glyf' */) ++ ttfU32(0) ++
+      ttfU32(28) ++ ttfU32(4) ++ ttfU32(0)
+    assert(err(embeddedFontPdf(bare, content)).contains("no cmap table"))
+  }
 }
