@@ -32,14 +32,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    composite /Type0 /Identity-H font: the text rides a hex string
   *    of 2-byte CIDs (code = char + 0x0100) that [[ParsePdf]] must
   *    decode through the font's embedded /ToUnicode CMap (one
-  *    bfrange), so the driver gate exercises the CID path with the
-  *    SAME recovered text — the oracle is unchanged by encoding;
+  *    bfrange) — or, for a deterministic ~third of DOCS (text-md5
+  *    second byte mod 3), through an embedded TrueType program's own
+  *    cmap (/DescendantFonts → /FontFile2, NO /ToUnicode — the
+  *    [[TrueTypeCmap]] fallback), so the driver gate exercises BOTH
+  *    CID paths with the SAME recovered text — the oracle is
+  *    unchanged by encoding;
   *  - every third page embeds an image XObject: 8 ASCII bytes (the
   *    chunk's md5 prefix — base64 recomputable in SQL), placed by
   *    `q w 0 0 h x y cm /Im0 Do Q` with the GFT coordinate formulas;
   *  - object numbering is closed-form for the oracle: 1 catalog,
-  *    2 pages, 3 simple font, 4 CID font, 5 its /ToUnicode CMap,
-  *    pages at 6…5+p, contents at 6+p…5+2p, images at 6+2p+⌊i/3⌋.
+  *    2 pages, 3 simple font, 4 CID font, 5 its /ToUnicode CMap (or
+  *    its descendant font), pages at 6…5+p, contents at 6+p…5+2p,
+  *    images at 6+2p+⌊i/3⌋; the optional /Encrypt then the optional
+  *    font descriptor + /FontFile2 close the file.
   * Empty text → a valid zero-page PDF (parse = empty array). */
 case class SynthPdf(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -199,6 +205,37 @@ object SynthPdf {
   private[graft] def encrypts(text: String): Boolean =
     (md5b(text.getBytes("UTF-8"))(0) & 0xFF) % 4 == 0
 
+  /** Does this text's synthetic PDF carry its CID font in the
+    * embedded-program form — /DescendantFonts → /FontFile2, NO
+    * /ToUnicode — instead of the /ToUnicode CMap? Deterministic in the
+    * text (md5 SECOND byte mod 3 — independent of [[encrypts]], so the
+    * corpus covers all four combinations), and transparent to the
+    * parse output: the font's cmap recovers the same characters the
+    * bfrange did, so the oracle is unchanged while the driver gate
+    * exercises [[TrueTypeCmap]]. */
+  private[graft] def embedsFont(text: String): Boolean =
+    (md5b(text.getBytes("UTF-8"))(1) & 0xFF) % 3 == 0
+
+  /** The embedded TrueType program for the no-/ToUnicode share: a
+    * minimal sfnt whose (3,1) format-4 cmap maps char c → glyph
+    * c + 0x0100 in ONE idDelta segment — under /CIDToGIDMap /Identity
+    * that glyph IS the 2-byte CID the content stream emits, so the
+    * inverted cmap recovers exactly the bfrange's mapping. */
+  private[graft] val CidFontProgram: Array[Byte] = {
+    def u16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def u32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val sub = u16(4) ++ u16(32) ++ u16(0) ++ u16(4) ++
+      u16(0) ++ u16(0) ++ u16(0) ++
+      u16(0x00FF) ++ u16(0xFFFF) ++ u16(0) ++ // endCode[2], reservedPad
+      u16(0x0000) ++ u16(0xFFFF) ++ // startCode[2]
+      u16(0x0100) ++ u16(1) ++ // idDelta[2]
+      u16(0) ++ u16(0) // idRangeOffset[2]
+    val cmap = u16(0) ++ u16(1) ++ u16(3) ++ u16(1) ++ u32(12) ++ sub
+    u32(0x00010000L) ++ u16(1) ++ u16(0) ++ u16(0) ++ u16(0) ++
+      u32(0x636D6170L) ++ u32(0) ++ u32(28) ++ u32(cmap.length) ++ cmap
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(data); d.finish()
@@ -260,18 +297,31 @@ object SynthPdf {
     obj(2)(emit(s"<< /Type /Pages /Kids [$kids] /Count $p >>\n"))
     obj(3)(emit("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"))
     // the composite font: 2-byte CIDs (code = char + 0x0100) resolved
-    // through the one-bfrange /ToUnicode CMap below — the Identity-H
-    // shape real writers emit for subset-embedded text
+    // through the one-bfrange /ToUnicode CMap below — or, for the
+    // embedsFont doc share, through the embedded TrueType program's
+    // own cmap (/DescendantFonts → /FontFile2, NO /ToUnicode): the two
+    // Identity-H shapes real writers emit for subset-embedded text
+    val embed = embedsFont(text)
+    val tail = 6 + 2 * p + nImages
+    val encNum = tail
+    val fdNum = tail + (if (encState.isDefined) 1 else 0)
     obj(4)(emit("<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
-      "/Encoding /Identity-H /ToUnicode 5 0 R >>\n"))
-    val cmap = "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
-      "1 beginbfrange\n<0100> <01FF> <0000>\nendbfrange\nendcmap\n" +
-      "CMapName currentdict /CMap defineresource pop\nend\n"
-    obj(5) {
-      val cb = encBytes(5, cmap.getBytes(latin1))
-      emit(s"<< /Length ${cb.length} >>\nstream\n")
-      buf.write(cb)
-      emit("\nendstream\n")
+      "/Encoding /Identity-H " +
+      (if (embed) "/DescendantFonts [5 0 R]" else "/ToUnicode 5 0 R") +
+      " >>\n"))
+    if (embed)
+      obj(5)(emit("<< /Type /Font /Subtype /CIDFontType2 /BaseFont " +
+        s"/Synth-CID /CIDToGIDMap /Identity /FontDescriptor $fdNum 0 R >>\n"))
+    else {
+      val cmap = "/CIDInit /ProcSet findresource begin\nbegincmap\n" +
+        "1 beginbfrange\n<0100> <01FF> <0000>\nendbfrange\nendcmap\n" +
+        "CMapName currentdict /CMap defineresource pop\nend\n"
+      obj(5) {
+        val cb = encBytes(5, cmap.getBytes(latin1))
+        emit(s"<< /Length ${cb.length} >>\nstream\n")
+        buf.write(cb)
+        emit("\nendstream\n")
+      }
     }
     chunks.zipWithIndex.foreach { case (_, i) =>
       val res = new StringBuilder("/Font << /F1 3 0 R /F2 4 0 R >>")
@@ -334,13 +384,23 @@ object SynthPdf {
       }
     }
     def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
-    val encNum = 6 + 2 * p + nImages
     encState.foreach { case (_, o, u) =>
       obj(encNum)(emit(s"<< /Filter /Standard /V 2 /R 3 /Length 128 " +
         s"/P $EncP /O <${hex(o)}> /U <${hex(u)}> >>\n"))
     }
+    if (embed) {
+      obj(fdNum)(emit("<< /Type /FontDescriptor /FontName /Synth-CID " +
+        s"/Flags 4 /FontFile2 ${fdNum + 1} 0 R >>\n"))
+      obj(fdNum + 1) {
+        val fb = encBytes(fdNum + 1, CidFontProgram)
+        emit(s"<< /Length ${fb.length} >>\nstream\n")
+        buf.write(fb)
+        emit("\nendstream\n")
+      }
+    }
     val xrefAt = buf.size()
-    val total = 6 + 2 * p + nImages + (if (encState.isDefined) 1 else 0)
+    val total = tail + (if (encState.isDefined) 1 else 0) +
+      (if (embed) 2 else 0)
     emit(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) =>
       emit(f"$off%010d 00000 n \n")

@@ -925,7 +925,7 @@ class DocParseSpec extends AnyFunSuite {
       .contains("unsupported /Predictor 7"))
   }
 
-  test("SynthPdf: LZW pages and the deterministic encrypted doc share round-trip") {
+  test("SynthPdf: LZW pages and the encrypted x embedded-font doc shares round-trip") {
     import graft.functions.expressions.{ParsePdf => PP, SynthPdf => SP}
     // five 200-char pages → page 2 rides /LZWDecode (i%4==2); pick one
     // text the md5 predicate encrypts and one it does not
@@ -933,18 +933,25 @@ class DocParseSpec extends AnyFunSuite {
       (0 until 1000).map(i => ('a' + (i * 7 + tag.hashCode.abs + i * i) % 26).toChar)
         .mkString
     val texts = (0 until 64).map(i => mk(s"doc$i"))
-    val encTxt = texts.find(SP.encrypts).get
-    val plainTxt = texts.find(!SP.encrypts(_)).get
-    Seq(encTxt, plainTxt).foreach { t =>
+    // all four (encrypted × embedded-font) combinations must exist in
+    // a 64-doc draw and every one must round-trip identically
+    val combos = for (e <- Seq(true, false); f <- Seq(true, false)) yield (e, f)
+    combos.foreach { case (e, f) =>
+      val t = texts.find(t => SP.encrypts(t) == e && SP.embedsFont(t) == f)
+        .getOrElse(fail(s"no fixture text with encrypts=$e embedsFont=$f"))
       val bytes = SP.build(t)
       val s = new String(bytes, "ISO-8859-1")
       assert(s.contains("/Filter /LZWDecode"), "page i%4==2 must ride LZW")
-      assert(s.contains("/Encrypt ") == SP.encrypts(t),
+      assert(s.contains("/Encrypt ") == e,
         s"encryption share predicate mismatch for ${t.take(8)}")
+      assert(s.contains("/FontFile2") == f,
+        s"embedded-font share predicate mismatch for ${t.take(8)}")
+      assert(s.contains("/ToUnicode") == !f,
+        "the embedded-font form must carry NO /ToUnicode (that is the path under test)")
       val rows = parsePdfBytes(bytes)
       val rt = rows.filter(_.getString(1) == "text_block")
         .sortBy(_.getLong(0)).map(_.getString(3)).mkString
-      assert(rt == t, s"round-trip mismatch (encrypted=${SP.encrypts(t)})")
+      assert(rt == t, s"round-trip mismatch (encrypted=$e, embeddedFont=$f)")
     }
   }
 
