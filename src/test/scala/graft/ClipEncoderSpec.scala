@@ -186,5 +186,12 @@ class ClipEncoderSpec extends AnyFunSuite {
       assert(key(db.searchAnnIn("clip", q, 5, nProbe = 4).collect()) == key(exact),
         s"full-probe ANN must equal the exact scan for '$q'")
     }
+    // the PQ serving surface over the learned space: full probe +
+    // full shortlist reproduces the exact scan (the LSA/SGNS contract)
+    val n = spark.read.parquet(db.annPath("clip")).count().toInt
+    val q = "a 64x60 png image"
+    assert(key(db.searchAnnPqIn("clip", q, 5, nProbe = 4, shortlist = n)
+      .collect()) == key(db.searchIn("clip", q, 5).collect()),
+      "full-shortlist PQ over the clip space must equal its exact scan")
   }
 }
