@@ -98,11 +98,15 @@ case class ParsePdf(child: Expression)
     val doc = ParsePdf.parseObjects(bytes)
     val pages = ParsePdf.pageOrder(doc)
     val out = ArrayBuffer.empty[Any]
+    // per-DOCUMENT font-table memo: pages routinely share fonts, and
+    // the embedded-font fallback inflates + inverts a whole TrueType
+    // program — O(font) once, not O(pages × font)
+    val fontCache = new java.util.HashMap[Integer, Option[Map[Int, String]]]()
     pages.zipWithIndex.foreach { case (pageObj, pageIdx) =>
       val pageDict = doc(pageObj)._1
       val content = ParsePdf.contentsOf(doc, pageDict)
       val xobjects = ParsePdf.xobjectsOf(doc, pageDict)
-      val fonts = ParsePdf.fontsOf(doc, pageDict)
+      val fonts = ParsePdf.fontsOf(doc, pageDict, fontCache)
       var blockIdx = 0
       ParsePdf.interpret(content, xobjects, fonts, doc,
         onText = (text, x0, y0, x1, y1) => {
@@ -1013,13 +1017,21 @@ object ParsePdf {
     * UniJIS-…, Identity-V) would need the Adobe registry files this
     * library deliberately doesn't embed. */
   private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
-      pageDict: String): Map[String, Option[Map[Int, String]]] = {
+      pageDict: String,
+      cache: java.util.HashMap[Integer, Option[Map[Int, String]]])
+      : Map[String, Option[Map[Int, String]]] = {
     val fo = resourceDict(doc, resourcesOf(doc, pageDict), "/Font")
     """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fo).map { m =>
       val objNum = m.group(2).toInt
-      val fdict = doc.get(objNum).map(_._1)
-        .getOrElse(fail(s"missing font object $objNum"))
-      m.group(1) -> cidMapOf(doc, fdict, objNum)
+      val cached = cache.get(objNum)
+      m.group(1) -> (if (cached != null) cached
+      else {
+        val fdict = doc.get(objNum).map(_._1)
+          .getOrElse(fail(s"missing font object $objNum"))
+        val v = cidMapOf(doc, fdict, objNum)
+        cache.put(objNum, v)
+        v
+      })
     }.toMap
   }
 
@@ -1175,7 +1187,8 @@ object ParsePdf {
           raw.grouped(2).map { p =>
             val code = ((p(0) & 0xFF) << 8) | (p(1) & 0xFF)
             cmap.getOrElse(code,
-              fail(f"CID 0x$code%04X has no /ToUnicode mapping"))
+              fail(f"CID 0x$code%04X has no Unicode mapping in the " +
+                "font's /ToUnicode CMap or embedded cmap"))
           }.mkString
       }
       if (blockAnchor.isEmpty) {

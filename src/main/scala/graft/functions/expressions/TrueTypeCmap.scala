@@ -50,12 +50,22 @@ object TrueTypeCmap {
       ((u16(rec), u16(rec + 2)), cm + u32(rec + 4).toInt)
     }
     val pref = Seq((3, 10), (0, 6), (0, 4), (0, 3), (3, 1), (0, 2), (0, 1), (0, 0))
-    val sub = pref.collectFirst {
-      case want if subs.exists(_._1 == want) => subs.find(_._1 == want).get._2
-    }.getOrElse(fail(s"no Unicode cmap subtable among ${
-      subs.map(_._1).mkString(", ")}"))
+    val sub = pref.iterator.flatMap(w => subs.find(_._1 == w)).map(_._2)
+      .nextOption()
+      .getOrElse(fail(s"no Unicode cmap subtable among ${
+        subs.map(_._1).mkString(", ")}"))
     // invert char→glyph visiting chars ASCENDING so the lowest code
-    // point claims a glyph shared by several characters
+    // point claims a glyph shared by several characters. Work is
+    // BUDGETED: a real font maps ≪ 2·64k characters (glyph ids are
+    // u16), so a table demanding more is hostile or corrupt — loud,
+    // not a million-insert stall repeated per document
+    val Budget = 1 << 21
+    var visited = 0
+    def spend(n: Long): Unit = {
+      visited += math.min(n, Int.MaxValue.toLong).toInt
+      if (visited > Budget || visited < 0)
+        fail(s"cmap maps more than $Budget characters")
+    }
     val out = new java.util.TreeMap[Int, Int]() // char → glyph
     u16(sub) match {
       case 4 =>
@@ -73,6 +83,8 @@ object TrueTypeCmap {
             fail(f"format-4 segment $i start 0x$start%04X > end 0x$end%04X")
           val delta = u16(deltaBase + i * 2)
           val rangeOff = u16(rangeBase + i * 2)
+          if (!(start == 0xFFFF && end == 0xFFFF))
+            spend(end - start + 1L)
           var c = start
           while (c <= end) {
             if (c != 0xFFFF) { // the required sentinel segment maps nothing
@@ -99,11 +111,19 @@ object TrueTypeCmap {
           val startGid = u32(rec + 8)
           if (endChar < startChar || endChar > 0x10FFFFL)
             fail(f"format-12 group $g range 0x$startChar%X..0x$endChar%X")
-          var c = startChar
-          while (c <= endChar) {
-            val gid = (startGid + (c - startChar)).toInt
-            if (gid != 0 && !out.containsKey(c.toInt)) out.put(c.toInt, gid)
-            c += 1
+          // glyph ids are u16 in a TrueType font: anything past
+          // startGid + 0xFFFF can never be referenced, so the walk
+          // stops at the last representable gid
+          val capEnd = math.min(endChar,
+            startChar + math.max(0L, 0xFFFFL - startGid))
+          if (startGid <= 0xFFFFL) {
+            spend(capEnd - startChar + 1L)
+            var c = startChar
+            while (c <= capEnd) {
+              val gid = (startGid + (c - startChar)).toInt
+              if (gid != 0 && !out.containsKey(c.toInt)) out.put(c.toInt, gid)
+              c += 1
+            }
           }
           g += 1
         }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Cross-modal channel scale probe (round 11): fit [[graft.operators
   * .ClipEncoder]] on a synthetic image corpus (REAL container headers
-  * over a 64×64 dims grid × 3 formats, pseudo-random bodies) three
+  * over an 8×8 dims grid × 3 formats, pseudo-random bodies) three
   * orders of magnitude past the spec plant, then time a warm
   * full-corpus in-plan encode pass through the fused ClipImageEncode
   * expression and measure held-out cross-modal recall@1 on images with

@@ -902,7 +902,7 @@ class DocParseSpec extends AnyFunSuite {
       "BT /F2 12 Tf <9999> Tj ET\n",
       extra = s"6 0 obj << /Length ${cmapSmall.length} >>\nstream\n" +
         s"$cmapSmall\nendstream endobj\n"))
-      .contains("no /ToUnicode mapping"))
+      .contains("no Unicode mapping"))
     // a declared PNG predictor whose row shape doesn't divide the
     // stream would emit scrambled text — loud, not silent garbage
     val s = "BT (x) Tj ET\n" // 13 bytes: not a multiple of (4+1)
