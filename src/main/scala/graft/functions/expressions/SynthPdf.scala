@@ -161,6 +161,16 @@ object SynthPdf {
         i += 1
       }
       put(prefix)
+      // the decoder builds one more table entry from this final code
+      // and sizes its NEXT read from that table — when the final code
+      // is exactly the one that carries the table to 2^w - 1 (the
+      // 254th-code tail boundary), EOD must be written at the widened
+      // width the decoder will read it with. Mid-stream emits don't
+      // need this: the add-then-check above stays one entry AHEAD of
+      // the decoder, but the final emit adds nothing, so the encoder
+      // and decoder tables are EQUAL here and the threshold shifts by
+      // one.
+      if (next >= (1 << width) - 1 && width < 12) width += 1
     }
     put(257)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)

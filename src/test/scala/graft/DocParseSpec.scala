@@ -247,7 +247,13 @@ class DocParseSpec extends AnyFunSuite {
         w = Seq(b)
       }
     }
-    if (w.nonEmpty) put(dict(w))
+    if (w.nonEmpty) {
+      put(dict(w))
+      // tail boundary: the decoder adds an entry for this final code
+      // before reading EOD — encoder and decoder tables are EQUAL here
+      // (no add above), so the width check shifts by one entry
+      if (next >= (1 << width) - earlyChange && width < 12) width += 1
+    }
     put(257)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
     out.toByteArray
@@ -923,6 +929,30 @@ class DocParseSpec extends AnyFunSuite {
       deflate(s) ++ ("\nendstream endobj\n" +
       "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1"))
       .contains("unsupported /Predictor 7"))
+  }
+
+  test("LZW: the 254th-code tail boundary round-trips (EOD rides the widened width)") {
+    import graft.functions.expressions.{ParsePdf => PP, SynthPdf => SP}
+    // 254 distinct bytes → every pair is a dict miss → exactly 254
+    // data codes and the table hits 2^9 - 1 = 511 ON the final code:
+    // the decoder's add-for-the-final-code widens it to 10 bits before
+    // reading EOD, so the encoder must write a 10-bit EOD. Found live
+    // at sf1 (82/50000 synthetic docs — any CID page whose hex content
+    // compresses to exactly 254 codes); neighbors pin both sides of
+    // the boundary, and the longer lengths cross it mid-stream.
+    Seq(250, 253, 254, 255, 256, 300, 600, 1200).foreach { n =>
+      val data = Array.tabulate(n)(i => i.toByte)
+      val rt = PP.lzwDecode(SP.lzwEncode(data))
+      assert(java.util.Arrays.equals(rt, data),
+        s"in-repo encoder round-trip failed at n=$n")
+      val rt1 = PP.lzwDecode(lzw(data), earlyChange = 1)
+      assert(java.util.Arrays.equals(rt1, data),
+        s"spec encoder EC=1 round-trip failed at n=$n")
+      // EC=0 shifts the boundary by one: n=255 is ITS tail case
+      val rt0 = PP.lzwDecode(lzw(data, earlyChange = 0), earlyChange = 0)
+      assert(java.util.Arrays.equals(rt0, data),
+        s"spec encoder EC=0 round-trip failed at n=$n")
+    }
   }
 
   test("SynthPdf: LZW pages and the encrypted x embedded-font doc shares round-trip") {
