@@ -56,8 +56,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (bfchar/bfrange, §9.10.3) selected per text run via Tf, or —
   *    when no /ToUnicode ships — through the embedded TrueType
   *    program's own cmap table inverted (CID → GID via /CIDToGIDMap,
-  *    GID → Unicode via [[TrueTypeCmap]]); predefined registry CMaps
-  *    (GBK-EUC-H, UniJIS-…) fail loudly;
+  *    GID → Unicode via [[TrueTypeCmap]]); Identity-V decodes the
+  *    same way (vertical mode shapes layout, not content); predefined
+  *    registry CMaps (GBK-EUC-H, UniJIS-…) fail loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
   *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
@@ -101,7 +102,7 @@ case class ParsePdf(child: Expression)
     // per-DOCUMENT font-table memo: pages routinely share fonts, and
     // the embedded-font fallback inflates + inverts a whole TrueType
     // program — O(font) once, not O(pages × font)
-    val fontCache = new java.util.HashMap[Integer, Option[Map[Int, String]]]()
+    val fontCache = new java.util.HashMap[Integer, ParsePdf.FontMode]()
     pages.zipWithIndex.foreach { case (pageObj, pageIdx) =>
       val pageDict = doc(pageObj)._1
       val content = ParsePdf.contentsOf(doc, pageDict)
@@ -1007,19 +1008,20 @@ object ParsePdf {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
-  /** /Resources → /Font name → decode table: `None` = simple font
-    * (Latin-1 string bytes, the historical scope), `Some(cmap)` = a
-    * composite Identity-H font whose 2-byte CIDs decode through its
-    * embedded /ToUnicode CMap — or, without one, through the embedded
-    * TrueType program's inverted cmap ([[cidMapFromEmbeddedFont]]).
-    * Loud outside that: an Identity-H font with NEITHER table has no
+  /** /Resources → /Font name → [[FontMode]]: [[SimpleFont]] reads
+    * string bytes as Latin-1 (the historical scope), [[DiffFont]]
+    * overlays a /Differences glyph-name remap on that base, and
+    * [[CidFont]] decodes composite Identity 2-byte CIDs through the
+    * /ToUnicode CMap — or, without one, through the embedded TrueType
+    * program's inverted cmap ([[cidMapFromEmbeddedFont]]). Loud
+    * outside that: an Identity font with NEITHER table has no
     * recoverable text, and predefined ordering CMaps (GBK-EUC-H,
-    * UniJIS-…, Identity-V) would need the Adobe registry files this
+    * UniJIS-…) would need the Adobe registry files this
     * library deliberately doesn't embed. */
   private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String,
-      cache: java.util.HashMap[Integer, Option[Map[Int, String]]])
-      : Map[String, Option[Map[Int, String]]] = {
+      cache: java.util.HashMap[Integer, FontMode])
+      : Map[String, FontMode] = {
     val fo = resourceDict(doc, resourcesOf(doc, pageDict), "/Font")
     """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fo).map { m =>
       val objNum = m.group(2).toInt
@@ -1036,17 +1038,84 @@ object ParsePdf {
   }
 
   private def cidMapOf(doc: Map[Int, (String, Option[Array[Byte]])],
-      fdict: String, objNum: Int): Option[Map[Int, String]] =
-    """/Encoding\s*/([\w-]+)""".r.findFirstMatchIn(fdict).map(_.group(1)) match {
-      case Some("Identity-H") =>
+      fdict: String, objNum: Int): FontMode = {
+    // an inline `/Encoding << … >>` dict contains `/Type /Encoding`,
+    // which the bare-name scan would misread as `/Encoding /Type…` —
+    // dict form short-circuits to the /Differences path
+    val encName =
+      if ("""/Encoding\s*<<""".r.findFirstIn(fdict).isDefined) None
+      else """/Encoding\s*/([\w-]+)""".r.findFirstMatchIn(fdict).map(_.group(1))
+    encName match {
+      // Identity-V is the same identity CID mapping in vertical
+      // writing mode (ISO 32000 §9.7.5.2) — CONTENT decodes
+      // identically; the writing direction only shapes glyph
+      // placement, which the block bbox already only estimates
+      case Some("Identity-H") | Some("Identity-V") =>
         ref(fdict, "/ToUnicode") match {
-          case Some(tu) => Some(parseToUnicode(latin1full(streamOf(doc, tu))))
-          case None => Some(cidMapFromEmbeddedFont(doc, fdict, objNum))
+          case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
+          case None => CidFont(cidMapFromEmbeddedFont(doc, fdict, objNum))
         }
-      case Some(e) if e.contains("-") => // Identity-V, GBK-EUC-H, UniJIS-…
+      case Some(e) if e.contains("-") => // GBK-EUC-H, UniJIS-…
         fail(s"unsupported composite-font CMap /$e in font $objNum")
-      case _ => None // simple fonts: Latin-1 string bytes
+      case Some(_) => SimpleFont // /WinAnsiEncoding etc.: Latin-1 scope
+      case None =>
+        // a DICT-form or indirect /Encoding may carry /Differences —
+        // the per-code glyph-name remap TeX-class and older-Office
+        // writers emit constantly; decoding those bytes as Latin-1
+        // would be silent mojibake
+        encodingDictOf(doc, fdict) match {
+          case Some(enc) if enc.contains("/Differences") =>
+            val m = diffTable(enc, objNum)
+            if (m.isEmpty) SimpleFont else DiffFont(m)
+          case _ => SimpleFont
+        }
     }
+  }
+
+  /** The /Encoding DICTIONARY of a simple font — the inline `<< … >>`
+    * form or an indirect reference; None when /Encoding is absent or a
+    * bare name. */
+  private def encodingDictOf(doc: Map[Int, (String, Option[Array[Byte]])],
+      fdict: String): Option[String] =
+    """/Encoding\s*<<""".r.findFirstMatchIn(fdict)
+      .map(m => balancedDict(fdict, m.end - 2))
+      .orElse(ref(fdict, "/Encoding").flatMap(n => doc.get(n).map(_._1)))
+
+  /** The `<< … >>` substring starting at `from` (which must point at
+    * the opening `<<`), tracking nesting. */
+  private def balancedDict(s: String, from: Int): String = {
+    var i = from + 2
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) { depth -= 1; i += 2 }
+      else i += 1
+    }
+    if (depth != 0) fail("unterminated /Encoding dictionary")
+    s.substring(from, i)
+  }
+
+  /** /Differences array → byte code → text (ISO 32000 §9.6.5.1: an
+    * integer sets the next code, each following name claims a code).
+    * Names resolve through [[glyphText]] — loud on names outside the
+    * implemented Adobe-Glyph-List subset, never silent garbage. */
+  private def diffTable(enc: String, objNum: Int): Map[Int, String] = {
+    val body = """/Differences\s*\[([^\]]*)\]""".r.findFirstMatchIn(enc)
+      .map(_.group(1))
+      .getOrElse(fail(s"malformed /Differences array in font $objNum"))
+    val out = Map.newBuilder[Int, String]
+    var code = -1
+    """(\d+)|/([^\s/\[\]<>()]+)""".r.findAllMatchIn(body).foreach { m =>
+      if (m.group(1) != null) code = m.group(1).toInt
+      else {
+        if (code < 0 || code > 255)
+          fail(s"/Differences name /${m.group(2)} outside byte range in font $objNum")
+        out += code -> glyphText(m.group(2))
+        code += 1
+      }
+    }
+    out.result()
+  }
 
   /** Identity-H WITHOUT /ToUnicode: the font's own embedded TrueType
     * program is the remaining Unicode evidence — CID → GID through
@@ -1060,7 +1129,7 @@ object ParsePdf {
       doc: Map[Int, (String, Option[Array[Byte]])], fdict: String,
       objNum: Int): Map[Int, String] = {
     def noWay(what: String): Nothing = fail(
-      s"Identity-H font $objNum has no /ToUnicode CMap and $what (text unrecoverable)")
+      s"Identity font $objNum has no /ToUnicode CMap and $what (text unrecoverable)")
     val desc = """/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R""".r
       .findFirstMatchIn(fdict).map(_.group(1).toInt)
       .orElse(ref(fdict, "/DescendantFonts").flatMap(n => // indirect array
@@ -1093,6 +1162,110 @@ object ParsePdf {
   }
 
   private def latin1full(b: Array[Byte]): String = latin1(b, 0, b.length)
+
+  /** How the current font turns string-token bytes into text. */
+  private[expressions] sealed trait FontMode
+  /** Latin-1 bytes — the standard simple-font scope. */
+  private[expressions] case object SimpleFont extends FontMode
+  /** Composite Identity font: 2-byte CIDs through `map`. */
+  private[expressions] final case class CidFont(map: Map[Int, String])
+      extends FontMode
+  /** Simple font with /Differences: remapped bytes read through `map`,
+    * the rest stay Latin-1 (the base-encoding scope). */
+  private[expressions] final case class DiffFont(map: Map[Int, String])
+      extends FontMode
+
+  /** Glyph name → text: the AGL `uniXXXX`/`uXXXXXX` rules plus the
+    * Adobe-Glyph-List subset covering Standard/WinAnsi/Latin-1 names
+    * (the names real /Differences arrays carry). Unknown names fail
+    * loudly — emitting the name's bytes would be silent mojibake. */
+  private[expressions] def glyphText(name: String): String = {
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    if (name.length >= 7 && name.startsWith("uni") &&
+        (name.length - 3) % 4 == 0 && name.drop(3).forall(isHex))
+      // uniXXXX[XXXX…]: UTF-16 code units, surrogate pairs allowed
+      name.drop(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+    else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+        name.drop(1).forall(isHex)) {
+      val cp = Integer.parseInt(name.drop(1), 16)
+      if (cp > 0x10FFFF) fail(s"glyph name /$name encodes no valid code point")
+      new String(Character.toChars(cp))
+    } else Agl.getOrElse(name,
+      fail(s"glyph name /$name has no known Unicode mapping"))
+  }
+
+  /** The Adobe Glyph List subset for the Standard / WinAnsi / Latin-1
+    * name space (AGL is public, Adobe Type Tools). ASCII names are
+    * generated (their names ARE conventions over the char), the rest
+    * enumerated. */
+  private val Agl: Map[String, String] = {
+    val ascii = Seq(
+      "space" -> 0x20, "exclam" -> 0x21, "quotedbl" -> 0x22,
+      "numbersign" -> 0x23, "dollar" -> 0x24, "percent" -> 0x25,
+      "ampersand" -> 0x26, "quotesingle" -> 0x27, "parenleft" -> 0x28,
+      "parenright" -> 0x29, "asterisk" -> 0x2A, "plus" -> 0x2B,
+      "comma" -> 0x2C, "hyphen" -> 0x2D, "period" -> 0x2E, "slash" -> 0x2F,
+      "zero" -> 0x30, "one" -> 0x31, "two" -> 0x32, "three" -> 0x33,
+      "four" -> 0x34, "five" -> 0x35, "six" -> 0x36, "seven" -> 0x37,
+      "eight" -> 0x38, "nine" -> 0x39, "colon" -> 0x3A, "semicolon" -> 0x3B,
+      "less" -> 0x3C, "equal" -> 0x3D, "greater" -> 0x3E, "question" -> 0x3F,
+      "at" -> 0x40, "bracketleft" -> 0x5B, "backslash" -> 0x5C,
+      "bracketright" -> 0x5D, "asciicircum" -> 0x5E, "underscore" -> 0x5F,
+      "grave" -> 0x60, "braceleft" -> 0x7B, "bar" -> 0x7C,
+      "braceright" -> 0x7D, "asciitilde" -> 0x7E) ++
+      (0 until 26).map(i => ('A' + i).toChar.toString -> (0x41 + i)) ++
+      (0 until 26).map(i => ('a' + i).toChar.toString -> (0x61 + i))
+    val latin1Sup = Seq(
+      "exclamdown" -> 0xA1, "cent" -> 0xA2, "sterling" -> 0xA3,
+      "currency" -> 0xA4, "yen" -> 0xA5, "brokenbar" -> 0xA6,
+      "section" -> 0xA7, "dieresis" -> 0xA8, "copyright" -> 0xA9,
+      "ordfeminine" -> 0xAA, "guillemotleft" -> 0xAB, "logicalnot" -> 0xAC,
+      "registered" -> 0xAE, "macron" -> 0xAF, "degree" -> 0xB0,
+      "plusminus" -> 0xB1, "twosuperior" -> 0xB2, "threesuperior" -> 0xB3,
+      "acute" -> 0xB4, "mu" -> 0xB5, "paragraph" -> 0xB6,
+      "periodcentered" -> 0xB7, "cedilla" -> 0xB8, "onesuperior" -> 0xB9,
+      "ordmasculine" -> 0xBA, "guillemotright" -> 0xBB, "onequarter" -> 0xBC,
+      "onehalf" -> 0xBD, "threequarters" -> 0xBE, "questiondown" -> 0xBF,
+      "Agrave" -> 0xC0, "Aacute" -> 0xC1, "Acircumflex" -> 0xC2,
+      "Atilde" -> 0xC3, "Adieresis" -> 0xC4, "Aring" -> 0xC5, "AE" -> 0xC6,
+      "Ccedilla" -> 0xC7, "Egrave" -> 0xC8, "Eacute" -> 0xC9,
+      "Ecircumflex" -> 0xCA, "Edieresis" -> 0xCB, "Igrave" -> 0xCC,
+      "Iacute" -> 0xCD, "Icircumflex" -> 0xCE, "Idieresis" -> 0xCF,
+      "Eth" -> 0xD0, "Ntilde" -> 0xD1, "Ograve" -> 0xD2, "Oacute" -> 0xD3,
+      "Ocircumflex" -> 0xD4, "Otilde" -> 0xD5, "Odieresis" -> 0xD6,
+      "multiply" -> 0xD7, "Oslash" -> 0xD8, "Ugrave" -> 0xD9,
+      "Uacute" -> 0xDA, "Ucircumflex" -> 0xDB, "Udieresis" -> 0xDC,
+      "Yacute" -> 0xDD, "Thorn" -> 0xDE, "germandbls" -> 0xDF,
+      "agrave" -> 0xE0, "aacute" -> 0xE1, "acircumflex" -> 0xE2,
+      "atilde" -> 0xE3, "adieresis" -> 0xE4, "aring" -> 0xE5, "ae" -> 0xE6,
+      "ccedilla" -> 0xE7, "egrave" -> 0xE8, "eacute" -> 0xE9,
+      "ecircumflex" -> 0xEA, "edieresis" -> 0xEB, "igrave" -> 0xEC,
+      "iacute" -> 0xED, "icircumflex" -> 0xEE, "idieresis" -> 0xEF,
+      "eth" -> 0xF0, "ntilde" -> 0xF1, "ograve" -> 0xF2, "oacute" -> 0xF3,
+      "ocircumflex" -> 0xF4, "otilde" -> 0xF5, "odieresis" -> 0xF6,
+      "divide" -> 0xF7, "oslash" -> 0xF8, "ugrave" -> 0xF9,
+      "uacute" -> 0xFA, "ucircumflex" -> 0xFB, "udieresis" -> 0xFC,
+      "yacute" -> 0xFD, "thorn" -> 0xFE, "ydieresis" -> 0xFF)
+    val typographic = Seq(
+      "quoteleft" -> 0x2018, "quoteright" -> 0x2019,
+      "quotesinglbase" -> 0x201A, "quotedblleft" -> 0x201C,
+      "quotedblright" -> 0x201D, "quotedblbase" -> 0x201E,
+      "endash" -> 0x2013, "emdash" -> 0x2014, "bullet" -> 0x2022,
+      "ellipsis" -> 0x2026, "dagger" -> 0x2020, "daggerdbl" -> 0x2021,
+      "perthousand" -> 0x2030, "guilsinglleft" -> 0x2039,
+      "guilsinglright" -> 0x203A, "florin" -> 0x0192,
+      "fraction" -> 0x2044, "minus" -> 0x2212, "Euro" -> 0x20AC,
+      "trademark" -> 0x2122, "OE" -> 0x0152, "oe" -> 0x0153,
+      "Scaron" -> 0x0160, "scaron" -> 0x0161, "Ydieresis" -> 0x0178,
+      "Zcaron" -> 0x017D, "zcaron" -> 0x017E, "circumflex" -> 0x02C6,
+      "tilde" -> 0x02DC, "breve" -> 0x02D8, "dotaccent" -> 0x02D9,
+      "ring" -> 0x02DA, "ogonek" -> 0x02DB, "hungarumlaut" -> 0x02DD,
+      "caron" -> 0x02C7, "dotlessi" -> 0x0131, "Lslash" -> 0x0141,
+      "lslash" -> 0x0142, "fi" -> 0xFB01, "fl" -> 0xFB02)
+    (ascii ++ latin1Sup ++ typographic)
+      .map { case (n, cp) => n -> new String(Character.toChars(cp)) }.toMap
+  }
 
   /** A /ToUnicode CMap's code → text mapping (ISO 32000 §9.10.3 /
     * Adobe CMap grammar, the bfchar/bfrange subset every PDF writer
@@ -1147,7 +1320,7 @@ object ParsePdf {
     * text block per BT…ET and one image per `Do` of an /Image
     * XObject. */
   private def interpret(content: Array[Byte], xobjects: Map[String, Int],
-      fonts: Map[String, Option[Map[Int, String]]],
+      fonts: Map[String, FontMode],
       doc: Map[Int, (String, Option[Array[Byte]])],
       onText: (String, Double, Double, Double, Double) => Unit,
       onImage: (Int, Array[Byte], Double, Double, Double, Double) => Unit): Unit = {
@@ -1165,8 +1338,8 @@ object ParsePdf {
     var tm: Mat = id   // text line matrix (leading tracked via TL)
     var leading = 0.0
     var fontSize = 12.0
-    // current font's CID decode table (None = simple font, Latin-1)
-    var curCid: Option[Map[Int, String]] = None
+    // current font's byte → text mode (simple Latin-1 / CID / diff)
+    var curFont: FontMode = SimpleFont
     var blockText = new StringBuilder
     var blockChars = 0
     var blockAnchor: Option[(Double, Double)] = None
@@ -1176,12 +1349,15 @@ object ParsePdf {
       case other => fail(s"expected number operand, got $other")
     }
     def show(raw: String): Unit = {
-      // string tokens carry one BYTE per char; composite Identity-H
-      // fonts remap 2-byte CIDs through the font's /ToUnicode CMap,
-      // simple fonts read the bytes as Latin-1 (the token form)
-      val s = curCid match {
-        case None => raw
-        case Some(cmap) =>
+      // string tokens carry one BYTE per char; composite Identity
+      // fonts remap 2-byte CIDs through the font's decode table,
+      // /Differences fonts overlay named bytes, simple fonts read
+      // the bytes as Latin-1 (the token form)
+      val s = curFont match {
+        case SimpleFont => raw
+        case DiffFont(m) =>
+          raw.flatMap(c => m.getOrElse(c.toInt, c.toString))
+        case CidFont(cmap) =>
           if (raw.length % 2 != 0)
             fail("odd-length string shown with a 2-byte CID font")
           raw.grouped(2).map { p =>
@@ -1231,7 +1407,7 @@ object ParsePdf {
               // a name the Resources table doesn't carry keeps the
               // prior decode mode (the recovery rule: damaged
               // resources shouldn't kill a simple-font page)
-              fonts.get(fname).foreach(curCid = _)
+              fonts.get(fname).foreach(curFont = _)
             case _ => ()
           }
           operands.clear()

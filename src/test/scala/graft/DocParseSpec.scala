@@ -1240,6 +1240,17 @@ class DocParseSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF: Identity-V decodes like Identity-H (vertical mode shapes layout, not content)") {
+    val content = "BT /F2 12 Tf <000100020003> Tj ET\n"
+    val pdf = embeddedFontPdf(ttfFont(fmt4Sub(), Seq((3, 1))), content)
+    val vertical = new String(pdf, "ISO-8859-1")
+      .replace("/Encoding /Identity-H", "/Encoding /Identity-V")
+      .getBytes("ISO-8859-1")
+    val rows = parsePdfBytes(vertical)
+    assert(rows.length == 1 && rows(0).getString(3) == "Hi!",
+      rows.toSeq.toString)
+  }
+
   test("PDF: the stream /CIDToGIDMap remaps CIDs before the font cmap") {
     // cid1→gid3(!), cid2→gid1(H), cid3→gid2(i)
     val gidTable = Array[Byte](0, 0, 0, 3, 0, 1, 0, 2)
@@ -1270,6 +1281,48 @@ class DocParseSpec extends AnyFunSuite {
       "BT /F2 12 Tf <00010002> Tj ET\n"))
     assert(rows.length == 1 && rows(0).getString(3) == "😀😁",
       rows.toSeq.toString)
+  }
+
+  test("PDF: simple-font /Differences remap bytes through AGL names; base bytes stay Latin-1") {
+    def onePage(fontDict: String, content: String, extra: String = ""): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Resources " +
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${content.length} >>\nstream\n" +
+        s"$content\nendstream endobj\n" +
+        s"5 0 obj $fontDict endobj\n" + extra +
+        "trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    // inline dict form: named bytes remap (AGL, uniXXXX, uXXXXX —
+    // astral via surrogate pair), unnamed bytes keep Latin-1
+    val content = "BT /F1 12 Tf <4142C1C278> Tj ET\n"
+    val inline = onePage(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding " +
+        "<< /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 65 /adieresis /uni0042 193 /emdash /u1F600 ] >> >>",
+      content)
+    val rows = parsePdfBytes(inline)
+    assert(rows.length == 1 && rows(0).getString(3) == "äB—😀x",
+      rows.toSeq.toString)
+    // indirect /Encoding object form
+    val indirect = onePage(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding 6 0 R >>",
+      content,
+      extra = "6 0 obj << /Type /Encoding /Differences " +
+        "[ 65 /adieresis /uni0042 193 /emdash /u1F600 ] >> endobj\n")
+    assert(parsePdfBytes(indirect)(0).getString(3) == "äB—😀x")
+    // a name outside the AGL subset fails loudly naming the glyph
+    val e = intercept[Exception](parsePdfBytes(onePage(
+      "<< /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Differences [ 65 /notarealglyph ] >> >>",
+      content)))
+    assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+      .contains("glyph name /notarealglyph"), e.getMessage)
+    // a bare-name /Encoding stays plain Latin-1 (no differences)
+    val plain = onePage(
+      "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>",
+      "BT /F1 12 Tf (Ax) Tj ET\n")
+    assert(parsePdfBytes(plain)(0).getString(3) == "Ax")
   }
 
   test("PDF: embedded-font cmap scope edges fail loudly") {
