@@ -41,11 +41,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - every third page embeds an image XObject: 8 ASCII bytes (the
   *    chunk's md5 prefix — base64 recomputable in SQL), placed by
   *    `q w 0 0 h x y cm /Im0 Do Q` with the GFT coordinate formulas;
+  *  - a deterministic ~quarter of DOCS (text-md5 third byte mod 4)
+  *    render their SIMPLE-font pages through a /Differences-encoded
+  *    font — +1-shifted bytes as hex strings, unshifted by the
+  *    font's 256-entry `uniXXXX` /Differences array — so the gate
+  *    exercises the glyph-name decode path with the oracle unchanged;
   *  - object numbering is closed-form for the oracle: 1 catalog,
   *    2 pages, 3 simple font, 4 CID font, 5 its /ToUnicode CMap (or
   *    its descendant font), pages at 6…5+p, contents at 6+p…5+2p,
-  *    images at 6+2p+⌊i/3⌋; the optional /Encrypt then the optional
-  *    font descriptor + /FontFile2 close the file.
+  *    images at 6+2p+⌊i/3⌋; the optional /Encrypt, the optional
+  *    font descriptor + /FontFile2, and the optional /Differences
+  *    font close the file.
   * Empty text → a valid zero-page PDF (parse = empty array). */
 case class SynthPdf(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -215,6 +221,24 @@ object SynthPdf {
   private[graft] def encrypts(text: String): Boolean =
     (md5b(text.getBytes("UTF-8"))(0) & 0xFF) % 4 == 0
 
+  /** Does this text's synthetic PDF render its SIMPLE-font pages
+    * through a /Differences-encoded font? Deterministic in the text
+    * (md5 third byte mod 4 — independent of [[encrypts]] and
+    * [[embedsFont]]) and transparent to the parse output: the page
+    * bytes ship shifted by +1 (as hex strings — no literal-escape
+    * interactions) and the font's 256-entry /Differences array maps
+    * every byte back through `uniXXXX` names, so the decoded text (and
+    * the hash oracle) is unchanged while the gate exercises the
+    * glyph-name decode path. */
+  private[graft] def shiftsEncoding(text: String): Boolean =
+    (md5b(text.getBytes("UTF-8"))(2) & 0xFF) % 4 == 0
+
+  /** The full-byte-range /Differences array for the +1 shift: code b
+    * names the character (b − 1) mod 256. */
+  private[graft] val ShiftDifferences: String =
+    (0 until 256).map(b => f"/uni${(b + 255) % 256}%04X")
+      .mkString("[ 0 ", " ", " ]")
+
   /** Does this text's synthetic PDF carry its CID font in the
     * embedded-program form — /DescendantFonts → /FontFile2, NO
     * /ToUnicode — instead of the /ToUnicode CMap? Deterministic in the
@@ -312,9 +336,11 @@ object SynthPdf {
     // own cmap (/DescendantFonts → /FontFile2, NO /ToUnicode): the two
     // Identity-H shapes real writers emit for subset-embedded text
     val embed = embedsFont(text)
+    val shifted = shiftsEncoding(text)
     val tail = 6 + 2 * p + nImages
     val encNum = tail
     val fdNum = tail + (if (encState.isDefined) 1 else 0)
+    val diffNum = fdNum + (if (embed) 2 else 0)
     obj(4)(emit("<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
       "/Encoding /Identity-H " +
       (if (embed) "/DescendantFonts [5 0 R]" else "/ToUnicode 5 0 R") +
@@ -334,7 +360,9 @@ object SynthPdf {
       }
     }
     chunks.zipWithIndex.foreach { case (_, i) =>
-      val res = new StringBuilder("/Font << /F1 3 0 R /F2 4 0 R >>")
+      val res = new StringBuilder(
+        if (shifted) s"/Font << /F1 3 0 R /F2 4 0 R /F3 $diffNum 0 R >>"
+        else "/Font << /F1 3 0 R /F2 4 0 R >>")
       if (i % 3 == 0)
         res.append(s" /XObject << /Im0 ${6 + 2 * p + i / 3} 0 R >>")
       obj(6 + i)(emit(s"<< /Type /Page /Parent 2 0 R " +
@@ -348,6 +376,14 @@ object SynthPdf {
         if (i % 5 == 2) // CID page: hex string of offset 2-byte codes
           s"/F2 12 Tf 1 0 0 1 $x $y Tm <${
             chunk.map(c => f"${c.toInt + 0x0100}%04X").mkString}> Tj"
+        else if (shifted) // /Differences page: +1-shifted hex bytes
+          s"/F3 12 Tf 1 0 0 1 $x $y Tm <${
+            chunk.map { c =>
+              require(c.toInt <= 0xFF,
+                s"SynthPdf: non-Latin-1 character U+${c.toInt.toHexString} " +
+                  "cannot ride a byte-shifted simple-font string")
+              f"${(c.toInt + 1) % 256}%02X"
+            }.mkString}> Tj"
         else s"/F1 12 Tf 1 0 0 1 $x $y Tm (${esc(chunk)}) Tj"
       val sb = new StringBuilder(s"BT $shown ET\n")
       if (i % 3 == 0) {
@@ -408,9 +444,13 @@ object SynthPdf {
         emit("\nendstream\n")
       }
     }
+    if (shifted)
+      obj(diffNum)(emit("<< /Type /Font /Subtype /Type1 /BaseFont " +
+        "/Shifted /Encoding << /Type /Encoding /Differences " +
+        s"$ShiftDifferences >> >>\n"))
     val xrefAt = buf.size()
     val total = tail + (if (encState.isDefined) 1 else 0) +
-      (if (embed) 2 else 0)
+      (if (embed) 2 else 0) + (if (shifted) 1 else 0)
     emit(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) =>
       emit(f"$off%010d 00000 n \n")

@@ -962,13 +962,15 @@ class DocParseSpec extends AnyFunSuite {
     def mk(tag: String): String =
       (0 until 1000).map(i => ('a' + (i * 7 + tag.hashCode.abs + i * i) % 26).toChar)
         .mkString
-    val texts = (0 until 64).map(i => mk(s"doc$i"))
-    // all four (encrypted × embedded-font) combinations must exist in
-    // a 64-doc draw and every one must round-trip identically
-    val combos = for (e <- Seq(true, false); f <- Seq(true, false)) yield (e, f)
-    combos.foreach { case (e, f) =>
-      val t = texts.find(t => SP.encrypts(t) == e && SP.embedsFont(t) == f)
-        .getOrElse(fail(s"no fixture text with encrypts=$e embedsFont=$f"))
+    val texts = (0 until 400).map(i => mk(s"doc$i"))
+    // all eight (encrypted × embedded-font × shifted-encoding)
+    // combinations must exist in the draw and round-trip identically
+    val combos = for (e <- Seq(true, false); f <- Seq(true, false);
+      d <- Seq(true, false)) yield (e, f, d)
+    combos.foreach { case (e, f, d) =>
+      val t = texts.find(t => SP.encrypts(t) == e && SP.embedsFont(t) == f &&
+          SP.shiftsEncoding(t) == d)
+        .getOrElse(fail(s"no fixture text with encrypts=$e embedsFont=$f shifted=$d"))
       val bytes = SP.build(t)
       val s = new String(bytes, "ISO-8859-1")
       assert(s.contains("/Filter /LZWDecode"), "page i%4==2 must ride LZW")
@@ -978,10 +980,13 @@ class DocParseSpec extends AnyFunSuite {
         s"embedded-font share predicate mismatch for ${t.take(8)}")
       assert(s.contains("/ToUnicode") == !f,
         "the embedded-font form must carry NO /ToUnicode (that is the path under test)")
+      assert(s.contains("/Differences") == d,
+        s"shifted-encoding share predicate mismatch for ${t.take(8)}")
       val rows = parsePdfBytes(bytes)
       val rt = rows.filter(_.getString(1) == "text_block")
         .sortBy(_.getLong(0)).map(_.getString(3)).mkString
-      assert(rt == t, s"round-trip mismatch (encrypted=$e, embeddedFont=$f)")
+      assert(rt == t,
+        s"round-trip mismatch (encrypted=$e, embeddedFont=$f, shifted=$d)")
     }
   }
 
