@@ -1328,6 +1328,13 @@ class DocParseSpec extends AnyFunSuite {
       "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>",
       "BT /F1 12 Tf (Ax) Tj ET\n")
     assert(parsePdfBytes(plain)(0).getString(3) == "Ax")
+    // Type3 fonts carry their encoding EXCLUSIVELY as /Differences
+    // (ISO 32000 §9.6.4) — same decode path, so glyph-drawn text reads
+    val t3 = onePage(
+      "<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] " +
+        "/CharProcs 7 0 R /Encoding << /Differences [ 1 /H /i /exclam ] >> >>",
+      "BT /F1 12 Tf <010203> Tj ET\n")
+    assert(parsePdfBytes(t3)(0).getString(3) == "Hi!")
   }
 
   test("PDF: embedded-font cmap scope edges fail loudly") {
