@@ -1065,7 +1065,7 @@ object ParsePdf {
         // would be silent mojibake
         encodingDictOf(doc, fdict) match {
           case Some(enc) if enc.contains("/Differences") =>
-            val m = diffTable(enc, objNum)
+            val m = diffTable(doc, enc, objNum)
             if (m.isEmpty) SimpleFont else DiffFont(m)
           case _ => SimpleFont
         }
@@ -1082,14 +1082,30 @@ object ParsePdf {
       .orElse(ref(fdict, "/Encoding").flatMap(n => doc.get(n).map(_._1)))
 
   /** The `<< … >>` substring starting at `from` (which must point at
-    * the opening `<<`), tracking nesting. */
+    * the opening `<<`), tracking nesting and SKIPPING string values —
+    * a '>>' inside a literal or hex string must not close the dict
+    * (the same hazard class [[topLevelView]] handles for /Encrypt). */
   private def balancedDict(s: String, from: Int): String = {
     var i = from + 2
     var depth = 1
     while (i < s.length && depth > 0) {
-      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      val c = s.charAt(i)
+      if (c == '(') { // literal string: nesting + escapes
+        i += 1
+        var d = 1
+        while (i < s.length && d > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\') i += 1
+          else if (ch == '(') d += 1
+          else if (ch == ')') d -= 1
+          i += 1
+        }
+      } else if (s.startsWith("<<", i)) { depth += 1; i += 2 }
       else if (s.startsWith(">>", i)) { depth -= 1; i += 2 }
-      else i += 1
+      else if (c == '<') { // hex string: skip to its '>'
+        while (i < s.length && s.charAt(i) != '>') i += 1
+        i += 1
+      } else i += 1
     }
     if (depth != 0) fail("unterminated /Encoding dictionary")
     s.substring(from, i)
@@ -1097,17 +1113,33 @@ object ParsePdf {
 
   /** /Differences array → byte code → text (ISO 32000 §9.6.5.1: an
     * integer sets the next code, each following name claims a code).
-    * Names resolve through [[glyphText]] — loud on names outside the
-    * implemented Adobe-Glyph-List subset, never silent garbage. */
-  private def diffTable(enc: String, objNum: Int): Map[Int, String] = {
+    * The array may itself be an indirect reference (any dict value
+    * can be). Names resolve through [[glyphText]] — loud on names
+    * outside the implemented Adobe-Glyph-List subset and on
+    * non-integer codes, never silent garbage. */
+  private def diffTable(doc: Map[Int, (String, Option[Array[Byte]])],
+      enc: String, objNum: Int): Map[Int, String] = {
     val body = """/Differences\s*\[([^\]]*)\]""".r.findFirstMatchIn(enc)
       .map(_.group(1))
+      .orElse(ref(enc, "/Differences").map { n =>
+        val a = doc.get(n).map(_._1)
+          .getOrElse(fail(s"missing /Differences object $n"))
+        val lo = a.indexOf('['); val hi = a.lastIndexOf(']')
+        if (lo < 0 || hi <= lo)
+          fail(s"malformed indirect /Differences array in font $objNum")
+        a.substring(lo + 1, hi)
+      })
       .getOrElse(fail(s"malformed /Differences array in font $objNum"))
     val out = Map.newBuilder[Int, String]
     var code = -1
-    """(\d+)|/([^\s/\[\]<>()]+)""".r.findAllMatchIn(body).foreach { m =>
-      if (m.group(1) != null) code = m.group(1).toInt
-      else {
+    """([-+.0-9]+)|/([^\s/\[\]<>()]+)""".r.findAllMatchIn(body).foreach { m =>
+      if (m.group(1) != null) {
+        // a real or signed number would otherwise SPLIT into bogus
+        // integer codes and silently build a wrong table
+        if (!m.group(1).forall(_.isDigit))
+          fail(s"non-integer /Differences code ${m.group(1)} in font $objNum")
+        code = m.group(1).toInt
+      } else {
         if (code < 0 || code > 255)
           fail(s"/Differences name /${m.group(2)} outside byte range in font $objNum")
         out += code -> glyphText(m.group(2))
@@ -1183,13 +1215,19 @@ object ParsePdf {
     def isHex(c: Char): Boolean =
       (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
     if (name.length >= 7 && name.startsWith("uni") &&
-        (name.length - 3) % 4 == 0 && name.drop(3).forall(isHex))
-      // uniXXXX[XXXX…]: UTF-16 code units, surrogate pairs allowed
-      name.drop(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
-    else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+        (name.length - 3) % 4 == 0 && name.drop(3).forall(isHex)) {
+      // uniXXXX[XXXX…]: UTF-16 code units. AGL excludes the surrogate
+      // range from uniXXXX names — an unpaired half would silently
+      // become U+FFFD downstream, the mojibake this path forbids
+      val units = name.drop(3).grouped(4).map(Integer.parseInt(_, 16)).toSeq
+      if (units.exists(u => u >= 0xD800 && u <= 0xDFFF))
+        fail(s"glyph name /$name encodes surrogate code units")
+      units.map(_.toChar).mkString
+    } else if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
         name.drop(1).forall(isHex)) {
       val cp = Integer.parseInt(name.drop(1), 16)
-      if (cp > 0x10FFFF) fail(s"glyph name /$name encodes no valid code point")
+      if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        fail(s"glyph name /$name encodes no valid code point")
       new String(Character.toChars(cp))
     } else Agl.getOrElse(name,
       fail(s"glyph name /$name has no known Unicode mapping"))

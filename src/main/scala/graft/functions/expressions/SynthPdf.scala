@@ -291,10 +291,16 @@ object SynthPdf {
     // Algorithm 3 (/O from the fixed owner password), Algorithm 2
     // (file key, empty user password), Algorithm 5 (/U) — /ID = the
     // text's md5, so everything recomputes from the text.
+    // ONE digest drives /ID and all three share predicates — the
+    // standalone predicate functions recompute it for tests/docs, but
+    // the per-row hot path hashes the text once
     val docId = md5b(text.getBytes("UTF-8"))
+    val doEncrypt = (docId(0) & 0xFF) % 4 == 0
+    val embed = (docId(1) & 0xFF) % 3 == 0
+    val shifted = (docId(2) & 0xFF) % 4 == 0
     // (file key, /O entry, /U entry) when this doc ships encrypted
     val encState: Option[(Array[Byte], Array[Byte], Array[Byte])] =
-      if (!encrypts(text)) None
+      if (!doEncrypt) None
       else {
         val ownerPad = ("graft-owner".getBytes(latin1) ++ PdfPad).take(32)
         var h = md5b(ownerPad)
@@ -335,8 +341,6 @@ object SynthPdf {
     // embedsFont doc share, through the embedded TrueType program's
     // own cmap (/DescendantFonts → /FontFile2, NO /ToUnicode): the two
     // Identity-H shapes real writers emit for subset-embedded text
-    val embed = embedsFont(text)
-    val shifted = shiftsEncoding(text)
     val tail = 6 + 2 * p + nImages
     val encNum = tail
     val fdNum = tail + (if (encState.isDefined) 1 else 0)

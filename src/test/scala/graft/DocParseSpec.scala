@@ -1335,6 +1335,34 @@ class DocParseSpec extends AnyFunSuite {
         "/CharProcs 7 0 R /Encoding << /Differences [ 1 /H /i /exclam ] >> >>",
       "BT /F1 12 Tf <010203> Tj ET\n")
     assert(parsePdfBytes(t3)(0).getString(3) == "Hi!")
+    // a '>>' inside a string VALUE must not truncate the encoding dict
+    // (the balancedDict string-skip — same hazard class as /Encrypt)
+    val strVal = onePage(
+      "<< /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Foo (a>>b) /Differences [ 65 /adieresis ] >> >>",
+      "BT /F1 12 Tf <41> Tj ET\n")
+    assert(parsePdfBytes(strVal)(0).getString(3) == "ä",
+      "a >> inside a literal string must not close the /Encoding dict")
+    // an INDIRECT /Differences array (any dict value may be a ref)
+    val indArr = onePage(
+      "<< /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Type /Encoding /Differences 6 0 R >> >>",
+      "BT /F1 12 Tf <41> Tj ET\n",
+      extra = "6 0 obj [ 65 /adieresis ] endobj\n")
+    assert(parsePdfBytes(indArr)(0).getString(3) == "ä")
+    def err(bytes: Array[Byte]): String = {
+      val ex = intercept[Exception](parsePdfBytes(bytes))
+      (Option(ex.getCause).map(_.getMessage).getOrElse("") + ex.getMessage)
+    }
+    // surrogate-range uni names and non-integer codes fail loudly
+    assert(err(onePage(
+      "<< /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Differences [ 65 /uniD800 ] >> >>",
+      "BT /F1 12 Tf <41> Tj ET\n")).contains("surrogate"))
+    assert(err(onePage(
+      "<< /Type /Font /Subtype /Type1 /Encoding " +
+        "<< /Differences [ 65.5 /A ] >> >>",
+      "BT /F1 12 Tf <41> Tj ET\n")).contains("non-integer /Differences code"))
   }
 
   test("PDF: embedded-font cmap scope edges fail loudly") {
