@@ -125,6 +125,7 @@ object SparkEntry {
     "tx_dsir" -> (TextAnalysis.dsir _),
     "tx_linededup" -> (TextAnalysis.lineDedup _),
     "mm_meta" -> (Multimodal.meta _),
+    "mm_media" -> (Multimodal.media _),
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
     "mm_phash" -> (Multimodal.phash _),
@@ -1072,6 +1073,29 @@ object SparkEntry {
         | 64 + ('0x' || substr(md5(text),1,8))::BIGINT % 1856 width,
         | 64 + ('0x' || substr(md5(reverse(text)),1,8))::BIGINT % 1056 height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every SynthMedia field derives from md5(text), so the oracle
+    // recomputes the PARSED header metadata without touching the bytes
+    // — the real chunk/box walk is what's being checked
+    "mm_media" ->
+      """WITH p AS (SELECT doc_id,
+        |  ('0x' || substr(md5(text),1,2))::BIGINT % 2 AS wav,
+        |  1 + ('0x' || substr(md5(text),3,2))::BIGINT % 2 AS ch,
+        |  ('0x' || substr(md5(text),5,2))::BIGINT AS b2,
+        |  ('0x' || substr(md5(text),7,2))::BIGINT % 3 AS b3,
+        |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN wav = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        | CASE WHEN wav = 0 THEN ch ELSE NULL END AS channels,
+        | CASE WHEN wav = 0 THEN ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]::BIGINT
+        |  ELSE NULL END AS sample_rate,
+        | CASE WHEN wav = 0 THEN ([8,16,24])[(b3 + 1)::INT]::BIGINT ELSE NULL END AS bits,
+        | (CASE WHEN wav = 0
+        |  THEN ((256 + h32 % 1024) // (ch * ([8,16,24])[(b3 + 1)::INT] // 8))
+        |   * 1000 // ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]
+        |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
+        |  END)::BIGINT AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//32)::BIGINT + 1, 4)) frame_no FROM documents)

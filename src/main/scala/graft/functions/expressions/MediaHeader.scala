@@ -1,0 +1,248 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Audio/video payload metadata from the CONTAINER HEADER alone — the
+  * WAV/MP4 sibling of [[ImageHeaderMeta]]: a RIFF/WAVE chunk walk
+  * (fmt / data, odd-size pad bytes per the RIFF spec) and an ISO BMFF
+  * box walk (ftyp → moov → mvhd, 32- and 64-bit box sizes, mvhd
+  * versions 0 and 1). Pure byte parsing of the public container
+  * formats — no media libraries, no sample decode, which is how a
+  * 100 TB crawl pipeline sniffs duration/rate (the sample decoder
+  * stays the documented mapInPandas seam). Unknown or truncated
+  * containers yield null (opaque payloads are the normal case);
+  * a STRUCTURALLY valid WAV with a non-PCM format tag fails loudly by
+  * tag — that's a scope edge, not an opaque blob. */
+case class MediaHeaderMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = new StructType()
+    .add("container", StringType)
+    .add("channels", LongType)
+    .add("sample_rate", LongType)
+    .add("bits", LongType)
+    .add("duration_ms", LongType)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"MediaHeaderMeta wants binary or base64 string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes: Array[Byte] = input match {
+      case b: Array[Byte] => b
+      case s: UTF8String =>
+        try java.util.Base64.getMimeDecoder.decode(s.toString)
+        catch { case _: IllegalArgumentException => return null }
+      case _ => return null
+    }
+    MediaHeader.decode(bytes) match {
+      case Some(m) => InternalRow(UTF8String.fromString(m.container),
+        m.channels, m.sampleRate, m.bits, m.durationMs)
+      case None => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): MediaHeaderMeta =
+    copy(child = c)
+}
+
+object MediaHeaderMeta {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(MediaHeaderMeta(
+      org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+}
+
+object MediaHeader {
+
+  /** Parsed header fields; the per-container-null fields use boxed
+    * nulls so the struct row carries real SQL NULLs. */
+  final case class Media(container: String, channels: java.lang.Long,
+      sampleRate: java.lang.Long, bits: java.lang.Long,
+      durationMs: java.lang.Long)
+
+  private def fail(what: String): Nothing =
+    throw new IllegalArgumentException(s"media parse: $what")
+
+  def decode(b: Array[Byte]): Option[Media] = {
+    def u16le(i: Int): Long = ((b(i) & 0xFF) | (b(i + 1) & 0xFF) << 8).toLong
+    def u32le(i: Int): Long = (b(i) & 0xFF).toLong | (b(i + 1) & 0xFF).toLong << 8 |
+      (b(i + 2) & 0xFF).toLong << 16 | (b(i + 3) & 0xFF).toLong << 24
+    def u32be(i: Int): Long = (b(i) & 0xFF).toLong << 24 | (b(i + 1) & 0xFF).toLong << 16 |
+      (b(i + 2) & 0xFF).toLong << 8 | (b(i + 3) & 0xFF).toLong
+    def u64be(i: Int): Long = u32be(i) << 32 | u32be(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length)
+        new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      else ""
+    if (b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      // RIFF chunk walk: 4cc + u32le size + data, odd sizes padded
+      var p = 12
+      var fmt = -1
+      var dataSize = -1L
+      while (p + 8 <= b.length && (fmt < 0 || dataSize < 0)) {
+        val id = tag(p)
+        val size = u32le(p + 4)
+        if (size > b.length) return None // corrupt chunk extent
+        if (id == "fmt ") fmt = p + 8
+        else if (id == "data") dataSize = size
+        p += 8 + size.toInt + (size % 2).toInt // pad byte after odd sizes
+      }
+      if (fmt < 0 || dataSize < 0 || fmt + 16 > b.length) return None
+      val audioFormat = u16le(fmt)
+      if (audioFormat != 1)
+        fail(f"non-PCM WAVE format tag 0x$audioFormat%04X (only PCM is in scope)")
+      val channels = u16le(fmt + 2)
+      val rate = u32le(fmt + 4)
+      val blockAlign = u16le(fmt + 12)
+      val bits = u16le(fmt + 14)
+      if (channels == 0 || rate == 0 || blockAlign == 0) return None
+      val durMs = dataSize / blockAlign * 1000L / rate
+      Some(Media("wav", channels, rate, bits, durMs))
+    } else if (b.length >= 12 && tag(4) == "ftyp") {
+      // ISO BMFF box walk to moov → mvhd (ISO 14496-12 §8.2.2)
+      def walk(from: Int, until: Int, want: String): Option[Int] = {
+        var p = from
+        while (p + 8 <= until) {
+          val sz32 = u32be(p)
+          val typ = tag(p + 4)
+          val (size, hdr) =
+            if (sz32 == 1L && p + 16 <= until) (u64be(p + 8), 16)
+            else if (sz32 == 0L) ((until - p).toLong, 8) // box runs to EOF
+            else (sz32, 8)
+          if (size < hdr || p + size > until) return None // corrupt extent
+          if (typ == want) return Some(p + hdr)
+          p += size.toInt
+        }
+        None
+      }
+      val moov = walk(0, b.length, "moov").getOrElse(return None)
+      // moov's own extent: re-read its size from the header we landed past
+      val moovEnd = {
+        val hdrStart = moov - 8 // 64-bit moov sizes don't occur in headers this small
+        (hdrStart + u32be(hdrStart)).toInt
+      }
+      val mvhd = walk(moov, math.min(moovEnd, b.length), "mvhd")
+        .getOrElse(return None)
+      if (mvhd + 4 > b.length) return None
+      val version = b(mvhd) & 0xFF
+      val (timescale, duration) = version match {
+        case 0 if mvhd + 20 <= b.length => (u32be(mvhd + 12), u32be(mvhd + 16))
+        case 1 if mvhd + 32 <= b.length => (u32be(mvhd + 20), u64be(mvhd + 24))
+        case _ => return None
+      }
+      if (timescale == 0) return None
+      Some(Media("mp4", null, null, null, duration * 1000L / timescale))
+    } else None
+  }
+}
+
+/** Deterministic REAL-container media payload for a text column — the
+  * WAV/MP4 counterpart of [[SynthPdf]]: every field derives from the
+  * text's md5 alone, so a SQL oracle recomputes the PARSED metadata
+  * without touching the bytes. Even docs (md5 byte 0) ship RIFF/WAVE
+  * with a real PCM fmt chunk and a data chunk whose byte count backs
+  * the duration; odd docs ship ISO BMFF (ftyp + moov/mvhd + mdat) with
+  * the duration as mvhd metadata. A deterministic share inserts an
+  * extra LIST chunk / free box (the walk must skip, not assume fixed
+  * offsets) and flips mvhd to version 1 (the 64-bit layout). */
+case class SynthMedia(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"SynthMedia needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    SynthMedia.build(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): SynthMedia =
+    copy(child = c)
+}
+
+object SynthMedia {
+  def apply(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SynthMedia(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  val Rates: Seq[Long] = Seq(8000L, 16000L, 22050L, 44100L, 48000L)
+  val Bits: Seq[Long] = Seq(8L, 16L, 24L)
+  val Timescales: Seq[Long] = Seq(600L, 1000L, 90000L)
+
+  private[graft] def build(text: String): Array[Byte] = {
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+    def u8(k: Int): Int = m(k) & 0xFF
+    // h32 = md5 bytes 4..7 big-endian = SQL ('0x'||substr(md5(t),9,8))
+    val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
+      (u8(6).toLong << 8) | u8(7).toLong
+    val extra = u8(8) % 3 == 0
+    val out = new java.io.ByteArrayOutputStream(1536)
+    def le16(v: Long): Unit = { out.write(v.toInt & 0xFF); out.write((v >> 8).toInt & 0xFF) }
+    def le32(v: Long): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    def be32(v: Long): Unit = {
+      out.write((v >> 24).toInt & 0xFF); out.write((v >> 16).toInt & 0xFF)
+      out.write((v >> 8).toInt & 0xFF); out.write(v.toInt & 0xFF)
+    }
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
+    def cc(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    if (u8(0) % 2 == 0) {
+      // ---- RIFF/WAVE, PCM ----
+      val channels = 1L + u8(1) % 2
+      val rate = Rates((u8(2) % 5).toInt)
+      val bits = Bits((u8(3) % 3).toInt)
+      val blockAlign = channels * bits / 8
+      val dataSize = 256 + h32 % 1024
+      val listBody = "INFOgraft-synthetic-" // 20 bytes, even
+      val listSize = if (extra) 8 + listBody.length else 0
+      val riffSize = 4 + (8 + 16) + listSize + (8 + dataSize + dataSize % 2)
+      cc("RIFF"); le32(riffSize); cc("WAVE")
+      cc("fmt "); le32(16)
+      le16(1); le16(channels); le32(rate)
+      le32(rate * blockAlign); le16(blockAlign); le16(bits)
+      if (extra) { cc("LIST"); le32(listBody.length.toLong); cc(listBody) }
+      cc("data"); le32(dataSize)
+      var i = 0L
+      while (i < dataSize) { out.write((u8(9) + i).toInt & 0xFF); i += 1 }
+      if (dataSize % 2 == 1) out.write(0) // RIFF pad
+    } else {
+      // ---- ISO BMFF: ftyp + [free] + moov(mvhd [+udta]) + mdat ----
+      val timescale = Timescales((u8(2) % 3).toInt)
+      val duration = 1000L + h32 % 1000000L
+      val v1 = u8(9) % 2 == 1
+      be32(24); cc("ftyp"); cc("isom"); be32(0x200)
+      cc("isom"); cc("mp42")
+      if (extra) { be32(16); cc("free"); be32(0); be32(0) }
+      val mvhdBody = if (v1) 4 + 8 + 8 + 4 + 8 else 4 + 4 + 4 + 4 + 4
+      val mvhdSize = 8 + mvhdBody
+      val freeInMoov = if (extra) 12 else 0
+      be32(8L + freeInMoov + mvhdSize); cc("moov")
+      if (extra) { be32(12); cc("free"); be32(0) } // the walk must skip it
+      be32(mvhdSize.toLong); cc("mvhd")
+      if (v1) {
+        out.write(1); out.write(0); out.write(0); out.write(0)
+        be64(0); be64(0); be32(timescale); be64(duration)
+      } else {
+        be32(0); be32(0); be32(0); be32(timescale); be32(duration)
+      }
+      be32(8 + 32); cc("mdat")
+      var i = 0
+      while (i < 32) { out.write((u8(9) + i) & 0xFF); i += 1 }
+    }
+    out.toByteArray
+  }
+}

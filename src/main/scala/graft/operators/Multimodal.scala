@@ -39,6 +39,27 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Audio/video container metadata over REAL synthesized headers —
+    * where [[meta]]'s decoded dimensions are declared stubs, this path
+    * is an actual parse: [[graft.functions.expressions.SynthMedia]]
+    * emits RIFF/WAVE (PCM fmt + data chunks, duration backed by the
+    * data byte count) or ISO BMFF (ftyp → moov/mvhd v0 and v1) from
+    * text-md5-derived fields, and [[graft.functions.expressions
+    * .MediaHeaderMeta]] walks the chunks/boxes back. Every field is
+    * recomputable from `text` alone, so the DuckDB oracle checks the
+    * real header walk, not a hash stub. Per-row narrow work — the
+    * 100 TB shape of a metadata-sniff stage. */
+  def media(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.expressions.MediaHeaderMeta(
+          graft.functions.expressions.SynthMedia($"text")).as("m"))
+      .select($"doc_id", $"m.container", $"m.channels",
+        $"m.sample_rate", $"m.bits", $"m.duration_ms")
+      .orderBy($"doc_id")
+  }
+
   /** Target bounding box for [[resize]]. */
   val ResizeBox = 512L
 

@@ -261,4 +261,74 @@ class MultimodalStoreSpec extends AnyFunSuite {
         graft.operators.VectorStore.embedTextLocal(r.getString(0))))
     }
   }
+
+  test("MediaHeader walks real WAV chunks and MP4 boxes; scope edges are loud or null") {
+    import graft.functions.expressions.{MediaHeader, SynthMedia}
+    def le16(v: Long) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    // WAV with an ODD-size junk chunk BEFORE fmt: the walk must apply
+    // the RIFF pad byte or every later offset is off by one
+    val fmtBody = le16(1) ++ le16(2) ++ le32(22050) ++ le32(22050 * 4) ++
+      le16(4) ++ le16(16)
+    val wav = cc("RIFF") ++ le32(999) ++ cc("WAVE") ++
+      cc("junk") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++ // 3 + pad
+      cc("fmt ") ++ le32(16) ++ fmtBody ++
+      cc("data") ++ le32(400) ++ Array.fill[Byte](400)(7)
+    val w = MediaHeader.decode(wav).get
+    assert((w.container, w.channels, w.sampleRate, w.bits, w.durationMs) ==
+      ("wav", 2L, 22050L, 16L, 400L / 4 * 1000 / 22050))
+    // MP4 with a 64-bit (largesize) free box before moov, mvhd v1
+    val mvhd = be32(40) ++ cc("mvhd") ++
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(90000) ++ be64(123456)
+    val mp4 = be32(24) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+      cc("isom") ++ cc("mp42") ++
+      be32(1) ++ cc("free") ++ be64(20) ++ be32(0) ++ // largesize box
+      be32(8 + 40) ++ cc("moov") ++ mvhd
+    val v = MediaHeader.decode(mp4).get
+    assert((v.container, v.durationMs) == ("mp4", 123456L * 1000 / 90000))
+    assert(v.channels == null && v.sampleRate == null && v.bits == null)
+    // non-PCM WAVE: structurally valid, out of scope -> loud by tag
+    val alaw = cc("RIFF") ++ le32(100) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ (le16(6) ++ fmtBody.drop(2)) ++
+      cc("data") ++ le32(4) ++ Array.fill[Byte](4)(0)
+    val e = intercept[IllegalArgumentException](MediaHeader.decode(alaw))
+    assert(e.getMessage.contains("non-PCM"), e.getMessage)
+    // opaque bytes and truncated containers: None, the normal case
+    assert(MediaHeader.decode("not media at all".getBytes).isEmpty)
+    assert(MediaHeader.decode(wav.take(30)).isEmpty)
+    assert(MediaHeader.decode(mp4.take(30)).isEmpty)
+    // SynthMedia round-trip across the share space: every combination
+    // of container x extra-chunk x mvhd-version occurs in a small draw
+    // and parses back to the md5-derived fields
+    val texts = (0 until 200).map(i => s"media fixture text number $i")
+    var seen = Set.empty[(Boolean, Boolean, Boolean)]
+    texts.foreach { t =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      def u8(k: Int) = m(k) & 0xFF
+      val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
+        (u8(6).toLong << 8) | u8(7).toLong
+      val parsed = MediaHeader.decode(SynthMedia.build(t)).get
+      if (u8(0) % 2 == 0) {
+        val ch = 1L + u8(1) % 2
+        val rate = SynthMedia.Rates(u8(2) % 5)
+        val bits = SynthMedia.Bits(u8(3) % 3)
+        val data = 256 + h32 % 1024
+        assert(parsed == MediaHeader.Media("wav", ch, rate, bits,
+          data / (ch * bits / 8) * 1000 / rate), s"wav mismatch for: $t")
+      } else {
+        val ts = SynthMedia.Timescales(u8(2) % 3)
+        val dur = 1000L + h32 % 1000000L
+        assert(parsed == MediaHeader.Media("mp4", null, null, null,
+          dur * 1000 / ts), s"mp4 mismatch for: $t")
+      }
+      seen += ((u8(0) % 2 == 0, u8(8) % 3 == 0, u8(9) % 2 == 1))
+    }
+    assert(seen.size == 8, s"share space not covered: $seen")
+  }
 }
