@@ -4460,10 +4460,17 @@ object GraftVectorDB {
       concat(lit("captioned content "), substring(fileHash, 1, 8))
     case "header-meta" =>
       val hdr = graft.functions.expressions.ImageHeaderMeta(payloadB64)
+      val med = graft.functions.expressions.MediaHeaderMeta(payloadB64)
       when(hdr.isNotNull, concat(lit("a "),
           hdr.getField("width").cast("string"), lit("x"),
           hdr.getField("height").cast("string"), lit(" "),
           hdr.getField("format"), lit(" image")))
+        // audio/video containers caption from THEIR header walk — the
+        // reference captions every binary asset, not just rasters
+        .when(med.isNotNull, concat(lit("a "),
+          (med.getField("duration_ms") / lit(1000.0)).cast("decimal(12,1)")
+            .cast("string"),
+          lit("s "), med.getField("container"), lit(" clip")))
         .otherwise(concat(lit("captioned content "), substring(fileHash, 1, 8)))
     case other if customCaptioners.contains(other) =>
       customCaptioners(other)(payloadB64)

@@ -224,9 +224,22 @@ class MultimodalStoreSpec extends AnyFunSuite {
         Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
       java.util.Base64.getEncoder.encodeToString(png)
     }
+    val wavB64 = {
+      def le16(v: Long) = Array(v.toByte, (v >> 8).toByte)
+      def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte)
+      def cc(s: String) = s.getBytes("ISO-8859-1")
+      // 2ch 16-bit 22050 Hz, exactly one second of data → "a 1.0s wav clip"
+      val wav = cc("RIFF") ++ le32(36 + 88200) ++ cc("WAVE") ++
+        cc("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(22050) ++
+        le32(22050 * 4) ++ le16(4) ++ le16(16) ++
+        cc("data") ++ le32(88200) ++ Array.fill[Byte](88200)(3)
+      java.util.Base64.getEncoder.encodeToString(wav)
+    }
     val rows = Seq(
       ("doc/a", "png", 0L, "img", pngB64, "aabbccddeeff0011"),
-      ("doc/b", "bin", 0L, "img", "5b8733c1889f00aa5b8733c1889f00aa", "ffee00112233aabb"))
+      ("doc/b", "bin", 0L, "img", "5b8733c1889f00aa5b8733c1889f00aa", "ffee00112233aabb"),
+      ("doc/c", "wav", 0L, "aud", wavB64, "0099887766554433"))
       .toDF("doc_name", "doc_type", "page_num", "content_id", "content_raw", "file_hash")
       .withColumn("content_type", lit(ContentTypes.Image))
       .withColumn("ts", timestamp_micros(lit(0L)))
@@ -236,10 +249,13 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(caps("doc/a") == "a 64x48 png image", caps.toString)
     assert(caps("doc/b") == "captioned content ffee0011",
       "opaque payloads must keep the content-hash caption (byte-compat)")
+    assert(caps("doc/c") == "a 1.0s wav clip",
+      "media containers must caption from THEIR header walk: " + caps)
     // the stub model reproduces the historical caption on ALL rows
     val stub = GraftVectorDB.captionRows(rows, model = "content-hash").collect()
       .map(_.getAs[String]("content_raw")).toSet
-    assert(stub == Set("captioned content aabbccdd", "captioned content ffee0011"))
+    assert(stub == Set("captioned content aabbccdd", "captioned content ffee0011",
+      "captioned content 00998877"))
     // the reference's constructor validation: unknown model fails
     // loudly naming the valid list (vector_db.py:43-52)
     val e = intercept[IllegalArgumentException](
