@@ -14,10 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * versions 0 and 1). Pure byte parsing of the public container
   * formats — no media libraries, no sample decode, which is how a
   * 100 TB crawl pipeline sniffs duration/rate (the sample decoder
-  * stays the documented mapInPandas seam). Unknown or truncated
-  * containers yield null (opaque payloads are the normal case);
-  * a STRUCTURALLY valid WAV with a non-PCM format tag fails loudly by
-  * tag — that's a scope edge, not an opaque blob. */
+  * stays the documented mapInPandas seam). Unknown, truncated, and
+  * out-of-scope containers (non-PCM WAVE tags) yield null — opaque
+  * payloads are the normal case, and this walk feeds the shared
+  * header-meta captioner whose contract is stub fallback, so nothing
+  * here may throw on real-world payload shapes. */
 case class MediaHeaderMeta(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -92,15 +93,20 @@ object MediaHeader {
       while (p + 8 <= b.length && (fmt < 0 || dataSize < 0)) {
         val id = tag(p)
         val size = u32le(p + 4)
-        if (size > b.length) return None // corrupt chunk extent
+        // a declared size past the buffer = truncated/corrupt: null,
+        // never metadata computed from bytes that are not there
+        if (p + 8 + size > b.length) return None
         if (id == "fmt ") fmt = p + 8
         else if (id == "data") dataSize = size
         p += 8 + size.toInt + (size % 2).toInt // pad byte after odd sizes
       }
       if (fmt < 0 || dataSize < 0 || fmt + 16 > b.length) return None
       val audioFormat = u16le(fmt)
-      if (audioFormat != 1)
-        fail(f"non-PCM WAVE format tag 0x$audioFormat%04X (only PCM is in scope)")
+      // non-PCM (float, A-law, WAVE_FORMAT_EXTENSIBLE, …) is out of
+      // decode scope — treated as an opaque payload (None), NOT a loud
+      // failure: this walk feeds the shared header-meta captioner,
+      // whose contract is stub fallback for anything it can't caption
+      if (audioFormat != 1) return None
       val channels = u16le(fmt + 2)
       val rate = u32le(fmt + 4)
       val blockAlign = u16le(fmt + 12)
@@ -109,8 +115,10 @@ object MediaHeader {
       val durMs = dataSize / blockAlign * 1000L / rate
       Some(Media("wav", channels, rate, bits, durMs))
     } else if (b.length >= 12 && tag(4) == "ftyp") {
-      // ISO BMFF box walk to moov → mvhd (ISO 14496-12 §8.2.2)
-      def walk(from: Int, until: Int, want: String): Option[Int] = {
+      // ISO BMFF box walk to moov → mvhd (ISO 14496-12 §8.2.2):
+      // returns the wanted box's (body start, box END), so callers
+      // never re-derive the header shape (32-bit / largesize / to-EOF)
+      def walk(from: Int, until: Int, want: String): Option[(Int, Int)] = {
         var p = from
         while (p + 8 <= until) {
           val sz32 = u32be(p)
@@ -120,19 +128,13 @@ object MediaHeader {
             else if (sz32 == 0L) ((until - p).toLong, 8) // box runs to EOF
             else (sz32, 8)
           if (size < hdr || p + size > until) return None // corrupt extent
-          if (typ == want) return Some(p + hdr)
+          if (typ == want) return Some((p + hdr, p + size.toInt))
           p += size.toInt
         }
         None
       }
-      val moov = walk(0, b.length, "moov").getOrElse(return None)
-      // moov's own extent: re-read its size from the header we landed past
-      val moovEnd = {
-        val hdrStart = moov - 8 // 64-bit moov sizes don't occur in headers this small
-        (hdrStart + u32be(hdrStart)).toInt
-      }
-      val mvhd = walk(moov, math.min(moovEnd, b.length), "mvhd")
-        .getOrElse(return None)
+      val (moov, moovEnd) = walk(0, b.length, "moov").getOrElse(return None)
+      val (mvhd, _) = walk(moov, moovEnd, "mvhd").getOrElse(return None)
       if (mvhd + 4 > b.length) return None
       val version = b(mvhd) & 0xFF
       val (timescale, duration) = version match {
@@ -141,7 +143,14 @@ object MediaHeader {
         case _ => return None
       }
       if (timescale == 0) return None
-      Some(Media("mp4", null, null, null, duration * 1000L / timescale))
+      // the all-ones sentinel means "duration unknown" (common in
+      // fragmented MP4s); huge genuine durations would overflow the
+      // *1000 — both surface as a null duration, not garbage
+      val durMs: java.lang.Long =
+        if ((version == 0 && duration == 0xFFFFFFFFL) || duration == -1L ||
+            duration < 0L || duration > Long.MaxValue / 1000L) null
+        else java.lang.Long.valueOf(duration * 1000L / timescale)
+      Some(Media("mp4", null, null, null, durMs))
     } else None
   }
 }

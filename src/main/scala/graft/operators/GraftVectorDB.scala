@@ -4459,19 +4459,12 @@ object GraftVectorDB {
     case "content-hash" =>
       concat(lit("captioned content "), substring(fileHash, 1, 8))
     case "header-meta" =>
-      val hdr = graft.functions.expressions.ImageHeaderMeta(payloadB64)
-      val med = graft.functions.expressions.MediaHeaderMeta(payloadB64)
-      when(hdr.isNotNull, concat(lit("a "),
-          hdr.getField("width").cast("string"), lit("x"),
-          hdr.getField("height").cast("string"), lit(" "),
-          hdr.getField("format"), lit(" image")))
-        // audio/video containers caption from THEIR header walk — the
-        // reference captions every binary asset, not just rasters
-        .when(med.isNotNull, concat(lit("a "),
-          (med.getField("duration_ms") / lit(1000.0)).cast("decimal(12,1)")
-            .cast("string"),
-          lit("s "), med.getField("container"), lit(" clip")))
-        .otherwise(concat(lit("captioned content "), substring(fileHash, 1, 8)))
+      // image + audio/video container captions from ONE payload decode
+      // ([[graft.functions.expressions.HeaderCaption]] — the reference
+      // captions every binary asset, not just rasters); anything
+      // neither walk reads keeps the byte-compatible stub
+      coalesce(graft.functions.expressions.HeaderCaption(payloadB64),
+        concat(lit("captioned content "), substring(fileHash, 1, 8)))
     case other if customCaptioners.contains(other) =>
       customCaptioners(other)(payloadB64)
     case other => throw new IllegalArgumentException(

@@ -308,16 +308,33 @@ class MultimodalStoreSpec extends AnyFunSuite {
     val v = MediaHeader.decode(mp4).get
     assert((v.container, v.durationMs) == ("mp4", 123456L * 1000 / 90000))
     assert(v.channels == null && v.sampleRate == null && v.bits == null)
-    // non-PCM WAVE: structurally valid, out of scope -> loud by tag
+    // non-PCM WAVE: structurally valid but out of decode scope →
+    // None (the captioner's stub-fallback contract — never a throw on
+    // a real-world payload shape)
     val alaw = cc("RIFF") ++ le32(100) ++ cc("WAVE") ++
       cc("fmt ") ++ le32(16) ++ (le16(6) ++ fmtBody.drop(2)) ++
       cc("data") ++ le32(4) ++ Array.fill[Byte](4)(0)
-    val e = intercept[IllegalArgumentException](MediaHeader.decode(alaw))
-    assert(e.getMessage.contains("non-PCM"), e.getMessage)
-    // opaque bytes and truncated containers: None, the normal case
+    assert(MediaHeader.decode(alaw).isEmpty)
+    // opaque bytes and truncated containers: None, the normal case —
+    // including a data chunk whose DECLARED size runs past the buffer
     assert(MediaHeader.decode("not media at all".getBytes).isEmpty)
     assert(MediaHeader.decode(wav.take(30)).isEmpty)
     assert(MediaHeader.decode(mp4.take(30)).isEmpty)
+    assert(MediaHeader.decode(wav.dropRight(24)).isEmpty,
+      "a truncated data chunk must yield null, not a duration from missing bytes")
+    // the mvhd all-ones sentinel = unknown duration → null field
+    val mvhdU = be32(28) ++ cc("mvhd") ++ Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(0xFFFFFFFFL)
+    val mp4U = be32(24) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+      cc("isom") ++ cc("mp42") ++ be32(8 + 28) ++ cc("moov") ++ mvhdU
+    val u = MediaHeader.decode(mp4U).get
+    assert(u.container == "mp4" && u.durationMs == null, u.toString)
+    // a size-0 (runs-to-EOF) moov still resolves its mvhd
+    val mvhd0 = be32(28) ++ cc("mvhd") ++ Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000)
+    val mp4EofMoov = be32(24) ++ cc("ftyp") ++ cc("isom") ++ be32(0x200) ++
+      cc("isom") ++ cc("mp42") ++ be32(0) ++ cc("moov") ++ mvhd0
+    assert(MediaHeader.decode(mp4EofMoov).get.durationMs == 5000L)
     // SynthMedia round-trip across the share space: every combination
     // of container x extra-chunk x mvhd-version occurs in a small draw
     // and parses back to the md5-derived fields
