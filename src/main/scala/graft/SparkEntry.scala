@@ -56,6 +56,7 @@ object SparkEntry {
     "vs_parse" -> (DocParse.parse _),
     "vs_parse_pdf" -> (DocParse.parsePdf _),
     "vs_parse_pptx" -> (DocParse.parsePptx _),
+    "vs_parse_docx" -> (DocParse.parseDocx _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -754,6 +755,24 @@ object SparkEntry {
         | (((i*53)%700 + 80 + (i*11)%160)*9525)::DOUBLE
         |FROM ch WHERE i % 3 = 0
         |ORDER BY doc_id, page_num, content_type""".stripMargin,
+    // DOCX: paragraph ordinals are content ids (w:p carries no id),
+    // page_num 0 throughout (no pages until render-time layout);
+    // ordering is on the STRING id in both engines
+    "vs_parse_docx" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | i::VARCHAR AS content_id, trim(pg) AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch WHERE trim(pg) <> ''
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'image', (1000+i)::VARCHAR,
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | 0.0::DOUBLE, 0.0::DOUBLE,
+        | ((100 + (i*7)%200)*9525)::DOUBLE, ((80 + (i*11)%160)*9525)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |ORDER BY doc_id, content_type, content_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

@@ -106,7 +106,8 @@ object ParsePptx {
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"PPTX parse: $what")
 
-  private[expressions] def unzip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  private[expressions] def unzip(bytes: Array[Byte],
+      what: String = "PPTX"): Map[String, Array[Byte]] = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
@@ -123,10 +124,11 @@ object ParsePptx {
         e = zin.getNextEntry
       }
     } catch {
-      case ex: java.util.zip.ZipException =>
-        fail(s"not a zip package: ${ex.getMessage}")
+      case ex: java.util.zip.ZipException => throw new IllegalArgumentException(
+        s"$what parse: not a zip package: ${ex.getMessage}")
     } finally zin.close()
-    if (out.isEmpty) fail("empty package (not a PPTX?)")
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"$what parse: empty package (not a $what?)")
     out.toMap
   }
 
@@ -145,7 +147,7 @@ object ParsePptx {
       f.newDocumentBuilder()
     }
 
-  private def parseXml(bytes: Array[Byte], what: String): org.w3c.dom.Document =
+  private[expressions] def parseXml(bytes: Array[Byte], what: String): org.w3c.dom.Document =
     try {
       val b = builderTl.get()
       b.reset()
@@ -154,7 +156,7 @@ object ParsePptx {
       case e: org.xml.sax.SAXException => fail(s"bad XML in $what: ${e.getMessage}")
     }
 
-  private def descendants(el: Element): Seq[Element] = {
+  private[expressions] def descendants(el: Element): Seq[Element] = {
     val out = ArrayBuffer.empty[Element]
     def walk(n: Node): Unit = {
       val kids = n.getChildNodes
@@ -169,10 +171,10 @@ object ParsePptx {
     out.toSeq
   }
 
-  private def firstLocal(el: Element, local: String): Option[Element] =
+  private[expressions] def firstLocal(el: Element, local: String): Option[Element] =
     descendants(el).find(_.getLocalName == local)
 
-  private def firstAttr(el: Element, local: String, attr: String): Option[String] =
+  private[expressions] def firstAttr(el: Element, local: String, attr: String): Option[String] =
     firstLocal(el, local).flatMap { e =>
       val attrs = e.getAttributes
       (0 until attrs.getLength).map(attrs.item)
@@ -245,7 +247,7 @@ object ParsePptx {
     }
   }
 
-  private def slideRels(entries: Map[String, Array[Byte]],
+  private[expressions] def slideRels(entries: Map[String, Array[Byte]],
       slidePath: String): Map[String, String] = {
     val name = slidePath.substring(slidePath.lastIndexOf('/') + 1)
     val relsPath = slidePath.substring(0, slidePath.lastIndexOf('/') + 1) +
@@ -259,7 +261,7 @@ object ParsePptx {
 
   /** Resolve an OPC relative target against the part that declares
     * it ("../media/x" from "ppt/slides/slideN.xml" → "ppt/media/x"). */
-  private def resolve(fromPart: String, target: String): String = {
+  private[expressions] def resolve(fromPart: String, target: String): String = {
     if (target.startsWith("/")) return target.stripPrefix("/")
     val base = fromPart.split('/').dropRight(1)
     val segs = scala.collection.mutable.ArrayBuffer(base: _*)

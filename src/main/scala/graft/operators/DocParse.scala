@@ -104,6 +104,26 @@ object DocParse {
       .orderBy($"doc_id", $"page_num", $"content_type")
   }
 
+  /** vs_parse_docx — the third real container through the seam: a
+    * valid DOCX per document ([[graft.functions.expressions.SynthDocx]]
+    * — content types, package + document rels, WordprocessingML body,
+    * inline pictures, media parts) parsed back paragraph-by-paragraph
+    * ([[graft.functions.expressions.ParseDocx]]): `w:p` runs with
+    * ordinal content ids, inline drawings resolved through the
+    * document rels to their media bytes with wp:extent EMU bboxes.
+    * page_num is 0 throughout — WordprocessingML has no pages until
+    * render-time layout. */
+  def parseDocx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseDocx(
+          graft.functions.expressions.SynthDocx($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_type", $"content_id")
+  }
+
   /** Payloads → VectorRecord rows for [[GraftVectorDB.ingestRecords]]:
     * text blocks embed in the text space, image records in the image
     * space, bbox carried from the payload. `payloads` needs
@@ -116,13 +136,14 @@ object DocParse {
   def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{ParsePdf, ParsePptx}
+    import graft.functions.expressions.{ParseDocx, ParsePdf, ParsePptx}
     val parsed = format match {
       case "gft" => ParseGft($"payload")
       case "pdf" => ParsePdf($"payload")
       case "pptx" => ParsePptx($"payload")
+      case "docx" => ParseDocx($"payload")
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

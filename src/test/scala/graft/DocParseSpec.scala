@@ -995,11 +995,15 @@ class DocParseSpec extends AnyFunSuite {
       size(graft.functions.expressions.ParsePdf(
         graft.functions.expressions.SynthPdf($"t"))).as("npdf"),
       size(graft.functions.expressions.ParsePptx(
-        graft.functions.expressions.SynthPptx($"t"))).as("npptx"))
+        graft.functions.expressions.SynthPptx($"t"))).as("npptx"),
+      size(graft.functions.expressions.ParseDocx(
+        graft.functions.expressions.SynthDocx($"t"))).as("ndocx"))
       .collect()(0)
     assert(rows.getInt(0) == 0, "empty text must parse to a zero-page PDF")
     assert(rows.getInt(1) == 0,
       "an empty declared sldIdLst is a zero-slide deck, not a parse failure")
+    assert(rows.getInt(2) == 0,
+      "an empty w:body is a zero-paragraph document, not a parse failure")
   }
 
   test("PDF: unsupported filters, corrupt Flate, and non-PDF bytes fail loudly") {
@@ -1161,8 +1165,61 @@ class DocParseSpec extends AnyFunSuite {
     assert(db.store.filter($"content_type" === ContentTypes.Image).count() > 0)
     val hits = db.search("fast query join table", topN = 5).collect()
     assert(hits.length == 5)
-    val err = intercept[IllegalArgumentException](DocParse.records(pdfs, "docx"))
+    val err = intercept[IllegalArgumentException](DocParse.records(pdfs, "odt"))
     assert(err.getMessage.contains("unknown container format"))
+    // docx is the third real container through the same seam
+    val docx = docs.filter($"doc_id" < 10).select(
+      concat(lit("bin/doc_"), $"doc_id", lit(".docx")).as("doc_name"),
+      graft.functions.expressions.SynthDocx($"text").as("payload"))
+    val n3 = db.ingestRecords(DocParse.records(docx, "docx"))
+    assert(n3 > 0)
+    assert(db.store.filter($"doc_type" === "docx").count() == n3)
+  }
+
+  test("DOCX: paragraphs, inline pictures, and XML specials round-trip through the OPC parser") {
+    import graft.functions.expressions.{ParseDocx, SynthDocx}
+    def parseDocxBytes(bytes: Array[Byte]) =
+      Seq(1).toDF("i")
+        .select(explode(ParseDocx(lit(bytes))).as("r"))
+        .select($"r.page_num", $"r.content_type", $"r.content_id",
+          $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+        .collect()
+    val text = (0 until 1000).map(i => ('a' + (i * 13 + i / 200) % 26).toChar)
+      .mkString // 5 paragraphs
+    val rows = parseDocxBytes(SynthDocx.build(text))
+    val texts = rows.filter(_.getString(1) == "text_block")
+      .sortBy(_.getString(2).toInt)
+    assert(texts.map(_.getString(2)).toSeq == Seq("0", "1", "2", "3", "4"),
+      "paragraph ordinals are the content ids")
+    assert(texts.map(_.getString(3)).mkString == text, "text must round-trip")
+    assert(rows.forall(_.getLong(0) == 0L),
+      "WordprocessingML has no pages until layout: page_num is 0")
+    val imgs = rows.filter(_.getString(1) == "image").sortBy(_.getString(2))
+    assert(imgs.map(_.getString(2)).toSeq == Seq("1000", "1003"),
+      "inline pictures carry their wp:docPr ids")
+    imgs.zip(Seq(0, 3)).foreach { case (r, i) =>
+      val chunk = text.substring(i * 200, i * 200 + 200)
+      val md5p = java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      assert(new String(java.util.Base64.getDecoder.decode(r.getString(3)),
+        "ISO-8859-1") == md5p, "media bytes resolve through the document rels")
+      assert(r.getDouble(6) == (100 + (i * 7) % 200) * 9525.0 &&
+        r.getDouble(7) == (80 + (i * 11) % 160) * 9525.0,
+        "bbox = wp:extent EMUs")
+    }
+    // XML specials survive the escape/unescape round trip
+    val special = "a & b < c > d " * 14 // one paragraph with all three
+    val sp = parseDocxBytes(SynthDocx.build(special))
+    assert(sp.length == 2 && sp.exists(_.getString(3) == special.trim),
+      sp.map(_.getString(3)).toSeq.toString)
+    // a zip with no word/document.xml is loud — not silently empty
+    val bo = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bo)
+    z.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
+    z.write("<x/>".getBytes); z.closeEntry(); z.close()
+    val e = intercept[Exception](parseDocxBytes(bo.toByteArray))
+    assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+      .contains("no word/document.xml"))
   }
 
   // ---- Identity-H WITHOUT /ToUnicode: the embedded TrueType cmap ----
