@@ -62,6 +62,12 @@ case class ParseDocx(child: Expression)
     val docBytes = entries.getOrElse(docPath,
       fail("package has no word/document.xml (not a DOCX?)"))
     val dom = parseXml(docBytes, docPath)
+    // Strict Open XML (purl.oclc.org namespaces) would otherwise parse
+    // to a silently EMPTY document — loud, like every other scope edge
+    val rootNs = dom.getDocumentElement.getNamespaceURI
+    if (rootNs != NsW)
+      fail(s"unsupported WordprocessingML namespace $rootNs " +
+        "(Strict Open XML? only the transitional namespace is in scope)")
     val rels = slideRels(entries, docPath) // same _rels/<name>.rels shape
     val out = ArrayBuffer.empty[Any]
     var pIdx = 0
@@ -80,7 +86,9 @@ case class ParseDocx(child: Expression)
           def emu(attr: String): Double =
             firstLocal(el, "extent").map(_.getAttribute(attr))
               .filter(_.nonEmpty).map(_.toDouble).getOrElse(0.0)
-          firstAttr(el, "blip", "embed").flatMap(rels.get).foreach { target =>
+          firstAttr(el, "blip", "embed").foreach { rid =>
+            val target = rels.getOrElse(rid,
+              fail(s"drawing references undeclared relationship $rid"))
             val media = resolve(docPath, target)
             val bytes = entries.getOrElse(media,
               fail(s"missing media part $media"))
@@ -110,11 +118,33 @@ object ParseDocx {
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"DOCX parse: $what")
 
-  /** python-docx paragraph.text: the paragraph's `w:t` runs
-    * concatenated (WordprocessingML namespace only, so DrawingML text
-    * nested in an inline object never leaks in), then stripped. */
-  private def paragraphText(p: Element): String =
-    ParsePptx.descendants(p)
-      .filter(e => e.getLocalName == "t" && e.getNamespaceURI == NsW)
-      .map(_.getTextContent).mkString.trim
+  /** python-docx paragraph.text: the paragraph's OWN `w:t` runs
+    * concatenated, `w:tab` → TAB and `w:br`/`w:cr` → newline, then
+    * stripped. "Own" = the walk does NOT descend into nested `w:p`
+    * elements (a text box's `w:txbxContent` paragraphs), which the
+    * top-level loop visits and emits as their own rows — without the
+    * stop, text-box content would be ingested twice. */
+  private def paragraphText(p: Element): String = {
+    val sb = new StringBuilder
+    def walk(n: org.w3c.dom.Node): Unit = {
+      val kids = n.getChildNodes
+      (0 until kids.getLength).foreach { i =>
+        kids.item(i) match {
+          case e: Element if e.getNamespaceURI == NsW &&
+              e.getLocalName == "p" => () // a nested paragraph owns its text
+          case e: Element if e.getNamespaceURI == NsW =>
+            e.getLocalName match {
+              case "t" => sb.append(e.getTextContent)
+              case "tab" => sb.append('\t')
+              case "br" | "cr" => sb.append('\n')
+              case _ => walk(e)
+            }
+          case e: Element => walk(e)
+          case _ => ()
+        }
+      }
+    }
+    walk(p)
+    sb.result().trim
+  }
 }

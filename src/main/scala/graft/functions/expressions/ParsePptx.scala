@@ -76,7 +76,9 @@ case class ParsePptx(child: Expression)
             }
           case "pic" =>
             val id = cNvPrId(el)
-            firstAttr(el, "blip", "embed").flatMap(rels.get).foreach { target =>
+            firstAttr(el, "blip", "embed").foreach { rid =>
+              val target = rels.getOrElse(rid,
+                fail(s"picture references undeclared relationship $rid"))
               val media = resolve(slidePath, target)
               val bytes = entries.getOrElse(media,
                 fail(s"missing media part $media"))
@@ -105,6 +107,24 @@ object ParsePptx {
 
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"PPTX parse: $what")
+
+  /** The ONE escaper every synthetic OPC writer shares. Beyond the
+    * mandatory &/</> entities: a carriage return must ride a character
+    * reference (&#13;) or the XML parser's line-ending normalization
+    * (XML 1.0 §2.11) silently turns it into \n and the round trip
+    * drifts; characters illegal in XML 1.0 (< 0x20 except TAB/LF/CR)
+    * cannot be represented at all and fail loudly. */
+  private[expressions] def xmlEsc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '\r' => "&#13;"
+      case c if c < ' ' && c != '\t' && c != '\n' =>
+        throw new IllegalArgumentException(
+          f"OPC write: character U+${c.toInt}%04X is illegal in XML 1.0")
+      case c => c.toString
+    }
 
   private[expressions] def unzip(bytes: Array[Byte],
       what: String = "PPTX"): Map[String, Array[Byte]] = {
@@ -153,7 +173,10 @@ object ParsePptx {
       b.reset()
       b.parse(new java.io.ByteArrayInputStream(bytes))
     } catch {
-      case e: org.xml.sax.SAXException => fail(s"bad XML in $what: ${e.getMessage}")
+      // neutral prefix: this parser is shared by every OPC container
+      // (PPTX, DOCX) — the part name localizes the failure
+      case e: org.xml.sax.SAXException => throw new IllegalArgumentException(
+        s"OPC parse: bad XML in $what: ${e.getMessage}")
     }
 
   private[expressions] def descendants(el: Element): Seq[Element] = {

@@ -50,13 +50,7 @@ object SynthDocx {
   private val NsPic = "http://schemas.openxmlformats.org/drawingml/2006/picture"
   private val NsRel = "http://schemas.openxmlformats.org/package/2006/relationships"
 
-  private def xmlEsc(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
-    }
+  private def xmlEsc(s: String): String = ParsePptx.xmlEsc(s)
 
   private[graft] def build(text: String): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8

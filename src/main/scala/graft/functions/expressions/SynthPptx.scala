@@ -50,13 +50,7 @@ object SynthPptx {
   private val NsP = "http://schemas.openxmlformats.org/presentationml/2006/main"
   private val NsRel = "http://schemas.openxmlformats.org/package/2006/relationships"
 
-  private def xmlEsc(s: String): String =
-    s.flatMap {
-      case '&' => "&amp;"
-      case '<' => "&lt;"
-      case '>' => "&gt;"
-      case c => c.toString
-    }
+  private def xmlEsc(s: String): String = ParsePptx.xmlEsc(s)
 
   private[expressions] def build(text: String): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8

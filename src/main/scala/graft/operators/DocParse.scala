@@ -129,7 +129,7 @@ object DocParse {
     * space, bbox carried from the payload. `payloads` needs
     * (doc_name, payload); `format` selects the container parser AND
     * tags doc_type — "gft" (string payloads, the synthetic container),
-    * "pdf" or "pptx" (binary payloads, the real formats). The
+    * "pdf", "pptx", or "docx" (binary payloads, the real formats). The
     * downstream plumbing (explode → per-channel embedding → store
     * append) is format-agnostic, which is the whole point of the
     * seam. */

@@ -1213,13 +1213,59 @@ class DocParseSpec extends AnyFunSuite {
     assert(sp.length == 2 && sp.exists(_.getString(3) == special.trim),
       sp.map(_.getString(3)).toSeq.toString)
     // a zip with no word/document.xml is loud — not silently empty
-    val bo = new java.io.ByteArrayOutputStream()
-    val z = new java.util.zip.ZipOutputStream(bo)
-    z.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
-    z.write("<x/>".getBytes); z.closeEntry(); z.close()
-    val e = intercept[Exception](parseDocxBytes(bo.toByteArray))
-    assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
-      .contains("no word/document.xml"))
+    def pack(parts: (String, String)*): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bo)
+      parts.foreach { case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(c.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bo.toByteArray
+    }
+    def errMsg(bytes: Array[Byte]): String = {
+      val e = intercept[Exception](parseDocxBytes(bytes))
+      Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    }
+    assert(errMsg(pack("other.xml" -> "<x/>")).contains("no word/document.xml"))
+    // w:tab → TAB, w:br → newline, and a TEXT BOX's inner paragraph is
+    // its OWN row — never doubled into the host paragraph's text
+    val nsW = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    val hand = pack("word/document.xml" ->
+      (s"""<?xml version="1.0"?><w:document xmlns:w="$nsW"><w:body>""" +
+        """<w:p><w:r><w:t>col1</w:t><w:tab/><w:t>col2</w:t><w:br/>""" +
+        """<w:t>line2</w:t></w:r><w:r><w:pict><w:txbxContent>""" +
+        """<w:p><w:r><w:t>boxed</w:t></w:r></w:p>""" +
+        """</w:txbxContent></w:pict></w:r></w:p></w:body></w:document>"""))
+    assert(parseDocxBytes(hand).map(r => (r.getString(2), r.getString(3))).toSet ==
+      Set(("0", "col1\tcol2\nline2"), ("1", "boxed")),
+      parseDocxBytes(hand).toSeq.toString)
+    // Strict Open XML namespaces are out of scope — loud, not empty
+    assert(errMsg(pack("word/document.xml" ->
+      ("""<?xml version="1.0"?><w:document """ +
+        """xmlns:w="http://purl.oclc.org/ooxml/wordprocessingml/main">""" +
+        """<w:body/></w:document>""")))
+      .contains("unsupported WordprocessingML namespace"))
+    // a drawing whose r:embed has no relationship entry is loud
+    val dangling = pack("word/document.xml" ->
+      (s"""<?xml version="1.0"?><w:document xmlns:w="$nsW" """ +
+        """xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing" """ +
+        """xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<w:body><w:p><w:r><w:drawing><wp:inline>""" +
+        """<wp:extent cx="10" cy="10"/><wp:docPr id="7" name=""/>""" +
+        """<a:graphic><a:graphicData uri="u"><a:blip r:embed="rId9"/>""" +
+        """</a:graphicData></a:graphic>""" +
+        """</wp:inline></w:drawing></w:r></w:p></w:body></w:document>"""))
+    assert(errMsg(dangling).contains("undeclared relationship rId9"))
+    // carriage returns survive the escape round trip as &#13; — the
+    // XML parser's line-ending normalization must not turn them into \n
+    val cr = "line one\rline two" + " x" * 91 // one chunk
+    val crRows = parseDocxBytes(graft.functions.expressions.SynthDocx.build(cr))
+    assert(crRows.exists(_.getString(3) == cr.trim), crRows.map(_.getString(3)).toSeq)
+    // XML-illegal control characters fail the WRITE loudly
+    val bad = intercept[Exception](
+      graft.functions.expressions.SynthDocx.build("a" + 1.toChar + "b"))
+    assert(bad.getMessage.contains("illegal in XML 1.0"), bad.getMessage)
   }
 
   // ---- Identity-H WITHOUT /ToUnicode: the embedded TrueType cmap ----
