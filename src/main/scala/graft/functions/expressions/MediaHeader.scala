@@ -89,6 +89,7 @@ object MediaHeader {
       // RIFF chunk walk: 4cc + u32le size + data, odd sizes padded
       var p = 12
       var fmt = -1
+      var fmtSize = -1L
       var dataSize = -1L
       while (p + 8 <= b.length && (fmt < 0 || dataSize < 0)) {
         val id = tag(p)
@@ -96,11 +97,14 @@ object MediaHeader {
         // a declared size past the buffer = truncated/corrupt: null,
         // never metadata computed from bytes that are not there
         if (p + 8 + size > b.length) return None
-        if (id == "fmt ") fmt = p + 8
+        if (id == "fmt ") { fmt = p + 8; fmtSize = size }
         else if (id == "data") dataSize = size
         p += 8 + size.toInt + (size % 2).toInt // pad byte after odd sizes
       }
-      if (fmt < 0 || dataSize < 0 || fmt + 16 > b.length) return None
+      // a fmt chunk declaring < 16 bytes cannot hold the PCM header —
+      // reading on would take channels/rate from the NEXT chunk's bytes
+      if (fmt < 0 || fmtSize < 16 || dataSize < 0 || fmt + 16 > b.length)
+        return None
       val audioFormat = u16le(fmt)
       // non-PCM (float, A-law, WAVE_FORMAT_EXTENSIBLE, …) is out of
       // decode scope — treated as an opaque payload (None), NOT a loud

@@ -474,6 +474,10 @@ object ParsePdf {
     }
     val o = stringValueOf(enc, "/O").getOrElse(fail("/Encrypt has no /O"))
     val u = stringValueOf(enc, "/U").getOrElse(fail("/Encrypt has no /U"))
+    // hoisted above key derivation: /EncryptMetadata false changes the
+    // FILE KEY for R >= 4 (Algorithm 2 step f), not just stream exemption
+    val metaPlain =
+      """/EncryptMetadata\s+false""".r.findFirstIn(encTop).isDefined
     val fileKey: Array[Byte] = if (v == 5) {
       // AES-256 (ISO 32000-2 §7.6.4): /U = hash(32) ‖ validation
       // salt(8) ‖ key salt(8); Algorithm 11 validates the empty user
@@ -516,10 +520,17 @@ object ParsePdf {
           .map(Integer.parseInt(_, 16).toByte).toArray)
         .getOrElse(fail("encrypted PDF without a hex /ID (key underivable)"))
       val keyLen = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
-      // Algorithm 2 with the EMPTY user password
+      // Algorithm 2 with the EMPTY user password; step f: when
+      // /R >= 4 and /EncryptMetadata is false, 0xFFFFFFFF joins the
+      // MD5 input after /ID — omitting it derives the wrong key for
+      // owner-locked R4 documents with plaintext metadata and
+      // misreports them as password-protected
       val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
         (p >> 24).toByte)
-      var h = md5(PdfPad, o.take(32), pLe, id)
+      var h =
+        if (r >= 4 && metaPlain)
+          md5(PdfPad, o.take(32), pLe, id, Array[Byte](-1, -1, -1, -1))
+        else md5(PdfPad, o.take(32), pLe, id)
       if (r >= 3) {
         var i = 0
         while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
@@ -566,9 +577,7 @@ object ParsePdf {
       }
     // §7.5.8.2: cross-reference streams are NEVER encrypted (the xref
     // must be readable before the /Encrypt dict is found); likewise
-    // /Metadata streams when /EncryptMetadata is false.
-    val metaPlain =
-      """/EncryptMetadata\s+false""".r.findFirstIn(encTop).isDefined
+    // /Metadata streams when /EncryptMetadata is false (hoisted above).
     def exempt(dict: String): Boolean =
       """/Type\s*/XRef\b""".r.findFirstIn(dict).isDefined ||
         (metaPlain && """/Type\s*/Metadata\b""".r.findFirstIn(dict).isDefined)
@@ -605,28 +614,91 @@ object ParsePdf {
   private val Decodable: Set[String] = Set("FlateDecode", "LZWDecode",
     "ASCII85Decode", "ASCIIHexDecode", "RunLengthDecode")
 
-  /** Apply a filter CHAIN in declaration order. /DecodeParms
-    * /Predictor row filtering (PNG predictors 10-15 and TIFF 2, what
-    * real writers wrap xref streams and rasters in) is undone right
-    * after the Flate/LZW stage it applies to; predictor shapes this
-    * cannot undo fail loudly rather than emitting scrambled text. */
+  /** Per-filter /DecodeParms dict text, POSITIONALLY aligned with the
+    * filter chain (ISO 32000 §7.4.1 Table 5; None = null/absent
+    * entry). The array form maps index-for-index; the single-dict
+    * form binds to the chain's ONE predictor-capable (Flate/LZW)
+    * stage — with two such stages the binding is ambiguous, and this
+    * fails loudly by object number instead of guessing (a wrong guess
+    * corrupts silently whenever the row-shape check happens to pass).
+    * The key is located in [[topLevelView]] (offset-aligned) so a
+    * nested dict's own /DecodeParms can never bind here. */
+  private[graft] def decodeParmsOf(dict: String, filters: Seq[String],
+      objNum: Int): Seq[Option[String]] = {
+    val none: Seq[Option[String]] = Seq.fill(filters.length)(None)
+    val view = topLevelView(dict)
+    val at = """/DecodeParms(?![A-Za-z])""".r.findFirstMatchIn(view)
+      .map(_.start).getOrElse(return none)
+    var p = at + "/DecodeParms".length
+    while (p < dict.length && dict.charAt(p).isWhitespace) p += 1
+    if (p >= dict.length) return none
+    // one balanced << … >> starting at q0 → (its text, end offset)
+    def dictAt(q0: Int): (String, Int) = {
+      var q = q0 + 2
+      var depth = 1
+      while (q < dict.length && depth > 0) {
+        if (dict.startsWith("<<", q)) { depth += 1; q += 2 }
+        else if (dict.startsWith(">>", q)) { depth -= 1; q += 2 }
+        else q += 1
+      }
+      if (depth != 0) fail(s"unterminated /DecodeParms dict in object $objNum")
+      (dict.substring(q0, q), q)
+    }
+    def bindSingle(d: String): Seq[Option[String]] = {
+      val capable = filters.zipWithIndex.collect {
+        case (f, i) if f == "FlateDecode" || f == "LZWDecode" => i
+      }
+      capable match {
+        case Seq(i) => none.updated(i, Some(d))
+        case Seq()  => none // parms for a stage with no predictor semantics
+        case _ => fail(s"single /DecodeParms dict over ${capable.length} " +
+          s"Flate/LZW stages in object $objNum (ambiguous binding)")
+      }
+    }
+    if (dict.startsWith("null", p)) none
+    else if (dict.startsWith("<<", p)) bindSingle(dictAt(p)._1)
+    else if (dict.charAt(p) == '[') {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+      var q = p + 1
+      var done = false
+      while (!done) {
+        while (q < dict.length && dict.charAt(q).isWhitespace) q += 1
+        if (q >= dict.length)
+          fail(s"unterminated /DecodeParms array in object $objNum")
+        else if (dict.charAt(q) == ']') done = true
+        else if (dict.startsWith("null", q)) { out += None; q += 4 }
+        else if (dict.startsWith("<<", q)) {
+          val (d, e) = dictAt(q); out += Some(d); q = e
+        } else fail(s"unsupported /DecodeParms array element in object $objNum")
+      }
+      filters.indices.map(i => out.lift(i).flatten)
+    } else fail(s"indirect or malformed /DecodeParms in object $objNum")
+  }
+
+  /** Apply a filter CHAIN in declaration order. Each stage reads ITS
+    * OWN /DecodeParms entry ([[decodeParmsOf]]) — /Predictor row
+    * filtering (PNG predictors 10-15 and TIFF 2, what real writers
+    * wrap xref streams and rasters in) and LZW /EarlyChange are undone
+    * right after the one Flate/LZW stage they belong to, never
+    * re-applied after every stage of a multi-stage chain; predictor
+    * shapes this cannot undo fail loudly rather than emitting
+    * scrambled text. */
   private def applyFilters(raw: Array[Byte], filters: Seq[String],
       dict: String, objNum: Int): Array[Byte] = {
-    def parm(key: String, dflt: Int): Int =
-      ("/" + key + """\s+(\d+)""").r.findFirstMatchIn(dict)
-        .map(_.group(1).toInt).getOrElse(dflt)
-    val predictor = parm("Predictor", 1)
-    def postPredict(data: Array[Byte]): Array[Byte] =
-      if (predictor <= 1) data
-      else unpredict(data, predictor, parm("Colors", 1),
-        parm("BitsPerComponent", 8), parm("Columns", 1), objNum)
-    filters.foldLeft(raw) { (data, f) =>
+    val parms = decodeParmsOf(dict, filters, objNum)
+    filters.zip(parms).foldLeft(raw) { case (data, (f, pd)) =>
+      def parm(key: String, dflt: Int): Int =
+        pd.flatMap(d => ("/" + key + """\s+(\d+)""").r.findFirstMatchIn(d)
+          .map(_.group(1).toInt)).getOrElse(dflt)
+      def postPredict(out: Array[Byte]): Array[Byte] = {
+        val predictor = parm("Predictor", 1)
+        if (predictor <= 1) out
+        else unpredict(out, predictor, parm("Colors", 1),
+          parm("BitsPerComponent", 8), parm("Columns", 1), objNum)
+      }
       f match {
         case "FlateDecode" => postPredict(inflate(data))
-        case "LZWDecode" =>
-          val ec = """/EarlyChange\s+(\d+)""".r.findFirstMatchIn(dict)
-            .map(_.group(1).toInt).getOrElse(1)
-          postPredict(lzwDecode(data, ec))
+        case "LZWDecode" => postPredict(lzwDecode(data, parm("EarlyChange", 1)))
         case "ASCII85Decode" => ascii85Decode(data)
         case "ASCIIHexDecode" => asciiHexDecode(data)
         case "RunLengthDecode" => runLengthDecode(data)

@@ -43,26 +43,33 @@ case class ProjectTfidf(child: Expression, vocab: Seq[String],
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val counts = new Array[Int](vocab.length)
+    val n = arr.numElements()
+    // Present-term vocab indices, duplicates = term frequency. O(len)
+    // space — never a V-sized buffer, so serving cost is V-independent.
+    val hits = new Array[Int](math.max(n, 1))
+    var nh = 0
     var i = 0
-    while (i < arr.numElements()) {
+    while (i < n) {
       val t = arr.getUTF8String(i)
       if (t != null) {
         val idx = index.get(t)
-        if (idx != null) counts(idx.intValue) += 1
+        if (idx != null) { hits(nh) = idx.intValue; nh += 1 }
       }
       i += 1
     }
+    // Ascending vocab index = the encodeLocal fold order (bit-parity).
+    java.util.Arrays.sort(hits, 0, nh)
     val lat = new Array[Double](dim)
     i = 0
-    while (i < vocab.length) {
-      if (counts(i) != 0) {
-        val x = counts(i).toDouble * idfArr(i)
-        if (x != 0.0) {
-          val row = projArr(i)
-          var d = 0
-          while (d < dim) { lat(d) += x * row(d); d += 1 }
-        }
+    while (i < nh) {
+      val idx = hits(i)
+      var c = 1
+      while (i + 1 < nh && hits(i + 1) == idx) { c += 1; i += 1 }
+      val x = c.toDouble * idfArr(idx)
+      if (x != 0.0) {
+        val row = projArr(idx)
+        var d = 0
+        while (d < dim) { lat(d) += x * row(d); d += 1 }
       }
       i += 1
     }

@@ -106,9 +106,12 @@ object ClipEncoder {
       }
     }
     val model = trainImageTower(feats, targets, dim, hidden, epochs, seed)
+    // ONE image decode per row: ClipImageEncode itself returns null on
+    // payloads without a readable image header, so coalesce routes
+    // text rows to the text tower without a second header walk (the
+    // when(ImageHeaderMeta…) guard decoded every payload twice)
     def encode(c: Column): Column =
-      when(ImageHeaderMeta(c).isNotNull, ClipImageEncode(c, model))
-        .otherwise(textDef.encode(c))
+      coalesce(ClipImageEncode(c, model), textDef.encode(c))
     def encodeLocal(s: String): Array[Double] =
       ClipImageModel.sniff(s) match {
         case Some((bytes, f, w, h)) => model.embed(bytes, f, w, h)

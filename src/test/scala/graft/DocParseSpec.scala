@@ -427,11 +427,16 @@ class DocParseSpec extends AnyFunSuite {
     if (r >= 3) (1 to 19).foreach(i => o = rc4t(k.map(b => (b ^ i).toByte), o))
     o
   }
-  /** Algorithm 2: the file key from the user password. */
+  /** Algorithm 2: the file key from the user password. `metaPlain`
+    * enables step f — /R >= 4 with /EncryptMetadata false appends
+    * 0xFFFFFFFF to the MD5 input after the /ID bytes. */
   private def fileKey(user: String, o: Array[Byte], p: Int, id: Array[Byte],
-      keyLen: Int, r: Int): Array[Byte] = {
+      keyLen: Int, r: Int, metaPlain: Boolean = false): Array[Byte] = {
     val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
-    var h = md5b(padPw(user), o, pLe, id)
+    var h =
+      if (r >= 4 && metaPlain)
+        md5b(padPw(user), o, pLe, id, Array[Byte](-1, -1, -1, -1))
+      else md5b(padPw(user), o, pLe, id)
     if (r >= 3) (0 until 50).foreach(_ => h = md5b(h.take(keyLen)))
     h.take(keyLen)
   }
@@ -545,6 +550,30 @@ class DocParseSpec extends AnyFunSuite {
           s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
       },
       (data, num) => aesEnc(objKeyT(key, num, aes = true), data))
+    val rows = parsePdfBytes(pdf)
+    assert(rows.map(_.getString(3)).toSeq ==
+      Seq("rc4 secured page one", "flate under crypt two"),
+      rows.toSeq.toString)
+  }
+
+  test("PDF: R4 /EncryptMetadata false changes the file key (Algorithm 2 step f)") {
+    // the independent encryptor appends 0xFFFFFFFF after /ID; a
+    // decoder that honors /EncryptMetadata only for stream exemption
+    // derives the wrong key and misreports a password lock
+    val p = -3904
+    var key: Array[Byte] = null
+    val pdf = encryptedPdf(
+      id => {
+        val o = oEntry("metaowner", "", 16, 4)
+        key = fileKey("", o, p, id, 16, 4, metaPlain = true)
+        val u = uEntry(key, id)
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+          "/EncryptMetadata false " +
+          "/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>"
+      },
+      (data, num) => rc4t(objKeyT(key, num, aes = false), data))
     val rows = parsePdfBytes(pdf)
     assert(rows.map(_.getString(3)).toSeq ==
       Seq("rc4 secured page one", "flate under crypt two"),
@@ -819,6 +848,54 @@ class DocParseSpec extends AnyFunSuite {
     emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
     val rows = parsePdfBytes(pdf.toByteArray)
     assert(rows.length == 1 && rows(0).getString(3) == text, rows.toSeq.toString)
+  }
+
+  test("PDF: array-form /DecodeParms binds per stage in a double-Flate chain") {
+    // the predictor belongs to stage 2 ONLY — a decoder that re-applies
+    // the one parsed predictor after every Flate stage corrupts stage 1
+    val text = "double flate with the predictor on the second stage only"
+    val s = s"BT 1 0 0 1 10 20 Tm (${text}) Tj ET\n"
+    val cols = 9
+    val predicted = graft.functions.expressions.SynthPdf
+      .pngPredict(s.getBytes("ISO-8859-1"), cols)
+    val b = deflate(new String(
+      deflate(new String(predicted, "ISO-8859-1")), "ISO-8859-1"))
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${b.length} " +
+      "/Filter [/FlateDecode /FlateDecode] " +
+      "/DecodeParms [null << /Predictor 12 /Colors 1 " +
+      s"/BitsPerComponent 8 /Columns $cols >>] >>\nstream\n")
+    pdf.write(b); emit("\nendstream endobj\n")
+    emit("trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val rows = parsePdfBytes(pdf.toByteArray)
+    assert(rows.length == 1 && rows(0).getString(3) == text, rows.toSeq.toString)
+  }
+
+  test("PDF: /DecodeParms parsing — array alignment, single-dict binding, ambiguity is loud") {
+    import graft.functions.expressions.{ParsePdf => PP}
+    // array form maps index-for-index, null = absent
+    assert(PP.decodeParmsOf(
+      "<< /Filter [/ASCIIHexDecode /FlateDecode] /DecodeParms [null << /Predictor 12 >>] >>",
+      Seq("ASCIIHexDecode", "FlateDecode"), 7) ==
+      Seq(None, Some("<< /Predictor 12 >>")))
+    // single dict binds to the chain's ONE Flate/LZW stage
+    assert(PP.decodeParmsOf(
+      "<< /Filter [/ASCIIHexDecode /LZWDecode] /DecodeParms << /EarlyChange 0 >> >>",
+      Seq("ASCIIHexDecode", "LZWDecode"), 7) ==
+      Seq(None, Some("<< /EarlyChange 0 >>")))
+    // a NESTED dict's own /DecodeParms never binds to this stream
+    assert(PP.decodeParmsOf(
+      "<< /SMask << /DecodeParms << /Predictor 12 >> >> /Filter /FlateDecode >>",
+      Seq("FlateDecode"), 7) == Seq(None))
+    // one dict over two predictor-capable stages: ambiguous → loud
+    val e = intercept[Exception](PP.decodeParmsOf(
+      "<< /Filter [/FlateDecode /FlateDecode] /DecodeParms << /Predictor 12 >> >>",
+      Seq("FlateDecode", "FlateDecode"), 7))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
   }
 
   test("PDF: an un-undoable predictor on an IMAGE stream does not abort the document") {
