@@ -57,6 +57,7 @@ object SparkEntry {
     "vs_parse_pdf" -> (DocParse.parsePdf _),
     "vs_parse_pptx" -> (DocParse.parsePptx _),
     "vs_parse_docx" -> (DocParse.parseDocx _),
+    "vs_parse_html" -> (DocParse.parseHtml _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -772,6 +773,40 @@ object SparkEntry {
         | 0.0::DOUBLE, 0.0::DOUBLE,
         | ((100 + (i*7)%200)*9525)::DOUBLE, ((80 + (i*11)%160)*9525)::DOUBLE
         |FROM ch WHERE i % 3 = 0
+        |ORDER BY doc_id, content_type, content_id""".stripMargin,
+    // HTML: DOM paths are content ids, text runs are whitespace-
+    // collapsed, head/nav/footer text is content_type 'boilerplate'
+    // (main-content extraction hash-checked alongside the happy path —
+    // the synth page is deliberate tag soup, see SynthHtml)
+    "vs_parse_html" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | '/html[1]/body[1]/main[1]/p[' || (i+1) || ']' AS content_id,
+        | trim(regexp_replace(pg, '\s+', ' ', 'g')) AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch WHERE trim(regexp_replace(pg, '\s+', ' ', 'g')) <> ''
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'image',
+        | '/html[1]/body[1]/main[1]/p[' || (i+1) || ']/img[1]',
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | 0.0::DOUBLE, 0.0::DOUBLE,
+        | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'boilerplate', '/html[1]/head[1]/title[1]',
+        | trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g')),
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents WHERE trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g')) <> ''
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'boilerplate', '/html[1]/body[1]/header[1]/nav[1]',
+        | 'Home About Contact', 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'boilerplate', '/html[1]/body[1]/footer[1]',
+        | '(c) example.com - static footer', 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,

@@ -124,6 +124,43 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_parse_html — the first MARKUP format through the seam, and
+    * the #1 real-corpus input of a crawl-scale pipeline: a full page
+    * per document ([[graft.functions.expressions.SynthHtml]] — head
+    * boilerplate, nav bar, main-content paragraphs with inline
+    * data-URI images, footer, deliberate tag soup) parsed back by the
+    * tolerant extractor ([[graft.functions.expressions.ParseHtml]]):
+    * block-level text runs with DOM-path content ids, main content
+    * split from boilerplate by content_type, images with their
+    * width/height bboxes. page_num is 0 throughout — HTML has no
+    * pages. */
+  def parseHtml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseHtml(
+          graft.functions.expressions.SynthHtml($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_type", $"content_id")
+  }
+
+  /** Per-document boilerplate share from a [[parseHtml]]-shaped frame:
+    * boilerplate chars / all text chars — the main-content-extraction
+    * signal a curation gate consumes (a page that is mostly chrome is
+    * not training data). One narrow aggregation, no shuffle beyond the
+    * per-doc groupBy. */
+  def boilerplateRatio(parsed: DataFrame): DataFrame = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.filter($"content_type".isin("text_block", "boilerplate"))
+      .groupBy($"doc_id")
+      .agg(round(
+        coalesce(sum(when($"content_type" === "boilerplate",
+          length($"content_raw"))), lit(0L)).cast("double") /
+          sum(length($"content_raw")), 4).as("boilerplate_ratio"))
+  }
+
   /** Payloads → VectorRecord rows for [[GraftVectorDB.ingestRecords]]:
     * text blocks embed in the text space, image records in the image
     * space, bbox carried from the payload. `payloads` needs
@@ -136,19 +173,23 @@ object DocParse {
   def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{ParseDocx, ParsePdf, ParsePptx}
+    import graft.functions.expressions.{ParseDocx, ParseHtml, ParsePdf, ParsePptx}
     val parsed = format match {
       case "gft" => ParseGft($"payload")
       case "pdf" => ParsePdf($"payload")
       case "pptx" => ParsePptx($"payload")
       case "docx" => ParseDocx($"payload")
+      case "html" => ParseHtml($"payload")
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),
         timestamp_micros(lit(0L)).as("ts"),
         explode(parsed).as("r"))
+      // html boilerplate rows never embed — main-content extraction
+      // IS the point of parsing markup for a training corpus
+      .filter($"r.content_type" =!= "boilerplate")
       .select(
         $"doc_name", lit(format).as("doc_type"), $"r.page_num",
         when($"r.content_type" === "image", lit(graft.model.ContentTypes.Image))

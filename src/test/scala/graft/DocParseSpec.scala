@@ -850,6 +850,87 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getString(3) == text, rows.toSeq.toString)
   }
 
+  private def parseHtmlStr(html: String) = {
+    import spark.implicits._
+    Seq(html.getBytes("UTF-8")).toDF("payload")
+      .select(explode(graft.functions.expressions.ParseHtml($"payload")).as("r"))
+      .select($"r.content_type", $"r.content_id", $"r.content_raw",
+        $"r.x1", $"r.y1")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("HTML: tag soup, entities, raw-text drop, DOM-path ids, boilerplate split") {
+    val rows = parseHtmlStr(
+      """<!DOCTYPE html><html><head><title>T&amp;A</title>
+        |<script>if (a<b) { x("</div>") }</script></head>
+        |<body><main>
+        |<ul><li>one<li>two &#65;&#x42; &unknown; &nbsp;done</ul>
+        |<P>first
+        |<p>second <b>bo<i>ld</i></b> tail</p>
+        |<div/><div>after</div>
+        |</main><aside>ad text</aside></body></html>""".stripMargin)
+    assert(rows == Seq(
+      ("boilerplate", "/html[1]/head[1]/title[1]", "T&A", 0.0, 0.0),
+      ("text_block", "/html[1]/body[1]/main[1]/ul[1]/li[1]", "one", 0.0, 0.0),
+      ("text_block", "/html[1]/body[1]/main[1]/ul[1]/li[2]",
+        "two AB &unknown; done", 0.0, 0.0),
+      ("text_block", "/html[1]/body[1]/main[1]/p[1]", "first", 0.0, 0.0),
+      ("text_block", "/html[1]/body[1]/main[1]/p[2]", "second bold tail", 0.0, 0.0),
+      ("text_block", "/html[1]/body[1]/main[1]/div[2]", "after", 0.0, 0.0),
+      ("boilerplate", "/html[1]/body[1]/aside[1]", "ad text", 0.0, 0.0)),
+      rows.toString)
+  }
+
+  test("HTML: data-URI images with dimensions; comments/PIs skipped; remote src verbatim") {
+    val rows = parseHtmlStr(
+      """<main><p>pic <img src="data:image/png;base64,QUJD" width=10 height="20" alt="x"> here</p>
+        |<!-- <p>commented out</p> --><?php echo ?>
+        |<p><img src=http://x/y.png width=abc></p></main>""".stripMargin)
+    assert(rows == Seq(
+      ("image", "/main[1]/p[1]/img[1]", "QUJD", 10.0, 20.0),
+      ("text_block", "/main[1]/p[1]", "pic here", 0.0, 0.0),
+      ("image", "/main[1]/p[2]/img[1]", "http://x/y.png", 0.0, 0.0)),
+      rows.toString)
+  }
+
+  test("HTML: fragments, lone '<', stray end tags, unterminated comments survive") {
+    val rows = parseHtmlStr("a < b <p>x</p></nope><!-- open")
+    assert(rows == Seq(
+      ("text_block", "/", "a < b", 0.0, 0.0),
+      ("text_block", "/p[1]", "x", 0.0, 0.0)), rows.toString)
+  }
+
+  test("HTML: boilerplateRatio splits chrome from main content") {
+    import spark.implicits._
+    val parsed = Seq((1L, "hello world")).toDF("doc_id", "text")
+      .select($"doc_id", explode(graft.functions.expressions.ParseHtml(
+        graft.functions.expressions.SynthHtml($"text"))).as("r"))
+      .select($"doc_id", $"r.content_type", $"r.content_id", $"r.content_raw")
+    val ratio = DocParse.boilerplateRatio(parsed).collect()
+    // title 11 + nav 18 + footer 31 boilerplate chars vs 11 main chars
+    assert(ratio.length == 1 &&
+      ratio(0).getDouble(1) == BigDecimal(60.0 / 71)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      ratio.toSeq.toString)
+  }
+
+  test("HTML: records() routes the format and never embeds boilerplate") {
+    import spark.implicits._
+    val payloads = Seq(("a.html",
+      graft.functions.expressions.SynthHtml.build("hello world")))
+      .toDF("doc_name", "payload")
+    val recs = DocParse.records(payloads, "html").collect()
+    assert(recs.length == 2, recs.toSeq.toString) // 1 text chunk + 1 image
+    val byType = recs.groupBy(_.getAs[String]("content_type"))
+    assert(byType.keySet == Set(ContentTypes.TextChunk, ContentTypes.Image))
+    assert(byType(ContentTypes.TextChunk).head
+      .getAs[String]("content_raw") == "hello world")
+    assert(recs.forall(_.getAs[String]("doc_type") == "html"))
+  }
+
   test("PDF: array-form /DecodeParms binds per stage in a double-Flate chain") {
     // the predictor belongs to stage 2 ONLY — a decoder that re-applies
     // the one parsed predictor after every Flate stage corrupts stage 1
