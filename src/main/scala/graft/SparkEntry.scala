@@ -58,6 +58,7 @@ object SparkEntry {
     "vs_parse_pptx" -> (DocParse.parsePptx _),
     "vs_parse_docx" -> (DocParse.parseDocx _),
     "vs_parse_html" -> (DocParse.parseHtml _),
+    "vs_parse_xlsx" -> (DocParse.parseXlsx _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -808,6 +809,36 @@ object SparkEntry {
         | '(c) example.com - static footer', 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
         |FROM documents
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
+    // XLSX: cell ids are 'Sheet!A1' names, page_num = sheet ordinal,
+    // x0/y0 = 1-based column/row; number cells keep the file's v text
+    // verbatim (no float re-formatting on either side)
+    "vs_parse_xlsx" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | 'Data!A' || (i+1) AS content_id, pg AS content_raw,
+        | 1.0::DOUBLE AS x0, (i+1)::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'number', 'Data!B' || (i+1),
+        | octet_length(pg::BLOB)::VARCHAR, 2.0::DOUBLE, (i+1)::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM ch
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'text_block', 'Data!C' || (i+1),
+        | substr(md5(pg),1,8), 3.0::DOUBLE, (i+1)::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT, 'text_block', 'Meta!A1', 'chunks',
+        | 1.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT, 'number', 'Meta!B1',
+        | (CASE WHEN length(text) = 0 THEN 0
+        |   ELSE (length(text)-1)//200 + 1 END)::VARCHAR,
+        | 2.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents
+        |ORDER BY doc_id, page_num, content_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

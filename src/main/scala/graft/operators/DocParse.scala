@@ -145,6 +145,24 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_parse_xlsx — the fourth OPC container through the seam
+    * ([[graft.functions.expressions.SynthXlsx]] → workbook with a
+    * Data sheet of shared-string/number/inline-string cells plus a
+    * Meta sheet; [[graft.functions.expressions.ParseXlsx]] walks the
+    * workbook's declared sheet order and emits one row per cell with
+    * its `Sheet!A1` id and 1-based column/row in x0/y0). page_num =
+    * the sheet ordinal. */
+  def parseXlsx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseXlsx(
+          graft.functions.expressions.SynthXlsx($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"page_num", $"content_id")
+  }
+
   /** Per-document boilerplate share from a [[parseHtml]]-shaped frame:
     * boilerplate chars / all text chars — the main-content-extraction
     * signal a curation gate consumes (a page that is mostly chrome is
@@ -173,15 +191,16 @@ object DocParse {
   def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{ParseDocx, ParseHtml, ParsePdf, ParsePptx}
+    import graft.functions.expressions.{ParseDocx, ParseHtml, ParsePdf, ParsePptx, ParseXlsx}
     val parsed = format match {
       case "gft" => ParseGft($"payload")
       case "pdf" => ParsePdf($"payload")
       case "pptx" => ParsePptx($"payload")
       case "docx" => ParseDocx($"payload")
       case "html" => ParseHtml($"payload")
+      case "xlsx" => ParseXlsx($"payload")
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

@@ -931,6 +931,88 @@ class DocParseSpec extends AnyFunSuite {
     assert(recs.forall(_.getAs[String]("doc_type") == "html"))
   }
 
+  private def zipStrOf(entries: (String, String)*): Array[Byte] =
+    zipOf(entries.map { case (n, c) => (n, c.getBytes("UTF-8")) }: _*)
+
+  private def parseXlsxBytes(bytes: Array[Byte]) = {
+    import spark.implicits._
+    Seq(bytes).toDF("payload")
+      .select(explode(graft.functions.expressions.ParseXlsx($"payload")).as("r"))
+      .select($"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSeq
+  }
+
+  private val XlsxNs =
+    "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+  private val XlsxNsR =
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+  private val OpcNsRel =
+    "http://schemas.openxmlformats.org/package/2006/relationships"
+
+  private def xlsxOf(sheetXml: String, sst: Option[String] = None) = zipStrOf(
+    Seq(
+      "xl/workbook.xml" ->
+        (s"""<workbook xmlns="$XlsxNs" xmlns:r="$XlsxNsR"><sheets>""" +
+          s"""<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        (s"""<Relationships xmlns="$OpcNsRel">""" +
+          s"""<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>""" +
+          "</Relationships>"),
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet xmlns="$XlsxNs"><sheetData>$sheetXml</sheetData></worksheet>""") ++
+      sst.map("xl/sharedStrings.xml" -> _): _*)
+
+  test("XLSX: rich-text shared strings, formula strings, booleans, valueless cells") {
+    val sst = s"""<sst xmlns="$XlsxNs"><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"""
+    val rows = parseXlsxBytes(xlsxOf(
+      """<row r="2"><c r="A2" t="s"><v>0</v></c>""" +
+        """<c r="B2" t="str"><v>=SUM says 7</v></c>""" +
+        """<c r="C2" t="b"><v>1</v></c>""" +
+        """<c r="D2" s="1"/>""" + // styled but valueless: skipped
+        """<c r="AA2"><v>2.5</v></c></row>""", Some(sst)))
+    assert(rows == Seq(
+      (0L, "text_block", "S!A2", "rich", 1.0, 2.0),
+      (0L, "text_block", "S!B2", "=SUM says 7", 2.0, 2.0),
+      (0L, "number", "S!C2", "1", 3.0, 2.0),
+      (0L, "number", "S!AA2", "2.5", 27.0, 2.0)), rows.toString)
+  }
+
+  test("XLSX: structural defects are loud — bad sst index, missing part, bad ref") {
+    val e1 = intercept[Exception](parseXlsxBytes(xlsxOf(
+      """<row r="1"><c r="A1" t="s"><v>3</v></c></row>""",
+      Some(s"""<sst xmlns="$XlsxNs"><si><t>x</t></si></sst>"""))))
+    assert(e1.getMessage.contains("out of range"), e1.getMessage)
+    val e2 = intercept[Exception](parseXlsxBytes(zipStrOf(
+      "xl/workbook.xml" ->
+        (s"""<workbook xmlns="$XlsxNs" xmlns:r="$XlsxNsR"><sheets>""" +
+          s"""<sheet name="S" sheetId="1" r:id="rId9"/></sheets></workbook>"""),
+      "xl/_rels/workbook.xml.rels" ->
+        s"""<Relationships xmlns="$OpcNsRel"></Relationships>""")))
+    assert(e2.getMessage.contains("undeclared relationship"), e2.getMessage)
+    val e3 = intercept[Exception](parseXlsxBytes(xlsxOf(
+      """<row r="1"><c r="11" t="str"><v>x</v></c></row>""")))
+    assert(e3.getMessage.contains("malformed cell reference"), e3.getMessage)
+  }
+
+  test("XLSX: records() routes the format; shared strings deduplicate across rows") {
+    import spark.implicits._
+    // 400 chars of the same 200-char chunk → ONE shared string, two rows
+    val text = "y" * 400
+    val payloads = Seq(("t.xlsx",
+      graft.functions.expressions.SynthXlsx.build(text)))
+      .toDF("doc_name", "payload")
+    val recs = DocParse.records(payloads, "xlsx").collect()
+    // Data: 2×(A,B) + C1; Meta: A1+B1 → 7 records
+    assert(recs.length == 7, recs.toSeq.toString)
+    val a2 = recs.find(_.getAs[String]("content_id") == "Data!A2").get
+    assert(a2.getAs[String]("content_raw") == "y" * 200)
+    assert(recs.forall(_.getAs[String]("doc_type") == "xlsx"))
+  }
+
   test("PDF: array-form /DecodeParms binds per stage in a double-Flate chain") {
     // the predictor belongs to stage 2 ONLY — a decoder that re-applies
     // the one parsed predictor after every Flate stage corrupts stage 1
