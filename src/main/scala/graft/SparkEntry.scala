@@ -129,6 +129,7 @@ object SparkEntry {
     "tx_linededup" -> (TextAnalysis.lineDedup _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_media" -> (Multimodal.media _),
+    "mm_audio" -> (Multimodal.audio _),
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
     "mm_phash" -> (Multimodal.phash _),
@@ -1181,6 +1182,48 @@ object SparkEntry {
         |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
         |  END)::BIGINT AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+    // mm_audio: the WAV data bytes are (s9 + j) % 256 by construction,
+    // so the oracle re-decodes the PCM samples (8/16/24-bit LE two's
+    // complement, complete frames only) and reproduces the integer
+    // aggregates; the only float ops (one divide, one sqrt, one
+    // normalize) run in the same order as the Scala decode, so the
+    // rounded doubles match bit-for-bit
+    "mm_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |  ('0x' || substr(md5(text),1,2))::BIGINT % 2 AS wav,
+        |  1 + ('0x' || substr(md5(text),3,2))::BIGINT % 2 AS ch,
+        |  ([8,16,24])[(('0x' || substr(md5(text),7,2))::BIGINT % 3 + 1)::INT] AS bits,
+        |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32,
+        |  ('0x' || substr(md5(text),19,2))::BIGINT AS s9
+        | FROM documents),
+        |q AS (SELECT doc_id, ch, bits, s9, bits // 8 AS bps,
+        |  (256 + h32 % 1024) // (ch * (bits // 8)) AS frames
+        | FROM p WHERE wav = 0),
+        |r AS (SELECT doc_id, ch, bits, frames, frames * ch AS ns,
+        |  list_transform(range(0, frames * ch), k -> CASE
+        |   WHEN bps = 1 THEN (s9 + k) % 256 - 128
+        |   WHEN bps = 2 THEN CASE
+        |    WHEN (s9 + 2*k) % 256 + 256 * ((s9 + 2*k + 1) % 256) >= 32768
+        |    THEN (s9 + 2*k) % 256 + 256 * ((s9 + 2*k + 1) % 256) - 65536
+        |    ELSE (s9 + 2*k) % 256 + 256 * ((s9 + 2*k + 1) % 256) END
+        |   ELSE CASE
+        |    WHEN (s9 + 3*k) % 256 + 256 * ((s9 + 3*k + 1) % 256)
+        |      + 65536 * ((s9 + 3*k + 2) % 256) >= 8388608
+        |    THEN (s9 + 3*k) % 256 + 256 * ((s9 + 3*k + 1) % 256)
+        |      + 65536 * ((s9 + 3*k + 2) % 256) - 16777216
+        |    ELSE (s9 + 3*k) % 256 + 256 * ((s9 + 3*k + 1) % 256)
+        |      + 65536 * ((s9 + 3*k + 2) % 256) END
+        |   END) AS vs
+        | FROM q)
+        |SELECT doc_id, frames::BIGINT AS n_frames,
+        | round(list_max(list_transform(vs, v -> abs(v)))::DOUBLE
+        |   / (1::BIGINT << (bits - 1)::INT)::DOUBLE, 6) AS peak,
+        | round(sqrt(list_sum(list_transform(vs, v -> v*v))::DOUBLE / ns)
+        |   / (1::BIGINT << (bits - 1)::INT)::DOUBLE, 6) AS rms,
+        | coalesce(list_sum(list_transform(range(1, frames), k ->
+        |   CASE WHEN (vs[((k-1)*ch + 1)::INT] < 0) <> (vs[(k*ch + 1)::INT] < 0)
+        |    THEN 1 ELSE 0 END)), 0)::BIGINT AS zcross
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH f AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//32)::BIGINT + 1, 4)) frame_no FROM documents)

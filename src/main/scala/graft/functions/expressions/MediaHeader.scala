@@ -63,6 +63,66 @@ object MediaHeaderMeta {
       org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
 }
 
+/** PCM sample statistics decoded from a WAV payload's data chunk —
+  * the step past [[MediaHeaderMeta]]'s header sniff that makes the
+  * audio channel real: peak / RMS level and zero-crossing count, the
+  * cheap audio-quality gates a curation pipeline runs (silence and
+  * clipping detection) before any model touches the samples.
+  *
+  * Scope = integer PCM (format tag 1, 8/16/24-bit) located by its own
+  * RIFF chunk walk; anything else (ISO BMFF, float WAV, truncated
+  * data) yields null — opaque payloads are the normal case, exactly
+  * like the header walk. Only COMPLETE frames are decoded (a trailing
+  * partial frame is ignored, the libsndfile convention).
+  *
+  * All aggregation is INTEGER (max |v|, Σv², crossing count of
+  * channel 0); the only float math is the final normalization by
+  * 2^(bits-1) — one conversion, one division, one sqrt in a fixed
+  * order, so a SQL oracle reproduces the doubles bit-for-bit.
+  * Per-row narrow work, no shuffle: the 100 TB shape. */
+case class WavSampleStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = new StructType()
+    .add("n_frames", LongType)
+    .add("peak", DoubleType)
+    .add("rms", DoubleType)
+    .add("zcross", LongType)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"WavSampleStats wants binary or base64 string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes: Array[Byte] = input match {
+      case b: Array[Byte] => b
+      case s: UTF8String =>
+        try java.util.Base64.getMimeDecoder.decode(s.toString)
+        catch { case _: IllegalArgumentException => return null }
+      case _ => return null
+    }
+    MediaHeader.pcmStats(bytes) match {
+      case Some((frames, peak, rms, zcross)) =>
+        InternalRow(frames, peak, rms, zcross)
+      case None => null
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): WavSampleStats =
+    copy(child = c)
+}
+
+object WavSampleStats {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(WavSampleStats(
+      org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+}
+
 object MediaHeader {
 
   /** Parsed header fields; the per-container-null fields use boxed
@@ -119,6 +179,91 @@ object MediaHeader {
       val durMs = dataSize / blockAlign * 1000L / rate
       Some(Media("wav", channels, rate, bits, durMs))
     } else if (b.length >= 12 && tag(4) == "ftyp") {
+      decodeBmff(b)
+    } else None
+  }
+
+  /** [[WavSampleStats]]'s decode: (frames, peak, rms, zcross) from an
+    * integer-PCM WAV, or None out of scope. Integer aggregation; see
+    * the expression Scaladoc for the oracle-parity argument. */
+  private[graft] def pcmStats(b: Array[Byte])
+      : Option[(Long, Double, Double, Long)] = {
+    def u16le(i: Int): Long = ((b(i) & 0xFF) | (b(i + 1) & 0xFF) << 8).toLong
+    def u32le(i: Int): Long = (b(i) & 0xFF).toLong | (b(i + 1) & 0xFF).toLong << 8 |
+      (b(i + 2) & 0xFF).toLong << 16 | (b(i + 3) & 0xFF).toLong << 24
+    def tag(i: Int): String =
+      if (i + 4 <= b.length)
+        new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      else ""
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var p = 12
+    var fmt = -1
+    var fmtSize = -1L
+    var data = -1
+    var dataSize = -1L
+    while (p + 8 <= b.length && (fmt < 0 || data < 0)) {
+      val id = tag(p)
+      val size = u32le(p + 4)
+      if (p + 8 + size > b.length) return None
+      if (id == "fmt ") { fmt = p + 8; fmtSize = size }
+      else if (id == "data") { data = p + 8; dataSize = size }
+      p += 8 + size.toInt + (size % 2).toInt
+    }
+    if (fmt < 0 || fmtSize < 16 || data < 0 || fmt + 16 > b.length) return None
+    if (u16le(fmt) != 1) return None // integer PCM only
+    val channels = u16le(fmt + 2).toInt
+    val bits = u16le(fmt + 14).toInt
+    if (channels < 1 || (bits != 8 && bits != 16 && bits != 24)) return None
+    val bps = bits / 8
+    val blockAlign = channels * bps
+    val frames = dataSize / blockAlign
+    val nSamples = frames * channels
+    if (nSamples == 0) return None
+    // sample k (interleaved), two's-complement LE; 8-bit is unsigned
+    def sample(k: Long): Long = {
+      val j = data + k * bps
+      bps match {
+        case 1 => (b(j.toInt) & 0xFF).toLong - 128L
+        case 2 =>
+          val raw = (b(j.toInt) & 0xFF).toLong | (b(j.toInt + 1) & 0xFF).toLong << 8
+          if (raw >= 32768L) raw - 65536L else raw
+        case _ =>
+          val raw = (b(j.toInt) & 0xFF).toLong |
+            (b(j.toInt + 1) & 0xFF).toLong << 8 |
+            (b(j.toInt + 2) & 0xFF).toLong << 16
+          if (raw >= 8388608L) raw - 16777216L else raw
+      }
+    }
+    var maxAbs = 0L
+    var ssq = 0L
+    var k = 0L
+    while (k < nSamples) {
+      val v = sample(k)
+      val a = math.abs(v)
+      if (a > maxAbs) maxAbs = a
+      ssq += v * v
+      k += 1
+    }
+    var zcross = 0L
+    var f = 1L
+    while (f < frames) {
+      if ((sample((f - 1) * channels) < 0) != (sample(f * channels) < 0))
+        zcross += 1
+      f += 1
+    }
+    val full = (1L << (bits - 1)).toDouble
+    Some((frames, maxAbs.toDouble / full,
+      math.sqrt(ssq.toDouble / nSamples) / full, zcross))
+  }
+
+  private def decodeBmff(b: Array[Byte]): Option[Media] = {
+    def u32be(i: Int): Long = (b(i) & 0xFF).toLong << 24 | (b(i + 1) & 0xFF).toLong << 16 |
+      (b(i + 2) & 0xFF).toLong << 8 | (b(i + 3) & 0xFF).toLong
+    def u64be(i: Int): Long = u32be(i) << 32 | u32be(i + 4)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length)
+        new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      else ""
       // ISO BMFF box walk to moov → mvhd (ISO 14496-12 §8.2.2):
       // returns the wanted box's (body start, box END), so callers
       // never re-derive the header shape (32-bit / largesize / to-EOF)
@@ -155,7 +300,6 @@ object MediaHeader {
             duration < 0L || duration > Long.MaxValue / 1000L) null
         else java.lang.Long.valueOf(duration * 1000L / timescale)
       Some(Media("mp4", null, null, null, durMs))
-    } else None
   }
 }
 

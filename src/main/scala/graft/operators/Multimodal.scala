@@ -60,6 +60,27 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** mm_audio — PCM sample statistics decoded from the WAV payloads'
+    * data chunks ([[graft.functions.expressions.WavSampleStats]]):
+    * frame count, normalized peak and RMS level, channel-0 zero
+    * crossings — the silence/clipping gates an audio curation pass
+    * runs. MP4 payloads yield null stats and drop out, exactly the
+    * production split (header sniff routes, sample decode runs on
+    * the audio share only). Integer aggregation inside the
+    * expression keeps the oracle's float math bit-reproducible. */
+  def audio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.expressions.WavSampleStats(
+          graft.functions.expressions.SynthMedia($"text")).as("s"))
+      .filter($"s".isNotNull)
+      .select($"doc_id", $"s.n_frames",
+        round($"s.peak", 6).as("peak"), round($"s.rms", 6).as("rms"),
+        $"s.zcross")
+      .orderBy($"doc_id")
+  }
+
   /** Target bounding box for [[resize]]. */
   val ResizeBox = 512L
 

@@ -364,4 +364,67 @@ class MultimodalStoreSpec extends AnyFunSuite {
     }
     assert(seen.size == 8, s"share space not covered: $seen")
   }
+
+  test("WavSampleStats decodes PCM frames exactly; scope edges yield null") {
+    import graft.functions.expressions.{MediaHeader, SynthMedia}
+    def le16(v: Long) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def wav16(samples: Seq[Int], channels: Int): Array[Byte] = {
+      val data = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+      cc("RIFF") ++ le32(36L + data.length) ++ cc("WAVE") ++
+        cc("fmt ") ++ le32(16) ++ (le16(1) ++ le16(channels) ++ le32(8000) ++
+          le32(8000L * channels * 2) ++ le16(channels * 2) ++ le16(16)) ++
+        cc("data") ++ le32(data.length) ++ data
+    }
+    // mono: known peak / rms / zero crossings, hand-computed
+    val mono = Seq(0, 100, -100, 32767, -32768)
+    val Some((f1, peak1, rms1, zc1)) = MediaHeader.pcmStats(wav16(mono, 1))
+    assert(f1 == 5L)
+    assert(peak1 == 32768.0 / 32768.0)
+    val ssq = mono.map(v => v.toLong * v).sum
+    assert(rms1 == math.sqrt(ssq.toDouble / 5) / 32768.0)
+    // 0 -> 100: no; 100 -> -100: yes; -100 -> 32767: yes; -> -32768: yes
+    assert(zc1 == 3L)
+    // stereo: zcross follows CHANNEL 0 only; a trailing partial frame
+    // (odd sample count) is ignored, libsndfile-style
+    val stereo = Seq(10, -5, -10, -5, 10) // frames (10,-5) (-10,-5); 10 dropped
+    val Some((f2, _, _, zc2)) = MediaHeader.pcmStats(wav16(stereo, 2))
+    assert(f2 == 2L && zc2 == 1L, s"$f2 $zc2")
+    // 8-bit is unsigned around 128
+    val w8 = cc("RIFF") ++ le32(30) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ (le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(8000) ++ le16(1) ++ le16(8)) ++
+      cc("data") ++ le32(2) ++ Array[Byte](0, -1) // 0 -> -128, 255 -> 127
+    val Some((f3, peak3, _, zc3)) = MediaHeader.pcmStats(w8)
+    assert(f3 == 2L && peak3 == 1.0 && zc3 == 1L)
+    // out of scope: mp4 container, float wav, truncated data -> None
+    val mp4Text = (0 until 50).map(i => s"mp4 share fixture $i").find { t =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))(0) & 0xFF) % 2 == 1
+    }.get
+    assert(MediaHeader.pcmStats(SynthMedia.build(mp4Text)).isEmpty)
+    val floatWav = cc("RIFF") ++ le32(30) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ (le16(3) ++ le16(1) ++ le32(8000) ++
+        le32(32000) ++ le16(4) ++ le16(32)) ++
+      cc("data") ++ le32(4) ++ Array.fill[Byte](4)(0)
+    assert(MediaHeader.pcmStats(floatWav).isEmpty)
+    assert(MediaHeader.pcmStats(wav16(mono, 1).dropRight(4)).isEmpty)
+    // the SynthMedia wav share agrees with an independent re-decode
+    val t = (0 until 50).map(i => s"pcm stats fixture $i").find { t =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))(0) & 0xFF) % 2 == 0
+    }.get
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    def u8(k: Int) = m(k) & 0xFF
+    val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
+      (u8(6).toLong << 8) | u8(7).toLong
+    val ch = 1 + u8(1) % 2
+    val bits = SynthMedia.Bits(u8(3) % 3).toInt
+    val frames = (256 + h32 % 1024) / (ch * bits / 8)
+    val Some((fS, _, _, _)) = MediaHeader.pcmStats(SynthMedia.build(t))
+    assert(fS == frames, s"$fS vs $frames")
+  }
 }
