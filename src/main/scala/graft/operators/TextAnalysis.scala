@@ -159,9 +159,21 @@ object TextAnalysis {
     * would pin an unbounded frame into every executor. AQE picks
     * broadcast when the measured loser set is small and a co-shuffled
     * anti-join on doc_id when it is not. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curate(spark, dir, trainedLangId = None)
+
+  /** [[curate]] with the language column swappable: `trainedLangId`
+    * replaces the marker-heuristic `lang_pred` with the fitted
+    * [[LangIdClassifier]]'s per-row prediction (one narrow expression,
+    * weights in the plan — the gate's shape is unchanged). The driver
+    * oracle pins the heuristic default; LangIdSpec exercises the
+    * trained path. */
+  def curate(spark: SparkSession, dir: String,
+      trainedLangId: Option[LangIdClassifier.Model]): DataFrame = {
     import spark.implicits._
-    val scored = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    val heuristic = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    val scored = trainedLangId.fold(heuristic)(m =>
+      heuristic.withColumn("lang_pred", m.predict($"text")))
     // Drop the non-keeper side of every verified near-dup pair.
     // ORACLE COUPLING: the tx_curate oracle derives losers from exact
     // all-pairs Jaccard, so parity holds only while the LSH banding has
