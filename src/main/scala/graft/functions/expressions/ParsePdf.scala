@@ -57,8 +57,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    when no /ToUnicode ships — through the embedded TrueType
   *    program's own cmap table inverted (CID → GID via /CIDToGIDMap,
   *    GID → Unicode via [[TrueTypeCmap]]); Identity-V decodes the
-  *    same way (vertical mode shapes layout, not content); predefined
-  *    registry CMaps (GBK-EUC-H, UniJIS-…) fail loudly;
+  *    same way (vertical mode shapes layout, not content); the
+  *    predefined UCS2 registry family (UniJIS-UCS2-H/V + HW, UniGB/
+  *    UniCNS/UniKS-UCS2) decodes codes as UTF-16BE (their codes ARE
+  *    UCS-2 — what CJK crawl PDFs carry), and embedded CMap-stream
+  *    encodings resolve cidchar/cidrange (+Identity usecmap base)
+  *    through the font's own tables; byte-oriented registry CMaps
+  *    (GBK-EUC-H, 90ms-RKSJ-…) fail loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
   *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
@@ -1127,9 +1132,33 @@ object ParsePdf {
           case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
           case None => CidFont(cidMapFromEmbeddedFont(doc, fdict, objNum))
         }
-      case Some(e) if e.contains("-") => // GBK-EUC-H, UniJIS-…
+      // the predefined UCS2 registry family (UniJIS-UCS2-H etc., ISO
+      // 32000 §9.7.5.2 Table 118): the character CODES of these CMaps
+      // ARE UCS-2 code points, so text recovers without the Adobe
+      // registry files — the codes decode as UTF-16BE directly. An
+      // explicit /ToUnicode still wins (it overrides any encoding).
+      // This is the CMap family CJK crawl PDFs overwhelmingly carry;
+      // the byte-oriented orderings (GBK-EUC-H, 90ms-RKSJ-…) would
+      // need the registry tables and stay loud below.
+      case Some(e) if Ucs2CMaps(e) =>
+        ref(fdict, "/ToUnicode") match {
+          case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
+          case None => Ucs2Font
+        }
+      case Some(e) if e.contains("-") => // GBK-EUC-H, 90ms-RKSJ-…
         fail(s"unsupported composite-font CMap /$e in font $objNum")
       case Some(_) => SimpleFont // /WinAnsiEncoding etc.: Latin-1 scope
+      case None if isType0(fdict) =>
+        // a Type0 /Encoding that is not a name must be an EMBEDDED
+        // CMap stream (ISO 32000 §9.7.5.3); reading its bytes as
+        // Latin-1 would be silent mojibake, so resolve it for real —
+        // or fail loudly when there is nothing usable
+        ref(fdict, "/Encoding") match {
+          case Some(en) if doc.get(en).exists(_._2.isDefined) =>
+            embeddedCMapFont(doc, fdict, en, objNum)
+          case _ => fail(s"Type0 font $objNum has no usable /Encoding " +
+            "(predefined name or embedded CMap stream)")
+        }
       case None =>
         // a DICT-form or indirect /Encoding may carry /Differences —
         // the per-code glyph-name remap TeX-class and older-Office
@@ -1141,6 +1170,77 @@ object ParsePdf {
             if (m.isEmpty) SimpleFont else DiffFont(m)
           case _ => SimpleFont
         }
+    }
+  }
+
+  private val Ucs2CMaps: Set[String] = Set(
+    "UniJIS-UCS2-H", "UniJIS-UCS2-V", "UniJIS-UCS2-HW-H", "UniJIS-UCS2-HW-V",
+    "UniGB-UCS2-H", "UniGB-UCS2-V", "UniCNS-UCS2-H", "UniCNS-UCS2-V",
+    "UniKS-UCS2-H", "UniKS-UCS2-V")
+
+  private def isType0(fdict: String): Boolean =
+    """/Subtype\s*/Type0\b""".r.findFirstIn(fdict).isDefined
+
+  /** A Type0 font whose /Encoding is an EMBEDDED CMap stream: parse
+    * the CMap body (codespacerange / cidchar / cidrange / usecmap —
+    * the Adobe CMap grammar subset §9.7.5.3 writers emit) and compose
+    * code → CID → Unicode. Scope: 2-byte code space only (the shape
+    * every embedded encoding CMap in the wild uses — a mixed-width
+    * space fails loudly, never mis-splits the string bytes), usecmap
+    * base Identity-H/V or none. With /ToUnicode present the CMap only
+    * validates the code width — ToUnicode maps CODES directly. */
+  private def embeddedCMapFont(doc: Map[Int, (String, Option[Array[Byte]])],
+      fdict: String, encObj: Int, objNum: Int): FontMode = {
+    val src = latin1full(streamOf(doc, encObj))
+    // every codespacerange endpoint must be 2 bytes (4 hex digits)
+    """begincodespacerange([\s\S]*?)endcodespacerange""".r
+      .findAllMatchIn(src).foreach { m =>
+        """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(m.group(1)).foreach { h =>
+          if (h.group(1).length != 4)
+            fail(s"embedded CMap of font $objNum declares a " +
+              s"${h.group(1).length / 2}-byte code range (2-byte scope)")
+        }
+      }
+    ref(fdict, "/ToUnicode") match {
+      case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
+      case None =>
+        val identityBase =
+          """/(Identity-[HV])\s+usecmap""".r.findFirstIn(src).isDefined
+        """/([\w-]+)\s+usecmap""".r.findFirstMatchIn(src).foreach { m =>
+          if (!m.group(1).startsWith("Identity-"))
+            fail(s"embedded CMap of font $objNum uses base /${m.group(1)} " +
+              "(only Identity-H/V bases are in scope)")
+        }
+        val code2cid = scala.collection.mutable.HashMap.empty[Int, Int]
+        """begincidchar([\s\S]*?)endcidchar""".r.findAllMatchIn(src)
+          .foreach { m =>
+            """<([0-9A-Fa-f]{4})>\s+(\d+)""".r.findAllMatchIn(m.group(1))
+              .foreach { e =>
+                code2cid(Integer.parseInt(e.group(1), 16)) = e.group(2).toInt
+              }
+          }
+        """begincidrange([\s\S]*?)endcidrange""".r.findAllMatchIn(src)
+          .foreach { m =>
+            """<([0-9A-Fa-f]{4})>\s*<([0-9A-Fa-f]{4})>\s+(\d+)""".r
+              .findAllMatchIn(m.group(1)).foreach { e =>
+                val lo = Integer.parseInt(e.group(1), 16)
+                val hi = Integer.parseInt(e.group(2), 16)
+                if (hi < lo)
+                  fail(s"embedded CMap cidrange <${e.group(1)}> > <${e.group(2)}>")
+                val cid0 = e.group(3).toInt
+                var c = lo
+                while (c <= hi) { code2cid(c) = cid0 + (c - lo); c += 1 }
+              }
+          }
+        if (!identityBase && code2cid.isEmpty)
+          fail(s"embedded CMap of font $objNum maps no codes and has no " +
+            "identity base (text unrecoverable)")
+        val cid2text = cidMapFromEmbeddedFont(doc, fdict, objNum)
+        val explicit = code2cid.iterator.map { case (c, cid) =>
+          c -> cid2text.getOrElse(cid, fail(f"embedded CMap maps code " +
+            f"0x$c%04X to CID $cid, which the font's tables cannot read"))
+        }.toMap
+        CidFont(if (identityBase) cid2text ++ explicit else explicit)
     }
   }
 
@@ -1274,6 +1374,9 @@ object ParsePdf {
   /** Composite Identity font: 2-byte CIDs through `map`. */
   private[expressions] final case class CidFont(map: Map[Int, String])
       extends FontMode
+  /** Predefined UCS2 registry CMap (UniJIS-UCS2-H family): 2-byte
+    * codes ARE UCS-2 code points — decode as UTF-16BE. */
+  private[expressions] case object Ucs2Font extends FontMode
   /** Simple font with /Differences: remapped bytes read through `map`,
     * the rest stay Latin-1 (the base-encoding scope). */
   private[expressions] final case class DiffFont(map: Map[Int, String])
@@ -1476,6 +1579,29 @@ object ParsePdf {
               fail(f"CID 0x$code%04X has no Unicode mapping in the " +
                 "font's /ToUnicode CMap or embedded cmap"))
           }.mkString
+        case Ucs2Font =>
+          if (raw.length % 2 != 0)
+            fail("odd-length string shown with a 2-byte UCS2 font")
+          val chars = new Array[Char](raw.length / 2)
+          var k = 0
+          while (k < chars.length) {
+            chars(k) = (((raw(2 * k) & 0xFF) << 8) |
+              (raw(2 * k + 1) & 0xFF)).toChar
+            k += 1
+          }
+          // UTF-16 pairing check: a lone surrogate would become U+FFFD
+          // mojibake downstream — loud instead
+          k = 0
+          while (k < chars.length) {
+            if (Character.isHighSurrogate(chars(k))) {
+              if (k + 1 >= chars.length || !Character.isLowSurrogate(chars(k + 1)))
+                fail(f"UCS2 string carries an unpaired high surrogate 0x${chars(k).toInt}%04X")
+              k += 2
+            } else if (Character.isLowSurrogate(chars(k)))
+              fail(f"UCS2 string carries an unpaired low surrogate 0x${chars(k).toInt}%04X")
+            else k += 1
+          }
+          new String(chars)
       }
       if (blockAnchor.isEmpty) {
         val dev = mul(tm, ctm)

@@ -239,6 +239,17 @@ object SynthPdf {
     (0 until 256).map(b => f"/uni${(b + 255) % 256}%04X")
       .mkString("[ 0 ", " ", " ]")
 
+  /** Does this text's synthetic PDF encode its CID pages through the
+    * PREDEFINED /UniJIS-UCS2-H registry CMap — no /ToUnicode, no
+    * descendant program, codes = the characters' UCS-2 values —
+    * instead of Identity-H? Deterministic in the text (md5 FOURTH
+    * byte mod 3, independent of the other shares) and transparent to
+    * the parse output: the UTF-16BE decode recovers exactly the
+    * chunk, so the oracle is unchanged while the gate exercises the
+    * registry-CMap path CJK crawl PDFs need. */
+  private[graft] def ucs2Encodes(text: String): Boolean =
+    (md5b(text.getBytes("UTF-8"))(3) & 0xFF) % 3 == 0
+
   /** Does this text's synthetic PDF carry its CID font in the
     * embedded-program form — /DescendantFonts → /FontFile2, NO
     * /ToUnicode — instead of the /ToUnicode CMap? Deterministic in the
@@ -291,13 +302,14 @@ object SynthPdf {
     // Algorithm 3 (/O from the fixed owner password), Algorithm 2
     // (file key, empty user password), Algorithm 5 (/U) — /ID = the
     // text's md5, so everything recomputes from the text.
-    // ONE digest drives /ID and all three share predicates — the
+    // ONE digest drives /ID and all four share predicates — the
     // standalone predicate functions recompute it for tests/docs, but
     // the per-row hot path hashes the text once
     val docId = md5b(text.getBytes("UTF-8"))
     val doEncrypt = (docId(0) & 0xFF) % 4 == 0
     val embed = (docId(1) & 0xFF) % 3 == 0
     val shifted = (docId(2) & 0xFF) % 4 == 0
+    val ucs2 = (docId(3) & 0xFF) % 3 == 0
     // (file key, /O entry, /U entry) when this doc ships encrypted
     val encState: Option[(Array[Byte], Array[Byte], Array[Byte])] =
       if (!doEncrypt) None
@@ -345,10 +357,16 @@ object SynthPdf {
     val encNum = tail
     val fdNum = tail + (if (encState.isDefined) 1 else 0)
     val diffNum = fdNum + (if (embed) 2 else 0)
-    obj(4)(emit("<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
-      "/Encoding /Identity-H " +
-      (if (embed) "/DescendantFonts [5 0 R]" else "/ToUnicode 5 0 R") +
-      " >>\n"))
+    // the ucs2 share references NEITHER helper object — obj 5 still
+    // ships (unreferenced) so object numbering is share-independent
+    obj(4)(emit(
+      if (ucs2)
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
+          "/Encoding /UniJIS-UCS2-H >>\n"
+      else "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
+        "/Encoding /Identity-H " +
+        (if (embed) "/DescendantFonts [5 0 R]" else "/ToUnicode 5 0 R") +
+        " >>\n"))
     if (embed)
       obj(5)(emit("<< /Type /Font /Subtype /CIDFontType2 /BaseFont " +
         s"/Synth-CID /CIDToGIDMap /Identity /FontDescriptor $fdNum 0 R >>\n"))
@@ -377,7 +395,14 @@ object SynthPdf {
       val x = 50 + (i * 7) % 100
       val y = 720 - (i * 37) % 600
       val shown =
-        if (i % 5 == 2) // CID page: hex string of offset 2-byte codes
+        if (i % 5 == 2 && ucs2) // UCS2 page: codes = the chars themselves
+          s"/F2 12 Tf 1 0 0 1 $x $y Tm <${
+            chunk.map { c =>
+              require(!Character.isSurrogate(c),
+                "SynthPdf: non-BMP character cannot ride the UCS2 share")
+              f"${c.toInt}%04X"
+            }.mkString}> Tj"
+        else if (i % 5 == 2) // CID page: hex string of offset 2-byte codes
           s"/F2 12 Tf 1 0 0 1 $x $y Tm <${
             chunk.map(c => f"${c.toInt + 0x0100}%04X").mkString}> Tj"
         else if (shifted) // /Differences page: +1-shifted hex bytes

@@ -1013,6 +1013,123 @@ class DocParseSpec extends AnyFunSuite {
     assert(recs.forall(_.getAs[String]("doc_type") == "xlsx"))
   }
 
+  /** One-page PDF whose only font is `fontObjs`' object 5 (extra
+    * objects 6.. appended verbatim); content shows `hexCodes`. */
+  private def cidPdf(fontObj5: String, extraObjs: Seq[String],
+      hexCodes: String): Array[Byte] = {
+    val s = s"BT /F2 12 Tf 1 0 0 1 5 6 Tm <$hexCodes> Tj ET\n"
+    val pdf = new java.io.ByteArrayOutputStream()
+    def emit(x: String): Unit = pdf.write(x.getBytes("ISO-8859-1"))
+    emit("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Resources << /Font " +
+      "<< /F2 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    emit(s"4 0 obj << /Length ${s.length} >>\nstream\n$s\nendstream endobj\n")
+    emit(s"5 0 obj $fontObj5 endobj\n")
+    extraObjs.zipWithIndex.foreach { case (o, i) =>
+      emit(s"${6 + i} 0 obj $o endobj\n")
+    }
+    emit(s"trailer << /Size ${6 + extraObjs.length} /Root 1 0 R >>\n%%EOF\n")
+    pdf.toByteArray
+  }
+
+  private def streamObj(body: String): String =
+    s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
+
+  test("PDF: predefined UCS2 CMaps decode CJK without /ToUnicode; ToUnicode still wins") {
+    // UniJIS-UCS2-H: the codes ARE UCS-2 — 漢字 and ASCII mix
+    val text = "漢字kanji"
+    val codes = text.map(c => f"${c.toInt}%04X").mkString
+    for (enc <- Seq("UniJIS-UCS2-H", "UniGB-UCS2-V", "UniJIS-UCS2-HW-H",
+        "UniKS-UCS2-H")) {
+      val rows = parsePdfBytes(cidPdf(
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /$enc >>",
+        Nil, codes))
+      assert(rows.length == 1 && rows(0).getString(3) == text,
+        s"$enc: ${rows.toSeq}")
+    }
+    // an explicit /ToUnicode overrides the registry identity
+    val cmap = "begincmap\n1 beginbfchar\n<6F22> <0058>\nendbfchar\nendcmap\n"
+    val rows = parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK " +
+        "/Encoding /UniJIS-UCS2-H /ToUnicode 6 0 R >>",
+      Seq(streamObj(cmap)), "6F22"))
+    assert(rows.length == 1 && rows(0).getString(3) == "X", rows.toSeq.toString)
+    // scope edges stay loud: lone surrogate, byte-oriented registry CMap
+    val e1 = intercept[Exception](parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /UniJIS-UCS2-H >>",
+      Nil, "D800")))
+    assert(e1.getMessage.contains("surrogate"), e1.getMessage)
+    val e2 = intercept[Exception](parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /GBK-EUC-H >>",
+      Nil, "4141")))
+    assert(e2.getMessage.contains("unsupported composite-font CMap"), e2.getMessage)
+  }
+
+  test("PDF: embedded CMap stream encodings resolve through the font's own tables") {
+    // descendant with the spec fixture font program: its inverted cmap
+    // reads CID 0x0100+c as character c
+    def descendant(extraAt: Int) =
+      // objects land at extraAt(cmap), +1(descendant), +2(fd), +3(program)
+      Seq(s"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /E " +
+        s"/CIDToGIDMap /Identity /FontDescriptor ${extraAt + 2} 0 R >>",
+        s"<< /Type /FontDescriptor /FontName /E /Flags 4 " +
+          s"/FontFile2 ${extraAt + 3} 0 R >>")
+    val prog = graft.functions.expressions.SynthPdf.CidFontProgram
+    val progObj = new String(
+      (s"<< /Length ${prog.length} >>\nstream\n".getBytes("ISO-8859-1") ++
+        prog ++ "\nendstream".getBytes("ISO-8859-1"))
+        .map(b => (b & 0xFF).toChar))
+    // cidrange: codes 'A'..'Z' -> CIDs 0x161.. -> chars 'a'..'z'
+    val cmap1 = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+      "endcodespacerange\n1 begincidrange\n<0041> <005A> 353\nendcidrange\n" +
+      "endcmap\n"
+    val rows1 = parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /E /Encoding 6 0 R " +
+        "/DescendantFonts [7 0 R] >>",
+      streamObj(cmap1) +: descendant(6) :+ progObj, "004100420043"))
+    assert(rows1.length == 1 && rows1(0).getString(3) == "abc",
+      rows1.toSeq.toString)
+    // Identity base via usecmap + a cidchar override
+    val cmap2 = "begincmap\n/Identity-H usecmap\n" +
+      "1 begincidchar\n<0041> 322\nendcidchar\nendcmap\n" // 322 = 0x142 -> 'B'
+    val rows2 = parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /E /Encoding 6 0 R " +
+        "/DescendantFonts [7 0 R] >>",
+      streamObj(cmap2) +: descendant(6) :+ progObj, "01610041"))
+    assert(rows2.length == 1 && rows2(0).getString(3) == "aB",
+      rows2.toSeq.toString)
+    // loud: non-2-byte code space, foreign usecmap base, missing encoding
+    val e1 = intercept[Exception](parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /E /Encoding 6 0 R " +
+        "/DescendantFonts [7 0 R] >>",
+      streamObj("begincmap\n1 begincodespacerange\n<00> <FF>\n" +
+        "endcodespacerange\nendcmap\n") +: descendant(6) :+ progObj, "41")))
+    assert(e1.getMessage.contains("2-byte scope"), e1.getMessage)
+    val e2 = intercept[Exception](parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /E /Encoding 6 0 R " +
+        "/DescendantFonts [7 0 R] >>",
+      streamObj("begincmap\n/UniJIS-UCS2-H usecmap\nendcmap\n")
+        +: descendant(6) :+ progObj, "0041")))
+    assert(e2.getMessage.contains("Identity-H/V bases"), e2.getMessage)
+    val e3 = intercept[Exception](parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /E >>", Nil, "0041")))
+    assert(e3.getMessage.contains("no usable /Encoding"), e3.getMessage)
+  }
+
+  test("PDF: the SynthPdf UCS2 share round-trips and covers the share space") {
+    import graft.functions.expressions.{SynthPdf => SP}
+    val texts = (0 until 60).map(i => s"ucs2 share text $i " + ("pad " * 60))
+    val ucs2Texts = texts.filter(SP.ucs2Encodes)
+    assert(ucs2Texts.nonEmpty, "share never drawn in 60 texts?")
+    ucs2Texts.take(3).foreach { t =>
+      val rows = parsePdfBytes(SP.build(t))
+      val joined = rows.filter(_.getString(1) == "text_block")
+        .sortBy(_.getLong(0)).map(_.getString(3)).mkString
+      assert(joined == t.grouped(200).map(_.trim).mkString, t.take(40))
+    }
+  }
+
   test("PDF: array-form /DecodeParms binds per stage in a double-Flate chain") {
     // the predictor belongs to stage 2 ONLY — a decoder that re-applies
     // the one parsed predictor after every Flate stage corrupts stage 1
@@ -1199,18 +1316,21 @@ class DocParseSpec extends AnyFunSuite {
     import graft.functions.expressions.{ParsePdf => PP, SynthPdf => SP}
     // five 200-char pages → page 2 rides /LZWDecode (i%4==2); pick one
     // text the md5 predicate encrypts and one it does not
-    def mk(tag: String): String =
+    // the tag itself joins the text — a hash-only mix collapses to 26
+    // distinct texts (everything mod 26), far too few for 16 combos
+    def mk(tag: String): String = (tag + " ").padTo(8, 'x') +
       (0 until 1000).map(i => ('a' + (i * 7 + tag.hashCode.abs + i * i) % 26).toChar)
         .mkString
-    val texts = (0 until 400).map(i => mk(s"doc$i"))
-    // all eight (encrypted × embedded-font × shifted-encoding)
+    val texts = (0 until 2000).map(i => mk(s"doc$i"))
+    // all sixteen (encrypted × embedded-font × shifted-encoding × ucs2)
     // combinations must exist in the draw and round-trip identically
     val combos = for (e <- Seq(true, false); f <- Seq(true, false);
-      d <- Seq(true, false)) yield (e, f, d)
-    combos.foreach { case (e, f, d) =>
+      d <- Seq(true, false); u <- Seq(true, false)) yield (e, f, d, u)
+    combos.foreach { case (e, f, d, u) =>
       val t = texts.find(t => SP.encrypts(t) == e && SP.embedsFont(t) == f &&
-          SP.shiftsEncoding(t) == d)
-        .getOrElse(fail(s"no fixture text with encrypts=$e embedsFont=$f shifted=$d"))
+          SP.shiftsEncoding(t) == d && SP.ucs2Encodes(t) == u)
+        .getOrElse(fail(
+          s"no fixture text with encrypts=$e embedsFont=$f shifted=$d ucs2=$u"))
       val bytes = SP.build(t)
       val s = new String(bytes, "ISO-8859-1")
       assert(s.contains("/Filter /LZWDecode"), "page i%4==2 must ride LZW")
@@ -1218,15 +1338,19 @@ class DocParseSpec extends AnyFunSuite {
         s"encryption share predicate mismatch for ${t.take(8)}")
       assert(s.contains("/FontFile2") == f,
         s"embedded-font share predicate mismatch for ${t.take(8)}")
-      assert(s.contains("/ToUnicode") == !f,
-        "the embedded-font form must carry NO /ToUnicode (that is the path under test)")
+      // the ucs2 share references neither /ToUnicode nor descendants —
+      // the registry CMap alone carries the decode
+      assert(s.contains("/ToUnicode") == (!f && !u),
+        "the embedded-font and ucs2 forms must carry NO /ToUnicode")
+      assert(s.contains("/Encoding /UniJIS-UCS2-H") == u,
+        s"ucs2 share predicate mismatch for ${t.take(8)}")
       assert(s.contains("/Differences") == d,
         s"shifted-encoding share predicate mismatch for ${t.take(8)}")
       val rows = parsePdfBytes(bytes)
       val rt = rows.filter(_.getString(1) == "text_block")
         .sortBy(_.getLong(0)).map(_.getString(3)).mkString
       assert(rt == t,
-        s"round-trip mismatch (encrypted=$e, embeddedFont=$f, shifted=$d)")
+        s"round-trip mismatch (encrypted=$e, embeddedFont=$f, shifted=$d, ucs2=$u)")
     }
   }
 
