@@ -62,6 +62,7 @@ object SparkEntry {
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
+    "vs_rerank_li" -> (KnnSearch.rerankLate _),
     "vs_hybrid" -> (HybridSearch.hybrid _),
     "vs_response" -> (ResponseGen.response _),
     "ann_brute" -> (KnnSearch.annBrute _),
@@ -493,6 +494,56 @@ object SparkEntry {
         |UNION ALL SELECT q_id, 3::BIGINT, n_id, m FROM s3
         |UNION ALL SELECT q_id, 4::BIGINT, n_id, m FROM s4
         |UNION ALL SELECT q_id, 5::BIGINT, n_id, m FROM s5
+        |ORDER BY q_id, rnk""".stripMargin,
+    // late interaction: stage-1 pool by 64-dim whole-doc hash embed,
+    // stage-2 MaxSim (sum over query tokens of max doc-token cosine)
+    // in the 48-dim trigram token space — every float op replayed in
+    // the same order, every score rounded before ranking
+    "vs_rerank_li" ->
+      """WITH q(q_id, qtext) AS (VALUES
+        |  (0::BIGINT, 'fastly queried joins'),
+        |  (1::BIGINT, 'vectoring streamer hashing'),
+        |  (2::BIGINT, 'tabled scanning merges')),
+        |db AS (SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |  t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM documents),
+        |dc AS (SELECT doc_id, list_transform(range(0, 64), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM db),
+        |dn AS (SELECT doc_id, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM dc),
+        |de AS (SELECT doc_id, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM dn),
+        |qb AS (SELECT q_id, list_transform(string_split_regex(trim(qtext), '\s+'),
+        |  t -> ('0x' || substr(md5(t),1,2))::BIGINT % 64) b FROM q),
+        |qc AS (SELECT q_id, list_transform(range(0, 64), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM qb),
+        |qn AS (SELECT q_id, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM qc),
+        |qe AS (SELECT q_id, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM qn),
+        |p0 AS (SELECT q.q_id, d.doc_id n_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> q.rv[i::INT] * d.rv[i::INT])) / (q.nrm * d.nrm), 4) sim_r
+        | FROM qe q CROSS JOIN de d),
+        |pool AS (SELECT q_id, n_id, sim_r FROM (SELECT p0.*,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rr FROM p0) WHERE rr <= 20),
+        |dt1 AS (SELECT q_id, n_id, sim_r, '<' || tok || '>' pd FROM (
+        |  SELECT p.q_id, p.n_id, p.sim_r,
+        |   unnest(list_distinct(string_split_regex(trim(d.text), '\s+'))) tok
+        |  FROM pool p JOIN documents d ON d.doc_id = p.n_id) WHERE tok <> ''),
+        |dt2 AS (SELECT q_id, n_id, sim_r, pd,
+        |  list_transform(list_transform(range(0, length(pd) - 2), i -> substr(pd, (i+1)::INT, 3)),
+        |   g -> ('0x' || substr(md5(g),1,2))::BIGINT % 48) b FROM dt1),
+        |dt3 AS (SELECT q_id, n_id, sim_r, pd, list_transform(range(0, 48), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM dt2),
+        |dt4 AS (SELECT q_id, n_id, sim_r, pd, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM dt3),
+        |dte AS (SELECT q_id, n_id, sim_r, pd, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM dt4),
+        |qt1 AS (SELECT q_id, '<' || qtok || '>' pd FROM (
+        |  SELECT q_id, unnest(list_distinct(string_split_regex(trim(qtext), '\s+'))) qtok FROM q) WHERE qtok <> ''),
+        |qt2 AS (SELECT q_id, pd,
+        |  list_transform(list_transform(range(0, length(pd) - 2), i -> substr(pd, (i+1)::INT, 3)),
+        |   g -> ('0x' || substr(md5(g),1,2))::BIGINT % 48) b FROM qt1),
+        |qt3 AS (SELECT q_id, pd, list_transform(range(0, 48), j -> len(list_filter(b, x -> x = j))::DOUBLE) v FROM qt2),
+        |qt4 AS (SELECT q_id, pd, list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) rv FROM qt3),
+        |qte AS (SELECT q_id, pd, rv, sqrt(list_sum(list_transform(rv, x -> x*x))) nrm FROM qt4),
+        |cs AS (SELECT d.q_id, d.n_id, d.sim_r, t.pd qpd,
+        |  round(list_sum(list_transform(range(1, 49), i -> t.rv[i::INT] * d.rv[i::INT])) / (t.nrm * d.nrm), 4) c
+        | FROM dte d JOIN qte t USING (q_id)),
+        |mx AS (SELECT q_id, n_id, sim_r, qpd, max(c) mc FROM cs GROUP BY 1, 2, 3, 4),
+        |li AS (SELECT q_id, n_id, sim_r, round(sum(mc), 4) li_r FROM mx GROUP BY 1, 2, 3),
+        |r AS (SELECT li.*, row_number() OVER (PARTITION BY q_id ORDER BY li_r DESC, n_id) rnk FROM li)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, li_r, sim_r FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
     // hybrid BM25 + embedding-cosine channels fused by RRF: BM25
     // inputs are exact ints, avgdl an exact int/int division, per-term

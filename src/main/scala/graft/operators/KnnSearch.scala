@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -171,6 +171,85 @@ object KnnSearch {
     * (oracle-parity rule). */
   val MmrPool = 20
   val MmrK = 5
+
+  /** Late-interaction pool/result sizes and the fixed query batch.
+    * The queries carry deliberately OOV-but-orthographically-near
+    * tokens ("fastly" vs "fast") — the trigram token space grades
+    * those, which is exactly what MaxSim re-ranking adds over the
+    * whole-document embedding. */
+  val LiPool = 20
+  val LiK = 5
+  val LiQueries: Seq[(Long, String)] = Seq(
+    0L -> "fastly queried joins",
+    1L -> "vectoring streamer hashing",
+    2L -> "tabled scanning merges")
+
+  /** 48-dim character-trigram token embedding: `<tok>` padded, each
+    * trigram md5-bucketed, counts L2-normalized at 6dp — the md5
+    * convention every embed oracle replays. Pure HOF columns, stays
+    * in codegen. */
+  private def tokenTrigramEmb(tok: Column): Column = {
+    val padded = concat(lit("<"), tok, lit(">"))
+    val buckets = transform(sequence(lit(0), length(padded) - 3),
+      i => conv(substring(md5(padded.substr(i + 1, lit(3))), 1, 2), 16, 10)
+        .cast("long") % 48)
+    l2Normalize(transform(sequence(lit(0), lit(47)),
+      j => size(filter(buckets, x => x === j)).cast("double")))
+  }
+
+  /** vs_rerank_li — ColBERT-style LATE-INTERACTION re-rank (Khattab &
+    * Zaharia 2020's MaxSim, re-expressed relationally): stage 1 pools
+    * the top-[[LiPool]] documents per query by whole-document hash
+    * embedding; stage 2 re-scores the pool at TOKEN level —
+    * S(q, d) = Σ_{t∈q} max_{u∈d} cos(E(t), E(u)) over distinct
+    * tokens in the 48-dim trigram space — and keeps the top-[[LiK]].
+    *
+    * Scale shape: the corpus is touched ONLY by the stage-1 scan
+    * (one pass, query batch broadcast); everything token-level is
+    * bounded by queries × pool — the pool frame broadcasts back into
+    * the document fetch, the query-token frame broadcasts into the
+    * MaxSim join, and the MaxSim row count is |pool| · |doc tokens| ·
+    * |query tokens|, independent of corpus size. That is the ColBERT
+    * serving economics: exhaustive interaction only over a candidate
+    * pool someone cheaper already chose. */
+  def rerankLate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"text")
+    val docEmb = docs.select($"doc_id",
+      VectorStore.embedText($"text").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val qDf = LiQueries.toDF("q_id", "qtext")
+    val qEmb = qDf.select($"q_id", VectorStore.embedText($"qtext").as("qv"))
+      .withColumn("qnrm", l2Norm($"qv"))
+    val pool = rankTopK(
+      docEmb.crossJoin(broadcast(qEmb))
+        .select($"q_id", $"doc_id".as("n_id"),
+          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")),
+      LiPool)
+    val dtok = docs.select($"doc_id".as("n_id"), $"text")
+      .join(broadcast(pool.select($"q_id", $"n_id", $"sim_r")), "n_id")
+      .select($"q_id", $"n_id", $"sim_r",
+        explode(array_distinct(tokens($"text"))).as("tok"))
+      .filter($"tok" =!= "")
+      .withColumn("dv", tokenTrigramEmb($"tok"))
+      .withColumn("dnrm", l2Norm($"dv"))
+    val qtok = qDf
+      .select($"q_id", explode(array_distinct(tokens($"qtext"))).as("qtok"))
+      .withColumn("tv", tokenTrigramEmb($"qtok"))
+      .withColumn("tnrm", l2Norm($"tv"))
+    dtok.join(broadcast(qtok), "q_id")
+      .select($"q_id", $"n_id", $"sim_r", $"qtok",
+        round(cosine($"tv", $"dv", $"tnrm", $"dnrm"), 4).as("c"))
+      .groupBy($"q_id", $"n_id", $"sim_r", $"qtok").agg(max($"c").as("mx"))
+      .groupBy($"q_id", $"n_id", $"sim_r").agg(round(sum($"mx"), 4).as("li_r"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"li_r".desc, $"n_id")).cast("long"))
+      .filter($"rnk" <= LiK)
+      .select($"q_id", $"rnk", $"n_id", $"li_r", $"sim_r")
+      .orderBy($"q_id", $"rnk")
+  }
 
   def mmr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -59,6 +59,56 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(differs, "MMR must trade some relevance for diversity on this corpus")
   }
 
+  test("vs_rerank_li matches a plain-Scala MaxSim model, and trigrams grade orthography") {
+    import SparkTestSession.spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r(x: Double, n: Int) =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def embed(toks: Seq[String], dim: Int, salt: String => String): Array[Double] = {
+      val v = new Array[Double](dim)
+      toks.foreach(t => v(Integer.parseInt(md5hex(salt(t)).take(2), 16) % dim) += 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => r(x / n, 6))
+    }
+    def trig(tok: String): Array[Double] = {
+      val pd = "<" + tok + ">"
+      embed((0 to pd.length - 3).map(i => pd.substring(i, i + 3)), 48, identity)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def nrm(x: Array[Double]) = math.sqrt(x.map(y => y * y).sum)
+      r(a.zip(b).map { case (x, y) => x * y }.sum / (nrm(a) * nrm(b)), 4)
+    }
+    // the trigram space grades near-orthography — the reason MaxSim
+    // re-ranking adds signal over whole-document hashing
+    assert(cos(trig("fastly"), trig("fast")) > cos(trig("fastly"), trig("table")))
+    assert(cos(trig("queried"), trig("query")) > cos(trig("queried"), trig("merge")))
+    // full plain-Scala MaxSim replay of the operator
+    val docs = Tables.load(SparkTestSession.spark, SparkTestSession.sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    def toks(s: String) = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val expected = KnnSearch.LiQueries.flatMap { case (qId, qtext) =>
+      val qv = embed(toks(qtext), 64, identity)
+      def nrm(x: Array[Double]) = math.sqrt(x.map(y => y * y).sum)
+      val pool = docs.toSeq.map { case (id, text) =>
+        val dv = embed(toks(text), 64, identity)
+        (id, r(qv.zip(dv).map { case (x, y) => x * y }.sum / (nrm(qv) * nrm(dv)), 4))
+      }.sortBy { case (id, s) => (-s, id) }.take(KnnSearch.LiPool)
+      val qts = toks(qtext).distinct.map(trig)
+      pool.map { case (id, simR) =>
+        val dts = toks(docs(id)).distinct.map(trig)
+        val li = r(qts.map(qt => dts.map(dt => cos(qt, dt)).max).sum, 4)
+        (qId, id, li, simR)
+      }.sortBy { case (_, id, li, _) => (-li, id) }.take(KnnSearch.LiK)
+        .zipWithIndex.map { case ((q, id, li, s), i) => (q, i + 1L, id, li, s) }
+    }
+    val got = KnnSearch.rerankLate(SparkTestSession.spark, SparkTestSession.sf)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getDouble(3), row.getDouble(4))).toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+  }
+
   test("tx_contam flags only non-benchmark docs, each with a real hit") {
     val rows = TextAnalysis.contam(spark, sf).collect()
     assert(rows.nonEmpty)
