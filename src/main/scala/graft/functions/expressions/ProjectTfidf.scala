@@ -1,5 +1,6 @@
 package graft.functions.expressions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -22,27 +23,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * in-plan / driver 6dp bit-parity contract is preserved and
   * spec-asserted per channel.
   *
-  * `proj` is stored TERM-major (`proj(termIdx)(d)`) so the sparse loop
-  * walks one contiguous row per present term. */
-case class ProjectTfidf(child: Expression, vocab: Seq[String],
-    idf: Seq[Double], projByTerm: Seq[Seq[Double]], dim: Int)
+  * The fitted model ships as a TORRENT BROADCAST, not plan literals:
+  * at the production V=65536 clamp the term-major projection is
+  * ~32 MB, and a plan-literal form re-serializes that with the
+  * expression tree ONCE PER STAGE on the driver and deserializes it
+  * once per TASK (the EncoderProbe V-sweep measured ~0.25 s/task —
+  * thousands of wasted CPU-seconds per 100 TB scan stage). The
+  * broadcast handle is bytes in the task binary; the model transfers
+  * once per executor and is shared by every task and every stage that
+  * serves the channel. Per-row work is V-independent either way. */
+case class ProjectTfidf(child: Expression,
+    model: Broadcast[ProjectTfidf.Model], dim: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(DoubleType)
 
+  @transient private lazy val m: ProjectTfidf.Model = model.value
   @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
-    val m = new java.util.HashMap[UTF8String, Integer](vocab.length * 2)
-    vocab.zipWithIndex.foreach { case (t, i) =>
-      m.put(UTF8String.fromString(t), i)
+    val h = new java.util.HashMap[UTF8String, Integer](m.vocab.length * 2)
+    var i = 0
+    while (i < m.vocab.length) {
+      h.put(UTF8String.fromString(m.vocab(i)), i)
+      i += 1
     }
-    m
+    h
   }
-  @transient private lazy val idfArr: Array[Double] = idf.toArray
-  @transient private lazy val projArr: Array[Array[Double]] =
-    projByTerm.map(_.toArray).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val idfArr = m.idf
+    val projArr = m.projByTerm
     val n = arr.numElements()
     // Present-term vocab indices, duplicates = term frequency. O(len)
     // space — never a V-sized buffer, so serving cost is V-independent.
@@ -79,7 +89,6 @@ case class ProjectTfidf(child: Expression, vocab: Seq[String],
     val nrm = math.max(math.sqrt(sq), 1e-12)
     d = 0
     while (d < dim) {
-      // identical to Spark's round(double, 6): HALF_UP on BigDecimal
       lat(d) = BigDecimal(lat(d) / nrm)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       d += 1
@@ -92,14 +101,30 @@ case class ProjectTfidf(child: Expression, vocab: Seq[String],
 }
 
 object ProjectTfidf {
-  /** `proj` rows are latent dims (dim × V, the fit's natural shape);
-    * transposed here once to term-major for the sparse serving loop. */
-  def apply(tokens: Column, vocab: Array[String], idf: Array[Double],
-      proj: Array[Array[Double]], dim: Int): Column = {
-    val byTerm: Seq[Seq[Double]] =
-      vocab.indices.map(i => proj.map(_(i)).toSeq)
-    org.apache.spark.sql.graft.ColumnBridge.column(ProjectTfidf(
-      org.apache.spark.sql.graft.ColumnBridge.expression(tokens),
-      vocab.toSeq, idf.toSeq, byTerm, dim))
+  /** The fitted (vocab, idf, term-major projection) triple — primitive
+    * arrays so the one-time broadcast transfer is compact. */
+  final class Model(val vocab: Array[String], val idf: Array[Double],
+      val projByTerm: Array[Array[Double]]) extends Serializable
+
+  /** Broadcast a fitted model once per channel; `proj` rows are latent
+    * dims (dim × V, the fit's natural shape), transposed here to
+    * term-major for the sparse serving loop. */
+  def broadcastModel(spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[String], idf: Array[Double],
+      proj: Array[Array[Double]], dim: Int): Broadcast[Model] = {
+    val byTerm = Array.tabulate(vocab.length)(i =>
+      Array.tabulate(dim)(d => proj(d)(i)))
+    spark.sparkContext.broadcast(new Model(vocab, idf, byTerm))
   }
+
+  /** Serving column over an already-broadcast model. */
+  def apply(tokens: Column, model: Broadcast[Model], dim: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(ProjectTfidf(
+      org.apache.spark.sql.graft.ColumnBridge.expression(tokens), model, dim))
+
+  /** One-shot convenience (probe/test use): broadcast + column. */
+  def apply(tokens: Column, vocab: Array[String], idf: Array[Double],
+      proj: Array[Array[Double]], dim: Int): Column =
+    apply(tokens, broadcastModel(
+      org.apache.spark.sql.SparkSession.active, vocab, idf, proj, dim), dim)
 }

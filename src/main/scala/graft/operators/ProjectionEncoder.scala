@@ -29,10 +29,15 @@ private[operators] object ProjectionEncoder {
     // .ProjectTfidf]]): one O(len) count pass + a sparse O(nnz·dim)
     // projection — the round-9 "per-term filter passes" seam closed;
     // arithmetic is the exact encodeLocal fold, so 6dp bit-parity is
-    // preserved (spec-asserted per channel)
+    // preserved (spec-asserted per channel). The model broadcasts
+    // ONCE here and every encode column reuses the handle — at the
+    // V=65536 clamp the plan-literal form cost ~0.25 s of model
+    // deserialization per task (EncoderProbe V-sweep)
+    val bc = graft.functions.expressions.ProjectTfidf.broadcastModel(
+      org.apache.spark.sql.SparkSession.active, vocab, idf, proj, dim)
     def encode(c: Column): Column =
       graft.functions.expressions.ProjectTfidf(
-        graft.functions.TextFunctions.tokens(c), vocab, idf, proj, dim)
+        graft.functions.TextFunctions.tokens(c), bc, dim)
     def encodeLocal(s: String): Array[Double] = {
       val raw = tfidfLocal(s, vocab, vIdx, idf)
       val lat = new Array[Double](dim)
