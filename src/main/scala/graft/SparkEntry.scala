@@ -59,6 +59,7 @@ object SparkEntry {
     "vs_parse_docx" -> (DocParse.parseDocx _),
     "vs_parse_html" -> (DocParse.parseHtml _),
     "vs_parse_xlsx" -> (DocParse.parseXlsx _),
+    "vs_parse_md" -> (DocParse.parseMd _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -891,6 +892,46 @@ object SparkEntry {
         | 2.0::DOUBLE, 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
         |FROM documents
         |ORDER BY doc_id, page_num, content_id""".stripMargin,
+    // Markdown: kind-ordinal ids; code chunks land at i%4==1 so
+    // codeBefore(i) = (i+2)//4, paragraph ordinal = i - codeBefore + 1;
+    // code bodies are VERBATIM (whitespace preserved), paragraphs
+    // whitespace-collapse; the static quote/list footer rows exercise
+    // those block paths on every document
+    "vs_parse_md" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'heading' AS content_type,
+        | '/h1[1]' AS content_id,
+        | trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g')) AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM documents WHERE trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g')) <> ''
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'text_block',
+        | '/p[' || (i - (i+2)//4 + 1) || ']', trim(pg),
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM ch WHERE i % 4 <> 1
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'code',
+        | '/code[' || ((i+2)//4 + 1) || ']', pg,
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM ch WHERE i % 4 = 1
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'image',
+        | '/p[' || (i - (i+2)//4 + 1) || ']/img[1]',
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM ch WHERE i % 3 = 0 AND i % 4 <> 1
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'quote', '/bq[1]', 'static quote',
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'list_item', '/li[' || k || ']',
+        | CASE WHEN k = 1 THEN 'alpha item' ELSE 'beta item' END,
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents, (SELECT unnest([1, 2]) k)
+        |ORDER BY doc_id, content_type, content_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

@@ -163,6 +163,23 @@ object DocParse {
       .orderBy($"doc_id", $"page_num", $"content_id")
   }
 
+  /** vs_parse_md — Markdown through the seam (README/docs corpora;
+    * [[graft.functions.expressions.SynthMd]] → title heading,
+    * paragraph/fenced-code blocks with inline data-URI images, a
+    * quote and a list; [[graft.functions.expressions.ParseMd]] reads
+    * the blocks back with kind-ordinal content ids, code bodies
+    * VERBATIM). page_num is 0 — Markdown has no pages. */
+  def parseMd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseMd(
+          graft.functions.expressions.SynthMd($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_type", $"content_id")
+  }
+
   /** Per-document boilerplate share from a [[parseHtml]]-shaped frame:
     * boilerplate chars / all text chars — the main-content-extraction
     * signal a curation gate consumes (a page that is mostly chrome is
@@ -199,8 +216,9 @@ object DocParse {
       case "docx" => ParseDocx($"payload")
       case "html" => ParseHtml($"payload")
       case "xlsx" => ParseXlsx($"payload")
+      case "md" => graft.functions.expressions.ParseMd($"payload")
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

@@ -1036,6 +1036,74 @@ class DocParseSpec extends AnyFunSuite {
   private def streamObj(body: String): String =
     s"<< /Length ${body.length} >>\nstream\n$body\nendstream"
 
+  private def parseMdStr(md: String) = {
+    import spark.implicits._
+    Seq(md.getBytes("UTF-8")).toDF("payload")
+      .select(explode(graft.functions.expressions.ParseMd($"payload")).as("r"))
+      .select($"r.content_type", $"r.content_id", $"r.content_raw")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq
+  }
+
+  test("MD: headings, code fences, lists, quotes, links, inline images") {
+    val rows = parseMdStr(
+      """# Title *one*
+        |
+        |Para with [a link](http://x) and ![pic](data:image/png;base64,QUJD) inline.
+        |It continues here.
+        |
+        |Setext Head
+        |===
+        |
+        |```
+        |raw   code * [not](a-link)
+        |  indented
+        |```
+        |
+        |---
+        |
+        |> quoted line
+        |> continues
+        |
+        |- first
+        |2. second numbered
+        |
+        |#hashtag is a paragraph""".stripMargin)
+    assert(rows == Seq(
+      ("heading", "/h1[1]", "Title one"),
+      ("image", "/p[1]/img[1]", "QUJD"),
+      ("text_block", "/p[1]", "Para with a link and inline. It continues here."),
+      ("heading", "/h1[2]", "Setext Head"),
+      ("code", "/code[1]", "raw   code * [not](a-link)\n  indented"),
+      ("quote", "/bq[1]", "quoted line continues"),
+      ("list_item", "/li[1]", "first"),
+      ("list_item", "/li[2]", "second numbered"),
+      ("text_block", "/p[2]", "#hashtag is a paragraph")), rows.toString)
+  }
+
+  test("MD: tolerance — unclosed fence, setext dash vs thematic break, remote images") {
+    val rows = parseMdStr(
+      "para becomes h2\n---\n\n---\n\n![r](http://img/x.png)\n\nopen fence\n```\nnever closed")
+    assert(rows == Seq(
+      ("heading", "/h2[1]", "para becomes h2"),
+      ("image", "/p[1]/img[1]", "http://img/x.png"),
+      ("text_block", "/p[2]", "open fence"),
+      ("code", "/code[1]", "never closed")), rows.toString)
+  }
+
+  test("MD: records() routes the format; code and images embed as records") {
+    import spark.implicits._
+    val payloads = Seq(("r.md",
+      graft.functions.expressions.SynthMd.build("hello world")))
+      .toDF("doc_name", "payload")
+    val recs = DocParse.records(payloads, "md").collect()
+    // h1 + p + img + quote + 2 list items = 6
+    assert(recs.length == 6, recs.toSeq.toString)
+    assert(recs.count(_.getAs[String]("content_type") == ContentTypes.Image) == 1)
+    assert(recs.forall(_.getAs[String]("doc_type") == "md"))
+  }
+
   test("PDF: predefined UCS2 CMaps decode CJK without /ToUnicode; ToUnicode still wins") {
     // UniJIS-UCS2-H: the codes ARE UCS-2 — 漢字 and ASCII mix
     val text = "漢字kanji"
