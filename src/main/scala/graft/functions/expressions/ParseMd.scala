@@ -74,6 +74,7 @@ object ParseMd {
   private val Image = """!\[([^\]]*)\]\(([^)]*)\)""".r
   private val Link = """(?<!!)\[([^\]]*)\]\(([^)]*)\)""".r
   private val DataUri = "^data:[^,]*;base64,(.*)$".r
+  private val ListItem = """^\s*(?:[-*+]|\d{1,9}\.)\s+(.*)$""".r
 
   private[graft] def parse(md: String): Array[Any] = {
     val out = ArrayBuffer.empty[Any]
@@ -161,14 +162,11 @@ object ParseMd {
         }
         i -= 1 // the outer loop advances once
         emitInline("quote", s"/bq[${ordinal("bq")}]", body.mkString(" "))
-      } else {
-        val li = """^\s*(?:[-*+]|\d{1,9}\.)\s+(.*)$""".r
-        t match {
-          case li(item) =>
-            flushPara()
-            emitInline("list_item", s"/li[${ordinal("li")}]", item)
-          case _ => para += line
-        }
+      } else t match {
+        case ListItem(item) =>
+          flushPara()
+          emitInline("list_item", s"/li[${ordinal("li")}]", item)
+        case _ => para += line
       }
       i += 1
     }

@@ -65,14 +65,26 @@ case class ParseXlsx(child: Expression)
     val wb = parseXml(entries.getOrElse(wbPath,
       fail("package has no xl/workbook.xml (not an XLSX?)")), wbPath)
     val rels = slideRels(entries, wbPath)
-    // shared strings: one si per index, rich-text runs concatenated
+    // shared strings: one si per index, rich-text runs concatenated.
+    // `t` elements under `rPh` are PHONETIC readings (Excel furigana,
+    // ECMA-376 §18.4.6) — guide text, not cell content; concatenating
+    // them would double-ingest every Japanese cell
+    def insidePhonetic(e: Element): Boolean = {
+      var p: org.w3c.dom.Node = e.getParentNode
+      while (p != null) {
+        if (p.getLocalName == "rPh") return true
+        p = p.getParentNode
+      }
+      false
+    }
     val shared: IndexedSeq[String] =
       entries.get("xl/sharedStrings.xml").map { b =>
         val dom = parseXml(b, "xl/sharedStrings.xml")
         descendants(dom.getDocumentElement)
           .filter(e => e.getLocalName == "si" && e.getNamespaceURI == NsMain)
           .map(si => descendants(si).filter(e =>
-            e.getLocalName == "t" && e.getNamespaceURI == NsMain)
+            e.getLocalName == "t" && e.getNamespaceURI == NsMain &&
+              !insidePhonetic(e))
             .map(_.getTextContent).mkString).toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
     val out = ArrayBuffer.empty[Any]

@@ -981,6 +981,15 @@ class DocParseSpec extends AnyFunSuite {
       (0L, "number", "S!AA2", "2.5", 27.0, 2.0)), rows.toString)
   }
 
+  test("XLSX: phonetic rPh runs are guide text, never cell content") {
+    val sst = s"""<sst xmlns="$XlsxNs"><si><r><t>value</t></r>""" +
+      s"""<rPh sb="0" eb="2"><t>furigana</t></rPh><phoneticPr/></si></sst>"""
+    val rows = parseXlsxBytes(xlsxOf(
+      """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""", Some(sst)))
+    assert(rows == Seq((0L, "text_block", "S!A1", "value", 1.0, 1.0)),
+      rows.toString)
+  }
+
   test("XLSX: structural defects are loud — bad sst index, missing part, bad ref") {
     val e1 = intercept[Exception](parseXlsxBytes(xlsxOf(
       """<row r="1"><c r="A1" t="s"><v>3</v></c></row>""",
