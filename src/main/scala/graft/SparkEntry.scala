@@ -60,6 +60,7 @@ object SparkEntry {
     "vs_parse_html" -> (DocParse.parseHtml _),
     "vs_parse_xlsx" -> (DocParse.parseXlsx _),
     "vs_parse_md" -> (DocParse.parseMd _),
+    "vs_html_quality" -> (DocParse.htmlQuality _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -932,6 +933,22 @@ object SparkEntry {
         | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
         |FROM documents, (SELECT unnest([1, 2]) k)
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
+    // HTML quality: boilerplate = collapsed title + the static nav
+    // (18 chars) + footer (31 chars); main = the collapsed chunks.
+    // Exact integer counts, one double division before the round
+    "vs_html_quality" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
+        |m AS (SELECT doc_id, sum(length(trim(pg))) mc FROM ch GROUP BY 1),
+        |t AS (SELECT doc_id,
+        |  length(trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g'))) + 49 AS bc
+        | FROM documents)
+        |SELECT d.doc_id, coalesce(m.mc, 0)::BIGINT AS main_chars,
+        | t.bc::BIGINT AS boiler_chars,
+        | round(t.bc::DOUBLE / (t.bc + coalesce(m.mc, 0)), 4) AS boilerplate_ratio
+        |FROM documents d JOIN t USING (doc_id) LEFT JOIN m USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

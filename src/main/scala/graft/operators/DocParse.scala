@@ -180,6 +180,30 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_html_quality — the markup-ingest quality signal as its own
+    * query: per document, main-content vs boilerplate char counts and
+    * the chrome share ([[boilerplateRatio]]'s formula), from the same
+    * tolerant parse. One narrow parse pass + one per-doc groupBy (no
+    * pre-sort — the parse feeds the aggregate directly). */
+  def htmlQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseHtml(
+          graft.functions.expressions.SynthHtml($"text"))).as("r"))
+      .filter($"r.content_type".isin("text_block", "boilerplate"))
+      .groupBy($"doc_id")
+      .agg(
+        coalesce(sum(when($"r.content_type" === "text_block",
+          length($"r.content_raw"))), lit(0L)).as("main_chars"),
+        coalesce(sum(when($"r.content_type" === "boilerplate",
+          length($"r.content_raw"))), lit(0L)).as("boiler_chars"))
+      .withColumn("boilerplate_ratio",
+        round($"boiler_chars".cast("double") /
+          ($"boiler_chars" + $"main_chars"), 4))
+      .orderBy($"doc_id")
+  }
+
   /** Per-document boilerplate share from a [[parseHtml]]-shaped frame:
     * boilerplate chars / all text chars — the main-content-extraction
     * signal a curation gate consumes (a page that is mostly chrome is
