@@ -232,15 +232,20 @@ object DocParse {
   def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{ParseDocx, ParseHtml, ParsePdf, ParsePptx, ParseXlsx}
+    import graft.functions.expressions.{Gunzip, ParseDocx, ParseHtml, ParsePdf, ParsePptx, ParseXlsx}
+    // gzip is transparent for every BINARY container (crawl dumps
+    // ship .html.gz) — magic-sniffed pass-through, so plain payloads
+    // cost one 2-byte check. file_hash stays the hash of the bytes AS
+    // STORED (the dedup identity is the file, not its inflation).
+    val p = Gunzip($"payload")
     val parsed = format match {
-      case "gft" => ParseGft($"payload")
-      case "pdf" => ParsePdf($"payload")
-      case "pptx" => ParsePptx($"payload")
-      case "docx" => ParseDocx($"payload")
-      case "html" => ParseHtml($"payload")
-      case "xlsx" => ParseXlsx($"payload")
-      case "md" => graft.functions.expressions.ParseMd($"payload")
+      case "gft" => ParseGft($"payload") // string container, never gzipped
+      case "pdf" => ParsePdf(p)
+      case "pptx" => ParsePptx(p)
+      case "docx" => ParseDocx(p)
+      case "html" => ParseHtml(p)
+      case "xlsx" => ParseXlsx(p)
+      case "md" => graft.functions.expressions.ParseMd(p)
       case other => throw new IllegalArgumentException(
         s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md)")
     }

@@ -206,9 +206,14 @@ private class ServeState(spark: SparkSession) {
           val f = new java.io.File(path)
           if (!f.exists())
             return (400, JObject("error" -> JString(s"no such path: $path")))
-          // real-world file names mix case (REPORT.PDF)
-          def ext(name: String) = name.substring(name.lastIndexOf('.') + 1)
-            .toLowerCase(java.util.Locale.ROOT)
+          // real-world file names mix case (REPORT.PDF); a trailing
+          // .gz is the transparent-gzip wrapper (page.html.gz routes
+          // as html — DocParse.records inflates by magic sniff)
+          def ext(name: String) = {
+            val lower = name.toLowerCase(java.util.Locale.ROOT)
+            val base = if (lower.endsWith(".gz")) lower.dropRight(3) else lower
+            base.substring(base.lastIndexOf('.') + 1)
+          }
           val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md")
           // is_folder=false on a .parquet file OR a directory = a
           // parquet corpus table (a parquet dataset IS a directory —

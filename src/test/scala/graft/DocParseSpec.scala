@@ -917,6 +917,34 @@ class DocParseSpec extends AnyFunSuite {
       ratio.toSeq.toString)
   }
 
+  test("gzip payloads inflate transparently by magic sniff; corrupt gzip is loud") {
+    import spark.implicits._
+    import graft.functions.expressions.Gunzip
+    val html = graft.functions.expressions.SynthHtml.build("gzipped page body")
+    val payloads = Seq(
+      ("plain.html", html),
+      ("packed.html.gz", Gunzip.gzip(html)))
+      .toDF("doc_name", "payload")
+    val recs = DocParse.records(payloads, "html").collect()
+    val byDoc = recs.groupBy(_.getAs[String]("doc_name"))
+    // identical parse output either way...
+    assert(byDoc("plain.html").map(r => (r.getAs[String]("content_id"),
+      r.getAs[String]("content_raw"))).toSet ==
+      byDoc("packed.html.gz").map(r => (r.getAs[String]("content_id"),
+        r.getAs[String]("content_raw"))).toSet)
+    // ...but the file hash is of the bytes AS STORED
+    assert(byDoc("plain.html").head.getAs[String]("file_hash") !=
+      byDoc("packed.html.gz").head.getAs[String]("file_hash"))
+    // multi-member (concatenated) gzip inflates whole
+    val two = Gunzip.gzip("hello ".getBytes("UTF-8")) ++
+      Gunzip.gzip("world".getBytes("UTF-8"))
+    assert(new String(Gunzip.maybeInflate(two), "UTF-8") == "hello world")
+    // corrupt gzip: loud, not a silent pass-through
+    val corrupt = Gunzip.gzip(html).dropRight(6)
+    val e = intercept[Exception](Gunzip.maybeInflate(corrupt))
+    assert(e.getMessage.contains("gunzip"), e.getMessage)
+  }
+
   test("HTML: records() routes the format and never embeds boilerplate") {
     import spark.implicits._
     val payloads = Seq(("a.html",
