@@ -61,6 +61,7 @@ object SparkEntry {
     "vs_parse_xlsx" -> (DocParse.parseXlsx _),
     "vs_parse_md" -> (DocParse.parseMd _),
     "vs_html_quality" -> (DocParse.htmlQuality _),
+    "vs_parse_warc" -> (DocParse.parseWarc _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -949,6 +950,40 @@ object SparkEntry {
         | round(t.bc::DOUBLE / (t.bc + coalesce(m.mc, 0)), 4) AS boilerplate_ratio
         |FROM documents d JOIN t USING (doc_id) LEFT JOIN m USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // WARC: the crawl-container chain — gzip members -> WARC records
+    // -> HTTP response -> the SynthHtml page rows, plus the derived
+    // target URI and the HTTP status read from the message
+    "vs_parse_warc" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
+        |u AS (SELECT doc_id, 'http://example.com/' || substr(md5(text),1,8) uri FROM documents),
+        |rows0 AS (
+        |SELECT doc_id, 'text_block' AS content_type,
+        | '/html[1]/body[1]/main[1]/p[' || (i+1) || ']' AS content_id,
+        | trim(regexp_replace(pg, '\s+', ' ', 'g')) AS content_raw,
+        | 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch WHERE trim(regexp_replace(pg, '\s+', ' ', 'g')) <> ''
+        |UNION ALL
+        |SELECT doc_id, 'image',
+        | '/html[1]/body[1]/main[1]/p[' || (i+1) || ']/img[1]',
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'boilerplate', '/html[1]/head[1]/title[1]',
+        | trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g')), 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents WHERE trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g')) <> ''
+        |UNION ALL
+        |SELECT doc_id, 'boilerplate', '/html[1]/body[1]/header[1]/nav[1]',
+        | 'Home About Contact', 0.0::DOUBLE, 0.0::DOUBLE FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'boilerplate', '/html[1]/body[1]/footer[1]',
+        | '(c) example.com - static footer', 0.0::DOUBLE, 0.0::DOUBLE FROM documents)
+        |SELECT r.doc_id, u.uri AS target_uri, 200::BIGINT AS status,
+        | r.content_type, r.content_id, r.content_raw, r.x1, r.y1
+        |FROM rows0 r JOIN u USING (doc_id)
+        |ORDER BY r.doc_id, r.content_type, r.content_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,

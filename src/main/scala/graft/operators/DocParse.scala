@@ -180,6 +180,45 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_parse_warc — the crawl CONTAINER end-to-end: a per-document
+    * `.warc.gz` ([[graft.functions.expressions.SynthWarc]]: warcinfo
+    * → request → response records, one gzip member each) inflated
+    * ([[graft.functions.expressions.Gunzip]] multi-member), the WARC
+    * records walked ([[graft.functions.expressions.ParseWarc]]), the
+    * HTTP response opened, and its HTML body parsed by the tolerant
+    * extractor — the full CommonCrawl ingest chain, hash-checked:
+    * the oracle recomputes the inner page rows plus the derived
+    * target URI and status. Narrow per-row work throughout. */
+  def parseWarc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseWarc(
+          graft.functions.expressions.Gunzip(
+            graft.functions.expressions.SynthWarc($"text")))).as("w"))
+      .filter($"w.rec_type" === "response")
+      .select($"doc_id", $"w.target_uri", $"w.status",
+        explode(graft.functions.expressions.ParseHtml($"w.body")).as("r"))
+      .select($"doc_id", $"target_uri", $"status", $"r.content_type",
+        $"r.content_id", $"r.content_raw", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_type", $"content_id")
+  }
+
+  /** WARC payloads → (doc_name = target URI, payload = HTML body) for
+    * the html ingest path: the bridge Serve uses to vectorize a
+    * `.warc`/`.warc.gz` file — one crawl file fans out to its HTML
+    * captures, each ingesting like a standalone page. */
+  def warcHtml(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(explode(graft.functions.expressions.ParseWarc(
+        graft.functions.expressions.Gunzip($"payload"))).as("w"))
+      .filter($"w.rec_type" === "response" &&
+        $"w.mime".startsWith("text/html") && $"w.target_uri".isNotNull)
+      .select($"w.target_uri".as("doc_name"), $"w.body".as("payload"))
+  }
+
   /** vs_html_quality — the markup-ingest quality signal as its own
     * query: per document, main-content vs boilerplate char counts and
     * the chrome share ([[boilerplateRatio]]'s formula), from the same

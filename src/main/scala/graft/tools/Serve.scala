@@ -214,7 +214,7 @@ private class ServeState(spark: SparkSession) {
             val base = if (lower.endsWith(".gz")) lower.dropRight(3) else lower
             base.substring(base.lastIndexOf('.') + 1)
           }
-          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md")
+          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "warc")
           // is_folder=false on a .parquet file OR a directory = a
           // parquet corpus table (a parquet dataset IS a directory —
           // the bulk vectorize_folder shape at cluster scale);
@@ -232,15 +232,20 @@ private class ServeState(spark: SparkSession) {
                   .filter(x => x.isFile && supported(ext(x.getName))).toSeq
               else if (supported(ext(f.getName))) Seq(f)
               else return (400, JObject("error" -> JString(
-                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|parquet)")))
+                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|warc|parquet)")))
             if (files.isEmpty)
               return (400, JObject("error" -> JString(
-                s"no supported files (pdf|pptx|docx|html|xlsx|md) under $path")))
+                s"no supported files (pdf|pptx|docx|html|xlsx|md|warc) under $path")))
             val n = files.groupBy(x => ext(x.getName)).map { case (fmt, fs) =>
               val payloads = fs.map(x => (x.getPath,
                 java.nio.file.Files.readAllBytes(x.toPath)))
                 .toDF("doc_name", "payload")
-              d.ingestRecords(DocParse.records(payloads, fmt))
+              // a WARC file fans out to its HTML captures, each
+              // ingesting like a standalone page under its URI
+              d.ingestRecords(
+                if (fmt == "warc")
+                  DocParse.records(DocParse.warcHtml(payloads), "html")
+                else DocParse.records(payloads, fmt))
             }.sum
             (200, JObject(
               "message" -> JString(s"successfully embedded " +

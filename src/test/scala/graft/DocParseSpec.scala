@@ -917,6 +917,45 @@ class DocParseSpec extends AnyFunSuite {
       ratio.toSeq.toString)
   }
 
+  test("WARC: record walk, HTTP opening, warcHtml bridge; defects loud") {
+    import spark.implicits._
+    import graft.functions.expressions.{Gunzip, ParseWarc, SynthWarc}
+    val warc = Gunzip.maybeInflate(SynthWarc.build("warc fixture text body"))
+    val recs = Seq(warc).toDF("p")
+      .select(explode(ParseWarc($"p")).as("w"))
+      .select($"w.rec_type", $"w.target_uri", $"w.status", $"w.mime")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3))).toSeq
+    val uri = "http://example.com/" + java.security.MessageDigest
+      .getInstance("MD5").digest("warc fixture text body".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    assert(recs == Seq(
+      ("warcinfo", null, -1L, "application/warc-fields"),
+      ("request", uri, -1L, "application/http; msgtype=request"),
+      ("response", uri, 200L, "text/html; charset=utf-8")), recs.toString)
+    // the response body is the EXACT page bytes (HTTP headers stripped)
+    val body = Seq(warc).toDF("p")
+      .select(explode(ParseWarc($"p")).as("w"))
+      .filter($"w.rec_type" === "response")
+      .select($"w.body").collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(body,
+      graft.functions.expressions.SynthHtml.build("warc fixture text body")))
+    // warcHtml bridges to the html ingest path under the capture URI
+    val viaWarc = DocParse.records(DocParse.warcHtml(
+      Seq(("f.warc.gz", SynthWarc.build("warc fixture text body")))
+        .toDF("doc_name", "payload")), "html").collect()
+    assert(viaWarc.nonEmpty && viaWarc.forall(_.getAs[String]("doc_name") == uri))
+    // machine-written container: defects are loud
+    val e1 = intercept[Exception](ParseWarc.parse("not a warc".getBytes))
+    assert(e1.getMessage.contains("WARC/ magic"), e1.getMessage)
+    val e2 = intercept[Exception](ParseWarc.parse(
+      "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes))
+    assert(e2.getMessage.contains("Content-Length"), e2.getMessage)
+    val e3 = intercept[Exception](ParseWarc.parse(
+      "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort".getBytes))
+    assert(e3.getMessage.contains("past end of file"), e3.getMessage)
+  }
+
   test("gzip payloads inflate transparently by magic sniff; corrupt gzip is loud") {
     import spark.implicits._
     import graft.functions.expressions.Gunzip
