@@ -239,10 +239,29 @@ object TextAnalysis {
     out.orderBy(col("source"), col("doc_id"))
   }
 
+  /** [[pack]] budgeted in TRAINED-TOKENIZER units: production packing
+    * counts subwords under the training tokenizer, not whitespace
+    * words — the two disagree enough to blow sequence lengths. Same
+    * distributed prefix-sum plan; only the per-doc count column
+    * changes (one narrow expression, [[BpeTokenizer.Model.tokenize]]).
+    * The driver oracle pins the whitespace default; BpeSpec pins this
+    * config against the model's local tokenizer. */
+  def packWithTokenizer(spark: SparkSession, dir: String,
+      model: BpeTokenizer.Model): DataFrame = {
+    val (spans, base) = packFrame(spark, dir,
+      c => size(model.tokenize(c)).cast("long"))
+    val out = Tables.materialize(spans)
+    base.unpersist(blocking = false)
+    out.orderBy(col("source"), col("doc_id"))
+  }
+
   /** The un-materialized packing frame plus the persisted range-
     * partitioned base it rides (the spec's plan-pin handle — the
-    * caller unpersists the base once the frame is consumed). */
-  private[graft] def packFrame(spark: SparkSession, dir: String)
+    * caller unpersists the base once the frame is consumed).
+    * `tokenCount` is the budget unit (whitespace default). */
+  private[graft] def packFrame(spark: SparkSession, dir: String,
+      tokenCount: Column => Column = c =>
+        size(graft.functions.TextFunctions.tokens(c)).cast("long"))
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -250,7 +269,7 @@ object TextAnalysis {
     // persisted so both passes see the SAME partition ids (two
     // independently-planned jobs may otherwise repartition differently)
     val base = Tables.load(spark, dir, "documents")
-      .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .select($"source", $"doc_id", tokenCount($"text").as("n_tokens"))
       .repartitionByRange(np, $"source", $"doc_id")
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -64,4 +64,32 @@ class BpeSpec extends AnyFunSuite {
     val bpeSmall = texts.map(small.tokenizeLocal(_).length).sum
     assert(bpeSmall > ws, s"subword regime: bpe $bpeSmall vs whitespace $ws")
   }
+
+  test("packWithTokenizer budgets sequences in trained-tokenizer units") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+    val m = BpeTokenizer.fit(docs, "text", numMerges = 16)
+    val packed = TextAnalysis.packWithTokenizer(spark, sf, m).collect()
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // n_tokens is the MODEL's count per doc, not whitespace
+    packed.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") ==
+        m.tokenizeLocal(texts(r.getAs[Long]("doc_id"))).length.toLong)
+    }
+    // spans still tile contiguously per source: each doc starts where
+    // the previous ended (the pack invariant, now in subword units)
+    packed.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_first") == cum / TextAnalysis.SeqLen)
+        assert(r.getAs[Long]("pos_in_seq") == cum % TextAnalysis.SeqLen)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // and the budget genuinely differs from the whitespace packing
+    val ws = TextAnalysis.pack(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_tokens")).sum
+    assert(packed.map(_.getAs[Long]("n_tokens")).sum > ws)
+  }
 }
