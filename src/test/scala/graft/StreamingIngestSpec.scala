@@ -43,6 +43,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(db.store.count() == expected, "replay must not double-ingest")
   }
 
+  test("markup ingest is a stateless stream transform: streaming == batch") {
+    import spark.implicits._
+    import graft.functions.expressions.{Gunzip, SynthHtml}
+    import graft.operators.DocParse
+    val base = "target/stream_parse_html"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    rm(new java.io.File(base))
+    val src = Paths.get(s"$base/src")
+    Files.createDirectories(src)
+    val payloads = Seq(
+      ("a.html", SynthHtml.build("streamed page one " * 20)),
+      ("b.html.gz", Gunzip.gzip(SynthHtml.build("gz streamed page two " * 20))))
+    payloads.toDF("doc_name", "payload").coalesce(1).write
+      .mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    // the SAME records() plan — every parser is a stateless narrow
+    // expression, so a nightly crawl drop streams through unchanged
+    val q = DocParse.records(
+      spark.readStream.schema(schema).parquet(src.toString), "html")
+      .writeStream.format("memory").queryName("mem_parse_html")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("doc_name"), r.getAs[String]("content_id"),
+        r.getAs[String]("content_raw"), r.getAs[String]("file_hash"))
+    val streamed = spark.table("mem_parse_html").collect().map(key).sorted
+    val batch = DocParse.records(
+      payloads.toDF("doc_name", "payload"), "html").collect().map(key).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming ingest keeps the ANN index fresh (indexChannels)") {
     import spark.implicits._
     val base = "target/stream_ingest_idx"
