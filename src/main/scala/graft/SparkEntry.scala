@@ -62,6 +62,8 @@ object SparkEntry {
     "vs_parse_md" -> (DocParse.parseMd _),
     "vs_html_quality" -> (DocParse.htmlQuality _),
     "vs_parse_warc" -> (DocParse.parseWarc _),
+    "vs_parse_epub" -> (DocParse.parseEpub _),
+    "vs_parse_jsonl" -> (DocParse.parseJsonl _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -131,6 +133,7 @@ object SparkEntry {
     "tx_selfrep" -> (TextAnalysis.selfrep _),
     "tx_dsir" -> (TextAnalysis.dsir _),
     "tx_linededup" -> (TextAnalysis.lineDedup _),
+    "tx_passage" -> (TextAnalysis.passageDedup _),
     "mm_meta" -> (Multimodal.meta _),
     "mm_media" -> (Multimodal.media _),
     "mm_audio" -> (Multimodal.audio _),
@@ -984,6 +987,46 @@ object SparkEntry {
         | r.content_type, r.content_id, r.content_raw, r.x1, r.y1
         |FROM rows0 r JOIN u USING (doc_id)
         |ORDER BY r.doc_id, r.content_type, r.content_id""".stripMargin,
+    // EPUB: chunk i is paragraph i%2+1 of spine chapter i//2 (the
+    // synth declares chapters in REVERSE order — only the spine walk
+    // reproduces these page numbers); content ids are href#dom-path,
+    // chapter titles are boilerplate, image parts resolve to base64
+    "vs_parse_epub" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, (i//2)::BIGINT AS page_num, 'text_block' AS content_type,
+        | 'text/chap' || (i//2 + 1) || '.xhtml#/html[1]/body[1]/p[' || (i%2 + 1) || ']' AS content_id,
+        | trim(regexp_replace(pg, '\s+', ' ', 'g')) AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch WHERE trim(regexp_replace(pg, '\s+', ' ', 'g')) <> ''
+        |UNION ALL
+        |SELECT doc_id, (i//2)::BIGINT, 'image',
+        | 'text/chap' || (i//2 + 1) || '.xhtml#/html[1]/body[1]/p[' || (i%2 + 1) || ']/img[1]',
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | 0.0::DOUBLE, 0.0::DOUBLE,
+        | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT DISTINCT doc_id, (i//2)::BIGINT, 'boilerplate',
+        | 'text/chap' || (i//2 + 1) || '.xhtml#/html[1]/head[1]/title[1]',
+        | 'Chapter ' || (i//2 + 1),
+        | 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM ch
+        |ORDER BY doc_id, page_num, content_type, content_id""".stripMargin,
+    // JSONL: one C4-shaped record per chunk; the JSON escape/unescape
+    // round-trips, so the oracle is the chunk verbatim under the
+    // fragment-numbered record url
+    "vs_parse_jsonl" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, text, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | 'http://example.com/' || substr(md5(text),1,8) || '#' || i AS content_id,
+        | pg AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch
+        |ORDER BY doc_id, content_id""".stripMargin,
     "vs_sources" ->
       s"""WITH $normCte,
         |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
@@ -1283,6 +1326,29 @@ object SparkEntry {
         | md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no), '')) AS kept_md5,
         | round(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::DOUBLE / count(*), 4) AS removed_ratio
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tx_passage: a 16-token window duplicated across documents marks
+    // its span; spans merge by a running-max interval union per doc
+    // (the exact-substring dedup signal, Lee et al. 2022)
+    "tx_passage" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+        |i AS (SELECT doc_id, w, unnest(range(0, greatest(len(w)-15, 0))) AS s FROM t),
+        |g AS (SELECT doc_id, s::BIGINT AS s,
+        |   md5(array_to_string(w[(s+1)::INT:(s+16)::INT], ' ')) h FROM i),
+        |d AS (SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        |sp AS (SELECT g.doc_id, g.s,
+        |   max(g.s+16) OVER (PARTITION BY g.doc_id ORDER BY g.s
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pe
+        |  FROM g JOIN d USING (h)),
+        |a AS (SELECT doc_id, count(*) dup_grams,
+        |   sum(CASE WHEN pe IS NULL OR s >= pe THEN 1 ELSE 0 END) dup_spans,
+        |   sum(greatest(0, s + 16 - greatest(s, coalesce(pe, 0)))) dup_tokens
+        |  FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        | coalesce(a.dup_grams, 0)::BIGINT AS dup_grams,
+        | coalesce(a.dup_spans, 0)::BIGINT AS dup_spans,
+        | coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+        | round(coalesce(a.dup_tokens, 0)::DOUBLE / len(t.w), 4) AS dup_ratio
+        |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "tx_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) tf FROM t GROUP BY 1, 2),

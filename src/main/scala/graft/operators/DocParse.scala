@@ -180,6 +180,43 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_parse_epub — the BOOK container through the seam: a valid
+    * EPUB per document ([[graft.functions.expressions.SynthEpub]] —
+    * OCF zip with a stored mimetype, container.xml → OPF manifest +
+    * spine, XHTML chapters declared in REVERSE order so only the
+    * spine yields the reading order, image parts) parsed back
+    * chapter-by-chapter ([[graft.functions.expressions.ParseEpub]]):
+    * page_num = the spine ordinal, content_id = `href#dom-path`,
+    * chapter titles tagged boilerplate, in-container images resolved
+    * to their part bytes. Books are the third pillar of a pretraining
+    * mix (web + books + code) — this is the web-crawl seam's book
+    * twin. */
+  def parseEpub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseEpub(
+          graft.functions.expressions.SynthEpub($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"page_num", $"content_type", $"content_id")
+  }
+
+  /** vs_parse_jsonl — the corpus EXCHANGE format through the seam
+    * ([[graft.functions.JsonlCodec]]): one C4-shaped record per
+    * chunk, codec both ways in PURE built-in functions — the whole
+    * query is one whole-stage-codegen span, the contrast case to the
+    * byte-walking containers. content_id = the record url. */
+  def parseJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(graft.functions.JsonlCodec.parse(
+        graft.functions.JsonlCodec.synth($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_id")
+  }
+
   /** vs_parse_warc — the crawl CONTAINER end-to-end: a per-document
     * `.warc.gz` ([[graft.functions.expressions.SynthWarc]]: warcinfo
     * → request → response records, one gzip member each) inflated
@@ -285,8 +322,10 @@ object DocParse {
       case "html" => ParseHtml(p)
       case "xlsx" => ParseXlsx(p)
       case "md" => graft.functions.expressions.ParseMd(p)
+      case "epub" => graft.functions.expressions.ParseEpub(p)
+      case "jsonl" => graft.functions.JsonlCodec.parse(p)
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|jsonl)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

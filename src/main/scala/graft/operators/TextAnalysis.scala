@@ -610,6 +610,83 @@ object TextAnalysis {
     out.orderBy($"doc_id")
   }
 
+  /** Passage window length for [[passageDedup]], in tokens. Lee et
+    * al. 2022 use 50-token spans on BPE streams; the synthetic corpus
+    * has shorter documents, so 16 keeps multi-window spans in play at
+    * test scale while the shape is length-agnostic. */
+  val PassageTokens = 16
+
+  /** tx_passage — cross-document duplicated-PASSAGE detection (the
+    * exact-substring axis of "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022): every K-token window
+    * whose text recurs in ANY OTHER document marks its token span
+    * duplicated; overlapping marks merge into maximal spans, and each
+    * document reports its duplicated-token count, merged-span count,
+    * and coverage ratio — the signal a curation gate clips or drops
+    * on. Line dedup ([[lineDedup]]) catches aligned boilerplate;
+    * this catches copied text at ANY alignment. Intra-document
+    * repetition is deliberately out of scope (that axis is
+    * [[selfRepetition]]).
+    *
+    * Scale shape: one tokenize pass → K-gram explode (the corpus
+    * stream, linear in total tokens, persisted because it feeds two
+    * consumers); "recurs in another doc" is ONE partial-agg groupBy
+    * per distinct gram hash — min(doc_id) ≠ max(doc_id) IS the
+    * cross-doc test, so the shuffle ships two longs per distinct
+    * hash per partition, never an occurrence list; the verdict
+    * re-joins hits co-partitioned on the hash; span merging is a
+    * per-document running-max window whose state is bounded by
+    * document length. Never all-pairs, never a corpus-sized
+    * broadcast — at 100 TB this is two hash-partitioned shuffles of
+    * the gram residue plus a per-doc window. */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = PassageTokens
+    // one corpus pass: every K-token window with its 0-based start
+    val grams = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", posexplode(shingles(tokens($"text"), k)))
+      .toDF("doc_id", "s", "gram")
+      .select($"doc_id", $"s", md5($"gram").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a gram recurs cross-doc iff its doc_id range is not a point —
+    // min/max combine map-side, unlike a distinct-count's value set
+    val dup = grams.groupBy($"h")
+      .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
+      .filter($"d0" =!= $"d1")
+      .select($"h")
+    // duplicated window starts, then interval union per document: a
+    // start at or past the running max end opens a new span; tokens
+    // newly covered = the window's reach past that running max
+    val prevEnd = max($"s" + k).over(Window.partitionBy($"doc_id")
+      .orderBy($"s").rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = grams.join(dup, "h")
+      .select($"doc_id", $"s")
+      .withColumn("prev_end", prevEnd)
+      .select($"doc_id",
+        when($"prev_end".isNull || $"s" >= $"prev_end", 1L)
+          .otherwise(0L).as("new_span"),
+        greatest(lit(0L), $"s" + k -
+          greatest($"s".cast("long"), coalesce($"prev_end", lit(0L))))
+          .as("new_cov"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_grams"),
+        sum($"new_span").as("dup_spans"),
+        sum($"new_cov").as("dup_tokens"))
+    val out = Tables.materialize(
+      Tables.spread(Tables.load(spark, dir, "documents"))
+        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"dup_grams", lit(0L)).as("dup_grams"),
+          coalesce($"dup_spans", lit(0L)).as("dup_spans"),
+          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+        .withColumn("dup_ratio",
+          round($"dup_tokens".cast("double") / $"n_tokens", 4)))
+    grams.unpersist(blocking = false)
+    out.orderBy($"doc_id")
+  }
+
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties
     * break on the bigram text. */
   def ngrams(spark: SparkSession, dir: String): DataFrame = {

@@ -18,7 +18,7 @@ import graft.operators.{DocParse, GraftVectorDB, ResponseGen}
   *    registry — so the model-selection fields are accepted and
   *    ignored); 400 with {"error": …} on failure;
   *  - POST /embed {"path": …, "is_folder": bool} → vectorize_file /
-  *    vectorize_folder: a `.pdf`/`.pptx`/`.docx`/`.html`/`.xlsx`/`.md` path ingests through the
+  *    vectorize_folder: a `.pdf`/`.pptx`/`.docx`/`.html`/`.xlsx`/`.md`/`.epub` path ingests through the
   *    REAL-format parsers (DocParse.records), a `.parquet` path (file
   *    or directory) ingests as a documents-shaped corpus frame
   *    (vectorize_folder's bulk shape at cluster scale); folders sweep
@@ -214,7 +214,7 @@ private class ServeState(spark: SparkSession) {
             val base = if (lower.endsWith(".gz")) lower.dropRight(3) else lower
             base.substring(base.lastIndexOf('.') + 1)
           }
-          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "warc")
+          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "epub", "jsonl", "warc")
           // is_folder=false on a .parquet file OR a directory = a
           // parquet corpus table (a parquet dataset IS a directory —
           // the bulk vectorize_folder shape at cluster scale);
@@ -232,10 +232,10 @@ private class ServeState(spark: SparkSession) {
                   .filter(x => x.isFile && supported(ext(x.getName))).toSeq
               else if (supported(ext(f.getName))) Seq(f)
               else return (400, JObject("error" -> JString(
-                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|warc|parquet)")))
+                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|jsonl|warc|parquet)")))
             if (files.isEmpty)
               return (400, JObject("error" -> JString(
-                s"no supported files (pdf|pptx|docx|html|xlsx|md|warc) under $path")))
+                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|jsonl|warc) under $path")))
             val n = files.groupBy(x => ext(x.getName)).map { case (fmt, fs) =>
               val payloads = fs.map(x => (x.getPath,
                 java.nio.file.Files.readAllBytes(x.toPath)))

@@ -2005,4 +2005,141 @@ class DocParseSpec extends AnyFunSuite {
       ttfU32(28) ++ ttfU32(4) ++ ttfU32(0)
     assert(err(embeddedFontPdf(bare, content)).contains("no cmap table"))
   }
+
+  test("EPUB: synth round-trips — spine order, href#path ids, titles, image parts") {
+    import graft.functions.expressions.{ParseEpub, SynthEpub}
+    // 3 chunks (200+200+50 chars) -> chapters (p1,p2) + (p1); chunk 0
+    // carries the image part
+    val text = ("a" * 200) + ("b" * 200) + ("c" * 50)
+    val rows = Seq(text).toDF("text")
+      .select(explode(ParseEpub(SynthEpub($"text"))).as("r"))
+      .select($"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x1", $"r.y1")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4), r.getDouble(5))).toSeq
+      .sortBy(r => (r._1, r._2, r._3))
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(("a" * 200).getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val b64 = java.util.Base64.getEncoder.encodeToString(md5p.getBytes("UTF-8"))
+    assert(rows == Seq(
+      (0L, "boilerplate", "text/chap1.xhtml#/html[1]/head[1]/title[1]",
+        "Chapter 1", 0.0, 0.0),
+      (0L, "image", "text/chap1.xhtml#/html[1]/body[1]/p[1]/img[1]",
+        b64, 100.0, 80.0),
+      (0L, "text_block", "text/chap1.xhtml#/html[1]/body[1]/p[1]",
+        "a" * 200, 0.0, 0.0),
+      (0L, "text_block", "text/chap1.xhtml#/html[1]/body[1]/p[2]",
+        "b" * 200, 0.0, 0.0),
+      (1L, "boilerplate", "text/chap2.xhtml#/html[1]/head[1]/title[1]",
+        "Chapter 2", 0.0, 0.0),
+      (1L, "text_block", "text/chap2.xhtml#/html[1]/body[1]/p[1]",
+        "c" * 50, 0.0, 0.0)), rows.toString)
+    // the zip stores chapters in REVERSE order — page_num above came
+    // from the spine — and the mimetype is the first, STORED entry:
+    // its name sits at the fixed OCF header offset and its payload is
+    // plaintext in the file (the property magic sniffers rely on; the
+    // exact payload offset shifts with the JDK's extra fields)
+    val bytes = SynthEpub.build(text)
+    assert(new String(bytes.slice(30, 38), "UTF-8") == "mimetype")
+    assert(new String(bytes.take(100), "ISO-8859-1")
+      .contains("application/epub+zip"))
+  }
+
+  private def epubZip(entries: (String, String)*): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bo)
+    entries.foreach { case (name, body) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    bo.toByteArray
+  }
+
+  private val epubContainer =
+    """<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+      |<rootfiles><rootfile full-path="book.opf"/></rootfiles></container>""".stripMargin
+
+  test("EPUB: container defects are loud; content stays tolerant; remote src verbatim") {
+    import graft.functions.expressions.ParseEpub
+    def parse(bytes: Array[Byte]) = Seq(bytes).toDF("p")
+      .select(explode(ParseEpub($"p")).as("r"))
+      .select($"r.page_num", $"r.content_type", $"r.content_raw").collect()
+    def err(bytes: Array[Byte]): String =
+      intercept[Exception](parse(bytes)).getMessage
+    assert(err(epubZip("other.txt" -> "x"))
+      .contains("no META-INF/container.xml"))
+    assert(err(epubZip("META-INF/container.xml" -> epubContainer))
+      .contains("missing OPF rootfile"))
+    val opfDangling =
+      """<package xmlns="http://www.idpf.org/2007/opf">
+        |<manifest/><spine><itemref idref="nope"/></spine></package>""".stripMargin
+    assert(err(epubZip("META-INF/container.xml" -> epubContainer,
+      "book.opf" -> opfDangling)).contains("no manifest item"))
+    // soupy chapter XHTML parses tolerantly; a remote img src passes
+    // through verbatim (fetch out of scope)
+    val opf =
+      """<package xmlns="http://www.idpf.org/2007/opf">
+        |<manifest><item id="c1" href="ch1.html"/></manifest>
+        |<spine><itemref idref="c1"/></spine></package>""".stripMargin
+    val got = parse(epubZip("META-INF/container.xml" -> epubContainer,
+      "book.opf" -> opf,
+      "ch1.html" -> "<body><P>unclosed soup<p>next<img src=http://x/y.png></body>"))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((0L, "text_block", "unclosed soup"),
+      (0L, "image", "http://x/y.png"), (0L, "text_block", "next")), got.toString)
+  }
+
+  test("JSONL: escape round-trip, junk lines drop, records() routes the format") {
+    import graft.functions.JsonlCodec
+    // quotes + backslashes must survive the to_json/from_json round
+    // trip; 230 chars -> 2 records under the 200-char chunking
+    val tricky = """he said "x\y" and""" + (" pad" * 54)
+    val rows = Seq(tricky).toDF("text")
+      .select(explode(JsonlCodec.parse(JsonlCodec.synth($"text"))).as("r"))
+      .select($"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(tricky.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    assert(rows == Seq(
+      (s"http://example.com/$md5p#0", tricky.take(200)),
+      (s"http://example.com/$md5p#1", tricky.drop(200))), rows.toString)
+    // junk lines and textless records drop; a url-less record falls
+    // back to its line ordinal
+    val dump = Seq(
+      """{"url":"http://a/1","text":"alpha"}""",
+      "not json at all",
+      """{"url":"http://a/2"}""",
+      "",
+      """{"text":"gamma"}""").mkString("\n").getBytes("UTF-8")
+    val got = Seq(dump).toDF("p")
+      .select(explode(JsonlCodec.parse($"p")).as("r"))
+      .select($"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("http://a/1", "alpha"), ("line-3", "gamma")),
+      got.toString)
+    // the ingest path: doc_type jsonl, gzip transparent
+    import graft.functions.expressions.Gunzip
+    val recs = DocParse.records(
+      Seq(("d.jsonl.gz", Gunzip.gzip(dump))).toDF("doc_name", "payload"),
+      "jsonl").collect()
+    assert(recs.length == 2 &&
+      recs.forall(_.getAs[String]("doc_type") == "jsonl"), recs.toSeq.toString)
+  }
+
+  test("EPUB: records() routes the format; chapter titles never embed") {
+    import graft.functions.expressions.SynthEpub
+    val payloads = Seq(("b.epub", SynthEpub.build("hello epub world")))
+      .toDF("doc_name", "payload")
+    val recs = DocParse.records(payloads, "epub").collect()
+    assert(recs.length == 2, recs.toSeq.toString) // 1 text chunk + 1 image
+    val byType = recs.groupBy(_.getAs[String]("content_type"))
+    assert(byType.keySet == Set(ContentTypes.TextChunk, ContentTypes.Image))
+    assert(byType(ContentTypes.TextChunk).head
+      .getAs[String]("content_raw") == "hello epub world")
+    assert(recs.forall(_.getAs[String]("doc_type") == "epub"))
+  }
 }

@@ -138,6 +138,41 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       r.getAs[Double]("nll") > 0 && !r.getAs[Double]("nll").isInfinite))
   }
 
+  test("tx_passage interval union is exact on a controlled corpus") {
+    import spark.implicits._
+    val k = TextAnalysis.PassageTokens
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // doc 1 and 2 share a k-token passage mid-text (one merged span,
+    // k+2 window starts in doc 1 would over-count without the union);
+    // doc 3 shares NOTHING; docs 4/5 are verbatim copies (full cover)
+    val shared = words("s", k + 2) // k+2 tokens -> 3 dup windows, 1 span
+    val docs = Seq(
+      (1L, words("a", 5) + " " + shared + " " + words("b", 5)),
+      (2L, words("c", 3) + " " + shared + " " + words("d", 7)),
+      (3L, words("e", k * 3)),
+      (4L, words("f", k * 2)),
+      (5L, words("f", k * 2))).toDF("doc_id", "text")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"tx_passage_spec_${System.nanoTime()}").getPath
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.passageDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("dup_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    // the shared run has k+2 tokens = 3 window starts merging to ONE
+    // span of k+2 covered tokens
+    assert(rows(1L) == ((k + 12L, 3L, 1L, k + 2L,
+      BigDecimal((k + 2.0) / (k + 12)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)), rows(1L).toString)
+    assert(rows(2L)._2 == 3L && rows(2L)._3 == 1L && rows(2L)._4 == k + 2L)
+    assert(rows(3L) == ((k * 3L, 0L, 0L, 0L, 0.0)), rows(3L).toString)
+    // verbatim copies: every window duplicated, one span, full cover
+    assert(rows(4L) == ((k * 2L, k + 1L, 1L, k * 2L, 1.0)), rows(4L).toString)
+    assert(rows(5L) == rows(4L))
+  }
+
   test("tx_selfrep ratios are consistent fractions") {
     val rows = TextAnalysis.selfrep(spark, sf).collect()
     assert(rows.nonEmpty)
