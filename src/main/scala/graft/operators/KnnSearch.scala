@@ -188,13 +188,21 @@ object KnnSearch {
     * trigram md5-bucketed, counts L2-normalized at 6dp — the md5
     * convention every embed oracle replays. Pure HOF columns, stays
     * in codegen. */
+  /** 48-dim hashed char-trigram embedding of one `<`-padded token.
+    * Bucket rule = first md5 byte mod dim — exactly
+    * [[graft.functions.expressions.HashingCounts]]'s, and its
+    * `normalized` rounding is `l2Normalize`'s 6dp HALF_UP, so the
+    * native expression IS the formula the SQL oracle replays
+    * (`conv(substr(md5(tri),1,2),16,10) % 48` = the first byte). It
+    * replaced an equivalent 48-wide HOF tree whose per-run
+    * optimize+codegen cost dominated the whole query: a constant
+    * ~3.5 s of driver time at ANY corpus size (measured identical at
+    * sf0.001 and sf0.1) — the expression-size trap, not a data cost. */
   private def tokenTrigramEmb(tok: Column): Column = {
     val padded = concat(lit("<"), tok, lit(">"))
-    val buckets = transform(sequence(lit(0), length(padded) - 3),
-      i => conv(substring(md5(padded.substr(i + 1, lit(3))), 1, 2), 16, 10)
-        .cast("long") % 48)
-    l2Normalize(transform(sequence(lit(0), lit(47)),
-      j => size(filter(buckets, x => x === j)).cast("double")))
+    graft.functions.expressions.HashingCounts.normalized(
+      transform(sequence(lit(0), length(padded) - 3),
+        i => padded.substr(i + 1, lit(3))), 48)
   }
 
   /** vs_rerank_li — ColBERT-style LATE-INTERACTION re-rank (Khattab &
