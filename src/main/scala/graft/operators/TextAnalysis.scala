@@ -162,16 +162,30 @@ object TextAnalysis {
   def curate(spark: SparkSession, dir: String): DataFrame =
     curate(spark, dir, trainedLangId = None)
 
-  /** [[curate]] with the language column swappable: `trainedLangId`
+  /** [[curate]] with the language column swappable (`trainedLangId`
     * replaces the marker-heuristic `lang_pred` with the fitted
-    * [[LangIdClassifier]]'s per-row prediction (one narrow expression,
-    * weights in the plan — the gate's shape is unchanged). The driver
-    * oracle pins the heuristic default; LangIdSpec exercises the
-    * trained path. */
+    * [[LangIdClassifier]]'s per-row prediction — one narrow
+    * expression, weights in the plan) and an optional
+    * duplicated-passage ceiling (`passageMaxRatio` joins
+    * [[passageDedup]]'s coverage and drops docs whose cross-corpus
+    * copied share exceeds it — the Lee et al. 2022 clip-or-drop
+    * policy, as drop). Both default off; the driver oracle pins the
+    * heuristic default, LangIdSpec / OperatorInvariantsSpec exercise
+    * the options. */
   def curate(spark: SparkSession, dir: String,
-      trainedLangId: Option[LangIdClassifier.Model]): DataFrame = {
+      trainedLangId: Option[LangIdClassifier.Model],
+      passageMaxRatio: Option[Double] = None): DataFrame = {
     import spark.implicits._
-    val heuristic = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    val heuristic0 = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    val heuristic = passageMaxRatio.fold(heuristic0) { ceil =>
+      // one equi-join against the per-doc coverage frame; the gate
+      // stays a corpus pass + co-partitioned joins, never a broadcast
+      // of anything corpus-sized
+      heuristic0.join(
+        passageDedup(spark, dir).select($"doc_id", $"dup_ratio"), "doc_id")
+        .filter($"dup_ratio" <= ceil)
+        .drop("dup_ratio")
+    }
     val scored = trainedLangId.fold(heuristic)(m =>
       heuristic.withColumn("lang_pred", m.predict($"text")))
     // Drop the non-keeper side of every verified near-dup pair.

@@ -173,6 +173,24 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(rows(5L) == rows(4L))
   }
 
+  test("curate passageMaxRatio gate drops exactly the over-covered docs") {
+    val base = TextAnalysis.curate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // ceiling 1.0 admits everything the default admits
+    val loose = TextAnalysis.curate(spark, sf, None, Some(1.0)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(loose == base)
+    // ceiling 0.0 = the default minus every doc with ANY duplicated
+    // passage — exactly the dup_ratio > 0 set from tx_passage
+    val dup = TextAnalysis.passageDedup(spark, sf).collect()
+      .filter(_.getAs[Double]("dup_ratio") > 0.0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val strict = TextAnalysis.curate(spark, sf, None, Some(0.0)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(strict == base -- dup)
+    assert(strict != base, "the sf corpus must exercise the gate (has near-dups)")
+  }
+
   test("tx_selfrep ratios are consistent fractions") {
     val rows = TextAnalysis.selfrep(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -78,6 +78,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("epub and jsonl ingest stream unchanged (stateless parsers, batch parity)") {
+    import spark.implicits._
+    import graft.functions.expressions.{Gunzip, SynthEpub}
+    import graft.operators.DocParse
+    val cases = Seq(
+      ("epub", Seq(("b1.epub", SynthEpub.build("streamed book one " * 20)))),
+      ("jsonl", Seq(("d1.jsonl.gz", Gunzip.gzip(Seq(
+        """{"url":"http://s/1","text":"streamed record one"}""",
+        """{"url":"http://s/2","text":"streamed record two"}""")
+        .mkString("\n").getBytes("UTF-8"))))))
+    cases.foreach { case (fmt, payloads) =>
+      val base = s"target/stream_parse_$fmt"
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm)
+        x.delete()
+      }
+      rm(new java.io.File(base))
+      val src = Paths.get(s"$base/src")
+      Files.createDirectories(src)
+      payloads.toDF("doc_name", "payload").coalesce(1).write
+        .mode("overwrite").parquet(src.toString)
+      val schema = spark.read.parquet(src.toString).schema
+      val q = DocParse.records(
+        spark.readStream.schema(schema).parquet(src.toString), fmt)
+        .writeStream.format("memory").queryName(s"mem_parse_$fmt")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("doc_name"), r.getAs[String]("content_id"),
+          r.getAs[String]("content_raw"), r.getAs[String]("file_hash"))
+      val streamed = spark.table(s"mem_parse_$fmt").collect().map(key).sorted
+      val batch = DocParse.records(
+        payloads.toDF("doc_name", "payload"), fmt).collect().map(key).sorted
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq, fmt)
+    }
+  }
+
   test("streaming ingest keeps the ANN index fresh (indexChannels)") {
     import spark.implicits._
     val base = "target/stream_ingest_idx"
