@@ -51,3 +51,40 @@ object LangIdPredict {
       org.apache.spark.sql.graft.ColumnBridge.expression(text),
       langs, dim, w, b))
 }
+
+/** [[LangIdPredict]]'s score-shaped sibling: the softmax PROBABILITY
+  * of one class instead of the argmax label — what a quality gate
+  * thresholds (the margin matters, the winner alone does not). Same
+  * featurizer, same plan economics. */
+case class LangIdProb(child: Expression, cls: Int,
+    dim: Int, w: Seq[Seq[Double]], b: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"LangIdProb needs a string column, got ${child.dataType.catalogString}")
+
+  @transient private lazy val wArr: Array[Array[Double]] =
+    w.map(_.toArray).toArray
+  @transient private lazy val bArr: Array[Double] = b.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.LangIdClassifier.classProb(
+      input.asInstanceOf[UTF8String].toString, cls, dim, wArr, bArr)
+
+  override protected def withNewChildInternal(c: Expression): LangIdProb =
+    copy(child = c)
+}
+
+object LangIdProb {
+  def apply(text: Column, cls: Int, dim: Int,
+      w: Seq[Seq[Double]], b: Seq[Double]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(LangIdProb(
+      org.apache.spark.sql.graft.ColumnBridge.expression(text),
+      cls, dim, w, b))
+}

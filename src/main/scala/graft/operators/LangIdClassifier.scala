@@ -41,6 +41,17 @@ object LangIdClassifier {
       graft.functions.expressions.LangIdPredict(text, langs, dim, w, b)
     def predictLocal(text: String): String =
       langs(predictIndex(text, dim, w.map(_.toArray).toArray, b.toArray))
+    /** Softmax probability of one class — the SCORE serving shape
+      * (a quality gate thresholds a probability; argmax throws the
+      * margin away). Same narrow-expression economics as predict. */
+    def probability(text: Column, label: String): Column = {
+      require(langs.contains(label), s"unknown class '$label' ($langs)")
+      graft.functions.expressions.LangIdProb(
+        text, langs.indexOf(label), dim, w, b)
+    }
+    def probabilityLocal(text: String, label: String): Double =
+      classProb(text, langs.indexOf(label), dim,
+        w.map(_.toArray).toArray, b.toArray)
   }
 
   /** Feature stream of a text: hashed 2–4-grams of each `<token>`
@@ -91,6 +102,32 @@ object LangIdClassifier {
       l += 1
     }
     best
+  }
+
+  /** Softmax probability of class `cls` for a text under (w, b) —
+    * the same linear scores as [[predictIndex]], normalized with the
+    * max-shift the fit loop uses (bit-stable across refits). */
+  private[graft] def classProb(text: String, cls: Int, dim: Int,
+      w: Array[Array[Double]], b: Array[Double]): Double = {
+    val idx = featureIndices(text, dim)
+    val scores = b.clone()
+    if (idx.nonEmpty) {
+      val inv = 1.0 / idx.length
+      var k = 0
+      while (k < idx.length) {
+        val j = idx(k)
+        var l = 0
+        while (l < scores.length) { scores(l) += w(l)(j) * inv; l += 1 }
+        k += 1
+      }
+    }
+    var mx = scores(0)
+    var l = 1
+    while (l < scores.length) { if (scores(l) > mx) mx = scores(l); l += 1 }
+    var z = 0.0
+    l = 0
+    while (l < scores.length) { z += math.exp(scores(l) - mx); l += 1 }
+    math.exp(scores(cls) - mx) / z
   }
 
   /** Fit on (textCol, labelCol): bounded xxhash64-ordered sample,

@@ -159,6 +159,37 @@ object TextAnalysis {
     * would pin an unbounded frame into every executor. AQE picks
     * broadcast when the measured loser set is small and a co-shuffled
     * anti-join on doc_id when it is not. */
+  /** Weak-label thresholds for [[fitQuality]]: the heuristic's
+    * CONFIDENT extremes (corpus profile: quality_r spans 0.06–0.65
+    * with median ≈ 0.36, so ≥ 0.35 labels ~half "hi" and ≤ 0.15 the
+    * bottom decile "lo"); the ambiguous middle is excluded from the
+    * fit — distilling the teacher's confident calls, not its noise. */
+  val QualityHi = 0.35
+  val QualityLo = 0.15
+
+  /** Distill the quality HEURISTIC into a trained scorer — the
+    * GPT-3/RefinedWeb quality-classifier loop (weak labels from a
+    * cheap rule, a hashed-n-gram linear model generalizes them):
+    * [[scoreDocs]]' confident extremes label a bounded sample, the
+    * [[LangIdClassifier]] machinery fits the softmax (same bounded
+    * collect + seeded sequential SGD — bit-identical refits), and
+    * serving is `model.probability(text, "hi")` — a CONTINUOUS
+    * quality score from one narrow expression, where the heuristic
+    * gives a two-term rule. The gate consumes it behind
+    * [[curate]]'s `trainedQuality` config. */
+  def fitQuality(spark: SparkSession, dir: String): LangIdClassifier.Model = {
+    import spark.implicits._
+    val labeled = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+      .select($"text",
+        when($"quality_r" >= QualityHi, "hi")
+          .when($"quality_r" <= QualityLo, "lo").as("wl"))
+      .filter($"wl".isNotNull)
+    val m = LangIdClassifier.fit(labeled, "text", "wl")
+    require(m.langs == Seq("hi", "lo"),
+      s"fitQuality: expected both extremes in the sample, got ${m.langs}")
+    m
+  }
+
   def curate(spark: SparkSession, dir: String): DataFrame =
     curate(spark, dir, trainedLangId = None)
 
@@ -174,10 +205,12 @@ object TextAnalysis {
     * the options. */
   def curate(spark: SparkSession, dir: String,
       trainedLangId: Option[LangIdClassifier.Model],
-      passageMaxRatio: Option[Double] = None): DataFrame = {
+      passageMaxRatio: Option[Double] = None,
+      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
+      : DataFrame = {
     import spark.implicits._
     val heuristic0 = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
-    val heuristic = passageMaxRatio.fold(heuristic0) { ceil =>
+    val heuristic1 = passageMaxRatio.fold(heuristic0) { ceil =>
       // one equi-join against the per-doc coverage frame; the gate
       // stays a corpus pass + co-partitioned joins, never a broadcast
       // of anything corpus-sized
@@ -185,6 +218,11 @@ object TextAnalysis {
         passageDedup(spark, dir).select($"doc_id", $"dup_ratio"), "doc_id")
         .filter($"dup_ratio" <= ceil)
         .drop("dup_ratio")
+    }
+    // the trained-quality floor rides the same scoring pass (one
+    // narrow expression per row) beside the heuristic floor below
+    val heuristic = trainedQuality.fold(heuristic1) { case (m, floor) =>
+      heuristic1.filter(m.probability($"text", "hi") >= floor)
     }
     val scored = trainedLangId.fold(heuristic)(m =>
       heuristic.withColumn("lang_pred", m.predict($"text")))
