@@ -64,6 +64,7 @@ object SparkEntry {
     "vs_parse_warc" -> (DocParse.parseWarc _),
     "vs_parse_epub" -> (DocParse.parseEpub _),
     "vs_parse_jsonl" -> (DocParse.parseJsonl _),
+    "vs_parse_csv" -> (DocParse.parseCsv _),
     "vs_sources" -> (KnnSearch.sources _),
     "vs_mm_pipeline" -> (GraftVectorDB.mmPipeline _),
     "vs_rerank" -> (KnnSearch.mmr _),
@@ -1018,6 +1019,18 @@ object SparkEntry {
     // round-trips, so the oracle is the chunk verbatim under the
     // fragment-numbered record url
     "vs_parse_jsonl" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, text, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | 'http://example.com/' || substr(md5(text),1,8) || '#' || i AS content_id,
+        | pg AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch
+        |ORDER BY doc_id, content_id""".stripMargin,
+    // CSV: the jsonl twin through to_csv/from_csv — the quoting
+    // round-trips, so the oracle is again the chunk verbatim
+    "vs_parse_csv" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, text, i, substr(text, (i*200+1)::INT, 200) pg FROM c)

@@ -217,6 +217,20 @@ object DocParse {
       .orderBy($"doc_id", $"content_id")
   }
 
+  /** vs_parse_csv — the other line-framed exchange format
+    * ([[graft.functions.CsvCodec]]): header + one `id,url,text`
+    * record per chunk, real CSV quoting both ways via
+    * `to_csv`/`from_csv` — built-ins only, like the jsonl twin. */
+  def parseCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(graft.functions.CsvCodec.parse(
+        graft.functions.CsvCodec.synth($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_id")
+  }
+
   /** vs_parse_warc — the crawl CONTAINER end-to-end: a per-document
     * `.warc.gz` ([[graft.functions.expressions.SynthWarc]]: warcinfo
     * → request → response records, one gzip member each) inflated
@@ -324,8 +338,9 @@ object DocParse {
       case "md" => graft.functions.expressions.ParseMd(p)
       case "epub" => graft.functions.expressions.ParseEpub(p)
       case "jsonl" => graft.functions.JsonlCodec.parse(p)
+      case "csv" => graft.functions.CsvCodec.parse(p)
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|jsonl)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|jsonl|csv)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

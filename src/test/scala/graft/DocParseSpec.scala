@@ -2130,6 +2130,39 @@ class DocParseSpec extends AnyFunSuite {
       recs.forall(_.getAs[String]("doc_type") == "jsonl"), recs.toSeq.toString)
   }
 
+  test("CSV: quoting round-trip, header skipped by ordinal, junk drops") {
+    import graft.functions.CsvCodec
+    // commas and quotes force real CSV escaping on the synth side
+    val tricky = """before, "quoted, part" after""" + (" pad" * 50)
+    val rows = Seq(tricky).toDF("text")
+      .select(explode(CsvCodec.parse(CsvCodec.synth($"text"))).as("r"))
+      .select($"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sortBy(_._1)
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(tricky.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    assert(rows == Seq(
+      (s"http://example.com/$md5p#0", tricky.take(200)),
+      (s"http://example.com/$md5p#1", tricky.drop(200))), rows.toString)
+    // a hand-written dump: header never ingested (even though its
+    // text cell is non-empty), quoted commas survive, short/empty
+    // records drop, url-less records fall back to the line ordinal
+    val dump = Seq(
+      "id,url,text",
+      """7,http://a/1,"alpha, beta"""",
+      "8,http://a/2,",
+      """9,,gamma""").mkString("\n").getBytes("UTF-8")
+    val got = Seq(dump).toDF("p")
+      .select(explode(CsvCodec.parse($"p")).as("r"))
+      .select($"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("http://a/1", "alpha, beta"), ("line-3", "gamma")),
+      got.toString)
+    val recs = DocParse.records(
+      Seq(("d.csv", dump)).toDF("doc_name", "payload"), "csv").collect()
+    assert(recs.length == 2 &&
+      recs.forall(_.getAs[String]("doc_type") == "csv"), recs.toSeq.toString)
+  }
+
   test("EPUB: records() routes the format; chapter titles never embed") {
     import graft.functions.expressions.SynthEpub
     val payloads = Seq(("b.epub", SynthEpub.build("hello epub world")))
