@@ -28,6 +28,7 @@ object SparkEntry {
     "ol_asof" -> (Relational.asofJoin _),
     "ol_range" -> (Relational.rangeJoin _),
     "ol_retention" -> (Relational.retention _),
+    "ol_profile" -> (Relational.profile _),
     "ol_exists" -> (Relational.noOrders _),
     "ol_cube" -> (Relational.cubeOrders _),
     "ol_distinct" -> (Relational.distinctCounts _),
@@ -347,6 +348,40 @@ object SparkEntry {
         |  count(DISTINCT w.user_id)::BIGINT AS n_users
         |FROM w JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // profile: typed min/max (numeric vs string lanes), so no
+    // cross-engine string-formatting surface exists
+    "ol_profile" ->
+      """WITH n AS (SELECT count(*) n_rows FROM lineitem)
+        |SELECT p.* FROM n, LATERAL (
+        | SELECT 'l_discount' AS col_name, n.n_rows::BIGINT AS n_rows,
+        |  count(l_discount)::BIGINT AS n_nonnull,
+        |  count(DISTINCT l_discount)::BIGINT AS n_distinct,
+        |  min(l_discount)::DOUBLE AS min_num, max(l_discount)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', n.n_rows::BIGINT, count(l_extendedprice)::BIGINT,
+        |  count(DISTINCT l_extendedprice)::BIGINT,
+        |  min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE,
+        |  NULL::VARCHAR, NULL::VARCHAR FROM lineitem
+        | UNION ALL
+        | SELECT 'l_linestatus', n.n_rows::BIGINT, count(l_linestatus)::BIGINT,
+        |  count(DISTINCT l_linestatus)::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+        |  min(l_linestatus), max(l_linestatus) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_orderkey', n.n_rows::BIGINT, count(l_orderkey)::BIGINT,
+        |  count(DISTINCT l_orderkey)::BIGINT,
+        |  min(l_orderkey)::DOUBLE, max(l_orderkey)::DOUBLE,
+        |  NULL::VARCHAR, NULL::VARCHAR FROM lineitem
+        | UNION ALL
+        | SELECT 'l_quantity', n.n_rows::BIGINT, count(l_quantity)::BIGINT,
+        |  count(DISTINCT l_quantity)::BIGINT,
+        |  min(l_quantity)::DOUBLE, max(l_quantity)::DOUBLE,
+        |  NULL::VARCHAR, NULL::VARCHAR FROM lineitem
+        | UNION ALL
+        | SELECT 'l_returnflag', n.n_rows::BIGINT, count(l_returnflag)::BIGINT,
+        |  count(DISTINCT l_returnflag)::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+        |  min(l_returnflag), max(l_returnflag) FROM lineitem
+        |) p ORDER BY col_name""".stripMargin,
     "ol_exists" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

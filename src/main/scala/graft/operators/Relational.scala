@@ -367,4 +367,47 @@ object Relational {
       .agg(countDistinct($"user_id").as("n_users"))
       .orderBy($"cohort_week", $"weeks_since")
   }
+
+  /** Columns [[profile]] reports, with their type family (numeric
+    * min/max land in min_num/max_num, strings in min_str/max_str —
+    * no cross-type casting, so there is no string-formatting parity
+    * surface between engines). */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_returnflag" -> false, "l_linestatus" -> false)
+
+  /** ol_profile — per-column data profiling (what every warehouse
+    * runs before trusting a new feed): one row per column with
+    * non-null count, exact distinct count, and typed min/max, all
+    * from ONE table scan. Multi-column distinct aggregates compile to
+    * Spark's expand (scan once, ×(k+1) rows into one partial-agg
+    * shuffle — not k scans); the long format is a driver-side stack
+    * over the single agg row. At 100 TB the exact distincts swap for
+    * `approx_count_distinct` (HLL, fully partial-agg) — exact here
+    * because the oracle compares counts, not sketches. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.spread(Tables.load(spark, dir, "lineitem"))
+    val aggs = ProfileCols.flatMap { case (c, num) =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__d")) ++
+        (if (num) Seq(min(col(c)).cast("double").as(s"${c}__mn"),
+          max(col(c)).cast("double").as(s"${c}__mx"))
+        else Seq(min(col(c)).as(s"${c}__mns"),
+          max(col(c)).as(s"${c}__mxs")))
+    }
+    val row = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = ProfileCols.map { case (c, num) =>
+      struct(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}__n").as("n_nonnull"), col(s"${c}__d").as("n_distinct"),
+        (if (num) col(s"${c}__mn") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"${c}__mx") else lit(null).cast("double")).as("max_num"),
+        (if (num) lit(null).cast("string") else col(s"${c}__mns")).as("min_str"),
+        (if (num) lit(null).cast("string") else col(s"${c}__mxs")).as("max_str"))
+    }
+    row.select(explode(array(stacked: _*)).as("p"))
+      .select($"p.col_name", $"p.n_rows", $"p.n_nonnull", $"p.n_distinct",
+        $"p.min_num", $"p.max_num", $"p.min_str", $"p.max_str")
+      .orderBy($"col_name")
+  }
 }
