@@ -27,9 +27,50 @@ import scala.jdk.CollectionConverters._
   * `DocParse.records` fans them into the format-agnostic ingest
   * plumbing: content_id = the record's url (its stable identity in a
   * crawl dump), falling back to the line ordinal. */
-object JsonlCodec {
+/** Shared machinery of the line-framed codecs ([[JsonlCodec]],
+  * [[CsvCodec]]): the physical-line split (CRLF-tolerant — RFC 4180
+  * and most Windows exports end lines with \r\n, and a preserved
+  * trailing \r would silently corrupt the last field of every
+  * record), the ParseGft record-struct shape, the url/line-ordinal
+  * content id, and the drop rule for textless records. One
+  * definition, so the two codecs cannot diverge. */
+private[functions] object LineFramed {
 
-  private val PageSize = 200 // = DocParse.PageSize (no cyclic dep)
+  private[functions] val PageSize = 200 // = DocParse.PageSize (no cyclic dep)
+
+  /** Record url for chunk i of a synth payload — the vs_parse_warc
+    * URI convention, fragment-numbered per record. */
+  private[functions] def chunkUrl(text: Column, i: Column): Column =
+    concat(lit("http://example.com/"), substring(md5(text), 1, 8),
+      lit("#"), i.cast("string"))
+
+  /** Non-blank physical lines of a payload, split on \r?\n. */
+  private[functions] def lines(payload: Column): Column =
+    filter(split(decode(payload, "UTF-8"), "\r?\n"),
+      l => length(trim(l)) > 0)
+
+  /** One ParseGft-schema row from a parsed record's (url, text);
+    * content_id falls back to the line ordinal. */
+  private[functions] def row(url: Column, text: Column, i: Column): Column =
+    struct(
+      lit(0L).as("page_num"),
+      lit("text_block").as("content_type"),
+      coalesce(url, concat(lit("line-"), i.cast("string"))).as("content_id"),
+      text.as("content_raw"),
+      lit(0.0).as("x0"), lit(0.0).as("y0"),
+      lit(0.0).as("x1"), lit(0.0).as("y1"))
+
+  /** Keep rows with non-empty text (a corrupt or textless RECORD is
+    * not a corrupt file); `fromOrdinal` drops leading rows (the CSV
+    * header). */
+  private[functions] def keep(rows: Column, fromOrdinal: Int): Column =
+    filter(rows, (r, i) => i >= fromOrdinal &&
+      r.getField("content_raw").isNotNull &&
+        length(r.getField("content_raw")) > 0)
+}
+
+object JsonlCodec {
+  import LineFramed._
 
   private val RecordSchema = new StructType()
     .add("url", StringType).add("text", StringType)
@@ -45,8 +86,7 @@ object JsonlCodec {
     val nChunks = floor((length(text) - 1) / PageSize).cast("int")
     val body = concat_ws("\n", transform(sequence(lit(0), nChunks), { i =>
       to_json(struct(
-        concat(lit("http://example.com/"), substring(md5(text), 1, 8),
-          lit("#"), i.cast("string")).as("url"),
+        chunkUrl(text, i).as("url"),
         substr(text, i * lit(PageSize) + lit(1), lit(PageSize)).as("text")))
     }))
     encode(when(length(text) > 0, body).otherwise(lit("")), "UTF-8")
@@ -55,22 +95,11 @@ object JsonlCodec {
   /** Payload → array of ParseGft-schema record structs, pure
     * built-ins end to end. */
   def parse(payload: Column): Column = {
-    val lines = filter(split(decode(payload, "UTF-8"), "\n"),
-      l => length(trim(l)) > 0)
-    val rows = transform(lines, (l, i) => {
+    val rows = transform(lines(payload), (l, i) => {
       val rec = from_json(l, RecordSchema)
-      struct(
-        lit(0L).as("page_num"),
-        lit("text_block").as("content_type"),
-        coalesce(rec.getField("url"),
-          concat(lit("line-"), i.cast("string"))).as("content_id"),
-        rec.getField("text").as("content_raw"),
-        lit(0.0).as("x0"), lit(0.0).as("y0"),
-        lit(0.0).as("x1"), lit(0.0).as("y1"))
+      row(rec.getField("url"), rec.getField("text"), i)
     })
-    filter(rows, r =>
-      r.getField("content_raw").isNotNull &&
-        length(r.getField("content_raw")) > 0)
+    keep(rows, fromOrdinal = 0)
   }
 }
 
@@ -87,8 +116,7 @@ object JsonlCodec {
   * fallback. Output rows use ParseGft's schema for
   * `DocParse.records`. */
 object CsvCodec {
-
-  private val PageSize = 200 // = DocParse.PageSize (no cyclic dep)
+  import LineFramed._
 
   private val RecordSchema = new StructType()
     .add("id", LongType).add("url", StringType).add("text", StringType)
@@ -110,8 +138,7 @@ object CsvCodec {
     val body = concat_ws("\n", transform(sequence(lit(0), nChunks), { i =>
       to_csv(struct(
         i.cast("long").as("id"),
-        concat(lit("http://example.com/"), substring(md5(text), 1, 8),
-          lit("#"), i.cast("string")).as("url"),
+        chunkUrl(text, i).as("url"),
         substr(text, i * lit(PageSize) + lit(1), lit(PageSize)).as("text")),
         CsvOpts.asJava)
     }))
@@ -119,31 +146,25 @@ object CsvCodec {
       concat(lit("id,url,text\n"), body)).otherwise(lit("")), "UTF-8")
   }
 
-  /** Payload → array of ParseGft-schema record structs. NOTE: the
-    * line split means embedded NEWLINES inside quoted fields are out
-    * of scope (loudly visible: such a record fails `from_csv` and
-    * drops) — the trade that keeps the codec a narrow per-row
-    * expression instead of a stateful scan. */
+  /** Payload → array of ParseGft-schema record structs. Embedded
+    * NEWLINES inside quoted fields are out of scope — the trade that
+    * keeps the codec a narrow per-row expression instead of a
+    * stateful scan — and the out-of-scope records DROP rather than
+    * truncate: each physical-line fragment of a multi-line record
+    * carries an UNBALANCED quote count, and unbalanced lines are
+    * rejected before from_csv (which would otherwise silently keep
+    * the pre-newline prefix as field text). */
   def parse(payload: Column): Column = {
-    val lines = filter(split(decode(payload, "UTF-8"), "\n"),
-      l => length(trim(l)) > 0)
-    val rows = transform(lines, (l, i) => {
+    val balanced = filter(lines(payload),
+      l => (length(l) - length(regexp_replace(l, "\"", ""))) % 2 === 0)
+    val rows = transform(balanced, (l, i) => {
       val rec = from_csv(l, RecordSchema,
         CsvOpts + ("mode" -> "PERMISSIVE"))
-      struct(
-        lit(0L).as("page_num"),
-        lit("text_block").as("content_type"),
-        coalesce(rec.getField("url"),
-          concat(lit("line-"), i.cast("string"))).as("content_id"),
-        rec.getField("text").as("content_raw"),
-        lit(0.0).as("x0"), lit(0.0).as("y0"),
-        lit(0.0).as("x1"), lit(0.0).as("y1"))
+      row(rec.getField("url"), rec.getField("text"), i)
     })
     // element 0 is the header row: its "text" cell is the literal
     // string "text" only in the header position, so drop by ordinal,
     // not by content
-    filter(rows, (r, i) => i > 0 &&
-      r.getField("content_raw").isNotNull &&
-        length(r.getField("content_raw")) > 0)
+    keep(rows, fromOrdinal = 1)
   }
 }

@@ -83,7 +83,7 @@ case class ParseEpub(child: Expression)
     spine.zipWithIndex.foreach { case (idref, ord) =>
       val href = hrefById.getOrElse(idref,
         fail(s"spine itemref $idref has no manifest item"))
-      val docPath = resolve(opfPath, href)
+      val docPath = resolve(opfPath, pctDecode(href))
       val docBytes = entries.getOrElse(docPath,
         fail(s"missing spine document $docPath"))
       ParseHtml.parse(new String(docBytes,
@@ -96,7 +96,7 @@ case class ParseEpub(child: Expression)
         // through ParseHtml already decoded, remote refs stay) passes
         val raw2 =
           if (ctype == Image)
-            entries.get(resolve(docPath, raw.toString))
+            entries.get(resolve(docPath, pctDecode(raw.toString)))
               .map(b => UTF8String.fromString(
                 java.util.Base64.getEncoder.encodeToString(b)))
               .getOrElse(raw)
@@ -121,4 +121,35 @@ object ParseEpub {
 
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"EPUB parse: $what")
+
+  /** Percent-decode an href/src before zip lookup — OCF/IRI rules
+    * require reserved characters in entry names (a space in a
+    * chapter filename) to travel percent-encoded in the OPF and in
+    * content-document references. Pure %XX decoding over UTF-8
+    * bytes; a malformed escape leaves the text as-is (tolerant — the
+    * lookup then misses and the normal loud/verbatim path applies). */
+  private[expressions] def pctDecode(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val bo = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        bo.write(Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16))
+        i += 3
+      } else {
+        // surrogate pairs encode as one code point, not two halves
+        val n = if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1
+        val bytes = s.substring(i, i + n)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bo.write(bytes, 0, bytes.length)
+        i += n
+      }
+    }
+    new String(bo.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }

@@ -184,10 +184,6 @@ object KnnSearch {
     1L -> "vectoring streamer hashing",
     2L -> "tabled scanning merges")
 
-  /** 48-dim character-trigram token embedding: `<tok>` padded, each
-    * trigram md5-bucketed, counts L2-normalized at 6dp — the md5
-    * convention every embed oracle replays. Pure HOF columns, stays
-    * in codegen. */
   /** 48-dim hashed char-trigram embedding of one `<`-padded token.
     * Bucket rule = first md5 byte mod dim — exactly
     * [[graft.functions.expressions.HashingCounts]]'s, and its

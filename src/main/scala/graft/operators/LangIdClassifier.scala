@@ -49,9 +49,11 @@ object LangIdClassifier {
       graft.functions.expressions.LangIdProb(
         text, langs.indexOf(label), dim, w, b)
     }
-    def probabilityLocal(text: String, label: String): Double =
+    def probabilityLocal(text: String, label: String): Double = {
+      require(langs.contains(label), s"unknown class '$label' ($langs)")
       classProb(text, langs.indexOf(label), dim,
         w.map(_.toArray).toArray, b.toArray)
+    }
   }
 
   /** Feature stream of a text: hashed 2–4-grams of each `<token>`

@@ -150,15 +150,6 @@ object TextAnalysis {
       .withColumn("lang_pred", predictedLang)
   }
 
-  /** The end-to-end curation gate — what a training-data pipeline
-    * actually runs: language filter + quality floor + near-dup removal
-    * in ONE pass over the corpus (signals share a single tokenize) plus
-    * an anti-join against the LSH near-dup losers. Shapes: narrow scan
-    * for scoring; the loser set is UNHINTED — it is a constant fraction
-    * of the corpus (billions of ids at 100 TB), so forcing a broadcast
-    * would pin an unbounded frame into every executor. AQE picks
-    * broadcast when the measured loser set is small and a co-shuffled
-    * anti-join on doc_id when it is not. */
   /** Weak-label thresholds for [[fitQuality]]: the heuristic's
     * CONFIDENT extremes (corpus profile: quality_r spans 0.06–0.65
     * with median ≈ 0.36, so ≥ 0.35 labels ~half "hi" and ≤ 0.15 the
@@ -190,6 +181,15 @@ object TextAnalysis {
     m
   }
 
+  /** The end-to-end curation gate — what a training-data pipeline
+    * actually runs: language filter + quality floor + near-dup removal
+    * in ONE pass over the corpus (signals share a single tokenize) plus
+    * an anti-join against the LSH near-dup losers. Shapes: narrow scan
+    * for scoring; the loser set is UNHINTED — it is a constant fraction
+    * of the corpus (billions of ids at 100 TB), so forcing a broadcast
+    * would pin an unbounded frame into every executor. AQE picks
+    * broadcast when the measured loser set is small and a co-shuffled
+    * anti-join on doc_id when it is not. */
   def curate(spark: SparkSession, dir: String): DataFrame =
     curate(spark, dir, trainedLangId = None)
 
@@ -725,6 +725,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("dup_grams"),
         sum($"new_span").as("dup_spans"),
         sum($"new_cov").as("dup_tokens"))
+    // DELIBERATE second documents scan (2 columns, narrow): every doc
+    // needs its n_tokens in the output including gram-less ones, and
+    // the alternatives are worse at scale — carrying n_tokens through
+    // the gram stream shuffles it 16× per token through the groupBy,
+    // and persisting the tokenized corpus holds token arrays ~corpus
+    // size in cache. A pruned columnar re-read + re-tokenize is the
+    // cheapest way to this tiny (doc_id, n_tokens) frame.
     val out = Tables.materialize(
       Tables.spread(Tables.load(spark, dir, "documents"))
         .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))

@@ -2163,6 +2163,49 @@ class DocParseSpec extends AnyFunSuite {
       recs.forall(_.getAs[String]("doc_type") == "csv"), recs.toSeq.toString)
   }
 
+  test("line-framed codecs: CRLF endings clean, multi-line CSV records drop whole") {
+    import graft.functions.{CsvCodec, JsonlCodec}
+    def parse(codec: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        payload: Array[Byte]) =
+      Seq(payload).toDF("p").select(explode(codec($"p")).as("r"))
+        .select($"r.content_raw").collect().map(_.getString(0)).toSeq
+    // an Excel-style CRLF dump must not leave \r inside the last field
+    val crlfCsv = "id,url,text\r\n7,http://a/1,hello\r\n8,http://a/2,world\r\n"
+    assert(parse(CsvCodec.parse, crlfCsv.getBytes("UTF-8")) ==
+      Seq("hello", "world"))
+    val crlfJsonl =
+      "{\"url\":\"u1\",\"text\":\"alpha\"}\r\n{\"url\":\"u2\",\"text\":\"beta\"}\r\n"
+    assert(parse(JsonlCodec.parse, crlfJsonl.getBytes("UTF-8")) ==
+      Seq("alpha", "beta"))
+    // a quoted field with an embedded newline (out of scope) DROPS
+    // whole — both physical-line fragments carry unbalanced quotes —
+    // instead of truncating to the pre-newline prefix
+    val multiline =
+      "id,url,text\n7,http://a/1,\"abc\ndef\"\n8,http://a/2,ok\n"
+    assert(parse(CsvCodec.parse, multiline.getBytes("UTF-8")) == Seq("ok"))
+  }
+
+  test("EPUB: percent-encoded hrefs and image refs resolve to their parts") {
+    import graft.functions.expressions.ParseEpub
+    val opf =
+      """<package xmlns="http://www.idpf.org/2007/opf">
+        |<manifest><item id="c1" href="text/my%20chapter.xhtml"/></manifest>
+        |<spine><itemref idref="c1"/></spine></package>""".stripMargin
+    val got = Seq(epubZip("META-INF/container.xml" -> epubContainer,
+      "book.opf" -> opf,
+      "text/my chapter.xhtml" ->
+        """<body><p>spaced out<img src="../images/cover%20art.png"/></p></body>""",
+      "images/cover art.png" -> "PNGBYTES"))
+      .toDF("p").select(explode(ParseEpub($"p")).as("r"))
+      .select($"r.content_type", $"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(got == Seq(
+      ("image", "text/my%20chapter.xhtml#/body[1]/p[1]/img[1]",
+        java.util.Base64.getEncoder.encodeToString("PNGBYTES".getBytes("UTF-8"))),
+      ("text_block", "text/my%20chapter.xhtml#/body[1]/p[1]", "spaced out")),
+      got.toString)
+  }
+
   test("EPUB: records() routes the format; chapter titles never embed") {
     import graft.functions.expressions.SynthEpub
     val payloads = Seq(("b.epub", SynthEpub.build("hello epub world")))
