@@ -1422,24 +1422,32 @@ object SparkEntry {
     // — the real chunk/box walk is what's being checked
     "mm_media" ->
       """WITH p AS (SELECT doc_id,
-        |  ('0x' || substr(md5(text),1,2))::BIGINT % 2 AS wav,
+        |  ('0x' || substr(md5(text),1,2))::BIGINT AS b1,
         |  1 + ('0x' || substr(md5(text),3,2))::BIGINT % 2 AS ch,
         |  ('0x' || substr(md5(text),5,2))::BIGINT AS b2,
-        |  ('0x' || substr(md5(text),7,2))::BIGINT % 3 AS b3,
+        |  ('0x' || substr(md5(text),7,2))::BIGINT AS b3,
         |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32
-        | FROM documents)
-        |SELECT doc_id,
-        | CASE WHEN wav = 0 THEN 'wav' ELSE 'mp4' END AS container,
-        | CASE WHEN wav = 0 THEN ch ELSE NULL END AS channels,
-        | CASE WHEN wav = 0 THEN ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]::BIGINT
+        | FROM documents),
+        |k AS (SELECT p.*,
+        |  CASE WHEN b1 % 3 = 2 THEN 'mp3'
+        |       WHEN b1 % 2 = 0 THEN 'wav' ELSE 'mp4' END AS cont,
+        |  ([64,128,192,256,320])[(b2 % 5 + 1)::INT] AS kbps,
+        |  ([44100,48000,32000])[(b3 % 3 + 1)::INT] AS mrate
+        | FROM p)
+        |SELECT doc_id, cont AS container,
+        | CASE WHEN cont = 'mp4' THEN NULL ELSE ch END AS channels,
+        | CASE WHEN cont = 'wav' THEN ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]::BIGINT
+        |      WHEN cont = 'mp3' THEN mrate::BIGINT
         |  ELSE NULL END AS sample_rate,
-        | CASE WHEN wav = 0 THEN ([8,16,24])[(b3 + 1)::INT]::BIGINT ELSE NULL END AS bits,
-        | (CASE WHEN wav = 0
-        |  THEN ((256 + h32 % 1024) // (ch * ([8,16,24])[(b3 + 1)::INT] // 8))
+        | CASE WHEN cont = 'wav' THEN ([8,16,24])[(b3 % 3 + 1)::INT]::BIGINT ELSE NULL END AS bits,
+        | (CASE WHEN cont = 'wav'
+        |  THEN ((256 + h32 % 1024) // (ch * ([8,16,24])[(b3 % 3 + 1)::INT] // 8))
         |   * 1000 // ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]
+        |  WHEN cont = 'mp3'
+        |  THEN ((4 + h32 % 8) * (144000 * kbps // mrate) * 8) // kbps
         |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
         |  END)::BIGINT AS duration_ms
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM k ORDER BY doc_id""".stripMargin,
     // mm_audio: the WAV data bytes are (s9 + j) % 256 by construction,
     // so the oracle re-decodes the PCM samples (8/16/24-bit LE two's
     // complement, complete frames only) and reproduces the integer
@@ -1448,7 +1456,7 @@ object SparkEntry {
     // rounded doubles match bit-for-bit
     "mm_audio" ->
       """WITH p AS (SELECT doc_id,
-        |  ('0x' || substr(md5(text),1,2))::BIGINT % 2 AS wav,
+        |  ('0x' || substr(md5(text),1,2))::BIGINT AS b1,
         |  1 + ('0x' || substr(md5(text),3,2))::BIGINT % 2 AS ch,
         |  ([8,16,24])[(('0x' || substr(md5(text),7,2))::BIGINT % 3 + 1)::INT] AS bits,
         |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32,
@@ -1456,7 +1464,7 @@ object SparkEntry {
         | FROM documents),
         |q AS (SELECT doc_id, ch, bits, s9, bits // 8 AS bps,
         |  (256 + h32 % 1024) // (ch * (bits // 8)) AS frames
-        | FROM p WHERE wav = 0),
+        | FROM p WHERE b1 % 3 != 2 AND b1 % 2 = 0),
         |r AS (SELECT doc_id, ch, bits, frames, frames * ch AS ns,
         |  list_transform(range(0, frames * ch), k -> CASE
         |   WHEN bps = 1 THEN (s9 + k) % 256 - 128

@@ -180,7 +180,43 @@ object MediaHeader {
       Some(Media("wav", channels, rate, bits, durMs))
     } else if (b.length >= 12 && tag(4) == "ftyp") {
       decodeBmff(b)
-    } else None
+    } else decodeMp3(b)
+  }
+
+  /** MP3: skip an ID3v2 tag if present (syncsafe size, ID3v2 §3.1),
+    * then read the first MPEG audio frame header. Scope = MPEG-1
+    * Layer III (what music/podcast corpora overwhelmingly carry);
+    * MPEG-2/2.5, Layers I/II, free-format and bad bitrate/rate
+    * indices yield None like every other out-of-scope container.
+    * Duration is the CBR header estimate — audio bytes × 8 / bitrate
+    * — the standard header-only sniff (a VBR file without a Xing
+    * header misestimates in every tool that doesn't scan frames). */
+  private def decodeMp3(b: Array[Byte]): Option[Media] = {
+    var p = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe 28-bit body size (high bit of each byte must be 0;
+      // sign-extension makes the OR negative if any is set);
+      // +10 header, +10 more if the footer flag is set
+      if ((b(6) | b(7) | b(8) | b(9)) < 0) return None
+      val body = (b(6) & 0x7F) << 21 | (b(7) & 0x7F) << 14 |
+        (b(8) & 0x7F) << 7 | (b(9) & 0x7F)
+      p = 10 + body + (if ((b(5) & 0x10) != 0) 10 else 0)
+    }
+    if (p + 4 > b.length) return None
+    if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xE0) != 0xE0) return None
+    val version = (b(p + 1) >> 3) & 3
+    val layer = (b(p + 1) >> 1) & 3
+    if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+    val bitrateIdx = (b(p + 2) >> 4) & 0xF
+    val rateIdx = (b(p + 2) >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) return None
+    val kbps = Array(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L,
+      128L, 160L, 192L, 224L, 256L, 320L)(bitrateIdx)
+    val rate = Array(44100L, 48000L, 32000L)(rateIdx)
+    val mode = (b(p + 3) >> 6) & 3
+    val channels = if (mode == 3) 1L else 2L
+    val durMs = (b.length - p).toLong * 8L / kbps
+    Some(Media("mp3", channels, rate, null, durMs))
   }
 
   /** [[WavSampleStats]]'s decode: (frames, peak, rms, zcross) from an
@@ -304,14 +340,17 @@ object MediaHeader {
 }
 
 /** Deterministic REAL-container media payload for a text column — the
-  * WAV/MP4 counterpart of [[SynthPdf]]: every field derives from the
-  * text's md5 alone, so a SQL oracle recomputes the PARSED metadata
-  * without touching the bytes. Even docs (md5 byte 0) ship RIFF/WAVE
-  * with a real PCM fmt chunk and a data chunk whose byte count backs
-  * the duration; odd docs ship ISO BMFF (ftyp + moov/mvhd + mdat) with
-  * the duration as mvhd metadata. A deterministic share inserts an
-  * extra LIST chunk / free box (the walk must skip, not assume fixed
-  * offsets) and flips mvhd to version 1 (the 64-bit layout). */
+  * WAV/MP4/MP3 counterpart of [[SynthPdf]]: every field derives from
+  * the text's md5 alone, so a SQL oracle recomputes the PARSED
+  * metadata without touching the bytes. md5-byte-0 routes the
+  * container: ≡2 (mod 3) ships MP3 (CBR MPEG-1 Layer III frames,
+  * every third one behind a real ID3v2.3 tag the walk must skip);
+  * otherwise even ships RIFF/WAVE with a real PCM fmt chunk and a
+  * data chunk whose byte count backs the duration, odd ships ISO
+  * BMFF (ftyp + moov/mvhd + mdat) with the duration as mvhd
+  * metadata. A deterministic share inserts an extra LIST chunk /
+  * free box (the walk must skip, not assume fixed offsets) and flips
+  * mvhd to version 1 (the 64-bit layout). */
 case class SynthMedia(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -339,6 +378,8 @@ object SynthMedia {
   val Rates: Seq[Long] = Seq(8000L, 16000L, 22050L, 44100L, 48000L)
   val Bits: Seq[Long] = Seq(8L, 16L, 24L)
   val Timescales: Seq[Long] = Seq(600L, 1000L, 90000L)
+  val Mp3Kbps: Seq[Long] = Seq(64L, 128L, 192L, 256L, 320L)
+  val Mp3Rates: Seq[Long] = Seq(44100L, 48000L, 32000L)
 
   private[graft] def build(text: String): Array[Byte] = {
     val m = java.security.MessageDigest.getInstance("MD5")
@@ -357,7 +398,36 @@ object SynthMedia {
     }
     def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
     def cc(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    if (u8(0) % 2 == 0) {
+    if (u8(0) % 3 == 2) {
+      // ---- MP3: [ID3v2.3 tag] + CBR MPEG-1 Layer III frames ----
+      val kbps = Mp3Kbps((u8(2) % 5).toInt)
+      val rate = Mp3Rates((u8(3) % 3).toInt)
+      val channels = 1L + u8(1) % 2
+      val nFrames = 4 + (h32 % 8).toInt
+      val frameSize = (144000L * kbps / rate).toInt // padding bit 0
+      if (extra) {
+        // ID3v2.3: "ID3" ver flags + SYNCSAFE body size, body skipped
+        cc("ID3"); out.write(3); out.write(0); out.write(0)
+        val body = "graft-synthetic-tag-" // 20 bytes
+        out.write(0); out.write(0); out.write(0); out.write(body.length)
+        cc(body)
+      }
+      val bitrateIdx = Mp3Kbps.indexOf(kbps) match {
+        // MPEG-1 Layer III bitrate table indices for 64/128/192/256/320
+        case 0 => 5; case 1 => 9; case 2 => 11; case 3 => 13; case _ => 14
+      }
+      val rateIdx = (u8(3) % 3)
+      val mode = if (channels == 1) 3 else 0
+      var f = 0
+      while (f < nFrames) {
+        out.write(0xFF); out.write(0xFB) // sync + MPEG-1 + Layer III + no CRC
+        out.write((bitrateIdx << 4) | (rateIdx << 2)) // padding 0, private 0
+        out.write(mode << 6)
+        var i = 4
+        while (i < frameSize) { out.write((u8(9) + f + i) & 0x7F); i += 1 }
+        f += 1
+      }
+    } else if (u8(0) % 2 == 0) {
       // ---- RIFF/WAVE, PCM ----
       val channels = 1L + u8(1) % 2
       val rate = Rates((u8(2) % 5).toInt)

@@ -339,7 +339,7 @@ class MultimodalStoreSpec extends AnyFunSuite {
     // of container x extra-chunk x mvhd-version occurs in a small draw
     // and parses back to the md5-derived fields
     val texts = (0 until 200).map(i => s"media fixture text number $i")
-    var seen = Set.empty[(Boolean, Boolean, Boolean)]
+    var seen = Set.empty[(String, Boolean, Boolean)]
     texts.foreach { t =>
       val m = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8"))
@@ -347,7 +347,14 @@ class MultimodalStoreSpec extends AnyFunSuite {
       val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
         (u8(6).toLong << 8) | u8(7).toLong
       val parsed = MediaHeader.decode(SynthMedia.build(t)).get
-      if (u8(0) % 2 == 0) {
+      if (u8(0) % 3 == 2) {
+        val ch = 1L + u8(1) % 2
+        val kbps = SynthMedia.Mp3Kbps(u8(2) % 5)
+        val rate = SynthMedia.Mp3Rates(u8(3) % 3)
+        val audio = (4 + h32 % 8) * (144000L * kbps / rate)
+        assert(parsed == MediaHeader.Media("mp3", ch, rate, null,
+          audio * 8 / kbps), s"mp3 mismatch for: $t")
+      } else if (u8(0) % 2 == 0) {
         val ch = 1L + u8(1) % 2
         val rate = SynthMedia.Rates(u8(2) % 5)
         val bits = SynthMedia.Bits(u8(3) % 3)
@@ -360,9 +367,40 @@ class MultimodalStoreSpec extends AnyFunSuite {
         assert(parsed == MediaHeader.Media("mp4", null, null, null,
           dur * 1000 / ts), s"mp4 mismatch for: $t")
       }
-      seen += ((u8(0) % 2 == 0, u8(8) % 3 == 0, u8(9) % 2 == 1))
+      seen += ((parsed.container, u8(8) % 3 == 0, u8(9) % 2 == 1))
     }
-    assert(seen.size == 8, s"share space not covered: $seen")
+    assert(seen.size == 12, s"share space not covered: $seen")
+  }
+
+  test("MP3: ID3v2 skip, frame header fields, scope edges null") {
+    import graft.functions.expressions.MediaHeader
+    // 128 kbps (idx 9), 44100 (idx 0), stereo, one frame of 417 bytes
+    def frame(b2: Int = 0xFB, b3: Int = 0x90, b4: Int = 0x00,
+        size: Int = 417): Array[Byte] =
+      Array(0xFF.toByte, b2.toByte, b3.toByte, b4.toByte) ++
+        Array.fill[Byte](size - 4)(0x11)
+    val bare = frame() ++ frame() ++ frame()
+    val m = MediaHeader.decode(bare).get
+    assert((m.container, m.channels, m.sampleRate, m.bits) ==
+      ("mp3", 2L, 44100L, null))
+    assert(m.durationMs == bare.length.toLong * 8 / 128)
+    // an ID3v2.3 tag (syncsafe size 200) is skipped, not parsed as audio
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 1, 72) ++
+      Array.fill[Byte](200)(0x41) // 1*128 + 72 = 200 body bytes
+    val tagged = id3 ++ bare
+    val t = MediaHeader.decode(tagged).get
+    assert(t.sampleRate == 44100L && t.durationMs == bare.length.toLong * 8 / 128)
+    // mono mode bits -> 1 channel
+    assert(MediaHeader.decode(frame(b4 = 0xC0)).get.channels == 1L)
+    // out of scope: MPEG-2 (version bits), Layer II, free/bad bitrate,
+    // reserved rate index, tag with no frames, truncated tag
+    assert(MediaHeader.decode(frame(b2 = 0xF3)).isEmpty) // MPEG-2
+    assert(MediaHeader.decode(frame(b2 = 0xFD)).isEmpty) // Layer II
+    assert(MediaHeader.decode(frame(b3 = 0x00)).isEmpty) // free bitrate
+    assert(MediaHeader.decode(frame(b3 = 0xF0)).isEmpty) // bad bitrate
+    assert(MediaHeader.decode(frame(b3 = 0x9C)).isEmpty) // reserved rate
+    assert(MediaHeader.decode(id3).isEmpty)
+    assert(MediaHeader.decode(id3.take(50)).isEmpty)
   }
 
   test("WavSampleStats decodes PCM frames exactly; scope edges yield null") {
@@ -401,8 +439,9 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(f3 == 2L && peak3 == 1.0 && zc3 == 1L)
     // out of scope: mp4 container, float wav, truncated data -> None
     val mp4Text = (0 until 50).map(i => s"mp4 share fixture $i").find { t =>
-      (java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))(0) & 0xFF) % 2 == 1
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))(0) & 0xFF
+      b0 % 2 == 1 && b0 % 3 != 2
     }.get
     assert(MediaHeader.pcmStats(SynthMedia.build(mp4Text)).isEmpty)
     val floatWav = cc("RIFF") ++ le32(30) ++ cc("WAVE") ++
@@ -412,9 +451,11 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(MediaHeader.pcmStats(floatWav).isEmpty)
     assert(MediaHeader.pcmStats(wav16(mono, 1).dropRight(4)).isEmpty)
     // the SynthMedia wav share agrees with an independent re-decode
+    // (wav = even md5 byte 0 AND not the mp3 share, byte0 % 3 == 2)
     val t = (0 until 50).map(i => s"pcm stats fixture $i").find { t =>
-      (java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8"))(0) & 0xFF) % 2 == 0
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))(0) & 0xFF
+      b0 % 2 == 0 && b0 % 3 != 2
     }.get
     val m = java.security.MessageDigest.getInstance("MD5")
       .digest(t.getBytes("UTF-8"))
