@@ -64,6 +64,7 @@ object SparkEntry {
     "vs_html_quality" -> (DocParse.htmlQuality _),
     "vs_parse_warc" -> (DocParse.parseWarc _),
     "vs_parse_epub" -> (DocParse.parseEpub _),
+    "vs_parse_odt" -> (DocParse.parseOdt _),
     "vs_parse_jsonl" -> (DocParse.parseJsonl _),
     "vs_parse_csv" -> (DocParse.parseCsv _),
     "vs_sources" -> (KnnSearch.sources _),
@@ -150,7 +151,9 @@ object SparkEntry {
     // [rows-only]: approximate operators have no SQL ground truth;
     // recall/error bounds are asserted in specs instead.
     "ann_ivf" -> (AnnIndex.ivf _),
-    "ann_lsh" -> (AnnIndex.lsh _),
+    "ann_lsh" -> ((s: SparkSession, dir: String) => AnnIndex.lsh(s, dir)),
+    "ann_lsh_exh" -> ((s: SparkSession, dir: String) =>
+      AnnIndex.lsh(s, dir, probeAll = true)),
     "ann_pq" -> (AnnIndex.pq _),
     // inverted multi-index: K² cells routed by 2·K half-space
     // centroids — the second routing level for ≥10⁸-row channels;
@@ -675,6 +678,17 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
         |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
+    // probing all 2^planes buckets per table makes the LSH path
+    // exact: same ground truth as vs_knn/ann_ivf_exh
+    "ann_lsh_exh" ->
+      s"""WITH $normCte,
+        |p AS (SELECT q.vec_id q_id, c.vec_id n_id,
+        |  round($dotExpr / (q.nrm * c.nrm), 4) sim_r
+        | FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |r AS (SELECT q_id, n_id, sim_r,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY sim_r DESC, n_id) rnk FROM p)
+        |SELECT q_id, rnk::BIGINT AS rnk, n_id, sim_r FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
     // probing every cell AND a corpus-sized shortlist make the
     // composed IVF+PQ path exact: same ground truth as vs_knn
     "ann_ivfpq_exh" ->
@@ -867,6 +881,23 @@ object SparkEntry {
         | to_base64(encode(substr(md5(pg),1,8))),
         | 0.0::DOUBLE, 0.0::DOUBLE,
         | ((100 + (i*7)%200)*9525)::DOUBLE, ((80 + (i*11)%160)*9525)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |ORDER BY doc_id, content_type, content_id""".stripMargin,
+    // ODT: docx's shape on the ODF vocabulary — ordinal paragraph
+    // ids, frame-name image ids, svg dims verbatim (pt, no EMU scale)
+    "vs_parse_odt" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | i::VARCHAR AS content_id, trim(pg) AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch WHERE trim(pg) <> ''
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'image', (1000+i)::VARCHAR,
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | 0.0::DOUBLE, 0.0::DOUBLE,
+        | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
         |FROM ch WHERE i % 3 = 0
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     // HTML: DOM paths are content ids, text runs are whitespace-

@@ -626,7 +626,18 @@ object AnnIndex {
     * derive from the signature STRINGS, so no plane dot re-evaluates.
     * Buckets are bit-identical to the per-plane [[key]] form (same
     * plane family, same sign rule — RpSignature's pinned parity). */
-  def lsh(spark: SparkSession, dir: String): DataFrame = {
+  def lsh(spark: SparkSession, dir: String): DataFrame =
+    lsh(spark, dir, probeAll = false)
+
+  /** `probeAll = true` is the EXHAUSTIVE twin (ann_lsh_exh): the
+    * query side probes every one of the 2^[[LshPlanes]] buckets per
+    * table, so the candidate set is the whole corpus and the result
+    * must equal brute force VERBATIM — which hash-checks the entire
+    * LSH plumbing (signature pass, bucket join, candidate dedup,
+    * partial top-k) the way `ann_ivf_exh` proves the IVF machinery.
+    * The default 1-bit multi-probe config keeps its measured-recall
+    * spec; this closes the one ANN family without an `_exh` twin. */
+  def lsh(spark: SparkSession, dir: String, probeAll: Boolean): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, dir)
     val sg = graft.functions.expressions.RpSignature(
@@ -637,19 +648,26 @@ object AnnIndex {
       .select($"vec_id", $"v", $"nrm",
         concat($"pos".cast("string"), lit(":"), $"col").as("bkey"))
     // queries: per table, own bucket + every 1-bit-flip bucket — the
-    // flips are substring surgery on the signature string
+    // flips are substring surgery on the signature string. probeAll
+    // instead enumerates every possible bucket key outright.
+    val probes: Seq[Column] =
+      if (probeAll)
+        (0 until 1 << LshPlanes).map { m =>
+          lit((LshPlanes - 1 to 0 by -1).map(b => (m >> b) & 1).mkString)
+        }
+      else
+        (-1 until LshPlanes).map { f =>
+          if (f < 0) $"col"
+          else concat(substring($"col", 1, f),
+            (lit(1) - substring($"col", f + 1, 1).cast("int")).cast("string"),
+            substring($"col", f + 2, LshPlanes))
+        }
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         posexplode(sg))
       .select($"q_id", $"qv", $"qnrm",
-        explode(array((-1 until LshPlanes).map { f =>
-          val s =
-            if (f < 0) $"col"
-            else concat(substring($"col", 1, f),
-              (lit(1) - substring($"col", f + 1, 1).cast("int")).cast("string"),
-              substring($"col", f + 2, LshPlanes))
-          concat($"pos".cast("string"), lit(":"), s)
-        }: _*)).as("bkey"))
+        explode(array(probes.map(s =>
+          concat($"pos".cast("string"), lit(":"), s)): _*)).as("bkey"))
     val cand = corpus.join(q, "bkey")
       .select($"q_id", $"vec_id".as("n_id"),
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))

@@ -180,6 +180,25 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_parse_odt — OpenDocument Text (ISO 26300, the LibreOffice
+    * default) through the seam: the fifth zip+XML container via the
+    * shared machinery ([[graft.functions.expressions.SynthOdt]] —
+    * stored mimetype, manifest, content.xml, image parts;
+    * [[graft.functions.expressions.ParseOdt]] — text:p/text:h
+    * paragraphs with ordinal ids, draw:image parts through
+    * xlink:href with svg dims). page_num 0 — ODF text has no pages
+    * until layout, like WordprocessingML. */
+  def parseOdt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseOdt(
+          graft.functions.expressions.SynthOdt($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_type", $"content_id")
+  }
+
   /** vs_parse_epub — the BOOK container through the seam: a valid
     * EPUB per document ([[graft.functions.expressions.SynthEpub]] —
     * OCF zip with a stored mimetype, container.xml → OPF manifest +
@@ -337,10 +356,11 @@ object DocParse {
       case "xlsx" => ParseXlsx(p)
       case "md" => graft.functions.expressions.ParseMd(p)
       case "epub" => graft.functions.expressions.ParseEpub(p)
+      case "odt" => graft.functions.expressions.ParseOdt(p)
       case "jsonl" => graft.functions.JsonlCodec.parse(p)
       case "csv" => graft.functions.CsvCodec.parse(p)
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|jsonl|csv)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|odt|jsonl|csv)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

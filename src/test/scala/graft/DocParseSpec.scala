@@ -2206,6 +2206,58 @@ class DocParseSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("ODT: synth round-trips; teletype whitespace; container defects loud") {
+    import graft.functions.expressions.{ParseOdt, SynthOdt}
+    val text = ("a" * 200) + ("b" * 50)
+    val rows = Seq(text).toDF("text")
+      .select(explode(ParseOdt(SynthOdt($"text"))).as("r"))
+      .select($"r.content_type", $"r.content_id", $"r.content_raw",
+        $"r.x1", $"r.y1")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(r => (r._1, r._2))
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(("a" * 200).getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val b64 = java.util.Base64.getEncoder.encodeToString(md5p.getBytes("UTF-8"))
+    assert(rows == Seq(
+      ("image", "1000", b64, 100.0, 80.0),
+      ("text_block", "0", "a" * 200, 0.0, 0.0),
+      ("text_block", "1", "b" * 50, 0.0, 0.0)), rows.toString)
+    // teletype semantics: text:s expands to its count, tab/line-break
+    // map to their characters, spans flatten, nested frames' own
+    // paragraphs emit separately
+    val content =
+      s"""<?xml version="1.0"?>
+        |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+        |<office:body><office:text>
+        |<text:p>a<text:s text:c="3"/>b<text:tab/>c<text:line-break/>d</text:p>
+        |<text:h text:outline-level="1">head<text:span>ing</text:span></text:h>
+        |<text:p/>
+        |<text:p>after empty</text:p>
+        |</office:text></office:body></office:document-content>""".stripMargin
+    val got = Seq(epubZip("content.xml" -> content)).toDF("p")
+      .select(explode(ParseOdt($"p")).as("r"))
+      .select($"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("0", "a   b\tc\nd"), ("1", "heading"),
+      ("3", "after empty")), got.toString)
+    // machine-written container: defects are loud
+    def err(z: Array[Byte]) = intercept[Exception](
+      Seq(z).toDF("p").select(explode(ParseOdt($"p")).as("r"))
+        .select($"r.content_id").collect()).getMessage
+    assert(err(epubZip("styles.xml" -> "<a/>")).contains("no content.xml"))
+    assert(err(epubZip("content.xml" -> "<wrong xmlns=\"urn:nope\"/>"))
+      .contains("unsupported root namespace"))
+    // records() routing: doc_type odt, images embed in the image space
+    val recs = DocParse.records(
+      Seq(("f.odt", SynthOdt.build("hello odt world"))).toDF("doc_name", "payload"),
+      "odt").collect()
+    assert(recs.length == 2 &&
+      recs.forall(_.getAs[String]("doc_type") == "odt"), recs.toSeq.toString)
+  }
+
   test("EPUB: records() routes the format; chapter titles never embed") {
     import graft.functions.expressions.SynthEpub
     val payloads = Seq(("b.epub", SynthEpub.build("hello epub world")))
