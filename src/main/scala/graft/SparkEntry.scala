@@ -78,6 +78,7 @@ object SparkEntry {
     "dd_jaccard" -> (Dedup.jaccardPairs _),
     "dd_minhash" -> (Dedup.minhashLsh _),
     "dd_incr" -> (Dedup.incrementalPairs _),
+    "dd_urls" -> (Dedup.urlDedup _),
     "dd_cluster" -> (Dedup.cluster _),
     "dd_simhash" -> (Dedup.simhashPairs _),
     // dd_embed is the EXACT audit config (all-pairs verifier, flagged
@@ -1129,6 +1130,15 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash,
         | min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    // dd_urls: both raw variants of a doc canonicalize to the same
+    // page URL (case/port/slash/tracking/fragment/param-order rules
+    // all exercised), so the oracle derives the canonical directly
+    "dd_urls" ->
+      """SELECT 'http://example.com/articles/item' || (doc_id % 40) || '?a=1&b=2' AS canonical,
+        | (2 * count(*))::BIGINT AS n_raw,
+        | count(DISTINCT doc_id)::BIGINT AS n_docs,
+        | min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY doc_id % 40 ORDER BY canonical""".stripMargin,
     "dd_jaccard" ->
       s"""WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w
         |  FROM documents WHERE doc_id % 10 = 0),

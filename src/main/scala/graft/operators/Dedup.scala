@@ -853,4 +853,57 @@ object Dedup {
       .select($"vec_id", $"v", $"nrm", (-$"m.ncl").as("cl"))
     cold.unionByName(reassigned)
   }
+
+  /** Query parameters a canonicalizer DROPS — tracking noise that
+    * fragments crawl URLs into spurious "distinct" pages (the
+    * utm_* family, click ids). */
+  private val TrackingParam = "^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$"
+
+  /** Canonical form of a URL column, pure built-ins around Spark's
+    * `parse_url` (codegen'd): lowercase scheme and authority, default
+    * port stripped, duplicate path slashes collapsed and the trailing
+    * slash dropped (root stays "/"), tracking params removed and the
+    * survivors SORTED (param order is transport noise), fragment
+    * dropped (client-side only). The canonicalization every crawl
+    * processor runs before URL-level dedup. */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(parse_url(u, lit("PROTOCOL")))
+    val auth0 = lower(parse_url(u, lit("AUTHORITY")))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val path0 = regexp_replace(parse_url(u, lit("PATH")), "/{2,}", "/")
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val params = filter(split(parse_url(u, lit("QUERY")), "&"),
+      p => !(p.rlike(TrackingParam) || p === ""))
+    val query = when(params.isNull || size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(params), "&")))
+    concat(scheme, lit("://"), auth, path, query)
+  }
+
+  /** dd_urls — URL-level dedup over a crawl's raw URL stream: group
+    * by [[canonicalUrl]], report the raw-variant and distinct-doc
+    * counts per canonical page and the keeper. The synthetic stream
+    * ships two raw variants per document (an uppercase/default-port/
+    * doubled-slash/tracking-params/fragment mess and a clean form) so
+    * the oracle hash-checks every canonicalization rule. One narrow
+    * pass + one partial-agg groupBy — the exact-dedup shuffle shape
+    * at any scale. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", explode(array(
+        concat(lit("HTTP://Example.COM:80//articles//item"),
+          ($"doc_id" % 40).cast("string"),
+          lit("/?utm_source=feed&b=2&a=1&fbclid=xyz#top")),
+        concat(lit("http://example.com/articles/item"),
+          ($"doc_id" % 40).cast("string"), lit("?a=1&b=2")))).as("url"))
+    raw.select($"doc_id", canonicalUrl($"url").as("canonical"))
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"canonical")
+  }
 }

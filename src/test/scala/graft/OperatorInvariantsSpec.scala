@@ -138,6 +138,27 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       r.getAs[Double]("nll") > 0 && !r.getAs[Double]("nll").isInfinite))
   }
 
+  test("canonicalUrl applies each rule and keeps what it must") {
+    import spark.implicits._
+    val cases = Seq(
+      // case folding + default-port strip + fragment drop
+      "HTTPS://A.COM:443/x#frag" -> "https://a.com/x",
+      // non-default port KEPT
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // slash collapse + trailing strip; root path stays "/"
+      "http://a.com//x//y/" -> "http://a.com/x/y",
+      "http://a.com" -> "http://a.com/",
+      // tracking params drop, survivors sort, empty query vanishes
+      "http://a.com/p?utm_source=x&z=1&a=2&gclid=g" -> "http://a.com/p?a=2&z=1",
+      "http://a.com/p?utm_campaign=x" -> "http://a.com/p",
+      // a bare ref param drops, ref-ish names do not
+      "http://a.com/p?ref=rss&refresh=1" -> "http://a.com/p?refresh=1")
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.operators.Dedup.canonicalUrl($"u")).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.zip(cases).toString)
+  }
+
   test("tx_passage interval union is exact on a controlled corpus") {
     import spark.implicits._
     val k = TextAnalysis.PassageTokens
