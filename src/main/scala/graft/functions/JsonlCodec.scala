@@ -121,13 +121,18 @@ object CsvCodec {
   private val RecordSchema = new StructType()
     .add("id", LongType).add("url", StringType).add("text", StringType)
 
-  /** Both directions must keep field whitespace VERBATIM: the
-    * univocity defaults trim unquoted fields (writing trims
-    * leading/trailing, and a chunk boundary lands mid-text all the
-    * time), which would silently alter content. */
+  /** Two deliberate departures from Spark's CSV dialect, both ways:
+    * field whitespace stays VERBATIM (the univocity defaults trim
+    * unquoted fields — a chunk boundary lands mid-text all the time,
+    * and the default silently alters content), and quotes escape by
+    * DOUBLING (`""`) per RFC 4180 instead of Spark's backslash
+    * dialect — what Excel and every exporter actually write, and
+    * what keeps a single-line record's quote count even (the
+    * multi-line fragment-drop rule in [[parse]] counts on it). */
   private val CsvOpts = Map(
     "ignoreLeadingWhiteSpace" -> "false",
-    "ignoreTrailingWhiteSpace" -> "false")
+    "ignoreTrailingWhiteSpace" -> "false",
+    "escape" -> "\"")
 
   /** Deterministic CSV payload for a text column: a header line plus
     * one `to_csv` record per [[PageSize]]-char chunk (id = chunk

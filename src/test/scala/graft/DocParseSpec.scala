@@ -2258,6 +2258,43 @@ class DocParseSpec extends AnyFunSuite {
       recs.forall(_.getAs[String]("doc_type") == "odt"), recs.toSeq.toString)
   }
 
+  test("line codecs: adversarial content round-trips (jsonl: anything; csv: newline-free)") {
+    import graft.functions.{CsvCodec, JsonlCodec}
+    val rng = new scala.util.Random(42)
+    // generation units, not UTF-16 chars: a lone surrogate is not
+    // valid Unicode text and no codec can round-trip it through UTF-8
+    val alphabet = ("ab ,\"\\'<>&{}[]:;\t\u0001\u00e9\u4e2d|=%\n\rxyz0"
+      .map(_.toString) :+ "\ud83d\ude00").toIndexedSeq
+    val nasty = Seq(
+      "\"", "\\", "{\"a\":1}", "a,b,c", "tab\there", "nl\ninside",
+      "cr\rinside", "\u0000ctl", " lead and trail ", "e\u0301combining",
+      "\ud83d\ude00emoji", "a" * 401) ++
+      (0 until 60).map { _ =>
+        (0 until (1 + rng.nextInt(450)))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      }
+    def roundTrip(codec: (org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column), texts: Seq[String]): Unit = {
+      val (synth, parse) = codec
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select($"id", explode(parse(synth($"text"))).as("r"))
+        .select($"id", $"r.content_id", $"r.content_raw").collect()
+      val byId = rows.groupBy(_.getLong(0))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val got = byId.getOrElse(i.toLong, Array.empty)
+          .sortBy(_.getString(1).split('#').last.toInt)
+          .map(_.getString(2)).mkString
+        assert(got == t, s"codec mangled [$t] -> [$got]")
+      }
+    }
+    roundTrip((JsonlCodec.synth _, JsonlCodec.parse _), nasty)
+    // CSV's declared scope excludes record-internal newlines; within
+    // it, the same adversarial set must survive
+    roundTrip((CsvCodec.synth _, CsvCodec.parse _),
+      nasty.map(_.replace('\n', '~').replace('\r', '~')))
+  }
+
   test("EPUB: records() routes the format; chapter titles never embed") {
     import graft.functions.expressions.SynthEpub
     val payloads = Seq(("b.epub", SynthEpub.build("hello epub world")))
