@@ -56,6 +56,19 @@ class ServeSpec extends AnyFunSuite {
       // folder form sweeps supported files
       val (c3b, b3b) = post("/embed", s"""{"path":"$tmp","is_folder":true}""")
       assert(c3b == 200, b3b) // re-embed dedups to 0 fresh records, still 200
+      // the round-12 extensions route through the same endpoint: one
+      // real file per new format family in a second folder sweep
+      val tmp2 = java.nio.file.Files.createTempDirectory("serve_fmt")
+      def write(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(tmp2.resolve(name), bytes)
+      write("b.epub", graft.functions.expressions.SynthEpub.build(text))
+      write("d.odt", graft.functions.expressions.SynthOdt.build(text))
+      write("r.jsonl",
+        """{"url":"http://s/1","text":"served jsonl record"}""".getBytes("UTF-8"))
+      write("t.csv",
+        "id,url,text\n1,http://s/2,served csv record\n".getBytes("UTF-8"))
+      val (c3c, b3c) = post("/embed", s"""{"path":"$tmp2","is_folder":true}""")
+      assert(c3c == 200 && b3c.contains("\"records\""), b3c)
       // search serves rows with the serving surface's columns
       val (c4, b4) = post("/search",
         """{"query":{"text":"fast query join table"},"top_n":3}""")
