@@ -1673,7 +1673,7 @@ class DocParseSpec extends AnyFunSuite {
     assert(db.store.filter($"content_type" === ContentTypes.Image).count() > 0)
     val hits = db.search("fast query join table", topN = 5).collect()
     assert(hits.length == 5)
-    val err = intercept[IllegalArgumentException](DocParse.records(pdfs, "odt"))
+    val err = intercept[IllegalArgumentException](DocParse.records(pdfs, "tar"))
     assert(err.getMessage.contains("unknown container format"))
     // docx is the third real container through the same seam
     val docx = docs.filter($"doc_id" < 10).select(
