@@ -65,6 +65,7 @@ object SparkEntry {
     "vs_parse_warc" -> (DocParse.parseWarc _),
     "vs_parse_epub" -> (DocParse.parseEpub _),
     "vs_parse_odt" -> (DocParse.parseOdt _),
+    "vs_parse_rtf" -> (DocParse.parseRtf _),
     "vs_parse_jsonl" -> (DocParse.parseJsonl _),
     "vs_parse_csv" -> (DocParse.parseCsv _),
     "vs_sources" -> (KnnSearch.sources _),
@@ -896,6 +897,24 @@ object SparkEntry {
         |FROM ch WHERE trim(pg) <> ''
         |UNION ALL
         |SELECT doc_id, 0::BIGINT, 'image', (1000+i)::VARCHAR,
+        | to_base64(encode(substr(md5(pg),1,8))),
+        | 0.0::DOUBLE, 0.0::DOUBLE,
+        | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
+        |FROM ch WHERE i % 3 = 0
+        |ORDER BY doc_id, content_type, content_id""".stripMargin,
+    // RTF: paragraph text is VERBATIM (no trim — RTF preserves run
+    // whitespace), pict hex decodes to the md5-prefix bytes, bbox
+    // from \picw/\pich
+    "vs_parse_rtf" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
+        |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
+        | i::VARCHAR AS content_id, pg AS content_raw,
+        | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
+        |FROM ch
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'image', (1000 + i//3)::VARCHAR,
         | to_base64(encode(substr(md5(pg),1,8))),
         | 0.0::DOUBLE, 0.0::DOUBLE,
         | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE

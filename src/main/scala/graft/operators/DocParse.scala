@@ -199,6 +199,26 @@ object DocParse {
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
+  /** vs_parse_rtf — RTF through the seam (legacy Word exports,
+    * WordPad, email attachments — the last common office format):
+    * [[graft.functions.expressions.SynthRtf]] writes a valid RTF 1
+    * document with real non-text destinations (fonttbl, an optional
+    * `{\*\generator}`, info) and [[graft.functions.expressions.ParseRtf]]
+    * reads it back — `\par` paragraphs with ordinal ids, `\pict`
+    * image rows with `\picw`/`\pich` bboxes, the full escape set
+    * (`\'xx`, `\uN` with `\ucN` fallback consumption). page_num 0 —
+    * flow format. */
+  def parseRtf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.expressions.ParseRtf(
+          graft.functions.expressions.SynthRtf($"text"))).as("r"))
+      .select($"doc_id", $"r.page_num", $"r.content_type", $"r.content_id",
+        $"r.content_raw", $"r.x0", $"r.y0", $"r.x1", $"r.y1")
+      .orderBy($"doc_id", $"content_type", $"content_id")
+  }
+
   /** vs_parse_epub — the BOOK container through the seam: a valid
     * EPUB per document ([[graft.functions.expressions.SynthEpub]] —
     * OCF zip with a stored mimetype, container.xml → OPF manifest +
@@ -357,10 +377,11 @@ object DocParse {
       case "md" => graft.functions.expressions.ParseMd(p)
       case "epub" => graft.functions.expressions.ParseEpub(p)
       case "odt" => graft.functions.expressions.ParseOdt(p)
+      case "rtf" => graft.functions.expressions.ParseRtf(p)
       case "jsonl" => graft.functions.JsonlCodec.parse(p)
       case "csv" => graft.functions.CsvCodec.parse(p)
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|odt|jsonl|csv)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

@@ -214,7 +214,7 @@ private class ServeState(spark: SparkSession) {
             val base = if (lower.endsWith(".gz")) lower.dropRight(3) else lower
             base.substring(base.lastIndexOf('.') + 1)
           }
-          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "epub", "odt", "jsonl", "csv", "warc")
+          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "epub", "odt", "rtf", "jsonl", "csv", "warc")
           // is_folder=false on a .parquet file OR a directory = a
           // parquet corpus table (a parquet dataset IS a directory —
           // the bulk vectorize_folder shape at cluster scale);
@@ -232,10 +232,10 @@ private class ServeState(spark: SparkSession) {
                   .filter(x => x.isFile && supported(ext(x.getName))).toSeq
               else if (supported(ext(f.getName))) Seq(f)
               else return (400, JObject("error" -> JString(
-                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|odt|jsonl|csv|warc|parquet)")))
+                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|parquet)")))
             if (files.isEmpty)
               return (400, JObject("error" -> JString(
-                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|jsonl|csv|warc) under $path")))
+                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc) under $path")))
             val n = files.groupBy(x => ext(x.getName)).map { case (fmt, fs) =>
               val payloads = fs.map(x => (x.getPath,
                 java.nio.file.Files.readAllBytes(x.toPath)))

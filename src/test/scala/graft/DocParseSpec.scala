@@ -2295,6 +2295,47 @@ class DocParseSpec extends AnyFunSuite {
       nasty.map(_.replace('\n', '~').replace('\r', '~')))
   }
 
+  test("RTF: round-trip, escapes, destination skip, pict rows; non-RTF loud") {
+    import graft.functions.expressions.{ParseRtf, SynthRtf}
+    // synth round-trip: paragraphs verbatim, pict bytes + bbox
+    val text = ("a" * 200) + " b{c}\\d " + ("e" * 50)
+    val rows = Seq(text).toDF("text")
+      .select(explode(ParseRtf(SynthRtf($"text"))).as("r"))
+      .select($"r.content_type", $"r.content_id", $"r.content_raw",
+        $"r.x1", $"r.y1").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).toSeq.sortBy(r => (r._1, r._2))
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(("a" * 200).getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val b64 = java.util.Base64.getEncoder.encodeToString(md5p.getBytes("UTF-8"))
+    assert(rows == Seq(
+      ("image", "1000", b64, 100.0, 80.0),
+      ("text_block", "0", "a" * 200, 0.0, 0.0),
+      ("text_block", "1", text.drop(200), 0.0, 0.0)), rows.toString)
+    // hand-written dialect: unicode escapes with fallback, hex bytes,
+    // line/tab, optional destinations, stray '}' and unknown words
+    def parse(rtf: String) = Seq(rtf.getBytes("ISO-8859-1")).toDF("p")
+      .select(explode(ParseRtf($"p")).as("r"))
+      .select($"r.content_id", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val got = parse(
+      "{\\rtf1\\ansi\\uc1{\\fonttbl{\\f0 X;}}{\\*\\weird junk}" +
+        "\\pard caf\\'e9 \\u1087?\\u1080? ok\\line two\\tab t\\par" +
+        "{\\info{\\title hidden}}\\unknownword \\pard last}")
+    assert(got == Seq(("0", "café пи ok\ntwo\tt"),
+      ("1", "last")), got.toString)
+    // non-RTF payloads are loud (machine-written container)
+    val e = intercept[Exception](parse("plain text"))
+    assert(e.getMessage.contains("{\\rtf"), e.getMessage)
+    // records() routing
+    val recs = DocParse.records(
+      Seq(("f.rtf", SynthRtf.build("hello rtf world"))).toDF("doc_name", "payload"),
+      "rtf").collect()
+    assert(recs.length == 2 &&
+      recs.forall(_.getAs[String]("doc_type") == "rtf"), recs.toSeq.toString)
+  }
+
   test("EPUB: records() routes the format; chapter titles never embed") {
     import graft.functions.expressions.SynthEpub
     val payloads = Seq(("b.epub", SynthEpub.build("hello epub world")))
