@@ -870,14 +870,17 @@ object SparkEntry {
     // DOCX: paragraph ordinals are content ids (w:p carries no id),
     // page_num 0 throughout (no pages until render-time layout);
     // ordering is on the STRING id in both engines
+    // the trim set is EXACTLY the parser's stripDocWs (space/tab/CR/LF)
+    // — Scala's String.trim strips every char <= U+0020, which SQL trim
+    // cannot express, and a chunk boundary can land on any of them
     "vs_parse_docx" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
         |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
-        | i::VARCHAR AS content_id, trim(pg) AS content_raw,
+        | i::VARCHAR AS content_id, trim(pg, ' ' || chr(9) || chr(10) || chr(13)) AS content_raw,
         | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
-        |FROM ch WHERE trim(pg) <> ''
+        |FROM ch WHERE trim(pg, ' ' || chr(9) || chr(10) || chr(13)) <> ''
         |UNION ALL
         |SELECT doc_id, 0::BIGINT, 'image', (1000+i)::VARCHAR,
         | to_base64(encode(substr(md5(pg),1,8))),
@@ -892,9 +895,9 @@ object SparkEntry {
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
         |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
-        | i::VARCHAR AS content_id, trim(pg) AS content_raw,
+        | i::VARCHAR AS content_id, trim(pg, ' ' || chr(9) || chr(10) || chr(13)) AS content_raw,
         | 0.0::DOUBLE AS x0, 0.0::DOUBLE AS y0, 0.0::DOUBLE AS x1, 0.0::DOUBLE AS y1
-        |FROM ch WHERE trim(pg) <> ''
+        |FROM ch WHERE trim(pg, ' ' || chr(9) || chr(10) || chr(13)) <> ''
         |UNION ALL
         |SELECT doc_id, 0::BIGINT, 'image', (1000+i)::VARCHAR,
         | to_base64(encode(substr(md5(pg),1,8))),

@@ -145,6 +145,6 @@ object ParseDocx {
       }
     }
     walk(p)
-    sb.result().trim
+    ParsePptx.stripDocWs(sb.result())
   }
 }

@@ -153,6 +153,6 @@ object ParseOdt {
       }
     }
     walk(p)
-    sb.result().trim
+    ParsePptx.stripDocWs(sb.result())
   }
 }

@@ -282,6 +282,51 @@ object ParsePptx {
     }.getOrElse(Map.empty)
   }
 
+  /** Deterministic zip-entry writers shared by every synth container
+    * (timestamps pinned to 0 so package bytes are bit-stable). */
+  private[expressions] def putEntry(zip: java.util.zip.ZipOutputStream,
+      name: String, bytes: Array[Byte]): Unit = {
+    val e = new java.util.zip.ZipEntry(name)
+    e.setTime(0L)
+    zip.putNextEntry(e)
+    zip.write(bytes)
+    zip.closeEntry()
+  }
+
+  /** The STORED first entry OCF (EPUB 3 §3.3) and ODF (1.2 §3.3)
+    * both require for their `mimetype`: no compression, so the magic
+    * string sits at a sniffable offset; STORED needs size + crc up
+    * front. */
+  private[expressions] def putStoredMimetype(
+      zip: java.util.zip.ZipOutputStream, mime: String): Unit = {
+    val mt = mime.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val e = new java.util.zip.ZipEntry("mimetype")
+    e.setTime(0L)
+    e.setMethod(java.util.zip.ZipOutputStream.STORED)
+    e.setSize(mt.length.toLong)
+    e.setCompressedSize(mt.length.toLong)
+    val crc = new java.util.zip.CRC32
+    crc.update(mt)
+    e.setCrc(crc.getValue)
+    zip.putNextEntry(e)
+    zip.write(mt)
+    zip.closeEntry()
+  }
+
+  /** Strip exactly space/tab/CR/LF from both ends — the whitespace
+    * set the SQL oracles strip with trim(pg, ' '||chr(9)||chr(10)||
+    * chr(13)). Scala's String.trim strips every char <= U+0020
+    * (form feed, vertical tab, NUL...), which a SQL trim cannot
+    * express — parity demands one exact set on both sides. */
+  private[expressions] def stripDocWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    while (a < b && ws(s.charAt(a))) a += 1
+    while (b > a && ws(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   /** Resolve an OPC relative target against the part that declares
     * it ("../media/x" from "ppt/slides/slideN.xml" → "ppt/media/x"). */
   private[expressions] def resolve(fromPart: String, target: String): String = {

@@ -79,7 +79,10 @@ object ParseRtf {
     "fonttbl", "colortbl", "stylesheet", "info", "header", "headerl",
     "headerr", "headerf", "footer", "footerl", "footerr", "footerf",
     "field", "fldinst", "themedata", "datastore", "xmlnstbl",
-    "listtable", "listoverridetable", "revtbl")
+    "listtable", "listoverridetable", "revtbl",
+    // Word writes every picture TWICE ({\*\shppict png}{\nonshppict wmf});
+    // the fallback copy must not double the image rows
+    "nonshppict")
 
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"RTF parse: $what")
@@ -110,6 +113,7 @@ object ParseRtf {
     }
     def flushPict(): Unit = {
       val hex = picHex.result()
+      if (hex.isEmpty) { picw = 0.0; pich = 0.0; return } // \bin blob skipped
       val data = new Array[Byte](hex.length / 2)
       var k = 0
       while (k < data.length) {
@@ -185,15 +189,37 @@ object ParseRtf {
             word match {
               case _ if opened && Skipped(word) =>
                 stack = top.copy(skip = true) :: stack.tail
+              case "shppict" =>
+                // {\*\shppict ...} is an optional destination this
+                // reader UNDERSTANDS (Word's primary picture): undo
+                // the \* skip unless an ancestor is itself skipped
+                stack = stack.head.copy(
+                  skip = stack.tail.headOption.exists(_.skip)) :: stack.tail
               case "pict" =>
-                stack = top.copy(skip = true, pict = true) :: stack.tail
-              case "picw" if top.pict || stack.head.pict =>
-                picw = param.toDouble
-              case "pich" if top.pict || stack.head.pict =>
-                pich = param.toDouble
+                // a pict inside an already-skipped destination (the
+                // \nonshppict WMF fallback) must not arm collection
+                stack = top.copy(skip = true, pict = !top.skip) :: stack.tail
+              case "picw" if stack.head.pict => picw = param.toDouble
+              case "pich" if stack.head.pict => pich = param.toDouble
               case "par" => if (!stack.head.skip) flushPara()
               case "line" => if (!stack.head.skip) para.append('\n')
               case "tab" => if (!stack.head.skip) para.append('\t')
+              // the symbol words a real Word export leans on — dropping
+              // them as "unknown" would silently delete punctuation
+              case "emdash" => if (!stack.head.skip) para.append('\u2014')
+              case "endash" => if (!stack.head.skip) para.append('\u2013')
+              case "lquote" => if (!stack.head.skip) para.append('\u2018')
+              case "rquote" => if (!stack.head.skip) para.append('\u2019')
+              case "ldblquote" => if (!stack.head.skip) para.append('\u201C')
+              case "rdblquote" => if (!stack.head.skip) para.append('\u201D')
+              case "bullet" => if (!stack.head.skip) para.append('\u2022')
+              case "enspace" | "emspace" | "qmspace" =>
+                if (!stack.head.skip) para.append(' ')
+              // \binN: the next N bytes are RAW BINARY (a non-hex pict
+              // payload) — they must not reach the tokenizer, where a
+              // 0x7D byte would pop the group and garble the document
+              case "bin" if hasParam && param > 0 =>
+                q = math.min(n.toLong, q + param).toInt
               case "uc" => stack = stack.head.copy(
                 uc = math.max(0, param.toInt)) :: stack.tail
               case "u" =>

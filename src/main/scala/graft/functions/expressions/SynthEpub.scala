@@ -63,30 +63,11 @@ object SynthEpub {
     val chapters = chunks.zipWithIndex.grouped(ParasPerChapter).toSeq
     val bo = new java.io.ByteArrayOutputStream(1024 + text.length * 2)
     val zip = new java.util.zip.ZipOutputStream(bo)
-    def put(name: String, bytes: Array[Byte]): Unit = {
-      val e = new java.util.zip.ZipEntry(name)
-      e.setTime(0L) // bit-deterministic package
-      zip.putNextEntry(e)
-      zip.write(bytes)
-      zip.closeEntry()
-    }
-    // OCF 3.0 §3.3: mimetype is the FIRST entry and is STORED (no
-    // compression), so byte 30 of the file starts the ASCII string —
-    // the magic readers sniff. STORED needs size + crc up front.
-    locally {
-      val mt = "application/epub+zip".getBytes(utf8)
-      val e = new java.util.zip.ZipEntry("mimetype")
-      e.setTime(0L)
-      e.setMethod(java.util.zip.ZipOutputStream.STORED)
-      e.setSize(mt.length.toLong)
-      e.setCompressedSize(mt.length.toLong)
-      val crc = new java.util.zip.CRC32
-      crc.update(mt)
-      e.setCrc(crc.getValue)
-      zip.putNextEntry(e)
-      zip.write(mt)
-      zip.closeEntry()
-    }
+    def put(name: String, bytes: Array[Byte]): Unit =
+      ParsePptx.putEntry(zip, name, bytes)
+    // OCF 3.0 §3.3: mimetype FIRST and STORED, so byte 30 of the
+    // file starts the ASCII string the magic sniffers read
+    ParsePptx.putStoredMimetype(zip, "application/epub+zip")
     put("META-INF/container.xml",
       ("""<?xml version="1.0" encoding="UTF-8"?>""" +
         """<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +

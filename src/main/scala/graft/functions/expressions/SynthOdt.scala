@@ -54,27 +54,9 @@ object SynthOdt {
       if (text.isEmpty) Seq.empty[String] else text.grouped(PageSize).toSeq
     val bo = new java.io.ByteArrayOutputStream(1024 + text.length * 2)
     val zip = new java.util.zip.ZipOutputStream(bo)
-    def put(name: String, bytes: Array[Byte]): Unit = {
-      val e = new java.util.zip.ZipEntry(name)
-      e.setTime(0L)
-      zip.putNextEntry(e)
-      zip.write(bytes)
-      zip.closeEntry()
-    }
-    locally { // ODF 1.2 §3.3: mimetype first and STORED
-      val mt = Mime.getBytes(utf8)
-      val e = new java.util.zip.ZipEntry("mimetype")
-      e.setTime(0L)
-      e.setMethod(java.util.zip.ZipOutputStream.STORED)
-      e.setSize(mt.length.toLong)
-      e.setCompressedSize(mt.length.toLong)
-      val crc = new java.util.zip.CRC32
-      crc.update(mt)
-      e.setCrc(crc.getValue)
-      zip.putNextEntry(e)
-      zip.write(mt)
-      zip.closeEntry()
-    }
+    def put(name: String, bytes: Array[Byte]): Unit =
+      ParsePptx.putEntry(zip, name, bytes)
+    ParsePptx.putStoredMimetype(zip, Mime) // ODF 1.2 §3.3: first, STORED
     val imgIdx = chunks.indices.filter(_ % 3 == 0)
     put("META-INF/manifest.xml",
       (s"""<?xml version="1.0" encoding="UTF-8"?>""" +

@@ -48,6 +48,9 @@ object SynthRtf {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case c @ ('{' | '}' | '\\') => sb.append('\\').append(c)
+      // raw CR/LF in an RTF file is IGNORED by readers (spec), so
+      // newline CONTENT must travel escaped or the round trip is lossy
+      case c @ ('\r' | '\n') => sb.append(f"\\'${c.toInt}%02x")
       case c if c < 0x80 => sb.append(c)
       case c if c <= 0xFF => sb.append(f"\\'$c%02x")
       case c => sb.append(s"\\u${c.toInt.toShort}?") // \uc1 fallback

@@ -2325,6 +2325,32 @@ class DocParseSpec extends AnyFunSuite {
         "{\\info{\\title hidden}}\\unknownword \\pard last}")
     assert(got == Seq(("0", "café пи ok\ntwo\tt"),
       ("1", "last")), got.toString)
+    // Word's symbol words are CONTENT (an export writes every quote
+    // and dash this way); raw newlines round-trip via escapes
+    // (\'xx is 4 fixed chars, NO delimiter consumption — the space
+    // after it is content, unlike the one after \enspace)
+    val sym = parse("{\\rtf1 a\\emdash b\\lquote c\\rquote\\bullet\\enspace d\\'0a e\\par}")
+    assert(sym == Seq(("0", "a—b‘c’• d\n e")), sym.toString)
+    assert(Seq("nl\ninside").toDF("text")
+      .select(explode(graft.functions.expressions.ParseRtf(
+        graft.functions.expressions.SynthRtf($"text"))).as("r"))
+      .select($"r.content_raw").collect()(0).getString(0) == "nl\ninside")
+    // Word's dual-representation picture: ONE image row, the shppict
+    // primary — the \nonshppict WMF fallback must not double it
+    val dual = Seq(("{\\rtf1{\\*\\shppict{\\pict\\picw9\\pich7 4142}}" +
+      "{\\nonshppict{\\pict\\picw9\\pich7 9999}}\\pard x\\par}")
+      .getBytes("ISO-8859-1")).toDF("p")
+      .select(explode(graft.functions.expressions.ParseRtf($"p")).as("r"))
+      .select($"r.content_type", $"r.content_raw").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(dual == Seq(
+      ("image", java.util.Base64.getEncoder.encodeToString("AB".getBytes)),
+      ("text_block", "x")), dual.toString)
+    // \binN raw bytes skip whole — the 0x7D/0x7B bytes inside the
+    // blob must not touch group nesting; a binary pict emits no row
+    // (out of decode scope, documented)
+    val bin = parse("{\\rtf1{\\pict\\bin4 A}B{}\\pard ok\\par}")
+    assert(bin == Seq(("0", "ok")), bin.toString)
     // non-RTF payloads are loud (machine-written container)
     val e = intercept[Exception](parse("plain text"))
     assert(e.getMessage.contains("{\\rtf"), e.getMessage)
