@@ -259,6 +259,17 @@ object SparkEntry {
       |   / (a.nrm * b.nrm), 4) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** SynthHtml's charset-share aside, replayed in SQL: the share is
+    * the text-md5 first hex nibble mod 3, and the per-share string
+    * literal interpolates from the ONE definition in SynthHtml (the
+    * oracle proves the non-UTF-8 decode, so both sides must agree on
+    * the exact Unicode content). */
+  private val HtmlAsideCase: String =
+    "CASE (strpos('0123456789abcdef', substr(md5(text),1,1)) - 1) % 3" +
+      s" WHEN 0 THEN '${graft.functions.expressions.SynthHtml.Aside0}'" +
+      s" WHEN 1 THEN '${graft.functions.expressions.SynthHtml.Aside1}'" +
+      s" ELSE '${graft.functions.expressions.SynthHtml.Aside2}' END"
+
   def oracleSql: Map[String, String] = Map(
     "ol_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -924,11 +935,14 @@ object SparkEntry {
         |FROM ch WHERE i % 3 = 0
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     // HTML: DOM paths are content ids, text runs are whitespace-
-    // collapsed, head/nav/footer text is content_type 'boilerplate'
-    // (main-content extraction hash-checked alongside the happy path —
-    // the synth page is deliberate tag soup, see SynthHtml)
+    // collapsed, head/nav/aside/footer text is content_type
+    // 'boilerplate' (main-content extraction hash-checked alongside
+    // the happy path — the synth page is deliberate tag soup, see
+    // SynthHtml). The aside row replays the CHARSET share route: its
+    // per-share non-ASCII string only survives a correct
+    // BOM/meta-prescan decode (utf-8+BOM / windows-1252 / Shift_JIS)
     "vs_parse_html" ->
-      """WITH c AS (SELECT doc_id, text,
+      raw"""WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c)
         |SELECT doc_id, 0::BIGINT AS page_num, 'text_block' AS content_type,
@@ -951,6 +965,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 0::BIGINT, 'boilerplate', '/html[1]/body[1]/header[1]/nav[1]',
         | 'Home About Contact', 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'boilerplate', '/html[1]/body[1]/aside[1]',
+        | $HtmlAsideCase, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
         |FROM documents
         |UNION ALL
         |SELECT doc_id, 0::BIGINT, 'boilerplate', '/html[1]/body[1]/footer[1]',
@@ -1028,15 +1046,17 @@ object SparkEntry {
         |FROM documents, (SELECT unnest([1, 2]) k)
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     // HTML quality: boilerplate = collapsed title + the static nav
-    // (18 chars) + footer (31 chars); main = the collapsed chunks.
-    // Exact integer counts, one double division before the round
+    // (18 chars) + footer (31 chars) + the charset-share aside; main
+    // = the collapsed chunks. Exact integer counts, one double
+    // division before the round
     "vs_html_quality" ->
-      """WITH c AS (SELECT doc_id, text,
+      raw"""WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
         |m AS (SELECT doc_id, sum(length(trim(pg))) mc FROM ch GROUP BY 1),
         |t AS (SELECT doc_id,
-        |  length(trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g'))) + 49 AS bc
+        |  length(trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g'))) + 49
+        |    + length($HtmlAsideCase) AS bc
         | FROM documents)
         |SELECT d.doc_id, coalesce(m.mc, 0)::BIGINT AS main_chars,
         | t.bc::BIGINT AS boiler_chars,
@@ -1047,7 +1067,7 @@ object SparkEntry {
     // -> HTTP response -> the SynthHtml page rows, plus the derived
     // target URI and the HTTP status read from the message
     "vs_parse_warc" ->
-      """WITH c AS (SELECT doc_id, text,
+      raw"""WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
         |u AS (SELECT doc_id, 'http://example.com/' || substr(md5(text),1,8) uri FROM documents),
@@ -1070,6 +1090,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'boilerplate', '/html[1]/body[1]/header[1]/nav[1]',
         | 'Home About Contact', 0.0::DOUBLE, 0.0::DOUBLE FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'boilerplate', '/html[1]/body[1]/aside[1]',
+        | $HtmlAsideCase, 0.0::DOUBLE, 0.0::DOUBLE FROM documents
         |UNION ALL
         |SELECT doc_id, 'boilerplate', '/html[1]/body[1]/footer[1]',
         | '(c) example.com - static footer', 0.0::DOUBLE, 0.0::DOUBLE FROM documents)

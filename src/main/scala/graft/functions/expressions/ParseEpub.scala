@@ -86,8 +86,9 @@ case class ParseEpub(child: Expression)
       val docPath = resolve(opfPath, pctDecode(href))
       val docBytes = entries.getOrElse(docPath,
         fail(s"missing spine document $docPath"))
-      ParseHtml.parse(new String(docBytes,
-        java.nio.charset.StandardCharsets.UTF_8)).foreach { r =>
+      // EPUB XHTML is UTF-8/UTF-16 by spec; the sniff honors a BOM or
+      // an xml-decl encoding and defaults UTF-8 (no transport layer)
+      ParseHtml.parse(CharsetSniff.decode(docBytes, null)).foreach { r =>
         val row = r.asInstanceOf[InternalRow]
         val ctype = row.getUTF8String(1)
         val raw = row.getUTF8String(3)

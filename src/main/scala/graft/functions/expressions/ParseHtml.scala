@@ -51,11 +51,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (0, 0, width, height) from the attributes when numeric.
   *
   * Output schema = [[ParseGft]]'s; page_num is 0 throughout (HTML has
-  * no pages). Payload bytes are decoded as UTF-8 with replacement —
-  * charset sniffing beyond UTF-8 is out of scope, and a wrong-charset
-  * page degrades to replacement characters rather than failing. */
-case class ParseHtml(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * no pages). Payload bytes decode through the WHATWG encoding sniff
+  * ([[CharsetSniff]]: BOM, then the optional TRANSPORT hint — an HTTP
+  * Content-Type, the WARC path carries it — then the meta prescan,
+  * then UTF-8), always with replacement: a wrong or missing charset
+  * degrades to replacement characters rather than failing the page. */
+case class ParseHtml(payload: Expression, hint: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(payload, hint)
+  override def nullable: Boolean = payload.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override def dataType: DataType = ArrayType(new StructType()
     .add("page_num", LongType)
@@ -67,24 +73,41 @@ case class ParseHtml(child: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == BinaryType)
+    if (payload.dataType == BinaryType && hint.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"ParseHtml needs a binary payload, got ${child.dataType.catalogString}")
+      "ParseHtml needs (binary payload, string charset hint), got " +
+        s"(${payload.dataType.catalogString}, ${hint.dataType.catalogString})")
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(ParseHtml.parse(new String(
-      input.asInstanceOf[Array[Byte]],
-      java.nio.charset.StandardCharsets.UTF_8)))
+  override def eval(input: InternalRow): Any = {
+    val p = payload.eval(input)
+    if (p == null) null
+    else {
+      val h = hint.eval(input)
+      new GenericArrayData(ParseHtml.parse(CharsetSniff.decode(
+        p.asInstanceOf[Array[Byte]],
+        if (h == null) null else h.toString)))
+    }
+  }
 
-  override protected def withNewChildInternal(c: Expression): ParseHtml =
-    copy(child = c)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ParseHtml =
+    copy(payload = c(0), hint = c(1))
 }
 
 object ParseHtml {
   def apply(payload: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      ParseHtml(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+      ParseHtml(org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        org.apache.spark.sql.catalyst.expressions.Literal(null, StringType)))
+
+  /** With a transport-layer charset hint (an HTTP Content-Type value
+    * or bare charset label; null/absent values fall through the
+    * sniff). */
+  def apply(payload: Column, hint: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ParseHtml(org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        org.apache.spark.sql.graft.ColumnBridge.expression(hint)))
 
   /** Elements that flush text runs and own them (CSS block-ish set). */
   private val Block: Set[String] = Set(

@@ -57,10 +57,11 @@ case class ParseMd(child: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"ParseMd needs a binary payload, got ${child.dataType.catalogString}")
 
+  // markdown has no in-band charset declaration: the sniff is BOM or
+  // the UTF-8 default (CharsetSniff with no transport layer)
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(ParseMd.parse(new String(
-      input.asInstanceOf[Array[Byte]],
-      java.nio.charset.StandardCharsets.UTF_8)))
+    new GenericArrayData(ParseMd.parse(
+      CharsetSniff.decode(input.asInstanceOf[Array[Byte]], null)))
 
   override protected def withNewChildInternal(c: Expression): ParseMd =
     copy(child = c)

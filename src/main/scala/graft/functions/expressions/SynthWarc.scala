@@ -65,8 +65,11 @@ object SynthWarc {
       "Content-Type" -> "application/http; msgtype=request"),
       s"GET /$md5p HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes(iso))
     val page = SynthHtml.build(text)
+    // the header declares the page's ACTUAL charset (SynthHtml's
+    // share route) — the transport layer a real crawl capture carries
+    val cs = SynthHtml.charsetNameOf(SynthHtml.shareOf(text))
     val http = (s"HTTP/1.1 200 OK\r\n" +
-      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Type: text/html; charset=$cs\r\n" +
       s"Content-Length: ${page.length}\r\n\r\n").getBytes(iso) ++ page
     val response = record(Seq(
       "WARC-Type" -> "response",

@@ -287,17 +287,22 @@ object DocParse {
           graft.functions.expressions.Gunzip(
             graft.functions.expressions.SynthWarc($"text")))).as("w"))
       .filter($"w.rec_type" === "response")
+      // the capture's HTTP Content-Type rides into the decode as the
+      // transport-layer charset hint (BOM still outranks it)
       .select($"doc_id", $"w.target_uri", $"w.status",
-        explode(graft.functions.expressions.ParseHtml($"w.body")).as("r"))
+        explode(graft.functions.expressions.ParseHtml(
+          $"w.body", $"w.mime")).as("r"))
       .select($"doc_id", $"target_uri", $"status", $"r.content_type",
         $"r.content_id", $"r.content_raw", $"r.x1", $"r.y1")
       .orderBy($"doc_id", $"content_type", $"content_id")
   }
 
-  /** WARC payloads → (doc_name = target URI, payload = HTML body) for
-    * the html ingest path: the bridge Serve uses to vectorize a
+  /** WARC payloads → (doc_name = target URI, payload = HTML body,
+    * charset_hint = the capture's HTTP Content-Type) for the html
+    * ingest path: the bridge Serve uses to vectorize a
     * `.warc`/`.warc.gz` file — one crawl file fans out to its HTML
-    * captures, each ingesting like a standalone page. */
+    * captures, each ingesting like a standalone page.
+    * [[records]] picks the charset_hint column up automatically. */
   def warcHtml(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -306,7 +311,8 @@ object DocParse {
         graft.functions.expressions.Gunzip($"payload"))).as("w"))
       .filter($"w.rec_type" === "response" &&
         $"w.mime".startsWith("text/html") && $"w.target_uri".isNotNull)
-      .select($"w.target_uri".as("doc_name"), $"w.body".as("payload"))
+      .select($"w.target_uri".as("doc_name"), $"w.body".as("payload"),
+        $"w.mime".as("charset_hint"))
   }
 
   /** vs_html_quality — the markup-ingest quality signal as its own
@@ -367,12 +373,18 @@ object DocParse {
     // cost one 2-byte check. file_hash stays the hash of the bytes AS
     // STORED (the dedup identity is the file, not its inflation).
     val p = Gunzip($"payload")
+    // markup decodes charset-aware: a `charset_hint` column (the
+    // warcHtml bridge emits the capture's HTTP Content-Type) is the
+    // transport layer of the sniff; absent, BOM/meta prescan decide
+    val htmlHint: Column =
+      if (payloads.columns.contains("charset_hint")) $"charset_hint"
+      else lit(null).cast("string")
     val parsed = format match {
       case "gft" => ParseGft($"payload") // string container, never gzipped
       case "pdf" => ParsePdf(p)
       case "pptx" => ParsePptx(p)
       case "docx" => ParseDocx(p)
-      case "html" => ParseHtml(p)
+      case "html" => ParseHtml(p, htmlHint)
       case "xlsx" => ParseXlsx(p)
       case "md" => graft.functions.expressions.ParseMd(p)
       case "epub" => graft.functions.expressions.ParseEpub(p)

@@ -910,11 +910,96 @@ class DocParseSpec extends AnyFunSuite {
         graft.functions.expressions.SynthHtml($"text"))).as("r"))
       .select($"doc_id", $"r.content_type", $"r.content_id", $"r.content_raw")
     val ratio = DocParse.boilerplateRatio(parsed).collect()
-    // title 11 + nav 18 + footer 31 boilerplate chars vs 11 main chars
+    // title 11 + nav 18 + footer 31 + the charset-share aside
+    // ("hello world" routes to share 2, the 13-char Shift_JIS string)
+    // boilerplate chars vs 11 main chars
+    assert(graft.functions.expressions.SynthHtml.shareOf("hello world") == 2)
     assert(ratio.length == 1 &&
-      ratio(0).getDouble(1) == BigDecimal(60.0 / 71)
+      ratio(0).getDouble(1) == BigDecimal(73.0 / 84)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
       ratio.toSeq.toString)
+  }
+
+
+  test("HTML charset: BOM, meta, http-equiv, transport hint, precedence, fallbacks") {
+    import graft.functions.expressions.CharsetSniff
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    val s1 = "r\u00e9sum\u00e9 \u00a9 caf\u00e9 \u2014 na\u00efve"
+    val s2 = "\u3053\u3093\u306b\u3061\u306f \u4e16\u754c \u30ab\u30bf\u30ab\u30ca"
+    // meta charset attr, windows-1252 bytes (invalid as UTF-8)
+    val metaPage = s"<html><head><meta charset=windows-1252></head>" +
+      s"<body><p>$s1</p></body></html>"
+    assert(CharsetSniff.decode(metaPage.getBytes(cp1252), null) == metaPage)
+    // legacy http-equiv form, Shift_JIS bytes
+    val eqPage = "<html><head><meta http-equiv=\"Content-Type\" " +
+      s"content=\"text/html; charset=Shift_JIS\"></head><body><p>$s2</p></body></html>"
+    assert(CharsetSniff.decode(eqPage.getBytes(sjis), null) == eqPage)
+    // UTF-8 BOM: consumed, decides the decode with no declaration
+    val plain = s"<p>$s2</p>"
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    assert(CharsetSniff.decode(bom ++ plain.getBytes("UTF-8"), null) == plain)
+    // UTF-16 BOMs
+    assert(CharsetSniff.decode(
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ plain.getBytes("UTF-16LE"), null) == plain)
+    assert(CharsetSniff.decode(
+      Array[Byte](0xFE.toByte, 0xFF.toByte) ++ plain.getBytes("UTF-16BE"), null) == plain)
+    // transport hint (HTTP Content-Type) OUTRANKS a lying meta...
+    val lying = "<html><head><meta charset=windows-1252></head>" +
+      s"<body><p>$s2</p></body></html>"
+    assert(CharsetSniff.decode(lying.getBytes(sjis),
+      "text/html; charset=shift_jis") == lying)
+    // ...but a BOM outranks the transport hint (spec order)
+    assert(CharsetSniff.decode(bom ++ plain.getBytes("UTF-8"),
+      "text/html; charset=windows-1252") == plain)
+    // bare charset label works as a hint; mime with no charset is no hint
+    assert(CharsetSniff.decode(s2.getBytes(sjis), "shift_jis") == s2)
+    assert(CharsetSniff.decode(s1.getBytes(cp1252),
+      "text/html") != s1) // falls to UTF-8, replacement chars
+    // a meta claim of UTF-16 found by the ASCII prescan reads as UTF-8
+    val u16claim = "<meta charset=utf-16><p>ascii only</p>"
+    assert(CharsetSniff.decode(u16claim.getBytes("UTF-8"), null) == u16claim)
+    // x-user-defined maps to windows-1252 (spec fixup)
+    assert(CharsetSniff.decode(s1.getBytes(cp1252),
+      "charset=x-user-defined") == s1)
+    // unknown label: falls through, never throws
+    val junk = s"<p>$s1</p>"
+    assert(CharsetSniff.decode(junk.getBytes("UTF-8"),
+      "text/html; charset=klingon-8") == junk)
+    // wrong charset degrades to replacement, never throws
+    val wrong = CharsetSniff.decode(s2.getBytes(sjis), null)
+    assert(wrong.contains('\uFFFD'))
+  }
+
+  test("HTML charset: the synth shares round-trip their per-share asides") {
+    import spark.implicits._
+    import graft.functions.expressions.SynthHtml
+    // one text per share (md5 first-nibble routing)
+    val texts = Seq("warc fixture text body", "slow filter vector", "hello world")
+    assert(texts.map(SynthHtml.shareOf) == Seq(0, 1, 2), texts.map(SynthHtml.shareOf))
+    val rows = texts.toDF("text")
+      .select($"text", explode(graft.functions.expressions.ParseHtml(
+        SynthHtml($"text"))).as("r"))
+      .select($"text", $"r.content_id", $"r.content_raw")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // each share's aside decodes to its exact Unicode content...
+    val asides = rows.filter(_._2 == "/html[1]/body[1]/aside[1]")
+      .map(r => r._1 -> r._3).toMap
+    assert(asides == Map(
+      "warc fixture text body" -> SynthHtml.Aside0,
+      "slow filter vector" -> SynthHtml.Aside1,
+      "hello world" -> SynthHtml.Aside2), asides.toString)
+    // ...and the ASCII document text is untouched in every charset
+    val mains = rows.filter(_._2 == "/html[1]/body[1]/main[1]/p[1]")
+      .map(r => r._1 -> r._3).toMap
+    assert(texts.forall(t => mains(t) == t), mains.toString)
+    // share-0 pages carry the UTF-8 BOM and no meta declaration
+    val p0 = SynthHtml.build("warc fixture text body")
+    assert((p0(0) & 0xFF) == 0xEF && (p0(1) & 0xFF) == 0xBB && (p0(2) & 0xFF) == 0xBF)
+    assert(!new String(p0, "UTF-8").contains("<meta"))
+    // share-1/2 pages are NOT valid UTF-8 reads (the decode matters)
+    val p1 = SynthHtml.build("slow filter vector")
+    assert(new String(p1, "UTF-8").contains('\uFFFD'))
   }
 
   test("WARC: record walk, HTTP opening, warcHtml bridge; defects loud") {
