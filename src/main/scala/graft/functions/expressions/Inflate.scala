@@ -1,0 +1,96 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Transparent decompression for binary payloads, by MAGIC sniff:
+  *  - gzip (1f 8b): java.util.zip.GZIPInputStream, multi-member
+  *    streams included — the pigz/concatenated-dump and per-record
+  *    `.warc.gz` shapes;
+  *  - zstd (28 b5 2f fd): the modern corpus-dump codec
+  *    (RefinedWeb-class `.jsonl.zst`/`.warc.zst` mirrors), decoded
+  *    through the zstd-jni Spark already bundles for shuffle
+  *    compression (no new dependency), continuous mode so
+  *    concatenated frames inflate whole like gzip members;
+  *  - everything else passes through untouched.
+  * Crawl dumps ship `.html.gz`/`.json.zst`; sniffing the magic beats
+  * trusting file extensions, and the pass-through makes it safe to
+  * wrap EVERY ingest payload. A corrupt compressed body fails loudly
+  * (a truncated member is data loss, not a pass-through case). */
+case class Inflate(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"Inflate needs a binary payload, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Inflate.maybeInflate(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(c: Expression): Inflate =
+    copy(child = c)
+}
+
+object Inflate {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      Inflate(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+
+  private[graft] def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xFF) == 0x1f && (b(1) & 0xFF) == 0x8b
+
+  /** Zstandard frame magic, RFC 8878 section 3.1.1 (little-endian
+    * 0xFD2FB528 on the wire: 28 b5 2f fd). */
+  private[graft] def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
+      (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD
+
+  private def drain(in: java.io.InputStream, sizeHint: Int,
+      what: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, sizeHint))
+    val buf = new Array[Byte](8192)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"inflate: corrupt $what payload (${e.getMessage})")
+    } finally in.close()
+    out.toByteArray
+  }
+
+  private[graft] def maybeInflate(b: Array[Byte]): Array[Byte] =
+    if (isGzip(b))
+      drain(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b)), b.length * 4, "gzip")
+    else if (isZstd(b))
+      // default (non-continuous) mode reads ACROSS concatenated
+      // frames — the dump shape, zstd's gzip-member twin — and still
+      // fails loudly on a truncated frame (continuous mode would
+      // swallow the truncation: it exists for not-yet-complete
+      // socket streams, not for at-rest payloads)
+      drain(new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(b)), b.length * 4, "zstd")
+    else b
+
+  private[graft] def gzip(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(b)
+    gz.close()
+    bo.toByteArray
+  }
+
+  private[graft] def zstd(b: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(b)
+}

@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * with its type, target URI, and block; `application/http` response
   * blocks are opened one level further (status line, Content-Type
   * header, body bytes) so the markup parsers consume the body
-  * directly. A `.warc.gz` inflates through [[Gunzip]] first — the
+  * directly. A `.warc.gz` inflates through [[Inflate]] first — the
   * standard layout is one gzip MEMBER per record, which the
   * multi-member inflate concatenates back to a plain WARC.
   *

@@ -6,14 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Deterministic `.warc.gz` for a text column — the fixture generator
-  * behind the vs_parse_warc oracle: a CommonCrawl-shaped capture with
-  * THREE records (warcinfo → request → response), each its own gzip
-  * MEMBER (the standard per-record layout — [[Gunzip]]'s multi-member
-  * inflate reassembles the plain WARC). The response block is a real
-  * HTTP/1.1 message whose body is the [[SynthHtml]] page for the
-  * text; the target URI derives from the text's md5 so the oracle
-  * recomputes it. */
+/** Deterministic `.warc.gz` / `.warc.zst` for a text column — the
+  * fixture generator behind the vs_parse_warc oracle: a
+  * CommonCrawl-shaped capture with THREE records (warcinfo → request
+  * → response), each its own gzip MEMBER or zstd FRAME by a
+  * deterministic codec share (the standard per-record layouts —
+  * [[Inflate]]'s multi-member/continuous inflate reassembles the
+  * plain WARC either way). The response block is a real HTTP/1.1
+  * message whose body is the [[SynthHtml]] page for the text; the
+  * target URI derives from the text's md5 so the oracle recomputes
+  * it. */
 case class SynthWarc(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -76,7 +78,17 @@ object SynthWarc {
       "WARC-Record-ID" -> s"<urn:md5:$md5p-resp>",
       "WARC-Target-URI" -> uri,
       "Content-Type" -> "application/http; msgtype=response"), http)
-    // one gzip member per record — the standard .warc.gz layout
-    Gunzip.gzip(info) ++ Gunzip.gzip(request) ++ Gunzip.gzip(response)
+    // codec share (md5 SECOND byte high nibble mod 2 — independent of
+    // the charset share): half the captures ship as the standard
+    // `.warc.gz` (one gzip member per record), half as `.warc.zst`
+    // (one zstd frame per record). Transparent to the parse output —
+    // [[Inflate]] reassembles both — so the oracle is share-free; the
+    // share exists so the driver gate exercises BOTH decoders.
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(utf8))
+    if (((d(1) >> 4) & 0xF) % 2 == 0)
+      Inflate.gzip(info) ++ Inflate.gzip(request) ++ Inflate.gzip(response)
+    else
+      Inflate.zstd(info) ++ Inflate.zstd(request) ++ Inflate.zstd(response)
   }
 }

@@ -273,7 +273,7 @@ object DocParse {
   /** vs_parse_warc — the crawl CONTAINER end-to-end: a per-document
     * `.warc.gz` ([[graft.functions.expressions.SynthWarc]]: warcinfo
     * → request → response records, one gzip member each) inflated
-    * ([[graft.functions.expressions.Gunzip]] multi-member), the WARC
+    * ([[graft.functions.expressions.Inflate]] multi-member), the WARC
     * records walked ([[graft.functions.expressions.ParseWarc]]), the
     * HTTP response opened, and its HTML body parsed by the tolerant
     * extractor — the full CommonCrawl ingest chain, hash-checked:
@@ -284,7 +284,7 @@ object DocParse {
     Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id",
         explode(graft.functions.expressions.ParseWarc(
-          graft.functions.expressions.Gunzip(
+          graft.functions.expressions.Inflate(
             graft.functions.expressions.SynthWarc($"text")))).as("w"))
       .filter($"w.rec_type" === "response")
       // the capture's HTTP Content-Type rides into the decode as the
@@ -308,7 +308,7 @@ object DocParse {
     import spark.implicits._
     payloads
       .select(explode(graft.functions.expressions.ParseWarc(
-        graft.functions.expressions.Gunzip($"payload"))).as("w"))
+        graft.functions.expressions.Inflate($"payload"))).as("w"))
       .filter($"w.rec_type" === "response" &&
         $"w.mime".startsWith("text/html") && $"w.target_uri".isNotNull)
       .select($"w.target_uri".as("doc_name"), $"w.body".as("payload"),
@@ -367,12 +367,12 @@ object DocParse {
   def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{Gunzip, ParseDocx, ParseHtml, ParsePdf, ParsePptx, ParseXlsx}
+    import graft.functions.expressions.{Inflate, ParseDocx, ParseHtml, ParsePdf, ParsePptx, ParseXlsx}
     // gzip is transparent for every BINARY container (crawl dumps
     // ship .html.gz) — magic-sniffed pass-through, so plain payloads
     // cost one 2-byte check. file_hash stays the hash of the bytes AS
     // STORED (the dedup identity is the file, not its inflation).
-    val p = Gunzip($"payload")
+    val p = Inflate($"payload")
     // markup decodes charset-aware: a `charset_hint` column (the
     // warcHtml bridge emits the capture's HTTP Content-Type) is the
     // transport layer of the sniff; absent, BOM/meta prescan decide

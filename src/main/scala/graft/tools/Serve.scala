@@ -207,11 +207,15 @@ private class ServeState(spark: SparkSession) {
           if (!f.exists())
             return (400, JObject("error" -> JString(s"no such path: $path")))
           // real-world file names mix case (REPORT.PDF); a trailing
-          // .gz is the transparent-gzip wrapper (page.html.gz routes
-          // as html — DocParse.records inflates by magic sniff)
+          // .gz/.zst is the transparent-compression wrapper
+          // (page.html.gz / dump.jsonl.zst route by the inner
+          // extension — DocParse.records inflates by magic sniff)
           def ext(name: String) = {
             val lower = name.toLowerCase(java.util.Locale.ROOT)
-            val base = if (lower.endsWith(".gz")) lower.dropRight(3) else lower
+            val base =
+              if (lower.endsWith(".gz")) lower.dropRight(3)
+              else if (lower.endsWith(".zst")) lower.dropRight(4)
+              else lower
             base.substring(base.lastIndexOf('.') + 1)
           }
           val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "epub", "odt", "rtf", "jsonl", "csv", "warc")

@@ -1004,8 +1004,8 @@ class DocParseSpec extends AnyFunSuite {
 
   test("WARC: record walk, HTTP opening, warcHtml bridge; defects loud") {
     import spark.implicits._
-    import graft.functions.expressions.{Gunzip, ParseWarc, SynthWarc}
-    val warc = Gunzip.maybeInflate(SynthWarc.build("warc fixture text body"))
+    import graft.functions.expressions.{Inflate, ParseWarc, SynthWarc}
+    val warc = Inflate.maybeInflate(SynthWarc.build("warc fixture text body"))
     val recs = Seq(warc).toDF("p")
       .select(explode(ParseWarc($"p")).as("w"))
       .select($"w.rec_type", $"w.target_uri", $"w.status", $"w.mime")
@@ -1041,32 +1041,42 @@ class DocParseSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("past end of file"), e3.getMessage)
   }
 
-  test("gzip payloads inflate transparently by magic sniff; corrupt gzip is loud") {
+  test("gzip/zstd payloads inflate transparently by magic sniff; corruption is loud") {
     import spark.implicits._
-    import graft.functions.expressions.Gunzip
+    import graft.functions.expressions.Inflate
     val html = graft.functions.expressions.SynthHtml.build("gzipped page body")
     val payloads = Seq(
       ("plain.html", html),
-      ("packed.html.gz", Gunzip.gzip(html)))
+      ("packed.html.gz", Inflate.gzip(html)),
+      ("packed.html.zst", Inflate.zstd(html)))
       .toDF("doc_name", "payload")
     val recs = DocParse.records(payloads, "html").collect()
     val byDoc = recs.groupBy(_.getAs[String]("doc_name"))
-    // identical parse output either way...
-    assert(byDoc("plain.html").map(r => (r.getAs[String]("content_id"),
-      r.getAs[String]("content_raw"))).toSet ==
-      byDoc("packed.html.gz").map(r => (r.getAs[String]("content_id"),
-        r.getAs[String]("content_raw"))).toSet)
+    // identical parse output all three ways...
+    val plainRows = byDoc("plain.html").map(r => (r.getAs[String]("content_id"),
+      r.getAs[String]("content_raw"))).toSet
+    assert(plainRows == byDoc("packed.html.gz").map(r =>
+      (r.getAs[String]("content_id"), r.getAs[String]("content_raw"))).toSet)
+    assert(plainRows == byDoc("packed.html.zst").map(r =>
+      (r.getAs[String]("content_id"), r.getAs[String]("content_raw"))).toSet)
     // ...but the file hash is of the bytes AS STORED
-    assert(byDoc("plain.html").head.getAs[String]("file_hash") !=
-      byDoc("packed.html.gz").head.getAs[String]("file_hash"))
+    assert(Set("plain.html", "packed.html.gz", "packed.html.zst")
+      .map(d => byDoc(d).head.getAs[String]("file_hash")).size == 3)
     // multi-member (concatenated) gzip inflates whole
-    val two = Gunzip.gzip("hello ".getBytes("UTF-8")) ++
-      Gunzip.gzip("world".getBytes("UTF-8"))
-    assert(new String(Gunzip.maybeInflate(two), "UTF-8") == "hello world")
-    // corrupt gzip: loud, not a silent pass-through
-    val corrupt = Gunzip.gzip(html).dropRight(6)
-    val e = intercept[Exception](Gunzip.maybeInflate(corrupt))
-    assert(e.getMessage.contains("gunzip"), e.getMessage)
+    val two = Inflate.gzip("hello ".getBytes("UTF-8")) ++
+      Inflate.gzip("world".getBytes("UTF-8"))
+    assert(new String(Inflate.maybeInflate(two), "UTF-8") == "hello world")
+    // concatenated zstd FRAMES inflate whole too
+    val twoZ = Inflate.zstd("hello ".getBytes("UTF-8")) ++
+      Inflate.zstd("world".getBytes("UTF-8"))
+    assert(new String(Inflate.maybeInflate(twoZ), "UTF-8") == "hello world")
+    // corruption: loud, not a silent pass-through
+    val corrupt = Inflate.gzip(html).dropRight(6)
+    val e = intercept[Exception](Inflate.maybeInflate(corrupt))
+    assert(e.getMessage.contains("gzip"), e.getMessage)
+    val corruptZ = Inflate.zstd(html).dropRight(6)
+    val ez = intercept[Exception](Inflate.maybeInflate(corruptZ))
+    assert(ez.getMessage.contains("zstd"), ez.getMessage)
   }
 
   test("HTML: records() routes the format and never embeds boilerplate") {
@@ -2207,9 +2217,9 @@ class DocParseSpec extends AnyFunSuite {
     assert(got == Seq(("http://a/1", "alpha"), ("line-3", "gamma")),
       got.toString)
     // the ingest path: doc_type jsonl, gzip transparent
-    import graft.functions.expressions.Gunzip
+    import graft.functions.expressions.Inflate
     val recs = DocParse.records(
-      Seq(("d.jsonl.gz", Gunzip.gzip(dump))).toDF("doc_name", "payload"),
+      Seq(("d.jsonl.gz", Inflate.gzip(dump))).toDF("doc_name", "payload"),
       "jsonl").collect()
     assert(recs.length == 2 &&
       recs.forall(_.getAs[String]("doc_type") == "jsonl"), recs.toSeq.toString)

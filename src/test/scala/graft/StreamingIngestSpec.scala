@@ -45,7 +45,7 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("markup ingest is a stateless stream transform: streaming == batch") {
     import spark.implicits._
-    import graft.functions.expressions.{Gunzip, SynthHtml}
+    import graft.functions.expressions.{Inflate, SynthHtml}
     import graft.operators.DocParse
     val base = "target/stream_parse_html"
     def rm(x: java.io.File): Unit = {
@@ -57,7 +57,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     Files.createDirectories(src)
     val payloads = Seq(
       ("a.html", SynthHtml.build("streamed page one " * 20)),
-      ("b.html.gz", Gunzip.gzip(SynthHtml.build("gz streamed page two " * 20))))
+      ("b.html.gz", Inflate.gzip(SynthHtml.build("gz streamed page two " * 20))))
     payloads.toDF("doc_name", "payload").coalesce(1).write
       .mode("overwrite").parquet(src.toString)
     val schema = spark.read.parquet(src.toString).schema
@@ -80,11 +80,11 @@ class StreamingIngestSpec extends AnyFunSuite {
 
   test("epub and jsonl ingest stream unchanged (stateless parsers, batch parity)") {
     import spark.implicits._
-    import graft.functions.expressions.{Gunzip, SynthEpub}
+    import graft.functions.expressions.{Inflate, SynthEpub}
     import graft.operators.DocParse
     val cases = Seq(
       ("epub", Seq(("b1.epub", SynthEpub.build("streamed book one " * 20)))),
-      ("jsonl", Seq(("d1.jsonl.gz", Gunzip.gzip(Seq(
+      ("jsonl", Seq(("d1.jsonl.gz", Inflate.gzip(Seq(
         """{"url":"http://s/1","text":"streamed record one"}""",
         """{"url":"http://s/2","text":"streamed record two"}""")
         .mkString("\n").getBytes("UTF-8"))))))
