@@ -127,6 +127,7 @@ object SparkEntry {
     "tx_vocab" -> (TextAnalysis.vocab _),
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
+    "tx_crawl" -> (CrawlPipeline.crawl _),
     "tx_shard" -> (TextAnalysis.shard _),
     "tx_pack" -> (TextAnalysis.pack _),
     "tx_contam" -> (TextAnalysis.contam _),
@@ -1070,7 +1071,8 @@ object SparkEntry {
       raw"""WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
         |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
-        |u AS (SELECT doc_id, 'http://example.com/' || substr(md5(text),1,8) uri FROM documents),
+        |u AS (SELECT doc_id, 'HTTP://Example.COM:80//' || substr(md5(text),1,8)
+        |  || '/?utm_source=feed&fbclid=xyz#top' uri FROM documents),
         |rows0 AS (
         |SELECT doc_id, 'text_block' AS content_type,
         | '/html[1]/body[1]/main[1]/p[' || (i+1) || ']' AS content_id,
@@ -1355,6 +1357,59 @@ object SparkEntry {
         |WHERE lang_pred IN ('en', 'es') AND quality_r >= 0.25
         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    // the crawl-to-corpus COMPOSITION: replays the whole chain from
+    // the text — page reassembly from the collapsed chunks, the
+    // boiler split (vs_html_quality's formula incl. the charset-share
+    // aside), the canonical URL recovered from SynthWarc's messy
+    // Target-URI, min-doc_id keeper, tx_curate's lang/quality gates
+    // on the REASSEMBLED text, tx_shard's budget math per language
+    "tx_crawl" ->
+      raw"""WITH c AS (SELECT doc_id, text,
+        |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
+        |ch AS (SELECT doc_id, i,
+        |  trim(regexp_replace(substr(text, (i*200+1)::INT, 200), '\s+', ' ', 'g')) tp FROM c),
+        |agg AS (SELECT doc_id,
+        |  string_agg(tp, ' ' ORDER BY i) FILTER (WHERE tp <> '') AS ctext,
+        |  coalesce(sum(length(tp)) FILTER (WHERE tp <> ''), 0) AS mc
+        | FROM ch GROUP BY 1),
+        |bt AS (SELECT doc_id,
+        |  length(trim(regexp_replace(substr(text,1,40), '\s+', ' ', 'g'))) + 49
+        |    + length($HtmlAsideCase) AS bc FROM documents),
+        |base AS (SELECT d.doc_id,
+        |  'http://example.com/' || substr(md5(d.text),1,8) AS url,
+        |  coalesce(a.ctext, '') AS ctext,
+        |  round(bt.bc::DOUBLE / (bt.bc + coalesce(a.mc, 0)), 4) AS boiler_ratio
+        | FROM documents d JOIN bt USING (doc_id) LEFT JOIN agg a USING (doc_id)),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rnk
+        | FROM base),
+        |t AS (SELECT doc_id, url, boiler_ratio,
+        |  string_split_regex(trim(ctext), '\s+') AS toks
+        | FROM rn WHERE rnk = 1 AND boiler_ratio <= 0.5),
+        |s AS (SELECT doc_id, url, boiler_ratio,
+        | len(list_filter(toks, t -> t IN ('data','table','row')))::BIGINT s_de,
+        | len(list_filter(toks, t -> t IN ('the','fast','slow')))::BIGINT s_en,
+        | len(list_filter(toks, t -> t IN ('query','column','line')))::BIGINT s_es,
+        | len(list_filter(toks, t -> t IN ('join','merge','sort')))::BIGINT s_fr,
+        | len(list_filter(toks, t -> t IN ('hash','vector','stream')))::BIGINT s_zh,
+        | len(toks)::BIGINT n_tokens,
+        | round(len(list_filter(toks, t -> t IN ('the','a','of','and')))::DOUBLE
+        |   / len(toks), 4) stop_ratio
+        | FROM t),
+        |q AS (SELECT doc_id, url, boiler_ratio,
+        | CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |      WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |      WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS lang_pred,
+        | n_tokens,
+        | round(0.4 * stop_ratio + 0.6 * least(1.0, n_tokens::DOUBLE / 100), 4) quality_r
+        | FROM s),
+        |f AS (SELECT * FROM q WHERE lang_pred IN ('en', 'es') AND quality_r >= 0.25),
+        |cc AS (SELECT *, (SUM(n_tokens) OVER (PARTITION BY lang_pred ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum FROM f)
+        |SELECT doc_id, url, boiler_ratio, lang_pred, n_tokens, quality_r,
+        | (cum - n_tokens) // 2000 AS shard_id
+        |FROM cc ORDER BY doc_id""".stripMargin,
     "tx_shard" ->
       """WITH t AS (SELECT source, doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents),

@@ -40,15 +40,25 @@ object SynthWarc {
     org.apache.spark.sql.graft.ColumnBridge.column(
       SynthWarc(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
+  /** The capture's CANONICAL page URL (what
+    * [[graft.operators.Dedup.canonicalUrl]] recovers from [[rawUriOf]]). */
   private[graft] def uriOf(md5Prefix8: String): String =
     s"http://example.com/${md5Prefix8}"
+
+  /** The MESSY form a real crawler records — uppercase scheme/host,
+    * default port, doubled slash, trailing slash, tracking params,
+    * fragment. WARC-Target-URI carries this so the crawl-pipeline
+    * composition exercises every canonicalization rule on data that
+    * flowed through the container (not a synthetic url column). */
+  private[graft] def rawUriOf(md5Prefix8: String): String =
+    s"HTTP://Example.COM:80//${md5Prefix8}/?utm_source=feed&fbclid=xyz#top"
 
   private[graft] def build(text: String): Array[Byte] = {
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val md5p = java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes(utf8)).map("%02x".format(_)).mkString.take(8)
-    val uri = uriOf(md5p)
+    val uri = rawUriOf(md5p)
     def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
       val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
         .mkString("", "\r\n", "\r\n") +

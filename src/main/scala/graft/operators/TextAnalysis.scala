@@ -346,6 +346,43 @@ object TextAnalysis {
     (spans, base)
   }
 
+  /** The generic form of [[packFrame]]'s DISTRIBUTED two-pass prefix
+    * sum, for any (partition key, order key, value) triple: range-
+    * partition on (part, order) so each task holds a contiguous run,
+    * fold per-(task, part) subtotals (≤ partitions + groups rows,
+    * collected), prefix-sum them driver-side into per-task starting
+    * offsets, broadcast those back, and add a task-LOCAL running sum.
+    * Exact — (part, order) must be unique — and never serializes a
+    * dominant group through one window task (the 100 TB-safe
+    * cumulative sum). Returns (frame with `cum`, the persisted base
+    * the caller unpersists once the frame is consumed). */
+  private[graft] def distributedCumSum(df: DataFrame, part: String,
+      order: String, value: String): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val np = spark.sparkContext.defaultParallelism
+    val base = df.repartitionByRange(np, col(part), col(order))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offDf = {
+      val subs = base.groupBy($"pid", col(part)).agg(sum(col(value)).as("t"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      subs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, k, t) =>
+          val off = acc; acc += t; (pid, k, off) }
+      }.toDF("pid", part, "off")
+    }
+    val w = Window.partitionBy($"pid", col(part)).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = base
+      .join(broadcast(offDf), Seq("pid", part))
+      .withColumn("cum", sum(col(value)).over(w) + $"off")
+      .drop("pid", "off")
+    (out, base)
+  }
+
   /** Top-3 TF-IDF terms per document — the keyword extractor a
     * training-data pipeline runs for topic routing. Shape: one explode
     * + (doc, token) partial-agg; document frequencies are a vocab-sized

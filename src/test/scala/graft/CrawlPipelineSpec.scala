@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Seam tests for the crawl-to-corpus composition — the id flow, gate
+  * ordering, and dedup semantics the per-operator specs never
+  * exercise together. */
+class CrawlPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def captures(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").select($"doc_id",
+      graft.functions.expressions.SynthWarc($"text").as("payload"))
+
+  // long enough to clear the boiler gate and the quality floor (the
+  // stopword 'the' repeats, so stop_ratio and s_en both land high)
+  private val keeperText =
+    Iterator.continually("the fast table scan runs fast and the row is fast")
+      .take(8).mkString(" ")
+
+  test("duplicate texts collapse to the min-doc_id keeper via the canonical URL") {
+    val out = CrawlPipeline.fromCaptures(captures(
+      7L -> keeperText, 3L -> keeperText, 9L -> (keeperText + " extra")))
+      .collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // 3 and 7 share a text → same md5 → same canonical URL → keeper 3
+    assert(ids == Seq(3L, 9L), out.toSeq.toString)
+    // the canonical url recovered SynthWarc's messy Target-URI
+    val md5p = java.security.MessageDigest.getInstance("MD5")
+      .digest(keeperText.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    assert(out.find(_.getAs[Long]("doc_id") == 3L).get
+      .getAs[String]("url") == s"http://example.com/$md5p")
+  }
+
+  test("the boilerplate gate drops chrome-dominated pages before scoring") {
+    // a 20-char main text against ~80 chars of chrome → ratio > 0.5
+    val out = CrawlPipeline.fromCaptures(captures(
+      1L -> "the fast table scan", 2L -> keeperText)).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L), out.toSeq.toString)
+  }
+
+  test("reassembled text drives the signals: tokens count the PARSED page, ids ride through") {
+    val out = CrawlPipeline.fromCaptures(captures(5L -> keeperText)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // keeperText < 200 chars → one chunk → reassembly is verbatim
+    assert(r.getAs[Long]("n_tokens") == keeperText.split("\\s+").length)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[Double]("quality_r") >= CrawlPipeline.QualityFloor)
+    assert(r.getAs[Double]("boiler_ratio") <= CrawlPipeline.BoilerMax)
+    assert(r.getAs[Long]("shard_id") == 0L)
+  }
+
+  test("shard ids are exact per-language running-budget assignments") {
+    // 40 survivors of ~97 tokens each → cum crosses the 2000-token
+    // budget inside the run; replay the division locally
+    val many = (1L to 40L).map(i => i -> (keeperText + s" doc$i"))
+    val out = CrawlPipeline.fromCaptures(captures(many: _*))
+      .orderBy($"doc_id").collect()
+    assert(out.length == 40)
+    var cum = 0L
+    out.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == "en") // one language here
+      assert(r.getAs[Long]("shard_id") == cum / TextAnalysis.ShardBudget,
+        r.toString)
+      cum += r.getAs[Long]("n_tokens")
+    }
+    assert(out.map(_.getAs[Long]("shard_id")).distinct.length > 1)
+  }
+}
