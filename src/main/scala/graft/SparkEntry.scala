@@ -146,6 +146,9 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
     "mm_phash" -> (Multimodal.phash _),
+    // rows-only: the 32x32-DCT hash over decoded pixels has no SQL
+    // ground truth; PixelSpec carries the correctness burden
+    "mm_phash_px" -> (Multimodal.phashPx _),
     "st_window" -> (graft.streaming.EventStreams.windowAggBatch _),
     "st_topk" -> ((s: SparkSession, dir: String) =>
       graft.streaming.EventStreams.topkBatch(s, dir)),

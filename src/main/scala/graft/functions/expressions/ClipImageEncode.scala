@@ -141,10 +141,16 @@ object ClipImageModel {
   val P: Int = Formats.length + 4 + PairBuckets + 2 * SideBuckets + HistBins + 2
 
   /** The fixed byte-level feature map — header fields the container
-    * declares plus whole-payload byte statistics. Everything is scaled
-    * to O(1) so the MLP trains on comparable magnitudes; all loops are
-    * sequential, so the map is deterministic. */
+    * declares plus CONTENT statistics: when the payload is a
+    * decodable PNG/BMP the histogram/mean/stddev run over the decoded
+    * LUMA pixels ([[PixelDecode.tryDecodeLuma]] — real content, so a
+    * recompressed duplicate maps to the same features), and fall back
+    * to the container bytes for every other format (JPEG/GIF decode
+    * is out of scope; the fallback keeps the map total). Everything is
+    * scaled to O(1) so the MLP trains on comparable magnitudes; all
+    * loops are sequential, so the map is deterministic. */
   def features(bytes: Array[Byte], fmt: String, w: Long, h: Long): Array[Double] = {
+    val content = PixelDecode.tryDecodeLuma(bytes).map(_.luma).getOrElse(bytes)
     val x = new Array[Double](P)
     val fi = Formats.indexOf(fmt)
     if (fi >= 0) x(fi) = 1.0
@@ -166,14 +172,14 @@ object ClipImageModel {
     var sum = 0.0
     var sumSq = 0.0
     var i = 0
-    while (i < bytes.length) {
-      val v = bytes(i) & 0xFF
+    while (i < content.length) {
+      val v = content(i) & 0xFF
       x(hist + (v >> 3)) += 1.0
       sum += v
       sumSq += v.toDouble * v
       i += 1
     }
-    val n = math.max(1, bytes.length).toDouble
+    val n = math.max(1, content.length).toDouble
     i = 0
     while (i < HistBins) { x(hist + i) /= n; i += 1 }
     val mean = sum / n

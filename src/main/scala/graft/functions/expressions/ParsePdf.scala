@@ -737,43 +737,16 @@ object ParsePdf {
       }
       out
     } else if (predictor >= 10 && predictor <= 15) {
+      // the row unfilter itself lives in PixelDecode (RFC 2083 §6 is
+      // one algorithm whether the rows come from a PDF stream or a
+      // PNG file); only the shape derivation is PDF-specific
       val bpp = math.max(1, (colors * bpc + 7) / 8)
       val rowLen = (colors.toLong * bpc * columns + 7).toInt / 8
-      if (rowLen <= 0 || data.length % (rowLen + 1) != 0)
-        fail(s"PNG predictor row shape mismatch in object $objNum " +
-          s"(len ${data.length}, row $rowLen+1)")
-      val rows = data.length / (rowLen + 1)
-      val out = new Array[Byte](rows * rowLen)
-      var r = 0
-      while (r < rows) {
-        val ft = data(r * (rowLen + 1)) & 0xFF
-        val src = r * (rowLen + 1) + 1
-        val dst = r * rowLen
-        var i = 0
-        while (i < rowLen) {
-          val x = data(src + i) & 0xFF
-          val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
-          val b = if (r > 0) out(dst + i - rowLen) & 0xFF else 0
-          val c = if (r > 0 && i >= bpp) out(dst + i - rowLen - bpp) & 0xFF else 0
-          val v = ft match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + (a + b) / 2
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b)
-              val pc = math.abs(p - c)
-              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-            case other =>
-              fail(s"PNG predictor: unknown row filter $other in object $objNum")
-          }
-          out(dst + i) = (v & 0xFF).toByte
-          i += 1
-        }
-        r += 1
+      try PixelDecode.unfilterRows(data, rowLen, bpp)
+      catch {
+        case e: IllegalArgumentException =>
+          fail(s"PNG predictor in object $objNum: ${e.getMessage}")
       }
-      out
     } else fail(s"unsupported /Predictor $predictor in object $objNum")
   }
 

@@ -1,0 +1,191 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic REAL PNG for a text column — the fixture generator
+  * behind the perceptual-hash gate (mm_phash_px): a 64x48 image whose
+  * CONTENT derives from the text's 20-char PREFIX (an 8x6 grid of
+  * md5-seeded blocks over a fixed gradient) plus a +/-1 noise term
+  * from the full text. Documents sharing a prefix therefore render
+  * NEAR-DUPLICATE images — same structure, different pixel noise —
+  * which is exactly the planted signal a perceptual hash must recall,
+  * while different prefixes avalanche into unrelated images.
+  *
+  * The ENCODING routes on the full-text md5, independent of content:
+  *  - color share (nibble 0 mod 3): grayscale (type 0) / RGB with
+  *    equal channels (type 2) / identity-palette indexed (type 3) —
+  *    three byte layouts of the SAME pixels ([[PixelDecode]]'s
+  *    BT.601 weights sum to 256, so all three decode to identical
+  *    luma and hash IDENTICALLY: the recompressed-duplicate case);
+  *  - filter share (nibble 1 mod 2): all-None rows, or a rotating
+  *    None/Sub/Up/Average/Paeth schedule — so every row filter
+  *    decodes inside the driver gate, not just in fixtures.
+  * Chunks carry real CRCs; IDAT is one zlib stream. */
+case class SynthPng(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"SynthPng needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    SynthPng.build(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): SynthPng =
+    copy(child = c)
+}
+
+object SynthPng {
+  def apply(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SynthPng(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  val W = 64
+  val H = 48
+
+  private def md5(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The luma raster for a text — exposed so specs can compare the
+    * decoded PNG against the intended pixels. The 8x8 block field is
+    * seeded per CELL by splitmix64 over the prefix digest (a periodic
+    * reuse of the 16 digest bytes would repeat every two block rows,
+    * zero out all odd vertical DCT frequencies for EVERY document,
+    * and collapse the hash's entropy — measured 200 spurious <=7
+    * pairs at sf0.01 before the mix); the shared gradient is a mild
+    * +/-16 texture so block content, not common structure, decides
+    * the hash bits. */
+  private[graft] def pixels(text: String): Array[Byte] = {
+    val block = md5(text.take(20)) // content: prefix-seeded
+    val seed = java.nio.ByteBuffer.wrap(block, 0, 8).getLong
+    val noise = md5(text) // identity: full-text-seeded
+    def cell(i: Long): Int = { // splitmix64 finalizer (public domain)
+      var z = seed + i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 56).toInt
+    }
+    val out = new Array[Byte](W * H)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val b = cell((y / 8).toLong * 8 + (x / 8))
+        val grad = ((2 * x + 3 * y) & 0xFF) - 128
+        val n = ((noise((x * 7 + y * 13) % 16) >> (x % 5)) & 3) - 1
+        val v = math.max(0, math.min(255, b + (grad >> 3) + n))
+        out(y * W + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val t = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t)
+    crc.update(data)
+    val len = data.length
+    val out = new java.io.ByteArrayOutputStream(len + 12)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    be32(len); out.write(t); out.write(data); be32(crc.getValue)
+    out.toByteArray
+  }
+
+  /** Forward PNG row filter (RFC 2083 §6) — the encoder side of
+    * [[PixelDecode.unfilterRows]]. */
+  private def filterRow(ft: Int, cur: Array[Byte], prev: Array[Byte],
+      bpp: Int): Array[Byte] = {
+    val n = cur.length
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = cur(i) & 0xFF
+      val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+      val b = if (prev != null) prev(i) & 0xFF else 0
+      val c = if (prev != null && i >= bpp) prev(i - bpp) & 0xFF else 0
+      val v = ft match {
+        case 0 => x
+        case 1 => x - a
+        case 2 => x - b
+        case 3 => x - (a + b) / 2
+        case 4 =>
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b)
+          val pc = math.abs(p - c)
+          x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+      }
+      out(i) = (v & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def build(text: String): Array[Byte] = {
+    val px = pixels(text)
+    val d = md5(text)
+    val colorShare = ((d(0) >> 4) & 0xF) % 3 // 0 gray, 1 rgb, 2 palette
+    val rotateFilters = (((d(0)) & 0xF) % 2) == 1
+    val (colorType, channels) = colorShare match {
+      case 1 => (2, 3)
+      case 2 => (3, 1)
+      case _ => (0, 1)
+    }
+    val rowLen = W * channels
+    val filtered = new java.io.ByteArrayOutputStream(H * (rowLen + 1))
+    var prev: Array[Byte] = null
+    var y = 0
+    while (y < H) {
+      val row = new Array[Byte](rowLen)
+      var x = 0
+      while (x < W) {
+        val v = px(y * W + x)
+        if (channels == 3) {
+          row(x * 3) = v; row(x * 3 + 1) = v; row(x * 3 + 2) = v
+        } else row(x) = v
+        x += 1
+      }
+      val ft = if (rotateFilters) y % 5 else 0
+      filtered.write(ft)
+      filtered.write(filterRow(ft, row, prev, channels))
+      prev = row
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray)
+    deflater.finish()
+    val idat = new java.io.ByteArrayOutputStream(filtered.size())
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = new Array[Byte](13)
+    def putBe32(p: Int, v: Int): Unit = {
+      ihdr(p) = (v >> 24).toByte; ihdr(p + 1) = (v >> 16).toByte
+      ihdr(p + 2) = (v >> 8).toByte; ihdr(p + 3) = v.toByte
+    }
+    putBe32(0, W); putBe32(4, H)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val plte =
+      if (colorType == 3)
+        chunk("PLTE", Array.tabulate[Byte](768)(i => (i / 3).toByte))
+      else Array.emptyByteArray
+    sig ++ chunk("IHDR", ihdr) ++ plte ++
+      chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+  }
+}

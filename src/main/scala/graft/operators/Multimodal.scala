@@ -161,6 +161,46 @@ object Multimodal {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The PIXEL-level twin of [[phash]] — mm_phash_px: a real PNG per
+    * document ([[graft.functions.expressions.SynthPng]] — content
+    * seeded by the text's 20-char prefix, encoding routed across
+    * gray/RGB/palette color types and rotating row filters), decoded
+    * to luma and hashed by the 32x32-DCT perceptual hash
+    * ([[graft.functions.expressions.PixelPhash]]). Near-dup pairs from
+    * the same pigeonhole band join as [[phash]]: [[PxBands]] bands of
+    * 8 bits over the [[PxBits]]-bit hash, so any pair within hamming
+    * [[PxMaxHamming]] (= bands - 1) shares an exact band — candidate
+    * generation stays an equi-join at any corpus size. Rows-only by
+    * design (a 2D DCT over decoded pixels has no SQL ground truth);
+    * PixelSpec carries the burden: decoder fixtures per format/
+    * filter/color type, encode-variant hash identity, resized
+    * near-dup recall, and the pigeonhole completeness of this exact
+    * banding against an exhaustive hamming scan. */
+  val PxBits = 64
+  val PxBands = 8
+  val PxMaxHamming = 7
+
+  def phashPx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.{PixelPhash, SynthPng}
+    val bitsPerBand = PxBits / PxBands
+    val mask = (1L << bitsPerBand) - 1
+    val hashed = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", PixelPhash(SynthPng($"text")).as("ph"))
+    val banded = hashed.select($"doc_id", $"ph",
+      posexplode(array((0 until PxBands).map { b =>
+        shiftright($"ph", b * bitsPerBand).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bkey")))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        bit_count($"a.ph".bitwiseXOR($"b.ph")).cast("long").as("hamming"))
+      .distinct() // a pair can collide in several bands
+      .filter($"hamming" <= PxMaxHamming)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Deterministic strided frame sampling: fixed-size frames, every
     * [[FrameStride]]-th sampled and digested — the shape of video
     * frame extraction over binary columns (batch size = frame count,

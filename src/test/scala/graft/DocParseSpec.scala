@@ -1518,7 +1518,7 @@ class DocParseSpec extends AnyFunSuite {
       "/DecodeParms << /Predictor 12 /Columns 4 >> >>\nstream\n").getBytes("ISO-8859-1") ++
       deflate(s) ++ ("\nendstream endobj\n" +
       "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1"))
-      .contains("PNG predictor row shape mismatch"))
+      .contains("PNG row shape mismatch"))
     // an unknown predictor NUMBER stays loud
     assert(err(("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
       "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +

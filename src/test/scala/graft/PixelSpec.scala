@@ -1,0 +1,234 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expressions.{PixelDecode, SynthPng}
+import graft.functions.expressions.PixelDecode.Raster
+
+/** The pixel decoder + perceptual hash, fixture by fixture: every PNG
+  * color type / depth / row filter, BMP layouts, loud structural
+  * defects, encode-variant hash identity, resized-near-dup recall,
+  * and the pigeonhole completeness of the mm_phash_px banding. */
+class PixelSpec extends AnyFunSuite {
+
+  // ---- a minimal local PNG encoder (independent of SynthPng's) ----
+
+  private def crcChunk(t: String, data: Array[Byte]): Array[Byte] = {
+    val tb = t.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+    be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+  }
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def zlib(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+  private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  /** raw = the FILTERED scanline stream (filter byte + row bytes). */
+  private def png(w: Int, h: Int, depth: Int, colorType: Int,
+      raw: Array[Byte], plte: Array[Byte] = null,
+      interlace: Int = 0): Array[Byte] = {
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
+    Sig ++ crcChunk("IHDR", ihdr) ++
+      (if (plte != null) crcChunk("PLTE", plte) else Array.emptyByteArray) ++
+      crcChunk("IDAT", zlib(raw)) ++ crcChunk("IEND", Array.emptyByteArray)
+  }
+
+  private def lumaOf(b: Array[Byte]): Raster =
+    PixelDecode.decodeLuma(b).getOrElse(fail("decode returned None"))
+
+  test("PNG gray-8 decodes verbatim; filters None/Sub/Up/Average/Paeth all undo") {
+    val w = 5; val h = 5
+    val pix = Array.tabulate[Byte](w * h)(i => ((i * 37 + 11) % 256).toByte)
+    // encode the SAME pixels under each fixed filter type
+    for (ft <- 0 to 4) {
+      val raw = new java.io.ByteArrayOutputStream()
+      var prev: Array[Byte] = null
+      for (y <- 0 until h) {
+        val row = pix.slice(y * w, y * w + w)
+        raw.write(ft)
+        for (i <- 0 until w) {
+          val x = row(i) & 0xFF
+          val a = if (i >= 1) row(i - 1) & 0xFF else 0
+          val b = if (prev != null) prev(i) & 0xFF else 0
+          val c = if (prev != null && i >= 1) prev(i - 1) & 0xFF else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - (a + b) / 2
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          raw.write(v & 0xFF)
+        }
+        prev = row
+      }
+      val r = lumaOf(png(w, h, 8, 0, raw.toByteArray))
+      assert(r.w == w && r.h == h)
+      assert(r.luma.sameElements(pix), s"filter $ft")
+    }
+  }
+
+  test("PNG color types: RGB luma weights, palette lookup, alpha ignored") {
+    // 2x1 RGB: red and white
+    val rgb = png(2, 1, 8, 2, Array[Byte](0,
+      255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+    assert(lumaOf(rgb).luma.toSeq == Seq(((77 * 255 + 128) >> 8).toByte, 255.toByte))
+    // palette: entry 0 = red, entry 1 = white
+    val pal = png(2, 1, 8, 3, Array[Byte](0, 0, 1),
+      plte = Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+    assert(lumaOf(pal).luma.sameElements(lumaOf(rgb).luma))
+    // gray+alpha / RGBA: alpha byte never moves luma
+    val ga = png(1, 1, 8, 4, Array[Byte](0, 42, 7))
+    assert(lumaOf(ga).luma.toSeq == Seq(42.toByte))
+    val rgba = png(1, 1, 8, 6,
+      Array[Byte](0, 10, 20, 30, 99.toByte))
+    val rgbOnly = png(1, 1, 8, 2, Array[Byte](0, 10, 20, 30))
+    assert(lumaOf(rgba).luma.sameElements(lumaOf(rgbOnly).luma))
+  }
+
+  test("PNG depths: 16-bit takes the MSB, 1-bit gray scales to 0/255, 4-bit palette unpacks") {
+    val g16 = png(2, 1, 16, 0, Array[Byte](0, 0xAB.toByte, 0x01, 0x12, 0xFF.toByte))
+    assert(lumaOf(g16).luma.toSeq == Seq(0xAB.toByte, 0x12.toByte))
+    // 1-bit gray, 10 pixels over 2 rows: bits 10110 / 01001 (MSB first)
+    val g1 = png(5, 2, 1, 0, Array[Byte](0, 0xB0.toByte, 0, 0x48.toByte))
+    assert(lumaOf(g1).luma.map(_ & 0xFF).toSeq ==
+      Seq(255, 0, 255, 255, 0, 0, 255, 0, 0, 255))
+    // 4-bit palette: indexes 0x1, 0x0 in one byte
+    val p4 = png(2, 1, 4, 3, Array[Byte](0, 0x10),
+      plte = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte))
+    assert(lumaOf(p4).luma.map(_ & 0xFF).toSeq == Seq(255, 0))
+  }
+
+  test("PNG defects are loud: bad CRC, truncated IDAT, Adam7, bad palette index") {
+    val ok = png(2, 2, 8, 0, Array[Byte](0, 1, 2, 0, 3, 4))
+    assert(lumaOf(ok).luma.toSeq == Seq[Byte](1, 2, 3, 4))
+    val badCrc = ok.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    assert(intercept[Exception](PixelDecode.decodeLuma(badCrc))
+      .getMessage.contains("CRC"))
+    // 4 filtered bytes cannot tile 2x(2+1)-byte rows
+    val trunc = png(2, 2, 8, 0, Array[Byte](0, 1, 2, 0))
+    assert(intercept[Exception](PixelDecode.decodeLuma(trunc))
+      .getMessage.toLowerCase.contains("row shape"))
+    // a whole missing row tiles cleanly but contradicts IHDR dims
+    val short = png(2, 2, 8, 0, Array[Byte](0, 1, 2))
+    assert(intercept[Exception](PixelDecode.decodeLuma(short))
+      .getMessage.contains("IHDR dims"))
+    val adam7 = png(2, 2, 8, 0, Array[Byte](0, 1, 2, 0, 3, 4), interlace = 1)
+    assert(intercept[Exception](PixelDecode.decodeLuma(adam7))
+      .getMessage.contains("Adam7"))
+    val oob = png(1, 1, 8, 3, Array[Byte](0, 9), plte = Array[Byte](0, 0, 0))
+    assert(intercept[Exception](PixelDecode.decodeLuma(oob))
+      .getMessage.contains("palette index"))
+    // not an image at all: None, not an exception
+    assert(PixelDecode.decodeLuma("plain text".getBytes).isEmpty)
+  }
+
+  private def bmp24(w: Int, h: Int, bgr: Array[Byte], topDown: Boolean = false): Array[Byte] = {
+    val rowLen = ((w * 24 + 31) / 32) * 4
+    val px = new Array[Byte](rowLen * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px(y * rowLen + x * 3 + c) = bgr((y * w + x) * 3 + c)
+    val hh = if (topDown) -h else h
+    "BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(hh) ++ Array[Byte](1, 0) ++
+      Array[Byte](24, 0) ++ le32(0) ++ le32(px.length) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ px
+  }
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  test("BMP: 24-bit bottom-up rows flip, top-down do not, compression is loud") {
+    // STORAGE rows: row0=white, row1=black. Bottom-up: storage row 0
+    // is the image's BOTTOM row, so the image reads black-then-white.
+    val storage = Array[Byte](255.toByte, 255.toByte, 255.toByte, 0, 0, 0)
+    val up = bmp24(1, 2, storage)
+    assert(lumaOf(up).luma.map(_ & 0xFF).toSeq == Seq(0, 255))
+    // top-down (negative height): storage order IS image order
+    val down = bmp24(1, 2, storage, topDown = true)
+    assert(lumaOf(down).luma.map(_ & 0xFF).toSeq == Seq(255, 0))
+    val rle = up.clone(); rle(30) = 1 // BI_RLE8
+    assert(intercept[Exception](PixelDecode.decodeLuma(rle))
+      .getMessage.contains("compression"))
+  }
+
+  test("SynthPng: every encoding share decodes to the intended pixels (hash identity)") {
+    // texts landing in all three color shares and both filter shares
+    val texts = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "stream sort window", "slow filter vector", "query stream row")
+    val shares = texts.map { t =>
+      val b = SynthPng.build(t)
+      val r = lumaOf(b)
+      assert(r.w == SynthPng.W && r.h == SynthPng.H, t)
+      assert(r.luma.sameElements(SynthPng.pixels(t)),
+        s"'$t' decode != intended pixels")
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (((d(0) >> 4) & 0xF) % 3, (d(0) & 0xF) % 2)
+    }
+    assert(shares.map(_._1).distinct.size == 3, s"color shares unexercised: $shares")
+    assert(shares.map(_._2).distinct.size == 2, s"filter shares unexercised: $shares")
+    // the hash is a function of PIXELS alone: gray/rgb/palette
+    // re-encodings of one raster hash identically by construction
+    // (decode equality above) — assert it end-to-end on one raster
+    val px = SynthPng.pixels("alpha")
+    val gray = {
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until SynthPng.H) {
+        raw.write(0); raw.write(px, y * SynthPng.W, SynthPng.W)
+      }
+      png(SynthPng.W, SynthPng.H, 8, 0, raw.toByteArray)
+    }
+    assert(PixelDecode.phash64(lumaOf(gray)) ==
+      PixelDecode.phash64(lumaOf(SynthPng.build("alpha"))))
+  }
+
+  test("phash: recompression is hamming 0, noise/resize small, different content far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = PixelDecode.phash64(Raster(SynthPng.W, SynthPng.H, SynthPng.pixels("the fast table scan runs")))
+    // same prefix, different tail = same blocks + different noise
+    val noisy = PixelDecode.phash64(Raster(SynthPng.W, SynthPng.H, SynthPng.pixels("the fast table scan walks")))
+    assert(ham(base, noisy) <= operators.Multimodal.PxMaxHamming,
+      s"noise variant drifted ${ham(base, noisy)} bits")
+    // a 2x box downscale of the same content
+    val px = SynthPng.pixels("the fast table scan runs")
+    val half = PixelDecode.resample(Raster(SynthPng.W, SynthPng.H, px), 24)
+      .map(v => v.toByte)
+    val resized = PixelDecode.phash64(Raster(24, 24, half))
+    assert(ham(base, resized) <= operators.Multimodal.PxMaxHamming,
+      s"resized variant drifted ${ham(base, resized)} bits")
+    // different prefix = unrelated blocks
+    val other = PixelDecode.phash64(Raster(SynthPng.W, SynthPng.H, SynthPng.pixels("completely different doc")))
+    assert(ham(base, other) > operators.Multimodal.PxMaxHamming,
+      s"unrelated content landed ${ham(base, other)} bits")
+    // determinism + the median split (<= 32 bits set, ties below)
+    assert(base == PixelDecode.phash64(Raster(SynthPng.W, SynthPng.H, SynthPng.pixels("the fast table scan runs"))))
+    assert(java.lang.Long.bitCount(base) <= 32)
+  }
+
+  test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val found = operators.Multimodal.phashPx(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashes = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select($"doc_id", graft.functions.expressions.PixelPhash(
+        graft.functions.expressions.SynthPng($"text")).as("ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exhaustive = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      h = java.lang.Long.bitCount(pa ^ pb)
+      if h <= operators.Multimodal.PxMaxHamming
+    } yield (a, b, h.toLong)).toSet
+    assert(found == exhaustive,
+      s"banding missed ${(exhaustive -- found).size}, invented ${(found -- exhaustive).size}")
+    assert(exhaustive.nonEmpty, "corpus planted no near-dup pairs — fixture broken")
+  }
+}
