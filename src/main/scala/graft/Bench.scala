@@ -100,10 +100,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cold":{"dd_embed_lsha":$coldLsha},""" +
       s""""load":{"start":$loadStart,"end":${loadAvg()}},""" +
-      s""""corpus":$corpus,"sf":"$sfDir"}""")
+      s""""corpus":$corpus,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout capture has truncated the per-query tail at 2000
+    // chars since round 10 — persist the SAME blob to a file so the
+    // committed artifact is always complete regardless of the capture
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_last_local.json"), json + "\n")
+    catch { case _: Exception => () } // a read-only cwd never fails the bench
     spark.stop()
   }
 }

@@ -1570,7 +1570,8 @@ object SparkEntry {
         |  1 + ('0x' || substr(md5(text),3,2))::BIGINT % 2 AS ch,
         |  ('0x' || substr(md5(text),5,2))::BIGINT AS b2,
         |  ('0x' || substr(md5(text),7,2))::BIGINT AS b3,
-        |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32
+        |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32,
+        |  ('0x' || substr(md5(text),21,2))::BIGINT AS b10
         | FROM documents),
         |k AS (SELECT p.*,
         |  CASE WHEN b1 % 3 = 2 THEN 'mp3'
@@ -1587,8 +1588,10 @@ object SparkEntry {
         | (CASE WHEN cont = 'wav'
         |  THEN ((256 + h32 % 1024) // (ch * ([8,16,24])[(b3 % 3 + 1)::INT] // 8))
         |   * 1000 // ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]
-        |  WHEN cont = 'mp3'
+        |  WHEN cont = 'mp3' AND b10 % 3 = 0
         |  THEN ((4 + h32 % 8) * (144000 * kbps // mrate) * 8) // kbps
+        |  WHEN cont = 'mp3'
+        |  THEN (40 + h32 % 64) * 1152 * 1000 // mrate
         |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
         |  END)::BIGINT AS duration_ms
         |FROM k ORDER BY doc_id""".stripMargin,

@@ -188,9 +188,13 @@ object MediaHeader {
     * Layer III (what music/podcast corpora overwhelmingly carry);
     * MPEG-2/2.5, Layers I/II, free-format and bad bitrate/rate
     * indices yield None like every other out-of-scope container.
-    * Duration is the CBR header estimate — audio bytes × 8 / bitrate
-    * — the standard header-only sniff (a VBR file without a Xing
-    * header misestimates in every tool that doesn't scan frames). */
+    * Duration: a VBR file's first frame carries its total FRAME COUNT
+    * in a Xing/Info header (after the MPEG-1 side info — 17 bytes
+    * mono, 32 stereo) or a Fraunhofer VBRI header (fixed 32-byte
+    * offset); duration = frames x 1152 samples / rate. Without one,
+    * the CBR estimate — audio bytes x 8 / bitrate — is the standard
+    * header-only sniff (a VBR file without a Xing header misestimates
+    * in every tool that doesn't scan frames). */
   private def decodeMp3(b: Array[Byte]): Option[Media] = {
     var p = 0
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
@@ -215,7 +219,28 @@ object MediaHeader {
     val rate = Array(44100L, 48000L, 32000L)(rateIdx)
     val mode = (b(p + 3) >> 6) & 3
     val channels = if (mode == 3) 1L else 2L
-    val durMs = (b.length - p).toLong * 8L / kbps
+    def be32u(i: Int): Long = (b(i) & 0xFF).toLong << 24 |
+      (b(i + 1) & 0xFF).toLong << 16 | (b(i + 2) & 0xFF).toLong << 8 |
+      (b(i + 3) & 0xFF).toLong
+    def tagAt(i: Int, t: String): Boolean = i + 4 <= b.length &&
+      new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1) == t
+    // Xing/Info sits after the side info (MPEG-1: 17 bytes mono, 32
+    // stereo); flags bit 0 = the frame-count field is present
+    val side = if (mode == 3) 17 else 32
+    val xingAt = p + 4 + side
+    val vbriAt = p + 4 + 32 // VBRI: fixed offset, frames at tag + 14
+    val vbrFrames: Option[Long] =
+      if ((tagAt(xingAt, "Xing") || tagAt(xingAt, "Info")) &&
+        xingAt + 12 <= b.length && (be32u(xingAt + 4) & 1L) == 1L)
+        Some(be32u(xingAt + 8))
+      else if (tagAt(vbriAt, "VBRI") && vbriAt + 18 <= b.length)
+        Some(be32u(vbriAt + 14))
+      else None
+    // MPEG-1 Layer III: 1152 samples per frame
+    val durMs = vbrFrames match {
+      case Some(n) => n * 1152L * 1000L / rate
+      case None => (b.length - p).toLong * 8L / kbps
+    }
     Some(Media("mp3", channels, rate, null, durMs))
   }
 
@@ -399,7 +424,8 @@ object SynthMedia {
     def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
     def cc(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     if (u8(0) % 3 == 2) {
-      // ---- MP3: [ID3v2.3 tag] + CBR MPEG-1 Layer III frames ----
+      // ---- MP3: [ID3v2.3 tag] + MPEG-1 Layer III frames, first one
+      // optionally a Xing or VBRI frame (the VBR share) ----
       val kbps = Mp3Kbps((u8(2) % 5).toInt)
       val rate = Mp3Rates((u8(3) % 3).toInt)
       val channels = 1L + u8(1) % 2
@@ -418,11 +444,43 @@ object SynthMedia {
       }
       val rateIdx = (u8(3) % 3)
       val mode = if (channels == 1) 3 else 0
-      var f = 0
-      while (f < nFrames) {
+      // VBR share (byte 10 mod 3): 1 = Xing frame first, 2 = VBRI
+      // frame first, else plain CBR. The DECLARED frame count is
+      // decoupled from the byte length (40 + h32 % 64), so a decode
+      // that ignored the VBR header and fell back to the byte
+      // estimate would hash-mismatch — the header path is proven,
+      // not just present.
+      val vbrShare = u8(10) % 3
+      val vFrames = 40L + h32 % 64L
+      def frameHeader(): Unit = {
         out.write(0xFF); out.write(0xFB) // sync + MPEG-1 + Layer III + no CRC
         out.write((bitrateIdx << 4) | (rateIdx << 2)) // padding 0, private 0
         out.write(mode << 6)
+      }
+      if (vbrShare != 0) {
+        frameHeader()
+        val sideInfo = if (mode == 3) 17 else 32
+        val tagAt = if (vbrShare == 1) 4 + sideInfo else 4 + 32
+        var i = 4
+        while (i < tagAt) { out.write(0); i += 1 } // zeroed side info
+        if (vbrShare == 1) {
+          cc("Xing"); be32(1L) // flags: frames field present
+          be32(vFrames)
+          i = tagAt + 12
+        } else {
+          cc("VBRI")
+          out.write(0); out.write(1) // version 1 (BE)
+          out.write(0); out.write(0) // delay
+          out.write(0); out.write(0) // quality
+          be32(frameSize.toLong * (1 + nFrames)) // total bytes (informative)
+          be32(vFrames) // tag + 14, where the walk reads it
+          i = tagAt + 18
+        }
+        while (i < frameSize) { out.write((u8(9) + i) & 0x7F); i += 1 }
+      }
+      var f = 0
+      while (f < nFrames) {
+        frameHeader()
         var i = 4
         while (i < frameSize) { out.write((u8(9) + f + i) & 0x7F); i += 1 }
         f += 1

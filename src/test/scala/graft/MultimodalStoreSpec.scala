@@ -340,6 +340,7 @@ class MultimodalStoreSpec extends AnyFunSuite {
     // and parses back to the md5-derived fields
     val texts = (0 until 200).map(i => s"media fixture text number $i")
     var seen = Set.empty[(String, Boolean, Boolean)]
+    var seenVbr = Set.empty[Int]
     texts.foreach { t =>
       val m = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8"))
@@ -352,8 +353,16 @@ class MultimodalStoreSpec extends AnyFunSuite {
         val kbps = SynthMedia.Mp3Kbps(u8(2) % 5)
         val rate = SynthMedia.Mp3Rates(u8(3) % 3)
         val audio = (4 + h32 % 8) * (144000L * kbps / rate)
-        assert(parsed == MediaHeader.Media("mp3", ch, rate, null,
-          audio * 8 / kbps), s"mp3 mismatch for: $t")
+        // the VBR shares declare 40 + h32 % 64 frames in a Xing/VBRI
+        // header — deliberately unrelated to the byte length, so a
+        // decode that fell back to the CBR estimate would mismatch
+        val vbr = u8(10) % 3
+        seenVbr += vbr
+        val expDur =
+          if (vbr == 0) audio * 8 / kbps
+          else (40L + h32 % 64L) * 1152L * 1000L / rate
+        assert(parsed == MediaHeader.Media("mp3", ch, rate, null, expDur),
+          s"mp3 mismatch for: $t (vbr share $vbr)")
       } else if (u8(0) % 2 == 0) {
         val ch = 1L + u8(1) % 2
         val rate = SynthMedia.Rates(u8(2) % 5)
@@ -370,6 +379,45 @@ class MultimodalStoreSpec extends AnyFunSuite {
       seen += ((parsed.container, u8(8) % 3 == 0, u8(9) % 2 == 1))
     }
     assert(seen.size == 12, s"share space not covered: $seen")
+    assert(seenVbr == Set(0, 1, 2), s"mp3 vbr shares not covered: $seenVbr")
+  }
+
+  test("MP3 VBR: Xing/Info and VBRI frame counts decide duration; flagless Xing falls back") {
+    import graft.functions.expressions.MediaHeader
+    // stereo 128 kbps @ 44100: side info 32 bytes, frame 417 bytes
+    def vbrFrame(tag: String, flags: Int, frames: Int): Array[Byte] = {
+      val f = Array.fill[Byte](417)(0x11)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte; f(3) = 0x00
+      java.util.Arrays.fill(f, 4, 36, 0.toByte) // zero side info
+      tag.getBytes.copyToArray(f, 36)
+      def be32(at: Int, v: Int): Unit = {
+        f(at) = (v >> 24).toByte; f(at + 1) = (v >> 16).toByte
+        f(at + 2) = (v >> 8).toByte; f(at + 3) = v.toByte
+      }
+      if (tag == "VBRI") be32(36 + 14, frames)
+      else { be32(40, flags); be32(44, frames) }
+      f
+    }
+    def audioFrames(n: Int) = Array.fill[Byte](417 * n)(0x22)
+    // Xing: 100 declared frames -> 100 * 1152 * 1000 / 44100
+    val xing = vbrFrame("Xing", 1, 100) ++ audioFrames(3)
+    assert(MediaHeader.decode(xing).get.durationMs == 100L * 1152 * 1000 / 44100)
+    // Info (the LAME CBR alias) uses the same structure
+    val info = vbrFrame("Info", 1, 250) ++ audioFrames(3)
+    assert(MediaHeader.decode(info).get.durationMs == 250L * 1152 * 1000 / 44100)
+    // VBRI at its fixed 4+32 offset
+    val vbri = vbrFrame("VBRI", 0, 77) ++ audioFrames(3)
+    assert(MediaHeader.decode(vbri).get.durationMs == 77L * 1152 * 1000 / 44100)
+    // a Xing header WITHOUT the frames flag carries no count: CBR path
+    val flagless = vbrFrame("Xing", 0, 999) ++ audioFrames(3)
+    assert(MediaHeader.decode(flagless).get.durationMs ==
+      flagless.length.toLong * 8 / 128)
+    // mono side info is 17 bytes: a Xing tag at the STEREO offset is
+    // just audio bytes there, not a header
+    val mono = vbrFrame("Xing", 1, 100) ++ audioFrames(1)
+    mono(3) = 0xC0.toByte // mode = single channel
+    assert(MediaHeader.decode(mono).get.durationMs ==
+      mono.length.toLong * 8 / 128)
   }
 
   test("MP3: ID3v2 skip, frame header fields, scope edges null") {

@@ -6,7 +6,7 @@ Usage: python3 tools/check.py [sf_dir] [out_dir] [query ...]
 Run Verify first:
   sbt "runMain graft.Verify /root/testdata/sf0.01 target/verify_out"
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -25,6 +25,7 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 fail = 0
+oracle_ms = {}  # per-query DuckDB wall — the machine-checkable 2x bar
 for name in sorted(only - set(oracle)):
     print(f"[MISS] {name}: not in oracle_sql.json")
     fail += 1
@@ -38,7 +39,9 @@ for name, sql in sorted(oracle.items()):
         continue
     try:
         got = con.sql(f"FROM '{pq[0]}'").df()
+        t0 = time.monotonic()
         exp = con.sql(sql).df()
+        oracle_ms[name] = round((time.monotonic() - t0) * 1000, 1)
     except Exception as e:
         print(f"[ERR ] {name}: {e}")
         fail += 1
@@ -67,5 +70,13 @@ for name, sql in sorted(oracle.items()):
         if diff is not None and len(diff):
             print(diff.head(5))
         fail += 1
+# per-query oracle millis beside the pass/fail lines: lets a round log
+# compare each Spark timing against its DuckDB twin (the per-query 2x
+# bar), not just the totals
+out = {"failures": fail, "oracle_ms": oracle_ms,
+       "oracle_total_ms": round(sum(oracle_ms.values()), 1)}
+with open(os.path.join(out_dir, "oracle_timing.json"), "w") as f:
+    json.dump(out, f, indent=1, sort_keys=True)
+print("ORACLE_TOTAL_MS:", out["oracle_total_ms"])
 print("FAILURES:", fail)
 sys.exit(1 if fail else 0)
