@@ -902,6 +902,12 @@ object SparkEntry {
         | 0.0::DOUBLE, 0.0::DOUBLE,
         | ((100 + (i*7)%200)*9525)::DOUBLE, ((80 + (i*11)%160)*9525)::DOUBLE
         |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'text_block',
+        | ((CASE WHEN length(text) = 0 THEN 0 ELSE (length(text)-1)//200 + 1 END) + t.k)::VARCHAR,
+        | t.v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents, (SELECT unnest([0,1,2,3]) k,
+        |  unnest(['cell alpha','cell beta','cell gamma','cell delta']) v) t
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     // ODT: docx's shape on the ODF vocabulary — ordinal paragraph
     // ids, frame-name image ids, svg dims verbatim (pt, no EMU scale)
@@ -919,10 +925,17 @@ object SparkEntry {
         | 0.0::DOUBLE, 0.0::DOUBLE,
         | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
         |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'text_block',
+        | ((CASE WHEN length(text) = 0 THEN 0 ELSE (length(text)-1)//200 + 1 END) + t.k)::VARCHAR,
+        | t.v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents, (SELECT unnest([0,1,2,3]) k,
+        |  unnest(['cell alpha','cell beta','cell gamma','cell delta']) v) t
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     // RTF: paragraph text is VERBATIM (no trim — RTF preserves run
     // whitespace), pict hex decodes to the md5-prefix bytes, bbox
-    // from \picw/\pich
+    // from \picw/\pich; table cells land at nc + [0,1,3,4] (\row's
+    // flush claims the empty ordinal between rows)
     "vs_parse_rtf" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
@@ -937,6 +950,12 @@ object SparkEntry {
         | 0.0::DOUBLE, 0.0::DOUBLE,
         | (100 + (i*7)%200)::DOUBLE, (80 + (i*11)%160)::DOUBLE
         |FROM ch WHERE i % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 'text_block',
+        | ((CASE WHEN length(text) = 0 THEN 0 ELSE (length(text)-1)//200 + 1 END) + t.k)::VARCHAR,
+        | t.v, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+        |FROM documents, (SELECT unnest([0,1,3,4]) k,
+        |  unnest(['cell alpha','cell beta','cell gamma','cell delta']) v) t
         |ORDER BY doc_id, content_type, content_id""".stripMargin,
     // HTML: DOM paths are content ids, text runs are whitespace-
     // collapsed, head/nav/aside/footer text is content_type

@@ -202,6 +202,15 @@ object ParseRtf {
               case "picw" if stack.head.pict => picw = param.toDouble
               case "pich" if stack.head.pict => pich = param.toDouble
               case "par" => if (!stack.head.skip) flushPara()
+              // table cells: \cell (and the nested-table twins) end a
+              // text run exactly like \par — each cell lands as its
+              // own ordinal row (cell-aware ids); without this, two
+              // adjacent cells' words would CONCATENATE ("alphabeta").
+              // \row closes the row; a well-formed writer emitted
+              // \cell before it, so the flush is usually a no-op that
+              // just claims the ordinal for an empty trailing cell.
+              case "cell" | "nestcell" | "row" | "nestrow" =>
+                if (!stack.head.skip) flushPara()
               case "line" => if (!stack.head.skip) para.append('\n')
               case "tab" => if (!stack.head.skip) para.append('\t')
               // the symbol words a real Word export leans on — dropping

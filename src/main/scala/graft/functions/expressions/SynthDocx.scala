@@ -98,11 +98,20 @@ object SynthDocx {
         }
       s"""<w:p><w:r><w:t xml:space="preserve">${xmlEsc(chunk)}</w:t></w:r>$pic</w:p>"""
     }.mkString
+    // a static 2x2 table after the body paragraphs: its cell w:p's
+    // are ordinary paragraph descendants, so the parse walk's
+    // document-order ordinals (nChunks..nChunks+3) pin that TABLE
+    // TEXT is captured — the oracle replays the four cells
+    val table = "<w:tbl>" + Seq(
+      Seq("cell alpha", "cell beta"), Seq("cell gamma", "cell delta"))
+      .map(row => "<w:tr>" + row.map(c =>
+        s"""<w:tc><w:p><w:r><w:t>$c</w:t></w:r></w:p></w:tc>""").mkString +
+        "</w:tr>").mkString + "</w:tbl>"
     put("word/document.xml",
       (s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
         s"""<w:document xmlns:w="$NsW" xmlns:r="$NsR" xmlns:wp="$NsWp" """ +
         s"""xmlns:a="$NsA" xmlns:pic="$NsPic">""" +
-        s"""<w:body>$paras</w:body></w:document>""").getBytes(utf8))
+        s"""<w:body>$paras$table</w:body></w:document>""").getBytes(utf8))
     val imgIdx = chunks.indices.filter(_ % 3 == 0)
     if (imgIdx.nonEmpty) {
       val imgRels = imgIdx.map { i =>

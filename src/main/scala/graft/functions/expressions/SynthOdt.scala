@@ -80,12 +80,21 @@ object SynthOdt {
         }
       s"""<text:p>${xmlEsc(chunk)}$img</text:p>"""
     }.mkString
+    // a static 2x2 table after the paragraphs: cell text:p's are
+    // ordinary descendants, so ordinals nChunks..nChunks+3 pin that
+    // table:table-cell content is captured (the DOCX discipline)
+    val table = """<table:table table:name="T1">""" + Seq(
+      Seq("cell alpha", "cell beta"), Seq("cell gamma", "cell delta"))
+      .map(row => "<table:table-row>" + row.map(c =>
+        s"""<table:table-cell><text:p>$c</text:p></table:table-cell>""").mkString +
+        "</table:table-row>").mkString + "</table:table>"
     put("content.xml",
       (s"""<?xml version="1.0" encoding="UTF-8"?>""" +
         s"""<office:document-content xmlns:office="${ParseOdt.NsOffice}" """ +
         s"""xmlns:text="${ParseOdt.NsText}" xmlns:draw="${ParseOdt.NsDraw}" """ +
         s"""xmlns:xlink="${ParseOdt.NsXlink}" xmlns:svg="${ParseOdt.NsSvg}" """ +
-        s"""office:version="1.2"><office:body><office:text>$body""" +
+        s"""xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" """ +
+        s"""office:version="1.2"><office:body><office:text>$body$table""" +
         "</office:text></office:body></office:document-content>").getBytes(utf8))
     imgIdx.foreach { i =>
       val img = java.security.MessageDigest.getInstance("MD5")

@@ -77,6 +77,11 @@ object SynthRtf {
         sb ++= s"{\\pict\\pngblip\\picw$w\\pich$h $hex}\n"
       }
     }
+    // a static 2x2 table: \cell ends each cell's run (ids nc, nc+1 /
+    // nc+3, nc+4 — each \row's flush claims the empty ordinal between
+    // rows), so the oracle replays cell-aware table text
+    sb ++= "\\trowd\\cellx4000\\cellx8000 cell alpha\\cell cell beta\\cell\\row\n"
+    sb ++= "\\trowd\\cellx4000\\cellx8000 cell gamma\\cell cell delta\\cell\\row\n"
     sb ++= "}"
     sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }

@@ -1608,8 +1608,9 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows.getInt(0) == 0, "empty text must parse to a zero-page PDF")
     assert(rows.getInt(1) == 0,
       "an empty declared sldIdLst is a zero-slide deck, not a parse failure")
-    assert(rows.getInt(2) == 0,
-      "an empty w:body is a zero-paragraph document, not a parse failure")
+    // the DOCX body also carries the static 2x2 table (4 cell rows)
+    assert(rows.getInt(2) == 4,
+      "an empty w:body still parses (and the table fixture's 4 cells land)")
   }
 
   test("PDF: unsupported filters, corrupt Flate, and non-PDF bytes fail loudly") {
@@ -1795,9 +1796,14 @@ class DocParseSpec extends AnyFunSuite {
     val rows = parseDocxBytes(SynthDocx.build(text))
     val texts = rows.filter(_.getString(1) == "text_block")
       .sortBy(_.getString(2).toInt)
-    assert(texts.map(_.getString(2)).toSeq == Seq("0", "1", "2", "3", "4"),
-      "paragraph ordinals are the content ids")
-    assert(texts.map(_.getString(3)).mkString == text, "text must round-trip")
+    assert(texts.map(_.getString(2)).toSeq ==
+      Seq("0", "1", "2", "3", "4", "5", "6", "7", "8"),
+      "paragraph ordinals are the content ids (5 chunks + 4 table cells)")
+    assert(texts.take(5).map(_.getString(3)).mkString == text,
+      "text must round-trip")
+    assert(texts.drop(5).map(_.getString(3)).toSeq ==
+      Seq("cell alpha", "cell beta", "cell gamma", "cell delta"),
+      "w:tbl cell paragraphs land as ordinal rows after the body")
     assert(rows.forall(_.getLong(0) == 0L),
       "WordprocessingML has no pages until layout: page_num is 0")
     val imgs = rows.filter(_.getString(1) == "image").sortBy(_.getString(2))
@@ -1816,7 +1822,8 @@ class DocParseSpec extends AnyFunSuite {
     // XML specials survive the escape/unescape round trip
     val special = "a & b < c > d " * 14 // one paragraph with all three
     val sp = parseDocxBytes(SynthDocx.build(special))
-    assert(sp.length == 2 && sp.exists(_.getString(3) == special.trim),
+    // 1 paragraph + 1 image + the 4 static table cells
+    assert(sp.length == 6 && sp.exists(_.getString(3) == special.trim),
       sp.map(_.getString(3)).toSeq.toString)
     // a zip with no word/document.xml is loud — not silently empty
     def pack(parts: (String, String)*): Array[Byte] = {
@@ -2321,7 +2328,11 @@ class DocParseSpec extends AnyFunSuite {
     assert(rows == Seq(
       ("image", "1000", b64, 100.0, 80.0),
       ("text_block", "0", "a" * 200, 0.0, 0.0),
-      ("text_block", "1", "b" * 50, 0.0, 0.0)), rows.toString)
+      ("text_block", "1", "b" * 50, 0.0, 0.0),
+      ("text_block", "2", "cell alpha", 0.0, 0.0),
+      ("text_block", "3", "cell beta", 0.0, 0.0),
+      ("text_block", "4", "cell gamma", 0.0, 0.0),
+      ("text_block", "5", "cell delta", 0.0, 0.0)), rows.toString)
     // teletype semantics: text:s expands to its count, tab/line-break
     // map to their characters, spans flatten, nested frames' own
     // paragraphs emit separately
@@ -2352,7 +2363,8 @@ class DocParseSpec extends AnyFunSuite {
     val recs = DocParse.records(
       Seq(("f.odt", SynthOdt.build("hello odt world"))).toDF("doc_name", "payload"),
       "odt").collect()
-    assert(recs.length == 2 &&
+    // 1 chunk + 1 image + the 4 static table cells
+    assert(recs.length == 6 &&
       recs.forall(_.getAs[String]("doc_type") == "odt"), recs.toSeq.toString)
   }
 
@@ -2393,6 +2405,48 @@ class DocParseSpec extends AnyFunSuite {
       nasty.map(_.replace('\n', '~').replace('\r', '~')))
   }
 
+
+  test("tables: DOCX/ODT cell paragraphs land as ordinal rows, RTF cells split on \\cell") {
+    import graft.functions.expressions.{ParseRtf, SynthDocx, SynthOdt}
+    // RTF, hand-written: two cells + \row, then a plain paragraph;
+    // nested-table words split too, and cells never CONCATENATE
+    val rtf = ("{\\rtf1\\ansi " +
+      "\\trowd\\cellx4000\\cellx8000 alpha one\\cell beta two\\cell\\row " +
+      "tail para\\par}").getBytes("ISO-8859-1")
+    val rows = ParseRtf.parse(rtf).map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .map(r => (r.getUTF8String(2).toString, r.getUTF8String(3).toString))
+    assert(rows.toSeq == Seq(("0", "alpha one"), ("1", "beta two"), ("3", "tail para")),
+      rows.toSeq.toString)
+    // DOCX/ODT: the synthetic table's four cells land after the chunk
+    // paragraphs with document-order ordinals ("one chunk" = 1 chunk)
+    def cellsOf(payload: Array[Byte], parse: Array[Byte] => Array[Any]) =
+      parse(payload).map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        .filter(_.getUTF8String(1).toString == "text_block")
+        .map(r => (r.getUTF8String(2).toString, r.getUTF8String(3).toString)).toSeq
+    val expected = Seq(("0", "one chunk"), ("1", "cell alpha"),
+      ("2", "cell beta"), ("3", "cell gamma"), ("4", "cell delta"))
+    val docxRows = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val e = graft.functions.expressions.ParseDocx(Literal(SynthDocx.build("one chunk")))
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        .filter(_.getUTF8String(1).toString == "text_block")
+        .map(r => (r.getUTF8String(2).toString, r.getUTF8String(3).toString)).toSeq
+    }
+    assert(docxRows == expected, docxRows.toString)
+    val odtRows = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val e = graft.functions.expressions.ParseOdt(Literal(SynthOdt.build("one chunk")))
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+        .filter(_.getUTF8String(1).toString == "text_block")
+        .map(r => (r.getUTF8String(2).toString, r.getUTF8String(3).toString)).toSeq
+    }
+    assert(odtRows == expected, odtRows.toString)
+  }
+
   test("RTF: round-trip, escapes, destination skip, pict rows; non-RTF loud") {
     import graft.functions.expressions.{ParseRtf, SynthRtf}
     // synth round-trip: paragraphs verbatim, pict bytes + bbox
@@ -2407,10 +2461,16 @@ class DocParseSpec extends AnyFunSuite {
       .digest(("a" * 200).getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(8)
     val b64 = java.util.Base64.getEncoder.encodeToString(md5p.getBytes("UTF-8"))
+    // table cells land at nc + [0,1] and nc + [3,4] (each \row's
+    // flush claims the empty ordinal between rows); nc = 2 chunks
     assert(rows == Seq(
       ("image", "1000", b64, 100.0, 80.0),
       ("text_block", "0", "a" * 200, 0.0, 0.0),
-      ("text_block", "1", text.drop(200), 0.0, 0.0)), rows.toString)
+      ("text_block", "1", text.drop(200), 0.0, 0.0),
+      ("text_block", "2", "cell alpha", 0.0, 0.0),
+      ("text_block", "3", "cell beta", 0.0, 0.0),
+      ("text_block", "5", "cell gamma", 0.0, 0.0),
+      ("text_block", "6", "cell delta", 0.0, 0.0)), rows.toString)
     // hand-written dialect: unicode escapes with fallback, hex bytes,
     // line/tab, optional destinations, stray '}' and unknown words
     def parse(rtf: String) = Seq(rtf.getBytes("ISO-8859-1")).toDF("p")
@@ -2456,7 +2516,8 @@ class DocParseSpec extends AnyFunSuite {
     val recs = DocParse.records(
       Seq(("f.rtf", SynthRtf.build("hello rtf world"))).toDF("doc_name", "payload"),
       "rtf").collect()
-    assert(recs.length == 2 &&
+    // 1 paragraph + 1 pict + the 4 static table cells
+    assert(recs.length == 6 &&
       recs.forall(_.getAs[String]("doc_type") == "rtf"), recs.toSeq.toString)
   }
 
