@@ -60,10 +60,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    same way (vertical mode shapes layout, not content); the
   *    predefined UCS2 registry family (UniJIS-UCS2-H/V + HW, UniGB/
   *    UniCNS/UniKS-UCS2) decodes codes as UTF-16BE (their codes ARE
-  *    UCS-2 — what CJK crawl PDFs carry), and embedded CMap-stream
-  *    encodings resolve cidchar/cidrange (+Identity usecmap base)
-  *    through the font's own tables; byte-oriented registry CMaps
-  *    (GBK-EUC-H, 90ms-RKSJ-…) fail loudly;
+  *    UCS-2 — what CJK crawl PDFs carry), the BYTE-ORIENTED registry
+  *    family (GBK-EUC, 90ms-RKSJ, ETen-B5, EUC, KSC/KSCms-UHC, …)
+  *    decodes codes as their legacy charset's bytes through the JDK
+  *    charsets — same no-registry-files trick — and embedded
+  *    CMap-stream encodings resolve cidchar/cidrange (+Identity
+  *    usecmap base) through the font's own tables; the pre-Unicode
+  *    ISO-2022 orderings (H, V, 83pv/90pv-RKSJ) fail loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
   *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
@@ -1063,11 +1066,14 @@ object ParsePdf {
     * overlays a /Differences glyph-name remap on that base, and
     * [[CidFont]] decodes composite Identity 2-byte CIDs through the
     * /ToUnicode CMap — or, without one, through the embedded TrueType
-    * program's inverted cmap ([[cidMapFromEmbeddedFont]]). Loud
-    * outside that: an Identity font with NEITHER table has no
-    * recoverable text, and predefined ordering CMaps (GBK-EUC-H,
-    * UniJIS-…) would need the Adobe registry files this
-    * library deliberately doesn't embed. */
+    * program's inverted cmap ([[cidMapFromEmbeddedFont]]). Predefined
+    * registry CMaps decode WITHOUT Adobe's registry files: the
+    * UCS2/UTF16 family's codes are UTF-16BE ([[Ucs2Font]]) and the
+    * byte-oriented family's codes are legacy-charset bytes
+    * ([[CharsetFont]] — GBK/Shift-JIS/Big5/EUC through the JDK
+    * charsets). Loud outside that: an Identity font with NEITHER
+    * table has no recoverable text, and the pre-Unicode ISO-2022
+    * orderings (H, V, 83pv/90pv-RKSJ) stay out of scope. */
   private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String,
       cache: java.util.HashMap[Integer, FontMode])
@@ -1118,7 +1124,17 @@ object ParsePdf {
           case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
           case None => Ucs2Font
         }
-      case Some(e) if e.contains("-") => // GBK-EUC-H, 90ms-RKSJ-…
+      // the byte-oriented registry family (GBK-EUC-H, 90ms-RKSJ-H,
+      // ETen-B5-H, ...): their character codes ARE legacy-charset
+      // bytes, so the string bytes decode through the JDK charset —
+      // no Adobe registry files needed (see [[CharsetFont]]). An
+      // explicit /ToUnicode still wins.
+      case Some(e) if ByteCMaps.contains(e) =>
+        ref(fdict, "/ToUnicode") match {
+          case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
+          case None => CharsetFont(ByteCMaps(e))
+        }
+      case Some(e) if e.contains("-") => // the ISO-2022 long tail (H, V, ...)
         fail(s"unsupported composite-font CMap /$e in font $objNum")
       case Some(_) => SimpleFont // /WinAnsiEncoding etc.: Latin-1 scope
       case None if isType0(fdict) =>
@@ -1149,7 +1165,35 @@ object ParsePdf {
   private val Ucs2CMaps: Set[String] = Set(
     "UniJIS-UCS2-H", "UniJIS-UCS2-V", "UniJIS-UCS2-HW-H", "UniJIS-UCS2-HW-V",
     "UniGB-UCS2-H", "UniGB-UCS2-V", "UniCNS-UCS2-H", "UniCNS-UCS2-V",
-    "UniKS-UCS2-H", "UniKS-UCS2-V")
+    "UniKS-UCS2-H", "UniKS-UCS2-V",
+    // the UTF16 successors: same 2-byte code units plus surrogate
+    // pairs, which the UTF-16BE decode already validates
+    "UniJIS-UTF16-H", "UniJIS-UTF16-V", "UniGB-UTF16-H", "UniGB-UTF16-V",
+    "UniCNS-UTF16-H", "UniCNS-UTF16-V", "UniKS-UTF16-H", "UniKS-UTF16-V")
+
+  /** Byte-oriented predefined registry CMaps (ISO 32000 §9.7.5.2
+    * Table 118) → the JDK charset whose byte sequences ARE their
+    * character codes. The per-collection mapping follows the public
+    * Adobe CMap documentation: GB-EUC/GBK-EUC ride GBK (a byte-level
+    * superset of EUC-CN), GBK2K is GB18030, the RKSJ family is
+    * Shift-JIS with the 90ms (Microsoft) flavor = windows-31j, EUC is
+    * EUC-JP, ETen-B5/B5pc ride Big5 (+ HKscs = Big5-HKSCS), KSC-EUC is
+    * EUC-KR and KSCms-UHC is the Windows 949 extension. The long tail
+    * (the pre-Unicode H/V ISO-2022 orderings) stays loud below. */
+  private val ByteCMaps: Map[String, String] = {
+    def hv(base: String, cs: String): Seq[(String, String)] =
+      Seq(s"$base-H" -> cs, s"$base-V" -> cs)
+    (hv("GB-EUC", "GBK") ++ hv("GBKp-EUC", "GBK") ++ hv("GBK-EUC", "GBK") ++
+      hv("GBK2K", "GB18030") ++
+      hv("RKSJ", "Shift_JIS") ++ hv("Add-RKSJ", "Shift_JIS") ++
+      hv("Ext-RKSJ", "Shift_JIS") ++
+      hv("90ms-RKSJ", "windows-31j") ++ hv("90msp-RKSJ", "windows-31j") ++
+      hv("EUC", "EUC-JP") ++
+      hv("ETen-B5", "Big5") ++ hv("B5pc", "Big5") ++
+      hv("HKscs-B5", "Big5-HKSCS") ++
+      hv("KSC-EUC", "EUC-KR") ++ hv("KSCms-UHC", "x-windows-949") ++
+      hv("KSCms-UHC-HW", "x-windows-949")).toMap
+  }
 
   private def isType0(fdict: String): Boolean =
     """/Subtype\s*/Type0\b""".r.findFirstIn(fdict).isDefined
@@ -1347,9 +1391,20 @@ object ParsePdf {
   /** Composite Identity font: 2-byte CIDs through `map`. */
   private[expressions] final case class CidFont(map: Map[Int, String])
       extends FontMode
-  /** Predefined UCS2 registry CMap (UniJIS-UCS2-H family): 2-byte
-    * codes ARE UCS-2 code points — decode as UTF-16BE. */
+  /** Predefined UCS2/UTF16 registry CMap (UniJIS-UCS2-H family):
+    * 2-byte codes ARE UCS-2/UTF-16BE code units — decode directly
+    * (the UTF16 names add surrogate pairs, which the decode already
+    * validates and keeps). */
   private[expressions] case object Ucs2Font extends FontMode
+  /** Predefined BYTE-ORIENTED registry CMap (GBK-EUC-H, 90ms-RKSJ-H,
+    * ETen-B5-H, ...): the character CODES of these CMaps are exactly
+    * the bytes of a legacy CJK charset (GBK / Shift-JIS / Big5 / ...,
+    * including their mixed 1-/2-byte code spaces), so text recovers by
+    * decoding the string bytes with that JDK charset — the same
+    * no-registry-files trick as [[Ucs2Font]]: what the parse needs is
+    * code → TEXT, never code → CID → glyph. */
+  private[expressions] final case class CharsetFont(charset: String)
+      extends FontMode
   /** Simple font with /Differences: remapped bytes read through `map`,
     * the rest stay Latin-1 (the base-encoding scope). */
   private[expressions] final case class DiffFont(map: Map[Int, String])
@@ -1552,6 +1607,24 @@ object ParsePdf {
               fail(f"CID 0x$code%04X has no Unicode mapping in the " +
                 "font's /ToUnicode CMap or embedded cmap"))
           }.mkString
+        case CharsetFont(cs) =>
+          // the token carries one byte per char; those bytes ARE the
+          // CMap's legacy-charset codes (mixed 1-/2-byte sequences —
+          // the charset's own code space does the splitting). A
+          // malformed sequence is unrecoverable text: loud, never
+          // silent replacement-char mojibake.
+          val bytes = new Array[Byte](raw.length)
+          var bi = 0
+          while (bi < raw.length) { bytes(bi) = raw.charAt(bi).toByte; bi += 1 }
+          val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch {
+            case e: java.nio.charset.CharacterCodingException =>
+              fail(s"string bytes are not valid $cs under the font's " +
+                s"byte-oriented registry CMap (${e.getClass.getSimpleName})")
+          }
         case Ucs2Font =>
           if (raw.length % 2 != 0)
             fail("odd-length string shown with a 2-byte UCS2 font")

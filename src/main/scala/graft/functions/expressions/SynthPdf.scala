@@ -250,6 +250,21 @@ object SynthPdf {
   private[graft] def ucs2Encodes(text: String): Boolean =
     (md5b(text.getBytes("UTF-8"))(3) & 0xFF) % 3 == 0
 
+  /** Which predefined registry CMap rides a [[ucs2Encodes]] document's
+    * CID pages (md5 FIFTH byte mod 4 — a sub-share): 0 = UniJIS-UCS2-H
+    * (UTF-16BE codes, the original share), 1 = 90ms-RKSJ-H (Shift-JIS
+    * bytes), 2 = GBK-EUC-H (GBK bytes), 3 = ETen-B5-H (Big5 bytes).
+    * ASCII text is single-byte-identical in all three legacy charsets,
+    * so the parse output — and the oracle — stays share-transparent
+    * while the gate drives every byte-oriented decode path; the
+    * two-byte CJK proof lives in DocParseSpec's fixtures. */
+  private[graft] def registryVariant(text: String): Int =
+    (md5b(text.getBytes("UTF-8"))(4) & 0xFF) % 4
+
+  private[graft] val RegistryEncodings: Seq[(String, String)] = Seq(
+    "UniJIS-UCS2-H" -> "UTF-16BE", "90ms-RKSJ-H" -> "windows-31j",
+    "GBK-EUC-H" -> "GBK", "ETen-B5-H" -> "Big5")
+
   /** Does this text's synthetic PDF carry its CID font in the
     * embedded-program form — /DescendantFonts → /FontFile2, NO
     * /ToUnicode — instead of the /ToUnicode CMap? Deterministic in the
@@ -359,10 +374,12 @@ object SynthPdf {
     val diffNum = fdNum + (if (embed) 2 else 0)
     // the ucs2 share references NEITHER helper object — obj 5 still
     // ships (unreferenced) so object numbering is share-independent
+    val (regName, regCharset) =
+      if (ucs2) RegistryEncodings(registryVariant(text)) else ("", "")
     obj(4)(emit(
       if (ucs2)
         "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
-          "/Encoding /UniJIS-UCS2-H >>\n"
+          s"/Encoding /$regName >>\n"
       else "<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
         "/Encoding /Identity-H " +
         (if (embed) "/DescendantFonts [5 0 R]" else "/ToUnicode 5 0 R") +
@@ -395,13 +412,28 @@ object SynthPdf {
       val x = 50 + (i * 7) % 100
       val y = 720 - (i * 37) % 600
       val shown =
-        if (i % 5 == 2 && ucs2) // UCS2 page: codes = the chars themselves
-          s"/F2 12 Tf 1 0 0 1 $x $y Tm <${
-            chunk.map { c =>
-              require(!Character.isSurrogate(c),
-                "SynthPdf: non-BMP character cannot ride the UCS2 share")
-              f"${c.toInt}%04X"
-            }.mkString}> Tj"
+        if (i % 5 == 2 && ucs2) {
+          // registry page: the codes are the chars themselves — as
+          // UTF-16BE units (UCS2 variant) or as the legacy charset's
+          // byte sequences (the byte-oriented variants)
+          val codes =
+            if (regCharset == "UTF-16BE")
+              chunk.map { c =>
+                require(!Character.isSurrogate(c),
+                  "SynthPdf: non-BMP character cannot ride the UCS2 share")
+                f"${c.toInt}%04X"
+              }.mkString
+            else {
+              val cs = java.nio.charset.Charset.forName(regCharset)
+              require(cs.newEncoder().canEncode(chunk),
+                s"SynthPdf: text not encodable in $regCharset for the " +
+                  s"$regName share")
+              val bb = cs.encode(chunk)
+              val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+              bytes.map(b => f"${b & 0xFF}%02X").mkString
+            }
+          s"/F2 12 Tf 1 0 0 1 $x $y Tm <$codes> Tj"
+        }
         else if (i % 5 == 2) // CID page: hex string of offset 2-byte codes
           s"/F2 12 Tf 1 0 0 1 $x $y Tm <${
             chunk.map(c => f"${c.toInt + 0x0100}%04X").mkString}> Tj"

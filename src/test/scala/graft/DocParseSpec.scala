@@ -1303,9 +1303,50 @@ class DocParseSpec extends AnyFunSuite {
       Nil, "D800")))
     assert(e1.getMessage.contains("surrogate"), e1.getMessage)
     val e2 = intercept[Exception](parsePdfBytes(cidPdf(
-      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /GBK-EUC-H >>",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /90pv-RKSJ-H >>",
       Nil, "4141")))
     assert(e2.getMessage.contains("unsupported composite-font CMap"), e2.getMessage)
+  }
+
+
+  test("PDF: byte-oriented registry CMaps decode legacy CJK bytes; ToUnicode wins; defects loud") {
+    // golden byte sequences from the public charset tables: the CMaps'
+    // character codes ARE these charsets' bytes (mixed 1-/2-byte)
+    def cid(enc: String, hex: String) = parsePdfBytes(cidPdf(
+      s"<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /$enc >>",
+      Nil, hex))
+    // 90ms-RKSJ (windows-31j): kanji + ASCII + half-width katakana
+    val sj = cid("90ms-RKSJ-H", "8ABF8E9A61B6C5")
+    assert(sj.length == 1 && sj(0).getString(3) == "漢字aｶﾅ",
+      sj.toSeq.toString)
+    // GBK-EUC and ETen-B5: the same two hanzi under both collections
+    val gb = cid("GBK-EUC-H", "D6D0CEC4")
+    assert(gb.length == 1 && gb(0).getString(3) == "中文", gb.toSeq.toString)
+    val b5 = cid("ETen-B5-V", "A4A4A4E5")
+    assert(b5.length == 1 && b5(0).getString(3) == "中文", b5.toSeq.toString)
+    // EUC-JP and Korean UHC
+    val eu = cid("EUC-H", "C6FCCBDCB8EC")
+    assert(eu.length == 1 && eu(0).getString(3) == "日本語", eu.toSeq.toString)
+    val ko = cid("KSCms-UHC-H", "C7D1B1B9BEEE")
+    assert(ko.length == 1 && ko(0).getString(3) == "한국어", ko.toSeq.toString)
+    // the UTF16 registry names carry surrogate PAIRS the UCS2 decode
+    // validates and keeps (U+20000)
+    val sp = cid("UniJIS-UTF16-H", "D840DC00")
+    assert(sp.length == 1 && sp(0).getString(3) == new String(Character.toChars(0x20000)),
+      sp.toSeq.toString)
+    // an explicit /ToUnicode overrides the byte-oriented name too
+    val cmap = "begincmap\n1 beginbfchar\n<D6D0> <0059>\nendbfchar\nendcmap\n"
+    val tu = parsePdfBytes(cidPdf(
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK " +
+        "/Encoding /GBK-EUC-H /ToUnicode 6 0 R >>",
+      Seq(streamObj(cmap)), "D6D0"))
+    assert(tu.length == 1 && tu(0).getString(3) == "Y", tu.toSeq.toString)
+    // malformed bytes under the declared charset: loud, never U+FFFD
+    val bad = intercept[Exception](cid("90ms-RKSJ-H", "8A"))
+    assert(bad.getMessage.contains("not valid windows-31j"), bad.getMessage)
+    // the pre-Unicode ISO-2022 orderings stay out of scope, loudly
+    val iso = intercept[Exception](cid("83pv-RKSJ-H", "4141"))
+    assert(iso.getMessage.contains("unsupported composite-font CMap"), iso.getMessage)
   }
 
   test("PDF: embedded CMap stream encodings resolve through the font's own tables") {
@@ -1359,16 +1400,22 @@ class DocParseSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("no usable /Encoding"), e3.getMessage)
   }
 
-  test("PDF: the SynthPdf UCS2 share round-trips and covers the share space") {
+  test("PDF: the SynthPdf registry share round-trips and covers every CMap variant") {
     import graft.functions.expressions.{SynthPdf => SP}
-    val texts = (0 until 60).map(i => s"ucs2 share text $i " + ("pad " * 60))
-    val ucs2Texts = texts.filter(SP.ucs2Encodes)
-    assert(ucs2Texts.nonEmpty, "share never drawn in 60 texts?")
-    ucs2Texts.take(3).foreach { t =>
+    val texts = (0 until 120).map(i => s"ucs2 share text $i " + ("pad " * 60))
+    val regTexts = texts.filter(SP.ucs2Encodes)
+    assert(regTexts.nonEmpty, "share never drawn in 120 texts?")
+    // one round trip per registry variant: UniJIS-UCS2-H plus the
+    // three byte-oriented CMaps (90ms-RKSJ / GBK-EUC / ETen-B5)
+    val byVariant = regTexts.groupBy(SP.registryVariant)
+    assert(byVariant.keySet == Set(0, 1, 2, 3),
+      s"registry variants not covered: ${byVariant.keySet}")
+    byVariant.values.map(_.head).foreach { t =>
       val rows = parsePdfBytes(SP.build(t))
       val joined = rows.filter(_.getString(1) == "text_block")
         .sortBy(_.getLong(0)).map(_.getString(3)).mkString
-      assert(joined == t.grouped(200).map(_.trim).mkString, t.take(40))
+      assert(joined == t.grouped(200).map(_.trim).mkString,
+        s"${t.take(40)} (variant ${SP.registryVariant(t)})")
     }
   }
 
@@ -1496,9 +1543,10 @@ class DocParseSpec extends AnyFunSuite {
     assert(err(onePage(
       "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>",
       "BT /F2 12 Tf <0001> Tj ET\n")).contains("no /ToUnicode"))
-    // predefined registry CMaps are out of scope — loud
+    // the pre-Unicode ISO-2022 registry orderings stay out of scope —
+    // loud (the UCS2/UTF16 and byte-oriented families now decode)
     assert(err(onePage(
-      "<< /Type /Font /Subtype /Type0 /Encoding /GBK-EUC-H >>",
+      "<< /Type /Font /Subtype /Type0 /Encoding /83pv-RKSJ-H >>",
       "BT /F2 12 Tf (x) Tj ET\n")).contains("unsupported composite-font CMap"))
     // a CID without a mapping — loud, names the code
     val cmapSmall = "1 beginbfchar\n<0001> <0041>\nendbfchar\n"
@@ -1584,8 +1632,10 @@ class DocParseSpec extends AnyFunSuite {
       // the registry CMap alone carries the decode
       assert(s.contains("/ToUnicode") == (!f && !u),
         "the embedded-font and ucs2 forms must carry NO /ToUnicode")
-      assert(s.contains("/Encoding /UniJIS-UCS2-H") == u,
-        s"ucs2 share predicate mismatch for ${t.take(8)}")
+      val regNames = graft.functions.expressions.SynthPdf
+        .RegistryEncodings.map(_._1)
+      assert(regNames.exists(n => s.contains(s"/Encoding /$n")) == u,
+        s"registry share predicate mismatch for ${t.take(8)}")
       assert(s.contains("/Differences") == d,
         s"shifted-encoding share predicate mismatch for ${t.take(8)}")
       val rows = parsePdfBytes(bytes)
