@@ -247,11 +247,170 @@ object PixelDecode {
     Raster(w, h, out)
   }
 
-  /** None = not a PNG/BMP magic; loud on structural defects inside a
-    * recognized format. */
+  private[expressions] def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** GIF LZW (the 87a/89a appendix): LSB-first bit packing across
+    * data sub-blocks, variable code width from minCodeSize+1 to 12,
+    * clear = 2^min resets the table, end-of-information stops. The
+    * PDF LZWDecode in [[ParsePdf]] is the MSB-first cousin with
+    * different clear/EOD codes and EarlyChange — close enough to
+    * confuse, different enough that sharing one decoder would bury
+    * both specs' semantics in flags. */
+  private def gifLzw(data: Array[Byte], minCode: Int,
+      expected: Int): Array[Byte] = {
+    if (minCode < 2 || minCode > 8) fail(s"GIF LZW min code size $minCode")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(expected)
+    // table entries as (prefix index, final byte); roots are -1-prefixed
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 0
+    def reset(): Unit = {
+      next = eoi + 1
+      var i = 0
+      while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    }
+    reset()
+    var width = minCode + 1
+    var acc = 0L
+    var bits = 0
+    var p = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def emit(code: Int): Byte = {
+      var sp = 0
+      var c = code
+      while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = stack(sp - 1)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      first
+    }
+    var done = false
+    while (!done) {
+      while (bits < width && p < data.length) {
+        acc |= (data(p) & 0xFFL) << bits
+        bits += 8
+        p += 1
+      }
+      if (bits < width) fail("GIF LZW stream ends without end-of-information")
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width
+      bits -= width
+      if (code == clear) {
+        reset(); width = minCode + 1; prev = -1
+      } else if (code == eoi) done = true
+      else {
+        if (code > next || (code == next && prev < 0))
+          fail(s"GIF LZW code $code beyond table size $next")
+        val first =
+          if (code < next) emit(code)
+          else { // the KwKwK case: prev + first-of-prev
+            val f = emit(prev)
+            out.write(f)
+            f
+          }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out.toByteArray
+  }
+
+  /** The first image frame of a GIF: logical screen + global/local
+    * palette, LZW-compressed indexes, Adam-style 4-pass INTERLACE
+    * honored (GIF interlace is cheap, unlike PNG's 7-pass Adam7),
+    * extensions skipped by sub-block framing. Animation frames past
+    * the first are ignored — the perceptual identity of a GIF is its
+    * first frame. */
+  private def decodeGif(b: Array[Byte]): Raster = {
+    if (b.length < 13) fail("GIF shorter than its headers")
+    var p = 6
+    val sw = le16(b, p); val sh = le16(b, p + 2)
+    val packed = b(p + 4) & 0xFF
+    p += 7
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (p + 3 * n > b.length) fail("GIF global color table truncated")
+      gct = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+      p += 3 * n
+    }
+    if (sw <= 0 || sh <= 0) fail(s"GIF screen ${sw}x$sh")
+    while (p < b.length) {
+      (b(p) & 0xFF) match {
+        case 0x21 => // extension: label + sub-blocks to a 0 terminator
+          p += 2
+          while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xFF)
+          if (p >= b.length) fail("GIF extension runs past end of file")
+          p += 1
+        case 0x2C =>
+          if (p + 10 > b.length) fail("GIF image descriptor truncated")
+          val w = le16(b, p + 5); val h = le16(b, p + 7)
+          val ipacked = b(p + 9) & 0xFF
+          val interlaced = (ipacked & 0x40) != 0
+          p += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            if (p + 3 * n > b.length) fail("GIF local color table truncated")
+            pal = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (pal == null) fail("GIF image has no color table")
+          if (w <= 0 || h <= 0) fail(s"GIF frame ${w}x$h")
+          if (p >= b.length) fail("GIF image data truncated")
+          val minCode = b(p) & 0xFF
+          p += 1
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream(b.length - p)
+          while (p < b.length && b(p) != 0) {
+            val n = b(p) & 0xFF
+            if (p + 1 + n > b.length) fail("GIF data sub-block truncated")
+            data.write(b, p + 1, n)
+            p += 1 + n
+          }
+          if (p >= b.length) fail("GIF image data has no block terminator")
+          val idx = gifLzw(data.toByteArray, minCode, w * h)
+          if (idx.length < w * h)
+            fail(s"GIF frame decodes ${idx.length} of ${w * h} pixels")
+          val out = new Array[Byte](w * h)
+          // interlace pass order: rows 0,8,16.. / 4,12.. / 2,6.. / 1,3..
+          val rowOrder: Seq[Int] =
+            if (!interlaced) 0 until h
+            else (0 until h by 8) ++ (4 until h by 8) ++
+              (2 until h by 4) ++ (1 until h by 2)
+          rowOrder.zipWithIndex.foreach { case (y, src) =>
+            var x = 0
+            while (x < w) {
+              val i = (idx(src * w + x) & 0xFF) * 3
+              if (i + 2 >= pal.length) fail("GIF palette index out of range")
+              out(y * w + x) =
+                luma(pal(i) & 0xFF, pal(i + 1) & 0xFF, pal(i + 2) & 0xFF)
+              x += 1
+            }
+          }
+          return Raster(w, h, out)
+        case 0x3B => fail("GIF trailer reached with no image frame")
+        case other => fail(f"GIF unknown block 0x$other%02X")
+      }
+    }
+    fail("GIF ends with no image frame")
+  }
+
+  /** None = not a PNG/BMP/GIF magic; loud on structural defects
+    * inside a recognized format. */
   def decodeLuma(b: Array[Byte]): Option[Raster] =
     if (isPng(b)) Some(decodePng(b))
     else if (isBmp(b)) Some(decodeBmp(b))
+    else if (isGif(b)) Some(decodeGif(b))
     else None
 
   /** Tolerant twin for feature extraction: any failure (fake header,
@@ -362,7 +521,7 @@ case class PixelPhash(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     PixelDecode.phash64(PixelDecode.decodeLuma(b).getOrElse(
       throw new IllegalArgumentException(
-        "PixelPhash: payload is neither PNG nor BMP")))
+        "PixelPhash: payload is none of PNG/BMP/GIF")))
   }
 
   override protected def withNewChildInternal(c: Expression): PixelPhash =

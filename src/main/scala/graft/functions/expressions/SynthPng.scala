@@ -16,15 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * while different prefixes avalanche into unrelated images.
   *
   * The ENCODING routes on the full-text md5, independent of content:
-  *  - color share (nibble 0 mod 3): grayscale (type 0) / RGB with
-  *    equal channels (type 2) / identity-palette indexed (type 3) —
-  *    three byte layouts of the SAME pixels ([[PixelDecode]]'s
-  *    BT.601 weights sum to 256, so all three decode to identical
-  *    luma and hash IDENTICALLY: the recompressed-duplicate case);
-  *  - filter share (nibble 1 mod 2): all-None rows, or a rotating
-  *    None/Sub/Up/Average/Paeth schedule — so every row filter
-  *    decodes inside the driver gate, not just in fixtures.
-  * Chunks carry real CRCs; IDAT is one zlib stream. */
+  *  - FORMAT share (byte-1 high nibble mod 5): PNG / PNG / PNG / GIF
+  *    (half interlaced) / BMP — the same raster re-encoded across
+  *    three container formats hashes IDENTICALLY (BT.601 weights sum
+  *    to 256, so the gray/identity-palette layouts all decode to the
+  *    same luma): the recompressed-duplicate case across formats;
+  *  - PNG color share (nibble 0 mod 3): grayscale (type 0) / RGB
+  *    with equal channels (type 2) / identity-palette indexed
+  *    (type 3) — three byte layouts of the SAME pixels;
+  *  - PNG filter share (nibble 1 mod 2): all-None rows, or a
+  *    rotating None/Sub/Up/Average/Paeth schedule — so every row
+  *    filter decodes inside the driver gate, not just in fixtures.
+  * PNG chunks carry real CRCs; IDAT is one zlib stream. */
 case class SynthPng(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -136,9 +139,102 @@ object SynthPng {
     out
   }
 
+  /** Container format share (md5 byte-1 high nibble mod 5): 0-2 PNG
+    * (the color/filter shares pick the flavor), 3 GIF (half of those
+    * INTERLACED), 4 BMP. All encode the same [[pixels]] raster, so
+    * the perceptual hash is container-invariant by construction —
+    * the recompressed-duplicate case across FORMATS, not just
+    * within PNG. */
+  private[graft] def formatOf(text: String): Int =
+    ((md5(text)(1) >> 4) & 0xF) % 5
+
+  /** GIF89a writer: identity 256-entry palette, the fixed-width LZW
+    * form (9-bit literal codes with a CLEAR every 253 pixels, so the
+    * decoder's table never forces a width bump — the classic
+    * "uncompressed GIF" technique); half the share interlaced (rows
+    * written in the 4-pass order, flag set). Real compressed streams
+    * with width growth and KwKwK are PixelSpec's round-trip burden. */
+  private def buildGif(px: Array[Byte], interlaced: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(W * H * 2)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(W); le16(H)
+    out.write(0xF7) // GCT present, 8-bit color res, 256 entries
+    out.write(0); out.write(0)
+    (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) }
+    out.write(0x2C); le16(0); le16(0); le16(W); le16(H)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW min code size
+    val rows: Seq[Int] =
+      if (!interlaced) 0 until H
+      else (0 until H by 8) ++ (4 until H by 8) ++
+        (2 until H by 4) ++ (1 until H by 2)
+    // 9-bit LSB-first code stream: CLEAR, then literals with a CLEAR
+    // every 253 codes (decoder table stays under the width-bump line)
+    val codes = new java.io.ByteArrayOutputStream(W * H * 2)
+    var acc = 0L; var bits = 0
+    def putCode(c: Int): Unit = {
+      acc |= (c.toLong & 0x1FF) << bits; bits += 9
+      while (bits >= 8) { codes.write((acc & 0xFF).toInt); acc >>>= 8; bits -= 8 }
+    }
+    putCode(256)
+    var since = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < W) {
+        if (since == 253) { putCode(256); since = 0 }
+        putCode(px(y * W + x) & 0xFF)
+        since += 1
+        x += 1
+      }
+    }
+    putCode(257) // end of information
+    if (bits > 0) codes.write((acc & 0xFF).toInt)
+    val cb = codes.toByteArray
+    var p = 0
+    while (p < cb.length) {
+      val n = math.min(255, cb.length - p)
+      out.write(n); out.write(cb, p, n)
+      p += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Uncompressed 24-bit bottom-up BMP (BGR = the gray value). */
+  private def buildBmp(px: Array[Byte]): Array[Byte] = {
+    val rowLen = ((W * 24 + 31) / 32) * 4
+    val size = 54 + rowLen * H
+    val out = new java.io.ByteArrayOutputStream(size)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    out.write('B'); out.write('M'); le32(size); le32(0); le32(54)
+    le32(40); le32(W); le32(H); le16(1); le16(24)
+    le32(0); le32(rowLen * H); le32(0); le32(0); le32(0); le32(0)
+    var y = H - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < W) {
+        val v = px(y * W + x) & 0xFF
+        out.write(v); out.write(v); out.write(v)
+        x += 1
+      }
+      var pad = rowLen - W * 3
+      while (pad > 0) { out.write(0); pad -= 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
   private[graft] def build(text: String): Array[Byte] = {
     val px = pixels(text)
     val d = md5(text)
+    formatOf(text) match {
+      case 3 => return buildGif(px, interlaced = (d(1) & 1) == 1)
+      case 4 => return buildBmp(px)
+      case _ => () // PNG flavors below
+    }
     val colorShare = ((d(0) >> 4) & 0xF) % 3 // 0 gray, 1 rgb, 2 palette
     val rotateFilters = (((d(0)) & 0xF) % 2) == 1
     val (colorType, channels) = colorShare match {

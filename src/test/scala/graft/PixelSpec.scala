@@ -160,23 +160,29 @@ class PixelSpec extends AnyFunSuite {
   }
 
   test("SynthPng: every encoding share decodes to the intended pixels (hash identity)") {
-    // texts landing in all three color shares and both filter shares
-    val texts = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
-      "stream sort window", "slow filter vector", "query stream row")
+    // enough texts that all five FORMAT shares (3x png flavors, gif,
+    // bmp), the png color/filter shares, and both gif interlace
+    // variants occur
+    val texts = (0 until 40).map(i => s"pixel share text $i")
     val shares = texts.map { t =>
       val b = SynthPng.build(t)
       val r = lumaOf(b)
       assert(r.w == SynthPng.W && r.h == SynthPng.H, t)
       assert(r.luma.sameElements(SynthPng.pixels(t)),
-        s"'$t' decode != intended pixels")
+        s"'$t' (format ${SynthPng.formatOf(t)}) decode != intended pixels")
       val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
-      (((d(0) >> 4) & 0xF) % 3, (d(0) & 0xF) % 2)
+      (SynthPng.formatOf(t), ((d(0) >> 4) & 0xF) % 3, (d(0) & 0xF) % 2, d(1) & 1)
     }
-    assert(shares.map(_._1).distinct.size == 3, s"color shares unexercised: $shares")
-    assert(shares.map(_._2).distinct.size == 2, s"filter shares unexercised: $shares")
-    // the hash is a function of PIXELS alone: gray/rgb/palette
-    // re-encodings of one raster hash identically by construction
-    // (decode equality above) — assert it end-to-end on one raster
+    assert(shares.map(_._1).distinct.size == 5, "format shares unexercised")
+    val pngShares = shares.filter(_._1 <= 2)
+    assert(pngShares.map(_._2).distinct.size == 3, "png color shares unexercised")
+    assert(pngShares.map(_._3).distinct.size == 2, "png filter shares unexercised")
+    assert(shares.filter(_._1 == 3).map(_._4).distinct.size == 2,
+      "gif interlace variants unexercised")
+    // the hash is a function of PIXELS alone: re-encodings of one
+    // raster — png gray here, whatever container the share picked for
+    // the same text above — hash identically (decode equality holds
+    // for every share, so this one end-to-end pin covers them all)
     val px = SynthPng.pixels("alpha")
     val gray = {
       val raw = new java.io.ByteArrayOutputStream()
@@ -187,6 +193,102 @@ class PixelSpec extends AnyFunSuite {
     }
     assert(PixelDecode.phash64(lumaOf(gray)) ==
       PixelDecode.phash64(lumaOf(SynthPng.build("alpha"))))
+  }
+
+  test("GIF: LZW round-trips with width growth, clears, KwKwK; interlace; defects loud") {
+    import graft.functions.expressions.SynthPng
+    // a REAL compressed-LZW encoder living test-side: emits variable
+    // width codes mirroring the decoder's table state (the decoder
+    // adds one entry per code AFTER the first of each clear segment,
+    // and widens when ITS table size reaches 1<<width)
+    def gifOf(w: Int, h: Int, idx: Array[Byte], interlaced: Boolean = false,
+        palette: Int => (Int, Int, Int) = i => (i, i, i)): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes); le16(w); le16(h); out.write(0xF7)
+      out.write(0); out.write(0)
+      (0 until 256).foreach { i =>
+        val (r, g, b) = palette(i); out.write(r); out.write(g); out.write(b) }
+      // a skippable extension before the frame (graphic control)
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); le16(0); out.write(0); out.write(0)
+      out.write(0x2C); le16(0); le16(0); le16(w); le16(h)
+      out.write(if (interlaced) 0x40 else 0)
+      out.write(8)
+      // encoder
+      val codes = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var bits = 0; var width = 9
+      def put(c: Int): Unit = {
+        acc |= (c.toLong & ((1L << width) - 1)) << bits; bits += width
+        while (bits >= 8) { codes.write((acc & 0xFF).toInt); acc >>>= 8; bits -= 8 }
+      }
+      val table = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var next = 258
+      var emitted = 0 // codes since the last clear
+      def emit(c: Int): Unit = {
+        put(c)
+        emitted += 1
+        // the decoder's table size after receiving `emitted` codes is
+        // emitted - 1; it widens when 258 + (emitted - 1) == 1<<width
+        if (258 + emitted - 1 == (1 << width) && width < 12) width += 1
+      }
+      put(256)
+      val rowOrder: Seq[Int] =
+        if (!interlaced) 0 until h
+        else (0 until h by 8) ++ (4 until h by 8) ++
+          (2 until h by 4) ++ (1 until h by 2)
+      val stream = rowOrder.flatMap(y => (0 until w).map(x => idx(y * w + x) & 0xFF))
+      var cur = stream.head
+      stream.tail.foreach { c =>
+        table.get((cur, c)) match {
+          case Some(code) => cur = code
+          case None =>
+            emit(cur)
+            if (next < 4096) { table((cur, c)) = next; next += 1 }
+            else { put(256); table.clear(); next = 258; width = 9; emitted = 0 }
+            cur = c
+        }
+      }
+      emit(cur)
+      put(257)
+      if (bits > 0) codes.write((acc & 0xFF).toInt)
+      val cb = codes.toByteArray
+      var p = 0
+      while (p < cb.length) {
+        val n = math.min(255, cb.length - p)
+        out.write(n); out.write(cb, p, n); p += n
+      }
+      out.write(0); out.write(0x3B)
+      out.toByteArray
+    }
+    // pseudorandom indexes big enough to grow the width past 10 bits
+    val rng = new scala.util.Random(7)
+    val w = 64; val h = 64
+    val idx = Array.fill[Byte](w * h)(rng.nextInt(256).toByte)
+    val r = lumaOf(gifOf(w, h, idx))
+    assert(r.w == w && r.h == h)
+    assert(r.luma.sameElements(idx), "identity palette: luma == indexes")
+    // KwKwK appears in runs; a constant image is all KwKwK
+    val flat = Array.fill[Byte](w * h)(42)
+    assert(lumaOf(gifOf(w, h, flat)).luma.sameElements(flat))
+    // interlaced rows land back in display order
+    val ri = lumaOf(gifOf(w, h, idx, interlaced = true))
+    assert(ri.luma.sameElements(idx), "interlace pass order must undo")
+    // a non-identity palette routes through BT.601 luma
+    val two = gifOf(2, 1, Array[Byte](0, 1),
+      palette = i => if (i == 0) (255, 0, 0) else (255, 255, 255))
+    assert(lumaOf(two).luma.toSeq ==
+      Seq(((77 * 255 + 128) >> 8).toByte, 255.toByte))
+    // defects loud: truncated stream, missing trailer, bad block
+    val ok = gifOf(4, 4, Array.fill[Byte](16)(9))
+    val trunc = ok.dropRight(12)
+    assert(intercept[Exception](PixelDecode.decodeLuma(trunc))
+      .getMessage.toLowerCase.contains("gif"))
+    // SynthPng's gif share round-trips through the driver expression
+    val gifText = (0 until 200).map(i => s"gif probe $i")
+      .find(t => SynthPng.formatOf(t) == 3).get
+    assert(lumaOf(SynthPng.build(gifText)).luma
+      .sameElements(SynthPng.pixels(gifText)))
   }
 
   test("phash: recompression is hamming 0, noise/resize small, different content far") {
