@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 
-/** From-scratch PIXEL decode for the two self-contained raster
-  * formats a JDK-only engine can open exactly — PNG (RFC 2083 /
-  * ISO 15948: chunk walk, zlib inflate, the five row filters, all
-  * five color types, sub-byte and 16-bit depths, palette) and
+/** From-scratch PIXEL decode for the self-contained raster formats a
+  * JDK-only engine can open exactly — PNG (RFC 2083 / ISO 15948:
+  * chunk walk, zlib inflate, the five row filters, all five color
+  * types, sub-byte and 16-bit depths, palette, Adam7 interlace),
   * uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp, bottom-up and
-  * top-down) — plus the 32x32-DCT perceptual hash over the decoded
-  * LUMA raster (the pHash construction: downscale, 2D DCT-II, the
-  * 8x8 low-frequency block thresholded at its median → 64 bits).
+  * top-down), and GIF 87a/89a (LSB-first LZW, local/global palettes,
+  * 4-pass interlace, first frame) — plus the 32x32-DCT perceptual
+  * hash over the decoded LUMA raster (the pHash construction:
+  * downscale, 2D DCT-II, the 8x8 low-frequency block thresholded at
+  * its median → 64 bits).
   *
   * This is what makes image near-dup detection PERCEPTUAL: a
   * recompressed duplicate (same pixels, different filter schedule /
@@ -28,7 +30,8 @@ import org.apache.spark.sql.types._
   * truncated IDAT is data loss. [[tryDecodeLuma]] is the tolerant
   * wrapper for feature extraction, where a fake or exotic payload
   * degrades to byte-level features instead of failing the fit.
-  * Adam7 interlace and BMP RLE are declared out of scope (loud). */
+  * BMP RLE and JPEG entropy decode are declared out of scope (loud /
+  * byte-feature fallback respectively). */
 object PixelDecode {
 
   /** A decoded grayscale raster; luma = BT.601 integer weights
@@ -104,6 +107,7 @@ object PixelDecode {
     // should surface, not silently skew the hash
     var p = 8
     var w = 0; var h = 0; var depth = 0; var colorType = 0
+    var interlaced = false
     var sawIhdr = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream(b.length)
@@ -123,11 +127,14 @@ object PixelDecode {
           if (len != 13) fail(s"PNG IHDR length $len")
           w = be32(b, p + 8); h = be32(b, p + 12)
           depth = b(p + 16) & 0xFF; colorType = b(p + 17) & 0xFF
-          val interlace = b(p + 20) & 0xFF
+          interlaced = (b(p + 20) & 0xFF) match {
+            case 0 => false
+            case 1 => true
+            case other => fail(s"PNG interlace method $other")
+          }
           if (w <= 0 || h <= 0) fail(s"PNG dimensions ${w}x$h")
           if ((b(p + 18) & 0xFF) != 0) fail("PNG compression method != 0")
           if ((b(p + 19) & 0xFF) != 0) fail("PNG filter method != 0")
-          if (interlace != 0) fail("PNG Adam7 interlace is out of scope")
           sawIhdr = true
         case "PLTE" => palette = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
         case "IDAT" => idat.write(b, p + 8, len)
@@ -149,53 +156,96 @@ object PixelDecode {
     if (colorType == 3 && palette == null) fail("PNG palette image has no PLTE")
     val raw = ParsePdf.inflate(idat.toByteArray) // zlib, loud on truncation
     val bitsPerPx = channels * depth
-    val rowLen = ((w.toLong * bitsPerPx + 7) / 8).toInt
     val bpp = math.max(1, bitsPerPx / 8)
-    val px = unfilterRows(raw, rowLen, bpp)
-    if (px.length != rowLen * h) fail("PNG pixel data does not match IHDR dims")
-    val out = new Array[Byte](w * h)
     val maxSub = (1 << depth) - 1
-    var y = 0
-    while (y < h) {
-      val row = y * rowLen
-      var x = 0
-      while (x < w) {
-        val l: Byte =
-          if (depth == 16) {
-            // MSB byte of each sample — the 8-bit projection
-            val s = row + x * channels * 2
-            colorType match {
-              case 0 | 4 => px(s)
-              case _ => luma(px(s) & 0xFF, px(s + 2) & 0xFF, px(s + 4) & 0xFF)
-            }
-          } else if (depth == 8) {
-            val s = row + x * channels
-            colorType match {
-              case 0 | 4 => px(s)
-              case 2 | 6 => luma(px(s) & 0xFF, px(s + 1) & 0xFF, px(s + 2) & 0xFF)
-              case 3 =>
-                val i = (px(s) & 0xFF) * 3
-                if (i + 2 >= palette.length) fail("PNG palette index out of range")
-                luma(palette(i) & 0xFF, palette(i + 1) & 0xFF, palette(i + 2) & 0xFF)
-            }
-          } else {
-            // sub-byte gray/palette: MSB-first bit packing
-            val bitPos = x * depth
-            val v = (px(row + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & maxSub
-            if (colorType == 0) ((v * 255) / maxSub).toByte
-            else {
-              val i = v * 3
-              if (i + 2 >= palette.length) fail("PNG palette index out of range")
-              luma(palette(i) & 0xFF, palette(i + 1) & 0xFF, palette(i + 2) & 0xFF)
-            }
-          }
-        out(y * w + x) = l
-        x += 1
+    val out = new Array[Byte](w * h)
+    // one per-pixel extractor for both the sequential and the Adam7
+    // layouts: `px` holds unfiltered rows of some sub-image, `rowOff`
+    // the row's base, `x` the pixel's index WITHIN that row
+    def lumaAt(px: Array[Byte], rowOff: Int, x: Int): Byte =
+      if (depth == 16) {
+        // MSB byte of each sample — the 8-bit projection
+        val s = rowOff + x * channels * 2
+        colorType match {
+          case 0 | 4 => px(s)
+          case _ => luma(px(s) & 0xFF, px(s + 2) & 0xFF, px(s + 4) & 0xFF)
+        }
+      } else if (depth == 8) {
+        val s = rowOff + x * channels
+        colorType match {
+          case 0 | 4 => px(s)
+          case 2 | 6 => luma(px(s) & 0xFF, px(s + 1) & 0xFF, px(s + 2) & 0xFF)
+          case 3 =>
+            val i = (px(s) & 0xFF) * 3
+            if (i + 2 >= palette.length) fail("PNG palette index out of range")
+            luma(palette(i) & 0xFF, palette(i + 1) & 0xFF, palette(i + 2) & 0xFF)
+        }
+      } else {
+        // sub-byte gray/palette: MSB-first bit packing
+        val bitPos = x * depth
+        val v = (px(rowOff + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & maxSub
+        if (colorType == 0) ((v * 255) / maxSub).toByte
+        else {
+          val i = v * 3
+          if (i + 2 >= palette.length) fail("PNG palette index out of range")
+          luma(palette(i) & 0xFF, palette(i + 1) & 0xFF, palette(i + 2) & 0xFF)
+        }
       }
-      y += 1
+    if (!interlaced) {
+      val rowLen = ((w.toLong * bitsPerPx + 7) / 8).toInt
+      val px = unfilterRows(raw, rowLen, bpp)
+      if (px.length != rowLen * h) fail("PNG pixel data does not match IHDR dims")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = lumaAt(px, y * rowLen, x)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      // Adam7 (PNG spec §8.2): seven sub-images, each its own run of
+      // filtered scanlines; empty passes contribute NO bytes at all
+      var off = 0
+      var pass = 0
+      while (pass < 7) {
+        val x0 = Adam7XStart(pass); val xs = Adam7XStep(pass)
+        val y0 = Adam7YStart(pass); val ys = Adam7YStep(pass)
+        val wp = if (w > x0) (w - x0 + xs - 1) / xs else 0
+        val hp = if (h > y0) (h - y0 + ys - 1) / ys else 0
+        if (wp > 0 && hp > 0) {
+          val rowLenP = ((wp.toLong * bitsPerPx + 7) / 8).toInt
+          val need = hp * (rowLenP + 1)
+          if (off + need > raw.length)
+            fail(s"PNG Adam7 pass ${pass + 1} truncated")
+          val px = unfilterRows(
+            java.util.Arrays.copyOfRange(raw, off, off + need), rowLenP, bpp)
+          off += need
+          var py = 0
+          while (py < hp) {
+            var pxx = 0
+            while (pxx < wp) {
+              out((y0 + py * ys) * w + (x0 + pxx * xs)) =
+                lumaAt(px, py * rowLenP, pxx)
+              pxx += 1
+            }
+            py += 1
+          }
+        }
+        pass += 1
+      }
+      if (off != raw.length)
+        fail(s"PNG Adam7 passes leave ${raw.length - off} unread bytes")
     }
     Raster(w, h, out)
   }
+
+  // Adam7 pass geometry (PNG spec §8.2): start/step per axis
+  private val Adam7XStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val Adam7YStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val Adam7XStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val Adam7YStep = Array(8, 8, 8, 4, 4, 2, 2)
 
   private def decodeBmp(b: Array[Byte]): Raster = {
     if (b.length < 54) fail("BMP shorter than its headers")

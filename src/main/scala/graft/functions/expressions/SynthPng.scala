@@ -24,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - PNG color share (nibble 0 mod 3): grayscale (type 0) / RGB
   *    with equal channels (type 2) / identity-palette indexed
   *    (type 3) — three byte layouts of the SAME pixels;
-  *  - PNG filter share (nibble 1 mod 2): all-None rows, or a
-  *    rotating None/Sub/Up/Average/Paeth schedule — so every row
-  *    filter decodes inside the driver gate, not just in fixtures.
+  *  - PNG layout share (nibble 1 mod 3): all-None rows, a rotating
+  *    None/Sub/Up/Average/Paeth schedule, or ADAM7 interlace (seven
+  *    sub-image passes, rotating filters within each) — so every row
+  *    filter and the interlace walk decode inside the driver gate,
+  *    not just in fixtures.
   * PNG chunks carry real CRCs; IDAT is one zlib stream. */
 case class SynthPng(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -236,32 +238,45 @@ object SynthPng {
       case _ => () // PNG flavors below
     }
     val colorShare = ((d(0) >> 4) & 0xF) % 3 // 0 gray, 1 rgb, 2 palette
-    val rotateFilters = (((d(0)) & 0xF) % 2) == 1
+    // layout share: 0 all-None rows, 1 rotating filters, 2 Adam7
+    val layout = (d(0) & 0xF) % 3
     val (colorType, channels) = colorShare match {
       case 1 => (2, 3)
       case 2 => (3, 1)
       case _ => (0, 1)
     }
-    val rowLen = W * channels
-    val filtered = new java.io.ByteArrayOutputStream(H * (rowLen + 1))
-    var prev: Array[Byte] = null
-    var y = 0
-    while (y < H) {
-      val row = new Array[Byte](rowLen)
-      var x = 0
-      while (x < W) {
-        val v = px(y * W + x)
-        if (channels == 3) {
-          row(x * 3) = v; row(x * 3 + 1) = v; row(x * 3 + 2) = v
-        } else row(x) = v
-        x += 1
+    def rowBytes(ys: Seq[Int], xs: Seq[Int]): Array[Array[Byte]] =
+      ys.map { y =>
+        val row = new Array[Byte](xs.length * channels)
+        xs.zipWithIndex.foreach { case (x, i) =>
+          val v = px(y * W + x)
+          if (channels == 3) {
+            row(i * 3) = v; row(i * 3 + 1) = v; row(i * 3 + 2) = v
+          } else row(i) = v
+        }
+        row
+      }.toArray
+    val filtered = new java.io.ByteArrayOutputStream(H * (W * channels + 1))
+    def writePass(rows: Array[Array[Byte]], rotate: Boolean): Unit = {
+      var prev: Array[Byte] = null
+      rows.zipWithIndex.foreach { case (row, y) =>
+        val ft = if (rotate) y % 5 else 0
+        filtered.write(ft)
+        filtered.write(filterRow(ft, row, prev, channels))
+        prev = row
       }
-      val ft = if (rotateFilters) y % 5 else 0
-      filtered.write(ft)
-      filtered.write(filterRow(ft, row, prev, channels))
-      prev = row
-      y += 1
     }
+    if (layout == 2) {
+      // Adam7: seven passes, each its own filtered scanline run
+      val xStart = Array(0, 4, 0, 2, 0, 1, 0); val xStep = Array(8, 8, 4, 4, 2, 2, 1)
+      val yStart = Array(0, 0, 4, 0, 2, 0, 1); val yStep = Array(8, 8, 8, 4, 4, 2, 2)
+      (0 until 7).foreach { p =>
+        val xs = xStart(p) until W by xStep(p)
+        val ys = yStart(p) until H by yStep(p)
+        if (xs.nonEmpty && ys.nonEmpty)
+          writePass(rowBytes(ys, xs), rotate = true)
+      }
+    } else writePass(rowBytes(0 until H, 0 until W), rotate = layout == 1)
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(filtered.toByteArray)
     deflater.finish()
@@ -276,6 +291,7 @@ object SynthPng {
     }
     putBe32(0, W); putBe32(4, H)
     ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    if (layout == 2) ihdr(12) = 1 // Adam7
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
     val plte =
       if (colorType == 3)

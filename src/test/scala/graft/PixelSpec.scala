@@ -121,8 +121,9 @@ class PixelSpec extends AnyFunSuite {
     val short = png(2, 2, 8, 0, Array[Byte](0, 1, 2))
     assert(intercept[Exception](PixelDecode.decodeLuma(short))
       .getMessage.contains("IHDR dims"))
-    val adam7 = png(2, 2, 8, 0, Array[Byte](0, 1, 2, 0, 3, 4), interlace = 1)
-    assert(intercept[Exception](PixelDecode.decodeLuma(adam7))
+    // Adam7 with too few pass bytes: loud truncation, never garbage
+    val adam7Short = png(2, 2, 8, 0, Array[Byte](0, 1, 2, 0, 3, 4), interlace = 1)
+    assert(intercept[Exception](PixelDecode.decodeLuma(adam7Short))
       .getMessage.contains("Adam7"))
     val oob = png(1, 1, 8, 3, Array[Byte](0, 9), plte = Array[Byte](0, 0, 0))
     assert(intercept[Exception](PixelDecode.decodeLuma(oob))
@@ -171,12 +172,13 @@ class PixelSpec extends AnyFunSuite {
       assert(r.luma.sameElements(SynthPng.pixels(t)),
         s"'$t' (format ${SynthPng.formatOf(t)}) decode != intended pixels")
       val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
-      (SynthPng.formatOf(t), ((d(0) >> 4) & 0xF) % 3, (d(0) & 0xF) % 2, d(1) & 1)
+      (SynthPng.formatOf(t), ((d(0) >> 4) & 0xF) % 3, (d(0) & 0xF) % 3, d(1) & 1)
     }
     assert(shares.map(_._1).distinct.size == 5, "format shares unexercised")
     val pngShares = shares.filter(_._1 <= 2)
     assert(pngShares.map(_._2).distinct.size == 3, "png color shares unexercised")
-    assert(pngShares.map(_._3).distinct.size == 2, "png filter shares unexercised")
+    assert(pngShares.map(_._3).distinct.size == 3,
+      "png layout shares (plain/filters/Adam7) unexercised")
     assert(shares.filter(_._1 == 3).map(_._4).distinct.size == 2,
       "gif interlace variants unexercised")
     // the hash is a function of PIXELS alone: re-encodings of one
