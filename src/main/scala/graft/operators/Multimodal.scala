@@ -185,8 +185,14 @@ object Multimodal {
     import graft.functions.expressions.{PixelPhash, SynthPng}
     val bitsPerBand = PxBits / PxBands
     val mask = (1L << bitsPerBand) - 1
-    val hashed = Tables.spread(Tables.load(spark, dir, "documents"))
-      .select($"doc_id", PixelPhash(SynthPng($"text")).as("ph"))
+    // MATERIALIZED before the self-join: the hash is a decode + DCT
+    // per row — expensive where mm_phash's bit math is free — and a
+    // lazy self-join would run it TWICE (each side re-scans; plan
+    // audit showed two parquet scans). The (doc_id, ph) frame is 16
+    // bytes a row, so the checkpoint is bounded at any corpus size.
+    val hashed = Tables.materialize(
+      Tables.spread(Tables.load(spark, dir, "documents"))
+        .select($"doc_id", PixelPhash(SynthPng($"text")).as("ph")))
     val banded = hashed.select($"doc_id", $"ph",
       posexplode(array((0 until PxBands).map { b =>
         shiftright($"ph", b * bitsPerBand).bitwiseAND(lit(mask))
