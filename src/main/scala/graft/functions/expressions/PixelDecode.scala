@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * chunk walk, zlib inflate, the five row filters, all five color
   * types, sub-byte and 16-bit depths, palette, Adam7 interlace),
   * uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp, bottom-up and
-  * top-down), and GIF 87a/89a (LSB-first LZW, local/global palettes,
-  * 4-pass interlace, first frame) — plus the 32x32-DCT perceptual
-  * hash over the decoded LUMA raster (the pHash construction:
-  * downscale, 2D DCT-II, the 8x8 low-frequency block thresholded at
-  * its median → 64 bits).
+  * top-down), GIF 87a/89a (LSB-first LZW, local/global palettes,
+  * 4-pass interlace, first frame), and baseline JPEG
+  * ([[JpegDecode]] — Huffman entropy decode, dequant, IDCT, the
+  * luma plane) — plus the 32x32-DCT perceptual hash over the decoded
+  * LUMA raster (the pHash construction: downscale, 2D DCT-II, the
+  * 8x8 low-frequency block thresholded at its median → 64 bits).
   *
   * This is what makes image near-dup detection PERCEPTUAL: a
   * recompressed duplicate (same pixels, different filter schedule /
@@ -30,8 +31,8 @@ import org.apache.spark.sql.types._
   * truncated IDAT is data loss. [[tryDecodeLuma]] is the tolerant
   * wrapper for feature extraction, where a fake or exotic payload
   * degrades to byte-level features instead of failing the fit.
-  * BMP RLE and JPEG entropy decode are declared out of scope (loud /
-  * byte-feature fallback respectively). */
+  * BMP RLE and the non-baseline JPEG modes (progressive, arithmetic,
+  * 12-bit, CMYK) are declared out of scope (loud). */
 object PixelDecode {
 
   /** A decoded grayscale raster; luma = BT.601 integer weights
@@ -455,12 +456,13 @@ object PixelDecode {
     fail("GIF ends with no image frame")
   }
 
-  /** None = not a PNG/BMP/GIF magic; loud on structural defects
+  /** None = not a PNG/BMP/GIF/JPEG magic; loud on structural defects
     * inside a recognized format. */
   def decodeLuma(b: Array[Byte]): Option[Raster] =
     if (isPng(b)) Some(decodePng(b))
     else if (isBmp(b)) Some(decodeBmp(b))
     else if (isGif(b)) Some(decodeGif(b))
+    else if (JpegDecode.isJpeg(b)) Some(JpegDecode.decodeLuma(b))
     else None
 
   /** Tolerant twin for feature extraction: any failure (fake header,
@@ -571,7 +573,7 @@ case class PixelPhash(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     PixelDecode.phash64(PixelDecode.decodeLuma(b).getOrElse(
       throw new IllegalArgumentException(
-        "PixelPhash: payload is none of PNG/BMP/GIF")))
+        "PixelPhash: payload is none of PNG/BMP/GIF/JPEG")))
   }
 
   override protected def withNewChildInternal(c: Expression): PixelPhash =

@@ -316,6 +316,97 @@ class PixelSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(base) <= 32)
   }
 
+
+  test("JPEG baseline: from-scratch decode cross-validated against an independent decoder") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.functions.expressions.JpegDecode
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def jpegOf(img: BufferedImage): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bo), "ImageIO jpeg writer missing")
+      bo.toByteArray
+    }
+    def maxDiff(mine: PixelDecode.Raster, ref: BufferedImage): Int = {
+      // the reference luma of ImageIO's decode: gray images read the
+      // RASTER samples (getRGB would apply a gray->sRGB colorspace
+      // conversion and shift every level); color decodes convert via
+      // the same BT.601 integer weights as PixelDecode
+      val gray = ref.getType == BufferedImage.TYPE_BYTE_GRAY
+      var worst = 0
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth) {
+        val l =
+          if (gray) ref.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = ref.getRGB(x, y)
+            (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+              29 * (rgb & 0xFF) + 128) >> 8
+          }
+        worst = math.max(worst, math.abs(l - (mine.luma(y * mine.w + x) & 0xFF)))
+      }
+      worst
+    }
+    // grayscale: smooth gradient + blocks (ImageIO emits 1-component)
+    val g = new BufferedImage(37, 29, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 29; x <- 0 until 37)
+      g.getRaster.setSample(x, y, 0, (x * 5 + y * 3 + (x / 8) * 40) % 256)
+    val gj = jpegOf(g)
+    val mineG = JpegDecode.decodeLuma(gj)
+    assert(mineG.w == 37 && mineG.h == 29)
+    val refG = ImageIO.read(new java.io.ByteArrayInputStream(gj))
+    // JPEG decode is not bit-specified; IDCT rounding differs by
+    // implementation within the spec's accuracy bounds — a small
+    // tolerance IS the correctness contract here
+    assert(maxDiff(mineG, refG) <= 2,
+      s"gray decode drifts ${maxDiff(mineG, refG)} levels from the reference")
+    // color (3-component YCbCr, 4:2:0-subsampled chroma by default):
+    // my luma plane vs the reference's BT.601 of its full decode.
+    // chroma subsampling perturbs the reference's reconstructed R/G/B
+    // slightly, so the tolerance is wider — still single-digit levels
+    val c = new BufferedImage(41, 33, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 33; x <- 0 until 41)
+      c.setRGB(x, y, ((x * 6 % 256) << 16) | ((y * 7 % 256) << 8) | ((x + y) * 3 % 256))
+    val cj = jpegOf(c)
+    val mineC = JpegDecode.decodeLuma(cj)
+    assert(mineC.w == 41 && mineC.h == 33)
+    val refC = ImageIO.read(new java.io.ByteArrayInputStream(cj))
+    assert(maxDiff(mineC, refC) <= 6,
+      s"color decode drifts ${maxDiff(mineC, refC)} levels from the reference")
+    // determinism: byte-identical output on repeat decode
+    assert(JpegDecode.decodeLuma(cj).luma.sameElements(mineC.luma))
+    // the perceptual seam: a JPEG recompression of a raster lands
+    // within the near-dup hamming bound of its lossless encoding
+    import graft.functions.expressions.SynthPng
+    val px = SynthPng.pixels("jpeg recompression probe")
+    val src = new BufferedImage(SynthPng.W, SynthPng.H, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until SynthPng.H; x <- 0 until SynthPng.W)
+      src.getRaster.setSample(x, y, 0, px(y * SynthPng.W + x) & 0xFF)
+    val viaJpeg = PixelDecode.phash64(JpegDecode.decodeLuma(jpegOf(src)))
+    val exact = PixelDecode.phash64(PixelDecode.Raster(SynthPng.W, SynthPng.H, px))
+    val ham = java.lang.Long.bitCount(viaJpeg ^ exact)
+    assert(ham <= operators.Multimodal.PxMaxHamming,
+      s"jpeg recompression drifted $ham bits")
+    // PixelPhash routes jpegs end-to-end
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaExpr = Seq(jpegOf(src)).toDF("p")
+      .select(graft.functions.expressions.PixelPhash($"p")).collect()(0).getLong(0)
+    assert(viaExpr == viaJpeg)
+    // scope edges loud: progressive SOF2, truncation, CMYK-ish SOF
+    val prog = gj.clone()
+    // rewrite the SOF0 marker to SOF2 (find FF C0)
+    val at = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(at + 1) = 0xC2.toByte
+    assert(intercept[Exception](JpegDecode.decodeLuma(prog))
+      .getMessage.contains("progressive"))
+    val trunc = gj.dropRight(gj.length / 3)
+    assert(intercept[Exception](JpegDecode.decodeLuma(trunc))
+      .getMessage.nonEmpty)
+    assert(PixelDecode.decodeLuma("not an image".getBytes).isEmpty)
+  }
+
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
     import SparkTestSession._
     import spark.implicits._
