@@ -392,8 +392,21 @@ object DocParse {
       case "rtf" => graft.functions.expressions.ParseRtf(p)
       case "jsonl" => graft.functions.JsonlCodec.parse(p)
       case "csv" => graft.functions.CsvCodec.parse(p)
+      case "image" =>
+        // a STANDALONE image file (png/jpg/gif/bmp — what an image
+        // corpus folder holds): one image row, payload base64'd like
+        // every in-document picture, bbox = the container's declared
+        // dims (an unrecognized header keeps the row with a 0x0 bbox
+        // — the embedding and phash still see the bytes)
+        val m = graft.functions.expressions.ImageHeaderMeta(p)
+        array(struct(
+          lit(0L).as("page_num"), lit("image").as("content_type"),
+          lit("0").as("content_id"), base64(p).as("content_raw"),
+          lit(0.0).as("x0"), lit(0.0).as("y0"),
+          coalesce(m.getField("width").cast("double"), lit(0.0)).as("x1"),
+          coalesce(m.getField("height").cast("double"), lit(0.0)).as("y1")))
       case other => throw new IllegalArgumentException(
-        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv)")
+        s"DocParse.records: unknown container format '$other' (gft|pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|image)")
     }
     payloads
       .select($"doc_name", md5($"payload".cast("binary")).as("file_hash"),

@@ -18,8 +18,10 @@ import graft.operators.{DocParse, GraftVectorDB, ResponseGen}
   *    registry — so the model-selection fields are accepted and
   *    ignored); 400 with {"error": …} on failure;
   *  - POST /embed {"path": …, "is_folder": bool} → vectorize_file /
-  *    vectorize_folder: a `.pdf`/`.pptx`/`.docx`/`.html`/`.xlsx`/`.md`/`.epub` path ingests through the
-  *    REAL-format parsers (DocParse.records), a `.parquet` path (file
+  *    vectorize_folder: a `.pdf`/`.pptx`/`.docx`/`.html`/… document path
+  *    ingests through the REAL-format parsers (DocParse.records), a
+  *    standalone image file (`.png`/`.jpg`/`.gif`/`.bmp`) as a single
+  *    image record, a `.parquet` path (file
   *    or directory) ingests as a documents-shaped corpus frame
   *    (vectorize_folder's bulk shape at cluster scale); folders sweep
   *    their supported files, one ingest per format; 400 when the
@@ -218,7 +220,10 @@ private class ServeState(spark: SparkSession) {
               else lower
             base.substring(base.lastIndexOf('.') + 1)
           }
-          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md", "epub", "odt", "rtf", "jsonl", "csv", "warc")
+          val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md",
+            "epub", "odt", "rtf", "jsonl", "csv", "warc",
+            // standalone image files ingest as single image records
+            "png", "jpg", "jpeg", "gif", "bmp")
           // is_folder=false on a .parquet file OR a directory = a
           // parquet corpus table (a parquet dataset IS a directory —
           // the bulk vectorize_folder shape at cluster scale);
@@ -236,11 +241,16 @@ private class ServeState(spark: SparkSession) {
                   .filter(x => x.isFile && supported(ext(x.getName))).toSeq
               else if (supported(ext(f.getName))) Seq(f)
               else return (400, JObject("error" -> JString(
-                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|parquet)")))
+                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|gif|bmp|parquet)")))
             if (files.isEmpty)
               return (400, JObject("error" -> JString(
-                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc) under $path")))
-            val n = files.groupBy(x => ext(x.getName)).map { case (fmt, fs) =>
+                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|gif|bmp) under $path")))
+            // the image extensions all route to the ONE image format
+            val imageExts = Set("png", "jpg", "jpeg", "gif", "bmp")
+            val n = files.groupBy(x => {
+              val e = ext(x.getName)
+              if (imageExts(e)) "image" else e
+            }).map { case (fmt, fs) =>
               val payloads = fs.map(x => (x.getPath,
                 java.nio.file.Files.readAllBytes(x.toPath)))
                 .toDF("doc_name", "payload")

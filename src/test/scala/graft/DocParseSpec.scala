@@ -1082,6 +1082,44 @@ class DocParseSpec extends AnyFunSuite {
     assert(ez.getMessage.contains("zstd"), ez.getMessage)
   }
 
+
+  test("image files ingest as single image records with decoded dims") {
+    import spark.implicits._
+    import graft.functions.expressions.{Inflate, SynthPng}
+    // a real PNG (the gray share) and the same raster as BMP/GIF via
+    // the synth's format shares; plus a gz-wrapped copy and junk bytes
+    val pngText = (0 until 99).map(i => s"img probe $i")
+      .find(t => SynthPng.formatOf(t) <= 2).get
+    val gifText = (0 until 99).map(i => s"img probe $i")
+      .find(t => SynthPng.formatOf(t) == 3).get
+    val payloads = Seq(
+      ("a.png", SynthPng.build(pngText)),
+      ("b.gif", SynthPng.build(gifText)),
+      ("c.png.gz", Inflate.gzip(SynthPng.build(pngText))),
+      ("junk.png", "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_name", "payload")
+    val recs = DocParse.records(payloads, "image").collect()
+    assert(recs.length == 4, recs.toSeq.toString)
+    assert(recs.forall(r => r.getAs[String]("doc_type") == "image" &&
+      r.getAs[String]("content_type") == ContentTypes.Image))
+    val byDoc = recs.map(r => r.getAs[String]("doc_name") -> r).toMap
+    // dims decode from the container header; the gz wrapper is
+    // transparent for the parse but not for the file hash
+    Seq("a.png", "b.gif", "c.png.gz").foreach { d =>
+      assert(byDoc(d).getAs[scala.collection.Seq[Double]]("bbox").toSeq ==
+        Seq(0.0, 0.0, SynthPng.W.toDouble, SynthPng.H.toDouble), d)
+    }
+    assert(byDoc("a.png").getAs[String]("file_hash") !=
+      byDoc("c.png.gz").getAs[String]("file_hash"))
+    assert(byDoc("a.png").getAs[String]("content_raw") ==
+      byDoc("c.png.gz").getAs[String]("content_raw"))
+    // an unrecognized header keeps the row (bytes still embed) with
+    // a 0x0 bbox — an image corpus with one odd file must not abort
+    assert(byDoc("junk.png").getAs[scala.collection.Seq[Double]]("bbox").toSeq ==
+      Seq(0.0, 0.0, 0.0, 0.0))
+    assert(recs.forall(_.getAs[scala.collection.Seq[Double]]("embedding").nonEmpty))
+  }
+
   test("HTML: records() routes the format and never embeds boilerplate") {
     import spark.implicits._
     val payloads = Seq(("a.html",
