@@ -22,10 +22,12 @@ import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
   *  4. UTF-8 (the modern-web default; this library has no locale to
   *     key the spec's locale-default table off).
   *
-  * Spec-mandated label fixups: a meta/transport claim of UTF-16 is
-  * read as UTF-8 (the claim was found by an ASCII scan, so the bytes
-  * are not UTF-16 — spec 13.2.3.2 step 2), and `x-user-defined` maps
-  * to windows-1252. An unrecognized label falls through to the next
+  * Spec-mandated label fixups: a META claim of UTF-16 is read as
+  * UTF-8 (the claim was found by an ASCII scan, so the bytes are not
+  * UTF-16 — spec 13.2.3.2 step 2; the TRANSPORT layer's utf-16 claim
+  * is honored as declared, since a BOM-less UTF-16 page with the
+  * right Content-Type is real), and `x-user-defined` maps to
+  * windows-1252. An unrecognized label falls through to the next
   * stage rather than failing — mislabeled pages are common and a
   * tolerant parse beats dropping the page.
   *
@@ -45,12 +47,17 @@ object CharsetSniff {
     """(?i)<\?xml[^>]*encoding\s*=\s*["']([\w.:+\-]+)""".r
 
   /** Resolve a sniffed label to a JDK charset; None = unknown label
-    * (fall through). UTF-16 claims found by an ASCII-level scan read
-    * as UTF-8 per the spec; x-user-defined maps to windows-1252. */
-  private[expressions] def resolve(label: String): Option[Charset] = {
+    * (fall through). `fromPrescan` applies the spec's meta-only
+    * fixup: a UTF-16 claim FOUND BY the ASCII-level prescan cannot be
+    * true (the scan read ASCII bytes) and reads as UTF-8 — but the
+    * TRANSPORT layer's utf-16 claim is honored as declared (a BOM-less
+    * UTF-16 page served with the right Content-Type is real).
+    * x-user-defined maps to windows-1252 in both. */
+  private[expressions] def resolve(label: String,
+      fromPrescan: Boolean = false): Option[Charset] = {
     val l = label.trim.toLowerCase(java.util.Locale.ROOT)
     if (l.isEmpty) None
-    else if (l.startsWith("utf-16") || l.startsWith("utf16"))
+    else if (fromPrescan && (l.startsWith("utf-16") || l.startsWith("utf16")))
       Some(StandardCharsets.UTF_8)
     else if (l == "x-user-defined") Some(Charset.forName("windows-1252"))
     else
@@ -74,9 +81,10 @@ object CharsetSniff {
   private[expressions] def prescan(b: Array[Byte]): Option[Charset] = {
     val head = new String(b, 0, math.min(b.length, 1024),
       StandardCharsets.ISO_8859_1)
-    MetaCharset.findFirstMatchIn(head).map(_.group(1)).flatMap(resolve)
+    MetaCharset.findFirstMatchIn(head).map(_.group(1))
+      .flatMap(resolve(_, fromPrescan = true))
       .orElse(XmlEncoding.findFirstMatchIn(head).map(_.group(1))
-        .flatMap(resolve))
+        .flatMap(resolve(_, fromPrescan = true)))
   }
 
   private def startsWith(b: Array[Byte], prefix: Array[Byte]): Boolean =

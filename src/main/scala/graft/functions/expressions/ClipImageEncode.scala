@@ -141,14 +141,17 @@ object ClipImageModel {
   val P: Int = Formats.length + 4 + PairBuckets + 2 * SideBuckets + HistBins + 2
 
   /** The fixed byte-level feature map — header fields the container
-    * declares plus CONTENT statistics: when the payload is a
-    * decodable PNG/BMP the histogram/mean/stddev run over the decoded
-    * LUMA pixels ([[PixelDecode.tryDecodeLuma]] — real content, so a
-    * recompressed duplicate maps to the same features), and fall back
-    * to the container bytes for every other format (JPEG/GIF decode
-    * is out of scope; the fallback keeps the map total). Everything is
-    * scaled to O(1) so the MLP trains on comparable magnitudes; all
-    * loops are sequential, so the map is deterministic. */
+    * declares plus CONTENT statistics: when the payload really
+    * decodes (PNG/BMP/GIF/baseline JPEG —
+    * [[PixelDecode.tryDecodeLuma]]) the histogram/mean/stddev run
+    * over the decoded LUMA pixels, so a recompressed duplicate maps
+    * to near-identical features; everything else (fake headers,
+    * progressive JPEG, exotic variants) falls back to the container
+    * bytes, keeping the map total. The decode is per-row work in the
+    * embedding path by DESIGN — content features are the point; the
+    * dimension cap in the decoders bounds the worst case. Everything
+    * is scaled to O(1) so the MLP trains on comparable magnitudes;
+    * all loops are sequential, so the map is deterministic. */
   def features(bytes: Array[Byte], fmt: String, w: Long, h: Long): Array[Double] = {
     val content = PixelDecode.tryDecodeLuma(bytes).map(_.luma).getOrElse(bytes)
     val x = new Array[Double](P)

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   *  - zstd (28 b5 2f fd): the modern corpus-dump codec
   *    (RefinedWeb-class `.jsonl.zst`/`.warc.zst` mirrors), decoded
   *    through the zstd-jni Spark already bundles for shuffle
-  *    compression (no new dependency), continuous mode so
-  *    concatenated frames inflate whole like gzip members;
+  *    compression (no new dependency); default (non-continuous)
+  *    stream mode reads concatenated frames whole like gzip members
+  *    AND keeps truncation loud — continuous mode would swallow it;
   *  - everything else passes through untouched.
   * Crawl dumps ship `.html.gz`/`.json.zst`; sniffing the magic beats
   * trusting file extensions, and the pass-through makes it safe to

@@ -51,9 +51,11 @@ object JpegDecode {
   }
 
   private val IdctCos: Array[Array[Double]] =
+    // StrictMath for the same cross-host bit-determinism reason as
+    // PixelDecode's DCT table (one-time build)
     Array.tabulate(8, 8) { (u, x) =>
-      val c = if (u == 0) math.sqrt(0.125) else 0.5
-      c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+      val c = if (u == 0) StrictMath.sqrt(0.125) else 0.5
+      c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
     }
 
   /** Canonical Huffman table: per code length 1..16, the first code
@@ -105,11 +107,13 @@ object JpegDecode {
           if (p >= b.length) fail("entropy stream ends at a marker byte")
           val m = b(p) & 0xFF
           if (m == 0x00) p += 1 // stuffed FF
-          else if (m == 0xD9) {
-            // EOI inside the scan: some writers pad; missing data is
-            // caught by the block loop, treat remaining bits as zero
-            v = 0
-          } else fail(f"unexpected marker 0xFF$m%02X inside the scan")
+          else if (m == 0xD9)
+            // a refill that reaches EOI means a block still wanted a
+            // whole symbol: the scan is TRUNCATED (legitimate pad bits
+            // live inside the last data byte, before the marker) —
+            // loud, never zero-filled coefficients
+            fail("entropy stream truncated (EOI before the last MCU)")
+          else fail(f"unexpected marker 0xFF$m%02X inside the scan")
         }
         acc = v
         nbits = 8
@@ -163,6 +167,7 @@ object JpegDecode {
           h = u16(p + 5); w = u16(p + 7)
           nComp = b(p + 9) & 0xFF
           if (w <= 0 || h <= 0) fail(s"JPEG dimensions ${w}x$h")
+          PixelDecode.checkDims(w, h, "JPEG dimensions")
           if (nComp != 1 && nComp != 3)
             fail(s"$nComp-component JPEG (CMYK?) is out of scope")
           compH = new Array[Int](nComp); compV = new Array[Int](nComp)
@@ -232,6 +237,14 @@ object JpegDecode {
       p += 2 + len
     }
     if (w == 0) fail("SOS before SOF")
+    if (nComp == 1) {
+      // a single-component scan is NON-INTERLEAVED (ISO 10918-1
+      // A.2.2): one 8x8 block per MCU over a ceil(w/8) x ceil(h/8)
+      // grid, the SOF sampling factors notwithstanding — a grayscale
+      // file declaring 2x2 factors (libjpeg color->gray keeps them)
+      // would otherwise desynchronize the entropy stream
+      compH(0) = 1; compV(0) = 1
+    }
     val hmax = compH.max; val vmax = compV.max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)

@@ -1134,7 +1134,11 @@ object ParsePdf {
           case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
           case None => CharsetFont(ByteCMaps(e))
         }
-      case Some(e) if e.contains("-") => // the ISO-2022 long tail (H, V, ...)
+      // a Type0 font with ANY other predefined CMap name is out of
+      // scope LOUDLY — including the dash-less ISO-2022 orderings
+      // (/H, /V), which a contains("-") test would silently read as
+      // Latin-1 mojibake
+      case Some(e) if isType0(fdict) =>
         fail(s"unsupported composite-font CMap /$e in font $objNum")
       case Some(_) => SimpleFont // /WinAnsiEncoding etc.: Latin-1 scope
       case None if isType0(fdict) =>

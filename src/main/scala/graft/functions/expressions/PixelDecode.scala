@@ -43,6 +43,18 @@ object PixelDecode {
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"pixel decode: $what")
 
+  /** Raster size ceiling (2^24 pixels — a 4096x4096 image; worst-case
+    * transient buffers stay ~128 MB even at RGBA16): a 200-byte
+    * payload can DECLARE 65535x65535 dims, and allocating on the
+    * declaration would let one hostile/corrupt crawl image OOM an
+    * executor (an Error, which the tolerant feature path's Exception
+    * catch could not contain). Fails loudly like every other scope
+    * edge; all four decoders check before allocating. */
+  private[expressions] val MaxPixels = 1 << 24
+  private[expressions] def checkDims(w: Int, h: Int, what: String): Unit =
+    if (w.toLong * h > MaxPixels)
+      fail(s"$what ${w}x$h exceeds the $MaxPixels-pixel decode ceiling")
+
   private def be32(b: Array[Byte], p: Int): Int =
     ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
       ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
@@ -134,6 +146,7 @@ object PixelDecode {
             case other => fail(s"PNG interlace method $other")
           }
           if (w <= 0 || h <= 0) fail(s"PNG dimensions ${w}x$h")
+          checkDims(w, h, "PNG dimensions")
           if ((b(p + 18) & 0xFF) != 0) fail("PNG compression method != 0")
           if ((b(p + 19) & 0xFF) != 0) fail("PNG filter method != 0")
           sawIhdr = true
@@ -260,6 +273,7 @@ object PixelDecode {
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (w <= 0 || h == 0) fail(s"BMP dimensions ${w}x$hRaw")
+    checkDims(w, h, "BMP dimensions")
     if (compression != 0) fail(s"BMP compression $compression (only BI_RGB) is out of scope")
     val palette: Array[Byte] =
       if (bpp == 8) {
@@ -417,6 +431,7 @@ object PixelDecode {
           }
           if (pal == null) fail("GIF image has no color table")
           if (w <= 0 || h <= 0) fail(s"GIF frame ${w}x$h")
+          checkDims(w, h, "GIF frame")
           if (p >= b.length) fail("GIF image data truncated")
           val minCode = b(p) & 0xFF
           p += 1
@@ -502,9 +517,13 @@ object PixelDecode {
   private val N = 32
   private val cosTable: Array[Array[Double]] = {
     // orthonormal DCT-II basis, u rows 0..7 over x 0..31
+    // StrictMath: Math.cos is only 1-ulp-specified and may differ by
+    // intrinsic across JVMs/architectures — a coefficient sitting at
+    // the median threshold would flip a hash bit between hosts. The
+    // table builds once, so the strict variant costs nothing.
     Array.tabulate(8, N) { (u, x) =>
-      val alpha = if (u == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
-      alpha * math.cos((2 * x + 1) * u * math.Pi / (2.0 * N))
+      val alpha = if (u == 0) StrictMath.sqrt(1.0 / N) else StrictMath.sqrt(2.0 / N)
+      alpha * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * N))
     }
   }
 

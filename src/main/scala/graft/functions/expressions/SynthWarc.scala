@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CommonCrawl-shaped capture with THREE records (warcinfo → request
   * → response), each its own gzip MEMBER or zstd FRAME by a
   * deterministic codec share (the standard per-record layouts —
-  * [[Inflate]]'s multi-member/continuous inflate reassembles the
+  * [[Inflate]]'s multi-member / concatenated-frame inflate reassembles the
   * plain WARC either way). The response block is a real HTTP/1.1
   * message whose body is the [[SynthHtml]] page for the text; the
   * target URI derives from the text's md5 so the oracle recomputes

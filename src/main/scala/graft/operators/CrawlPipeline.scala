@@ -49,11 +49,18 @@ object CrawlPipeline {
     val spark = captures.sparkSession
     import spark.implicits._
     import graft.functions.expressions.{Inflate, ParseHtml, ParseWarc}
-    // container walk: narrow per-row work, rows = page text runs
+    // container walk: narrow per-row work, rows = page text runs.
+    // Only text/html responses parse — a real capture file carries
+    // image/CSS/JS responses too, and their bodies must never enter
+    // the corpus as replacement-char soup. `rec` (the record ordinal)
+    // keeps two same-URL responses in ONE capture apart: without it,
+    // a recrawl's two pos sequences would interleave in reassembly.
     val runs = captures
-      .select($"doc_id", explode(ParseWarc(Inflate($"payload"))).as("w"))
-      .filter($"w.rec_type" === "response")
       .select($"doc_id",
+        posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
+      .filter($"w.rec_type" === "response" &&
+        $"w.mime".startsWith("text/html") && $"w.target_uri".isNotNull)
+      .select($"doc_id", $"rec",
         Dedup.canonicalUrl($"w.target_uri").as("url"),
         // posexplode keeps DOM order so reassembly never depends on
         // lexicographic content_id quirks (p[10] sorts before p[2])
@@ -63,7 +70,7 @@ object CrawlPipeline {
     // the chrome/main char split — one partial-agg-free groupBy(doc)
     // (collect_list is the reassembly, bounded by the page itself)
     val pages = runs
-      .groupBy($"doc_id", $"url")
+      .groupBy($"doc_id", $"rec", $"url")
       .agg(
         array_join(transform(
           array_sort(collect_list(when($"r.content_type" === "text_block",
@@ -76,13 +83,14 @@ object CrawlPipeline {
       .withColumn("boiler_ratio", round($"boiler_chars".cast("double") /
         ($"boiler_chars" + $"main_chars"), 4))
     // url-level dedup BEFORE content gates (the crawl order: a page
-    // recrawled under tracking-param variants is one page)
+    // recrawled under tracking-param variants is one page); the
+    // record ordinal breaks same-capture ties deterministically
     val keeper = org.apache.spark.sql.expressions.Window
-      .partitionBy($"url").orderBy($"doc_id")
+      .partitionBy($"url").orderBy($"doc_id", $"rec")
     val kept = pages
       .withColumn("rn", row_number().over(keeper))
       .filter($"rn" === 1 && $"boiler_ratio" <= BoilerMax)
-      .drop("rn", "main_chars", "boiler_chars")
+      .drop("rn", "rec", "main_chars", "boiler_chars")
     // curation signals on the REASSEMBLED text — scoreDocs keeps
     // every input column, so url/boiler_ratio ride through
     val scored = TextAnalysis.scoreDocs(kept)

@@ -55,6 +55,39 @@ class CrawlPipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("shard_id") == 0L)
   }
 
+
+  test("non-HTML responses never enter the corpus; same-URL responses in one capture stay apart") {
+    import graft.functions.expressions.Inflate
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def record(typ: String, uri: String, mime: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+        http ++ "\r\n\r\n".getBytes(iso)
+    }
+    def page(body: String): Array[Byte] =
+      s"<html><body><main><p>$body</p></main></body></html>".getBytes("UTF-8")
+    // one capture: an html page, a PNG response (binary soup if
+    // parsed), and a SECOND html response under the SAME url whose
+    // runs must never interleave with the first
+    val capture =
+      record("response", "http://example.com/x", "text/html", page(keeperText)) ++
+      record("response", "http://example.com/x.png", "image/png",
+        graft.functions.expressions.SynthPng.build("junk image")) ++
+      record("response", "http://example.com/x", "text/html",
+        page(keeperText.replace("fast", "slow")))
+    val out = CrawlPipeline.fromCaptures(
+      Seq((9L, capture)).toDF("doc_id", "payload")).collect()
+    // the keeper is the FIRST same-url response; the png response and
+    // the recrawl never appear, and the kept text is one clean page
+    assert(out.length == 1, out.toSeq.toString)
+    assert(out.head.getAs[String]("url") == "http://example.com/x")
+    assert(out.head.getAs[Long]("n_tokens") == keeperText.split("\\s+").length,
+      "reassembled text must be exactly the first response's page")
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally

@@ -959,6 +959,11 @@ class DocParseSpec extends AnyFunSuite {
     // a meta claim of UTF-16 found by the ASCII prescan reads as UTF-8
     val u16claim = "<meta charset=utf-16><p>ascii only</p>"
     assert(CharsetSniff.decode(u16claim.getBytes("UTF-8"), null) == u16claim)
+    // ...but the TRANSPORT layer's utf-16 claim is honored as declared
+    // (a BOM-less UTF-16LE page with the right Content-Type is real)
+    val bomless = s"<p>$s2</p>"
+    assert(CharsetSniff.decode(bomless.getBytes("UTF-16LE"),
+      "text/html; charset=utf-16le") == bomless)
     // x-user-defined maps to windows-1252 (spec fixup)
     assert(CharsetSniff.decode(s1.getBytes(cp1252),
       "charset=x-user-defined") == s1)

@@ -407,6 +407,39 @@ class PixelSpec extends AnyFunSuite {
     assert(PixelDecode.decodeLuma("not an image".getBytes).isEmpty)
   }
 
+
+  test("review hardening: dimension ceiling is loud; gray JPEG with 2x2 factors decodes non-interleaved") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.functions.expressions.JpegDecode
+    // a tiny payload DECLARING huge dims must fail before allocating
+    val huge = png(60000, 60000, 8, 0, Array[Byte](0, 1))
+    assert(intercept[Exception](PixelDecode.decodeLuma(huge))
+      .getMessage.contains("decode ceiling"))
+    // gray JPEG whose SOF declares 2x2 sampling factors: a single-
+    // component scan is non-interleaved per ISO 10918-1 A.2.2, so the
+    // decode must equal the 1x1 original (factors ignored), not
+    // desynchronize
+    val img = new java.awt.image.BufferedImage(37, 29,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 29; x <- 0 until 37)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 256)
+    val bo = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bo)
+    val orig = bo.toByteArray
+    val base = JpegDecode.decodeLuma(orig)
+    val patched = orig.clone()
+    // find SOF0 and rewrite the component's sampling byte (1 comp:
+    // marker + len(2) + prec(1) + h(2) + w(2) + n(1) + id(1) + hv(1))
+    val at = (0 until patched.length - 1).find(i =>
+      (patched(i) & 0xFF) == 0xFF && (patched(i + 1) & 0xFF) == 0xC0).get
+    assert((patched(at + 9) & 0xFF) == 1, "expected a 1-component SOF")
+    assert((patched(at + 11) & 0xFF) == 0x11, "expected 1x1 factors")
+    patched(at + 11) = 0x22.toByte
+    val re = JpegDecode.decodeLuma(patched)
+    assert(re.luma.sameElements(base.luma),
+      "2x2-factor grayscale must decode identically (non-interleaved scan)")
+  }
+
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
     import SparkTestSession._
     import spark.implicits._
