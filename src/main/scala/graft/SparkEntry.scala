@@ -194,7 +194,8 @@ object SparkEntry {
       require(n <= 1000000, s"ann_ivfpq_exh is a test-scale harness (corpus $n)")
       AnnIndex.ivfpq(s, dir, AnnIndex.IvfCells, AnnIndex.IvfCells, n.toInt)
     }),
-    "ol_approx" -> (Relational.approxStats _)
+    "ol_approx" -> (Relational.approxStats _),
+    "ol_approx_exh" -> (Relational.approxStatsExhaustive _)
   )
 
   /** Shared oracle fragment: distinct word-bigram shingle sets. */
@@ -338,6 +339,15 @@ object SparkEntry {
         | COUNT(*) AS n, (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // the exact twin of the rows-only ol_approx: same shape, exact
+    // distincts + exact interpolated median (quantile_cont = Spark's
+    // percentile), so only the sketch config stays unhashed
+    "ol_approx_exh" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT user_id) AS exact_users,
+        | round(quantile_cont(value, 0.5), 6) AS exact_p50,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ol_percentile" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.25), 6) AS p25,

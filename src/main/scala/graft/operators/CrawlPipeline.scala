@@ -44,8 +44,19 @@ object CrawlPipeline {
     * (doc_id: long, payload: binary) — one capture file per row,
     * `.warc` / `.warc.gz` / `.warc.zst` all transparent. Output: one
     * row per kept page — canonical url, boilerplate share, language,
-    * token count, quality, and its token-budget shard. */
-  def fromCaptures(captures: DataFrame): DataFrame = {
+    * token count, quality, and its token-budget shard.
+    *
+    * The gate models are swappable exactly like [[TextAnalysis.curate]]'s:
+    * `trainedLangId` replaces the marker-heuristic `lang_pred` with the
+    * fitted classifier's per-row prediction, and `trainedQuality`
+    * ANDs a learned probability floor onto the heuristic one — both
+    * one narrow expression with broadcast weights, so the plan shape
+    * is unchanged. The driver oracle pins the heuristic defaults;
+    * CrawlPipelineSpec exercises the trained configs. */
+  def fromCaptures(captures: DataFrame,
+      trainedLangId: Option[LangIdClassifier.Model] = None,
+      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
+      : DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
     import graft.functions.expressions.{Inflate, ParseHtml, ParseWarc}
@@ -93,7 +104,13 @@ object CrawlPipeline {
       .drop("rn", "rec", "main_chars", "boiler_chars")
     // curation signals on the REASSEMBLED text — scoreDocs keeps
     // every input column, so url/boiler_ratio ride through
-    val scored = TextAnalysis.scoreDocs(kept)
+    val heuristic = TextAnalysis.scoreDocs(kept)
+    val relabeled = trainedLangId.fold(heuristic)(m =>
+      heuristic.withColumn("lang_pred", m.predict($"text")))
+    val floored = trainedQuality.fold(relabeled) { case (m, floor) =>
+      relabeled.filter(m.probability($"text", "hi") >= floor)
+    }
+    val scored = floored
       .filter($"lang_pred".isInCollection(KeepLangs) &&
         $"quality_r" >= QualityFloor)
       .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",

@@ -318,6 +318,23 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** ol_approx_exh — the hash-checked EXACT twin of [[approxStats]]
+    * (the `_exh` convention every approximate family carries): the
+    * same query shape with exact distincts and the exact interpolated
+    * median, so the sketch config is the only thing the rows-only
+    * entry leaves unhashed. At 100 TB the exact distinct is the
+    * expensive path (a full shuffle of user ids per type) — that cost
+    * asymmetry is WHY ol_approx exists. */
+  def approxStatsExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        round(expr("percentile(value, 0.5)"), 6).as("exact_p50"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   /** Range join: for each error event, count clicks by the same user in
     * the trailing hour. Implemented as an equi-join on (user, hour
     * bucket) — each click is exploded into the two buckets it can serve

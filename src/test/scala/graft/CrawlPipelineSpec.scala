@@ -88,6 +88,26 @@ class CrawlPipelineSpec extends AnyFunSuite {
       "reassembled text must be exactly the first response's page")
   }
 
+
+  test("trained gate configs swap in like curate's: langid relabels, quality floors") {
+    // a single-class model calls EVERY page "zz" (not a kept
+    // language): the trained-langid config must drop what the
+    // heuristic default keeps — proof the swapped column is consulted
+    val zz = LangIdClassifier.fit(
+      Seq(("alpha beta gamma", "zz"), ("delta epsilon", "zz"))
+        .toDF("text", "lang"), "text", "lang", epochs = 3)
+    val caps = captures(1L -> keeperText)
+    assert(CrawlPipeline.fromCaptures(caps).count() == 1)
+    assert(CrawlPipeline.fromCaptures(caps, trainedLangId = Some(zz)).count() == 0)
+    // trained quality: an impossible floor drops everything, a
+    // trivial floor keeps the default rows
+    val q = TextAnalysis.fitQuality(spark, sf)
+    assert(CrawlPipeline.fromCaptures(caps,
+      trainedQuality = Some((q, 0.0))).count() == 1)
+    assert(CrawlPipeline.fromCaptures(caps,
+      trainedQuality = Some((q, 1.1))).count() == 0)
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally
