@@ -146,6 +146,7 @@ object SparkEntry {
     "mm_frames" -> (Multimodal.frames _),
     "mm_resize" -> (Multimodal.resize _),
     "mm_phash" -> (Multimodal.phash _),
+    "mm_exif" -> (Multimodal.exif _),
     // rows-only: the 32x32-DCT hash over decoded pixels has no SQL
     // ground truth; PixelSpec carries the correctness burden
     "mm_phash_px" -> (Multimodal.phashPx _),
@@ -1624,6 +1625,32 @@ object SparkEntry {
         |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
         |  END)::BIGINT AS duration_ms
         |FROM k ORDER BY doc_id""".stripMargin,
+    // EXIF: every field is an md5-byte formula; the TIFF byte-order
+    // share (II/MM) is invisible to the oracle — both walks hash-check
+    "mm_exif" ->
+      """WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |f AS (SELECT doc_id, h,
+        |  ('0x' || substr(h,15,2))::BIGINT AS b7,
+        |  ('0x' || substr(h,17,2))::BIGINT AS b8,
+        |  ('0x' || substr(h,19,2))::BIGINT AS b9,
+        |  ('0x' || substr(h,21,2))::BIGINT AS b10,
+        |  ('0x' || substr(h,23,2))::BIGINT AS b11,
+        |  ('0x' || substr(h,25,2))::BIGINT AS b12,
+        |  ('0x' || substr(h,27,2))::BIGINT AS b13,
+        |  ('0x' || substr(h,29,2))::BIGINT AS b14
+        | FROM p)
+        |SELECT doc_id,
+        | 'Cam-' || substr(h,1,6) AS make,
+        | 'M' || substr(h,7,1) AS model,
+        | (1 + b7 % 8)::BIGINT AS orientation,
+        | '20' || lpad((10 + b8 % 15)::VARCHAR, 2, '0') || ':' ||
+        |  lpad((1 + b9 % 12)::VARCHAR, 2, '0') || ':' ||
+        |  lpad((1 + b10 % 28)::VARCHAR, 2, '0') || ' ' ||
+        |  lpad((b11 % 24)::VARCHAR, 2, '0') || ':' ||
+        |  lpad((b12 % 60)::VARCHAR, 2, '0') || ':' ||
+        |  lpad((b13 % 60)::VARCHAR, 2, '0') AS taken_at,
+        | b14 % 3 = 0 AS has_gps
+        |FROM f ORDER BY doc_id""".stripMargin,
     // mm_audio: the WAV data bytes are (s9 + j) % 256 by construction,
     // so the oracle re-decodes the PCM samples (8/16/24-bit LE two's
     // complement, complete frames only) and reproduces the integer

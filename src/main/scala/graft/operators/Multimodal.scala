@@ -81,6 +81,25 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** mm_exif — camera-provenance metadata from the JPEG APP1 EXIF
+    * walk ([[graft.functions.expressions.ExifMeta]]): make/model,
+    * orientation, capture timestamp, GPS-IFD presence (the PII gate's
+    * question). [[graft.functions.expressions.SynthExif]] derives
+    * every field from the text md5 and routes HALF the documents
+    * through each TIFF byte order (`II`/`MM`), so the oracle — which
+    * is endianness-transparent — hash-checks both walks, offset AND
+    * inline value layouts. Per-row narrow work, the metadata-sniff
+    * shape. */
+  def exif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", graft.functions.expressions.ExifMeta(
+        graft.functions.expressions.SynthExif($"text")).as("x"))
+      .select($"doc_id", $"x.make", $"x.model", $"x.orientation",
+        $"x.taken_at", $"x.has_gps")
+      .orderBy($"doc_id")
+  }
+
   /** Target bounding box for [[resize]]. */
   val ResizeBox = 512L
 

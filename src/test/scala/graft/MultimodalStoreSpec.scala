@@ -382,6 +382,51 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(seenVbr == Set(0, 1, 2), s"mp3 vbr shares not covered: $seenVbr")
   }
 
+
+  test("EXIF: both byte orders, inline+offset values, nulls for absent tags/EXIF/non-JPEG") {
+    import graft.functions.expressions.{ExifMeta, SynthExif}
+    // the synth share space: both byte orders and both gps branches
+    // occur, and decode() reproduces the md5-derived fields
+    val texts = (0 until 40).map(i => s"exif fixture $i")
+    var orders = Set.empty[Boolean]
+    var gpsSeen = Set.empty[Boolean]
+    texts.foreach { t =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      orders += (d(6) & 0xFF) % 2 == 0
+      val got = ExifMeta.decode(SynthExif.build(t)).get
+      assert(got._1 == s"Cam-${hex.substring(0, 6)}", t)
+      assert(got._2 == s"M${hex.charAt(6)}", t)
+      assert(got._3 == 1L + (d(7) & 0xFF) % 8, t)
+      assert(got._5 == ((d(14) & 0xFF) % 3 == 0), t)
+      gpsSeen += got._5
+    }
+    assert(orders == Set(true, false), "both TIFF byte orders must occur")
+    assert(gpsSeen == Set(true, false), "both gps branches must occur")
+    // hand-built MM (big-endian) TIFF with ONLY an orientation tag:
+    // absent tags are null FIELDS, not a null row
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val tiff = "MM".getBytes ++ be16(42) ++ be32(8) ++
+      be16(1) ++ // one entry
+      be16(0x0112) ++ be16(3) ++ be32(1) ++ be16(6) ++ be16(0) ++
+      be32(0) // no next IFD
+    val app1len = 2 + 6 + tiff.length
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+      (app1len >> 8).toByte, app1len.toByte) ++
+      "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff ++
+      Array[Byte](0xFF.toByte, 0xD9.toByte)
+    val m = ExifMeta.decode(jpeg).get
+    assert(m == ((null, null, 6L, null, false)), m.toString)
+    // a JPEG with no APP1 and a non-JPEG payload: null rows
+    assert(ExifMeta.decode(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte)).isEmpty)
+    assert(ExifMeta.decode("not a jpeg".getBytes).isEmpty)
+    // a corrupt TIFF (bad magic) inside a declared Exif APP1: null
+    val bad = jpeg.clone(); bad(13) = 0x99.toByte // the 42 magic
+    assert(ExifMeta.decode(bad).isEmpty)
+  }
+
   test("MP3 VBR: Xing/Info and VBRI frame counts decide duration; flagless Xing falls back") {
     import graft.functions.expressions.MediaHeader
     // stereo 128 kbps @ 44100: side info 32 bytes, frame 417 bytes
