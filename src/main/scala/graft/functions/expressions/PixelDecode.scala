@@ -471,14 +471,56 @@ object PixelDecode {
     fail("GIF ends with no image frame")
   }
 
+  /** Apply an EXIF orientation (1-8) so the raster reads in DISPLAY
+    * order: 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    * 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW (values outside
+    * 1-8 are ignored — a corrupt tag must not scramble pixels). The
+    * phone-photo near-dup case: the same shot stored upright and
+    * stored rotated-with-orientation-tag must hash together. */
+  private[graft] def orient(r: Raster, o: Long): Raster = {
+    if (o <= 1 || o > 8) return r
+    val swap = o >= 5
+    val w = if (swap) r.h else r.w
+    val h = if (swap) r.w else r.h
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (sx, sy) = o match {
+          case 2 => (r.w - 1 - x, y) // mirror horizontal
+          case 3 => (r.w - 1 - x, r.h - 1 - y) // rotate 180
+          case 4 => (x, r.h - 1 - y) // mirror vertical
+          case 5 => (y, x) // transpose
+          case 6 => (y, r.h - 1 - x) // rotate 90 CW (stored is 90 CCW)
+          case 7 => (r.w - 1 - y, r.h - 1 - x) // transverse
+          case _ => (r.w - 1 - y, x) // 8: rotate 270 CW
+        }
+        out(y * w + x) = r.luma(sy * r.w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, out)
+  }
+
   /** None = not a PNG/BMP/GIF/JPEG magic; loud on structural defects
-    * inside a recognized format. */
+    * inside a recognized format. JPEGs come back in DISPLAY
+    * orientation: the EXIF orientation tag, when present, is applied
+    * ([[orient]]) — a rotated-with-tag duplicate then hashes with its
+    * upright twin. */
   def decodeLuma(b: Array[Byte]): Option[Raster] =
     if (isPng(b)) Some(decodePng(b))
     else if (isBmp(b)) Some(decodeBmp(b))
     else if (isGif(b)) Some(decodeGif(b))
-    else if (JpegDecode.isJpeg(b)) Some(JpegDecode.decodeLuma(b))
-    else None
+    else if (JpegDecode.isJpeg(b)) {
+      val raw = JpegDecode.decodeLuma(b)
+      val o = ExifMeta.decode(b) match {
+        case Some((_, _, orientTag, _, _)) if orientTag != null => orientTag.longValue
+        case _ => 1L
+      }
+      Some(orient(raw, o))
+    } else None
 
   /** Tolerant twin for feature extraction: any failure (fake header,
     * exotic variant) is None, never an exception. */

@@ -440,6 +440,67 @@ class PixelSpec extends AnyFunSuite {
       "2x2-factor grayscale must decode identically (non-interleaved scan)")
   }
 
+
+  test("EXIF orientation: all 8 transforms hand-pinned; a rotated-with-tag jpeg hashes with its upright twin") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.functions.expressions.{JpegDecode, SynthPng}
+    // 2x3 source: a b / c d / e f
+    val src = Raster(2, 3, "abcdef".getBytes("US-ASCII"))
+    def grid(o: Int): String = {
+      val r = PixelDecode.orient(src, o)
+      r.luma.map(_.toChar).mkString.grouped(r.w).mkString("/")
+    }
+    assert(grid(1) == "ab/cd/ef")
+    assert(grid(2) == "ba/dc/fe", "mirror horizontal")
+    assert(grid(3) == "fe/dc/ba", "rotate 180")
+    assert(grid(4) == "ef/cd/ab", "mirror vertical")
+    assert(grid(5) == "ace/bdf", "transpose")
+    assert(grid(6) == "eca/fdb", "rotate 90 CW")
+    assert(grid(7) == "fdb/eca", "transverse")
+    assert(grid(8) == "bdf/ace", "rotate 270 CW")
+    assert(grid(0) == "ab/cd/ef" && grid(9) == "ab/cd/ef",
+      "out-of-range orientation tags are ignored")
+    // end to end: store the image rotated 90 CCW with orientation 6 —
+    // decodeLuma must return the DISPLAY image, so its phash lands by
+    // its upright twin (jpeg quantization noise is the only drift)
+    val px = SynthPng.pixels("orientation probe text")
+    val W = SynthPng.W; val H = SynthPng.H
+    def jpegOf(w: Int, h: Int, at: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, at(x, y))
+      val bo = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bo)
+      bo.toByteArray
+    }
+    val upright = jpegOf(W, H, (x, y) => px(y * W + x) & 0xFF)
+    // stored-rotated: src(sx,sy) of the DISPLAY image lands at the
+    // 90-CCW position; orientation 6 must rotate it back
+    val rotated = jpegOf(H, W, (x, y) => px(x * W + (W - 1 - y)) & 0xFF)
+    def withOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+      def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val tiff = "MM".getBytes ++ be16(42) ++ be32(8) ++ be16(1) ++
+        be16(0x0112) ++ be16(3) ++ be32(1) ++ be16(o) ++ be16(0) ++ be32(0)
+      val app1len = 2 + 6 + tiff.length
+      jpeg.take(2) ++ Array[Byte](0xFF.toByte, 0xE1.toByte,
+        (app1len >> 8).toByte, app1len.toByte) ++
+        "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff ++ jpeg.drop(2)
+    }
+    val hu = PixelDecode.phash64(PixelDecode.decodeLuma(upright).get)
+    val oriented = PixelDecode.decodeLuma(withOrientation(rotated, 6)).get
+    assert(oriented.w == W && oriented.h == H, "orientation 6 must swap dims back")
+    val hr = PixelDecode.phash64(oriented)
+    val ham = java.lang.Long.bitCount(hu ^ hr)
+    assert(ham <= operators.Multimodal.PxMaxHamming,
+      s"rotated-with-tag twin drifted $ham bits")
+    // WITHOUT the tag the rotation is a different image entirely
+    val hNoTag = PixelDecode.phash64(PixelDecode.decodeLuma(rotated).get)
+    assert(java.lang.Long.bitCount(hu ^ hNoTag) > operators.Multimodal.PxMaxHamming,
+      "an untagged rotation must NOT hash with the upright twin (control)")
+  }
+
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
     import SparkTestSession._
     import spark.implicits._
