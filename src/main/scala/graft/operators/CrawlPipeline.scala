@@ -59,60 +59,17 @@ object CrawlPipeline {
       : DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{Inflate, ParseHtml, ParseWarc}
-    // container walk: narrow per-row work, rows = page text runs.
-    // Only text/html responses parse — a real capture file carries
-    // image/CSS/JS responses too, and their bodies must never enter
-    // the corpus as replacement-char soup. `rec` (the record ordinal)
-    // keeps two same-URL responses in ONE capture apart: without it,
-    // a recrawl's two pos sequences would interleave in reassembly.
-    val runs = captures
-      .select($"doc_id",
-        posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
-      .filter($"w.rec_type" === "response" &&
-        $"w.mime".startsWith("text/html") && $"w.target_uri".isNotNull)
-      .select($"doc_id", $"rec",
-        Dedup.canonicalUrl($"w.target_uri").as("url"),
-        // posexplode keeps DOM order so reassembly never depends on
-        // lexicographic content_id quirks (p[10] sorts before p[2])
-        posexplode(ParseHtml($"w.body", $"w.mime")).as(Seq("pos", "r")))
-      .filter($"r.content_type".isin("text_block", "boilerplate"))
-    // page reassembly: main runs concatenated in document order +
-    // the chrome/main char split — one partial-agg-free groupBy(doc)
-    // (collect_list is the reassembly, bounded by the page itself)
-    val pages = runs
-      .groupBy($"doc_id", $"rec", $"url")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when($"r.content_type" === "text_block",
-            struct($"pos", $"r.content_raw".as("raw"))))),
-          x => x.getField("raw")), " ").as("text"),
-        coalesce(sum(when($"r.content_type" === "text_block",
-          length($"r.content_raw"))), lit(0L)).as("main_chars"),
-        coalesce(sum(when($"r.content_type" === "boilerplate",
-          length($"r.content_raw"))), lit(0L)).as("boiler_chars"))
-      .withColumn("boiler_ratio", round($"boiler_chars".cast("double") /
-        ($"boiler_chars" + $"main_chars"), 4))
+    val pages = pageFrame(captures, trainedLangId, trainedQuality)
     // url-level dedup BEFORE content gates (the crawl order: a page
-    // recrawled under tracking-param variants is one page); the
-    // record ordinal breaks same-capture ties deterministically
+    // recrawled under tracking-param variants is ONE page, and the
+    // keeper — lowest (doc_id, rec) — is decided before any gate can
+    // disqualify it); the window is the url-dedup shuffle
     val keeper = org.apache.spark.sql.expressions.Window
       .partitionBy($"url").orderBy($"doc_id", $"rec")
-    val kept = pages
+    val scored = gates(pages
       .withColumn("rn", row_number().over(keeper))
-      .filter($"rn" === 1 && $"boiler_ratio" <= BoilerMax)
-      .drop("rn", "rec", "main_chars", "boiler_chars")
-    // curation signals on the REASSEMBLED text — scoreDocs keeps
-    // every input column, so url/boiler_ratio ride through
-    val heuristic = TextAnalysis.scoreDocs(kept)
-    val relabeled = trainedLangId.fold(heuristic)(m =>
-      heuristic.withColumn("lang_pred", m.predict($"text")))
-    val floored = trainedQuality.fold(relabeled) { case (m, floor) =>
-      relabeled.filter(m.probability($"text", "hi") >= floor)
-    }
-    val scored = floored
-      .filter($"lang_pred".isInCollection(KeepLangs) &&
-        $"quality_r" >= QualityFloor)
+      .filter($"rn" === 1),
+      trainedQuality.map(_._2).getOrElse(0.0))
       .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",
         $"n_tokens", $"quality_r")
     // shard assignment: exact per-language running token totals via
@@ -125,6 +82,91 @@ object CrawlPipeline {
       .drop("cum"))
     base.unpersist(blocking = false)
     out
+  }
+
+  /** The STATELESS half of the pipeline, shared verbatim by the batch
+    * path and the streaming gate ([[crawlGate]]) — capture bytes to
+    * UNGATED page rows in ONE narrow pass, no shuffle at all: a
+    * page's text runs are already co-located in [[graft.functions.expressions.ParseHtml]]'s
+    * result array, so reassembly is higher-order array functions in
+    * ARRAY (= document) order — never an explode + groupBy (the
+    * earlier formulation paid a whole corpus shuffle to regroup rows
+    * that started out together). Only text/html responses parse; the
+    * record ordinal `rec` keeps two same-URL responses in one capture
+    * apart. Output: (doc_id, rec, url, text, boiler_ratio) + the
+    * curation signal columns of [[TextAnalysis.scoreDocs]] (the
+    * trained configs add/replace their columns here, one narrow
+    * expression each). */
+  private[graft] def pageFrame(captures: DataFrame,
+      trainedLangId: Option[LangIdClassifier.Model] = None,
+      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
+      : DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    import graft.functions.expressions.{Inflate, ParseHtml, ParseWarc}
+    val pages = captures
+      .select($"doc_id",
+        posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
+      .filter($"w.rec_type" === "response" &&
+        $"w.mime".startsWith("text/html") && $"w.target_uri".isNotNull)
+      .select($"doc_id", $"rec",
+        Dedup.canonicalUrl($"w.target_uri").as("url"),
+        ParseHtml($"w.body", $"w.mime").as("rows"))
+      .select($"doc_id", $"rec", $"url",
+        array_join(transform(
+          filter($"rows", r => r.getField("content_type") === "text_block"),
+          r => r.getField("content_raw")), " ").as("text"),
+        aggregate(
+          filter($"rows", r => r.getField("content_type") === "text_block"),
+          lit(0L), (acc, r) => acc + length(r.getField("content_raw")))
+          .as("main_chars"),
+        aggregate(
+          filter($"rows", r => r.getField("content_type") === "boilerplate"),
+          lit(0L), (acc, r) => acc + length(r.getField("content_raw")))
+          .as("boiler_chars"))
+      .withColumn("boiler_ratio", round($"boiler_chars".cast("double") /
+        ($"boiler_chars" + $"main_chars"), 4))
+      .drop("main_chars", "boiler_chars")
+    val heuristic = TextAnalysis.scoreDocs(pages)
+    val relabeled = trainedLangId.fold(heuristic)(m =>
+      heuristic.withColumn("lang_pred", m.predict($"text")))
+    trainedQuality.fold(relabeled.withColumn("q_prob", lit(1.0))) {
+      case (m, _) => relabeled.withColumn("q_prob", m.probability($"text", "hi"))
+    }
+  }
+
+  /** The content gates over a [[pageFrame]]: chrome ceiling, language
+    * keep-list, heuristic quality floor, and — when a trained quality
+    * model rode in — its probability floor (q_prob is a constant 1.0
+    * otherwise, so a 0.0 floor is the no-op default). */
+  private def gates(pages: DataFrame, qProbFloor: Double): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.filter($"boiler_ratio" <= BoilerMax &&
+      $"lang_pred".isInCollection(KeepLangs) &&
+      $"quality_r" >= QualityFloor && $"q_prob" >= lit(qProbFloor))
+  }
+
+  /** The crawl ingest as a STREAM transform — the lambda split stated
+    * like [[graft.streaming.DocStreams]]: the stateless half
+    * ([[pageFrame]] + the content gates — capture bytes to gated page
+    * rows in one narrow pass, shared VERBATIM with the batch path)
+    * runs in-stream, with first-wins `dropDuplicates("url")` as the
+    * in-stream URL dedup (state keys one row per distinct kept url;
+    * long-running queries bound it with a watermark variant exactly
+    * like DocStreams.curateGateBounded). Shard assignment stays a
+    * batch compaction job — a global prefix sum has no bounded-state
+    * streaming form. Works unchanged on a batch frame; the spec pins
+    * stream/batch parity on the gate columns. */
+  def crawlGate(captures: DataFrame,
+      trainedLangId: Option[LangIdClassifier.Model] = None,
+      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
+      : DataFrame = {
+    import captures.sparkSession.implicits._
+    gates(pageFrame(captures, trainedLangId, trainedQuality),
+      trainedQuality.map(_._2).getOrElse(0.0))
+      .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",
+        $"n_tokens", $"quality_r")
+      .dropDuplicates("url")
   }
 
   /** The tx_crawl driver query: one synthetic `.warc.gz`/`.warc.zst`

@@ -108,6 +108,52 @@ class CrawlPipelineSpec extends AnyFunSuite {
       trainedQuality = Some((q, 1.1))).count() == 0)
   }
 
+
+  test("crawlGate: the stateless gate streams; stream/batch parity on gate columns") {
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
+    }
+    val src = "target/crawl_gate_src"
+    rmRf(new java.io.File(src))
+    new java.io.File(src).mkdirs()
+    val texts = Seq(1L -> keeperText, 2L -> (keeperText + " extra"),
+      3L -> keeperText) // 3 duplicates 1's url
+    val batch = captures(texts: _*)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("url"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_r"))
+    val expected = CrawlPipeline.crawlGate(batch).collect().map(key).toSet
+    assert(expected.size == 2, "the duplicate url must collapse in batch too")
+    // stage micro-batch files for the file-stream source
+    def stage(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = s"target/crawl_gate_tmp_$name"
+      rmRf(new java.io.File(tmp))
+      captures(rows: _*).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    stage(texts, "b1")
+    val schema = batch.schema
+    val stream = CrawlPipeline.crawlGate(
+      spark.readStream.schema(schema).parquet(src))
+    val q = stream.writeStream.format("memory")
+      .queryName("crawl_gate_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("crawl_gate_stream").collect().map(key).toSet
+      assert(got == expected, s"stream $got != batch $expected")
+      // recrawled urls in a LATER micro-batch never re-enter: the
+      // in-stream dedup state holds across batches
+      stage(texts.map { case (id, t) => (id + 10, t) }, "b2")
+      q.processAllAvailable()
+      assert(spark.table("crawl_gate_stream").count() == 2,
+        "recrawled urls in later micro-batches must not re-enter")
+    } finally q.stop()
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally
