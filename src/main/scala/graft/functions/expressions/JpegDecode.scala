@@ -1,24 +1,33 @@
 package graft.functions.expressions
 
-/** From-scratch BASELINE JPEG decode to luma (ISO/IEC 10918-1 — the
-  * public JPEG spec): marker walk, DQT/DHT/SOF0/SOS/DRI, canonical
-  * Huffman decode over the byte-stuffed entropy stream, DC prediction
-  * + AC run-length per 8x8 block, dequantization in zigzag order, a
-  * deterministic double-precision 8x8 IDCT, restart-marker handling.
-  * Crawl images are overwhelmingly JPEG, so without this the pixel
-  * seam ([[PixelDecode]]) covers the formats a crawl rarely carries.
+/** From-scratch JPEG decode to luma (ISO/IEC 10918-1 — the public
+  * JPEG spec): BASELINE/extended-sequential Huffman (SOF0/1) and
+  * PROGRESSIVE (SOF2 — spectral selection + successive approximation,
+  * the mode a large share of real web JPEGs ship). The decoder is
+  * coefficient-buffered: every scan (sequential's single full-band
+  * scan, progressive's DC first/refine and per-component AC
+  * first/refine scans with EOB-run coding) accumulates into
+  * per-component DCT coefficient planes, and one dequant + IDCT pass
+  * at EOI produces the luma raster.
   *
-  * Only the LUMA plane is kept: JFIF's Y component IS BT.601 luma, so
-  * no chroma upsampling is ever needed — but interleaved scans still
-  * DECODE the chroma blocks (the entropy stream has no skip). Scope,
-  * loud outside it: baseline + extended-sequential Huffman (SOF0/1);
-  * progressive (SOF2), arithmetic coding, lossless, hierarchical and
-  * 12-bit precision fail by name. Four-component (Adobe CMYK) fails —
-  * its "luma" is not Y. Unlike PNG there is no bit-exact decode
-  * contract across implementations (IDCT rounding is
-  * implementation-defined within spec accuracy bounds), so the spec
-  * cross-validates against an independent decoder with tolerance and
-  * pins THIS decoder's determinism separately. */
+  * Mechanics: marker walk (DQT 8/16-bit, DHT canonical tables —
+  * redefinable between scans, DRI, SOS with Ss/Se/Ah/Al), canonical
+  * Huffman over the byte-stuffed entropy stream, restart markers
+  * resetting DC predictors and EOB runs, interleaved MCU geometry
+  * for multi-component scans and the per-component block grid for
+  * non-interleaved ones (ISO A.2.2), AC refinement correction bits
+  * per G.1.2.3. Only the LUMA plane transforms (JFIF Y IS BT.601
+  * luma) — chroma scans still decode (their coefficient HISTORY
+  * drives refinement-bit consumption), they just never IDCT.
+  *
+  * Scope, loud outside it: arithmetic coding, lossless, hierarchical,
+  * 12-bit precision, four-component (Adobe CMYK) fail by name. The
+  * coefficient planes cost 256 B per 8x8 block; [[PixelDecode.MaxPixels]]
+  * bounds them. There is no bit-exact decode contract across
+  * implementations (IDCT rounding is implementation-defined within
+  * spec accuracy bounds), so the spec cross-validates against an
+  * independent decoder with tolerance and pins THIS decoder's
+  * determinism separately (StrictMath IDCT tables). */
 object JpegDecode {
 
   private def fail(what: String): Nothing =
@@ -51,15 +60,13 @@ object JpegDecode {
   }
 
   private val IdctCos: Array[Array[Double]] =
-    // StrictMath for the same cross-host bit-determinism reason as
-    // PixelDecode's DCT table (one-time build)
+    // StrictMath for cross-host bit-determinism (one-time build)
     Array.tabulate(8, 8) { (u, x) =>
       val c = if (u == 0) StrictMath.sqrt(0.125) else 0.5
       c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
     }
 
-  /** Canonical Huffman table: per code length 1..16, the first code
-    * value and the symbol slice. */
+  /** Canonical Huffman table (F.2.2.3 decode tables). */
   private final class Huff(counts: Array[Int], symbols: Array[Int]) {
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17) // -1 = no codes of this length
@@ -93,29 +100,31 @@ object JpegDecode {
     }
   }
 
-  /** MSB-first bit reader over the entropy segment, undoing FF00 byte
-    * stuffing; restart markers are consumed by [[restart]]. */
+  /** MSB-first bit reader over one scan's entropy segment, undoing
+    * FF00 byte stuffing. Stops AT any real marker: `atMarker` lets the
+    * scan loop detect the end (the next SOS/EOI) and [[restart]]
+    * consumes RSTn. */
   private final class BitReader(b: Array[Byte], var p: Int) {
     private var acc = 0
     private var nbits = 0
     def bit(): Int = {
       if (nbits == 0) {
         if (p >= b.length) fail("entropy stream ends mid-symbol")
-        var v = b(p) & 0xFF
-        p += 1
+        val v = b(p) & 0xFF
         if (v == 0xFF) {
-          if (p >= b.length) fail("entropy stream ends at a marker byte")
-          val m = b(p) & 0xFF
-          if (m == 0x00) p += 1 // stuffed FF
-          else if (m == 0xD9)
-            // a refill that reaches EOI means a block still wanted a
-            // whole symbol: the scan is TRUNCATED (legitimate pad bits
-            // live inside the last data byte, before the marker) —
-            // loud, never zero-filled coefficients
-            fail("entropy stream truncated (EOI before the last MCU)")
-          else fail(f"unexpected marker 0xFF$m%02X inside the scan")
+          if (p + 1 >= b.length) fail("entropy stream ends at a marker byte")
+          val m = b(p + 1) & 0xFF
+          if (m == 0x00) p += 2 // stuffed FF = a literal FF data byte
+          else
+            // a refill that reaches a real marker means a block still
+            // wanted a symbol: the scan is TRUNCATED (pad bits live
+            // inside the last data byte, before the marker) — loud
+            fail(f"entropy stream truncated (marker 0xFF$m%02X mid-block)")
+          acc = 0xFF
+        } else {
+          acc = v
+          p += 1
         }
-        acc = v
         nbits = 8
       }
       nbits -= 1
@@ -127,19 +136,34 @@ object JpegDecode {
       while (i < s) { v = (v << 1) | bit(); i += 1 }
       v
     }
-    /** Align to a byte and consume an expected RSTn marker. */
+    /** Byte-align and consume an expected RSTn marker. */
     def restart(n: Int): Unit = {
       nbits = 0
-      // tolerate pad bits then require FF Dn
       if (p + 1 >= b.length) fail("entropy stream ends at a restart boundary")
       if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xFF) != (0xD0 + n))
         fail(f"expected restart marker RST$n at offset $p")
       p += 2
     }
+    /** Byte-align; the scan is done — `p` must sit at a marker. */
+    def finishScan(): Int = {
+      nbits = 0
+      while (p + 1 < b.length && (b(p) & 0xFF) == 0xFF &&
+        (b(p + 1) & 0xFF) >= 0xD0 && (b(p + 1) & 0xFF) <= 0xD7)
+        p += 2 // a trailing restart marker some writers emit
+      p
+    }
   }
 
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final class Component(val id: Int, val h: Int, val v: Int,
+      val tq: Int, val padW: Int, val padH: Int,
+      val unpadW: Int, val unpadH: Int) {
+    val coef = new Array[Int](padW * padH * 64)
+    var dcTab = 0
+    var acTab = 0
+  }
 
   def decodeLuma(b: Array[Byte]): PixelDecode.Raster = {
     if (!isJpeg(b)) fail("not a JPEG (no SOI)")
@@ -148,216 +172,356 @@ object JpegDecode {
     val dcT = new Array[Huff](4)
     val acT = new Array[Huff](4)
     var w = 0; var h = 0
-    var nComp = 0
-    var compH: Array[Int] = null; var compV: Array[Int] = null
-    var compQ: Array[Int] = null; var compId: Array[Int] = null
+    var progressive = false
+    var comps: Array[Component] = null
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
     var restartInterval = 0
     def u16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
-    var sos = -1
-    var compDc: Array[Int] = null; var compAc: Array[Int] = null
-    while (sos < 0) {
-      if (p + 4 > b.length) fail("marker stream truncated")
+    var eoi = false
+    while (!eoi) {
+      if (p + 2 > b.length) fail("marker stream truncated")
       if ((b(p) & 0xFF) != 0xFF) fail(f"expected a marker at offset $p")
       val m = b(p + 1) & 0xFF
-      val len = u16(p + 2)
-      if (p + 2 + len > b.length) fail(f"marker 0xFF$m%02X overruns the payload")
-      m match {
-        case 0xC0 | 0xC1 => // baseline / extended sequential
-          if ((b(p + 4) & 0xFF) != 8) fail("12-bit precision is out of scope")
-          h = u16(p + 5); w = u16(p + 7)
-          nComp = b(p + 9) & 0xFF
-          if (w <= 0 || h <= 0) fail(s"JPEG dimensions ${w}x$h")
-          PixelDecode.checkDims(w, h, "JPEG dimensions")
-          if (nComp != 1 && nComp != 3)
-            fail(s"$nComp-component JPEG (CMYK?) is out of scope")
-          compH = new Array[Int](nComp); compV = new Array[Int](nComp)
-          compQ = new Array[Int](nComp); compId = new Array[Int](nComp)
-          var c = 0
-          while (c < nComp) {
-            compId(c) = b(p + 10 + 3 * c) & 0xFF
-            val hv = b(p + 11 + 3 * c) & 0xFF
-            compH(c) = hv >> 4; compV(c) = hv & 0xF
-            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4)
-              fail(s"sampling factors ${compH(c)}x${compV(c)}")
-            compQ(c) = b(p + 12 + 3 * c) & 0xFF
-            c += 1
-          }
-        case 0xC2 => fail("progressive JPEG (SOF2) is out of scope")
-        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-          fail(f"SOF marker 0xFF$m%02X (non-baseline) is out of scope")
-        case 0xC4 => // DHT
-          var q = p + 4
-          while (q < p + 2 + len) {
-            val tc = (b(q) >> 4) & 0xF
-            val th = b(q) & 0xF
-            if (th > 3) fail(s"Huffman table id $th")
-            val counts = Array.tabulate(16)(i => b(q + 1 + i) & 0xFF)
-            val total = counts.sum
-            val symbols = Array.tabulate(total)(i => b(q + 17 + i) & 0xFF)
-            val t = new Huff(counts, symbols)
-            if (tc == 0) dcT(th) = t
-            else if (tc == 1) acT(th) = t
-            else fail(s"Huffman table class $tc")
-            q += 17 + total
-          }
-        case 0xDB => // DQT
-          var q = p + 4
-          while (q < p + 2 + len) {
-            val pq = (b(q) >> 4) & 0xF
-            val tq = b(q) & 0xF
-            if (tq > 3) fail(s"quant table id $tq")
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              t(i) = if (pq == 0) b(q + 1 + i) & 0xFF else u16(q + 1 + 2 * i)
-              i += 1
+      if (m == 0xD9) { eoi = true; p += 2 }
+      else {
+        if (p + 4 > b.length) fail("marker stream truncated")
+        val len = u16(p + 2)
+        if (p + 2 + len > b.length) fail(f"marker 0xFF$m%02X overruns the payload")
+        m match {
+          case 0xC0 | 0xC1 | 0xC2 =>
+            progressive = m == 0xC2
+            if ((b(p + 4) & 0xFF) != 8) fail("12-bit precision is out of scope")
+            h = u16(p + 5); w = u16(p + 7)
+            val nComp = b(p + 9) & 0xFF
+            if (w <= 0 || h <= 0) fail(s"JPEG dimensions ${w}x$h")
+            PixelDecode.checkDims(w, h, "JPEG dimensions")
+            if (nComp != 1 && nComp != 3)
+              fail(s"$nComp-component JPEG (CMYK?) is out of scope")
+            val hs = new Array[Int](nComp); val vs = new Array[Int](nComp)
+            val ids = new Array[Int](nComp); val tqs = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              ids(c) = b(p + 10 + 3 * c) & 0xFF
+              val hv = b(p + 11 + 3 * c) & 0xFF
+              hs(c) = hv >> 4; vs(c) = hv & 0xF
+              if (hs(c) < 1 || hs(c) > 4 || vs(c) < 1 || vs(c) > 4)
+                fail(s"sampling factors ${hs(c)}x${vs(c)}")
+              tqs(c) = b(p + 12 + 3 * c) & 0xFF
+              c += 1
             }
-            qt(tq) = t
-            q += 1 + (if (pq == 0) 64 else 128)
-          }
-        case 0xDD => restartInterval = u16(p + 4)
-        case 0xDA => // SOS
-          val ns = b(p + 4) & 0xFF
-          if (ns != nComp) fail("SOS component count != SOF (multi-scan?)")
-          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
-          var c = 0
-          while (c < ns) {
-            val id = b(p + 5 + 2 * c) & 0xFF
-            val k = compId.indexOf(id)
-            if (k < 0) fail(s"SOS names unknown component $id")
-            compDc(k) = (b(p + 6 + 2 * c) >> 4) & 0xF
-            compAc(k) = b(p + 6 + 2 * c) & 0xF
-            c += 1
-          }
-          sos = p + 2 + len
-        case x if x >= 0xE0 && x <= 0xEF => () // APPn
-        case 0xFE => () // COM
-        case other => fail(f"marker 0xFF$other%02X is out of scope")
+            if (nComp == 1) {
+              // a single-component image is non-interleaved everywhere
+              // (A.2.2): sampling factors do not apply
+              hs(0) = 1; vs(0) = 1
+            }
+            hmax = hs.max; vmax = vs.max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            comps = Array.tabulate(nComp) { c =>
+              val sx = (w * hs(c) + hmax - 1) / hmax // comp samples
+              val sy = (h * vs(c) + vmax - 1) / vmax
+              new Component(ids(c), hs(c), vs(c), tqs(c),
+                mcusX * hs(c), mcusY * vs(c),
+                (sx + 7) / 8, (sy + 7) / 8)
+            }
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            fail(f"SOF marker 0xFF$m%02X (non-baseline/progressive) is out of scope")
+          case 0xC4 => // DHT (redefinable between scans)
+            var q = p + 4
+            while (q < p + 2 + len) {
+              val tc = (b(q) >> 4) & 0xF
+              val th = b(q) & 0xF
+              if (th > 3) fail(s"Huffman table id $th")
+              val counts = Array.tabulate(16)(i => b(q + 1 + i) & 0xFF)
+              val total = counts.sum
+              val symbols = Array.tabulate(total)(i => b(q + 17 + i) & 0xFF)
+              val t = new Huff(counts, symbols)
+              if (tc == 0) dcT(th) = t
+              else if (tc == 1) acT(th) = t
+              else fail(s"Huffman table class $tc")
+              q += 17 + total
+            }
+          case 0xDB => // DQT
+            var q = p + 4
+            while (q < p + 2 + len) {
+              val pq = (b(q) >> 4) & 0xF
+              val tq = b(q) & 0xF
+              if (tq > 3) fail(s"quant table id $tq")
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(i) = if (pq == 0) b(q + 1 + i) & 0xFF else u16(q + 1 + 2 * i)
+                i += 1
+              }
+              qt(tq) = t
+              q += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xDD => restartInterval = u16(p + 4)
+          case 0xDA => // SOS: decode one scan, leave p at the next marker
+            if (comps == null) fail("SOS before SOF")
+            val ns = b(p + 4) & 0xFF
+            if (ns < 1 || ns > comps.length) fail(s"SOS with $ns components")
+            val scanComps = new Array[Component](ns)
+            var c = 0
+            while (c < ns) {
+              val id = b(p + 5 + 2 * c) & 0xFF
+              val comp = comps.find(_.id == id)
+                .getOrElse(fail(s"SOS names unknown component $id"))
+              comp.dcTab = (b(p + 6 + 2 * c) >> 4) & 0xF
+              comp.acTab = b(p + 6 + 2 * c) & 0xF
+              scanComps(c) = comp
+              c += 1
+            }
+            val ss = b(p + 5 + 2 * ns) & 0xFF
+            val se = b(p + 6 + 2 * ns) & 0xFF
+            val ah = (b(p + 7 + 2 * ns) >> 4) & 0xF
+            val al = b(p + 7 + 2 * ns) & 0xF
+            if (!progressive && (ss != 0 || se != 63 || ah != 0 || al != 0))
+              fail("sequential scan with progressive parameters")
+            if (progressive && ss == 0 && se != 0)
+              fail("progressive scan mixes DC and AC bands")
+            if (progressive && ss > 0 && ns != 1)
+              fail("progressive AC scan must be non-interleaved")
+            p = decodeScan(b, p + 2 + len, scanComps, ss, se, ah, al,
+              dcT, acT, qt, restartInterval, mcusX, mcusY,
+              interleaved = ns > 1)
+          case x if x >= 0xE0 && x <= 0xEF => () // APPn
+          case 0xFE => () // COM
+          case other => fail(f"marker 0xFF$other%02X is out of scope")
+        }
+        if (m != 0xDA) p += 2 + len
       }
-      p += 2 + len
     }
-    if (w == 0) fail("SOS before SOF")
-    if (nComp == 1) {
-      // a single-component scan is NON-INTERLEAVED (ISO 10918-1
-      // A.2.2): one 8x8 block per MCU over a ceil(w/8) x ceil(h/8)
-      // grid, the SOF sampling factors notwithstanding — a grayscale
-      // file declaring 2x2 factors (libjpeg color->gray keeps them)
-      // would otherwise desynchronize the entropy stream
-      compH(0) = 1; compV(0) = 1
-    }
-    val hmax = compH.max; val vmax = compV.max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // keep only component 0 (Y = luma); its plane in MCU-padded dims
-    val yW = mcusX * compH(0) * 8
-    val yPlane = new Array[Byte](yW * mcusY * compV(0) * 8)
-    val in = new BitReader(b, sos)
-    val pred = new Array[Int](nComp)
-    val coef = new Array[Int](64)
+    if (comps == null) fail("no SOF before EOI")
+    // dequant + IDCT the LUMA component only
+    val y0 = comps(0)
+    val q = qt(y0.tq)
+    if (q == null) fail("luma component references an undeclared quant table")
+    val yW = y0.padW * 8
+    val yPlane = new Array[Byte](yW * y0.padH * 8)
     val tmp = Array.ofDim[Double](8, 8)
-    def decodeBlock(c: Int, outX: Int, outY: Int): Unit = {
-      val q = qt(compQ(c))
-      if (q == null) fail(s"component $c references an undeclared quant table")
-      val dt = dcT(compDc(c)); val at = acT(compAc(c))
-      if (dt == null || at == null)
-        fail(s"component $c references an undeclared Huffman table")
-      java.util.Arrays.fill(coef, 0)
-      val s = dt.decode(in)
+    val dq = new Array[Int](64)
+    var blk = 0
+    val nBlocks = y0.padW * y0.padH
+    while (blk < nBlocks) {
+      val base = blk * 64
+      var k = 0
+      while (k < 64) { dq(Zigzag(k)) = y0.coef(base + k) * q(k); k += 1 }
+      var x = 0
+      while (x < 8) { // columns of the row transform
+        var u = 0
+        while (u < 8) {
+          var s2 = 0.0
+          var v = 0
+          while (v < 8) { s2 += dq(v * 8 + u) * IdctCos(v)(x); v += 1 }
+          tmp(x)(u) = s2
+          u += 1
+        }
+        x += 1
+      }
+      val outX = (blk % y0.padW) * 8
+      val outY = (blk / y0.padW) * 8
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          var s2 = 0.0
+          var u = 0
+          while (u < 8) { s2 += tmp(yy)(u) * IdctCos(u)(xx); u += 1 }
+          val v = math.round(s2).toInt + 128
+          yPlane((outY + yy) * yW + outX + xx) =
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+      blk += 1
+    }
+    // crop the MCU padding; nearest-sample if Y itself is subsampled
+    val out = new Array[Byte](w * h)
+    val sx = y0.h.toDouble / hmax
+    val sy = y0.v.toDouble / vmax
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yq = math.min((yy * sy).toInt, y0.padH * 8 - 1)
+        val xq = math.min((xx * sx).toInt, yW - 1)
+        out(yy * w + xx) = yPlane(yq * yW + xq)
+        xx += 1
+      }
+      yy += 1
+    }
+    PixelDecode.Raster(w, h, out)
+  }
+
+  /** Decode one scan's entropy data; returns the offset of the marker
+    * that follows it. Handles sequential full-band scans, progressive
+    * DC first/refine (interleaved or not) and progressive AC
+    * first/refine (always one component), with restart markers
+    * resetting predictors and the EOB run. */
+  private def decodeScan(b: Array[Byte], at: Int,
+      scanComps: Array[Component], ss: Int, se: Int, ah: Int, al: Int,
+      dcT: Array[Huff], acT: Array[Huff], qt: Array[Array[Int]],
+      restartInterval: Int, mcusX: Int, mcusY: Int,
+      interleaved: Boolean): Int = {
+    val in = new BitReader(b, at)
+    val pred = new Array[Int](scanComps.length)
+    var eobrun = 0
+    def dcTable(c: Component): Huff = {
+      val t = dcT(c.dcTab)
+      if (t == null) fail(s"scan references undeclared DC table ${c.dcTab}")
+      t
+    }
+    def acTable(c: Component): Huff = {
+      val t = acT(c.acTab)
+      if (t == null) fail(s"scan references undeclared AC table ${c.acTab}")
+      t
+    }
+    // --- per-block decoders over coef(base + zigzagPos) ---
+    def sequentialBlock(ci: Int, c: Component, base: Int): Unit = {
+      val s = dcTable(c).decode(in)
       if (s > 11) fail(s"DC category $s")
-      pred(c) += extend(in.receive(s), s)
-      coef(0) = pred(c) * q(0)
+      pred(ci) += extend(in.receive(s), s)
+      c.coef(base) = pred(ci)
       var k = 1
       var done = false
       while (!done && k < 64) {
-        val rs = at.decode(in)
-        val r = rs >> 4; val ssss = rs & 0xF
-        if (ssss == 0) {
-          if (r == 15) k += 16 // ZRL
-          else done = true // EOB
+        val rs = acTable(c).decode(in)
+        val r = rs >> 4; val sss = rs & 0xF
+        if (sss == 0) {
+          if (r == 15) k += 16 else done = true
         } else {
           k += r
           if (k > 63) fail("AC run past the block end")
-          coef(Zigzag(k)) = extend(in.receive(ssss), ssss) * q(k)
+          c.coef(base + k) = extend(in.receive(sss), sss)
           k += 1
         }
       }
-      if (c == 0) {
-        // IDCT only for the luma plane; chroma blocks decode (the
-        // stream interleaves them) but never transform
-        var x = 0
-        while (x < 8) { // columns first
-          var u = 0
-          while (u < 8) {
-            var s2 = 0.0
-            var v = 0
-            while (v < 8) { s2 += coef(v * 8 + u) * IdctCos(v)(x); v += 1 }
-            tmp(x)(u) = s2
-            u += 1
+    }
+    def dcFirst(ci: Int, c: Component, base: Int): Unit = {
+      val s = dcTable(c).decode(in)
+      if (s > 11) fail(s"DC category $s")
+      pred(ci) += extend(in.receive(s), s)
+      c.coef(base) = pred(ci) << al
+    }
+    def dcRefine(c: Component, base: Int): Unit =
+      if (in.bit() == 1) c.coef(base) |= 1 << al
+    def acFirst(c: Component, base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      var done = false
+      while (!done && k <= se) {
+        val rs = acTable(c).decode(in)
+        val r = rs >> 4; val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += in.receive(r)
+            done = true
           }
-          x += 1
-        }
-        var y = 0
-        while (y < 8) {
-          var x2 = 0
-          while (x2 < 8) {
-            var s2 = 0.0
-            var u = 0
-            while (u < 8) { s2 += tmp(y)(u) * IdctCos(u)(x2); u += 1 }
-            val v = math.round(s2).toInt + 128
-            val px = outX + x2; val py = outY + y
-            yPlane(py * yW + px) =
-              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-            x2 += 1
-          }
-          y += 1
+        } else {
+          k += r
+          if (k > se) fail("AC run past the band end")
+          c.coef(base + k) = extend(in.receive(s), s) << al
+          k += 1
         }
       }
     }
-    var mcu = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          in.restart(((mcu / restartInterval) - 1) % 8)
-          java.util.Arrays.fill(pred, 0)
+    def acRefine(c: Component, base: Int): Unit = {
+      // G.1.2.3: correction bits for history-nonzero positions; new
+      // coefficients are +-1<<al placed at zero-history positions
+      val plus = 1 << al
+      def correct(k: Int): Unit = {
+        val v = c.coef(base + k)
+        if (in.bit() == 1 && (v & plus) == 0)
+          c.coef(base + k) = if (v > 0) v + plus else v - plus
+      }
+      var k = ss
+      if (eobrun > 0) {
+        while (k <= se) { if (c.coef(base + k) != 0) correct(k); k += 1 }
+        eobrun -= 1
+        return
+      }
+      while (k <= se) {
+        val rs = acTable(c).decode(in)
+        var r = rs >> 4; val s = rs & 0xF
+        var newVal = 0
+        if (s == 0) {
+          if (r != 15) {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += in.receive(r)
+            // refine the rest of the band, then the EOB run covers
+            // the FOLLOWING blocks
+            while (k <= se) { if (c.coef(base + k) != 0) correct(k); k += 1 }
+            return
+          }
+          // ZRL: skip 16 zero-history positions (refining along the way)
+        } else {
+          if (s != 1) fail("AC refinement with magnitude category > 1")
+          newVal = if (in.bit() == 1) plus else -plus
         }
-        var c = 0
-        while (c < nComp) {
+        // advance past r zero-history positions, refining nonzero ones
+        var placing = true
+        while (placing && k <= se) {
+          if (c.coef(base + k) != 0) correct(k)
+          else {
+            if (r == 0) {
+              if (newVal != 0) { c.coef(base + k) = newVal }
+              placing = false
+            } else r -= 1
+          }
+          k += 1
+        }
+        if (placing && newVal != 0) fail("AC refinement places past the band end")
+      }
+    }
+    // --- the MCU walk ---
+    val isDc = ss == 0
+    val totalMcus =
+      if (interleaved) mcusX * mcusY
+      else scanComps(0).unpadW * scanComps(0).unpadH
+    var mcu = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        in.restart(((mcu / restartInterval) - 1) % 8)
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      if (interleaved) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
           var by = 0
-          while (by < compV(c)) {
+          while (by < c.v) {
             var bx = 0
-            while (bx < compH(c)) {
-              decodeBlock(c,
-                (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8)
+            while (bx < c.h) {
+              val blk = (my * c.v + by) * c.padW + (mx * c.h + bx)
+              val base = blk * 64
+              if (ah == 0 && !isDc) fail("interleaved AC scan")
+              if (ss == 0 && se == 63) sequentialBlock(ci, c, base)
+              else if (ah == 0) dcFirst(ci, c, base)
+              else dcRefine(c, base)
               bx += 1
             }
             by += 1
           }
-          c += 1
+          ci += 1
         }
-        mcu += 1
-        mx += 1
+      } else {
+        val c = scanComps(0)
+        val bx = mcu % c.unpadW; val by = mcu / c.unpadW
+        val base = (by * c.padW + bx) * 64
+        if (ss == 0 && se == 63) sequentialBlock(0, c, base)
+        else if (isDc && ah == 0) dcFirst(0, c, base)
+        else if (isDc) dcRefine(c, base)
+        else if (ah == 0) acFirst(c, base)
+        else acRefine(c, base)
       }
-      my += 1
+      mcu += 1
     }
-    // crop the MCU padding
-    val out = new Array[Byte](w * h)
-    // Y samples per image pixel: Y is full-resolution when h1=hmax;
-    // when Y itself is subsampled (rare), nearest-sample lookup
-    val sx = compH(0).toDouble / hmax
-    val sy = compV(0).toDouble / vmax
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val yy = math.min((y * sy).toInt, mcusY * compV(0) * 8 - 1)
-        val xx = math.min((x * sx).toInt, yW - 1)
-        out(y * w + x) = yPlane(yy * yW + xx)
-        x += 1
-      }
-      y += 1
-    }
-    PixelDecode.Raster(w, h, out)
+    in.finishScan()
   }
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * types, sub-byte and 16-bit depths, palette, Adam7 interlace),
   * uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp, bottom-up and
   * top-down), GIF 87a/89a (LSB-first LZW, local/global palettes,
-  * 4-pass interlace, first frame), and baseline JPEG
-  * ([[JpegDecode]] — Huffman entropy decode, dequant, IDCT, the
-  * luma plane) — plus the 32x32-DCT perceptual hash over the decoded
+  * 4-pass interlace, first frame), and JPEG — baseline AND
+  * progressive ([[JpegDecode]]: Huffman entropy decode across
+  * multi-scan spectral-selection/successive-approximation files,
+  * dequant, IDCT, the luma plane) — plus the 32x32-DCT perceptual
+  * hash over the decoded
   * LUMA raster (the pHash construction: downscale, 2D DCT-II, the
   * 8x8 low-frequency block thresholded at its median → 64 bits).
   *
@@ -31,7 +33,7 @@ import org.apache.spark.sql.types._
   * truncated IDAT is data loss. [[tryDecodeLuma]] is the tolerant
   * wrapper for feature extraction, where a fake or exotic payload
   * degrades to byte-level features instead of failing the fit.
-  * BMP RLE and the non-baseline JPEG modes (progressive, arithmetic,
+  * BMP RLE and the exotic JPEG modes (arithmetic coding, lossless,
   * 12-bit, CMYK) are declared out of scope (loud). */
 object PixelDecode {
 

@@ -501,6 +501,88 @@ class PixelSpec extends AnyFunSuite {
       "an untagged rotation must NOT hash with the upright twin (control)")
   }
 
+
+  test("progressive JPEG (SOF2): multi-scan decode cross-validated against the independent decoder") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.functions.expressions.JpegDecode
+    import java.awt.image.BufferedImage
+    import javax.imageio.{ImageIO, IIOImage, ImageWriteParam}
+    def progressiveJpeg(img: BufferedImage): Array[Byte] = {
+      val w = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bo = new java.io.ByteArrayOutputStream()
+      w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bo))
+      w.write(null, new IIOImage(img, null, null), p)
+      w.dispose()
+      bo.toByteArray
+    }
+    def maxDiff(mine: PixelDecode.Raster, ref: BufferedImage): Int = {
+      val gray = ref.getType == BufferedImage.TYPE_BYTE_GRAY
+      var worst = 0
+      for (y <- 0 until ref.getHeight; x <- 0 until ref.getWidth) {
+        val l =
+          if (gray) ref.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = ref.getRGB(x, y)
+            (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+              29 * (rgb & 0xFF) + 128) >> 8
+          }
+        worst = math.max(worst, math.abs(l - (mine.luma(y * mine.w + x) & 0xFF)))
+      }
+      worst
+    }
+    // grayscale progressive (DC first/refine + AC first/refine scans)
+    val g = new BufferedImage(53, 41, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 41; x <- 0 until 53)
+      g.getRaster.setSample(x, y, 0, (x * 7 + y * 5 + (y / 8) * 30) % 256)
+    val gj = progressiveJpeg(g)
+    // really progressive? (SOF2 + several scans)
+    assert((0 until gj.length - 1).exists(i =>
+      (gj(i) & 0xFF) == 0xFF && (gj(i + 1) & 0xFF) == 0xC2), "fixture not SOF2")
+    val nScans = (0 until gj.length - 1).count(i =>
+      (gj(i) & 0xFF) == 0xFF && (gj(i + 1) & 0xFF) == 0xDA)
+    assert(nScans >= 3, s"fixture has only $nScans scans")
+    val mineG = JpegDecode.decodeLuma(gj)
+    assert(mineG.w == 53 && mineG.h == 41)
+    val refG = ImageIO.read(new java.io.ByteArrayInputStream(gj))
+    assert(maxDiff(mineG, refG) <= 2,
+      s"progressive gray drifts ${maxDiff(mineG, refG)} levels")
+    // color progressive (interleaved DC scans + per-component AC
+    // scans over subsampled chroma — the history-driven refinement
+    // bit consumption must stay in sync across all three components)
+    // smooth gradients: a sawtooth chroma channel would make the
+    // Y-vs-BT.601-of-upsampled-RGB comparison itself noisy (the
+    // decisive coefficient-level check is the self-consistency below)
+    val c = new BufferedImage(61, 47, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 47; x <- 0 until 61)
+      c.setRGB(x, y, ((x * 4 % 256) << 16) | ((y * 5 % 256) << 8) | ((x + y) * 2 % 256))
+    val cj = progressiveJpeg(c)
+    val mineC = JpegDecode.decodeLuma(cj)
+    val refC = ImageIO.read(new java.io.ByteArrayInputStream(cj))
+    assert(maxDiff(mineC, refC) <= 6,
+      s"progressive color drifts ${maxDiff(mineC, refC)} levels")
+    // determinism
+    assert(JpegDecode.decodeLuma(cj).luma.sameElements(mineC.luma))
+    // DECISIVE: baseline and progressive encodes of one image carry
+    // the SAME coefficients — the two decode paths must agree
+    // bit-for-bit (any drift in the multi-scan accumulation, EOB
+    // runs, or refinement bits would break exact equality)
+    val boc = new java.io.ByteArrayOutputStream()
+    ImageIO.write(c, "jpg", boc)
+    assert(JpegDecode.decodeLuma(boc.toByteArray).luma.sameElements(mineC.luma),
+      "progressive decode must equal the baseline decode of the same image")
+    val bo = new java.io.ByteArrayOutputStream()
+    ImageIO.write(g, "jpg", bo)
+    val hBase = PixelDecode.phash64(JpegDecode.decodeLuma(bo.toByteArray))
+    val hProg = PixelDecode.phash64(mineG)
+    assert(java.lang.Long.bitCount(hBase ^ hProg) <= operators.Multimodal.PxMaxHamming,
+      "progressive re-encode must hash with its baseline twin")
+    // truncation mid-scan stays loud
+    val trunc = gj.dropRight(gj.length / 4)
+    assert(intercept[Exception](JpegDecode.decodeLuma(trunc)).getMessage.nonEmpty)
+  }
+
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
     import SparkTestSession._
     import spark.implicits._
