@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * 4-pass interlace, first frame), and JPEG — baseline AND
   * progressive ([[JpegDecode]]: Huffman entropy decode across
   * multi-scan spectral-selection/successive-approximation files,
-  * dequant, IDCT, the luma plane) — plus the 32x32-DCT perceptual
-  * hash over the decoded
+  * dequant, IDCT, the luma plane), and baseline TIFF (strips —
+  * none/LZW/PackBits, predictor 2, gray/RGB/palette photometrics) —
+  * plus the 32x32-DCT perceptual hash over the decoded
   * LUMA raster (the pHash construction: downscale, 2D DCT-II, the
   * 8x8 low-frequency block thresholded at its median → 64 bits).
   *
@@ -506,8 +507,181 @@ object PixelDecode {
     Raster(w, h, out)
   }
 
-  /** None = not a PNG/BMP/GIF/JPEG magic; loud on structural defects
-    * inside a recognized format. JPEGs come back in DISPLAY
+  private[expressions] def isTiff(b: Array[Byte]): Boolean =
+    b.length >= 8 && ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  /** PackBits (the TIFF appendix / Macintosh RLE): n in 0..127 copies
+    * n+1 literals, n in -127..-1 repeats the next byte 1-n times,
+    * -128 is a no-op. */
+  private def unpackBits(src: Array[Byte], expect: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(expect)
+    var p = 0
+    while (p < src.length && out.size < expect) {
+      val n = src(p)
+      p += 1
+      if (n >= 0) {
+        if (p + n + 1 > src.length) fail("PackBits literal run truncated")
+        out.write(src, p, n + 1)
+        p += n + 1
+      } else if (n != -128) {
+        if (p >= src.length) fail("PackBits repeat run truncated")
+        var k = 1 - n
+        while (k > 0) { out.write(src(p)); k -= 1 }
+        p += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Baseline TIFF (the classic scanned-document / raster-archive
+    * format): the first IFD's image as strips — uncompressed, LZW
+    * (TIFF's early-change variant, the SAME decoder as PDF's
+    * /LZWDecode), or PackBits — 8-bit samples, gray (both
+    * photometrics), RGB(A), and palette, with horizontal-differencing
+    * predictor 2. Tiles, planar configuration 2, sub-byte/16-bit
+    * samples, and the CCITT/JPEG-in-TIFF compressions are loud scope
+    * edges. */
+  private def decodeTiff(b: Array[Byte]): Raster = {
+    val le = b(0) == 'I'
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+      else ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def u32(i: Int): Long =
+      if (le) (b(i) & 0xFFL) | (b(i + 1) & 0xFFL) << 8 |
+        (b(i + 2) & 0xFFL) << 16 | (b(i + 3) & 0xFFL) << 24
+      else (b(i) & 0xFFL) << 24 | (b(i + 1) & 0xFFL) << 16 |
+        (b(i + 2) & 0xFFL) << 8 | (b(i + 3) & 0xFFL)
+    val ifd = u32(4).toInt
+    if (ifd + 2 > b.length) fail("TIFF IFD offset past end of file")
+    val n = u16(ifd)
+    // tag -> (type, count, value-field offset)
+    var tags = Map.empty[Int, (Int, Long, Int)]
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + 12 * k
+      if (e + 12 > b.length) fail("TIFF IFD entry truncated")
+      tags += (u16(e) -> ((u16(e + 2), u32(e + 4), e + 8)))
+      k += 1
+    }
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1 case 3 | 8 => 2 case 4 | 9 | 11 => 4
+      case 5 | 10 | 12 => 8 case _ => fail(s"TIFF field type $t")
+    }
+    def values(tag: Int): Option[Array[Long]] = tags.get(tag).map {
+      case (t, count, vf) =>
+        val sz = typeSize(t)
+        val at = if (sz * count <= 4) vf else u32(vf).toInt
+        if (at < 0 || at + sz * count > b.length)
+          fail(s"TIFF tag $tag values overrun the payload")
+        Array.tabulate(count.toInt) { i =>
+          t match {
+            case 1 => (b(at + i) & 0xFF).toLong
+            case 3 => u16(at + 2 * i).toLong
+            case 4 => u32(at + 4 * i)
+            case other => fail(s"TIFF tag $tag has unexpected type $other")
+          }
+        }
+    }
+    def scalar(tag: Int, default: Long = -1): Long =
+      values(tag).map(_.head).getOrElse {
+        if (default >= 0) default else fail(s"TIFF is missing required tag $tag")
+      }
+    if (tags.contains(322) || tags.contains(323))
+      fail("tiled TIFF is out of scope (strips only)")
+    val w = scalar(256).toInt
+    val h = scalar(257).toInt
+    if (w <= 0 || h <= 0) fail(s"TIFF dimensions ${w}x$h")
+    checkDims(w, h, "TIFF dimensions")
+    val spp = scalar(277, default = 1).toInt
+    val bits = values(258).getOrElse(Array(1L))
+    if (!bits.forall(_ == 8))
+      fail(s"TIFF bits-per-sample ${bits.mkString("/")} (8-bit only)")
+    if (scalar(284, default = 1) != 1)
+      fail("TIFF planar configuration 2 is out of scope")
+    val photometric = scalar(262).toInt
+    val compression = scalar(259, default = 1).toInt
+    val predictor = scalar(317, default = 1).toInt
+    if (predictor != 1 && predictor != 2)
+      fail(s"TIFF predictor $predictor")
+    val rowsPerStrip = scalar(278, default = h.toLong).toInt
+    val offsets = values(273).getOrElse(fail("TIFF has no strip offsets"))
+    val counts = values(279).getOrElse(fail("TIFF has no strip byte counts"))
+    if (offsets.length != counts.length) fail("TIFF strip tables disagree")
+    val colorMap: Array[Long] =
+      if (photometric == 3)
+        values(320).getOrElse(fail("palette TIFF has no ColorMap"))
+      else null
+    val rowLen = w * spp
+    val pixels = new java.io.ByteArrayOutputStream(rowLen * h)
+    var strip = 0
+    while (strip < offsets.length && pixels.size < rowLen * h) {
+      val at = offsets(strip).toInt
+      val cnt = counts(strip).toInt
+      if (at < 0 || cnt < 0 || at + cnt > b.length) fail("TIFF strip truncated")
+      val raw = java.util.Arrays.copyOfRange(b, at, at + cnt)
+      val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
+      val expect = rowLen * rowsHere
+      val data = compression match {
+        case 1 => raw
+        case 5 => // TIFF LZW = PDF LZWDecode with early change
+          try ParsePdf.lzwDecode(raw, earlyChange = 1)
+          catch {
+            case e: IllegalArgumentException =>
+              fail(s"TIFF LZW strip: ${e.getMessage}")
+          }
+        case 32773 => unpackBits(raw, expect)
+        case other =>
+          fail(s"TIFF compression $other is out of scope (1/5/32773)")
+      }
+      if (data.length < expect) fail(s"TIFF strip decodes short " +
+        s"(${data.length} of $expect bytes)")
+      if (predictor == 2) {
+        // horizontal differencing per row, per sample channel
+        var r = 0
+        while (r < rowsHere) {
+          var i = r * rowLen + spp
+          val end = (r + 1) * rowLen
+          while (i < end) { data(i) = (data(i) + data(i - spp)).toByte; i += 1 }
+          r += 1
+        }
+      }
+      pixels.write(data, 0, expect)
+      strip += 1
+    }
+    val px = pixels.toByteArray
+    if (px.length < rowLen * h) fail("TIFF strips cover too few rows")
+    val out = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = y * rowLen + x * spp
+        out(y * w + x) = photometric match {
+          case 0 => (255 - (px(s) & 0xFF)).toByte // WhiteIsZero
+          case 1 => px(s)
+          case 2 => // RGB(A): extra samples ignored
+            if (spp < 3) fail("RGB TIFF with fewer than 3 samples")
+            luma(px(s) & 0xFF, px(s + 1) & 0xFF, px(s + 2) & 0xFF)
+          case 3 =>
+            val i = px(s) & 0xFF
+            val m = colorMap.length / 3
+            if (i >= m) fail("TIFF palette index out of range")
+            // ColorMap entries are 16-bit; take the high byte
+            luma((colorMap(i) >> 8).toInt & 0xFF,
+              (colorMap(m + i) >> 8).toInt & 0xFF,
+              (colorMap(2 * m + i) >> 8).toInt & 0xFF)
+          case other => fail(s"TIFF photometric $other is out of scope")
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, out)
+  }
+
+  /** None = not a PNG/BMP/GIF/JPEG/TIFF magic; loud on structural
+    * defects inside a recognized format. JPEGs come back in DISPLAY
     * orientation: the EXIF orientation tag, when present, is applied
     * ([[orient]]) — a rotated-with-tag duplicate then hashes with its
     * upright twin. */
@@ -522,7 +696,8 @@ object PixelDecode {
         case _ => 1L
       }
       Some(orient(raw, o))
-    } else None
+    } else if (isTiff(b)) Some(decodeTiff(b))
+    else None
 
   /** Tolerant twin for feature extraction: any failure (fake header,
     * exotic variant) is None, never an exception. */

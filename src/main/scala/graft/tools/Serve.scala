@@ -223,7 +223,7 @@ private class ServeState(spark: SparkSession) {
           val supported = Set("pdf", "pptx", "docx", "html", "xlsx", "md",
             "epub", "odt", "rtf", "jsonl", "csv", "warc",
             // standalone image files ingest as single image records
-            "png", "jpg", "jpeg", "gif", "bmp")
+            "png", "jpg", "jpeg", "gif", "bmp", "tif", "tiff")
           // is_folder=false on a .parquet file OR a directory = a
           // parquet corpus table (a parquet dataset IS a directory —
           // the bulk vectorize_folder shape at cluster scale);
@@ -246,7 +246,7 @@ private class ServeState(spark: SparkSession) {
               return (400, JObject("error" -> JString(
                 s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|gif|bmp) under $path")))
             // the image extensions all route to the ONE image format
-            val imageExts = Set("png", "jpg", "jpeg", "gif", "bmp")
+            val imageExts = Set("png", "jpg", "jpeg", "gif", "bmp", "tif", "tiff")
             val n = files.groupBy(x => {
               val e = ext(x.getName)
               if (imageExts(e)) "image" else e

@@ -512,8 +512,10 @@ class PixelSpec extends AnyFunSuite {
       val p = w.getDefaultWriteParam
       p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
       val bo = new java.io.ByteArrayOutputStream()
-      w.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bo))
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bo)
+      w.setOutput(ios)
       w.write(null, new IIOImage(img, null, null), p)
+      ios.close() // flush the image stream's cache into bo
       w.dispose()
       bo.toByteArray
     }
@@ -581,6 +583,87 @@ class PixelSpec extends AnyFunSuite {
     // truncation mid-scan stays loud
     val trunc = gj.dropRight(gj.length / 4)
     assert(intercept[Exception](JpegDecode.decodeLuma(trunc)).getMessage.nonEmpty)
+  }
+
+
+  test("TIFF: none/LZW/PackBits strips cross-validated; predictor, photometrics, palette") {
+    System.setProperty("java.awt.headless", "true")
+    import javax.imageio.{ImageIO, IIOImage, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    def tiffOf(img: BufferedImage, compression: String): Array[Byte] = {
+      val w = ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = w.getDefaultWriteParam
+      if (compression != null) {
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(compression)
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bo)
+      w.setOutput(ios)
+      w.write(null, new IIOImage(img, null, null), p)
+      ios.close() // flush the image stream's cache into bo
+      w.dispose()
+      bo.toByteArray
+    }
+    val g = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 23; x <- 0 until 37)
+      g.getRaster.setSample(x, y, 0, (x * 13 + y * 5) % 256)
+    val expected = Array.tabulate[Byte](37 * 23)(i =>
+      ((i % 37) * 13 + (i / 37) * 5 % 256).toByte)
+    for (comp <- Seq(null, "LZW", "PackBits")) {
+      val t = tiffOf(g, comp)
+      val r = lumaOf(t)
+      assert(r.w == 37 && r.h == 23, s"$comp dims")
+      for (y <- 0 until 23; x <- 0 until 37)
+        assert((r.luma(y * 37 + x) & 0xFF) == (x * 13 + y * 5) % 256,
+          s"$comp pixel ($x,$y)")
+    }
+    // RGB with LZW (the predictor-2 + 3-sample path ImageIO emits)
+    val c = new BufferedImage(29, 17, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 17; x <- 0 until 29)
+      c.setRGB(x, y, ((x * 8 % 256) << 16) | ((y * 9 % 256) << 8) | ((x + y) * 4 % 256))
+    val ct = tiffOf(c, "LZW")
+    val cr = lumaOf(ct)
+    for (y <- 0 until 17; x <- 0 until 29) {
+      val l = (77 * (x * 8 % 256) + 150 * (y * 9 % 256) + 29 * ((x + y) * 4 % 256) + 128) >> 8
+      assert((cr.luma(y * 29 + x) & 0xFF) == l, s"rgb pixel ($x,$y)")
+    }
+    // hand-built little-endian palette TIFF with WhiteIsZero twin
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]) =
+      le16(tag) ++ le16(typ) ++ le32(count) ++ value.padTo(4, 0.toByte)
+    // 2x1 palette image: indexes 1, 0; palette 0 -> black, 1 -> white
+    val pxData = Array[Byte](1, 0)
+    val cmOff = 8 + 2 + 8 * 12 + 4 // header + count + entries + next
+    val pxOff = cmOff + 6 * 2 // 3 * 2^? — we declare a 2-entry map
+    val tiff = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+      le16(8) ++
+      entry(256, 3, 1, le16(2)) ++ entry(257, 3, 1, le16(1)) ++
+      entry(258, 3, 1, le16(8)) ++ entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(3)) ++
+      entry(273, 4, 1, le32(pxOff)) ++ entry(279, 4, 1, le32(2)) ++
+      entry(320, 3, 6, le32(cmOff)) ++
+      le32(0) ++
+      (le16(0) ++ le16(0xFFFF) ++ le16(0) ++ le16(0xFFFF) ++
+        le16(0) ++ le16(0xFFFF)) ++ // R0 R1 G0 G1 B0 B1
+      pxData
+    assert(lumaOf(tiff).luma.map(_ & 0xFF).toSeq == Seq(255, 0))
+    // WhiteIsZero: photometric 0 inverts gray
+    val w0 = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+      le16(7) ++
+      entry(256, 3, 1, le16(2)) ++ entry(257, 3, 1, le16(1)) ++
+      entry(258, 3, 1, le16(8)) ++ entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(0)) ++
+      entry(273, 4, 1, le32(8 + 2 + 7 * 12 + 4)) ++ entry(279, 4, 1, le32(2)) ++
+      le32(0) ++ Array[Byte](0, 100)
+    assert(lumaOf(w0).luma.map(_ & 0xFF).toSeq == Seq(255, 155))
+    // scope edges loud: tiles, 16-bit, CCITT
+    val tiled = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++ le16(1) ++
+      entry(322, 3, 1, le16(16)) ++ le32(0)
+    assert(intercept[Exception](PixelDecode.decodeLuma(tiled))
+      .getMessage.contains("tiled"))
+    assert(PixelDecode.decodeLuma("II but not tiff".getBytes).isEmpty)
   }
 
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
