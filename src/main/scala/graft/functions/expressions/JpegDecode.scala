@@ -276,6 +276,10 @@ object JpegDecode {
             val se = b(p + 6 + 2 * ns) & 0xFF
             val ah = (b(p + 7 + 2 * ns) >> 4) & 0xF
             val al = b(p + 7 + 2 * ns) & 0xF
+            if (ss > 63 || se > 63 || se < ss)
+              fail(s"SOS spectral band $ss..$se") // a corrupt band end
+              // would otherwise write coefficients into NEIGHBORING
+              // blocks' planes — silent pixel corruption
             if (!progressive && (ss != 0 || se != 63 || ah != 0 || al != 0))
               fail("sequential scan with progressive parameters")
             if (progressive && ss == 0 && se != 0)

@@ -485,21 +485,25 @@ object PixelDecode {
     val swap = o >= 5
     val w = if (swap) r.h else r.w
     val h = if (swap) r.w else r.h
+    // each transform is affine in (x, y): sx = a0 + ax*x + ay*y,
+    // sy = b0 + bx*x + by*y — resolved ONCE, so the per-pixel loop is
+    // pure index math (no per-pixel dispatch or tuple allocation)
+    val (a0, ax, ay, b0, bx, by) = o.toInt match {
+      case 2 => (r.w - 1, -1, 0, 0, 0, 1) // mirror horizontal
+      case 3 => (r.w - 1, -1, 0, r.h - 1, 0, -1) // rotate 180
+      case 4 => (0, 1, 0, r.h - 1, 0, -1) // mirror vertical
+      case 5 => (0, 0, 1, 0, 1, 0) // transpose
+      case 6 => (0, 0, 1, r.h - 1, -1, 0) // rotate 90 CW (stored 90 CCW)
+      case 7 => (r.w - 1, 0, -1, r.h - 1, -1, 0) // transverse
+      case _ => (r.w - 1, 0, -1, 0, 1, 0) // 8: rotate 270 CW
+    }
     val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val (sx, sy) = o match {
-          case 2 => (r.w - 1 - x, y) // mirror horizontal
-          case 3 => (r.w - 1 - x, r.h - 1 - y) // rotate 180
-          case 4 => (x, r.h - 1 - y) // mirror vertical
-          case 5 => (y, x) // transpose
-          case 6 => (y, r.h - 1 - x) // rotate 90 CW (stored is 90 CCW)
-          case 7 => (r.w - 1 - y, r.h - 1 - x) // transverse
-          case _ => (r.w - 1 - y, x) // 8: rotate 270 CW
-        }
-        out(y * w + x) = r.luma(sy * r.w + sx)
+        out(y * w + x) =
+          r.luma((b0 + bx * x + by * y) * r.w + (a0 + ax * x + ay * y))
         x += 1
       }
       y += 1
@@ -604,7 +608,10 @@ object PixelDecode {
     val predictor = scalar(317, default = 1).toInt
     if (predictor != 1 && predictor != 2)
       fail(s"TIFF predictor $predictor")
-    val rowsPerStrip = scalar(278, default = h.toLong).toInt
+    // clamped BEFORE toInt: the TIFF 6.0 "effectively infinite"
+    // convention writes RowsPerStrip = 2^32-1 for single-strip files,
+    // which a bare toInt turns into -1
+    val rowsPerStrip = math.min(scalar(278, default = h.toLong), h.toLong).toInt
     val offsets = values(273).getOrElse(fail("TIFF has no strip offsets"))
     val counts = values(279).getOrElse(fail("TIFF has no strip byte counts"))
     if (offsets.length != counts.length) fail("TIFF strip tables disagree")

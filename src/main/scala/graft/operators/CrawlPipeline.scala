@@ -59,16 +59,18 @@ object CrawlPipeline {
       : DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
-    val pages = pageFrame(captures, trainedLangId, trainedQuality)
-    // url-level dedup BEFORE content gates (the crawl order: a page
-    // recrawled under tracking-param variants is ONE page, and the
-    // keeper — lowest (doc_id, rec) — is decided before any gate can
-    // disqualify it); the window is the url-dedup shuffle
+    val pages = pageFrame(captures)
+    // url-level dedup BEFORE scoring and content gates (the crawl
+    // order: a page recrawled under tracking-param variants is ONE
+    // page, and the keeper — lowest (doc_id, rec) — is decided before
+    // any gate can disqualify it; scoring after the keeper means the
+    // tokenize/classify cost is never paid on dropped duplicates);
+    // the window is the url-dedup shuffle
     val keeper = org.apache.spark.sql.expressions.Window
       .partitionBy($"url").orderBy($"doc_id", $"rec")
-    val scored = gates(pages
+    val scored = gates(score(pages
       .withColumn("rn", row_number().over(keeper))
-      .filter($"rn" === 1),
+      .filter($"rn" === 1), trainedLangId, trainedQuality),
       trainedQuality.map(_._2).getOrElse(0.0))
       .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",
         $"n_tokens", $"quality_r")
@@ -86,25 +88,24 @@ object CrawlPipeline {
 
   /** The STATELESS half of the pipeline, shared verbatim by the batch
     * path and the streaming gate ([[crawlGate]]) — capture bytes to
-    * UNGATED page rows in ONE narrow pass, no shuffle at all: a
+    * UNSCORED page rows in ONE narrow pass, no shuffle at all: a
     * page's text runs are already co-located in [[graft.functions.expressions.ParseHtml]]'s
     * result array, so reassembly is higher-order array functions in
     * ARRAY (= document) order — never an explode + groupBy (the
     * earlier formulation paid a whole corpus shuffle to regroup rows
-    * that started out together). Only text/html responses parse; the
-    * record ordinal `rec` keeps two same-URL responses in one capture
-    * apart. Output: (doc_id, rec, url, text, boiler_ratio) + the
-    * curation signal columns of [[TextAnalysis.scoreDocs]] (the
-    * trained configs add/replace their columns here, one narrow
-    * expression each). */
-  private[graft] def pageFrame(captures: DataFrame,
-      trainedLangId: Option[LangIdClassifier.Model] = None,
-      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
-      : DataFrame = {
+    * that started out together). Only text/html responses with at
+    * least one text/boilerplate run count as PAGES (an empty-body
+    * response must not occupy a canonical URL and knock the real page
+    * out of the dedup); the record ordinal `rec` keeps two same-URL
+    * responses in one capture apart. Scoring deliberately does NOT
+    * happen here — both callers dedup first, so the per-row
+    * tokenize/classify cost is never paid on rows the keeper drops.
+    * Output: (doc_id, rec, url, text, boiler_ratio). */
+  private[graft] def pageFrame(captures: DataFrame): DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
     import graft.functions.expressions.{Inflate, ParseHtml, ParseWarc}
-    val pages = captures
+    captures
       .select($"doc_id",
         posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
       .filter($"w.rec_type" === "response" &&
@@ -124,9 +125,19 @@ object CrawlPipeline {
           filter($"rows", r => r.getField("content_type") === "boilerplate"),
           lit(0L), (acc, r) => acc + length(r.getField("content_raw")))
           .as("boiler_chars"))
+      .filter($"main_chars" + $"boiler_chars" > 0) // run-less responses are not pages
       .withColumn("boiler_ratio", round($"boiler_chars".cast("double") /
         ($"boiler_chars" + $"main_chars"), 4))
       .drop("main_chars", "boiler_chars")
+  }
+
+  /** Curation signals over deduped page rows — [[TextAnalysis.scoreDocs]]
+    * plus the trained configs' columns (one narrow expression each,
+    * broadcast weights). Runs AFTER the url dedup in both callers. */
+  private def score(pages: DataFrame,
+      trainedLangId: Option[LangIdClassifier.Model],
+      trainedQuality: Option[(LangIdClassifier.Model, Double)]): DataFrame = {
+    import pages.sparkSession.implicits._
     val heuristic = TextAnalysis.scoreDocs(pages)
     val relabeled = trainedLangId.fold(heuristic)(m =>
       heuristic.withColumn("lang_pred", m.predict($"text")))
@@ -148,13 +159,17 @@ object CrawlPipeline {
 
   /** The crawl ingest as a STREAM transform — the lambda split stated
     * like [[graft.streaming.DocStreams]]: the stateless half
-    * ([[pageFrame]] + the content gates — capture bytes to gated page
-    * rows in one narrow pass, shared VERBATIM with the batch path)
-    * runs in-stream, with first-wins `dropDuplicates("url")` as the
-    * in-stream URL dedup (state keys one row per distinct kept url;
-    * long-running queries bound it with a watermark variant exactly
-    * like DocStreams.curateGateBounded). Shard assignment stays a
-    * batch compaction job — a global prefix sum has no bounded-state
+    * ([[pageFrame]], shared VERBATIM with the batch path) runs
+    * in-stream, `dropDuplicates("url")` is the in-stream URL dedup,
+    * and scoring + gates run on the deduped survivors — the SAME
+    * dedup-before-gates order as the batch keeper, so a gated-out
+    * first capture suppresses later recrawls of its url in both
+    * paths (the only divergence left is first-ARRIVAL vs
+    * lowest-(doc_id, rec) when duplicates differ in content). State
+    * keys one row per distinct url; long-running queries bound it
+    * with a watermark variant exactly like
+    * DocStreams.curateGateBounded. Shard assignment stays a batch
+    * compaction job — a global prefix sum has no bounded-state
     * streaming form. Works unchanged on a batch frame; the spec pins
     * stream/batch parity on the gate columns. */
   def crawlGate(captures: DataFrame,
@@ -162,11 +177,11 @@ object CrawlPipeline {
       trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
       : DataFrame = {
     import captures.sparkSession.implicits._
-    gates(pageFrame(captures, trainedLangId, trainedQuality),
+    gates(score(pageFrame(captures).dropDuplicates("url"),
+      trainedLangId, trainedQuality),
       trainedQuality.map(_._2).getOrElse(0.0))
       .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",
         $"n_tokens", $"quality_r")
-      .dropDuplicates("url")
   }
 
   /** The tx_crawl driver query: one synthetic `.warc.gz`/`.warc.zst`

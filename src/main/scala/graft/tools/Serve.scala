@@ -241,10 +241,10 @@ private class ServeState(spark: SparkSession) {
                   .filter(x => x.isFile && supported(ext(x.getName))).toSeq
               else if (supported(ext(f.getName))) Seq(f)
               else return (400, JObject("error" -> JString(
-                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|gif|bmp|parquet)")))
+                s"unsupported file type .${ext(f.getName)} (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|jpeg|gif|bmp|tif|tiff|parquet)")))
             if (files.isEmpty)
               return (400, JObject("error" -> JString(
-                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|gif|bmp) under $path")))
+                s"no supported files (pdf|pptx|docx|html|xlsx|md|epub|odt|rtf|jsonl|csv|warc|png|jpg|jpeg|gif|bmp|tif|tiff) under $path")))
             // the image extensions all route to the ONE image format
             val imageExts = Set("png", "jpg", "jpeg", "gif", "bmp", "tif", "tiff")
             val n = files.groupBy(x => {

@@ -86,6 +86,16 @@ class CrawlPipelineSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("url") == "http://example.com/x")
     assert(out.head.getAs[Long]("n_tokens") == keeperText.split("\\s+").length,
       "reassembled text must be exactly the first response's page")
+    // an EMPTY text/html response (zero runs) is not a page: it must
+    // not occupy the canonical url and knock the real page out
+    val emptyFirst =
+      record("response", "http://example.com/y", "text/html", Array.emptyByteArray) ++
+      record("response", "http://example.com/y", "text/html", page(keeperText))
+    val out2 = CrawlPipeline.fromCaptures(
+      Seq((3L, emptyFirst)).toDF("doc_id", "payload")).collect()
+    assert(out2.length == 1 &&
+      out2.head.getAs[Long]("n_tokens") == keeperText.split("\\s+").length,
+      s"the real page must survive an earlier empty response: ${out2.toSeq}")
   }
 
 

@@ -583,6 +583,18 @@ class PixelSpec extends AnyFunSuite {
     // truncation mid-scan stays loud
     val trunc = gj.dropRight(gj.length / 4)
     assert(intercept[Exception](JpegDecode.decodeLuma(trunc)).getMessage.nonEmpty)
+    // a corrupt spectral band end (Se > 63) must be loud, never write
+    // into neighboring blocks' coefficient planes
+    val badSe = gj.clone()
+    val sosAt = (0 until badSe.length - 1).find(i =>
+      (badSe(i) & 0xFF) == 0xFF && (badSe(i + 1) & 0xFF) == 0xDA).get
+    val ns = badSe(sosAt + 4) & 0xFF
+    val seAt = sosAt + 6 + 2 * ns
+    if ((badSe(seAt) & 0xFF) > 0) { // an AC scan: corrupt its band end
+      badSe(seAt + 1) = 0xFF.toByte
+      assert(intercept[Exception](JpegDecode.decodeLuma(badSe))
+        .getMessage.contains("spectral band"))
+    }
   }
 
 
@@ -608,8 +620,6 @@ class PixelSpec extends AnyFunSuite {
     val g = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until 23; x <- 0 until 37)
       g.getRaster.setSample(x, y, 0, (x * 13 + y * 5) % 256)
-    val expected = Array.tabulate[Byte](37 * 23)(i =>
-      ((i % 37) * 13 + (i / 37) * 5 % 256).toByte)
     for (comp <- Seq(null, "LZW", "PackBits")) {
       val t = tiffOf(g, comp)
       val r = lumaOf(t)
@@ -658,6 +668,17 @@ class PixelSpec extends AnyFunSuite {
       entry(273, 4, 1, le32(8 + 2 + 7 * 12 + 4)) ++ entry(279, 4, 1, le32(2)) ++
       le32(0) ++ Array[Byte](0, 100)
     assert(lumaOf(w0).luma.map(_ & 0xFF).toSeq == Seq(255, 155))
+    // RowsPerStrip = 2^32-1 (the TIFF 6.0 single-strip convention)
+    // clamps to the image height instead of overflowing toInt
+    val inf = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+      le16(8) ++
+      entry(256, 3, 1, le16(2)) ++ entry(257, 3, 1, le16(1)) ++
+      entry(258, 3, 1, le16(8)) ++ entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(1)) ++
+      entry(273, 4, 1, le32(8 + 2 + 8 * 12 + 4)) ++ entry(279, 4, 1, le32(2)) ++
+      entry(278, 4, 1, Array[Byte](-1, -1, -1, -1)) ++
+      le32(0) ++ Array[Byte](7, 9)
+    assert(lumaOf(inf).luma.map(_ & 0xFF).toSeq == Seq(7, 9))
     // scope edges loud: tiles, 16-bit, CCITT
     val tiled = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++ le16(1) ++
       entry(322, 3, 1, le16(16)) ++ le32(0)
