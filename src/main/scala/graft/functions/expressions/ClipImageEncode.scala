@@ -142,12 +142,17 @@ object ClipImageModel {
 
   /** The fixed byte-level feature map — header fields the container
     * declares plus CONTENT statistics: when the payload really
-    * decodes (PNG/BMP/GIF/baseline JPEG —
-    * [[PixelDecode.tryDecodeLuma]]) the histogram/mean/stddev run
-    * over the decoded LUMA pixels, so a recompressed duplicate maps
-    * to near-identical features; everything else (fake headers,
-    * progressive JPEG, exotic variants) falls back to the container
-    * bytes, keeping the map total. The decode is per-row work in the
+    * decodes (the full [[PixelDecode.tryDecodeLuma]] scope — PNG,
+    * BMP, GIF, JPEG including progressive, TIFF, WebP VP8L) the
+    * histogram/mean/stddev run over the decoded LUMA pixels, so a
+    * recompressed duplicate maps to near-identical features;
+    * everything else (fake headers, exotic variants) falls back to
+    * the container bytes, keeping the map total. NOTE: each decoder
+    * added to tryDecodeLuma silently shifts feature semantics for
+    * payloads that previously fell back to bytes — stored models
+    * trained before a scope change are invalidated and must refit
+    * (the store's model rows carry no feature-version pin by
+    * design: refit is cheap, silent drift is not). The decode is per-row work in the
     * embedding path by DESIGN — content features are the point; the
     * dimension cap in the decoders bounds the worst case. Everything
     * is scaled to O(1) so the MLP trains on comparable magnitudes;

@@ -763,16 +763,27 @@ object ParsePdf {
     applyFilters(raw, filtersOf(doc, dict), dict, objNum)
   }
 
-  private[expressions] def inflate(data: Array[Byte]): Array[Byte] = {
+  /** `maxOut` bounds the DECODED size where the caller has already
+    * validated the shape the output must fit (PNG: the filtered-row
+    * total from IHDR dims): a ~1000x zlib bomb otherwise allocates GBs
+    * BEFORE any shape check can see it — an OutOfMemoryError the
+    * tolerant feature paths' Exception catch cannot contain. Checked
+    * inside the drain loop, so the transient overshoot is one 8 KB
+    * buffer, never the bomb. */
+  private[expressions] def inflate(data: Array[Byte],
+      maxOut: Int = Int.MaxValue): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(maxOut.toLong, data.length * 4L).toInt))
     val buf = new Array[Byte](8192)
     try {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
         if (n == 0 && inf.needsInput()) fail("truncated Flate stream")
         out.write(buf, 0, n)
+        if (out.size > maxOut)
+          fail(s"Flate stream exceeds its declared decoded size ($maxOut)")
       }
     } catch {
       case e: java.util.zip.DataFormatException =>
@@ -789,9 +800,10 @@ object ParsePdf {
     * 511/1023/2047 — the `512 - earlyChange` decoder threshold PDFBox
     * and pdf.js use). `earlyChange` comes from /DecodeParms
     * /EarlyChange (default 1 per §7.4.4.3). */
-  private[graft] def lzwDecode(data: Array[Byte],
-      earlyChange: Int = 1): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1,
+      maxOut: Int = Int.MaxValue): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(maxOut.toLong, data.length * 3L).toInt))
     val table = ArrayBuffer.tabulate(256)(i => Array(i.toByte))
     table += Array.emptyByteArray // 256 clear
     table += Array.emptyByteArray // 257 eod
@@ -821,6 +833,10 @@ object ParsePdf {
             else if (code == table.length && prev != null) prev :+ prev(0)
             else fail(s"corrupt LZW stream: code $code outside table")
           out.write(entry, 0, entry.length)
+          // same bomb bound as inflate: checked per code, so the
+          // transient overshoot is one table entry (<= 4 KB)
+          if (out.size > maxOut)
+            fail(s"LZW stream exceeds its declared decoded size ($maxOut)")
           if (prev != null) table += (prev :+ entry(0))
           prev = entry
           // Widen in lockstep with the encoder: the decoder's table is

@@ -52,7 +52,10 @@ object PixelDecode {
     * declaration would let one hostile/corrupt crawl image OOM an
     * executor (an Error, which the tolerant feature path's Exception
     * catch could not contain). Fails loudly like every other scope
-    * edge; all four decoders check before allocating. */
+    * edge; every decoder checks before allocating, and the
+    * DECOMPRESSORS (zlib, the two LZW flavors) are bounded by the
+    * dims-derived expected size too — a compression bomb behind small
+    * declared dims fails at the bound, not at the allocator. */
   private[expressions] val MaxPixels = 1 << 24
   private[expressions] def checkDims(w: Int, h: Int, what: String): Unit =
     if (w.toLong * h > MaxPixels)
@@ -171,9 +174,25 @@ object PixelDecode {
     }
     if (!okDepth(depth)) fail(s"PNG bit depth $depth for color type $colorType")
     if (colorType == 3 && palette == null) fail("PNG palette image has no PLTE")
-    val raw = ParsePdf.inflate(idat.toByteArray) // zlib, loud on truncation
     val bitsPerPx = channels * depth
     val bpp = math.max(1, bitsPerPx / 8)
+    // the inflate bound: exact filtered-row total the validated dims
+    // imply (sequential: h rows; Adam7: the per-pass sum) — a zlib
+    // bomb behind a small declared image fails loudly HERE instead of
+    // allocating its whole expansion (checkDims alone cannot catch it:
+    // the declared dims are small, the stream is not)
+    val expectedRaw: Long =
+      if (!interlaced) h.toLong * (((w.toLong * bitsPerPx + 7) / 8) + 1)
+      else (0 until 7).map { pass =>
+        val wp = if (w > Adam7XStart(pass))
+          (w - Adam7XStart(pass) + Adam7XStep(pass) - 1) / Adam7XStep(pass) else 0
+        val hp = if (h > Adam7YStart(pass))
+          (h - Adam7YStart(pass) + Adam7YStep(pass) - 1) / Adam7YStep(pass) else 0
+        if (wp > 0 && hp > 0) hp.toLong * (((wp.toLong * bitsPerPx + 7) / 8) + 1)
+        else 0L
+      }.sum
+    // <= MaxPixels * 9 (RGBA16 + filter bytes), so the toInt is safe
+    val raw = ParsePdf.inflate(idat.toByteArray, expectedRaw.toInt)
     val maxSub = (1 << depth) - 1
     val out = new Array[Byte](w * h)
     // one per-pixel extractor for both the sequential and the Adam7
@@ -278,16 +297,24 @@ object PixelDecode {
     if (w <= 0 || h == 0) fail(s"BMP dimensions ${w}x$hRaw")
     checkDims(w, h, "BMP dimensions")
     if (compression != 0) fail(s"BMP compression $compression (only BI_RGB) is out of scope")
+    // le32 fields are SIGNED ints off the wire: a negative dataOff or
+    // a huge dibSize/clrUsed would pass the bound checks by overflow
+    // or sign and surface as a raw ArrayIndexOutOfBounds instead of
+    // the labeled loud failure — validate ranges first, widen to Long
+    if (dataOff < 54 || dataOff > b.length) fail(s"BMP pixel data offset $dataOff")
+    if (dibSize > b.length - 14) fail(s"BMP DIB header size $dibSize overruns the payload")
     val palette: Array[Byte] =
       if (bpp == 8) {
         val clrUsed = if (dibSize >= 36 && 14 + 36 <= b.length) le32(b, 46) else 0
+        if (clrUsed < 0 || clrUsed > 256)
+          fail(s"BMP palette size $clrUsed (8-bpp allows at most 256)")
         val n = if (clrUsed > 0) clrUsed else 256
         val at = 14 + dibSize
-        if (at + n * 4 > b.length) fail("BMP palette overruns the payload")
+        if (at.toLong + n.toLong * 4 > b.length) fail("BMP palette overruns the payload")
         java.util.Arrays.copyOfRange(b, at, at + n * 4) // BGRA quads
       } else null
     val rowLen = ((w * bpp + 31) / 32) * 4 // 4-byte aligned rows
-    if (dataOff + rowLen.toLong * h > b.length) fail("BMP pixel data truncated")
+    if (dataOff.toLong + rowLen.toLong * h > b.length) fail("BMP pixel data truncated")
     val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
@@ -354,6 +381,12 @@ object PixelDecode {
       while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
       val first = stack(sp - 1)
       while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      // bomb bound: `expected` is the frame's validated pixel count,
+      // not a buffer hint — an LZW stream expanding past it fails here
+      // (transient overshoot <= one 4 KB table entry), never after
+      // allocating an unbounded expansion the dims said nothing about
+      if (out.size > expected)
+        fail(s"GIF LZW emits more than the declared $expected pixels")
       first
     }
     var done = false
@@ -629,10 +662,15 @@ object PixelDecode {
       val raw = java.util.Arrays.copyOfRange(b, at, at + cnt)
       val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
       val expect = rowLen * rowsHere
+      // decode bound: the strip's declared ceiling (a last strip may
+      // legitimately encode its full rowsPerStrip; anything past that
+      // is a bomb, not padding). rowLen*rowsPerStrip <= w*spp*h fits
+      // int under the MaxPixels check above.
+      val stripCap = rowLen * rowsPerStrip
       val data = compression match {
         case 1 => raw
         case 5 => // TIFF LZW = PDF LZWDecode with early change
-          try ParsePdf.lzwDecode(raw, earlyChange = 1)
+          try ParsePdf.lzwDecode(raw, earlyChange = 1, maxOut = stripCap)
           catch {
             case e: IllegalArgumentException =>
               fail(s"TIFF LZW strip: ${e.getMessage}")
@@ -818,7 +856,7 @@ case class PixelPhash(child: Expression)
     val b = input.asInstanceOf[Array[Byte]]
     PixelDecode.phash64(PixelDecode.decodeLuma(b).getOrElse(
       throw new IllegalArgumentException(
-        "PixelPhash: payload is none of PNG/BMP/GIF/JPEG")))
+        "PixelPhash: payload is none of PNG/BMP/GIF/JPEG/TIFF/WebP")))
   }
 
   override protected def withNewChildInternal(c: Expression): PixelPhash =

@@ -24,12 +24,13 @@ import graft.Tables
   * which nothing else exercises end-to-end.
   *
   * Scale shape, one stage per shuffle and no others: the capture scan
-  * is narrow through synth/inflate/parse/explode; ONE groupBy(doc)
-  * reassembles page text (the text runs of a page co-locate by key);
-  * ONE window over canonical URL is the url-dedup shuffle (row_number
-  * keeper — the exact-dedup shape); scoring is narrow; the shard
-  * prefix sum is the two-pass bounded-collect formulation, never a
-  * single-partition window. */
+  * is narrow through synth/inflate/parse, and page reassembly is
+  * shuffle-FREE (higher-order array functions over ParseHtml's
+  * co-located runs); ONE min(struct) partial aggregation over
+  * canonical URL is the url-dedup shuffle (map-side combining, so a
+  * hot recrawled url merges before the exchange); scoring is narrow;
+  * the shard prefix sum is the two-pass bounded-collect formulation,
+  * never a single-partition window. */
 object CrawlPipeline {
 
   /** Pages whose chrome share exceeds this never become training
@@ -59,21 +60,7 @@ object CrawlPipeline {
       : DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
-    val pages = pageFrame(captures)
-    // url-level dedup BEFORE scoring and content gates (the crawl
-    // order: a page recrawled under tracking-param variants is ONE
-    // page, and the keeper — lowest (doc_id, rec) — is decided before
-    // any gate can disqualify it; scoring after the keeper means the
-    // tokenize/classify cost is never paid on dropped duplicates);
-    // the window is the url-dedup shuffle
-    val keeper = org.apache.spark.sql.expressions.Window
-      .partitionBy($"url").orderBy($"doc_id", $"rec")
-    val scored = gates(score(pages
-      .withColumn("rn", row_number().over(keeper))
-      .filter($"rn" === 1), trainedLangId, trainedQuality),
-      trainedQuality.map(_._2).getOrElse(0.0))
-      .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",
-        $"n_tokens", $"quality_r")
+    val scored = scoredKept(captures, trainedLangId, trainedQuality)
     // shard assignment: exact per-language running token totals via
     // the distributed prefix sum (cum is unique-keyed on
     // (lang_pred, doc_id), so shard ids are deterministic)
@@ -84,6 +71,40 @@ object CrawlPipeline {
       .drop("cum"))
     base.unpersist(blocking = false)
     out
+  }
+
+  /** Captures → deduped, scored, gated page rows — everything before
+    * the shard prefix sum (which materializes, hiding the plan). The
+    * production path; exposed so the spec can pin the keeper's PLAN
+    * (a partial aggregation, never a window) on the exact frame
+    * [[fromCaptures]] runs. */
+  private[graft] def scoredKept(captures: DataFrame,
+      trainedLangId: Option[LangIdClassifier.Model],
+      trainedQuality: Option[(LangIdClassifier.Model, Double)]): DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    val pages = pageFrame(captures)
+    // url-level dedup BEFORE scoring and content gates (the crawl
+    // order: a page recrawled under tracking-param variants is ONE
+    // page, and the keeper — lowest (doc_id, rec) — is decided before
+    // any gate can disqualify it; scoring after the keeper means the
+    // tokenize/classify cost is never paid on dropped duplicates).
+    // The keeper is a min(struct) PARTIAL aggregation, not a
+    // row_number window: a hot url (mega-recrawled page) combines its
+    // captures map-side before the one url shuffle, where a window
+    // would pin every capture of that url on a single task — the
+    // dd_urls / tx_linededup keeper discipline. (doc_id, rec) is
+    // unique per capture row, so the struct min is deterministic and
+    // the output is hash-identical to the window formulation.
+    val kept = pages
+      .groupBy($"url")
+      .agg(min(struct($"doc_id", $"rec", $"text", $"boiler_ratio")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"url",
+        $"k.text".as("text"), $"k.boiler_ratio".as("boiler_ratio"))
+    gates(score(kept, trainedLangId, trainedQuality),
+      trainedQuality.map(_._2).getOrElse(0.0))
+      .select($"doc_id", $"url", $"boiler_ratio", $"lang_pred",
+        $"n_tokens", $"quality_r")
   }
 
   /** The STATELESS half of the pipeline, shared verbatim by the batch

@@ -164,6 +164,21 @@ class CrawlPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the url keeper is a partial min(struct) aggregation, never a window") {
+    // the plan contract behind the keeper rewrite: a hot recrawled url
+    // must combine map-side before the one url shuffle — a row_number
+    // window would pin all its captures on a single task. The keeper
+    // output itself is pinned by the tests above (lowest (doc_id, rec)
+    // survives); this pins the PLAN shape.
+    // scoredKept is the exact frame fromCaptures feeds the shard
+    // stage (which materializes, hiding the plan behind an RDD scan)
+    val plan = CrawlPipeline.scoredKept(captures(1L -> keeperText), None, None)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keeper must not be a window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"keeper must partial-aggregate (map-side combine):\n$plan")
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally
