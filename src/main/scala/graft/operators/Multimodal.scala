@@ -129,14 +129,12 @@ object Multimodal {
     * block hash is computed from a fixed spatial grid wrapped
     * cyclically over the payload (the real deployment swaps the block
     * digest for a DCT of decoded pixels at the same seam), and
-    * near-dup candidate pairs come from a pigeonhole band join:
-    * [[PhashBands]] bands of [[PhashBits]]/[[PhashBands]] bits, so any
-    * pair within hamming distance [[PhashMaxHamming]] (≤ bands - 1)
-    * shares at least one exact band — candidate generation is an
-    * equi-join on (band, key), never an all-pairs cross. 8-bit band
-    * keys give 256 buckets per band, so bucket population — and the
-    * join's quadratic term — shrinks 16× vs a 4-bit-key design at any
-    * corpus size. Block offsets are a FIXED grid wrapped cyclically
+    * near-dup pairs within hamming [[PhashMaxHamming]] come from the
+    * occupancy-safe [[HammingPairs]] stage: distinct-hash collapse,
+    * a corpus-sized band-geometry ladder, and the hot-bucket
+    * sub-band split — exact at every geometry, so the DuckDB oracle
+    * pins the pair set regardless of which rung the corpus size
+    * selects. Block offsets are a FIXED grid wrapped cyclically
     * over the payload: fixed (not length-proportional) because a fixed
     * grid is stable under small same-length edits — what makes the
     * hash perceptual — and wrapped so every bit is content-derived for
@@ -146,7 +144,6 @@ object Multimodal {
     * holding every short row). Real fixed-size pixel payloads populate
     * the grid directly. */
   val PhashBits = 32
-  val PhashBands = 4
   val PhashMaxHamming = 3
   val PhashBlock = 8
 
@@ -162,21 +159,11 @@ object Multimodal {
 
   def phash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bitsPerBand = PhashBits / PhashBands
-    val mask = (1L << bitsPerBand) - 1
+    // footer-stats row count drives the geometry rung — no data scan
+    val n = Tables.load(spark, dir, "documents").count()
     val hashed = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", phashValue($"text").as("ph"))
-    val banded = hashed.select($"doc_id", $"ph",
-      posexplode(array((0 until PhashBands).map { b =>
-        shiftright($"ph", b * bitsPerBand).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("band", "bkey")))
-    banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-        bit_count($"a.ph".bitwiseXOR($"b.ph")).cast("long").as("hamming"))
-      .distinct() // a pair can collide in several bands
-      .filter($"hamming" <= PhashMaxHamming)
+    HammingPairs.pairs(hashed, "doc_id", n, PhashBits, PhashMaxHamming)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -185,44 +172,34 @@ object Multimodal {
     * seeded by the text's 20-char prefix, encoding routed across
     * gray/RGB/palette color types and rotating row filters), decoded
     * to luma and hashed by the 32x32-DCT perceptual hash
-    * ([[graft.functions.expressions.PixelPhash]]). Near-dup pairs from
-    * the same pigeonhole band join as [[phash]]: [[PxBands]] bands of
-    * 8 bits over the [[PxBits]]-bit hash, so any pair within hamming
-    * [[PxMaxHamming]] (= bands - 1) shares an exact band — candidate
-    * generation stays an equi-join at any corpus size. Rows-only by
-    * design (a 2D DCT over decoded pixels has no SQL ground truth);
-    * PixelSpec carries the burden: decoder fixtures per format/
-    * filter/color type, encode-variant hash identity, resized
-    * near-dup recall, and the pigeonhole completeness of this exact
-    * banding against an exhaustive hamming scan. */
+    * ([[graft.functions.expressions.PixelPhash]]). Near-dup pairs
+    * within hamming [[PxMaxHamming]] over the [[PxBits]]-bit hash via
+    * the occupancy-safe [[HammingPairs]] stage — distinct-hash
+    * collapse (byte-identical crawl duplicates never enter the join),
+    * corpus-sized geometry ladder, hot-bucket sub-band split; exact
+    * at every rung. Rows-only by design (a 2D DCT over decoded
+    * pixels has no SQL ground truth); PixelSpec carries the burden:
+    * decoder fixtures per format/filter/color type, encode-variant
+    * hash identity, resized near-dup recall, and pair-set equality of
+    * the full pairing stage against an exhaustive hamming scan
+    * (HammingPairsSpec forces every rung and the hot path besides). */
   val PxBits = 64
-  val PxBands = 8
   val PxMaxHamming = 7
 
   def phashPx(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.expressions.{PixelPhash, SynthPng}
-    val bitsPerBand = PxBits / PxBands
-    val mask = (1L << bitsPerBand) - 1
-    // MATERIALIZED before the self-join: the hash is a decode + DCT
-    // per row — expensive where mm_phash's bit math is free — and a
-    // lazy self-join would run it TWICE (each side re-scans; plan
-    // audit showed two parquet scans). The (doc_id, ph) frame is 16
-    // bytes a row, so the checkpoint is bounded at any corpus size.
+    val n = Tables.load(spark, dir, "documents").count() // footer stats
+    // MATERIALIZED before the pairing stage: the hash is a decode +
+    // DCT per row — expensive where mm_phash's bit math is free — and
+    // a lazy frame would re-decode on every downstream scan (the
+    // distinct pass, the same-hash join, the id expansion). The
+    // (doc_id, ph) frame is 16 bytes a row, bounded at any corpus
+    // size.
     val hashed = Tables.materialize(
       Tables.spread(Tables.load(spark, dir, "documents"))
         .select($"doc_id", PixelPhash(SynthPng($"text")).as("ph")))
-    val banded = hashed.select($"doc_id", $"ph",
-      posexplode(array((0 until PxBands).map { b =>
-        shiftright($"ph", b * bitsPerBand).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("band", "bkey")))
-    banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-        bit_count($"a.ph".bitwiseXOR($"b.ph")).cast("long").as("hamming"))
-      .distinct() // a pair can collide in several bands
-      .filter($"hamming" <= PxMaxHamming)
+    HammingPairs.pairs(hashed, "doc_id", n, PxBits, PxMaxHamming)
       .orderBy($"a_id", $"b_id")
   }
 

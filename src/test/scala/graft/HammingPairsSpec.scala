@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.HammingPairs
+
+/** The occupancy-safe Hamming pairing stage, proven exact at every
+  * geometry it can select — rung 0 (the pinned gate plan), rung 1
+  * (wide keys + the 1-bit probe ring), and the hot-bucket sub-band
+  * split — each against an exhaustive all-pairs scan on planted
+  * corpora, including adversarial mass no uniform model produces. */
+class HammingPairsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def exhaustive(rows: Seq[(Long, Long)], k: Int): Set[(Long, Long, Long)] =
+    (for {
+      (a, pa) <- rows; (b, pb) <- rows if a < b
+      h = java.lang.Long.bitCount(pa ^ pb)
+      if h <= k
+    } yield (a, b, h.toLong)).toSet
+
+  private def run(rows: Seq[(Long, Long)], bits: Int, k: Int,
+      anchor: Long, hotCap: Long): Set[(Long, Long, Long)] =
+    HammingPairs.pairs(rows.toDF("doc_id", "ph"), "doc_id",
+        rows.length.toLong, bits, k, anchor, hotCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Deterministic splitmix64 stream — planted corpora must not
+    * depend on JVM RNG defaults. */
+  private def mix(i: Long): Long = {
+    var z = i * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 200 base hashes + planted families at every hamming 0..k+1:
+    * flips of base hashes at exact distances (k+1 plants the
+    * must-NOT-pair control). */
+  private def planted(bits: Int, k: Int): Seq[(Long, Long)] = {
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val base = (0L until 200L).map(i => i -> (mix(i) & mask))
+    val fam = (0 to k + 1).flatMap { d =>
+      val (_, ph) = base((d * 13) % 200)
+      // flip d DISTINCT bit positions spread across the hash
+      val flipped = (0 until d).foldLeft(ph)((p, j) =>
+        p ^ (1L << ((j * (bits / (k + 2)) + d) % bits)))
+      Seq((1000L + d) -> flipped)
+    }
+    base ++ fam ++ Seq(2000L -> base(5)._2, 2001L -> base(5)._2) // identical mass
+  }
+
+  for ((bits, k) <- Seq((64, 7), (32, 3))) {
+    val rows = planted(bits, k)
+    val want = exhaustive(rows.map(r => (r._1, r._2)), k)
+
+    test(s"$bits-bit k=$k rung 0 (pinned gate geometry) = exhaustive scan") {
+      assert(want.nonEmpty && want.exists(_._3 == k.toLong),
+        "fixture must plant pairs up to the hamming edge")
+      // huge anchor → rung 0; huge hotCap → cold path only: exactly
+      // the plan the hash-checked rounds shipped
+      assert(run(rows, bits, k, anchor = Long.MaxValue / 2,
+        hotCap = Long.MaxValue / 2) == want)
+    }
+
+    test(s"$bits-bit k=$k rung 1 (wide keys + probe ring) = exhaustive scan") {
+      // anchor 0 → the ladder's last rung
+      assert(HammingPairs.pick(bits, k, rows.length.toLong, 0L).radius == 1)
+      assert(run(rows, bits, k, anchor = 0L, hotCap = Long.MaxValue / 2) == want)
+    }
+
+    test(s"$bits-bit k=$k hot-bucket sub-band split = exhaustive scan, both rungs") {
+      // hotCap 0 forces EVERY bucket through the sub-band path
+      assert(run(rows, bits, k, anchor = Long.MaxValue / 2, hotCap = 0L) == want)
+      assert(run(rows, bits, k, anchor = 0L, hotCap = 0L) == want)
+    }
+  }
+
+  test("planted hot bucket: concentrated band mass sub-splits without losing the edge pair") {
+    // 3000 hashes agreeing on band 0 (low byte 0x5A) — one join key
+    // holding the whole corpus, the |bucket|² failure mode — with one
+    // planted pair at exactly hamming 7 hidden inside and everything
+    // else far apart in the upper bits
+    val rows = (0L until 3000L).map(i => i -> ((mix(i) << 8) | 0x5AL)) ++
+      Seq(9001L -> (((mix(42L) << 8) | 0x5AL) ^ (0x7FL << 9))) // 7 flips upstairs
+    val want = exhaustive(rows.map(r => (r._1, r._2)), 7)
+    assert(want.contains((42L, 9001L, 7L)), "fixture must plant the edge pair")
+    val got = run(rows, 64, 7, anchor = Long.MaxValue / 2, hotCap = 256L)
+    assert(got == want,
+      s"hot split missed ${(want -- got).size}, invented ${(got -- want).size}")
+  }
+
+  test("identical-hash mass collapses before the join and pairs at hamming 0") {
+    // 500 copies of ONE hash: the mass no bucketing can split — layer
+    // 1 must collapse it to a single distinct row; output = all id
+    // pairs at hamming 0 plus nothing invented
+    val rows = (0L until 500L).map(i => i -> 0xDEADBEEFCAFEL) :+
+      (9000L -> (0xDEADBEEFCAFEL ^ 1L))
+    val got = run(rows, 64, 7, HammingPairs.Anchor, HammingPairs.HotCap)
+    assert(got.size == 500 * 499 / 2 + 500)
+    assert(got.count(_._3 == 0L) == 500 * 499 / 2)
+    assert(got.count(_._3 == 1L) == 500)
+  }
+
+  test("rung selection: footer count drives the ladder at the occupancy anchor") {
+    // rung 0 holds while expected occupancy n/2^8 <= anchor
+    assert(HammingPairs.pick(64, 7, 16384).radius == 0)
+    assert(HammingPairs.pick(64, 7, HammingPairs.Anchor * 256).width == 8)
+    assert(HammingPairs.pick(64, 7, HammingPairs.Anchor * 256 + 1).width == 16)
+    assert(HammingPairs.pick(32, 3, HammingPairs.Anchor * 256 + 1) ==
+      HammingPairs.Rung(2, 16, 1))
+    // past the ladder: the top rung carries (with the logged warning)
+    assert(HammingPairs.pick(64, 7, Long.MaxValue / 4).width == 16)
+  }
+}
