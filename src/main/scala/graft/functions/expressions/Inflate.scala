@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   *    compression (no new dependency); default (non-continuous)
   *    stream mode reads concatenated frames whole like gzip members
   *    AND keeps truncation loud — continuous mode would swallow it;
+  *  - xz (fd '7zXZ' 00): the `.jsonl.xz` mirror shape (The Pile era),
+  *    via org.tukaani.xz already on Spark's classpath (XZInputStream
+  *    reads concatenated streams + padding per the .xz spec);
+  *  - bzip2 ('BZh' + level digit): classic archive dumps (Wikipedia,
+  *    early CommonCrawl), via commons-compress (Spark classpath),
+  *    decompressConcatenated like the others;
   *  - everything else passes through untouched.
   * Crawl dumps ship `.html.gz`/`.json.zst`; sniffing the magic beats
   * trusting file extensions, and the pass-through makes it safe to
@@ -53,6 +59,17 @@ object Inflate {
     b.length >= 4 && (b(0) & 0xFF) == 0x28 && (b(1) & 0xFF) == 0xB5 &&
       (b(2) & 0xFF) == 0x2F && (b(3) & 0xFF) == 0xFD
 
+  /** .xz stream header magic (xz file format spec section 2.1.1.1):
+    * fd '7' 'z' 'X' 'Z' 00. */
+  private[graft] def isXz(b: Array[Byte]): Boolean =
+    b.length >= 6 && (b(0) & 0xFF) == 0xFD && b(1) == '7' && b(2) == 'z' &&
+      b(3) == 'X' && b(4) == 'Z' && b(5) == 0
+
+  /** bzip2 magic: 'B' 'Z' 'h' + block-size digit '1'..'9'. */
+  private[graft] def isBzip2(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
+      b(3) >= '1' && b(3) <= '9'
+
   private def drain(in: java.io.InputStream, sizeHint: Int,
       what: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, sizeHint))
@@ -82,6 +99,15 @@ object Inflate {
       // socket streams, not for at-rest payloads)
       drain(new com.github.luben.zstd.ZstdInputStream(
         new java.io.ByteArrayInputStream(b)), b.length * 4, "zstd")
+    else if (isXz(b))
+      // XZInputStream (not SingleXZInputStream): reads concatenated
+      // streams + stream padding whole, the multi-member convention
+      // shared with the other three codecs
+      drain(new org.tukaani.xz.XZInputStream(
+        new java.io.ByteArrayInputStream(b)), b.length * 4, "xz")
+    else if (isBzip2(b))
+      drain(new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new java.io.ByteArrayInputStream(b), true), b.length * 4, "bzip2")
     else b
 
   private[graft] def gzip(b: Array[Byte]): Array[Byte] = {
@@ -94,4 +120,19 @@ object Inflate {
 
   private[graft] def zstd(b: Array[Byte]): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(b)
+
+  private[graft] def xz(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val x = new org.tukaani.xz.XZOutputStream(bo,
+      new org.tukaani.xz.LZMA2Options(6))
+    x.write(b); x.finish(); x.close()
+    bo.toByteArray
+  }
+
+  private[graft] def bzip2(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bo)
+    z.write(b); z.close()
+    bo.toByteArray
+  }
 }

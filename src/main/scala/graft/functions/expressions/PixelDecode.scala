@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * 4-pass interlace, first frame), and JPEG — baseline AND
   * progressive ([[JpegDecode]]: Huffman entropy decode across
   * multi-scan spectral-selection/successive-approximation files,
-  * dequant, IDCT, the luma plane), and baseline TIFF (strips —
-  * none/LZW/PackBits, predictor 2, gray/RGB/palette photometrics) —
+  * dequant, IDCT, the luma plane), baseline TIFF (strips —
+  * none/LZW/PackBits, predictor 2, gray/RGB/palette photometrics),
+  * and WebP VP8L ([[WebpDecode]]: prefix codes, LZ77 + color cache,
+  * all four transforms; lossy VP8 is its loud edge) —
   * plus the 32x32-DCT perceptual hash over the decoded
   * LUMA raster (the pHash construction: downscale, 2D DCT-II, the
   * 8x8 low-frequency block thresholded at its median → 64 bits).
@@ -725,11 +727,12 @@ object PixelDecode {
     Raster(w, h, out)
   }
 
-  /** None = not a PNG/BMP/GIF/JPEG/TIFF magic; loud on structural
-    * defects inside a recognized format. JPEGs come back in DISPLAY
-    * orientation: the EXIF orientation tag, when present, is applied
-    * ([[orient]]) — a rotated-with-tag duplicate then hashes with its
-    * upright twin. */
+  /** None = not a PNG/BMP/GIF/JPEG/TIFF/WebP magic; loud on
+    * structural defects inside a recognized format. JPEGs come back
+    * in DISPLAY orientation: the EXIF orientation tag, when present,
+    * is applied ([[orient]]) — a rotated-with-tag duplicate then
+    * hashes with its upright twin. WebP routes to [[WebpDecode]]
+    * (VP8L lossless; lossy VP8 and animation are its loud edges). */
   def decodeLuma(b: Array[Byte]): Option[Raster] =
     if (isPng(b)) Some(decodePng(b))
     else if (isBmp(b)) Some(decodeBmp(b))
@@ -742,6 +745,7 @@ object PixelDecode {
       }
       Some(orient(raw, o))
     } else if (isTiff(b)) Some(decodeTiff(b))
+    else if (WebpDecode.isWebp(b)) Some(WebpDecode.decodeLuma(b))
     else None
 
   /** Tolerant twin for feature extraction: any failure (fake header,

@@ -16,11 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * while different prefixes avalanche into unrelated images.
   *
   * The ENCODING routes on the full-text md5, independent of content:
-  *  - FORMAT share (byte-1 high nibble mod 5): PNG / PNG / PNG / GIF
-  *    (half interlaced) / BMP — the same raster re-encoded across
-  *    three container formats hashes IDENTICALLY (BT.601 weights sum
-  *    to 256, so the gray/identity-palette layouts all decode to the
-  *    same luma): the recompressed-duplicate case across formats;
+  *  - FORMAT share (byte-1 high nibble mod 6): PNG / PNG / PNG / GIF
+  *    (half interlaced) / BMP / WebP VP8L — the same raster
+  *    re-encoded across four container formats hashes IDENTICALLY
+  *    (BT.601 weights sum to 256, so the gray/identity-palette
+  *    layouts all decode to the same luma): the
+  *    recompressed-duplicate case across formats;
   *  - PNG color share (nibble 0 mod 3): grayscale (type 0) / RGB
   *    with equal channels (type 2) / identity-palette indexed
   *    (type 3) — three byte layouts of the SAME pixels;
@@ -141,14 +142,16 @@ object SynthPng {
     out
   }
 
-  /** Container format share (md5 byte-1 high nibble mod 5): 0-2 PNG
+  /** Container format share (md5 byte-1 high nibble mod 6): 0-2 PNG
     * (the color/filter shares pick the flavor), 3 GIF (half of those
-    * INTERLACED), 4 BMP. All encode the same [[pixels]] raster, so
-    * the perceptual hash is container-invariant by construction —
-    * the recompressed-duplicate case across FORMATS, not just
-    * within PNG. */
+    * INTERLACED), 4 BMP, 5 WebP VP8L (subtract-green transform +
+    * literal prefix codes — [[WebpDecode]]'s spec fixtures carry the
+    * LZ77/cache/predictor burden). All encode the same [[pixels]]
+    * raster, so the perceptual hash is container-invariant by
+    * construction — the recompressed-duplicate case across FORMATS,
+    * not just within PNG. */
   private[graft] def formatOf(text: String): Int =
-    ((md5(text)(1) >> 4) & 0xF) % 5
+    ((md5(text)(1) >> 4) & 0xF) % 6
 
   /** GIF89a writer: identity 256-entry palette, the fixed-width LZW
     * form (9-bit literal codes with a CLEAR every 253 pixels, so the
@@ -204,6 +207,91 @@ object SynthPng {
     out.toByteArray
   }
 
+  /** VP8L bit writer: plain fields go LSB-first, prefix codes go
+    * MSB-of-code-first (the RFC 1951 convention the spec adopts).
+    * Exposed to PixelSpec for hand-assembling streams that exercise
+    * decoder paths (LZ77, color cache, transforms) this encoder's
+    * literal form never emits. */
+  private[graft] final class Vp8lWriter {
+    private val out = new java.io.ByteArrayOutputStream(4096)
+    private var acc = 0L
+    private var nbits = 0
+    def bits(v: Int, n: Int): this.type = {
+      acc |= (v.toLong & ((1L << n) - 1)) << nbits
+      nbits += n
+      while (nbits >= 8) { out.write((acc & 0xFF).toInt); acc >>>= 8; nbits -= 8 }
+      this
+    }
+    def code(c: Int, len: Int): this.type = {
+      var i = len - 1
+      while (i >= 0) { bits((c >> i) & 1, 1); i -= 1 }
+      this
+    }
+    /** Finished VP8L payload wrapped in a RIFF/WEBP container. */
+    def toWebp: Array[Byte] = {
+      if (nbits > 0) { out.write((acc & 0xFF).toInt); acc = 0; nbits = 0 }
+      val payload = out.toByteArray
+      val o = new java.io.ByteArrayOutputStream(payload.length + 24)
+      def le32(v: Int): Unit = {
+        o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+        o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+      }
+      o.write("RIFF".getBytes("US-ASCII"))
+      le32(4 + 8 + payload.length + (payload.length & 1))
+      o.write("WEBP".getBytes("US-ASCII"))
+      o.write("VP8L".getBytes("US-ASCII"))
+      le32(payload.length)
+      o.write(payload)
+      if ((payload.length & 1) == 1) o.write(0) // RIFF pad
+      o.toByteArray
+    }
+  }
+
+  /** VP8L header + the subtract-green transform announcement — shared
+    * by [[buildWebp]] and the spec's hand-built streams. */
+  private[graft] def vp8lHeader(bw: Vp8lWriter, w: Int, h: Int): Vp8lWriter =
+    bw.bits(0x2F, 8).bits(w - 1, 14).bits(h - 1, 14).bits(0, 1).bits(0, 3)
+
+  /** Write the flat 256-literal green code (all lengths 8 — complete
+    * by Kraft, canonical code i = i) via the normal form, plus
+    * single-symbol simple codes for the other four alphabets; gray
+    * value rides in GREEN, red/blue are zero under subtract-green.
+    * Exposed so the spec's hand-built streams reuse the exact
+    * prelude. */
+  private[graft] def writeFlatCodes(bw: Vp8lWriter): Vp8lWriter = {
+    bw.bits(0, 1) // green: normal form
+    bw.bits(10, 4) // num_code_lengths - 4 = 14 (covers CL symbols 0 and 8)
+    // CL order [17,18,0,1,2,3,4,5,16,6,7,8,9,10]: length 1 for
+    // symbols 0 and 8 → a complete 2-symbol CL code (0→bit 0, 8→bit 1)
+    val clLens = Seq(0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0)
+    clLens.foreach(l => bw.bits(l, 3))
+    bw.bits(0, 1) // no max_symbol cap
+    (0 until 256).foreach(_ => bw.bits(1, 1)) // '8' × 256
+    (0 until 24).foreach(_ => bw.bits(0, 1)) // '0' × 24 length symbols
+    // red, blue: simple 1-symbol (0) — zero bits per pixel
+    bw.bits(1, 1).bits(0, 1).bits(0, 1).bits(0, 1)
+    bw.bits(1, 1).bits(0, 1).bits(0, 1).bits(0, 1)
+    // alpha: simple 1-symbol 255 (8-bit form)
+    bw.bits(1, 1).bits(0, 1).bits(1, 1).bits(255, 8)
+    // distance: simple 1-symbol 0 (present but never consulted)
+    bw.bits(1, 1).bits(0, 1).bits(0, 1).bits(0, 1)
+    bw
+  }
+
+  /** WebP VP8L: subtract-green transform (so the gray value lives in
+    * the green channel alone — red/blue collapse to single-symbol
+    * codes) + flat literal prefix codes, one 8-bit code per pixel. */
+  private def buildWebp(px: Array[Byte]): Array[Byte] = {
+    val bw = vp8lHeader(new Vp8lWriter, W, H)
+    bw.bits(1, 1).bits(2, 2) // one transform: subtract green
+    bw.bits(0, 1) // no more transforms
+    bw.bits(0, 1) // no color cache
+    bw.bits(0, 1) // no meta prefix groups
+    writeFlatCodes(bw)
+    px.foreach(v => bw.code(v & 0xFF, 8)) // green literal = luma
+    bw.toWebp
+  }
+
   /** Uncompressed 24-bit bottom-up BMP (BGR = the gray value). */
   private def buildBmp(px: Array[Byte]): Array[Byte] = {
     val rowLen = ((W * 24 + 31) / 32) * 4
@@ -235,6 +323,7 @@ object SynthPng {
     formatOf(text) match {
       case 3 => return buildGif(px, interlaced = (d(1) & 1) == 1)
       case 4 => return buildBmp(px)
+      case 5 => return buildWebp(px)
       case _ => () // PNG flavors below
     }
     val colorShare = ((d(0) >> 4) & 0xF) % 3 // 0 gray, 1 rgb, 2 palette

@@ -1049,42 +1049,46 @@ class DocParseSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("past end of file"), e3.getMessage)
   }
 
-  test("gzip/zstd payloads inflate transparently by magic sniff; corruption is loud") {
+  test("gzip/zstd/xz/bzip2 payloads inflate transparently by magic sniff; corruption is loud") {
     import spark.implicits._
     import graft.functions.expressions.Inflate
     val html = graft.functions.expressions.SynthHtml.build("gzipped page body")
+    val names = Seq("plain.html", "packed.html.gz", "packed.html.zst",
+      "packed.html.xz", "packed.html.bz2")
     val payloads = Seq(
       ("plain.html", html),
       ("packed.html.gz", Inflate.gzip(html)),
-      ("packed.html.zst", Inflate.zstd(html)))
+      ("packed.html.zst", Inflate.zstd(html)),
+      ("packed.html.xz", Inflate.xz(html)),
+      ("packed.html.bz2", Inflate.bzip2(html)))
       .toDF("doc_name", "payload")
     val recs = DocParse.records(payloads, "html").collect()
     val byDoc = recs.groupBy(_.getAs[String]("doc_name"))
-    // identical parse output all three ways...
+    // identical parse output all five ways...
     val plainRows = byDoc("plain.html").map(r => (r.getAs[String]("content_id"),
       r.getAs[String]("content_raw"))).toSet
-    assert(plainRows == byDoc("packed.html.gz").map(r =>
-      (r.getAs[String]("content_id"), r.getAs[String]("content_raw"))).toSet)
-    assert(plainRows == byDoc("packed.html.zst").map(r =>
-      (r.getAs[String]("content_id"), r.getAs[String]("content_raw"))).toSet)
+    names.tail.foreach { d =>
+      assert(plainRows == byDoc(d).map(r =>
+        (r.getAs[String]("content_id"), r.getAs[String]("content_raw"))).toSet, d)
+    }
     // ...but the file hash is of the bytes AS STORED
-    assert(Set("plain.html", "packed.html.gz", "packed.html.zst")
-      .map(d => byDoc(d).head.getAs[String]("file_hash")).size == 3)
-    // multi-member (concatenated) gzip inflates whole
-    val two = Inflate.gzip("hello ".getBytes("UTF-8")) ++
-      Inflate.gzip("world".getBytes("UTF-8"))
-    assert(new String(Inflate.maybeInflate(two), "UTF-8") == "hello world")
-    // concatenated zstd FRAMES inflate whole too
-    val twoZ = Inflate.zstd("hello ".getBytes("UTF-8")) ++
-      Inflate.zstd("world".getBytes("UTF-8"))
-    assert(new String(Inflate.maybeInflate(twoZ), "UTF-8") == "hello world")
+    assert(names.toSet.map((d: String) =>
+      byDoc(d).head.getAs[String]("file_hash")).size == 5)
+    // multi-member (concatenated) members/frames/streams inflate whole
+    // in all four codecs — the pigz / dump-concatenation shape
+    for (codec <- Seq[Array[Byte] => Array[Byte]](
+        Inflate.gzip, Inflate.zstd, Inflate.xz, Inflate.bzip2)) {
+      val two = codec("hello ".getBytes("UTF-8")) ++
+        codec("world".getBytes("UTF-8"))
+      assert(new String(Inflate.maybeInflate(two), "UTF-8") == "hello world")
+    }
     // corruption: loud, not a silent pass-through
-    val corrupt = Inflate.gzip(html).dropRight(6)
-    val e = intercept[Exception](Inflate.maybeInflate(corrupt))
-    assert(e.getMessage.contains("gzip"), e.getMessage)
-    val corruptZ = Inflate.zstd(html).dropRight(6)
-    val ez = intercept[Exception](Inflate.maybeInflate(corruptZ))
-    assert(ez.getMessage.contains("zstd"), ez.getMessage)
+    for ((codec, name) <- Seq[(Array[Byte] => Array[Byte], String)](
+        (Inflate.gzip, "gzip"), (Inflate.zstd, "zstd"),
+        (Inflate.xz, "xz"), (Inflate.bzip2, "bzip2"))) {
+      val e = intercept[Exception](Inflate.maybeInflate(codec(html).dropRight(6)))
+      assert(e.getMessage.contains(name), s"$name: ${e.getMessage}")
+    }
   }
 
 

@@ -161,10 +161,10 @@ class PixelSpec extends AnyFunSuite {
   }
 
   test("SynthPng: every encoding share decodes to the intended pixels (hash identity)") {
-    // enough texts that all five FORMAT shares (3x png flavors, gif,
-    // bmp), the png color/filter shares, and both gif interlace
+    // enough texts that all six FORMAT shares (3x png flavors, gif,
+    // bmp, webp), the png color/filter shares, and both gif interlace
     // variants occur
-    val texts = (0 until 40).map(i => s"pixel share text $i")
+    val texts = (0 until 60).map(i => s"pixel share text $i")
     val shares = texts.map { t =>
       val b = SynthPng.build(t)
       val r = lumaOf(b)
@@ -174,7 +174,7 @@ class PixelSpec extends AnyFunSuite {
       val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
       (SynthPng.formatOf(t), ((d(0) >> 4) & 0xF) % 3, (d(0) & 0xF) % 3, d(1) & 1)
     }
-    assert(shares.map(_._1).distinct.size == 5, "format shares unexercised")
+    assert(shares.map(_._1).distinct.size == 6, "format shares unexercised")
     val pngShares = shares.filter(_._1 <= 2)
     assert(pngShares.map(_._2).distinct.size == 3, "png color shares unexercised")
     assert(pngShares.map(_._3).distinct.size == 3,
@@ -685,6 +685,205 @@ class PixelSpec extends AnyFunSuite {
     assert(intercept[Exception](PixelDecode.decodeLuma(tiled))
       .getMessage.contains("tiled"))
     assert(PixelDecode.decodeLuma("II but not tiff".getBytes).isEmpty)
+  }
+
+  // ---- WebP VP8L: hand-assembled bitstreams, one per decoder path
+  // the literal-only synth encoder never emits. Every fixture is
+  // spelled bit-by-bit from the lossless spec, so these are
+  // spec-conformance pins, not encoder/decoder round-trips. ----
+
+  private def luma(r: Int, g: Int, b: Int): Byte =
+    ((77 * r + 150 * g + 29 * b + 128) >> 8).toByte
+
+  /** Simple-form prefix code with one symbol (0 bits per read). */
+  private def single(bw: SynthPng.Vp8lWriter, sym: Int): Unit = {
+    bw.bits(1, 1).bits(0, 1)
+    if (sym < 2) bw.bits(0, 1).bits(sym, 1)
+    else bw.bits(1, 1).bits(sym, 8)
+  }
+
+  /** Simple-form prefix code with two symbols (canonical by value). */
+  private def pairCode(bw: SynthPng.Vp8lWriter, s0: Int, s1: Int): Unit = {
+    bw.bits(1, 1).bits(1, 1)
+    if (s0 < 2) bw.bits(0, 1).bits(s0, 1)
+    else bw.bits(1, 1).bits(s0, 8)
+    bw.bits(s1, 8)
+  }
+
+  /** Normal-form prefix code assigning length `L` (1 or 2) to exactly
+    * `syms`: the code-length code is the complete 2-bit set over
+    * {0, L, 17, 18}, zero runs via the 17/18 repeats. */
+  private def normalCode(bw: SynthPng.Vp8lWriter, syms: Seq[Int], L: Int,
+      alphabet: Int): Unit = {
+    bw.bits(0, 1) // normal form
+    bw.bits((if (L == 1) 4 else 5) - 4, 4) // num_code_lengths - 4
+    bw.bits(2, 3).bits(2, 3).bits(2, 3) // CL lens: 17, 18, 0
+    if (L == 1) bw.bits(2, 3) else bw.bits(0, 3).bits(2, 3) // 1 [, 2]
+    bw.bits(0, 1) // no max_symbol cap
+    // canonical CL codes: 0→00, L→01, 17→10, 18→11
+    def zeros(n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        if (n <= 2) { (0 until n).foreach(_ => bw.code(0, 2)); n = 0 }
+        else if (n <= 10) { bw.code(2, 2).bits(n - 3, 3); n = 0 }
+        else {
+          var m = math.min(138, n)
+          if (n - m == 1 || n - m == 2) m -= 2
+          bw.code(3, 2).bits(m - 11, 7)
+          n -= m
+        }
+      }
+    }
+    var at = 0
+    syms.sorted.foreach { s => zeros(s - at); bw.code(1, 2); at = s + 1 }
+    zeros(alphabet - at)
+  }
+
+  private def webpLuma(bw: SynthPng.Vp8lWriter): Seq[Int] =
+    lumaOf(bw.toWebp).luma.map(_ & 0xFF).toSeq
+
+  test("VP8L: LZ77 copies through both distance forms (the 2D map and linear)") {
+    // 4x1: one literal + three dist-code-2 copies — map entry (1, 0)
+    // = the left pixel, dist 1
+    val a = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 4, 1)
+    a.bits(0, 1).bits(0, 1).bits(0, 1) // no transforms / cache / meta
+    normalCode(a, Seq(50, 256), 1, 280) // green: literal 50 + length code 0
+    single(a, 1); single(a, 2); single(a, 255) // red / blue / alpha
+    single(a, 1) // distance code 1 → prefix value 2 → map[1] = (1, 0)
+    a.code(0, 1) // literal 50 → (255, 1, 50, 2)
+    a.code(1, 1); a.code(1, 1); a.code(1, 1) // three len-1 copies
+    assert(webpLuma(a) == Seq.fill(4)(luma(1, 50, 2) & 0xFF))
+    // 2x2: two literals + two dist-code-1 copies — map entry (0, 1)
+    // = the pixel ABOVE (dist = width)
+    val b = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 2, 2)
+    b.bits(0, 1).bits(0, 1).bits(0, 1)
+    normalCode(b, Seq(40, 60, 256, 257), 2, 280)
+    single(b, 0); single(b, 0); single(b, 255)
+    single(b, 0) // distance code 0 → value 1 → map[0] = (0, 1)
+    b.code(0, 2); b.code(1, 2) // literals 40, 60
+    b.code(2, 2); b.code(2, 2) // copy row above, twice
+    assert(webpLuma(b) == Seq(luma(0, 40, 0) & 0xFF, luma(0, 60, 0) & 0xFF,
+      luma(0, 40, 0) & 0xFF, luma(0, 60, 0) & 0xFF))
+    // 5x1: literal + linear distance (dval > 120): dist 2 needs
+    // dval 122 → prefix code 13 + 5 extra bits (25)
+    val c = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 5, 1)
+    c.bits(0, 1).bits(0, 1).bits(0, 1)
+    normalCode(c, Seq(70, 90, 256, 257), 2, 280) // 257 pads Kraft to 1
+    single(c, 0); single(c, 0); single(c, 255)
+    single(c, 13)
+    c.code(0, 2); c.code(1, 2) // literals 70, 90
+    c.code(2, 2); c.bits(25, 5) // len 1, dist 96+25+1-120 = 2 → copies 70
+    c.code(2, 2); c.bits(25, 5) // copies 90
+    c.code(2, 2); c.bits(25, 5) // copies 70
+    assert(webpLuma(c) == Seq(70, 90, 70, 90, 70).map(g => luma(0, g, 0) & 0xFF))
+  }
+
+  test("VP8L: color cache round-trips through the spec hash") {
+    val p = 0xFF006400 // (255, 0, 100, 0) — the literal below
+    val idx = (0x1e35a7bd * p) >>> 31 // cache_bits = 1
+    val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 2, 1)
+    bw.bits(0, 1) // no transforms
+    bw.bits(1, 1).bits(1, 4) // color cache, 1 bit → 2 slots
+    bw.bits(0, 1) // no meta
+    normalCode(bw, Seq(100, 280 + idx), 1, 282) // literal + cache ref
+    single(bw, 0); single(bw, 0); single(bw, 255); single(bw, 0)
+    bw.code(0, 1) // literal 100 → inserted at `idx`
+    bw.code(1, 1) // cache hit
+    assert(webpLuma(bw) == Seq.fill(2)(luma(0, 100, 0) & 0xFF))
+  }
+
+  test("VP8L: predictor transform (block mode T) reconstructs from residuals") {
+    val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 2, 2)
+    bw.bits(1, 1).bits(0, 2) // transform: predictor
+    bw.bits(2, 3) // size_bits 4 → 16x16 blocks → one 1x1 mode image
+    // the mode sub-image: every code single-symbol, mode 2 (= top)
+    bw.bits(0, 1) // its color-cache bit
+    single(bw, 2); single(bw, 0); single(bw, 0); single(bw, 0); single(bw, 0)
+    bw.bits(0, 1).bits(0, 1).bits(0, 1) // end transforms / cache / meta
+    pairCode(bw, 0, 80) // green residuals: 80 once, 0 after
+    single(bw, 0); single(bw, 0); single(bw, 0); single(bw, 0)
+    // (0,0) predicts opaque black, row 0 predicts L, column 0
+    // predicts T, (1,1) predicts the BLOCK mode = T
+    bw.code(1, 1) // residual green 80
+    bw.code(0, 1); bw.code(0, 1); bw.code(0, 1) // zero residuals
+    assert(webpLuma(bw) == Seq.fill(4)(luma(0, 80, 0) & 0xFF))
+  }
+
+  test("VP8L: color-indexing transform unpacks 1-bit bundled indices") {
+    val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 8, 1)
+    bw.bits(1, 1).bits(3, 2) // transform: color indexing
+    bw.bits(1, 8) // palette size 2 → 1-bit bundling, packed width 1
+    // palette sub-image (2x1), entries DELTA-coded: (255,0,10,0) then
+    // +(0,0,190,0) → (255,0,200,0)
+    bw.bits(0, 1)
+    pairCode(bw, 10, 190); single(bw, 0); single(bw, 0)
+    pairCode(bw, 0, 255); single(bw, 0)
+    bw.code(0, 1); bw.code(1, 1) // entry0: g=10, a=255
+    bw.code(1, 1); bw.code(0, 1) // entry1: g+=190, a+=0
+    bw.bits(0, 1).bits(0, 1).bits(0, 1) // end transforms / cache / meta
+    // packed image: one pixel, green byte 154 = indices 0,1,0,1,1,0,0,1
+    single(bw, 154); single(bw, 0); single(bw, 0); single(bw, 255); single(bw, 0)
+    val l0 = luma(0, 10, 0) & 0xFF
+    val l1 = luma(0, 200, 0) & 0xFF
+    assert(webpLuma(bw) == Seq(l0, l1, l0, l1, l1, l0, l0, l1))
+  }
+
+  test("VP8L: cross-color transform applies signed (int8*int8)>>5 deltas") {
+    val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 2, 1)
+    bw.bits(1, 1).bits(1, 2) // transform: cross-color
+    bw.bits(2, 3) // size_bits 4 → one element
+    // element pixel: green_to_red rides in BLUE = 0xE0 (int8 -32)
+    bw.bits(0, 1)
+    single(bw, 0); single(bw, 0); single(bw, 224); single(bw, 0); single(bw, 0)
+    bw.bits(0, 1).bits(0, 1).bits(0, 1)
+    single(bw, 64); single(bw, 100); single(bw, 50); single(bw, 255); single(bw, 0)
+    // delta = (-32 * 64) >> 5 = -64 → red 100 → 36; blue untouched
+    assert(webpLuma(bw) == Seq.fill(2)(luma(36, 64, 50) & 0xFF))
+  }
+
+  test("VP8L: meta prefix groups route pixels to their own codes") {
+    val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 8, 1)
+    bw.bits(0, 1).bits(0, 1) // no transforms, no cache
+    bw.bits(1, 1).bits(0, 3) // meta groups, bits 2 → entropy image 2x1
+    bw.bits(0, 1) // entropy image's cache bit
+    pairCode(bw, 0, 1); single(bw, 0); single(bw, 0); single(bw, 0); single(bw, 0)
+    bw.code(0, 1); bw.code(1, 1) // groups 0, 1 ((r<<8)|g)
+    // group 0: constant green 30; group 1: constant green 200
+    single(bw, 30); single(bw, 0); single(bw, 0); single(bw, 255); single(bw, 0)
+    single(bw, 200); single(bw, 0); single(bw, 0); single(bw, 255); single(bw, 0)
+    val (l0, l1) = (luma(0, 30, 0) & 0xFF, luma(0, 200, 0) & 0xFF)
+    assert(webpLuma(bw) == Seq(l0, l0, l0, l0, l1, l1, l1, l1))
+  }
+
+  test("VP8L scope edges are loud: lossy, animation, truncation, version, incomplete code") {
+    def riff(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => o.write((v >> (8 * i)) & 0xFF))
+      o.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + body.length)
+      o.write("WEBP".getBytes("US-ASCII"))
+      o.write(fourcc.getBytes("US-ASCII")); le32(body.length); o.write(body)
+      o.toByteArray
+    }
+    assert(intercept[Exception](PixelDecode.decodeLuma(
+      riff("VP8 ", new Array[Byte](16)))).getMessage.contains("lossy"))
+    assert(intercept[Exception](PixelDecode.decodeLuma(
+      riff("ANIM", new Array[Byte](16)))).getMessage.contains("animated"))
+    val good = SynthPng.build((0 until 99).map(i => s"webp probe $i")
+      .find(t => SynthPng.formatOf(t) == 5).get)
+    assert(intercept[Exception](PixelDecode.decodeLuma(good.dropRight(40)))
+      .getMessage.contains("overruns"))
+    val badVer = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 2, 1)
+    // rebuild the 3 version bits by hand: header writes 0; emit a
+    // fresh stream with version 1 instead
+    val bv = new SynthPng.Vp8lWriter
+    bv.bits(0x2F, 8).bits(1, 14).bits(0, 14).bits(0, 1).bits(1, 3)
+    assert(intercept[Exception](PixelDecode.decodeLuma(bv.toWebp))
+      .getMessage.contains("version"))
+    val inc = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 2, 1)
+    inc.bits(0, 1).bits(0, 1).bits(0, 1)
+    normalCode(inc, Seq(10, 20), 2, 280) // two len-2 codes: Kraft 1/2
+    assert(intercept[Exception](PixelDecode.decodeLuma(inc.toWebp))
+      .getMessage.contains("incomplete"))
   }
 
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
