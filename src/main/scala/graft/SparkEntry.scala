@@ -1693,13 +1693,34 @@ object SparkEntry {
         |   CASE WHEN (vs[((k-1)*ch + 1)::INT] < 0) <> (vs[(k*ch + 1)::INT] < 0)
         |    THEN 1 ELSE 0 END)), 0)::BIGINT AS zcross
         |FROM r ORDER BY doc_id""".stripMargin,
+    // mm_frames: SynthMedia's BMFF sample plan is pure md5(text) +
+    // octet_length math (sizes 3 + (h32+7i) % 9, chunk split at
+    // ceil(ns/2) with a 2-byte stco gap, stts delta 50 + b10 % 100),
+    // so the oracle recomputes the offsets the REAL stsz/stsc/stco/
+    // stts walk must address — a wrong walk hash-mismatches
     "mm_frames" ->
-      """WITH f AS (SELECT doc_id, text,
-        |  unnest(range(0, ((length(text)-1)//32)::BIGINT + 1, 4)) frame_no FROM documents)
-        |SELECT doc_id, frame_no::BIGINT frame_no,
-        | md5(substr(text, (frame_no*32+1)::INT, 32)) frame_md5,
-        | length(substr(text, (frame_no*32+1)::INT, 32))::BIGINT frame_len
-        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+      """WITH base AS (SELECT doc_id, text,
+        |  ('0x' || substr(md5(text),1,2))::BIGINT AS b1,
+        |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32,
+        |  ('0x' || substr(md5(text),21,2))::BIGINT AS b10,
+        |  octet_length(text::BLOB) AS avail
+        | FROM documents),
+        |mp4 AS (SELECT doc_id, text, h32, 50 + b10 % 100 AS delta,
+        |  LEAST(4 + h32 % 5, (avail - 2) // 11) AS ns
+        | FROM base WHERE b1 % 3 != 2 AND b1 % 2 = 1),
+        |s AS (SELECT doc_id, text, ns, delta, h32,
+        |  unnest(range(0, ns)) AS i FROM mp4 WHERE ns > 0),
+        |s2 AS (SELECT doc_id, text, delta, i,
+        |  3 + (h32 + 7*i) % 9 AS len,
+        |  CASE WHEN i >= (ns + 1) // 2 THEN 2 ELSE 0 END AS gap FROM s),
+        |o AS (SELECT doc_id, text, i AS frame_no, len, delta * i AS frame_t,
+        |  gap + COALESCE(SUM(len) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        | FROM s2)
+        |SELECT doc_id, frame_no::BIGINT AS frame_no,
+        | md5(substr(text, (off + 1)::INT, len::INT)) AS frame_md5,
+        | len::BIGINT AS frame_len, frame_t::BIGINT AS frame_t
+        |FROM o ORDER BY doc_id, frame_no""".stripMargin,
     "mm_resize" ->
       """WITH m AS (SELECT doc_id,
         |  64 + ('0x' || substr(md5(text),1,8))::BIGINT % 1856 width,

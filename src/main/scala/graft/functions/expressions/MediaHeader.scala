@@ -317,32 +317,41 @@ object MediaHeader {
       math.sqrt(ssq.toDouble / nSamples) / full, zcross))
   }
 
-  private def decodeBmff(b: Array[Byte]): Option[Media] = {
-    def u32be(i: Int): Long = (b(i) & 0xFF).toLong << 24 | (b(i + 1) & 0xFF).toLong << 16 |
+  private def u32beAt(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFF).toLong << 24 | (b(i + 1) & 0xFF).toLong << 16 |
       (b(i + 2) & 0xFF).toLong << 8 | (b(i + 3) & 0xFF).toLong
-    def u64be(i: Int): Long = u32be(i) << 32 | u32be(i + 4)
+
+  // ISO BMFF box walk (ISO 14496-12 §8.2.2): returns the wanted
+  // box's (body start, box END), so callers never re-derive the
+  // header shape (32-bit / largesize / to-EOF). Shared by the mvhd
+  // duration sniff and the sample-table walk.
+  private def boxWalk(b: Array[Byte], from: Int, until: Int,
+      want: String): Option[(Int, Int)] = {
     def tag(i: Int): String =
       if (i + 4 <= b.length)
         new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
       else ""
-      // ISO BMFF box walk to moov → mvhd (ISO 14496-12 §8.2.2):
-      // returns the wanted box's (body start, box END), so callers
-      // never re-derive the header shape (32-bit / largesize / to-EOF)
-      def walk(from: Int, until: Int, want: String): Option[(Int, Int)] = {
-        var p = from
-        while (p + 8 <= until) {
-          val sz32 = u32be(p)
-          val typ = tag(p + 4)
-          val (size, hdr) =
-            if (sz32 == 1L && p + 16 <= until) (u64be(p + 8), 16)
-            else if (sz32 == 0L) ((until - p).toLong, 8) // box runs to EOF
-            else (sz32, 8)
-          if (size < hdr || p + size > until) return None // corrupt extent
-          if (typ == want) return Some((p + hdr, p + size.toInt))
-          p += size.toInt
-        }
-        None
-      }
+    var p = from
+    while (p + 8 <= until) {
+      val sz32 = u32beAt(b, p)
+      val typ = tag(p + 4)
+      val (size, hdr) =
+        if (sz32 == 1L && p + 16 <= until)
+          (u32beAt(b, p + 8) << 32 | u32beAt(b, p + 12), 16)
+        else if (sz32 == 0L) ((until - p).toLong, 8) // box runs to EOF
+        else (sz32, 8)
+      if (size < hdr || p + size > until) return None // corrupt extent
+      if (typ == want) return Some((p + hdr, p + size.toInt))
+      p += size.toInt
+    }
+    None
+  }
+
+  private def decodeBmff(b: Array[Byte]): Option[Media] = {
+    def u32be(i: Int): Long = u32beAt(b, i)
+    def u64be(i: Int): Long = u32be(i) << 32 | u32be(i + 4)
+    def walk(from: Int, until: Int, want: String): Option[(Int, Int)] =
+      boxWalk(b, from, until, want)
       val (moov, moovEnd) = walk(0, b.length, "moov").getOrElse(return None)
       val (mvhd, _) = walk(moov, moovEnd, "mvhd").getOrElse(return None)
       if (mvhd + 4 > b.length) return None
@@ -362,6 +371,143 @@ object MediaHeader {
         else java.lang.Long.valueOf(duration * 1000L / timescale)
       Some(Media("mp4", null, null, null, durMs))
   }
+
+  /** Sanity ceiling on the expanded sample count: 2^20 samples from a
+    * header walk means a corrupt table, not a real track. */
+  private val MaxSamples = 1 << 20
+
+  /** The REAL MP4 frame extraction: walk the first track's sample
+    * tables — stsz (sizes), stsc (samples per chunk), stco (chunk
+    * FILE offsets), stts (decode deltas) — through the shared
+    * [[boxWalk]], expand them to per-sample (offset, size, start
+    * time) the standard way (stsc runs keyed by first_chunk, offsets
+    * accumulated within each chunk from its stco base), and return
+    * offsets RELATIVE to the mdat body so callers can slice payloads
+    * without re-deriving the layout. Every sample must land inside
+    * the mdat extent — a table pointing outside its media data is
+    * corrupt, and None (the opaque-payload convention of this walk
+    * family) is the only honest answer. */
+  private[graft] def mp4Samples(b: Array[Byte])
+      : Option[Array[(Long, Long, Long)]] = {
+    def tag(i: Int): String =
+      if (i + 4 <= b.length)
+        new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      else ""
+    if (b.length < 12 || tag(4) != "ftyp") return None
+    def u32(i: Int): Long = u32beAt(b, i)
+    val (moov, moovEnd) = boxWalk(b, 0, b.length, "moov").getOrElse(return None)
+    val (trak, trakEnd) = boxWalk(b, moov, moovEnd, "trak").getOrElse(return None)
+    val (mdia, mdiaEnd) = boxWalk(b, trak, trakEnd, "mdia").getOrElse(return None)
+    val (minf, minfEnd) = boxWalk(b, mdia, mdiaEnd, "minf").getOrElse(return None)
+    val (stbl, stblEnd) = boxWalk(b, minf, minfEnd, "stbl").getOrElse(return None)
+    val (mdat, mdatEnd) = boxWalk(b, 0, b.length, "mdat").getOrElse(return None)
+    def full(name: String): Option[Int] = // full-box body PAST version/flags
+      boxWalk(b, stbl, stblEnd, name).collect {
+        case (at, end) if at + 4 <= end => at + 4
+      }
+    val stts = full("stts").getOrElse(return None)
+    val stsc = full("stsc").getOrElse(return None)
+    val stsz = full("stsz").getOrElse(return None)
+    val stco = full("stco").getOrElse(return None)
+    // stsz: fixed sample_size or a per-sample table
+    val fixedSize = u32(stsz)
+    val nSamples = u32(stsz + 4)
+    if (nSamples < 0 || nSamples > MaxSamples) return None
+    val n = nSamples.toInt
+    def sizeOf(i: Int): Long =
+      if (fixedSize != 0L) fixedSize else u32(stsz + 8 + 4 * i)
+    if (fixedSize == 0L && stsz + 8 + 4L * n > b.length) return None
+    // stts: (count, delta) runs → per-sample start times
+    val sttsCount = u32(stts).toInt
+    if (sttsCount < 0 || stts + 4 + 8L * sttsCount > b.length) return None
+    val times = new Array[Long](n)
+    var ti = 0
+    var t = 0L
+    var run = 0
+    while (run < sttsCount && ti < n) {
+      val cnt = u32(stts + 4 + 8 * run)
+      val delta = u32(stts + 8 + 8 * run)
+      var k = 0L
+      while (k < cnt && ti < n) {
+        times(ti) = t
+        t += delta
+        ti += 1
+        k += 1
+      }
+      run += 1
+    }
+    if (ti < n) return None // stts covers fewer samples than stsz declares
+    // stsc: runs of samples-per-chunk keyed by first_chunk
+    val stscCount = u32(stsc).toInt
+    if (stscCount <= 0 || stsc + 4 + 12L * stscCount > b.length) return None
+    val stcoCount = u32(stco).toInt
+    if (stcoCount <= 0 || stco + 4 + 4L * stcoCount > b.length) return None
+    val out = new Array[(Long, Long, Long)](n)
+    var sample = 0
+    var chunk = 0
+    var scRun = 0
+    while (chunk < stcoCount && sample < n) {
+      // advance to the stsc run governing chunk+1
+      while (scRun + 1 < stscCount &&
+        u32(stsc + 4 + 12 * (scRun + 1)) <= chunk + 1) scRun += 1
+      val spc = u32(stsc + 8 + 12 * scRun)
+      var off = u32(stco + 4 + 4 * chunk)
+      var k = 0L
+      while (k < spc && sample < n) {
+        val sz = sizeOf(sample)
+        if (off < mdat || off + sz > mdatEnd) return None // outside media data
+        out(sample) = (off - mdat, sz, times(sample))
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample < n) return None // chunks cover fewer samples than declared
+    Some(out)
+  }
+}
+
+/** Per-sample (offset, size, start time) from an MP4's sample tables
+  * — [[MediaHeader.mp4Samples]] as a column: array of structs with
+  * offsets relative to the mdat body, so `substr(payload/text, ...)`
+  * slices the REAL frame bytes the container addresses. Null for
+  * non-BMFF payloads, tracks without sample tables, or tables that
+  * don't cover their declared samples — the opaque-payload
+  * convention of the media walk family. */
+case class Mp4Samples(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("off", LongType, nullable = false)
+    .add("len", LongType, nullable = false)
+    .add("t", LongType, nullable = false), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"Mp4Samples needs a binary payload, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHeader.mp4Samples(input.asInstanceOf[Array[Byte]]) match {
+      case Some(samples) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          samples.map { case (off, len, t) => InternalRow(off, len, t) })
+      case None => null
+    }
+
+  override protected def withNewChildInternal(c: Expression): Mp4Samples =
+    copy(child = c)
+}
+
+object Mp4Samples {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(Mp4Samples(
+      org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
 }
 
 /** Deterministic REAL-container media payload for a text column — the
@@ -505,17 +651,41 @@ object SynthMedia {
       while (i < dataSize) { out.write((u8(9) + i).toInt & 0xFF); i += 1 }
       if (dataSize % 2 == 1) out.write(0) // RIFF pad
     } else {
-      // ---- ISO BMFF: ftyp + [free] + moov(mvhd [+udta]) + mdat ----
+      // ---- ISO BMFF: ftyp + [free] + moov(mvhd [+free] + trak(mdia/
+      // minf/stbl sample tables)) + mdat(= the TEXT bytes) — the
+      // sample tables address REAL slices of the text, so the
+      // mm_frames oracle recomputes every offset/size/time from
+      // md5(text) + octet_length(text) alone while the Spark side
+      // walks the container ----
       val timescale = Timescales((u8(2) % 3).toInt)
       val duration = 1000L + h32 % 1000000L
       val v1 = u8(9) % 2 == 1
-      be32(24); cc("ftyp"); cc("isom"); be32(0x200)
-      cc("isom"); cc("mp42")
-      if (extra) { be32(16); cc("free"); be32(0); be32(0) }
+      val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val avail = textBytes.length
+      // sample plan, every term SQL-replayable: up to 8 samples of
+      // 3..11 bytes, clamped so the slices (plus the 2-byte chunk-2
+      // gap that proves stco is READ, not recomputed) fit the text
+      val ns = math.min(4 + (h32 % 5).toInt, (avail - 2) / 11)
+      val delta = 50L + u8(10) % 100 // stts decode delta per sample
+      def sizeOf(i: Int): Long = 3 + (h32 + 7L * i) % 9
+      val c1 = (ns + 1) / 2 // samples in chunk 1; the rest in chunk 2
+      val c2 = ns - c1
+      val numChunks = if (c2 > 0) 2 else 1
+      val sttsSize = 24
+      val stscSize = 16 + 12 * numChunks
+      val stszSize = 20 + 4 * ns
+      val stcoSize = 16 + 4 * numChunks
+      val stblSize = 8 + sttsSize + stscSize + stszSize + stcoSize
+      val trakSize = if (ns > 0) 8 + 8 + 8 + stblSize else 0 // trak>mdia>minf>stbl
       val mvhdBody = if (v1) 4 + 8 + 8 + 4 + 8 else 4 + 4 + 4 + 4 + 4
       val mvhdSize = 8 + mvhdBody
       val freeInMoov = if (extra) 12 else 0
-      be32(8L + freeInMoov + mvhdSize); cc("moov")
+      val moovSize = 8 + freeInMoov + mvhdSize + trakSize
+      val mdatBody = 24 + (if (extra) 16 else 0) + moovSize + 8
+      be32(24); cc("ftyp"); cc("isom"); be32(0x200)
+      cc("isom"); cc("mp42")
+      if (extra) { be32(16); cc("free"); be32(0); be32(0) }
+      be32(moovSize.toLong); cc("moov")
       if (extra) { be32(12); cc("free"); be32(0) } // the walk must skip it
       be32(mvhdSize.toLong); cc("mvhd")
       if (v1) {
@@ -524,9 +694,29 @@ object SynthMedia {
       } else {
         be32(0); be32(0); be32(0); be32(timescale); be32(duration)
       }
-      be32(8 + 32); cc("mdat")
-      var i = 0
-      while (i < 32) { out.write((u8(9) + i) & 0xFF); i += 1 }
+      if (ns > 0) {
+        be32(trakSize.toLong); cc("trak")
+        be32(trakSize.toLong - 8); cc("mdia")
+        be32(trakSize.toLong - 16); cc("minf")
+        be32(stblSize.toLong); cc("stbl")
+        be32(sttsSize.toLong); cc("stts"); be32(0)
+        be32(1); be32(ns.toLong); be32(delta)
+        be32(stscSize.toLong); cc("stsc"); be32(0)
+        be32(numChunks.toLong)
+        be32(1); be32(c1.toLong); be32(1)
+        if (c2 > 0) { be32(2); be32(c2.toLong); be32(1) }
+        be32(stszSize.toLong); cc("stsz"); be32(0)
+        be32(0) // per-sample sizes follow
+        be32(ns.toLong)
+        (0 until ns).foreach(i => be32(sizeOf(i)))
+        be32(stcoSize.toLong); cc("stco"); be32(0)
+        be32(numChunks.toLong)
+        be32(mdatBody.toLong)
+        if (c2 > 0)
+          be32(mdatBody.toLong + (0 until c1).map(sizeOf).sum + 2)
+      }
+      be32(8L + avail); cc("mdat")
+      out.write(textBytes)
     }
     out.toByteArray
   }

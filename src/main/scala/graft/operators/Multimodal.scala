@@ -7,16 +7,14 @@ import graft.functions.TextFunctions._
 
 /** Multimodal-column plumbing: payloads as opaque `binary` columns with
   * typed metadata, mirroring the reference's base64 image blobs riding
-  * next to text rows (vector_db.py:283-308). The real image/audio
-  * decoders aren't in this environment, so the decode step is a
-  * clearly-marked deterministic stub (hash-derived dimensions); the
-  * Spark-side contract — binary schema, per-row metadata extraction,
-  * strided frame sampling — is real and oracle-verified.
+  * next to text rows (vector_db.py:283-308). [[meta]]'s decoded
+  * dimensions remain a clearly-marked deterministic stub
+  * (hash-derived); everything else here is a REAL byte walk —
+  * RIFF/BMFF/MP3 headers, PCM sample stats, EXIF IFDs, MP4 sample
+  * tables ([[frames]]), and actual pixel decodes behind the
+  * perceptual hashes — each oracle-verified or spec-pinned.
   */
 object Multimodal {
-
-  val FrameBytes = 32
-  val FrameStride = 4
 
   /** Typed metadata over binary payloads: byte length, magic prefix,
     * content digest, modality tag, and STUBBED decoded dimensions
@@ -203,21 +201,32 @@ object Multimodal {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Deterministic strided frame sampling: fixed-size frames, every
-    * [[FrameStride]]-th sampled and digested — the shape of video
-    * frame extraction over binary columns (batch size = frame count,
-    * pure per-row expansion, no shuffle). */
+  /** mm_frames — REAL MP4 frame extraction: [[graft.functions.expressions.SynthMedia]]'s
+    * BMFF share now carries a full trak with sample tables
+    * (stts/stsc/stsz/stco) whose entries address slices of the mdat
+    * body (= the text bytes), and [[graft.functions.expressions.Mp4Samples]]
+    * walks them back — chunk offsets from stco (a deliberate 2-byte
+    * gap before chunk 2 proves the offsets are READ, not recomputed),
+    * per-sample sizes from stsz, decode times from stts. Each frame's
+    * payload slice is digested; the DuckDB oracle recomputes every
+    * offset/size/time from md5(text) + octet_length(text) alone, so a
+    * wrong walk hash-mismatches. WAV/MP3 payloads yield null samples
+    * and drop out — the same container-routing split as [[audio]].
+    * Pure per-row expansion, no shuffle: the 100 TB shape. */
   def frames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.expressions.{Mp4Samples, SynthMedia}
     Tables.load(spark, dir, "documents")
-      .select($"doc_id",
-        explode(sequence(lit(0), expr(s"int((length(text) - 1) div $FrameBytes)"),
-          lit(FrameStride))).as("frame_no"),
-        $"text")
+      .select($"doc_id", $"text",
+        Mp4Samples(SynthMedia($"text")).as("s"))
+      .filter($"s".isNotNull)
+      .select($"doc_id", $"text",
+        posexplode($"s").as(Seq("frame_no", "f")))
       .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
-        md5(substr($"text", $"frame_no" * FrameBytes + 1, lit(FrameBytes))).as("frame_md5"),
-        length(substr($"text", $"frame_no" * FrameBytes + 1, lit(FrameBytes)))
-          .cast("long").as("frame_len"))
+        md5($"text".substr($"f.off".cast("int") + 1, $"f.len".cast("int")))
+          .as("frame_md5"),
+        $"f.len".as("frame_len"),
+        $"f.t".as("frame_t"))
       .orderBy($"doc_id", $"frame_no")
   }
 }

@@ -383,6 +383,75 @@ class MultimodalStoreSpec extends AnyFunSuite {
   }
 
 
+  test("MP4 sample tables: stsz/stsc/stco/stts walk addresses the real mdat slices") {
+    import graft.functions.expressions.{MediaHeader, SynthMedia}
+    // synth shares: the walk's output must equal the SQL-replayable
+    // sample plan (sizes, chunk-2 gap via stco, stts times)
+    val texts = (0 until 200).map(i => s"sample walk fixture number $i")
+      .filter { t =>
+        val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        (m(0) & 0xFF) % 3 != 2 && (m(0) & 0xFF) % 2 == 1 // the mp4 share
+      }
+    assert(texts.size > 20, "mp4 share underdrawn")
+    var sawTwoChunks = false
+    texts.foreach { t =>
+      val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      def u8(k: Int) = m(k) & 0xFF
+      val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
+        (u8(6).toLong << 8) | u8(7).toLong
+      val avail = t.getBytes("UTF-8").length
+      val ns = math.min(4 + (h32 % 5).toInt, (avail - 2) / 11)
+      val delta = 50L + u8(10) % 100
+      def sizeOf(i: Int): Long = 3 + (h32 + 7L * i) % 9
+      val c1 = (ns + 1) / 2
+      val expected = (0 until ns).map { i =>
+        val gap = if (i >= c1) 2L else 0L
+        val off = gap + (0 until i).map(sizeOf).sum
+        (off, sizeOf(i), delta * i)
+      }
+      val got = MediaHeader.mp4Samples(SynthMedia.build(t)).get.toSeq
+      assert(got == expected, s"walk mismatch for: $t")
+      if (ns > c1) sawTwoChunks = true
+      // the addressed slices really are the text bytes (mdat = text)
+      val tb = t.getBytes("UTF-8")
+      got.foreach { case (off, len, _) =>
+        assert(off + len <= tb.length)
+      }
+    }
+    assert(sawTwoChunks, "two-chunk share (the stco gap proof) undrawn")
+    // fixed-size stsz + multi-run stts: hand-built container
+    val o = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = (0 to 3).foreach(i => o.write(((v >> (8 * (3 - i))) & 0xFF).toInt))
+    def cc(s: String): Unit = o.write(s.getBytes("ISO-8859-1"))
+    be32(16); cc("ftyp"); cc("isom"); be32(0)
+    val stbl = 8 + 32 + 28 + 20 + 20 // stts(2 runs) + stsc + stsz(fixed) + stco
+    be32(8L + 8 + 8 + 8 + stbl); cc("moov") // moov > trak > mdia > minf > stbl
+    be32(8L + 8 + 8 + stbl); cc("trak")
+    be32(8L + 8 + stbl); cc("mdia")
+    be32(8L + stbl); cc("minf")
+    be32(stbl.toLong); cc("stbl")
+    be32(32); cc("stts"); be32(0); be32(2)
+    be32(1); be32(10) // sample 0 at t=0, delta 10
+    be32(2); be32(7) // samples 1-2 at deltas 7
+    be32(28); cc("stsc"); be32(0); be32(1); be32(1); be32(3); be32(1)
+    be32(20); cc("stsz"); be32(0); be32(4); be32(3) // FIXED size 4, 3 samples
+    be32(20); cc("stco"); be32(0); be32(1)
+    val mdatBody = 16 + (8 + 8 + 8 + 8 + stbl) + 8
+    be32(mdatBody.toLong + 1) // chunk starts 1 byte INTO the mdat body
+    be32(8L + 14); cc("mdat"); cc("abcdefghijklmn")
+    val fixed = MediaHeader.mp4Samples(o.toByteArray).get.toSeq
+    assert(fixed == Seq((1L, 4L, 0L), (5L, 4L, 10L), (9L, 4L, 17L)), fixed.toString)
+    // corrupt tables → None: a sample pointing past the mdat extent
+    val bytes = o.toByteArray
+    val stcoValueAt = bytes.length - (8 + 14) - 4 // last 4 bytes before mdat box
+    bytes(stcoValueAt + 3) = (bytes(stcoValueAt + 3) + 10).toByte
+    assert(MediaHeader.mp4Samples(bytes).isEmpty,
+      "an offset outside mdat must be None, never a garbage slice")
+    // non-BMFF / WAV payloads → None
+    assert(MediaHeader.mp4Samples("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaHeader.mp4Samples("not media".getBytes).isEmpty)
+  }
+
   test("EXIF: both byte orders, inline+offset values, nulls for absent tags/EXIF/non-JPEG") {
     import graft.functions.expressions.{ExifMeta, SynthExif}
     // the synth share space: both byte orders and both gps branches
