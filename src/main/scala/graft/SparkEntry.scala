@@ -128,6 +128,10 @@ object SparkEntry {
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
     "tx_crawl" -> (CrawlPipeline.crawl _),
+    // the crawl's IMAGE half: container -> canonical-url keeper ->
+    // ONE real pixel decode per kept image -> exact hash grouping;
+    // urls/formats/dims/group sizes all replay from md5(text)
+    "mm_crawl" -> (CrawlPipeline.crawlImages _),
     "tx_shard" -> (TextAnalysis.shard _),
     "tx_pack" -> (TextAnalysis.pack _),
     "tx_contam" -> (TextAnalysis.contam _),
@@ -1625,6 +1629,35 @@ object SparkEntry {
         |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
         |  END)::BIGINT AS duration_ms
         |FROM k ORDER BY doc_id""".stripMargin,
+    // mm_crawl: per distinct text, two output rows — the content
+    // image (messy + clean raw variants merge under one canonical
+    // url: n_raw = 2 x the text's duplicate count, pixel group 1) and
+    // the page's embedded logo data URI (one of ten shared logos:
+    // pixel group = the logo bucket's distinct-text count). Formats
+    // replay SynthPng's md5-nibble share; decoded dims are the synth
+    // raster constants — the REAL decode is what produces them on the
+    // Spark side.
+    "mm_crawl" ->
+      """WITH t AS (SELECT min(doc_id) AS doc_id, count(*) AS dups,
+        |   substr(md5(text),1,12) AS p,
+        |   ('0x'||substr(md5(text),3,1))::BIGINT % 6 AS fshare,
+        |   ('0x'||substr(md5(text),5,2))::BIGINT % 10 AS bucket
+        | FROM documents GROUP BY text),
+        |b AS (SELECT t.*, count(*) OVER (PARTITION BY bucket) AS bgroup,
+        |   ('0x'||substr(md5('logo ' || bucket::VARCHAR || ' graft synthetic'),3,1))::BIGINT % 6 AS lfshare
+        | FROM t)
+        |SELECT doc_id, 'http://example.com/img/' || p || '?a=1&b=2' AS url,
+        | 'warc' AS src, (2*dups)::BIGINT AS n_raw,
+        | CASE fshare WHEN 3 THEN 'gif' WHEN 4 THEN 'bmp' WHEN 5 THEN 'webp' ELSE 'png' END AS fmt,
+        | 64::BIGINT AS width, 48::BIGINT AS height, 1::BIGINT AS px_group
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id, 'http://example.com/page/' || p || '#img0', 'data',
+        | dups::BIGINT,
+        | CASE lfshare WHEN 3 THEN 'gif' WHEN 4 THEN 'bmp' WHEN 5 THEN 'webp' ELSE 'png' END,
+        | 64::BIGINT, 48::BIGINT, bgroup::BIGINT
+        |FROM b
+        |ORDER BY doc_id, url""".stripMargin,
     // EXIF: every field is an md5-byte formula; the TIFF byte-order
     // share (II/MM) is invisible to the oracle — both walks hash-check
     "mm_exif" ->

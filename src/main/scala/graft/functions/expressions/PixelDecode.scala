@@ -872,3 +872,61 @@ object PixelPhash {
     org.apache.spark.sql.graft.ColumnBridge.column(
       PixelPhash(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
 }
+
+/** Format + decoded dimensions + perceptual hash + exact raster
+  * digest in ONE decode — the crawl image pipeline needs all of them
+  * per kept image, and separate expressions would decode the payload
+  * once each. `px_md5` digests the decoded LUMA raster (dims
+  * prefixed), so byte-different re-encodings of the same pixels —
+  * the recompressed-duplicate mass — group EXACTLY, while `ph`
+  * carries the near-dup ring ([[graft.operators.HammingPairs]]).
+  * Loud on non-image payloads like [[PixelPhash]] (an image column
+  * carrying tag soup is a pipeline bug). */
+case class PixelMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = new StructType()
+    .add("fmt", StringType, nullable = false)
+    .add("width", IntegerType, nullable = false)
+    .add("height", IntegerType, nullable = false)
+    .add("ph", LongType, nullable = false)
+    .add("px_md5", StringType, nullable = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"PixelMeta needs a binary payload, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val fmt =
+      if (PixelDecode.isPng(b)) "png"
+      else if (PixelDecode.isBmp(b)) "bmp"
+      else if (PixelDecode.isGif(b)) "gif"
+      else if (JpegDecode.isJpeg(b)) "jpeg"
+      else if (PixelDecode.isTiff(b)) "tiff"
+      else if (WebpDecode.isWebp(b)) "webp"
+      else throw new IllegalArgumentException(
+        "PixelMeta: payload is none of PNG/BMP/GIF/JPEG/TIFF/WebP")
+    val r = PixelDecode.decodeLuma(b).get
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"${r.w}x${r.h}:".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update(r.luma)
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
+      r.w, r.h, PixelDecode.phash64(r),
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        md.digest().map("%02x".format(_)).mkString))
+  }
+
+  override protected def withNewChildInternal(c: Expression): PixelMeta =
+    copy(child = c)
+}
+
+object PixelMeta {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PixelMeta(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+}

@@ -102,3 +102,100 @@ object SynthWarc {
       Inflate.zstd(info) ++ Inflate.zstd(request) ++ Inflate.zstd(response)
   }
 }
+
+/** The IMAGE-carrying capture behind mm_crawl — the crawl's
+  * multimodal half: two image-typed responses for the SAME picture
+  * (one under the messy raw URI a crawler records, one under the
+  * clean form — the canonicalizer must merge them BEFORE any pixel
+  * decode runs), plus a text/html page whose body embeds a shared
+  * site LOGO as a base64 data URI (bucketed to ten logos across the
+  * corpus, so the pixel-hash grouping stage has real cross-page
+  * structure to find). The content image is [[SynthPng]]'s
+  * format-share raster for the text; every derivable fact — urls,
+  * format mime, logo bucket — is md5(text) math the DuckDB oracle
+  * replays. The codec share rides all FOUR transparent codecs
+  * (gzip/zstd/xz/bzip2), one member per record. */
+case class SynthWarcImg(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"SynthWarcImg needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    SynthWarcImg.build(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(c: Expression): SynthWarcImg =
+    copy(child = c)
+}
+
+object SynthWarcImg {
+  def apply(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SynthWarcImg(org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** Ten shared "site logo" rasters across the corpus (md5 byte-2
+    * mod 10 routes each page to one) — the cross-page duplicate mass
+    * an image dedup ring exists to find. The bucket number sits
+    * INSIDE the first 20 chars: SynthPng seeds block content by the
+    * 20-char prefix, so a suffix-only bucket would render ten
+    * near-identical rasters that hash together. */
+  private[graft] def logoTextOf(bucket: Int): String =
+    s"logo $bucket graft synthetic"
+
+  private[graft] def mimeOf(fmtShare: Int): String = fmtShare match {
+    case 3 => "image/gif"
+    case 4 => "image/bmp"
+    case 5 => "image/webp"
+    case _ => "image/png"
+  }
+
+  private[graft] def build(text: String): Array[Byte] = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val d = java.security.MessageDigest.getInstance("MD5").digest(text.getBytes(utf8))
+    // 12 hex chars (48 bits): an 8-char prefix has a ~25% birthday
+    // collision chance at a 50k-doc corpus, which would silently merge
+    // two pages' images under one url
+    val md5p = d.map("%02x".format(_)).mkString.take(12)
+    val img = SynthPng.build(text)
+    val mime = mimeOf(SynthPng.formatOf(text))
+    val bucket = (d(2) & 0xFF) % 10
+    val logoText = logoTextOf(bucket)
+    val logo = SynthPng.build(logoText)
+    val logoMime = mimeOf(SynthPng.formatOf(logoText))
+    def record(uri: String, httpMime: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpMime\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:md5:$md5p-${http.length}>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+        http ++ "\r\n\r\n".getBytes(iso)
+    }
+    // the same picture under a messy raw URI and its clean form —
+    // both canonicalize to http://example.com/img/<p>?a=1&b=2
+    val messy = record(
+      s"HTTP://Example.COM:80//img//$md5p/?b=2&utm_source=feed&a=1#t", mime, img)
+    val clean = record(s"http://example.com/img/$md5p?a=1&b=2", mime, img)
+    val html = ("<html><body><main><p>image gallery " + md5p + "</p>" +
+      "<img src=\"data:" + logoMime + ";base64," +
+      java.util.Base64.getEncoder.encodeToString(logo) +
+      "\"></main></body></html>").getBytes(utf8)
+    val page = record(s"http://example.com/page/$md5p", "text/html", html)
+    // codec share: all four transparent codecs, one member per record
+    val codec: Array[Byte] => Array[Byte] = ((d(1) >> 4) & 0xF) % 4 match {
+      case 0 => Inflate.gzip
+      case 1 => Inflate.zstd
+      case 2 => Inflate.xz
+      case _ => Inflate.bzip2
+    }
+    codec(messy) ++ codec(clean) ++ codec(page)
+  }
+}

@@ -205,6 +205,103 @@ object CrawlPipeline {
         $"n_tokens", $"quality_r")
   }
 
+  /** The IMAGE half of the crawl — the multimodal side of
+    * run_image_search (vector_db.py:738-759) fed from the crawl
+    * container instead of an upload form. Composes pieces this
+    * library already verifies one-by-one and hash-checks their
+    * SEAMS:
+    *
+    *   warc bytes → transparent decompression (all four codecs)
+    *   → WARC record walk → TWO image sources: image-typed responses
+    *     (by the capture's own Target-URI) and base64 data URIs
+    *     embedded in text/html bodies (by page-url#imgN)
+    *   → canonical-URL keeper (min-struct partial agg — the SAME
+    *     discipline as [[fromCaptures]]) BEFORE any pixel work, so
+    *     the decode cost is never paid on dropped raw variants
+    *   → ONE real decode per kept image
+    *     ([[graft.functions.expressions.PixelMeta]]: format, decoded
+    *     dims, 32x32-DCT perceptual hash)
+    *   → pixel-hash grouping (partial-agg count + join, the exact
+    *     image-dedup ring at hamming 0 — the shared-logo mass a
+    *     crawl actually carries; the near-dup ring over the same
+    *     hash column is [[HammingPairs]], spec-covered).
+    *
+    * Output per kept image: (doc_id, url, src, n_raw, fmt, width,
+    * height, px_group) — every column recomputable from md5(text)
+    * by the DuckDB oracle, so the container flow, canonicalization,
+    * keeper choice, REAL decode (the dims), and hash grouping all
+    * hash-check. Scale shape: narrow scan → one url shuffle → narrow
+    * decode → one tiny (ph, count) aggregate joined back. */
+  def imageCorpus(captures: DataFrame): DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    // ONE decode per kept image, materialized (tens of bytes a row)
+    // so the grouping join below never re-decodes
+    val decoded = Tables.materialize(decodedImages(captures))
+    // EXACT pixel-duplicate groups: partial-agg count on the decoded
+    // raster digest, joined back (never a window — a mega-shared logo
+    // must combine map-side, not pin one task). Exact because the
+    // digest is of decoded PIXELS: byte-different re-encodings group,
+    // near-dups (prefix-sharing rasters) stay apart — those are
+    // HammingPairs' ring over the perceptual hash, not this stage's.
+    val groups = decoded.groupBy($"px_md5").agg(count(lit(1)).as("px_group"))
+    decoded.join(groups, "px_md5")
+      .select($"doc_id", $"url", $"src", $"n_raw", $"fmt",
+        $"width", $"height", $"px_group")
+  }
+
+  /** Captures → one DECODED row per kept image — everything before
+    * the pixel-group stage (whose materialize hides the plan).
+    * Exposed so the spec can pin the plan shape (min-struct keeper,
+    * ONE decode above it, no window) on the exact frame
+    * [[imageCorpus]] runs. */
+  private[graft] def decodedImages(captures: DataFrame): DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    import graft.functions.expressions.{Inflate, ParseWarc, PixelMeta}
+    val recs = captures.select($"doc_id",
+      posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
+      .filter($"w.rec_type" === "response" && $"w.target_uri".isNotNull)
+    val direct = recs.filter($"w.mime".startsWith("image/"))
+      .select($"doc_id", $"rec",
+        Dedup.canonicalUrl($"w.target_uri").as("url"),
+        lit("warc").as("src"), $"w.body".as("img"))
+    val embedded = recs.filter($"w.mime".startsWith("text/html"))
+      .select($"doc_id", $"rec",
+        Dedup.canonicalUrl($"w.target_uri").as("purl"),
+        posexplode(regexp_extract_all($"w.body".cast("string"),
+          lit("data:image/[a-z]+;base64,([A-Za-z0-9+/=]+)"), lit(1)))
+          .as(Seq("k", "b64")))
+      .select($"doc_id", $"rec",
+        concat($"purl", lit("#img"), $"k").as("url"),
+        lit("data").as("src"), unbase64($"b64").as("img"))
+    // url-level dedup BEFORE the decode — recrawled raw variants merge
+    // map-side and their pixel work is never paid (plan-pinned)
+    val kept = direct.unionByName(embedded)
+      .groupBy($"url")
+      .agg(min(struct($"doc_id", $"rec", $"src", $"img")).as("k"),
+        count(lit(1)).as("n_raw"))
+      .select($"k.doc_id".as("doc_id"), $"url", $"k.src".as("src"),
+        $"n_raw", $"k.img".as("img"))
+    kept
+      .select($"doc_id", $"url", $"src", $"n_raw", PixelMeta($"img").as("m"))
+      .select($"doc_id", $"url", $"src", $"n_raw", $"m.fmt".as("fmt"),
+        $"m.width".cast("long").as("width"),
+        $"m.height".cast("long").as("height"), $"m.px_md5".as("px_md5"))
+  }
+
+  /** The mm_crawl driver query: one [[graft.functions.expressions.SynthWarcImg]]
+    * capture per document through [[imageCorpus]]; the oracle replays
+    * urls, formats, keeper counts, decoded dims, and the logo-bucket
+    * group sizes from md5(text) alone. */
+  def crawlImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageCorpus(Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        graft.functions.expressions.SynthWarcImg($"text").as("payload")))
+      .orderBy($"doc_id", $"url")
+  }
+
   /** The tx_crawl driver query: one synthetic `.warc.gz`/`.warc.zst`
     * capture per document ([[graft.functions.expressions.SynthWarc]]
     * — codec AND charset shares ride inside, and the Target-URI is

@@ -179,6 +179,59 @@ class CrawlPipelineSpec extends AnyFunSuite {
       s"keeper must partial-aggregate (map-side combine):\n$plan")
   }
 
+  test("mm_crawl: image seam — url keeper, data URIs, codec shares, exact pixel groups") {
+    import graft.functions.expressions.SynthWarcImg
+    val texts = (1L to 30L).map(i => i -> s"crawl image fixture number $i")
+    val caps = texts.toDF("doc_id", "text").select($"doc_id",
+      SynthWarcImg($"text").as("payload"))
+    // the codec share space (gzip/zstd/xz/bzip2) is actually drawn
+    val codecs = texts.map { case (_, t) =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      ((d(1) >> 4) & 0xF) % 4
+    }.toSet
+    assert(codecs == Set(0, 1, 2, 3), s"codec shares undrawn: $codecs")
+    val out = CrawlPipeline.imageCorpus(caps).collect()
+    // two rows per doc: the merged content image and the page's logo
+    assert(out.length == 60, out.length.toString)
+    val bySrc = out.groupBy(_.getAs[String]("src"))
+    assert(bySrc("warc").forall(r => r.getAs[Long]("n_raw") == 2 &&
+      r.getAs[Long]("px_group") == 1 && r.getAs[Long]("width") == 64))
+    assert(bySrc("data").forall(r => r.getAs[Long]("n_raw") == 1))
+    // logo groups: px_group sums back to the bucket populations
+    val logoGroups = bySrc("data").map(_.getAs[Long]("px_group"))
+    assert(logoGroups.sum > logoGroups.length, "no shared logo mass drawn")
+    // DEDUP BEFORE DECODE, behaviorally: a capture whose DROPPED raw
+    // variant carries junk bytes under an image mime — if any decode
+    // ran before the keeper, the junk would fail PixelMeta loudly;
+    // after the keeper only the good variant is decoded
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def record(uri: String, mime: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+        http ++ "\r\n\r\n".getBytes(iso)
+    }
+    val good = graft.functions.expressions.SynthPng.build("ordering probe")
+    val cap = record("http://example.com/x.png", "image/png", good) ++
+      record("HTTP://Example.COM//x.png", "image/png",
+        "NOT AN IMAGE AT ALL".getBytes(iso))
+    val one = CrawlPipeline.imageCorpus(
+      Seq((1L, cap)).toDF("doc_id", "payload")).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_raw") == 2,
+      s"keeper must merge the variants and decode only the survivor: ${one.toSeq}")
+    // ...and the plan agrees: ONE PixelMeta, above a partial_min
+    // keeper, no Window anywhere (decodedImages is the exact frame
+    // imageCorpus materializes before the grouping stage)
+    val plan = CrawlPipeline.decodedImages(caps).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert("PixelMeta|pixelmeta".r.findAllIn(plan).size <= 2, // project + its alias line
+      s"the decode must run once per kept image:\n$plan")
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally
