@@ -97,19 +97,36 @@ object Bench {
         val p1 = first.toMap
         pass().map { case (name, t) => name -> math.min(t, p1(name)) }
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // the FULL blob (full-precision timings + cold/load/corpus
+    // diagnostics) goes to the file artifact; stdout gets a COMPACT
+    // line because the driver's capture truncates at 2000 chars
+    // (every BENCH_r10..r13.json lost its tail) — trimmed 2dp fits
+    // ~107 queries with ~30 chars to spare, and if the query set
+    // outgrows that the precision degrades to 1dp rather than letting
+    // the capture cut the JSON mid-token
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""cold":{"dd_embed_lsha":$coldLsha},""" +
       s""""load":{"start":$loadStart,"end":${loadAvg()}},""" +
       s""""corpus":$corpus,"sf":"$sfDir"}"""
-    println(json)
-    // the stdout capture has truncated the per-query tail at 2000
-    // chars since round 10 — persist the SAME blob to a file so the
-    // committed artifact is always complete regardless of the capture
+    def trim(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".format(v)
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
+    def compact(dp: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + trim(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec",""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = Seq(compact(2), compact(1))
+      .find(_.length <= 1990).getOrElse(compact(0))
+    println(line)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_last_local.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_last_local.json"), fullJson + "\n")
     catch { case _: Exception => () } // a read-only cwd never fails the bench
     spark.stop()
   }

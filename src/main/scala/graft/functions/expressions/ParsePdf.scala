@@ -66,7 +66,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    charsets — same no-registry-files trick — and embedded
   *    CMap-stream encodings resolve cidchar/cidrange (+Identity
   *    usecmap base) through the font's own tables; the pre-Unicode
-  *    ISO-2022 orderings (H, V, 83pv/90pv-RKSJ) fail loudly;
+  *    JIS orderings (H/V/Add/Ext via x-JIS0208, 83pv/90pv-RKSJ via
+  *    Shift-JIS) decode too; the charset-less tail (KSC-H/V,
+  *    GB-H/V) fails loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
   *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
@@ -1086,10 +1088,11 @@ object ParsePdf {
     * registry CMaps decode WITHOUT Adobe's registry files: the
     * UCS2/UTF16 family's codes are UTF-16BE ([[Ucs2Font]]) and the
     * byte-oriented family's codes are legacy-charset bytes
-    * ([[CharsetFont]] — GBK/Shift-JIS/Big5/EUC through the JDK
-    * charsets). Loud outside that: an Identity font with NEITHER
-    * table has no recoverable text, and the pre-Unicode ISO-2022
-    * orderings (H, V, 83pv/90pv-RKSJ) stay out of scope. */
+    * ([[CharsetFont]] — GBK/Shift-JIS/Big5/EUC/raw-JIS through the
+    * JDK charsets, incl. the pre-Unicode H/V/Add/Ext + 83pv/90pv
+    * orderings). Loud outside that: an Identity font with NEITHER
+    * table has no recoverable text, and the charset-less raw
+    * KS X 1001 / GB 2312 orderings stay out of scope. */
   private def fontsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       pageDict: String,
       cache: java.util.HashMap[Integer, FontMode])
@@ -1151,9 +1154,9 @@ object ParsePdf {
           case None => CharsetFont(ByteCMaps(e))
         }
       // a Type0 font with ANY other predefined CMap name is out of
-      // scope LOUDLY — including the dash-less ISO-2022 orderings
-      // (/H, /V), which a contains("-") test would silently read as
-      // Latin-1 mojibake
+      // scope LOUDLY — the raw KS X 1001 / GB 2312 orderings
+      // (KSC-H/V, GB-H/V) have no JDK charset, and a contains("-")
+      // style fallback would silently read them as Latin-1 mojibake
       case Some(e) if isType0(fdict) =>
         fail(s"unsupported composite-font CMap /$e in font $objNum")
       case Some(_) => SimpleFont // /WinAnsiEncoding etc.: Latin-1 scope
@@ -1198,8 +1201,18 @@ object ParsePdf {
     * superset of EUC-CN), GBK2K is GB18030, the RKSJ family is
     * Shift-JIS with the 90ms (Microsoft) flavor = windows-31j, EUC is
     * EUC-JP, ETen-B5/B5pc ride Big5 (+ HKscs = Big5-HKSCS), KSC-EUC is
-    * EUC-KR and KSCms-UHC is the Windows 949 extension. The long tail
-    * (the pre-Unicode H/V ISO-2022 orderings) stays loud below. */
+    * EUC-KR and KSCms-UHC is the Windows 949 extension.
+    *
+    * Round 14 closes the pre-Unicode ISO-2022 tail (the rarest CJK
+    * crawl PDFs): the dash-less JIS orderings H / V (and their Add /
+    * Ext NEC-row variants) carry RAW 2-byte JIS X 0208 codes, which
+    * the JDK's auxiliary `x-JIS0208` charset decodes directly (probed
+    * at first use — absence fails by name, never mojibake); the
+    * 83pv / 90pv Mac flavors are Shift-JIS-coded, so they ride the
+    * base charset (their Apple-gaiji rows REPORT-fail loudly, never
+    * silently substitute). The remaining tail (KSC-H/V, GB-H/V —
+    * raw KS X 1001 / GB 2312 codes with no JDK charset) stays loud
+    * below. */
   private val ByteCMaps: Map[String, String] = {
     def hv(base: String, cs: String): Seq[(String, String)] =
       Seq(s"$base-H" -> cs, s"$base-V" -> cs)
@@ -1212,7 +1225,10 @@ object ParsePdf {
       hv("ETen-B5", "Big5") ++ hv("B5pc", "Big5") ++
       hv("HKscs-B5", "Big5-HKSCS") ++
       hv("KSC-EUC", "EUC-KR") ++ hv("KSCms-UHC", "x-windows-949") ++
-      hv("KSCms-UHC-HW", "x-windows-949")).toMap
+      hv("KSCms-UHC-HW", "x-windows-949") ++
+      Seq("H" -> "x-JIS0208", "V" -> "x-JIS0208") ++
+      hv("Add", "x-JIS0208") ++ hv("Ext", "x-JIS0208") ++
+      Seq("83pv-RKSJ-H" -> "Shift_JIS", "90pv-RKSJ-H" -> "Shift_JIS")).toMap
   }
 
   private def isType0(fdict: String): Boolean =

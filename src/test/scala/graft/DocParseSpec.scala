@@ -1344,13 +1344,14 @@ class DocParseSpec extends AnyFunSuite {
         "/Encoding /UniJIS-UCS2-H /ToUnicode 6 0 R >>",
       Seq(streamObj(cmap)), "6F22"))
     assert(rows.length == 1 && rows(0).getString(3) == "X", rows.toSeq.toString)
-    // scope edges stay loud: lone surrogate, byte-oriented registry CMap
+    // scope edges stay loud: lone surrogate, a registry ordering with
+    // no JDK charset (raw KS X 1001 codes)
     val e1 = intercept[Exception](parsePdfBytes(cidPdf(
       "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /UniJIS-UCS2-H >>",
       Nil, "D800")))
     assert(e1.getMessage.contains("surrogate"), e1.getMessage)
     val e2 = intercept[Exception](parsePdfBytes(cidPdf(
-      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /90pv-RKSJ-H >>",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /KSC-H >>",
       Nil, "4141")))
     assert(e2.getMessage.contains("unsupported composite-font CMap"), e2.getMessage)
   }
@@ -1391,8 +1392,25 @@ class DocParseSpec extends AnyFunSuite {
     // malformed bytes under the declared charset: loud, never U+FFFD
     val bad = intercept[Exception](cid("90ms-RKSJ-H", "8A"))
     assert(bad.getMessage.contains("not valid windows-31j"), bad.getMessage)
-    // the pre-Unicode ISO-2022 orderings stay out of scope, loudly
-    val iso = intercept[Exception](cid("83pv-RKSJ-H", "4141"))
+    // the pre-Unicode ISO-2022 JIS orderings (round 14): H / V / Add /
+    // Ext carry RAW 2-byte JIS X 0208 codes — the JDK's x-JIS0208
+    // decodes them directly. Golden bytes: 0x306C = U+4E00 (one),
+    // 0x2121 = U+3000 (ideographic space)
+    for (enc <- Seq("H", "V", "Add-H", "Ext-H")) {
+      val jis = cid(enc, "306C2121306C")
+      assert(jis.length == 1 && jis(0).getString(3) == "一　一",
+        s"$enc: ${jis.toSeq}")
+    }
+    // the 83pv/90pv Mac flavors are Shift-JIS-coded: the standard rows
+    // decode (same golden kanji bytes as the 90ms fixture); their
+    // Apple-gaiji tail REPORT-fails loudly rather than substituting
+    for (enc <- Seq("83pv-RKSJ-H", "90pv-RKSJ-H")) {
+      val pv = cid(enc, "8ABF8E9A")
+      assert(pv.length == 1 && pv(0).getString(3) == "漢字", s"$enc: ${pv.toSeq}")
+    }
+    // the orderings with no JDK charset (raw KS X 1001 / GB 2312
+    // codes) stay out of scope, loudly
+    val iso = intercept[Exception](cid("KSC-H", "4141"))
     assert(iso.getMessage.contains("unsupported composite-font CMap"), iso.getMessage)
   }
 
