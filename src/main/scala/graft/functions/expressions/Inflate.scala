@@ -121,17 +121,23 @@ object Inflate {
   private[graft] def zstd(b: Array[Byte]): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(b)
 
+  // test/synth-side encoders. Fast presets on purpose: the ENCODE only
+  // exists to exercise the decode path, and LZMA2's default level 6
+  // costs ~10 ms per synthetic capture — measured as the dominant
+  // term of the mm_crawl gate before the preset drop. The decoders
+  // are preset-agnostic.
   private[graft] def xz(b: Array[Byte]): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
     val x = new org.tukaani.xz.XZOutputStream(bo,
-      new org.tukaani.xz.LZMA2Options(6))
+      new org.tukaani.xz.LZMA2Options(0))
     x.write(b); x.finish(); x.close()
     bo.toByteArray
   }
 
   private[graft] def bzip2(b: Array[Byte]): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
-    val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bo)
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bo, 1) // 100k blocks: synth-speed
     z.write(b); z.close()
     bo.toByteArray
   }

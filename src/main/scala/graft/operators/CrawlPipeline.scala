@@ -262,22 +262,31 @@ object CrawlPipeline {
     val recs = captures.select($"doc_id",
       posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
       .filter($"w.rec_type" === "response" && $"w.target_uri".isNotNull)
-    val direct = recs.filter($"w.mime".startsWith("image/"))
-      .select($"doc_id", $"rec",
-        Dedup.canonicalUrl($"w.target_uri").as("url"),
-        lit("warc").as("src"), $"w.body".as("img"))
-    val embedded = recs.filter($"w.mime".startsWith("text/html"))
-      .select($"doc_id", $"rec",
-        Dedup.canonicalUrl($"w.target_uri").as("purl"),
-        posexplode(regexp_extract_all($"w.body".cast("string"),
-          lit("data:image/[a-z]+;base64,([A-Za-z0-9+/=]+)"), lit(1)))
-          .as(Seq("k", "b64")))
-      .select($"doc_id", $"rec",
-        concat($"purl", lit("#img"), $"k").as("url"),
-        lit("data").as("src"), unbase64($"b64").as("img"))
+    // BOTH image sources in ONE record pass: a union of two filtered
+    // branches would scan `captures` twice — at crawl scale that is
+    // the whole container decompress + WARC walk run twice (measured
+    // 2x wall on the driver gate). Each record yields an ARRAY of
+    // (url, src, img) entries — one for an image-typed response, one
+    // per data URI of an html body — exploded once.
+    val canon = Dedup.canonicalUrl($"w.target_uri")
+    val entry = when($"w.mime".startsWith("image/"),
+        array(struct(canon.as("url"), lit("warc").as("src"),
+          $"w.body".as("img"))))
+      .when($"w.mime".startsWith("text/html"),
+        transform(
+          regexp_extract_all($"w.body".cast("string"),
+            lit("data:image/[a-z]+;base64,([A-Za-z0-9+/=]+)"), lit(1)),
+          (b64, k) => struct(
+            concat(canon, lit("#img"), k.cast("string")).as("url"),
+            lit("data").as("src"), unbase64(b64).as("img"))))
+      .otherwise(array().cast("array<struct<url:string,src:string,img:binary>>"))
+    val all = recs
+      .select($"doc_id", $"rec", explode(entry).as("e"))
+      .select($"doc_id", $"rec", $"e.url".as("url"), $"e.src".as("src"),
+        $"e.img".as("img"))
     // url-level dedup BEFORE the decode — recrawled raw variants merge
     // map-side and their pixel work is never paid (plan-pinned)
-    val kept = direct.unionByName(embedded)
+    val kept = all
       .groupBy($"url")
       .agg(min(struct($"doc_id", $"rec", $"src", $"img")).as("k"),
         count(lit(1)).as("n_raw"))

@@ -118,7 +118,14 @@ object HammingPairs {
       anchor: Long = Anchor, hotCap: Long = HotCap): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
+    // PERSISTED once: the stage scans (id, ph) five ways — the
+    // same-hash join's two sides, the distinct pass, and the two id
+    // expansions — and each would otherwise recompute the caller's
+    // hash (a decode + DCT for mm_phash_px). 16 bytes a row, bounded
+    // at any corpus size; the OUTPUT pair set materializes at the end
+    // so the cache never leaks past this call.
     val ids = hashed.select(col(idCol).as("id"), $"ph")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // layer 1: identical hashes pair directly (hamming 0, output
     // cardinality) and collapse to one row for candidate generation
     val same = ids.as("a").join(ids.as("b"),
@@ -192,6 +199,8 @@ object HammingPairs {
       .join(ids.select($"id".as("ib"), $"ph".as("phb")), "phb")
       .select(least($"ia", $"ib").as("a_id"),
         greatest($"ia", $"ib").as("b_id"), $"hamming")
-    same.unionByName(cross)
+    val out = graft.Tables.materialize(same.unionByName(cross))
+    ids.unpersist(blocking = false)
+    out
   }
 }

@@ -188,15 +188,11 @@ object Multimodal {
     import spark.implicits._
     import graft.functions.expressions.{PixelPhash, SynthPng}
     val n = Tables.load(spark, dir, "documents").count() // footer stats
-    // MATERIALIZED before the pairing stage: the hash is a decode +
-    // DCT per row — expensive where mm_phash's bit math is free — and
-    // a lazy frame would re-decode on every downstream scan (the
-    // distinct pass, the same-hash join, the id expansion). The
-    // (doc_id, ph) frame is 16 bytes a row, bounded at any corpus
-    // size.
-    val hashed = Tables.materialize(
-      Tables.spread(Tables.load(spark, dir, "documents"))
-        .select($"doc_id", PixelPhash(SynthPng($"text")).as("ph")))
+    // HammingPairs materializes the (doc_id, ph) frame itself, so the
+    // decode + DCT runs ONCE regardless of how many ways the pairing
+    // stage scans it
+    val hashed = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", PixelPhash(SynthPng($"text")).as("ph"))
     HammingPairs.pairs(hashed, "doc_id", n, PxBits, PxMaxHamming)
       .orderBy($"a_id", $"b_id")
   }

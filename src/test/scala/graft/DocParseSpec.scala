@@ -1608,10 +1608,11 @@ class DocParseSpec extends AnyFunSuite {
     assert(err(onePage(
       "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>",
       "BT /F2 12 Tf <0001> Tj ET\n")).contains("no /ToUnicode"))
-    // the pre-Unicode ISO-2022 registry orderings stay out of scope —
-    // loud (the UCS2/UTF16 and byte-oriented families now decode)
+    // the charset-less registry orderings (raw KS X 1001 / GB 2312
+    // codes) stay out of scope — loud (the UCS2/UTF16, byte-oriented,
+    // and JIS/pv families now decode)
     assert(err(onePage(
-      "<< /Type /Font /Subtype /Type0 /Encoding /83pv-RKSJ-H >>",
+      "<< /Type /Font /Subtype /Type0 /Encoding /KSC-H >>",
       "BT /F2 12 Tf (x) Tj ET\n")).contains("unsupported composite-font CMap"))
     // a CID without a mapping — loud, names the code
     val cmapSmall = "1 beginbfchar\n<0001> <0041>\nendbfchar\n"
