@@ -39,7 +39,7 @@ class HammingPairsSpec extends AnyFunSuite {
     * flips of base hashes at exact distances (k+1 plants the
     * must-NOT-pair control). */
   private def planted(bits: Int, k: Int): Seq[(Long, Long)] = {
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
     val base = (0L until 200L).map(i => i -> (mix(i) & mask))
     val fam = (0 to k + 1).flatMap { d =>
       val (_, ph) = base((d * 13) % 200)
@@ -51,7 +51,8 @@ class HammingPairsSpec extends AnyFunSuite {
     base ++ fam ++ Seq(2000L -> base(5)._2, 2001L -> base(5)._2) // identical mass
   }
 
-  for ((bits, k) <- Seq((64, 7), (32, 3))) {
+  // 64/7 = mm_phash_px, 32/3 = mm_phash, 60/3 = dd_simhash
+  for ((bits, k) <- Seq((64, 7), (32, 3), (60, 3))) {
     val rows = planted(bits, k)
     val want = exhaustive(rows.map(r => (r._1, r._2)), k)
 
