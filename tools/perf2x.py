@@ -46,6 +46,7 @@ NOTES = {
     # corpus scale where the fixed geometry is quadratic
     "mm_phash": "pairing-stage job-count overhead at gate scale (HammingPairs; linear at corpus scale)",
     "mm_phash_px": "pairing-stage job-count overhead at gate scale (HammingPairs; linear at corpus scale)",
+    "dd_simhash": "pairing-stage job-count overhead at gate scale (HammingPairs; linear at corpus scale)",
     # carried queries, flat round-over-round, walls dominated by
     # Spark's fixed per-query scheduling cost at sf0.1; the r12/r13
     # plan audits stand (vs_hybrid: one corpus explode, semi-join-
