@@ -388,6 +388,15 @@ object MediaHeader {
     * corrupt, and None (the opaque-payload convention of this walk
     * family) is the only honest answer. */
   private[graft] def mp4Samples(b: Array[Byte])
+      : Option[Array[(Long, Long, Long)]] =
+    // the table reads below bound every COUNT against the payload, but
+    // a crafted box whose extent ends mid-field would still index past
+    // the array — this walk's contract is None for corrupt containers,
+    // never a raw exception out of an ingest expression
+    try mp4SamplesWalk(b)
+    catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  private def mp4SamplesWalk(b: Array[Byte])
       : Option[Array[(Long, Long, Long)]] = {
     def tag(i: Int): String =
       if (i + 4 <= b.length)

@@ -880,9 +880,12 @@ object PixelPhash {
   * prefixed), so byte-different re-encodings of the same pixels —
   * the recompressed-duplicate mass — group EXACTLY, while `ph`
   * carries the near-dup ring ([[graft.operators.HammingPairs]]).
-  * Loud on non-image payloads like [[PixelPhash]] (an image column
-  * carrying tag soup is a pipeline bug). */
-case class PixelMeta(child: Expression)
+  * Default policy is loud like [[PixelPhash]] (an image column
+  * carrying tag soup is a pipeline bug); `tolerant = true` returns
+  * NULL on any decode failure instead — the crawl-extraction case,
+  * where the payload is an untrusted data URI or a mislabeled
+  * response body and a junk image must drop, not fail the crawl. */
+case class PixelMeta(child: Expression, tolerant: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = new StructType()
@@ -899,26 +902,32 @@ case class PixelMeta(child: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"PixelMeta needs a binary payload, got ${child.dataType.catalogString}")
 
+  override def nullable: Boolean = tolerant || child.nullable
+
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    val fmt =
-      if (PixelDecode.isPng(b)) "png"
-      else if (PixelDecode.isBmp(b)) "bmp"
-      else if (PixelDecode.isGif(b)) "gif"
-      else if (JpegDecode.isJpeg(b)) "jpeg"
-      else if (PixelDecode.isTiff(b)) "tiff"
-      else if (WebpDecode.isWebp(b)) "webp"
-      else throw new IllegalArgumentException(
-        "PixelMeta: payload is none of PNG/BMP/GIF/JPEG/TIFF/WebP")
-    val r = PixelDecode.decodeLuma(b).get
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"${r.w}x${r.h}:".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    md.update(r.luma)
-    org.apache.spark.sql.catalyst.InternalRow(
-      org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
-      r.w, r.h, PixelDecode.phash64(r),
-      org.apache.spark.unsafe.types.UTF8String.fromString(
-        md.digest().map("%02x".format(_)).mkString))
+    try {
+      val fmt =
+        if (PixelDecode.isPng(b)) "png"
+        else if (PixelDecode.isBmp(b)) "bmp"
+        else if (PixelDecode.isGif(b)) "gif"
+        else if (JpegDecode.isJpeg(b)) "jpeg"
+        else if (PixelDecode.isTiff(b)) "tiff"
+        else if (WebpDecode.isWebp(b)) "webp"
+        else throw new IllegalArgumentException(
+          "PixelMeta: payload is none of PNG/BMP/GIF/JPEG/TIFF/WebP")
+      val r = PixelDecode.decodeLuma(b).get
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"${r.w}x${r.h}:".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      md.update(r.luma)
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(fmt),
+        r.w, r.h, PixelDecode.phash64(r),
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          md.digest().map("%02x".format(_)).mkString))
+    } catch {
+      case e: Exception if tolerant => null // junk drops, the crawl survives
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): PixelMeta =
@@ -926,7 +935,9 @@ case class PixelMeta(child: Expression)
 }
 
 object PixelMeta {
-  def apply(payload: Column): Column =
+  def apply(payload: Column): Column = apply(payload, tolerant = false)
+  def apply(payload: Column, tolerant: Boolean): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      PixelMeta(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+      PixelMeta(org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        tolerant))
 }

@@ -258,16 +258,33 @@ object CrawlPipeline {
   private[graft] def decodedImages(captures: DataFrame): DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
-    import graft.functions.expressions.{Inflate, ParseWarc, PixelMeta}
+    // url-level dedup BEFORE the decode — recrawled raw variants merge
+    // map-side and their pixel work is never paid (plan-pinned)
+    val kept = imageEntries(captures)
+      .groupBy($"url")
+      .agg(min(struct($"doc_id", $"rec", $"src", $"img")).as("k"),
+        count(lit(1)).as("n_raw"))
+      .select($"k.doc_id".as("doc_id"), $"url", $"k.src".as("src"),
+        $"n_raw", $"k.img".as("img"))
+    decodeKept(kept)
+  }
+
+  /** The STATELESS half of the image pipeline — captures to (doc_id,
+    * rec, url, src, img) rows, shared verbatim by the batch path and
+    * the streaming [[imageGate]] (the [[crawlGate]] lambda split).
+    * BOTH image sources come out of ONE record pass: a union of two
+    * filtered branches would scan `captures` twice — at crawl scale
+    * that is the whole container decompress + WARC walk run twice
+    * (measured 2x wall on the driver gate). Each record yields an
+    * ARRAY of entries — one for an image-typed response, one per data
+    * URI of an html body — exploded once. */
+  private[graft] def imageEntries(captures: DataFrame): DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    import graft.functions.expressions.{Inflate, ParseWarc}
     val recs = captures.select($"doc_id",
       posexplode(ParseWarc(Inflate($"payload"))).as(Seq("rec", "w")))
       .filter($"w.rec_type" === "response" && $"w.target_uri".isNotNull)
-    // BOTH image sources in ONE record pass: a union of two filtered
-    // branches would scan `captures` twice — at crawl scale that is
-    // the whole container decompress + WARC walk run twice (measured
-    // 2x wall on the driver gate). Each record yields an ARRAY of
-    // (url, src, img) entries — one for an image-typed response, one
-    // per data URI of an html body — exploded once.
     val canon = Dedup.canonicalUrl($"w.target_uri")
     val entry = when($"w.mime".startsWith("image/"),
         array(struct(canon.as("url"), lit("warc").as("src"),
@@ -280,24 +297,45 @@ object CrawlPipeline {
             concat(canon, lit("#img"), k.cast("string")).as("url"),
             lit("data").as("src"), unbase64(b64).as("img"))))
       .otherwise(array().cast("array<struct<url:string,src:string,img:binary>>"))
-    val all = recs
+    recs
       .select($"doc_id", $"rec", explode(entry).as("e"))
       .select($"doc_id", $"rec", $"e.url".as("url"), $"e.src".as("src"),
         $"e.img".as("img"))
-    // url-level dedup BEFORE the decode — recrawled raw variants merge
-    // map-side and their pixel work is never paid (plan-pinned)
-    val kept = all
-      .groupBy($"url")
-      .agg(min(struct($"doc_id", $"rec", $"src", $"img")).as("k"),
-        count(lit(1)).as("n_raw"))
-      .select($"k.doc_id".as("doc_id"), $"url", $"k.src".as("src"),
-        $"n_raw", $"k.img".as("img"))
+  }
+
+  /** ONE TOLERANT decode per kept image: crawl-extracted payloads are
+    * untrusted bytes (truncated data URIs, mislabeled response
+    * bodies), so a junk image DROPS here — the gate survives — where
+    * the default PixelMeta would rightly fail a curated image column
+    * loudly. */
+  private def decodeKept(kept: DataFrame): DataFrame = {
+    import kept.sparkSession.implicits._
+    import graft.functions.expressions.PixelMeta
     kept
-      .select($"doc_id", $"url", $"src", $"n_raw", PixelMeta($"img").as("m"))
+      .select($"doc_id", $"url", $"src", $"n_raw",
+        PixelMeta($"img", tolerant = true).as("m"))
+      .filter($"m".isNotNull)
       .select($"doc_id", $"url", $"src", $"n_raw", $"m.fmt".as("fmt"),
         $"m.width".cast("long").as("width"),
         $"m.height".cast("long").as("height"), $"m.px_md5".as("px_md5"))
   }
+
+  /** The image ingest as a STREAM transform — [[crawlGate]]'s twin on
+    * the multimodal side: the stateless half ([[imageEntries]], shared
+    * VERBATIM with the batch path) runs in-stream,
+    * `dropDuplicates("url")` is the in-stream url dedup (first
+    * ARRIVAL wins where the batch keeper picks lowest (doc_id, rec) —
+    * the same divergence-on-differing-content note as crawlGate), and
+    * the tolerant decode runs on the deduped survivors only. The
+    * pixel-hash grouping stays a batch compaction job — exact global
+    * group counts have no bounded-state streaming form, exactly like
+    * shard assignment. Works unchanged on a batch frame; the spec
+    * pins stream/batch parity on the decode columns. */
+  def imageGate(captures: DataFrame): DataFrame =
+    decodeKept(imageEntries(captures)
+      .withColumn("n_raw", lit(1L))
+      .dropDuplicates("url")
+      .select(col("doc_id"), col("url"), col("src"), col("n_raw"), col("img")))
 
   /** The mm_crawl driver query: one [[graft.functions.expressions.SynthWarcImg]]
     * capture per document through [[imageCorpus]]; the oracle replays

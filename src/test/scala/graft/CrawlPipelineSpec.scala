@@ -232,6 +232,74 @@ class CrawlPipelineSpec extends AnyFunSuite {
       s"the decode must run once per kept image:\n$plan")
   }
 
+  test("mm_crawl tolerance + the streaming imageGate twin") {
+    import graft.functions.expressions.SynthWarcImg
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def record(uri: String, mime: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+        http ++ "\r\n\r\n".getBytes(iso)
+    }
+    // untrusted crawl bytes: a TRUNCATED image response and a page
+    // whose data URI decodes to junk — both must DROP, never fail the
+    // gate (the tolerant decode is the point; a curated image column
+    // keeps the loud default)
+    val good = graft.functions.expressions.SynthPng.build("tolerant probe")
+    val junkUri = java.util.Base64.getEncoder.encodeToString(
+      good.take(40)) // valid base64, truncated PNG inside
+    val cap = record("http://example.com/ok.png", "image/png", good) ++
+      record("http://example.com/trunc.png", "image/png", good.take(60)) ++
+      record("http://example.com/page", "text/html",
+        (s"""<html><body><img src="data:image/png;base64,$junkUri"></body></html>""")
+          .getBytes("UTF-8"))
+    val out = CrawlPipeline.imageCorpus(
+      Seq((1L, cap)).toDF("doc_id", "payload")).collect()
+    assert(out.map(_.getAs[String]("url")).toSeq == Seq("http://example.com/ok.png"),
+      s"junk images must drop, good ones survive: ${out.toSeq}")
+    // imageGate: stream/batch parity on the decode columns, in-stream
+    // url dedup holds across micro-batches (the crawlGate discipline)
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+      f.delete()
+    }
+    val src = "target/image_gate_src"
+    rmRf(new java.io.File(src)); new java.io.File(src).mkdirs()
+    val texts = Seq(1L -> "image gate fixture one", 2L -> "image gate fixture two")
+    val batchCaps = texts.toDF("doc_id", "text").select($"doc_id",
+      SynthWarcImg($"text").as("payload"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("url"), r.getAs[String]("fmt"),
+        r.getAs[Long]("width"), r.getAs[Long]("height"))
+    val expected = CrawlPipeline.imageGate(batchCaps).collect().map(key).toSet
+    assert(expected.size == 4, s"2 docs x (content + logo): $expected")
+    def stage(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = s"target/image_gate_tmp_$name"
+      rmRf(new java.io.File(tmp))
+      rows.toDF("doc_id", "text").select($"doc_id",
+        SynthWarcImg($"text").as("payload")).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$name.parquet"))
+    }
+    stage(texts, "b1")
+    val stream = CrawlPipeline.imageGate(
+      spark.readStream.schema(batchCaps.schema).parquet(src))
+    val q = stream.writeStream.format("memory")
+      .queryName("image_gate_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("image_gate_stream").collect().map(key).toSet == expected)
+      stage(texts, "b2") // a recrawl: same urls must not re-enter
+      q.processAllAvailable()
+      assert(spark.table("image_gate_stream").count() == 4,
+        "recrawled image urls in later micro-batches must not re-enter")
+    } finally q.stop()
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally
