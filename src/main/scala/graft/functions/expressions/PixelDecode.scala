@@ -574,13 +574,15 @@ object PixelDecode {
   }
 
   /** Baseline TIFF (the classic scanned-document / raster-archive
-    * format): the first IFD's image as strips — uncompressed, LZW
-    * (TIFF's early-change variant, the SAME decoder as PDF's
-    * /LZWDecode), or PackBits — 8-bit samples, gray (both
+    * format): the first IFD's image as strips OR tiles (TIFF 6.0 §15
+    * — row-major tile grid, edge tiles padded, per-tile predictor) —
+    * uncompressed, LZW (TIFF's early-change variant, the SAME decoder
+    * as PDF's /LZWDecode), or PackBits — 8-bit samples, gray (both
     * photometrics), RGB(A), and palette, with horizontal-differencing
-    * predictor 2. Tiles, planar configuration 2, sub-byte/16-bit
-    * samples, and the CCITT/JPEG-in-TIFF compressions are loud scope
-    * edges. */
+    * predictor 2, in chunky or PLANAR (PlanarConfiguration 2,
+    * plane-ordered strips) sample layout. Tiled-planar,
+    * sub-byte/16-bit samples, and the CCITT/JPEG-in-TIFF compressions
+    * are loud scope edges. */
   private def decodeTiff(b: Array[Byte]): Raster = {
     val le = b(0) == 'I'
     def u16(i: Int): Int =
@@ -626,8 +628,6 @@ object PixelDecode {
       values(tag).map(_.head).getOrElse {
         if (default >= 0) default else fail(s"TIFF is missing required tag $tag")
       }
-    if (tags.contains(322) || tags.contains(323))
-      fail("tiled TIFF is out of scope (strips only)")
     val w = scalar(256).toInt
     val h = scalar(257).toInt
     if (w <= 0 || h <= 0) fail(s"TIFF dimensions ${w}x$h")
@@ -636,68 +636,143 @@ object PixelDecode {
     val bits = values(258).getOrElse(Array(1L))
     if (!bits.forall(_ == 8))
       fail(s"TIFF bits-per-sample ${bits.mkString("/")} (8-bit only)")
-    if (scalar(284, default = 1) != 1)
-      fail("TIFF planar configuration 2 is out of scope")
+    // planar configuration 2 = one PLANE per sample; with a single
+    // sample the layouts coincide, so only multi-sample planar takes
+    // the separate-plane path
+    val planar = scalar(284, default = 1).toInt == 2 && spp > 1
+    val tiled = tags.contains(322) || tags.contains(323)
+    if (tiled && planar)
+      fail("tiled planar-configuration-2 TIFF is out of scope")
     val photometric = scalar(262).toInt
     val compression = scalar(259, default = 1).toInt
     val predictor = scalar(317, default = 1).toInt
     if (predictor != 1 && predictor != 2)
       fail(s"TIFF predictor $predictor")
-    // clamped BEFORE toInt: the TIFF 6.0 "effectively infinite"
-    // convention writes RowsPerStrip = 2^32-1 for single-strip files,
-    // which a bare toInt turns into -1
-    val rowsPerStrip = math.min(scalar(278, default = h.toLong), h.toLong).toInt
-    val offsets = values(273).getOrElse(fail("TIFF has no strip offsets"))
-    val counts = values(279).getOrElse(fail("TIFF has no strip byte counts"))
-    if (offsets.length != counts.length) fail("TIFF strip tables disagree")
-    val colorMap: Array[Long] =
-      if (photometric == 3)
-        values(320).getOrElse(fail("palette TIFF has no ColorMap"))
-      else null
     val rowLen = w * spp
-    val pixels = new java.io.ByteArrayOutputStream(rowLen * h)
-    var strip = 0
-    while (strip < offsets.length && pixels.size < rowLen * h) {
-      val at = offsets(strip).toInt
-      val cnt = counts(strip).toInt
-      if (at < 0 || cnt < 0 || at + cnt > b.length) fail("TIFF strip truncated")
+    // one SEGMENT decompress for strips and tiles alike: codec switch,
+    // the bomb bound at the segment's declared ceiling, short decodes
+    // loud, horizontal differencing per row at the given sample stride
+    def segment(seg: Int, expect: Int, cap: Int, segRowLen: Int,
+        stride: Int, offsets: Array[Long], counts: Array[Long]): Array[Byte] = {
+      val at = offsets(seg).toInt
+      val cnt = counts(seg).toInt
+      if (at < 0 || cnt < 0 || at + cnt > b.length) fail("TIFF segment truncated")
       val raw = java.util.Arrays.copyOfRange(b, at, at + cnt)
-      val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
-      val expect = rowLen * rowsHere
-      // decode bound: the strip's declared ceiling (a last strip may
-      // legitimately encode its full rowsPerStrip; anything past that
-      // is a bomb, not padding). rowLen*rowsPerStrip <= w*spp*h fits
-      // int under the MaxPixels check above.
-      val stripCap = rowLen * rowsPerStrip
       val data = compression match {
         case 1 => raw
         case 5 => // TIFF LZW = PDF LZWDecode with early change
-          try ParsePdf.lzwDecode(raw, earlyChange = 1, maxOut = stripCap)
+          try ParsePdf.lzwDecode(raw, earlyChange = 1, maxOut = cap)
           catch {
             case e: IllegalArgumentException =>
-              fail(s"TIFF LZW strip: ${e.getMessage}")
+              fail(s"TIFF LZW segment: ${e.getMessage}")
           }
         case 32773 => unpackBits(raw, expect)
         case other =>
           fail(s"TIFF compression $other is out of scope (1/5/32773)")
       }
-      if (data.length < expect) fail(s"TIFF strip decodes short " +
+      if (data.length < expect) fail(s"TIFF segment decodes short " +
         s"(${data.length} of $expect bytes)")
       if (predictor == 2) {
-        // horizontal differencing per row, per sample channel
         var r = 0
-        while (r < rowsHere) {
-          var i = r * rowLen + spp
-          val end = (r + 1) * rowLen
-          while (i < end) { data(i) = (data(i) + data(i - spp)).toByte; i += 1 }
+        val rows = expect / segRowLen
+        while (r < rows) {
+          var i = r * segRowLen + stride
+          val end = (r + 1) * segRowLen
+          while (i < end) { data(i) = (data(i) + data(i - stride)).toByte; i += 1 }
           r += 1
         }
       }
-      pixels.write(data, 0, expect)
-      strip += 1
+      data
     }
-    val px = pixels.toByteArray
-    if (px.length < rowLen * h) fail("TIFF strips cover too few rows")
+    val colorMap: Array[Long] =
+      if (photometric == 3)
+        values(320).getOrElse(fail("palette TIFF has no ColorMap"))
+      else null
+    val px = new Array[Byte](rowLen * h)
+    if (tiled) {
+      // tiles (TIFF 6.0 section 15): the image as a grid of tw x th
+      // tiles in row-major tile order, edge tiles PADDED to full
+      // size; each tile its own compressed segment, predictor per
+      // tile row
+      val tw = scalar(322).toInt
+      val th = scalar(323).toInt
+      if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0)
+        fail(s"TIFF tile size ${tw}x$th (16-multiples per the spec)")
+      checkDims(tw, th, "TIFF tile size")
+      val offsets = values(324).getOrElse(fail("tiled TIFF has no tile offsets"))
+      val counts = values(325).getOrElse(fail("tiled TIFF has no tile byte counts"))
+      if (offsets.length != counts.length) fail("TIFF tile tables disagree")
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      if (offsets.length < across * down)
+        fail(s"TIFF tile tables cover ${offsets.length} of ${across * down} tiles")
+      val tileRowLen = tw * spp
+      val expect = tileRowLen * th
+      var t = 0
+      while (t < across * down) {
+        val data = segment(t, expect, expect, tileRowLen, spp, offsets, counts)
+        val x0 = (t % across) * tw
+        val y0 = (t / across) * th
+        val copyCols = math.min(tw, w - x0) * spp
+        var r = 0
+        while (r < th && y0 + r < h) {
+          System.arraycopy(data, r * tileRowLen,
+            px, (y0 + r) * rowLen + x0 * spp, copyCols)
+          r += 1
+        }
+        t += 1
+      }
+    } else {
+      // strips; clamped BEFORE toInt: the TIFF 6.0 "effectively
+      // infinite" convention writes RowsPerStrip = 2^32-1 for
+      // single-strip files, which a bare toInt turns into -1
+      val rowsPerStrip = math.min(scalar(278, default = h.toLong), h.toLong).toInt
+      val offsets = values(273).getOrElse(fail("TIFF has no strip offsets"))
+      val counts = values(279).getOrElse(fail("TIFF has no strip byte counts"))
+      if (offsets.length != counts.length) fail("TIFF strip tables disagree")
+      val stripsPerPlane = (h + rowsPerStrip - 1) / rowsPerStrip
+      if (planar) {
+        // planar configuration 2 (TIFF 6.0 PlanarConfiguration): all
+        // strips of sample 0, then sample 1, ... - each plane strip
+        // holds w (not w*spp) bytes per row with sample-stride-1
+        // differencing; samples interleave into the chunky layout the
+        // pixel loop below reads
+        if (offsets.length < spp * stripsPerPlane)
+          fail(s"TIFF planar strip tables cover ${offsets.length} of " +
+            s"${spp * stripsPerPlane} strips")
+        var s = 0
+        while (s < spp) {
+          var strip = 0
+          while (strip < stripsPerPlane) {
+            val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
+            val data = segment(s * stripsPerPlane + strip, w * rowsHere,
+              w * rowsPerStrip, w, 1, offsets, counts)
+            var r = 0
+            while (r < rowsHere) {
+              val y = strip * rowsPerStrip + r
+              var x = 0
+              while (x < w) {
+                px(y * rowLen + x * spp + s) = data(r * w + x)
+                x += 1
+              }
+              r += 1
+            }
+            strip += 1
+          }
+          s += 1
+        }
+      } else {
+        var strip = 0
+        while (strip < stripsPerPlane) {
+          val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
+          val data = segment(strip, rowLen * rowsHere,
+            rowLen * rowsPerStrip, rowLen, spp, offsets, counts)
+          System.arraycopy(data, 0, px, strip * rowsPerStrip * rowLen,
+            rowLen * rowsHere)
+          strip += 1
+        }
+      }
+    }
     val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {

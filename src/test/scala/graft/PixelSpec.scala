@@ -679,12 +679,119 @@ class PixelSpec extends AnyFunSuite {
       entry(278, 4, 1, Array[Byte](-1, -1, -1, -1)) ++
       le32(0) ++ Array[Byte](7, 9)
     assert(lumaOf(inf).luma.map(_ & 0xFF).toSeq == Seq(7, 9))
-    // scope edges loud: tiles, 16-bit, CCITT
-    val tiled = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++ le16(1) ++
-      entry(322, 3, 1, le16(16)) ++ le32(0)
-    assert(intercept[Exception](PixelDecode.decodeLuma(tiled))
-      .getMessage.contains("tiled"))
+    // scope edges loud: CCITT compression (tiles decode since r14 —
+    // their coverage lives in the tiled/planar test below)
+    val ccitt = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++ le16(7) ++
+      entry(256, 3, 1, le16(2)) ++ entry(257, 3, 1, le16(1)) ++
+      entry(258, 3, 1, le16(8)) ++ entry(259, 3, 1, le16(2)) ++
+      entry(262, 3, 1, le16(1)) ++
+      entry(273, 4, 1, le32(8 + 2 + 7 * 12 + 4)) ++
+      entry(279, 4, 1, le32(2)) ++ le32(0) ++
+      Array[Byte](1, 2)
+    assert(intercept[Exception](PixelDecode.decodeLuma(ccitt))
+      .getMessage.contains("compression 2"))
     assert(PixelDecode.decodeLuma("II but not tiff".getBytes).isEmpty)
+  }
+
+  test("TIFF tiles cross-validated against ImageIO; planar-2 strips hand-pinned; edges loud") {
+    System.setProperty("java.awt.headless", "true")
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    // tiled: ImageIO's INDEPENDENT TIFF writer emits the tile tables;
+    // 37x21 forces padded edge tiles in both axes
+    def tiledTiff(img: BufferedImage, lzw: Boolean): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = writer.getDefaultWriteParam
+      p.setTilingMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setTiling(32, 16, 0, 0)
+      if (lzw) {
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType("LZW")
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bo)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      bo.toByteArray
+    }
+    val g = new BufferedImage(37, 21, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 21; x <- 0 until 37)
+      g.getRaster.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    for (lzw <- Seq(false, true)) {
+      val r = lumaOf(tiledTiff(g, lzw))
+      assert(r.w == 37 && r.h == 21)
+      for (y <- 0 until 21; x <- 0 until 37)
+        assert((r.luma(y * 37 + x) & 0xFF) == (x * 11 + y * 7) % 256,
+          s"tiled gray lzw=$lzw mismatch at ($x,$y)")
+    }
+    val c = new BufferedImage(37, 21, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 21; x <- 0 until 37)
+      c.setRGB(x, y, ((x * 5 % 256) << 16) | ((y * 9 % 256) << 8) | ((x + y) % 256))
+    val rc = lumaOf(tiledTiff(c, lzw = true))
+    for (y <- 0 until 21; x <- 0 until 37)
+      assert((rc.luma(y * 37 + x) & 0xFF) ==
+        ((77 * (x * 5 % 256) + 150 * (y * 9 % 256) + 29 * ((x + y) % 256) + 128) >> 8),
+        s"tiled rgb mismatch at ($x,$y)")
+    // planar configuration 2: hand-built 3x2 RGB, one row per strip,
+    // plane-ordered strips (R0 R1 G0 G1 B0 B1), predictor 2 at
+    // sample-stride 1 WITHIN each plane
+    val pxs = Array(Array(10, 20, 30), Array(40, 50, 60), Array(70, 80, 90),
+      Array(5, 5, 5), Array(200, 100, 50), Array(0, 255, 128)) // (r,g,b) row-major
+    def hdiff(row: Array[Int]): Array[Byte] = row.zipWithIndex.map {
+      case (v, i) => ((v - (if (i > 0) row(i - 1) else 0)) & 0xFF).toByte
+    }
+    val strips: Seq[Array[Byte]] = for {
+      s <- 0 to 2; y <- 0 to 1
+    } yield hdiff(Array(pxs(y * 3 + 0)(s), pxs(y * 3 + 1)(s), pxs(y * 3 + 2)(s)))
+    def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val nEntries = 10
+    val ifdSize = 2 + nEntries * 12 + 4
+    val extBase = 8 + ifdSize // offset arrays + bits array live here
+    val offArr = extBase
+    val cntArr = extBase + 24
+    val bitsArr = extBase + 48
+    val dataAt = extBase + 54
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]): Array[Byte] =
+      le16b(tag) ++ le16b(typ) ++ le32b(count) ++ value.padTo(4, 0.toByte)
+    val entries =
+      entry(256, 3, 1, le16b(3)) ++ entry(257, 3, 1, le16b(2)) ++
+      entry(258, 3, 3, le32b(bitsArr)) ++ entry(262, 3, 1, le16b(2)) ++
+      entry(273, 4, 6, le32b(offArr)) ++ entry(277, 3, 1, le16b(3)) ++
+      entry(278, 3, 1, le16b(1)) ++ entry(279, 4, 6, le32b(cntArr)) ++
+      entry(284, 3, 1, le16b(2)) ++ entry(317, 3, 1, le16b(2))
+    val stripOffs = strips.indices.flatMap(i => le32b(dataAt + i * 3)).toArray
+    val stripCnts = strips.indices.flatMap(_ => le32b(3)).toArray
+    val planarTiff = "II".getBytes ++ Array[Byte](42, 0) ++ le32b(8) ++
+      le16b(nEntries) ++ entries ++ le32b(0) ++
+      stripOffs ++ stripCnts ++ le16b(8) ++ le16b(8) ++ le16b(8) ++
+      strips.flatten.toArray
+    val rp = lumaOf(planarTiff)
+    assert(rp.w == 3 && rp.h == 2)
+    for (y <- 0 to 1; x <- 0 to 2) {
+      val p = pxs(y * 3 + x)
+      assert((rp.luma(y * 3 + x) & 0xFF) ==
+        ((77 * p(0) + 150 * p(1) + 29 * p(2) + 128) >> 8),
+        s"planar mismatch at ($x,$y)")
+    }
+    // loud edges: tiled planar, non-16-multiple tile size
+    val tiledPlanar = "II".getBytes ++ Array[Byte](42, 0) ++ le32b(8) ++
+      le16b(6) ++
+      entry(256, 3, 1, le16b(16)) ++ entry(257, 3, 1, le16b(16)) ++
+      entry(258, 3, 1, le16b(8)) ++
+      entry(277, 3, 1, le16b(3)) ++ entry(284, 3, 1, le16b(2)) ++
+      entry(322, 3, 1, le16b(16)) ++ le32b(0)
+    assert(intercept[Exception](PixelDecode.decodeLuma(tiledPlanar))
+      .getMessage.contains("tiled planar"))
+    val badTile = "II".getBytes ++ Array[Byte](42, 0) ++ le32b(8) ++
+      le16b(6) ++
+      entry(256, 3, 1, le16b(8)) ++ entry(257, 3, 1, le16b(8)) ++
+      entry(258, 3, 1, le16b(8)) ++ entry(262, 3, 1, le16b(1)) ++
+      entry(322, 3, 1, le16b(8)) ++ entry(323, 3, 1, le16b(8)) ++ le32b(0)
+    assert(intercept[Exception](PixelDecode.decodeLuma(badTile))
+      .getMessage.contains("16-multiples"))
   }
 
   // ---- WebP VP8L: hand-assembled bitstreams, one per decoder path
