@@ -109,6 +109,25 @@ object HammingPairs {
       }
   }
 
+  /** Candidate-pair volume a geometry generates on a corpus BEFORE
+    * the hamming verify — the measured side of the occupancy story
+    * (the [[graft.operators.Dedup.candidateCount]] diagnostic applied
+    * to the Hamming domain): HammingPairsSpec asserts the rung ladder
+    * actually collapses candidate volume on a corpus that outgrows
+    * rung 0, not just that the pair set survives. */
+  private[graft] def candidateCount(hashed: DataFrame, idCol: String,
+      bits: Int, k: Int, rungIdx: Int, hotCap: Long = HotCap): Long = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val anchor = if (rungIdx == 0) Long.MaxValue / 2 else 0L
+    // candidates = distinct (pha, phb) hash pairs the banded joins
+    // emit; replicate pairs()' candidate stages minus the verify
+    val distinctPh = hashed.select(col(idCol).as("id"), $"ph")
+      .select($"ph").distinct()
+    val n = distinctPh.count()
+    candidateFrame(distinctPh, n, bits, k, anchor, hotCap).count()
+  }
+
   /** Near-dup id pairs (a_id, b_id, hamming) with a_id < b_id and
     * hamming ≤ k, over `hashed` = (id column, `ph` long hash column —
     * the low `bits` bits). `n` is the corpus row count (rung
@@ -132,6 +151,27 @@ object HammingPairs {
         $"a.ph" === $"b.ph" && $"a.id" < $"b.id")
       .select($"a.id".as("a_id"), $"b.id".as("b_id"), lit(0L).as("hamming"))
     val distinctPh = ids.select($"ph").distinct()
+    val cand = candidateFrame(distinctPh, n, bits, k, anchor, hotCap)
+      .select($"pha", $"phb",
+        bit_count($"pha".bitwiseXOR($"phb")).cast("long").as("hamming"))
+      .filter($"hamming" <= k)
+    // expand verified hash pairs back to id pairs (output cardinality)
+    val cross = cand
+      .join(ids.select($"id".as("ia"), $"ph".as("pha")), "pha")
+      .join(ids.select($"id".as("ib"), $"ph".as("phb")), "phb")
+      .select(least($"ia", $"ib").as("a_id"),
+        greatest($"ia", $"ib").as("b_id"), $"hamming")
+    val out = graft.Tables.materialize(same.unionByName(cross))
+    ids.unpersist(blocking = false)
+    out
+  }
+
+  /** Distinct candidate hash pairs (pha < phb) from the banded joins —
+    * the stage [[pairs]] verifies and [[candidateCount]] measures. */
+  private def candidateFrame(distinctPh: DataFrame, n: Long, bits: Int,
+      k: Int, anchor: Long, hotCap: Long): DataFrame = {
+    val spark = distinctPh.sparkSession
+    import spark.implicits._
     val rung = pick(bits, k, n, anchor)
     if (rung != rungs(bits, k).head)
       log.info(s"hammingPairs: corpus $n rows -> $rung " +
@@ -184,23 +224,11 @@ object HammingPairs {
     val hotProbe = probeC.filter($"bn" > hotCap)
       .select($"pha", $"band", $"key",
         posexplode($"sub").as(Seq("subband", "subkey")))
-    val cand = coldProbe.join(coldBase, Seq("band", "key"))
+    coldProbe.join(coldBase, Seq("band", "key"))
       .select($"pha", $"phb")
       .unionByName(hotProbe.join(hotBase, Seq("band", "key", "subband", "subkey"))
         .select($"pha", $"phb"))
       .filter($"pha" < $"phb") // the flip ring is symmetric: one side suffices
       .distinct() // a pair can collide in several bands/probes
-      .select($"pha", $"phb",
-        bit_count($"pha".bitwiseXOR($"phb")).cast("long").as("hamming"))
-      .filter($"hamming" <= k)
-    // expand verified hash pairs back to id pairs (output cardinality)
-    val cross = cand
-      .join(ids.select($"id".as("ia"), $"ph".as("pha")), "pha")
-      .join(ids.select($"id".as("ib"), $"ph".as("phb")), "phb")
-      .select(least($"ia", $"ib").as("a_id"),
-        greatest($"ia", $"ib").as("b_id"), $"hamming")
-    val out = graft.Tables.materialize(same.unionByName(cross))
-    ids.unpersist(blocking = false)
-    out
   }
 }

@@ -104,6 +104,33 @@ class HammingPairsSpec extends AnyFunSuite {
     assert(got.count(_._3 == 1L) == 500)
   }
 
+  test("measured occupancy: rung 1 collapses candidate volume where rung 0 saturates") {
+    // 20k uniform 64-bit hashes: rung 0's 256 buckets/band hold ~78
+    // hashes each → ~8·n·occ/2 ≈ 6M candidate pairs; rung 1's 65536
+    // buckets hold ~0.3 → candidates collapse by orders of magnitude.
+    // This is the EFFICIENCY claim measured, not argued — the
+    // exactness tests above prove both emit the same verified pairs.
+    val rows = (0L until 20000L).map(i => i -> mix(i)).toDF("doc_id", "ph")
+    val c0 = HammingPairs.candidateCount(rows, "doc_id", 64, 7, rungIdx = 0)
+    val c1 = HammingPairs.candidateCount(rows, "doc_id", 64, 7, rungIdx = 1)
+    assert(c0 > 1000000L, s"rung 0 should saturate at this density: $c0")
+    // theory: c0 ≈ 8·n·(n/256)/2, c1 ≈ 4·17·n·(n/65536)/2 — a 30x
+    // collapse at n=20k, and the RATIO grows linearly with n (that is
+    // the point: c1's per-row work is what the anchor holds constant)
+    assert(c1 * 20 < c0, s"rung 1 must collapse candidates: $c0 -> $c1")
+    // the hot-bucket sub-split bounds a planted pile-up: 5k hashes
+    // sharing band 0's key at rung 0 → one 5k²/2 bucket without the
+    // guard; with it the volume drops by >10x
+    val hot = (0L until 5000L).map(i => i -> ((mix(i) << 8) | 0x11L))
+      .toDF("doc_id", "ph")
+    val unguarded = HammingPairs.candidateCount(hot, "doc_id", 64, 7,
+      rungIdx = 0, hotCap = Long.MaxValue / 2)
+    val guarded = HammingPairs.candidateCount(hot, "doc_id", 64, 7,
+      rungIdx = 0, hotCap = 256L)
+    assert(unguarded > 12000000L, s"the planted pile-up should be quadratic: $unguarded")
+    assert(guarded * 10 < unguarded, s"sub-split must bound it: $unguarded -> $guarded")
+  }
+
   test("rung selection: footer count drives the ladder at the occupancy anchor") {
     // rung 0 holds while expected occupancy n/2^8 <= anchor
     assert(HammingPairs.pick(64, 7, 16384).radius == 0)
