@@ -634,8 +634,16 @@ object PixelDecode {
     checkDims(w, h, "TIFF dimensions")
     val spp = scalar(277, default = 1).toInt
     val bits = values(258).getOrElse(Array(1L))
-    if (!bits.forall(_ == 8))
-      fail(s"TIFF bits-per-sample ${bits.mkString("/")} (8-bit only)")
+    if (!bits.forall(_ == bits.head))
+      fail(s"TIFF mixed bits-per-sample ${bits.mkString("/")}")
+    // bytes per sample: 8- and 16-bit samples decode (16-bit takes the
+    // high byte per the file byte order — the 8-bit projection, the
+    // PNG depth-16 rule); sub-byte depths stay loud
+    val bps = bits.head.toInt match {
+      case 8 => 1
+      case 16 => 2
+      case o => fail(s"TIFF bits-per-sample $o (8/16 only)")
+    }
     // planar configuration 2 = one PLANE per sample; with a single
     // sample the layouts coincide, so only multi-sample planar takes
     // the separate-plane path
@@ -644,11 +652,13 @@ object PixelDecode {
     if (tiled && planar)
       fail("tiled planar-configuration-2 TIFF is out of scope")
     val photometric = scalar(262).toInt
+    if (bps == 2 && photometric == 3)
+      fail("16-bit palette TIFF is out of scope")
     val compression = scalar(259, default = 1).toInt
     val predictor = scalar(317, default = 1).toInt
     if (predictor != 1 && predictor != 2)
       fail(s"TIFF predictor $predictor")
-    val rowLen = w * spp
+    val rowLen = w * spp * bps
     // one SEGMENT decompress for strips and tiles alike: codec switch,
     // the bomb bound at the segment's declared ceiling, short decodes
     // loud, horizontal differencing per row at the given sample stride
@@ -673,12 +683,29 @@ object PixelDecode {
       if (data.length < expect) fail(s"TIFF segment decodes short " +
         s"(${data.length} of $expect bytes)")
       if (predictor == 2) {
+        // horizontal differencing per row at the sample stride; 16-bit
+        // samples difference as 16-bit VALUES in the file byte order
+        // (byte-level stride-2 adds would drop the carries)
         var r = 0
         val rows = expect / segRowLen
         while (r < rows) {
-          var i = r * segRowLen + stride
-          val end = (r + 1) * segRowLen
-          while (i < end) { data(i) = (data(i) + data(i - stride)).toByte; i += 1 }
+          if (bps == 1) {
+            var i = r * segRowLen + stride
+            val end = (r + 1) * segRowLen
+            while (i < end) { data(i) = (data(i) + data(i - stride)).toByte; i += 1 }
+          } else {
+            def v16(i: Int): Int =
+              if (le) (data(i) & 0xFF) | ((data(i + 1) & 0xFF) << 8)
+              else ((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)
+            var i = r * segRowLen + stride * 2
+            val end = (r + 1) * segRowLen
+            while (i < end) {
+              val v = (v16(i) + v16(i - stride * 2)) & 0xFFFF
+              if (le) { data(i) = (v & 0xFF).toByte; data(i + 1) = (v >> 8).toByte }
+              else { data(i) = (v >> 8).toByte; data(i + 1) = (v & 0xFF).toByte }
+              i += 2
+            }
+          }
           r += 1
         }
       }
@@ -706,18 +733,18 @@ object PixelDecode {
       val down = (h + th - 1) / th
       if (offsets.length < across * down)
         fail(s"TIFF tile tables cover ${offsets.length} of ${across * down} tiles")
-      val tileRowLen = tw * spp
+      val tileRowLen = tw * spp * bps
       val expect = tileRowLen * th
       var t = 0
       while (t < across * down) {
-        val data = segment(t, expect, expect, tileRowLen, spp, offsets, counts)
+        val data = segment(t, expect, expect, tileRowLen, spp * bps, offsets, counts)
         val x0 = (t % across) * tw
         val y0 = (t / across) * th
-        val copyCols = math.min(tw, w - x0) * spp
+        val copyCols = math.min(tw, w - x0) * spp * bps
         var r = 0
         while (r < th && y0 + r < h) {
           System.arraycopy(data, r * tileRowLen,
-            px, (y0 + r) * rowLen + x0 * spp, copyCols)
+            px, (y0 + r) * rowLen + x0 * spp * bps, copyCols)
           r += 1
         }
         t += 1
@@ -745,14 +772,19 @@ object PixelDecode {
           var strip = 0
           while (strip < stripsPerPlane) {
             val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
-            val data = segment(s * stripsPerPlane + strip, w * rowsHere,
-              w * rowsPerStrip, w, 1, offsets, counts)
+            val data = segment(s * stripsPerPlane + strip, w * bps * rowsHere,
+              w * bps * rowsPerStrip, w * bps, 1, offsets, counts)
             var r = 0
             while (r < rowsHere) {
               val y = strip * rowsPerStrip + r
               var x = 0
               while (x < w) {
-                px(y * rowLen + x * spp + s) = data(r * w + x)
+                var bb = 0
+                while (bb < bps) {
+                  px(y * rowLen + (x * spp + s) * bps + bb) =
+                    data(r * w * bps + x * bps + bb)
+                  bb += 1
+                }
                 x += 1
               }
               r += 1
@@ -766,7 +798,7 @@ object PixelDecode {
         while (strip < stripsPerPlane) {
           val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
           val data = segment(strip, rowLen * rowsHere,
-            rowLen * rowsPerStrip, rowLen, spp, offsets, counts)
+            rowLen * rowsPerStrip, rowLen, spp * bps, offsets, counts)
           System.arraycopy(data, 0, px, strip * rowsPerStrip * rowLen,
             rowLen * rowsHere)
           strip += 1
@@ -774,17 +806,22 @@ object PixelDecode {
       }
     }
     val out = new Array[Byte](w * h)
+    // the sample's HIGH byte (16-bit takes the MSB per byte order —
+    // the 8-bit projection)
+    def hi(off: Int): Int =
+      if (bps == 1) px(off) & 0xFF
+      else px(off + (if (le) 1 else 0)) & 0xFF
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val s = y * rowLen + x * spp
+        val s = y * rowLen + x * spp * bps
         out(y * w + x) = photometric match {
-          case 0 => (255 - (px(s) & 0xFF)).toByte // WhiteIsZero
-          case 1 => px(s)
+          case 0 => (255 - hi(s)).toByte // WhiteIsZero
+          case 1 => hi(s).toByte
           case 2 => // RGB(A): extra samples ignored
             if (spp < 3) fail("RGB TIFF with fewer than 3 samples")
-            luma(px(s) & 0xFF, px(s + 1) & 0xFF, px(s + 2) & 0xFF)
+            luma(hi(s), hi(s + bps), hi(s + 2 * bps))
           case 3 =>
             val i = px(s) & 0xFF
             val m = colorMap.length / 3

@@ -776,6 +776,30 @@ class PixelSpec extends AnyFunSuite {
         ((77 * p(0) + 150 * p(1) + 29 * p(2) + 128) >> 8),
         s"planar mismatch at ($x,$y)")
     }
+    // 16-bit gray samples: ImageIO's writer emits a USHORT TIFF; the
+    // decode takes each sample's high byte (the 8-bit projection) —
+    // strips and LZW (whose 16-bit predictor differencing carries)
+    val g16 = new BufferedImage(19, 7, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 7; x <- 0 until 19)
+      g16.getRaster.setSample(x, y, 0, ((x * 37 + y * 101) % 256) * 256 + x)
+    for (lzw <- Seq(false, true)) {
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = writer.getDefaultWriteParam
+      if (lzw) {
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType("LZW")
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bo)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(g16, null, null), p)
+      ios.close(); writer.dispose()
+      val r16 = lumaOf(bo.toByteArray)
+      assert(r16.w == 19 && r16.h == 7)
+      for (y <- 0 until 7; x <- 0 until 19)
+        assert((r16.luma(y * 19 + x) & 0xFF) == (x * 37 + y * 101) % 256,
+          s"16-bit gray lzw=$lzw mismatch at ($x,$y)")
+    }
     // loud edges: tiled planar, non-16-multiple tile size
     val tiledPlanar = "II".getBytes ++ Array[Byte](42, 0) ++ le32b(8) ++
       le16b(6) ++
