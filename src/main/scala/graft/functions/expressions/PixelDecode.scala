@@ -661,7 +661,10 @@ object PixelDecode {
     val rowLen = w * spp * bps
     // one SEGMENT decompress for strips and tiles alike: codec switch,
     // the bomb bound at the segment's declared ceiling, short decodes
-    // loud, horizontal differencing per row at the given sample stride
+    // loud, horizontal differencing per row at the given SAMPLE stride
+    // (spp for chunky/tiled, 1 for a planar plane — byte offsets are
+    // derived inside per bps, so 16-bit rows accumulate against the
+    // previous PIXEL, not two pixels back)
     def segment(seg: Int, expect: Int, cap: Int, segRowLen: Int,
         stride: Int, offsets: Array[Long], counts: Array[Long]): Array[Byte] = {
       val at = offsets(seg).toInt
@@ -737,7 +740,7 @@ object PixelDecode {
       val expect = tileRowLen * th
       var t = 0
       while (t < across * down) {
-        val data = segment(t, expect, expect, tileRowLen, spp * bps, offsets, counts)
+        val data = segment(t, expect, expect, tileRowLen, spp, offsets, counts)
         val x0 = (t % across) * tw
         val y0 = (t / across) * th
         val copyCols = math.min(tw, w - x0) * spp * bps
@@ -798,7 +801,7 @@ object PixelDecode {
         while (strip < stripsPerPlane) {
           val rowsHere = math.min(rowsPerStrip, h - strip * rowsPerStrip)
           val data = segment(strip, rowLen * rowsHere,
-            rowLen * rowsPerStrip, rowLen, spp * bps, offsets, counts)
+            rowLen * rowsPerStrip, rowLen, spp, offsets, counts)
           System.arraycopy(data, 0, px, strip * rowsPerStrip * rowLen,
             rowLen * rowsHere)
           strip += 1

@@ -497,7 +497,11 @@ object WebpDecode {
     while (p + 8 <= b.length) {
       val fourcc = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(p + 4)
-      if (size < 0 || p + 8 + size > b.length)
+      // Long-widened extent: a declared size near Int.MaxValue would
+      // overflow Int arithmetic past the bounds check and advance p
+      // negative — the walk must fail by name, not throw raw
+      val next = p.toLong + 8L + size.toLong + (size & 1).toLong
+      if (size < 0 || p.toLong + 8L + size.toLong > b.length)
         fail(s"$fourcc chunk overruns the payload")
       fourcc match {
         case "VP8L" => return decodeVp8l(b, p + 8, size)
@@ -505,7 +509,7 @@ object WebpDecode {
         case "ANIM" | "ANMF" => fail("animated WebP is out of scope")
         case _ => () // VP8X / ALPH / EXIF / XMP / ICCP ride along
       }
-      p += 8 + size + (size & 1) // RIFF pads odd chunks
+      p = next.toInt // RIFF pads odd chunks; next ≤ len+1 after the check
     }
     fail("WebP has no VP8L chunk")
   }

@@ -219,7 +219,12 @@ object Multimodal {
       .select($"doc_id", $"text",
         posexplode($"s").as(Seq("frame_no", "f")))
       .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
-        md5($"text".substr($"f.off".cast("int") + 1, $"f.len".cast("int")))
+        // byte-based slice: the sample tables address BYTES of the
+        // UTF-8 mdat body, so the digest must cut binary, not chars
+        // (the DuckDB oracle's char substr agrees because the corpus
+        // is ASCII — MultimodalSpec pins the non-ASCII byte path)
+        md5($"text".cast("binary").substr($"f.off".cast("int") + 1,
+            $"f.len".cast("int")))
           .as("frame_md5"),
         $"f.len".as("frame_len"),
         $"f.t".as("frame_t"))

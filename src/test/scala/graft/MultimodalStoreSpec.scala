@@ -452,6 +452,72 @@ class MultimodalStoreSpec extends AnyFunSuite {
     assert(MediaHeader.mp4Samples("not media".getBytes).isEmpty)
   }
 
+  test("mm_frames digests BYTE slices: non-ASCII text addresses UTF-8 bytes, not chars") {
+    import graft.operators.Multimodal
+    // the driver corpus is ASCII (pinned here as the oracle's
+    // validity condition: DuckDB's char substr only equals the byte
+    // slice when 1 char = 1 byte), but the sample tables address
+    // BYTES of the UTF-8 mdat — a multi-byte doc must digest the byte
+    // slice the stsz/stco entries actually cover
+    val texts = (0 until 400).map(i => s"café №$i — протокол видео fixture $i")
+      .filter { t =>
+        val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        (m(0) & 0xFF) % 3 != 2 && (m(0) & 0xFF) % 2 == 1
+      }.take(8)
+    assert(texts.nonEmpty, "non-ASCII mp4 share underdrawn")
+    assert(texts.forall(t => t.getBytes("UTF-8").length > t.length),
+      "fixture must be multi-byte")
+    val dir = "target/mm_frames_bytes"
+    val f = new java.io.File(dir)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+    }
+    if (f.exists()) rm(f)
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Multimodal.frames(spark, dir).collect()
+    assert(out.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id").toInt)
+      val tb = t.getBytes("UTF-8")
+      // recompute the sample plan (the oracle's md5 arithmetic) and
+      // hash the BYTE slice it addresses
+      val m = java.security.MessageDigest.getInstance("MD5").digest(tb)
+      def u8(k: Int) = m(k) & 0xFF
+      val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
+        (u8(6).toLong << 8) | u8(7).toLong
+      val ns = math.min(4 + (h32 % 5).toInt, (tb.length - 2) / 11)
+      val i = r.getAs[Long]("frame_no").toInt
+      def sizeOf(k: Int): Long = 3 + (h32 + 7L * k) % 9
+      val gap = if (i >= (ns + 1) / 2) 2L else 0L
+      val off = (gap + (0 until i).map(sizeOf).sum).toInt
+      val len = sizeOf(i).toInt
+      val want = md.digest(java.util.Arrays.copyOfRange(tb, off, off + len))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      assert(r.getAs[String]("frame_md5") == want,
+        s"doc ${r.getAs[Long]("doc_id")} frame $i must digest the byte slice")
+    }
+    // the pin is meaningful: at least one frame's char-based slice
+    // disagrees with its byte slice on this corpus
+    val divergent = out.exists { r =>
+      val t = texts(r.getAs[Long]("doc_id").toInt)
+      val tb = t.getBytes("UTF-8")
+      val md2 = java.security.MessageDigest.getInstance("MD5")
+      val charMd5s = (0 until t.length).flatMap { o =>
+        (1 to math.min(12, t.length - o)).map { l =>
+          md2.digest(t.substring(o, o + l).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+      }.toSet
+      !charMd5s.contains(r.getAs[String]("frame_md5"))
+    }
+    assert(divergent, "corpus must exercise a byte-slice that no char slice produces")
+  }
+
   test("EXIF: both byte orders, inline+offset values, nulls for absent tags/EXIF/non-JPEG") {
     import graft.functions.expressions.{ExifMeta, SynthExif}
     // the synth share space: both byte orders and both gps branches

@@ -818,6 +818,65 @@ class PixelSpec extends AnyFunSuite {
       .getMessage.contains("16-multiples"))
   }
 
+  test("TIFF 16-bit predictor-2 chunky: hand-built fixtures accumulate at the pixel stride") {
+    // ImageIO's LZW writer emits predictor 1 for USHORT images, so the
+    // cross-validated 16-bit test above never reaches this branch —
+    // these hand-built uncompressed predictor-2 files pin that a
+    // 16-bit sample differences against the SAME sample of the
+    // PREVIOUS pixel (sample stride spp), not two pixels back.
+    def le16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]): Array[Byte] =
+      le16b(tag) ++ le16b(typ) ++ le32b(count) ++ value.padTo(4, 0.toByte)
+    def hdiff16(row: Array[Int], spp: Int): Array[Byte] = {
+      val d = row.indices.map { i =>
+        if (i < spp) row(i) else (row(i) - row(i - spp)) & 0xFFFF
+      }
+      d.flatMap(le16b).toArray
+    }
+    // gray 3x1 (the ADVICE repro): values 0x1000 0x1100 0x1100 —
+    // diffs 0x1000 0x0100 0x0000; the buggy stride read high bytes
+    // 10 01 10, the fix reads 10 11 11
+    def tiff16(w: Int, h: Int, spp: Int, rows: Seq[Array[Int]]): Array[Byte] = {
+      val nE = if (spp == 1) 9 else 10
+      val ifdSize = 2 + nE * 12 + 4
+      val extBase = 8 + ifdSize
+      val bitsArr = extBase // only for spp=3 (3 shorts)
+      val dataAt = if (spp == 1) extBase else extBase + 6
+      val data = rows.flatMap(r => hdiff16(r, spp)).toArray
+      val common =
+        entry(256, 3, 1, le16b(w)) ++ entry(257, 3, 1, le16b(h)) ++
+        (if (spp == 1) entry(258, 3, 1, le16b(16))
+         else entry(258, 3, 3, le32b(bitsArr))) ++
+        entry(262, 3, 1, le16b(if (spp == 1) 1 else 2)) ++
+        entry(273, 4, 1, le32b(dataAt)) ++ entry(277, 3, 1, le16b(spp)) ++
+        entry(278, 3, 1, le16b(h)) ++ entry(279, 4, 1, le32b(data.length)) ++
+        entry(317, 3, 1, le16b(2)) ++
+        (if (spp == 1) Array.empty[Byte] else entry(284, 3, 1, le16b(1)))
+      "II".getBytes ++ Array[Byte](42, 0) ++ le32b(8) ++
+        le16b(nE) ++ common ++ le32b(0) ++
+        (if (spp == 1) Array.empty[Byte]
+         else le16b(16) ++ le16b(16) ++ le16b(16)) ++ data
+    }
+    val rg = lumaOf(tiff16(3, 1, 1, Seq(Array(0x1000, 0x1100, 0x1100))))
+    assert(rg.w == 3 && rg.h == 1)
+    assert(rg.luma.map(_ & 0xFF).toSeq == Seq(0x10, 0x11, 0x11))
+    // RGB 3x2 chunky 16-bit: sample stride 3, diffs wrap mod 2^16
+    // (carry into the high byte must survive the reconstruction)
+    val rgbRows = Seq(
+      Array(0x1000, 0x2000, 0x3000, 0x1100, 0x1F00, 0x3080, 0x10FF, 0x2001, 0x2FFF),
+      Array(0xFF80, 0x0040, 0x8000, 0x0001, 0xFFFF, 0x7FFF, 0x1234, 0x5678, 0x9ABC))
+    val rrgb = lumaOf(tiff16(3, 2, 3, rgbRows))
+    assert(rrgb.w == 3 && rrgb.h == 2)
+    for (y <- 0 to 1; x <- 0 to 2) {
+      val row = rgbRows(y)
+      val (r, g, b) = (row(x * 3) >> 8, row(x * 3 + 1) >> 8, row(x * 3 + 2) >> 8)
+      assert((rrgb.luma(y * 3 + x) & 0xFF) == ((77 * r + 150 * g + 29 * b + 128) >> 8),
+        s"16-bit rgb predictor-2 mismatch at ($x,$y)")
+    }
+  }
+
   // ---- WebP VP8L: hand-assembled bitstreams, one per decoder path
   // the literal-only synth encoder never emits. Every fixture is
   // spelled bit-by-bit from the lossless spec, so these are
