@@ -80,6 +80,20 @@ object HammingPairs {
     * re-key. */
   val HotCap = 1024L
 
+  /** Distinct-corpus size below which the occupancy machinery is DEAD
+    * WORK and the candidate stage runs as one band equi-join +
+    * distinct — the exact plan the hash-checked gate rounds shipped.
+    * The routing exists to BOUND candidate volume, never to define the
+    * pair set (cold and hot emit identical candidates), so skipping it
+    * can only change the plan, not the output. Below this bound even
+    * TOTAL adversarial concentration — all n distinct hashes in one
+    * bucket — caps the un-routed join at n² = 10⁸ hash pairs (realistic
+    * mass sits near n²/2^width ≈ 4·10⁵), cheaper than the ~5 fixed
+    * jobs (persist, counts aggregate, two routed joins, union) the
+    * machinery spends; the round-14 bench measured that overhead at
+    * +2.0–2.6 s PER QUERY at gate scale for provably identical output. */
+  val FastRows = 10000L
+
   /** The ladder for a `bits`-bit hash at max hamming `k`:
     * rung 0 = k+1 bands (plain pigeonhole, the pinned gate geometry),
     * rung 1 = (k+1)/2 bands of doubled width with a 1-bit probe ring
@@ -122,19 +136,34 @@ object HammingPairs {
     val anchor = if (rungIdx == 0) Long.MaxValue / 2 else 0L
     // candidates = distinct (pha, phb) hash pairs the banded joins
     // emit; replicate pairs()' candidate stages minus the verify
+    // (fastRows = 0: the point is measuring the routing machinery)
     val distinctPh = hashed.select(col(idCol).as("id"), $"ph")
       .select($"ph").distinct()
     val n = distinctPh.count()
-    candidateFrame(distinctPh, n, bits, k, anchor, hotCap).count()
+    candidateFrame(distinctPh, n, bits, k, anchor, hotCap, fastRows = 0L).count()
   }
 
   /** Near-dup id pairs (a_id, b_id, hamming) with a_id < b_id and
     * hamming ≤ k, over `hashed` = (id column, `ph` long hash column —
     * the low `bits` bits). `n` is the corpus row count (rung
-    * selection only). `anchor`/`hotCap` are spec knobs — production
-    * callers keep the defaults. Output is UNORDERED (callers sort). */
+    * selection only). `anchor`/`hotCap`/`fastRows` are spec knobs —
+    * production callers keep the defaults. Output is UNORDERED
+    * (callers sort).
+    *
+    * '''Output-cardinality contract (the PAIR form):''' the
+    * identical-hash stratum emits m(m−1)/2 rows for a hash shared by
+    * m ids — the join stays healthy (layer 1 collapses the mass
+    * before any candidate work), but the OUTPUT itself is quadratic
+    * in per-hash multiplicity: a web-scale logo with 10⁶
+    * byte-identical copies emits 5·10¹¹ rows because that is what
+    * "all near-dup pairs" means. Callers choosing this form are
+    * choosing that contract explicitly; pipelines that only need a
+    * representative per duplicate family (the `mm_crawl`
+    * raster-digest shape) use [[pairsGrouped]], whose output is
+    * linear in distinct hashes + verified cross-hash pairs. */
   def pairs(hashed: DataFrame, idCol: String, n: Long, bits: Int, k: Int,
-      anchor: Long = Anchor, hotCap: Long = HotCap): DataFrame = {
+      anchor: Long = Anchor, hotCap: Long = HotCap,
+      fastRows: Long = FastRows): DataFrame = {
     val spark = hashed.sparkSession
     import spark.implicits._
     // PERSISTED once: the stage scans (id, ph) five ways — the
@@ -151,7 +180,7 @@ object HammingPairs {
         $"a.ph" === $"b.ph" && $"a.id" < $"b.id")
       .select($"a.id".as("a_id"), $"b.id".as("b_id"), lit(0L).as("hamming"))
     val distinctPh = ids.select($"ph").distinct()
-    val cand = candidateFrame(distinctPh, n, bits, k, anchor, hotCap)
+    val cand = candidateFrame(distinctPh, n, bits, k, anchor, hotCap, fastRows)
       .select($"pha", $"phb",
         bit_count($"pha".bitwiseXOR($"phb")).cast("long").as("hamming"))
       .filter($"hamming" <= k)
@@ -166,10 +195,56 @@ object HammingPairs {
     out
   }
 
+  /** The GROUP form of [[pairs]] — the scalable contract for corpora
+    * whose duplicate mass makes the pair form's m(m−1)/2 output its
+    * own bottleneck. Returns (groups, crossPairs):
+    *
+    *  - `groups` = (ph, keeper_id, n_ids): ONE row per distinct hash,
+    *    keeper = min id (the deterministic representative — the
+    *    `mm_crawl` raster-digest discipline), n_ids its multiplicity.
+    *    The hamming-0 stratum lives here: a hash shared by m ids is
+    *    one row with n_ids = m, never m(m−1)/2 pairs.
+    *  - `crossPairs` = (a_id, b_id, hamming) with 1 ≤ hamming ≤ k,
+    *    between group KEEPERS only — one row per verified distinct
+    *    hash pair, so output is linear in candidate survivors
+    *    regardless of per-hash multiplicity.
+    *
+    * Equivalence to [[pairs]] (spec-pinned): expanding each group to
+    * its within-group pairs at hamming 0, plus each keeper pair to
+    * the cross product of its two groups' members, reproduces the
+    * pair form exactly. */
+  def pairsGrouped(hashed: DataFrame, idCol: String, n: Long, bits: Int,
+      k: Int, anchor: Long = Anchor, hotCap: Long = HotCap,
+      fastRows: Long = FastRows): (DataFrame, DataFrame) = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val ids = hashed.select(col(idCol).as("id"), $"ph")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one partial-agg pass: keeper + multiplicity per distinct hash
+    val groups = ids.groupBy($"ph")
+      .agg(min($"id").as("keeper_id"), count(lit(1)).as("n_ids"))
+    val cand = candidateFrame(groups.select($"ph"), n, bits, k, anchor,
+        hotCap, fastRows)
+      .select($"pha", $"phb",
+        bit_count($"pha".bitwiseXOR($"phb")).cast("long").as("hamming"))
+      .filter($"hamming" <= k)
+    val cross = cand
+      .join(groups.select($"ph".as("pha"), $"keeper_id".as("ia")), "pha")
+      .join(groups.select($"ph".as("phb"), $"keeper_id".as("ib")), "phb")
+      .select(least($"ia", $"ib").as("a_id"),
+        greatest($"ia", $"ib").as("b_id"), $"hamming")
+    val outGroups = graft.Tables.materialize(groups)
+    val outCross = graft.Tables.materialize(cross)
+    ids.unpersist(blocking = false)
+    (outGroups, outCross)
+  }
+
   /** Distinct candidate hash pairs (pha < phb) from the banded joins —
-    * the stage [[pairs]] verifies and [[candidateCount]] measures. */
-  private def candidateFrame(distinctPh: DataFrame, n: Long, bits: Int,
-      k: Int, anchor: Long, hotCap: Long): DataFrame = {
+    * the stage [[pairs]] verifies and [[candidateCount]] measures.
+    * Below `fastRows` the occupancy routing (counts aggregate + hot
+    * branch) is skipped as provably dead work — see [[FastRows]]. */
+  private[graft] def candidateFrame(distinctPh: DataFrame, n: Long, bits: Int,
+      k: Int, anchor: Long, hotCap: Long, fastRows: Long): DataFrame = {
     val spark = distinctPh.sparkSession
     import spark.implicits._
     val rung = pick(bits, k, n, anchor)
@@ -179,6 +254,25 @@ object HammingPairs {
     val mask = (1L << rung.width) - 1
     def key(b: Int): Column =
       shiftrightunsigned($"ph", b * rung.width).bitwiseAND(lit(mask))
+    if (n <= fastRows) {
+      // FAST PATH: one band equi-join + distinct, no sub keys, no
+      // counts frame, no routing — identical candidates (the cold
+      // branch at every bucket), a fraction of the jobs
+      val flat = distinctPh.select($"ph",
+        posexplode(array((0 until rung.bands).map(key): _*))
+          .as(Seq("band", "key")))
+      val probeF =
+        if (rung.radius == 0) flat
+        else flat.select($"ph", $"band",
+          explode(array((-1 until rung.width).map { f =>
+            if (f < 0) $"key" else $"key".bitwiseXOR(lit(1L << f))
+          }: _*)).as("key"))
+      return probeF.select($"ph".as("pha"), $"band", $"key")
+        .join(flat.select($"ph".as("phb"), $"band", $"key"), Seq("band", "key"))
+        .select($"pha", $"phb")
+        .filter($"pha" < $"phb")
+        .distinct()
+    }
     // bits OUTSIDE band b, packed contiguously — the sub-band domain.
     // A qualifying pair agreeing on band b (within the probe radius)
     // carries ALL ≤ k errors here, so k+1 sub-bands leave one clean.

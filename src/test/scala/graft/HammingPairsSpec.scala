@@ -21,9 +21,13 @@ class HammingPairsSpec extends AnyFunSuite {
     } yield (a, b, h.toLong)).toSet
 
   private def run(rows: Seq[(Long, Long)], bits: Int, k: Int,
-      anchor: Long, hotCap: Long): Set[(Long, Long, Long)] =
+      anchor: Long, hotCap: Long,
+      fastRows: Long = 0L): Set[(Long, Long, Long)] =
+    // fastRows = 0 by default HERE: these tests force the routing
+    // machinery (rungs, hot split) and must not be bypassed by the
+    // small-corpus fast path; the fast path has its own tests below
     HammingPairs.pairs(rows.toDF("doc_id", "ph"), "doc_id",
-        rows.length.toLong, bits, k, anchor, hotCap)
+        rows.length.toLong, bits, k, anchor, hotCap, fastRows)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
   /** Deterministic splitmix64 stream — planted corpora must not
@@ -129,6 +133,85 @@ class HammingPairsSpec extends AnyFunSuite {
       rungIdx = 0, hotCap = 256L)
     assert(unguarded > 12000000L, s"the planted pile-up should be quadratic: $unguarded")
     assert(guarded * 10 < unguarded, s"sub-split must bound it: $unguarded -> $guarded")
+  }
+
+  test("small-corpus fast path: identical pair set, no counts aggregate, one join") {
+    // output: the fast path (default knobs, n = 210 ≤ FastRows) must
+    // emit the exact set the forced-machinery runs and the exhaustive
+    // scan emit — the routing can only change the plan, never the set
+    for ((bits, k) <- Seq((64, 7), (32, 3), (60, 3))) {
+      val rows = planted(bits, k)
+      val want = exhaustive(rows.map(r => (r._1, r._2)), k)
+      assert(run(rows, bits, k, HammingPairs.Anchor, HammingPairs.HotCap,
+        fastRows = HammingPairs.FastRows) == want, s"fast path at $bits/$k")
+    }
+    // plan pin: the fast-path candidate stage is ONE band equi-join +
+    // distinct — no count(1) occupancy aggregate, no second join
+    val ph = (0L until 100L).map(mix).toDF("ph").select($"ph")
+    def planOf(fastRows: Long): String =
+      HammingPairs.candidateFrame(ph, 100L, 64, 7,
+        HammingPairs.Anchor, HammingPairs.HotCap, fastRows)
+        .queryExecution.executedPlan.toString
+    val fastPlan = planOf(HammingPairs.FastRows)
+    assert(!fastPlan.contains("count(1)"),
+      "fast path must not build the occupancy counts frame")
+    assert("(?i)join".r.findAllIn(fastPlan).size > 0)
+    val joins = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+    assert(joins.findAllIn(fastPlan).size == 1,
+      s"fast path must be a single equi-join:\n$fastPlan")
+    val slowPlan = planOf(0L)
+    assert(slowPlan.contains("count(1)"),
+      "forced machinery must keep the counts frame (the pin is meaningful)")
+  }
+
+  test("group form: groups + keeper cross pairs reproduce the pair form exactly") {
+    // heavy identical mass (3 hashes x 40 copies) + planted cross
+    // pairs: the group form must carry the hamming-0 stratum as one
+    // row per hash and the cross strata as keeper pairs, and its
+    // EXPANSION must equal pairs() — the output-cardinality contract
+    val base = (0L until 50L).map(i => i -> mix(i))
+    val mass = (0 until 3).flatMap { g =>
+      (0 until 40).map(j => (1000L + g * 100 + j) -> base(g * 7)._2)
+    }
+    val near = Seq(5000L -> (base(0)._2 ^ 0x11L)) // hamming 2 of the heavy hash
+    val rows = base ++ mass ++ near
+    val df = rows.toDF("doc_id", "ph")
+    val (groups, cross) = HammingPairs.pairsGrouped(df, "doc_id",
+      rows.length.toLong, 64, 7)
+    val g = groups.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one row per distinct hash, keeper = min id, n_ids = multiplicity
+    val byPh = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(g.keySet == byPh.keySet)
+    byPh.foreach { case (ph, ids) =>
+      assert(g(ph) == (ids.min, ids.length.toLong), s"group $ph")
+    }
+    // cross pairs: between keepers only, hamming ≥ 1
+    val c = cross.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c.forall(_._3 >= 1L))
+    val keepers = byPh.map { case (ph, ids) => ph -> ids.min }
+    val wantCross = (for {
+      (pa, ka) <- keepers; (pb, kb) <- keepers if pa < pb
+      h = java.lang.Long.bitCount(pa ^ pb)
+      if h <= 7
+    } yield (math.min(ka, kb), math.max(ka, kb), h.toLong)).toSet
+    assert(c == wantCross)
+    // the equivalence: expanding groups + cross = pairs()
+    val expanded = byPh.values.flatMap { ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b, 0L)
+    }.toSet ++ (for {
+      (a, b, h) <- c
+      pa = rows.find(_._1 == a).get._2; pb = rows.find(_._1 == b).get._2
+      ia <- byPh(pa); ib <- byPh(pb)
+    } yield (math.min(ia, ib), math.max(ia, ib), h))
+    val pairForm = run(rows, 64, 7, HammingPairs.Anchor, HammingPairs.HotCap,
+      fastRows = HammingPairs.FastRows)
+    assert(expanded == pairForm,
+      "group expansion must reproduce the pair form exactly")
+    // and the cardinality contract: 40 copies collapse to ONE group
+    // row where the pair form spends 40·39/2 rows
+    assert(pairForm.count(_._3 == 0L) >= 3 * (40 * 39) / 2)
+    assert(g.count(_._2._2 >= 40L) == 3)
   }
 
   test("rung selection: footer count drives the ladder at the occupancy anchor") {
