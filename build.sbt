@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED: the driver parses the
+// bench's one-line JSON from captured stdout, and sbt's default
+// LoggedOutput wraps every line in "[info] ", which its json.loads
+// rejects (BENCH_r14.json "parsed": null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -110,11 +110,12 @@ object Bench {
     // ~107 queries with ~30 chars to spare, and if the query set
     // outgrows that the precision degrades to 1dp rather than letting
     // the capture cut the JSON mid-token
+    val loadEnd = loadAvg()
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""cold":{"dd_embed_lsha":$coldLsha},""" +
-      s""""load":{"start":$loadStart,"end":${loadAvg()}},""" +
+      s""""load":{"start":$loadStart,"end":$loadEnd},""" +
       s""""corpus":$corpus,"sf":"$sfDir"}"""
     def trim(v: Double, dp: Int): String = {
       val s = s"%.${dp}f".format(v)
@@ -124,7 +125,10 @@ object Bench {
     def compact(dp: Int): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + trim(v, dp) }
         .mkString("{", ",", "}")
+      // load rides the compact line too: round-over-round deltas must
+      // separate code from a contended box without the file artifact
       s"""{"metric":"total","value":${trim(total, 2)},"unit":"sec",""" +
+        s""""load":[${trim(loadStart, 2)},${trim(loadEnd, 2)}],""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     val line = Seq(compact(2), compact(1))
