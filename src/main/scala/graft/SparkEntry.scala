@@ -124,6 +124,7 @@ object SparkEntry {
     "tx_fingerprint" -> (TextAnalysis.fingerprint _),
     "tx_ngrams" -> (TextAnalysis.ngrams _),
     "tx_scrub" -> (TextAnalysis.scrub _),
+    "tx_pii" -> (TextAnalysis.pii _),
     "tx_vocab" -> (TextAnalysis.vocab _),
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
@@ -1363,6 +1364,49 @@ object SparkEntry {
         | len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_redacted,
         | md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5
         |FROM events ORDER BY event_id""".stripMargin,
+    // tx_pii: the payload is md5-arithmetic injection the oracle
+    // replays exactly; the scrub/count/ratio regexes are the SAME
+    // strings both engines run (Java-regex ∩ RE2 subset)
+    "tx_pii" ->
+      """WITH b AS (SELECT doc_id, text, md5(text) h, md5(reverse(text)) h2
+        |  FROM documents),
+        |p AS (SELECT doc_id, substr(text,1,80)
+        |  || CASE WHEN ('0x'||substr(h,1,2))::BIGINT % 4 != 0
+        |       THEN ' contact u' || substr(h,1,8) || '@example.com' ELSE '' END
+        |  || CASE WHEN ('0x'||substr(h,3,2))::BIGINT % 4 != 1
+        |       THEN ' call +1-'
+        |         || lpad((('0x'||substr(h,9,3))::BIGINT % 1000)::VARCHAR, 3, '0') || '-'
+        |         || lpad((('0x'||substr(h,12,3))::BIGINT % 1000)::VARCHAR, 3, '0') || '-'
+        |         || lpad((('0x'||substr(h,15,4))::BIGINT % 10000)::VARCHAR, 4, '0')
+        |       ELSE '' END
+        |  || CASE WHEN ('0x'||substr(h,5,2))::BIGINT % 4 != 2
+        |       THEN ' from ' || ('0x'||substr(h,17,2))::BIGINT::VARCHAR
+        |         || '.' || ('0x'||substr(h,19,2))::BIGINT::VARCHAR
+        |         || '.' || ('0x'||substr(h,21,2))::BIGINT::VARCHAR
+        |         || '.' || ('0x'||substr(h,23,2))::BIGINT::VARCHAR ELSE '' END
+        |  || CASE WHEN ('0x'||substr(h,7,2))::BIGINT % 4 != 3
+        |       THEN ' via 2001:db8:' || substr(h2,1,4) || ':' || substr(h2,5,4)
+        |         || ':' || substr(h2,9,4) ELSE '' END
+        |  || ' ' || substr(text,81) AS payload FROM b)
+        |SELECT doc_id,
+        | len(regexp_extract_all(payload, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        | len(regexp_extract_all(payload, '(?:[0-9a-f]{1,4}:){2,}[0-9a-f]{1,4}'))::BIGINT AS n_ip6,
+        | len(regexp_extract_all(payload, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip4,
+        | len(regexp_extract_all(payload, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+        | round((length(payload) - length(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+        |     '(?:[0-9a-f]{1,4}:){2,}[0-9a-f]{1,4}', '', 'g'),
+        |     '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '', 'g'),
+        |     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '', 'g')))
+        |   / length(payload), 6) AS pii_ratio,
+        | md5(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '(?:[0-9a-f]{1,4}:){2,}[0-9a-f]{1,4}', '<IP6>', 'g'),
+        |     '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
+        |     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "tx_vocab" ->
       """SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

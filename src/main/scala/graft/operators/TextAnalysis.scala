@@ -119,6 +119,79 @@ object TextAnalysis {
       .orderBy($"event_id")
   }
 
+  /** Typed PII classes for [[pii]] / the [[curate]] clip, in SCRUB
+    * ORDER (email before the address classes so a local part's hex
+    * never half-matches; placeholders contain '<' so a later pass
+    * cannot re-match an earlier one's output). Patterns stay in the
+    * Java-regex ∩ RE2 subset — no lookaround, no backreferences — so
+    * the DuckDB oracle replays them verbatim. */
+  val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip6", "(?:[0-9a-f]{1,4}:){2,}[0-9a-f]{1,4}", "<IP6>"),
+    ("ip4", "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP4>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** The payload with every PII class replaced by its typed
+    * placeholder — the redacted text a curation pipeline ships. */
+  def piiScrub(c: Column): Column =
+    PiiClasses.foldLeft(c) { case (x, (_, re, ph)) => regexp_replace(x, re, ph) }
+
+  /** Fraction of characters covered by PII matches (0.0 clean), via
+    * strip-and-measure: length minus the empty-replacement residue.
+    * Removing a match cannot create a new one here — placeholderless
+    * joins splice letters/spaces, never fresh '@'/digit/':' runs. */
+  def piiRatio(c: Column): Column = {
+    val stripped =
+      PiiClasses.foldLeft(c) { case (x, (_, re, _)) => regexp_replace(x, re, "") }
+    round((length(c) - length(stripped)) / length(c), 6)
+  }
+
+  /** tx_pii — typed PII scrubbing, the production form of [[scrub]]:
+    * emails, phones, IPv4 and IPv6 addresses as DISTINCT classes with
+    * per-class counts, typed placeholders, and a per-doc pii_ratio
+    * (the [[curate]] clip signal). The corpus itself is PII-free
+    * (letters/spaces — the driver checks that assumption is visible:
+    * some docs draw zero classes), so each doc's payload deterministically
+    * injects md5-derived instances of ~3 of the 4 classes at
+    * md5-chosen gates — the SynthWarc discipline: the SCRUBBER under
+    * test is real, the fixture is arithmetic the SQL oracle replays
+    * exactly. One narrow per-row pass, no shuffle: the 100 TB shape.
+    * (Reference seam: the reference stores raw page_content verbatim,
+    * vector_db.py:154-166 — a pipeline feeding an LLM needs this gate
+    * in front of that store.) */
+  def pii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payload = expr(
+      """concat(substring(text, 1, 80),
+        | CASE WHEN cast(conv(substring(h,1,2),16,10) as int) % 4 != 0
+        |   THEN concat(' contact u', substring(h,1,8), '@example.com') ELSE '' END,
+        | CASE WHEN cast(conv(substring(h,3,2),16,10) as int) % 4 != 1
+        |   THEN concat(' call +1-',
+        |     lpad(cast(cast(conv(substring(h,9,3),16,10) as int) % 1000 as string), 3, '0'), '-',
+        |     lpad(cast(cast(conv(substring(h,12,3),16,10) as int) % 1000 as string), 3, '0'), '-',
+        |     lpad(cast(cast(conv(substring(h,15,4),16,10) as int) % 10000 as string), 4, '0')) ELSE '' END,
+        | CASE WHEN cast(conv(substring(h,5,2),16,10) as int) % 4 != 2
+        |   THEN concat(' from ', conv(substring(h,17,2),16,10), '.',
+        |     conv(substring(h,19,2),16,10), '.', conv(substring(h,21,2),16,10),
+        |     '.', conv(substring(h,23,2),16,10)) ELSE '' END,
+        | CASE WHEN cast(conv(substring(h,7,2),16,10) as int) % 4 != 3
+        |   THEN concat(' via 2001:db8:', substring(h2,1,4), ':',
+        |     substring(h2,5,4), ':', substring(h2,9,4)) ELSE '' END,
+        | ' ', substring(text, 81))""".stripMargin)
+    val counts = PiiClasses.map { case (name, re, _) =>
+      size(regexp_extract_all($"payload", lit(re), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    Tables.load(spark, dir, "documents")
+      .withColumn("h", md5($"text"))
+      .withColumn("h2", md5(reverse($"text")))
+      .withColumn("payload", payload)
+      .select(Seq($"doc_id") ++ counts ++ Seq(
+        piiRatio($"payload").as("pii_ratio"),
+        md5(piiScrub($"payload")).as("scrubbed_md5")): _*)
+      .orderBy($"doc_id")
+  }
+
   /** Corpus vocabulary stats: per-token document frequency and total
     * occurrences — the df/idf precursor (one explode + one partial-agg
     * groupBy; at 100 TB this is the canonical vocabulary-build job). */
@@ -206,10 +279,18 @@ object TextAnalysis {
   def curate(spark: SparkSession, dir: String,
       trainedLangId: Option[LangIdClassifier.Model],
       passageMaxRatio: Option[Double] = None,
-      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
+      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None,
+      piiMaxRatio: Option[Double] = None)
       : DataFrame = {
     import spark.implicits._
-    val heuristic0 = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    val heuristicP0 = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    // PII clip: docs whose typed-PII character share exceeds the
+    // ceiling drop before any scoring join — one more narrow
+    // expression on the same scan (the driver corpus is PII-free, so
+    // the default-off knob is also a no-op there by construction;
+    // OperatorInvariantsSpec pins the clip on an injected doc)
+    val heuristic0 = piiMaxRatio.fold(heuristicP0)(ceil =>
+      heuristicP0.filter(piiRatio($"text") <= ceil))
     val heuristic1 = passageMaxRatio.fold(heuristic0) { ceil =>
       // one equi-join against the per-doc coverage frame; the gate
       // stays a corpus pass + co-partitioned joins, never a broadcast

@@ -212,6 +212,75 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(strict != base, "the sf corpus must exercise the gate (has near-dups)")
   }
 
+  test("tx_pii classes scrub typed placeholders; counts and ratio are per-class exact") {
+    import spark.implicits._
+    val raw = "reach me at jane.doe+x@mail.example.org or +1-415-555-0199 " +
+      "from 203.0.113.7 and 2001:db8:85a3:1:8a2e:370:7334 thanks"
+    val row = Seq(raw).toDF("payload")
+      .select(
+        TextAnalysis.PiiClasses.map { case (n, re, _) =>
+          size(regexp_extract_all($"payload", lit(re), lit(0))).as(s"n_$n")
+        } ++ Seq(TextAnalysis.piiScrub($"payload").as("scrubbed"),
+          TextAnalysis.piiRatio($"payload").as("ratio")): _*)
+      .head()
+    assert(row.getAs[Int]("n_email") == 1 && row.getAs[Int]("n_phone") == 1 &&
+      row.getAs[Int]("n_ip4") == 1 && row.getAs[Int]("n_ip6") == 1)
+    val scrubbed = row.getAs[String]("scrubbed")
+    assert(scrubbed == "reach me at <EMAIL> or <PHONE> from <IP4> and <IP6> thanks",
+      scrubbed)
+    val piiChars = Seq("jane.doe+x@mail.example.org", "+1-415-555-0199",
+      "203.0.113.7", "2001:db8:85a3:1:8a2e:370:7334").map(_.length).sum
+    assert(row.getAs[Double]("ratio") ==
+      BigDecimal(piiChars.toDouble / raw.length).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // clean text: zero everything (the curate clip's common case)
+    val clean = Seq("no personal data here at all").toDF("payload")
+      .select(TextAnalysis.piiRatio($"payload").as("r")).head().getAs[Double]("r")
+    assert(clean == 0.0)
+    // the driver query draws all four classes AND zero-count gates
+    // somewhere in the corpus (the injection is md5-gated per class)
+    val out = TextAnalysis.pii(spark, sf).collect()
+    for (c <- Seq("n_email", "n_phone", "n_ip4", "n_ip6")) {
+      assert(out.exists(_.getAs[Long](c) > 0L), s"$c never drawn")
+      assert(out.exists(_.getAs[Long](c) == 0L), s"$c never gated off")
+    }
+    assert(out.forall(r => r.getAs[Double]("pii_ratio") >= 0.0 &&
+      r.getAs[Double]("pii_ratio") < 1.0))
+  }
+
+  test("curate piiMaxRatio clips injected-PII docs and is a no-op on the clean corpus") {
+    import spark.implicits._
+    val base = TextAnalysis.curate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // the driver corpus is PII-free: any ceiling admits everything
+    val gated = TextAnalysis.curate(spark, sf, None, piiMaxRatio = Some(0.0))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(gated == base, "clean corpus must pass the clip untouched")
+    // injected corpus: a PII-carrying doc that passes every OTHER
+    // gate (en markers, 100+ tokens, unique shingles) drops at the
+    // ceiling; the rest of the corpus is untouched
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val body = Seq.fill(12)("the cat and the dog are with a friend " +
+      "because it is good that they have the time").mkString(" ")
+    val heavyText = body + " a@b.io c@d.io e@f.io 10.0.0.1 10.0.0.2 " +
+      "+1-200-300-4000 +1-200-300-4001 g@h.io 10.0.0.3"
+    val heavy = spark.createDataFrame(Seq(
+      (999999L, heavyText, "en", "web", heavyText.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"tx_pii_curate_${System.nanoTime()}").getPath
+    docs.unionByName(heavy).write.parquet(s"$dir/documents.parquet")
+    val open = TextAnalysis.curate(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val clipped = TextAnalysis.curate(spark, dir, None, piiMaxRatio = Some(0.05))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(open.contains(999999L),
+      "the injected doc must pass the non-PII gates (the clip is what drops it)")
+    assert(clipped == open - 999999L,
+      "the ceiling must drop exactly the PII-heavy doc")
+  }
+
   test("tx_selfrep ratios are consistent fractions") {
     val rows = TextAnalysis.selfrep(spark, sf).collect()
     assert(rows.nonEmpty)
