@@ -133,6 +133,10 @@ object SparkEntry {
     // ONE real pixel decode per kept image -> exact hash grouping;
     // urls/formats/dims/group sizes all replay from md5(text)
     "mm_crawl" -> (CrawlPipeline.crawlImages _),
+    // the two crawl halves joined back into interleaved (text, image,
+    // ...) page records in DOM order — the MMC4/OBELICS pretraining
+    // shape; refs and group sizes replay from md5(text)
+    "mm_interleave" -> (CrawlPipeline.interleaveDocs _),
     "tx_shard" -> (TextAnalysis.shard _),
     "tx_pack" -> (TextAnalysis.pack _),
     "tx_contam" -> (TextAnalysis.contam _),
@@ -1702,6 +1706,24 @@ object SparkEntry {
         | 64::BIGINT, 48::BIGINT, bgroup::BIGINT
         |FROM b
         |ORDER BY doc_id, url""".stripMargin,
+    // mm_interleave: the synth page's DOM is (text run, logo data
+    // URI), so the record is two rows per kept page — the text run's
+    // digest then the image ref with its logo-bucket group size
+    "mm_interleave" ->
+      """WITH t AS (SELECT min(doc_id) AS doc_id,
+        |   substr(md5(text),1,12) AS p,
+        |   ('0x'||substr(md5(text),5,2))::BIGINT % 10 AS bucket
+        | FROM documents GROUP BY text),
+        |b AS (SELECT t.*, count(*) OVER (PARTITION BY bucket) AS bgroup FROM t)
+        |SELECT doc_id, 'http://example.com/page/' || p AS url,
+        | 0::BIGINT AS seq, 'text' AS kind,
+        | md5('image gallery ' || p) AS payload_ref, NULL::BIGINT AS px_group
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id, 'http://example.com/page/' || p, 1::BIGINT, 'image',
+        | 'http://example.com/page/' || p || '#img0', bgroup::BIGINT
+        |FROM b
+        |ORDER BY doc_id, url, seq""".stripMargin,
     // EXIF: every field is an md5-byte formula; the TIFF byte-order
     // share (II/MM) is invisible to the oracle — both walks hash-check
     "mm_exif" ->

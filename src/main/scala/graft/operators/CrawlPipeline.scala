@@ -122,7 +122,14 @@ object CrawlPipeline {
     * happen here — both callers dedup first, so the per-row
     * tokenize/classify cost is never paid on rows the keeper drops.
     * Output: (doc_id, rec, url, text, boiler_ratio). */
-  private[graft] def pageFrame(captures: DataFrame): DataFrame = {
+  private[graft] def pageFrame(captures: DataFrame): DataFrame =
+    pageRuns(captures).drop("rows")
+
+  /** [[pageFrame]] plus the parsed run array itself — [[interleave]]
+    * needs the DOM-ordered (text_block | image) sequence, everything
+    * else prunes `rows` away (Catalyst column pruning, so the shared
+    * formulation costs the text-only callers nothing). */
+  private[graft] def pageRuns(captures: DataFrame): DataFrame = {
     val spark = captures.sparkSession
     import spark.implicits._
     import graft.functions.expressions.{Inflate, ParseHtml, ParseWarc}
@@ -134,7 +141,7 @@ object CrawlPipeline {
       .select($"doc_id", $"rec",
         Dedup.canonicalUrl($"w.target_uri").as("url"),
         ParseHtml($"w.body", $"w.mime").as("rows"))
-      .select($"doc_id", $"rec", $"url",
+      .select($"doc_id", $"rec", $"url", $"rows",
         array_join(transform(
           filter($"rows", r => r.getField("content_type") === "text_block"),
           r => r.getField("content_raw")), " ").as("text"),
@@ -336,6 +343,97 @@ object CrawlPipeline {
       .withColumn("n_raw", lit(1L))
       .dropDuplicates("url")
       .select(col("doc_id"), col("url"), col("src"), col("n_raw"), col("img")))
+
+  /** Interleaved multimodal document assembly — the seam that joins
+    * the crawl's curated TEXT half with its OWN deduped images in DOM
+    * position order: one row per (page, position), kind ∈ {text,
+    * image}, the MMC4/OBELICS pretraining record shape (the
+    * reference's closest analog is run_search's combined text+image
+    * channel, vector_db.py:615-671). Both halves exist as verified
+    * pipelines ([[fromCaptures]], [[imageCorpus]]); this query
+    * hash-checks the join seams — position flow, ref construction,
+    * group lookup — which nothing else exercises together.
+    *
+    *   - text rows: payload_ref = md5 of the run (a shard-file
+    *     reference in a real deployment), px_group null.
+    *   - image rows: payload_ref = the image's canonical url
+    *     (`page#imgN` for data URIs — N is the image's DOM ordinal,
+    *     which matches [[imageEntries]]' body-order data-URI index
+    *     whenever every data URI sits in an `img` src, the crawl
+    *     norm; a diverging page yields an unmatched ref and a null
+    *     px_group, never a wrong join), px_group from the deduped
+    *     image corpus.
+    *
+    * `gated` applies the SAME content gates as [[fromCaptures]] (the
+    * curated form); the driver query runs ungated so the synthetic
+    * corpus' short gallery pages survive to exercise the seams.
+    * Scale shape: the page half is one url-keeper shuffle over the
+    * record walk; the image half is [[imageCorpus]] (which
+    * materializes its tiny decoded frame); the final px_group lookup
+    * is one equi-join on the ref. The captures scan runs once per
+    * half — the same total work as running the two halves as separate
+    * queries, which a real pipeline does anyway (the interleave then
+    * joins their MATERIALIZED outputs). The per-page position walk is
+    * a LINEAR array aggregate (list + running image ordinal), never a
+    * quadratic slice-and-count. */
+  def interleave(captures: DataFrame, gated: Boolean = true,
+      trainedLangId: Option[LangIdClassifier.Model] = None,
+      trainedQuality: Option[(LangIdClassifier.Model, Double)] = None)
+      : DataFrame = {
+    val spark = captures.sparkSession
+    import spark.implicits._
+    val kept = pageRuns(captures)
+      .groupBy($"url")
+      .agg(min(struct($"doc_id", $"rec", $"rows", $"text", $"boiler_ratio")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"url", $"k.rows".as("rows"),
+        $"k.text".as("text"), $"k.boiler_ratio".as("boiler_ratio"))
+    val pages =
+      if (gated)
+        gates(score(kept, trainedLangId, trainedQuality),
+          trainedQuality.map(_._2).getOrElse(0.0))
+          .select($"doc_id", $"url", $"rows")
+      else kept.select($"doc_id", $"url", $"rows")
+    // DOM-ordered (kind, raw, img_ord) entries in ONE linear pass:
+    // the aggregate threads a running image ordinal through the list
+    val entryType = "array<struct<ct:string,raw:string,img_ord:int>>"
+    val relevant = filter($"rows", r =>
+      r.getField("content_type") === "text_block" ||
+        r.getField("content_type") === "image")
+    val marked = aggregate(relevant,
+      struct(lit(0).as("n"), array().cast(entryType).as("out")),
+      (acc, r) => struct(
+        (acc.getField("n") +
+          when(r.getField("content_type") === "image", 1).otherwise(0)).as("n"),
+        concat(acc.getField("out"), array(struct(
+          r.getField("content_type").as("ct"),
+          r.getField("content_raw").as("raw"),
+          acc.getField("n").as("img_ord")))).as("out")),
+      acc => acc.getField("out"))
+    val entries = pages
+      .select($"doc_id", $"url", posexplode(marked).as(Seq("seq", "e")))
+      .select($"doc_id", $"url", $"seq".cast("long").as("seq"),
+        when($"e.ct" === "image", lit("image")).otherwise(lit("text")).as("kind"),
+        when($"e.ct" === "image",
+          concat($"url", lit("#img"), $"e.img_ord".cast("string")))
+          .otherwise(md5($"e.raw")).as("payload_ref"))
+    val imgs = imageCorpus(captures)
+      .select($"url".as("payload_ref"), $"px_group")
+    entries.join(imgs, Seq("payload_ref"), "left")
+      .select($"doc_id", $"url", $"seq", $"kind", $"payload_ref", $"px_group")
+  }
+
+  /** The mm_interleave driver query: [[interleave]] (ungated — see
+    * there) over the [[graft.functions.expressions.SynthWarcImg]]
+    * captures; the oracle replays page urls, run digests, image refs,
+    * and logo-bucket group sizes from md5(text) alone. */
+  def interleaveDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    interleave(Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        graft.functions.expressions.SynthWarcImg($"text").as("payload")),
+      gated = false)
+      .orderBy($"doc_id", $"url", $"seq")
+  }
 
   /** The mm_crawl driver query: one [[graft.functions.expressions.SynthWarcImg]]
     * capture per document through [[imageCorpus]]; the oracle replays

@@ -300,6 +300,72 @@ class CrawlPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mm_interleave: DOM position order, image ordinals, group lookup, gates compose") {
+    import graft.functions.expressions.SynthPng
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def record(uri: String, mime: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(iso) ++
+        http ++ "\r\n\r\n".getBytes(iso)
+    }
+    def b64(img: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(img)
+    // a page interleaving three text runs with two images — the SAME
+    // raster twice (they must share a px_group of 2), in text, img,
+    // text, img, text DOM order
+    val shared = SynthPng.build("interleave raster probe")
+    val html = ("<html><body><main>" +
+      "<p>alpha run</p>" +
+      "<img src=\"data:image/png;base64," + b64(shared) + "\">" +
+      "<p>beta run</p>" +
+      "<img src=\"data:image/png;base64," + b64(shared) + "\">" +
+      "<p>gamma run</p>" +
+      "</main></body></html>").getBytes("UTF-8")
+    val caps = Seq((1L, record("http://example.com/page", "text/html", html)))
+      .toDF("doc_id", "payload")
+    val out = CrawlPipeline.interleave(caps, gated = false)
+      .orderBy("seq").collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.map(r => (r.getAs[Long]("seq"), r.getAs[String]("kind"),
+      r.getAs[String]("payload_ref"))).toSeq == Seq(
+      (0L, "text", md5hex("alpha run")),
+      (1L, "image", "http://example.com/page#img0"),
+      (2L, "text", md5hex("beta run")),
+      (3L, "image", "http://example.com/page#img1"),
+      (4L, "text", md5hex("gamma run"))), out.toSeq.toString)
+    // both image refs resolved to the shared raster's group of 2
+    assert(out.filter(_.getAs[String]("kind") == "image")
+      .forall(_.getAs[Long]("px_group") == 2L))
+    assert(out.filter(_.getAs[String]("kind") == "text")
+      .forall(_.isNullAt(out.head.fieldIndex("px_group"))))
+    // gated composition: the curated form drops a junk gallery page
+    // (fails the quality floor) while a keeper-grade page survives
+    // with its images still attached
+    val goodHtml = ("<html><body><main><p>" + keeperText + "</p>" +
+      "<img src=\"data:image/png;base64," + b64(shared) + "\">" +
+      "</main></body></html>").getBytes("UTF-8")
+    val mixed = Seq(
+      (1L, record("http://example.com/good", "text/html", goodHtml)),
+      (2L, record("http://example.com/junk", "text/html", html)))
+      .toDF("doc_id", "payload")
+    val gated = CrawlPipeline.interleave(mixed, gated = true).collect()
+    assert(gated.map(_.getAs[String]("url")).toSet ==
+      Set("http://example.com/good"), gated.toSeq.toString)
+    assert(gated.count(_.getAs[String]("kind") == "image") == 1)
+    // an unmatched image ref (junk payload the tolerant decode drops)
+    // yields a null px_group, never a wrong join
+    val junkImg = ("<html><body><main><p>" + keeperText + "</p>" +
+      "<img src=\"data:image/png;base64,AAAA\"></main></body></html>").getBytes("UTF-8")
+    val dropped = CrawlPipeline.interleave(
+      Seq((1L, record("http://example.com/d", "text/html", junkImg)))
+        .toDF("doc_id", "payload"), gated = false).collect()
+    val img = dropped.find(_.getAs[String]("kind") == "image").get
+    assert(img.isNullAt(img.fieldIndex("px_group")))
+  }
+
   test("shard ids are exact per-language running-budget assignments") {
     // 40 survivors of ~97 tokens each → cum crosses the 2000-token
     // budget inside the run; replay the division locally
