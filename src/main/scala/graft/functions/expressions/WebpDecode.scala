@@ -16,8 +16,10 @@ import graft.functions.expressions.PixelDecode.Raster
   * reverse read order.
   *
   * Scope edges fail LOUDLY by name, the [[PixelDecode]] policy:
-  * lossy VP8 key frames (a boolean arithmetic decoder + loop filter
-  * — a later round's lift), animation (ANIM/ANMF), truncated or
+  * lossy VP8 key frames (the header parses exactly and the failure
+  * names the geometry; the pixel half is blocked on RFC 6386's
+  * normative probability tables — see [[vp8KeyHeader]] for the
+  * precise constraint), animation (ANIM/ANMF), truncated or
   * over-long streams. The container walk skips VP8X/ALPH/EXIF/ICCP
   * metadata chunks to find the VP8L payload, so extended-format
   * lossless files decode too.
@@ -505,12 +507,57 @@ object WebpDecode {
         fail(s"$fourcc chunk overruns the payload")
       fourcc match {
         case "VP8L" => return decodeVp8l(b, p + 8, size)
-        case "VP8 " => fail("lossy VP8 is out of scope (VP8L lossless only)")
+        case "VP8 " => failVp8(b, p + 8, size)
         case "ANIM" | "ANMF" => fail("animated WebP is out of scope")
         case _ => () // VP8X / ALPH / EXIF / XMP / ICCP ride along
       }
       p = next.toInt // RIFF pads odd chunks; next ≤ len+1 after the check
     }
     fail("WebP has no VP8L chunk")
+  }
+
+  /** Lossy VP8 key-frame HEADER parse (RFC 6386 §9.1) — the
+    * spec-derivable half of lossy decode: frame tag (type, version,
+    * show flag, first-partition size), the 0x9d012a start code, and
+    * the 14-bit width/height with their scaling fields. The parse is
+    * exact and spec-pinned; the failure it raises names the parsed
+    * geometry so a crawl log shows WHAT was dropped, not just that
+    * something was.
+    *
+    * Why the PIXEL half is out of scope in this build, stated
+    * precisely: past the header, VP8 entropy decoding is an
+    * arithmetic (boolean) coder whose default probability tables —
+    * `default_coeff_probs[4][8][3][11]`, `coeff_update_probs` of the
+    * same shape, `kf_bmode_prob[10][10][9]`, and the
+    * `dc_qlookup`/`ac_qlookup` quantizer tables, ~2,300 normative
+    * constants — are DATA in RFC 6386, not derivable algorithms (the
+    * contrast with progressive JPEG, where every constant derives
+    * from formulas). This zero-egress build has no copy of the spec
+    * or libvpx/libwebp to take them from, and no reference decoder to
+    * validate against; inventing them from memory would yield a
+    * decoder that round-trips its own encoder perfectly while
+    * silently corrupting every real-world file — unverifiable wrong
+    * pixels poisoning px_md5/phash dedup downstream, strictly worse
+    * than this loud edge. */
+  private[expressions] def vp8KeyHeader(b: Array[Byte], off: Int,
+      size: Int): (Int, Int) = {
+    if (size < 10 || off + 10 > b.length) fail("VP8 chunk truncated")
+    val tag = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16)
+    if ((tag & 1) != 0) fail("VP8 interframe without a key frame")
+    val version = (tag >> 1) & 7
+    if (version > 3) fail(s"VP8 version $version (spec allows 0-3)")
+    if (!((b(off + 3) & 0xFF) == 0x9d && (b(off + 4) & 0xFF) == 0x01 &&
+        (b(off + 5) & 0xFF) == 0x2a)) fail("VP8 key frame start code missing")
+    val w16 = (b(off + 6) & 0xFF) | ((b(off + 7) & 0xFF) << 8)
+    val h16 = (b(off + 8) & 0xFF) | ((b(off + 9) & 0xFF) << 8)
+    (w16 & 0x3FFF, h16 & 0x3FFF)
+  }
+
+  private def failVp8(b: Array[Byte], off: Int, size: Int): Nothing = {
+    val (w, h) = vp8KeyHeader(b, off, size)
+    fail(s"lossy VP8 key frame ${w}x$h: pixel decode needs the RFC 6386 " +
+      "default probability tables (normative data unavailable in this " +
+      "zero-egress build; see vp8KeyHeader)")
   }
 }

@@ -1054,10 +1054,37 @@ class PixelSpec extends AnyFunSuite {
       o.write(fourcc.getBytes("US-ASCII")); le32(body.length); o.write(body)
       o.toByteArray
     }
+    // a well-formed lossy key frame: the header PARSES (tag, start
+    // code, 14-bit dims) and the loud edge names the geometry and the
+    // precise blocker (RFC 6386's normative probability tables)
+    val vp8 = Array[Byte](
+      0x50, 0x2A, 0x00, // tag: key frame, version 0, show, size 338
+      0x9D.toByte, 0x01, 0x2A, // start code
+      0x40, 0x00, // width 64 (scale 0)
+      0x30, 0x40) // height 48 (scale 1 - parsed, ignored)
+    val e = intercept[Exception](PixelDecode.decodeLuma(riff("VP8 ", vp8)))
+    assert(e.getMessage.contains("lossy VP8 key frame 64x48"), e.getMessage)
+    assert(e.getMessage.contains("probability tables"), e.getMessage)
+    // corrupted start code / interframe tag / truncation all loud
+    val noCode = vp8.clone(); noCode(4) = 0x77
+    assert(intercept[Exception](PixelDecode.decodeLuma(riff("VP8 ", noCode)))
+      .getMessage.contains("start code"))
+    val inter = vp8.clone(); inter(0) = (inter(0) | 1).toByte
+    assert(intercept[Exception](PixelDecode.decodeLuma(riff("VP8 ", inter)))
+      .getMessage.contains("interframe"))
     assert(intercept[Exception](PixelDecode.decodeLuma(
-      riff("VP8 ", new Array[Byte](16)))).getMessage.contains("lossy"))
+      riff("VP8 ", vp8.take(8)))).getMessage.contains("truncated"))
     assert(intercept[Exception](PixelDecode.decodeLuma(
       riff("ANIM", new Array[Byte](16)))).getMessage.contains("animated"))
+    // a declared chunk size near Int.MaxValue must fail BY NAME (the
+    // Long-widened extent check), not via overflowed index arithmetic
+    val bomb = riff("VP8L", new Array[Byte](8))
+    // patch the VP8L chunk's size field to 0x7FFFFFF0
+    val sizeAt = 16
+    bomb(sizeAt) = 0xF0.toByte; bomb(sizeAt + 1) = 0xFF.toByte
+    bomb(sizeAt + 2) = 0xFF.toByte; bomb(sizeAt + 3) = 0x7F
+    assert(intercept[IllegalArgumentException](PixelDecode.decodeLuma(bomb))
+      .getMessage.contains("overruns"))
     val good = SynthPng.build((0 until 99).map(i => s"webp probe $i")
       .find(t => SynthPng.formatOf(t) == 5).get)
     assert(intercept[Exception](PixelDecode.decodeLuma(good.dropRight(40)))
