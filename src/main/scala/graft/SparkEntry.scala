@@ -1653,16 +1653,18 @@ object SparkEntry {
         |  ('0x' || substr(md5(text),5,2))::BIGINT AS b2,
         |  ('0x' || substr(md5(text),7,2))::BIGINT AS b3,
         |  ('0x' || substr(md5(text),9,8))::BIGINT AS h32,
-        |  ('0x' || substr(md5(text),21,2))::BIGINT AS b10
+        |  ('0x' || substr(md5(text),21,2))::BIGINT AS b10,
+        |  ('0x' || substr(md5(text),23,2))::BIGINT AS b12
         | FROM documents),
         |k AS (SELECT p.*,
         |  CASE WHEN b1 % 3 = 2 THEN 'mp3'
-        |       WHEN b1 % 2 = 0 THEN 'wav' ELSE 'mp4' END AS cont,
+        |       WHEN b1 % 2 = 0 THEN 'wav'
+        |       WHEN b12 % 2 = 1 THEN 'webm' ELSE 'mp4' END AS cont,
         |  ([64,128,192,256,320])[(b2 % 5 + 1)::INT] AS kbps,
         |  ([44100,48000,32000])[(b3 % 3 + 1)::INT] AS mrate
         | FROM p)
         |SELECT doc_id, cont AS container,
-        | CASE WHEN cont = 'mp4' THEN NULL ELSE ch END AS channels,
+        | CASE WHEN cont IN ('mp4', 'webm') THEN NULL ELSE ch END AS channels,
         | CASE WHEN cont = 'wav' THEN ([8000,16000,22050,44100,48000])[(b2 % 5 + 1)::INT]::BIGINT
         |      WHEN cont = 'mp3' THEN mrate::BIGINT
         |  ELSE NULL END AS sample_rate,
@@ -1674,6 +1676,8 @@ object SparkEntry {
         |  THEN ((4 + h32 % 8) * (144000 * kbps // mrate) * 8) // kbps
         |  WHEN cont = 'mp3'
         |  THEN (40 + h32 % 64) * 1152 * 1000 // mrate
+        |  WHEN cont = 'webm'
+        |  THEN 1000 + h32 % 1000000
         |  ELSE (1000 + h32 % 1000000) * 1000 // ([600,1000,90000])[(b2 % 3 + 1)::INT]
         |  END)::BIGINT AS duration_ms
         |FROM k ORDER BY doc_id""".stripMargin,

@@ -180,6 +180,8 @@ object MediaHeader {
       Some(Media("wav", channels, rate, bits, durMs))
     } else if (b.length >= 12 && tag(4) == "ftyp") {
       decodeBmff(b)
+    } else if (isEbml(b)) {
+      decodeWebm(b)
     } else decodeMp3(b)
   }
 
@@ -475,6 +477,258 @@ object MediaHeader {
     if (sample < n) return None // chunks cover fewer samples than declared
     Some(out)
   }
+
+  // ---- Matroska / WebM (EBML) ----------------------------------------
+
+  private def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+      (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3
+
+  /** EBML variable-length integer at `p`: (value, encoded length).
+    * `keepMarker` = element IDs (stored form, marker bit kept); sizes
+    * and in-block track numbers strip it. None on truncation or a
+    * zero lead byte (reserved). */
+  private def ebmlVint(b: Array[Byte], p: Int, until: Int,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (p >= until) return None
+    val first = b(p) & 0xFF
+    if (first == 0) return None
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (p + len > until) return None
+    var v =
+      if (keepMarker) first.toLong
+      else (first & ((1 << (8 - len)) - 1)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+    Some((v, len))
+  }
+
+  /** One EBML element at `p`: (id, body start, body end, next element
+    * start). An unknown-size element (all size bits set — streamed
+    * Segments/Clusters in the wild) extends to `until`. */
+  private def ebmlElem(b: Array[Byte], p: Int, until: Int)
+      : Option[(Long, Int, Int, Int)] = {
+    val (id, idLen) = ebmlVint(b, p, until, keepMarker = true).getOrElse(return None)
+    val (size, szLen) = ebmlVint(b, p + idLen, until, keepMarker = false)
+      .getOrElse(return None)
+    val bodyAt = p + idLen + szLen
+    val unknown = size == (1L << (7 * szLen)) - 1
+    val end = if (unknown) until else bodyAt + size
+    if (end < bodyAt || end > until) return None
+    Some((id, bodyAt, end.toInt, end.toInt))
+  }
+
+  private def ebmlUint(b: Array[Byte], from: Int, end: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < end) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+    v
+  }
+
+  /** WebM/Matroska sample addressing — [[mp4Samples]]' EBML twin: walk
+    * Segment → Tracks (first TrackEntry's number) → Clusters in
+    * stream order, decode every SimpleBlock / BlockGroup>Block for
+    * the first track: cluster-relative SIGNED 16-bit timestamps added
+    * to the Cluster's Timestamp, and ALL FOUR lacing modes (none,
+    * Xiph 255-run sizes, EBML signed-delta sizes, fixed equal split —
+    * every size spec-derivable arithmetic). Laced frames share the
+    * block's timestamp (no DefaultDuration in scope — the spec pin
+    * states it). Output (off, len, t): `off` is the frame's ABSOLUTE
+    * payload offset — Matroska has no mdat-like contiguous media
+    * body, so callers slice the payload itself, which is exactly what
+    * "the container addresses these bytes" means here. Corrupt
+    * elements (overrun extents, foreign track, bad lace sums,
+    * sample-count ceiling) → None, the walk family's convention. */
+  private[graft] def webmSamples(b: Array[Byte])
+      : Option[Array[(Long, Long, Long)]] =
+    try webmWalk(b)
+    catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  private def webmWalk(b: Array[Byte]): Option[Array[(Long, Long, Long)]] = {
+    if (!isEbml(b)) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var trackNum = -1L
+    // top level: EBML header element, then the Segment
+    var p = 0
+    var segAt = -1
+    var segEnd = -1
+    while (p < b.length && segAt < 0) {
+      val (id, bodyAt, end, next) = ebmlElem(b, p, b.length).getOrElse(return None)
+      if (id == 0x18538067L) { segAt = bodyAt; segEnd = end }
+      p = next
+    }
+    if (segAt < 0) return None
+    // pass 1: the first TrackEntry's TrackNumber (Tracks may follow
+    // Clusters in a streamed file, so the block pass below is separate)
+    p = segAt
+    while (p < segEnd && trackNum < 0) {
+      val (id, bodyAt, end, next) = ebmlElem(b, p, segEnd).getOrElse(return None)
+      if (id == 0x1654AE6BL) {
+        var q = bodyAt
+        while (q < end && trackNum < 0) {
+          val (tid, tAt, tEnd, tNext) = ebmlElem(b, q, end).getOrElse(return None)
+          if (tid == 0xAEL) {
+            var r = tAt
+            while (r < tEnd && trackNum < 0) {
+              val (eid, eAt, eEnd, eNext) = ebmlElem(b, r, tEnd).getOrElse(return None)
+              if (eid == 0xD7L) trackNum = ebmlUint(b, eAt, eEnd)
+              r = eNext
+            }
+          }
+          q = tNext
+        }
+      }
+      p = next
+    }
+    if (trackNum <= 0) return None
+    // one block: lacing expansion; frames append to `out`
+    def block(at: Int, end: Int, clusterT: Long): Boolean = {
+      val (tn, tnLen) = ebmlVint(b, at, end, keepMarker = false)
+        .getOrElse(return false)
+      if (tn != trackNum) return true // foreign track rides along, skipped
+      var q = at + tnLen
+      if (q + 3 > end) return false
+      val rel = (((b(q) & 0xFF) << 8) | (b(q + 1) & 0xFF)).toShort.toLong
+      val flags = b(q + 2) & 0xFF
+      q += 3
+      val t = clusterT + rel
+      val lacing = (flags >> 1) & 3
+      if (lacing == 0) {
+        if (end - q < 0) return false
+        out += ((q.toLong, (end - q).toLong, t))
+        return out.length <= MaxSamples
+      }
+      if (q >= end) return false
+      val nFrames = (b(q) & 0xFF) + 1
+      q += 1
+      val sizes = new Array[Long](nFrames)
+      lacing match {
+        case 1 => // Xiph: 255-run coded sizes for all but the last
+          var i = 0
+          while (i < nFrames - 1) {
+            var s = 0L
+            var more = true
+            while (more) {
+              if (q >= end) return false
+              val v = b(q) & 0xFF
+              s += v
+              q += 1
+              more = v == 255
+            }
+            sizes(i) = s
+            i += 1
+          }
+        case 3 => // EBML: first absolute, then signed deltas
+          val (first, fLen) = ebmlVint(b, q, end, keepMarker = false)
+            .getOrElse(return false)
+          sizes(0) = first
+          q += fLen
+          var i = 1
+          while (i < nFrames - 1) {
+            val (raw, rLen) = ebmlVint(b, q, end, keepMarker = false)
+              .getOrElse(return false)
+            // signed vint: value minus (2^(7*len-1) - 1)
+            sizes(i) = sizes(i - 1) + (raw - ((1L << (7 * rLen - 1)) - 1))
+            q += rLen
+            i += 1
+          }
+        case _ => // fixed: equal split of the remainder
+          val rem = end - q
+          if (nFrames == 0 || rem % nFrames != 0) return false
+          java.util.Arrays.fill(sizes, (rem / nFrames).toLong)
+      }
+      // last frame (Xiph/EBML) = the remainder after the coded sizes
+      if (lacing != 2) {
+        val coded = sizes.take(nFrames - 1).sum
+        val rem = (end - q) - coded
+        if (rem < 0) return false
+        sizes(nFrames - 1) = rem
+      }
+      var i = 0
+      var off = q.toLong
+      while (i < nFrames) {
+        if (sizes(i) < 0 || off + sizes(i) > end) return false
+        out += ((off, sizes(i), t))
+        off += sizes(i)
+        i += 1
+      }
+      out.length <= MaxSamples
+    }
+    // pass 2: clusters in stream order
+    p = segAt
+    while (p < segEnd) {
+      val (id, bodyAt, end, next) = ebmlElem(b, p, segEnd).getOrElse(return None)
+      if (id == 0x1F43B675L) {
+        var clusterT = 0L
+        var q = bodyAt
+        while (q < end) {
+          val (cid, cAt, cEnd, cNext) = ebmlElem(b, q, end).getOrElse(return None)
+          cid match {
+            case 0xE7L => clusterT = ebmlUint(b, cAt, cEnd)
+            case 0xA3L => if (!block(cAt, cEnd, clusterT)) return None
+            case 0xA0L => // BlockGroup: find the Block child
+              var r = cAt
+              while (r < cEnd) {
+                val (gid, gAt, gEnd, gNext) = ebmlElem(b, r, cEnd)
+                  .getOrElse(return None)
+                if (gid == 0xA1L && !block(gAt, gEnd, clusterT)) return None
+                r = gNext
+              }
+            case _ => () // Void / unknown children ride along
+          }
+          q = cNext
+        }
+      }
+      p = next
+    }
+    Some(out.toArray)
+  }
+
+  /** The header-sniff twin for WebM — Segment>Info's TimestampScale
+    * (default 10⁶ ns) and float Duration to milliseconds; stream
+    * parameters stay null like the BMFF sniff (they live per-track). */
+  private[graft] def decodeWebm(b: Array[Byte]): Option[Media] = {
+    if (!isEbml(b)) return None
+    try {
+      var p = 0
+      var segAt = -1
+      var segEnd = -1
+      while (p < b.length && segAt < 0) {
+        val (id, bodyAt, end, next) = ebmlElem(b, p, b.length).getOrElse(return None)
+        if (id == 0x18538067L) { segAt = bodyAt; segEnd = end }
+        p = next
+      }
+      if (segAt < 0) return None
+      var scale = 1000000L
+      var duration: java.lang.Double = null
+      p = segAt
+      while (p < segEnd) {
+        val (id, bodyAt, end, next) = ebmlElem(b, p, segEnd).getOrElse(return None)
+        if (id == 0x1549A966L) {
+          var q = bodyAt
+          while (q < end) {
+            val (iid, iAt, iEnd, iNext) = ebmlElem(b, q, end).getOrElse(return None)
+            if (iid == 0x2AD7B1L) scale = ebmlUint(b, iAt, iEnd)
+            else if (iid == 0x4489L) {
+              val len = iEnd - iAt
+              if (len == 4)
+                duration = java.lang.Float.intBitsToFloat(
+                  ebmlUint(b, iAt, iEnd).toInt).toDouble
+              else if (len == 8)
+                duration = java.lang.Double.longBitsToDouble(ebmlUint(b, iAt, iEnd))
+            }
+            q = iNext
+          }
+        }
+        p = next
+      }
+      if (scale <= 0) return None
+      val durMs: java.lang.Long =
+        if (duration == null || duration.isNaN || duration < 0) null
+        else java.lang.Long.valueOf((duration * scale / 1e6).toLong)
+      Some(Media("webm", null, null, null, durMs))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
 }
 
 /** Per-sample (offset, size, start time) from an MP4's sample tables
@@ -519,6 +773,47 @@ object Mp4Samples {
       org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
 }
 
+/** [[Mp4Samples]]' WebM/Matroska twin — per-frame (offset, size,
+  * timestamp) from the EBML Cluster/SimpleBlock walk
+  * ([[MediaHeader.webmSamples]]). Offsets are ABSOLUTE payload
+  * offsets (Matroska has no contiguous media body — the frame bytes
+  * live inside each block), so callers slice the payload column
+  * itself. Null for non-EBML payloads or corrupt elements. */
+case class WebmSamples(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("off", LongType, nullable = false)
+    .add("len", LongType, nullable = false)
+    .add("t", LongType, nullable = false), containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"WebmSamples needs a binary payload, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHeader.webmSamples(input.asInstanceOf[Array[Byte]]) match {
+      case Some(samples) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          samples.map { case (off, len, t) => InternalRow(off, len, t) })
+      case None => null
+    }
+
+  override protected def withNewChildInternal(c: Expression): WebmSamples =
+    copy(child = c)
+}
+
+object WebmSamples {
+  def apply(payload: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(WebmSamples(
+      org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+}
+
 /** Deterministic REAL-container media payload for a text column — the
   * WAV/MP4/MP3 counterpart of [[SynthPdf]]: every field derives from
   * the text's md5 alone, so a SQL oracle recomputes the PARSED
@@ -526,10 +821,13 @@ object Mp4Samples {
   * container: ≡2 (mod 3) ships MP3 (CBR MPEG-1 Layer III frames,
   * every third one behind a real ID3v2.3 tag the walk must skip);
   * otherwise even ships RIFF/WAVE with a real PCM fmt chunk and a
-  * data chunk whose byte count backs the duration, odd ships ISO
-  * BMFF (ftyp + moov/mvhd + mdat) with the duration as mvhd
-  * metadata. A deterministic share inserts an extra LIST chunk /
-  * free box (the walk must skip, not assume fixed offsets) and flips
+  * data chunk whose byte count backs the duration; odd ships VIDEO —
+  * md5-byte-11 splits it between ISO BMFF (ftyp + moov/mvhd + mdat)
+  * with the duration as mvhd metadata, and WebM (EBML header +
+  * Segment with Info/Tracks/Clusters) whose SimpleBlocks carry the
+  * SAME SQL-replayable sample plan across two cluster bases. A
+  * deterministic share inserts an extra LIST chunk / free box / Void
+  * element (the walk must skip, not assume fixed offsets) and flips
   * mvhd to version 1 (the 64-bit layout). */
 case class SynthMedia(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -659,6 +957,63 @@ object SynthMedia {
       var i = 0L
       while (i < dataSize) { out.write((u8(9) + i).toInt & 0xFF); i += 1 }
       if (dataSize % 2 == 1) out.write(0) // RIFF pad
+    } else if (u8(11) % 2 == 1) {
+      // ---- WebM (Matroska/EBML): the crawl's OTHER video container.
+      // Same SQL-replayable sample plan as the BMFF share (ns, sizes,
+      // per-sample delta, the 2-byte gap before chunk 2's content), so
+      // the mm_frames oracle is share-agnostic; the frames ride REAL
+      // SimpleBlocks across two Clusters (cluster-relative signed
+      // timestamps — the walker must ADD the cluster base), and the
+      // Info carries TimestampScale 1e6 + an integral float Duration
+      // so mm_media's duration replays exactly ----
+      val duration = 1000L + h32 % 1000000L
+      val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val avail = textBytes.length
+      val ns = math.min(4 + (h32 % 5).toInt, (avail - 2) / 11)
+      val delta = 50L + u8(10) % 100
+      def sizeOf(i: Int): Long = 3 + (h32 + 7L * i) % 9
+      def offOf(i: Int): Long =
+        (if (i >= (ns + 1) / 2) 2L else 0L) + (0 until i).map(sizeOf).sum
+      val c1 = (ns + 1) / 2
+      def vint2(v: Int): Array[Byte] = // 2-byte EBML size (marker 0x40)
+        Array[Byte]((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+      def elem(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+        id ++ vint2(body.length) ++ body
+      def be16b(v: Long) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+      val ebmlHdr = elem(id(0x1A, 0x45, 0xDF, 0xA3),
+        elem(id(0x42, 0x82), "webm".getBytes("ISO-8859-1")))
+      val info = elem(id(0x15, 0x49, 0xA9, 0x66),
+        elem(id(0x2A, 0xD7, 0xB1), Array[Byte](0x0F, 0x42, 0x40)) ++ // 1e6 ns
+          elem(id(0x44, 0x89), { // Duration: 8-byte float (integral)
+            val bits = java.lang.Double.doubleToLongBits(duration.toDouble)
+            (0 to 7).map(i => ((bits >> (8 * (7 - i))) & 0xFF).toByte).toArray
+          }))
+      val tracks = elem(id(0x16, 0x54, 0xAE, 0x6B),
+        elem(id(0xAE),
+          elem(id(0xD7), Array[Byte](1)) ++ // TrackNumber 1
+            elem(id(0x83), Array[Byte](1)))) // TrackType video
+      def cluster(baseT: Long, from: Int, cnt: Int): Array[Byte] = {
+        val blocks = (from until from + cnt).flatMap { i =>
+          val fr = java.util.Arrays.copyOfRange(textBytes,
+            offOf(i).toInt, (offOf(i) + sizeOf(i)).toInt)
+          elem(id(0xA3), // SimpleBlock: track vint, rel ts, flags, frame
+            Array[Byte](0x81.toByte) ++ be16b(delta * i - baseT) ++
+              Array[Byte](0x80.toByte) ++ fr)
+        }.toArray
+        elem(id(0x1F, 0x43, 0xB6, 0x75),
+          elem(id(0xE7), be16b(baseT)) ++ blocks)
+      }
+      val clusters =
+        if (ns == 0) Array.empty[Byte]
+        else cluster(0L, 0, c1) ++
+          (if (ns - c1 > 0) cluster(delta * c1, c1, ns - c1)
+           else Array.empty[Byte])
+      val voidEl = if (extra) elem(id(0xEC), Array[Byte](0, 0, 0)) else
+        Array.empty[Byte] // the walk must skip unknown/Void elements
+      val segment = elem(id(0x18, 0x53, 0x80, 0x67),
+        voidEl ++ info ++ tracks ++ clusters)
+      out.write(ebmlHdr); out.write(segment)
     } else {
       // ---- ISO BMFF: ftyp + [free] + moov(mvhd [+free] + trak(mdia/
       // minf/stbl sample tables)) + mdat(= the TEXT bytes) — the

@@ -211,20 +211,32 @@ object Multimodal {
     * Pure per-row expansion, no shuffle: the 100 TB shape. */
   def frames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.expressions.{Mp4Samples, SynthMedia}
+    import graft.functions.expressions.{Mp4Samples, SynthMedia, WebmSamples}
+    // container routing: the BMFF walk addresses mdat-relative
+    // offsets (mdat = the text bytes → slice text), the EBML walk
+    // addresses ABSOLUTE payload offsets (Matroska frames live inside
+    // their blocks → slice the payload). Both synth shares carry the
+    // same sample plan, so one oracle replays either walk.
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text",
-        Mp4Samples(SynthMedia($"text")).as("s"))
+        SynthMedia($"text").as("p"))
+      .select($"doc_id", $"text", $"p",
+        Mp4Samples($"p").as("s4"), WebmSamples($"p").as("sw"))
+      .withColumn("s", coalesce($"s4", $"sw"))
       .filter($"s".isNotNull)
-      .select($"doc_id", $"text",
+      .select($"doc_id", $"text", $"p", $"s4".isNotNull.as("is_mp4"),
         posexplode($"s").as(Seq("frame_no", "f")))
       .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
-        // byte-based slice: the sample tables address BYTES of the
-        // UTF-8 mdat body, so the digest must cut binary, not chars
-        // (the DuckDB oracle's char substr agrees because the corpus
-        // is ASCII — MultimodalSpec pins the non-ASCII byte path)
-        md5($"text".cast("binary").substr($"f.off".cast("int") + 1,
-            $"f.len".cast("int")))
+        // byte-based slices: the sample tables address BYTES (the
+        // UTF-8 mdat body / the raw payload), so the digest cuts
+        // binary, not chars (the DuckDB oracle's char substr agrees
+        // because the corpus is ASCII — MultimodalStoreSpec pins the
+        // non-ASCII byte path)
+        md5(when($"is_mp4",
+            $"text".cast("binary").substr($"f.off".cast("int") + 1,
+              $"f.len".cast("int")))
+          .otherwise($"p".substr($"f.off".cast("int") + 1,
+            $"f.len".cast("int"))))
           .as("frame_md5"),
         $"f.len".as("frame_len"),
         $"f.t".as("frame_t"))

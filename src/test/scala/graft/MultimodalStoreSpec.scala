@@ -370,6 +370,11 @@ class MultimodalStoreSpec extends AnyFunSuite {
         val data = 256 + h32 % 1024
         assert(parsed == MediaHeader.Media("wav", ch, rate, bits,
           data / (ch * bits / 8) * 1000 / rate), s"wav mismatch for: $t")
+      } else if (u8(11) % 2 == 1) {
+        // webm: TimestampScale 1e6 ns, integral float Duration → ms
+        val dur = 1000L + h32 % 1000000L
+        assert(parsed == MediaHeader.Media("webm", null, null, null, dur),
+          s"webm mismatch for: $t")
       } else {
         val ts = SynthMedia.Timescales(u8(2) % 3)
         val dur = 1000L + h32 % 1000000L
@@ -378,7 +383,7 @@ class MultimodalStoreSpec extends AnyFunSuite {
       }
       seen += ((parsed.container, u8(8) % 3 == 0, u8(9) % 2 == 1))
     }
-    assert(seen.size == 12, s"share space not covered: $seen")
+    assert(seen.size == 16, s"share space not covered: $seen")
     assert(seenVbr == Set(0, 1, 2), s"mp3 vbr shares not covered: $seenVbr")
   }
 
@@ -390,7 +395,8 @@ class MultimodalStoreSpec extends AnyFunSuite {
     val texts = (0 until 200).map(i => s"sample walk fixture number $i")
       .filter { t =>
         val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
-        (m(0) & 0xFF) % 3 != 2 && (m(0) & 0xFF) % 2 == 1 // the mp4 share
+        (m(0) & 0xFF) % 3 != 2 && (m(0) & 0xFF) % 2 == 1 &&
+          (m(11) & 0xFF) % 2 == 0 // the mp4 half of the video share
       }
     assert(texts.size > 20, "mp4 share underdrawn")
     var sawTwoChunks = false
@@ -450,6 +456,105 @@ class MultimodalStoreSpec extends AnyFunSuite {
     // non-BMFF / WAV payloads → None
     assert(MediaHeader.mp4Samples("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(MediaHeader.mp4Samples("not media".getBytes).isEmpty)
+  }
+
+  test("WebM sample walk: clusters, relative timestamps, all lacings, corrupt -> None") {
+    import graft.functions.expressions.{MediaHeader, SynthMedia}
+    // synth share round-trip: the EBML walk must reproduce the SAME
+    // sample plan as the BMFF share (sizes, the chunk-2 content gap,
+    // per-sample times across TWO cluster bases), with the frame
+    // bytes sitting at the returned ABSOLUTE payload offsets
+    val texts = (0 until 400).map(i => s"webm walk fixture number $i")
+      .filter { t =>
+        val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        (m(0) & 0xFF) % 3 != 2 && (m(0) & 0xFF) % 2 == 1 &&
+          (m(11) & 0xFF) % 2 == 1
+      }
+    assert(texts.size > 20, "webm share underdrawn")
+    var sawTwoClusters = false
+    texts.foreach { t =>
+      val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      def u8(k: Int) = m(k) & 0xFF
+      val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
+        (u8(6).toLong << 8) | u8(7).toLong
+      val tb = t.getBytes("UTF-8")
+      val ns = math.min(4 + (h32 % 5).toInt, (tb.length - 2) / 11)
+      val delta = 50L + u8(10) % 100
+      def sizeOf(i: Int): Long = 3 + (h32 + 7L * i) % 9
+      def planOff(i: Int): Long =
+        (if (i >= (ns + 1) / 2) 2L else 0L) + (0 until i).map(sizeOf).sum
+      val payload = SynthMedia.build(t)
+      val got = MediaHeader.webmSamples(payload).get.toSeq
+      assert(got.length == ns, s"sample count for: $t")
+      got.zipWithIndex.foreach { case ((off, len, time), i) =>
+        assert(len == sizeOf(i) && time == delta * i, s"plan mismatch $i for: $t")
+        // the addressed payload slice IS the text slice the plan cut
+        val fromPayload = java.util.Arrays.copyOfRange(
+          payload, off.toInt, (off + len).toInt)
+        val fromText = java.util.Arrays.copyOfRange(
+          tb, planOff(i).toInt, (planOff(i) + sizeOf(i)).toInt)
+        assert(java.util.Arrays.equals(fromPayload, fromText),
+          s"frame bytes $i for: $t")
+      }
+      if (ns > (ns + 1) / 2) sawTwoClusters = true
+    }
+    assert(sawTwoClusters, "two-cluster share (the cluster-base proof) undrawn")
+    // ---- hand fixtures: lacing forms + BlockGroup + corruption ----
+    def vint2(v: Int) = Array[Byte]((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+    def el(idBytes: Int*)(body: Array[Byte]): Array[Byte] =
+      idBytes.map(_.toByte).toArray ++ vint2(body.length) ++ body
+    def doc(clusterBody: Array[Byte]): Array[Byte] =
+      el(0x1A, 0x45, 0xDF, 0xA3)("webm".getBytes("ISO-8859-1")) ++
+        el(0x18, 0x53, 0x80, 0x67)(
+          el(0x16, 0x54, 0xAE, 0x6B)(el(0xAE)(
+            el(0xD7)(Array[Byte](1)))) ++
+            el(0x1F, 0x43, 0xB6, 0x75)(
+              el(0xE7)(Array[Byte](0, 100)) ++ clusterBody))
+    def walk(b: Array[Byte]) = MediaHeader.webmSamples(b).map(_.toSeq)
+    // Xiph lacing: frames of 3, 255+2 (=257), remainder 4 — the size
+    // runs must terminate on the first byte < 255
+    val xiphData = Array.fill[Byte](3 + 257 + 4)(7)
+    val xiphFixed = doc(el(0xA3)( // track, rel=10, lacing 01, count-1=2
+      Array[Byte](0x81.toByte, 0, 10, 0x02, 2, 3, 0xFF.toByte, 2) ++ xiphData))
+    val xr = walk(xiphFixed).get
+    assert(xr.map(s => (s._2, s._3)) == Seq((3L, 110L), (257L, 110L), (4L, 110L)), xr)
+    // frames are contiguous after the lace header
+    assert(xr(1)._1 == xr(0)._1 + 3 && xr(2)._1 == xr(1)._1 + 257)
+    // EBML lacing: sizes 5, then delta -2 (=3), remainder 6
+    val ebmlData = Array.fill[Byte](5 + 3 + 6)(9)
+    // signed delta -2 as a 1-byte vint: value = -2 + 63 = 61 -> 0x80|61
+    val ebmlLace = doc(el(0xA3)(
+      Array[Byte](0x81.toByte, 0, 20, 0x06, 2, 0x85.toByte, (0x80 | 61).toByte)
+        ++ ebmlData))
+    val er = walk(ebmlLace).get
+    assert(er.map(s => (s._2, s._3)) == Seq((5L, 120L), (3L, 120L), (6L, 120L)), er)
+    // fixed lacing: 3 equal frames of 4
+    val fixedLace = doc(el(0xA3)(
+      Array[Byte](0x81.toByte, 0, 30, 0x04, 2) ++ Array.fill[Byte](12)(5)))
+    val fr = walk(fixedLace).get
+    assert(fr.map(s => (s._2, s._3)) == Seq((4L, 130L), (4L, 130L), (4L, 130L)), fr)
+    // BlockGroup > Block: same shape, negative relative timestamp
+    val group = doc(el(0xA0)(el(0xA1)(
+      Array[Byte](0x81.toByte, 0xFF.toByte, 0x9C.toByte, 0x00) ++ // rel = -100
+        Array.fill[Byte](5)(3))))
+    val gr = walk(group).get
+    assert(gr == Seq((gr.head._1, 5L, 0L)), gr) // 100 + (-100)
+    // a foreign track's block is skipped, not an error
+    val foreign = doc(el(0xA3)(
+      Array[Byte](0x82.toByte, 0, 1, 0x00) ++ Array.fill[Byte](4)(1)))
+    assert(walk(foreign).get.isEmpty)
+    // corruption -> None: fixed lacing with a non-divisible remainder,
+    // a block overrunning its element, no Tracks at all
+    val badFixed = doc(el(0xA3)(
+      Array[Byte](0x81.toByte, 0, 0, 0x04, 2) ++ Array.fill[Byte](11)(5)))
+    assert(walk(badFixed).isEmpty)
+    val badXiph = doc(el(0xA3)(
+      Array[Byte](0x81.toByte, 0, 0, 0x02, 2, 50, 50) ++ Array.fill[Byte](10)(1)))
+    assert(walk(badXiph).isEmpty) // coded sizes exceed the block extent
+    val noTracks = el(0x1A, 0x45, 0xDF, 0xA3)("webm".getBytes("ISO-8859-1")) ++
+      el(0x18, 0x53, 0x80, 0x67)(el(0x1F, 0x43, 0xB6, 0x75)(Array.empty[Byte]))
+    assert(walk(noTracks).isEmpty)
+    assert(walk("not ebml at all".getBytes).isEmpty)
   }
 
   test("mm_frames digests BYTE slices: non-ASCII text addresses UTF-8 bytes, not chars") {
