@@ -383,12 +383,18 @@ object MediaHeader {
     * FILE offsets), stts (decode deltas) — through the shared
     * [[boxWalk]], expand them to per-sample (offset, size, start
     * time) the standard way (stsc runs keyed by first_chunk, offsets
-    * accumulated within each chunk from its stco base), and return
-    * offsets RELATIVE to the mdat body so callers can slice payloads
-    * without re-deriving the layout. Every sample must land inside
-    * the mdat extent — a table pointing outside its media data is
-    * corrupt, and None (the opaque-payload convention of this walk
-    * family) is the only honest answer. */
+    * accumulated within each chunk from its stco base). A movie whose
+    * sample tables are EMPTY (the fragmented-MP4 layout: moov carries
+    * mvex/trex defaults, media rides moof+mdat pairs) walks the
+    * fragments instead — tfhd base-data-offset / default-base-is-moof
+    * addressing, tfdt v0/v1 decode times, trun data offsets with
+    * per-sample or defaulted sizes and durations (tfhd then trex).
+    * Offsets are ABSOLUTE payload offsets (one contract across the
+    * plain, fragmented, and [[webmSamples]] walks — callers slice the
+    * payload itself). Every sample must land inside its media extent —
+    * a table pointing outside is corrupt, and None (the
+    * opaque-payload convention of this walk family) is the only
+    * honest answer. */
   private[graft] def mp4Samples(b: Array[Byte])
       : Option[Array[(Long, Long, Long)]] =
     // the table reads below bound every COUNT against the payload, but
@@ -407,10 +413,19 @@ object MediaHeader {
     if (b.length < 12 || tag(4) != "ftyp") return None
     def u32(i: Int): Long = u32beAt(b, i)
     val (moov, moovEnd) = boxWalk(b, 0, b.length, "moov").getOrElse(return None)
-    val (trak, trakEnd) = boxWalk(b, moov, moovEnd, "trak").getOrElse(return None)
-    val (mdia, mdiaEnd) = boxWalk(b, trak, trakEnd, "mdia").getOrElse(return None)
-    val (minf, minfEnd) = boxWalk(b, mdia, mdiaEnd, "minf").getOrElse(return None)
-    val (stbl, stblEnd) = boxWalk(b, minf, minfEnd, "stbl").getOrElse(return None)
+    val stblOpt = for {
+      (trak, trakEnd) <- boxWalk(b, moov, moovEnd, "trak")
+      (mdia, mdiaEnd) <- boxWalk(b, trak, trakEnd, "mdia")
+      (minf, minfEnd) <- boxWalk(b, mdia, mdiaEnd, "minf")
+      st <- boxWalk(b, minf, minfEnd, "stbl")
+    } yield st
+    // a movie with no usable sample tables is the FRAGMENTED layout —
+    // media rides moof+mdat pairs; a PRESENT-but-corrupt table stays
+    // None through the checks below, never silently retried
+    val (stbl, stblEnd) = stblOpt match {
+      case Some(st) => st
+      case None => return fragmentWalk(b, moov, moovEnd)
+    }
     val (mdat, mdatEnd) = boxWalk(b, 0, b.length, "mdat").getOrElse(return None)
     def full(name: String): Option[Int] = // full-box body PAST version/flags
       boxWalk(b, stbl, stblEnd, name).collect {
@@ -424,6 +439,7 @@ object MediaHeader {
     val fixedSize = u32(stsz)
     val nSamples = u32(stsz + 4)
     if (nSamples < 0 || nSamples > MaxSamples) return None
+    if (nSamples == 0) return fragmentWalk(b, moov, moovEnd)
     val n = nSamples.toInt
     def sizeOf(i: Int): Long =
       if (fixedSize != 0L) fixedSize else u32(stsz + 8 + 4 * i)
@@ -467,7 +483,7 @@ object MediaHeader {
       while (k < spc && sample < n) {
         val sz = sizeOf(sample)
         if (off < mdat || off + sz > mdatEnd) return None // outside media data
-        out(sample) = (off - mdat, sz, times(sample))
+        out(sample) = (off, sz, times(sample))
         off += sz
         sample += 1
         k += 1
@@ -476,6 +492,128 @@ object MediaHeader {
     }
     if (sample < n) return None // chunks cover fewer samples than declared
     Some(out)
+  }
+
+  /** The fragmented-MP4 half of [[mp4Samples]]: trex defaults from
+    * moov>mvex, then every top-level moof's first traf — tfhd (track
+    * id, optional base-data-offset / default size+duration,
+    * default-base-is-moof), tfdt (v0 u32 / v1 u64 base decode time),
+    * and each trun in order (optional s32 data offset from the base,
+    * per-sample size/duration/flags/cts fields skipped or read per
+    * the flag word; size falls back tfhd default then trex, duration
+    * likewise). Samples must stay inside the payload; None on any
+    * corrupt extent — the family convention. */
+  private def fragmentWalk(b: Array[Byte], moov: Int, moovEnd: Int)
+      : Option[Array[(Long, Long, Long)]] = {
+    def u32(i: Int): Long = u32beAt(b, i)
+    def u64(i: Int): Long = u32(i) << 32 | u32(i + 4)
+    // trex defaults (optional box)
+    var trexDur = -1L
+    var trexSize = -1L
+    for {
+      (mvex, mvexEnd) <- boxWalk(b, moov, moovEnd, "mvex")
+      (trex, trexEnd) <- boxWalk(b, mvex, mvexEnd, "trex")
+      if trex + 24 <= trexEnd
+    } {
+      trexDur = u32(trex + 12)
+      trexSize = u32(trex + 16)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var p = 0
+    var sawMoof = false
+    def tag(i: Int): String =
+      if (i + 4 <= b.length)
+        new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      else ""
+    while (p + 8 <= b.length) {
+      val sz32 = u32(p)
+      val typ = tag(p + 4)
+      val (size, hdr) =
+        if (sz32 == 1L && p + 16 <= b.length) (u64(p + 8), 16)
+        else if (sz32 == 0L) ((b.length - p).toLong, 8)
+        else (sz32, 8)
+      if (size < hdr || p + size > b.length) return None
+      if (typ == "moof") {
+        sawMoof = true
+        val moofStart = p
+        val (traf, trafEnd) = boxWalk(b, p + hdr, (p + size).toInt, "traf")
+          .getOrElse(return None)
+        val (tfhd, tfhdEnd) = boxWalk(b, traf, trafEnd, "tfhd")
+          .getOrElse(return None)
+        if (tfhd + 8 > tfhdEnd) return None
+        val tfFlags = (u32(tfhd) & 0xFFFFFFL).toInt
+        var q = tfhd + 8 // past version/flags + track_ID
+        var baseOff = -1L
+        if ((tfFlags & 0x01) != 0) { // base-data-offset
+          if (q + 8 > tfhdEnd) return None
+          baseOff = u64(q); q += 8
+        }
+        if ((tfFlags & 0x02) != 0) q += 4 // sample-description-index
+        var defDur = trexDur
+        if ((tfFlags & 0x08) != 0) {
+          if (q + 4 > tfhdEnd) return None
+          defDur = u32(q); q += 4
+        }
+        var defSize = trexSize
+        if ((tfFlags & 0x10) != 0) {
+          if (q + 4 > tfhdEnd) return None
+          defSize = u32(q); q += 4
+        }
+        if (baseOff < 0) baseOff = moofStart.toLong // default-base-is-moof
+          // (0x20000) and the spec default for a first traf coincide
+        var t = 0L
+        boxWalk(b, traf, trafEnd, "tfdt").foreach { case (tfdt, tfdtEnd) =>
+          val v = b(tfdt) & 0xFF
+          t = if (v == 1) { if (tfdt + 12 > tfdtEnd) return None; u64(tfdt + 4) }
+          else { if (tfdt + 8 > tfdtEnd) return None; u32(tfdt + 4) }
+        }
+        // every trun in this traf, in order
+        var r = traf
+        var pos = -1L
+        while (r < trafEnd) {
+          boxWalk(b, r, trafEnd, "trun") match {
+            case None => r = trafEnd
+            case Some((trun, trunEnd)) =>
+              if (trun + 8 > trunEnd) return None
+              val trFlags = (u32(trun) & 0xFFFFFFL).toInt
+              val cnt = u32(trun + 4)
+              if (cnt < 0 || out.length + cnt > MaxSamples) return None
+              var s = trun + 8
+              if ((trFlags & 0x01) != 0) { // data offset (signed 32)
+                if (s + 4 > trunEnd) return None
+                pos = baseOff + u32(s).toInt // sign via toInt
+                s += 4
+              } else if (pos < 0) pos = baseOff
+              if ((trFlags & 0x04) != 0) s += 4 // first-sample-flags
+              var k = 0L
+              while (k < cnt) {
+                var dur = defDur
+                if ((trFlags & 0x100) != 0) {
+                  if (s + 4 > trunEnd) return None
+                  dur = u32(s); s += 4
+                }
+                var sz = defSize
+                if ((trFlags & 0x200) != 0) {
+                  if (s + 4 > trunEnd) return None
+                  sz = u32(s); s += 4
+                }
+                if ((trFlags & 0x400) != 0) s += 4 // per-sample flags
+                if ((trFlags & 0x800) != 0) s += 4 // composition offset
+                if (sz < 0 || dur < 0) return None // no default to fall to
+                if (pos < 0 || pos + sz > b.length) return None
+                out += ((pos, sz, t))
+                pos += sz
+                t += dur
+                k += 1
+              }
+              r = trunEnd
+          }
+        }
+      }
+      p = (p + size).toInt
+    }
+    if (!sawMoof) return None
+    Some(out.toArray)
   }
 
   // ---- Matroska / WebM (EBML) ----------------------------------------
@@ -732,12 +870,13 @@ object MediaHeader {
 }
 
 /** Per-sample (offset, size, start time) from an MP4's sample tables
-  * — [[MediaHeader.mp4Samples]] as a column: array of structs with
-  * offsets relative to the mdat body, so `substr(payload/text, ...)`
-  * slices the REAL frame bytes the container addresses. Null for
-  * non-BMFF payloads, tracks without sample tables, or tables that
-  * don't cover their declared samples — the opaque-payload
-  * convention of the media walk family. */
+  * or movie fragments — [[MediaHeader.mp4Samples]] as a column: array
+  * of structs with ABSOLUTE payload offsets (the one contract shared
+  * with [[WebmSamples]]), so `substr(payload, off+1, len)` slices the
+  * REAL frame bytes the container addresses. Null for non-BMFF
+  * payloads, movies with neither sample tables nor fragments, or
+  * tables that don't cover their declared samples — the
+  * opaque-payload convention of the media walk family. */
 case class Mp4Samples(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -1014,6 +1153,94 @@ object SynthMedia {
       val segment = elem(id(0x18, 0x53, 0x80, 0x67),
         voidEl ++ info ++ tracks ++ clusters)
       out.write(ebmlHdr); out.write(segment)
+    } else if (u8(12) % 2 == 1) {
+      // ---- FRAGMENTED MP4 (CMAF/DASH layout): ftyp + moov(mvhd +
+      // trak with EMPTY sample tables + mvex/trex defaults) + one
+      // moof+mdat pair per chunk of the SAME sample plan. Fragment 1
+      // exercises default-base-is-moof addressing, a tfhd default
+      // duration, and per-sample trun sizes; fragment 2 exercises an
+      // explicit 64-bit base-data-offset, a v1 tfdt, per-sample trun
+      // durations, and the trex duration fallback is covered by
+      // fragment 2's tfhd carrying NO default. Frame bytes are the
+      // same text slices, so the mm_frames oracle is share-blind. ----
+      val timescale = Timescales((u8(2) % 3).toInt)
+      val duration = 1000L + h32 % 1000000L
+      val v1 = u8(9) % 2 == 1
+      val textBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val avail = textBytes.length
+      val ns = math.min(4 + (h32 % 5).toInt, (avail - 2) / 11)
+      val delta = 50L + u8(10) % 100
+      def sizeOf(i: Int): Long = 3 + (h32 + 7L * i) % 9
+      def offOf(i: Int): Long =
+        (if (i >= (ns + 1) / 2) 2L else 0L) + (0 until i).map(sizeOf).sum
+      val c1 = (ns + 1) / 2
+      val c2 = ns - c1
+      val mvhdBody = if (v1) 4 + 8 + 8 + 4 + 8 else 4 + 4 + 4 + 4 + 4
+      val mvhdSize = 8 + mvhdBody
+      val stblSize = 8 + 16 + 16 + 20 + 16 // empty stts/stsc/stsz/stco
+      val trakSize = 8 + 8 + 8 + stblSize
+      val mvexSize = 8 + 32
+      val moovSize = 8 + mvhdSize + trakSize + mvexSize
+      be32(24); cc("ftyp"); cc("isom"); be32(0x200)
+      cc("isom"); cc("cmfc")
+      be32(moovSize.toLong); cc("moov")
+      be32(mvhdSize.toLong); cc("mvhd")
+      if (v1) {
+        out.write(1); out.write(0); out.write(0); out.write(0)
+        be64(0); be64(0); be32(timescale); be64(duration)
+      } else {
+        be32(0); be32(0); be32(0); be32(timescale); be32(duration)
+      }
+      be32(trakSize.toLong); cc("trak")
+      be32(trakSize.toLong - 8); cc("mdia")
+      be32(trakSize.toLong - 16); cc("minf")
+      be32(stblSize.toLong); cc("stbl")
+      be32(16); cc("stts"); be32(0); be32(0)
+      be32(16); cc("stsc"); be32(0); be32(0)
+      be32(20); cc("stsz"); be32(0); be32(0); be32(0)
+      be32(16); cc("stco"); be32(0); be32(0)
+      be32(mvexSize.toLong); cc("mvex")
+      be32(32); cc("trex"); be32(0)
+      be32(1); be32(1); be32(delta); be32(0); be32(0) // defaults: dur, size 0
+      if (ns > 0) {
+        // fragment 1: default-base-is-moof + tfhd default duration
+        val traf1 = 8 + 20 + 16 + (20 + 4 * c1)
+        val moof1 = 8 + 16 + traf1
+        be32(moof1.toLong); cc("moof")
+        be32(16); cc("mfhd"); be32(0); be32(1)
+        be32(traf1.toLong); cc("traf")
+        be32(20); cc("tfhd"); be32(0x020008); be32(1); be32(delta)
+        be32(16); cc("tfdt"); be32(0); be32(0) // v0, base time 0
+        be32(20L + 4 * c1); cc("trun"); be32(0x000201)
+        be32(c1.toLong); be32(moof1.toLong + 8) // data offset: past mdat hdr
+        (0 until c1).foreach(i => be32(sizeOf(i)))
+        val mdat1 = 8 + (0 until c1).map(sizeOf).sum
+        be32(mdat1); cc("mdat")
+        (0 until c1).foreach(i => out.write(textBytes,
+          offOf(i).toInt, sizeOf(i).toInt))
+        if (c2 > 0) {
+          // fragment 2: explicit base-data-offset + v1 tfdt +
+          // per-sample trun durations; size default falls to trun
+          val traf2 = 8 + 24 + 20 + (20 + 8 * c2)
+          val moof2 = 8 + 16 + traf2
+          val frag2At = 24 + moovSize + moof1 + mdat1
+          val mdat2BodyAt = frag2At + moof2 + 8
+          be32(moof2.toLong); cc("moof")
+          be32(16); cc("mfhd"); be32(0); be32(2)
+          be32(traf2.toLong); cc("traf")
+          be32(24); cc("tfhd"); be32(0x000001); be32(1)
+          be64(mdat2BodyAt.toLong) // base-data-offset
+          be32(20); cc("tfdt"); out.write(1); out.write(0); out.write(0)
+          out.write(0); be64(delta * c1) // v1 base decode time
+          be32(20L + 8 * c2); cc("trun"); be32(0x000301)
+          be32(c2.toLong); be32(0) // data offset 0 from the base
+          (c1 until ns).foreach { i => be32(delta); be32(sizeOf(i)) }
+          val mdat2 = 8 + (c1 until ns).map(sizeOf).sum
+          be32(mdat2); cc("mdat")
+          (c1 until ns).foreach(i => out.write(textBytes,
+            offOf(i).toInt, sizeOf(i).toInt))
+        }
+      }
     } else {
       // ---- ISO BMFF: ftyp + [free] + moov(mvhd [+free] + trak(mdia/
       // minf/stbl sample tables)) + mdat(= the TEXT bytes) — the

@@ -212,31 +212,21 @@ object Multimodal {
   def frames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.expressions.{Mp4Samples, SynthMedia, WebmSamples}
-    // container routing: the BMFF walk addresses mdat-relative
-    // offsets (mdat = the text bytes → slice text), the EBML walk
-    // addresses ABSOLUTE payload offsets (Matroska frames live inside
-    // their blocks → slice the payload). Both synth shares carry the
-    // same sample plan, so one oracle replays either walk.
+    // container routing behind ONE slicing contract: the BMFF walk
+    // (plain sample tables AND moof/traf fragments) and the EBML walk
+    // both return ABSOLUTE payload offsets, so every container's
+    // frames slice the payload itself — byte-based (binary substr):
+    // the tables address BYTES, and the DuckDB oracle's char substr
+    // over the text agrees because the frame contents are text slices
+    // and the corpus is ASCII (MultimodalStoreSpec pins the non-ASCII
+    // byte path)
     Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"text",
-        SynthMedia($"text").as("p"))
-      .select($"doc_id", $"text", $"p",
-        Mp4Samples($"p").as("s4"), WebmSamples($"p").as("sw"))
-      .withColumn("s", coalesce($"s4", $"sw"))
+      .select($"doc_id", SynthMedia($"text").as("p"))
+      .withColumn("s", coalesce(Mp4Samples($"p"), WebmSamples($"p")))
       .filter($"s".isNotNull)
-      .select($"doc_id", $"text", $"p", $"s4".isNotNull.as("is_mp4"),
-        posexplode($"s").as(Seq("frame_no", "f")))
+      .select($"doc_id", $"p", posexplode($"s").as(Seq("frame_no", "f")))
       .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
-        // byte-based slices: the sample tables address BYTES (the
-        // UTF-8 mdat body / the raw payload), so the digest cuts
-        // binary, not chars (the DuckDB oracle's char substr agrees
-        // because the corpus is ASCII — MultimodalStoreSpec pins the
-        // non-ASCII byte path)
-        md5(when($"is_mp4",
-            $"text".cast("binary").substr($"f.off".cast("int") + 1,
-              $"f.len".cast("int")))
-          .otherwise($"p".substr($"f.off".cast("int") + 1,
-            $"f.len".cast("int"))))
+        md5($"p".substr($"f.off".cast("int") + 1, $"f.len".cast("int")))
           .as("frame_md5"),
         $"f.len".as("frame_len"),
         $"f.t".as("frame_t"))

@@ -392,38 +392,53 @@ class MultimodalStoreSpec extends AnyFunSuite {
     import graft.functions.expressions.{MediaHeader, SynthMedia}
     // synth shares: the walk's output must equal the SQL-replayable
     // sample plan (sizes, chunk-2 gap via stco, stts times)
-    val texts = (0 until 200).map(i => s"sample walk fixture number $i")
+    val all = (0 until 400).map(i => s"sample walk fixture number $i")
       .filter { t =>
         val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
         (m(0) & 0xFF) % 3 != 2 && (m(0) & 0xFF) % 2 == 1 &&
-          (m(11) & 0xFF) % 2 == 0 // the mp4 half of the video share
+          (m(11) & 0xFF) % 2 == 0 // the BMFF half of the video share
       }
-    assert(texts.size > 20, "mp4 share underdrawn")
+    def isFrag(t: String): Boolean = {
+      val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      (m(12) & 0xFF) % 2 == 1
+    }
+    val texts = all.filterNot(isFrag)
+    val fragTexts = all.filter(isFrag)
+    assert(texts.size > 10, "plain mp4 share underdrawn")
+    assert(fragTexts.size > 10, "fragmented share underdrawn")
     var sawTwoChunks = false
-    texts.foreach { t =>
+    def checkShare(share: Seq[String], frag: Boolean): Unit = share.foreach { t =>
       val m = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
       def u8(k: Int) = m(k) & 0xFF
       val h32 = (u8(4).toLong << 24) | (u8(5).toLong << 16) |
         (u8(6).toLong << 8) | u8(7).toLong
-      val avail = t.getBytes("UTF-8").length
+      val tb = t.getBytes("UTF-8")
+      val avail = tb.length
       val ns = math.min(4 + (h32 % 5).toInt, (avail - 2) / 11)
       val delta = 50L + u8(10) % 100
       def sizeOf(i: Int): Long = 3 + (h32 + 7L * i) % 9
+      def planOff(i: Int): Long =
+        (if (i >= (ns + 1) / 2) 2L else 0L) + (0 until i).map(sizeOf).sum
       val c1 = (ns + 1) / 2
-      val expected = (0 until ns).map { i =>
-        val gap = if (i >= c1) 2L else 0L
-        val off = gap + (0 until i).map(sizeOf).sum
-        (off, sizeOf(i), delta * i)
+      val payload = SynthMedia.build(t)
+      val got = MediaHeader.mp4Samples(payload).get.toSeq
+      assert(got.length == ns, s"sample count for: $t (frag=$frag)")
+      // absolute offsets: the addressed payload bytes ARE the text
+      // slices the plan cut, and sizes/times replay the plan
+      got.zipWithIndex.foreach { case ((off, len, time), i) =>
+        assert(len == sizeOf(i) && time == delta * i,
+          s"plan mismatch $i for: $t (frag=$frag)")
+        val fromPayload = java.util.Arrays.copyOfRange(
+          payload, off.toInt, (off + len).toInt)
+        val fromText = java.util.Arrays.copyOfRange(
+          tb, planOff(i).toInt, (planOff(i) + sizeOf(i)).toInt)
+        assert(java.util.Arrays.equals(fromPayload, fromText),
+          s"frame bytes $i for: $t (frag=$frag)")
       }
-      val got = MediaHeader.mp4Samples(SynthMedia.build(t)).get.toSeq
-      assert(got == expected, s"walk mismatch for: $t")
       if (ns > c1) sawTwoChunks = true
-      // the addressed slices really are the text bytes (mdat = text)
-      val tb = t.getBytes("UTF-8")
-      got.foreach { case (off, len, _) =>
-        assert(off + len <= tb.length)
-      }
     }
+    checkShare(texts, frag = false)
+    checkShare(fragTexts, frag = true) // moof/traf/trun + trex fallback
     assert(sawTwoChunks, "two-chunk share (the stco gap proof) undrawn")
     // fixed-size stsz + multi-run stts: hand-built container
     val o = new java.io.ByteArrayOutputStream()
@@ -446,7 +461,9 @@ class MultimodalStoreSpec extends AnyFunSuite {
     be32(mdatBody.toLong + 1) // chunk starts 1 byte INTO the mdat body
     be32(8L + 14); cc("mdat"); cc("abcdefghijklmn")
     val fixed = MediaHeader.mp4Samples(o.toByteArray).get.toSeq
-    assert(fixed == Seq((1L, 4L, 0L), (5L, 4L, 10L), (9L, 4L, 17L)), fixed.toString)
+    val base = mdatBody.toLong // absolute-offset contract
+    assert(fixed == Seq((base + 1, 4L, 0L), (base + 5, 4L, 10L),
+      (base + 9, 4L, 17L)), fixed.toString)
     // corrupt tables → None: a sample pointing past the mdat extent
     val bytes = o.toByteArray
     val stcoValueAt = bytes.length - (8 + 14) - 4 // last 4 bytes before mdat box
@@ -456,6 +473,27 @@ class MultimodalStoreSpec extends AnyFunSuite {
     // non-BMFF / WAV payloads → None
     assert(MediaHeader.mp4Samples("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(MediaHeader.mp4Samples("not media".getBytes).isEmpty)
+    // crafted fragments → None: a trun whose samples overrun the
+    // payload, and an empty-table movie with no moof at all
+    val of = new java.io.ByteArrayOutputStream()
+    def fbe32(v: Long): Unit =
+      (0 to 3).foreach(i => of.write(((v >> (8 * (3 - i))) & 0xFF).toInt))
+    def fcc(s: String): Unit = of.write(s.getBytes("ISO-8859-1"))
+    fbe32(16); fcc("ftyp"); fcc("isom"); fbe32(0)
+    fbe32(8); fcc("moov") // empty moov: no tables -> fragment path
+    val noMoof = of.toByteArray
+    assert(MediaHeader.mp4Samples(noMoof).isEmpty,
+      "no tables and no fragments must be None")
+    val traf = 8 + 16 + 24 // tfhd + trun
+    val moofSz = 8 + traf
+    fbe32(moofSz.toLong); fcc("moof")
+    fbe32(traf.toLong); fcc("traf")
+    fbe32(16); fcc("tfhd"); fbe32(0x020000); fbe32(1)
+    fbe32(24); fcc("trun"); fbe32(0x000201)
+    fbe32(2); fbe32(moofSz.toLong + 8) // 2 samples...
+    fbe32(4) // ...but only one size fits the box -> corrupt extent
+    assert(MediaHeader.mp4Samples(of.toByteArray).isEmpty,
+      "a trun run past its box must be None, never garbage slices")
   }
 
   test("WebM sample walk: clusters, relative timestamps, all lacings, corrupt -> None") {
