@@ -509,6 +509,296 @@ object PixelDecode {
     fail("GIF ends with no image frame")
   }
 
+  /** Animation frame ceiling: frame-N decode serves near-dup coverage
+    * (an animated re-encode of a static image, a banner's first
+    * seconds), not playback — past this the edge is loud. */
+  val MaxFrames = 8
+
+  /** Frame `n` of an ANIMATED payload, composed on the logical-screen
+    * canvas per the format's disposal/blend rules — the
+    * animation-aware twin of [[decodeLuma]]:
+    *
+    *  - GIF: frames 0..n drawn at their rects (local palettes,
+    *    transparent-index pixels leave the underlying canvas), with
+    *    inter-frame disposal 2 (restore rect to the background color)
+    *    and 3 (restore to the previous canvas) applied; the canvas
+    *    starts as the logical screen's background color.
+    *  - APNG: acTL/fcTL/fdAT per the spec — each frame's independent
+    *    zlib stream re-wrapped as a standalone PNG through the full
+    *    [[decodePng]] machinery (CRCs recomputed, IHDR patched to the
+    *    frame rect), dispose 1 clears the rect to black, dispose 2
+    *    restores the previous canvas; blend OVER is accepted only for
+    *    alpha-less color types (where it equals SOURCE) — real alpha
+    *    compositing and tRNS-keyed blending are loud edges, matching
+    *    [[decodeLuma]]'s "tRNS does not move luma" stance.
+    *  - Any single-frame format decodes frame 0 only; n past the
+    *    payload's frame count or [[MaxFrames]] is loud.
+    *
+    * NOTE the GIF frame-0 semantics deliberately differ from
+    * [[decodeLuma]]: the single-frame decoder returns the first
+    * frame's RECT (its own dims — the hash-pinned legacy behavior),
+    * while frame composition is canvas-based (screen dims), which is
+    * what lets an animated re-encode hash against its static twin
+    * when the first frame covers the screen. */
+  def decodeFrame(b: Array[Byte], n: Int): Raster = {
+    if (n < 0) fail("animation frame index must be >= 0")
+    if (n >= MaxFrames)
+      fail(s"animation frame $n is out of scope (first $MaxFrames frames only)")
+    if (isGif(b)) decodeGifFrame(b, n)
+    else if (isPng(b) && hasChunk(b, "acTL")) decodeApngFrame(b, n)
+    else if (n == 0) decodeLuma(b).getOrElse(
+      fail("payload is none of PNG/BMP/GIF/JPEG/TIFF/WebP"))
+    else fail(s"frame $n of a single-frame payload")
+  }
+
+  private def hasChunk(b: Array[Byte], name: String): Boolean = {
+    var p = 8
+    while (p + 8 <= b.length) {
+      val len = be32(b, p)
+      if (len < 0 || p + 12 + len > b.length) return false
+      if (new String(b, p + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) == name) return true
+      p += 12 + len
+    }
+    false
+  }
+
+  private def decodeGifFrame(b: Array[Byte], n: Int): Raster = {
+    if (b.length < 13) fail("GIF shorter than its headers")
+    var p = 6
+    val sw = le16(b, p); val sh = le16(b, p + 2)
+    val packed = b(p + 4) & 0xFF
+    val bgIndex = b(p + 5) & 0xFF
+    p += 7
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val k = 2 << (packed & 7)
+      if (p + 3 * k > b.length) fail("GIF global color table truncated")
+      gct = java.util.Arrays.copyOfRange(b, p, p + 3 * k)
+      p += 3 * k
+    }
+    if (sw <= 0 || sh <= 0) fail(s"GIF screen ${sw}x$sh")
+    checkDims(sw, sh, "GIF screen")
+    val bg: Byte =
+      if (gct != null && bgIndex * 3 + 2 < gct.length)
+        luma(gct(bgIndex * 3) & 0xFF, gct(bgIndex * 3 + 1) & 0xFF,
+          gct(bgIndex * 3 + 2) & 0xFF)
+      else 0
+    val canvas = Array.fill[Byte](sw * sh)(bg)
+    var frame = 0
+    // pending GCE state for the NEXT image descriptor
+    var disposal = 0
+    var transIdx = -1
+    while (p < b.length) {
+      (b(p) & 0xFF) match {
+        case 0x21 =>
+          val label = if (p + 1 < b.length) b(p + 1) & 0xFF else -1
+          if (label == 0xF9 && p + 7 < b.length && (b(p + 2) & 0xFF) >= 4) {
+            val gpacked = b(p + 3) & 0xFF
+            disposal = (gpacked >> 2) & 7
+            transIdx = if ((gpacked & 1) != 0) b(p + 6) & 0xFF else -1
+          }
+          p += 2
+          while (p < b.length && b(p) != 0) p += 1 + (b(p) & 0xFF)
+          if (p >= b.length) fail("GIF extension runs past end of file")
+          p += 1
+        case 0x2C =>
+          if (p + 10 > b.length) fail("GIF image descriptor truncated")
+          val fx = le16(b, p + 1); val fy = le16(b, p + 3)
+          val w = le16(b, p + 5); val h = le16(b, p + 7)
+          val ipacked = b(p + 9) & 0xFF
+          val interlaced = (ipacked & 0x40) != 0
+          p += 10
+          var pal = gct
+          if ((ipacked & 0x80) != 0) {
+            val k = 2 << (ipacked & 7)
+            if (p + 3 * k > b.length) fail("GIF local color table truncated")
+            pal = java.util.Arrays.copyOfRange(b, p, p + 3 * k)
+            p += 3 * k
+          }
+          if (pal == null) fail("GIF image has no color table")
+          if (w <= 0 || h <= 0 || fx + w > sw || fy + h > sh)
+            fail(s"GIF frame rect ${w}x$h+$fx+$fy outside the ${sw}x$sh screen")
+          if (p >= b.length) fail("GIF image data truncated")
+          val minCode = b(p) & 0xFF
+          p += 1
+          val data = new java.io.ByteArrayOutputStream(b.length - p)
+          while (p < b.length && b(p) != 0) {
+            val k = b(p) & 0xFF
+            if (p + 1 + k > b.length) fail("GIF data sub-block truncated")
+            data.write(b, p + 1, k)
+            p += 1 + k
+          }
+          if (p >= b.length) fail("GIF image data has no block terminator")
+          p += 1
+          val idx = gifLzw(data.toByteArray, minCode, w * h)
+          if (idx.length < w * h)
+            fail(s"GIF frame decodes ${idx.length} of ${w * h} pixels")
+          val prev = if (disposal == 3) canvas.clone() else null
+          val rowOrder: Seq[Int] =
+            if (!interlaced) 0 until h
+            else (0 until h by 8) ++ (4 until h by 8) ++
+              (2 until h by 4) ++ (1 until h by 2)
+          rowOrder.zipWithIndex.foreach { case (y, src) =>
+            var x = 0
+            while (x < w) {
+              val v = idx(src * w + x) & 0xFF
+              if (v != transIdx) {
+                val i = v * 3
+                if (i + 2 >= pal.length) fail("GIF palette index out of range")
+                canvas((fy + y) * sw + (fx + x)) =
+                  luma(pal(i) & 0xFF, pal(i + 1) & 0xFF, pal(i + 2) & 0xFF)
+              }
+              x += 1
+            }
+          }
+          if (frame == n) return Raster(sw, sh, canvas)
+          // disposal BETWEEN frames (this frame is not the target)
+          disposal match {
+            case 2 =>
+              var y = fy
+              while (y < fy + h) {
+                java.util.Arrays.fill(canvas, y * sw + fx, y * sw + fx + w, bg)
+                y += 1
+              }
+            case 3 => System.arraycopy(prev, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          disposal = 0
+          transIdx = -1
+          frame += 1
+        case 0x3B =>
+          fail(s"GIF has $frame frames, frame $n requested")
+        case other => fail(f"GIF unknown block 0x$other%02X")
+      }
+    }
+    fail(s"GIF ends after $frame frames, frame $n requested")
+  }
+
+  private def decodeApngFrame(b: Array[Byte], n: Int): Raster = {
+    // chunk walk: IHDR bytes (for re-wrapping), PLTE, tRNS presence,
+    // acTL, and the fcTL/data sequence — CRC-validated like decodePng
+    var p = 8
+    var ihdr: Array[Byte] = null
+    var plte: Array[Byte] = null
+    var hasTrns = false
+    var numFrames = -1
+    // frames in stream order: (fcTL body, data streams)
+    final case class Fc(w: Int, h: Int, x: Int, y: Int, dispose: Int,
+      blend: Int, data: java.io.ByteArrayOutputStream)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Fc]
+    var idatIsFrame = false
+    var sawIdat = false
+    var done = false
+    while (!done) {
+      if (p + 8 > b.length) fail("PNG truncated at chunk header")
+      val len = be32(b, p)
+      if (len < 0 || p + 12 + len > b.length)
+        fail(s"PNG chunk length $len overruns the payload")
+      val ctype = new String(b, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, p + 4, 4 + len)
+      if (crc.getValue.toInt != be32(b, p + 8 + len))
+        fail(s"PNG $ctype chunk fails its CRC")
+      ctype match {
+        case "IHDR" => ihdr = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
+        case "tRNS" => hasTrns = true
+        case "acTL" =>
+          if (len < 8) fail("APNG acTL too short")
+          numFrames = be32(b, p + 8)
+        case "fcTL" =>
+          if (len < 26) fail("APNG fcTL too short")
+          frames += Fc(be32(b, p + 12), be32(b, p + 16),
+            be32(b, p + 20), be32(b, p + 24),
+            b(p + 8 + 24) & 0xFF, b(p + 8 + 25) & 0xFF,
+            new java.io.ByteArrayOutputStream())
+          if (!sawIdat) idatIsFrame = true
+        case "IDAT" =>
+          sawIdat = true
+          if (idatIsFrame && frames.nonEmpty)
+            frames.head.data.write(b, p + 8, len)
+        case "fdAT" =>
+          if (len < 4) fail("APNG fdAT too short")
+          if (frames.isEmpty) fail("APNG fdAT before any fcTL")
+          frames.last.data.write(b, p + 12, len - 4) // past sequence_number
+        case "IEND" => done = true
+        case _ => ()
+      }
+      p += 12 + len
+    }
+    if (ihdr == null) fail("PNG has no IHDR")
+    if (numFrames < 0) fail("APNG has no acTL")
+    if (n >= frames.length)
+      fail(s"APNG has ${frames.length} frames, frame $n requested")
+    val sw = be32(ihdr, 0); val sh = be32(ihdr, 4)
+    checkDims(sw, sh, "APNG screen")
+    val colorType = ihdr(9) & 0xFF
+    val canvas = new Array[Byte](sw * sh) // starts black (transparent)
+    var k = 0
+    while (k <= n) {
+      val f = frames(k)
+      if (f.blend == 1 && (colorType == 4 || colorType == 6 || hasTrns))
+        fail("APNG blend-over with an alpha channel (or tRNS) is out of scope")
+      if (f.w <= 0 || f.h <= 0 || f.x < 0 || f.y < 0 ||
+          f.x + f.w > sw || f.y + f.h > sh)
+        fail(s"APNG frame rect ${f.w}x${f.h}+${f.x}+${f.y} outside ${sw}x$sh")
+      // re-wrap the frame's independent zlib stream as a standalone
+      // PNG and run the FULL single-image machinery on it
+      val sub = wrapPng(ihdr, f.w, f.h, plte, f.data.toByteArray)
+      val r = decodePng(sub)
+      val prev = if (k < n && f.dispose == 2) canvas.clone() else null
+      var y = 0
+      while (y < f.h) {
+        System.arraycopy(r.luma, y * f.w, canvas, (f.y + y) * sw + f.x, f.w)
+        y += 1
+      }
+      if (k < n) f.dispose match {
+        case 1 =>
+          var yy = f.y
+          while (yy < f.y + f.h) {
+            java.util.Arrays.fill(canvas, yy * sw + f.x, yy * sw + f.x + f.w,
+              0.toByte)
+            yy += 1
+          }
+        case 2 => System.arraycopy(prev, 0, canvas, 0, canvas.length)
+        case _ => ()
+      }
+      k += 1
+    }
+    Raster(sw, sh, canvas)
+  }
+
+  /** A standalone PNG from an APNG frame's parts: the original IHDR
+    * patched to the frame rect, the shared PLTE, the frame's zlib
+    * stream as one IDAT — CRCs recomputed so [[decodePng]]'s
+    * validation applies to the synthesized container too. */
+  private def wrapPng(ihdr: Array[Byte], w: Int, h: Int,
+      plte: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 128)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    def chunk(name: String, body: Array[Byte]): Unit = {
+      def be(v: Int): Unit = { out.write(v >>> 24); out.write((v >> 16) & 0xFF)
+        out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      be(body.length)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(nb); out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(nb); crc.update(body)
+      be(crc.getValue.toInt)
+    }
+    val hdr = ihdr.clone()
+    hdr(0) = (w >>> 24).toByte; hdr(1) = ((w >> 16) & 0xFF).toByte
+    hdr(2) = ((w >> 8) & 0xFF).toByte; hdr(3) = (w & 0xFF).toByte
+    hdr(4) = (h >>> 24).toByte; hdr(5) = ((h >> 16) & 0xFF).toByte
+    hdr(6) = ((h >> 8) & 0xFF).toByte; hdr(7) = (h & 0xFF).toByte
+    chunk("IHDR", hdr)
+    if (plte != null) chunk("PLTE", plte)
+    chunk("IDAT", data)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** Apply an EXIF orientation (1-8) so the raster reads in DISPLAY
     * order: 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
     * 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW (values outside
@@ -953,6 +1243,45 @@ object PixelDecode {
     }
     bits
   }
+}
+
+/** Frame-N perceptual hash for ANIMATED payloads —
+  * [[PixelDecode.phash64]] over [[PixelDecode.decodeFrame]]'s
+  * composed canvas: the animated-re-encode near-dup case (a banner
+  * gif of a static image hashes with its still twin; frame sampling
+  * across the first [[PixelDecode.MaxFrames]]). Null for a frame
+  * past the payload's count when `tolerant`; loud otherwise. */
+case class PixelFramePhash(child: Expression, frame: Int,
+    tolerant: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = tolerant
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"PixelFramePhash needs a binary payload, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (tolerant)
+      try PixelDecode.phash64(PixelDecode.decodeFrame(b, frame))
+      catch { case _: Exception => null }
+    else PixelDecode.phash64(PixelDecode.decodeFrame(b, frame))
+  }
+
+  override protected def withNewChildInternal(c: Expression): PixelFramePhash =
+    copy(child = c)
+}
+
+object PixelFramePhash {
+  def apply(payload: Column, frame: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(PixelFramePhash(
+      org.apache.spark.sql.graft.ColumnBridge.expression(payload), frame))
 }
 
 /** The perceptual hash as a column expression: decoded-pixel

@@ -293,6 +293,187 @@ class PixelSpec extends AnyFunSuite {
       .sameElements(SynthPng.pixels(gifText)))
   }
 
+  test("animation frame-N: GIF disposal/transparency, APNG fcTL/fdAT, static re-encode hashes") {
+    import graft.functions.expressions.SynthPng
+    // minimal valid LZW: literal 9-bit codes with a CLEAR every <=252
+    // (the uncompressed-GIF technique — decoder table never widens)
+    def lzw(idx: Array[Byte]): Array[Byte] = {
+      val codes = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var bits = 0
+      def put(c: Int): Unit = {
+        acc |= (c.toLong & 0x1FF) << bits; bits += 9
+        while (bits >= 8) { codes.write((acc & 0xFF).toInt); acc >>>= 8; bits -= 8 }
+      }
+      put(256)
+      idx.zipWithIndex.foreach { case (v, i) =>
+        if (i > 0 && i % 250 == 0) put(256)
+        put(v & 0xFF)
+      }
+      put(257)
+      if (bits > 0) codes.write((acc & 0xFF).toInt)
+      codes.toByteArray
+    }
+    // multi-frame GIF builder: (rect, idx, disposal, transparentIdx)
+    def gif(sw: Int, sh: Int, bg: Int,
+        frames: Seq[((Int, Int, Int, Int), Array[Byte], Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("GIF89a".getBytes); le16(sw); le16(sh)
+      out.write(0xF7); out.write(bg); out.write(0)
+      (0 until 256).foreach { i => out.write(i); out.write(i); out.write(i) }
+      frames.foreach { case ((fx, fy, w, h), idx, disposal, trans) =>
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write((disposal << 2) | (if (trans >= 0) 1 else 0))
+        le16(0); out.write(math.max(trans, 0)); out.write(0)
+        out.write(0x2C); le16(fx); le16(fy); le16(w); le16(h); out.write(0)
+        out.write(8)
+        val cb = lzw(idx)
+        var p = 0
+        while (p < cb.length) {
+          val n = math.min(255, cb.length - p)
+          out.write(n); out.write(cb, p, n); p += n
+        }
+        out.write(0)
+      }
+      out.write(0x3B)
+      out.toByteArray
+    }
+    // frame 0 full screen, frame 1 a rect with a TRANSPARENT pixel
+    // (underlying canvas shows through), frame 2 after a disposal-2
+    // frame (rect restored to background before it draws)
+    val f0 = Array.tabulate[Byte](8 * 4)(i => (10 + i).toByte)
+    val f1 = Array[Byte](99, 7, 98.toByte, 97.toByte) // 2x2, idx 7 transparent
+    val g = gif(8, 4, 5, Seq(
+      ((0, 0, 8, 4), f0, 0, -1),
+      ((2, 1, 2, 2), f1, 0, 7)))
+    val r0 = PixelDecode.decodeFrame(g, 0)
+    assert(r0.w == 8 && r0.h == 4 && r0.luma.sameElements(f0))
+    val r1 = PixelDecode.decodeFrame(g, 1)
+    val want1 = f0.clone()
+    want1(1 * 8 + 2) = 99 // (2,1)
+    // (3,1) = idx 7 transparent -> keeps f0's value
+    want1(2 * 8 + 2) = 98.toByte
+    want1(2 * 8 + 3) = 97.toByte
+    assert(r1.luma.sameElements(want1),
+      s"${r1.luma.toSeq} vs ${want1.toSeq}")
+    // disposal 2: frame 1's rect restores to BACKGROUND before frame 2
+    val g2 = gif(8, 4, 5, Seq(
+      ((0, 0, 8, 4), f0, 0, -1),
+      ((2, 1, 2, 2), Array[Byte](40, 41, 42, 43), 2, -1),
+      ((0, 0, 1, 1), Array[Byte](77), 0, -1)))
+    val r2 = PixelDecode.decodeFrame(g2, 2)
+    val want2 = f0.clone()
+    want2(0) = 77
+    want2(1 * 8 + 2) = 5; want2(1 * 8 + 3) = 5 // bg index 5 -> luma 5
+    want2(2 * 8 + 2) = 5; want2(2 * 8 + 3) = 5
+    assert(r2.luma.sameElements(want2), r2.luma.toSeq.toString)
+    // disposal 3: restore to PREVIOUS canvas instead
+    val g3 = gif(8, 4, 5, Seq(
+      ((0, 0, 8, 4), f0, 0, -1),
+      ((2, 1, 2, 2), Array[Byte](40, 41, 42, 43), 3, -1),
+      ((0, 0, 1, 1), Array[Byte](77), 0, -1)))
+    val want3 = f0.clone(); want3(0) = 77
+    assert(PixelDecode.decodeFrame(g3, 2).luma.sameElements(want3))
+    // the static-re-encode near-dup case: an animated GIF whose first
+    // frame is a static raster hashes WITH the static original
+    val text = "animated re-encode probe"
+    val static = SynthPng.pixels(text) // 64x48 luma
+    val anim = gif(64, 48, 0, Seq(
+      ((0, 0, 64, 48), static, 0, -1),
+      ((0, 0, 4, 4), Array.fill[Byte](16)(0), 0, -1)))
+    val staticHash = PixelDecode.phash64(
+      PixelDecode.decodeLuma(SynthPng.build(text)).get)
+    assert(PixelDecode.phash64(PixelDecode.decodeFrame(anim, 0)) == staticHash,
+      "frame 0 of the animated re-encode must hash with the static twin")
+    // ---- APNG: fcTL/fdAT with independent zlib streams ----
+    def pngChunk(out: java.io.ByteArrayOutputStream, name: String,
+        body: Array[Byte]): Unit = {
+      def be(v: Int): Unit = { out.write(v >>> 24); out.write((v >> 16) & 0xFF)
+        out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      be(body.length)
+      val nb = name.getBytes("US-ASCII")
+      out.write(nb); out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(nb); crc.update(body)
+      be(crc.getValue.toInt)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def grayRows(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      (0 until h).foreach { y => o.write(0); o.write(px, y * w, w) }
+      o.toByteArray
+    }
+    def be32b(v: Int) = Array[Byte]((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def fctl(seq: Int, w: Int, h: Int, x: Int, y: Int,
+        dispose: Int, blend: Int): Array[Byte] =
+      be32b(seq) ++ be32b(w) ++ be32b(h) ++ be32b(x) ++ be32b(y) ++
+        Array[Byte](0, 1, 0, 100, dispose.toByte, blend.toByte)
+    val aw = 6; val ah = 5
+    val apx0 = Array.tabulate[Byte](aw * ah)(i => (50 + i).toByte)
+    val patch = Array[Byte](9, 8, 7, 6) // 2x2 at (3,2)
+    val ao = new java.io.ByteArrayOutputStream()
+    ao.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    pngChunk(ao, "IHDR", be32b(aw) ++ be32b(ah) ++
+      Array[Byte](8, 0, 0, 0, 0)) // gray-8
+    pngChunk(ao, "acTL", be32b(2) ++ be32b(0))
+    pngChunk(ao, "fcTL", fctl(0, aw, ah, 0, 0, 0, 0))
+    pngChunk(ao, "IDAT", deflate(grayRows(apx0, aw, ah)))
+    pngChunk(ao, "fcTL", fctl(1, 2, 2, 3, 2, 0, 1)) // blend-over, no alpha
+    pngChunk(ao, "fdAT", be32b(2) ++ deflate(grayRows(patch, 2, 2)))
+    pngChunk(ao, "IEND", Array.empty[Byte])
+    val apng = ao.toByteArray
+    assert(PixelDecode.decodeFrame(apng, 0).luma.sameElements(apx0))
+    val a1 = PixelDecode.decodeFrame(apng, 1)
+    val wantA = apx0.clone()
+    wantA(2 * aw + 3) = 9; wantA(2 * aw + 4) = 8
+    wantA(3 * aw + 3) = 7; wantA(3 * aw + 4) = 6
+    assert(a1.luma.sameElements(wantA), a1.luma.toSeq.toString)
+    // plain decodeLuma still reads the default image (frame 0 here)
+    assert(PixelDecode.decodeLuma(apng).get.luma.sameElements(apx0))
+    // loud edges: past the frame count, past MaxFrames, single-frame
+    // formats, blend-over with an alpha-capable color type
+    assert(intercept[Exception](PixelDecode.decodeFrame(apng, 2))
+      .getMessage.contains("2 frames"))
+    assert(intercept[Exception](PixelDecode.decodeFrame(g, 5))
+      .getMessage.contains("frames"))
+    assert(intercept[Exception](
+      PixelDecode.decodeFrame(g, PixelDecode.MaxFrames))
+      .getMessage.contains("out of scope"))
+    val bmp = SynthPng.build((0 until 99).map(i => s"bmp probe $i")
+      .find(t => SynthPng.formatOf(t) == 4).get)
+    assert(PixelDecode.decodeFrame(bmp, 0).w > 0)
+    assert(intercept[Exception](PixelDecode.decodeFrame(bmp, 1))
+      .getMessage.contains("single-frame"))
+    // blend-over + tRNS (keyed transparency) is the declared loud edge
+    val to = new java.io.ByteArrayOutputStream()
+    to.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    pngChunk(to, "IHDR", be32b(aw) ++ be32b(ah) ++ Array[Byte](8, 0, 0, 0, 0))
+    pngChunk(to, "tRNS", Array[Byte](0, 50))
+    pngChunk(to, "acTL", be32b(2) ++ be32b(0))
+    pngChunk(to, "fcTL", fctl(0, aw, ah, 0, 0, 0, 0))
+    pngChunk(to, "IDAT", deflate(grayRows(apx0, aw, ah)))
+    pngChunk(to, "fcTL", fctl(1, 2, 2, 3, 2, 0, 1))
+    pngChunk(to, "fdAT", be32b(2) ++ deflate(grayRows(patch, 2, 2)))
+    pngChunk(to, "IEND", Array.empty[Byte])
+    assert(intercept[Exception](PixelDecode.decodeFrame(to.toByteArray, 1))
+      .getMessage.contains("blend-over"))
+    // PixelFramePhash column: tolerant nulls past the count
+    import SparkTestSession._
+    import spark.implicits._
+    val df = Seq(Tuple1(anim)).toDF("img")
+    val hashes = df.select(
+      graft.functions.expressions.PixelFramePhash(
+        org.apache.spark.sql.functions.col("img"), 0).as("h0")).head()
+    assert(hashes.getLong(0) == staticHash)
+  }
+
   test("phash: recompression is hamming 0, noise/resize small, different content far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val base = PixelDecode.phash64(Raster(SynthPng.W, SynthPng.H, SynthPng.pixels("the fast table scan runs")))
