@@ -125,6 +125,7 @@ object SparkEntry {
     "tx_ngrams" -> (TextAnalysis.ngrams _),
     "tx_scrub" -> (TextAnalysis.scrub _),
     "tx_pii" -> (TextAnalysis.pii _),
+    "tx_gopher" -> (TextAnalysis.gopher _),
     "tx_vocab" -> (TextAnalysis.vocab _),
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
@@ -1411,6 +1412,36 @@ object SparkEntry {
         |     '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
         |     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
         |FROM p ORDER BY doc_id""".stripMargin,
+    // tx_gopher: every signal replays in SQL over the same token /
+    // line splits; the rounded ratios compare exactly (round 4 both
+    // sides, double division both sides)
+    "tx_gopher" ->
+      """WITH b AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS w,
+        |  string_split(text, chr(10)) AS ln, text
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(w)::BIGINT AS word_count,
+        |  round(list_sum(list_transform(w, t -> length(t))) / len(w)::DOUBLE, 4)
+        |    AS mean_word_len,
+        |  round((len(regexp_extract_all(text, '#'))
+        |    + len(regexp_extract_all(text, '\.\.\.|…'))) / len(w)::DOUBLE, 4)
+        |    AS symbol_ratio,
+        |  round(len(list_filter(ln, l -> regexp_matches(ltrim(l), '^[-*•]')))
+        |    / len(ln)::DOUBLE, 4) AS bullet_ratio,
+        |  round(len(list_filter(ln, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+        |    / len(ln)::DOUBLE, 4) AS ellipsis_ratio,
+        |  round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        |    / len(w)::DOUBLE, 4) AS alpha_ratio,
+        |  len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and')))::BIGINT
+        |    AS stop_hits
+        | FROM b)
+        |SELECT *,
+        | (word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |  AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+        |  AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.8
+        |  AND stop_hits >= 2) AS gopher_pass
+        |FROM s ORDER BY doc_id""".stripMargin,
     "tx_vocab" ->
       """SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -192,6 +192,46 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** tx_gopher — the Gopher quality-rule battery (Rae et al. 2021,
+    * Appendix A — the production filter set web-scale curation runs
+    * beside the composite [[quality]] score): per-doc word count,
+    * mean word length, symbol-to-word ratio (# and ellipsis),
+    * bullet-started and ellipsis-ended LINE ratios, alphabetic-word
+    * ratio, and stopword hits, with the standard pass thresholds
+    * (50 ≤ words ≤ 100k, 3 ≤ mwl ≤ 10, symbols < 0.1, bullets < 0.9,
+    * ellipses < 0.3, alpha ≥ 0.8, ≥ 2 stopwords). One narrow per-row
+    * pass — higher-order array functions over one tokenize, no
+    * shuffle: the 100 TB shape. Every signal is SQL-replayable, so
+    * the full oracle hash-checks the battery; the clean corpus
+    * passes wholesale (spec injects rule-breaking docs per signal). */
+  def gopher(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lineArr = split($"text", "\n")
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", $"text", tokens($"text").as("w"), lineArr.as("ln"))
+      .select($"doc_id",
+        size($"w").cast("long").as("word_count"),
+        round(aggregate($"w", lit(0L), (a, t) => a + length(t)).cast("double") /
+          size($"w"), 4).as("mean_word_len"),
+        round((size(regexp_extract_all($"text", lit("#"), lit(0))) +
+          size(regexp_extract_all($"text", lit("\\.\\.\\.|…"), lit(0))))
+          .cast("double") / size($"w"), 4).as("symbol_ratio"),
+        round(size(filter($"ln", l => ltrim(l).rlike("^[-*•]")))
+          .cast("double") / size($"ln"), 4).as("bullet_ratio"),
+        round(size(filter($"ln", l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+          .cast("double") / size($"ln"), 4).as("ellipsis_ratio"),
+        round(size(filter($"w", t => t.rlike("[A-Za-z]")))
+          .cast("double") / size($"w"), 4).as("alpha_ratio"),
+        occurrences($"w", Stopwords).as("stop_hits"))
+      .withColumn("gopher_pass",
+        $"word_count".between(50L, 100000L) &&
+          $"mean_word_len".between(3.0, 10.0) &&
+          $"symbol_ratio" < 0.1 && $"bullet_ratio" < 0.9 &&
+          $"ellipsis_ratio" < 0.3 && $"alpha_ratio" >= 0.8 &&
+          $"stop_hits" >= 2L)
+      .orderBy($"doc_id")
+  }
+
   /** Corpus vocabulary stats: per-token document frequency and total
     * occurrences — the df/idf precursor (one explode + one partial-agg
     * groupBy; at 100 TB this is the canonical vocabulary-build job). */

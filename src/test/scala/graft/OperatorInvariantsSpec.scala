@@ -281,6 +281,53 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       "the ceiling must drop exactly the PII-heavy doc")
   }
 
+  test("tx_gopher rules: each signal trips on its own injected violator") {
+    import spark.implicits._
+    val good = Seq.fill(15)("the fast scan and a slow merge of the row").mkString(" ")
+    val docs = Seq(
+      (1L, good), // passes everything
+      (2L, "the a of and"), // word_count 4 < 50
+      (3L, Seq.fill(30)("a I " + "supercalifragilistic" * 3).mkString(" ")), // mwl > 10
+      (4L, good + " " + Seq.fill(20)("#").mkString(" ")), // symbols
+      (5L, (1 to 20).map(i => s"- item $i the a of and fast scan").mkString("\n")), // bullets
+      (6L, (1 to 20).map(i => s"the a of and fast scan row $i...").mkString("\n")), // ellipses
+      (7L, good + " " + Seq.fill(60)("12345").mkString(" ")), // alpha < 0.8
+      (8L, Seq.fill(60)("fast slow merge scan").mkString(" "))) // no stopwords
+      .toDF("doc_id", "text")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"tx_gopher_spec_${System.nanoTime()}").getPath
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.gopher(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"), out(1L).toString)
+    for (d <- 2L to 8L)
+      assert(!out(d).getAs[Boolean]("gopher_pass"), s"doc $d must fail: ${out(d)}")
+    // and each fails for ITS OWN signal
+    assert(out(2L).getAs[Long]("word_count") < 50)
+    assert(out(3L).getAs[Double]("mean_word_len") > 10.0)
+    assert(out(4L).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(out(5L).getAs[Double]("bullet_ratio") >= 0.9)
+    assert(out(6L).getAs[Double]("ellipsis_ratio") >= 0.3)
+    assert(out(7L).getAs[Double]("alpha_ratio") < 0.8)
+    assert(out(8L).getAs[Long]("stop_hits") < 2)
+    // driver-corpus shape, measured: the clean word salad trips only
+    // the word-count floor and (for stopword-free draws) the stopword
+    // minimum; the punctuation/alpha signals are clean on every doc,
+    // and both outcomes occur
+    val corpus = TextAnalysis.gopher(spark, sf).collect()
+    assert(corpus.exists(_.getAs[Boolean]("gopher_pass")))
+    assert(corpus.exists(r => !r.getAs[Boolean]("gopher_pass")))
+    corpus.foreach { r =>
+      assert(r.getAs[Boolean]("gopher_pass") ==
+        (r.getAs[Long]("word_count") >= 50 && r.getAs[Long]("stop_hits") >= 2),
+        s"only the word floor / stopword minimum may trip here: $r")
+      assert(r.getAs[Double]("symbol_ratio") == 0.0 &&
+        r.getAs[Double]("bullet_ratio") == 0.0 &&
+        r.getAs[Double]("ellipsis_ratio") == 0.0 &&
+        r.getAs[Double]("alpha_ratio") == 1.0)
+    }
+  }
+
   test("tx_selfrep ratios are consistent fractions") {
     val rows = TextAnalysis.selfrep(spark, sf).collect()
     assert(rows.nonEmpty)
