@@ -67,8 +67,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    CMap-stream encodings resolve cidchar/cidrange (+Identity
   *    usecmap base) through the font's own tables; the pre-Unicode
   *    JIS orderings (H/V/Add/Ext via x-JIS0208, 83pv/90pv-RKSJ via
-  *    Shift-JIS) decode too; the charset-less tail (KSC-H/V,
-  *    GB-H/V) fails loudly;
+  *    Shift-JIS) decode too, and the raw 94×94 Korean/Chinese
+  *    orderings (KSC-H/V, GB-H/V) offset-decode through EUC-KR /
+  *    EUC-CN (codes = EUC bytes minus the high bit); Johab and the
+  *    post-2000 ordering names fail loudly;
   *  - the block bbox anchors at the block's first text origin with a
   *    deterministic Helvetica-ish extent estimate (x1 = x0 +
   *    0.5·size·chars, y1 = y0 + size) — real layout analysis is a
@@ -1153,10 +1155,16 @@ object ParsePdf {
           case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
           case None => CharsetFont(ByteCMaps(e))
         }
+      // the raw 94x94 orderings (KSC-H/V, GB-H/V): codes = EUC bytes
+      // minus the high bit — offset-decode through EUC-KR / EUC-CN
+      case Some(e) if EucRawCMaps.contains(e) =>
+        ref(fdict, "/ToUnicode") match {
+          case Some(tu) => CidFont(parseToUnicode(latin1full(streamOf(doc, tu))))
+          case None => EucRawFont(EucRawCMaps(e))
+        }
       // a Type0 font with ANY other predefined CMap name is out of
-      // scope LOUDLY — the raw KS X 1001 / GB 2312 orderings
-      // (KSC-H/V, GB-H/V) have no JDK charset, and a contains("-")
-      // style fallback would silently read them as Latin-1 mojibake
+      // scope LOUDLY — a contains("-") style fallback would silently
+      // read Johab/UniJIS2004-class orderings as Latin-1 mojibake
       case Some(e) if isType0(fdict) =>
         fail(s"unsupported composite-font CMap /$e in font $objNum")
       case Some(_) => SimpleFont // /WinAnsiEncoding etc.: Latin-1 scope
@@ -1210,9 +1218,12 @@ object ParsePdf {
     * at first use — absence fails by name, never mojibake); the
     * 83pv / 90pv Mac flavors are Shift-JIS-coded, so they ride the
     * base charset (their Apple-gaiji rows REPORT-fail loudly, never
-    * silently substitute). The remaining tail (KSC-H/V, GB-H/V —
-    * raw KS X 1001 / GB 2312 codes with no JDK charset) stays loud
-    * below. */
+    * silently substitute). Round 15 closes the Korean/Chinese raw
+    * orderings the same way: KSC-H/V and GB-H/V carry raw 94×94
+    * KS X 1001 / GB 2312 codes = the EUC bytes minus the high bit —
+    * [[EucRawFont]] offsets and decodes EUC-KR / EUC-CN
+    * ([[EucRawCMaps]]). What remains loud: Johab, UniJIS2004, and
+    * the other post-2000 ordering names. */
   private val ByteCMaps: Map[String, String] = {
     def hv(base: String, cs: String): Seq[(String, String)] =
       Seq(s"$base-H" -> cs, s"$base-V" -> cs)
@@ -1230,6 +1241,12 @@ object ParsePdf {
       hv("Add", "x-JIS0208") ++ hv("Ext", "x-JIS0208") ++
       Seq("83pv-RKSJ-H" -> "Shift_JIS", "90pv-RKSJ-H" -> "Shift_JIS")).toMap
   }
+
+  /** The raw 94×94 orderings → the EUC charset their codes offset
+    * into (see [[EucRawFont]]). */
+  private val EucRawCMaps: Map[String, String] = Map(
+    "KSC-H" -> "EUC-KR", "KSC-V" -> "EUC-KR",
+    "GB-H" -> "EUC-CN", "GB-V" -> "EUC-CN")
 
   private def isType0(fdict: String): Boolean =
     """/Subtype\s*/Type0\b""".r.findFirstIn(fdict).isDefined
@@ -1441,10 +1458,35 @@ object ParsePdf {
     * code → TEXT, never code → CID → glyph. */
   private[expressions] final case class CharsetFont(charset: String)
       extends FontMode
+  /** Raw ISO-2022-style 94×94 registry CMap (KSC-H/V, GB-H/V): the
+    * character codes are raw KS X 1001 / GB 2312 row-column byte
+    * pairs (each byte 0x21–0x7E) — exactly the EUC encoding minus
+    * the high bit. Text recovers by OR-ing 0x80 onto each byte and
+    * decoding EUC-KR / EUC-CN: the same no-registry-files trick as
+    * the JIS H/V orderings, whose x-JIS0208 charset happens to take
+    * the raw form directly where Korean/Chinese have no raw-code JDK
+    * charset. 2-byte-only code space, validated before the offset. */
+  private[expressions] final case class EucRawFont(charset: String)
+      extends FontMode
   /** Simple font with /Differences: remapped bytes read through `map`,
     * the rest stay Latin-1 (the base-encoding scope). */
   private[expressions] final case class DiffFont(map: Map[Int, String])
       extends FontMode
+
+  /** Strict legacy-charset decode shared by [[CharsetFont]] and
+    * [[EucRawFont]]: REPORT error actions — malformed or unmappable
+    * bytes are unrecoverable text, loud, never silent U+FFFD. */
+  private def decodeCharsetStrict(bytes: Array[Byte], cs: String): String = {
+    val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        fail(s"string bytes are not valid $cs under the font's " +
+          s"byte-oriented registry CMap (${e.getClass.getSimpleName})")
+    }
+  }
 
   /** Glyph name → text: the AGL `uniXXXX`/`uXXXXXX` rules plus the
     * Adobe-Glyph-List subset covering Standard/WinAnsi/Latin-1 names
@@ -1652,15 +1694,23 @@ object ParsePdf {
           val bytes = new Array[Byte](raw.length)
           var bi = 0
           while (bi < raw.length) { bytes(bi) = raw.charAt(bi).toByte; bi += 1 }
-          val dec = java.nio.charset.Charset.forName(cs).newDecoder()
-            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-          try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-          catch {
-            case e: java.nio.charset.CharacterCodingException =>
-              fail(s"string bytes are not valid $cs under the font's " +
-                s"byte-oriented registry CMap (${e.getClass.getSimpleName})")
+          decodeCharsetStrict(bytes, cs)
+        case EucRawFont(cs) =>
+          // raw 94x94 codes: validate the 0x21-0x7E 2-byte space,
+          // OR 0x80 onto each byte, decode the EUC charset strictly
+          if (raw.length % 2 != 0)
+            fail("odd-length string shown with a 2-byte raw-ordering font")
+          val bytes = new Array[Byte](raw.length)
+          var bi = 0
+          while (bi < raw.length) {
+            val v = raw.charAt(bi).toInt & 0xFF
+            if (v < 0x21 || v > 0x7E)
+              fail(f"byte 0x$v%02X outside the 94x94 raw code space " +
+                s"of the $cs-backed ordering")
+            bytes(bi) = (v | 0x80).toByte
+            bi += 1
           }
+          decodeCharsetStrict(bytes, cs)
         case Ucs2Font =>
           if (raw.length % 2 != 0)
             fail("odd-length string shown with a 2-byte UCS2 font")

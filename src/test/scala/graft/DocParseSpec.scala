@@ -1345,13 +1345,13 @@ class DocParseSpec extends AnyFunSuite {
       Seq(streamObj(cmap)), "6F22"))
     assert(rows.length == 1 && rows(0).getString(3) == "X", rows.toSeq.toString)
     // scope edges stay loud: lone surrogate, a registry ordering with
-    // no JDK charset (raw KS X 1001 codes)
+    // no byte-level charset story (Johab)
     val e1 = intercept[Exception](parsePdfBytes(cidPdf(
       "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /UniJIS-UCS2-H >>",
       Nil, "D800")))
     assert(e1.getMessage.contains("surrogate"), e1.getMessage)
     val e2 = intercept[Exception](parsePdfBytes(cidPdf(
-      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /KSC-H >>",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /CJK /Encoding /Johab-H >>",
       Nil, "4141")))
     assert(e2.getMessage.contains("unsupported composite-font CMap"), e2.getMessage)
   }
@@ -1408,9 +1408,29 @@ class DocParseSpec extends AnyFunSuite {
       val pv = cid(enc, "8ABF8E9A")
       assert(pv.length == 1 && pv(0).getString(3) == "漢字", s"$enc: ${pv.toSeq}")
     }
-    // the orderings with no JDK charset (raw KS X 1001 / GB 2312
-    // codes) stay out of scope, loudly
-    val iso = intercept[Exception](cid("KSC-H", "4141"))
+    // round 15: the raw 94x94 Korean/Chinese orderings decode via the
+    // EUC offset (codes = EUC bytes minus the high bit). Golden
+    // bytes: raw 0x2121 = ideographic space in BOTH collections; raw
+    // 0x3021 -> EUC 0xB0A1 = U+AC00 (KS X 1001's first hangul) /
+    // U+554A (GB 2312's first level-1 hanzi)
+    for (enc <- Seq("KSC-H", "KSC-V")) {
+      val ks = cid(enc, "21213021")
+      assert(ks.length == 1 && ks(0).getString(3) == "　가",
+        s"$enc: ${ks.toSeq}")
+    }
+    for (enc <- Seq("GB-H", "GB-V")) {
+      val gb0 = cid(enc, "21213021")
+      assert(gb0.length == 1 && gb0(0).getString(3) == "　啊",
+        s"$enc: ${gb0.toSeq}")
+    }
+    // bytes outside the 94x94 space / odd length: loud, never offset
+    // into accidental EUC
+    val oob = intercept[Exception](cid("KSC-H", "2110"))
+    assert(oob.getMessage.contains("94x94"), oob.getMessage)
+    val odd = intercept[Exception](cid("GB-H", "212130"))
+    assert(odd.getMessage.contains("odd-length"), odd.getMessage)
+    // orderings with no byte-level charset story stay out of scope
+    val iso = intercept[Exception](cid("Johab-H", "4141"))
     assert(iso.getMessage.contains("unsupported composite-font CMap"), iso.getMessage)
   }
 
@@ -1608,11 +1628,11 @@ class DocParseSpec extends AnyFunSuite {
     assert(err(onePage(
       "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>",
       "BT /F2 12 Tf <0001> Tj ET\n")).contains("no /ToUnicode"))
-    // the charset-less registry orderings (raw KS X 1001 / GB 2312
-    // codes) stay out of scope — loud (the UCS2/UTF16, byte-oriented,
-    // and JIS/pv families now decode)
+    // registry orderings with no byte-level charset story (Johab,
+    // post-2000 names) stay out of scope — loud (the UCS2/UTF16,
+    // byte-oriented, JIS/pv, and raw 94x94 families now decode)
     assert(err(onePage(
-      "<< /Type /Font /Subtype /Type0 /Encoding /KSC-H >>",
+      "<< /Type /Font /Subtype /Type0 /Encoding /Johab-H >>",
       "BT /F2 12 Tf (x) Tj ET\n")).contains("unsupported composite-font CMap"))
     // a CID without a mapping — loud, names the code
     val cmapSmall = "1 beginbfchar\n<0001> <0041>\nendbfchar\n"
