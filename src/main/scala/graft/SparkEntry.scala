@@ -126,6 +126,7 @@ object SparkEntry {
     "tx_scrub" -> (TextAnalysis.scrub _),
     "tx_pii" -> (TextAnalysis.pii _),
     "tx_gopher" -> (TextAnalysis.gopher _),
+    "tx_rep" -> (TextAnalysis.repetition _),
     "tx_vocab" -> (TextAnalysis.vocab _),
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
@@ -1442,6 +1443,97 @@ object SparkEntry {
         |  AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.8
         |  AND stop_hits >= 2) AS gopher_pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    // tx_rep: the md5-gated payload, the line/para duplicate mass, the
+    // normalized-stream gram offsets (window cumsum), the top-gram
+    // chars, and the duplicated-gram interval union all replay in SQL;
+    // round-4 double division both sides
+    "tx_rep" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) h, md5(reverse(text)) h2,
+        |  ${(0 until 8).map(k => s"' rep' || substring(md5(text),${13 + 2 * k},2)")
+             .mkString(" || ")} AS ph
+        | FROM documents),
+        |p AS (SELECT doc_id, concat(text,
+        |  CASE WHEN ('0x' || substring(h,5,2))::BIGINT % 3 != 2
+        |    THEN ph || ph || ph ELSE '' END,
+        |  CASE WHEN ('0x' || substring(h,1,2))::BIGINT % 3 != 0
+        |    THEN chr(10) || 'dupline ' || substring(h,1,6) ||
+        |         chr(10) || 'mid ' || substring(h2,1,4) ||
+        |         chr(10) || 'dupline ' || substring(h,1,6) ELSE '' END,
+        |  CASE WHEN ('0x' || substring(h,3,2))::BIGINT % 3 != 1
+        |    THEN chr(10) || chr(10) || 'duppara ' || substring(h,7,6) ||
+        |         chr(10) || chr(10) || 'pmid ' || substring(h2,5,4) ||
+        |         chr(10) || chr(10) || 'duppara ' || substring(h,7,6)
+        |    ELSE '' END) AS payload FROM d),
+        |b AS (SELECT doc_id,
+        |  list_filter(string_split(payload, chr(10)), l -> trim(l) != '') lns,
+        |  list_filter(string_split(payload, chr(10) || chr(10)),
+        |    l -> trim(l) != '') prs,
+        |  string_split_regex(trim(payload), '\\s+') w
+        | FROM p),
+        |base AS (SELECT doc_id,
+        |  round((len(lns) - len(list_distinct(lns))) / len(lns)::DOUBLE, 4)
+        |    AS dup_line_frac,
+        |  round((list_sum(list_transform(lns, x -> length(x)))
+        |       - list_sum(list_transform(list_distinct(lns), x -> length(x))))
+        |    / list_sum(list_transform(lns, x -> length(x)))::DOUBLE, 4)
+        |    AS dup_line_char_frac,
+        |  round((len(prs) - len(list_distinct(prs))) / len(prs)::DOUBLE, 4)
+        |    AS dup_para_frac,
+        |  round((list_sum(list_transform(prs, x -> length(x)))
+        |       - list_sum(list_transform(list_distinct(prs), x -> length(x))))
+        |    / list_sum(list_transform(prs, x -> length(x)))::DOUBLE, 4)
+        |    AS dup_para_char_frac,
+        |  (list_sum(list_transform(w, x -> length(x))) + len(w) - 1)::BIGINT
+        |    AS tot
+        | FROM b),
+        |t AS (SELECT doc_id, w, unnest(range(0, len(w))) AS s FROM b),
+        |g AS (SELECT doc_id, s, w,
+        |  coalesce(sum(length(w[(s+1)::INT]) + 1) OVER (PARTITION BY doc_id
+        |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0)::BIGINT AS off
+        | FROM t),
+        |gr AS (SELECT doc_id, ns.n, off,
+        |  array_to_string(w[(s+1)::INT:(s+ns.n)::INT], ' ') AS gram
+        | FROM g, (SELECT unnest(range(2, 11)) AS n) ns
+        | WHERE s + ns.n <= len(w)),
+        |cnts AS (SELECT doc_id, n, gram, count(*) AS cnt
+        | FROM gr GROUP BY 1, 2, 3),
+        |tp AS (SELECT doc_id, n, max(cnt * length(gram)) AS topchars
+        | FROM (SELECT *, max(cnt) OVER (PARTITION BY doc_id, n) mc
+        |       FROM cnts WHERE n BETWEEN 2 AND 4)
+        | WHERE cnt = mc GROUP BY 1, 2),
+        |tpp AS (SELECT doc_id,
+        |  sum(CASE WHEN n = 2 THEN topchars END) top2,
+        |  sum(CASE WHEN n = 3 THEN topchars END) top3,
+        |  sum(CASE WHEN n = 4 THEN topchars END) top4
+        | FROM tp GROUP BY 1),
+        |dk AS (SELECT doc_id, n, gram FROM cnts WHERE n >= 5 AND cnt >= 2),
+        |oc AS (SELECT gr.doc_id, gr.n, gr.off,
+        |  gr.off + length(gr.gram) AS e
+        | FROM gr JOIN dk USING (doc_id, n, gram)),
+        |pe AS (SELECT doc_id, n, off, e,
+        |  max(e) OVER (PARTITION BY doc_id, n ORDER BY off
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        | FROM oc),
+        |cv AS (SELECT doc_id,
+        |  ${(5 to 10).map(n => s"sum(CASE WHEN n = $n THEN " +
+             s"greatest(0, e - greatest(off, coalesce(prev_e, 0))) END) cov$n")
+             .mkString(", ")}
+        | FROM pe GROUP BY 1)
+        |SELECT base.doc_id, dup_line_frac, dup_line_char_frac,
+        |  dup_para_frac, dup_para_char_frac,
+        |  ${(2 to 4).map(n => s"round(coalesce(top$n, 0)::DOUBLE / tot, 4) " +
+             s"AS top_${n}gram_frac").mkString(", ")},
+        |  ${(5 to 10).map(n => s"round(coalesce(cov$n, 0)::DOUBLE / tot, 4) " +
+             s"AS dup_${n}gram_frac").mkString(", ")},
+        |  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |   AND ${TextAnalysis.RepTopMax.toSeq.sorted.map { case (n, m) =>
+             s"top_${n}gram_frac <= $m" }.mkString(" AND ")}
+        |   AND ${TextAnalysis.RepDupMax.toSeq.sorted.map { case (n, m) =>
+             s"dup_${n}gram_frac <= $m" }.mkString(" AND ")}) AS rep_pass
+        |FROM base LEFT JOIN tpp USING (doc_id) LEFT JOIN cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "tx_vocab" ->
       """SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -232,6 +232,169 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Pass ceilings for the [[repetition]] battery (Rae et al. 2021,
+    * Table A1): a doc passes when every fraction is at or below its
+    * ceiling. Keys are the n of top_{n}gram / dup_{n}gram. */
+  val RepTopMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val RepDupMax: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Total character length of an array of strings. */
+  private def charLen(a: Column): Column =
+    aggregate(a, lit(0L), (s, x) => s + length(x))
+
+  /** tx_rep — the Gopher REPETITION-removal battery (Rae et al. 2021,
+    * Appendix A.1.2 — the second half of the production filter set,
+    * beside [[gopher]]'s quality rules): per-doc duplicate line /
+    * paragraph fractions (count- and character-weighted), the
+    * character fraction covered by the single most frequent
+    * {2,3,4}-gram, and the character fraction covered by ANY
+    * duplicated {5..10}-gram (overlaps counted once — an interval
+    * union, the [[passageDedup]] machinery in character space), with
+    * the paper's pass ceilings ([[RepTopMax]]/[[RepDupMax]], dup
+    * line/para ≤ 0.30 by count and ≤ 0.20 by characters).
+    *
+    * Definitions: lines split on '\n', paragraphs on '\n\n'
+    * (whitespace-only entries dropped); n-gram character geometry is
+    * measured over the whitespace-NORMALIZED token stream (tokens
+    * joined by single spaces), which makes every offset a running sum
+    * both engines replay exactly. The duplicate-line/paragraph mass is
+    * pure array math (zero shuffle); the n-gram half is ONE token
+    * explode + ONE window pass (running char offset + 9 token leads
+    * build all nine gram widths linearly — never a per-gram array
+    * slice), a per-(doc, n, gram) partial-agg count, and a per-(doc,
+    * n) running-max interval union: the canonical 100 TB n-gram job.
+    *
+    * The driver corpus is single-line word salad, so each doc's
+    * payload deterministically injects md5-GATED repetition mass per
+    * axis (a duplicated line, a duplicated paragraph, a 3×-repeated
+    * 8-token phrase — period 8 over 24 tokens draws duplicate n-grams
+    * at every n in 5..10), the SynthWarc/tx_pii discipline: the
+    * battery under test is real, the fixture is arithmetic the SQL
+    * oracle replays verbatim. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrase = (0 until 8)
+      .map(k => s"' rep', substring(h,${13 + 2 * k},2)").mkString(", ")
+    val payload = expr(
+      s"""concat(text,
+         | CASE WHEN cast(conv(substring(h,5,2),16,10) as int) % 3 != 2
+         |   THEN concat($phrase, $phrase, $phrase) ELSE '' END,
+         | CASE WHEN cast(conv(substring(h,1,2),16,10) as int) % 3 != 0
+         |   THEN concat('\\ndupline ', substring(h,1,6),
+         |        '\\nmid ', substring(h2,1,4),
+         |        '\\ndupline ', substring(h,1,6)) ELSE '' END,
+         | CASE WHEN cast(conv(substring(h,3,2),16,10) as int) % 3 != 1
+         |   THEN concat('\\n\\nduppara ', substring(h,7,6),
+         |        '\\n\\npmid ', substring(h2,5,4),
+         |        '\\n\\nduppara ', substring(h,7,6)) ELSE '' END)""".stripMargin)
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+      .withColumn("h", md5($"text"))
+      .withColumn("h2", md5(reverse($"text")))
+      .select($"doc_id", payload.as("payload"))
+    repetitionSignals(docs)
+  }
+
+  /** The battery itself over a (doc_id, payload) frame — the unit the
+    * spec drives with hand-computed fixtures. See [[repetition]]. */
+  private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // line / paragraph duplicate mass: the chars (occurrences past the
+    // first) are total minus distinct — order-free, pure array math
+    def dupFrac(a: Column) = round(
+      (size(a) - size(array_distinct(a))).cast("double") / size(a), 4)
+    def dupCharFrac(a: Column) = round(
+      (charLen(a) - charLen(array_distinct(a))).cast("double") / charLen(a), 4)
+    val lns = filter(split($"payload", "\n"), l => trim(l) =!= lit(""))
+    val prs = filter(split($"payload", "\n\n"), p => trim(p) =!= lit(""))
+    val w = tokens($"payload")
+    val perDoc = docs
+      .withColumn("lns", lns).withColumn("prs", prs).withColumn("w", w)
+      .select($"doc_id",
+        dupFrac($"lns").as("dup_line_frac"),
+        dupCharFrac($"lns").as("dup_line_char_frac"),
+        dupFrac($"prs").as("dup_para_frac"),
+        dupCharFrac($"prs").as("dup_para_char_frac"),
+        (charLen($"w") + size($"w") - 1).cast("long").as("tot"))
+
+    // ONE token explode; ONE window spec serves the running char
+    // offset (normalized form: start_i = Σ len + i separators) and the
+    // 9 leads that assemble every gram width in linear time
+    val wn = Window.partitionBy($"doc_id").orderBy($"i")
+    val off = coalesce(sum((length($"tok") + 1).cast("long"))
+      .over(wn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val toks = docs
+      .select($"doc_id", posexplode(tokens($"payload")).as(Seq("i", "tok")))
+      .select($"doc_id" +: $"tok" +: off.as("off") +:
+        (1 to 9).map(k => lead($"tok", k).over(wn).as(s"t$k")): _*)
+    val gramStructs = array((2 to 10).map { n =>
+      val parts = $"tok" +: (1 until n).map(k => col(s"t$k"))
+      struct(lit(n).as("n"),
+        when(col(s"t${n - 1}").isNotNull, concat_ws(" ", parts: _*))
+          .as("gram"))
+    }: _*)
+    val grams = toks
+      .select($"doc_id", $"off", explode(gramStructs).as("g"))
+      .select($"doc_id", $"g.n".as("n"), $"g.gram".as("gram"), $"off")
+      .filter($"gram".isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = grams.groupBy($"doc_id", $"n", $"gram")
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // top_{2,3,4}gram: chars of the most frequent gram (count × its
+    // normalized length; count ties resolve to the max product — the
+    // largest fraction the doc can be charged with)
+    val maxc = max($"cnt").over(Window.partitionBy($"doc_id", $"n"))
+    val topAggs = (2 to 4).map(n =>
+      sum(when($"n" === n, $"topchars")).as(s"top$n"))
+    val tops = counts.filter($"n".between(2, 4))
+      .withColumn("mc", maxc).filter($"cnt" === $"mc")
+      .groupBy($"doc_id", $"n")
+      .agg(max($"cnt" * length($"gram")).as("topchars"))
+      .groupBy($"doc_id").agg(topAggs.head, topAggs.tail: _*)
+
+    // dup_{5..10}gram: chars under ANY duplicated gram, overlaps
+    // counted once — running-max interval union per (doc, n) over
+    // [off, off + len(gram)), the passageDedup idiom in char space
+    val dupKeys = counts.filter($"n" >= 5 && $"cnt" >= 2)
+      .select($"doc_id", $"n", $"gram")
+    val end = $"off" + length($"gram")
+    val prevEnd = max(end).over(Window.partitionBy($"doc_id", $"n")
+      .orderBy($"off").rowsBetween(Window.unboundedPreceding, -1))
+    val covAggs = (5 to 10).map(n =>
+      sum(when($"n" === n, $"new_cov")).as(s"cov$n"))
+    val covs = grams.filter($"n" >= 5)
+      .join(dupKeys, Seq("doc_id", "n", "gram"))
+      .select($"doc_id", $"n", $"off",
+        greatest(lit(0L), end - greatest($"off", coalesce(prevEnd, lit(0L))))
+          .as("new_cov"))
+      .groupBy($"doc_id").agg(covAggs.head, covAggs.tail: _*)
+
+    val passCond = Seq(
+      $"dup_line_frac" <= 0.30, $"dup_para_frac" <= 0.30,
+      $"dup_line_char_frac" <= 0.20, $"dup_para_char_frac" <= 0.20) ++
+      RepTopMax.toSeq.sortBy(_._1).map { case (n, m) =>
+        col(s"top_${n}gram_frac") <= m } ++
+      RepDupMax.toSeq.sortBy(_._1).map { case (n, m) =>
+        col(s"dup_${n}gram_frac") <= m }
+    val out = Tables.materialize(perDoc
+      .join(tops, Seq("doc_id"), "left")
+      .join(covs, Seq("doc_id"), "left")
+      .select(Seq($"doc_id", $"dup_line_frac", $"dup_line_char_frac",
+        $"dup_para_frac", $"dup_para_char_frac") ++
+        (2 to 4).map(n => round(coalesce(col(s"top$n"), lit(0L))
+          .cast("double") / $"tot", 4).as(s"top_${n}gram_frac")) ++
+        (5 to 10).map(n => round(coalesce(col(s"cov$n"), lit(0L))
+          .cast("double") / $"tot", 4).as(s"dup_${n}gram_frac")): _*)
+      .withColumn("rep_pass", passCond.reduce(_ && _)))
+    grams.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
+    out.orderBy($"doc_id")
+  }
+
   /** Corpus vocabulary stats: per-token document frequency and total
     * occurrences — the df/idf precursor (one explode + one partial-agg
     * groupBy; at 100 TB this is the canonical vocabulary-build job). */

@@ -328,6 +328,72 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_rep battery: hand-computed fractions on fixed payloads") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 kept lines, one duplicated; tokens aa bb cc aa bb cc dd
+      (1L, "aa bb cc\naa bb cc\ndd"),
+      // an 11-token stream with one repeated 5-token phrase
+      (2L, "x1 x2 x3 x4 x5 y x1 x2 x3 x4 x5"),
+      // 8 identical tokens: overlapping dup 5-grams must union, and
+      // the overlap-counted top fraction may legitimately exceed 1
+      (3L, "a a a a a a a a"),
+      // a duplicated paragraph (and nothing else repeated at n >= 5)
+      (4L, "p q r\n\ns t u v\n\np q r"))
+      .toDF("doc_id", "payload")
+    val out = graft.operators.TextAnalysis.repetitionSignals(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def d(id: Long, c: String) = out(id).getAs[Double](c)
+    // doc 1: lines [8,8,2] chars, dup mass 8/18; normalized 20 chars;
+    // top 2-gram "aa bb"x2 (len 5) = 10/20; top 3-gram 16/20; the
+    // 4-grams are all singletons so the top is 1 x 11 chars
+    assert(d(1L, "dup_line_frac") == 0.3333 &&
+      d(1L, "dup_line_char_frac") == 0.4444)
+    assert(d(1L, "dup_para_frac") == 0.0 && d(1L, "dup_para_char_frac") == 0.0)
+    assert(d(1L, "top_2gram_frac") == 0.5 && d(1L, "top_3gram_frac") == 0.8 &&
+      d(1L, "top_4gram_frac") == 0.55)
+    assert((5 to 10).forall(n => d(1L, s"dup_${n}gram_frac") == 0.0))
+    // doc 2: the repeated 5-gram covers [0,14) and [17,31) of 31
+    // normalized chars = 28/31; no dup at n >= 6
+    assert(d(2L, "dup_5gram_frac") == 0.9032)
+    assert((6 to 10).forall(n => d(2L, s"dup_${n}gram_frac") == 0.0))
+    // doc 3: four overlapping copies of "a a a a a" union to the whole
+    // 15-char stream; the top 2-gram is overlap-counted (7 x 3 chars)
+    assert(d(3L, "dup_5gram_frac") == 1.0)
+    assert(d(3L, "top_2gram_frac") == 1.4)
+    assert(!out(3L).getAs[Boolean]("rep_pass"))
+    // doc 4: paragraphs [5,7,5] chars with 5 duplicated; the single-\n
+    // split's empty entries drop, leaving 3 lines (1 duplicated)
+    assert(d(4L, "dup_para_frac") == 0.3333 &&
+      d(4L, "dup_para_char_frac") == 0.2941)
+    assert(d(4L, "dup_line_frac") == 0.3333)
+  }
+
+  test("tx_rep driver injections: every axis drawn AND gated off") {
+    val out = TextAnalysis.repetition(spark, sf).collect()
+    // md5-gated per axis: each repetition class appears somewhere and
+    // is absent somewhere (the zero draw proves the gate is live)
+    for (c <- Seq("dup_line_frac", "dup_para_frac", "dup_5gram_frac")) {
+      assert(out.exists(_.getAs[Double](c) > 0.0), s"$c never drawn")
+      assert(out.exists(_.getAs[Double](c) == 0.0), s"$c never gated off")
+    }
+    // the 3x-repeated 8-token phrase has period 8 over 24 tokens:
+    // whenever the phrase gate draws, EVERY n in 5..10 sees dup mass
+    val g = out.filter(_.getAs[Double]("dup_10gram_frac") > 0.0)
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      (5 to 10).foreach(n =>
+        assert(r.getAs[Double](s"dup_${n}gram_frac") > 0.0, r.toString))
+    }
+    assert(out.forall { r =>
+      (5 to 10).forall(n => r.getAs[Double](s"dup_${n}gram_frac") <= 1.0) &&
+        r.getAs[Double]("dup_line_frac") < 1.0
+    })
+    assert(out.exists(_.getAs[Boolean]("rep_pass")) &&
+      out.exists(!_.getAs[Boolean]("rep_pass")),
+      "both pass outcomes must occur on the injected corpus")
+  }
+
   test("tx_selfrep ratios are consistent fractions") {
     val rows = TextAnalysis.selfrep(spark, sf).collect()
     assert(rows.nonEmpty)
