@@ -870,9 +870,12 @@ object PixelDecode {
     * as PDF's /LZWDecode), or PackBits — 8-bit samples, gray (both
     * photometrics), RGB(A), and palette, with horizontal-differencing
     * predictor 2, in chunky or PLANAR (PlanarConfiguration 2,
-    * plane-ordered strips) sample layout. Tiled-planar,
-    * sub-byte/16-bit samples, and the CCITT/JPEG-in-TIFF compressions
-    * are loud scope edges. */
+    * plane-ordered strips) sample layout; 16-bit samples as the
+    * high-byte projection; and SUB-BYTE (1/2/4-bit) single-sample
+    * gray/palette as MSB-first packed rows on byte boundaries, gray
+    * scaled by 255/(2^bits-1). Tiled-planar, sub-byte predictor-2 /
+    * multi-sample, 16-bit palette, and the CCITT/JPEG-in-TIFF
+    * compressions are loud scope edges. */
   private def decodeTiff(b: Array[Byte]): Raster = {
     val le = b(0) == 'I'
     def u16(i: Int): Int =
@@ -928,11 +931,15 @@ object PixelDecode {
       fail(s"TIFF mixed bits-per-sample ${bits.mkString("/")}")
     // bytes per sample: 8- and 16-bit samples decode (16-bit takes the
     // high byte per the file byte order — the 8-bit projection, the
-    // PNG depth-16 rule); sub-byte depths stay loud
-    val bps = bits.head.toInt match {
-      case 8 => 1
+    // PNG depth-16 rule); sub-byte depths (1/2/4-bit fax-and-icon
+    // TIFFs) decode as MSB-first packed samples, single-sample
+    // gray/palette only, rows padded to byte boundaries per TIFF 6.0
+    val bitsN = bits.head.toInt
+    val packed = bitsN == 1 || bitsN == 2 || bitsN == 4
+    val bps = bitsN match {
+      case 1 | 2 | 4 | 8 => 1
       case 16 => 2
-      case o => fail(s"TIFF bits-per-sample $o (8/16 only)")
+      case o => fail(s"TIFF bits-per-sample $o (1/2/4/8/16 only)")
     }
     // planar configuration 2 = one PLANE per sample; with a single
     // sample the layouts coincide, so only multi-sample planar takes
@@ -948,7 +955,13 @@ object PixelDecode {
     val predictor = scalar(317, default = 1).toInt
     if (predictor != 1 && predictor != 2)
       fail(s"TIFF predictor $predictor")
-    val rowLen = w * spp * bps
+    if (packed) {
+      if (spp != 1)
+        fail(s"sub-byte TIFF with $spp samples per pixel is out of scope")
+      if (predictor != 1)
+        fail("sub-byte TIFF horizontal differencing is out of scope")
+    }
+    val rowLen = if (packed) (w * bitsN + 7) / 8 else w * spp * bps
     // one SEGMENT decompress for strips and tiles alike: codec switch,
     // the bomb bound at the segment's declared ceiling, short decodes
     // loud, horizontal differencing per row at the given SAMPLE stride
@@ -1026,18 +1039,24 @@ object PixelDecode {
       val down = (h + th - 1) / th
       if (offsets.length < across * down)
         fail(s"TIFF tile tables cover ${offsets.length} of ${across * down} tiles")
-      val tileRowLen = tw * spp * bps
+      // tile widths are 16-multiples, so a packed tile's column start
+      // (x0 * bits) always lands on a byte boundary — the byte-wise
+      // row copy stays exact at every sub-byte depth
+      val tileRowLen = if (packed) tw * bitsN / 8 else tw * spp * bps
       val expect = tileRowLen * th
       var t = 0
       while (t < across * down) {
         val data = segment(t, expect, expect, tileRowLen, spp, offsets, counts)
         val x0 = (t % across) * tw
         val y0 = (t / across) * th
-        val copyCols = math.min(tw, w - x0) * spp * bps
+        val copyCols =
+          if (packed) (math.min(tw, w - x0) * bitsN + 7) / 8
+          else math.min(tw, w - x0) * spp * bps
+        val colOff = if (packed) x0 * bitsN / 8 else x0 * spp * bps
         var r = 0
         while (r < th && y0 + r < h) {
           System.arraycopy(data, r * tileRowLen,
-            px, (y0 + r) * rowLen + x0 * spp * bps, copyCols)
+            px, (y0 + r) * rowLen + colOff, copyCols)
           r += 1
         }
         t += 1
@@ -1099,6 +1118,36 @@ object PixelDecode {
       }
     }
     val out = new Array[Byte](w * h)
+    if (packed) {
+      // MSB-first sub-byte samples; gray scales by 255/(2^bits - 1) so
+      // full-scale is exactly 255 at every depth (255 / 85 / 17 are
+      // integral), palette values index the ColorMap unscaled
+      val mask = (1 << bitsN) - 1
+      val scale = 255 / mask
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bit = x * bitsN
+          val v = ((px(y * rowLen + (bit >> 3)) & 0xFF) >>
+            (8 - bitsN - (bit & 7))) & mask
+          out(y * w + x) = photometric match {
+            case 0 => (255 - v * scale).toByte // WhiteIsZero
+            case 1 => (v * scale).toByte
+            case 3 =>
+              val m = colorMap.length / 3
+              if (v >= m) fail("TIFF palette index out of range")
+              luma((colorMap(v) >> 8).toInt & 0xFF,
+                (colorMap(m + v) >> 8).toInt & 0xFF,
+                (colorMap(2 * m + v) >> 8).toInt & 0xFF)
+            case other => fail(s"TIFF photometric $other is out of scope")
+          }
+          x += 1
+        }
+        y += 1
+      }
+      return Raster(w, h, out)
+    }
     // the sample's HIGH byte (16-bit takes the MSB per byte order —
     // the 8-bit projection)
     def hi(off: Int): Int =

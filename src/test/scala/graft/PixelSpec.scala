@@ -1058,6 +1058,135 @@ class PixelSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF sub-byte samples: 1/2/4-bit gray and palette decode; loud edges hold") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]) =
+      le16(tag) ++ le16(typ) ++ le32(count) ++ value.padTo(4, 0.toByte)
+    def lumaOf(bytes: Array[Byte]) = PixelDecode.decodeLuma(bytes).get
+
+    // 1-bit bilevel cross-validated against ImageIO's INDEPENDENT
+    // writer (TYPE_BYTE_BINARY -> a packed bilevel TIFF)
+    val bi = new BufferedImage(21, 7, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 7; x <- 0 until 21)
+      bi.setRGB(x, y, if ((x * 3 + y * 5) % 7 < 3) 0xFFFFFF else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+    wr.setOutput(ios); wr.write(bi); ios.close()
+    val r1 = lumaOf(bos.toByteArray)
+    assert(r1.w == 21 && r1.h == 7)
+    for (y <- 0 until 7; x <- 0 until 21)
+      assert((r1.luma(y * 21 + x) & 0xFF) ==
+        (if ((x * 3 + y * 5) % 7 < 3) 255 else 0), s"1-bit pixel ($x,$y)")
+
+    // hand-built 2-bit gray, 5x2 (rows pad to byte boundaries): gray
+    // scales by 85 so full scale is exactly 255
+    val g2Rows = Seq(Seq(0, 1, 2, 3, 0), Seq(3, 2, 1, 0, 3))
+    def pack(bits: Int, row: Seq[Int]): Array[Byte] = {
+      val out = new Array[Byte]((row.size * bits + 7) / 8)
+      for ((v, i) <- row.zipWithIndex)
+        out((i * bits) / 8) = (out((i * bits) / 8) |
+          (v << (8 - bits - (i * bits) % 8))).toByte
+      out
+    }
+    val g2px = g2Rows.flatMap(pack(2, _)).toArray
+    def grayTiff(bits: Int, w: Int, h: Int, comp: Int, px: Array[Byte],
+        photometric: Int = 1, predictor: Int = 1): Array[Byte] = {
+      val n = if (predictor != 1) 8 else 7
+      val pxOff = 8 + 2 + n * 12 + 4
+      "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+        le16(n) ++
+        entry(256, 3, 1, le16(w)) ++ entry(257, 3, 1, le16(h)) ++
+        entry(258, 3, 1, le16(bits)) ++ entry(259, 3, 1, le16(comp)) ++
+        entry(262, 3, 1, le16(photometric)) ++
+        entry(273, 4, 1, le32(pxOff)) ++
+        entry(279, 4, 1, le32(px.length)) ++
+        (if (predictor != 1) entry(317, 3, 1, le16(predictor))
+         else Array.empty[Byte]) ++
+        le32(0) ++ px
+    }
+    val r2 = lumaOf(grayTiff(2, 5, 2, 1, g2px))
+    assert(r2.luma.map(_ & 0xFF).toSeq ==
+      Seq(0, 85, 170, 255, 0, 255, 170, 85, 0, 255))
+    // the same payload through PackBits (literal runs) decompresses
+    // into the identical packed rows
+    val packed2 = Array[Byte]((g2px.length - 1).toByte) ++ g2px
+    val r2p = lumaOf(grayTiff(2, 5, 2, 32773, packed2))
+    assert(r2p.luma.toSeq == r2.luma.toSeq)
+    // 1-bit WhiteIsZero inverts: bit 1 -> black
+    val r1w = lumaOf(grayTiff(1, 2, 1, 1, Array[Byte](0x40), photometric = 0))
+    assert(r1w.luma.map(_ & 0xFF).toSeq == Seq(255, 0))
+
+    // hand-built 4-bit palette, 3x1: indexes 0/1/2 into a 16-entry
+    // ColorMap (16-bit entries, high byte read)
+    val cmOff = 8 + 2 + 8 * 12 + 4
+    val pxOff4 = cmOff + 48 * 2
+    val cm = (0 until 16).flatMap(i => le16(i match {
+      case 0 => 0xFF00; case 1 => 0x8000; case _ => 0x0000 })) ++
+      (0 until 16).flatMap(i => le16(if (i == 1) 0x8000 else 0)) ++
+      (0 until 16).flatMap(i => le16(if (i == 1) 0x8000 else 0))
+    val p4 = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+      le16(8) ++
+      entry(256, 3, 1, le16(3)) ++ entry(257, 3, 1, le16(1)) ++
+      entry(258, 3, 1, le16(4)) ++ entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(3)) ++
+      entry(273, 4, 1, le32(pxOff4)) ++ entry(279, 4, 1, le32(2)) ++
+      entry(320, 3, 48, le32(cmOff)) ++
+      le32(0) ++ cm ++ Array[Byte](0x01, 0x20)
+    // index 0 -> R=255 only, 1 -> gray 128, 2 -> black
+    assert(lumaOf(p4).luma.map(_ & 0xFF).toSeq ==
+      Seq((77 * 255 + 128) >> 8, 128, 0))
+
+    // hand-built TILED 1-bit: 16-multiple tile columns land on byte
+    // boundaries, edge tile padded
+    val tileHdr = 8 + 2 + 9 * 12 + 4
+    val tOffArr = tileHdr
+    val tCntArr = tileHdr + 8
+    val t0 = tileHdr + 16
+    val t1 = t0 + 32
+    val tile0 = (Array[Byte](0xAA.toByte, 0xAA.toByte) ++
+      Array[Byte](0x55, 0x55) ++ new Array[Byte](28))
+    val tile1 = (Array[Byte](0xC0.toByte, 0x00) ++
+      Array[Byte](0x30, 0x00) ++ new Array[Byte](28))
+    val tiled = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+      le16(9) ++
+      entry(256, 3, 1, le16(20)) ++ entry(257, 3, 1, le16(2)) ++
+      entry(258, 3, 1, le16(1)) ++ entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(1)) ++
+      entry(322, 3, 1, le16(16)) ++ entry(323, 3, 1, le16(16)) ++
+      entry(324, 4, 2, le32(tOffArr)) ++
+      entry(325, 4, 2, le32(tCntArr)) ++
+      le32(0) ++ le32(t0) ++ le32(t1) ++ le32(32) ++ le32(32) ++
+      tile0 ++ tile1
+    val rt = lumaOf(tiled)
+    assert(rt.w == 20 && rt.h == 2)
+    val row0 = (0 until 16).map(x => if (x % 2 == 0) 255 else 0) ++
+      Seq(255, 255, 0, 0)
+    val row1 = (0 until 16).map(x => if (x % 2 == 0) 0 else 255) ++
+      Seq(0, 0, 255, 255)
+    assert(rt.luma.take(20).map(_ & 0xFF).toSeq == row0)
+    assert(rt.luma.drop(20).map(_ & 0xFF).toSeq == row1)
+
+    // loud edges: sub-byte predictor 2; sub-byte multi-sample
+    val pred = intercept[Exception](PixelDecode.decodeLuma(
+      grayTiff(2, 5, 2, 1, g2px, predictor = 2)))
+    assert(pred.getMessage.contains("sub-byte TIFF horizontal differencing"))
+    val multi = "II".getBytes ++ Array[Byte](42, 0) ++ le32(8) ++
+      le16(8) ++
+      entry(256, 3, 1, le16(2)) ++ entry(257, 3, 1, le16(1)) ++
+      entry(258, 3, 3, le32(8 + 2 + 8 * 12 + 4)) ++
+      entry(259, 3, 1, le16(1)) ++ entry(262, 3, 1, le16(2)) ++
+      entry(277, 3, 1, le16(3)) ++
+      entry(273, 4, 1, le32(8 + 2 + 8 * 12 + 4 + 6)) ++
+      entry(279, 4, 1, le32(3)) ++
+      le32(0) ++ le16(4) ++ le16(4) ++ le16(4) ++ Array[Byte](0x12, 0x34, 0x56)
+    assert(intercept[Exception](PixelDecode.decodeLuma(multi))
+      .getMessage.contains("sub-byte TIFF with 3 samples"))
+  }
+
   // ---- WebP VP8L: hand-assembled bitstreams, one per decoder path
   // the literal-only synth encoder never emits. Every fixture is
   // spelled bit-by-bit from the lossless spec, so these are
