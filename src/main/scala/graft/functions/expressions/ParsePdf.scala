@@ -35,10 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    any other filter or predictor shape fails loudly by name;
   *  - encrypted documents (standard security handler §7.6.3) decrypt
   *    when the USER password is empty — the owner-locked shape almost
-  *    every encrypted crawl PDF has: /V 1/2 RC4 40-128, /V 4 with
+  *    every encrypted crawl PDF has — or matches the caller-supplied
+  *    `password` (tried after empty; Latin-1 §7.6.3.3 padding for
+  *    /R ≤ 4, UTF-8 for /V 5): /V 1/2 RC4 40-128, /V 4 with
   *    /CFM /V2 (RC4) or /AESV2 (AES-128-CBC via javax.crypto), and
   *    /V 5 AES-256 (/R 5 legacy SHA-256 and /R 6 ISO 32000-2 hardened
-  *    hash, /UE key unwrap, /Perms round-trip check); a non-empty
+  *    hash, /UE key unwrap, /Perms round-trip check); any other
   *    user password fails loudly against /U rather than emitting
   *    garbage;
   *  - page order comes from walking /Root → /Pages → /Kids (the
@@ -85,7 +87,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output schema = [[ParseGft]]'s:
   * (page_num, content_type, content_id, content_raw, x0, y0, x1, y1).
   */
-case class ParsePdf(child: Expression)
+case class ParsePdf(child: Expression, password: String = "")
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(new StructType()
@@ -108,7 +110,7 @@ case class ParsePdf(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    val doc = ParsePdf.parseObjects(bytes)
+    val doc = ParsePdf.parseObjects(bytes, password)
     val pages = ParsePdf.pageOrder(doc)
     val out = ArrayBuffer.empty[Any]
     // per-DOCUMENT font-table memo: pages routinely share fonts, and
@@ -147,9 +149,15 @@ case class ParsePdf(child: Expression)
 }
 
 object ParsePdf {
-  def apply(payload: Column): Column =
+  def apply(payload: Column): Column = apply(payload, "")
+
+  /** Column form with a candidate USER password for encrypted
+    * documents (the "enterprise dump with a known password" shape):
+    * the empty password is always tried first, then this one. */
+  def apply(payload: Column, password: String): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      ParsePdf(org.apache.spark.sql.graft.ColumnBridge.expression(payload)))
+      ParsePdf(org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        password))
 
   private def fail(what: String): Nothing =
     throw new IllegalArgumentException(s"PDF parse: $what")
@@ -163,7 +171,8 @@ object ParsePdf {
   /** objNum → (dictionary source, optional raw stream bytes). Linear
     * recovery scan; stream extents come from /Length when it is a
     * direct integer, else from the next `endstream`. */
-  private[expressions] def parseObjects(bytes: Array[Byte])
+  private[expressions] def parseObjects(bytes: Array[Byte],
+      password: String = "")
       : Map[Int, (String, Option[Array[Byte]])] = {
     val src = latin1(bytes, 0, bytes.length)
     // offset-based Matcher.find — no per-object tail copies (a 10 MB /
@@ -212,7 +221,7 @@ object ParsePdf {
       }
     }
     if (out.isEmpty) fail("no objects found (not a PDF or fully unsupported layout)")
-    expandObjectStreams(decryptIfNeeded(src, out.toMap))
+    expandObjectStreams(decryptIfNeeded(src, out.toMap, password))
   }
 
   /** Inline the objects packed in /Type /ObjStm containers (ISO 32000
@@ -279,19 +288,21 @@ object ParsePdf {
     d.digest()
   }
 
-  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash, specialized to
-    * the EMPTY password and no udata (the user-password form this
-    * reader supports): iterate SHA-256/384/512 over AES-128-CBC
-    * encryptions of 64 repetitions of the running key until ≥ 64
-    * rounds AND the last cipher byte ≤ round − 32. */
-  private def hardenedHash(salt: Array[Byte]): Array[Byte] = {
-    var k = sha(256, salt) // SHA-256(pwd ‖ salt) with pwd empty
+  /** ISO 32000-2 Algorithm 2.B — the R6 hardened hash for the USER
+    * password (no udata in the user form): iterate SHA-256/384/512
+    * over AES-128-CBC encryptions of 64 repetitions of pwd ‖ K until
+    * ≥ 64 rounds AND the last cipher byte ≤ round − 32. The 64×
+    * repetition keeps the block length a multiple of 16 for any
+    * password length. */
+  private def hardenedHash(pwd: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+    var k = sha(256, pwd, salt) // SHA-256(pwd ‖ salt)
     var round = 0
     var e: Array[Byte] = Array.emptyByteArray
     while (round < 64 || (e(e.length - 1) & 0xFF) > round - 32) {
-      val k1 = new Array[Byte](k.length * 64) // (pwd ‖ K ‖ udata) × 64
+      val unit = pwd ++ k // (pwd ‖ K ‖ udata) with no udata
+      val k1 = new Array[Byte](unit.length * 64)
       var i = 0
-      while (i < 64) { System.arraycopy(k, 0, k1, i * k.length, k.length); i += 1 }
+      while (i < 64) { System.arraycopy(unit, 0, k1, i * unit.length, unit.length); i += 1 }
       val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
@@ -434,19 +445,21 @@ object ParsePdf {
   }
 
   /** Decrypt every stream in an encrypted document (standard security
-    * handler, EMPTY user password — the owner-locked-but-openable
-    * shape almost every encrypted PDF in a crawl has): /V 1/2 = RC4
-    * (40–128 bit), /V 4 with /CFM /V2 = RC4 or /AESV2 = AES-128-CBC,
-    * /V 5 = AES-256 with /R 5 (SHA-256) or /R 6 (hardened-hash) key
-    * derivation and the /UE unwrap (javax.crypto, JDK-only). A
-    * NON-empty user password fails loudly against /U (algorithm 4/5,
-    * or 11 for /V 5) — there is no text to extract without the
-    * password, and guessing silently would emit garbage.
+    * handler): the EMPTY user password — the owner-locked-but-openable
+    * shape almost every encrypted PDF in a crawl has — is tried first,
+    * then the caller's `password`. /V 1/2 = RC4 (40–128 bit), /V 4
+    * with /CFM /V2 = RC4 or /AESV2 = AES-128-CBC, /V 5 = AES-256 with
+    * /R 5 (SHA-256) or /R 6 (hardened-hash) key derivation and the
+    * /UE unwrap (javax.crypto, JDK-only). A user password matching
+    * neither candidate fails loudly against /U (algorithm 4/5, or 11
+    * for /V 5) — there is no text to extract without the password,
+    * and guessing silently would emit garbage.
     * Scope: strings inside object DICTS stay encrypted (this reader
     * extracts text from content/CMap STREAMS only); object generation
     * assumed 0 (the linear-recovery scanner's existing rule). */
   private def decryptIfNeeded(src: String,
-      doc: Map[Int, (String, Option[Array[Byte]])])
+      doc: Map[Int, (String, Option[Array[Byte]])],
+      password: String)
       : Map[Int, (String, Option[Array[Byte]])] = {
     // last match wins — incremental updates append a newer trailer
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(src)
@@ -499,12 +512,23 @@ object ParsePdf {
       if (u.length < 48) fail(s"/V 5 /U entry is ${u.length} bytes (need 48)")
       val vSalt = u.slice(32, 40)
       val kSalt = u.slice(40, 48)
-      val hash = if (r == 5) sha(256, vSalt) else hardenedHash(vSalt)
-      if (!java.util.Arrays.equals(hash, u.take(32)))
-        fail("encrypted PDF: non-empty user password (cannot decrypt)")
+      // candidate order: the empty password first (the owner-locked
+      // crawl shape), then the caller's password — UTF-8 per ISO
+      // 32000-2 (SASLprep is the identity on the ASCII passwords in
+      // scope here)
+      val cands = Array.emptyByteArray +:
+        (if (password.nonEmpty)
+          Seq(password.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+         else Seq.empty)
+      val pwd = cands.find { c =>
+        val hash = if (r == 5) sha(256, c, vSalt) else hardenedHash(c, vSalt)
+        java.util.Arrays.equals(hash, u.take(32))
+      }.getOrElse(fail(if (password.isEmpty)
+        "encrypted PDF: non-empty user password (cannot decrypt)"
+      else "encrypted PDF: the supplied user password does not match /U"))
       val ue = stringValueOf(enc, "/UE").getOrElse(fail("/V 5 /Encrypt has no /UE"))
       if (ue.length != 32) fail(s"/V 5 /UE entry is ${ue.length} bytes (need 32)")
-      val inter = if (r == 5) sha(256, kSalt) else hardenedHash(kSalt)
+      val inter = if (r == 5) sha(256, pwd, kSalt) else hardenedHash(pwd, kSalt)
       val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
       c.init(javax.crypto.Cipher.DECRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(inter, "AES"),
@@ -532,24 +556,30 @@ object ParsePdf {
           .map(Integer.parseInt(_, 16).toByte).toArray)
         .getOrElse(fail("encrypted PDF without a hex /ID (key underivable)"))
       val keyLen = if (v == 1) 5 else math.max(5, math.min(16, lengthBits / 8))
-      // Algorithm 2 with the EMPTY user password; step f: when
-      // /R >= 4 and /EncryptMetadata is false, 0xFFFFFFFF joins the
-      // MD5 input after /ID — omitting it derives the wrong key for
-      // owner-locked R4 documents with plaintext metadata and
+      // Algorithm 2 over the padded password (§7.6.3.3 Table 3 — the
+      // bare pad constant for the empty password, else password bytes
+      // in Latin-1 with the pad appended, truncated to 32); step f:
+      // when /R >= 4 and /EncryptMetadata is false, 0xFFFFFFFF joins
+      // the MD5 input after /ID — omitting it derives the wrong key
+      // for owner-locked R4 documents with plaintext metadata and
       // misreports them as password-protected
       val pLe = Array[Byte](p.toByte, (p >> 8).toByte, (p >> 16).toByte,
         (p >> 24).toByte)
-      var h =
-        if (r >= 4 && metaPlain)
-          md5(PdfPad, o.take(32), pLe, id, Array[Byte](-1, -1, -1, -1))
-        else md5(PdfPad, o.take(32), pLe, id)
-      if (r >= 3) {
-        var i = 0
-        while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
+      def keyFor(pwdPad: Array[Byte]): Array[Byte] = {
+        var h =
+          if (r >= 4 && metaPlain)
+            md5(pwdPad, o.take(32), pLe, id, Array[Byte](-1, -1, -1, -1))
+          else md5(pwdPad, o.take(32), pLe, id)
+        if (r >= 3) {
+          var i = 0
+          while (i < 50) { h = md5(h.take(keyLen)); i += 1 }
+        }
+        h.take(keyLen)
       }
-      val key = h.take(keyLen)
-      // Algorithm 4 (R2) / 5 (R≥3): does the empty password open this?
-      val uOk =
+      // Algorithm 4 (R2) / 5 (R≥3): does this key open the document?
+      // (both sides of the check hash the PAD CONSTANT, never the
+      // candidate password — only the key derivation varies)
+      def uOk(key: Array[Byte]): Boolean =
         if (r == 2) java.util.Arrays.equals(rc4(key, PdfPad), u.take(32))
         else {
           var t = md5(PdfPad, id)
@@ -560,8 +590,14 @@ object ParsePdf {
           }
           java.util.Arrays.equals(t.take(16), u.take(16))
         }
-      if (!uOk) fail("encrypted PDF: non-empty user password (cannot decrypt)")
-      key
+      val cands = PdfPad +:
+        (if (password.nonEmpty)
+          Seq((password.getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1) ++ PdfPad).take(32))
+         else Seq.empty)
+      cands.map(keyFor).find(uOk).getOrElse(fail(if (password.isEmpty)
+        "encrypted PDF: non-empty user password (cannot decrypt)"
+      else "encrypted PDF: the supplied user password does not match /U"))
     }
     def objKey(num: Int): Array[Byte] =
       if (v == 5) fileKey // AES-256 uses the file key directly (§7.6.4)

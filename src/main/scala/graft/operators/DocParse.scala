@@ -364,7 +364,8 @@ object DocParse {
     * downstream plumbing (explode → per-channel embedding → store
     * append) is format-agnostic, which is the whole point of the
     * seam. */
-  def records(payloads: DataFrame, format: String = "gft"): DataFrame = {
+  def records(payloads: DataFrame, format: String = "gft",
+      pdfPassword: String = ""): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
     import graft.functions.expressions.{Inflate, ParseDocx, ParseHtml, ParsePdf, ParsePptx, ParseXlsx}
@@ -381,7 +382,7 @@ object DocParse {
       else lit(null).cast("string")
     val parsed = format match {
       case "gft" => ParseGft($"payload") // string container, never gzipped
-      case "pdf" => ParsePdf(p)
+      case "pdf" => ParsePdf(p, pdfPassword)
       case "pptx" => ParsePptx(p)
       case "docx" => ParseDocx(p)
       case "html" => ParseHtml(p, htmlHint)

@@ -752,6 +752,78 @@ class DocParseSpec extends AnyFunSuite {
       .contains("/Perms"), e2.toString)
   }
 
+  test("PDF: a SUPPLIED non-empty user password opens RC4 and AES-256 documents; a wrong one stays loud") {
+    def parseWithPw(bytes: Array[Byte], pw: String) =
+      Seq(1).toDF("i")
+        .select(explode(graft.functions.expressions.ParsePdf(lit(bytes), pw)).as("r"))
+        .select($"r.content_raw").collect().map(_.getString(0)).toSeq
+    val bothPages = Seq("rc4 secured page one", "flate under crypt two")
+    def loudWrong(bytes: Array[Byte], pw: String): Unit = {
+      val e = intercept[Exception](parseWithPw(bytes, pw))
+      assert((Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage)
+        .contains("does not match /U"), e.toString)
+    }
+    // RC4-40 V1 R2, user password "realuserpw"
+    val p = -1
+    var key2: Array[Byte] = null
+    val r2 = encryptedPdf(
+      id => {
+        val o = oEntry("ownerpw", "realuserpw", 5, 2)
+        key2 = fileKey("realuserpw", o, p, id, 5, 2)
+        s"<< /Filter /Standard /V 1 /R 2 /P $p /O ${hexStr(o)} " +
+          s"/U ${hexStr(rc4t(key2, pdfPad))} >>"
+      },
+      (data, num) => rc4t(objKeyT(key2, num, aes = false), data))
+    assert(parseWithPw(r2, "realuserpw") == bothPages)
+    loudWrong(r2, "wrongpw")
+    // RC4-128 V2 R3 (the 20x xor-keyed /U form over the PAD constant)
+    var key3: Array[Byte] = null
+    val r3 = encryptedPdf(
+      id => {
+        val o = oEntry("ownerpw", "realuserpw", 16, 3)
+        key3 = fileKey("realuserpw", o, -44, id, 16, 3)
+        s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+          s"/O ${hexStr(o)} /U ${hexStr(uEntry(key3, id))} >>"
+      },
+      (data, num) => rc4t(objKeyT(key3, num, aes = false), data))
+    assert(parseWithPw(r3, "realuserpw") == bothPages)
+    // AES-128 V4 /AESV2 with a user password
+    var key4: Array[Byte] = null
+    val r4 = encryptedPdf(
+      id => {
+        val o = oEntry("aesowner", "realuserpw", 16, 4)
+        key4 = fileKey("realuserpw", o, -3904, id, 16, 4)
+        s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -3904 " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/O ${hexStr(o)} /U ${hexStr(uEntry(key4, id))} >>"
+      },
+      (data, num) => aesEnc(objKeyT(key4, num, aes = true), data))
+    assert(parseWithPw(r4, "realuserpw") == bothPages)
+    // AES-256: R6 hardened hash and R5 legacy, password in the KDF
+    val k6 = Array.tabulate[Byte](32)(i => (i * 19 + 4).toByte)
+    val v6 = encryptedPdf(_ => v5Dict(k6, "realuserpw", -4, 6),
+      (data, _) => aesEnc(k6, data))
+    assert(parseWithPw(v6, "realuserpw") == bothPages)
+    loudWrong(v6, "wrongpw")
+    val k5 = Array.tabulate[Byte](32)(i => (i * 37 + 2).toByte)
+    val v5 = encryptedPdf(_ => v5Dict(k5, "realuserpw", -44, 5),
+      (data, _) => aesEnc(k5, data))
+    assert(parseWithPw(v5, "realuserpw") == bothPages)
+    // an EMPTY-password document still opens when a password is
+    // (unnecessarily) supplied — the empty candidate is tried first
+    var keyE: Array[Byte] = null
+    val open = encryptedPdf(
+      id => {
+        val o = oEntry("ownerpw", "", 16, 3)
+        keyE = fileKey("", o, -44, id, 16, 3)
+        s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+          s"/O ${hexStr(o)} /U ${hexStr(uEntry(keyE, id))} >>"
+      },
+      (data, num) => rc4t(objKeyT(keyE, num, aes = false), data))
+    assert(parseWithPw(open, "whatever") == bothPages)
+  }
+
   test("PDF: indirect /Font tables and Pages-inherited /Resources resolve (CID decodes, no mojibake)") {
     // real writers share one font table via '/Resources 8 0 R' on the
     // PAGES node (inherited) with '/Font 9 0 R' indirect — a reader
