@@ -127,6 +127,7 @@ object SparkEntry {
     "tx_pii" -> (TextAnalysis.pii _),
     "tx_gopher" -> (TextAnalysis.gopher _),
     "tx_rep" -> (TextAnalysis.repetition _),
+    "tx_c4" -> (TextAnalysis.c4 _),
     "tx_vocab" -> (TextAnalysis.vocab _),
     "tx_tfidf" -> (TextAnalysis.tfidf _),
     "tx_curate" -> (TextAnalysis.curate _),
@@ -1443,6 +1444,52 @@ object SparkEntry {
         |  AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.8
         |  AND stop_hits >= 2) AS gopher_pass
         |FROM s ORDER BY doc_id""".stripMargin,
+    // tx_c4: the gated payload assembly, the line-keep predicate, the
+    // page flags, and the cleaned-text digest all replay in SQL
+    "tx_c4" ->
+      """WITH d AS (SELECT doc_id, text, md5(text) h FROM documents),
+        |p AS (SELECT doc_id, concat_ws(chr(10),
+        |  concat(substring(text, 1, 40), ' end of part one.'),
+        |  'too short.',
+        |  substring(text, 41, 30),
+        |  CASE WHEN ('0x' || substring(h,1,2))::BIGINT % 2 = 0
+        |    THEN concat('the second sentence arrives here ',
+        |                substring(h,1,6), '.') ELSE NULL END,
+        |  CASE WHEN ('0x' || substring(h,3,2))::BIGINT % 2 = 0
+        |    THEN concat('a third sentence lands too ',
+        |                substring(h,7,6), '.') ELSE NULL END,
+        |  CASE WHEN ('0x' || substring(h,5,2))::BIGINT % 2 = 0
+        |    THEN 'please enable javascript to view this content.'
+        |    ELSE NULL END,
+        |  CASE WHEN ('0x' || substring(h,7,2))::BIGINT % 4 = 0
+        |    THEN 'lorem ipsum dolor sit amet.' ELSE NULL END,
+        |  CASE WHEN ('0x' || substring(h,9,2))::BIGINT % 4 = 0
+        |    THEN 'config { display }' ELSE NULL END,
+        |  CASE WHEN ('0x' || substring(h,11,2))::BIGINT % 4 = 0
+        |    THEN 'the forum post mentions xbadword openly.'
+        |    ELSE NULL END) AS payload FROM d),
+        |b AS (SELECT doc_id, payload,
+        |  string_split(payload, chr(10)) AS lns,
+        |  list_filter(string_split(payload, chr(10)), l ->
+        |    regexp_matches(rtrim(l), '[.!?"]$')
+        |    AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        | FROM p)
+        |SELECT doc_id,
+        | len(lns)::BIGINT AS n_lines,
+        | len(kept)::BIGINT AS kept_lines,
+        | len(list_filter(lns, l -> contains(lower(l), 'javascript')))::BIGINT
+        |   AS js_lines,
+        | contains(lower(payload), 'lorem ipsum') AS has_lorem,
+        | contains(payload, '{') AS has_brace,
+        | (contains(lower(payload), 'xbadword')
+        |  OR contains(lower(payload), 'xnastyword')) AS has_badword,
+        | md5(array_to_string(kept, chr(10))) AS clean_md5,
+        | (len(kept) >= 3 AND NOT contains(lower(payload), 'lorem ipsum')
+        |  AND NOT contains(payload, '{')
+        |  AND NOT (contains(lower(payload), 'xbadword')
+        |           OR contains(lower(payload), 'xnastyword'))) AS c4_keep
+        |FROM b ORDER BY doc_id""".stripMargin,
     // tx_rep: the md5-gated payload, the line/para duplicate mass, the
     // normalized-stream gram offsets (window cumsum), the top-gram
     // chars, and the duplicated-gram interval union all replay in SQL;

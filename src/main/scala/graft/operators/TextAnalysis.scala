@@ -232,6 +232,78 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Stand-in for C4's production blocklist (the real "bad words"
+    * list is an external artifact this repo deliberately does not
+    * embed); the RULE — drop any page containing a listed word — is
+    * what [[c4]] implements, and swapping the list is a config
+    * change, not a code change. */
+  val C4Blocklist: Seq[String] = Seq("xbadword", "xnastyword")
+
+  /** tx_c4 — the C4 cleaning battery (Raffel et al. 2020 §2.2, the
+    * heuristics behind the C4 corpus — the third canonical filter set
+    * beside [[gopher]] and [[repetition]]): keep only lines ending in
+    * terminal punctuation (. ! ? or a closing quote) with ≥ 5 words
+    * and no "javascript"; drop PAGES with fewer than 3 kept
+    * sentence-lines, or containing "lorem ipsum", a curly brace, or a
+    * blocklisted word ([[C4Blocklist]] stands in for the production
+    * list). Emits per-doc line accounting, the page flags, the keep
+    * verdict, and the md5 of the CLEANED text (kept lines re-joined) —
+    * the digest downstream dedup consumes. C4's remaining rule, exact
+    * three-sentence-span dedup ACROSS pages, is [[passageDedup]]'s
+    * axis. One narrow per-row pass, no shuffle: the 100 TB shape.
+    *
+    * The driver corpus is punctuation-free word salad, so each doc's
+    * payload assembles md5-GATED sentence lines and page markers (the
+    * tx_pii/tx_rep discipline): the filter under test is real, the
+    * fixture is arithmetic the SQL oracle replays verbatim. */
+  def c4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payload = expr(
+      """concat_ws('\n',
+        | concat(substring(text, 1, 40), ' end of part one.'),
+        | 'too short.',
+        | substring(text, 41, 30),
+        | CASE WHEN cast(conv(substring(h,1,2),16,10) as int) % 2 = 0
+        |   THEN concat('the second sentence arrives here ',
+        |               substring(h,1,6), '.') ELSE NULL END,
+        | CASE WHEN cast(conv(substring(h,3,2),16,10) as int) % 2 = 0
+        |   THEN concat('a third sentence lands too ',
+        |               substring(h,7,6), '.') ELSE NULL END,
+        | CASE WHEN cast(conv(substring(h,5,2),16,10) as int) % 2 = 0
+        |   THEN 'please enable javascript to view this content.'
+        |   ELSE NULL END,
+        | CASE WHEN cast(conv(substring(h,7,2),16,10) as int) % 4 = 0
+        |   THEN 'lorem ipsum dolor sit amet.' ELSE NULL END,
+        | CASE WHEN cast(conv(substring(h,9,2),16,10) as int) % 4 = 0
+        |   THEN 'config { display }' ELSE NULL END,
+        | CASE WHEN cast(conv(substring(h,11,2),16,10) as int) % 4 = 0
+        |   THEN 'the forum post mentions xbadword openly.'
+        |   ELSE NULL END)""".stripMargin)
+    val lns = split($"payload", "\n")
+    def keptLine(l: Column): Column =
+      rtrim(l).rlike("""[.!?"]$""") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !lower(l).contains("javascript")
+    val kept = filter(lns, keptLine(_))
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .withColumn("h", md5($"text"))
+      .withColumn("payload", payload)
+      .select($"doc_id",
+        size(lns).cast("long").as("n_lines"),
+        size(kept).cast("long").as("kept_lines"),
+        size(filter(lns, l => lower(l).contains("javascript")))
+          .cast("long").as("js_lines"),
+        lower($"payload").contains("lorem ipsum").as("has_lorem"),
+        $"payload".contains("{").as("has_brace"),
+        C4Blocklist.map(w => lower($"payload").contains(w))
+          .reduce(_ || _).as("has_badword"),
+        md5(concat_ws("\n", kept)).as("clean_md5"))
+      .withColumn("c4_keep",
+        $"kept_lines" >= 3L && !$"has_lorem" && !$"has_brace" &&
+          !$"has_badword")
+      .orderBy($"doc_id")
+  }
+
   /** Pass ceilings for the [[repetition]] battery (Rae et al. 2021,
     * Table A1): a doc passes when every fraction is at or below its
     * ceiling. Keys are the n of top_{n}gram / dup_{n}gram. */

@@ -394,6 +394,65 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       "both pass outcomes must occur on the injected corpus")
   }
 
+  test("tx_c4 battery: a plain-Scala replay of every rule matches the operator") {
+    import spark.implicits._
+    val texts = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = TextAnalysis.c4(spark, sf).collect()
+    assert(out.length == texts.size)
+    var keeps = 0
+    out.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val h = md5hex(text)
+      def gate(pos: Int, m: Int, v: Int) =
+        Integer.parseInt(h.substring(pos - 1, pos + 1), 16) % m == v
+      val lines = Seq(
+        Some(text.take(40) + " end of part one."),
+        Some("too short."),
+        Some(text.slice(40, 70)),
+        if (gate(1, 2, 0))
+          Some(s"the second sentence arrives here ${h.take(6)}.") else None,
+        if (gate(3, 2, 0))
+          Some(s"a third sentence lands too ${h.slice(6, 12)}.") else None,
+        if (gate(5, 2, 0))
+          Some("please enable javascript to view this content.") else None,
+        if (gate(7, 4, 0)) Some("lorem ipsum dolor sit amet.") else None,
+        if (gate(9, 4, 0)) Some("config { display }") else None,
+        if (gate(11, 4, 0))
+          Some("the forum post mentions xbadword openly.") else None
+      ).flatten
+      val payload = lines.mkString("\n")
+      val kept = lines.filter(l => l.replaceAll("\\s+$", "")
+        .matches("""(?s).*[.!?"]$""") &&
+        l.trim.split("\\s+").length >= 5 &&
+        !l.toLowerCase.contains("javascript"))
+      assert(r.getAs[Long]("n_lines") == lines.size, r.toString)
+      assert(r.getAs[Long]("kept_lines") == kept.size, r.toString)
+      assert(r.getAs[Long]("js_lines") ==
+        lines.count(_.toLowerCase.contains("javascript")), r.toString)
+      assert(r.getAs[Boolean]("has_lorem") ==
+        payload.toLowerCase.contains("lorem ipsum"))
+      assert(r.getAs[Boolean]("has_brace") == payload.contains("{"))
+      assert(r.getAs[Boolean]("has_badword") ==
+        TextAnalysis.C4Blocklist.exists(payload.toLowerCase.contains))
+      assert(r.getAs[String]("clean_md5") == md5hex(kept.mkString("\n")))
+      val keep = kept.size >= 3 && !r.getAs[Boolean]("has_lorem") &&
+        !r.getAs[Boolean]("has_brace") && !r.getAs[Boolean]("has_badword")
+      assert(r.getAs[Boolean]("c4_keep") == keep, r.toString)
+      if (keep) keeps += 1
+    }
+    // the md5 gates draw both verdicts and every drop reason
+    assert(keeps > 0 && keeps < out.length)
+    assert(out.exists(_.getAs[Boolean]("has_lorem")))
+    assert(out.exists(_.getAs[Boolean]("has_brace")))
+    assert(out.exists(_.getAs[Boolean]("has_badword")))
+    assert(out.exists(_.getAs[Long]("js_lines") > 0))
+  }
+
   test("tx_selfrep ratios are consistent fractions") {
     val rows = TextAnalysis.selfrep(spark, sf).collect()
     assert(rows.nonEmpty)
