@@ -16,12 +16,17 @@ package graft.functions.expressions
   * resetting DC predictors and EOB runs, interleaved MCU geometry
   * for multi-component scans and the per-component block grid for
   * non-interleaved ones (ISO A.2.2), AC refinement correction bits
-  * per G.1.2.3. Only the LUMA plane transforms (JFIF Y IS BT.601
-  * luma) — chroma scans still decode (their coefficient HISTORY
-  * drives refinement-bit consumption), they just never IDCT.
+  * per G.1.2.3. For 1/3-component images only the LUMA plane
+  * transforms (JFIF Y IS BT.601 luma) — chroma scans still decode
+  * (their coefficient HISTORY drives refinement-bit consumption),
+  * they just never IDCT. FOUR-component (CMYK/YCCK) images transform
+  * all four planes: the Adobe APP14 tag selects the transform (2 =
+  * YCCK rides YCbCr on the CMY channels) and signals the inverted-ink
+  * storage convention; luma comes from the naive CMYK composite
+  * (255-C)(255-K)/255 per RGB channel.
   *
   * Scope, loud outside it: arithmetic coding, lossless, hierarchical,
-  * 12-bit precision, four-component (Adobe CMYK) fail by name. The
+  * 12-bit precision fail by name. The
   * coefficient planes cost 256 B per 8x8 block; [[PixelDecode.MaxPixels]]
   * bounds them. There is no bit-exact decode contract across
   * implementations (IDCT rounding is implementation-defined within
@@ -176,6 +181,11 @@ object JpegDecode {
     var comps: Array[Component] = null
     var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
     var restartInterval = 0
+    // Adobe APP14 color-transform tag: -1 = marker absent (bare CMYK
+    // for 4 components), 0 = untransformed, 2 = YCCK. Adobe-written
+    // CMYK stores INVERTED ink values — the marker's presence is the
+    // inversion signal (the libjpeg-era convention every reader uses).
+    var adobeTransform = -1
     def u16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
     var eoi = false
     while (!eoi) {
@@ -195,8 +205,8 @@ object JpegDecode {
             val nComp = b(p + 9) & 0xFF
             if (w <= 0 || h <= 0) fail(s"JPEG dimensions ${w}x$h")
             PixelDecode.checkDims(w, h, "JPEG dimensions")
-            if (nComp != 1 && nComp != 3)
-              fail(s"$nComp-component JPEG (CMYK?) is out of scope")
+            if (nComp != 1 && nComp != 3 && nComp != 4)
+              fail(s"$nComp-component JPEG is out of scope")
             val hs = new Array[Int](nComp); val vs = new Array[Int](nComp)
             val ids = new Array[Int](nComp); val tqs = new Array[Int](nComp)
             var c = 0
@@ -289,7 +299,11 @@ object JpegDecode {
             p = decodeScan(b, p + 2 + len, scanComps, ss, se, ah, al,
               dcT, acT, qt, restartInterval, mcusX, mcusY,
               interleaved = ns > 1)
-          case x if x >= 0xE0 && x <= 0xEF => () // APPn
+          case 0xEE => // APP14: Adobe tag — the CMYK transform signal
+            if (len >= 14 && b(p + 4) == 'A' && b(p + 5) == 'd' &&
+                b(p + 6) == 'o' && b(p + 7) == 'b' && b(p + 8) == 'e')
+              adobeTransform = b(p + 2 + len - 1) & 0xFF
+          case x if x >= 0xE0 && x <= 0xED || x == 0xEF => () // APPn
           case 0xFE => () // COM
           case other => fail(f"marker 0xFF$other%02X is out of scope")
         }
@@ -297,64 +311,120 @@ object JpegDecode {
       }
     }
     if (comps == null) fail("no SOF before EOI")
-    // dequant + IDCT the LUMA component only
-    val y0 = comps(0)
-    val q = qt(y0.tq)
-    if (q == null) fail("luma component references an undeclared quant table")
-    val yW = y0.padW * 8
-    val yPlane = new Array[Byte](yW * y0.padH * 8)
-    val tmp = Array.ofDim[Double](8, 8)
-    val dq = new Array[Int](64)
-    var blk = 0
-    val nBlocks = y0.padW * y0.padH
-    while (blk < nBlocks) {
-      val base = blk * 64
-      var k = 0
-      while (k < 64) { dq(Zigzag(k)) = y0.coef(base + k) * q(k); k += 1 }
-      var x = 0
-      while (x < 8) { // columns of the row transform
-        var u = 0
-        while (u < 8) {
-          var s2 = 0.0
-          var v = 0
-          while (v < 8) { s2 += dq(v * 8 + u) * IdctCos(v)(x); v += 1 }
-          tmp(x)(u) = s2
-          u += 1
-        }
-        x += 1
-      }
-      val outX = (blk % y0.padW) * 8
-      val outY = (blk / y0.padW) * 8
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          var s2 = 0.0
+    // dequant + IDCT one component's coefficient buffer to a padded
+    // sample plane (width padW * 8)
+    def idctPlane(c0: Component): Array[Byte] = {
+      val q = qt(c0.tq)
+      if (q == null) fail("component references an undeclared quant table")
+      val pw = c0.padW * 8
+      val plane = new Array[Byte](pw * c0.padH * 8)
+      val tmp = Array.ofDim[Double](8, 8)
+      val dq = new Array[Int](64)
+      var blk = 0
+      val nBlocks = c0.padW * c0.padH
+      while (blk < nBlocks) {
+        val base = blk * 64
+        var k = 0
+        while (k < 64) { dq(Zigzag(k)) = c0.coef(base + k) * q(k); k += 1 }
+        var x = 0
+        while (x < 8) { // columns of the row transform
           var u = 0
-          while (u < 8) { s2 += tmp(yy)(u) * IdctCos(u)(xx); u += 1 }
-          val v = math.round(s2).toInt + 128
-          yPlane((outY + yy) * yW + outX + xx) =
-            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          while (u < 8) {
+            var s2 = 0.0
+            var v = 0
+            while (v < 8) { s2 += dq(v * 8 + u) * IdctCos(v)(x); v += 1 }
+            tmp(x)(u) = s2
+            u += 1
+          }
+          x += 1
+        }
+        val outX = (blk % c0.padW) * 8
+        val outY = (blk / c0.padW) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            var s2 = 0.0
+            var u = 0
+            while (u < 8) { s2 += tmp(yy)(u) * IdctCos(u)(xx); u += 1 }
+            val v = math.round(s2).toInt + 128
+            plane((outY + yy) * pw + outX + xx) =
+              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+      plane
+    }
+    val out = new Array[Byte](w * h)
+    if (comps.length < 4) {
+      // YCbCr / grayscale: JPEG's Y component IS the BT.601 luma, so
+      // only the first plane needs the IDCT; crop the MCU padding,
+      // nearest-sample if Y itself is subsampled
+      val y0 = comps(0)
+      val yW = y0.padW * 8
+      val yPlane = idctPlane(y0)
+      val sx = y0.h.toDouble / hmax
+      val sy = y0.v.toDouble / vmax
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val yq = math.min((yy * sy).toInt, y0.padH * 8 - 1)
+          val xq = math.min((xx * sx).toInt, yW - 1)
+          out(yy * w + xx) = yPlane(yq * yW + xq)
           xx += 1
         }
         yy += 1
       }
-      blk += 1
-    }
-    // crop the MCU padding; nearest-sample if Y itself is subsampled
-    val out = new Array[Byte](w * h)
-    val sx = y0.h.toDouble / hmax
-    val sy = y0.v.toDouble / vmax
-    var yy = 0
-    while (yy < h) {
-      var xx = 0
-      while (xx < w) {
-        val yq = math.min((yy * sy).toInt, y0.padH * 8 - 1)
-        val xq = math.min((xx * sx).toInt, yW - 1)
-        out(yy * w + xx) = yPlane(yq * yW + xq)
-        xx += 1
+    } else {
+      // CMYK (Adobe or bare): all four planes IDCT + upsample, then
+      // ink -> RGB -> luma. With the Adobe marker present the stored
+      // samples are INVERTED ink (s = 255 - ink), so 255-C and 255-K
+      // are the stored bytes directly; APP14 transform 2 (YCCK) first
+      // undoes the YCbCr transform on the CMY channels. R = (255-C) *
+      // (255-K) / 255 (rounded), the naive CMYK composite.
+      val planes = comps.map(idctPlane)
+      val inverted = adobeTransform >= 0
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val s = new Array[Int](4)
+          var ci = 0
+          while (ci < 4) {
+            val c0 = comps(ci)
+            val pw = c0.padW * 8
+            val yq = math.min((yy * c0.v.toDouble / vmax).toInt, c0.padH * 8 - 1)
+            val xq = math.min((xx * c0.h.toDouble / hmax).toInt, pw - 1)
+            s(ci) = planes(ci)(yq * pw + xq) & 0xFF
+            ci += 1
+          }
+          var (c, m, y2) = (s(0), s(1), s(2))
+          if (adobeTransform == 2) { // YCCK: CMY channels ride YCbCr
+            val cb = s(1) - 128.0
+            val cr = s(2) - 128.0
+            def clamp(d: Double): Int = {
+              val r2 = math.round(d).toInt
+              if (r2 < 0) 0 else if (r2 > 255) 255 else r2
+            }
+            c = clamp(s(0) + 1.402 * cr)
+            m = clamp(s(0) - 0.344136 * cb - 0.714136 * cr)
+            y2 = clamp(s(0) + 1.772 * cb)
+          }
+          val kEnc = if (inverted) s(3) else 255 - s(3) // = 255 - K
+          def chan(v: Int): Int = {
+            val enc = if (inverted) v else 255 - v // = 255 - ink
+            (enc * kEnc + 128) / 255
+          }
+          val (r, g, b2) = (chan(c), chan(m), chan(y2))
+          out(yy * w + xx) = ((77 * r + 150 * g + 29 * b2 + 128) >> 8).toByte
+          xx += 1
+        }
+        yy += 1
       }
-      yy += 1
     }
     PixelDecode.Raster(w, h, out)
   }

@@ -37,7 +37,8 @@ import org.apache.spark.sql.types._
   * wrapper for feature extraction, where a fake or exotic payload
   * degrades to byte-level features instead of failing the fit.
   * BMP RLE and the exotic JPEG modes (arithmetic coding, lossless,
-  * 12-bit, CMYK) are declared out of scope (loud). */
+  * 12-bit) are declared out of scope (loud); four-component
+  * CMYK/YCCK JPEGs decode (see [[JpegDecode]]). */
 object PixelDecode {
 
   /** A decoded grayscale raster; luma = BT.601 integer weights

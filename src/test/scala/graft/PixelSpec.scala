@@ -622,6 +622,85 @@ class PixelSpec extends AnyFunSuite {
   }
 
 
+  test("CMYK JPEG: 4-component decode cross-validated against the JDK raster reader; Adobe transforms pinned") {
+    System.setProperty("java.awt.headless", "true")
+    import graft.functions.expressions.JpegDecode
+    import java.awt.image.{DataBuffer, Raster => JRaster}
+    import javax.imageio.{ImageIO, IIOImage}
+    // the INDEPENDENT encoder: the JDK jpeg writer accepts a 4-band
+    // raster and emits a bare 4-component baseline JPEG (no APP14)
+    val (w9, h5) = (24, 11)
+    val wr4 = JRaster.createInterleavedRaster(DataBuffer.TYPE_BYTE, w9, h5, 4, null)
+    for (y <- 0 until h5; x <- 0 until w9; b <- 0 until 4)
+      wr4.setSample(x, y, b, (x * 7 + y * 11 + b * 53) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val jw = ImageIO.getImageWritersByFormatName("jpeg").next()
+    jw.setOutput(ios)
+    jw.write(null, new IIOImage(wr4, null, null), jw.getDefaultWriteParam)
+    ios.close()
+    val bare = bos.toByteArray
+    // the INDEPENDENT decoder: readRaster returns the raw decoded
+    // samples with no color conversion — the per-plane ground truth
+    def rawPlanes(bytes: Array[Byte]): JRaster = {
+      val rd = ImageIO.getImageReadersByFormatName("jpeg").next()
+      rd.setInput(ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      rd.readRaster(0, null)
+    }
+    // replicate the documented composite exactly; only per-plane IDCT
+    // rounding may differ between the two decoders
+    def expectLuma(s: Array[Int], transform: Int): Int = {
+      val inverted = transform >= 0
+      var (c, m, y2) = (s(0), s(1), s(2))
+      if (transform == 2) {
+        val cb = s(1) - 128.0; val cr = s(2) - 128.0
+        def cl(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+        c = cl(s(0) + 1.402 * cr)
+        m = cl(s(0) - 0.344136 * cb - 0.714136 * cr)
+        y2 = cl(s(0) + 1.772 * cb)
+      }
+      val kEnc = if (inverted) s(3) else 255 - s(3)
+      def chan(v: Int) = {
+        val enc = if (inverted) v else 255 - v
+        (enc * kEnc + 128) / 255
+      }
+      (77 * chan(c) + 150 * chan(m) + 29 * chan(y2) + 128) >> 8
+    }
+    def checkAgainstRaster(bytes: Array[Byte], transform: Int): Unit = {
+      val rr = rawPlanes(bytes)
+      val got = JpegDecode.decodeLuma(bytes)
+      assert(got.w == w9 && got.h == h5)
+      for (y <- 0 until h5; x <- 0 until w9) {
+        val s = Array.tabulate(4)(b => rr.getSample(x, y, b))
+        val e = expectLuma(s, transform)
+        assert(math.abs((got.luma(y * w9 + x) & 0xFF) - e) <= 6,
+          s"cmyk pixel ($x,$y) transform $transform: got " +
+            s"${got.luma(y * w9 + x) & 0xFF} want ~$e from ${s.toSeq}")
+      }
+    }
+    checkAgainstRaster(bare, -1)
+    // inject an Adobe APP14 right after SOI: same entropy data, now
+    // under the inverted-ink convention (transform 0) and YCCK (2)
+    def withApp14(bytes: Array[Byte], tf: Int): Array[Byte] =
+      bytes.take(2) ++ Array[Byte](0xFF.toByte, 0xEE.toByte, 0, 14,
+        'A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, tf.toByte) ++
+        bytes.drop(2)
+    checkAgainstRaster(withApp14(bare, 0), 0)
+    checkAgainstRaster(withApp14(bare, 2), 2)
+    // deterministic: the same payload decodes bit-identically
+    val a = JpegDecode.decodeLuma(withApp14(bare, 2)).luma
+    val b = JpegDecode.decodeLuma(withApp14(bare, 2)).luma
+    assert(a.sameElements(b))
+    // the 12-bit edge stays loud (SOF precision byte patched)
+    val twelve = bare.clone()
+    val at = (0 until twelve.length - 1).find(i =>
+      (twelve(i) & 0xFF) == 0xFF && (twelve(i + 1) & 0xFF) == 0xC0).get
+    twelve(at + 4) = 12
+    assert(intercept[Exception](JpegDecode.decodeLuma(twelve))
+      .getMessage.contains("12-bit"))
+  }
+
   test("EXIF orientation: all 8 transforms hand-pinned; a rotated-with-tag jpeg hashes with its upright twin") {
     System.setProperty("java.awt.headless", "true")
     import graft.functions.expressions.{JpegDecode, SynthPng}
