@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * JDK-only engine can open exactly — PNG (RFC 2083 / ISO 15948:
   * chunk walk, zlib inflate, the five row filters, all five color
   * types, sub-byte and 16-bit depths, palette, Adam7 interlace),
-  * uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp, bottom-up and
-  * top-down), GIF 87a/89a (LSB-first LZW, local/global palettes,
+  * BMP (BITMAPINFOHEADER, 1/4/8/24/32 bpp, bottom-up and top-down,
+  * BI_RLE8/BI_RLE4), GIF 87a/89a (LSB-first LZW, local/global palettes,
   * 4-pass interlace, first frame), and JPEG — baseline AND
   * progressive ([[JpegDecode]]: Huffman entropy decode across
   * multi-scan spectral-selection/successive-approximation files,
@@ -36,9 +36,9 @@ import org.apache.spark.sql.types._
   * truncated IDAT is data loss. [[tryDecodeLuma]] is the tolerant
   * wrapper for feature extraction, where a fake or exotic payload
   * degrades to byte-level features instead of failing the fit.
-  * BMP RLE and the exotic JPEG modes (arithmetic coding, lossless,
-  * 12-bit) are declared out of scope (loud); four-component
-  * CMYK/YCCK JPEGs decode (see [[JpegDecode]]). */
+  * The exotic JPEG modes (arithmetic coding, lossless, 12-bit) are
+  * declared out of scope (loud); four-component CMYK/YCCK JPEGs
+  * decode (see [[JpegDecode]]), as do RLE and sub-byte BMPs. */
 object PixelDecode {
 
   /** A decoded grayscale raster; luma = BT.601 integer weights
@@ -299,7 +299,12 @@ object PixelDecode {
     val compression = le32(b, 30)
     if (w <= 0 || h == 0) fail(s"BMP dimensions ${w}x$hRaw")
     checkDims(w, h, "BMP dimensions")
-    if (compression != 0) fail(s"BMP compression $compression (only BI_RGB) is out of scope")
+    if (compression != 0 && compression != 1 && compression != 2)
+      fail(s"BMP compression $compression (BI_RGB/BI_RLE8/BI_RLE4 only) is out of scope")
+    if (compression == 1 && bpp != 8) fail(s"BI_RLE8 with $bpp bpp")
+    if (compression == 2 && bpp != 4) fail(s"BI_RLE4 with $bpp bpp")
+    if (compression != 0 && topDown)
+      fail("RLE BMP cannot be top-down (negative height)")
     // le32 fields are SIGNED ints off the wire: a negative dataOff or
     // a huge dibSize/clrUsed would pass the bound checks by overflow
     // or sign and surface as a raw ArrayIndexOutOfBounds instead of
@@ -307,18 +312,73 @@ object PixelDecode {
     if (dataOff < 54 || dataOff > b.length) fail(s"BMP pixel data offset $dataOff")
     if (dibSize > b.length - 14) fail(s"BMP DIB header size $dibSize overruns the payload")
     val palette: Array[Byte] =
-      if (bpp == 8) {
+      if (bpp == 1 || bpp == 4 || bpp == 8) {
+        val cap = 1 << bpp
         val clrUsed = if (dibSize >= 36 && 14 + 36 <= b.length) le32(b, 46) else 0
-        if (clrUsed < 0 || clrUsed > 256)
-          fail(s"BMP palette size $clrUsed (8-bpp allows at most 256)")
-        val n = if (clrUsed > 0) clrUsed else 256
+        if (clrUsed < 0 || clrUsed > cap)
+          fail(s"BMP palette size $clrUsed ($bpp-bpp allows at most $cap)")
+        val n = if (clrUsed > 0) clrUsed else cap
         val at = 14 + dibSize
         if (at.toLong + n.toLong * 4 > b.length) fail("BMP palette overruns the payload")
         java.util.Arrays.copyOfRange(b, at, at + n * 4) // BGRA quads
       } else null
+    def palLuma(i: Int): Byte = {
+      val q = i * 4
+      if (q + 2 >= palette.length) fail("BMP palette index out of range")
+      luma(palette(q + 2) & 0xFF, palette(q + 1) & 0xFF, palette(q) & 0xFF)
+    }
+    val out = new Array[Byte](w * h)
+    if (compression != 0) {
+      // BI_RLE8 / BI_RLE4 (bottom-up by construction): (count, value)
+      // runs — RLE4 alternates the value's two nibbles — and 00-escapes
+      // for end-of-line, end-of-bitmap, delta skip (skipped pixels stay
+      // index 0), and absolute mode padded to 2-byte boundaries. Runs
+      // past a row end or rows past the bitmap are loud, not clamped.
+      val is4 = compression == 2
+      val idx = new Array[Byte](w * h) // top-down row-major indexes
+      def set(x: Int, yUp: Int, v: Int): Unit =
+        idx((h - 1 - yUp) * w + x) = v.toByte
+      var p = dataOff; var x = 0; var yUp = 0; var done = false
+      while (!done) {
+        if (p + 2 > b.length) fail("BMP RLE stream truncated")
+        val n = b(p) & 0xFF; val v = b(p + 1) & 0xFF; p += 2
+        if (n > 0) {
+          if (x + n > w || yUp >= h) fail("BMP RLE run past the row end")
+          var i = 0
+          while (i < n) {
+            set(x + i, yUp, if (!is4) v else if (i % 2 == 0) v >> 4 else v & 0xF)
+            i += 1
+          }
+          x += n
+        } else v match {
+          case 0 =>
+            x = 0; yUp += 1
+            if (yUp > h) fail("BMP RLE rows overflow the bitmap")
+          case 1 => done = true
+          case 2 =>
+            if (p + 2 > b.length) fail("BMP RLE stream truncated")
+            x += b(p) & 0xFF; yUp += b(p + 1) & 0xFF; p += 2
+            if (x > w || yUp > h) fail("BMP RLE delta out of range")
+          case cnt => // absolute mode
+            if (x + cnt > w || yUp >= h) fail("BMP RLE run past the row end")
+            val raw = if (is4) (cnt + 1) / 2 else cnt
+            val padded = (raw + 1) & ~1
+            if (p + padded > b.length) fail("BMP RLE stream truncated")
+            var i = 0
+            while (i < cnt) {
+              val bv = b(p + (if (is4) i / 2 else i)) & 0xFF
+              set(x + i, yUp, if (!is4) bv else if (i % 2 == 0) bv >> 4 else bv & 0xF)
+              i += 1
+            }
+            x += cnt; p += padded
+        }
+      }
+      var i = 0
+      while (i < w * h) { out(i) = palLuma(idx(i) & 0xFF); i += 1 }
+      return Raster(w, h, out)
+    }
     val rowLen = ((w * bpp + 31) / 32) * 4 // 4-byte aligned rows
     if (dataOff.toLong + rowLen.toLong * h > b.length) fail("BMP pixel data truncated")
-    val out = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       val srcRow = dataOff + (if (topDown) y else h - 1 - y) * rowLen
@@ -331,11 +391,13 @@ object PixelDecode {
           case 32 =>
             val s = srcRow + x * 4
             luma(b(s + 2) & 0xFF, b(s + 1) & 0xFF, b(s) & 0xFF)
-          case 8 =>
-            val i = (b(srcRow + x) & 0xFF) * 4
-            if (i + 2 >= palette.length) fail("BMP palette index out of range")
-            luma(palette(i + 2) & 0xFF, palette(i + 1) & 0xFF, palette(i) & 0xFF)
-          case other => fail(s"BMP bpp $other (8/24/32 only)")
+          case 8 => palLuma(b(srcRow + x) & 0xFF)
+          case 4 => // MSB-first nibbles
+            val bv = b(srcRow + (x >> 1)) & 0xFF
+            palLuma(if ((x & 1) == 0) bv >> 4 else bv & 0xF)
+          case 1 => // MSB-first bits
+            palLuma((b(srcRow + (x >> 3)) >> (7 - (x & 7))) & 1)
+          case other => fail(s"BMP bpp $other (1/4/8/24/32 only)")
         }
         out(y * w + x) = l
         x += 1

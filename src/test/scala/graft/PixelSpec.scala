@@ -155,9 +155,98 @@ class PixelSpec extends AnyFunSuite {
     // top-down (negative height): storage order IS image order
     val down = bmp24(1, 2, storage, topDown = true)
     assert(lumaOf(down).luma.map(_ & 0xFF).toSeq == Seq(255, 0))
-    val rle = up.clone(); rle(30) = 1 // BI_RLE8
-    assert(intercept[Exception](PixelDecode.decodeLuma(rle))
+    val bf = up.clone(); bf(30) = 3 // BI_BITFIELDS
+    assert(intercept[Exception](PixelDecode.decodeLuma(bf))
       .getMessage.contains("compression"))
+    val rle = up.clone(); rle(30) = 1 // BI_RLE8 on a 24-bpp image
+    assert(intercept[Exception](PixelDecode.decodeLuma(rle))
+      .getMessage.contains("BI_RLE8 with 24 bpp"))
+  }
+
+  test("BMP: RLE8/RLE4 and 1/4-bpp palette decode; ImageIO cross-checks; loud edges") {
+    System.setProperty("java.awt.headless", "true")
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def bmpPal(w: Int, h: Int, bpp: Int, comp: Int, pal: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val dataOff = 54 + pal.length
+      "BM".getBytes ++ le32(dataOff + data.length) ++ le32(0) ++
+        le32(dataOff) ++ le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+        le16(bpp) ++ le32(comp) ++ le32(data.length) ++ le32(0) ++
+        le32(0) ++ le32(pal.length / 4) ++ le32(0) ++ pal ++ data
+    }
+    def gray4(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Array[Byte](v.toByte, v.toByte, v.toByte, 0)).toArray
+    // hand-built RLE8 (bottom-up): a run, absolute mode with its pad
+    // byte, EOL, a delta skip (skipped pixels stay index 0), EOB
+    val pal8 = gray4(0, 255, 128, 64)
+    val rle8 = Array[Byte](
+      3, 1, // run: 3x index 1
+      0, 3, 2, 3, 2, 0, // absolute: 2,3,2 (+ pad to even)
+      0, 0, // end of line
+      0, 2, 2, 0, // delta dx=2 dy=0
+      4, 2, // run: 4x index 2
+      0, 1) // end of bitmap
+    val r8 = lumaOf(bmpPal(6, 2, 8, 1, pal8, rle8))
+    assert(r8.luma.map(_ & 0xFF).toSeq ==
+      Seq(0, 0, 128, 128, 128, 128, // top row (encoded second)
+        255, 255, 255, 128, 64, 128), r8.luma.map(_ & 0xFF).toSeq.toString)
+    // hand-built RLE4: a run alternates the value's nibbles; absolute
+    // packs two per byte and pads to even bytes
+    val pal4 = gray4((0 until 16).map(_ * 17): _*)
+    val rle4 = Array[Byte](
+      3, 0x12, // run: 1,2,1
+      0, 3, 0x31, 0x30, // absolute (escape counts >= 3): 3,1,3
+      0, 1) // end of bitmap
+    val r4 = lumaOf(bmpPal(6, 1, 4, 2, pal4, rle4))
+    assert(r4.luma.map(_ & 0xFF).toSeq == Seq(17, 34, 17, 51, 17, 51))
+    // 4-bpp uncompressed, MSB-first nibbles, 4-byte-aligned rows
+    val flat4 = lumaOf(bmpPal(3, 1, 4, 0, pal4,
+      Array[Byte](0x12, 0x30, 0, 0)))
+    assert(flat4.luma.map(_ & 0xFF).toSeq == Seq(17, 34, 51))
+    // ImageIO cross-checks: the JDK writes RLE8 when asked, and 1-bpp
+    // for binary images — both independent encoders
+    val idx = new BufferedImage(23, 9, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 9; x <- 0 until 23) {
+      val v = (x * 11 + y * 29) % 256
+      idx.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val wr = ImageIO.getImageWritersByFormatName("bmp").next()
+    val prm = wr.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionType("BI_RLE8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(idx, null, null), prm)
+    ios.close()
+    val rleBytes = bos.toByteArray
+    assert(rleBytes(30) == 1, "fixture must really be BI_RLE8")
+    val ours = lumaOf(rleBytes)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(rleBytes))
+    for (y <- 0 until 9; x <- 0 until 23) {
+      val rgb = theirs.getRGB(x, y)
+      val e = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+        29 * (rgb & 0xFF) + 128) >> 8
+      assert((ours.luma(y * 23 + x) & 0xFF) == e, s"rle8 pixel ($x,$y)")
+    }
+    val bin = new BufferedImage(19, 5, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 5; x <- 0 until 19)
+      bin.setRGB(x, y, if ((x + y * 3) % 5 < 2) 0xFFFFFF else 0)
+    val bos1 = new java.io.ByteArrayOutputStream()
+    ImageIO.write(bin, "bmp", bos1)
+    val r1 = lumaOf(bos1.toByteArray)
+    for (y <- 0 until 5; x <- 0 until 19)
+      assert((r1.luma(y * 19 + x) & 0xFF) ==
+        (if ((x + y * 3) % 5 < 2) 255 else 0), s"1-bpp pixel ($x,$y)")
+    // loud edges: a run past the row end; a truncated RLE stream
+    assert(intercept[Exception](PixelDecode.decodeLuma(
+      bmpPal(4, 1, 8, 1, pal8, Array[Byte](6, 1, 0, 1))))
+      .getMessage.contains("past the row end"))
+    assert(intercept[Exception](PixelDecode.decodeLuma(
+      bmpPal(4, 1, 8, 1, pal8, Array[Byte](2, 1))))
+      .getMessage.contains("truncated"))
   }
 
   test("SynthPng: every encoding share decodes to the intended pixels (hash identity)") {
