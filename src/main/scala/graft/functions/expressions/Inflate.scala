@@ -21,6 +21,11 @@ import org.apache.spark.sql.types._
   *  - bzip2 ('BZh' + level digit): classic archive dumps (Wikipedia,
   *    early CommonCrawl), via commons-compress (Spark classpath),
   *    decompressConcatenated like the others;
+  *  - lz4 FRAMES (04 22 4d 18) and the snappy FRAMING format
+  *    (ff 06 00 00 'sNaPpY'): the Hadoop-era dump codecs, via
+  *    commons-compress, concatenated lz4 frames read whole; the RAW
+  *    lz4-block / snappy-block forms have no magic and stay out of
+  *    the sniff (they are container-internal formats);
   *  - everything else passes through untouched.
   * Crawl dumps ship `.html.gz`/`.json.zst`; sniffing the magic beats
   * trusting file extensions, and the pass-through makes it safe to
@@ -70,6 +75,21 @@ object Inflate {
     b.length >= 4 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
       b(3) >= '1' && b(3) <= '9'
 
+  /** LZ4 FRAME magic (lz4 frame format spec: little-endian 0x184D2204
+    * on the wire: 04 22 4d 18) — the `.lz4` CLI/Hadoop dump shape,
+    * not the raw block format (which has no magic to sniff). */
+  private[graft] def isLz4(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xFF) == 0x04 && (b(1) & 0xFF) == 0x22 &&
+      (b(2) & 0xFF) == 0x4D && (b(3) & 0xFF) == 0x18
+
+  /** Snappy FRAMING format stream identifier (the `.sz` container:
+    * chunk type 0xFF, length 6, then "sNaPpY") — raw snappy blocks
+    * have no magic and stay out of the sniff. */
+  private[graft] def isSnappy(b: Array[Byte]): Boolean =
+    b.length >= 10 && (b(0) & 0xFF) == 0xFF && b(1) == 6 && b(2) == 0 &&
+      b(3) == 0 && b(4) == 's' && b(5) == 'N' && b(6) == 'a' &&
+      b(7) == 'P' && b(8) == 'p' && b(9) == 'Y'
+
   private def drain(in: java.io.InputStream, sizeHint: Int,
       what: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.max(64, sizeHint))
@@ -108,6 +128,14 @@ object Inflate {
     else if (isBzip2(b))
       drain(new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
         new java.io.ByteArrayInputStream(b), true), b.length * 4, "bzip2")
+    else if (isLz4(b))
+      // decompressConcatenated = true: multi-frame dumps read whole,
+      // the same member convention as the other codecs
+      drain(new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorInputStream(
+        new java.io.ByteArrayInputStream(b), true), b.length * 4, "lz4")
+    else if (isSnappy(b))
+      drain(new org.apache.commons.compress.compressors.snappy.FramedSnappyCompressorInputStream(
+        new java.io.ByteArrayInputStream(b)), b.length * 4, "snappy")
     else b
 
   private[graft] def gzip(b: Array[Byte]): Array[Byte] = {
@@ -138,6 +166,22 @@ object Inflate {
     val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
     val z = new org.apache.commons.compress.compressors.bzip2
       .BZip2CompressorOutputStream(bo, 1) // 100k blocks: synth-speed
+    z.write(b); z.close()
+    bo.toByteArray
+  }
+
+  private[graft] def lz4(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val z = new org.apache.commons.compress.compressors.lz4
+      .FramedLZ4CompressorOutputStream(bo)
+    z.write(b); z.close()
+    bo.toByteArray
+  }
+
+  private[graft] def snappy(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val z = new org.apache.commons.compress.compressors.snappy
+      .FramedSnappyCompressorOutputStream(bo)
     z.write(b); z.close()
     bo.toByteArray
   }

@@ -1121,18 +1121,21 @@ class DocParseSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("past end of file"), e3.getMessage)
   }
 
-  test("gzip/zstd/xz/bzip2 payloads inflate transparently by magic sniff; corruption is loud") {
+  test("gzip/zstd/xz/bzip2/lz4/snappy payloads inflate transparently by magic sniff; corruption is loud") {
     import spark.implicits._
     import graft.functions.expressions.Inflate
     val html = graft.functions.expressions.SynthHtml.build("gzipped page body")
     val names = Seq("plain.html", "packed.html.gz", "packed.html.zst",
-      "packed.html.xz", "packed.html.bz2")
+      "packed.html.xz", "packed.html.bz2", "packed.html.lz4",
+      "packed.html.sz")
     val payloads = Seq(
       ("plain.html", html),
       ("packed.html.gz", Inflate.gzip(html)),
       ("packed.html.zst", Inflate.zstd(html)),
       ("packed.html.xz", Inflate.xz(html)),
-      ("packed.html.bz2", Inflate.bzip2(html)))
+      ("packed.html.bz2", Inflate.bzip2(html)),
+      ("packed.html.lz4", Inflate.lz4(html)),
+      ("packed.html.sz", Inflate.snappy(html)))
       .toDF("doc_name", "payload")
     val recs = DocParse.records(payloads, "html").collect()
     val byDoc = recs.groupBy(_.getAs[String]("doc_name"))
@@ -1145,11 +1148,13 @@ class DocParseSpec extends AnyFunSuite {
     }
     // ...but the file hash is of the bytes AS STORED
     assert(names.toSet.map((d: String) =>
-      byDoc(d).head.getAs[String]("file_hash")).size == 5)
+      byDoc(d).head.getAs[String]("file_hash")).size == 7)
     // multi-member (concatenated) members/frames/streams inflate whole
-    // in all four codecs — the pigz / dump-concatenation shape
+    // — the pigz / dump-concatenation shape (framed snappy appends
+    // chunks rather than whole streams, so it sits out this clause)
     for (codec <- Seq[Array[Byte] => Array[Byte]](
-        Inflate.gzip, Inflate.zstd, Inflate.xz, Inflate.bzip2)) {
+        Inflate.gzip, Inflate.zstd, Inflate.xz, Inflate.bzip2,
+        Inflate.lz4)) {
       val two = codec("hello ".getBytes("UTF-8")) ++
         codec("world".getBytes("UTF-8"))
       assert(new String(Inflate.maybeInflate(two), "UTF-8") == "hello world")
@@ -1157,7 +1162,8 @@ class DocParseSpec extends AnyFunSuite {
     // corruption: loud, not a silent pass-through
     for ((codec, name) <- Seq[(Array[Byte] => Array[Byte], String)](
         (Inflate.gzip, "gzip"), (Inflate.zstd, "zstd"),
-        (Inflate.xz, "xz"), (Inflate.bzip2, "bzip2"))) {
+        (Inflate.xz, "xz"), (Inflate.bzip2, "bzip2"),
+        (Inflate.lz4, "lz4"), (Inflate.snappy, "snappy"))) {
       val e = intercept[Exception](Inflate.maybeInflate(codec(html).dropRight(6)))
       assert(e.getMessage.contains(name), s"$name: ${e.getMessage}")
     }
