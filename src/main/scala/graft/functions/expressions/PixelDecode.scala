@@ -594,6 +594,10 @@ object PixelDecode {
     *    alpha-less color types (where it equals SOURCE) — real alpha
     *    compositing and tRNS-keyed blending are loud edges, matching
     *    [[decodeLuma]]'s "tRNS does not move luma" stance.
+    *  - Animated WebP: VP8X/ANIM/ANMF composition with VP8L frame
+    *    payloads ([[WebpDecode.decodeAnimFrame]]) — dispose-to-
+    *    background rects, blend-over accepted only for fully opaque
+    *    frames; lossy VP8 frames stay the named loud edge.
     *  - Any single-frame format decodes frame 0 only; n past the
     *    payload's frame count or [[MaxFrames]] is loud.
     *
@@ -609,6 +613,8 @@ object PixelDecode {
       fail(s"animation frame $n is out of scope (first $MaxFrames frames only)")
     if (isGif(b)) decodeGifFrame(b, n)
     else if (isPng(b) && hasChunk(b, "acTL")) decodeApngFrame(b, n)
+    else if (WebpDecode.isWebp(b) && WebpDecode.isAnimated(b))
+      WebpDecode.decodeAnimFrame(b, n)
     else if (n == 0) decodeLuma(b).getOrElse(
       fail("payload is none of PNG/BMP/GIF/JPEG/TIFF/WebP"))
     else fail(s"frame $n of a single-frame payload")

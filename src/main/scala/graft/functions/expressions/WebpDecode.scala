@@ -19,10 +19,12 @@ import graft.functions.expressions.PixelDecode.Raster
   * lossy VP8 key frames (the header parses exactly and the failure
   * names the geometry; the pixel half is blocked on RFC 6386's
   * normative probability tables — see [[vp8KeyHeader]] for the
-  * precise constraint), animation (ANIM/ANMF), truncated or
-  * over-long streams. The container walk skips VP8X/ALPH/EXIF/ICCP
-  * metadata chunks to find the VP8L payload, so extended-format
-  * lossless files decode too.
+  * precise constraint), truncated or over-long streams. The container
+  * walk skips VP8X/ALPH/EXIF/ICCP metadata chunks to find the VP8L
+  * payload, so extended-format lossless files decode too. ANIMATED
+  * files stay loud on the single-frame path and compose through
+  * [[decodeAnimFrame]] (VP8L frames only — a lossy frame fails
+  * through the same named edge).
   */
 object WebpDecode {
 
@@ -406,6 +408,22 @@ object WebpDecode {
 
   /** The VP8L payload at b[off, off+len). */
   private def decodeVp8l(b: Array[Byte], off: Int, len: Int): Raster = {
+    val (px, w, h) = vp8lPixels(b, off, len)
+    val luma = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      luma(i) = ((77 * ((p >>> 16) & 0xFF) + 150 * ((p >>> 8) & 0xFF) +
+        29 * (p & 0xFF) + 128) >> 8).toByte
+      i += 1
+    }
+    Raster(w, h, luma)
+  }
+
+  /** The VP8L bitstream to its ARGB pixels (alpha kept — the
+    * animation compositor inspects it for the blend-mode guard). */
+  private def vp8lPixels(b: Array[Byte], off: Int,
+      len: Int): (Array[Int], Int, Int) = {
     if (len < 5 || (b(off) & 0xFF) != 0x2F) fail("bad VP8L signature byte")
     val br = new Br(b, off + 1, off + len)
     val w = br.bits(14) + 1
@@ -479,15 +497,7 @@ object WebpDecode {
       }
     }
     if (imgW != w) fail("color-indexing transform missing its expansion")
-    val luma = new Array[Byte](w * h)
-    var i = 0
-    while (i < px.length) {
-      val p = px(i)
-      luma(i) = ((77 * ((p >>> 16) & 0xFF) + 150 * ((p >>> 8) & 0xFF) +
-        29 * (p & 0xFF) + 128) >> 8).toByte
-      i += 1
-    }
-    Raster(w, h, luma)
+    (px, w, h)
   }
 
   /** RIFF container walk to the VP8L chunk; lossy and animated
@@ -514,6 +524,133 @@ object WebpDecode {
       p = next.toInt // RIFF pads odd chunks; next ≤ len+1 after the check
     }
     fail("WebP has no VP8L chunk")
+  }
+
+  /** True when the RIFF payload carries an ANIM chunk — the animated
+    * extended-format shape [[decodeAnimFrame]] composes and
+    * [[decodeLuma]] refuses. Tolerant walk: junk is simply not
+    * animated (the caller's single-frame path raises the loud edge). */
+  def isAnimated(b: Array[Byte]): Boolean = {
+    def le32(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+    var p = 12
+    while (p + 8 <= b.length) {
+      val fourcc = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p + 4)
+      val next = p.toLong + 8L + size.toLong + (size & 1).toLong
+      if (size < 0 || p.toLong + 8L + size.toLong > b.length) return false
+      if (fourcc == "ANIM" || fourcc == "ANMF") return true
+      p = next.toInt
+    }
+    false
+  }
+
+  /** Frame `n` of an ANIMATED WebP, composed on the VP8X canvas per
+    * the extended-format rules: the canvas starts at the ANIM
+    * background color's luma (alpha ignored — the library's "alpha
+    * does not move luma" stance), each ANMF frame rect draws at its
+    * even (2×) offsets, disposal bit 0 restores the rect to the
+    * background before the next frame, and blend mode 0 (alpha over)
+    * is accepted only for fully opaque frames — where it equals
+    * SOURCE — matching the APNG compositor. Lossy VP8 frames fail
+    * through the named [[vp8KeyHeader]] edge. */
+  def decodeAnimFrame(b: Array[Byte], n: Int): Raster = {
+    def le32(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+    def le24(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16)
+    final case class Fr(x: Int, y: Int, w: Int, h: Int, dispose: Boolean,
+      blendOver: Boolean, off: Int, end: Int)
+    var cw = -1; var ch = -1
+    var bg = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Fr]
+    var p = 12
+    while (p + 8 <= b.length) {
+      val fourcc = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p + 4)
+      val next = p.toLong + 8L + size.toLong + (size & 1).toLong
+      if (size < 0 || p.toLong + 8L + size.toLong > b.length)
+        fail(s"$fourcc chunk overruns the payload")
+      fourcc match {
+        case "VP8X" =>
+          if (size < 10) fail("VP8X chunk too short")
+          cw = le24(p + 12) + 1
+          ch = le24(p + 15) + 1
+        case "ANIM" =>
+          if (size < 6) fail("ANIM chunk too short")
+          // background color rides B, G, R, A
+          bg = (77 * (b(p + 10) & 0xFF) + 150 * (b(p + 9) & 0xFF) +
+            29 * (b(p + 8) & 0xFF) + 128) >> 8
+        case "ANMF" =>
+          if (size < 16) fail("ANMF chunk too short")
+          val flags = b(p + 23) & 0xFF
+          frames += Fr(le24(p + 8) * 2, le24(p + 11) * 2,
+            le24(p + 14) + 1, le24(p + 17) + 1,
+            (flags & 1) != 0, (flags & 2) == 0,
+            p + 24, p + 8 + size)
+        case _ => () // ALPH / EXIF / XMP / ICCP ride along
+      }
+      p = next.toInt
+    }
+    if (cw < 0) fail("animated WebP has no VP8X canvas")
+    if (frames.isEmpty) fail("animated WebP has no ANMF frames")
+    if (n >= frames.length)
+      fail(s"animated WebP has ${frames.length} frames, frame $n requested")
+    PixelDecode.checkDims(cw, ch, "WebP canvas")
+    val canvas = Array.fill[Byte](cw * ch)(bg.toByte)
+    var i = 0
+    while (i <= n) {
+      val f = frames(i)
+      if (f.x + f.w > cw || f.y + f.h > ch)
+        fail("ANMF frame rect exceeds the canvas")
+      var q = f.off
+      var drawn = false
+      while (!drawn && q + 8 <= f.end) {
+        val cc = new String(b, q, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = le32(q + 4)
+        val nx = q.toLong + 8L + sz.toLong + (sz & 1).toLong
+        if (sz < 0 || q.toLong + 8L + sz.toLong > f.end)
+          fail(s"$cc subchunk overruns its ANMF frame")
+        cc match {
+          case "VP8L" =>
+            val (px, w, h) = vp8lPixels(b, q + 8, sz)
+            if (w != f.w || h != f.h)
+              fail("ANMF frame dims disagree with its VP8L payload")
+            if (f.blendOver && px.exists(v => (v >>> 24) != 0xFF))
+              fail("ANMF alpha blending is out of scope (non-opaque frame under blend)")
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = px(y * w + x)
+                canvas((f.y + y) * cw + f.x + x) =
+                  ((77 * ((v >>> 16) & 0xFF) + 150 * ((v >>> 8) & 0xFF) +
+                    29 * (v & 0xFF) + 128) >> 8).toByte
+                x += 1
+              }
+              y += 1
+            }
+            drawn = true
+          case "VP8 " => failVp8(b, q + 8, sz)
+          case _ => () // ALPH rides along (lossy-alpha sidecar)
+        }
+        q = nx.toInt
+      }
+      if (!drawn) fail("ANMF frame has no VP8L payload")
+      if (f.dispose && i < n) {
+        var y = 0
+        while (y < f.h) {
+          var x = 0
+          while (x < f.w) {
+            canvas((f.y + y) * cw + f.x + x) = bg.toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      i += 1
+    }
+    Raster(cw, ch, canvas)
   }
 
   /** Lossy VP8 key-frame HEADER parse (RFC 6386 §9.1) — the

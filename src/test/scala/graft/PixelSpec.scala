@@ -1581,6 +1581,97 @@ class PixelSpec extends AnyFunSuite {
       .getMessage.contains("incomplete"))
   }
 
+  test("animated WebP: ANMF composition, disposal, blend guard, loud edges") {
+    import graft.functions.expressions.WebpDecode
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le24b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32b(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    // a solid-color VP8L payload: single-symbol codes read 0 bits per
+    // pixel, so any rect is header + code tables only
+    def solidVp8l(w: Int, h: Int, g: Int, alpha: Int = 255): Array[Byte] = {
+      val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, w, h)
+      bw.bits(0, 1).bits(0, 1).bits(0, 1) // no transforms / cache / meta
+      single(bw, g); single(bw, 0); single(bw, 0) // green / red / blue
+      single(bw, alpha); single(bw, 0) // alpha / distance
+      val webp = bw.toWebp
+      val size = (webp(16) & 0xFF) | ((webp(17) & 0xFF) << 8) |
+        ((webp(18) & 0xFF) << 16) | ((webp(19) & 0xFF) << 24)
+      webp.slice(20, 20 + size)
+    }
+    def anmf(x: Int, y: Int, w: Int, h: Int, flags: Int,
+        vp8l: Array[Byte]): Array[Byte] = {
+      require(x % 2 == 0 && y % 2 == 0, "ANMF offsets store halved")
+      chunk("ANMF", le24b(x / 2) ++ le24b(y / 2) ++ le24b(w - 1) ++
+        le24b(h - 1) ++ le24b(4) ++ Array[Byte](flags.toByte) ++
+        chunk("VP8L", vp8l))
+    }
+    def anim(cw: Int, ch: Int, bg: Int, frames: Array[Byte]*): Array[Byte] = {
+      val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++
+        le24b(cw - 1) ++ le24b(ch - 1))
+      val an = chunk("ANIM",
+        Array[Byte](bg.toByte, bg.toByte, bg.toByte, 255.toByte, 0, 0))
+      val body = vp8x ++ an ++ frames.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32b(4 + body.length) ++
+        "WEBP".getBytes("US-ASCII") ++ body
+    }
+    // luma of a solid green-g frame under no transform: (150g+128)>>8
+    def gl(g: Int) = (150 * g + 128) >> 8
+    // two frames: full 4x3 canvas at g=200, then a 2x1 rect at (2,2)
+    val twoF = anim(4, 3, 50,
+      anmf(0, 0, 4, 3, 0, solidVp8l(4, 3, 200)),
+      anmf(2, 2, 2, 1, 0, solidVp8l(2, 1, 10)))
+    val f0 = PixelDecode.decodeFrame(twoF, 0)
+    assert(f0.w == 4 && f0.h == 3)
+    assert(f0.luma.map(_ & 0xFF).toSeq == Seq.fill(12)(gl(200)))
+    val f1 = PixelDecode.decodeFrame(twoF, 1)
+    assert(f1.luma.map(_ & 0xFF).toSeq ==
+      Seq.fill(8)(gl(200)) ++ Seq(gl(200), gl(200), gl(10), gl(10)))
+    // the near-dup seam: frame 0 of the animation equals its static twin
+    val statik = {
+      val bw = SynthPng.vp8lHeader(new SynthPng.Vp8lWriter, 4, 3)
+      bw.bits(0, 1).bits(0, 1).bits(0, 1)
+      single(bw, 200); single(bw, 0); single(bw, 0)
+      single(bw, 255); single(bw, 0)
+      bw.toWebp
+    }
+    assert(PixelDecode.decodeLuma(statik).get.luma.sameElements(f0.luma))
+    // disposal bit: frame 0 disposes its rect to the ANIM background
+    val disp = anim(4, 3, 50,
+      anmf(0, 0, 4, 3, 1, solidVp8l(4, 3, 200)),
+      anmf(0, 0, 2, 1, 0, solidVp8l(2, 1, 10)))
+    val d1 = PixelDecode.decodeFrame(disp, 1)
+    assert(d1.luma.map(_ & 0xFF).toSeq ==
+      Seq(gl(10), gl(10)) ++ Seq.fill(10)(50))
+    // blend guard: a non-opaque frame under blend-over is loud; the
+    // same frame under do-not-blend (bit 1) decodes, alpha ignored
+    val translucent = anim(4, 3, 50,
+      anmf(0, 0, 4, 3, 0, solidVp8l(4, 3, 99, alpha = 128)))
+    assert(intercept[Exception](PixelDecode.decodeFrame(translucent, 0))
+      .getMessage.contains("alpha blending"))
+    val noBlend = anim(4, 3, 50,
+      anmf(0, 0, 4, 3, 2, solidVp8l(4, 3, 99, alpha = 128)))
+    assert(PixelDecode.decodeFrame(noBlend, 0).luma.map(_ & 0xFF).toSeq ==
+      Seq.fill(12)(gl(99)))
+    // loud edges: frame index past the count; an ANMF with no VP8L
+    // payload; a frame rect past the canvas; the single-frame path
+    // stays loud on animated files
+    assert(intercept[Exception](PixelDecode.decodeFrame(twoF, 2))
+      .getMessage.contains("2 frames"))
+    val empty = anim(4, 3, 50, chunk("ANMF", le24b(0) ++ le24b(0) ++
+      le24b(3) ++ le24b(2) ++ le24b(4) ++ Array[Byte](0)))
+    assert(intercept[Exception](PixelDecode.decodeFrame(empty, 0))
+      .getMessage.contains("no VP8L payload"))
+    val oob = anim(4, 3, 50, anmf(2, 0, 4, 3, 0, solidVp8l(4, 3, 1)))
+    assert(intercept[Exception](PixelDecode.decodeFrame(oob, 0))
+      .getMessage.contains("exceeds the canvas"))
+    assert(intercept[Exception](PixelDecode.decodeLuma(twoF))
+      .getMessage.contains("animated"))
+    assert(WebpDecode.isAnimated(twoF) && !WebpDecode.isAnimated(statik))
+  }
+
   test("mm_phash_px: the banded join finds EXACTLY the exhaustive hamming<=7 pairs") {
     import SparkTestSession._
     import spark.implicits._
