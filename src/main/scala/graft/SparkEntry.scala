@@ -1492,8 +1492,11 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     // tx_rep: the md5-gated payload, the line/para duplicate mass, the
     // normalized-stream gram offsets (window cumsum), the top-gram
-    // chars, and the duplicated-gram interval union all replay in SQL;
-    // round-4 double division both sides
+    // chars, and the duplicated-gram interval union all replay in SQL.
+    // Ratios round through TIE-FREE integer arithmetic on both sides
+    // ((20000n + d) // 2d = half-up of 10000n/d): round(double, 4) is
+    // engine-dependent exactly at the .00005 ties, which the sf1 gate
+    // hit 43 times
     "tx_rep" ->
       s"""WITH d AS (SELECT doc_id, text, md5(text) h, md5(reverse(text)) h2,
         |  ${(0 until 8).map(k => s"' rep' || substring(md5(text),${13 + 2 * k},2)")
@@ -1518,18 +1521,20 @@ object SparkEntry {
         |  string_split_regex(trim(payload), '\\s+') w
         | FROM p),
         |base AS (SELECT doc_id,
-        |  round((len(lns) - len(list_distinct(lns))) / len(lns)::DOUBLE, 4)
-        |    AS dup_line_frac,
-        |  round((list_sum(list_transform(lns, x -> length(x)))
-        |       - list_sum(list_transform(list_distinct(lns), x -> length(x))))
-        |    / list_sum(list_transform(lns, x -> length(x)))::DOUBLE, 4)
-        |    AS dup_line_char_frac,
-        |  round((len(prs) - len(list_distinct(prs))) / len(prs)::DOUBLE, 4)
-        |    AS dup_para_frac,
-        |  round((list_sum(list_transform(prs, x -> length(x)))
-        |       - list_sum(list_transform(list_distinct(prs), x -> length(x))))
-        |    / list_sum(list_transform(prs, x -> length(x)))::DOUBLE, 4)
-        |    AS dup_para_char_frac,
+        |  ((len(lns) - len(list_distinct(lns)))::BIGINT * 20000 + len(lns))
+        |    // (len(lns)::BIGINT * 2) / 10000.0 AS dup_line_frac,
+        |  ((list_sum(list_transform(lns, x -> length(x)))
+        |    - list_sum(list_transform(list_distinct(lns), x -> length(x))))::BIGINT
+        |    * 20000 + list_sum(list_transform(lns, x -> length(x)))::BIGINT)
+        |    // (list_sum(list_transform(lns, x -> length(x)))::BIGINT * 2)
+        |    / 10000.0 AS dup_line_char_frac,
+        |  ((len(prs) - len(list_distinct(prs)))::BIGINT * 20000 + len(prs))
+        |    // (len(prs)::BIGINT * 2) / 10000.0 AS dup_para_frac,
+        |  ((list_sum(list_transform(prs, x -> length(x)))
+        |    - list_sum(list_transform(list_distinct(prs), x -> length(x))))::BIGINT
+        |    * 20000 + list_sum(list_transform(prs, x -> length(x)))::BIGINT)
+        |    // (list_sum(list_transform(prs, x -> length(x)))::BIGINT * 2)
+        |    / 10000.0 AS dup_para_char_frac,
         |  (list_sum(list_transform(w, x -> length(x))) + len(w) - 1)::BIGINT
         |    AS tot
         | FROM b),
@@ -1569,10 +1574,10 @@ object SparkEntry {
         | FROM pe GROUP BY 1)
         |SELECT base.doc_id, dup_line_frac, dup_line_char_frac,
         |  dup_para_frac, dup_para_char_frac,
-        |  ${(2 to 4).map(n => s"round(coalesce(top$n, 0)::DOUBLE / tot, 4) " +
-             s"AS top_${n}gram_frac").mkString(", ")},
-        |  ${(5 to 10).map(n => s"round(coalesce(cov$n, 0)::DOUBLE / tot, 4) " +
-             s"AS dup_${n}gram_frac").mkString(", ")},
+        |  ${(2 to 4).map(n => s"(coalesce(top$n, 0)::BIGINT * 20000 + tot) " +
+             s"// (tot * 2) / 10000.0 AS top_${n}gram_frac").mkString(", ")},
+        |  ${(5 to 10).map(n => s"(coalesce(cov$n, 0)::BIGINT * 20000 + tot) " +
+             s"// (tot * 2) / 10000.0 AS dup_${n}gram_frac").mkString(", ")},
         |  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
         |   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
         |   AND ${TextAnalysis.RepTopMax.toSeq.sorted.map { case (n, m) =>

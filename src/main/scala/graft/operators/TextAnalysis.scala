@@ -315,6 +315,19 @@ object TextAnalysis {
   private def charLen(a: Column): Column =
     aggregate(a, lit(0L), (s, x) => s + length(x))
 
+  /** Exact 4-decimal HALF_UP of the integer ratio n/d, computed in
+    * integer space: floor((20000n + d) / 2d) = round(10000n/d)
+    * half-up for non-negative n, d > 0. round(n/d, 4) on DOUBLES is
+    * engine-dependent exactly at the .00005 ties (Spark rounds the
+    * shortest decimal representation half-up; DuckDB rounds the
+    * binary double), which surfaced as 43 one-ULP hash mismatches at
+    * the sf1 gate — integer arithmetic is tie-free and both engines
+    * replay it bit-identically. The operands stay well under 2^53, so
+    * the floor(double-division) form is exact. */
+  private def frac4(n: Column, d: Column): Column =
+    floor((n.cast("long") * 20000L + d.cast("long")) /
+      (d.cast("long") * 2L)).cast("double") / 10000.0
+
   /** tx_rep — the Gopher REPETITION-removal battery (Rae et al. 2021,
     * Appendix A.1.2 — the second half of the production filter set,
     * beside [[gopher]]'s quality rules): per-doc duplicate line /
@@ -374,11 +387,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
 
     // line / paragraph duplicate mass: the chars (occurrences past the
-    // first) are total minus distinct — order-free, pure array math
-    def dupFrac(a: Column) = round(
-      (size(a) - size(array_distinct(a))).cast("double") / size(a), 4)
-    def dupCharFrac(a: Column) = round(
-      (charLen(a) - charLen(array_distinct(a))).cast("double") / charLen(a), 4)
+    // first) are total minus distinct — order-free, pure array math;
+    // ratios through the tie-free integer rounding ([[frac4]])
+    def dupFrac(a: Column) = frac4(size(a) - size(array_distinct(a)), size(a))
+    def dupCharFrac(a: Column) =
+      frac4(charLen(a) - charLen(array_distinct(a)), charLen(a))
     val lns = filter(split($"payload", "\n"), l => trim(l) =!= lit(""))
     val prs = filter(split($"payload", "\n\n"), p => trim(p) =!= lit(""))
     val w = tokens($"payload")
@@ -457,10 +470,10 @@ object TextAnalysis {
       .join(covs, Seq("doc_id"), "left")
       .select(Seq($"doc_id", $"dup_line_frac", $"dup_line_char_frac",
         $"dup_para_frac", $"dup_para_char_frac") ++
-        (2 to 4).map(n => round(coalesce(col(s"top$n"), lit(0L))
-          .cast("double") / $"tot", 4).as(s"top_${n}gram_frac")) ++
-        (5 to 10).map(n => round(coalesce(col(s"cov$n"), lit(0L))
-          .cast("double") / $"tot", 4).as(s"dup_${n}gram_frac")): _*)
+        (2 to 4).map(n => frac4(coalesce(col(s"top$n"), lit(0L)), $"tot")
+          .as(s"top_${n}gram_frac")) ++
+        (5 to 10).map(n => frac4(coalesce(col(s"cov$n"), lit(0L)), $"tot")
+          .as(s"dup_${n}gram_frac")): _*)
       .withColumn("rep_pass", passCond.reduce(_ && _)))
     grams.unpersist(blocking = false)
     counts.unpersist(blocking = false)
