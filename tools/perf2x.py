@@ -39,6 +39,7 @@ NOTES = {
     # the point
     "tx_crawl": "oracle replays the md5 derivation; Spark runs the real container chain",
     "mm_crawl": "oracle replays the md5 derivation; Spark decompresses + decodes real images",
+    "mm_interleave": "oracle replays the md5 derivation; Spark reassembles real pages and joins the decoded image corpus",
     "vs_parse_pdf": "oracle replays the derivation; Spark parses the real container",
     "vs_parse_warc": "oracle replays the derivation; Spark parses the real container",
     # occupancy-safe pairing: 6-8 small jobs where the fixed r13 band
@@ -56,6 +57,7 @@ NOTES = {
     "tx_ppl": "carried flat (r13 2.29s); bounded-broadcast LM scoring, prior audit stands",
     "tx_dsir": "carried flat (r13 1.50s); two hash-feature passes + broadcast, overhead-dominated",
     "tx_linededup": "carried flat (r13 1.46s); explode + one min(struct) shuffle, overhead-dominated",
+    "tx_passage": "carried flat (r12 1.68s, r13 1.77s, r14 2.10s); gram explode + partial-agg groupBy, overhead-dominated at the floor",
     "tx_tfidf": "carried flat (r13 1.68s); corpus explode + df broadcast, overhead-dominated",
 }
 
