@@ -25,8 +25,14 @@ package graft.functions.expressions
   * storage convention; luma comes from the naive CMYK composite
   * (255-C)(255-K)/255 per RGB channel.
   *
-  * Scope, loud outside it: arithmetic coding, lossless, hierarchical,
-  * 12-bit precision fail by name. The
+  * 12-BIT precision (extended sequential / progressive) decodes as
+  * the high-8-bit projection (level shift 2048, clamp 0..4095, >> 4 —
+  * the 16-bit TIFF / PNG depth-16 rule; no new tables are involved,
+  * the file's own DHT/DQT segments carry everything).
+  *
+  * Scope, loud outside it: arithmetic coding (the QM-coder's Qe state
+  * table is normative spec DATA unavailable in this zero-egress build
+  * — the lossy-VP8 blocker class), lossless, hierarchical. The
   * coefficient planes cost 256 B per 8x8 block; [[PixelDecode.MaxPixels]]
   * bounds them. There is no bit-exact decode contract across
   * implementations (IDCT rounding is implementation-defined within
@@ -186,6 +192,7 @@ object JpegDecode {
     // CMYK stores INVERTED ink values — the marker's presence is the
     // inversion signal (the libjpeg-era convention every reader uses).
     var adobeTransform = -1
+    var prec12 = false
     def u16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
     var eoi = false
     while (!eoi) {
@@ -200,7 +207,13 @@ object JpegDecode {
         m match {
           case 0xC0 | 0xC1 | 0xC2 =>
             progressive = m == 0xC2
-            if ((b(p + 4) & 0xFF) != 8) fail("12-bit precision is out of scope")
+            // 12-bit precision (extended sequential / progressive)
+            // needs no new tables — samples level-shift by 2048,
+            // clamp to 0..4095, and project their high 8 bits
+            val prec = b(p + 4) & 0xFF
+            if (prec != 8 && prec != 12)
+              fail(s"$prec-bit precision is out of scope (8/12 only)")
+            prec12 = prec == 12
             h = u16(p + 5); w = u16(p + 7)
             val nComp = b(p + 9) & 0xFF
             if (w <= 0 || h <= 0) fail(s"JPEG dimensions ${w}x$h")
@@ -234,8 +247,22 @@ object JpegDecode {
                 mcusX * hs(c), mcusY * vs(c),
                 (sx + 7) / 8, (sy + 7) / 8)
             }
-          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            fail(f"SOF marker 0xFF$m%02X (non-baseline/progressive) is out of scope")
+          // Arithmetic-coded SOFs (C9-CB): out of scope for the same
+          // reason as lossy VP8 — the QM-coder's probability
+          // estimation state machine (ISO 10918-1 Table D.3: ~113 rows
+          // of Qe values with next-state and switch columns) is
+          // normative DATA, not a derivable algorithm; this zero-
+          // egress build has no spec copy to take it from and no
+          // reference decoder to validate against, and inventing it
+          // would decode every real file silently wrong. Huffman JPEG
+          // needs no such table (its only constants arrive in the
+          // file's own DHT segments).
+          case 0xC9 | 0xCA | 0xCB =>
+            fail(f"SOF marker 0xFF$m%02X (arithmetic coding) is out of scope: " +
+              "the QM-coder Qe state table is normative spec data " +
+              "unavailable in this build")
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xCD | 0xCE | 0xCF =>
+            fail(f"SOF marker 0xFF$m%02X (lossless/differential/hierarchical) is out of scope")
           case 0xC4 => // DHT (redefinable between scans)
             var q = p + 4
             while (q < p + 2 + len) {
@@ -347,9 +374,14 @@ object JpegDecode {
             var s2 = 0.0
             var u = 0
             while (u < 8) { s2 += tmp(yy)(u) * IdctCos(u)(xx); u += 1 }
-            val v = math.round(s2).toInt + 128
+            // level shift and clamp at the declared precision; 12-bit
+            // samples project their HIGH 8 bits (the 8-bit projection,
+            // the 16-bit TIFF / PNG depth-16 rule)
+            val v = math.round(s2).toInt + (if (prec12) 2048 else 128)
+            val hi = if (prec12) 4095 else 255
+            val c2 = if (v < 0) 0 else if (v > hi) hi else v
             plane((outY + yy) * pw + outX + xx) =
-              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              (if (prec12) c2 >> 4 else c2).toByte
             xx += 1
           }
           yy += 1

@@ -36,9 +36,10 @@ import org.apache.spark.sql.types._
   * truncated IDAT is data loss. [[tryDecodeLuma]] is the tolerant
   * wrapper for feature extraction, where a fake or exotic payload
   * degrades to byte-level features instead of failing the fit.
-  * The exotic JPEG modes (arithmetic coding, lossless, 12-bit) are
-  * declared out of scope (loud); four-component CMYK/YCCK JPEGs
-  * decode (see [[JpegDecode]]), as do RLE and sub-byte BMPs. */
+  * The exotic JPEG modes (arithmetic coding, lossless) are declared
+  * out of scope (loud, with the precise blocker named); 12-bit
+  * precision, four-component CMYK/YCCK, RLE/sub-byte BMP, and
+  * sub-byte TIFF all decode. */
 object PixelDecode {
 
   /** A decoded grayscale raster; luma = BT.601 integer weights
@@ -1052,6 +1053,17 @@ object PixelDecode {
               fail(s"TIFF LZW segment: ${e.getMessage}")
           }
         case 32773 => unpackBits(raw, expect)
+        // CCITT G3/G4 (2/3/4): out of scope for the same reason as
+        // lossy VP8 and arithmetic JPEG — the T.4/T.6 terminating and
+        // make-up code tables (~200 normative codewords) are spec
+        // DATA, not derivable; no spec copy or reference decoder is
+        // available in this zero-egress build to source or validate
+        // them, and inventing them would decode every real fax file
+        // silently wrong
+        case 2 | 3 | 4 =>
+          fail(s"TIFF compression $compression (CCITT) is out of scope: " +
+            "the T.4/T.6 code tables are normative spec data " +
+            "unavailable in this build")
         case other =>
           fail(s"TIFF compression $other is out of scope (1/5/32773)")
       }

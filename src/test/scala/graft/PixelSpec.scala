@@ -781,13 +781,54 @@ class PixelSpec extends AnyFunSuite {
     val a = JpegDecode.decodeLuma(withApp14(bare, 2)).luma
     val b = JpegDecode.decodeLuma(withApp14(bare, 2)).luma
     assert(a.sameElements(b))
-    // the 12-bit edge stays loud (SOF precision byte patched)
-    val twelve = bare.clone()
-    val at = (0 until twelve.length - 1).find(i =>
-      (twelve(i) & 0xFF) == 0xFF && (twelve(i + 1) & 0xFF) == 0xC0).get
-    twelve(at + 4) = 12
-    assert(intercept[Exception](JpegDecode.decodeLuma(twelve))
-      .getMessage.contains("12-bit"))
+    // an unsupported precision stays loud (SOF precision byte patched)
+    val ten = bare.clone()
+    val at = (0 until ten.length - 1).find(i =>
+      (ten(i) & 0xFF) == 0xFF && (ten(i + 1) & 0xFF) == 0xC0).get
+    ten(at + 4) = 10
+    assert(intercept[Exception](JpegDecode.decodeLuma(ten))
+      .getMessage.contains("10-bit precision"))
+  }
+
+  test("12-bit JPEG: extended-sequential precision decodes with hand-pinned constants") {
+    import graft.functions.expressions.JpegDecode
+    // hand-built SOF1 precision-12 fixture: 16x8 gray, two DC-only
+    // blocks through one-symbol Huffman tables and a 16-bit DQT. A
+    // DC-only block IDCTs to the constant DC*q/8, so every expected
+    // pixel is hand arithmetic: block 1 DC=1024, q=2 -> 2048/8=256
+    // -> +2048 -> 2304 >> 4 = 144; block 2 pred+1500=2524 -> 5048/8
+    // = 631 -> 2679 >> 4 = 167.
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int) = out.write(v & 0xFF)
+    def u16(v: Int) = { u8(v >> 8); u8(v) }
+    u16(0xFFD8) // SOI
+    u16(0xFFDB); u16(2 + 1 + 128); u8(0x10) // DQT pq=1 tq=0
+    u16(2); (1 until 64).foreach(_ => u16(1)) // q0=2, rest 1
+    u16(0xFFC1); u16(11); u8(12); u16(8); u16(16); u8(1) // SOF1 12-bit
+    u8(1); u8(0x11); u8(0) // comp 1, 1x1, tq 0
+    def dht(cls: Int, sym: Int): Unit = {
+      u16(0xFFC4); u16(2 + 17 + 1); u8(cls << 4)
+      u8(1); (1 until 16).foreach(_ => u8(0)) // one len-1 code
+      u8(sym)
+    }
+    dht(0, 11) // DC: category 11
+    dht(1, 0x00) // AC: EOB
+    u16(0xFFDA); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0) // SOS
+    // entropy, MSB-first: [0][1024:11][0] [0][1500:11][0], 1-padded
+    var acc = 0L; var nb = 0
+    def put(v: Int, n: Int): Unit = { acc = (acc << n) | (v & ((1L << n) - 1)); nb += n }
+    put(0, 1); put(1024, 11); put(0, 1)
+    put(0, 1); put(1500, 11); put(0, 1)
+    val pad = (8 - nb % 8) % 8
+    put((1 << pad) - 1, pad)
+    val bytes = (nb / 8 - 1 to 0 by -1).map(i => ((acc >> (i * 8)) & 0xFF).toInt)
+    bytes.foreach { b2 => u8(b2); if (b2 == 0xFF) u8(0) }
+    u16(0xFFD9)
+    val r = JpegDecode.decodeLuma(out.toByteArray)
+    assert(r.w == 16 && r.h == 8)
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((r.luma(y * 16 + x) & 0xFF) == (if (x < 8) 144 else 167),
+        s"12-bit pixel ($x,$y): ${r.luma(y * 16 + x) & 0xFF}")
   }
 
   test("EXIF orientation: all 8 transforms hand-pinned; a rotated-with-tag jpeg hashes with its upright twin") {
