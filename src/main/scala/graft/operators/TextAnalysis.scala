@@ -206,30 +206,49 @@ object TextAnalysis {
     * passes wholesale (spec injects rule-breaking docs per signal). */
   def gopher(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lineArr = split($"text", "\n")
-    Tables.spread(Tables.load(spark, dir, "documents"))
-      .select($"doc_id", $"text", tokens($"text").as("w"), lineArr.as("ln"))
-      .select($"doc_id",
-        size($"w").cast("long").as("word_count"),
+    gopherSignals(Tables.spread(Tables.load(spark, dir, "documents")))
+      .select($"doc_id" +: GopherCols.map(col): _*)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val GopherCols: Seq[String] = Seq("word_count",
+    "mean_word_len", "symbol_ratio", "bullet_ratio", "ellipsis_ratio",
+    "alpha_ratio", "stop_hits", "gopher_pass")
+
+  /** The battery over any frame with a `text` column (all input
+    * columns kept) — the unit [[curate]]'s `gopherRules` gate and the
+    * driver query share, so the gate and the oracle-checked signals
+    * cannot drift apart. */
+  private[graft] def gopherSignals(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("w", tokens($"text"))
+      .withColumn("ln", split($"text", "\n"))
+      .withColumn("word_count", size($"w").cast("long"))
+      .withColumn("mean_word_len",
         round(aggregate($"w", lit(0L), (a, t) => a + length(t)).cast("double") /
-          size($"w"), 4).as("mean_word_len"),
+          size($"w"), 4))
+      .withColumn("symbol_ratio",
         round((size(regexp_extract_all($"text", lit("#"), lit(0))) +
           size(regexp_extract_all($"text", lit("\\.\\.\\.|…"), lit(0))))
-          .cast("double") / size($"w"), 4).as("symbol_ratio"),
+          .cast("double") / size($"w"), 4))
+      .withColumn("bullet_ratio",
         round(size(filter($"ln", l => ltrim(l).rlike("^[-*•]")))
-          .cast("double") / size($"ln"), 4).as("bullet_ratio"),
+          .cast("double") / size($"ln"), 4))
+      .withColumn("ellipsis_ratio",
         round(size(filter($"ln", l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
-          .cast("double") / size($"ln"), 4).as("ellipsis_ratio"),
+          .cast("double") / size($"ln"), 4))
+      .withColumn("alpha_ratio",
         round(size(filter($"w", t => t.rlike("[A-Za-z]")))
-          .cast("double") / size($"w"), 4).as("alpha_ratio"),
-        occurrences($"w", Stopwords).as("stop_hits"))
+          .cast("double") / size($"w"), 4))
+      .withColumn("stop_hits", occurrences($"w", Stopwords))
       .withColumn("gopher_pass",
         $"word_count".between(50L, 100000L) &&
           $"mean_word_len".between(3.0, 10.0) &&
           $"symbol_ratio" < 0.1 && $"bullet_ratio" < 0.9 &&
           $"ellipsis_ratio" < 0.3 && $"alpha_ratio" >= 0.8 &&
           $"stop_hits" >= 2L)
-      .orderBy($"doc_id")
+      .drop("w", "ln")
   }
 
   /** Stand-in for C4's production blocklist (the real "bad words"
@@ -279,29 +298,43 @@ object TextAnalysis {
         | CASE WHEN cast(conv(substring(h,11,2),16,10) as int) % 4 = 0
         |   THEN 'the forum post mentions xbadword openly.'
         |   ELSE NULL END)""".stripMargin)
-    val lns = split($"payload", "\n")
+    c4Signals(
+      Tables.spread(Tables.load(spark, dir, "documents"))
+        .withColumn("h", md5($"text"))
+        .withColumn("payload", payload),
+      $"payload")
+      .select($"doc_id" +: C4Cols.map(col): _*)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val C4Cols: Seq[String] = Seq("n_lines", "kept_lines",
+    "js_lines", "has_lorem", "has_brace", "has_badword", "clean_md5",
+    "c4_keep")
+
+  /** The battery over any frame and text column (all input columns
+    * kept) — the unit [[curate]]'s `c4Rules` gate and the driver
+    * query share. */
+  private[graft] def c4Signals(docs: DataFrame, textCol: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lns = split(textCol, "\n")
     def keptLine(l: Column): Column =
       rtrim(l).rlike("""[.!?"]$""") &&
         size(split(trim(l), "\\s+")) >= 5 &&
         !lower(l).contains("javascript")
     val kept = filter(lns, keptLine(_))
-    Tables.spread(Tables.load(spark, dir, "documents"))
-      .withColumn("h", md5($"text"))
-      .withColumn("payload", payload)
-      .select($"doc_id",
-        size(lns).cast("long").as("n_lines"),
-        size(kept).cast("long").as("kept_lines"),
-        size(filter(lns, l => lower(l).contains("javascript")))
-          .cast("long").as("js_lines"),
-        lower($"payload").contains("lorem ipsum").as("has_lorem"),
-        $"payload".contains("{").as("has_brace"),
-        C4Blocklist.map(w => lower($"payload").contains(w))
-          .reduce(_ || _).as("has_badword"),
-        md5(concat_ws("\n", kept)).as("clean_md5"))
+    docs
+      .withColumn("n_lines", size(lns).cast("long"))
+      .withColumn("kept_lines", size(kept).cast("long"))
+      .withColumn("js_lines",
+        size(filter(lns, l => lower(l).contains("javascript"))).cast("long"))
+      .withColumn("has_lorem", lower(textCol).contains("lorem ipsum"))
+      .withColumn("has_brace", textCol.contains("{"))
+      .withColumn("has_badword",
+        C4Blocklist.map(w => lower(textCol).contains(w)).reduce(_ || _))
+      .withColumn("clean_md5", md5(concat_ws("\n", kept)))
       .withColumn("c4_keep",
         $"kept_lines" >= 3L && !$"has_lorem" && !$"has_brace" &&
           !$"has_badword")
-      .orderBy($"doc_id")
   }
 
   /** Pass ceilings for the [[repetition]] battery (Rae et al. 2021,
@@ -561,17 +594,35 @@ object TextAnalysis {
     * duplicated-passage ceiling (`passageMaxRatio` joins
     * [[passageDedup]]'s coverage and drops docs whose cross-corpus
     * copied share exceeds it — the Lee et al. 2022 clip-or-drop
-    * policy, as drop). Both default off; the driver oracle pins the
-    * heuristic default, LangIdSpec / OperatorInvariantsSpec exercise
-    * the options. */
+    * policy, as drop). `gopherRules` / `c4Rules` apply the
+    * [[gopher]] / [[c4]] filter batteries as leading gates on the
+    * same scan. All default off; the driver oracle pins the heuristic
+    * default, LangIdSpec / OperatorInvariantsSpec exercise the
+    * options. */
   def curate(spark: SparkSession, dir: String,
       trainedLangId: Option[LangIdClassifier.Model],
       passageMaxRatio: Option[Double] = None,
       trainedQuality: Option[(LangIdClassifier.Model, Double)] = None,
-      piiMaxRatio: Option[Double] = None)
+      piiMaxRatio: Option[Double] = None,
+      gopherRules: Boolean = false,
+      c4Rules: Boolean = false)
       : DataFrame = {
     import spark.implicits._
-    val heuristicP0 = scoreDocs(Tables.spread(Tables.load(spark, dir, "documents")))
+    val raw0 = Tables.spread(Tables.load(spark, dir, "documents"))
+    // the filter batteries compose as gates on the same scan (both
+    // default off — the driver oracle pins the base pipeline; the
+    // spec drives the gated forms). tx_rep deliberately does NOT
+    // offer a narrow gate: its duplicated-n-gram coverage needs the
+    // per-(doc, n, gram) shuffle, so at pipeline scale it runs as its
+    // own stage and joins in like passageMaxRatio would.
+    val raw1 =
+      if (!gopherRules) raw0
+      else gopherSignals(raw0).filter($"gopher_pass")
+        .drop(GopherCols: _*)
+    val raw =
+      if (!c4Rules) raw1
+      else c4Signals(raw1, $"text").filter($"c4_keep").drop(C4Cols: _*)
+    val heuristicP0 = scoreDocs(raw)
     // PII clip: docs whose typed-PII character share exceeds the
     // ceiling drop before any scoring join — one more narrow
     // expression on the same scan (the driver corpus is PII-free, so

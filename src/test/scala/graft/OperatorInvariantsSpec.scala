@@ -394,6 +394,42 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       "both pass outcomes must occur on the injected corpus")
   }
 
+  test("curate gopherRules/c4Rules gates compose: battery verdicts decide membership") {
+    import spark.implicits._
+    // gopher gate on the raw corpus: exactly the gopher_pass docs of
+    // the open set survive (the battery and the gate share one unit)
+    val open = TextAnalysis.curate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val passes = TextAnalysis.gopher(spark, sf).collect()
+      .filter(_.getAs[Boolean]("gopher_pass")).map(_.getAs[Long]("doc_id")).toSet
+    val gated = TextAnalysis.curate(spark, sf, None, gopherRules = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(gated == (open & passes), s"gated=${gated.size} open=${open.size}")
+    assert(gated != open, "the word-count floor must bite on the salad corpus")
+    // c4 gate: the raw corpus has no terminal punctuation, so ONLY a
+    // crafted doc with 3 kept sentence-lines (that also passes the
+    // language/quality/dedup gates) survives
+    val body = Seq.fill(12)("the cat and the dog are with a friend " +
+      "because it is good that they have the time").mkString(" ")
+    val crafted = body + "\nthis line ends with a period one.\n" +
+      "this line ends with a period two.\nthis line ends with a period three."
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val extra = spark.createDataFrame(Seq(
+      (888888L, crafted, "en", "web", crafted.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"tx_c4_curate_${System.nanoTime()}").getPath
+    docs.unionByName(extra).write.parquet(s"$dir/documents.parquet")
+    val c4Open = TextAnalysis.curate(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(c4Open.contains(888888L), "the crafted doc must pass the open gates")
+    val c4Gated = TextAnalysis.curate(spark, dir, None, c4Rules = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(c4Gated == Set(888888L),
+      s"only the sentence-lined doc may survive c4Rules: $c4Gated")
+  }
+
   test("tx_c4 battery: a plain-Scala replay of every rule matches the operator") {
     import spark.implicits._
     val texts = Tables.load(spark, sf, "documents")
