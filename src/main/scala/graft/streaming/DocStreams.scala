@@ -43,9 +43,19 @@ object DocStreams {
     * within a watermark window, and anything older is caught by the
     * store's content-hash anti-join at ingest
     * (GraftVectorDB.ingestRecords / StreamingIngestSpec). */
-  def curateGate(docs: DataFrame): DataFrame = {
+  def curateGate(docs: DataFrame): DataFrame =
+    curateGate(docs, gopherRules = false, c4Rules = false)
+
+  /** [[curateGate]] with the gopher/C4 filter batteries as leading
+    * gates — both are STATELESS narrow expressions
+    * (TextAnalysis.gopherSignals / c4Signals, the same units the
+    * batch [[TextAnalysis.curate]] composes), so they apply to a
+    * streaming frame unchanged: no state, no watermark interaction,
+    * the whole gate stays one projection ahead of the dedup. */
+  def curateGate(docs: DataFrame, gopherRules: Boolean,
+      c4Rules: Boolean): DataFrame = {
     import docs.sparkSession.implicits._
-    scoredGated(docs)
+    scoredGated(docs, gopherRules, c4Rules)
       // project BEFORE the stateful dedup: the state store then keys
       // and carries exactly the output row (and the streaming planner
       // requires the dedup child schema to be the final one)
@@ -69,16 +79,27 @@ object DocStreams {
       .select($"file_hash", $"lang_pred", $"n_tokens", $"quality_r")
   }
 
-  private def scoredGated(docs: DataFrame): DataFrame = {
+  private def scoredGated(docs: DataFrame, gopherRules: Boolean = false,
+      c4Rules: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
-    TextAnalysis.scoreDocs(docs)
+    val g1 =
+      if (!gopherRules) docs
+      else TextAnalysis.gopherSignals(docs).filter($"gopher_pass")
+        .drop(TextAnalysis.GopherCols: _*)
+    val g2 =
+      if (!c4Rules) g1
+      else TextAnalysis.c4Signals(g1, $"text").filter($"c4_keep")
+        .drop(TextAnalysis.C4Cols: _*)
+    TextAnalysis.scoreDocs(g2)
       .withColumn("file_hash", md5($"text"))
       .filter($"lang_pred".isin("en", "es") && $"quality_r" >= 0.25)
   }
 
   /** Batch twin on the same table, for stream-parity checks. */
-  def curateBatch(spark: SparkSession, dir: String): DataFrame =
-    curateGate(graft.Tables.load(spark, dir, "documents"))
+  def curateBatch(spark: SparkSession, dir: String,
+      gopherRules: Boolean = false, c4Rules: Boolean = false): DataFrame =
+    curateGate(graft.Tables.load(spark, dir, "documents"),
+      gopherRules, c4Rules)
 
   // ─────────── in-stream near-dup gate (round 11) ───────────
   //

@@ -50,6 +50,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gate with gopherRules == batch (stateless battery gates)") {
+    import graft.streaming.DocStreams
+    val q = DocStreams.curateGate(
+      DocStreams.loadDocumentsStream(spark, docStreamDir),
+      gopherRules = true, c4Rules = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st_curate_gopher_test").start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Double)] =
+        df.select("file_hash", "lang_pred", "n_tokens", "quality_r").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = rows(spark.table("st_curate_gopher_test"))
+      val want = rows(DocStreams.curateBatch(spark, sf, gopherRules = true))
+      val open = rows(DocStreams.curateBatch(spark, sf))
+      assert(got.nonEmpty && got == want)
+      // the battery gate bites beyond the base gate (word-count floor
+      // on the salad corpus), and the gated set nests inside the open
+      assert(got.size < open.size && got.subsetOf(open))
+    } finally q.stop()
+  }
+
   test("in-stream near-dup gate: sidecar catches cross-batch near-dups; replay idempotent; batch parity") {
     import graft.streaming.DocStreams
     import spark.implicits._
