@@ -21,6 +21,7 @@ object SparkEntry {
     "ol_topcustomers" -> (Relational.topCustomers _),
     "ol_regionrev" -> (Relational.regionRevenue _),
     "ol_window" -> (Relational.windowTop _),
+    "ol_moving" -> (Relational.movingWindow _),
     "ol_sessionize" -> (Relational.sessionize _),
     "ol_json" -> (Relational.jsonProps _),
     "ol_rollup" -> (Relational.rollupOrders _),
@@ -328,6 +329,17 @@ object SparkEntry {
         |  (SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS run_total
         | FROM orders) t
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    // ol_moving: the RANGE frame is value-based over epoch days, so
+    // same-day ties need no ordering tiebreak on either engine
+    "ol_moving" ->
+      """SELECT o_custkey, o_orderkey,
+        | count(*) OVER w::BIGINT AS mov_cnt,
+        | (SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w)::DOUBLE AS mov_rev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "ol_sessionize" ->
       """WITH g AS (
         | SELECT user_id, event_id, ts,

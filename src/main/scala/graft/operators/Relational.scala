@@ -102,6 +102,29 @@ object Relational {
       .orderBy($"o_custkey", $"rnk")
   }
 
+  /** ol_moving — trailing-window moving aggregates (the RANGE frame,
+    * the window surface [[windowTop]]'s ROWS frames don't touch): per
+    * customer, each order's trailing-30-day order count and revenue.
+    * The frame is value-based — all orders whose epoch-day falls in
+    * [day-29, day] join the aggregate regardless of tie order, so the
+    * result is deterministic without an orderkey tiebreak. One
+    * shuffle on o_custkey, per-partition sort, O(1) frame maintenance
+    * per row: the canonical time-series-feature shape at 100 TB
+    * (trailing spend/velocity features for every transaction). Money
+    * stays decimal inside the sum, one cast at the edge. */
+  def movingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = datediff($"o_orderdate", lit("1970-01-01"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"d")
+      .rangeBetween(-29, 0)
+    Tables.load(spark, dir, "orders")
+      .withColumn("d", day.cast("long"))
+      .select($"o_custkey", $"o_orderkey",
+        count(lit(1)).over(w).cast("long").as("mov_cnt"),
+        sum(dec($"o_totalprice")).over(w).cast("double").as("mov_rev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** Event sessionization: gap > 6h starts a new session. One shuffle on
     * user_id, then lag + cumulative flag-sum inside the partition — the
     * canonical scale-out shape (no driver loops, no per-user collect). */

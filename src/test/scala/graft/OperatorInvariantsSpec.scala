@@ -394,6 +394,38 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       "both pass outcomes must occur on the injected corpus")
   }
 
+  test("ol_moving: trailing-30-day RANGE frame hand-pinned; same-day ties need no order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(
+      java.time.LocalDate.ofEpochDay(day.toLong).atStartOfDay())
+    // customer 1: days 0, 10, 35, 40 — day 35 still sees day 10
+    // (35-29=6 <= 10), day 40 does not (40-29=11 > 10); customer 2:
+    // two SAME-DAY orders — the value-based frame includes both in
+    // both rows, no tiebreak involved
+    val orders = Seq(
+      (101L, 1L, "O", 1.0, ts(0), "1-URGENT"),
+      (102L, 1L, "O", 2.0, ts(10), "1-URGENT"),
+      (103L, 1L, "O", 4.0, ts(35), "1-URGENT"),
+      (104L, 1L, "O", 8.0, ts(40), "1-URGENT"),
+      (201L, 2L, "F", 5.0, ts(100), "2-HIGH"),
+      (202L, 2L, "F", 7.0, ts(100), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"ol_moving_${System.nanoTime()}").getPath
+    orders.write.parquet(s"$dir/orders.parquet")
+    val got = Relational.movingWindow(spark, dir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Long]("mov_cnt"), r.getAs[Double]("mov_rev"))).toMap
+    assert(got(101L) == (1L, 1.0))
+    assert(got(102L) == (2L, 3.0))
+    assert(got(103L) == (2L, 6.0), got(103L).toString)
+    assert(got(104L) == (2L, 12.0), got(104L).toString)
+    assert(got(201L) == (2L, 12.0) && got(202L) == (2L, 12.0),
+      "same-day peers must both see the full frame")
+  }
+
   test("curate gopherRules/c4Rules gates compose: battery verdicts decide membership") {
     import spark.implicits._
     // gopher gate on the raw corpus: exactly the gopher_pass docs of
