@@ -1493,12 +1493,12 @@ object SparkEntry {
         | len(list_filter(lns, l -> contains(lower(l), 'javascript')))::BIGINT
         |   AS js_lines,
         | contains(lower(payload), 'lorem ipsum') AS has_lorem,
-        | contains(payload, '{') AS has_brace,
+        | (contains(payload, '{') OR contains(payload, '}')) AS has_brace,
         | (contains(lower(payload), 'xbadword')
         |  OR contains(lower(payload), 'xnastyword')) AS has_badword,
         | md5(array_to_string(kept, chr(10))) AS clean_md5,
         | (len(kept) >= 3 AND NOT contains(lower(payload), 'lorem ipsum')
-        |  AND NOT contains(payload, '{')
+        |  AND NOT (contains(payload, '{') OR contains(payload, '}'))
         |  AND NOT (contains(lower(payload), 'xbadword')
         |           OR contains(lower(payload), 'xnastyword'))) AS c4_keep
         |FROM b ORDER BY doc_id""".stripMargin,

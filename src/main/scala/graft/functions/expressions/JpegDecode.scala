@@ -325,11 +325,18 @@ object JpegDecode {
               fail("progressive AC scan must be non-interleaved")
             p = decodeScan(b, p + 2 + len, scanComps, ss, se, ah, al,
               dcT, acT, qt, restartInterval, mcusX, mcusY,
-              interleaved = ns > 1)
+              interleaved = ns > 1,
+              // ISO 10918-1 F.1.2.1.2: DIFF spans +/-32767 at 12-bit
+              // precision (SSSS up to 15); 8-bit stays capped at 11
+              maxDcCat = if (prec12) 15 else 11)
           case 0xEE => // APP14: Adobe tag — the CMYK transform signal
             if (len >= 14 && b(p + 4) == 'A' && b(p + 5) == 'd' &&
                 b(p + 6) == 'o' && b(p + 7) == 'b' && b(p + 8) == 'e')
-              adobeTransform = b(p + 2 + len - 1) & 0xFF
+              // the transform byte sits at a FIXED offset (data byte 11
+              // after the tag: version 2 + flags0 2 + flags1 2, then the
+              // transform), NOT at the segment end — writers may append
+              // extra data past the 14 defined bytes
+              adobeTransform = b(p + 15) & 0xFF
           case x if x >= 0xE0 && x <= 0xED || x == 0xEF => () // APPn
           case 0xFE => () // COM
           case other => fail(f"marker 0xFF$other%02X is out of scope")
@@ -470,7 +477,7 @@ object JpegDecode {
       scanComps: Array[Component], ss: Int, se: Int, ah: Int, al: Int,
       dcT: Array[Huff], acT: Array[Huff], qt: Array[Array[Int]],
       restartInterval: Int, mcusX: Int, mcusY: Int,
-      interleaved: Boolean): Int = {
+      interleaved: Boolean, maxDcCat: Int): Int = {
     val in = new BitReader(b, at)
     val pred = new Array[Int](scanComps.length)
     var eobrun = 0
@@ -487,7 +494,7 @@ object JpegDecode {
     // --- per-block decoders over coef(base + zigzagPos) ---
     def sequentialBlock(ci: Int, c: Component, base: Int): Unit = {
       val s = dcTable(c).decode(in)
-      if (s > 11) fail(s"DC category $s")
+      if (s > maxDcCat) fail(s"DC category $s")
       pred(ci) += extend(in.receive(s), s)
       c.coef(base) = pred(ci)
       var k = 1
@@ -507,7 +514,7 @@ object JpegDecode {
     }
     def dcFirst(ci: Int, c: Component, base: Int): Unit = {
       val s = dcTable(c).decode(in)
-      if (s > 11) fail(s"DC category $s")
+      if (s > maxDcCat) fail(s"DC category $s")
       pred(ci) += extend(in.receive(s), s)
       c.coef(base) = pred(ci) << al
     }

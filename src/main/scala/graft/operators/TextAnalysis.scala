@@ -328,7 +328,10 @@ object TextAnalysis {
       .withColumn("js_lines",
         size(filter(lns, l => lower(l).contains("javascript"))).cast("long"))
       .withColumn("has_lorem", lower(textCol).contains("lorem ipsum"))
-      .withColumn("has_brace", textCol.contains("{"))
+      // Raffel et al. 2020 §2.2 drops pages with ANY curly bracket —
+      // both '{' and '}' (a lone '}' is just as much a code signal)
+      .withColumn("has_brace",
+        textCol.contains("{") || textCol.contains("}"))
       .withColumn("has_badword",
         C4Blocklist.map(w => lower(textCol).contains(w)).reduce(_ || _))
       .withColumn("clean_md5", md5(concat_ws("\n", kept)))

@@ -504,7 +504,8 @@ class OperatorInvariantsSpec extends AnyFunSuite {
         lines.count(_.toLowerCase.contains("javascript")), r.toString)
       assert(r.getAs[Boolean]("has_lorem") ==
         payload.toLowerCase.contains("lorem ipsum"))
-      assert(r.getAs[Boolean]("has_brace") == payload.contains("{"))
+      assert(r.getAs[Boolean]("has_brace") ==
+        (payload.contains("{") || payload.contains("}")))
       assert(r.getAs[Boolean]("has_badword") ==
         TextAnalysis.C4Blocklist.exists(payload.toLowerCase.contains))
       assert(r.getAs[String]("clean_md5") == md5hex(kept.mkString("\n")))

@@ -777,6 +777,15 @@ class PixelSpec extends AnyFunSuite {
         bytes.drop(2)
     checkAgainstRaster(withApp14(bare, 0), 0)
     checkAgainstRaster(withApp14(bare, 2), 2)
+    // a writer that pads the APP14 past its 14 defined bytes must not
+    // shift the transform read — it sits at a FIXED offset, not at the
+    // segment end (the padding byte 9 would be misread as transform 9)
+    def withPaddedApp14(bytes: Array[Byte], tf: Int): Array[Byte] =
+      bytes.take(2) ++ Array[Byte](0xFF.toByte, 0xEE.toByte, 0, 17,
+        'A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, tf.toByte,
+        9, 9, 9) ++ bytes.drop(2)
+    checkAgainstRaster(withPaddedApp14(bare, 0), 0)
+    checkAgainstRaster(withPaddedApp14(bare, 2), 2)
     // deterministic: the same payload decodes bit-identically
     val a = JpegDecode.decodeLuma(withApp14(bare, 2)).luma
     val b = JpegDecode.decodeLuma(withApp14(bare, 2)).luma
@@ -829,6 +838,51 @@ class PixelSpec extends AnyFunSuite {
     for (y <- 0 until 8; x <- 0 until 16)
       assert((r.luma(y * 16 + x) & 0xFF) == (if (x < 8) 144 else 167),
         s"12-bit pixel ($x,$y): ${r.luma(y * 16 + x) & 0xFF}")
+  }
+
+  test("12-bit JPEG: DC categories 12-15 decode (F.1.2.1.2 wide DIFF); 8-bit stays capped at 11") {
+    import graft.functions.expressions.JpegDecode
+    // same hand-built shape as the fixture above, but the DC table
+    // carries category 12 and the single block's DIFF is 3000 — a
+    // high-contrast 12-bit value (2048 <= 3000 < 4096) that any real
+    // 12-bit writer emits routinely. DC=3000, q=2 -> 6000/8 = 750
+    // -> +2048 = 2798 -> >> 4 = 174.
+    def fixture(sofPrec: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u8(v: Int) = out.write(v & 0xFF)
+      def u16(v: Int) = { u8(v >> 8); u8(v) }
+      u16(0xFFD8)
+      u16(0xFFDB); u16(2 + 1 + 128); u8(0x10) // DQT pq=1 tq=0
+      u16(2); (1 until 64).foreach(_ => u16(1))
+      u16(0xFFC1); u16(11); u8(sofPrec); u16(8); u16(8); u8(1)
+      u8(1); u8(0x11); u8(0)
+      def dht(cls: Int, sym: Int): Unit = {
+        u16(0xFFC4); u16(2 + 17 + 1); u8(cls << 4)
+        u8(1); (1 until 16).foreach(_ => u8(0))
+        u8(sym)
+      }
+      dht(0, 12) // DC: category 12 — legal ONLY at 12-bit precision
+      dht(1, 0x00)
+      u16(0xFFDA); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+      var acc = 0L; var nb = 0
+      def put(v: Int, n: Int): Unit = { acc = (acc << n) | (v & ((1L << n) - 1)); nb += n }
+      put(0, 1); put(3000, 12); put(0, 1)
+      val pad = (8 - nb % 8) % 8
+      put((1 << pad) - 1, pad)
+      val bytes = (nb / 8 - 1 to 0 by -1).map(i => ((acc >> (i * 8)) & 0xFF).toInt)
+      bytes.foreach { b2 => u8(b2); if (b2 == 0xFF) u8(0) }
+      u16(0xFFD9)
+      out.toByteArray
+    }
+    val r = JpegDecode.decodeLuma(fixture(12))
+    assert(r.w == 8 && r.h == 8)
+    assert(r.luma.forall(b => (b & 0xFF) == 174),
+      s"12-bit cat-12 pixel: ${r.luma(0) & 0xFF}")
+    // the same table at 8-bit precision is corrupt — the cap holds
+    val e = intercept[IllegalArgumentException] {
+      JpegDecode.decodeLuma(fixture(8))
+    }
+    assert(e.getMessage.contains("DC category 12"), e.getMessage)
   }
 
   test("EXIF orientation: all 8 transforms hand-pinned; a rotated-with-tag jpeg hashes with its upright twin") {
