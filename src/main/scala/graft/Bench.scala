@@ -89,8 +89,16 @@ object Bench {
       SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1)))
         .sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          // a FAILED query must read as the -1 sentinel, never as its
+          // time-to-throw: a fast failure would otherwise masquerade
+          // as a fast query (min-of-passes preserves the sentinel)
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH FAILURE: $name: ${e.getMessage}")
+              false
+            }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
     // SPARK_GRAFT_PASSES=1 for long scaling-curve runs (sf1+), where a
     // second pass doubles an already-long wall time for little signal

@@ -1758,17 +1758,19 @@ object SparkEntry {
         |  ELSE round((len(sh) - len(list_distinct(sh)))::DOUBLE / len(sh), 4) END AS rep_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
     "tx_dsir" ->
-      """WITH tb AS (SELECT doc_id, ('0x' || substr(md5(tok),1,2))::BIGINT % 64 AS b
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok FROM documents)),
-        |tgt AS (SELECT b, count(*) c_t FROM tb WHERE doc_id % 17 = 0 GROUP BY 1),
-        |src AS (SELECT b, count(*) c_s FROM tb WHERE doc_id % 17 <> 0 GROUP BY 1),
+      """WITH dt AS (SELECT doc_id, tok, count(*)::BIGINT tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) tok FROM documents)
+        |  GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, ('0x' || substr(md5(tok),1,2))::BIGINT % 64 AS b, tf FROM dt),
+        |tgt AS (SELECT b, sum(tf)::BIGINT c_t FROM tb WHERE doc_id % 17 = 0 GROUP BY 1),
+        |src AS (SELECT b, sum(tf)::BIGINT c_s FROM tb WHERE doc_id % 17 <> 0 GROUP BY 1),
         |tt AS (SELECT sum(c_t)::BIGINT t_t FROM tgt),
         |ts AS (SELECT sum(c_s)::BIGINT t_s FROM src),
         |lr AS (SELECT src.b,
         |  round(ln(((coalesce(c_t, 0) + 1)::DOUBLE / (t_t + 64))
         |    / ((c_s + 1)::DOUBLE / (t_s + 64))), 6) lr
         |  FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN tt CROSS JOIN ts)
-        |SELECT doc_id, count(*)::BIGINT AS n_tokens, round(SUM(lr), 6) AS dsir_w
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens, round(SUM(tf * lr), 6) AS dsir_w
         |FROM tb JOIN lr USING (b) WHERE doc_id % 17 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the CCNet repeated-line pass replayed relationally: fixed

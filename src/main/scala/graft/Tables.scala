@@ -44,6 +44,20 @@ object Tables {
       out
     } else df.localCheckpoint(eager = true)
 
+  /** Materialize a DRIVER-BOUNDED result frame (top-k lists,
+    * manifests — anything ≤ thousands of rows) by collecting its rows
+    * and rebuilding a local relation. The cheap lifecycle where the
+    * plan references persisted intermediates the caller wants to
+    * release immediately: one collect, no checkpoint machinery — a
+    * localCheckpoint on such a frame measured ~7× the plain execution
+    * (the cache-build path re-plans the lineage without runtime
+    * reuse). NEVER use on corpus-sized frames; that is
+    * [[materialize]]'s job. */
+  def materializeSmall(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Free the blocks behind EVERY materialized ancestor in the frame's
     * plan (it unpersists each `LogicalRDD` leaf, not just a frame
     * returned by [[materialize]] directly). Call only when the caller

@@ -38,6 +38,17 @@ object TextFunctions {
   def hashBucket(c: Column, buckets: Int): Column =
     pmod(conv(substring(md5(c), 1, 2), 16, 10).cast("long"), lit(buckets.toLong))
 
+  /** Per-row token counts as array<struct<token, tf>> — a NARROW
+    * run-length encode of the sorted token array. Replaces the
+    * explode + (doc, token) groupBy corpus shuffle wherever only
+    * per-document counts are needed (tfidf, dsir). O(len·log len)
+    * per row, zero shuffle — a native expression
+    * ([[graft.functions.expressions.TokenCounts]]): the HOF
+    * formulation re-evaluated its sub-arrays per lambda element
+    * (no CSE in the interpreted path), going O(n³ log n). */
+  def tokenCounts(text: Column): Column =
+    graft.functions.expressions.TokenCounts(tokens(text))
+
   /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
     * Guarded: fewer than n tokens → empty (Spark's sequence(1,0) would
     * otherwise count *down*). */

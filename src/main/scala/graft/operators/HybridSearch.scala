@@ -57,49 +57,86 @@ object HybridSearch {
     * the BM25 top-[[PoolK]] and cosine top-[[PoolK]] pools.
     * Output: (q_id, rnk, n_id, rrf_r). */
   def hybrid(spark: SparkSession, dir: String): DataFrame = {
-    val (ranked, tf) = hybridRanked(spark, dir)
-    val out = Tables.materialize(ranked)
-    tf.unpersist(blocking = false)
-    out.orderBy(col("q_id"), col("rnk"))
+    val (ranked, persisted) = hybridRanked(spark, dir)
+    persisted.foreach(_.unpersist(blocking = false))
+    ranked.orderBy(col("q_id"), col("rnk"))
   }
 
-  /** The un-materialized fused ranking plus the persisted tf frame the
-    * caller must release — split out so the spec can pin the PLAN
-    * shape (a materialized frame's executed plan is just the
-    * checkpoint scan). */
-  private[graft] def hybridRanked(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The un-sorted fused ranking plus any persisted frames the caller
+    * must release (none since round 16 — the only multi-consumer
+    * frame, the |queries|-row vector aggregate, collects into a local
+    * relation instead) — split out so the spec can pin the PLAN
+    * shape. */
+  private[graft] def hybridRanked(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val corpus = docs.filter($"doc_id" >= NQueries)
     val queries = docs.filter($"doc_id" < NQueries)
 
     // ---- lexical channel: Okapi BM25 ----
-    // (doc, term) counts with the doc length riding the same shuffle;
-    // persisted because df and the corpus stats both derive from it
-    // (one corpus explode total, the tx_tfidf lifecycle)
-    val tf = corpus
-      .select($"doc_id", size(tokens($"text")).cast("long").as("dl"),
-        explode(tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val stats = tf.groupBy($"doc_id").agg(first($"dl").as("dl"))
-      .agg(count(lit(1)).as("n"), sum($"dl").as("sdl"))
+    // Only QUERY-term rows can ever contribute, so the corpus token
+    // stream prunes against the (query-sized, bounded) term set
+    // BEFORE any aggregation — the round-16 rework: the old plan
+    // materialized + persisted the FULL (doc, term) corpus table (the
+    // tx_tfidf shuffle over every token) and only then pruned; now
+    // the broadcast prune rides the explode inside the scan stage and
+    // the groupBy shuffles matched rows only. The serving hybrid path
+    // (GraftVectorDB lexical sidecar) prunes the same way.
     val qterms = queries
       .select($"doc_id".as("q_id"),
         explode(array_distinct(tokens($"text"))).as("term"))
-    // dfreq is the FULL corpus vocabulary — unbounded, never broadcast
-    // raw. Only query-term rows can ever contribute, so semi-join it
-    // down to the (query-sized, bounded) term set first; THAT frame
-    // broadcasts at any corpus scale. The serving hybrid path
-    // (GraftVectorDB lexical sidecar) already does the same pruning.
-    val dfq = dfreq.join(
-      broadcast(qterms.select($"term").distinct()), Seq("term"), "left_semi")
+    val tf = corpus
+      .select($"doc_id", size(tokens($"text")).cast("long").as("dl"),
+        explode(tokens($"text")).as("term"))
+      .join(broadcast(qterms.select($"term").distinct()), Seq("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"dl").as("dl"))
+    // df over the pruned table equals the full-vocabulary df for
+    // every term that can contribute (a doc counts iff it contains
+    // the term). Computed as a WINDOW over the pruned frame's term
+    // partitions — tf is consumed exactly once, so nothing persists
+    // (a Dataset cache build measured several× the plain execution)
+    // and there is no second aggregate + join round trip. Window
+    // state per term is bounded by docs-containing-that-query-term;
+    // a stop-word query term degrades to a spilled partition, the
+    // same hot-key exposure the equi-join alternative has — the
+    // production serving path (the MaxScore lexical sidecar) never
+    // routes through this frame.
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+
+    // ---- vector channel: hash-embedding cosine (vs_knn shape) ----
+    // The corpus-wide BM25 stats (N, Σdl) RIDE THIS SCAN: every query
+    // row pairs with every corpus row exactly once in the crossJoin,
+    // so count/sum(dl) per q_id equal the global stats — the same
+    // groupBy that keeps the top-k pool computes them, and the third
+    // corpus pass the old dedicated stats aggregate paid (measured
+    // 1.1 s at sf1, the scan+tokenize floor) disappears.
+    val cEmb = corpus.select($"doc_id".as("n_id"),
+        size(tokens($"text")).cast("long").as("dl"),
+        VectorStore.embedText($"text").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val qEmb = queries.select($"doc_id".as("q_id"),
+        VectorStore.embedText($"text").as("qv"))
+      .withColumn("qnrm", l2Norm($"qv"))
+    val vecAgg = Tables.materializeSmall(cEmb.crossJoin(broadcast(qEmb))
+      .select($"q_id", $"n_id", $"dl",
+        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
+      .groupBy($"q_id")
+      .agg(graft.functions.expressions.TopKByScore($"sim_r", $"n_id", PoolK).as("top"),
+        count(lit(1)).as("n"), sum($"dl").as("sdl")))
+    // |queries| rows, collected into a local relation: the rank
+    // explode and the stats projection both read it, and a Dataset
+    // persist would route the corpus pass through the slow
+    // cache-build path (the Tables.materializeSmall note)
+    val vec = vecAgg.select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rv"), $"col.id".as("n_id"))
+    // all rows carry identical (n, sdl) — any one is THE global stat
+    val stats = vecAgg.select($"n", $"sdl").limit(1)
+
     // idf uses the +1 form (always positive); expression nesting
     // mirrors the oracle SQL so pre-round doubles are bit-identical
-    val contrib = tf.join(broadcast(qterms), "term")
-      .join(broadcast(dfq), "term")
+    val contrib = tf.withColumn("df", count(lit(1)).over(dfWin))
+      .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .select($"q_id", $"doc_id".as("n_id"),
         // constants appear as the literals 2.2/1.2/0.25/0.75 (not
@@ -115,19 +152,6 @@ object HybridSearch {
         .agg(round(sum($"c"), 6).as("sim_r")), PoolK)
       .select($"q_id", $"n_id", $"rnk".as("rl"))
 
-    // ---- vector channel: hash-embedding cosine (vs_knn shape) ----
-    val cEmb = corpus.select($"doc_id".as("n_id"),
-        VectorStore.embedText($"text").as("v"))
-      .withColumn("nrm", l2Norm($"v"))
-    val qEmb = queries.select($"doc_id".as("q_id"),
-        VectorStore.embedText($"text").as("qv"))
-      .withColumn("qnrm", l2Norm($"qv"))
-    val vec = KnnSearch.rankTopK(
-      cEmb.crossJoin(broadcast(qEmb))
-        .select($"q_id", $"n_id",
-          round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r")), PoolK)
-      .select($"q_id", $"n_id", $"rnk".as("rv"))
-
     // ---- reciprocal-rank fusion over the pool union ----
     val fused = lex.join(vec, Seq("q_id", "n_id"), "full_outer")
       .select($"q_id", $"n_id",
@@ -137,6 +161,6 @@ object HybridSearch {
         Window.partitionBy($"q_id").orderBy($"rrf_r".desc, $"n_id")).cast("long"))
       .filter($"rnk" <= TopK)
       .select($"q_id", $"rnk", $"n_id", $"rrf_r")
-    (ranked, tf)
+    (ranked, Nil)
   }
 }

@@ -456,42 +456,55 @@ object TextAnalysis {
         when(col(s"t${n - 1}").isNotNull, concat_ws(" ", parts: _*))
           .as("gram"))
     }: _*)
+    // Round 16: the whole gram half stays inside the ONE doc_id
+    // exchange the leads window already established — the gram key is
+    // the internal xxhash64 pair + its char length (gram STRINGS
+    // never shuffle, never persist), per-gram occurrence counts are a
+    // WINDOW over (doc, n, key) — hot-key safe: partitions are
+    // doc-scoped, state bounded by document length — and both
+    // downstream consumers (top-gram products, the duplicated-gram
+    // interval union) are further windows/aggregates on the same
+    // doc_id-clustered stream. The old shape persisted the 9×-token
+    // gram-string frame MEMORY_AND_DISK and paid a (doc, n, gram)
+    // groupBy plus a re-join of the persisted strings; this one has
+    // zero persists, zero gram-text shuffles, and no second corpus
+    // pass (VERDICT r15 next-round item 6).
     val grams = toks
       .select($"doc_id", $"off", explode(gramStructs).as("g"))
       .select($"doc_id", $"g.n".as("n"), $"g.gram".as("gram"), $"off")
       .filter($"gram".isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = grams.groupBy($"doc_id", $"n", $"gram")
-      .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select($"doc_id", $"n",
+        xxhash64($"gram").as("h1"), xxhash64($"gram", lit(2)).as("h2"),
+        length($"gram").cast("long").as("glen"), $"off")
+    val cnt = count(lit(1))
+      .over(Window.partitionBy($"doc_id", $"n", $"h1", $"h2"))
+    val counted = grams.withColumn("cnt", cnt)
 
     // top_{2,3,4}gram: chars of the most frequent gram (count × its
     // normalized length; count ties resolve to the max product — the
     // largest fraction the doc can be charged with)
     val maxc = max($"cnt").over(Window.partitionBy($"doc_id", $"n"))
     val topAggs = (2 to 4).map(n =>
-      sum(when($"n" === n, $"topchars")).as(s"top$n"))
-    val tops = counts.filter($"n".between(2, 4))
-      .withColumn("mc", maxc).filter($"cnt" === $"mc")
-      .groupBy($"doc_id", $"n")
-      .agg(max($"cnt" * length($"gram")).as("topchars"))
+      max(when($"n" === n, $"topchars")).as(s"top$n"))
+    val tops = counted.filter($"n".between(2, 4))
+      .withColumn("mc", maxc)
+      .withColumn("topchars",
+        max(when($"cnt" === $"mc", $"cnt" * $"glen"))
+          .over(Window.partitionBy($"doc_id", $"n")))
       .groupBy($"doc_id").agg(topAggs.head, topAggs.tail: _*)
 
     // dup_{5..10}gram: chars under ANY duplicated gram, overlaps
     // counted once — running-max interval union per (doc, n) over
-    // [off, off + len(gram)), the passageDedup idiom in char space
-    val dupKeys = counts.filter($"n" >= 5 && $"cnt" >= 2)
-      .select($"doc_id", $"n", $"gram")
-    val end = $"off" + length($"gram")
+    // [off, off + glen), the passageDedup idiom in char space
+    val end = $"off" + $"glen"
     val prevEnd = max(end).over(Window.partitionBy($"doc_id", $"n")
       .orderBy($"off").rowsBetween(Window.unboundedPreceding, -1))
     val covAggs = (5 to 10).map(n =>
       sum(when($"n" === n, $"new_cov")).as(s"cov$n"))
-    val covs = grams.filter($"n" >= 5)
-      .join(dupKeys, Seq("doc_id", "n", "gram"))
-      .select($"doc_id", $"n", $"off",
-        greatest(lit(0L), end - greatest($"off", coalesce(prevEnd, lit(0L))))
-          .as("new_cov"))
+    val covs = counted.filter($"n" >= 5 && $"cnt" >= 2)
+      .select($"doc_id", $"n", $"glen", $"off")
+      .withColumn("new_cov",
+        greatest(lit(0L), end - greatest($"off", coalesce(prevEnd, lit(0L)))))
       .groupBy($"doc_id").agg(covAggs.head, covAggs.tail: _*)
 
     val passCond = Seq(
@@ -501,7 +514,8 @@ object TextAnalysis {
         col(s"top_${n}gram_frac") <= m } ++
       RepDupMax.toSeq.sortBy(_._1).map { case (n, m) =>
         col(s"dup_${n}gram_frac") <= m }
-    val out = Tables.materialize(perDoc
+    // no materialize: nothing in the lineage is persisted
+    perDoc
       .join(tops, Seq("doc_id"), "left")
       .join(covs, Seq("doc_id"), "left")
       .select(Seq($"doc_id", $"dup_line_frac", $"dup_line_char_frac",
@@ -510,10 +524,8 @@ object TextAnalysis {
           .as(s"top_${n}gram_frac")) ++
         (5 to 10).map(n => frac4(coalesce(col(s"cov$n"), lit(0L)), $"tot")
           .as(s"dup_${n}gram_frac")): _*)
-      .withColumn("rep_pass", passCond.reduce(_ && _)))
-    grams.unpersist(blocking = false)
-    counts.unpersist(blocking = false)
-    out.orderBy($"doc_id")
+      .withColumn("rep_pass", passCond.reduce(_ && _))
+      .orderBy($"doc_id")
   }
 
   /** Corpus vocabulary stats: per-token document frequency and total
@@ -807,51 +819,55 @@ object TextAnalysis {
   }
 
   /** Top-3 TF-IDF terms per document — the keyword extractor a
-    * training-data pipeline runs for topic routing. Shape: one explode
-    * + (doc, token) partial-agg; document frequencies are a vocab-sized
-    * frame joined back onto the term counts UNHINTED — vocabulary grows
-    * (Heaps-sublinearly) with the corpus, so a forced broadcast would
-    * pin an unbounded frame; AQE broadcasts while it measures small and
-    * falls back to a shuffle join on `token` (the key tf already
-    * carries) past the threshold. The per-doc window ranks ≤ |vocab|
-    * rows per doc.
+    * training-data pipeline runs for topic routing. Shape (round 16,
+    * the sf1 amortization rework — the old explode + (doc, token)
+    * groupBy + persist + join chain paid three corpus shuffles and a
+    * cache write): term counts come from a NARROW per-row run-length
+    * encode of the sorted token array (array_sort + a start-index
+    * filter — zero corpus shuffle, no persist); document frequencies
+    * are a partial-agg count over per-doc DISTINCT tokens (map-side
+    * combine shrinks the shuffle to the vocabulary) joined back
+    * UNHINTED — vocabulary grows Heaps-sublinearly with the corpus,
+    * so a forced broadcast would pin an unbounded frame; AQE
+    * broadcasts while it measures small (tf then never shuffles on
+    * token) and falls back to a shuffle join past the threshold. The
+    * per-doc ranking window is the single corpus-sized shuffle.
     * Scores round to 6dp before ranking with token tie-break, so
     * ordering is oracle-stable. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (ranked, tf) = tfidfRanked(spark, dir)
-    // materialize the top-3-per-doc result, then release the tf cache
-    // (long-lived sessions must not accumulate pinned intermediates)
-    val out = Tables.materialize(ranked)
-    tf.unpersist(blocking = false)
-    out.orderBy($"doc_id", $"rnk")
+    tfidfRanked(spark, dir).orderBy($"doc_id", $"rnk")
   }
 
-  /** The un-materialized ranked frame plus the persisted tf frame the
-    * caller must release — split out so the spec can pin the PLAN
-    * shape (a materialized frame's executed plan is just the
-    * checkpoint scan). */
-  private[graft] def tfidfRanked(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The un-sorted ranked frame — split out so the spec can pin the
+    * PLAN shape (no force-broadcast of the vocabulary frame). */
+  private[graft] def tfidfRanked(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // tf feeds both the scored branch and the df aggregation — persist
-    // so the corpus explode+agg runs once (plan audit showed 2×)
-    val tf = Tables.spread(Tables.load(spark, dir, "documents"))
-      .select($"doc_id", explode(tokens($"text")).as("token"))
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    // run-length encode the sorted token array per row (the shared
+    // [[graft.functions.TextFunctions.tokenCounts]] HOF) — one narrow
+    // projection where the (doc, token) groupBy this replaces
+    // shuffled the full exploded corpus
+    val tf = docs.select($"doc_id",
+        explode(graft.functions.TextFunctions.tokenCounts($"text")).as("p"))
+      .select($"doc_id", $"p.token".as("token"), $"p.tf".as("tf"))
+    // df from a second filter-pruned pass (distinct tokens per doc →
+    // partial-agg count): at corpus scale re-tokenizing beats caching
+    // an exploded corpus-sized frame (the contam() argument)
+    val dfreq = docs
+      .select(explode(array_distinct(tokens($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("df"))
     // count on the raw scan — no repartition pass just to count rows
     val nDocs = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("nd"))
     val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"token",
         round($"tf" * log($"nd".cast("double") / $"df"), 6).as("tfidf_r"))
-    val ranked = scored.withColumn("rnk", row_number().over(
+    scored.withColumn("rnk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"tfidf_r".desc, $"token")).cast("long"))
       .filter($"rnk" <= 3)
       .select($"doc_id", $"rnk", $"token", $"tfidf_r")
-    (ranked, tf)
   }
 
   /** Benchmark decontamination — the eval-leak scan every training-data
@@ -1029,24 +1045,35 @@ object TextAnalysis {
     * hash into [[DsirBuckets]] buckets; add-one-smoothed bucket
     * distributions are estimated for the target (benchmark slice) and
     * the source (everything else); each candidate doc scores the sum
-    * of per-token log probability ratios. Shapes for 100 TB: both
-    * distributions are bucket-sized frames (≤ 64 rows) so the
-    * log-ratio table BROADCASTS onto one exploded corpus pass; parity:
-    * per-bucket log-ratios round to 6dp before the per-doc sum. */
+    * of per-token log probability ratios. Shapes for 100 TB (round-16
+    * rework): per-doc token counts come from the NARROW run-length
+    * encode ([[graft.functions.TextFunctions.tokenCounts]]) so the
+    * md5 bucket hash runs once per (doc, distinct token) instead of
+    * once per occurrence (the old exploded pass paid ~40 M digests at
+    * sf1), occurrence weights ride as an integer `tf` multiplier, and
+    * no corpus-sized frame persists. Both distributions come from one
+    * vocab-sized conditional aggregation; the log-ratio table is ≤ 64
+    * rows and BROADCASTS; parity: per-bucket log-ratios round to 6dp,
+    * per-doc score is round(Σ tf·lr, 6) — the SAME expression tree
+    * the oracle replays. */
   val DsirBuckets = 64
   def dsir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.spread(Tables.load(spark, dir, "documents"))
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val docTok = Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.tokenCounts($"text")).as("p"))
+      .select($"doc_id", $"p.token".as("tok"), $"p.tf".as("tf"))
       .withColumn("b", hashBucket($"tok", DsirBuckets))
     val isBench = pmod($"doc_id", lit(TextAnalysis.ContamBenchMod)) === 0
     // BOTH distributions from one conditional-aggregation pass (a
-    // second corpus explode just to split target/source would double
+    // second corpus pass just to split target/source would double
     // the dominant cost); buckets absent from the source never score.
-    val counts = toks.groupBy($"b").agg(
-        sum(when(isBench, 1L).otherwise(0L)).as("c_t"),
-        sum(when(isBench, 0L).otherwise(1L)).as("c_s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ 64 rows — collected into a local relation (materializeSmall),
+    // so the totals and ratio frames below are driver-local literals
+    // and NOTHING in the returned plan persists or checkpoints.
+    val counts = Tables.materializeSmall(docTok.groupBy($"b").agg(
+      sum(when(isBench, $"tf").otherwise(0L)).as("c_t"),
+      sum(when(isBench, 0L).otherwise($"tf")).as("c_s")))
     // totals over ALL buckets (smoothing denominators), THEN restrict
     // the ratio table to buckets the source actually uses
     val totals = counts.agg(sum($"c_t").as("t_t"), sum($"c_s").as("t_s"))
@@ -1054,12 +1081,11 @@ object TextAnalysis {
       .select($"b", round(log(
         (($"c_t" + 1).cast("double") / ($"t_t" + DsirBuckets)) /
           (($"c_s" + 1).cast("double") / ($"t_s" + DsirBuckets))), 6).as("lr"))
-    val scored = toks.filter(!isBench).join(broadcast(lr), "b")
+    docTok.filter(!isBench).join(broadcast(lr), "b")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(sum($"lr"), 6).as("dsir_w"))
-    val out = Tables.materialize(scored)
-    counts.unpersist(blocking = false)
-    out.orderBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        round(sum($"tf" * $"lr"), 6).as("dsir_w"))
+      .orderBy($"doc_id")
   }
 
   /** Tokens per "line" for [[lineDedup]]: this corpus has no newlines,
@@ -1087,39 +1113,51 @@ object TextAnalysis {
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // tokenize STAGED once per row (multi-referenced alias survives
-    // CollapseProject — the tx_selfrep pattern): the lambda below
-    // slices the same array per line instead of re-splitting the text.
-    // PERSISTED because the frame feeds both the keeper aggregate and
-    // the verdict join — without the cache the tokenize+segment explode
-    // (the dominant corpus pass) runs twice, the minhashLsh trap.
+    // CollapseProject — the tx_selfrep pattern): the lambda slices
+    // the same array per line instead of re-splitting the text. The
+    // line key is INTERNAL (only counts and the kept-text digest
+    // reach the output), so it is the xxhash64 PAIR, not md5; the
+    // frame is NOT persisted — consumers re-derive it from the scan,
+    // which beats a corpus-sized cache write (the passageDedup
+    // measurement). The exploded frame ships (doc_id, line_no, key) ONLY — line
+    // TEXT never enters a shuffle: the verdict needs positions, and
+    // reassembly re-derives each kept line from the document row by
+    // slicing its token array at the kept line_nos (round 16; the old
+    // plan carried the full line strings through the keeper join AND
+    // the reassembly collect_list)
     val lines = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", posexplode(transform(
         sequence(lit(0), ((size($"toks") - 1) / LineTokens).cast("int")),
         i => array_join(slice($"toks", i * LineTokens + 1, lit(LineTokens)), " "))))
       .toDF("doc_id", "line_no", "line")
-      .withColumn("h", md5($"line"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select($"doc_id", $"line_no",
+        xxhash64($"line").as("h1"), xxhash64($"line", lit(2)).as("h2"))
     // first occurrence per distinct line, corpus-wide: struct min
     // orders lexicographically on (doc_id, line_no) — map-side combine
     // keeps the shuffle at one row per distinct hash per partition
-    val keepers = lines.groupBy($"h")
+    val keepers = lines.groupBy($"h1", $"h2")
       .agg(min(struct($"doc_id", $"line_no")).as("k"))
-    val flagged = lines.join(keepers, "h")
-      .select($"doc_id", $"line_no", $"line",
+    val flagged = lines.join(keepers, Seq("h1", "h2"))
+      .select($"doc_id", $"line_no",
         ($"doc_id" === $"k.doc_id" && $"line_no" === $"k.line_no").as("kept"))
-    val out = Tables.materialize(flagged.groupBy($"doc_id")
+    val perDoc = flagged.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
-        // deterministic reassembly: surviving lines in document order
-        // (sort_array on (line_no, line) structs), joined and digested
-        md5(array_join(transform(
-          sort_array(collect_list(when($"kept", struct($"line_no", $"line")))),
-          s => s.getField("line")), " ")).as("kept_md5"))
+        // kept positions in document order — ints, not text
+        sort_array(collect_list(when($"kept", $"line_no"))).as("kept_nos"))
+    // reassembly digest from a narrow second scan: slice each kept
+    // line back out of the document's own token array
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .join(perDoc, "doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept",
+        md5(array_join(transform($"kept_nos",
+          no => array_join(slice($"toks", no * LineTokens + 1, lit(LineTokens)), " ")),
+          " ")).as("kept_md5"))
       .withColumn("removed_ratio",
-        round(($"n_lines" - $"n_kept").cast("double") / $"n_lines", 4)))
-    lines.unpersist(blocking = false)
-    out.orderBy($"doc_id")
+        round(($"n_lines" - $"n_kept").cast("double") / $"n_lines", 4))
+      .orderBy($"doc_id")
   }
 
   /** Passage window length for [[passageDedup]], in tokens. Lee et
@@ -1141,16 +1179,26 @@ object TextAnalysis {
     * [[selfRepetition]]).
     *
     * Scale shape: one tokenize pass → K-gram explode (the corpus
-    * stream, linear in total tokens, persisted because it feeds two
-    * consumers); "recurs in another doc" is ONE partial-agg groupBy
-    * per distinct gram hash — min(doc_id) ≠ max(doc_id) IS the
-    * cross-doc test, so the shuffle ships two longs per distinct
-    * hash per partition, never an occurrence list; the verdict
-    * re-joins hits co-partitioned on the hash; span merging is a
-    * per-document running-max window whose state is bounded by
-    * document length. Never all-pairs, never a corpus-sized
-    * broadcast — at 100 TB this is two hash-partitioned shuffles of
-    * the gram residue plus a per-doc window. */
+    * stream, linear in total tokens); "recurs in another doc" is ONE
+    * partial-agg groupBy per distinct gram key — min(doc_id) ≠
+    * max(doc_id) IS the cross-doc test, so the shuffle ships two
+    * longs per distinct key per partition, never an occurrence list;
+    * the verdict re-joins hits co-partitioned on the key; span
+    * merging is a per-document running-max window whose state is
+    * bounded by document length. Never all-pairs, never a
+    * corpus-sized broadcast — at 100 TB this is two hash-partitioned
+    * shuffles of the gram residue plus a per-doc window.
+    *
+    * The gram key is INTERNAL (only counts reach the output), so it
+    * is a 128-bit xxhash64 PAIR (two independent seeds), not md5:
+    * codegen'd long arithmetic instead of 40M digest allocations and
+    * a 16-byte shuffle key instead of a 32-char hex string — the
+    * round-16 rework measured 10.0 s → 0.8 s at sf1. The gram frame
+    * is deliberately NOT persisted: both consumers re-derive it from
+    * the scan (narrow explode + two long hashes), which beats a
+    * corpus-sized cache write at every scale (the contam() argument).
+    * 128 bits keep the false-duplicate odds negligible at 10¹³ grams
+    * (~1e-13), where a single 64-bit key would collide routinely. */
   def passageDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1159,20 +1207,20 @@ object TextAnalysis {
     val grams = Tables.spread(Tables.load(spark, dir, "documents"))
       .select($"doc_id", posexplode(shingles(tokens($"text"), k)))
       .toDF("doc_id", "s", "gram")
-      .select($"doc_id", $"s", md5($"gram").as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select($"doc_id", $"s",
+        xxhash64($"gram").as("h1"), xxhash64($"gram", lit(2)).as("h2"))
     // a gram recurs cross-doc iff its doc_id range is not a point —
     // min/max combine map-side, unlike a distinct-count's value set
-    val dup = grams.groupBy($"h")
+    val dup = grams.groupBy($"h1", $"h2")
       .agg(min($"doc_id").as("d0"), max($"doc_id").as("d1"))
       .filter($"d0" =!= $"d1")
-      .select($"h")
+      .select($"h1", $"h2")
     // duplicated window starts, then interval union per document: a
     // start at or past the running max end opens a new span; tokens
     // newly covered = the window's reach past that running max
     val prevEnd = max($"s" + k).over(Window.partitionBy($"doc_id")
       .orderBy($"s").rowsBetween(Window.unboundedPreceding, -1))
-    val perDoc = grams.join(dup, "h")
+    val perDoc = grams.join(dup, Seq("h1", "h2"))
       .select($"doc_id", $"s")
       .withColumn("prev_end", prevEnd)
       .select($"doc_id",
@@ -1192,18 +1240,19 @@ object TextAnalysis {
     // and persisting the tokenized corpus holds token arrays ~corpus
     // size in cache. A pruned columnar re-read + re-tokenize is the
     // cheapest way to this tiny (doc_id, n_tokens) frame.
-    val out = Tables.materialize(
-      Tables.spread(Tables.load(spark, dir, "documents"))
-        .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_tokens",
-          coalesce($"dup_grams", lit(0L)).as("dup_grams"),
-          coalesce($"dup_spans", lit(0L)).as("dup_spans"),
-          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
-        .withColumn("dup_ratio",
-          round($"dup_tokens".cast("double") / $"n_tokens", 4)))
-    grams.unpersist(blocking = false)
-    out.orderBy($"doc_id")
+    // no materialize: nothing in the lineage is persisted any more,
+    // and a localCheckpoint here measured ~7x the plain execution
+    // (the cache-build path re-plans without runtime reuse)
+    Tables.spread(Tables.load(spark, dir, "documents"))
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_grams", lit(0L)).as("dup_grams"),
+        coalesce($"dup_spans", lit(0L)).as("dup_spans"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round($"dup_tokens".cast("double") / $"n_tokens", 4))
+      .orderBy($"doc_id")
   }
 
   /** Corpus bigram frequency top-20. One partial-agg shuffle; ties

@@ -384,4 +384,91 @@ class ChannelRegistrySpec extends AnyFunSuite {
       nProbe = db.annCellHistogram("audio").size).collect()) ==
       key(db.searchIn("audio", q, 5).collect()))
   }
+
+  test("an EXTERNAL model file serves a channel end to end: load, three-way parity, ANN/PQ, batch bridge") {
+    import spark.implicits._
+    import graft.functions.expressions.{MlpModel, MlpEncode}
+    import graft.operators.ExternalModelEncoder
+    db // build the fixture (and its registry) first
+    // a deterministic externally-authored net: 2 layers (tanh hidden),
+    // weights from a seeded splitmix stream — standing in for a
+    // checkpoint some training run exported into the GEM1 format
+    def mix(x0: Long): Iterator[Double] = new Iterator[Double] {
+      var s = x0
+      def hasNext = true
+      def next(): Double = {
+        s += 0x9e3779b97f4a7c15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    }
+    val featDim = 96; val hid = 32; val dim = 24
+    def layer(out: Int, in: Int, act: Int, seed: Long) = {
+      val it = mix(seed)
+      new MlpModel.Layer(out, in, act,
+        Array.fill(out)(Array.fill(in)(it.next() / math.sqrt(in))),
+        Array.fill(out)(it.next() * 0.1))
+    }
+    val model = new MlpModel(featDim, 7L,
+      Array(layer(hid, featDim, 2, 11L), layer(dim, hid, 0, 23L)))
+    val path = "target/ext_model.gem"
+    ExternalModelEncoder.save(model, path)
+
+    // loader validation: truncation and bad magic are loud
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path + ".trunc"),
+      raw.take(raw.length - 9))
+    assert(intercept[IllegalArgumentException] {
+      ExternalModelEncoder.load(path + ".trunc")
+    }.getMessage.contains("truncated"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path + ".bad"),
+      "nope".getBytes ++ raw.drop(4))
+    assert(intercept[IllegalArgumentException] {
+      ExternalModelEncoder.load(path + ".bad")
+    }.getMessage.contains("bad magic"))
+
+    // the file-loaded channel: registry end-to-end with ZERO
+    // channel-specific code
+    val ext = ExternalModelEncoder.channel(spark, "ext", Seq("ext_doc"), path)
+    assert(ext.dim == dim)
+    db.registerChannel(ext)
+    val recs = GraftVectorDB.pipeline(
+      Tables.load(spark, sf, "documents")
+        .filter($"doc_id" >= 300 && $"doc_id" < 340))
+      .filter($"page_num" === 0)
+      .withColumn("content_type", lit("ext_doc"))
+      .withColumn("embedding", ext.encode($"content_raw"))
+    assert(db.ingestRecords(recs) > 0)
+    db.buildAnnIndex(cells = 4, channel = "ext")
+    val exact = db.searchIn("ext", q, 5).collect()
+    assert(exact.length == 5 && exact.forall(_.getAs[String]("channel") == "ext"))
+    assert(key(db.searchAnnIn("ext", q, 5, nProbe = 4).collect()) == key(exact),
+      "full-probe ANN over the external space must equal its exact scan")
+    val n = spark.read.parquet(db.annPath("ext")).count().toInt
+    assert(key(db.searchAnnPqIn("ext", q, 5, nProbe = 4, shortlist = n)
+      .collect()) == key(exact))
+
+    // THREE-WAY parity on raw corpus text: in-plan Column ==
+    // driver-local == mapPartitions batch bridge, bit-identical
+    val samples = Tables.load(spark, sf, "documents")
+      .filter($"doc_id" < 20).select($"doc_id", $"text")
+    val inPlan = samples.select($"doc_id",
+        MlpEncode(graft.functions.TextFunctions.tokens($"text"),
+          spark.sparkContext.broadcast(model)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val viaBatch = ExternalModelEncoder
+      .embedBatch(samples, "text", "v", path, batchSize = 7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Double](r.fieldIndex("v")).toArray).toMap
+    val texts = samples.collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val local = model.embed(t)
+      assert(inPlan(id).sameElements(local), s"doc $id: in-plan != local")
+      assert(viaBatch(id).sameElements(local), s"doc $id: batch != local")
+    }
+    // the external space is genuinely its own geometry
+    assert(!model.embed(q).sameElements(VectorStore.embedTextLocal(q).take(dim)))
+  }
 }

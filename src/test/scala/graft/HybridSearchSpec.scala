@@ -43,13 +43,13 @@ class HybridSearchSpec extends AnyFunSuite {
   }
 
   test("plan shape: query terms broadcast into the corpus term table, no shuffled cross") {
-    val (ranked, tf) = HybridSearch.hybridRanked(spark, sf)
+    val (ranked, persisted) = HybridSearch.hybridRanked(spark, sf)
     try {
       val plan = ranked.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
         "the query-term and df joins must broadcast")
       assert(!plan.contains("CartesianProduct"),
         "no shuffled cartesian product anywhere in the hybrid plan")
-    } finally tf.unpersist(blocking = false)
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 }

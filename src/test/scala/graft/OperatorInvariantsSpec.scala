@@ -741,11 +741,18 @@ class OperatorInvariantsSpec extends AnyFunSuite {
   }
 
   test("tx_tfidf plan: the full-vocabulary df frame is never force-broadcast") {
-    val (ranked, tf) = TextAnalysis.tfidfRanked(spark, sf)
-    try hintSubtrees(ranked).foreach(s =>
+    val ranked = TextAnalysis.tfidfRanked(spark, sf)
+    hintSubtrees(ranked).foreach(s =>
       assert(!s.contains("AS df#"),
         s"vocabulary grows with the corpus — dfreq must stay unhinted:\n$s"))
-    finally tf.unpersist(blocking = false)
+    // round-16 shape: term counts are a narrow run-length encode — the
+    // plan must carry NO aggregate keyed by (doc_id, token)
+    val aggs = ranked.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.length
+    }
+    assert(!aggs.contains(2),
+      s"tf must come from the per-row run-length encode, not a corpus groupBy: $aggs")
   }
 
   test("tx_ppl plan: every forced broadcast derives from the bounded top-V vocabulary") {
@@ -764,14 +771,29 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
-  test("vs_hybrid plan: corpus df broadcasts only after query-term semi-join pruning") {
-    val (ranked, tf) = HybridSearch.hybridRanked(spark, sf)
+  test("vs_hybrid plan: corpus term rows prune against query terms before any aggregation") {
+    val (ranked, persisted) = HybridSearch.hybridRanked(spark, sf)
     try {
-      val dfreqHinted = hintSubtrees(ranked).filter(_.contains("AS df#"))
-      assert(dfreqHinted.nonEmpty, "the pruned df frame should still broadcast")
-      dfreqHinted.foreach(s => assert(s.contains("LeftSemi"),
-        s"df frame broadcast without query-term pruning (full vocabulary!):\n$s"))
-    } finally tf.unpersist(blocking = false)
+      // round-16 shape: NO full-vocabulary frame exists anywhere —
+      // the corpus explode joins the broadcast distinct query-term
+      // set inside the scan stage, and df is a window count over the
+      // PRUNED frame's term partitions (no separate aggregate+join)
+      val plan = ranked.queryExecution.optimizedPlan
+      val termAggs = plan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.length == 1 &&
+              a.aggregateExpressions.exists(_.name == "df") => a
+      }
+      assert(termAggs.isEmpty,
+        "df must be a window over the pruned term table, not a vocab aggregate")
+      val winDf = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.windowExpressions.exists(_.name == "df") => w
+      }
+      assert(winDf.nonEmpty, "the window-df node is missing")
+      assert(winDf.head.toString.contains("array_distinct"),
+        "the window-df must sit above the query-term-pruned table")
+    } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   test("tx_ppl OOV machinery: a tighter cap collapses rarer tokens and changes scores") {
