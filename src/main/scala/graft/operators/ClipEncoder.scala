@@ -125,7 +125,7 @@ object ClipEncoder {
     * normalizes, so fitting the direction is what matters; MSE to a
     * unit target fits direction and discourages collapse). Fixed init
     * order, fixed visit order, no parallelism → bit-stable refits. */
-  private def trainImageTower(feats: Array[Array[Double]],
+  private[operators] def trainImageTower(feats: Array[Array[Double]],
       targets: Array[Array[Double]], dim: Int, hidden: Int, epochs: Int,
       seed: Long): ClipImageModel = {
     val p = ClipImageModel.P
