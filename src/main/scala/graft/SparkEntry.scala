@@ -884,12 +884,18 @@ object SparkEntry {
     "vs_parse_pdf" ->
       """WITH c AS (SELECT doc_id, text,
         |  unnest(range(0, ((length(text)-1)//200)::BIGINT + 1)) AS i FROM documents),
-        |ch AS (SELECT doc_id, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
+        |ch AS (SELECT doc_id, text, i, substr(text, (i*200+1)::INT, 200) pg FROM c),
         |np AS (SELECT doc_id, count(*) AS p FROM ch GROUP BY 1)
-        |SELECT doc_id, i::BIGINT AS page_num, 'text_block' AS content_type,
+        |SELECT ch.doc_id, i::BIGINT AS page_num, 'text_block' AS content_type,
         | '0' AS content_id, trim(pg) AS content_raw,
         | (50 + (i*7)%100)::DOUBLE AS x0, (720 - (i*37)%600)::DOUBLE AS y0,
-        | (50 + (i*7)%100 + 6*length(pg))::DOUBLE AS x1,
+        | (CASE WHEN ('0x' || substring(md5(text), 9, 2))::BIGINT % 3 = 0
+        |        AND ('0x' || substring(md5(text), 5, 2))::BIGINT % 4 <> 0
+        |        AND i % 5 <> 2
+        |   THEN (50 + (i*7)%100)::DOUBLE
+        |     + (400*length(pg) + 25*list_sum(list_transform(
+        |         string_split(pg, ''), c -> ascii(c)%16)))::DOUBLE / 1000 * 12
+        |   ELSE (50 + (i*7)%100 + 6*length(pg))::DOUBLE END) AS x1,
         | (720 - (i*37)%600 + 12)::DOUBLE AS y1
         |FROM ch WHERE trim(pg) <> ''
         |UNION ALL

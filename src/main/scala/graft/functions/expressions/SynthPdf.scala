@@ -325,6 +325,11 @@ object SynthPdf {
     val embed = (docId(1) & 0xFF) % 3 == 0
     val shifted = (docId(2) & 0xFF) % 4 == 0
     val ucs2 = (docId(3) & 0xFF) % 3 == 0
+    // the round-16 metrics share: plain-F1 pages ride a /Widths font
+    // (w(c) = 400 + (c % 16)·25 — arithmetic the SQL oracle replays
+    // per character), so the driver gate hash-checks ParsePdf's
+    // declared-metrics extent path; shifted docs keep their F3 route
+    val widthsShare = (docId(4) & 0xFF) % 3 == 0 && !shifted
     // (file key, /O entry, /U entry) when this doc ships encrypted
     val encState: Option[(Array[Byte], Array[Byte], Array[Byte])] =
       if (!doEncrypt) None
@@ -372,6 +377,7 @@ object SynthPdf {
     val encNum = tail
     val fdNum = tail + (if (encState.isDefined) 1 else 0)
     val diffNum = fdNum + (if (embed) 2 else 0)
+    val widNum = diffNum + (if (shifted) 1 else 0)
     // the ucs2 share references NEITHER helper object — obj 5 still
     // ships (unreferenced) so object numbering is share-independent
     val (regName, regCharset) =
@@ -401,6 +407,8 @@ object SynthPdf {
     chunks.zipWithIndex.foreach { case (_, i) =>
       val res = new StringBuilder(
         if (shifted) s"/Font << /F1 3 0 R /F2 4 0 R /F3 $diffNum 0 R >>"
+        else if (widthsShare)
+          s"/Font << /F1 3 0 R /F2 4 0 R /F4 $widNum 0 R >>"
         else "/Font << /F1 3 0 R /F2 4 0 R >>")
       if (i % 3 == 0)
         res.append(s" /XObject << /Im0 ${6 + 2 * p + i / 3} 0 R >>")
@@ -445,6 +453,8 @@ object SynthPdf {
                   "cannot ride a byte-shifted simple-font string")
               f"${(c.toInt + 1) % 256}%02X"
             }.mkString}> Tj"
+        else if (widthsShare)
+          s"/F4 12 Tf 1 0 0 1 $x $y Tm (${esc(chunk)}) Tj"
         else s"/F1 12 Tf 1 0 0 1 $x $y Tm (${esc(chunk)}) Tj"
       val sb = new StringBuilder(s"BT $shown ET\n")
       if (i % 3 == 0) {
@@ -509,9 +519,15 @@ object SynthPdf {
       obj(diffNum)(emit("<< /Type /Font /Subtype /Type1 /BaseFont " +
         "/Shifted /Encoding << /Type /Encoding /Differences " +
         s"$ShiftDifferences >> >>\n"))
+    if (widthsShare)
+      obj(widNum)(emit("<< /Type /Font /Subtype /Type1 /BaseFont " +
+        "/Metric /FirstChar 0 /Widths [" +
+        (0 until 256).map(c => 400 + (c % 16) * 25).mkString(" ") +
+        "] >>\n"))
     val xrefAt = buf.size()
     val total = tail + (if (encState.isDefined) 1 else 0) +
-      (if (embed) 2 else 0) + (if (shifted) 1 else 0)
+      (if (embed) 2 else 0) + (if (shifted) 1 else 0) +
+      (if (widthsShare) 1 else 0)
     emit(s"xref\n0 $total\n0000000000 65535 f \n")
     offsets.sortBy(_._1).foreach { case (_, off) =>
       emit(f"$off%010d 00000 n \n")
