@@ -32,6 +32,15 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a FAILED query must not leave the previous run's parquet
+          // for the compare to green-light (a masked ANSI failure
+          // looked hash-green for two hours in round 16): delete the
+          // stale output so check.py reports a loud missing dir
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
