@@ -54,6 +54,34 @@ class NativeExpressionPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("TokenCounts matches the multiset model: counts exact, tokens sorted, nulls dropped") {
+    check(Prop.forAll(tokens) { ts =>
+      val got = TokenCounts(Literal(null))
+        .nullSafeEval(utf8Array(ts)).asInstanceOf[GenericArrayData]
+      val pairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      val exp = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // exact multiset counts
+      val countsOk = pairs.toMap == exp && pairs.map(_._2).sum == ts.size
+      // one struct per distinct token, sorted by UTF8 binary order
+      val sortedOk = pairs.map(_._1) ==
+        exp.keys.toSeq.map(UTF8String.fromString)
+          .sorted(Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[UTF8String]()))
+          .map(_.toString)
+      countsOk && sortedOk
+    })
+    // null ELEMENTS drop (tokens() never yields them; the contract
+    // still pins the behavior)
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("a")))
+    val got = TokenCounts(Literal(null)).nullSafeEval(withNull)
+      .asInstanceOf[GenericArrayData]
+    assert(got.numElements() == 1 && got.getStruct(0, 2).getLong(1) == 2L)
+  }
+
   test("embedTextLocal/embedImageLocal match the distributed embedders bit-for-bit") {
     // the serving path embeds queries driver-side; any drift from the
     // tokens()+HashingCounts pipeline would silently skew every ANN
