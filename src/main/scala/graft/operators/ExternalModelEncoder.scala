@@ -71,11 +71,15 @@ object ExternalModelEncoder {
   }
 
   /** Load and validate a GEM1 file; loud on every malformation. */
-  def load(path: String): MlpModel = {
-    def fail(what: String): Nothing =
-      throw new IllegalArgumentException(s"GEM load ($path): $what")
-    val in = new DataInputStream(new BufferedInputStream(
-      new FileInputStream(path)))
+  def load(path: String): MlpModel =
+    load(new BufferedInputStream(new FileInputStream(path)), path)
+
+  /** Stream form — the per-partition session init reads the broadcast
+    * file bytes directly (no executor temp files). */
+  private def load(raw: java.io.InputStream, what: String): MlpModel = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"GEM load ($what): $msg")
+    val in = new DataInputStream(raw)
     try {
       val magic = new Array[Byte](4)
       in.readFully(magic)
@@ -136,12 +140,11 @@ object ExternalModelEncoder {
     val outSchema = df.schema.add(outCol, ArrayType(DoubleType))
     val rowEnc = Encoders.row(outSchema)
     df.mapPartitions { it =>
-      // session init, once per partition (per executor core)
-      val tmp = java.io.File.createTempFile("gem", ".bin")
-      tmp.deleteOnExit()
-      java.nio.file.Files.write(tmp.toPath, bcBytes.value)
-      val model = load(tmp.getPath)
-      tmp.delete()
+      // session init, once per partition (per executor core) — the
+      // model deserializes from the broadcast file bytes; a real
+      // runtime bridge would hand the same bytes to its session ctor
+      val model = load(
+        new java.io.ByteArrayInputStream(bcBytes.value), "broadcast bytes")
       it.grouped(batchSize).flatMap { batch =>
         val feats = batch.map { r =>
           // trim spaces + split, the tokens() Column twin
