@@ -155,4 +155,46 @@ class RealFileSpec extends AnyFunSuite {
     assert(deckHits.head.getAs[String]("content_raw")
       .contains("1920x1080 png image"))
   }
+
+  test("the reference's literal app lifecycle: initialize -> embed its data folder -> search over HTTP") {
+    assume(hasRealFiles, "reference data files not present")
+    // exactly what `python app.py` + the reference frontend does with
+    // rag_search/data: POST /initialize, /embed the folder (both real
+    // files sweep in), /search a question the press release answers
+    val server = graft.tools.Serve.start(spark, 0)
+    val port = server.getAddress.getPort
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String): (Int, String) = {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      val dir = "target/vdb_realfiles_serve"
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(new java.io.File(dir))
+      val (c1, b1) = post("/initialize", s"""{"save_dir":"$dir"}""")
+      assert(c1 == 200 && b1.contains("initialized successfully"), b1)
+      val (c2, b2) = post("/embed",
+        s"""{"path":"$dataDir","is_folder":true}""")
+      // 1339 = the PDF's 1318 text blocks + the deck's 21 pictures:
+      // the folder sweep found BOTH real files and the counts match
+      // the direct-parse pins above
+      assert(c2 == 200 && b2.contains("\"records\":1339"), b2)
+      val (c3, b3) = post("/search",
+        """{"query":{"text":"Microsoft cloud revenue growth"},"top_n":5}""")
+      assert(c3 == 200 && b3.contains("\"rnk\":1"), b3)
+      assert(b3.contains("PressRelease.pdf"), b3.take(400))
+      // run_search's full contract rides the body: a generated
+      // response and a source list naming the real file
+      assert(b3.contains("\"response\"") && b3.contains("\"sources\""), b3.take(200))
+    } finally server.stop(0)
+  }
 }
