@@ -1550,11 +1550,16 @@ object ParsePdf {
             .getOrElse(src)
         })
     }
-    val desc = ref(fdict, "/DescendantFonts")
+    // inline `[N 0 R]` first; else an INDIRECT array object whose
+    // source carries the descendant ref (the cidMapFromEmbeddedFont
+    // resolution order — the indirect object is the ARRAY, never the
+    // descendant dict itself)
+    val desc = """/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R""".r
+      .findFirstMatchIn(fdict).map(_.group(1).toInt)
+      .orElse(ref(fdict, "/DescendantFonts").flatMap(n =>
+        doc.get(n).map(_._1).flatMap(a =>
+          """(\d+)\s+\d+\s+R""".r.findFirstMatchIn(a).map(_.group(1).toInt))))
       .flatMap(n => doc.get(n)).map(_._1)
-      .orElse("""/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R"""
-        .r.findFirstMatchIn(fdict).map(_.group(1).toInt)
-        .flatMap(n => doc.get(n)).map(_._1))
     desc match {
       case Some(dd) =>
         val dw = """/DW\s+(\d+(?:\.\d+)?)""".r.findFirstMatchIn(dd)
