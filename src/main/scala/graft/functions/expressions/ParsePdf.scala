@@ -1515,14 +1515,14 @@ object ParsePdf {
     * uses the font's DECLARED metrics when the file carries them).
     * Fonts without metrics keep the historical 0.5 em/char estimate —
     * byte-identical to the old bbox on every metrics-less document. */
-  private[expressions] sealed trait FontWidths
+  private[graft] sealed trait FontWidths
   /** No declared metrics: 0.5 em per DECODED char (the historical
     * Helvetica-ish estimate). */
-  private[expressions] case object EstimateWidths extends FontWidths
+  private[graft] case object EstimateWidths extends FontWidths
   /** Simple-font /FirstChar + /Widths (+ /MissingWidth outside the
     * declared range; absent → the 500-unit estimate, so undeclared
     * codes degrade to the historical extent, never to zero width). */
-  private[expressions] final case class SimpleWidths(first: Int,
+  private[graft] final case class SimpleWidths(first: Int,
       w: Array[Double], missing: Double) extends FontWidths {
     def of(code: Int): Double = {
       val i = code - first
@@ -1530,7 +1530,7 @@ object ParsePdf {
     }
   }
   /** Composite-font /W (+ /DW default, ISO 32000 §9.7.4.3: 1000). */
-  private[expressions] final case class CidWidths(m: Map[Int, Double],
+  private[graft] final case class CidWidths(m: Map[Int, Double],
       dw: Double) extends FontWidths {
     def of(cid: Int): Double = m.getOrElse(cid, dw)
   }
@@ -1539,15 +1539,35 @@ object ParsePdf {
     * /FirstChar + /Widths (direct array or indirect); Type0: the
     * descendant font's /W runs — both forms, `c [w…]` and
     * `c1 c2 w` — and /DW. Anything undeclared → [[EstimateWidths]]. */
-  private[expressions] def widthsOf(doc: Map[Int, (String, Option[Array[Byte]])],
+  private[graft] def widthsOf(doc: Map[Int, (String, Option[Array[Byte]])],
       fdict: String): FontWidths = {
+    // bracket-DEPTH scan, not a [^\]]* regex: /W nests runs like
+    // `[ 1 [600 650] 10 12 700 ]`, where the first `]` is interior
+    def balancedArray(src: String, from: Int): Option[String] = {
+      val open = src.indexOf('[', from)
+      if (open < 0) None
+      else {
+        var depth = 0
+        var i = open
+        while (i < src.length) {
+          src.charAt(i) match {
+            case '[' => depth += 1
+            case ']' =>
+              depth -= 1
+              if (depth == 0) return Some(src.substring(open + 1, i))
+            case _ => ()
+          }
+          i += 1
+        }
+        None
+      }
+    }
     def arrayOf(dict: String, key: String): Option[String] = {
       val q = java.util.regex.Pattern.quote(key)
-      (q + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(dict)
-        .map(_.group(1))
-        .orElse(ref(dict, key).flatMap(n => doc.get(n)).map { case (src, _) =>
-          """\[([^\]]*)\]""".r.findFirstMatchIn(src).map(_.group(1))
-            .getOrElse(src)
+      (q + """\s*\[""").r.findFirstMatchIn(dict)
+        .flatMap(m => balancedArray(dict, m.start))
+        .orElse(ref(dict, key).flatMap(n => doc.get(n)).flatMap {
+          case (src, _) => balancedArray(src, 0).orElse(Some(src))
         })
     }
     // inline `[N 0 R]` first; else an INDIRECT array object whose

@@ -2747,4 +2747,56 @@ class DocParseSpec extends AnyFunSuite {
       .getAs[String]("content_raw") == "hello epub world")
     assert(recs.forall(_.getAs[String]("doc_type") == "epub"))
   }
+
+  test("widthsOf: every declared-metrics branch parses; undeclared shapes estimate") {
+    import graft.functions.expressions.ParsePdf
+    import graft.functions.expressions.ParsePdf.{CidWidths, EstimateWidths, SimpleWidths}
+    def doc(objs: (Int, String)*): Map[Int, (String, Option[Array[Byte]])] =
+      objs.map { case (n, src) => n -> (src, None) }.toMap
+    // simple font, direct /Widths + /MissingWidth via /FontDescriptor
+    val d1 = doc(9 -> "<< /Type /FontDescriptor /MissingWidth 333 >>")
+    ParsePdf.widthsOf(d1,
+      "<< /Type /Font /FirstChar 32 /Widths [500 600 700] /FontDescriptor 9 0 R >>") match {
+      case sw: SimpleWidths =>
+        assert(sw.of(32) == 500.0 && sw.of(34) == 700.0)
+        assert(sw.of(31) == 333.0 && sw.of(99) == 333.0, "MissingWidth outside range")
+      case other => fail(s"expected SimpleWidths, got $other")
+    }
+    // INDIRECT /Widths array object; no descriptor -> 500 default
+    val d2 = doc(7 -> "[400 410 420]")
+    ParsePdf.widthsOf(d2,
+      "<< /Type /Font /FirstChar 65 /Widths 7 0 R >>") match {
+      case sw: SimpleWidths =>
+        assert(sw.of(66) == 410.0 && sw.of(64) == 500.0)
+      case other => fail(s"expected SimpleWidths, got $other")
+    }
+    // composite: inline /DescendantFonts, /W BOTH grammar forms + /DW
+    val d3 = doc(5 -> "<< /Type /Font /Subtype /CIDFontType2 /DW 800 /W [ 1 [600 650] 10 12 700 ] >>")
+    ParsePdf.widthsOf(d3,
+      "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /DescendantFonts [5 0 R] >>") match {
+      case cw: CidWidths =>
+        assert(cw.of(1) == 600.0 && cw.of(2) == 650.0, "c [w...] form")
+        assert(cw.of(10) == 700.0 && cw.of(12) == 700.0, "c1 c2 w form")
+        assert(cw.of(99) == 800.0, "/DW default")
+      case other => fail(s"expected CidWidths, got $other")
+    }
+    // composite with an INDIRECT /DescendantFonts ARRAY object (the
+    // round-16 fix: the indirect object is the array, never the dict)
+    val d4 = doc(8 -> "[5 0 R]",
+      5 -> "<< /Type /Font /Subtype /CIDFontType2 /DW 900 >>")
+    ParsePdf.widthsOf(d4,
+      "<< /Type /Font /Subtype /Type0 /DescendantFonts 8 0 R >>") match {
+      case cw: CidWidths => assert(cw.of(3) == 900.0)
+      case other => fail(s"expected CidWidths via the indirect array, got $other")
+    }
+    // undeclared shapes -> estimate: no /Widths; /Widths without
+    // /FirstChar; composite with neither /W nor a non-default /DW
+    assert(ParsePdf.widthsOf(doc(), "<< /Type /Font /BaseFont /Helvetica >>")
+      == EstimateWidths)
+    assert(ParsePdf.widthsOf(doc(), "<< /Type /Font /Widths [500] >>")
+      == EstimateWidths)
+    val d5 = doc(5 -> "<< /Type /Font /Subtype /CIDFontType2 >>")
+    assert(ParsePdf.widthsOf(d5,
+      "<< /Type /Font /DescendantFonts [5 0 R] >>") == EstimateWidths)
+  }
 }
