@@ -73,10 +73,14 @@ class RealFileSpec extends AnyFunSuite {
     // ProcSet names — verified against the raw bytes)
     assert(text.length == 1318, s"text blocks: ${text.length}")
     assert(imgs.isEmpty, s"images: ${imgs.length}")
-    // bboxes are real page coordinates (Letter media box), not zeros
+    // bboxes are real page coordinates: anchors inside the Letter
+    // media box, and — because extents now come from the file's OWN
+    // /W metrics (round 16) — every block's x1 fits the 612 pt page
+    // width (the 0.5 em estimate overflowed it on long lines)
     assert(text.forall { r =>
       val bb = r.getAs[scala.collection.Seq[Double]]("bbox")
-      bb(0) >= 0 && bb(2) > bb(0) && bb(3) > bb(1) && bb(3) <= 800
+      bb(0) >= 0 && bb(2) > bb(0) && bb(2) <= 612.0 &&
+        bb(3) > bb(1) && bb(3) <= 800
     })
   }
 
