@@ -52,4 +52,39 @@ class HybridSearchSpec extends AnyFunSuite {
         "no shuffled cartesian product anywhere in the hybrid plan")
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
+
+  test("plan shape: df is a partial-agg, never a Window over a corpus term partition") {
+    // the r16 plan computed document frequency as count().over(
+    // Window.partitionBy(term)) on the pruned (doc, term) frame — a
+    // stop-word query term concentrated its every row on one task.
+    // The r17 shape partial-aggs groupBy(term) (hot key absorbed
+    // map-side) and broadcasts the vocab-sized df back; the only
+    // windows left are the per-query rank windows over ≤ 2·pool rows.
+    val (ranked, persisted) = HybridSearch.hybridRanked(spark, sf)
+    try {
+      val exec = ranked.queryExecution.executedPlan
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      windows.foreach { w =>
+        val parts = w.partitionSpec.map(_.toString.toLowerCase)
+        assert(!parts.exists(_.contains("term")),
+          s"window partitioned by a corpus term key: $w")
+        assert(parts.exists(p => p.contains("q_id")),
+          s"every remaining window must be a bounded per-query rank: $w")
+      }
+      // the df branch and the contrib branch share ONE tf shuffle:
+      // Catalyst/AQE must reuse the exchange, or the corpus pays a
+      // second scan+tokenize pass. Under AQE the reuse node appears
+      // in the FINAL adaptive plan, so execute before inspecting.
+      ranked.collect()
+      val finalPlan = ranked.queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(finalPlan).size
+      assert(finalPlan.contains("ReusedExchange") ||
+          finalPlan.contains("ReusedQueryStage") || scans <= 2,
+        s"tf exchange not reused between the df aggregate and the " +
+          s"contribution join — the corpus would be scanned twice " +
+          s"($scans parquet scans):\n$finalPlan")
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
 }
