@@ -21,15 +21,34 @@ object Bench {
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    val loadStart = loadAvg()
     // a contended box inflates timings ~2x (BENCH_r15: 165.8 s at
     // loadavg 4.85-12.47 vs 104.6 s quiet, same commit) — an artifact
     // captured under load MISSTATES the engine. Guard: start loadavg
     // above cores/8 marks the run contaminated, loudly on stderr and
     // machine-readably in both JSON forms; SPARK_GRAFT_REQUIRE_QUIET=1
     // refuses outright (exit 3) so automation can retry on quiet.
+    // r17 (two rounds of contaminated official artifacts): before
+    // giving up, WAIT for quiet — the contamination source on this box
+    // is residual 1-minute loadavg from a just-finished job, which
+    // decays in well under the default 300 s budget
+    // (SPARK_GRAFT_QUIET_WAIT_SECS tunes it; 0 disables). The timed
+    // passes start only after the box reads quiet or the budget runs
+    // out, so the driver-captured artifact self-heals instead of
+    // shipping flagged.
     val hostCores = Runtime.getRuntime.availableProcessors()
-    val loadContaminated = loadStart > hostCores / 8.0
+    val quietBar = hostCores / 8.0
+    val quietBudgetS = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SECS", "300").toInt
+    var loadStart = loadAvg()
+    if (loadStart > quietBar && quietBudgetS > 0) {
+      val deadline = System.nanoTime() + quietBudgetS * 1000000000L
+      while (loadStart > quietBar && System.nanoTime() < deadline) {
+        System.err.println(
+          f"BENCH: waiting for quiet (loadavg $loadStart%.2f > $quietBar%.1f)")
+        Thread.sleep(20000)
+        loadStart = loadAvg()
+      }
+    }
+    val loadContaminated = loadStart > quietBar
     if (loadContaminated) {
       System.err.println(
         f"BENCH WARNING: start loadavg $loadStart%.2f exceeds cores/8 = " +

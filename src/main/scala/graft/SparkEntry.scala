@@ -246,9 +246,58 @@ object SparkEntry {
   private val dotExpr =
     "list_sum(list_transform(range(1, 65), i -> q.v[i::INT] * c.v[i::INT]))"
 
-  /** The RP-LSH pair oracle — shared by `dd_embed_lsh` (pinned 8×12
-    * geometry) and `dd_embed_lsha` (adaptive; identical to pinned at
-    * every gate scale, see the map entries' comments). */
+  /** The ADAPTIVE-geometry RP-LSH pair oracle for `dd_embed_lsha`:
+    * identical to [[embedLshOracle]] except the plane/table counts
+    * derive from count(*) inside the SQL — the same closed forms
+    * `Dedup.adaptivePlanes`/`adaptiveTables` evaluate on footer stats
+    * (planes = max(12, ceil(log2(n/0.5))); tables = smallest t whose
+    * GW 1-bit-multiprobe recall bound at cos 0.9 reaches 0.99, i.e.
+    * ceil(ln 0.01 / ln(1 - perTable))). DuckDB's range() table
+    * function takes constants only, so plane/table indices
+    * over-generate to 64 and filter against the derived geometry
+    * (log₂-growth: 64 planes covers any n ≤ 2⁶³ — far past every
+    * gate scale). */
+  private val embedLshaOracle: String =
+    """WITH geom0 AS (SELECT
+      |  GREATEST(12, CAST(ceil(ln(GREATEST(1.0, count(*)/0.5))/ln(2)) AS INT)) AS p,
+      |  1.0 - acos(0.9)/pi() AS pb
+      | FROM embeddings),
+      |geom AS (SELECT p, CAST(ceil(ln(0.01) /
+      |   ln(1.0 - (pow(pb, p) + p*pow(pb, p-1)*(1.0-pb)))) AS INT) AS t
+      | FROM geom0),
+      |n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
+      | FROM embeddings),
+      |pw AS (SELECT tt.range::INT t, pp.range::INT p,
+      |  list_transform(range(0, 64), d ->
+      |   (CASE WHEN ('0x' || substr(md5('plane:' || tt.range || ':' || pp.range || ':' || d),1,8))::BIGINT >= 2147483648
+      |     THEN ('0x' || substr(md5('plane:' || tt.range || ':' || pp.range || ':' || d),1,8))::BIGINT - 4294967296
+      |     ELSE ('0x' || substr(md5('plane:' || tt.range || ':' || pp.range || ':' || d),1,8))::BIGINT END)::DOUBLE
+      |    / 2147483647) w
+      | FROM range(0, 64) tt CROSS JOIN range(0, 64) pp CROSS JOIN geom g
+      | WHERE tt.range < g.t AND pp.range < g.p),
+      |bits AS (SELECT n.vec_id, pw.t, pw.p,
+      |  CASE WHEN list_sum(list_transform(range(1, 65), i -> n.v[i::INT] * pw.w[i::INT])) >= 0
+      |   THEN 1 ELSE 0 END b
+      | FROM n, pw),
+      |sg AS (SELECT vec_id, t, string_agg(b::VARCHAR, '' ORDER BY p) s
+      | FROM bits GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT a.vec_id a_id, b.vec_id b_id
+      | FROM sg a JOIN sg b ON a.t = b.t AND a.vec_id < b.vec_id
+      |   CROSS JOIN geom g
+      | WHERE list_sum(list_transform(range(1, g.p + 1), i ->
+      |    CASE WHEN substr(a.s, i::INT, 1) = substr(b.s, i::INT, 1) THEN 0 ELSE 1 END)) <= 1)
+      |SELECT c.a_id, c.b_id,
+      | round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
+      |   / (a.nrm * b.nrm), 4) AS sim_r
+      |FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id
+      |WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]))
+      |   / (a.nrm * b.nrm), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** The RP-LSH pair oracle for `dd_embed_lsh` (pinned 8×12
+    * geometry); `dd_embed_lsha`'s [[embedLshaOracle]] is this SQL
+    * with the geometry derived from count(*). */
   private val embedLshOracle: String =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v,
       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm
@@ -1333,12 +1382,15 @@ object SparkEntry {
     // semantic spec of the 1-bit multiprobe bucket join), then the
     // same rounded-cosine verify — so rows hash-match the Spark plan
     "dd_embed_lsh" -> embedLshOracle,
-    // the adaptive config shares the oracle: at every gate scale
-    // (n ≤ 2048) adaptivePlanes/adaptiveTables return EXACTLY the
-    // pinned 8×12 geometry (DedupExactnessSpec pins result-identity),
-    // so the same SQL hash-checks it; at a scale where the geometries
-    // diverge the oracle would rightly fail loudly, not mask it
-    "dd_embed_lsha" -> embedLshOracle,
+    // the adaptive config's oracle DERIVES the geometry in SQL from
+    // count(*) exactly as adaptivePlanes/adaptiveTables do (r17 — the
+    // r16 sf1 gate excluded this query because the shared pinned
+    // oracle only matched at scales where the geometries coincide):
+    // planes = max(12, ceil(log2(n/0.5))), tables = the smallest t
+    // whose 1-bit-multiprobe GW recall bound at cos 0.9 clears 0.99.
+    // At sf0.01 (n=2000) this folds to the pinned 8×12; at sf1
+    // (n=20000) to 13×16 — the gate now covers BOTH regimes
+    "dd_embed_lsha" -> embedLshaOracle,
     "tx_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks FROM documents),
         |s AS (SELECT doc_id,

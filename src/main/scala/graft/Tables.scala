@@ -52,7 +52,14 @@ object Tables {
     * localCheckpoint on such a frame measured ~7× the plain execution
     * (the cache-build path re-plans the lineage without runtime
     * reuse). NEVER use on corpus-sized frames; that is
-    * [[materialize]]'s job. */
+    * [[materialize]]'s job.
+    *
+    * EAGER: the collect executes the frame's whole lineage at CALL
+    * time — an operator that builds its result through this (dsir,
+    * hybridRanked) runs its corpus pass when the DataFrame is merely
+    * CONSTRUCTED, so plan inspection pays the pass and re-building
+    * the frame re-executes it. Callers must say so at the call
+    * site. */
   def materializeSmall(df: DataFrame): DataFrame = {
     val rows = java.util.Arrays.asList(df.collect(): _*)
     df.sparkSession.createDataFrame(rows, df.schema)

@@ -1587,8 +1587,19 @@ object ParsePdf {
         arrayOf(dd, "/W") match {
           case None => if (dw == 1000.0) EstimateWidths else CidWidths(Map.empty, dw)
           case Some(src) =>
-            // tokens: numbers and bracketed runs; two grammar forms
-            val toks = """\[|\]|-?\d+(?:\.\d+)?""".r.findAllIn(src).toArray
+            // tokens: numbers and bracketed runs; two grammar forms.
+            // Tokenize EVERY non-space run and validate — a
+            // keep-only-what-matches regex would silently drop the R
+            // of an indirect ref (so '/W [1 3 0 R]' reparses as range
+            // form c1=1,c2=3,w=0: zero-width glyphs, silent bbox
+            // corruption). An unrecognized token is a /W form this
+            // parser does not serve — fail loudly (r16 advice).
+            val toks = """\[|\]|[^\s\[\]]+""".r.findAllIn(src).toArray
+            val num = """-?\d+(?:\.\d+)?""".r
+            toks.find(t => t != "[" && t != "]" && !num.matches(t))
+              .foreach(t => fail(
+                s"unsupported token '$t' in a composite font's /W array " +
+                  "(indirect refs / names inside /W are out of scope)"))
             val m = Map.newBuilder[Int, Double]
             var i = 0
             while (i < toks.length) {

@@ -1070,7 +1070,11 @@ object TextAnalysis {
     // the dominant cost); buckets absent from the source never score.
     // ≤ 64 rows — collected into a local relation (materializeSmall),
     // so the totals and ratio frames below are driver-local literals
-    // and NOTHING in the returned plan persists or checkpoints.
+    // and NOTHING in the returned plan persists or checkpoints. NOTE
+    // the collect runs the corpus tokenize pass EAGERLY at frame-
+    // construction time — building dsir()'s plan is not free, and a
+    // caller that rebuilds the frame re-executes the pass (documented
+    // on materializeSmall).
     val counts = Tables.materializeSmall(docTok.groupBy($"b").agg(
       sum(when(isBench, $"tf").otherwise(0L)).as("c_t"),
       sum(when(isBench, 0L).otherwise($"tf")).as("c_s")))

@@ -2798,5 +2798,21 @@ class DocParseSpec extends AnyFunSuite {
     val d5 = doc(5 -> "<< /Type /Font /Subtype /CIDFontType2 >>")
     assert(ParsePdf.widthsOf(d5,
       "<< /Type /Font /DescendantFonts [5 0 R] >>") == EstimateWidths)
+    // an unrecognized /W token must fail LOUDLY, never reparse as a
+    // different grammar form (r17: '/W [1 3 0 R]' used to drop the R
+    // and read range form c1=1,c2=3,w=0 — silent zero-width glyphs)
+    val d6 = doc(5 ->
+      "<< /Type /Font /Subtype /CIDFontType2 /W [1 3 0 R] >>")
+    val e = intercept[IllegalArgumentException] {
+      ParsePdf.widthsOf(d6,
+        "<< /Type /Font /Subtype /Type0 /DescendantFonts [5 0 R] >>")
+    }
+    assert(e.getMessage.contains("unsupported token 'R'"))
+    val d7 = doc(5 ->
+      "<< /Type /Font /Subtype /CIDFontType2 /W [1 [600 /Bogus]] >>")
+    assert(intercept[IllegalArgumentException] {
+      ParsePdf.widthsOf(d7,
+        "<< /Type /Font /Subtype /Type0 /DescendantFonts [5 0 R] >>")
+    }.getMessage.contains("unsupported token"))
   }
 }

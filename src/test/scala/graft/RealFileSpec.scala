@@ -45,11 +45,27 @@ class RealFileSpec extends AnyFunSuite {
     Seq((name, bytes)).toDF("doc_name", "payload")
   }
 
+  // the exact-count pins below (1318 blocks, 21 PNGs, x1 ≤ 612) are
+  // measurements of THESE file bytes: a refreshed reference file would
+  // fail them looking like a parser regression. Pin the input hashes
+  // and assume() on them, so content drift SKIPS with a "fixture
+  // changed" note instead (r16 advice).
+  private val pdfMd5 = "2597793c7d2b1d4cdd63caaef334eeb0"
+  private val pptxMd5 = "3b49474499bf08c9736d8ad6d050a294"
+
+  private def md5Of(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      .map("%02x".format(_)).mkString
+
+  private def fixtureIntact(path: String, want: String): Boolean =
+    new java.io.File(path).isFile && md5Of(path) == want
+
   private def hasRealFiles: Boolean =
-    new java.io.File(pdfPath).isFile && new java.io.File(pptxPath).isFile
+    fixtureIntact(pdfPath, pdfMd5) && fixtureIntact(pptxPath, pptxMd5)
 
   test("real Word PDF: ParsePdf extracts all 10 pages of the press release") {
-    assume(hasRealFiles, "reference data files not present")
+    assume(hasRealFiles, "reference data files absent or fixture changed (md5 mismatch)")
     val recs = DocParse.records(payloadDf(pdfPath, "press_release.pdf"), "pdf")
       .collect()
     val text = recs.filter(_.getAs[String]("content_type") == ContentTypes.TextChunk)
@@ -85,7 +101,7 @@ class RealFileSpec extends AnyFunSuite {
   }
 
   test("real PowerPoint deck: ParsePptx extracts all 21 full-slide pictures; the real PNGs pixel-decode") {
-    assume(hasRealFiles, "reference data files not present")
+    assume(hasRealFiles, "reference data files absent or fixture changed (md5 mismatch)")
     val recs = DocParse.records(payloadDf(pptxPath, "results.pptx"), "pptx")
       .collect()
     val text = recs.filter(_.getAs[String]("content_type") == ContentTypes.TextChunk)
@@ -118,7 +134,7 @@ class RealFileSpec extends AnyFunSuite {
   }
 
   test("real files ingest into one store; location-scoped search serves PDF hits; captions serve the deck") {
-    assume(hasRealFiles, "reference data files not present")
+    assume(hasRealFiles, "reference data files absent or fixture changed (md5 mismatch)")
     val dir = "target/vdb_realfiles"
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
@@ -161,7 +177,7 @@ class RealFileSpec extends AnyFunSuite {
   }
 
   test("the reference's literal app lifecycle: initialize -> embed its data folder -> search over HTTP") {
-    assume(hasRealFiles, "reference data files not present")
+    assume(hasRealFiles, "reference data files absent or fixture changed (md5 mismatch)")
     // exactly what `python app.py` + the reference frontend does with
     // rag_search/data: POST /initialize, /embed the folder (both real
     // files sweep in), /search a question the press release answers
