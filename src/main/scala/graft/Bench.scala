@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // optional AQE reducer fan-out for scaling experiments (a
+      // global bump measured ~20% slower at sf0.1 — the corpus-scale
+      // aggregates that NEED size-based reducers scope it themselves,
+      // see CrawlPipeline.interleave's keeper)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS_X", "1").toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,7 +123,16 @@ object Bench {
               System.err.println(s"BENCH FAILURE: $name: ${e.getMessage}")
               false
             }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          val t = (System.nanoTime() - t0) / 1e9
+          // queries must be timed INDEPENDENTLY: a predecessor's
+          // persisted/materialized frames otherwise steal unified
+          // memory from the next query's execution (measured r17 at
+          // sf10: mm_crawl 281 s after dd_embed_lsha vs 133 s alone —
+          // 2.1×). Cache drop + a GC so the ContextCleaner reclaims
+          // localCheckpoint blocks; both run OUTSIDE the timed region.
+          spark.catalog.clearCache()
+          System.gc()
+          name -> (if (ok) t else -1.0)
         }
     // SPARK_GRAFT_PASSES=1 for long scaling-curve runs (sf1+), where a
     // second pass doubles an already-long wall time for little signal

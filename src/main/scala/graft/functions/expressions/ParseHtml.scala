@@ -135,9 +135,48 @@ object ParseHtml {
   private val ImplicitClose: Set[String] =
     Set("p", "li", "td", "th", "tr", "dt", "dd", "option")
 
-  private val Entities: Map[String, String] = Map(
-    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-    "apos" -> "'", "nbsp" -> " ")
+  /** The HTML 4.01 named entity tables (the public spec's three
+    * sets — Latin-1 block, "special", and the common symbols), not
+    * just the XML five: real stylesheet-generated pages (the DocBook
+    * manual WildInputSpec feeds through) write `&copy;`/`&mdash;`
+    * freely, and an undecoded name pollutes the text stream every
+    * downstream tokenizer sees. The Latin-1 block is generated from
+    * the spec's name order (exactly codepoints 160..255); `nbsp`
+    * then OVERRIDES to a plain space — the existing normalization
+    * (a U+00A0 would split tokens differently than the whitespace
+    * tokenizer expects). Unknown names still stay verbatim. */
+  private val Entities: Map[String, String] = {
+    val latin1 = ("nbsp iexcl cent pound curren yen brvbar sect uml copy " +
+      "ordf laquo not shy reg macr deg plusmn sup2 sup3 acute micro para " +
+      "middot cedil sup1 ordm raquo frac14 frac12 frac34 iquest Agrave " +
+      "Aacute Acirc Atilde Auml Aring AElig Ccedil Egrave Eacute Ecirc " +
+      "Euml Igrave Iacute Icirc Iuml ETH Ntilde Ograve Oacute Ocirc " +
+      "Otilde Ouml times Oslash Ugrave Uacute Ucirc Uuml Yacute THORN " +
+      "szlig agrave aacute acirc atilde auml aring aelig ccedil egrave " +
+      "eacute ecirc euml igrave iacute icirc iuml eth ntilde ograve " +
+      "oacute ocirc otilde ouml divide oslash ugrave uacute ucirc uuml " +
+      "yacute thorn yuml").split(" ").zipWithIndex
+      .map { case (n, i) => n -> (160 + i).toChar.toString }.toMap
+    val special = Map(
+      "quot" -> "\"", "amp" -> "&", "lt" -> "<", "gt" -> ">",
+      "apos" -> "'", "OElig" -> "Œ", "oelig" -> "œ",
+      "Scaron" -> "Š", "scaron" -> "š", "Yuml" -> "Ÿ",
+      "circ" -> "ˆ", "tilde" -> "˜", "ensp" -> " ",
+      "emsp" -> " ", "thinsp" -> " ", "ndash" -> "–",
+      "mdash" -> "—", "lsquo" -> "‘", "rsquo" -> "’",
+      "sbquo" -> "‚", "ldquo" -> "“", "rdquo" -> "”",
+      "bdquo" -> "„", "dagger" -> "†", "Dagger" -> "‡",
+      "permil" -> "‰", "lsaquo" -> "‹", "rsaquo" -> "›",
+      "euro" -> "€")
+    val symbols = Map(
+      "bull" -> "•", "hellip" -> "…", "prime" -> "′",
+      "Prime" -> "″", "trade" -> "™", "minus" -> "−",
+      "larr" -> "←", "uarr" -> "↑", "rarr" -> "→",
+      "darr" -> "↓", "harr" -> "↔", "infin" -> "∞",
+      "ne" -> "≠", "le" -> "≤", "ge" -> "≥",
+      "asymp" -> "≈", "radic" -> "√", "sdot" -> "⋅")
+    latin1 ++ special ++ symbols ++ Map("nbsp" -> " ")
+  }
 
   private val TextBlock = UTF8String.fromString("text_block")
   private val Boilerplate = UTF8String.fromString("boilerplate")

@@ -480,12 +480,30 @@ object CrawlPipeline {
     // ONE keeper over both kinds: min-struct on (doc_id, rec) — unique
     // per capture record, so the min never reaches the nullable
     // payload fields and each kind's keeper choice is exactly what its
-    // per-half groupBy picked before
-    val keptAll = Tables.materialize(unifiedEntries(captures)
-      .groupBy($"kind", $"url")
-      .agg(min(struct($"doc_id", $"rec", $"text", $"rows",
-        $"boiler_ratio", $"src", $"img")).as("k"),
-        count(lit(1)).as("n_raw")))
+    // per-half groupBy picked before.
+    // The keeper's reduce-side state is the whole deduped corpus
+    // (rows + text + img per group): on a static cores-count reducer
+    // layout its per-task share blew the 8 GB default heap at sf10
+    // (AGGREGATE_OUT_OF_MEMORY, reproduced quiet). Let AQE size THIS
+    // aggregate's reducers from data (start wide, coalesce to the
+    // 64 MB advisory) by scoping initialPartitionNum around the
+    // eager materialize — scoped, because the global bump taxed every
+    // small shuffle ~20% at sf0.1 for nothing. Map-side combine is
+    // kept (it is the groupBy's own exchange, just sized by AQE).
+    val aqeKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey,
+      (spark.sparkContext.defaultParallelism * 16).toString)
+    val keptAll =
+      try Tables.materialize(unifiedEntries(captures)
+        .groupBy($"kind", $"url")
+        .agg(min(struct($"doc_id", $"rec", $"text", $"rows",
+          $"boiler_ratio", $"src", $"img")).as("k"),
+          count(lit(1)).as("n_raw")))
+      finally prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     val kept = keptAll.filter($"kind" === "page")
       .select($"k.doc_id".as("doc_id"), $"url", $"k.rows".as("rows"),
         $"k.text".as("text"), $"k.boiler_ratio".as("boiler_ratio"))

@@ -255,8 +255,25 @@ object TextAnalysis {
     * list is an external artifact this repo deliberately does not
     * embed); the RULE — drop any page containing a listed word — is
     * what [[c4]] implements, and swapping the list is a config
-    * change, not a code change. */
+    * change, not a code change: [[curate]] takes `c4Blocklist`
+    * directly and [[loadBlocklist]] reads one from a plain word file
+    * (r17 — the "config, not code" claim is now an actual seam, not
+    * a comment). The driver query keeps THIS deterministic default,
+    * so the oracle is unchanged. */
   val C4Blocklist: Seq[String] = Seq("xbadword", "xnastyword")
+
+  /** Load a blocklist from a newline-delimited word file: trimmed,
+    * lowercased, blank lines and `#` comments dropped — the format
+    * the public "bad words" lists ship in. Loud on a missing file
+    * (a silently-empty blocklist would pass everything). */
+  def loadBlocklist(path: String): Seq[String] = {
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala
+    val words = lines.iterator.map(_.trim.toLowerCase)
+      .filter(w => w.nonEmpty && !w.startsWith("#")).toVector
+    require(words.nonEmpty, s"blocklist $path contains no words")
+    words
+  }
 
   /** tx_c4 — the C4 cleaning battery (Raffel et al. 2020 §2.2, the
     * heuristics behind the C4 corpus — the third canonical filter set
@@ -314,7 +331,8 @@ object TextAnalysis {
   /** The battery over any frame and text column (all input columns
     * kept) — the unit [[curate]]'s `c4Rules` gate and the driver
     * query share. */
-  private[graft] def c4Signals(docs: DataFrame, textCol: Column): DataFrame = {
+  private[graft] def c4Signals(docs: DataFrame, textCol: Column,
+      blocklist: Seq[String] = C4Blocklist): DataFrame = {
     import docs.sparkSession.implicits._
     val lns = split(textCol, "\n")
     def keptLine(l: Column): Column =
@@ -333,7 +351,8 @@ object TextAnalysis {
       .withColumn("has_brace",
         textCol.contains("{") || textCol.contains("}"))
       .withColumn("has_badword",
-        C4Blocklist.map(w => lower(textCol).contains(w)).reduce(_ || _))
+        blocklist.map(w => lower(textCol).contains(w.toLowerCase))
+          .reduceOption(_ || _).getOrElse(lit(false)))
       .withColumn("clean_md5", md5(concat_ws("\n", kept)))
       .withColumn("c4_keep",
         $"kept_lines" >= 3L && !$"has_lorem" && !$"has_brace" &&
@@ -620,7 +639,8 @@ object TextAnalysis {
       trainedQuality: Option[(LangIdClassifier.Model, Double)] = None,
       piiMaxRatio: Option[Double] = None,
       gopherRules: Boolean = false,
-      c4Rules: Boolean = false)
+      c4Rules: Boolean = false,
+      c4Blocklist: Seq[String] = C4Blocklist)
       : DataFrame = {
     import spark.implicits._
     val raw0 = Tables.spread(Tables.load(spark, dir, "documents"))
@@ -636,7 +656,8 @@ object TextAnalysis {
         .drop(GopherCols: _*)
     val raw =
       if (!c4Rules) raw1
-      else c4Signals(raw1, $"text").filter($"c4_keep").drop(C4Cols: _*)
+      else c4Signals(raw1, $"text", c4Blocklist).filter($"c4_keep")
+        .drop(C4Cols: _*)
     val heuristicP0 = scoreDocs(raw)
     // PII clip: docs whose typed-PII character share exceeds the
     // ceiling drop before any scoring join — one more narrow

@@ -460,6 +460,29 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(c4Gated == Set(888888L),
       s"only the sentence-lined doc may survive c4Rules: $c4Gated")
+    // r17: the blocklist is an actual CONFIG seam — a file-loaded
+    // caller list naming a word of the crafted doc flips its verdict,
+    // while the driver default stays the oracle-pinned stand-in
+    val blPath = new java.io.File(sys.props("java.io.tmpdir"),
+      s"c4_blocklist_${System.nanoTime()}.txt").getPath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(blPath),
+      "# corpus-specific bad words\nPERIOD\n\n")
+    val loaded = TextAnalysis.loadBlocklist(blPath)
+    assert(loaded == Seq("period"),
+      s"loader must trim/lowercase/drop comments: $loaded")
+    val blGated = TextAnalysis.curate(spark, dir, None, c4Rules = true,
+      c4Blocklist = loaded).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(blGated.isEmpty,
+      s"the swapped blocklist must drop the crafted doc too: $blGated")
+    // loud edges: a missing or word-free file must not silently pass
+    // every page
+    intercept[Exception](TextAnalysis.loadBlocklist(blPath + ".missing"))
+    val emptyPath = blPath + ".empty"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(emptyPath), "# only comments\n\n")
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.loadBlocklist(emptyPath)
+    }.getMessage.contains("no words"))
   }
 
   test("tx_c4 battery: a plain-Scala replay of every rule matches the operator") {
@@ -774,25 +797,31 @@ class OperatorInvariantsSpec extends AnyFunSuite {
   test("vs_hybrid plan: corpus term rows prune against query terms before any aggregation") {
     val (ranked, persisted) = HybridSearch.hybridRanked(spark, sf)
     try {
-      // round-16 shape: NO full-vocabulary frame exists anywhere —
+      // round-17 shape: NO full-vocabulary frame exists anywhere —
       // the corpus explode joins the broadcast distinct query-term
-      // set inside the scan stage, and df is a window count over the
-      // PRUNED frame's term partitions (no separate aggregate+join)
+      // set inside the scan stage, and df is a PARTIAL-AGG groupBy
+      // over the PRUNED frame (the r16 window-df concentrated a
+      // stop-word term's rows on one task; HybridSearchSpec pins the
+      // no-Window-over-term side). Here: the df aggregate must exist
+      // AND sit above the query-term prune — a df aggregate whose
+      // subtree lacks the broadcast prune would be the full-voc
+      // abulary table the r16 rework removed.
       val plan = ranked.queryExecution.optimizedPlan
       val termAggs = plan.collect {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
             if a.groupingExpressions.length == 1 &&
               a.aggregateExpressions.exists(_.name == "df") => a
       }
-      assert(termAggs.isEmpty,
-        "df must be a window over the pruned term table, not a vocab aggregate")
+      assert(termAggs.nonEmpty, "the partial-agg df node is missing")
+      termAggs.foreach(a => assert(a.toString.contains("array_distinct"),
+        "the df aggregate must sit above the query-term-pruned table " +
+          "(its subtree must carry the broadcast distinct-query-term join)"))
       val winDf = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.windowExpressions.exists(_.name == "df") => w
       }
-      assert(winDf.nonEmpty, "the window-df node is missing")
-      assert(winDf.head.toString.contains("array_distinct"),
-        "the window-df must sit above the query-term-pruned table")
+      assert(winDf.isEmpty,
+        "df must never be a window over a corpus term partition (r16 hot-key)")
     } finally persisted.foreach(_.unpersist(blocking = false))
   }
 
