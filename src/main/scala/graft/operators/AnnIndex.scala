@@ -698,13 +698,23 @@ object AnnIndex {
     * 64-dim distance evaluations per query and a 500k-row broadcast;
     * the IMI reaches the same cell count with 2·√500k ≈ 1.4k
     * half-dim evaluations, and corpus assignment drops by the same
-    * √cells factor. Probe ranking enumerates pair sums — SCALAR
-    * additions over the two precomputed half-score lists, not vector
-    * distances (s₁[i]+s₂[j] = <q,(c₁|c₂)> − |(c₁|c₂)|²/2, so ranking
-    * pairs by descending sum IS ranking concatenated centroids by
-    * ascending L2, the [[probeCells]] metric exactly); past K ~ 2¹⁰
-    * the multi-sequence traversal from the paper replaces full
-    * enumeration driver-side, trading k1² scalar work for a heap walk.
+    * √cells factor. MEASURED (BENCH_imi_r17, tools/ImiProbe): the
+    * ASSIGNMENT crossover is strong — at 64k cells flat costs 8.3×
+    * IMI per assigned vector and grows linearly in cells, and
+    * assignment is the corpus-sized cost every ingested row pays.
+    * Probe ranking enumerates pair sums — SCALAR additions over the
+    * two precomputed half-score lists, not vector distances
+    * (s₁[i]+s₂[j] = <q,(c₁|c₂)> − |(c₁|c₂)|²/2, so ranking pairs by
+    * descending sum IS ranking concatenated centroids by ascending
+    * L2, the [[probeCells]] metric exactly). Full K²-pair enumeration
+    * measured WORSE than a flat scan at 64k cells (5.4 vs 1.1 s/100
+    * queries), so routing runs the paper's §3.2 MULTI-SEQUENCE
+    * traversal ([[graft.functions.expressions.ImiRoute]], r17): a
+    * frontier heap walk emitting cells in descending pair-sum order,
+    * O(2·k₁·dim/2 + nProbe·log) per query — measured flat in cells
+    * (0.26 s at 64k cells, 4.2× under flat routing) and
+    * cell-for-cell identical to the enumerated ranking (AnnIndexSpec
+    * pins it across probe depths, including boundary ties).
     *
     * The fit is the PQ machinery verbatim — an IMI is a 2-subspace
     * product quantizer used for ROUTING instead of compression: one
@@ -730,24 +740,15 @@ object AnnIndex {
     val enc = graft.functions.expressions.PqEncode($"v", books, ImiHalf)
     val assigned = v.select($"vec_id", $"v", $"nrm",
       (element_at(enc, 1) * k1 + element_at(enc, 2)).as("cell"))
-    // 2·k1 half-space routing scores per query...
-    def halfScores(h: Int) = {
-      val cf = books(h).zipWithIndex.map { case (c, i) =>
-        (i, c.toSeq, c.map(x => x * x).sum / 2)
-      }.toSeq.toDF(s"i$h", "cv", "chalf")
-      v.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"v".as("qv"))
-        .crossJoin(broadcast(cf))
-        .select($"q_id", col(s"i$h"),
-          (dot(slice($"qv", h * ImiHalf + 1, ImiHalf), $"cv") - $"chalf").as(s"s$h"))
-    }
-    // ...then pair enumeration is scalar: k1² additions per query
-    val qCells = halfScores(0).join(halfScores(1), "q_id")
-      .select($"q_id", ($"i0" * k1 + $"i1").as("cell"), ($"s0" + $"s1").as("cdist"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"cdist".desc, $"cell")))
-      .filter($"crnk" <= nProbe)
-      .select($"q_id", $"cell")
+    // routing: 2·k1 half-space scores + the multi-sequence traversal
+    // per query (r17, [[graft.functions.expressions.ImiRoute]]) — the
+    // enumerated k1²-pair window this replaces is measured MORE
+    // expensive than a flat scan at 64k cells (BENCH_imi_r17);
+    // AnnIndexSpec pins cell-set identity against it
+    val qCells = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        explode(graft.functions.expressions.ImiRoute(
+          $"v", books, ImiHalf, nProbe)).as("cell"))
     val queries = v.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val cand = assigned.filter($"vec_id" >= 10)

@@ -122,16 +122,22 @@ object ImiProbe {
         corpus.select((element_at(enc, 1) * k1 + element_at(enc, 2)).as("cell"))
           .groupBy($"cell").count().count()
       }
+      // the r17 serving path: multi-sequence traversal (ImiRoute) —
+      // no k1² pair materialization
+      val tMsqRoute = time {
+        queries.select($"q_id", explode(graft.functions.expressions.ImiRoute(
+          $"qv", halfBooks, Half, NProbe)).as("cell")).count()
+      }
 
       println(f"[imi] cells=$cells%6d k1=$k1%3d  route flat ${tFlatRoute}%6.2f s" +
-        f" vs imi ${tImiRoute}%6.2f s | assign($NAssign) flat ${tFlatAssign}%6.2f s" +
-        f" vs imi ${tImiAssign}%6.2f s")
-      (cells, tFlatRoute, tImiRoute, tFlatAssign, tImiAssign)
+        f" vs imi-enum ${tImiRoute}%6.2f s vs imi-msq ${tMsqRoute}%6.2f s" +
+        f" | assign($NAssign) flat ${tFlatAssign}%6.2f s vs imi ${tImiAssign}%6.2f s")
+      (cells, tFlatRoute, tImiRoute, tMsqRoute, tFlatAssign, tImiAssign)
     }
 
-    val json = results.map { case (c, fr, ir, fa, ia) =>
-      s"""{"cells":$c,"flat_route_s":$fr,"imi_route_s":$ir,""" +
-        s""""flat_assign_s":$fa,"imi_assign_s":$ia}"""
+    val json = results.map { case (c, fr, ir, mr, fa, ia) =>
+      s"""{"cells":$c,"flat_route_s":$fr,"imi_enum_route_s":$ir,""" +
+        s""""imi_msq_route_s":$mr,"flat_assign_s":$fa,"imi_assign_s":$ia}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"imi_crossover","queries":$NQueries,""" +
       s""""assign_vectors":$NAssign,"nprobe":$NProbe,"points":$json,""" +

@@ -60,6 +60,60 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(exh == exact)
   }
 
+  test("ImiRoute multi-sequence traversal == enumerated pair ranking, cell for cell") {
+    // the r17 routing rework (BENCH_imi_r17: enumeration costs more
+    // than a flat scan at 64k cells) must probe EXACTLY the cells the
+    // k1²-enumerating window picked — same metric, same (sum desc,
+    // cell asc) tie-break — across every query and probe depth,
+    // including depths past the cell count and a k1 with score ties
+    import graft.functions.expressions.ImiRoute
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k1 = 8; val halfDim = 32
+    def mix(x0: Long): Iterator[Double] = new Iterator[Double] {
+      var s = x0
+      def hasNext = true
+      def next(): Double = {
+        s += 0x9e3779b97f4a7c15L
+        var z = s
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    }
+    val it = mix(99L)
+    val books = Array.fill(2)(Array.fill(k1)(Array.fill(halfDim)(it.next())))
+    val qs = (0L until 20L).map { q =>
+      val g = mix(q * 7 + 1)
+      (q, Array.fill(2 * halfDim)(g.next()).toSeq)
+    }.toDF("q_id", "qv")
+    for (nProbe <- Seq(1, 7, 40, k1 * k1, k1 * k1 + 5)) {
+      val fast = qs.select($"q_id", posexplode(
+          ImiRoute($"qv", books, halfDim, nProbe)).as(Seq("rnk", "cell")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .groupBy(_._1).map { case (q, rows) =>
+          q -> rows.sortBy(_._2).map(_._3).toSeq }
+      // the enumerated reference: all k1² pair sums, window-ranked
+      val ref = qs.collect().map { r =>
+        val qv = r.getAs[Seq[Double]]("qv").toArray
+        def score(h: Int, i: Int): Double = {
+          val c = books(h)(i)
+          var acc = 0.0
+          var d = 0
+          while (d < halfDim) { acc += qv(h * halfDim + d) * c(d); d += 1 }
+          acc - c.map(x => x * x).sum / 2
+        }
+        val pairs = for (i <- 0 until k1; j <- 0 until k1)
+          yield (i * k1 + j, score(0, i) + score(1, j))
+        r.getLong(0) -> pairs.sortBy { case (cell, s) => (-s, cell) }
+          .take(math.min(nProbe, k1 * k1)).map(_._1)
+      }.toMap
+      fast.foreach { case (q, cells) =>
+        assert(cells == ref(q), s"query $q nProbe=$nProbe")
+      }
+    }
+  }
+
   test("ann_ivfpq (composed) recall@5 >= 0.9 vs brute force") {
     val ivfpq = hitSet(AnnIndex.ivfpq(spark, sf))
     val recall = (ivfpq & exact).size.toDouble / exact.size
