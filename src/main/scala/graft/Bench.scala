@@ -128,10 +128,17 @@ object Bench {
           // persisted/materialized frames otherwise steal unified
           // memory from the next query's execution (measured r17 at
           // sf10: mm_crawl 281 s after dd_embed_lsha vs 133 s alone —
-          // 2.1×). Cache drop + a GC so the ContextCleaner reclaims
-          // localCheckpoint blocks; both run OUTSIDE the timed region.
+          // 2.1×). Cache drop + leftover-block release, OUTSIDE the
+          // timed region. SPARK_GRAFT_ISOLATE_GC=1 additionally forces
+          // a full System.gc() (the first r17 cut ran it always —
+          // measured to INFLATE the suite ~20%: the full GC unloads
+          // JIT'd codegen classes, so CPU-bound queries re-pay warmup
+          // in every pass; explicit unpersist of surviving RDD blocks
+          // frees the same unified memory without discarding code).
           spark.catalog.clearCache()
-          System.gc()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          if (sys.env.get("SPARK_GRAFT_ISOLATE_GC").contains("1")) System.gc()
           name -> (if (ok) t else -1.0)
         }
     // SPARK_GRAFT_PASSES=1 for long scaling-curve runs (sf1+), where a
