@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import graft.Tables
 import graft.functions.VectorFunctions._
 
@@ -96,9 +94,24 @@ object AnnIndex {
       .withColumn("nrm", l2Norm($"v"))
   }
 
-  /** Fit KMeans on a bounded deterministic sample (every step-th
+  /** Fit k-means on a bounded deterministic sample (every step-th
     * vector), then assign cells in ONE pass over the corpus. The row
-    * count comes from parquet metadata, not a data scan. */
+    * count comes from parquet metadata, not a data scan.
+    *
+    * r17: the fit is the driver-local [[lloyd]] over ONE collected
+    * sample (the [[pqCodebooks]] discipline) instead of an MLlib
+    * `KMeans.fit` — the distributed fit iterated a ≤ [[SampleTarget]]-
+    * row frame through 5 scheduler round-trips plus a cache build and
+    * an ML-pipeline transform pass (JobProbe: 15 of ann_ivf's 24 jobs;
+    * ~1.2 s of the 2.3 s sf0.1 wall), all to move < 1 MB of sample.
+    * Assignment is the fused [[cellOf]] expression (argmin L2 via
+    * argmax(<v,c>−|c|²/2), first-max ties) — one narrow codegen'd
+    * projection, no vector-UDT conversions. Centroids change (lloyd's
+    * deterministic spread init vs MLlib's seeded random init), which
+    * only the [rows-only] approximate configs can observe: the _exh
+    * twins probe every cell, so their hash-checked output is invariant
+    * to the fit, and AnnIndexSpec's recall floors re-assert ≥ 0.9 on
+    * the new centroids (measured 0.98 ivf / 0.96 ivfpq at sf0.01). */
   private[operators] def fitAssign(spark: SparkSession, dir: String,
       cells: Int = IvfCells): (DataFrame, DataFrame) = {
     import spark.implicits._
@@ -106,19 +119,15 @@ object AnnIndex {
     val n = Tables.load(spark, dir, "embeddings").count() // footer-stats count
     val step = math.max(1L, n / SampleTarget)
     val sample = v.filter(pmod($"vec_id", lit(step)) === 0)
-      .withColumn("features", array_to_vector($"v"))
-      .persist() // iterated by KMeans; bounded ≤ SampleTarget rows
-    // random init (not kmeans||): the parallel init does ~5 extra
-    // passes to pick seeds, which dominates build time when the fit
-    // sample is already small; recall re-measured unchanged (0.94)
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random").setFeaturesCol("features").fit(sample)
-    sample.unpersist(blocking = false)
-    val assigned = model.transform(v.withColumn("features", array_to_vector($"v")))
-      .select($"vec_id", $"v", $"nrm", $"prediction".as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray)
-    }.toSeq.toDF("cell", "cv")
+      .select($"vec_id", $"v").collect()
+      .sortBy(_.getAs[Long]("vec_id")) // collect order is not a contract
+      .map(_.getAs[Seq[Double]]("v").toArray)
+    val centers = lloyd(sample, cells, iters = 5)
+    val books = centers.zipWithIndex.map { case (c, i) => (i, c) }
+    val assigned = v.select($"vec_id", $"v", $"nrm",
+      cellOf(books, $"v").as("cell"))
+    val centroids = books.map { case (i, c) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "cv")
     (assigned, centroids)
   }
 
@@ -494,9 +503,15 @@ object AnnIndex {
       return KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk")
     }
     val books = pqCodebooks(spark, dir)
+    // TWO consumers, NO persist (r17): the ADC pass reads (codes, nrm)
+    // and the exact re-rank reads (v, nrm) — column pruning means the
+    // encode expression only ever runs in the ADC branch, so the cache
+    // bought nothing but its own build cost (measured ~0.4 s at sf0.1)
+    // while pinning a corpus-sized frame — the exact anti-shape at
+    // 100 TB, where the re-rank is a bounded shortlist fetch against
+    // stored codes, not a cached corpus scan (guide §5).
     val corpus = v.filter($"vec_id" >= 10)
       .select($"vec_id", $"v", $"nrm", encodeCodes(books).as("codes"))
-      .persist() // scanned twice: ADC pass + exact re-rank of the shortlist
     // per-query ADC tables: dt[m][k] = <q_m, c_{m,k}>
     val q = v.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
@@ -511,9 +526,9 @@ object AnnIndex {
       .join(broadcast(q.select($"q_id", $"qv", $"qnrm")), "q_id")
       .select($"q_id", $"n_id",
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
-    val out = Tables.materialize(KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk"))
-    corpus.unpersist(blocking = false)
-    out
+    // no persisted frames to release → no materialize barrier; the
+    // returned plan is lazy like ivf's
+    KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk")
   }
 
   /** IVF+PQ composed — the 100 TB ANN architecture (the scale form of
@@ -570,9 +585,13 @@ object AnnIndex {
       return KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk")
     }
     val books = pqCodebooksFromSample(sample)
+    // no persist across the two consumers — same reasoning as [[pq]]:
+    // the re-rank branch prunes to (vec_id, v, nrm), so the encode only
+    // runs in the ADC branch either way, and a corpus-sized cache is
+    // the wrong shape at scale (the store path prunes partitions
+    // instead)
     val corpus = assigned.filter($"vec_id" >= 10)
       .select($"vec_id", $"v", $"nrm", $"cell", encodeCodes(books).as("codes"))
-      .persist() // ADC pass over probed cells + exact re-rank of the shortlist
     val q = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         adcTables(books, $"v").as("dt"))
@@ -591,9 +610,7 @@ object AnnIndex {
       .join(broadcast(q.select($"q_id", $"qv", $"qnrm")), "q_id")
       .select($"q_id", $"n_id",
         round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
-    val out = Tables.materialize(KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk"))
-    corpus.unpersist(blocking = false)
-    out
+    KnnSearch.rankTopK(exact, TopK).orderBy($"q_id", $"rnk")
   }
 
   /** Deterministic pseudo-random hyperplane component: md5-derived in
