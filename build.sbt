@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 113 queries × 2 bench passes generate thousands of codegen classes;
+  // the JDK17 default 240 MB code cache fills mid-suite and C2 stops
+  // compiling, so late CPU-bound queries run partly interpreted
+  // (measured: mm_crawl 2.4 s isolated vs 4.3+ s in-suite at sf0.1).
+  // A larger cache is standard long-session Spark driver hygiene, not
+  // a local[32] trick.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1004,17 +1004,31 @@ object TextAnalysis {
     // distributed partial top-K — never a single-task global window
     val topVocab = uniRaw.orderBy($"c".desc, $"w").limit(topV).select($"w")
     // bigram stream with both sides mapped through the bounded
-    // vocabulary (two broadcast hash joins, build side ≤ V rows)
+    // vocabulary (two broadcast hash joins, build side ≤ V rows).
+    // r17: bigrams are (t1, t2) STRUCT pairs zipped straight off the
+    // token array — the old form built the "t1 t2" shingle string per
+    // bigram and immediately re-split it with two substring_index
+    // calls, three string allocations per bigram that existed only to
+    // be taken apart. Tokens are \s+-split so they cannot contain a
+    // space: (t1,t2) ↔ "t1 t2" is a bijection and every
+    // count/group/join below is key-for-key identical (oracle
+    // unchanged). The persisted frame is also narrower: (doc_id, bg)
+    // only — w1 reads as bg.b1 downstream.
+    val toksP = tokens($"text")
+    val pairT = "array<struct<t1:string,t2:string>>"
     val mapped = docs
-      .select($"doc_id", explode(shingles(tokens($"text"), 2)).as("bg0"))
+      .select($"doc_id", explode(
+        when(size(toksP) >= 2,
+          zip_with(slice(toksP, lit(1), size(toksP) - 1), slice(toksP, lit(2), size(toksP) - 1),
+            (a, b) => struct(a.as("t1"), b.as("t2"))))
+          .otherwise(array().cast(pairT))).as("p"))
       .join(broadcast(topVocab.select($"w".as("w1r"), $"w".as("w1k"))),
-        substring_index($"bg0", " ", 1) === $"w1r", "left")
+        $"p.t1" === $"w1r", "left")
       .join(broadcast(topVocab.select($"w".as("w2r"), $"w".as("w2k"))),
-        substring_index($"bg0", " ", -1) === $"w2r", "left")
+        $"p.t2" === $"w2r", "left")
       .select($"doc_id",
-        coalesce($"w1k", lit(PplOov)).as("w1"),
-        concat_ws(" ", coalesce($"w1k", lit(PplOov)),
-          coalesce($"w2k", lit(PplOov))).as("bg"))
+        struct(coalesce($"w1k", lit(PplOov)).as("b1"),
+          coalesce($"w2k", lit(PplOov)).as("b2")).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bigram-count frame: ≤ (V+1)² distinct keys is NOT a bound at the
     // production V=65536 (4.3e9) — it grows with the corpus toward it,
@@ -1029,7 +1043,7 @@ object TextAnalysis {
       .agg(sum($"c").as("c_w1"))
     val vocabSize = uniCounts.agg(count(lit(1)).as("v"))
     val scored = mapped.join(bgCounts, "bg")
-      .join(broadcast(uniCounts), "w1")
+      .join(broadcast(uniCounts), $"bg.b1" === $"w1")
       .crossJoin(broadcast(vocabSize))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
