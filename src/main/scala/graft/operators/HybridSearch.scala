@@ -152,11 +152,17 @@ object HybridSearch {
 
     // idf uses the +1 form (always positive); expression nesting
     // mirrors the oracle SQL so pre-round doubles are bit-identical
-    // df is vocab-sized (≤ distinct query terms) → broadcast back
-    val contrib = tf.join(broadcast(dfTbl), Seq("term"))
-      .join(broadcast(qterms), "term")
+    // df is vocab-sized (≤ distinct query terms) → broadcast back.
+    // r17: the contribution is computed per (doc, term) BEFORE the
+    // qterms replication join — its inputs (tf, df, dl, n, sdl) do not
+    // depend on q_id, so the old shape evaluated the identical
+    // log+round expression once per (q, doc, term) row (~|queries|×
+    // redundant on shared terms; on this corpus ~8×). Same expression
+    // tree, same literals, same per-row doubles — only the evaluation
+    // count changes, so the oracle hash is unchanged.
+    val contribDoc = tf.join(broadcast(dfTbl), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select($"q_id", $"doc_id".as("n_id"),
+      .select($"term", $"doc_id".as("n_id"),
         // constants appear as the literals 2.2/1.2/0.25/0.75 (not
         // K1+1 etc.): a Scala-side `1.2 + 1` rounds differently from
         // the literal 2.2 in the last ulp, which is enough to flip a
@@ -165,6 +171,8 @@ object HybridSearch {
           log(lit(1.0) + ($"n" - $"df" + 0.5) / ($"df" + 0.5)) * $"tf" * lit(2.2)
             / ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / ($"sdl".cast("double") / $"n"))),
           6).as("c"))
+    val contrib = contribDoc.join(broadcast(qterms), "term")
+      .select($"q_id", $"n_id", $"c")
     val lex = KnnSearch.rankTopK(
       contrib.groupBy($"q_id", $"n_id")
         .agg(round(sum($"c"), 6).as("sim_r")), PoolK)

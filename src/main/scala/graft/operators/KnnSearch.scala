@@ -34,7 +34,7 @@ object KnnSearch {
     * ([[graft.functions.expressions.TopKByScore]]) — each partition
     * contributes at most k candidates per query to the shuffle,
     * instead of the window-ranking form that exchanges every pair. */
-  private[operators] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs.groupBy(col("q_id"))
       .agg(graft.functions.expressions.TopKByScore(col("sim_r"), col("n_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -299,16 +299,81 @@ object KnnSearch {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Left-to-right primitive dot — the closure twin of the codegen'd
+    * [[graft.functions.expressions.DotProduct]] loop: identical
+    * summation order, so values are bit-identical. */
+  private[operators] def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** `round(x, 4)` exactly as Spark's Round evaluates it on DoubleType
+    * (NaN/Infinity pass through; otherwise decimal HALF_UP on the
+    * shortest-decimal form, i.e. `BigDecimal.valueOf`) — pinned
+    * bit-identical to the Column form in KnnSpec. */
+  private[graft] def round4(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Exact all-pairs cosine top-3 (self-excluded) — the brute-force ANN
-    * baseline and the heavyweight bench workload. */
+    * baseline and the heavyweight bench workload (the declared
+    * quadratic audit: n² rounded cosines by contract).
+    *
+    * r17 shape: the n² loop runs as a mapPartitions KERNEL over
+    * primitive double arrays with the query matrix broadcast — the
+    * same bytes the old plan's BroadcastExchange shipped — and each
+    * partition emits only its top-3 candidates per query into the
+    * unchanged [[rankTopK]] merge. The previous crossJoin form paid,
+    * PER PAIR, the BroadcastNestedLoopJoin row machinery, an
+    * interpreted TypedImperativeAggregate update, and — dominating
+    * everything — a `BigDecimal.valueOf().setScale()` rounding
+    * (4×10⁸ of them at sf1 ≈ the entire 26 s wall). The kernel
+    * computes the identical raw cosine (same left-to-right dot, same
+    * `qnrm*nrm` product), and rounds ONLY candidates that can still
+    * enter that partition's rounded top-3: with the buffer's 3rd-best
+    * rounded score s₃, any raw < s₃ − 1e-4 has round(raw) ≤ raw +
+    * 0.51e-4 < s₃, so skipping it cannot change the buffer — every
+    * surviving candidate is rounded with the exact Spark semantics
+    * ([[round4]]) before insertion, and the per-partition buffers use
+    * the same (score desc, id asc) comparator as the aggregate, so the
+    * merged result is row-identical (oracle hash-checked; kernel-vs-
+    * crossJoin parity pinned in KnnSpec). */
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = vecs(spark, dir)
-    val q = v.select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-    val pairs = v.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("n_id"),
-        round(cosine($"qv", $"v", $"qnrm", $"nrm"), 4).as("sim_r"))
-    rankTopK(pairs, 3).orderBy($"q_id", $"rnk")
+    val qRows = v.select($"vec_id", $"v").as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.map(_._2)
+    val qNrms = qVecs.map(w => math.sqrt(dotLocal(w, w)))
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNrms))
+    val cands = v.select($"vec_id", $"v").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, qs, nrms) = bc.value
+        val nq = ids.length
+        val bufs = Array.fill(nq)(new graft.functions.expressions.TopKBuffer(3))
+        it.foreach { case (vid, arr) =>
+          val nrm = math.sqrt(dotLocal(arr, arr))
+          var j = 0
+          while (j < nq) {
+            if (ids(j) != vid) {
+              val raw = dotLocal(qs(j), arr) / (nrms(j) * nrm)
+              val b = bufs(j)
+              if (b.n < b.k || raw >= b.scores(b.k - 1) - 1e-4 ||
+                  java.lang.Double.isNaN(raw))
+                b.insert(round4(raw), vid)
+            }
+            j += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { j =>
+          val b = bufs(j)
+          (0 until b.n).map(i => (ids(j), b.ids(i), b.scores(i)))
+        }
+      }.toDF("q_id", "n_id", "sim_r")
+    rankTopK(cands, 3).orderBy($"q_id", $"rnk")
   }
 }
