@@ -79,14 +79,37 @@ object Dedup {
 
   /** Exact n-gram Jaccard audit over a deterministic 10% sample —
     * the ground-truth twin of the LSH path (all-pairs is O(n²): it
-    * exists to audit, not to scale; minhashLsh is the scale path). */
+    * exists to audit, not to scale; minhashLsh is the scale path).
+    *
+    * r17 per-pair kernel: shingle sets are xxhash64-compressed and
+    * SORTED once per row, so each of the n²/2 pair evaluations is an
+    * allocation-free merge walk over primitive longs
+    * ([[graft.functions.expressions.SortedIntersectCount]]) instead of
+    * `array_intersect`/`array_union` building two transient string
+    * hash sets per pair (measured 15.2 s → see OPTIMIZATION_r17 at
+    * sf1). Hashed-set Jaccard equals string-set Jaccard unless two
+    * distinct shingles of one pair collide in 64 bits (≈ |s|²·2⁻⁶⁴ per
+    * pair) — the identical compression [[minhashLsh]]'s hash-checked
+    * verify has always used, and the oracle agreement remains the
+    * regression check. |a ∪ b| = |a| + |b| − |a ∩ b| over the distinct
+    * sets, and i/(na+nb−i) divides the same exact integers the
+    * array_union form divided, so j_r is bit-identical. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = bigramSets(spark, dir).filter($"doc_id" % 10 === 0)
-    val a = t.select($"doc_id".as("a_id"), $"s".as("sa"))
-    val b = t.select($"doc_id".as("b_id"), $"s".as("sb"))
+      .select($"doc_id",
+        sort_array(transform($"s", x => xxhash64(x))).as("h"),
+        size($"s").cast("long").as("ns"))
+    val a = t.select($"doc_id".as("a_id"), $"h".as("ha"), $"ns".as("na"))
+    val b = t.select($"doc_id".as("b_id"), $"h".as("hb"), $"ns".as("nb"))
     a.crossJoin(b).filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id", jaccard($"sa", $"sb").as("j_r"))
+      // staging select: the merge-walk count feeds BOTH the numerator
+      // and the union size — aliased once so it evaluates once per pair
+      .select($"a_id", $"b_id",
+        graft.functions.expressions.SortedIntersectCount($"ha", $"hb").as("i"),
+        $"na", $"nb")
+      .select($"a_id", $"b_id",
+        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 4).as("j_r"))
       .filter($"j_r" >= 0.05)
       .orderBy($"a_id", $"b_id")
   }

@@ -403,4 +403,25 @@ class DedupExactnessSpec extends AnyFunSuite {
         s"$k approx p50 error > 5%")
     }
   }
+
+  test("dd_jaccard sorted-merge kernel row-identical to the string-set formulation") {
+    import spark.implicits._
+    // the r17 jaccardPairs (xxhash64-sorted sets + SortedIntersectCount
+    // merge walk) must reproduce the original array_intersect/
+    // array_union string-set form row for row, scores included
+    val t = Tables.spread(Tables.load(spark, sf, "documents"))
+      .select($"doc_id", array_distinct(shingles(tokens($"text"), 2)).as("s"))
+      .filter($"doc_id" % 10 === 0)
+    val a = t.select($"doc_id".as("a_id"), $"s".as("sa"))
+    val b = t.select($"doc_id".as("b_id"), $"s".as("sb"))
+    val reference = a.crossJoin(b).filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        round(size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb")), 4).as("j_r"))
+      .filter($"j_r" >= 0.05).orderBy($"a_id", $"b_id")
+      .collect().map(_.toSeq)
+    val kernel = Dedup.jaccardPairs(spark, sf).collect().map(_.toSeq)
+    assert(kernel.length == reference.length)
+    kernel.zip(reference).foreach { case (x, y) => assert(x == y) }
+  }
 }
