@@ -108,6 +108,10 @@ object Dedup {
       .select($"a_id", $"b_id",
         graft.functions.expressions.SortedIntersectCount($"ha", $"hb").as("i"),
         $"na", $"nb")
+      // raw-margin pre-filter before the 4dp round (see embedPairs
+      // audit): round(x) ≥ 0.05 is impossible below 0.05 − 1e-4, so
+      // the BigDecimal rounding runs only on pairs that can qualify
+      .filter($"i".cast("double") / ($"na" + $"nb" - $"i") >= 0.05 - 1e-4)
       .select($"a_id", $"b_id",
         round($"i".cast("double") / ($"na" + $"nb" - $"i"), 4).as("j_r"))
       .filter($"j_r" >= 0.05)
@@ -527,8 +531,16 @@ object Dedup {
       val a = v.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
       val b = v.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
       a.crossJoin(b).filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id",
-          round(cosine($"va", $"vb", $"na", $"nb"), 4).as("sim_r"))
+        // r17: pre-filter on the RAW cosine before the 4dp round — the
+        // BigDecimal rounding was the n²/2 audit's dominant per-pair
+        // cost. round(x,4) ≤ x + 0.51e-4, so x < T − 1e-4 can never
+        // round to ≥ T: the margin filter drops only provable
+        // non-results, and every surviving pair goes through the
+        // IDENTICAL round + threshold (output bit-identical; the
+        // oracle hash is the regression check).
+        .select($"a_id", $"b_id", cosine($"va", $"vb", $"na", $"nb").as("raw"))
+        .filter($"raw" >= EmbedThreshold - 1e-4)
+        .select($"a_id", $"b_id", round($"raw", 4).as("sim_r"))
         .filter($"sim_r" >= EmbedThreshold)
         .orderBy($"a_id", $"b_id")
     } else embedPairsOf(v)
