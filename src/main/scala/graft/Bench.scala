@@ -16,6 +16,15 @@ object Bench {
       // see CrawlPipeline.interleave's keeper)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS_X", "1").toInt).toString)
+      // 113 queries × 2 passes generate far more than the default 100
+      // codegen cache entries; evicted entries' classloaders become
+      // unreachable, so the isolation GC below unloads their JIT'd
+      // code and pass 2 pays Janino + C2 again for EVERY query
+      // (measured +20% suite wall at sf0.1). Static conf — must be set
+      // at session build. Sized to hold the whole suite (~15 codegen
+      // units/query × 113 × 2 forms), a few hundred MB of metaspace on
+      // an 8 GB driver.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -125,20 +134,21 @@ object Bench {
             }
           val t = (System.nanoTime() - t0) / 1e9
           // queries must be timed INDEPENDENTLY: a predecessor's
-          // persisted/materialized frames otherwise steal unified
-          // memory from the next query's execution (measured r17 at
-          // sf10: mm_crawl 281 s after dd_embed_lsha vs 133 s alone —
-          // 2.1×). Cache drop + leftover-block release, OUTSIDE the
-          // timed region. SPARK_GRAFT_ISOLATE_GC=1 additionally forces
-          // a full System.gc() (the first r17 cut ran it always —
-          // measured to INFLATE the suite ~20%: the full GC unloads
-          // JIT'd codegen classes, so CPU-bound queries re-pay warmup
-          // in every pass; explicit unpersist of surviving RDD blocks
-          // frees the same unified memory without discarding code).
+          // persisted/materialized frames AND its uncollected heap
+          // garbage otherwise steal memory from the next query
+          // (measured r17 at sf10: mm_crawl 281 s after dd_embed_lsha
+          // vs 133 s alone; at sf1 57.6 s vs 20.2 s with the GC).
+          // Cache drop + leftover-block release + one full GC, all
+          // OUTSIDE the timed region. The GC is safe for timing only
+          // together with the enlarged codegen cache above: with the
+          // default 100-entry cache, evicted generated classes are
+          // unloaded by this GC and every pass re-pays Janino + C2
+          // (measured +20% suite wall at sf0.1). SPARK_GRAFT_NO_GC=1
+          // skips the GC for diagnosing that interaction.
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
-          if (sys.env.get("SPARK_GRAFT_ISOLATE_GC").contains("1")) System.gc()
+          if (!sys.env.get("SPARK_GRAFT_NO_GC").contains("1")) System.gc()
           name -> (if (ok) t else -1.0)
         }
     // SPARK_GRAFT_PASSES=1 for long scaling-curve runs (sf1+), where a
