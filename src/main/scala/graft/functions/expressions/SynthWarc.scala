@@ -148,6 +148,23 @@ object SynthWarcImg {
   private[graft] def logoTextOf(bucket: Int): String =
     s"logo $bucket graft synthetic"
 
+  /** r17: the logo raster is one of TEN deterministic images, but the
+    * synth re-rendered (raster + filter + deflate) and re-base64'd it
+    * for EVERY capture — ~40% of the whole synthesis wall (DecodeProbe:
+    * synthesis alone was 7.7 s of mm_crawl's 15.4 s at sf1). One
+    * per-JVM memo of the (mime, base64) pair per bucket; SynthPng.build
+    * is pure, so the cached bytes are byte-identical to the per-row
+    * render and nothing downstream can tell (oracle hashes unchanged —
+    * the regression check). */
+  private val logoMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, (String, String)]()
+  private def logoOf(bucket: Int): (String, String) =
+    logoMemo.computeIfAbsent(bucket, b => {
+      val text = logoTextOf(b)
+      (mimeOf(SynthPng.formatOf(text)),
+        java.util.Base64.getEncoder.encodeToString(SynthPng.build(text)))
+    })
+
   private[graft] def mimeOf(fmtShare: Int): String = fmtShare match {
     case 3 => "image/gif"
     case 4 => "image/bmp"
@@ -166,9 +183,7 @@ object SynthWarcImg {
     val img = SynthPng.build(text)
     val mime = mimeOf(SynthPng.formatOf(text))
     val bucket = (d(2) & 0xFF) % 10
-    val logoText = logoTextOf(bucket)
-    val logo = SynthPng.build(logoText)
-    val logoMime = mimeOf(SynthPng.formatOf(logoText))
+    val (logoMime, logoB64) = logoOf(bucket)
     def record(uri: String, httpMime: String, body: Array[Byte]): Array[Byte] = {
       val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpMime\r\n" +
         s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso) ++ body
@@ -185,8 +200,7 @@ object SynthWarcImg {
       s"HTTP://Example.COM:80//img//$md5p/?b=2&utm_source=feed&a=1#t", mime, img)
     val clean = record(s"http://example.com/img/$md5p?a=1&b=2", mime, img)
     val html = ("<html><body><main><p>image gallery " + md5p + "</p>" +
-      "<img src=\"data:" + logoMime + ";base64," +
-      java.util.Base64.getEncoder.encodeToString(logo) +
+      "<img src=\"data:" + logoMime + ";base64," + logoB64 +
       "\"></main></body></html>").getBytes(utf8)
     val page = record(s"http://example.com/page/$md5p", "text/html", html)
     // codec share: all four transparent codecs, one member per record
